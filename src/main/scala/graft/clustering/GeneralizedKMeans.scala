@@ -1,0 +1,277 @@
+package graft.clustering
+
+import graft.kernels._
+import org.apache.hadoop.fs.Path
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.linalg.{SQLDataTypes, Vector}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.param.shared._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared params, name-compatible with the reference's
+  * GeneralizedKMeansParams (reference: ml/GeneralizedKMeansParams.scala:9-215)
+  * so user code ports 1:1.
+  */
+trait GeneralizedKMeansParams extends Params with HasFeaturesCol with HasPredictionCol
+    with HasWeightCol with HasSeed with HasMaxIter with HasTol {
+
+  final val k = new IntParam(this, "k", "number of clusters", ParamValidators.gt(1))
+  def getK: Int = $(k)
+
+  final val divergence = new Param[String](this, "divergence",
+    "divergence name: squaredEuclidean|kl|itakuraSaito|generalizedI|logistic|l1|spherical")
+  def getDivergence: String = $(divergence)
+
+  final val smoothing = new DoubleParam(this, "smoothing",
+    "epsilon smoothing for log-domain divergences", ParamValidators.gt(0))
+  def getSmoothing: Double = $(smoothing)
+
+  final val initMode = new Param[String](this, "initMode", "k-means||, random")
+  def getInitMode: String = $(initMode)
+
+  final val initSteps = new IntParam(this, "initSteps", "k-means|| rounds", ParamValidators.gt(0))
+  def getInitSteps: Int = $(initSteps)
+
+  final val assignmentStrategy = new Param[String](this, "assignmentStrategy",
+    "auto|broadcast|expression")
+  def getAssignmentStrategy: String = $(assignmentStrategy)
+
+  final val emptyClusterStrategy = new Param[String](this, "emptyClusterStrategy",
+    "reseedRandom|drop")
+  def getEmptyClusterStrategy: String = $(emptyClusterStrategy)
+
+  final val checkpointInterval = new IntParam(this, "checkpointInterval",
+    "iterations between lineage checkpoints", ParamValidators.gtEq(1))
+
+  final val distanceCol = new Param[String](this, "distanceCol",
+    "optional output column with divergence to assigned center")
+  def getDistanceCol: String = $(distanceCol)
+
+  setDefault(k -> 2, divergence -> "squaredEuclidean", smoothing -> 1e-10,
+    maxIter -> 20, tol -> 1e-4, seed -> this.getClass.getName.hashCode.toLong,
+    initMode -> "k-means||", initSteps -> 2, assignmentStrategy -> "auto",
+    emptyClusterStrategy -> "reseedRandom", checkpointInterval -> 10,
+    featuresCol -> "features", predictionCol -> "prediction", distanceCol -> "")
+
+  /** Features may be VectorUDT, array<double> or array<float>; output schema
+    * appends prediction:int (+ optional distance:double).
+    * (reference: ml/GeneralizedKMeansParams.scala:184-199 — relaxed to admit
+    * array columns, which is the native form for our expression paths.)
+    */
+  protected def validateAndTransformSchema(schema: StructType): StructType = {
+    val ft = schema($(featuresCol)).dataType
+    val ok = ft match {
+      case t if t == SQLDataTypes.VectorType => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    require(ok, s"features column ${$(featuresCol)} must be VectorUDT or array<double>, got $ft")
+    val withPred = schema.add(StructField($(predictionCol), IntegerType, nullable = false))
+    if ($(distanceCol).nonEmpty) withPred.add(StructField($(distanceCol), DoubleType, nullable = false))
+    else withPred
+  }
+
+  private[graft] def kernel: BregmanKernel = KernelFactory($(divergence), $(smoothing))
+}
+
+object FeatureCols {
+  /** Normalize any supported features column to array<double>. */
+  def asArray(df: DataFrame, featuresCol: String): (DataFrame, String) = {
+    val tmp = s"__${featuresCol}_arr"
+    df.schema(featuresCol).dataType match {
+      case t if t == SQLDataTypes.VectorType =>
+        (df.withColumn(tmp, vector_to_array(col(featuresCol))), tmp)
+      case ArrayType(DoubleType, _) => (df, featuresCol)
+      case ArrayType(FloatType, _) =>
+        (df.withColumn(tmp, col(featuresCol).cast(ArrayType(DoubleType))), tmp)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported features type $other")
+    }
+  }
+}
+
+/** Training telemetry (reference: ml/TrainingSummary.scala:43-72). */
+case class TrainingSummary(
+    algorithm: String,
+    k: Int,
+    effectiveK: Int,
+    dim: Int,
+    numPoints: Long,
+    iterations: Int,
+    converged: Boolean,
+    distortionHistory: Seq[Double],
+    movementHistory: Seq[Double],
+    divergence: String,
+    elapsedMillis: Long) {
+  def toDataFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(this).toDF()
+  }
+}
+
+/** Lloyd's algorithm generalized to Bregman divergences — the flagship
+  * estimator (reference: ml/GeneralizedKMeans.scala:110-268).
+  */
+class GeneralizedKMeans(override val uid: String)
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+
+  def this() = this(Identifiable.randomUID("gkmeans"))
+
+  def setK(v: Int): this.type = set(k, v)
+  def setDivergence(v: String): this.type = set(divergence, v)
+  def setSmoothing(v: Double): this.type = set(smoothing, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setTol(v: Double): this.type = set(tol, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setInitMode(v: String): this.type = set(initMode, v)
+  def setInitSteps(v: Int): this.type = set(initSteps, v)
+  def setAssignmentStrategy(v: String): this.type = set(assignmentStrategy, v)
+  def setEmptyClusterStrategy(v: String): this.type = set(emptyClusterStrategy, v)
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setWeightCol(v: String): this.type = set(weightCol, v)
+  def setDistanceCol(v: String): this.type = set(distanceCol, v)
+
+  override def fit(dataset: Dataset[_]): GeneralizedKMeansModel = {
+    val t0 = System.currentTimeMillis()
+    val df0 = dataset.toDF()
+    transformSchema(df0.schema)
+    val (df, arrCol) = FeatureCols.asArray(df0, $(featuresCol))
+    val kern = kernel
+    val cfg = LloydsConfig(
+      k = $(k), kernel = kern, maxIter = $(maxIter), tol = $(tol), seed = $(seed),
+      initMode = $(initMode), initSteps = $(initSteps),
+      assignmentStrategy = $(assignmentStrategy),
+      emptyClusterStrategy = $(emptyClusterStrategy),
+      checkpointInterval = $(checkpointInterval),
+      featuresCol = arrCol,
+      weightCol = get(weightCol).filter(_.nonEmpty))
+    val keep = (Seq(arrCol) ++ get(weightCol).filter(_.nonEmpty)).distinct
+    val result = LloydsIterator.run(df.select(keep.map(col): _*), cfg)
+    val dim = result.centers.headOption.map(_.length).getOrElse(0)
+    val summary = TrainingSummary("GeneralizedKMeans", $(k), result.centers.length, dim,
+      result.numPoints, result.iterations, result.converged,
+      result.distortionHistory, result.movementHistory, kern.name,
+      System.currentTimeMillis() - t0)
+    val model = new GeneralizedKMeansModel(uid, result.centers, $(divergence), $(smoothing))
+    copyValues(model.setParent(this))
+    model.trainingSummary = Some(summary)
+    model
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): GeneralizedKMeans = defaultCopy(extra)
+}
+
+/** Fitted model: broadcast-centers transform, driver predict, computeCost.
+  * (reference: ml/GeneralizedKMeansModel.scala:42-242)
+  */
+class GeneralizedKMeansModel(
+    override val uid: String,
+    val clusterCenters: Array[Array[Double]],
+    val divergenceName: String,
+    val smoothingValue: Double)
+    extends Model[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setDistanceCol(v: String): this.type = set(distanceCol, v)
+  def setAssignmentStrategy(v: String): this.type = set(assignmentStrategy, v)
+
+  private[graft] var trainingSummary: Option[TrainingSummary] = None
+  def summary: TrainingSummary = trainingSummary.getOrElse(
+    throw new IllegalStateException("No training summary (model was loaded, not fit)"))
+  def hasSummary: Boolean = trainingSummary.isDefined
+
+  def numClusters: Int = clusterCenters.length
+  def numFeatures: Int = clusterCenters.headOption.map(_.length).getOrElse(0)
+  private def kern: BregmanKernel = KernelFactory(divergenceName, smoothingValue)
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    val df0 = dataset.toDF()
+    val (df, arrCol) = FeatureCols.asArray(df0, $(featuresCol))
+    val assigned = Assignment.assign(df, arrCol, kern, clusterCenters, $(assignmentStrategy))
+    val withPred = assigned.withColumn($(predictionCol), col("cluster"))
+    val withDist =
+      if ($(distanceCol).nonEmpty) withPred.withColumn($(distanceCol), col("dist"))
+      else withPred
+    val dropCols = Seq("cluster", "dist") ++ (if (arrCol != $(featuresCol)) Seq(arrCol) else Nil)
+    withDist.drop(dropCols: _*)
+  }
+
+  def predict(features: Vector): Int = predict(features.toArray)
+
+  def predict(x: Array[Double]): Int = {
+    val kk = kern
+    var bestI = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < clusterCenters.length) {
+      val d = kk.divergence(x, clusterCenters(i))
+      if (d < bestD) { bestD = d; bestI = i }
+      i += 1
+    }
+    bestI
+  }
+
+  /** Sum over rows of min divergence to any center (WCSS-style). */
+  def computeCost(dataset: Dataset[_]): Double = {
+    val (df, arrCol) = FeatureCols.asArray(dataset.toDF(), $(featuresCol))
+    val assigned = Assignment.assign(df, arrCol, kern, clusterCenters, $(assignmentStrategy))
+    assigned.agg(sum("dist")).head().getDouble(0)
+  }
+
+  /** Persist: centers.parquet + metadata.json, written through the Hadoop FS
+    * API so object stores work (fixes reference inefficiency #7,
+    * reference: df/persistence/PersistenceLayout.scala:116-126).
+    */
+  def save(path: String, spark: SparkSession): Unit = {
+    import spark.implicits._
+    clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("center_id", "vector")
+      .coalesce(1).sort("center_id")
+      .write.mode("overwrite").parquet(s"$path/centers.parquet")
+    val meta =
+      s"""{"layoutVersion":1,"class":"graft.clustering.GeneralizedKMeansModel",
+         |"uid":"$uid","k":${clusterCenters.length},"divergence":"$divergenceName",
+         |"smoothing":$smoothingValue}""".stripMargin.replaceAll("\n", "")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path, "metadata.json"), true)
+    out.write(meta.getBytes("UTF-8")); out.close()
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): GeneralizedKMeansModel = {
+    val m = new GeneralizedKMeansModel(uid, clusterCenters, divergenceName, smoothingValue)
+    m.trainingSummary = trainingSummary
+    copyValues(m, extra).setParent(parent)
+  }
+}
+
+object GeneralizedKMeansModel {
+  def load(path: String, spark: SparkSession): GeneralizedKMeansModel = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(path, "metadata.json"))
+    val meta = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    def field(name: String): String = {
+      val m = java.util.regex.Pattern.compile("\"" + name + "\"\\s*:\\s*(\"([^\"]*)\"|[^,}]+)").matcher(meta)
+      require(m.find(), s"missing $name in metadata")
+      Option(m.group(2)).getOrElse(m.group(1))
+    }
+    val centers = spark.read.parquet(s"$path/centers.parquet")
+      .sort("center_id").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("vector")).toArray)
+    require(centers.length == field("k").toInt, "center count mismatch vs metadata k")
+    new GeneralizedKMeansModel(field("uid"), centers, field("divergence"), field("smoothing").toDouble)
+  }
+}

@@ -1,0 +1,337 @@
+package graft.kernels
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Divergence kernels for generalized k-means.
+  *
+  * Semantics match the reference library's kernel layer
+  * (reference: src/main/scala/com/massivedatascience/clusterer/ml/df/kernels/
+  * ClusteringKernel.scala:16-46, BregmanKernel.scala:18-39) but the
+  * implementation is Spark-first: every kernel operates on plain
+  * `Array[Double]` (the runtime form of an `array<double>` column) and can
+  * optionally emit a pure Catalyst Column for its distance so assignment
+  * stays inside WholeStageCodegen.
+  *
+  * A Bregman divergence D_F(x, mu) = F(x) - F(mu) - <grad F(mu), x - mu>.
+  * Lloyd's update for any Bregman divergence is the weighted mean in
+  * gradient space: mu* = invGrad( sum(w * grad(x)) / sum(w) ).
+  */
+trait BregmanKernel extends Serializable {
+
+  def name: String
+
+  /** D(x, mu) >= 0, zero iff x == mu (within the kernel's domain). */
+  def divergence(x: Array[Double], mu: Array[Double]): Double
+
+  /** grad F(x) — maps a point into gradient (dual) space. */
+  def grad(x: Array[Double]): Array[Double]
+
+  /** (grad F)^-1 (theta) — maps a gradient-space mean back to a center. */
+  def invGrad(theta: Array[Double]): Array[Double]
+
+  /** Domain check for a single point. */
+  def validate(x: Array[Double]): Boolean =
+    x.forall(v => !v.isNaN && !v.isInfinity)
+
+  /** True when [[distExpr]] returns a pure-Catalyst distance column. */
+  def supportsExpressionOptimization: Boolean = false
+
+  /** Optional Catalyst expression computing D(features, center) where
+    * `features` is an `array<double>` column and `center` a literal vector.
+    * Pure-expression distances keep assignment inside codegen; kernels
+    * without one fall back to the broadcast-closure path.
+    */
+  def distExpr(features: Column, center: Array[Double]): Option[Column] = None
+}
+
+/** Squared Euclidean: F(x) = 1/2 ||x||^2, D = 1/2 ||x-mu||^2.
+  * Reference: df/kernels/SquaredEuclideanKernel.scala:12-38 (incl. the 1/2
+  * factor at line 27).
+  */
+final class SquaredEuclideanKernel extends BregmanKernel {
+  override val name = "SquaredEuclidean"
+
+  override def divergence(x: Array[Double], mu: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { val d = x(i) - mu(i); s += d * d; i += 1 }
+    s * 0.5
+  }
+
+  override def grad(x: Array[Double]): Array[Double] = x
+  override def invGrad(theta: Array[Double]): Array[Double] = theta
+  override def supportsExpressionOptimization: Boolean = true
+
+  /** 1/2(||x||^2 - 2<x,c> + ||c||^2) with ||c||^2 folded to a literal. */
+  override def distExpr(features: Column, center: Array[Double]): Option[Column] = {
+    val c2 = { var s = 0.0; var i = 0; while (i < center.length) { s += center(i) * center(i); i += 1 }; s }
+    val dot = BregmanKernel.dotWithLiteral(features, center)
+    val x2 = aggregate(features, lit(0.0), (acc, v) => acc + v * v)
+    Some((x2 - lit(2.0) * dot + lit(c2)) * lit(0.5))
+  }
+}
+
+/** Kullback-Leibler: F(x) = sum x_i log x_i, D = sum x_i log(x_i/mu_i) with
+  * epsilon smoothing added inside BOTH logs.
+  * Reference: df/kernels/KLDivergenceKernel.scala:16-61.
+  */
+final class KLDivergenceKernel(val smoothing: Double = 1e-10) extends BregmanKernel {
+  require(smoothing > 0, "smoothing must be positive")
+  override val name = s"KL(smoothing=$smoothing)"
+
+  override def divergence(x: Array[Double], mu: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i) + smoothing
+      val mi = mu(i) + smoothing
+      s += xi * math.log(xi / mi)
+      i += 1
+    }
+    s
+  }
+
+  override def grad(x: Array[Double]): Array[Double] = {
+    val r = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) { r(i) = math.log(x(i) + smoothing) + 1.0; i += 1 }
+    r
+  }
+
+  override def invGrad(theta: Array[Double]): Array[Double] = {
+    val r = new Array[Double](theta.length)
+    var i = 0
+    while (i < theta.length) { r(i) = math.exp(theta(i) - 1.0); i += 1 }
+    r
+  }
+
+  override def validate(x: Array[Double]): Boolean =
+    x.forall(v => !v.isNaN && !v.isInfinity && v >= 0.0)
+
+  override def supportsExpressionOptimization: Boolean = true
+
+  override def distExpr(features: Column, center: Array[Double]): Option[Column] = {
+    // sum over i of (x_i+eps) * (log(x_i+eps) - log(c_i+eps)); the center-side
+    // log is folded to a literal array so only x-side math runs per row.
+    val logC = center.map(v => math.log(v + smoothing))
+    val eps = lit(smoothing)
+    val terms = zip_with(
+      features,
+      BregmanKernel.literalArray(logC),
+      (xv, lc) => (xv + eps) * (log(xv + eps) - lc))
+    Some(aggregate(terms, lit(0.0), (acc, v) => acc + v))
+  }
+}
+
+/** Itakura-Saito: D = sum (x/mu - log(x/mu) - 1), epsilon-smoothed.
+  * Reference: df/kernels/ItakuraSaitoKernel.scala:16-60.
+  */
+final class ItakuraSaitoKernel(val smoothing: Double = 1e-10) extends BregmanKernel {
+  require(smoothing > 0, "smoothing must be positive")
+  override val name = s"ItakuraSaito(smoothing=$smoothing)"
+
+  override def divergence(x: Array[Double], mu: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) {
+      val r = (x(i) + smoothing) / (mu(i) + smoothing)
+      s += r - math.log(r) - 1.0
+      i += 1
+    }
+    s
+  }
+
+  override def grad(x: Array[Double]): Array[Double] = {
+    val r = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) { r(i) = -1.0 / (x(i) + smoothing); i += 1 }
+    r
+  }
+
+  override def invGrad(theta: Array[Double]): Array[Double] = {
+    val r = new Array[Double](theta.length)
+    var i = 0
+    while (i < theta.length) { r(i) = -1.0 / theta(i); i += 1 }
+    r
+  }
+
+  override def validate(x: Array[Double]): Boolean =
+    x.forall(v => !v.isNaN && !v.isInfinity && v >= 0.0)
+}
+
+/** Generalized I-divergence: D = sum (x log(x/mu) - x + mu), eps-smoothed.
+  * Reference: df/kernels/GeneralizedIDivergenceKernel.scala:15-59.
+  */
+final class GeneralizedIDivergenceKernel(val smoothing: Double = 1e-10) extends BregmanKernel {
+  require(smoothing > 0, "smoothing must be positive")
+  override val name = s"GeneralizedI(smoothing=$smoothing)"
+
+  override def divergence(x: Array[Double], mu: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i) + smoothing
+      val mi = mu(i) + smoothing
+      s += xi * math.log(xi / mi) - xi + mi
+      i += 1
+    }
+    s
+  }
+
+  override def grad(x: Array[Double]): Array[Double] = {
+    val r = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) { r(i) = math.log(x(i) + smoothing); i += 1 }
+    r
+  }
+
+  override def invGrad(theta: Array[Double]): Array[Double] = {
+    val r = new Array[Double](theta.length)
+    var i = 0
+    while (i < theta.length) { r(i) = math.exp(theta(i)); i += 1 }
+    r
+  }
+
+  override def validate(x: Array[Double]): Boolean =
+    x.forall(v => !v.isNaN && !v.isInfinity && v >= 0.0)
+}
+
+/** Logistic loss (binary cross-entropy); domain (0,1), values clamped to
+  * [smoothing, 1-smoothing].
+  * Reference: df/kernels/LogisticLossKernel.scala:15-60.
+  */
+final class LogisticLossKernel(val smoothing: Double = 1e-10) extends BregmanKernel {
+  require(smoothing > 0, "smoothing must be positive")
+  override val name = s"LogisticLoss(smoothing=$smoothing)"
+
+  @inline private def clamp(v: Double): Double =
+    math.max(smoothing, math.min(1.0 - smoothing, v))
+
+  override def divergence(x: Array[Double], mu: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = clamp(x(i))
+      val mi = clamp(mu(i))
+      s += xi * math.log(xi / mi) + (1.0 - xi) * math.log((1.0 - xi) / (1.0 - mi))
+      i += 1
+    }
+    s
+  }
+
+  override def grad(x: Array[Double]): Array[Double] = {
+    val r = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) { val xi = clamp(x(i)); r(i) = math.log(xi / (1.0 - xi)); i += 1 }
+    r
+  }
+
+  override def invGrad(theta: Array[Double]): Array[Double] = {
+    val r = new Array[Double](theta.length)
+    var i = 0
+    while (i < theta.length) { r(i) = 1.0 / (1.0 + math.exp(-theta(i))); i += 1 }
+    r
+  }
+
+  override def validate(x: Array[Double]): Boolean =
+    x.forall(v => !v.isNaN && !v.isInfinity && v >= 0.0 && v <= 1.0)
+}
+
+/** L1 / Manhattan (K-Medians). NOT a Bregman divergence: grad/invGrad are
+  * identity placeholders and the center update must use the per-dimension
+  * weighted median instead of the gradient mean.
+  * Reference: df/kernels/L1Kernel.scala:17-37.
+  */
+final class L1Kernel extends BregmanKernel {
+  override val name = "L1"
+
+  override def divergence(x: Array[Double], mu: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += math.abs(x(i) - mu(i)); i += 1 }
+    s
+  }
+
+  override def grad(x: Array[Double]): Array[Double] = x
+  override def invGrad(theta: Array[Double]): Array[Double] = theta
+  override def supportsExpressionOptimization: Boolean = true
+
+  override def distExpr(features: Column, center: Array[Double]): Option[Column] = {
+    val terms = zip_with(features, BregmanKernel.literalArray(center),
+      (xv, cv) => abs(xv - cv))
+    Some(aggregate(terms, lit(0.0), (acc, v) => acc + v))
+  }
+
+  /** True median update, not gradient mean. */
+  def isMedianUpdate: Boolean = true
+}
+
+/** Spherical / cosine: D = 1 - cos(x, mu) computed on L2-normalized inputs.
+  * Centers are re-normalized after the mean update.
+  * Reference: df/kernels/SphericalKernel.scala:35-153.
+  */
+final class SphericalKernel extends BregmanKernel {
+  override val name = "Spherical"
+
+  private def normalize(x: Array[Double]): Array[Double] = {
+    var n = 0.0
+    var i = 0
+    while (i < x.length) { n += x(i) * x(i); i += 1 }
+    val nrm = math.sqrt(n)
+    if (nrm == 0.0 || nrm == 1.0) x
+    else {
+      val r = new Array[Double](x.length)
+      i = 0
+      while (i < x.length) { r(i) = x(i) / nrm; i += 1 }
+      r
+    }
+  }
+
+  override def divergence(x: Array[Double], mu: Array[Double]): Double = {
+    val xn = normalize(x)
+    val mn = normalize(mu)
+    var dot = 0.0
+    var i = 0
+    while (i < xn.length) { dot += xn(i) * mn(i); i += 1 }
+    1.0 - dot
+  }
+
+  override def grad(x: Array[Double]): Array[Double] = normalize(x)
+  override def invGrad(theta: Array[Double]): Array[Double] = normalize(theta)
+}
+
+object BregmanKernel {
+
+  /** A literal array<double> Column from a driver-side vector. */
+  def literalArray(values: Array[Double]): Column =
+    array(values.map(lit(_)).toIndexedSeq: _*)
+
+  /** <features, c> as a Catalyst expression (c folded to literals). */
+  def dotWithLiteral(features: Column, c: Array[Double]): Column =
+    aggregate(zip_with(features, literalArray(c), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+}
+
+/** Name -> kernel dispatch with the reference's aliases.
+  * Reference: df/kernels/KernelFactory.scala:57-199 and
+  * df/ClusteringOps.scala:42-95.
+  */
+object KernelFactory {
+  def apply(name: String, smoothing: Double = 1e-10): BregmanKernel =
+    name.trim.toLowerCase match {
+      case "squaredeuclidean" | "se" | "euclidean" | "l2" => new SquaredEuclideanKernel
+      case "kl" | "kullbackleibler" | "kl-divergence"     => new KLDivergenceKernel(smoothing)
+      case "is" | "itakurasaito" | "itakura-saito"        => new ItakuraSaitoKernel(smoothing)
+      case "geni" | "generalizedi" | "generalized-i"      => new GeneralizedIDivergenceKernel(smoothing)
+      case "logistic" | "logisticloss"                    => new LogisticLossKernel(smoothing)
+      case "l1" | "manhattan" | "kmedians"                => new L1Kernel
+      case "cosine" | "spherical" | "angular"             => new SphericalKernel
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unknown divergence '$other'. Supported: squaredEuclidean|kl|is|generalizedI|logistic|l1|spherical")
+    }
+
+  val supported: Seq[String] =
+    Seq("squaredEuclidean", "kl", "itakuraSaito", "generalizedI", "logistic", "l1", "spherical")
+}
