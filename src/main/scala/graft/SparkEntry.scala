@@ -1,13 +1,281 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.clustering.GeneralizedKMeans
+import graft.ops.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — the engine's query surface.
+  *
+  * Every operator family from SURVEY.md §2 that is observable as a
+  * DataFrame-in/DataFrame-out query appears here; queries with an
+  * `oracleSql` entry are hash-compared against DuckDB on identical
+  * parquet inputs, the rest get a rows-only check (clustering results
+  * are seed-deterministic but not SQL-expressible).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: k-means on the embeddings table, cluster profile output. */
+  def entry(spark: SparkSession): DataFrame = {
+    implicit val s: SparkSession = spark
+    val emb = t("/root/testdata/sf0.001", "embeddings")
+    val model = new GeneralizedKMeans()
+      .setK(10).setFeaturesCol("embedding").setSeed(42).setMaxIter(10)
+      .fit(emb)
+    model.transform(emb)
+      .groupBy("prediction").agg(count(lit(1)).as("n"))
+      .orderBy("prediction")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (Catalyst-native; oracle-checked) ----
+    "q1_agg" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    "q2_join_agg" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val o = t(dir, "orders")
+      val c = t(dir, "customer")
+      val n = t(dir, "nation")
+      // broadcast the small dims; aggregate revenue per nation+segment
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 4).as("total"), count(lit(1)).as("n_orders"))
+    },
+    "q3_window" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 2)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+    },
+    // ---- text analysis (expression-only; oracle-checked) ----
+    "q_token_count" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.tokenEstimate(col("text")).as("n_tokens_bpe"))
+    },
+    "q_text_quality" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    },
+    "q_lang_id" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(
+        col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))
+    },
+    // ---- dedup (oracle-checked where hash-free) ----
+    "q_dedup_exact" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.exact(t(dir, "documents"), "doc_id", "text")
+        .select(col("keeper_id"), col("dup_count"))
+    },
+    "q_ngram_jaccard" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      // candidate pairs: consecutive ids (deterministic, O(n) pairs)
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", 3)
+    },
+    "q_minhash_pairs" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.minhashDedup(t(dir, "documents"), "doc_id", "text", threshold = 0.7)
+    },
+    "q_simhash_pairs" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.simhashCandidates(t(dir, "documents"), "doc_id", "text", maxDist = 3)
+    },
+    "q_embed_neardup" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // oracle-checkable variant: banded self-join on id distance, pure SQL
+      val e = t(dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("vb"))
+      a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 20)
+        .withColumn("cosine", round(Similarity.cosineSim(col("va"), col("vb")), 6))
+        .where(col("cosine") >= 0.2)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    },
+    // ---- similarity search ----
+    "q_ann_topk" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val queriesDf = e.where(col("vec_id") < 10)
+      Similarity.bruteForceTopK(e, queriesDf, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    },
+    "q_ann_ivf" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val model = new GeneralizedKMeans()
+        .setK(8).setFeaturesCol("embedding").setSeed(42).setMaxIter(5).fit(e)
+      val queriesDf = e.where(col("vec_id") < 10)
+      Similarity.ivfTopK(e, queriesDf, "vec_id", "embedding", k = 5,
+        centroids = model.clusterCenters, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    },
+    // ---- clustering (seed-deterministic; rows-only or fixed-center oracle) ----
+    "q_kmeans_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val model = new GeneralizedKMeans()
+        .setK(10).setFeaturesCol("embedding").setSeed(42).setMaxIter(10).fit(e)
+      model.transform(e)
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_assign_fixed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // one assignment step against fixed centers (= embeddings 0,1,2),
+      // the cross-join + argmin-agg formulation of SECrossJoinAssignment
+      // (reference: df/strategies/impl/SECrossJoinAssignment.scala:17-74)
+      // with min_by instead of a window sort.
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      pts.join(broadcast(centers))
+        .withColumn("d2",
+          aggregate(zip_with(col("pv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("center_id"), struct(col("d2"), col("center_id"))).as("cluster"))
+    },
+    "q_wcss_fixed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      pts.join(broadcast(centers))
+        .withColumn("d2",
+          aggregate(zip_with(col("pv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
+        .agg(round(sum(col("md")), 4).as("wcss"))
+    },
+    // ---- event-time windowed aggregation (streaming semantics on batch) ----
+    "q_events_window" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // events.ts is TIMESTAMP(NANOS) parquet — read nanos as long and
+      // bucket to epoch-second hours (portable across engines).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(dir, "events")
+        .groupBy((floor(col("ts") / lit(3600000000000L)) * 3600).cast("long").as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |count(*) AS n_rows FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT n_name, c_mktsegment, round(sum(o_totalprice), 4) AS total,
+        |count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q3_window" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |greatest(1, CAST(floor(length(text) / 4) AS INT)) AS n_tokens_bpe
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+        |round(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+        |      * 1.0 / len(string_split(text, ' ')), 6) AS mean_word_len,
+        |round(least(length(text) / 500.0, 1.0) * 0.4
+        |  + least(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','and','to','in','is','it')))
+        |      * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.4
+        |  + (1.0 - least(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
+        |      * 1.0 / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality
+        |FROM documents""".stripMargin,
+    "q_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','is'))) AS s_en,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que'))) AS s_es,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','und','das'))) AS s_de
+        |  FROM documents)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |  WHEN s_es > s_en AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |  WHEN s_fr > s_en AND s_fr > s_es AND s_fr >= s_de THEN 'fr'
+        |  WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+        |  ELSE 'en' END AS lang_pred
+        |FROM sc""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+        |FROM documents GROUP BY text""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 2, 1) + 1),
+        |    i -> substring(text, i, 3))) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2""".stripMargin,
+    "q_ann_topk" ->
+      """SELECT query_id, rank, corpus_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5""".stripMargin,
+    "q_assign_fixed" ->
+      """SELECT vec_id, cluster FROM (
+        |  SELECT p.vec_id, c.vec_id AS cluster,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_distance(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), c.vec_id) AS rn
+        |  FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 3) c)
+        |WHERE rn = 1""".stripMargin,
+    "q_wcss_fixed" ->
+      """SELECT round(sum(md), 4) AS wcss FROM (
+        |  SELECT p.vec_id, min(list_distance(p.embedding::DOUBLE[], c.embedding::DOUBLE[])^2) AS md
+        |  FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 3) c
+        |  GROUP BY p.vec_id)""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(floor(epoch_ns(ts) / 3600000000000) * 3600 AS BIGINT) AS hour_epoch,
+        |event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

