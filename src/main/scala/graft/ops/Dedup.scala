@@ -1,8 +1,10 @@
 package graft.ops
 
+import graft.util.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale corpora.
   *
@@ -10,6 +12,13 @@ import org.apache.spark.sql.functions._
   * key, or an equi-join on LSH bucket ids. No driver collects, no cross
   * join of the full corpus against itself; candidate generation always
   * goes through a bucketing key so the pairwise work is |bucket|^2, not n^2.
+  *
+  * All sketch signatures (MinHash, SimHash, hyperplane) are computed in a
+  * SINGLE pass over the row's tokens/shingles/values by a Scala UDF —
+  * Spark's higher-order array functions are interpreted (not codegen'd),
+  * so k separate `transform`/`aggregate` passes cost ~k full traversals
+  * per row; one closure computing all k sketch lanes at once is the
+  * scale-correct shape.
   */
 object Dedup {
 
@@ -30,41 +39,84 @@ object Dedup {
       .drop("__keeper")
   }
 
-  /** MinHash signatures: k independent permutation approximations
-    * h_i(s) = min over shingles of xxhash64(shingle, salt_i).
-    * One projection; the heavy lifting is `transform` over the shingle
-    * array inside codegen.
+  /** MinHash signature UDF: `numHashes` permutation minima in ONE pass over
+    * the shingle array. Each shingle is hashed once into (h1, h2); lane i's
+    * hash is h1 + i*h2 (Kirsch–Mitzenmacher double hashing), so the cost is
+    * O(|shingles| * (|shingle| + numHashes)) adds — not numHashes string
+    * traversals.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(s, lit(i))))
-    }: _*)
+  def minhashSignatureUdf(numHashes: Int): UserDefinedFunction = udf { (shingles: Seq[String]) =>
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    if (shingles != null) {
+      val it = shingles.iterator
+      while (it.hasNext) {
+        val s = it.next()
+        val h1 = Hashing.hashString(s, 0x9e3779b97f4a7c15L)
+        val h2 = Hashing.hashString(s, 0x6a09e667f3bcc909L) | 1L
+        var h = h1
+        var i = 0
+        while (i < numHashes) {
+          if (h < mins(i)) mins(i) = h
+          h += h2
+          i += 1
+        }
+      }
+    }
+    mins
+  }
 
-  /** MinHash-LSH candidate pairs: band the signature, bucket-join on
-    * (band_id, band_hash), emit distinct (id_a < id_b) pairs.
-    * The join is an equi-join on the banded key — shuffle on bucket id,
-    * never a cross join.
+  /** Banded LSH keys from a MinHash signature, still in the same single
+    * pass: band b's key = avalanche-hash of its `numHashes/bands` minima.
+    * Returned as an array to be `posexplode`d into (band, bucket) rows.
     */
-  def minhashCandidates(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleSize: Int = 3,
-      numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+  def minhashBandKeysUdf(numHashes: Int, bands: Int): UserDefinedFunction = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
-    // word shingles: char n-grams of natural text are too densely shared
-    // across unrelated documents (measured median 3-gram Jaccard ~0.46 on
-    // the synthetic corpus vs ~0.0 for word 3-grams) and would blow up the
-    // candidate count at scale.
-    val sig = minhashSignature(TextOps.wordShingles(col(textCol), shingleSize), numHashes)
-    val banded = df
-      .select(col(idCol).as("id"), sig.as("sig"))
-      .select(col("id"), posexplode(
-        array((0 until bands).map(b =>
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))): _*)
-      ).as(Seq("band", "bucket")))
+    udf { (shingles: Seq[String]) =>
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      if (shingles != null) {
+        val it = shingles.iterator
+        while (it.hasNext) {
+          val s = it.next()
+          val h1 = Hashing.hashString(s, 0x9e3779b97f4a7c15L)
+          val h2 = Hashing.hashString(s, 0x6a09e667f3bcc909L) | 1L
+          var h = h1
+          var i = 0
+          while (i < numHashes) {
+            if (h < mins(i)) mins(i) = h
+            h += h2
+            i += 1
+          }
+        }
+      }
+      val keys = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 0xcbf29ce484222325L ^ Hashing.mix64(b.toLong)
+        var j = 0
+        while (j < rowsPerBand) {
+          h = Hashing.mix64(h ^ mins(b * rowsPerBand + j))
+          j += 1
+        }
+        keys(b) = h
+        b += 1
+      }
+      keys
+    }
+  }
+
+  /** MinHash-LSH candidate pairs from a precomputed (id, shingles) frame:
+    * band the signature, bucket-join on (band, bucket), emit distinct
+    * (id_a < id_b) pairs. The join is an equi-join on the banded key —
+    * shuffle on bucket id, never a cross join.
+    */
+  def minhashCandidatesFromShingles(
+      shingled: DataFrame, // columns: id, sh
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    val keysUdf = minhashBandKeysUdf(numHashes, bands)
+    val banded = shingled
+      .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "bucket")))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -73,9 +125,34 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash-LSH candidate pairs straight from text. Word shingles: char
+    * n-grams of natural text are too densely shared across unrelated
+    * documents (measured median 3-gram Jaccard ~0.46 on the synthetic
+    * corpus vs ~0.0 for word 3-grams) and would blow up the candidate
+    * count at scale.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextOps.wordShingles(col(textCol), shingleSize).as("sh"))
+    minhashCandidatesFromShingles(sh, numHashes, bands)
+  }
+
   /** MinHash-LSH near-dup pipeline: banded candidates, then exact word-
-    * shingle Jaccard confirmation at `threshold`. Candidate generation is
-    * O(sum |bucket|^2); confirmation touches only candidate pairs.
+    * shingle Jaccard confirmation at `threshold`. The shingle frame is
+    * computed ONCE (cached) and reused by both the candidate stage and the
+    * confirm joins. Candidate generation is O(sum |bucket|^2); confirmation
+    * touches only candidate pairs.
+    *
+    * Default 64 hashes / 32 bands of 2: P(miss a pair at Jaccard j) =
+    * (1 - j^2)^32 — ~2e-10 at j=0.7, so the confirmed output equals the
+    * exact brute-force answer with near-certainty (which is what lets the
+    * harness oracle-check this query against a DuckDB full self-join).
     */
   def minhashDedup(
       df: DataFrame,
@@ -83,10 +160,19 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.7,
       shingleSize: Int = 3,
-      numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
-    wordJaccard(cands, df, idCol, textCol, shingleSize)
+      numHashes: Int = 64,
+      bands: Int = 32): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        TextOps.wordShingles(col(textCol), shingleSize).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = minhashCandidatesFromShingles(sh, numHashes, bands)
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -107,38 +193,52 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
-  /** SimHash: 64-bit signature from per-token hash bit votes.
-    * Implemented as a single expression: for each bit, sum +1/-1 votes of
-    * xxhash64(token) over tokens, bit set if the vote is positive.
+  /** SimHash: 64-bit signature from per-token hash bit votes, computed in
+    * ONE pass over the token array (each token hashed once; 64 bit-votes
+    * accumulated in a local array).
     */
-  def simhash(tokens: Column): Column = {
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(tokens, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+  def simhashUdf: UserDefinedFunction = udf { (tokens: Seq[String]) =>
+    val votes = new Array[Int](64)
+    if (tokens != null) {
+      val it = tokens.iterator
+      while (it.hasNext) {
+        val h = Hashing.hashString(it.next(), 0x517cc1b727220a95L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
     }
-    bits.reduce(_.bitwiseOR(_))
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 
   /** Near-dup candidates by SimHash hamming distance <= maxDist, blocked on
-    * the 4 16-bit chunks (pigeonhole: any pair within distance 3 shares at
-    * least one exact chunk) — equi-join on chunk value, no cross join.
+    * 16-bit signature chunks (pigeonhole: any pair within distance
+    * `chunks-1` shares at least one exact chunk) — equi-join on chunk
+    * value, no cross join. maxDist must be <= 3 for the 4-chunk guarantee
+    * to hold (ADVICE r1: larger distances would silently drop pairs).
     */
   def simhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(split(col(textCol), " ")).as("sh"))
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist not supported: 4 x 16-bit chunk blocking only guarantees recall for hamming distance <= 3")
+    val sh = df.select(col(idCol).as("id"), simhashUdf(split(col(textCol), " ")).as("sh"))
     val chunked = sh.select(col("id"), col("sh"), posexplode(
       array((0 until 4).map(c => shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
     ).as(Seq("chunk", "val")))
     val a = chunked.as("a")
     val b = chunked.as("b")
-    val hamming = {
-      val x = col("a.sh").bitwiseXOR(col("b.sh"))
-      bit_count(x)
-    }
+    val hamming = bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), hamming.as("hamming"))
@@ -166,25 +266,41 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
-  /** Embedding near-dup: cosine similarity above threshold among candidate
-    * pairs produced by LSH bucketing on random hyperplane signs.
-    * (Random planes are derived deterministically from the seed via a
-    * hash-based pseudo-random projection, so results are reproducible.)
+  /** Embedding near-dup via banded (multi-table, OR-amplified) hyperplane
+    * LSH: `numTables` independent signatures of `planesPerTable` sign bits
+    * each; a pair is a candidate if ANY table's signature matches (same
+    * OR-amplification as MinHash banding — a single wide signature would
+    * have recall (1-theta/pi)^planes, ~1% for cosine 0.7; ADVICE r1).
+    * Candidates are confirmed with exact cosine >= threshold.
+    *
+    * Recall for a pair at angle theta with s = 1 - theta/pi:
+    * 1 - (1 - s^planesPerTable)^numTables.
     */
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      numPlanes: Int = 16,
+      numTables: Int = 16,
+      planesPerTable: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val sim = Similarity.cosineSim(col("a.v"), col("b.v"))
-    val sig = Similarity.hyperplaneSignature(col(vecCol), numPlanes, seed)
-    val tagged = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"), sig.as("bucket"))
-    val a = tagged.as("a")
-    val b = tagged.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(sim, 6).as("cosine"))
+    val sigUdf = Similarity.hyperplaneTableKeysUdf(numTables, planesPerTable, seed)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // band only (id, table, bucket) — never shuffle the vector numTables times
+    val banded = vecs.select(col("id"), posexplode(sigUdf(col("v"))).as(Seq("tbl", "bucket")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cands = a.join(b,
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosineSim(col("va"), col("vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -27,22 +27,64 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Sign-bit LSH signature: for plane p, the sign of <x, r_p> where r_p is
-    * a deterministic pseudo-random unit direction derived from
-    * hash(seed, p, dim-index). Pure expressions — no RNG state, fully
-    * reproducible across executors.
+  /** Per-executor cache of deterministic pseudo-random plane matrices so
+    * each (seed, planes, dim) matrix is materialized once per JVM, not
+    * re-hashed per row. Key: (seed, totalPlanes, dim); value laid out as
+    * plane-major [p * dim + i].
     */
-  def hyperplaneSignature(vec: Column, numPlanes: Int, seed: Long): Column = {
-    val v = vec.cast("array<double>")
-    val bits = (0 until numPlanes).map { p =>
-      // r_p[i] = hash(seed, p, i) mapped to [-1, 1)
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * (pmod(xxhash64(lit(seed), lit(p), i), lit(2000000L)).cast("double") / lit(1000000.0) - lit(1.0))),
-        lit(0.0), (acc, t) => acc + t)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private[graft] def planes(seed: Long, total: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((seed, total, dim), { key =>
+      val (s, t, d) = key
+      val m = new Array[Double](t * d)
+      var j = 0
+      while (j < m.length) { m(j) = graft.util.Hashing.unitDouble(s, j.toLong); j += 1 }
+      m
+    })
+
+  /** Banded hyperplane LSH keys: `numTables` independent sign-bit
+    * signatures of `planesPerTable` planes each, ALL computed in a single
+    * pass over the vector (one multiply-add per (dim, plane) pair against a
+    * cached deterministic plane matrix). Returned as an array of per-table
+    * bucket keys for posexplode + equi-join.
+    */
+  def hyperplaneTableKeysUdf(numTables: Int, planesPerTable: Int, seed: Long) = {
+    val total = numTables * planesPerTable
+    udf { (vec: Seq[Double]) =>
+      val d = vec.length
+      val m = planes(seed, total, d)
+      val proj = new Array[Double](total)
+      var i = 0
+      while (i < d) {
+        val x = vec(i)
+        if (x != 0.0) {
+          var p = 0
+          val base = i // column index; matrix is plane-major
+          while (p < total) {
+            proj(p) += x * m(p * d + base)
+            p += 1
+          }
+        }
+        i += 1
+      }
+      val keys = new Array[Long](numTables)
+      var t = 0
+      while (t < numTables) {
+        var sig = 0L
+        var j = 0
+        while (j < planesPerTable) {
+          if (proj(t * planesPerTable + j) >= 0) sig |= (1L << j)
+          j += 1
+        }
+        // fold the table id in so cross-table buckets never collide even
+        // if the caller joins on bucket alone
+        keys(t) = sig | (t.toLong << 32)
+        t += 1
+      }
+      keys
     }
-    bits.reduce(_.bitwiseOR(_))
   }
 
   /** Brute-force cosine top-k: broadcast the query set, scan the corpus
