@@ -178,6 +178,36 @@ object SparkEntry {
         .groupBy(col("vec_id"))
         .agg(min_by(col("center_id"), struct(col("d2"), col("center_id"))).as("cluster"))
     },
+    "q_kmedians_fixed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // one K-medians update step against fixed centers: L1 assignment,
+      // then EXACT per-(cluster, dimension) median via the same
+      // pre-aggregate + cumulative-weight window as Update.median —
+      // fully SQL-expressible, so DuckDB replicates it bit-for-bit.
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      val assigned = pts.join(broadcast(centers))
+        .withColumn("d1",
+          aggregate(zip_with(col("pv"), col("cv"), (x, y) => abs(x - y)),
+            lit(0.0), (acc, v) => acc + v))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("center_id"), col("pv")), struct(col("d1"), col("center_id"))).as("b"))
+        .select(col("b.center_id").as("cluster"), col("b.pv").as("pv"))
+      val grp = assigned
+        .select(col("cluster"), posexplode(col("pv")).as(Seq("d", "v")))
+        .select(col("cluster"), col("d").cast("long").as("d"), col("v"))
+        .groupBy(col("cluster"), col("d"), col("v")).agg(count(lit(1)).as("w"))
+      val part = Window.partitionBy(col("cluster"), col("d"))
+      grp
+        .withColumn("cw", sum(col("w")).over(part.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tw", sum(col("w")).over(part))
+        .where(col("cw") >= col("tw") / 2)
+        .groupBy(col("cluster"), col("d"))
+        .agg(min(col("v")).as("med"))
+    },
     "q_wcss_fixed" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
@@ -298,6 +328,22 @@ object SparkEntry {
         |      ORDER BY list_distance(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), c.vec_id) AS rn
         |  FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 3) c)
         |WHERE rn = 1""".stripMargin,
+    "q_kmedians_fixed" ->
+      """WITH assigned AS (
+        |  SELECT vec_id, cluster, pv FROM (
+        |    SELECT p.vec_id, c.vec_id AS cluster, p.embedding::DOUBLE[] AS pv,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_sum(list_transform(range(1, len(p.embedding)+1),
+        |                 i -> abs(p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), c.vec_id) AS rn
+        |    FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 3) c) WHERE rn = 1),
+        |ex AS (
+        |  SELECT cluster, CAST(i - 1 AS BIGINT) AS d, pv[i] AS v
+        |  FROM assigned, unnest(range(1, len(pv)+1)) AS t(i)),
+        |grp AS (SELECT cluster, d, v, count(*) AS w FROM ex GROUP BY 1, 2, 3),
+        |win AS (SELECT cluster, d, v,
+        |  sum(w) OVER (PARTITION BY cluster, d ORDER BY v) AS cw,
+        |  sum(w) OVER (PARTITION BY cluster, d) AS tw FROM grp)
+        |SELECT cluster, d, min(v) AS med FROM win WHERE cw >= tw / 2 GROUP BY 1, 2""".stripMargin,
     "q_wcss_fixed" ->
       """SELECT round(sum(md), 4) AS wcss FROM (
         |  SELECT p.vec_id, min(list_distance(p.embedding::DOUBLE[], c.embedding::DOUBLE[])^2) AS md

@@ -23,6 +23,11 @@ case class LloydsConfig(
     initSteps: Int = 2,
     assignmentStrategy: String = "auto", // auto | broadcast | expression
     emptyClusterStrategy: String = "reseedRandom", // or "drop"
+    // Lineage-truncation cadence. The core loop itself has FLAT lineage
+    // (every iteration re-derives one projection + one aggregation from the
+    // cached input, so there is nothing to checkpoint); estimators that
+    // maintain an evolving DataFrame across rounds (e.g. BisectingKMeans'
+    // membership column) honor this via localCheckpoint().
     checkpointInterval: Int = 10,
     featuresCol: String = "features",
     weightCol: Option[String] = None)
@@ -118,13 +123,55 @@ object Assignment {
   }
 }
 
+/** Typed aggregator summing (gradient * weight, weight, dist * weight) per
+  * cluster with ONE buffer per group — the plan is constant-size in the
+  * dimension (a d-wide `sum(element_at)` layout makes the logical plan
+  * O(d) and breaks codegen at embedding widths; observed "plan too large"
+  * truncation at d=64 in round 1). Partial aggregation still happens
+  * map-side (ObjectHashAggregate), so the shuffle carries k rows per
+  * partition, exactly like the per-column formulation.
+  * (Direct analogue of the reference's aggregateByKey hop, re-expressed as
+  * a Spark `Aggregator`; reference: df/strategies/UpdateStrategy.scala:46-135.)
+  */
+class CentroidAggregator(dim: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      (Seq[Double], Double, Double), (Array[Double], Double, Double), (Seq[Double], Double, Double)] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  override def zero: (Array[Double], Double, Double) = (new Array[Double](dim), 0.0, 0.0)
+
+  override def reduce(
+      b: (Array[Double], Double, Double),
+      a: (Seq[Double], Double, Double)): (Array[Double], Double, Double) = {
+    val (g, w, d) = a
+    val s = b._1
+    var i = 0
+    while (i < dim) { s(i) += g(i) * w; i += 1 }
+    (s, b._2 + w, b._3 + d * w)
+  }
+
+  override def merge(
+      b1: (Array[Double], Double, Double),
+      b2: (Array[Double], Double, Double)): (Array[Double], Double, Double) = {
+    val s = b1._1
+    val t = b2._1
+    var i = 0
+    while (i < dim) { s(i) += t(i); i += 1 }
+    (s, b1._2 + b2._2, b1._3 + b2._3)
+  }
+
+  override def finish(r: (Array[Double], Double, Double)): (Seq[Double], Double, Double) =
+    (r._1.toSeq, r._2, r._3)
+
+  override def bufferEncoder: Encoder[(Array[Double], Double, Double)] =
+    Encoders.product[(Array[Double], Double, Double)]
+  override def outputEncoder: Encoder[(Seq[Double], Double, Double)] =
+    Encoders.product[(Seq[Double], Double, Double)]
+}
+
 /** Center update + distortion in ONE aggregation job.
   *
   * For a Bregman kernel the new center is invGrad(weighted mean of grads).
-  * We aggregate, per cluster, d per-dimension sums of the gradient plus the
-  * weight sum and weighted distortion — all as built-in `sum` aggregates
-  * over `element_at`, which stay inside whole-stage codegen and do
-  * partial (map-side) aggregation before the k-row shuffle.
   * (Replaces the reference's rdd.aggregateByKey + collectAsMap hop,
   * reference: df/strategies/UpdateStrategy.scala:46-135.)
   */
@@ -150,16 +197,12 @@ object Update {
         val gradUdf = udf { (xs: Seq[Double]) => bk.value.grad(xs.toArray) }
         gradUdf(col(featuresCol))
       } else col(featuresCol) // identity grad: skip the UDF entirely
-    val w = weightCol
-    val dimSums = (0 until dim).map(i =>
-      sum(element_at(col("__grad"), i + 1) * w).as(s"g$i"))
-    val aggs = dimSums ++ Seq(
-      sum(w).as("wsum"),
-      sum(col("dist") * w).as("dsum"))
+    val centroidAgg = udaf(new CentroidAggregator(dim))
     val rows = assigned
       .withColumn("__grad", gradCol)
       .groupBy(col("cluster"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(centroidAgg(col("__grad"), weightCol.cast("double"), col("dist")).as("r"))
+      .select(col("cluster"), col("r._1").as("gsum"), col("r._2").as("wsum"), col("r._3").as("dsum"))
       .collect()
 
     var distortion = 0.0
@@ -167,12 +210,13 @@ object Update {
     val weights = Map.newBuilder[Int, Double]
     rows.foreach { r =>
       val cid = r.getInt(0)
-      val wsum = r.getDouble(dim + 1)
-      distortion += r.getDouble(dim + 2)
+      val gsum = r.getSeq[Double](1)
+      val wsum = r.getDouble(2)
+      distortion += r.getDouble(3)
       if (wsum > 0) {
         val mean = new Array[Double](dim)
         var i = 0
-        while (i < dim) { mean(i) = r.getDouble(i + 1) / wsum; i += 1 }
+        while (i < dim) { mean(i) = gsum(i) / wsum; i += 1 }
         centers += cid -> kernel.invGrad(mean)
         weights += cid -> wsum
       }
@@ -180,36 +224,62 @@ object Update {
     UpdateResult(centers.result(), distortion, weights.result())
   }
 
-  /** K-medians: per-dimension median per cluster in ONE job via
-    * percentile_approx over all dims (replaces the reference's one-job-per-
-    * (cluster, dimension) loop, reference: df/strategies/
-    * UpdateStrategy.scala:145-252).
+  /** K-medians: EXACT per-dimension weighted median per cluster in two
+    * jobs, both distributed (replaces the reference's one-job-per-
+    * (cluster, dimension) driver loop, reference: df/strategies/
+    * UpdateStrategy.scala:145-252 computeWeightedMedian).
+    *
+    * Weighted median definition (matches the reference): the smallest
+    * value v in the cluster's dimension-i column whose cumulative weight
+    * (values sorted ascending) reaches half the total weight.
+    *
+    * Physical shape: posexplode the features to (cluster, dim, value)
+    * rows, pre-aggregate equal values, then a window cumulative-sum per
+    * (cluster, dim) partition — a sort of n*d rows, but sorted WITHIN
+    * hash partitions of (cluster, dim), so it scales out; no driver
+    * collect beyond the final k*d medians.
     */
   def median(
       assigned: DataFrame,
       featuresCol: String,
       weightCol: Column,
       dim: Int): UpdateResult = {
-    val meds = (0 until dim).map(i =>
-      percentile_approx(element_at(col(featuresCol), i + 1), lit(0.5), lit(10000)).as(s"m$i"))
-    val aggs = meds ++ Seq(sum(weightCol).as("wsum"), sum(col("dist") * weightCol).as("dsum"))
-    val rows = assigned.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*).collect()
-    var distortion = 0.0
-    val centers = Map.newBuilder[Int, Array[Double]]
-    val weights = Map.newBuilder[Int, Double]
-    rows.foreach { r =>
-      val cid = r.getInt(0)
-      val wsum = r.getDouble(dim + 1)
-      distortion += r.getDouble(dim + 2)
-      if (wsum > 0) {
-        val c = new Array[Double](dim)
-        var i = 0
-        while (i < dim) { c(i) = r.getDouble(i + 1); i += 1 }
-        centers += cid -> c
-        weights += cid -> wsum
-      }
+    import org.apache.spark.sql.expressions.Window
+
+    // distortion + weight totals per cluster (one small agg job)
+    val totals = assigned.groupBy(col("cluster"))
+      .agg(sum(weightCol.cast("double")).as("wsum"), sum(col("dist") * weightCol).as("dsum"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    val exploded = assigned
+      .select(col("cluster"), weightCol.cast("double").as("__w"),
+        posexplode(col(featuresCol)).as(Seq("d", "v")))
+      .groupBy(col("cluster"), col("d"), col("v"))
+      .agg(sum(col("__w")).as("w"))
+    val part = Window.partitionBy(col("cluster"), col("d"))
+    val byValue = part.orderBy(col("v"))
+    val medians = exploded
+      .withColumn("cw", sum(col("w")).over(byValue.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("w")).over(part))
+      .where(col("cw") >= col("tw") / 2)
+      .groupBy(col("cluster"), col("d"))
+      .agg(min(col("v")).as("med"))
+      .collect()
+
+    val centers = scala.collection.mutable.Map[Int, Array[Double]]()
+    medians.foreach { r =>
+      val c = centers.getOrElseUpdate(r.getInt(0), new Array[Double](dim))
+      c(r.getInt(1)) = r.getDouble(2)
     }
-    UpdateResult(centers.result(), distortion, weights.result())
+    var distortion = 0.0
+    val weights = Map.newBuilder[Int, Double]
+    totals.foreach { case (cid, (wsum, dsum)) =>
+      distortion += dsum
+      if (wsum > 0) weights += cid -> wsum
+    }
+    UpdateResult(centers.filter { case (cid, _) => totals.get(cid).exists(_._1 > 0) }.toMap,
+      distortion, weights.result())
   }
 }
 
