@@ -1,6 +1,7 @@
 package graft
 
-import graft.clustering.GeneralizedKMeans
+import graft.clustering.{BisectingKMeans, DPMeans, GeneralizedKMeans, MiniBatchKMeans, SoftAssignments, SoftKMeans, XMeans}
+import graft.kernels.SquaredEuclideanKernel
 import graft.ops.{Dedup, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -160,6 +161,58 @@ object SparkEntry {
         .setK(10).setFeaturesCol("embedding").setSeed(42).setMaxIter(10).fit(e)
       model.transform(e)
         .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_bisecting_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val m = new BisectingKMeans().setK(8).setFeaturesCol("embedding")
+        .setSeed(42).setMaxIter(5).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_xmeans_k" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val m = new XMeans().setMinK(8).setMaxK(10).setFeaturesCol("embedding")
+        .setSeed(42).setMaxIter(5).fit(e)
+      e.sparkSession.range(1).select(lit(m.numClusters).as("best_k"))
+    },
+    "q_softkmeans_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val m = new SoftKMeans().setK(8).setBeta(5.0).setFeaturesCol("embedding")
+        .setSeed(42).setMaxIter(8).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_minibatch_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val m = new MiniBatchKMeans().setK(10).setBatchSize(256).setFeaturesCol("embedding")
+        .setSeed(42).setMaxIter(15).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_dpmeans_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val m = new DPMeans().setLambda(0.45).setMaxK(32).setFeaturesCol("embedding")
+        .setSeed(42).setMaxIter(15).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_soft_assign_fixed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // Boltzmann soft assignment against fixed centers (the SoftAssignments
+      // operator itself) — pure exp/ratio math, replicated in DuckDB SQL.
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 3).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val withP = SoftAssignments.withProbabilities(
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("f")),
+        "f", centers, new SquaredEuclideanKernel, beta = 2.0, minMembership = 0.0,
+        probabilityCol = "p")
+      withP.select(col("vec_id"),
+        round(element_at(col("p"), 1), 6).as("p0"),
+        round(element_at(col("p"), 2), 6).as("p1"),
+        round(element_at(col("p"), 3), 6).as("p2"))
     },
     "q_assign_fixed" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -321,6 +374,27 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5""".stripMargin,
+    "q_soft_assign_fixed" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 3),
+        |d AS (SELECT p.vec_id, c.cid,
+        |        0.5 * list_sum(list_transform(range(1, len(p.embedding)+1),
+        |          i -> (p.embedding[i]::DOUBLE - c.ce[i]::DOUBLE)
+        |             * (p.embedding[i]::DOUBLE - c.ce[i]::DOUBLE))) AS dist
+        |      FROM embeddings p, c),
+        |w AS (SELECT vec_id,
+        |        max(CASE WHEN cid = 0 THEN dist END) AS d0,
+        |        max(CASE WHEN cid = 1 THEN dist END) AS d1,
+        |        max(CASE WHEN cid = 2 THEN dist END) AS d2
+        |      FROM d GROUP BY 1),
+        |u AS (SELECT vec_id,
+        |        exp(-2.0 * (d0 - least(d0, d1, d2))) AS u0,
+        |        exp(-2.0 * (d1 - least(d0, d1, d2))) AS u1,
+        |        exp(-2.0 * (d2 - least(d0, d1, d2))) AS u2
+        |      FROM w)
+        |SELECT vec_id, round(u0 / (u0 + u1 + u2), 6) AS p0,
+        |  round(u1 / (u0 + u1 + u2), 6) AS p1,
+        |  round(u2 / (u0 + u1 + u2), 6) AS p2
+        |FROM u""".stripMargin,
     "q_assign_fixed" ->
       """SELECT vec_id, cluster FROM (
         |  SELECT p.vec_id, c.vec_id AS cluster,

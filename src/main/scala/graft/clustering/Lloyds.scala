@@ -30,7 +30,11 @@ case class LloydsConfig(
     // membership column) honor this via localCheckpoint().
     checkpointInterval: Int = 10,
     featuresCol: String = "features",
-    weightCol: Option[String] = None)
+    weightCol: Option[String] = None,
+    // Skip the fit-time domain-validation sample for internal sub-runs
+    // (e.g. per-split 2-means inside BisectingKMeans) whose input was
+    // already validated by the outer estimator.
+    validate: Boolean = true)
 
 case class LloydsResult(
     centers: Array[Array[Double]],
@@ -297,7 +301,9 @@ object LloydsIterator {
     // Fit-time domain validation on a sample, like the reference
     // (reference: df/ClusteringOps.scala:170-182): catches e.g. negative
     // inputs under KL/IS before they produce NaN centers.
-    val sample = data.select(col(cfg.featuresCol)).limit(1000).collect()
+    val sample =
+      if (cfg.validate) data.select(col(cfg.featuresCol)).limit(1000).collect()
+      else Array.empty[org.apache.spark.sql.Row]
     sample.foreach { r =>
       val x = r.getSeq[Double](0).toArray
       require(x.length == dim,
