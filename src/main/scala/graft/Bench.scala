@@ -19,11 +19,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/IO warmup so per-query numbers reflect steady state
+    // JIT/IO warmup so per-query numbers reflect steady state: one
+    // relational query plus one tiny clustering fit (the Lloyd loop's
+    // codegen/JIT paths are disjoint from the relational ones, and the
+    // alphabetically-first clustering query would otherwise absorb them)
     SparkEntry.queries.get("q1_agg").foreach { fn =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      new graft.clustering.GeneralizedKMeans()
+        .setK(4).setFeaturesCol("embedding").setSeed(1).setMaxIter(3)
+        .fit(emb).transform(emb).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -129,11 +129,31 @@ object SparkEntry {
     },
     "q_embed_lsh" -> { (s, dir) =>
       implicit val sp: SparkSession = s
-      // the real banded-hyperplane-LSH operator (rows-only check: bucket
-      // membership is hash-dependent, but every emitted pair is exact-
-      // cosine-confirmed)
-      Dedup.embeddingNearDup(t(dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, numTables = 16, planesPerTable = 6)
+      // banded-hyperplane-LSH near-dup in its intended HIGH-similarity
+      // regime. The raw table has no pairs above cosine 0.7 (sign-LSH at
+      // mid thresholds is provably a cartesian product in disguise — r2
+      // verdict), so the corpus is augmented with one deterministically
+      // jittered copy per vector (cosine ~0.93 to its source): 2000
+      // planted near-dup pairs that the operator must recover. Rows-only
+      // check (bucket membership is hash-dependent) but every emitted pair
+      // is exact-cosine-confirmed and the jitter is seed-free
+      // deterministic, so the row count is stable. Recall vs brute force
+      // is asserted in DedupSpec.
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val jitterUdf = udf { (id: Long, xs: Seq[Double]) =>
+        val r = new Array[Double](xs.length)
+        var i = 0
+        while (i < xs.length) {
+          r(i) = xs(i) + 0.08 * graft.util.Hashing.unitDouble(id, i.toLong)
+          i += 1
+        }
+        r
+      }
+      val jittered = e.select((col("vec_id") + 1000000L).as("vec_id"),
+        jitterUdf(col("vec_id"), col("v")).as("v"))
+      Dedup.embeddingNearDup(e.union(jittered), "vec_id", "v",
+        threshold = 0.85, numTables = 24, planesPerTable = 12)
     },
     // ---- similarity search ----
     "q_ann_topk" -> { (s, dir) =>
@@ -193,7 +213,11 @@ object SparkEntry {
     "q_dpmeans_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
-      val m = new DPMeans().setLambda(0.45).setMaxK(32).setFeaturesCol("embedding")
+      // maxK below maxIter so the fit reaches the refine phase: growth
+      // saturates at 12 centers, then >=3 full Lloyd iterations run before
+      // the iteration budget ends (r2 verdict #7: maxK=32/maxIter=15 meant
+      // every iteration spawned and the centers were raw outlier points).
+      val m = new DPMeans().setLambda(0.45).setMaxK(12).setFeaturesCol("embedding")
         .setSeed(42).setMaxIter(15).fit(e)
       m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
     },
@@ -260,6 +284,30 @@ object SparkEntry {
         .where(col("cw") >= col("tw") / 2)
         .groupBy(col("cluster"), col("d"))
         .agg(min(col("v")).as("med"))
+    },
+    "q_metrics_fixed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // the full evaluation-metrics layer against fixed centers
+      // (embeddings 0..2, SE kernel with the 1/2 factor): WCSS, BCSS,
+      // Calinski-Harabasz, Davies-Bouldin, Dunn — one assignment +
+      // one aggregation job + driver k x k math, all replicated in
+      // ANSI SQL by the oracle.
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 3).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val m = graft.clustering.ClusteringMetrics.compute(
+        e.select(col("embedding").cast("array<double>").as("f")),
+        "f", new SquaredEuclideanKernel, centers)
+      s.range(1).select(
+        round(lit(m.wcss), 4).as("wcss"),
+        round(lit(m.bcss), 4).as("bcss"),
+        round(lit(m.calinskiHarabasz), 4).as("ch"),
+        round(lit(m.daviesBouldin), 4).as("db"),
+        round(lit(m.dunn), 6).as("dunn"),
+        lit(m.clusterSizes(0)).as("n0"),
+        lit(m.clusterSizes(1)).as("n1"),
+        lit(m.clusterSizes(2)).as("n2"))
     },
     "q_wcss_fixed" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -418,6 +466,43 @@ object SparkEntry {
         |  sum(w) OVER (PARTITION BY cluster, d ORDER BY v) AS cw,
         |  sum(w) OVER (PARTITION BY cluster, d) AS tw FROM grp)
         |SELECT cluster, d, min(v) AS med FROM win WHERE cw >= tw / 2 GROUP BY 1, 2""".stripMargin,
+    "q_metrics_fixed" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 3),
+        |asg AS (
+        |  SELECT vec_id, cluster, d FROM (
+        |    SELECT p.vec_id, c.cid AS cluster,
+        |      0.5 * list_sum(list_transform(range(1, len(c.cv)+1),
+        |        i -> (p.embedding[i]::DOUBLE - c.cv[i]) * (p.embedding[i]::DOUBLE - c.cv[i]))) AS d,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_sum(list_transform(range(1, len(c.cv)+1),
+        |          i -> (p.embedding[i]::DOUBLE - c.cv[i]) * (p.embedding[i]::DOUBLE - c.cv[i]))), c.cid) AS rn
+        |    FROM embeddings p, c) WHERE rn = 1),
+        |stats AS (SELECT cluster, count(*) AS n, sum(d) AS sd, avg(d) AS ad, max(d) AS md
+        |          FROM asg GROUP BY 1),
+        |tot AS (SELECT sum(sd) AS wcss, sum(n) AS n FROM stats),
+        |cexp AS (SELECT cid, j, cv[j] AS v FROM c, unnest(range(1, len(cv)+1)) AS t(j)),
+        |ov AS (SELECT j, sum(ce.v * s.n) / (SELECT n FROM tot) AS o
+        |       FROM cexp ce JOIN stats s ON s.cluster = ce.cid GROUP BY j),
+        |bc AS (SELECT sum(term) AS bcss FROM (
+        |        SELECT s.cluster, s.n * 0.5 * sum((ce.v - ov.o) * (ce.v - ov.o)) AS term
+        |        FROM cexp ce JOIN ov ON ov.j = ce.j JOIN stats s ON s.cluster = ce.cid
+        |        GROUP BY s.cluster, s.n)),
+        |cd AS (SELECT a.cid AS i, b.cid AS j2,
+        |        0.5 * list_sum(list_transform(range(1, len(a.cv)+1),
+        |          i2 -> (a.cv[i2] - b.cv[i2]) * (a.cv[i2] - b.cv[i2]))) AS d
+        |       FROM c a JOIN c b ON a.cid <> b.cid),
+        |dbi AS (SELECT avg(mx) AS db FROM (
+        |         SELECT cd.i, max((si.ad + sj.ad) / cd.d) AS mx
+        |         FROM cd JOIN stats si ON si.cluster = cd.i JOIN stats sj ON sj.cluster = cd.j2
+        |         GROUP BY cd.i)),
+        |du AS (SELECT min(cd.d) / (SELECT max(md) FROM stats) AS dunn FROM cd)
+        |SELECT round(tot.wcss, 4) AS wcss, round(bc.bcss, 4) AS bcss,
+        |  round((bc.bcss / 2) / (tot.wcss / (tot.n - 3)), 4) AS ch,
+        |  round(dbi.db, 4) AS db, round(du.dunn, 6) AS dunn,
+        |  (SELECT n FROM stats WHERE cluster = 0) AS n0,
+        |  (SELECT n FROM stats WHERE cluster = 1) AS n1,
+        |  (SELECT n FROM stats WHERE cluster = 2) AS n2
+        |FROM tot, bc, dbi, du""".stripMargin,
     "q_wcss_fixed" ->
       """SELECT round(sum(md), 4) AS wcss FROM (
         |  SELECT p.vec_id, min(list_distance(p.embedding::DOUBLE[], c.embedding::DOUBLE[])^2) AS md

@@ -1,0 +1,182 @@
+package graft.clustering
+
+import graft.kernels.BregmanKernel
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Internal cluster-quality metrics.
+  *
+  * Semantics match the reference's evaluation layer
+  * (reference: ml/GeneralizedKMeansModel.scala:493-728,
+  * ml/ClusteringMetrics.scala:254-285):
+  *  - BCSS            = sum_i n_i * D(mu_i, mu_overall)
+  *  - Calinski-Harabasz = (BCSS / (k-1)) / (WCSS / (n-k))
+  *  - Davies-Bouldin  = (1/k) sum_i max_{j!=i} (s_i + s_j) / D(mu_i, mu_j),
+  *    s_i = mean divergence of cluster-i points to mu_i
+  *  - Dunn            = min_{i<j} D(mu_i, mu_j) / max_i max-point-divergence
+  *  - Silhouette (center-proxy, sampled): a = divergence to own center,
+  *    b = min divergence to any other center, s = (b-a)/max(a,b)
+  *
+  * Scale design: ONE assignment projection + ONE groupBy(cluster)
+  * aggregation computes every per-cluster statistic (n, sum, avg, max of
+  * divergence); all remaining math is k x k / k x d driver arithmetic.
+  * The reference runs a separate job per metric — here
+  * wcss/bcss/CH/DB/Dunn share a single pass, and silhouette is one more
+  * sampled pass.
+  */
+case class ClusteringMetrics(
+    clusterSizes: Array[Long],
+    wcss: Double,
+    bcss: Double,
+    calinskiHarabasz: Double,
+    daviesBouldin: Double,
+    dunn: Double) {
+  def numPoints: Long = clusterSizes.sum
+  def k: Int = clusterSizes.length
+
+  /** Cluster size balance ratio (min/max over non-empty); 1.0 = balanced. */
+  def balanceRatio: Double = {
+    val nz = clusterSizes.filter(_ > 0)
+    if (nz.isEmpty) 0.0 else nz.min.toDouble / nz.max
+  }
+}
+
+object ClusteringMetrics {
+
+  /** All single-pass metrics for `centers` over `df`. */
+  def compute(
+      df: DataFrame,
+      featuresCol: String,
+      kernel: BregmanKernel,
+      centers: Array[Array[Double]],
+      assignmentStrategy: String = "auto"): ClusteringMetrics = {
+    val k = centers.length
+    val assigned = Assignment.assign(df, featuresCol, kernel, centers, assignmentStrategy)
+    val rows = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("sumd"),
+        avg(col("dist")).as("avgd"), max(col("dist")).as("maxd"))
+      .collect()
+    val sizes = new Array[Long](k)
+    val avgd = new Array[Double](k)
+    val maxd = new Array[Double](k)
+    var wcss = 0.0
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      sizes(c) = r.getLong(1)
+      wcss += r.getDouble(2)
+      avgd(c) = r.getDouble(3)
+      maxd(c) = r.getDouble(4)
+    }
+    val n = sizes.sum
+    val dim = centers.headOption.map(_.length).getOrElse(0)
+
+    // overall centroid: size-weighted mean of centers (k x d driver math)
+    val bcss =
+      if (n == 0) 0.0
+      else {
+        val overall = new Array[Double](dim)
+        var i = 0
+        while (i < k) {
+          var j = 0
+          while (j < dim) { overall(j) += centers(i)(j) * sizes(i); j += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < dim) { overall(j) /= n; j += 1 }
+        (0 until k).map(i => if (sizes(i) > 0) sizes(i) * kernel.divergence(centers(i), overall) else 0.0).sum
+      }
+
+    val ch =
+      if (k <= 1 || n <= k || wcss == 0.0) 0.0
+      else (bcss / (k - 1)) / (wcss / (n - k))
+
+    // pairwise center divergences
+    val cd = Array.ofDim[Double](k, k)
+    for (i <- 0 until k; j <- (i + 1) until k) {
+      val d = kernel.divergence(centers(i), centers(j))
+      cd(i)(j) = d; cd(j)(i) = d
+    }
+
+    val db =
+      if (k <= 1) 0.0
+      else (0 until k).map { i =>
+        if (sizes(i) == 0) 0.0
+        else (0 until k).filter(_ != i).map { j =>
+          if (sizes(j) == 0 || cd(i)(j) == 0.0) 0.0
+          else (avgd(i) + avgd(j)) / cd(i)(j)
+        }.max
+      }.sum / k
+
+    val dunn = {
+      val maxDiam = if (maxd.nonEmpty) maxd.max else 0.0
+      if (k <= 1 || maxDiam == 0.0) 0.0
+      else {
+        val minInter = (for (i <- 0 until k; j <- (i + 1) until k) yield cd(i)(j)).min
+        minInter / maxDiam
+      }
+    }
+
+    ClusteringMetrics(sizes, wcss, bcss, ch, db, dunn)
+  }
+
+  /** Sampled center-proxy silhouette (reference:
+    * ml/GeneralizedKMeansModel.scala:667-728): one UDF pass over a sample,
+    * a = divergence to the nearest (own) center, b = second-nearest.
+    */
+  def silhouette(
+      df: DataFrame,
+      featuresCol: String,
+      kernel: BregmanKernel,
+      centers: Array[Array[Double]],
+      sampleFraction: Double = 0.1,
+      seed: Long = 42L): Double = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    if (centers.length <= 1) return 0.0
+    val sc = df.sparkSession.sparkContext
+    val bc = sc.broadcast(centers)
+    val bk = sc.broadcast(kernel)
+    val silUdf = udf { (xs: Seq[Double]) =>
+      val x = xs.toArray
+      val cs = bc.value
+      var a = Double.MaxValue // nearest
+      var b = Double.MaxValue // second nearest
+      var i = 0
+      while (i < cs.length) {
+        val d = bk.value.divergence(x, cs(i))
+        if (d < a) { b = a; a = d } else if (d < b) b = d
+        i += 1
+      }
+      val m = math.max(a, b)
+      if (m == 0.0) 0.0 else (b - a) / m
+    }
+    val sampled =
+      if (sampleFraction < 1.0) df.sample(withReplacement = false, sampleFraction, seed)
+      else df
+    val r = sampled.agg(avg(silUdf(col(featuresCol)))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Elbow curve: (k, wcss) for k in [minK, maxK]
+    * (reference: ml/ClusteringMetrics.scala:254-285). Each fit is an
+    * independent distributed job; the input is cached across fits by the
+    * caller if reuse matters.
+    */
+  def elbowCurve(
+      data: DataFrame,
+      minK: Int = 2,
+      maxK: Int = 10,
+      featuresCol: String = "features",
+      divergence: String = "squaredEuclidean",
+      maxIter: Int = 20,
+      seed: Long = 42L): Seq[(Int, Double)] = {
+    require(minK >= 2 && maxK >= minK, s"need 2 <= minK <= maxK, got [$minK, $maxK]")
+    (minK to maxK).map { kk =>
+      val model = new GeneralizedKMeans()
+        .setK(kk).setFeaturesCol(featuresCol).setDivergence(divergence)
+        .setMaxIter(maxIter).setSeed(seed)
+        .fit(data)
+      (kk, model.computeCost(data))
+    }
+  }
+}

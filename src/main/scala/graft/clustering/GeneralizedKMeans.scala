@@ -227,6 +227,24 @@ class GeneralizedKMeansModel(
     assigned.agg(sum("dist")).head().getDouble(0)
   }
 
+  /** All single-pass quality metrics (WCSS, BCSS, Calinski-Harabasz,
+    * Davies-Bouldin, Dunn, sizes) in one aggregation job.
+    * (reference: ml/GeneralizedKMeansModel.scala:493-652 — one job per
+    * metric there; shared here.)
+    */
+  def metrics(dataset: Dataset[_]): ClusteringMetrics = {
+    val (df, arrCol) = FeatureCols.asArray(dataset.toDF(), $(featuresCol))
+    ClusteringMetrics.compute(df, arrCol, kern, clusterCenters, $(assignmentStrategy))
+  }
+
+  /** Sampled center-proxy silhouette
+    * (reference: ml/GeneralizedKMeansModel.scala:667-728).
+    */
+  def silhouette(dataset: Dataset[_], sampleFraction: Double = 0.1): Double = {
+    val (df, arrCol) = FeatureCols.asArray(dataset.toDF(), $(featuresCol))
+    ClusteringMetrics.silhouette(df, arrCol, kern, clusterCenters, sampleFraction, $(seed))
+  }
+
   /** Persist: centers.parquet + metadata.json, written through the Hadoop FS
     * API so object stores work (fixes reference inefficiency #7,
     * reference: df/persistence/PersistenceLayout.scala:116-126).

@@ -34,7 +34,13 @@ case class LloydsConfig(
     // Skip the fit-time domain-validation sample for internal sub-runs
     // (e.g. per-split 2-means inside BisectingKMeans) whose input was
     // already validated by the outer estimator.
-    validate: Boolean = true)
+    validate: Boolean = true,
+    // Pre-known input stats: sub-runs over frames the caller already
+    // materialized pass these to skip the count()/head() jobs.
+    knownDim: Option[Int] = None,
+    knownNumPoints: Option[Long] = None,
+    // Caller already persisted the input (sub-runs): skip persist/unpersist.
+    managePersistence: Boolean = true)
 
 case class LloydsResult(
     centers: Array[Array[Double]],
@@ -187,6 +193,14 @@ object Update {
       distortion: Double,
       weights: Map[Int, Double])
 
+  /** Max dimension for the per-column codegen'd sum path. Below this the
+    * d+2 `sum(element_at)` aggregates stay inside one whole-stage-codegen'd
+    * HashAggregate and beat the Aggregator path ~2x (no per-row Seq[Double]
+    * boxing through ObjectHashAggregate); above it the plan width itself
+    * becomes the bottleneck and the constant-size typed Aggregator wins.
+    */
+  val ColumnSumMaxDim = 128
+
   def gradMean(
       assigned: DataFrame,
       featuresCol: String,
@@ -201,28 +215,55 @@ object Update {
         val gradUdf = udf { (xs: Seq[Double]) => bk.value.grad(xs.toArray) }
         gradUdf(col(featuresCol))
       } else col(featuresCol) // identity grad: skip the UDF entirely
-    val centroidAgg = udaf(new CentroidAggregator(dim))
-    val rows = assigned
-      .withColumn("__grad", gradCol)
-      .groupBy(col("cluster"))
-      .agg(centroidAgg(col("__grad"), weightCol.cast("double"), col("dist")).as("r"))
-      .select(col("cluster"), col("r._1").as("gsum"), col("r._2").as("wsum"), col("r._3").as("dsum"))
-      .collect()
 
     var distortion = 0.0
     val centers = Map.newBuilder[Int, Array[Double]]
     val weights = Map.newBuilder[Int, Double]
-    rows.foreach { r =>
-      val cid = r.getInt(0)
-      val gsum = r.getSeq[Double](1)
-      val wsum = r.getDouble(2)
-      distortion += r.getDouble(3)
-      if (wsum > 0) {
-        val mean = new Array[Double](dim)
-        var i = 0
-        while (i < dim) { mean(i) = gsum(i) / wsum; i += 1 }
-        centers += cid -> kernel.invGrad(mean)
-        weights += cid -> wsum
+
+    if (dim <= ColumnSumMaxDim) {
+      // Tier 1: d+2 codegen'd column sums in ONE HashAggregate — no object
+      // aggregation, no boxing; the shuffle carries k rows of d+2 doubles.
+      val base = assigned
+        .withColumn("__grad", gradCol)
+        .withColumn("__w", weightCol.cast("double"))
+      val aggs =
+        (0 until dim).map(i => sum(element_at(col("__grad"), i + 1) * col("__w")).as(s"g$i")) ++
+          Seq(sum(col("__w")).as("wsum"), sum(col("dist") * col("__w")).as("dsum"))
+      val rows = base.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*).collect()
+      rows.foreach { r =>
+        val cid = r.getInt(0)
+        val wsum = r.getDouble(dim + 1)
+        distortion += r.getDouble(dim + 2)
+        if (wsum > 0) {
+          val mean = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { mean(i) = r.getDouble(i + 1) / wsum; i += 1 }
+          centers += cid -> kernel.invGrad(mean)
+          weights += cid -> wsum
+        }
+      }
+    } else {
+      // Tier 2: constant-size typed Aggregator — plan size independent of d
+      // (required at embedding widths; d=1024 covered by tests).
+      val centroidAgg = udaf(new CentroidAggregator(dim))
+      val rows = assigned
+        .withColumn("__grad", gradCol)
+        .groupBy(col("cluster"))
+        .agg(centroidAgg(col("__grad"), weightCol.cast("double"), col("dist")).as("r"))
+        .select(col("cluster"), col("r._1").as("gsum"), col("r._2").as("wsum"), col("r._3").as("dsum"))
+        .collect()
+      rows.foreach { r =>
+        val cid = r.getInt(0)
+        val gsum = r.getSeq[Double](1)
+        val wsum = r.getDouble(2)
+        distortion += r.getDouble(3)
+        if (wsum > 0) {
+          val mean = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { mean(i) = gsum(i) / wsum; i += 1 }
+          centers += cid -> kernel.invGrad(mean)
+          weights += cid -> wsum
+        }
       }
     }
     UpdateResult(centers.result(), distortion, weights.result())
@@ -294,10 +335,11 @@ object LloydsIterator {
 
   def run(df: DataFrame, cfg: LloydsConfig): LloydsResult = {
     val spark = df.sparkSession
-    val data = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val numPoints = data.count()
+    val data = if (cfg.managePersistence) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val numPoints = cfg.knownNumPoints.getOrElse(data.count())
     require(numPoints > 0, "empty input")
-    val dim = data.select(col(cfg.featuresCol)).head().getSeq[Double](0).length
+    val dim = cfg.knownDim.getOrElse(
+      data.select(col(cfg.featuresCol)).head().getSeq[Double](0).length)
     // Fit-time domain validation on a sample, like the reference
     // (reference: df/ClusteringOps.scala:170-182): catches e.g. negative
     // inputs under KL/IS before they produce NaN centers.
@@ -366,8 +408,125 @@ object LloydsIterator {
       iter += 1
       if (movement < cfg.tol) converged = true
     }
-    data.unpersist()
+    if (cfg.managePersistence) data.unpersist()
     LloydsResult(centers, iter, converged, distHist.result(), moveHist.result(), numPoints)
+  }
+}
+
+/** Driver-local weighted Lloyd for sub-problems that fit in driver memory
+  * (e.g. the lower levels of BisectingKMeans' split tree, where a cluster's
+  * rows are a few MB): identical semantics to the distributed loop —
+  * argmin-divergence assignment, gradient-mean (or exact weighted median
+  * for L1) update, max-center-movement convergence, empty clusters
+  * dropped — with zero Spark jobs. The hybrid distributed-top/local-leaves
+  * split is the scale-correct shape: at 100 TB the first splits run
+  * distributed, and each leaf sub-fit stops paying per-job scheduling
+  * overhead the moment its cluster fits on the driver.
+  */
+object LocalLloyds {
+
+  def run(
+      points: Array[Array[Double]],
+      weights: Array[Double],
+      k: Int,
+      kernel: BregmanKernel,
+      maxIter: Int,
+      tol: Double,
+      seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    if (n == 0) return Array.empty
+    val dim = points(0).length
+    val rnd = new java.util.Random(seed)
+    // random-init: k distinct row picks (mirrors CenterInit "random" mode)
+    val idx = scala.collection.mutable.LinkedHashSet[Int]()
+    var guard = 0
+    while (idx.size < math.min(k, n) && guard < 20 * k) { idx += rnd.nextInt(n); guard += 1 }
+    var centers = idx.toArray.map(i => points(i).clone)
+    val isMedian = kernel.isInstanceOf[L1Kernel]
+    val assign = new Array[Int](n)
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged && centers.length > 0) {
+      var p = 0
+      while (p < n) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          val d = kernel.divergence(points(p), centers(c))
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val newCenters = Array.ofDim[Array[Double]](centers.length)
+      var c = 0
+      while (c < centers.length) {
+        newCenters(c) =
+          if (isMedian) localMedian(points, weights, assign, c, dim)
+          else localGradMean(points, weights, assign, c, dim, kernel)
+        c += 1
+      }
+      val survivors = newCenters.filter(_ != null)
+      var movement =
+        if (survivors.length != centers.length) Double.MaxValue
+        else {
+          var m = 0.0; var i = 0
+          while (i < centers.length) {
+            var s = 0.0; var j = 0
+            while (j < dim) { val d = centers(i)(j) - survivors(i)(j); s += d * d; j += 1 }
+            m = math.max(m, math.sqrt(s)); i += 1
+          }
+          m
+        }
+      centers = survivors
+      iter += 1
+      if (movement < tol) converged = true
+    }
+    centers
+  }
+
+  private def localGradMean(
+      points: Array[Array[Double]], weights: Array[Double], assign: Array[Int],
+      c: Int, dim: Int, kernel: BregmanKernel): Array[Double] = {
+    val gsum = new Array[Double](dim)
+    var wsum = 0.0
+    var p = 0
+    while (p < points.length) {
+      if (assign(p) == c) {
+        val g = kernel.grad(points(p))
+        val w = weights(p)
+        var j = 0
+        while (j < dim) { gsum(j) += g(j) * w; j += 1 }
+        wsum += w
+      }
+      p += 1
+    }
+    if (wsum <= 0) null
+    else {
+      var j = 0
+      while (j < dim) { gsum(j) /= wsum; j += 1 }
+      kernel.invGrad(gsum)
+    }
+  }
+
+  private def localMedian(
+      points: Array[Array[Double]], weights: Array[Double], assign: Array[Int],
+      c: Int, dim: Int): Array[Double] = {
+    val members = points.indices.filter(assign(_) == c)
+    if (members.isEmpty) return null
+    val med = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      val vw = members.map(p => (points(p)(j), weights(p))).sortBy(_._1)
+      val half = vw.map(_._2).sum / 2
+      var cw = 0.0
+      var i = 0
+      while (i < vw.length && cw < half) { cw += vw(i)._2; i += 1 }
+      med(j) = vw(math.max(0, i - 1))._1
+      j += 1
+    }
+    med
   }
 }
 

@@ -270,37 +270,59 @@ object Dedup {
     * LSH: `numTables` independent signatures of `planesPerTable` sign bits
     * each; a pair is a candidate if ANY table's signature matches (same
     * OR-amplification as MinHash banding — a single wide signature would
-    * have recall (1-theta/pi)^planes, ~1% for cosine 0.7; ADVICE r1).
-    * Candidates are confirmed with exact cosine >= threshold.
+    * have recall (1-theta/pi)^planes). Candidates are confirmed with exact
+    * cosine >= threshold, computed as ONE dot product over vectors that were
+    * L2-normalized once up front.
     *
     * Recall for a pair at angle theta with s = 1 - theta/pi:
-    * 1 - (1 - s^planesPerTable)^numTables.
+    * 1 - (1 - s^planesPerTable)^numTables. Defaults (12 planes, 24 tables)
+    * give recall ~0.98 at cosine 0.9 while admitting only
+    * 1-(1-0.5^12)^24 ~ 0.6% of unrelated (cosine~0) pairs as candidates —
+    * sign-LSH is a HIGH-similarity (>=~0.8) family; at mid thresholds the
+    * per-bit gap (s vs 0.5) is too weak for any parameterization to be
+    * sub-quadratic, so callers wanting e.g. cosine>=0.4 should use
+    * block/IVF-bucketed search instead.
+    *
+    * Skew guard: buckets larger than `maxBucketSize` are dropped from
+    * candidate generation (a bucket of m rows costs m^2/2 pairs; one
+    * degenerate bucket — e.g. the all-zeros region — would dominate the
+    * join at scale). Pairs lost this way are only those whose EVERY shared
+    * bucket is oversized; with OR-amplified tables that probability is
+    * negligible for genuinely near pairs.
     */
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      numTables: Int = 16,
-      planesPerTable: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      numTables: Int = 24,
+      planesPerTable: Int = 12,
+      seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame = {
     val sigUdf = Similarity.hyperplaneTableKeysUdf(numTables, planesPerTable, seed)
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val vecs = df.select(col(idCol).as("id"),
+        Similarity.normalizeUdf(col(vecCol).cast("array<double>")).as("vn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // band only (id, table, bucket) — never shuffle the vector numTables times
-    val banded = vecs.select(col("id"), posexplode(sigUdf(col("v"))).as(Seq("tbl", "bucket")))
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val banded = vecs.select(col("id"), posexplode(sigUdf(col("vn"))).as(Seq("tbl", "bucket")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val smallBuckets = banded.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val pruned = banded.join(smallBuckets, Seq("tbl", "bucket"))
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     val cands = a.join(b,
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("vn").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vn").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosineSim(col("va"), col("vb")), 6).as("cosine"))
+        round(Similarity.dotUdf(col("va"), col("vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`/`array<double>`).
@@ -26,6 +26,33 @@ object Similarity {
   /** Dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2-normalize UDF — one pass, used to pre-normalize a corpus once so
+    * every later cosine is a single dot product.
+    */
+  val normalizeUdf: UserDefinedFunction = udf { (xs: Seq[Double]) =>
+    val n = xs.length
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = xs(i); s += v * v; i += 1 }
+    val nrm = math.sqrt(s)
+    val r = new Array[Double](n)
+    if (nrm > 0) { i = 0; while (i < n) { r(i) = xs(i) / nrm; i += 1 } }
+    r
+  }
+
+  /** Single-pass dot product UDF for the hot confirm path (the Catalyst
+    * `aggregate`/`zip_with` formulation is interpreted, costing ~3 array
+    * traversals with per-element closure dispatch; one while-loop closure
+    * is the scale-correct shape for millions of candidate pairs).
+    */
+  val dotUdf: UserDefinedFunction = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
   /** Per-executor cache of deterministic pseudo-random plane matrices so
     * each (seed, planes, dim) matrix is materialized once per JVM, not

@@ -79,14 +79,46 @@ object TextOps {
     }
   }
 
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
-    // argmax with fixed order: first language wins ties; all-zero -> 'und'
-    val best = scores.tail.foldLeft(struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
-      case (acc, (lang, sc)) =>
-        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
+  /** One-pass language ID: a single UDF scores ALL languages in one token
+    * traversal (the previous pure-expression form ran 4 interpreted
+    * higher-order `filter` passes plus a re-split per row — 4.7x slower at
+    * sf0.1; r2 verdict #6). Semantics are unchanged and remain replicated
+    * by the ANSI-SQL oracle: space tokens of lower(text), per-language
+    * marker hit counts, argmax with first-language-wins ties, 'und' when
+    * nothing matches.
+    */
+  def langId(text: Column): Column = langIdUdf(text)
+
+  private val langIdUdf = {
+    val markerSets: Array[Set[String]] = LangMarkers.map(_._2.toSet).toArray
+    val langs: Array[String] = LangMarkers.map(_._1).toArray
+    udf { (s: String) =>
+      if (s == null) "und"
+      else {
+        val scores = new Array[Int](markerSets.length)
+        val lower = s.toLowerCase
+        var start = 0
+        val n = lower.length
+        while (start <= n) {
+          val sp = lower.indexOf(' ', start)
+          val end = if (sp < 0) n else sp
+          val tok = lower.substring(start, end)
+          var l = 0
+          while (l < markerSets.length) {
+            if (markerSets(l).contains(tok)) scores(l) += 1
+            l += 1
+          }
+          start = end + 1
+        }
+        var best = 0
+        var l = 1
+        while (l < scores.length) {
+          if (scores(l) > scores(best)) best = l
+          l += 1
+        }
+        if (scores(best) > 0) langs(best) else "und"
+      }
     }
-    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
   /** 64-bit FNV-1a document fingerprint over the raw text — deterministic

@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import graft.clustering.GeneralizedKMeans
+import org.apache.spark.sql.functions._
+
+/** Measured-recall harness for the approximate operators: banded hyperplane
+  * LSH near-dup and IVF top-k, each asserted against the exact brute-force
+  * answer on planted structure ("approximate" must be quantified — r1/r2
+  * advice).
+  */
+class RecallSpec extends SparkSpec {
+
+  /** nBase random unit vectors + one jittered near-dup each (cosine ~0.9+),
+    * returning (df, plantedPairs).
+    */
+  private def planted(nBase: Int, dim: Int, jitter: Double, seed: Int) = {
+    import spark.implicits._
+    val rnd = new java.util.Random(seed)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = (0 until nBase).map(i => (i.toLong, unit()))
+    val dups = base.map { case (id, v) =>
+      val nv = Array.fill(dim)(rnd.nextGaussian() * jitter)
+      (id + 100000L, v.zip(nv).map { case (a, b) => a + b })
+    }
+    val df = (base ++ dups).map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+    (df, base.map(_._1).map(id => (id, id + 100000L)))
+  }
+
+  test("embeddingNearDup: recall >= 0.95 vs exact brute force at threshold 0.9") {
+    val (df, _) = planted(nBase = 300, dim = 32, jitter = 0.05, seed = 11)
+    // exact answer via brute force on the driver (600 vectors)
+    val vecs = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toArray.sorted
+    val exact = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if cosine(vecs(ids(i)), vecs(ids(j))) >= 0.9
+    } yield (ids(i), ids(j))).toSet
+    assert(exact.size >= 250, s"planted structure too weak: ${exact.size} exact pairs")
+
+    val got = Dedup.embeddingNearDup(df, "id", "v", threshold = 0.9,
+        numTables = 24, planesPerTable = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is 1.0 by construction (every pair exact-confirmed);
+    // assert it anyway, then recall
+    assert(got.subsetOf(exact), s"emitted non-pairs: ${got.diff(exact).take(3)}")
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall < 0.95 (${got.size}/${exact.size})")
+  }
+
+  test("embeddingNearDup: oversized buckets are dropped (skew guard)") {
+    import spark.implicits._
+    // 200 identical vectors -> every table has one bucket of 200; with
+    // maxBucketSize=10 no candidates survive, so no O(m^2) blowup pairs
+    val df = (0 until 200).map(i => (i.toLong, Seq(1.0, 0.0, 0.0))).toDF("id", "v")
+    val got = Dedup.embeddingNearDup(df, "id", "v", threshold = 0.9,
+      numTables = 4, planesPerTable = 4, maxBucketSize = 10)
+    assert(got.count() == 0)
+  }
+
+  test("ivfTopK: recall@5 >= 0.9 vs bruteForceTopK on clusterable data") {
+    // IVF's contract is speedup on CLUSTERABLE corpora (neighbors share a
+    // cell); on a near-uniform sphere no sub-linear index can hold recall
+    // (measured 0.61 at nProbe=3/8 on the synthetic embeddings table, which
+    // has no planted neighborhood structure). Plant 20 blobs and measure.
+    import spark.implicits._
+    val rnd = new java.util.Random(3)
+    val blobCenters = Array.fill(20)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val pts = (0 until 2000).map { i =>
+      val c = blobCenters(i % 20)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.4).toSeq)
+    }
+    val e = pts.toDF("vec_id", "v")
+    val queries = e.where(col("vec_id") < 20) // one query per blob
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "v", k = 5)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = new GeneralizedKMeans().setK(20).setFeaturesCol("v")
+      .setSeed(42).setMaxIter(10).fit(e)
+    val approx = Similarity.ivfTopK(e, queries, "vec_id", "v", k = 5,
+        centroids = model.clusterCenters, nProbe = 3)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall@5 = $recall < 0.9")
+  }
+}
