@@ -117,7 +117,8 @@ case class TrainingSummary(
   * estimator (reference: ml/GeneralizedKMeans.scala:110-268).
   */
 class GeneralizedKMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("gkmeans"))
 
@@ -169,6 +170,9 @@ class GeneralizedKMeans(override val uid: String)
   override def copy(extra: ParamMap): GeneralizedKMeans = defaultCopy(extra)
 }
 
+object GeneralizedKMeans
+    extends org.apache.spark.ml.util.DefaultParamsReadable[GeneralizedKMeans]
+
 /** Fitted model: broadcast-centers transform, driver predict, computeCost.
   * (reference: ml/GeneralizedKMeansModel.scala:42-242)
   */
@@ -177,7 +181,8 @@ class GeneralizedKMeansModel(
     val clusterCenters: Array[Array[Double]],
     val divergenceName: String,
     val smoothingValue: Double)
-    extends Model[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Model[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.MLWritable {
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
@@ -196,12 +201,17 @@ class GeneralizedKMeansModel(
   override def transform(dataset: Dataset[_]): DataFrame = {
     val df0 = dataset.toDF()
     val (df, arrCol) = FeatureCols.asArray(df0, $(featuresCol))
-    val assigned = Assignment.assign(df, arrCol, kern, clusterCenters, $(assignmentStrategy))
-    val withPred = assigned.withColumn($(predictionCol), col("cluster"))
+    // uid-prefixed intermediates so pre-existing user columns named
+    // `cluster`/`dist` survive (r1/r2 advice)
+    val tmpCluster = s"__${uid}_cluster"
+    val tmpDist = s"__${uid}_dist"
+    val assigned = Assignment.assign(df, arrCol, kern, clusterCenters,
+      $(assignmentStrategy), tmpCluster, tmpDist)
+    val withPred = assigned.withColumn($(predictionCol), col(tmpCluster))
     val withDist =
-      if ($(distanceCol).nonEmpty) withPred.withColumn($(distanceCol), col("dist"))
+      if ($(distanceCol).nonEmpty) withPred.withColumn($(distanceCol), col(tmpDist))
       else withPred
-    val dropCols = Seq("cluster", "dist") ++ (if (arrCol != $(featuresCol)) Seq(arrCol) else Nil)
+    val dropCols = Seq(tmpCluster, tmpDist) ++ (if (arrCol != $(featuresCol)) Seq(arrCol) else Nil)
     withDist.drop(dropCols: _*)
   }
 
@@ -245,25 +255,14 @@ class GeneralizedKMeansModel(
     ClusteringMetrics.silhouette(df, arrCol, kern, clusterCenters, sampleFraction, $(seed))
   }
 
-  /** Persist: centers.parquet + metadata.json, written through the Hadoop FS
-    * API so object stores work (fixes reference inefficiency #7,
-    * reference: df/persistence/PersistenceLayout.scala:116-126).
+  /** Convenience persistence — delegates to the MLWritable layout (full
+    * param map + centers parquet), so `Pipeline`-saved and directly-saved
+    * models are byte-identical.
     */
-  def save(path: String, spark: SparkSession): Unit = {
-    import spark.implicits._
-    clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("center_id", "vector")
-      .coalesce(1).sort("center_id")
-      .write.mode("overwrite").parquet(s"$path/centers.parquet")
-    val meta =
-      s"""{"layoutVersion":1,"class":"graft.clustering.GeneralizedKMeansModel",
-         |"uid":"$uid","k":${clusterCenters.length},"divergence":"$divergenceName",
-         |"smoothing":$smoothingValue}""".stripMargin.replaceAll("\n", "")
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(path, "metadata.json"), true)
-    out.write(meta.getBytes("UTF-8")); out.close()
-  }
+  def save(path: String, spark: SparkSession): Unit = write.overwrite().save(path)
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new GeneralizedKMeansModel.Writer(this)
 
   override def transformSchema(schema: StructType): StructType =
     validateAndTransformSchema(schema)
@@ -275,21 +274,83 @@ class GeneralizedKMeansModel(
   }
 }
 
-object GeneralizedKMeansModel {
-  def load(path: String, spark: SparkSession): GeneralizedKMeansModel = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new Path(path, "metadata.json"))
-    val meta = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    in.close()
-    def field(name: String): String = {
-      val m = java.util.regex.Pattern.compile("\"" + name + "\"\\s*:\\s*(\"([^\"]*)\"|[^,}]+)").matcher(meta)
-      require(m.find(), s"missing $name in metadata")
-      Option(m.group(2)).getOrElse(m.group(1))
+/** Model persistence in the Spark ML layout: `metadata/` in Spark's
+  * standard JSON shape (class, uid, FULL paramMap — fixes the r1/r2
+  * param-loss advice) + `data/` parquet with one row per center.
+  * Compatible with `Pipeline`/`PipelineModel.save/load` because the
+  * metadata carries the `class` field Spark's stage loader dispatches on.
+  * (reference: df/persistence/PersistenceLayout.scala:26-97 — engine-
+  * neutral layout; ours is the Spark-ML-native equivalent.)
+  */
+object GeneralizedKMeansModel extends org.apache.spark.ml.util.MLReadable[GeneralizedKMeansModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods._
+  import org.json4s.JsonDSL._
+
+  private[graft] def paramsToJson(instance: Params): JObject =
+    JObject(instance.extractParamMap().toSeq.sortBy(_.param.name).map { pp =>
+      pp.param.name -> parse(pp.param.asInstanceOf[Param[Any]].jsonEncode(pp.value))
+    }.toList)
+
+  private[graft] def restoreParams(instance: Params, paramMap: JValue): Unit =
+    paramMap match {
+      case JObject(fields) =>
+        fields.foreach { case (name, v) =>
+          if (instance.hasParam(name)) {
+            val p = instance.getParam(name)
+            instance.set(p, p.jsonDecode(compact(render(v))))
+          }
+        }
+      case _ => ()
     }
-    val centers = spark.read.parquet(s"$path/centers.parquet")
-      .sort("center_id").collect()
-      .map(r => r.getSeq[Double](r.fieldIndex("vector")).toArray)
-    require(centers.length == field("k").toInt, "center count mismatch vs metadata k")
-    new GeneralizedKMeansModel(field("uid"), centers, field("divergence"), field("smoothing").toDouble)
+
+  private[graft] class Writer(instance: GeneralizedKMeansModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      val meta: JObject =
+        ("class" -> instance.getClass.getName) ~
+          ("timestamp" -> System.currentTimeMillis()) ~
+          ("sparkVersion" -> spark.version) ~
+          ("uid" -> instance.uid) ~
+          ("paramMap" -> paramsToJson(instance)) ~
+          ("defaultParamMap" -> JObject(Nil)) ~
+          ("numFeatures" -> instance.numFeatures)
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new Path(path, "metadata"))
+      val out = fs.create(new Path(new Path(path, "metadata"), "part-00000"), true)
+      out.write(compact(render(meta)).getBytes("UTF-8")); out.close()
+      fs.create(new Path(new Path(path, "metadata"), "_SUCCESS"), true).close()
+      import spark.implicits._
+      instance.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("center_id", "vector")
+        .coalesce(1).sort("center_id")
+        .write.mode("overwrite").parquet(s"$path/data")
+    }
   }
+
+  private class Reader extends MLReader[GeneralizedKMeansModel] {
+    override def load(path: String): GeneralizedKMeansModel = {
+      val spark = sparkSession
+      val metaStr = spark.sparkContext.textFile(s"$path/metadata", 1).collect().mkString("\n")
+      val meta = parse(metaStr)
+      implicit val fmt: Formats = DefaultFormats
+      val uid = (meta \ "uid").extract[String]
+      val paramMap = meta \ "paramMap"
+      val divergenceName = (paramMap \ "divergence").extractOpt[String].getOrElse("squaredEuclidean")
+      val smoothing = (paramMap \ "smoothing").extractOpt[Double].getOrElse(1e-10)
+      val centers = spark.read.parquet(s"$path/data")
+        .sort("center_id").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("vector")).toArray)
+      val m = new GeneralizedKMeansModel(uid, centers, divergenceName, smoothing)
+      restoreParams(m, paramMap)
+      m
+    }
+  }
+
+  override def read: MLReader[GeneralizedKMeansModel] = new Reader
+
+  /** Convenience mirror of the writer-side `save(path, spark)`. */
+  def load(path: String, spark: SparkSession): GeneralizedKMeansModel = read.load(path)
 }

@@ -75,7 +75,9 @@ object Assignment {
       featuresCol: String,
       kernel: BregmanKernel,
       centers: Array[Array[Double]],
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto",
+      clusterCol: String = "cluster",
+      distCol: String = "dist"): DataFrame = {
     val useExpr = strategy match {
       case "expression" => true
       case "broadcast"  => false
@@ -84,31 +86,36 @@ object Assignment {
           centers.length.toLong * centers.headOption.map(_.length).getOrElse(0) <= ExpressionMaxElems
     }
     if (useExpr && centers.forall(c => kernel.distExpr(col(featuresCol), c).isDefined))
-      assignExpr(df, featuresCol, kernel, centers)
-    else assignBroadcast(df, featuresCol, kernel, centers)
+      assignExpr(df, featuresCol, kernel, centers, clusterCol, distCol)
+    else assignBroadcast(df, featuresCol, kernel, centers, clusterCol, distCol)
   }
 
   def assignExpr(
       df: DataFrame,
       featuresCol: String,
       kernel: BregmanKernel,
-      centers: Array[Array[Double]]): DataFrame = {
+      centers: Array[Array[Double]],
+      clusterCol: String = "cluster",
+      distCol: String = "dist"): DataFrame = {
     val f = col(featuresCol)
     val candidates = array(centers.zipWithIndex.map { case (c, i) =>
       struct(kernel.distExpr(f, c).get.as("dist"), lit(i).as("cluster"))
     }.toIndexedSeq: _*)
+    val tmp = s"__${clusterCol}_best"
     val best = array_min(candidates)
-    df.withColumn("__best", best)
-      .withColumn("cluster", col("__best.cluster"))
-      .withColumn("dist", col("__best.dist"))
-      .drop("__best")
+    df.withColumn(tmp, best)
+      .withColumn(clusterCol, col(s"$tmp.cluster"))
+      .withColumn(distCol, col(s"$tmp.dist"))
+      .drop(tmp)
   }
 
   def assignBroadcast(
       df: DataFrame,
       featuresCol: String,
       kernel: BregmanKernel,
-      centers: Array[Array[Double]]): DataFrame = {
+      centers: Array[Array[Double]],
+      clusterCol: String = "cluster",
+      distCol: String = "dist"): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val bc: Broadcast[Array[Array[Double]]] = sc.broadcast(centers)
     val bk = sc.broadcast(kernel)
@@ -126,10 +133,11 @@ object Assignment {
       }
       (bestI, bestD)
     }
-    df.withColumn("__best", assignUdf(col(featuresCol)))
-      .withColumn("cluster", col("__best._1"))
-      .withColumn("dist", col("__best._2"))
-      .drop("__best")
+    val tmp = s"__${clusterCol}_best"
+    df.withColumn(tmp, assignUdf(col(featuresCol)))
+      .withColumn(clusterCol, col(s"$tmp._1"))
+      .withColumn(distCol, col(s"$tmp._2"))
+      .drop(tmp)
   }
 }
 
