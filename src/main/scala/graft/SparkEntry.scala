@@ -1,6 +1,6 @@
 package graft
 
-import graft.clustering.{BisectingKMeans, DPMeans, GeneralizedKMeans, MiniBatchKMeans, SoftAssignments, SoftKMeans, XMeans}
+import graft.clustering.{BalancedKMeans, BisectingKMeans, ConstrainedKMeans, CoresetKMeans, DPMeans, GeneralizedKMeans, MiniBatchKMeans, RobustKMeans, SoftAssignments, SoftKMeans, SparseKMeans, XMeans}
 import graft.kernels.SquaredEuclideanKernel
 import graft.ops.{Dedup, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -220,6 +220,56 @@ object SparkEntry {
       val m = new DPMeans().setLambda(0.45).setMaxK(12).setFeaturesCol("embedding")
         .setSeed(42).setMaxIter(15).fit(e)
       m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_coreset_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val m = new CoresetKMeans().setK(8).setCoresetSize(400).setRefinementIterations(2)
+        .setFeaturesCol("embedding").setSeed(42).setMaxIter(10).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_robust_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val m = new RobustKMeans().setK(8).setOutlierFraction(0.05).setOutlierMode("trim")
+        .setFeaturesCol("embedding").setSeed(42).setMaxIter(8).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_balanced_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val m = new BalancedKMeans().setK(8).setBalancePenalty(2.0)
+        .setFeaturesCol("embedding").setSeed(42).setMaxIter(8).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_constrained_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val est = new ConstrainedKMeans().setK(8).setIdCol("vec_id")
+        .setConstraintWeight(10.0)
+        .setConstraints(
+          mustLinks = Seq((0L, 1L), (2L, 3L), (10L, 11L)),
+          cannotLinks = Seq((0L, 2L), (4L, 5L)))
+        .setFeaturesCol("embedding").setSeed(42).setMaxIter(8)
+      val m = est.fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_sparse_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // top-8-magnitude sparsification of the embeddings (the shape of a
+      // pruned feature/TF vector), then the nnz-iterating sparse engine
+      val e = t(dir, "embeddings")
+      val sparsify = udf { (xs: Seq[Double]) =>
+        val top = xs.zipWithIndex.sortBy { case (v, _) => -math.abs(v) }.take(8)
+          .sortBy(_._2)
+        org.apache.spark.ml.linalg.Vectors.sparse(xs.length,
+          top.map(_._2).toArray, top.map(_._1).toArray)
+      }
+      val sp8 = e.select(col("vec_id"),
+        sparsify(col("embedding").cast("array<double>")).as("features"))
+      val m = new SparseKMeans().setK(8).setSparseMode("sparse")
+        .setSeed(42).setMaxIter(8).fit(sp8)
+      m.transform(sp8).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
     },
     "q_soft_assign_fixed" -> { (s, dir) =>
       implicit val sp: SparkSession = s

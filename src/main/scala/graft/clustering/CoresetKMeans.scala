@@ -1,0 +1,182 @@
+package graft.clustering
+
+import org.apache.spark.ml.Estimator
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+/** Core-set k-means: importance-sample a small weighted core-set, cluster
+  * it, optionally refine the centers on the full data.
+  * (reference: ml/CoresetKMeans.scala:43,138-340 — the sensitivity
+  * strategies, clamped sampling probabilities and 1/p weights match; the
+  * whole pipeline here is pure DataFrame ops with one UDF for the
+  * min-distance pass.)
+  *
+  * Scale design: sensitivity is one projection + one agg over the full
+  * data; the sample is a Bernoulli filter (no sort, no collect); the
+  * expensive Lloyd loop then runs on |coreset| << n weighted rows; the
+  * optional refinement runs a few assignment+update rounds on full data
+  * starting from near-converged centers.
+  */
+class CoresetKMeans(override val uid: String)
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+
+  def this() = this(Identifiable.randomUID("coresetkmeans"))
+
+  final val coresetSize = new IntParam(this, "coresetSize",
+    "target number of core-set points", ParamValidators.gt(0))
+  def getCoresetSize: Int = $(coresetSize)
+  def setCoresetSize(v: Int): this.type = set(coresetSize, v)
+
+  final val sensitivityStrategy = new Param[String](this, "sensitivityStrategy",
+    "uniform|distance|density|hybrid",
+    ParamValidators.inArray(Array("uniform", "distance", "density", "hybrid")))
+  def getSensitivityStrategy: String = $(sensitivityStrategy)
+  def setSensitivityStrategy(v: String): this.type = set(sensitivityStrategy, v)
+
+  final val distanceWeight = new DoubleParam(this, "distanceWeight",
+    "hybrid mix: distance share in [0,1]", ParamValidators.inRange(0.0, 1.0))
+  def setDistanceWeight(v: Double): this.type = set(distanceWeight, v)
+
+  final val numSampleCenters = new IntParam(this, "numSampleCenters",
+    "pilot centers for distance sensitivity", ParamValidators.gt(0))
+  def setNumSampleCenters(v: Int): this.type = set(numSampleCenters, v)
+
+  final val refinementIterations = new IntParam(this, "refinementIterations",
+    "full-data Lloyd rounds after core-set fit", ParamValidators.gtEq(0))
+  def setRefinementIterations(v: Int): this.type = set(refinementIterations, v)
+
+  final val minSamplingProb = new DoubleParam(this, "minSamplingProb",
+    "sampling probability floor", ParamValidators.gt(0))
+  final val maxWeight = new DoubleParam(this, "maxWeight",
+    "importance weight cap", ParamValidators.gt(0))
+
+  setDefault(coresetSize -> 1000, sensitivityStrategy -> "hybrid",
+    distanceWeight -> 0.5, numSampleCenters -> 10, refinementIterations -> 3,
+    minSamplingProb -> 1e-6, maxWeight -> 1e6)
+
+  def setK(v: Int): this.type = set(k, v)
+  def setDivergence(v: String): this.type = set(divergence, v)
+  def setSmoothing(v: Double): this.type = set(smoothing, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setTol(v: Double): this.type = set(tol, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setInitMode(v: String): this.type = set(initMode, v)
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  override def fit(dataset: Dataset[_]): GeneralizedKMeansModel = {
+    val t0 = System.currentTimeMillis()
+    val df0 = dataset.toDF()
+    transformSchema(df0.schema)
+    val (dfArr, arrCol) = FeatureCols.asArray(df0, $(featuresCol))
+    val kern = kernel
+    val data = dfArr.select(col(arrCol)).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = data.count()
+    val dim = data.select(col(arrCol)).head().getSeq[Double](0).length
+
+    val (train, usedCoreset) =
+      if (n <= 2L * $(coresetSize)) (data, false)
+      else (buildCoreset(data, arrCol, n), true)
+
+    // cluster the (weighted) core-set with the shared loop
+    val cfg = LloydsConfig(
+      k = $(k), kernel = kern, maxIter = $(maxIter), tol = $(tol), seed = $(seed),
+      initMode = $(initMode), featuresCol = arrCol,
+      weightCol = if (usedCoreset) Some("__w") else None,
+      knownDim = Some(dim))
+    val core = LloydsIterator.run(train, cfg)
+
+    // refinement: a few plain Lloyd rounds over the FULL data from the
+    // core-set centers (reference: ml/CoresetKMeans.scala refineOnFullData)
+    var centers = core.centers
+    var refined = 0
+    while (usedCoreset && refined < $(refinementIterations)) {
+      val assigned = Assignment.assign(data, arrCol, kern, centers, $(assignmentStrategy))
+      val upd = Update.gradMean(assigned, arrCol, lit(1.0), kern, dim)
+      val next = centers.indices.flatMap(upd.centers.get).toArray
+      if (next.length == centers.length) centers = next
+      refined += 1
+    }
+    data.unpersist()
+
+    val model = new GeneralizedKMeansModel(uid, centers, $(divergence), $(smoothing))
+    copyValues(model.setParent(this))
+    model.trainingSummary = Some(TrainingSummary(
+      "CoresetKMeans", $(k), centers.length, dim, n,
+      core.iterations + refined, core.converged,
+      core.distortionHistory, core.movementHistory, kern.name,
+      System.currentTimeMillis() - t0))
+    model
+  }
+
+  /** Sensitivity-sampled weighted core-set: (features, __w) frame. */
+  private def buildCoreset(data: DataFrame, arrCol: String, n: Long): DataFrame = {
+    val sens = sensitivity(data, arrCol, n)
+    val total = sens.agg(sum(col("__s"))).head().getDouble(0)
+    sens
+      .withColumn("__p",
+        least(lit(1.0), greatest(lit($(minSamplingProb)),
+          lit($(coresetSize).toDouble) * col("__s") / lit(total))))
+      .withColumn("__r", rand($(seed)))
+      .where(col("__r") < col("__p"))
+      .withColumn("__w", least(lit($(maxWeight)), lit(1.0) / col("__p")))
+      .select(col(arrCol), col("__w"))
+  }
+
+  /** Sensitivity column __s per strategy. `distance` favors points far
+    * from a pilot sample (cluster-boundary/outlier mass must be kept);
+    * `density` favors dense regions; `hybrid` mixes them.
+    */
+  private def sensitivity(data: DataFrame, arrCol: String, n: Long): DataFrame =
+    $(sensitivityStrategy) match {
+      case "uniform" => data.withColumn("__s", lit(1.0))
+      case "distance" =>
+        distanceSensitivity(data, arrCol, n).withColumnRenamed("__ds", "__s")
+      case "density" =>
+        distanceSensitivity(data, arrCol, n)
+          .withColumn("__s", lit(1.0) + lit(1.0) / (col("__ds") + lit(0.1)))
+          .drop("__ds")
+      case "hybrid" =>
+        val w = $(distanceWeight)
+        distanceSensitivity(data, arrCol, n)
+          .withColumn("__s",
+            lit(w) * col("__ds") +
+              lit(1.0 - w) * (lit(1.0) + lit(1.0) / (col("__ds") + lit(0.1))))
+          .drop("__ds")
+    }
+
+  /** Normalized min squared distance to a pilot sample of points, in one
+    * UDF pass (column __ds in [0,1]).
+    */
+  private def distanceSensitivity(data: DataFrame, arrCol: String, n: Long): DataFrame = {
+    val pilots = CenterInit.samplePoints(data, arrCol, $(numSampleCenters), $(seed) + 1, n).toArray
+    if (pilots.isEmpty) return data.withColumn("__ds", lit(1.0))
+    val bc = data.sparkSession.sparkContext.broadcast(pilots)
+    val minD = udf { (xs: Seq[Double]) =>
+      val x = xs.toArray
+      var best = Double.MaxValue
+      var i = 0
+      while (i < bc.value.length) {
+        val c = bc.value(i)
+        var s = 0.0
+        var j = 0
+        while (j < x.length) { val d = x(j) - c(j); s += d * d; j += 1 }
+        if (s < best) best = s
+        i += 1
+      }
+      best
+    }
+    val withD = data.withColumn("__d2", minD(col(arrCol)))
+    val maxD = withD.agg(max(col("__d2"))).head().getDouble(0)
+    if (maxD > 0) withD.withColumn("__ds", col("__d2") / lit(maxD)).drop("__d2")
+    else withD.withColumn("__ds", lit(1.0)).drop("__d2")
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+  override def copy(extra: ParamMap): CoresetKMeans = defaultCopy(extra)
+}

@@ -1,0 +1,155 @@
+package graft.clustering
+
+import org.apache.spark.ml.Estimator
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+/** Robust k-means with outlier-resistant center updates.
+  * (reference: ml/RobustKMeans.scala:146-330)
+  *
+  * Modes:
+  *  - `trim`: points beyond the (1-outlierFraction) divergence quantile get
+  *    zero weight in the update (trimmed k-means)
+  *  - `m_estimator`: Huber-style down-weighting — weight thr/dist beyond
+  *    the quantile instead of a hard cut
+  *
+  * Scale design: the quantile is `percentile_approx` (one agg job), the
+  * re-weighting is a column expression folded into the shared
+  * Update.gradMean aggregation — two jobs per iteration, no collect, no
+  * per-point driver pass. Outlier marking for the noise-cluster use case
+  * is [[OutlierDetection.markOutliers]] over the fitted model.
+  */
+class RobustKMeans(override val uid: String)
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+
+  def this() = this(Identifiable.randomUID("robustkmeans"))
+
+  final val outlierFraction = new DoubleParam(this, "outlierFraction",
+    "fraction of points treated as outliers", ParamValidators.inRange(0.0, 0.5))
+  def getOutlierFraction: Double = $(outlierFraction)
+  def setOutlierFraction(v: Double): this.type = set(outlierFraction, v)
+
+  final val outlierMode = new Param[String](this, "outlierMode",
+    "trim|m_estimator", ParamValidators.inArray(Array("trim", "m_estimator")))
+  def getOutlierMode: String = $(outlierMode)
+  def setOutlierMode(v: String): this.type = set(outlierMode, v)
+
+  setDefault(outlierFraction -> 0.05, outlierMode -> "trim")
+
+  def setK(v: Int): this.type = set(k, v)
+  def setDivergence(v: String): this.type = set(divergence, v)
+  def setSmoothing(v: Double): this.type = set(smoothing, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setTol(v: Double): this.type = set(tol, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setInitMode(v: String): this.type = set(initMode, v)
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setWeightCol(v: String): this.type = set(weightCol, v)
+
+  override def fit(dataset: Dataset[_]): GeneralizedKMeansModel = {
+    val t0 = System.currentTimeMillis()
+    val df0 = dataset.toDF()
+    transformSchema(df0.schema)
+    val (dfArr, arrCol) = FeatureCols.asArray(df0, $(featuresCol))
+    val kern = kernel
+    val wOpt = get(weightCol).filter(_.nonEmpty)
+    val userW: Column = wOpt.map(col).getOrElse(lit(1.0))
+    val data = dfArr.select((Seq(arrCol) ++ wOpt).distinct.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = data.count()
+    val dim = data.select(col(arrCol)).head().getSeq[Double](0).length
+
+    var centers = CenterInit.initialize(data,
+      LloydsConfig(k = $(k), kernel = kern, seed = $(seed), initMode = $(initMode),
+        featuresCol = arrCol), dim, n)
+    var iter = 0
+    var converged = false
+    val distHist = Seq.newBuilder[Double]
+    val keepQuantile = 1.0 - $(outlierFraction)
+
+    while (iter < $(maxIter) && !converged) {
+      val assigned = Assignment.assign(data, arrCol, kern, centers, $(assignmentStrategy))
+      // divergence quantile across ALL assigned points (approximate,
+      // mergeable — scales like any other aggregate)
+      val thr =
+        if ($(outlierFraction) <= 0.0) Double.MaxValue
+        else assigned.agg(percentile_approx(col("dist"), lit(keepQuantile), lit(10000)))
+          .head().getDouble(0)
+      val robustW: Column = $(outlierMode) match {
+        case "m_estimator" =>
+          when(col("dist") <= thr, userW).otherwise(userW * lit(thr) / col("dist"))
+        case _ =>
+          when(col("dist") <= thr, userW).otherwise(lit(0.0))
+      }
+      val upd = Update.gradMean(assigned, arrCol, robustW, kern, dim)
+      distHist += upd.distortion
+      val next = centers.indices.flatMap(upd.centers.get).toArray
+      val movement =
+        if (next.length != centers.length) Double.MaxValue
+        else centers.zip(next).map { case (a, b) =>
+          math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }.max
+      if (next.nonEmpty) centers = next
+      iter += 1
+      if (movement < $(tol)) converged = true
+    }
+    data.unpersist()
+
+    val model = new GeneralizedKMeansModel(uid, centers, $(divergence), $(smoothing))
+    copyValues(model.setParent(this))
+    model.trainingSummary = Some(TrainingSummary(
+      "RobustKMeans", $(k), centers.length, dim, n, iter, converged,
+      distHist.result(), Nil, kern.name, System.currentTimeMillis() - t0))
+    model
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+  override def copy(extra: ParamMap): RobustKMeans = defaultCopy(extra)
+}
+
+/** Distance-based outlier scoring/marking over a fitted model.
+  * (reference: df/OutlierDetection.scala:48-376 — DistanceBased and
+  * Trimmed detectors; both are single-pass column expressions here.)
+  */
+object OutlierDetection {
+
+  /** Appends `scoreCol` (divergence to the assigned center) and
+    * `isOutlierCol` (score above the given absolute threshold).
+    */
+  def markOutliers(
+      df: DataFrame,
+      model: GeneralizedKMeansModel,
+      threshold: Double,
+      scoreCol: String = "outlier_score",
+      isOutlierCol: String = "is_outlier"): DataFrame = {
+    val (arr, arrCol) = FeatureCols.asArray(df, model.getFeaturesCol)
+    val kern = graft.kernels.KernelFactory(model.divergenceName, model.smoothingValue)
+    val tmpC = s"__${model.uid}_oc"
+    val assigned = Assignment.assign(arr, arrCol, kern, model.clusterCenters,
+      clusterCol = tmpC, distCol = scoreCol)
+    assigned
+      .withColumn(isOutlierCol, col(scoreCol) > lit(threshold))
+      .drop((Seq(tmpC) ++ (if (arrCol != model.getFeaturesCol) Seq(arrCol) else Nil)): _*)
+  }
+
+  /** The (1 - fraction) divergence quantile — the trim threshold used by
+    * RobustKMeans, exposed for noise-cluster pipelines.
+    */
+  def trimThreshold(
+      df: DataFrame,
+      model: GeneralizedKMeansModel,
+      fraction: Double): Double = {
+    require(fraction > 0 && fraction < 1, s"fraction must be in (0,1), got $fraction")
+    val (arr, arrCol) = FeatureCols.asArray(df, model.getFeaturesCol)
+    val kern = graft.kernels.KernelFactory(model.divergenceName, model.smoothingValue)
+    val assigned = Assignment.assign(arr, arrCol, kern, model.clusterCenters)
+    assigned.agg(percentile_approx(col("dist"), lit(1.0 - fraction), lit(10000)))
+      .head().getDouble(0)
+  }
+}
