@@ -221,6 +221,13 @@ object SparkEntry {
         .setSeed(42).setMaxIter(15).fit(e)
       m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
     },
+    "q_mixture_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val m = new graft.clustering.BregmanMixture().setK(8)
+        .setFeaturesCol("embedding").setSeed(42).setMaxIter(8).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
     "q_coreset_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
