@@ -37,7 +37,7 @@ trait GeneralizedKMeansParams extends Params with HasFeaturesCol with HasPredict
   def getInitSteps: Int = $(initSteps)
 
   final val assignmentStrategy = new Param[String](this, "assignmentStrategy",
-    "auto|broadcast|expression")
+    "auto|broadcast|expression|elkan (elkan: SE only, triangle-inequality pruned)")
   def getAssignmentStrategy: String = $(assignmentStrategy)
 
   final val emptyClusterStrategy = new Param[String](this, "emptyClusterStrategy",
@@ -152,7 +152,10 @@ class GeneralizedKMeans(override val uid: String)
       featuresCol = arrCol,
       weightCol = get(weightCol).filter(_.nonEmpty))
     val keep = (Seq(arrCol) ++ get(weightCol).filter(_.nonEmpty)).distinct
-    val result = LloydsIterator.run(df.select(keep.map(col): _*), cfg)
+    val useElkan = $(assignmentStrategy) == "elkan" && kern.isInstanceOf[SquaredEuclideanKernel]
+    val result =
+      if (useElkan) ElkanLloydsIterator.run(df.select(keep.map(col): _*), cfg)
+      else LloydsIterator.run(df.select(keep.map(col): _*), cfg)
     val dim = result.centers.headOption.map(_.length).getOrElse(0)
     val summary = TrainingSummary("GeneralizedKMeans", $(k), result.centers.length, dim,
       result.numPoints, result.iterations, result.converged,

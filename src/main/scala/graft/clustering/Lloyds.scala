@@ -70,6 +70,14 @@ object Assignment {
     */
   val ExpressionMaxElems = 512
 
+  /** Max k*d elements for ONE broadcast. Above this the centers are
+    * broadcast in chunks so no single broadcast (or its per-task
+    * deserialized copy) exceeds ~128 MB of doubles.
+    * (reference: impl/ChunkedBroadcastAssignment.scala:22-120 chunks by a
+    * fixed 100 centers; sizing by elements adapts to d.)
+    */
+  val ChunkMaxElems: Long = 16L * 1024 * 1024
+
   def assign(
       df: DataFrame,
       featuresCol: String,
@@ -78,16 +86,64 @@ object Assignment {
       strategy: String = "auto",
       clusterCol: String = "cluster",
       distCol: String = "dist"): DataFrame = {
+    if (strategy == "elkan" && kernel.isInstanceOf[SquaredEuclideanKernel])
+      return ElkanAssignment.assign(df, featuresCol, centers, clusterCol, distCol)
+    val dim = centers.headOption.map(_.length).getOrElse(0)
+    val elems = centers.length.toLong * dim
     val useExpr = strategy match {
       case "expression" => true
-      case "broadcast"  => false
-      case _ =>
-        kernel.supportsExpressionOptimization &&
-          centers.length.toLong * centers.headOption.map(_.length).getOrElse(0) <= ExpressionMaxElems
+      case "broadcast" | "chunked" => false
+      case _ => kernel.supportsExpressionOptimization && elems <= ExpressionMaxElems
     }
     if (useExpr && centers.forall(c => kernel.distExpr(col(featuresCol), c).isDefined))
       assignExpr(df, featuresCol, kernel, centers, clusterCol, distCol)
-    else assignBroadcast(df, featuresCol, kernel, centers, clusterCol, distCol)
+    else if (strategy == "chunked" || (strategy != "broadcast" && elems > ChunkMaxElems)) {
+      val perChunk = math.max(1, (ChunkMaxElems / math.max(1, dim)).toInt)
+      assignChunked(df, featuresCol, kernel, centers, perChunk, clusterCol, distCol)
+    } else assignBroadcast(df, featuresCol, kernel, centers, clusterCol, distCol)
+  }
+
+  /** Memory-bounded tier: centers broadcast in chunks of `perChunk`; each
+    * chunk contributes a (dist, cluster) struct column and `least` folds
+    * them — struct ordering compares dist first then cluster id, which
+    * preserves the global first-min tie-break. One projection, no extra
+    * scans; peak broadcast memory is one chunk.
+    */
+  def assignChunked(
+      df: DataFrame,
+      featuresCol: String,
+      kernel: BregmanKernel,
+      centers: Array[Array[Double]],
+      perChunk: Int,
+      clusterCol: String = "cluster",
+      distCol: String = "dist"): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val bk = sc.broadcast(kernel)
+    val chunkCols: Seq[Column] = centers.grouped(perChunk).zipWithIndex.map {
+      case (chunk, ci) =>
+        val offset = ci * perChunk
+        val bc = sc.broadcast(chunk)
+        val u = udf { (xs: Seq[Double]) =>
+          val x = xs.toArray
+          val cs = bc.value
+          var bestI = 0
+          var bestD = Double.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val d = bk.value.divergence(x, cs(i))
+            if (d < bestD) { bestD = d; bestI = i }
+            i += 1
+          }
+          (bestD, offset + bestI)
+        }
+        u(col(featuresCol))
+    }.toSeq
+    val tmp = s"__${clusterCol}_best"
+    val combined = if (chunkCols.size == 1) chunkCols.head else least(chunkCols: _*)
+    df.withColumn(tmp, combined)
+      .withColumn(clusterCol, col(s"$tmp._2"))
+      .withColumn(distCol, col(s"$tmp._1"))
+      .drop(tmp)
   }
 
   def assignExpr(
