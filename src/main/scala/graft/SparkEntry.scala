@@ -221,11 +221,57 @@ object SparkEntry {
         .setSeed(42).setMaxIter(15).fit(e)
       m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
     },
-    "q_mixture_sizes" -> { (s, dir) =>
+    "q_clara_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
-      val m = new graft.clustering.BregmanMixture().setK(8)
+      val m = new graft.clustering.CLARA().setK(8).setNumSamples(3)
+        .setFeaturesCol("embedding").setSeed(42).setMaxIter(10).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_kernelkmeans_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val m = new graft.clustering.KernelKMeans().setK(8).setMode("nystrom")
+        .setKernelType("rbf").setGamma(0.5).setNumLandmarks(64)
         .setFeaturesCol("embedding").setSeed(42).setMaxIter(8).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_tskmeans_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // embeddings as length-64 series under banded DTW with DBA centroids
+      val e = t(dir, "embeddings")
+      val m = new graft.clustering.TimeSeriesKMeans().setK(4)
+        .setSakoeChibaWindow(4)
+        .setFeaturesCol("embedding").setSeed(42).setMaxIter(3).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_mutual_info" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // information measures over two discrete columns — the joint comes
+      // from ONE distributed groupBy; H/MI/NMI are driver math, all
+      // replicated in ANSI SQL by the oracle
+      val li = t(dir, "lineitem")
+      val (joint, _, _) = graft.ops.MutualInformation.estimateJoint(
+        li, "l_returnflag", "l_linestatus")
+      val flat = joint.flatten
+      val ny = joint.head.length
+      val py = (0 until ny).map(j => joint.map(_(j)).sum).toArray
+      s.range(1).select(
+        round(lit(graft.ops.MutualInformation.entropy(joint.map(_.sum))), 6).as("h_x"),
+        round(lit(graft.ops.MutualInformation.entropy(py)), 6).as("h_y"),
+        round(lit(graft.ops.MutualInformation.entropy(flat)), 6).as("h_xy"),
+        round(lit(graft.ops.MutualInformation.mutualInformation(joint)), 6).as("mi"),
+        round(lit(graft.ops.MutualInformation.normalizedMutualInformation(joint)), 6).as("nmi"))
+    },
+    "q_mixture_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // unit-norm embeddings give SE divergences ~1 -> near-uniform
+      // responsibilities and a single surviving MAP component; scaling the
+      // features sets the Boltzmann temperature so EM actually partitions
+      val e = t(dir, "embeddings")
+        .select(transform(col("embedding").cast("array<double>"), v => v * lit(8.0)).as("f"))
+      val m = new graft.clustering.BregmanMixture().setK(8)
+        .setFeaturesCol("f").setSeed(42).setMaxIter(8).fit(e)
       m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
     },
     "q_coreset_sizes" -> { (s, dir) =>
@@ -523,6 +569,21 @@ object SparkEntry {
         |  sum(w) OVER (PARTITION BY cluster, d ORDER BY v) AS cw,
         |  sum(w) OVER (PARTITION BY cluster, d) AS tw FROM grp)
         |SELECT cluster, d, min(v) AS med FROM win WHERE cw >= tw / 2 GROUP BY 1, 2""".stripMargin,
+    "q_mutual_info" ->
+      """WITH j AS (SELECT l_returnflag AS x, l_linestatus AS y, count(*)::DOUBLE AS c
+        |           FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT sum(c) AS n FROM j),
+        |px AS (SELECT x, sum(c) AS cx FROM j GROUP BY 1),
+        |py AS (SELECT y, sum(c) AS cy FROM j GROUP BY 1),
+        |hx AS (SELECT -sum((cx / tot.n) * log2(cx / tot.n)) AS v FROM px, tot),
+        |hy AS (SELECT -sum((cy / tot.n) * log2(cy / tot.n)) AS v FROM py, tot),
+        |hxy AS (SELECT -sum((c / tot.n) * log2(c / tot.n)) AS v FROM j, tot),
+        |mi AS (SELECT sum((j.c / tot.n) * log2((j.c / tot.n) / ((px.cx / tot.n) * (py.cy / tot.n)))) AS v
+        |       FROM j JOIN px ON j.x = px.x JOIN py ON j.y = py.y, tot)
+        |SELECT round(hx.v, 6) AS h_x, round(hy.v, 6) AS h_y,
+        |  round(hxy.v, 6) AS h_xy, round(mi.v, 6) AS mi,
+        |  round(mi.v / sqrt(hx.v * hy.v), 6) AS nmi
+        |FROM hx, hy, hxy, mi""".stripMargin,
     "q_metrics_fixed" ->
       """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 3),
         |asg AS (

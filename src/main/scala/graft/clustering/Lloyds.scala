@@ -611,11 +611,15 @@ object CenterInit {
     }
 
   /** ~uniform random sample of n feature rows, scale-safe: Bernoulli sample
-    * with 10x oversampling then limit(n) — no global sort.
+    * with 10x oversampling, then limit(n) over a RANDOMLY ORDERED subset —
+    * a bare limit would take a prefix of the sampled rows in input order,
+    * biasing picks toward early partitions. The sort touches only the
+    * ~10n sampled rows, never the data.
     */
   def samplePoints(df: DataFrame, featuresCol: String, n: Int, seed: Long, numPoints: Long): Seq[Array[Double]] = {
     val fraction = math.min(1.0, (10.0 * n) / math.max(1L, numPoints))
     var rows = df.select(col(featuresCol)).sample(withReplacement = false, fraction, seed)
+      .orderBy(rand(seed + 7))
       .limit(n).collect()
     if (rows.length < n) rows = df.select(col(featuresCol)).limit(n).collect()
     rows.map(_.getSeq[Double](0).toArray).toSeq

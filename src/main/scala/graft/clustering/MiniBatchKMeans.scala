@@ -61,10 +61,15 @@ class MiniBatchKMeans(override val uid: String)
     val dim = data.select(col(arrCol)).head().getSeq[Double](0).length
     require(numPoints > 0, "empty input")
 
-    // init: random sample (mini-batch regime; a k-means|| pass would cost
+    // init: local k-means++ over a sampled candidate pool (one small
+    // collect; a bare k-row sample misses a 1/k-mass cluster with
+    // probability ~(1-1/k)^k ~ 37%, while a full k-means|| pass would cost
     // more than several batches)
-    val centers = CenterInit.samplePoints(data, arrCol, $(k), $(seed), numPoints)
+    val pool = CenterInit.samplePoints(data, arrCol, math.max(10 * $(k), 20), $(seed), numPoints)
       .map(_.clone()).toArray
+    val centers =
+      if (pool.length <= $(k)) pool
+      else CenterInit.localKMeansPlusPlus(pool, Array.fill(pool.length)(1.0), $(k), kern, $(seed))
     val counts = new Array[Double]($(k))
     val fraction = math.min(1.0, $(batchSize).toDouble / numPoints)
     val aggFn = udaf(new CentroidAggregator(dim))

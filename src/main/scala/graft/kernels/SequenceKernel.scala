@@ -1,0 +1,223 @@
+package graft.kernels
+
+/** Elastic time-series distances: DTW (with optional Sakoe-Chiba window),
+  * derivative DTW, Soft-DTW, GAK, plus DBA barycenter averaging.
+  * (reference: df/kernels/SequenceKernel.scala:40-686 — same family and
+  * semantics; each series is one array<double>, distances are O(n*m) DP
+  * run inside executor closures.)
+  */
+sealed trait SequenceKernel extends Serializable {
+  def name: String
+
+  /** Elastic distance between two series. */
+  def distance(x: Array[Double], y: Array[Double]): Double
+
+  /** Optimal (or canonical) alignment path as (i, j) pairs. */
+  def alignmentPath(x: Array[Double], y: Array[Double]): Seq[(Int, Int)]
+}
+
+/** Classic DTW with squared pointwise cost and optional Sakoe-Chiba band.
+  * `window = None` is unconstrained; `Some(w)` restricts |i-j| <= w.
+  */
+case class DTWKernel(window: Option[Int] = None) extends SequenceKernel {
+  val name: String = window.map(w => s"DTW(w=$w)").getOrElse("DTW")
+
+  @inline private def inWindow(i: Int, j: Int): Boolean =
+    window.forall(w => math.abs(i - j) <= w)
+
+  private def dpMatrix(x: Array[Double], y: Array[Double]): Array[Array[Double]] = {
+    val n = x.length
+    val m = y.length
+    val d = Array.fill(n + 1, m + 1)(Double.PositiveInfinity)
+    d(0)(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= m) {
+        if (inWindow(i - 1, j - 1)) {
+          val c = { val t = x(i - 1) - y(j - 1); t * t }
+          d(i)(j) = c + math.min(d(i - 1)(j - 1), math.min(d(i - 1)(j), d(i)(j - 1)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    d
+  }
+
+  def distance(x: Array[Double], y: Array[Double]): Double =
+    math.sqrt(dpMatrix(x, y)(x.length)(y.length))
+
+  def alignmentPath(x: Array[Double], y: Array[Double]): Seq[(Int, Int)] = {
+    val d = dpMatrix(x, y)
+    val path = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = x.length
+    var j = y.length
+    while (i > 0 && j > 0) {
+      path += ((i - 1, j - 1))
+      val diag = d(i - 1)(j - 1)
+      val up = d(i - 1)(j)
+      val left = d(i)(j - 1)
+      if (diag <= up && diag <= left) { i -= 1; j -= 1 }
+      else if (up <= left) i -= 1
+      else j -= 1
+    }
+    path.reverse.toSeq
+  }
+
+  /** DBA (DTW Barycenter Averaging): the elastic mean of a set of series.
+    * Each iteration aligns every series to the current barycenter and
+    * averages the values mapped to each barycenter index.
+    */
+  def barycenter(
+      series: Seq[Array[Double]],
+      init: Array[Double],
+      maxIter: Int = 10): Array[Double] = {
+    var center = init.clone
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = new Array[Double](center.length)
+      val counts = new Array[Int](center.length)
+      series.foreach { s =>
+        alignmentPath(center, s).foreach { case (ci, si) =>
+          sums(ci) += s(si)
+          counts(ci) += 1
+        }
+      }
+      val next = center.indices.map(i =>
+        if (counts(i) > 0) sums(i) / counts(i) else center(i)).toArray
+      val moved = center.zip(next).map { case (a, b) => math.abs(a - b) }.max
+      center = next
+      iter += 1
+      if (moved < 1e-9) iter = maxIter
+    }
+    center
+  }
+}
+
+/** Derivative DTW: DTW over first differences (shape, not level). */
+case class DerivativeDTWKernel(window: Option[Int] = None) extends SequenceKernel {
+  val name = "DerivativeDTW"
+  private val inner = DTWKernel(window)
+
+  private def derive(x: Array[Double]): Array[Double] = {
+    if (x.length < 3) return x.clone
+    val d = new Array[Double](x.length)
+    var i = 1
+    while (i < x.length - 1) {
+      d(i) = ((x(i) - x(i - 1)) + (x(i + 1) - x(i - 1)) / 2.0) / 2.0
+      i += 1
+    }
+    d(0) = d(1); d(x.length - 1) = d(x.length - 2)
+    d
+  }
+
+  def distance(x: Array[Double], y: Array[Double]): Double =
+    inner.distance(derive(x), derive(y))
+  def alignmentPath(x: Array[Double], y: Array[Double]): Seq[(Int, Int)] =
+    inner.alignmentPath(derive(x), derive(y))
+}
+
+/** Soft-DTW (Cuturi & Blondel 2017): soft-min smoothed DTW — a
+  * differentiable elastic divergence (NOT a metric; can be negative for
+  * gamma large).
+  */
+case class SoftDTWKernel(gamma: Double = 1.0, window: Option[Int] = None)
+    extends SequenceKernel {
+  require(gamma > 0, "gamma must be positive")
+  val name = s"SoftDTW(gamma=$gamma)"
+
+  @inline private def inWindow(i: Int, j: Int): Boolean =
+    window.forall(w => math.abs(i - j) <= w)
+
+  private def softMin(a: Double, b: Double, c: Double): Double = {
+    val m = math.min(a, math.min(b, c))
+    if (m.isInfinity) m
+    else -gamma * math.log(
+      math.exp(-(a - m) / gamma) + math.exp(-(b - m) / gamma) + math.exp(-(c - m) / gamma)) + m
+  }
+
+  def distance(x: Array[Double], y: Array[Double]): Double = {
+    val n = x.length
+    val m = y.length
+    val d = Array.fill(n + 1, m + 1)(Double.PositiveInfinity)
+    d(0)(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= m) {
+        if (inWindow(i - 1, j - 1)) {
+          val c = { val t = x(i - 1) - y(j - 1); t * t }
+          d(i)(j) = c + softMin(d(i - 1)(j - 1), d(i - 1)(j), d(i)(j - 1))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    d(n)(m)
+  }
+
+  /** Canonical path from the hard-min backtrack (soft paths are diffuse). */
+  def alignmentPath(x: Array[Double], y: Array[Double]): Seq[(Int, Int)] =
+    DTWKernel(window).alignmentPath(x, y)
+}
+
+/** Global Alignment Kernel (Cuturi 2011): positive-definite sum over ALL
+  * alignments; distance induced as sqrt(k(x,x)+k(y,y)-2k(x,y)) in log
+  * space for stability.
+  */
+case class GAKKernel(sigma: Double = 1.0) extends SequenceKernel {
+  require(sigma > 0, "sigma must be positive")
+  val name = s"GAK(sigma=$sigma)"
+
+  /** log K_GA(x,y). */
+  def logKernel(x: Array[Double], y: Array[Double]): Double = {
+    val n = x.length
+    val m = y.length
+    // log-space DP: logM(i)(j) = logsumexp of the three predecessors + log k(xi, yj)
+    val neg = Double.NegativeInfinity
+    val lm = Array.fill(n + 1, m + 1)(neg)
+    lm(0)(0) = 0.0
+    @inline def lse(a: Double, b: Double, c: Double): Double = {
+      val mx = math.max(a, math.max(b, c))
+      if (mx == neg) neg
+      else mx + math.log(math.exp(a - mx) + math.exp(b - mx) + math.exp(c - mx))
+    }
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= m) {
+        val t = x(i - 1) - y(j - 1)
+        val logk = -(t * t) / (2.0 * sigma * sigma)
+        lm(i)(j) = logk + lse(lm(i - 1)(j - 1), lm(i - 1)(j), lm(i)(j - 1))
+        j += 1
+      }
+      i += 1
+    }
+    lm(n)(m)
+  }
+
+  def distance(x: Array[Double], y: Array[Double]): Double = {
+    // induced distance in log space: kxx and kyy normalize alignment mass
+    val kxy = logKernel(x, y)
+    val kxx = logKernel(x, x)
+    val kyy = logKernel(y, y)
+    val norm = kxy - 0.5 * (kxx + kyy) // log of normalized kernel, <= 0
+    math.sqrt(math.max(0.0, 2.0 - 2.0 * math.exp(norm)))
+  }
+
+  def alignmentPath(x: Array[Double], y: Array[Double]): Seq[(Int, Int)] =
+    DTWKernel(None).alignmentPath(x, y)
+}
+
+object SequenceKernel {
+  def apply(name: String, gamma: Double = 1.0, window: Option[Int] = None): SequenceKernel =
+    name.trim.toLowerCase match {
+      case "dtw"            => DTWKernel(window)
+      case "softdtw"        => SoftDTWKernel(gamma, window)
+      case "ddtw" | "derivativedtw" => DerivativeDTWKernel(window)
+      case "gak"            => GAKKernel(gamma)
+      case other => throw new IllegalArgumentException(
+        s"Unknown sequence kernel '$other' (dtw|softdtw|derivativedtw|gak)")
+    }
+}
