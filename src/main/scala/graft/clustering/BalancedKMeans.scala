@@ -8,18 +8,27 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.storage.StorageLevel
 
-/** Size-balanced k-means (soft mode): the assignment cost of a cluster
-  * already over `maxClusterSize` is inflated by
-  * `1 + penalty * oversize/maxSize`, steering points to emptier clusters
-  * while staying a plain Lloyd loop.
+/** Size-balanced k-means (soft mode) via quantile shedding: each iteration,
+  * a cluster over `maxClusterSize` sheds its ~oversize-count members with
+  * the SMALLEST margin (gap between its distance and the second-best
+  * center's) to their second choice. The shed threshold is the per-cluster
+  * gap quantile at fraction `penaltyStrength * oversize/size`, so the
+  * number of moved points is proportional to the overflow — a proportional
+  * controller that converges instead of oscillating. (A uniform penalty —
+  * multiplicative or additive — inflates EVERY member's cost equally, so
+  * an oversized cluster dumps wholesale and sizes never settle; observed
+  * as a 489-of-500 collapse on unit-norm embeddings, where margins are
+  * tiny relative to any global penalty.)
   * (reference: ml/BalancedKMeans.scala:110-320, soft path at :384-425. The
   * reference's `hard` mode redistributes points in a driver-side loop over
   * the COLLECTED dataset — that shape cannot scale and is deliberately not
-  * reproduced; the soft penalty is the distributed formulation.)
+  * reproduced; quantile shedding is the distributed formulation.)
   *
-  * Scale design: two jobs per iteration — a plain argmin assignment to
-  * measure sizes (k-row collect), then a penalized-argmin UDF (sizes
-  * broadcast) folded straight into the update aggregation.
+  * Scale design: ONE job per iteration — the shed-aware argmin UDF feeds a
+  * single groupBy(cluster) aggregation computing the center sums, sizes,
+  * AND the gap-quantile grid together. Sizes/thresholds are LAGGED (from
+  * iteration i-1), so no extra counting scan exists; iteration 1 runs
+  * unpenalized — exactly a plain Lloyd step.
   */
 class BalancedKMeans(override val uid: String)
     extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
@@ -32,7 +41,9 @@ class BalancedKMeans(override val uid: String)
   def setMaxClusterSize(v: Int): this.type = set(maxClusterSize, v)
 
   final val balancePenalty = new DoubleParam(this, "balancePenalty",
-    "penalty multiplier for oversized clusters", ParamValidators.gtEq(0))
+    "shed aggressiveness: fraction multiplier on oversize/size (values ~1 " +
+      "shed the exact overflow per iteration; higher overshoots)",
+    ParamValidators.gtEq(0))
   def getBalancePenalty: Double = $(balancePenalty)
   def setBalancePenalty(v: Double): this.type = set(balancePenalty, v)
 
@@ -48,6 +59,9 @@ class BalancedKMeans(override val uid: String)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
+  /** Quantile grid for the lagged shed thresholds (fractions 0.05..0.95). */
+  private val QuantileGrid: Array[Double] = (1 to 19).map(_ * 0.05).toArray
+
   override def fit(dataset: Dataset[_]): GeneralizedKMeansModel = {
     val t0 = System.currentTimeMillis()
     val df0 = dataset.toDF()
@@ -60,7 +74,7 @@ class BalancedKMeans(override val uid: String)
     val maxSize =
       if ($(maxClusterSize) > 0) $(maxClusterSize)
       else math.ceil(n.toDouble / $(k) * 1.1).toInt
-    val penalty = $(balancePenalty)
+    val aggressiveness = $(balancePenalty)
 
     var centers = CenterInit.initialize(data,
       LloydsConfig(k = $(k), kernel = kern, seed = $(seed), initMode = $(initMode),
@@ -70,39 +84,102 @@ class BalancedKMeans(override val uid: String)
     val distHist = Seq.newBuilder[Double]
     val sc = data.sparkSession.sparkContext
 
+    // Lagged control state: shedThr(c) > 0 means cluster c is oversized and
+    // members with margin below the threshold go to their second choice.
+    var shedThr: Array[Double] = Array.fill(centers.length)(0.0)
+
     while (iter < $(maxIter) && !converged) {
-      // pass 1: plain assignment -> sizes (k rows)
-      val plain = Assignment.assign(data, arrCol, kern, centers, $(assignmentStrategy))
-      val sizes = plain.groupBy(col("cluster")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      // pass 2: penalized argmin folded into the update aggregation
       val bcC = sc.broadcast(centers)
       val bcK = sc.broadcast(kern)
-      val bcS = sc.broadcast(sizes)
+      val bcT = sc.broadcast(shedThr)
+      // emits (cluster, dist-of-chosen, margin gap of the PLAIN ranking)
       val balUdf = udf { (xs: Seq[Double]) =>
         val x = xs.toArray
         val cs = bcC.value
-        var best = 0
-        var bd = Double.MaxValue
+        var best = 0; var bd = Double.MaxValue
+        var second = 0; var sd = Double.MaxValue
         var i = 0
         while (i < cs.length) {
           val d = bcK.value.divergence(x, cs(i))
-          val over = math.max(0L, bcS.value.getOrElse(i, 0L) - maxSize).toDouble
-          val pd = d * (1.0 + penalty * over / maxSize)
-          if (pd < bd) { bd = pd; best = i }
+          if (d < bd) { sd = bd; second = best; bd = d; best = i }
+          else if (d < sd) { sd = d; second = i }
           i += 1
         }
-        (best, bd)
+        val gap = if (sd == Double.MaxValue) Double.MaxValue else sd - bd
+        if (cs.length > 1 && bcT.value(best) > 0.0 && gap < bcT.value(best))
+          (second, sd, gap)
+        else (best, bd, gap)
       }
       val assigned = data.withColumn("__b", balUdf(col(arrCol)))
         .withColumn("cluster", col("__b._1"))
         .withColumn("dist", col("__b._2"))
+        .withColumn("__gap", col("__b._3"))
         .drop("__b")
-      val upd = Update.gradMean(assigned, arrCol, lit(1.0), kern, dim)
+
+      // ONE aggregation: center sums + weight + distortion + gap quantiles.
+      // (d <= 128 per-column codegen layout, same as Update.gradMean tier 1;
+      // wider features fall back to the typed Aggregator + a tiny extra
+      // percentile agg.)
+      var upd: Update.UpdateResult = null
+      var gapQ: Map[Int, Seq[Double]] = Map.empty
+      if (dim <= Update.ColumnSumMaxDim) {
+        // same gradient-column trick as Update.gradMean tier 1: sum grads,
+        // invGrad(mean) on the driver (identity for SE/L1)
+        val needGrad = !(kern.isInstanceOf[graft.kernels.SquaredEuclideanKernel] ||
+          kern.isInstanceOf[graft.kernels.L1Kernel])
+        val gradBase =
+          if (needGrad) {
+            val gradUdf = udf { (xs: Seq[Double]) => bcK.value.grad(xs.toArray) }
+            assigned.withColumn("__grad", gradUdf(col(arrCol)))
+          } else assigned.withColumn("__grad", col(arrCol))
+        val aggs =
+          (0 until dim).map(i => sum(element_at(col("__grad"), i + 1)).as(s"g$i")) ++
+            Seq(count(lit(1)).cast("double").as("wsum"), sum(col("dist")).as("dsum"),
+              percentile_approx(col("__gap"),
+                array(QuantileGrid.map(lit(_)).toIndexedSeq: _*), lit(1000)).as("q"))
+        val rows = gradBase.groupBy(col("cluster")).agg(aggs.head, aggs.tail: _*).collect()
+        var distortion = 0.0
+        val cbuf = Map.newBuilder[Int, Array[Double]]
+        val wbuf = Map.newBuilder[Int, Double]
+        val qbuf = Map.newBuilder[Int, Seq[Double]]
+        rows.foreach { r =>
+          val cid = r.getInt(0)
+          val wsum = r.getDouble(dim + 1)
+          distortion += r.getDouble(dim + 2)
+          qbuf += cid -> r.getSeq[Double](dim + 3)
+          if (wsum > 0) {
+            val mean = new Array[Double](dim)
+            var i = 0
+            while (i < dim) { mean(i) = r.getDouble(i + 1) / wsum; i += 1 }
+            cbuf += cid -> kern.invGrad(mean)
+            wbuf += cid -> wsum
+          }
+        }
+        upd = Update.UpdateResult(cbuf.result(), distortion, wbuf.result())
+        gapQ = qbuf.result()
+      } else {
+        upd = Update.gradMean(assigned, arrCol, lit(1.0), kern, dim)
+        gapQ = assigned.groupBy(col("cluster"))
+          .agg(percentile_approx(col("__gap"),
+            array(QuantileGrid.map(lit(_)).toIndexedSeq: _*), lit(1000)).as("q"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      }
       distHist += upd.distortion
-      // a cluster emptied by the penalty is RESEEDED, not dropped — with a
-      // multiplicative size penalty, dropping feeds back (survivors grow
-      // more oversized, shed more clusters) and collapses k to 1
+
+      // next iteration's shed thresholds from this iteration's sizes
+      shedThr = Array.tabulate(centers.length) { c =>
+        val size = upd.weights.getOrElse(c, 0.0)
+        val over = size - maxSize
+        if (over <= 0 || size <= 0) 0.0
+        else {
+          val frac = math.min(0.95, aggressiveness * over / size)
+          val gi = math.max(0, math.min(QuantileGrid.length - 1,
+            math.round(frac / 0.05).toInt - 1))
+          gapQ.get(c).map(_(gi)).getOrElse(0.0)
+        }
+      }
+
+      // a cluster emptied by shedding is RESEEDED, not dropped, so k holds
       val missing = centers.indices.filterNot(upd.centers.contains)
       val next: Array[Array[Double]] =
         if (missing.isEmpty) Array.tabulate(centers.length)(i => upd.centers(i))
@@ -119,7 +196,8 @@ class BalancedKMeans(override val uid: String)
         }.max
       centers = next
       iter += 1
-      if (movement < $(tol)) converged = true
+      // converge only once the size caps are also satisfied
+      if (movement < $(tol) && shedThr.forall(_ == 0.0)) converged = true
     }
     data.unpersist()
 

@@ -158,9 +158,9 @@ object ClusteringMetrics {
   }
 
   /** Elbow curve: (k, wcss) for k in [minK, maxK]
-    * (reference: ml/ClusteringMetrics.scala:254-285). Each fit is an
-    * independent distributed job; the input is cached across fits by the
-    * caller if reuse matters.
+    * (reference: ml/ClusteringMetrics.scala:254-285). The input is persisted
+    * and counted ONCE here; every per-k sub-fit reuses it (skipping its own
+    * persist/validation/count jobs — r3 verdict #5).
     */
   def elbowCurve(
       data: DataFrame,
@@ -171,12 +171,18 @@ object ClusteringMetrics {
       maxIter: Int = 20,
       seed: Long = 42L): Seq[(Int, Double)] = {
     require(minK >= 2 && maxK >= minK, s"need 2 <= minK <= maxK, got [$minK, $maxK]")
-    (minK to maxK).map { kk =>
-      val model = new GeneralizedKMeans()
+    val cached = data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cached.count()
+    val curve = (minK to maxK).map { kk =>
+      val est = new GeneralizedKMeans()
         .setK(kk).setFeaturesCol(featuresCol).setDivergence(divergence)
         .setMaxIter(maxIter).setSeed(seed)
-        .fit(data)
-      (kk, model.computeCost(data))
+      est.reuseCachedInput = true
+      est.knownN = Some(n)
+      val model = est.fit(cached)
+      (kk, model.computeCost(cached))
     }
+    cached.unpersist()
+    curve
   }
 }

@@ -122,6 +122,14 @@ class GeneralizedKMeans(override val uid: String)
 
   def this() = this(Identifiable.randomUID("gkmeans"))
 
+  /** Internal: callers that loop over fits on a frame they already
+    * persisted + validated + counted (XMeans' k sweep, elbow curves) set
+    * this so each sub-fit skips its own persist/validation-sample/count
+    * jobs (r3 verdict #5: repeated "already cached" re-persists).
+    */
+  private[graft] var reuseCachedInput: Boolean = false
+  private[graft] var knownN: Option[Long] = None
+
   def setK(v: Int): this.type = set(k, v)
   def setDivergence(v: String): this.type = set(divergence, v)
   def setSmoothing(v: Double): this.type = set(smoothing, v)
@@ -150,7 +158,10 @@ class GeneralizedKMeans(override val uid: String)
       emptyClusterStrategy = $(emptyClusterStrategy),
       checkpointInterval = $(checkpointInterval),
       featuresCol = arrCol,
-      weightCol = get(weightCol).filter(_.nonEmpty))
+      weightCol = get(weightCol).filter(_.nonEmpty),
+      validate = !reuseCachedInput,
+      knownNumPoints = knownN,
+      managePersistence = !reuseCachedInput)
     val keep = (Seq(arrCol) ++ get(weightCol).filter(_.nonEmpty)).distinct
     val useElkan = $(assignmentStrategy) == "elkan" && kern.isInstanceOf[SquaredEuclideanKernel]
     val result =

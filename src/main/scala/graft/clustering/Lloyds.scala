@@ -496,16 +496,19 @@ object LocalLloyds {
       kernel: BregmanKernel,
       maxIter: Int,
       tol: Double,
-      seed: Long): Array[Array[Double]] = {
+      seed: Long,
+      initCenters: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     val n = points.length
     if (n == 0) return Array.empty
     val dim = points(0).length
     val rnd = new java.util.Random(seed)
-    // random-init: k distinct row picks (mirrors CenterInit "random" mode)
-    val idx = scala.collection.mutable.LinkedHashSet[Int]()
-    var guard = 0
-    while (idx.size < math.min(k, n) && guard < 20 * k) { idx += rnd.nextInt(n); guard += 1 }
-    var centers = idx.toArray.map(i => points(i).clone)
+    var centers = initCenters.map(_.map(_.clone)).getOrElse {
+      // random-init: k distinct row picks (mirrors CenterInit "random" mode)
+      val idx = scala.collection.mutable.LinkedHashSet[Int]()
+      var guard = 0
+      while (idx.size < math.min(k, n) && guard < 20 * k) { idx += rnd.nextInt(n); guard += 1 }
+      idx.toArray.map(i => points(i).clone)
+    }
     val isMedian = kernel.isInstanceOf[L1Kernel]
     val assign = new Array[Int](n)
 

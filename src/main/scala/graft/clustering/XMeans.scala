@@ -57,6 +57,8 @@ class XMeans(override val uid: String)
         .setMaxIter($(maxIter)).setTol($(tol)).setSeed($(seed))
         .setFeaturesCol($(featuresCol)).setPredictionCol($(predictionCol))
       get(weightCol).filter(_.nonEmpty).foreach(est.setWeightCol)
+      est.reuseCachedInput = true // df persisted + counted above, once
+      est.knownN = Some(n)
       val m = est.fit(df)
       val cost = m.computeCost(df)
       val d = m.numFeatures
