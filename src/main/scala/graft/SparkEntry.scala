@@ -236,6 +236,18 @@ object SparkEntry {
         .setFeaturesCol("embedding").setSeed(42).setMaxIter(8).fit(e)
       m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
     },
+    "q_spectral_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // distributed Nystrom spectral: no n x n Gram, no full collect —
+      // landmark feature map + one degree sum + one m x m covariance
+      // treeAggregate + shared k-means on the spectral embedding
+      val e = t(dir, "embeddings")
+      val m = new graft.clustering.SpectralClustering().setK(8)
+        .setKernelType("rbf").setGamma(0.5).setUseNystrom(true)
+        .setNumLandmarks(64).setFeaturesCol("embedding")
+        .setSeed(42).setMaxIter(8).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
     "q_tskmeans_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // embeddings as length-64 series under banded DTW with DBA centroids

@@ -53,6 +53,20 @@ case class PolynomialKernel(degree: Int = 3, gamma: Double = 1.0, coef0: Double 
     math.pow(gamma * dot(x, y) + coef0, degree)
 }
 
+/** exp(-gamma * ||x-y||_1) — heavier tails than RBF; used as a spectral
+  * affinity (reference: ml/SpectralClustering.scala kernelType "laplacian").
+  */
+case class LaplacianMercerKernel(gamma: Double = 1.0) extends MercerKernel {
+  require(gamma > 0, "gamma must be positive")
+  val name = s"laplacian(gamma=$gamma)"
+  def apply(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += math.abs(x(i) - y(i)); i += 1 }
+    math.exp(-gamma * s)
+  }
+}
+
 case class RBFKernel(gamma: Double = 1.0) extends MercerKernel {
   require(gamma > 0, "gamma must be positive")
   val name = s"rbf(gamma=$gamma)"
@@ -70,7 +84,8 @@ object MercerKernel {
       case "linear"             => LinearKernel()
       case "poly" | "polynomial" => PolynomialKernel(degree, gamma, coef0)
       case "rbf" | "gaussian"   => RBFKernel(gamma)
+      case "laplacian"          => LaplacianMercerKernel(gamma)
       case other => throw new IllegalArgumentException(
-        s"Unknown Mercer kernel '$other' (linear|polynomial|rbf)")
+        s"Unknown Mercer kernel '$other' (linear|polynomial|rbf|laplacian)")
     }
 }
