@@ -236,6 +236,52 @@ object SparkEntry {
         .setFeaturesCol("embedding").setSeed(42).setMaxIter(8).fit(e)
       m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
     },
+    "q_agglomerative_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // driver-local by nature (O(n^2)); run on a bounded id-slice and
+      // score the FULL table against the resulting centroids distributed
+      val e = t(dir, "embeddings")
+      val slice = e.where(col("vec_id") < 400)
+      val m = new graft.clustering.AgglomerativeBregman().setNumClusters(8)
+        .setLinkage("ward").setFeaturesCol("embedding").fit(slice)
+      m.setFeaturesCol("embedding")
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
+    "q_ib_info" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // Information Bottleneck: compress document-length bins (16 states)
+      // into 4 states preserving information about the quality-score
+      // bucket — a genuinely correlated X/Y pair (quality includes a
+      // length term; the purely relational testdata columns are pairwise
+      // independent). ONE distributed groupBy builds the joint; BA runs
+      // on the 16 x ~10 contingency table. Deterministic under the seed.
+      val docs = t(dir, "documents")
+      val pairs = docs.select(
+        least(lit(15), floor(length(col("text")) / 150)).cast("int").as("xbin"),
+        floor(TextOps.qualityScore(col("text")) * 10).cast("int").as("y"))
+      val m = new graft.clustering.InformationBottleneck().setK(4).setBeta(8.0)
+        .setFeaturesCol("xbin").setRelevanceCol("y")
+        .setMaxIter(150).setSeed(42).fit(pairs)
+      s.range(1).select(
+        round(lit(m.getCompressionInfo), 6).as("i_xt"),
+        round(lit(m.getRelevanceInfo), 6).as("i_ty"),
+        lit(m.numClusters).as("k"))
+    },
+    "q_multiview_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // two 32-dim views of the embedding, weighted-sum combined argmin;
+      // one agg job per iteration regardless of view count
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 32).as("v1"),
+          slice(col("embedding").cast("array<double>"), 33, 32).as("v2"))
+      val m = new graft.clustering.MultiViewKMeans().setK(8)
+        .setViews(Seq(
+          graft.clustering.ViewSpec("v1", weight = 2.0),
+          graft.clustering.ViewSpec("v2", weight = 1.0)))
+        .setSeed(42).setMaxIter(8).fit(e)
+      m.transform(e).groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+    },
     "q_spectral_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // distributed Nystrom spectral: no n x n Gram, no full collect —
@@ -437,6 +483,33 @@ object SparkEntry {
         .groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
         .agg(round(sum(col("md")), 4).as("wcss"))
     },
+    // ---- co-clustering ----
+    "q_cocluster_blocks" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // one co-clustering block-center pass with FIXED modulo assignments
+      // over lineitem's (orderkey, linenumber, quantity) triples — exactly
+      // the per-iteration block aggregation of CoClustering.fit, plain SQL
+      // so DuckDB replicates it (objective term included via F(v)=v^2/2).
+      t(dir, "lineitem")
+        .groupBy(pmod(col("l_orderkey"), lit(4)).cast("int").as("rc"),
+          pmod(col("l_linenumber"), lit(3)).cast("int").as("cc"))
+        .agg(round(avg(col("l_quantity")), 6).as("block_mean"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity") * col("l_quantity") * lit(0.5)), 4).as("f_sum"))
+    },
+    "q_cocluster_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // learned co-clustering on a parts x suppliers quantity matrix
+      val li = t(dir, "lineitem")
+        .select(pmod(col("l_partkey"), lit(200)).as("rowIndex"),
+          pmod(col("l_suppkey"), lit(50)).as("colIndex"),
+          col("l_quantity").as("value"))
+        .groupBy("rowIndex", "colIndex").agg(avg("value").as("value"))
+      val m = new graft.clustering.CoClustering()
+        .setNumRowClusters(4).setNumColClusters(3)
+        .setMaxIter(8).setSeed(42).fit(li)
+      m.rowAssignments.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    },
     // ---- event-time windowed aggregation (streaming semantics on batch) ----
     "q_events_window" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -500,6 +573,13 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,
+    "q_cocluster_blocks" ->
+      """SELECT CAST(l_orderkey % 4 AS INT) AS rc,
+        |  CAST(l_linenumber % 3 AS INT) AS cc,
+        |  round(avg(l_quantity), 6) AS block_mean,
+        |  count(*) AS n,
+        |  round(sum(l_quantity * l_quantity * 0.5), 4) AS f_sum
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
