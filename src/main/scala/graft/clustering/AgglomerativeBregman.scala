@@ -30,7 +30,8 @@ case class MergeStep(a: Int, b: Int, distance: Double, size: Int)
   * dissimilarity to be well-defined.
   */
 class AgglomerativeBregman(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("agglomerative"))
 
@@ -111,7 +112,7 @@ class AgglomerativeBregman(override val uid: String)
   override def copy(extra: ParamMap): AgglomerativeBregman = defaultCopy(extra)
 }
 
-object AgglomerativeBregman {
+object AgglomerativeBregman extends org.apache.spark.ml.util.DefaultParamsReadable[AgglomerativeBregman] {
 
   /** Driver-local agglomeration. Returns (leaf assignments as dendrogram
     * node ids, merge history). Node ids: leaves 0..n-1, merge i creates
@@ -226,8 +227,46 @@ class AgglomerativeBregmanModel(
     smoothingValue: Double)
     extends GeneralizedKMeansModel(uid, centers, divergenceName, smoothingValue) {
 
+  override def write: org.apache.spark.ml.util.MLWriter = new AgglomerativeBregmanModel.Writer(this)
+
   /** Merge distances in merge order (monotone for single/complete/average
     * on metric-ish data).
     */
   def mergeDistances: Array[Double] = dendrogram.map(_.distance)
+}
+
+object AgglomerativeBregmanModel extends org.apache.spark.ml.util.MLReadable[AgglomerativeBregmanModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: AgglomerativeBregmanModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("divergence" -> m.divergenceName) ~ ("smoothing" -> m.smoothingValue) ~
+          ("assignments" -> m.trainingAssignments.toSeq),
+        Seq("centers", "dendrogram"))
+      ModelIO.writeMatrix(path, "centers", sparkSession, m.clusterCenters)
+      ModelIO.writeMatrix(path, "dendrogram", sparkSession,
+        m.dendrogram.map(s => Array(s.a.toDouble, s.b.toDouble, s.distance, s.size.toDouble)))
+    }
+  }
+
+  override def read: MLReader[AgglomerativeBregmanModel] = new MLReader[AgglomerativeBregmanModel] {
+    override def load(path: String): AgglomerativeBregmanModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val dendro = ModelIO.readMatrix(path, "dendrogram", sparkSession)
+        .map(r => MergeStep(r(0).toInt, r(1).toInt, r(2), r(3).toInt))
+      val m = new AgglomerativeBregmanModel(uid,
+        ModelIO.readMatrix(path, "centers", sparkSession),
+        dendro,
+        (extra \ "assignments").extract[Seq[Int]].toArray,
+        (extra \ "divergence").extract[String],
+        (extra \ "smoothing").extract[Double])
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
+  }
 }

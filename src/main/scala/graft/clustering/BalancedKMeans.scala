@@ -31,7 +31,8 @@ import org.apache.spark.storage.StorageLevel
   * unpenalized — exactly a plain Lloyd step.
   */
 class BalancedKMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("balancedkmeans"))
 
@@ -213,3 +214,5 @@ class BalancedKMeans(override val uid: String)
     validateAndTransformSchema(schema)
   override def copy(extra: ParamMap): BalancedKMeans = defaultCopy(extra)
 }
+
+object BalancedKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[BalancedKMeans]

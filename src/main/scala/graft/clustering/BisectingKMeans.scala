@@ -29,7 +29,8 @@ import org.apache.spark.storage.StorageLevel
   *    collect is local (14s -> ~1s for 7 splits on 2k x 64).
   */
 class BisectingKMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("bisecting-kmeans"))
 
@@ -217,3 +218,5 @@ class BisectingKMeans(override val uid: String)
     validateAndTransformSchema(schema)
   override def copy(extra: ParamMap): BisectingKMeans = defaultCopy(extra)
 }
+
+object BisectingKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[BisectingKMeans]

@@ -23,7 +23,8 @@ import org.apache.spark.storage.StorageLevel
   * here nothing but the k x d result crosses to the driver.
   */
 class BregmanMixture(override val uid: String)
-    extends Estimator[BregmanMixtureModel] with GeneralizedKMeansParams {
+    extends Estimator[BregmanMixtureModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("bregman-mixture"))
 
@@ -158,7 +159,10 @@ class BregmanMixtureModel(
     val componentWeights: Array[Double],
     val divergenceName: String,
     val smoothingValue: Double)
-    extends Model[BregmanMixtureModel] with GeneralizedKMeansParams {
+    extends Model[BregmanMixtureModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.MLWritable {
+
+  override def write: org.apache.spark.ml.util.MLWriter = new BregmanMixtureModel.Writer(this)
 
   final val probabilityCol = new Param[String](this, "probabilityCol",
     "output column with the responsibility vector")
@@ -255,3 +259,36 @@ class MixtureAggregator(k: Int, dim: Int)
   override def outputEncoder: Encoder[Array[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
 }
+
+object BregmanMixtureModel extends org.apache.spark.ml.util.MLReadable[BregmanMixtureModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: BregmanMixtureModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("divergence" -> m.divergenceName) ~ ("smoothing" -> m.smoothingValue) ~
+          ("componentWeights" -> m.componentWeights.toSeq),
+        Seq("centers"))
+      ModelIO.writeMatrix(path, "centers", sparkSession, m.componentCenters)
+    }
+  }
+
+  override def read: MLReader[BregmanMixtureModel] = new MLReader[BregmanMixtureModel] {
+    override def load(path: String): BregmanMixtureModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val m = new BregmanMixtureModel(uid,
+        ModelIO.readMatrix(path, "centers", sparkSession),
+        (extra \ "componentWeights").extract[Seq[Double]].toArray,
+        (extra \ "divergence").extract[String],
+        (extra \ "smoothing").extract[Double])
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
+  }
+}
+
+object BregmanMixture extends org.apache.spark.ml.util.DefaultParamsReadable[BregmanMixture]

@@ -31,7 +31,8 @@ import org.apache.spark.storage.StorageLevel
   * the driver; shuffles carry ~numRows * kCol stat rows, not the matrix.
   */
 class CoClustering(override val uid: String)
-    extends Estimator[CoClusteringModel] with CoClusteringParams {
+    extends Estimator[CoClusteringModel] with CoClusteringParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("cocluster"))
 
@@ -262,7 +263,7 @@ trait CoClusteringParams extends Params {
   }
 }
 
-object CoClustering {
+object CoClustering extends org.apache.spark.ml.util.DefaultParamsReadable[CoClustering] {
   /** Scalar Bregman generator F and derivative F'. */
   case class ScalarF(f: Double => Double, fp: Double => Double)
 
@@ -294,7 +295,10 @@ class CoClusteringModel(
     val rowAssignments: DataFrame,
     val colAssignments: DataFrame,
     val blockCenters: Array[Array[Double]])
-    extends Model[CoClusteringModel] with CoClusteringParams {
+    extends Model[CoClusteringModel] with CoClusteringParams
+    with org.apache.spark.ml.util.MLWritable {
+
+  override def write: org.apache.spark.ml.util.MLWriter = new CoClusteringModel.Writer(this)
 
   private[graft] var trainingObjective: Double = Double.NaN
   private[graft] var trainingIterations: Int = 0
@@ -320,5 +324,39 @@ class CoClusteringModel(
     m.trainingObjective = trainingObjective
     m.trainingIterations = trainingIterations
     copyValues(m, extra).setParent(parent)
+  }
+}
+
+object CoClusteringModel extends org.apache.spark.ml.util.MLReadable[CoClusteringModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: CoClusteringModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("objective" -> m.objective) ~ ("iterations" -> m.iterations),
+        Seq("blockCenters"))
+      ModelIO.writeMatrix(path, "blockCenters", sparkSession, m.blockCenters)
+      // assignment frames persist as plain parquet (distributed state)
+      m.rowAssignments.write.mode("overwrite").parquet(s"$path/rowAssignments")
+      m.colAssignments.write.mode("overwrite").parquet(s"$path/colAssignments")
+    }
+  }
+
+  override def read: MLReader[CoClusteringModel] = new MLReader[CoClusteringModel] {
+    override def load(path: String): CoClusteringModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val m = new CoClusteringModel(uid,
+        sparkSession.read.parquet(s"$path/rowAssignments"),
+        sparkSession.read.parquet(s"$path/colAssignments"),
+        ModelIO.readMatrix(path, "blockCenters", sparkSession))
+      m.trainingObjective = (extra \ "objective").extract[Double]
+      m.trainingIterations = (extra \ "iterations").extract[Int]
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
   }
 }

@@ -57,7 +57,8 @@ object ConstraintSet {
   * resolved cluster. Constraint info rides a broadcast, never a shuffle.)
   */
 class ConstrainedKMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("constrainedkmeans"))
 
@@ -240,3 +241,5 @@ class ConstrainedKMeans(override val uid: String)
     validateAndTransformSchema(schema)
   override def copy(extra: ParamMap): ConstrainedKMeans = defaultCopy(extra)
 }
+
+object ConstrainedKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[ConstrainedKMeans]

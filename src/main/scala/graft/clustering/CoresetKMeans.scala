@@ -22,7 +22,8 @@ import org.apache.spark.storage.StorageLevel
   * starting from near-converged centers.
   */
 class CoresetKMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("coresetkmeans"))
 
@@ -206,7 +207,7 @@ class CoresetKMeans(override val uid: String)
   override def copy(extra: ParamMap): CoresetKMeans = defaultCopy(extra)
 }
 
-object CoresetKMeans {
+object CoresetKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[CoresetKMeans] {
   /** Core-sets at or below this target size are fit entirely on the driver
     * (one collect; a 100k x 1k-double core-set is ~800 MB — above this,
     * use the distributed loop). The POINT of a core-set is to be small;

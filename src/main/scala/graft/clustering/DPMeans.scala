@@ -18,7 +18,8 @@ import org.apache.spark.storage.StorageLevel
   * ml/DPMeans.scala:303-308; an agg needs no global sort).
   */
 class DPMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("dpmeans"))
 
@@ -103,3 +104,5 @@ class DPMeans(override val uid: String)
     validateAndTransformSchema(schema)
   override def copy(extra: ParamMap): DPMeans = defaultCopy(extra)
 }
+
+object DPMeans extends org.apache.spark.ml.util.DefaultParamsReadable[DPMeans]

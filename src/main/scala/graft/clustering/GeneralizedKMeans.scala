@@ -321,6 +321,14 @@ object GeneralizedKMeansModel extends org.apache.spark.ml.util.MLReadable[Genera
 
   private[graft] class Writer(instance: GeneralizedKMeansModel) extends MLWriter {
     override protected def saveImpl(path: String): Unit = {
+      // Subclass models carry extra state (landmarks, whitener, streaming
+      // weights, ...) that this base writer does not serialize — an
+      // inherited save would round-trip to a silently WRONG model
+      // (r3 verdict #4). Every subclass must override `write`; refuse
+      // anything that reaches here without doing so.
+      require(instance.getClass == classOf[GeneralizedKMeansModel],
+        s"${instance.getClass.getName} must provide its own writer: the base " +
+          "GeneralizedKMeansModel writer would drop subclass state (centers-only save)")
       val spark = sparkSession
       val meta: JObject =
         ("class" -> instance.getClass.getName) ~

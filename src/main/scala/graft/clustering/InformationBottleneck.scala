@@ -21,7 +21,8 @@ import org.apache.spark.storage.StorageLevel
   * 100 TB of rows reduce to a contingency table before any driver math.)
   */
 class InformationBottleneck(override val uid: String)
-    extends Estimator[InformationBottleneckModel] with InformationBottleneckParams {
+    extends Estimator[InformationBottleneckModel] with InformationBottleneckParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("ib"))
 
@@ -173,7 +174,7 @@ trait InformationBottleneckParams extends Params {
     numBins -> 10, smoothing -> 1e-10, maxIter -> 100, tol -> 1e-6, seed -> 42L)
 }
 
-object InformationBottleneck {
+object InformationBottleneck extends org.apache.spark.ml.util.DefaultParamsReadable[InformationBottleneck] {
   /** X discretization as a Catalyst expression: continuous (array/vector)
     * features hash-bin via xxhash64 (reference hashes on the driver,
     * ml/InformationBottleneck.scala:252-258); discrete columns pass
@@ -201,7 +202,10 @@ class InformationBottleneckModel(
     val pTgivenX: Array[Array[Double]],
     val pT: Array[Double],
     val pYgivenT: Array[Array[Double]])
-    extends Model[InformationBottleneckModel] with InformationBottleneckParams {
+    extends Model[InformationBottleneckModel] with InformationBottleneckParams
+    with org.apache.spark.ml.util.MLWritable {
+
+  override def write: org.apache.spark.ml.util.MLWriter = new InformationBottleneckModel.Writer(this)
 
   private[graft] var compressionInfo: Double = Double.NaN // I(X;T)
   private[graft] var relevanceInfo: Double = Double.NaN // I(T;Y)
@@ -247,4 +251,40 @@ class InformationBottleneckModel(
     m.hasConverged = hasConverged
     copyValues(m, extra).setParent(parent)
   }
+}
+
+object InformationBottleneckModel
+    extends org.apache.spark.ml.util.MLReadable[InformationBottleneckModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: InformationBottleneckModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("xKeys" -> m.xKeys.toSeq) ~ ("pT" -> m.pT.toSeq) ~
+          ("compressionInfo" -> m.getCompressionInfo) ~
+          ("relevanceInfo" -> m.getRelevanceInfo),
+        Seq("pTgivenX", "pYgivenT"))
+      ModelIO.writeMatrix(path, "pTgivenX", sparkSession, m.pTgivenX)
+      ModelIO.writeMatrix(path, "pYgivenT", sparkSession, m.pYgivenT)
+    }
+  }
+
+  override def read: MLReader[InformationBottleneckModel] =
+    new MLReader[InformationBottleneckModel] {
+      override def load(path: String): InformationBottleneckModel = {
+        implicit val fmt: Formats = DefaultFormats
+        val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+        val m = new InformationBottleneckModel(uid,
+          (extra \ "xKeys").extract[Seq[String]].toArray,
+          ModelIO.readMatrix(path, "pTgivenX", sparkSession),
+          (extra \ "pT").extract[Seq[Double]].toArray,
+          ModelIO.readMatrix(path, "pYgivenT", sparkSession))
+        m.compressionInfo = (extra \ "compressionInfo").extract[Double]
+        m.relevanceInfo = (extra \ "relevanceInfo").extract[Double]
+        GeneralizedKMeansModel.restoreParams(m, paramMap)
+        m
+      }
+    }
 }

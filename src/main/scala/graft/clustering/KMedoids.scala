@@ -49,7 +49,8 @@ trait KMedoidsParams extends GeneralizedKMeansParams {
   * at-scale variant — PAM on samples, candidate sets scored DISTRIBUTED.)
   */
 class KMedoids(override val uid: String)
-    extends Estimator[KMedoidsModel] with KMedoidsParams {
+    extends Estimator[KMedoidsModel] with KMedoidsParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("kmedoids"))
 
@@ -92,7 +93,7 @@ class KMedoids(override val uid: String)
   override def copy(extra: ParamMap): KMedoids = defaultCopy(extra)
 }
 
-object KMedoids {
+object KMedoids extends org.apache.spark.ml.util.DefaultParamsReadable[KMedoids] {
 
   /** BUILD + SWAP on local points. Returns (medoid indices, swap
     * iterations, cost history).
@@ -204,7 +205,8 @@ object KMedoids {
   * distributed agg so the full data never moves.)
   */
 class CLARA(override val uid: String)
-    extends Estimator[KMedoidsModel] with KMedoidsParams {
+    extends Estimator[KMedoidsModel] with KMedoidsParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("clara"))
 
@@ -294,7 +296,10 @@ class KMedoidsModel(
     override val uid: String,
     val medoids: Array[Array[Double]],
     val distanceName: String)
-    extends Model[KMedoidsModel] with KMedoidsParams {
+    extends Model[KMedoidsModel] with KMedoidsParams
+    with org.apache.spark.ml.util.MLWritable {
+
+  override def write: org.apache.spark.ml.util.MLWriter = new KMedoidsModel.Writer(this)
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
@@ -348,3 +353,31 @@ class KMedoidsModel(
     copyValues(m, extra).setParent(parent)
   }
 }
+
+object KMedoidsModel extends org.apache.spark.ml.util.MLReadable[KMedoidsModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: KMedoidsModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m, "distance" -> m.distanceName, Seq("medoids"))
+      ModelIO.writeMatrix(path, "medoids", sparkSession, m.medoids)
+    }
+  }
+
+  override def read: MLReader[KMedoidsModel] = new MLReader[KMedoidsModel] {
+    override def load(path: String): KMedoidsModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val m = new KMedoidsModel(uid,
+        ModelIO.readMatrix(path, "medoids", sparkSession),
+        (extra \ "distance").extract[String])
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
+  }
+}
+
+object CLARA extends org.apache.spark.ml.util.DefaultParamsReadable[CLARA]

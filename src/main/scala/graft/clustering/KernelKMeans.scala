@@ -25,7 +25,8 @@ import org.apache.spark.storage.StorageLevel
   *    (SURVEY §1.1 graphs row: Nystrom approximation for n > driver size.)
   */
 class KernelKMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("kernelkmeans"))
 
@@ -264,6 +265,8 @@ class KernelKMeansModel(
     val degreeValue: Int)
     extends GeneralizedKMeansModel(uid, embeddedCenters, "squaredEuclidean", 1e-10) {
 
+  override def write: org.apache.spark.ml.util.MLWriter = new KernelKMeansModel.Writer(this)
+
   private def kern: MercerKernel = MercerKernel(kernelTypeName, gammaValue, degreeValue)
 
   /** Map a frame's features to the Nystrom embedding column. */
@@ -325,6 +328,8 @@ class ExactKernelKMeansModel(
     val degreeValue: Int)
     extends GeneralizedKMeansModel(uid, preImageMeans, "squaredEuclidean", 1e-10) {
 
+  override def write: org.apache.spark.ml.util.MLWriter = new ExactKernelKMeansModel.Writer(this)
+
   override def transform(dataset: Dataset[_]): DataFrame = {
     val (df, arrCol) = FeatureCols.asArray(dataset.toDF(), $(featuresCol))
     val sc = df.sparkSession.sparkContext
@@ -369,3 +374,75 @@ class ExactKernelKMeansModel(
     if (arrCol != $(featuresCol)) out.drop(arrCol) else out
   }
 }
+
+object KernelKMeansModel extends org.apache.spark.ml.util.MLReadable[KernelKMeansModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: KernelKMeansModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("kernelType" -> m.kernelTypeName) ~ ("gamma" -> m.gammaValue) ~
+          ("degree" -> m.degreeValue),
+        Seq("centers", "landmarks", "whitener"))
+      ModelIO.writeMatrix(path, "centers", sparkSession, m.clusterCenters)
+      ModelIO.writeMatrix(path, "landmarks", sparkSession, m.landmarks)
+      ModelIO.writeMatrix(path, "whitener", sparkSession, m.whitener)
+    }
+  }
+
+  override def read: MLReader[KernelKMeansModel] = new MLReader[KernelKMeansModel] {
+    override def load(path: String): KernelKMeansModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val m = new KernelKMeansModel(uid,
+        ModelIO.readMatrix(path, "centers", sparkSession),
+        ModelIO.readMatrix(path, "landmarks", sparkSession),
+        ModelIO.readMatrix(path, "whitener", sparkSession),
+        (extra \ "kernelType").extract[String],
+        (extra \ "gamma").extract[Double],
+        (extra \ "degree").extract[Int])
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
+  }
+}
+
+object ExactKernelKMeansModel extends org.apache.spark.ml.util.MLReadable[ExactKernelKMeansModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: ExactKernelKMeansModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("kernelType" -> m.kernelTypeName) ~ ("gamma" -> m.gammaValue) ~
+          ("degree" -> m.degreeValue) ~
+          ("assignments" -> m.assignments.toSeq),
+        Seq("centers", "supports"))
+      ModelIO.writeMatrix(path, "centers", sparkSession, m.clusterCenters)
+      ModelIO.writeMatrix(path, "supports", sparkSession, m.supports)
+    }
+  }
+
+  override def read: MLReader[ExactKernelKMeansModel] = new MLReader[ExactKernelKMeansModel] {
+    override def load(path: String): ExactKernelKMeansModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val m = new ExactKernelKMeansModel(uid,
+        ModelIO.readMatrix(path, "centers", sparkSession),
+        ModelIO.readMatrix(path, "supports", sparkSession),
+        (extra \ "assignments").extract[Seq[Int]].toArray,
+        (extra \ "kernelType").extract[String],
+        (extra \ "gamma").extract[Double],
+        (extra \ "degree").extract[Int])
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
+  }
+}
+
+object KernelKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[KernelKMeans]

@@ -19,7 +19,8 @@ import org.apache.spark.storage.StorageLevel
   * per-point eta = 1/count running mean, applied batch-at-a-time.
   */
 class MiniBatchKMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("minibatch-kmeans"))
 
@@ -181,3 +182,5 @@ class MiniBatchKMeans(override val uid: String)
     validateAndTransformSchema(schema)
   override def copy(extra: ParamMap): MiniBatchKMeans = defaultCopy(extra)
 }
+
+object MiniBatchKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[MiniBatchKMeans]

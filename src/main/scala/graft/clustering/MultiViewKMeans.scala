@@ -241,7 +241,10 @@ class MultiViewKMeansModel(
     val viewWeights: Array[Double],
     val combineStrategyName: String,
     val smoothingValue: Double)
-    extends Model[MultiViewKMeansModel] with GeneralizedKMeansParams {
+    extends Model[MultiViewKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.MLWritable {
+
+  override def write: org.apache.spark.ml.util.MLWriter = new MultiViewKMeansModel.Writer(this)
 
   private[graft] var trainingSummary: Option[TrainingSummary] = None
   def summary: TrainingSummary = trainingSummary.getOrElse(
@@ -305,5 +308,47 @@ class MultiViewKMeansModel(
       combineStrategyName, smoothingValue)
     m.trainingSummary = trainingSummary
     copyValues(m, extra).setParent(parent)
+  }
+}
+
+object MultiViewKMeansModel extends org.apache.spark.ml.util.MLReadable[MultiViewKMeansModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: MultiViewKMeansModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val viewNames = m.views.indices.map(i => s"view$i")
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("combineStrategy" -> m.combineStrategyName) ~ ("smoothing" -> m.smoothingValue) ~
+          ("viewCols" -> m.views.map(_.featuresCol)) ~
+          ("viewWeightsRaw" -> m.views.map(_.weight)) ~
+          ("viewDivergences" -> m.views.map(_.divergence)) ~
+          ("viewWeights" -> m.viewWeights.toSeq),
+        viewNames)
+      m.views.indices.foreach { i =>
+        ModelIO.writeMatrix(path, s"view$i", sparkSession, m.viewCenters(i))
+      }
+    }
+  }
+
+  override def read: MLReader[MultiViewKMeansModel] = new MLReader[MultiViewKMeansModel] {
+    override def load(path: String): MultiViewKMeansModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val cols = (extra \ "viewCols").extract[Seq[String]]
+      val raws = (extra \ "viewWeightsRaw").extract[Seq[Double]]
+      val divs = (extra \ "viewDivergences").extract[Seq[String]]
+      val specs = cols.indices.map(i => ViewSpec(cols(i), raws(i), divs(i)))
+      val centers = cols.indices.map(i =>
+        ModelIO.readMatrix(path, s"view$i", sparkSession)).toArray
+      val m = new MultiViewKMeansModel(uid, centers, specs,
+        (extra \ "viewWeights").extract[Seq[Double]].toArray,
+        (extra \ "combineStrategy").extract[String],
+        (extra \ "smoothing").extract[Double])
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
   }
 }

@@ -24,7 +24,8 @@ import org.apache.spark.storage.StorageLevel
   * is [[OutlierDetection.markOutliers]] over the fitted model.
   */
 class RobustKMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("robustkmeans"))
 
@@ -153,3 +154,5 @@ object OutlierDetection {
       .head().getDouble(0)
   }
 }
+
+object RobustKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[RobustKMeans]

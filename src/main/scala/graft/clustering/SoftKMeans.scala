@@ -83,7 +83,8 @@ trait SoftKMeansParams extends GeneralizedKMeansParams {
   * minimizer of sum p*D_F(x, mu) over mu for any Bregman divergence).
   */
 class SoftKMeans(override val uid: String)
-    extends Estimator[SoftKMeansModel] with SoftKMeansParams {
+    extends Estimator[SoftKMeansModel] with SoftKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("soft-kmeans"))
 
@@ -195,7 +196,10 @@ class SoftKMeansModel(
     val smoothingValue: Double,
     val betaValue: Double,
     val minMembershipValue: Double)
-    extends Model[SoftKMeansModel] with SoftKMeansParams {
+    extends Model[SoftKMeansModel] with SoftKMeansParams
+    with org.apache.spark.ml.util.MLWritable {
+
+  override def write: org.apache.spark.ml.util.MLWriter = new SoftKMeansModel.Writer(this)
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
@@ -259,3 +263,37 @@ class SoftKMeansModel(
     copyValues(m, extra).setParent(parent)
   }
 }
+
+object SoftKMeansModel extends org.apache.spark.ml.util.MLReadable[SoftKMeansModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: SoftKMeansModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("divergence" -> m.divergenceName) ~ ("smoothing" -> m.smoothingValue) ~
+          ("beta" -> m.betaValue) ~ ("minMembership" -> m.minMembershipValue),
+        Seq("centers"))
+      ModelIO.writeMatrix(path, "centers", sparkSession, m.clusterCenters)
+    }
+  }
+
+  override def read: MLReader[SoftKMeansModel] = new MLReader[SoftKMeansModel] {
+    override def load(path: String): SoftKMeansModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val m = new SoftKMeansModel(uid,
+        ModelIO.readMatrix(path, "centers", sparkSession),
+        (extra \ "divergence").extract[String],
+        (extra \ "smoothing").extract[Double],
+        (extra \ "beta").extract[Double],
+        (extra \ "minMembership").extract[Double])
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
+  }
+}
+
+object SoftKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[SoftKMeans]

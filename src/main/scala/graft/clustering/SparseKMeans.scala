@@ -29,7 +29,8 @@ import org.apache.spark.storage.StorageLevel
   * divergences genuinely need every coordinate).
   */
 class SparseKMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("sparsekmeans"))
 
@@ -219,7 +220,7 @@ class SparseKMeans(override val uid: String)
   override def copy(extra: ParamMap): SparseKMeans = defaultCopy(extra)
 }
 
-object SparseKMeans {
+object SparseKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[SparseKMeans] {
   private[graft] def l2normalize(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }

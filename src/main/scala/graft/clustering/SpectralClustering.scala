@@ -33,7 +33,8 @@ import org.apache.spark.storage.StorageLevel
   *    ml/SpectralClustering.scala:234; ours never does.)
   */
 class SpectralClustering(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("spectral"))
 
@@ -332,6 +333,8 @@ class ExactSpectralModel(
     val trainEmbedding: Array[Array[Double]])
     extends GeneralizedKMeansModel(uid, embCenters, "squaredEuclidean", 1e-10) {
 
+  override def write: org.apache.spark.ml.util.MLWriter = new ExactSpectralModel.Writer(this)
+
   override def transform(dataset: Dataset[_]): DataFrame = {
     val (df, arrCol) = FeatureCols.asArray(dataset.toDF(), $(featuresCol))
     val sc = df.sparkSession.sparkContext
@@ -388,6 +391,8 @@ class NystromSpectralModel(
     val degreeValue: Int)
     extends GeneralizedKMeansModel(uid, embCenters, "squaredEuclidean", 1e-10) {
 
+  override def write: org.apache.spark.ml.util.MLWriter = new NystromSpectralModel.Writer(this)
+
   private def kern: MercerKernel = MercerKernel(kernelTypeName, gammaValue, degreeValue)
 
   /** Append the spectral-embedding column for a frame. */
@@ -421,3 +426,75 @@ class NystromSpectralModel(
       .drop(tmp, s"__${uid}_c", s"__${uid}_d")
   }
 }
+
+object NystromSpectralModel extends org.apache.spark.ml.util.MLReadable[NystromSpectralModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: NystromSpectralModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("kernelType" -> m.kernelTypeName) ~ ("gamma" -> m.gammaValue) ~
+          ("degree" -> m.degreeValue) ~ ("rowNormalized" -> m.rowNormalized) ~
+          ("degreeNormalized" -> m.degreeNormalized) ~
+          ("degreeSum" -> m.degreeSum.toSeq),
+        Seq("centers", "landmarks", "whitener", "projector"))
+      ModelIO.writeMatrix(path, "centers", sparkSession, m.clusterCenters)
+      ModelIO.writeMatrix(path, "landmarks", sparkSession, m.landmarks)
+      ModelIO.writeMatrix(path, "whitener", sparkSession, m.whitener)
+      ModelIO.writeMatrix(path, "projector", sparkSession, m.projector)
+    }
+  }
+
+  override def read: MLReader[NystromSpectralModel] = new MLReader[NystromSpectralModel] {
+    override def load(path: String): NystromSpectralModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val m = new NystromSpectralModel(uid,
+        ModelIO.readMatrix(path, "centers", sparkSession),
+        ModelIO.readMatrix(path, "landmarks", sparkSession),
+        ModelIO.readMatrix(path, "whitener", sparkSession),
+        (extra \ "degreeSum").extract[Seq[Double]].toArray,
+        ModelIO.readMatrix(path, "projector", sparkSession),
+        (extra \ "rowNormalized").extract[Boolean],
+        (extra \ "degreeNormalized").extract[Boolean],
+        (extra \ "kernelType").extract[String],
+        (extra \ "gamma").extract[Double],
+        (extra \ "degree").extract[Int])
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
+  }
+}
+
+object ExactSpectralModel extends org.apache.spark.ml.util.MLReadable[ExactSpectralModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+
+  private[graft] class Writer(m: ExactSpectralModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m, JObject(Nil),
+        Seq("centers", "trainPoints", "trainEmbedding"))
+      ModelIO.writeMatrix(path, "centers", sparkSession, m.clusterCenters)
+      ModelIO.writeMatrix(path, "trainPoints", sparkSession, m.trainPoints)
+      ModelIO.writeMatrix(path, "trainEmbedding", sparkSession, m.trainEmbedding)
+    }
+  }
+
+  override def read: MLReader[ExactSpectralModel] = new MLReader[ExactSpectralModel] {
+    override def load(path: String): ExactSpectralModel = {
+      val (uid, paramMap, _) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val m = new ExactSpectralModel(uid,
+        ModelIO.readMatrix(path, "centers", sparkSession),
+        ModelIO.readMatrix(path, "trainPoints", sparkSession),
+        ModelIO.readMatrix(path, "trainEmbedding", sparkSession))
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
+  }
+}
+
+object SpectralClustering extends org.apache.spark.ml.util.DefaultParamsReadable[SpectralClustering]

@@ -21,7 +21,8 @@ import org.apache.spark.storage.StorageLevel
   * leave the executors.
   */
 class TimeSeriesKMeans(override val uid: String)
-    extends Estimator[TimeSeriesKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[TimeSeriesKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("tskmeans"))
 
@@ -159,7 +160,10 @@ class TimeSeriesKMeansModel(
     val tsDistanceName: String,
     val gammaValue: Double,
     val window: Option[Int])
-    extends Model[TimeSeriesKMeansModel] with GeneralizedKMeansParams {
+    extends Model[TimeSeriesKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.MLWritable {
+
+  override def write: org.apache.spark.ml.util.MLWriter = new TimeSeriesKMeansModel.Writer(this)
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
@@ -200,3 +204,36 @@ class TimeSeriesKMeansModel(
     copyValues(m, extra).setParent(parent)
   }
 }
+
+object TimeSeriesKMeansModel extends org.apache.spark.ml.util.MLReadable[TimeSeriesKMeansModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: TimeSeriesKMeansModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("tsDistance" -> m.tsDistanceName) ~ ("gamma" -> m.gammaValue) ~
+          ("window" -> m.window),
+        Seq("centers"))
+      ModelIO.writeMatrix(path, "centers", sparkSession, m.clusterCenters)
+    }
+  }
+
+  override def read: MLReader[TimeSeriesKMeansModel] = new MLReader[TimeSeriesKMeansModel] {
+    override def load(path: String): TimeSeriesKMeansModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val m = new TimeSeriesKMeansModel(uid,
+        ModelIO.readMatrix(path, "centers", sparkSession),
+        (extra \ "tsDistance").extract[String],
+        (extra \ "gamma").extract[Double],
+        (extra \ "window").extractOpt[Int])
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
+  }
+}
+
+object TimeSeriesKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[TimeSeriesKMeans]

@@ -16,7 +16,8 @@ import org.apache.spark.storage.StorageLevel
   * BIC = -2*ll + p*log(n); AIC = -2*ll + 2*p; lower is better.
   */
 class XMeans(override val uid: String)
-    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams {
+    extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("xmeans"))
 
@@ -88,3 +89,5 @@ class XMeans(override val uid: String)
     validateAndTransformSchema(schema)
   override def copy(extra: ParamMap): XMeans = defaultCopy(extra)
 }
+
+object XMeans extends org.apache.spark.ml.util.DefaultParamsReadable[XMeans]

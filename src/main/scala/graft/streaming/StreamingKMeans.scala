@@ -89,6 +89,13 @@ class StreamingKMeansModel(
   def currentCenters: Array[Array[Double]] = state._1
   def clusterWeights: Array[Double] = state._2.clone
 
+  /** Restore persisted per-cluster weights (reader-side). */
+  private[graft] def restoreWeights(w: Array[Double]): Unit =
+    state = (state._1, w.clone)
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new graft.clustering.StreamingModelIO.Writer(this)
+
   override def transform(dataset: Dataset[_]): DataFrame = {
     // score against the CURRENT snapshot, not the fit-time centers
     val snap = new GeneralizedKMeansModel(uid + "-snap", currentCenters,
