@@ -483,6 +483,38 @@ object SparkEntry {
         .groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
         .agg(round(sum(col("md")), 4).as("wcss"))
     },
+    // ---- multimodal columns ----
+    "q_multimodal_fingerprint" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // binary-payload asset table (typed meta struct) -> exact binary
+      // dedup via one md5 hash aggregate; DuckDB replicates the md5
+      val assets = graft.ops.Multimodal.assetsFromDocuments(t(dir, "documents"))
+      graft.ops.Multimodal.exactBinaryDedup(assets, "asset_id", "payload")
+    },
+    "q_multimodal_integrity" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // referential integrity of multimodal references: embeddings point
+      // at asset_id = vec_id * 2; LEFT ANTI join surfaces dangling refs
+      val assets = graft.ops.Multimodal.assetsFromDocuments(t(dir, "documents"))
+      val refs = t(dir, "embeddings")
+        .select(col("vec_id").as("ref_id"), (col("vec_id") * 2).as("asset_ref"))
+      graft.ops.Multimodal.orphanRefs(refs, "asset_ref", assets, "asset_id")
+        .select(col("ref_id"), col("asset_ref"))
+    },
+    "q_multimodal_features" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // stub-decode + per-partition feature extraction + byte-range frame
+      // sampling over the binary payloads (deterministic fake decoder —
+      // plumbing is real, codec is the documented stub)
+      val assets = graft.ops.Multimodal.assetsFromDocuments(t(dir, "documents"))
+      val withFrames = assets.withColumn("n_frames",
+        size(graft.ops.Multimodal.sampleFrames(col("payload"), 64, 2)))
+      graft.ops.Multimodal.extractFeatures(withFrames, "payload", "feat")
+        .select(col("asset_id"), col("n_frames"),
+          col("meta.sizeBytes").as("size_bytes"),
+          round(aggregate(col("feat").cast("array<double>"), lit(0.0),
+            (a, v) => a + v * v), 6).as("feat_sq_norm"))
+    },
     // ---- co-clustering ----
     "q_cocluster_blocks" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -573,6 +605,13 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,
+    "q_multimodal_fingerprint" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_multimodal_integrity" ->
+      """SELECT e.vec_id AS ref_id, e.vec_id * 2 AS asset_ref
+        |FROM embeddings e LEFT JOIN documents d ON e.vec_id * 2 = d.doc_id
+        |WHERE d.doc_id IS NULL""".stripMargin,
     "q_cocluster_blocks" ->
       """SELECT CAST(l_orderkey % 4 AS INT) AS rc,
         |  CAST(l_linenumber % 3 AS INT) AS cc,

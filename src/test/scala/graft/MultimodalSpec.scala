@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  def assets() = {
+    val rows = Seq(
+      (1L, "hello world"),
+      (2L, "hello world"), // planted exact dup of 1
+      (3L, "different payload"),
+      (4L, "x" * 1000))
+    Multimodal.assetsFromDocuments(rows.toDF("doc_id", "text"))
+  }
+
+  test("asset schema: binary payload + typed metadata struct") {
+    val df = assets()
+    assert(df.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    val meta = df.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("format", "width", "height", "sampleRate", "durationMs", "sizeBytes"))
+    val sizes = df.select(col("meta.sizeBytes")).collect().map(_.getLong(0)).sorted
+    assert(sizes.toSeq == Seq(11L, 11L, 17L, 1000L))
+  }
+
+  test("binary fingerprint dedup finds planted duplicate payloads") {
+    val dups = Multimodal.exactBinaryDedup(assets(), "asset_id", "payload")
+    assert(dups.count() == 3) // 4 assets, one pair identical
+    val pair = dups.where(col("dup_count") === 2).collect()
+    assert(pair.length == 1 && pair(0).getAs[Long]("keeper_id") == 1L)
+  }
+
+  test("referential integrity: orphan refs surface via anti join") {
+    val refs = Seq((10L, 1L), (11L, 3L), (12L, 99L), (13L, 100L)).toDF("ref_id", "asset_ref")
+    val orphans = Multimodal.orphanRefs(refs, "asset_ref", assets(), "asset_id")
+      .select("ref_id").collect().map(_.getLong(0)).sorted
+    assert(orphans.toSeq == Seq(12L, 13L))
+  }
+
+  test("frame sampler: byte-range chunking with stride") {
+    val df = Seq((1L, Array.tabulate(100)(_.toByte))).toDF("id", "payload")
+    val frames = df.select(Multimodal.sampleFrames(col("payload"), frameBytes = 10, sampleEvery = 2).as("f"))
+      .head().getSeq[Array[Byte]](0)
+    assert(frames.length == 5) // frames 0,2,4,6,8 of 10
+    assert(frames.head.toSeq == (0 until 10).map(_.toByte))
+    assert(frames(1).toSeq == (20 until 30).map(_.toByte))
+  }
+
+  test("feature extraction is deterministic and partitioning-independent") {
+    val df = assets()
+    val f1 = Multimodal.extractFeatures(df.repartition(1), "payload", "feat")
+      .select("asset_id", "feat").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f4 = Multimodal.extractFeatures(df.repartition(4), "payload", "feat")
+      .select("asset_id", "feat").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f4, "features must not depend on partitioning")
+    assert(f1(1L) == f1(2L), "identical payloads -> identical features")
+    assert(f1(1L) != f1(3L), "different payloads -> different features")
+    assert(f1.values.forall(_.length == 16))
+  }
+
+  test("decode stub: stable, payload-dependent, right shape") {
+    val a = Multimodal.decodeStub("abc".getBytes("UTF-8"), 8)
+    val b = Multimodal.decodeStub("abc".getBytes("UTF-8"), 8)
+    val c = Multimodal.decodeStub("abd".getBytes("UTF-8"), 8)
+    assert(a.toSeq == b.toSeq && a.toSeq != c.toSeq && a.length == 8)
+    assert(Multimodal.decodeStub(null, 4).toSeq == Seq(0f, 0f, 0f, 0f))
+  }
+
+  test("extracted features feed the existing similarity operators end-to-end") {
+    val df = assets()
+    val feats = Multimodal.extractFeatures(df, "payload", "feat")
+      .select(col("asset_id").as("vec_id"), col("feat").cast("array<double>").as("v"))
+    // identical payloads 1 and 2 must be each other's nearest neighbor
+    val topk = graft.ops.Similarity.bruteForceTopK(
+      feats, feats.where(col("vec_id") === 1L), "vec_id", "v", k = 2)
+    val neighbors = topk.orderBy("rank").select("corpus_id").collect().map(_.getLong(0)).toSeq
+    assert(neighbors.contains(2L), s"dup payload must be nearest, got $neighbors")
+  }
+}
