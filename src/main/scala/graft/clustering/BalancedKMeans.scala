@@ -215,4 +215,77 @@ class BalancedKMeans(override val uid: String)
   override def copy(extra: ParamMap): BalancedKMeans = defaultCopy(extra)
 }
 
-object BalancedKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[BalancedKMeans]
+object BalancedKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[BalancedKMeans] {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+
+  /** HARD capacity assignment: no cluster receives more than `maxSize`
+    * rows. Round r places each still-unplaced row at its r-th-choice
+    * cluster, keeping the `remaining-capacity` closest rows per cluster
+    * (windowed rank by distance — the distributed formulation of the
+    * reference's driver-side redistribution loop,
+    * ml/BalancedKMeans.scala:384-425). At most k rounds; each round is
+    * one window pass over the shrinking unplaced set plus a k-row
+    * capacity collect. Requires k * maxSize >= n.
+    */
+  def hardAssign(
+      df: DataFrame,
+      featuresCol: String,
+      centers: Array[Array[Double]],
+      kernel: graft.kernels.BregmanKernel,
+      maxSize: Long,
+      outputCol: String = "prediction"): DataFrame = {
+    val k = centers.length
+    require(k > 0, "no centers")
+    val sc = df.sparkSession.sparkContext
+    val bcC = sc.broadcast(centers)
+    val bcK = sc.broadcast(kernel)
+    // full preference list per row: clusters sorted by divergence
+    val prefUdf = udf { (xs: Seq[Double]) =>
+      val x = xs.toArray
+      bcC.value.indices.map(c => (bcK.value.divergence(x, bcC.value(c)), c))
+        .sortBy(identity).map { case (d, c) => (c, d) }
+    }
+    val (arr, arrCol) = FeatureCols.asArray(df, featuresCol)
+    var unplaced = arr
+      .withColumn("__id", monotonically_increasing_id())
+      .withColumn("__pref", prefUdf(col(arrCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val capacity = scala.collection.mutable.Map((0 until k).map(_ -> maxSize): _*)
+    var placed: DataFrame = null
+    var round = 0
+    while (round < k && !unplaced.isEmpty) {
+      val cand = unplaced
+        .withColumn("__c", col("__pref").getItem(round).getField("_1"))
+        .withColumn("__d", col("__pref").getItem(round).getField("_2"))
+      val capExpr = element_at(
+        array((0 until k).map(c => lit(capacity(c))): _*), col("__c") + 1)
+      val rank = row_number().over(Window.partitionBy(col("__c"))
+        .orderBy(col("__d"), col("__id")))
+      val ranked = cand.withColumn("__rk", rank)
+      val nowPlaced = ranked.where(col("__rk") <= capExpr)
+        .withColumn(outputCol, col("__c"))
+        .drop("__pref", "__c", "__d", "__rk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val counts = nowPlaced.groupBy(col(outputCol)).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      counts.foreach { case (c, n) => capacity(c) = capacity(c) - n }
+      placed = if (placed == null) nowPlaced else placed.union(nowPlaced)
+      val stillUnplaced = ranked.where(col("__rk") > capExpr)
+        .drop("__c", "__d", "__rk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      stillUnplaced.count()
+      unplaced.unpersist()
+      unplaced = stillUnplaced
+      round += 1
+    }
+    // infeasible leftovers (k*maxSize < n): first choice, documented
+    val result =
+      if (unplaced.isEmpty) placed
+      else placed.union(unplaced
+        .withColumn(outputCol, col("__pref").getItem(0).getField("_1"))
+        .drop("__pref"))
+    val dropCols = Seq("__id") ++ (if (arrCol != featuresCol) Seq(arrCol) else Nil)
+    result.drop(dropCols: _*)
+  }
+}

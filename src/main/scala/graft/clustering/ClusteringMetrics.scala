@@ -157,6 +157,67 @@ object ClusteringMetrics {
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
+  /** EXACT silhouette: full pairwise mean — a(i) = mean divergence to own-
+    * cluster co-members, b(i) = min over other clusters of mean divergence
+    * to that cluster's members, s(i) = (b-a)/max(a,b). O(n^2) by
+    * definition, so gated at `maxPoints` like every driver-local algorithm
+    * here (reference: ml/ClusteringMetrics.scala:156-252 — same cap).
+    * Asymmetric divergences use d(i,j) as computed (i's perspective),
+    * matching the reference. Assignment runs DISTRIBUTED; only the capped
+    * (features, cluster) pairs are collected.
+    */
+  def exactSilhouette(
+      df: DataFrame,
+      featuresCol: String,
+      kernel: BregmanKernel,
+      centers: Array[Array[Double]],
+      maxPoints: Int = 10000): Double = {
+    if (centers.length <= 1) return 0.0
+    val assigned = Assignment.assign(df, featuresCol, kernel, centers)
+      .select(col(featuresCol), col("cluster"))
+    val rows = assigned.limit(maxPoints + 1).collect()
+    require(rows.length <= maxPoints,
+      s"exact silhouette is O(n^2); input exceeds maxPoints=$maxPoints rows. " +
+        "Use the sampled center-proxy silhouette for larger data.")
+    val pts = rows.map(_.getSeq[Double](0).toArray)
+    val cl = rows.map(_.getInt(1))
+    val n = pts.length
+    if (n == 0) return 0.0
+    val k = centers.length
+    var total = 0.0
+    var counted = 0
+    var i = 0
+    while (i < n) {
+      val sums = new Array[Double](k)
+      val cnts = new Array[Int](k)
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          val d = kernel.divergence(pts(i), pts(j))
+          sums(cl(j)) += d
+          cnts(cl(j)) += 1
+        }
+        j += 1
+      }
+      val own = cl(i)
+      if (cnts(own) > 0) {
+        val a = sums(own) / cnts(own)
+        var b = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          if (c != own && cnts(c) > 0) b = math.min(b, sums(c) / cnts(c))
+          c += 1
+        }
+        if (b != Double.MaxValue) {
+          val m = math.max(a, b)
+          if (m > 0) { total += (b - a) / m; counted += 1 }
+        }
+      }
+      i += 1
+    }
+    if (counted == 0) 0.0 else total / counted
+  }
+
   /** Elbow curve: (k, wcss) for k in [minK, maxK]
     * (reference: ml/ClusteringMetrics.scala:254-285). The input is persisted
     * and counted ONCE here; every per-k sub-fit reuses it (skipping its own

@@ -100,7 +100,7 @@ class CoresetKMeans(override val uid: String)
       val ws = rows.map(_.getDouble(1))
       val init =
         if (pts.length <= $(k)) pts
-        else CenterInit.localKMeansPlusPlus(pts, ws, $(k), kern, $(seed))
+        else CenterInit.localKMeansPlusPlusBest(pts, ws, $(k), kern, $(seed))
       centers = LocalLloyds.run(pts, ws, $(k), kern, $(maxIter), $(tol), $(seed),
         initCenters = Some(init))
       coreIters = $(maxIter)

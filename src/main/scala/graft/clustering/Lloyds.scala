@@ -673,8 +673,45 @@ object CenterInit {
       val counts = assigned.groupBy("cluster").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val weights = cand.indices.map(i => counts.getOrElse(i, 0L).toDouble + 1.0).toArray
-      localKMeansPlusPlus(cand, weights, cfg.k, kernel, cfg.seed)
+      localKMeansPlusPlusBest(cand, weights, cfg.k, kernel, cfg.seed)
     }
+  }
+
+  /** Multi-restart pool seeding: run weighted k-means++ `restarts` times
+    * and keep the seeding with the lowest pool quantization cost. A single
+    * D^2 pass puts two seeds in one cluster with a few-percent probability
+    * even on well-separated data; restarts drive that to ~zero for free
+    * (driver-side, pool-sized work).
+    */
+  def localKMeansPlusPlusBest(
+      points: Array[Array[Double]],
+      weights: Array[Double],
+      k: Int,
+      kernel: BregmanKernel,
+      seed: Long,
+      restarts: Int = 5): Array[Array[Double]] = {
+    var best: Array[Array[Double]] = null
+    var bestCost = Double.MaxValue
+    var r = 0
+    while (r < math.max(1, restarts)) {
+      val cand = localKMeansPlusPlus(points, weights, k, kernel, seed + 1000L * r)
+      var cost = 0.0
+      var i = 0
+      while (i < points.length) {
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < cand.length) {
+          val d = kernel.divergence(points(i), cand(c))
+          if (d < bd) bd = d
+          c += 1
+        }
+        cost += bd * weights(i)
+        i += 1
+      }
+      if (cost < bestCost) { bestCost = cost; best = cand }
+      r += 1
+    }
+    best
   }
 
   /** Weighted k-means++ seeding on a driver-side candidate pool. */

@@ -84,7 +84,7 @@ class MiniBatchKMeans(override val uid: String)
     val pool = b0pts.take(poolN)
     val centers =
       if (pool.length <= $(k)) pool.map(_.clone())
-      else CenterInit.localKMeansPlusPlus(pool, b0w.take(poolN), $(k), kern, $(seed))
+      else CenterInit.localKMeansPlusPlusBest(pool, b0w.take(poolN), $(k), kern, $(seed))
     val counts = new Array[Double]($(k))
     val aggFn = udaf(new CentroidAggregator(dim))
 

@@ -35,7 +35,9 @@ class RobustKMeans(override val uid: String)
   def setOutlierFraction(v: Double): this.type = set(outlierFraction, v)
 
   final val outlierMode = new Param[String](this, "outlierMode",
-    "trim|m_estimator", ParamValidators.inArray(Array("trim", "m_estimator")))
+    "trim|m_estimator|noiseCluster (noiseCluster trains like trim but the " +
+      "model predicts -1 beyond the final trim threshold)",
+    ParamValidators.inArray(Array("trim", "m_estimator", "noiseCluster")))
   def getOutlierMode: String = $(outlierMode)
   def setOutlierMode(v: String): this.type = set(outlierMode, v)
 
@@ -84,14 +86,32 @@ class RobustKMeans(override val uid: String)
       val robustW: Column = $(outlierMode) match {
         case "m_estimator" =>
           when(col("dist") <= thr, userW).otherwise(userW * lit(thr) / col("dist"))
-        case _ =>
+        case _ => // trim and noiseCluster share the trimmed update
           when(col("dist") <= thr, userW).otherwise(lit(0.0))
       }
       val upd = Update.gradMean(assigned, arrCol, robustW, kern, dim)
       distHist += upd.distortion
-      val next = centers.indices.flatMap(upd.centers.get).toArray
+      // Noise-cluster cull: D^2-weighted init loves outliers, and a center
+      // ON an outlier can never be trimmed away (its own distance is 0).
+      // A cluster whose surviving weight is below outlierFraction*n is by
+      // definition noise-dominated — reseed it from the INLIER set so real
+      // structure reclaims the center. (tclust-style trimmed-k-means
+      // discipline; the reference's detector-per-iteration plays the same
+      // role, ml/RobustKMeans.scala:170-330.)
+      val noiseFloor = $(outlierFraction) * n
+      val dead = centers.indices.filter(i => upd.weights.getOrElse(i, 0.0) <= noiseFloor)
+      val next: Array[Array[Double]] =
+        if (dead.size == centers.length) centers.indices.flatMap(upd.centers.get).toArray
+        else if (dead.isEmpty) Array.tabulate(centers.length)(i => upd.centers(i))
+        else {
+          val inliers = assigned.where(col("dist") <= lit(thr))
+          val repl = dead.zip(CenterInit.samplePoints(
+            inliers, arrCol, dead.size, $(seed) + iter, math.max(1L, n))).toMap
+          Array.tabulate(centers.length)(i =>
+            if (repl.contains(i)) repl(i) else upd.centers.getOrElse(i, centers(i)))
+        }
       val movement =
-        if (next.length != centers.length) Double.MaxValue
+        if (next.length != centers.length || dead.nonEmpty) Double.MaxValue
         else centers.zip(next).map { case (a, b) =>
           math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
         }.max
@@ -99,9 +119,21 @@ class RobustKMeans(override val uid: String)
       iter += 1
       if (movement < $(tol)) converged = true
     }
+    // noiseCluster: freeze the FINAL trim threshold into the model so
+    // transform can emit prediction -1 for points beyond it
+    // (reference: ml/RobustKMeans.scala noiseCluster mode, prediction -1)
+    val noiseThr =
+      if ($(outlierMode) == "noiseCluster" && $(outlierFraction) > 0.0) {
+        val assigned = Assignment.assign(data, arrCol, kern, centers, $(assignmentStrategy))
+        assigned.agg(percentile_approx(col("dist"), lit(keepQuantile), lit(10000)))
+          .head().getDouble(0)
+      } else Double.NaN
     data.unpersist()
 
-    val model = new GeneralizedKMeansModel(uid, centers, $(divergence), $(smoothing))
+    val model =
+      if ($(outlierMode) == "noiseCluster")
+        new NoiseClusterKMeansModel(uid, centers, $(divergence), $(smoothing), noiseThr)
+      else new GeneralizedKMeansModel(uid, centers, $(divergence), $(smoothing))
     copyValues(model.setParent(this))
     model.trainingSummary = Some(TrainingSummary(
       "RobustKMeans", $(k), centers.length, dim, n, iter, converged,
@@ -156,3 +188,67 @@ object OutlierDetection {
 }
 
 object RobustKMeans extends org.apache.spark.ml.util.DefaultParamsReadable[RobustKMeans]
+
+/** Noise-cluster model: points whose min divergence exceeds the frozen
+  * trim threshold predict -1 (the noise cluster) instead of a center id.
+  */
+class NoiseClusterKMeansModel(
+    uid: String,
+    centers: Array[Array[Double]],
+    divergenceName0: String,
+    smoothingValue0: Double,
+    val noiseThreshold: Double)
+    extends GeneralizedKMeansModel(uid, centers, divergenceName0, smoothingValue0) {
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    val (df, arrCol) = FeatureCols.asArray(dataset.toDF(), $(featuresCol))
+    val kern = graft.kernels.KernelFactory(divergenceName, smoothingValue)
+    val tmpC = s"__${uid}_c"
+    val tmpD = s"__${uid}_d"
+    val assigned = Assignment.assign(df, arrCol, kern, clusterCenters,
+      getAssignmentStrategy, tmpC, tmpD)
+    val pred =
+      if (noiseThreshold.isNaN) col(tmpC)
+      else when(col(tmpD) > lit(noiseThreshold), lit(-1)).otherwise(col(tmpC))
+    val withPred = assigned.withColumn($(predictionCol), pred)
+    val withDist =
+      if ($(distanceCol).nonEmpty) withPred.withColumn($(distanceCol), col(tmpD))
+      else withPred
+    withDist.drop((Seq(tmpC, tmpD) ++
+      (if (arrCol != $(featuresCol)) Seq(arrCol) else Nil)): _*)
+  }
+
+  override def write: org.apache.spark.ml.util.MLWriter =
+    new NoiseClusterKMeansModel.Writer(this)
+}
+
+object NoiseClusterKMeansModel
+    extends org.apache.spark.ml.util.MLReadable[NoiseClusterKMeansModel] {
+  import org.apache.spark.ml.util.{MLReader, MLWriter}
+  import org.json4s._
+  import org.json4s.JsonDSL._
+
+  private[graft] class Writer(m: NoiseClusterKMeansModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      ModelIO.writeMeta(path, sparkSession, m,
+        ("divergence" -> m.divergenceName) ~ ("smoothing" -> m.smoothingValue) ~
+          ("noiseThreshold" -> m.noiseThreshold),
+        Seq("centers"))
+      ModelIO.writeMatrix(path, "centers", sparkSession, m.clusterCenters)
+    }
+  }
+
+  override def read: MLReader[NoiseClusterKMeansModel] = new MLReader[NoiseClusterKMeansModel] {
+    override def load(path: String): NoiseClusterKMeansModel = {
+      implicit val fmt: Formats = DefaultFormats
+      val (uid, paramMap, extra) = ModelIO.extract(ModelIO.readMeta(path, sparkSession))
+      val m = new NoiseClusterKMeansModel(uid,
+        ModelIO.readMatrix(path, "centers", sparkSession),
+        (extra \ "divergence").extract[String],
+        (extra \ "smoothing").extract[Double],
+        (extra \ "noiseThreshold").extract[Double])
+      GeneralizedKMeansModel.restoreParams(m, paramMap)
+      m
+    }
+  }
+}

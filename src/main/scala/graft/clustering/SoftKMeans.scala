@@ -230,6 +230,30 @@ class SoftKMeansModel(
   private def transform_(pdCol: Column): Column =
     org.apache.spark.sql.functions.transform(pdCol, s => s.getField("_1"))
 
+  /** Entropy-based effective cluster count: exp(H(p̄)) where p̄ is the
+    * average membership distribution over the data — k when memberships
+    * are uniform, ~1 when one cluster dominates.
+    * (reference: ml/SoftKMeansModel.scala:120-160 soft metrics.)
+    * One aggregation job: the probability vectors sum through the shared
+    * constant-size typed aggregator; entropy is k-element driver math.
+    */
+  def effectiveClusters(dataset: Dataset[_]): Double = {
+    val k = clusterCenters.length
+    val probs = transform(dataset).select(col($(probabilityCol)))
+    val aggFn = udaf(new CentroidAggregator(k))
+    val r = probs.agg(aggFn(col($(probabilityCol)), lit(1.0), lit(0.0)).as("r"))
+      .select(col("r._1"), col("r._2")).head()
+    val sums = r.getSeq[Double](0)
+    val n = r.getDouble(1)
+    if (n <= 0) return 0.0
+    var h = 0.0
+    sums.foreach { s =>
+      val p = s / n
+      if (p > 0) h -= p * math.log(p)
+    }
+    math.exp(h)
+  }
+
   /** Soft membership for a single driver-side point. */
   def predictSoft(x: Array[Double]): Array[Double] = {
     val k = clusterCenters.length

@@ -24,9 +24,16 @@ import org.apache.spark.storage.StorageLevel
   *    O(nnz) adds per row (a densify-first plan does O(d));
   *  - `auto` mode samples rows, estimates the density ratio and falls back
   *    to the dense engine when the data isn't actually sparse.
-  * Supported sparse divergences: squaredEuclidean, spherical (both depend
-  * on x only through <x,mu> and ||x||). Others densify (log-domain
-  * divergences genuinely need every coordinate).
+  * Supported sparse divergences: squaredEuclidean and spherical (depend on
+  * x only through <x,mu> and ||x||), plus KL and L1 via the zero-term
+  * decomposition D(x,mu) = Z(mu) + sum_nnz [f(x_j,mu_j) - f(0,mu_j)] with
+  * Z(mu) = sum_j f(0,mu_j) precomputed per center on the driver — EXACTLY
+  * the dense value in O(nnz) per row (reference:
+  * df/kernels/SparseBregmanKernel.scala:64-304 covers the same four).
+  * KL's update uses shifted gradients (grad(v) - grad(0)) so zero entries
+  * contribute literally nothing to the aggregation buffer yet the
+  * resulting centroid equals the dense gradient-mean centroid; L1's exact
+  * weighted median accounts for implicit zeros by weight arithmetic.
   */
 class SparseKMeans(override val uid: String)
     extends Estimator[GeneralizedKMeansModel] with GeneralizedKMeansParams
@@ -76,7 +83,8 @@ class SparseKMeans(override val uid: String)
     val df = dataset.toDF()
     val divName = $(divergence).trim.toLowerCase
     val sparseCapable = Seq("squaredeuclidean", "se", "euclidean", "l2",
-      "cosine", "spherical", "angular").contains(divName)
+      "cosine", "spherical", "angular",
+      "kl", "kullbackleibler", "l1", "manhattan", "kmedians").contains(divName)
     val density = if ($(sparseMode) == "auto") estimateDensity(df) else 0.0
     val useSparse = $(sparseMode) match {
       case "sparse" => true
@@ -98,17 +106,31 @@ class SparseKMeans(override val uid: String)
   private def fitSparse(df: DataFrame, t0: Long): GeneralizedKMeansModel = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
-    val spherical = Seq("cosine", "spherical", "angular").contains($(divergence).trim.toLowerCase)
+    val mode = $(divergence).trim.toLowerCase match {
+      case "cosine" | "spherical" | "angular" => "spherical"
+      case "kl" | "kullbackleibler"           => "kl"
+      case "l1" | "manhattan" | "kmedians"    => "l1"
+      case _                                  => "se"
+    }
+    val spherical = mode == "spherical"
+    val eps = $(smoothing)
 
     // decompose vectors ONCE into (indices, values); rows never densify
-    val toSparse = udf { (v: Vector) =>
-      v match {
-        case sv: SparseVector => (sv.size, sv.indices.toSeq, sv.values.toSeq)
-        case d =>
-          val idx = (0 until d.size).filter(d(_) != 0.0)
-          (d.size, idx, idx.map(d(_)))
+    val isVector = df.schema($(featuresCol)).dataType ==
+      org.apache.spark.ml.linalg.SQLDataTypes.VectorType
+    val toSparse =
+      if (isVector) udf { (v: Vector) =>
+        v match {
+          case sv: SparseVector => (sv.size, sv.indices.toSeq, sv.values.toSeq)
+          case d =>
+            val idx = (0 until d.size).filter(d(_) != 0.0)
+            (d.size, idx, idx.map(d(_)))
+        }
       }
-    }
+      else udf { (a: Seq[Double]) =>
+        val idx = a.indices.filter(a(_) != 0.0)
+        (a.length, idx, idx.map(a(_)))
+      }
     val data = df.select(toSparse(col($(featuresCol))).as("s"))
       .select(col("s._1").as("d"), col("s._2").as("idx"), col("s._3").as("vals"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -129,6 +151,7 @@ class SparseKMeans(override val uid: String)
     val sampled = data.select(col("idx"), col("vals"))
       .sample(withReplacement = false,
         math.min(1.0, 10.0 * poolSize / math.max(1L, n)), $(seed))
+      .orderBy(rand($(seed) + 7)) // de-bias the partition-prefix order
       .limit(poolSize).collect()
     var centers: Array[Array[Double]] = {
       val pool =
@@ -136,7 +159,7 @@ class SparseKMeans(override val uid: String)
          else data.select(col("idx"), col("vals")).limit(poolSize).collect())
           .map(r => densify(r.getSeq[Int](0), r.getSeq[Double](1)))
       if (pool.length <= $(k)) pool
-      else CenterInit.localKMeansPlusPlus(pool, Array.fill(pool.length)(1.0),
+      else CenterInit.localKMeansPlusPlusBest(pool, Array.fill(pool.length)(1.0),
         $(k), graft.kernels.KernelFactory($(divergence), $(smoothing)), $(seed))
     }
     if (spherical) centers = centers.map(SparseKMeans.l2normalize)
@@ -149,6 +172,13 @@ class SparseKMeans(override val uid: String)
     while (iter < $(maxIter) && !converged) {
       val bcC = sc.broadcast(centers)
       val bcN = sc.broadcast(centers.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s }))
+      // per-center zero terms for the nnz-only decomposition:
+      //   kl: Z_c = sum_j eps*log(eps/(mu_j+eps));  l1: Z_c = sum_j |mu_j|
+      val bcZ = sc.broadcast(mode match {
+        case "kl" => centers.map(c => c.map(m => eps * math.log(eps / (m + eps))).sum)
+        case "l1" => centers.map(c => c.map(math.abs).sum)
+        case _    => centers.map(_ => 0.0)
+      })
       val asgUdf = udf { (idx: Seq[Int], vals: Seq[Double]) =>
         val cs = bcC.value
         val cn = bcN.value
@@ -159,13 +189,38 @@ class SparseKMeans(override val uid: String)
         var bd = Double.MaxValue
         var c = 0
         while (c < cs.length) {
-          var dot = 0.0
-          var i = 0
-          while (i < idx.length) { dot += vals(i) * cs(c)(idx(i)); i += 1 }
-          // SE: 1/2(||x||^2 - 2<x,mu> + ||mu||^2); spherical: 1 - <x,mu>/(|x||mu|)
-          val d =
-            if (spherical) 1.0 - dot / math.max(1e-300, math.sqrt(x2) * math.sqrt(cn(c)))
-            else 0.5 * (x2 - 2.0 * dot + cn(c))
+          var d = 0.0
+          mode match {
+            case "spherical" =>
+              var dot = 0.0
+              var i = 0
+              while (i < idx.length) { dot += vals(i) * cs(c)(idx(i)); i += 1 }
+              d = 1.0 - dot / math.max(1e-300, math.sqrt(x2) * math.sqrt(cn(c)))
+            case "kl" =>
+              // Z_c + sum_nnz [(v+eps)log((v+eps)/(mu+eps)) - eps*log(eps/(mu+eps))]
+              d = bcZ.value(c)
+              var i = 0
+              while (i < idx.length) {
+                val m = cs(c)(idx(i)) + eps
+                val v = vals(i) + eps
+                d += v * math.log(v / m) - eps * math.log(eps / m)
+                i += 1
+              }
+            case "l1" =>
+              // Z_c + sum_nnz [|v - mu| - |mu|]
+              d = bcZ.value(c)
+              var i = 0
+              while (i < idx.length) {
+                val m = cs(c)(idx(i))
+                d += math.abs(vals(i) - m) - math.abs(m)
+                i += 1
+              }
+            case _ =>
+              var dot = 0.0
+              var i = 0
+              while (i < idx.length) { dot += vals(i) * cs(c)(idx(i)); i += 1 }
+              d = 0.5 * (x2 - 2.0 * dot + cn(c))
+          }
           if (d < bd) { bd = d; best = c }
           c += 1
         }
@@ -175,22 +230,43 @@ class SparseKMeans(override val uid: String)
         .withColumn("__b", asgUdf(col("idx"), col("vals")))
         .select(col("idx"), col("vals"),
           col("__b._1").as("cluster"), col("__b._2").as("dist"))
-      val rows = assigned.groupBy(col("cluster"))
-        .agg(agg(col("idx"), col("vals"), col("dist")).as("r"))
-        .select(col("cluster"), col("r._1").as("vsum"), col("r._2").as("cnt"), col("r._3").as("dsum"))
-        .collect()
 
       var distortion = 0.0
       val updated = scala.collection.mutable.Map[Int, Array[Double]]()
-      rows.foreach { r =>
-        val cid = r.getInt(0)
-        val vsum = r.getSeq[Double](1).toArray
-        val cnt = r.getDouble(2)
-        distortion += r.getDouble(3)
-        if (cnt > 0) {
-          var i = 0
-          while (i < vsum.length) { vsum(i) /= cnt; i += 1 }
-          updated(cid) = if (spherical) SparseKMeans.l2normalize(vsum) else vsum
+      if (mode == "l1") {
+        // EXACT per-dimension weighted median including the implicit zeros:
+        // nnz rows explode to (cluster, d, v, w=1); each (cluster, d) also
+        // gets a synthetic v=0 row of weight n_c - nnzCount. Dims with no
+        // nonzero anywhere in a cluster stay 0 (the majority value).
+        distortion += medianUpdateSparse(assigned, dim, updated)
+      } else {
+        // kl aggregates SHIFTED gradients grad(v)-grad(0) = log((v+eps)/eps)
+        // so implicit zeros add exactly nothing to the buffer; the centroid
+        // eps*exp(buffer/n) equals the dense gradient-mean centroid.
+        val aggInput =
+          if (mode == "kl")
+            assigned.withColumn("vals",
+              transform(col("vals"),
+                v => org.apache.spark.sql.functions.log((v + lit(eps)) / lit(eps))))
+          else assigned
+        val rows = aggInput.groupBy(col("cluster"))
+          .agg(agg(col("idx"), col("vals"), col("dist")).as("r"))
+          .select(col("cluster"), col("r._1").as("vsum"), col("r._2").as("cnt"), col("r._3").as("dsum"))
+          .collect()
+        rows.foreach { r =>
+          val cid = r.getInt(0)
+          val vsum = r.getSeq[Double](1).toArray
+          val cnt = r.getDouble(2)
+          distortion += r.getDouble(3)
+          if (cnt > 0) {
+            var i = 0
+            if (mode == "kl") {
+              while (i < vsum.length) { vsum(i) = eps * math.exp(vsum(i) / cnt); i += 1 }
+            } else {
+              while (i < vsum.length) { vsum(i) /= cnt; i += 1 }
+            }
+            updated(cid) = if (spherical) SparseKMeans.l2normalize(vsum) else vsum
+          }
         }
       }
       distHist += distortion
@@ -211,6 +287,52 @@ class SparseKMeans(override val uid: String)
       "SparseKMeans", $(k), centers.length, dim, n, iter, converged,
       distHist.result(), Nil, $(divergence), System.currentTimeMillis() - t0))
     model
+  }
+
+  /** Exact sparse K-medians update: per-(cluster, dim) weighted median
+    * over nnz values UNION one synthetic zero row weighted by the count of
+    * implicit zeros. Returns the distortion; fills `updated` (dims with no
+    * entry stay 0.0, the correct all-zero median).
+    */
+  private def medianUpdateSparse(
+      assigned: DataFrame,
+      dim: Int,
+      updated: scala.collection.mutable.Map[Int, Array[Double]]): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("dsum"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val k = totals.keys.max + 1
+    val nArr = Array.tabulate(k)(c => totals.get(c).map(_._1).getOrElse(0L))
+    val nExpr = element_at(array(nArr.map(lit(_)): _*), col("cluster") + 1)
+
+    val nz = assigned
+      .select(col("cluster"), explode(arrays_zip(col("idx"), col("vals"))).as("e"))
+      .select(col("cluster"), col("e.idx").as("d"), col("e.vals").as("v"))
+      .groupBy(col("cluster"), col("d"), col("v")).agg(count(lit(1)).cast("double").as("w"))
+    val zeros = nz.groupBy(col("cluster"), col("d"))
+      .agg(sum(col("w")).as("m"))
+      .select(col("cluster"), col("d"), lit(0.0).as("v"), (nExpr - col("m")).as("w"))
+      .where(col("w") > 0)
+    val all = nz.unionByName(zeros)
+    val part = Window.partitionBy(col("cluster"), col("d"))
+    val medians = all
+      .withColumn("cw", sum(col("w")).over(part.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("w")).over(part))
+      .where(col("cw") >= col("tw") / 2)
+      .groupBy(col("cluster"), col("d"))
+      .agg(min(col("v")).as("med"))
+      .collect()
+    medians.foreach { r =>
+      val c = updated.getOrElseUpdate(r.getInt(0), new Array[Double](dim))
+      c(r.getInt(1)) = r.getDouble(2)
+    }
+    // clusters whose every nnz dim resolved to median 0 still need a center
+    totals.foreach { case (cid, (n, _)) =>
+      if (n > 0 && !updated.contains(cid)) updated(cid) = new Array[Double](dim)
+    }
+    totals.values.map(_._2).sum
   }
 
   override def transformSchema(schema: StructType): StructType = {

@@ -119,7 +119,7 @@ class SpectralClustering(override val uid: String)
     val ones = Array.fill(n)(1.0)
     val init =
       if (n <= $(k)) emb
-      else CenterInit.localKMeansPlusPlus(emb, ones, $(k), se, $(seed))
+      else CenterInit.localKMeansPlusPlusBest(emb, ones, $(k), se, $(seed))
     val centers = LocalLloyds.run(emb, ones, $(k), se, $(maxIter), $(tol), $(seed),
       initCenters = Some(init))
     val model = new ExactSpectralModel(uid, centers, pts, emb)

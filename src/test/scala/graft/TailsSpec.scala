@@ -1,0 +1,158 @@
+package graft
+
+import graft.clustering._
+import graft.kernels.SquaredEuclideanKernel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** r3 verdict tail items: noise-cluster mode, exact silhouette, soft
+  * effective clusters, hard capacity assignment, sparse KL/L1 paths.
+  */
+class TailsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  def blobs(perBlob: Int = 60, seed: Int = 7): DataFrame = {
+    val rnd = new java.util.Random(seed)
+    val centers = Seq((0.0, 0.0), (10.0, 10.0), (-10.0, 8.0))
+    val pts = for {
+      ((cx, cy), label) <- centers.zipWithIndex
+      _ <- 1 to perBlob
+    } yield (Seq(cx + rnd.nextGaussian() * 0.5, cy + rnd.nextGaussian() * 0.5), label)
+    pts.toDF("features", "label")
+  }
+
+  test("RobustKMeans noiseCluster mode predicts -1 for outliers") {
+    val outliers = Seq(Seq(100.0, 100.0), Seq(-80.0, 90.0)).map((_, -1))
+    val df = blobs().union(outliers.toDF("features", "label")).cache()
+    val m = new RobustKMeans().setK(3).setOutlierMode("noiseCluster")
+      .setOutlierFraction(0.02).setSeed(42).setMaxIter(10).fit(df)
+    assert(m.isInstanceOf[NoiseClusterKMeansModel])
+    val preds = m.transform(df).select("features", "prediction").collect()
+    val outlierPreds = preds.filter(r => r.getSeq[Double](0).head > 50 || r.getSeq[Double](0).head < -50)
+      .map(_.getInt(1))
+    assert(outlierPreds.forall(_ == -1), s"planted outliers must predict -1, got ${outlierPreds.toSeq}")
+    val inlierPreds = preds.filter(r => math.abs(r.getSeq[Double](0).head) < 50).map(_.getInt(1))
+    assert(inlierPreds.count(_ == -1) < inlierPreds.length * 0.1,
+      "inliers must overwhelmingly get real clusters")
+    df.unpersist()
+  }
+
+  test("NoiseClusterKMeansModel persistence round-trips the threshold") {
+    val df = blobs()
+    val m = new RobustKMeans().setK(3).setOutlierMode("noiseCluster")
+      .setOutlierFraction(0.05).setSeed(42).setMaxIter(5).fit(df)
+      .asInstanceOf[NoiseClusterKMeansModel]
+    val dir = java.nio.file.Files.createTempDirectory("graft-noise").toFile
+    dir.deleteOnExit()
+    val p = new java.io.File(dir, "m").getAbsolutePath
+    m.write.overwrite().save(p)
+    val loaded = NoiseClusterKMeansModel.read.load(p)
+    assert(loaded.noiseThreshold == m.noiseThreshold)
+    val a = m.transform(df).select("prediction").collect().map(_.getInt(0)).toSeq
+    val b = loaded.transform(df).select("prediction").collect().map(_.getInt(0)).toSeq
+    assert(a == b)
+  }
+
+  test("exact silhouette: hand-computed value on a 4-point layout") {
+    // two tight pairs far apart; SE divergence (with the 1/2 factor)
+    val pts = Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(10.0, 0.0), Seq(11.0, 0.0))
+    val df = pts.toDF("features")
+    val centers = Array(Array(0.5, 0.0), Array(10.5, 0.0))
+    val s = ClusteringMetrics.exactSilhouette(df, "features", new SquaredEuclideanKernel, centers)
+    // point 0: a = D(0,1) = 0.5; b = (D(0,2)+D(0,3))/2 = (50+60.5)/2 = 55.25
+    // s0 = (55.25-0.5)/55.25; symmetric for all 4 points by construction
+    val a0 = 0.5
+    val b0 = (50.0 + 60.5) / 2
+    val expected0 = (b0 - a0) / b0
+    val a1 = 0.5
+    val b1 = (40.5 + 50.0) / 2
+    val expected1 = (b1 - a1) / b1
+    val expected = (2 * expected0 + 2 * expected1) / 4
+    assert(math.abs(s - expected) < 1e-9, s"silhouette $s vs $expected")
+  }
+
+  test("exact silhouette: high on separated blobs, refuses above cap") {
+    val df = blobs()
+    val m = new GeneralizedKMeans().setK(3).setSeed(42).setMaxIter(10).fit(df)
+    val s = ClusteringMetrics.exactSilhouette(df, "features",
+      new SquaredEuclideanKernel, m.clusterCenters)
+    assert(s > 0.8, s"separated blobs silhouette $s")
+    val e = intercept[IllegalArgumentException] {
+      ClusteringMetrics.exactSilhouette(df, "features",
+        new SquaredEuclideanKernel, m.clusterCenters, maxPoints = 10)
+    }
+    assert(e.getMessage.contains("O(n^2)"))
+  }
+
+  test("soft effective clusters: ~k on balanced blobs, ~1 when one dominates") {
+    val df = blobs().cache()
+    val m = new SoftKMeans().setK(3).setBeta(5.0).setSeed(42).setMaxIter(8).fit(df)
+    val eff = m.effectiveClusters(df)
+    assert(eff > 2.5 && eff <= 3.0 + 1e-9, s"balanced effective clusters $eff")
+    // score only one blob: memberships concentrate on one component
+    val one = df.where(col("label") === 0)
+    val eff1 = m.effectiveClusters(one)
+    assert(eff1 < 1.5, s"single-blob effective clusters $eff1")
+    df.unpersist()
+  }
+
+  test("hard capacity assignment never exceeds the quota") {
+    val rnd = new java.util.Random(5)
+    val big = (1 to 300).map(_ => Seq(rnd.nextGaussian() * 2.0, rnd.nextGaussian() * 2.0))
+    val small = (1 to 60).map(_ => Seq(6.0 + rnd.nextGaussian() * 0.5, rnd.nextGaussian() * 0.5))
+    val df = (big ++ small).toDF("features").cache()
+    val m = new GeneralizedKMeans().setK(2).setSeed(8).setMaxIter(10).fit(df)
+    val hard = BalancedKMeans.hardAssign(df, "features", m.clusterCenters,
+      new SquaredEuclideanKernel, maxSize = 200)
+    val sizes = hard.groupBy("prediction").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 200), s"sizes ${sizes.toSeq} exceed the 200 cap")
+    assert(sizes.sum == 360)
+    df.unpersist()
+  }
+
+  test("sparse KL recovers disjoint-support positive blobs without densifying") {
+    val rnd = new java.util.Random(3)
+    val d = 500
+    // group A: support 0..9, group B: support 250..259 (positive values)
+    def row(base: Int) = {
+      val idx = (0 until 10).map(base + _)
+      (idx.map(_.toDouble), idx.map(_ => 1.0 + rnd.nextDouble()))
+    }
+    val rows = (1 to 40).map(_ => row(0)) ++ (1 to 40).map(_ => row(250))
+    val df = rows.map { case (i, v) =>
+      val arr = new Array[Double](d)
+      i.zip(v).foreach { case (ii, vv) => arr(ii.toInt) = vv }
+      arr.toSeq
+    }.toDF("features")
+    val m = new SparseKMeans().setK(2).setDivergence("kl").setSparseMode("sparse")
+      .setSeed(42).setMaxIter(10).fit(df)
+    val preds = m.transform(df).select("prediction").collect().map(_.getInt(0))
+    assert(preds.take(40).distinct.length == 1 && preds.drop(40).distinct.length == 1)
+    assert(preds.head != preds.last, "support groups must separate")
+    assert(m.clusterCenters.flatten.forall(_ >= 0.0), "KL centers stay non-negative")
+  }
+
+  test("sparse L1 centers are exact per-dimension medians including implicit zeros") {
+    val d = 100
+    // one tight support group; dim 0 values [1,1,3,5,5] -> median 3;
+    // dim 1 only 2 of 5 rows nonzero -> median 0 (zeros majority)
+    val rowVals = Seq(
+      Seq((0, 1.0), (1, 7.0)),
+      Seq((0, 1.0), (1, 9.0)),
+      Seq((0, 3.0)),
+      Seq((0, 5.0)),
+      Seq((0, 5.0)))
+    // second cluster far away on dims 50/51 so k=2 separates trivially
+    val rowVals2 = (1 to 5).map(_ => Seq((50, 100.0), (51, 100.0)))
+    val mk = (entries: Seq[(Int, Double)]) => {
+      val a = new Array[Double](d); entries.foreach { case (i, v) => a(i) = v }; a.toSeq
+    }
+    val df = (rowVals ++ rowVals2).map(mk).toDF("features")
+    val m = new SparseKMeans().setK(2).setDivergence("l1").setSparseMode("sparse")
+      .setSeed(42).setMaxIter(6).fit(df)
+    val centerA = m.clusterCenters.minBy(_(50)) // the cluster NOT at 100
+    assert(centerA(0) == 3.0, s"dim0 median ${centerA(0)} != 3.0")
+    assert(centerA(1) == 0.0, s"dim1 median ${centerA(1)} != 0.0 (zeros majority)")
+  }
+}
