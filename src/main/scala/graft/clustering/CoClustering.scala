@@ -49,6 +49,14 @@ class CoClustering(override val uid: String)
   def setDivergence(v: String): this.type = set(divergence, v)
   def setSeed(v: Long): this.type = set(seed, v)
 
+  final val localMatrixMax = new IntParam(this, "localMatrixMax",
+    "matrices with at most this many entries run the whole alternation on " +
+      "the driver off one collect (the distributed path pays ~6 shuffle " +
+      "jobs per iteration, pure scheduler overhead on small matrices)",
+    ParamValidators.gtEq(0))
+  def setLocalMatrixMax(v: Int): this.type = set(localMatrixMax, v)
+  setDefault(localMatrixMax -> 2000000)
+
   override def fit(dataset: Dataset[_]): CoClusteringModel = {
     val t0 = System.currentTimeMillis()
     val df = dataset.toDF()
@@ -56,7 +64,12 @@ class CoClustering(override val uid: String)
         col($(colIndexCol)).cast("long").as("__c"),
         col($(valueCol)).cast("double").as("__v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
+    val nEntries = df.count()
+    if (nEntries <= $(localMatrixMax)) {
+      val m = fitLocal(df, t0)
+      df.unpersist()
+      return m
+    }
     val kr = $(numRowClusters)
     val kc = $(numColClusters)
     val sf = CoClustering.scalarF($(divergence))
@@ -125,6 +138,129 @@ class CoClustering(override val uid: String)
     val model = new CoClusteringModel(uid,
       rowAssign.withColumnRenamed("__r", "index").withColumnRenamed("__rc", "cluster"),
       colAssign.withColumnRenamed("__c", "index").withColumnRenamed("__cc", "cluster"),
+      centers)
+    copyValues(model.setParent(this))
+    model.trainingObjective = objective
+    model.trainingIterations = iter
+    model.trainingMillis = System.currentTimeMillis() - t0
+    model
+  }
+
+  /** Driver-local alternation for driver-sized matrices: the same math as
+    * the distributed path (deterministic hash init, scalar-Bregman
+    * objective, reseed-on-empty by splitting the largest) with zero
+    * per-iteration Spark jobs.
+    */
+  private def fitLocal(df: DataFrame, t0: Long): CoClusteringModel = {
+    val spark = df.sparkSession
+    val rows = df.collect()
+    val kr = $(numRowClusters)
+    val kc = $(numColClusters)
+    val sf = CoClustering.scalarF($(divergence))
+    val rIds = rows.map(_.getLong(0)).distinct.sorted
+    val cIds = rows.map(_.getLong(1)).distinct.sorted
+    val rPos = rIds.zipWithIndex.toMap
+    val cPos = cIds.zipWithIndex.toMap
+    val tr = rows.map(r => (rPos(r.getLong(0)), cPos(r.getLong(1)), r.getDouble(2)))
+    val rnd = new java.util.Random($(seed))
+    val rc = rIds.map(id => (math.floorMod(scala.util.hashing.MurmurHash3.productHash(
+      (id, $(seed))), kr)))
+    val cc = cIds.map(id => (math.floorMod(scala.util.hashing.MurmurHash3.productHash(
+      (id, $(seed) + 1)), kc)))
+    var centers = Array.ofDim[Double](kr, kc)
+    var objective = Double.MaxValue
+    var prevObjective = Double.MaxValue
+    var iter = 0
+    var converged = false
+
+    def blocksPass(): Double = {
+      val s = Array.ofDim[Double](kr, kc)
+      val n = Array.ofDim[Long](kr, kc)
+      var fs = 0.0
+      tr.foreach { case (r, c, v) =>
+        s(rc(r))(cc(c)) += v; n(rc(r))(cc(c)) += 1; fs += sf.f(v)
+      }
+      var obj = fs
+      for (a <- 0 until kr; b <- 0 until kc) {
+        if (n(a)(b) > 0) {
+          val mu = s(a)(b) / n(a)(b)
+          centers(a)(b) = mu
+          obj += -n(a)(b) * sf.f(mu) - sf.fp(mu) * (s(a)(b) - n(a)(b) * mu)
+        } else centers(a)(b) = $(regularization)
+      }
+      obj
+    }
+
+    def updateSide(
+        ownAssign: Array[Int], otherAssign: Array[Int], kOwn: Int, kOther: Int,
+        entriesByOwn: Array[Array[(Int, Double)]], muAt: (Int, Int) => Double): Unit = {
+      val aMat = Array.tabulate(kOwn, kOther) { (o, c) =>
+        val mu = muAt(o, c); -sf.f(mu) + sf.fp(mu) * mu
+      }
+      val bMat = Array.tabulate(kOwn, kOther) { (o, c) => -sf.fp(muAt(o, c)) }
+      var i = 0
+      while (i < ownAssign.length) {
+        val stats = new Array[Double](2 * kOther) // n, s per other cluster
+        entriesByOwn(i).foreach { case (oc, v) =>
+          stats(oc) += 1.0; stats(kOther + oc) += v
+        }
+        var best = 0; var bd = Double.MaxValue
+        var o = 0
+        while (o < kOwn) {
+          var cost = 0.0
+          var c = 0
+          while (c < kOther) {
+            cost += stats(c) * aMat(o)(c) + stats(kOther + c) * bMat(o)(c)
+            c += 1
+          }
+          if (cost < bd) { bd = cost; best = o }
+          o += 1
+        }
+        ownAssign(i) = best
+        i += 1
+      }
+      // reseed empties by splitting the largest (same rule as distributed)
+      val sizes = new Array[Int](kOwn)
+      ownAssign.foreach(sizes(_) += 1)
+      val empties = (0 until kOwn).filter(sizes(_) == 0)
+      if (empties.nonEmpty) {
+        val largest = sizes.indices.maxBy(sizes)
+        val targets = (largest +: empties).toArray
+        var j = 0
+        while (j < ownAssign.length) {
+          if (ownAssign(j) == largest) ownAssign(j) = targets(rnd.nextInt(targets.length))
+          j += 1
+        }
+      }
+    }
+
+    // pre-index entries by row and by col (entries store the OTHER side's
+    // assignment lookup at use time via the closure over rc/cc arrays)
+    val byRow = Array.fill(rIds.length)(scala.collection.mutable.ArrayBuffer[(Int, Double)]())
+    val byCol = Array.fill(cIds.length)(scala.collection.mutable.ArrayBuffer[(Int, Double)]())
+    tr.foreach { case (r, c, v) => byRow(r) += ((c, v)); byCol(c) += ((r, v)) }
+
+    while (iter < $(maxIter) && !converged) {
+      objective = blocksPass()
+      if (prevObjective != Double.MaxValue &&
+          math.abs(prevObjective - objective) <= $(tolerance) * math.abs(prevObjective)) {
+        converged = true
+      } else {
+        prevObjective = objective
+        updateSide(rc, cc, kr, kc,
+          byRow.map(_.map { case (c, v) => (cc(c), v) }.toArray),
+          (o, c) => centers(o)(c))
+        updateSide(cc, rc, kc, kr,
+          byCol.map(_.map { case (r, v) => (rc(r), v) }.toArray),
+          (o, c) => centers(c)(o))
+        iter += 1
+      }
+    }
+
+    import spark.implicits._
+    val model = new CoClusteringModel(uid,
+      rIds.zip(rc).toSeq.toDF("index", "cluster"),
+      cIds.zip(cc).toSeq.toDF("index", "cluster"),
       centers)
     copyValues(model.setParent(this))
     model.trainingObjective = objective

@@ -130,6 +130,10 @@ class GeneralizedKMeans(override val uid: String)
   private[graft] var reuseCachedInput: Boolean = false
   private[graft] var knownN: Option[Long] = None
 
+  /** Optional typed training-event sink (reference: df/SummarySink.scala). */
+  @transient private var eventSink: SummarySink = SummarySink.Silent
+  def setEventSink(s: SummarySink): this.type = { eventSink = s; this }
+
   def setK(v: Int): this.type = set(k, v)
   def setDivergence(v: String): this.type = set(divergence, v)
   def setSmoothing(v: Double): this.type = set(smoothing, v)
@@ -161,7 +165,8 @@ class GeneralizedKMeans(override val uid: String)
       weightCol = get(weightCol).filter(_.nonEmpty),
       validate = !reuseCachedInput,
       knownNumPoints = knownN,
-      managePersistence = !reuseCachedInput)
+      managePersistence = !reuseCachedInput,
+      sink = eventSink)
     val keep = (Seq(arrCol) ++ get(weightCol).filter(_.nonEmpty)).distinct
     val useElkan = $(assignmentStrategy) == "elkan" && kern.isInstanceOf[SquaredEuclideanKernel]
     val result =

@@ -40,7 +40,10 @@ case class LloydsConfig(
     knownDim: Option[Int] = None,
     knownNumPoints: Option[Long] = None,
     // Caller already persisted the input (sub-runs): skip persist/unpersist.
-    managePersistence: Boolean = true)
+    managePersistence: Boolean = true,
+    // Typed training-event stream (IterationStarted/Completed, empty-
+    // cluster + convergence events); Silent by default.
+    sink: SummarySink = SummarySink.Silent)
 
 case class LloydsResult(
     centers: Array[Array[Double]],
@@ -401,23 +404,18 @@ object LloydsIterator {
     val spark = df.sparkSession
     val data = if (cfg.managePersistence) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val numPoints = cfg.knownNumPoints.getOrElse(data.count())
-    require(numPoints > 0, "empty input")
+    if (numPoints <= 0) throw new GKMException(GKMError.EmptyInput("LloydsIterator"))
     val dim = cfg.knownDim.getOrElse(
       data.select(col(cfg.featuresCol)).head().getSeq[Double](0).length)
-    // Fit-time domain validation on a sample, like the reference
-    // (reference: df/ClusteringOps.scala:170-182): catches e.g. negative
-    // inputs under KL/IS before they produce NaN centers.
-    val sample =
-      if (cfg.validate) data.select(col(cfg.featuresCol)).limit(1000).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    sample.foreach { r =>
-      val x = r.getSeq[Double](0).toArray
-      require(x.length == dim,
-        s"inconsistent dimension: expected $dim, found ${x.length}")
-      require(cfg.kernel.validate(x),
-        s"input point ${x.take(8).mkString("[", ",", if (x.length > 8) ",...]" else "]")} " +
-          s"violates the domain of divergence '${cfg.kernel.name}' " +
-          "(e.g. KL/Itakura-Saito/generalized-I require non-negative values, logistic requires [0,1])")
+    // Fit-time validation on a sample through the typed validator chain
+    // (reference: df/ClusteringOps.scala:170-182 + df/Validator.scala):
+    // catches NaN/ragged/out-of-domain inputs before they produce NaN
+    // centers, with remediation text in the raised GKMException.
+    if (cfg.validate) {
+      val sample = data.select(col(cfg.featuresCol)).limit(1000).collect()
+        .map(_.getSeq[Double](0).toArray)
+      Validators.validateSample(sample, Validators.forKernel(cfg.kernel, dim), dim)
+        .foreach(e => throw new GKMException(e))
     }
     val wCol: Column = cfg.weightCol.map(col).getOrElse(lit(1.0))
 
@@ -429,6 +427,7 @@ object LloydsIterator {
     val isMedian = cfg.kernel.isInstanceOf[L1Kernel]
 
     while (iter < cfg.maxIter && !converged) {
+      cfg.sink.emit(TrainingEvent.IterationStarted(iter))
       val assigned = Assignment.assign(data, cfg.featuresCol, cfg.kernel, centers, cfg.assignmentStrategy)
       val upd =
         if (isMedian) Update.median(assigned, cfg.featuresCol, wCol, dim)
@@ -438,6 +437,7 @@ object LloydsIterator {
       // (reference: df/strategies/EmptyClusterHandler.scala:41-93, with the
       // self-comparing guard at line 57 fixed — we compare against cfg.k).
       val missing = (0 until centers.length).filterNot(upd.centers.contains)
+      if (missing.nonEmpty) cfg.sink.emit(TrainingEvent.EmptyClustersDetected(iter, missing))
       val newCenters: Array[Array[Double]] =
         if (missing.isEmpty) {
           Array.tabulate(centers.length)(i => upd.centers(i))
@@ -446,6 +446,7 @@ object LloydsIterator {
         } else {
           val replacements = CenterInit.samplePoints(data, cfg.featuresCol, missing.size, cfg.seed + iter, numPoints)
           val repl = missing.zip(replacements).toMap
+          cfg.sink.emit(TrainingEvent.ReseedPerformed(iter, missing))
           Array.tabulate(centers.length)(i =>
             upd.centers.getOrElse(i, repl.getOrElse(i, centers(i))))
         }
@@ -468,9 +469,13 @@ object LloydsIterator {
         }
       distHist += upd.distortion
       moveHist += movement
+      cfg.sink.emit(TrainingEvent.IterationCompleted(iter, upd.distortion, movement))
       centers = newCenters
       iter += 1
-      if (movement < cfg.tol) converged = true
+      if (movement < cfg.tol) {
+        converged = true
+        cfg.sink.emit(TrainingEvent.ConvergenceDetected(iter, movement))
+      }
     }
     if (cfg.managePersistence) data.unpersist()
     LloydsResult(centers, iter, converged, distHist.result(), moveHist.result(), numPoints)
