@@ -81,6 +81,28 @@ object Assignment {
     */
   val ChunkMaxElems: Long = 16L * 1024 * 1024
 
+  /** Executor-memory-probed chunk budget: at most 1/16 of the configured
+    * executor heap per chunk of broadcast centers, capped by
+    * [[ChunkMaxElems]] (reference: impl/AdaptiveBroadcastAssignment.scala
+    * picks chunk size from an executor memory estimate).
+    */
+  def chunkElemsBudget(spark: org.apache.spark.sql.SparkSession): Long = {
+    val bytes = parseMemory(
+      spark.conf.getOption("spark.executor.memory").getOrElse("4g"))
+    math.min(ChunkMaxElems, math.max(1L << 20, bytes / 8 / 16))
+  }
+
+  private[graft] def parseMemory(s: String): Long = {
+    val t = s.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+      else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else if (t.endsWith("t")) (t.dropRight(1), 1L << 40)
+      else (t, 1L)
+    (num.toDouble * mult).toLong
+  }
+
   def assign(
       df: DataFrame,
       featuresCol: String,
@@ -91,6 +113,8 @@ object Assignment {
       distCol: String = "dist"): DataFrame = {
     if (strategy == "elkan" && kernel.isInstanceOf[SquaredEuclideanKernel])
       return ElkanAssignment.assign(df, featuresCol, centers, clusterCol, distCol)
+    if (strategy == "crossjoin")
+      return assignCrossJoin(df, featuresCol, kernel, centers, clusterCol, distCol)
     val dim = centers.headOption.map(_.length).getOrElse(0)
     val elems = centers.length.toLong * dim
     val useExpr = strategy match {
@@ -101,7 +125,8 @@ object Assignment {
     if (useExpr && centers.forall(c => kernel.distExpr(col(featuresCol), c).isDefined))
       assignExpr(df, featuresCol, kernel, centers, clusterCol, distCol)
     else if (strategy == "chunked" || (strategy != "broadcast" && elems > ChunkMaxElems)) {
-      val perChunk = math.max(1, (ChunkMaxElems / math.max(1, dim)).toInt)
+      val budget = chunkElemsBudget(df.sparkSession)
+      val perChunk = math.max(1, (budget / math.max(1, dim)).toInt)
       assignChunked(df, featuresCol, kernel, centers, perChunk, clusterCol, distCol)
     } else assignBroadcast(df, featuresCol, kernel, centers, clusterCol, distCol)
   }
@@ -147,6 +172,45 @@ object Assignment {
       .withColumn(clusterCol, col(s"$tmp._2"))
       .withColumn(distCol, col(s"$tmp._1"))
       .drop(tmp)
+  }
+
+  /** Join-based assignment: broadcast-hash-join the k-row centers frame
+    * against the data, then a `min_by` hash aggregate picks each row's
+    * best center (reference: df/strategies/impl/SECrossJoinAssignment
+    * .scala:17-74 — the reference sorts a Window over ALL input columns +
+    * row_number; min_by makes it a hash-agg top-1, no sort). The struct
+    * (dist, cid) ordering keeps the lowest-index tie-break identical to
+    * the broadcast path. All original columns ride through the
+    * aggregation via first().
+    */
+  def assignCrossJoin(
+      df: DataFrame,
+      featuresCol: String,
+      kernel: BregmanKernel,
+      centers: Array[Array[Double]],
+      clusterCol: String = "cluster",
+      distCol: String = "dist"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bk = sc.broadcast(kernel)
+    val rowId = s"__${clusterCol}_rid"
+    val withId = df.withColumn(rowId, monotonically_increasing_id())
+    val centersDf = broadcast(
+      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("__cid", "__cv"))
+    val distUdf = udf { (xs: Seq[Double], cv: Seq[Double]) =>
+      bk.value.divergence(xs.toArray, cv.toArray)
+    }
+    val joined = withId.crossJoin(centersDf)
+      .withColumn("__cd", distUdf(col(featuresCol), col("__cv")))
+    val originals = df.columns
+    val aggs =
+      originals.map(c => first(col(c)).as(c)) :+
+        min_by(struct(col("__cid"), col("__cd")), struct(col("__cd"), col("__cid"))).as("__best")
+    joined.groupBy(col(rowId)).agg(aggs.head, aggs.tail: _*)
+      .withColumn(clusterCol, col("__best.__cid"))
+      .withColumn(distCol, col("__best.__cd"))
+      .drop(rowId, "__best")
   }
 
   def assignExpr(

@@ -50,23 +50,31 @@ class XMeans(override val uid: String)
     require($(minK) <= $(maxK), s"minK=${$(minK)} must be <= maxK=${$(maxK)}")
     val df = dataset.toDF().persist(StorageLevel.MEMORY_AND_DISK)
     val n = df.count()
-    var best: GeneralizedKMeansModel = null
-    var bestS = Double.MaxValue
-    for (kTry <- $(minK) to $(maxK)) {
-      val est = new GeneralizedKMeans(s"${uid}_k$kTry")
-        .setK(kTry).setDivergence($(divergence)).setSmoothing($(smoothing))
-        .setMaxIter($(maxIter)).setTol($(tol)).setSeed($(seed))
-        .setFeaturesCol($(featuresCol)).setPredictionCol($(predictionCol))
-      get(weightCol).filter(_.nonEmpty).foreach(est.setWeightCol)
-      est.reuseCachedInput = true // df persisted + counted above, once
-      est.knownN = Some(n)
-      val m = est.fit(df)
-      val cost = m.computeCost(df)
-      val d = m.numFeatures
-      val s = score(cost, kTry, n, d)
-      if (s < bestS) { bestS = s; best = m }
+    // The per-k fits are independent — run them CONCURRENTLY against the
+    // shared cached input (Spark schedules concurrent jobs from one
+    // session fine; wall-clock becomes ~max(fit) instead of sum(fit)).
+    // Each sub-fit skips its own persist/validate/count (r3 verdict #5).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = ($(minK) to $(maxK)).map { kTry =>
+      Future {
+        val est = new GeneralizedKMeans(s"${uid}_k$kTry")
+          .setK(kTry).setDivergence($(divergence)).setSmoothing($(smoothing))
+          .setMaxIter($(maxIter)).setTol($(tol)).setSeed($(seed))
+          .setFeaturesCol($(featuresCol)).setPredictionCol($(predictionCol))
+        get(weightCol).filter(_.nonEmpty).foreach(est.setWeightCol)
+        est.reuseCachedInput = true // df persisted + counted above, once
+        est.knownN = Some(n)
+        val m = est.fit(df)
+        val cost = m.computeCost(df)
+        (kTry, m, score(cost, kTry, n, m.numFeatures))
+      }
     }
+    val results = futures.map(f => Await.result(f, Duration.Inf))
     df.unpersist()
+    // deterministic winner: lowest score, ties to the smaller k
+    val (_, best, bestS) = results.minBy { case (kTry, _, s) => (s, kTry) }
     bestScore = bestS
     copyValues(best.setParent(this))
     best

@@ -30,6 +30,27 @@ trait BregmanKernel extends Serializable {
   /** (grad F)^-1 (theta) — maps a gradient-space mean back to a center. */
   def invGrad(theta: Array[Double]): Array[Double]
 
+  /** The generator F(x) itself, when the kernel is a true Bregman
+    * divergence (L1 is not — no generator). NaN marks "not available".
+    */
+  def generator(x: Array[Double]): Double = Double.NaN
+
+  /** The canonical Bregman definition
+    * D_F(x, mu) = F(x) - F(mu) - <grad F(mu), x - mu> — the single source
+    * of truth each kernel's hand-optimized `divergence` must agree with
+    * (reference: divergence/BregmanFunction.scala:66-130 generic D_F).
+    */
+  final def genericDivergence(x: Array[Double], mu: Array[Double]): Double = {
+    val fx = generator(x)
+    if (fx.isNaN) return divergence(x, mu)
+    val fmu = generator(mu)
+    val g = grad(mu)
+    var dot = 0.0
+    var i = 0
+    while (i < x.length) { dot += g(i) * (x(i) - mu(i)); i += 1 }
+    fx - fmu - dot
+  }
+
   /** Domain check for a single point. */
   def validate(x: Array[Double]): Boolean =
     x.forall(v => !v.isNaN && !v.isInfinity)
@@ -51,6 +72,12 @@ trait BregmanKernel extends Serializable {
   */
 final class SquaredEuclideanKernel extends BregmanKernel {
   override val name = "SquaredEuclidean"
+
+  override def generator(x: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += 0.5 * x(i) * x(i); i += 1 }
+    s
+  }
 
   override def divergence(x: Array[Double], mu: Array[Double]): Double = {
     var s = 0.0
@@ -79,6 +106,17 @@ final class SquaredEuclideanKernel extends BregmanKernel {
 final class KLDivergenceKernel(val smoothing: Double = 1e-10) extends BregmanKernel {
   require(smoothing > 0, "smoothing must be positive")
   override val name = s"KL(smoothing=$smoothing)"
+
+  /** F(x) = sum (x+eps) log(x+eps). NOTE: the hand-optimized `divergence`
+    * is the SIMPLEX restriction of D_F (it omits the - sum(x - mu) term),
+    * so genericDivergence == divergence exactly when sum(x) == sum(mu) —
+    * pinned by KernelSpec.
+    */
+  override def generator(x: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { val v = x(i) + smoothing; s += v * math.log(v); i += 1 }
+    s
+  }
 
   override def divergence(x: Array[Double], mu: Array[Double]): Double = {
     var s = 0.0
@@ -131,6 +169,13 @@ final class ItakuraSaitoKernel(val smoothing: Double = 1e-10) extends BregmanKer
   require(smoothing > 0, "smoothing must be positive")
   override val name = s"ItakuraSaito(smoothing=$smoothing)"
 
+  /** F(x) = -sum log(x+eps); D_F reproduces `divergence` exactly. */
+  override def generator(x: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += -math.log(x(i) + smoothing); i += 1 }
+    s
+  }
+
   override def divergence(x: Array[Double], mu: Array[Double]): Double = {
     var s = 0.0
     var i = 0
@@ -166,6 +211,15 @@ final class ItakuraSaitoKernel(val smoothing: Double = 1e-10) extends BregmanKer
 final class GeneralizedIDivergenceKernel(val smoothing: Double = 1e-10) extends BregmanKernel {
   require(smoothing > 0, "smoothing must be positive")
   override val name = s"GeneralizedI(smoothing=$smoothing)"
+
+  /** F(x) = sum [(x+eps) log(x+eps) - (x+eps)]; D_F reproduces
+    * `divergence` exactly.
+    */
+  override def generator(x: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { val v = x(i) + smoothing; s += v * math.log(v) - v; i += 1 }
+    s
+  }
 
   override def divergence(x: Array[Double], mu: Array[Double]): Double = {
     var s = 0.0
@@ -207,6 +261,19 @@ final class LogisticLossKernel(val smoothing: Double = 1e-10) extends BregmanKer
 
   @inline private def clamp(v: Double): Double =
     math.max(smoothing, math.min(1.0 - smoothing, v))
+
+  /** F(x) = sum [x log x + (1-x) log(1-x)] (clamped); D_F reproduces the
+    * binary cross-entropy `divergence` exactly.
+    */
+  override def generator(x: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) {
+      val v = clamp(x(i))
+      s += v * math.log(v) + (1.0 - v) * math.log(1.0 - v)
+      i += 1
+    }
+    s
+  }
 
   override def divergence(x: Array[Double], mu: Array[Double]): Double = {
     var s = 0.0

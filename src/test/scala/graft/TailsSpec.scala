@@ -155,4 +155,71 @@ class TailsSpec extends SparkSpec {
     assert(centerA(0) == 3.0, s"dim0 median ${centerA(0)} != 3.0")
     assert(centerA(1) == 0.0, s"dim1 median ${centerA(1)} != 0.0 (zeros majority)")
   }
+
+  test("crossJoin assignment strategy matches broadcast incl. tie-break") {
+    val df = blobs(perBlob = 40).cache()
+    val m = new GeneralizedKMeans().setK(3).setSeed(42).setMaxIter(5).fit(df)
+    val bc = Assignment.assign(df, "features", new SquaredEuclideanKernel,
+      m.clusterCenters, "broadcast")
+      .select("features", "cluster").collect()
+      .map(r => r.getSeq[Double](0) -> r.getInt(1)).toMap
+    val cj = Assignment.assign(df, "features", new SquaredEuclideanKernel,
+      m.clusterCenters, "crossjoin")
+      .select("features", "cluster").collect()
+      .map(r => r.getSeq[Double](0) -> r.getInt(1)).toMap
+    assert(cj == bc, "crossjoin and broadcast assignments must be identical")
+    // a full fit through the strategy also works
+    val m2 = new GeneralizedKMeans().setK(3).setSeed(42).setMaxIter(5)
+      .setAssignmentStrategy("crossjoin").fit(df)
+    assert(m2.numClusters == 3)
+    df.unpersist()
+  }
+
+  test("generic Bregman D_F agrees with every hand-optimized divergence") {
+    import graft.kernels._
+    val rnd = new java.util.Random(11)
+    val pairs = (1 to 50).map { _ =>
+      (Array.fill(6)(0.1 + rnd.nextDouble()), Array.fill(6)(0.1 + rnd.nextDouble()))
+    }
+    // exact identities
+    for (k <- Seq(new SquaredEuclideanKernel, new ItakuraSaitoKernel(),
+        new GeneralizedIDivergenceKernel())) {
+      pairs.foreach { case (x, mu) =>
+        val a = k.divergence(x, mu)
+        val b = k.genericDivergence(x, mu)
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)), s"${k.name}: $a vs $b")
+      }
+    }
+    // logistic on (0,1)
+    val lk = new LogisticLossKernel()
+    pairs.map { case (x, mu) => (x.map(v => v / 2.5), mu.map(v => v / 2.5)) }
+      .foreach { case (x, mu) =>
+        val a = lk.divergence(x, mu)
+        val b = lk.genericDivergence(x, mu)
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(a)), s"logistic: $a vs $b")
+      }
+    // KL is the simplex restriction: equal when sums match
+    val kl = new KLDivergenceKernel()
+    pairs.foreach { case (x, mu) =>
+      val sx = x.sum
+      val xn = x.map(_ / sx)
+      val sm = mu.sum
+      val mn = mu.map(_ / sm)
+      val a = kl.divergence(xn, mn)
+      val b = kl.genericDivergence(xn, mn)
+      assert(math.abs(a - b) <= 1e-6, s"KL simplex: $a vs $b")
+    }
+    // L1 has no generator: genericDivergence falls back to divergence
+    val l1 = new L1Kernel
+    assert(l1.genericDivergence(Array(1.0, 2.0), Array(0.5, 3.0)) ==
+      l1.divergence(Array(1.0, 2.0), Array(0.5, 3.0)))
+  }
+
+  test("chunk budget probes executor memory") {
+    assert(Assignment.parseMemory("4g") == 4L * 1024 * 1024 * 1024)
+    assert(Assignment.parseMemory("512m") == 512L * 1024 * 1024)
+    assert(Assignment.parseMemory("1024") == 1024L)
+    val budget = Assignment.chunkElemsBudget(spark)
+    assert(budget >= (1L << 20) && budget <= Assignment.ChunkMaxElems)
+  }
 }
