@@ -542,6 +542,24 @@ object SparkEntry {
         .setMaxIter(8).setSeed(42).fit(li)
       m.rowAssignments.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
     },
+    // ---- event-time sessionization (flatMapGroupsWithState on batch) ----
+    "q_sessionize" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // gap-based sessions per user via the custom-state operator (the
+      // same code path Structured Streaming runs with event-time timeout);
+      // ORACLE: the classic lag/cumsum session SQL reproduces it exactly
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integer `div`, NOT `/`: long/long in Spark SQL is DOUBLE division,
+      // which loses exactness at nanosecond-epoch magnitudes (> 2^53)
+      val ev = t(dir, "events")
+        .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("value"))
+        .select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"), col("value"))
+      graft.streaming.EventOps.sessionize(ev, "user_id", "ts", "value",
+        gapMs = 30 * 60000L).toDF()
+        .select(col("key").as("user_id"), col("startMs").as("start_ms"),
+          col("endMs").as("end_ms"), col("numEvents").as("n_events"),
+          round(col("totalValue"), 4).as("total_value"))
+    },
     // ---- event-time windowed aggregation (streaming semantics on batch) ----
     "q_events_window" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -605,6 +623,23 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
+        |    CASE WHEN CAST(epoch_ms(ts) AS BIGINT)
+        |           - lag(CAST(epoch_ms(ts) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_ms, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_multimodal_fingerprint" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
