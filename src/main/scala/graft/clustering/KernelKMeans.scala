@@ -130,11 +130,19 @@ class KernelKMeans(override val uid: String)
       }
       out
     }
+    // Materialize the embedding ONCE (the m^2-per-row UDF is the expensive
+    // projection) and tell the inner fit to reuse it: n is already counted
+    // and the embedding is internally produced (finite by construction), so
+    // the sub-fit's own persist/validation-sample/count jobs are pure waste.
     val embedded = data.withColumn("__phi", embedUdf(col(arrCol))).select(col("__phi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val gk = new GeneralizedKMeans()
       .setK($(k)).setSeed($(seed)).setMaxIter($(maxIter)).setTol($(tol))
       .setFeaturesCol("__phi")
+    gk.reuseCachedInput = true
+    gk.knownN = Some(n)
     val inner = gk.fit(embedded)
+    embedded.unpersist()
     data.unpersist()
 
     val model = new KernelKMeansModel(uid, inner.clusterCenters,

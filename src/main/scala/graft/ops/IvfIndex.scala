@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.clustering.GeneralizedKMeans
+import graft.kernels.SquaredEuclideanKernel
+
+/** Materialized IVF (inverted-file) index for a static corpus.
+  *
+  * [[Similarity.ivfTopK]] recomputes the corpus→cell assignment on every
+  * call — right for ad-hoc use, wasteful for the static-corpus case (the
+  * common one: index once, serve many query batches). This builds the cell
+  * assignment ONCE and either keeps it cached ([[IvfIndex.build]]) or
+  * persists it to parquet **partitioned by cell**
+  * ([[IvfIndex#write]] / [[IvfIndex.load]]), so a probe of `nProbe` cells
+  * is a partition-pruned scan reading `nProbe/nCells` of the data — at
+  * 100 TB that is the difference between scanning 100 TB and ~1 TB per
+  * query batch.
+  *
+  * (reference has no ANN surface; this is part of the LLM-pipeline brief.
+  * Coarse quantizer = graft k-means, same as FAISS's IVF-flat design.)
+  */
+final class IvfIndex private (
+    val cells: DataFrame, // (corpus_id, cv: array<double>, cell: int)
+    val centroids: Array[Array[Double]]) {
+
+  /** Approximate cosine top-k for a (small, broadcastable) query set.
+    * Queries probe their `nProbe` nearest cells; only those cells' rows
+    * are scored. Equi-join on cell id; deterministic tie-break.
+    */
+  def search(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val kern = new SquaredEuclideanKernel
+    val probeUdf = udf { (xs: Seq[Double]) =>
+      val x = xs.toArray
+      bc.value.indices.map(i => (kern.divergence(x, bc.value(i)), i))
+        .sortBy(t => (t._1, t._2)).take(nProbe).map(_._2)
+    }
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+    // Broadcast the query side: the corpus side (disk-backed, partitioned
+    // by cell) is filtered by partition pruning before the join when the
+    // probed cell set is known; in-memory it is a hash equi-join on cell.
+    val joined = cells.join(broadcast(q), Seq("cell"))
+      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+    val scored = joined.withColumn("sim", Similarity.cosineSim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("cosine"))
+  }
+
+  /** Persist the index: cells as parquet PARTITIONED BY cell (so probes
+    * prune partitions), centroids as a small parquet of (cell, centroid).
+    */
+  def write(path: String): Unit = {
+    cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.toDF("centroid", "cell")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def unpersist(): Unit = { cells.unpersist(); () }
+}
+
+object IvfIndex {
+
+  /** Build the index in memory: train the coarse quantizer (graft k-means
+    * on a single persisted projection — no re-validation/re-count jobs),
+    * assign every corpus row to its nearest cell, persist the result.
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      maxIter: Int = 5,
+      seed: Long = 42L): IvfIndex = {
+    val c = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = c.count()
+    val gk = new GeneralizedKMeans()
+      .setK(nCells).setFeaturesCol("cv").setSeed(seed).setMaxIter(maxIter)
+    gk.reuseCachedInput = true
+    gk.knownN = Some(n)
+    val model = gk.fit(c)
+    val cents = model.clusterCenters
+    val bc = c.sparkSession.sparkContext.broadcast(cents)
+    val kern = new SquaredEuclideanKernel
+    val cellUdf = udf { (xs: Seq[Double]) =>
+      val x = xs.toArray
+      var best = 0; var bd = Double.MaxValue
+      var i = 0
+      while (i < bc.value.length) {
+        val d = kern.divergence(x, bc.value(i)); if (d < bd) { bd = d; best = i }; i += 1
+      }
+      best
+    }
+    val cells = c.withColumn("cell", cellUdf(col("cv")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cells.count() // materialize so every later search skips the assignment
+    c.unpersist()
+    new IvfIndex(cells, cents)
+  }
+
+  /** Reopen a written index. The cells scan stays lazy — Spark prunes the
+    * `cell=` partitions a probe filter selects.
+    */
+  def load(spark: SparkSession, path: String): IvfIndex = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("corpus_id"), col("cv"), col("cell").cast("int").as("cell"))
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    new IvfIndex(cells, cents)
+  }
+}

@@ -94,4 +94,43 @@ class RecallSpec extends SparkSpec {
     val recall = approx.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall@5 = $recall < 0.9")
   }
+
+  test("IvfIndex: build/search agrees with ivfTopK; write/load roundtrip prunes by cell") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val blobCenters = Array.fill(10)(Array.fill(8)(rnd.nextGaussian() * 5))
+    val pts = (0 until 800).map { i =>
+      val c = blobCenters(i % 10)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val e = pts.toDF("vec_id", "v")
+    val queries = e.where(col("vec_id") < 10)
+
+    val idx = graft.ops.IvfIndex.build(e, "vec_id", "v", nCells = 10, maxIter = 8, seed = 42)
+    val viaIndex = idx.search(queries, "vec_id", "v", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = Similarity.ivfTopK(e, queries, "vec_id", "v", k = 5,
+        centroids = idx.centroids, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIndex == direct, "index search diverged from direct ivfTopK")
+
+    // roundtrip through disk: same results, and the layout is partitioned
+    // by cell (the property partition pruning needs)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      idx.write(dir)
+      val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("cell="))
+      assert(cellDirs.length == 10, s"expected 10 cell= partition dirs, got ${cellDirs.length}")
+      val reopened = graft.ops.IvfIndex.load(spark, dir)
+      assert(reopened.centroids.map(_.toSeq).toSeq == idx.centroids.map(_.toSeq).toSeq)
+      val viaDisk = reopened.search(queries, "vec_id", "v", k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(viaDisk == viaIndex, "disk-loaded index search diverged")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+    idx.unpersist()
+  }
 }
