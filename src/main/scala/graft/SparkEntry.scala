@@ -412,9 +412,7 @@ object SparkEntry {
         .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
       val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
       pts.join(broadcast(centers))
-        .withColumn("d2",
-          aggregate(zip_with(col("pv"), col("cv"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, v) => acc + v))
+        .withColumn("d2", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")))
         .groupBy(col("vec_id"))
         .agg(min_by(col("center_id"), struct(col("d2"), col("center_id"))).as("cluster"))
     },
@@ -429,9 +427,7 @@ object SparkEntry {
         .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
       val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
       val assigned = pts.join(broadcast(centers))
-        .withColumn("d1",
-          aggregate(zip_with(col("pv"), col("cv"), (x, y) => abs(x - y)),
-            lit(0.0), (acc, v) => acc + v))
+        .withColumn("d1", graft.functions.ArrayMath.l1dist(col("pv"), col("cv")))
         .groupBy(col("vec_id"))
         .agg(min_by(struct(col("center_id"), col("pv")), struct(col("d1"), col("center_id"))).as("b"))
         .select(col("b.center_id").as("cluster"), col("b.pv").as("pv"))
@@ -479,9 +475,7 @@ object SparkEntry {
         .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
       val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
       pts.join(broadcast(centers))
-        .withColumn("d2",
-          aggregate(zip_with(col("pv"), col("cv"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, v) => acc + v))
+        .withColumn("d2", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")))
         .groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
         .agg(round(sum(col("md")), 4).as("wcss"))
     },

@@ -65,7 +65,7 @@ case class EpsilonShiftTransform(epsilon: Double = 1e-10) extends FeatureTransfo
 case class NormalizeL2Transform(minNorm: Double = 1e-10) extends FeatureTransform {
   val name = "normalizeL2"
   def expr(f: Column): Column = {
-    val n = sqrt(aggregate(f, lit(0.0), (a, v) => a + v * v))
+    val n = sqrt(graft.functions.ArrayMath.dot(f, f))
     val safe = greatest(n, lit(minNorm))
     transform(f, v => v / safe)
   }

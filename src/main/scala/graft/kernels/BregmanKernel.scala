@@ -90,13 +90,14 @@ final class SquaredEuclideanKernel extends BregmanKernel {
   override def invGrad(theta: Array[Double]): Array[Double] = theta
   override def supportsExpressionOptimization: Boolean = true
 
-  /** 1/2(||x||^2 - 2<x,c> + ||c||^2) with ||c||^2 folded to a literal. */
-  override def distExpr(features: Column, center: Array[Double]): Option[Column] = {
-    val c2 = { var s = 0.0; var i = 0; while (i < center.length) { s += center(i) * center(i); i += 1 }; s }
-    val dot = BregmanKernel.dotWithLiteral(features, center)
-    val x2 = aggregate(features, lit(0.0), (acc, v) => acc + v * v)
-    Some((x2 - lit(2.0) * dot + lit(c2)) * lit(0.5))
-  }
+  /** ½·Σ(x-c)² as ONE native codegen loop ([[graft.functions.ArraySqDist]]
+    * — the fused form is also numerically safer than the expanded
+    * x²-2xc+c² it replaces, and the center is a single Literal node
+    * instead of d `lit` children).
+    */
+  override def distExpr(features: Column, center: Array[Double]): Option[Column] =
+    Some(graft.functions.ArrayMath.sqdist(
+      features, graft.functions.ArrayMath.literal(center)) * lit(0.5))
 }
 
 /** Kullback-Leibler: F(x) = sum x_i log x_i, D = sum x_i log(x_i/mu_i) with
@@ -151,14 +152,11 @@ final class KLDivergenceKernel(val smoothing: Double = 1e-10) extends BregmanKer
 
   override def distExpr(features: Column, center: Array[Double]): Option[Column] = {
     // sum over i of (x_i+eps) * (log(x_i+eps) - log(c_i+eps)); the center-side
-    // log is folded to a literal array so only x-side math runs per row.
+    // log is folded to a literal array so only x-side math runs per row,
+    // and the fold itself is a native codegen loop.
     val logC = center.map(v => math.log(v + smoothing))
-    val eps = lit(smoothing)
-    val terms = zip_with(
-      features,
-      BregmanKernel.literalArray(logC),
-      (xv, lc) => (xv + eps) * (log(xv + eps) - lc))
-    Some(aggregate(terms, lit(0.0), (acc, v) => acc + v))
+    Some(graft.functions.ArrayMath.klPreLogged(
+      features, graft.functions.ArrayMath.literal(logC), smoothing))
   }
 }
 
@@ -324,11 +322,9 @@ final class L1Kernel extends BregmanKernel {
   override def invGrad(theta: Array[Double]): Array[Double] = theta
   override def supportsExpressionOptimization: Boolean = true
 
-  override def distExpr(features: Column, center: Array[Double]): Option[Column] = {
-    val terms = zip_with(features, BregmanKernel.literalArray(center),
-      (xv, cv) => abs(xv - cv))
-    Some(aggregate(terms, lit(0.0), (acc, v) => acc + v))
-  }
+  override def distExpr(features: Column, center: Array[Double]): Option[Column] =
+    Some(graft.functions.ArrayMath.l1dist(
+      features, graft.functions.ArrayMath.literal(center)))
 
   /** True median update, not gradient mean. */
   def isMedianUpdate: Boolean = true
@@ -370,14 +366,15 @@ final class SphericalKernel extends BregmanKernel {
 
 object BregmanKernel {
 
-  /** A literal array<double> Column from a driver-side vector. */
+  /** A literal array<double> Column from a driver-side vector (ONE
+    * Literal node — not d `lit` children).
+    */
   def literalArray(values: Array[Double]): Column =
-    array(values.map(lit(_)).toIndexedSeq: _*)
+    graft.functions.ArrayMath.literal(values)
 
-  /** <features, c> as a Catalyst expression (c folded to literals). */
+  /** <features, c> as a native codegen expression (c folded to a literal). */
   def dotWithLiteral(features: Column, c: Array[Double]): Column =
-    aggregate(zip_with(features, literalArray(c), (a, b) => a * b),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayMath.dot(features, literalArray(c))
 }
 
 /** Name -> kernel dispatch with the reference's aliases.

@@ -322,7 +322,7 @@ object Dedup {
       .join(vecs.select(col("id").as("id_a"), col("vn").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vn").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(Similarity.dotUdf(col("va"), col("vb")), 6).as("cosine"))
+        round(Similarity.dot(col("va"), col("vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

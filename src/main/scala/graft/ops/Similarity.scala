@@ -15,17 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns, pure Catalyst. */
-  def cosineSim(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity between two array<double> columns — ONE native
+    * codegen loop ([[graft.functions.ArrayCosine]]; the old HOF
+    * formulation was three interpreted traversals).
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    graft.functions.ArrayMath.cosine(a, b)
 
-  /** Dot product of two array<double> columns. */
+  /** Dot product of two array<double> columns (native codegen loop). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayMath.dot(a, b)
 
   /** L2-normalize UDF — one pass, used to pre-normalize a corpus once so
     * every later cosine is a single dot product.

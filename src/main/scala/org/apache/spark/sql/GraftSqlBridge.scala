@@ -1,0 +1,26 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Narrow bridge over Spark's `private[sql]` Column↔Expression converters
+  * and function registry — the supported-in-practice seam every Spark
+  * expression library uses (the alternative, string `expr(...)`, loses
+  * type safety and literal folding). No Spark internals are reimplemented
+  * here; this only re-exports two converters and one registry call.
+  */
+object GraftSqlBridge {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      info: ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name), info, builder)
+}
