@@ -92,8 +92,12 @@ object IvfIndex {
       .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = c.count()
+    // random init: a coarse quantizer needs rough Voronoi cells, not
+    // optimal clusters (FAISS trains IVF the same way) — k-means|| would
+    // cost ~2 extra scans per init step for no recall benefit at nProbe>=2
     val gk = new GeneralizedKMeans()
       .setK(nCells).setFeaturesCol("cv").setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
     gk.reuseCachedInput = true
     gk.knownN = Some(n)
     val model = gk.fit(c)

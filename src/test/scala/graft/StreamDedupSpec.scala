@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.StreamDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming dedup: exact-content and simhash-bucket variants over a real
+  * memory stream (duplicates within AND across micro-batches), plus
+  * batch-mode parity.
+  */
+class StreamDedupSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("exact: duplicates drop across micro-batches, first instance survives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = StreamDedup.exact(
+      stream.toDS().toDF("doc_id", "ts", "text"), "ts", "text", watermark = "10 minutes")
+    val query = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct docs + an in-batch duplicate
+      stream.addData(
+        (1L, ts(60000), "the quick brown fox"),
+        (2L, ts(61000), "a completely different doc"),
+        (3L, ts(62000), "the quick brown fox"))
+      query.processAllAvailable()
+      // batch 2: cross-batch duplicate of doc 1 + one new doc
+      stream.addData(
+        (4L, ts(63000), "the quick brown fox"),
+        (5L, ts(64000), "yet another new document"))
+      query.processAllAvailable()
+      val out = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 2L, 5L),
+        s"expected docs 1,2,5 to survive; got ${out.toSeq}")
+    } finally query.stop()
+  }
+
+  test("simhash: near-identical docs (same signature) dedup, distinct docs survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = StreamDedup.simhash(
+      stream.toDS().toDF("doc_id", "ts", "text"), "ts", "text", watermark = "10 minutes")
+    val query = deduped.writeStream.format("memory").queryName("simdedup_out")
+      .outputMode("append").start()
+    try {
+      val words = (0 until 60).map(i => s"w$i")
+      val docA = words.mkString(" ")
+      // same multiset of majority tokens -> identical simhash votes
+      val docADup = words.mkString(" ")
+      val docB = (0 until 60).map(i => s"zz$i").mkString(" ")
+      stream.addData((1L, ts(60000), docA), (2L, ts(61000), docB))
+      query.processAllAvailable()
+      stream.addData((3L, ts(62000), docADup))
+      query.processAllAvailable()
+      val out = spark.table("simdedup_out").select("doc_id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 2L), s"expected 1,2; got ${out.toSeq}")
+    } finally query.stop()
+  }
+
+  test("batch frames dedup with plain dropDuplicates semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts(1000), "same text"),
+      (2L, ts(2000), "same text"),
+      (3L, ts(3000), "other text")).toDF("doc_id", "ts", "text")
+    val out = StreamDedup.exact(df, "ts", "text").select("doc_id").as[Long].collect()
+    assert(out.length == 2)
+    assert(out.toSet.contains(3L))
+    assert(out.toSet.intersect(Set(1L, 2L)).size == 1)
+  }
+}
