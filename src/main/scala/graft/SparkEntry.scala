@@ -86,6 +86,13 @@ object SparkEntry {
         col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))
     },
+    "q_doc_freq" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // top-100 vocabulary by document frequency (exact two-level agg)
+      TextOps.vocabStats(t(dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(100)
+    },
     // ---- dedup (oracle-checked where hash-free) ----
     "q_dedup_exact" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -616,6 +623,14 @@ object SparkEntry {
         |  WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
         |  ELSE 'en' END AS lang_pred
         |FROM sc""".stripMargin,
+    "q_doc_freq" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |per AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM ex WHERE token <> '' GROUP BY 1, 2)
+        |SELECT token, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS term_freq
+        |FROM per GROUP BY 1
+        |ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,

@@ -145,4 +145,39 @@ object TextOps {
         sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** EXACT vocabulary statistics: per token, document frequency and total
+    * term frequency. Two-level aggregation — partial (token, doc) counts
+    * combine map-side, then the token-level rollup — so the wide shuffle
+    * carries (token, doc) partials, never raw token instances, and no
+    * count_distinct Expand is planned. ANSI-portable (split + two group
+    * bys): DuckDB replicates it bit-for-bit.
+    */
+  def vocabStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).as("__doc"),
+        explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+    ex.groupBy(col("token"), col("__doc")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("term_freq"))
+  }
+
+  /** APPROXIMATE vocabulary statistics for the 100-TB path: document
+    * frequency via HyperLogLog++ (`approx_count_distinct`), ONE aggregation
+    * — the shuffle carries fixed-size HLL sketches per token instead of
+    * (token, doc) pairs, collapsing the heavy first-level shuffle of the
+    * exact form. `rsd` is the HLL relative standard deviation (default 5%).
+    */
+  def approxVocabStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rsd: Double = 0.05): DataFrame = {
+    val ex = docs.select(col(idCol).as("__doc"),
+        explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+    ex.groupBy(col("token"))
+      .agg(approx_count_distinct(col("__doc"), rsd).as("doc_freq"),
+        count(lit(1)).as("term_freq"))
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** Vocabulary statistics: exact two-level agg vs driver math, HLL approx
+  * within tolerance, and the plan properties that matter at scale.
+  */
+class VocabSpec extends SparkSpec {
+
+  private def corpus() = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha gamma gamma delta"),
+      (3L, "beta beta beta"),
+      (4L, "alpha")).toDF("doc_id", "text")
+  }
+
+  test("vocabStats: exact doc_freq and term_freq") {
+    val got = TextOps.vocabStats(corpus(), "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("alpha") == ((3L, 3L)))
+    assert(got("beta") == ((2L, 5L)))
+    assert(got("gamma") == ((2L, 3L)))
+    assert(got("delta") == ((1L, 1L)))
+    assert(got.size == 4)
+  }
+
+  test("approxVocabStats: doc_freq within HLL tolerance of exact, term_freq exact") {
+    import spark.implicits._
+    val rnd = new java.util.Random(5)
+    val docs = (0 until 2000).map { i =>
+      (i.toLong, (0 until 20).map(_ => "tok" + rnd.nextInt(50)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = TextOps.vocabStats(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val approx = TextOps.approxVocabStats(docs, "doc_id", "text", rsd = 0.02)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (tok, (adf, atf)) =>
+      val (edf, etf) = exact(tok)
+      assert(atf == etf, s"term_freq must be exact for $tok")
+      assert(math.abs(adf - edf) <= math.max(2.0, 0.1 * edf),
+        s"doc_freq for $tok: approx $adf vs exact $edf")
+    }
+  }
+
+  test("plans: exact form has no Expand; approx shuffles HLL partials (one agg level)") {
+    val docs = corpus()
+    val exactPlan = TextOps.vocabStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("Expand"), s"count_distinct Expand leaked:\n$exactPlan")
+    val approxPlan = TextOps.approxVocabStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(approxPlan.contains("approx_count_distinct")
+      || approxPlan.contains("HyperLogLog"), s"approx plan:\n$approxPlan")
+  }
+}
