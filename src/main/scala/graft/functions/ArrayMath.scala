@@ -171,6 +171,73 @@ case class ArrayKlDiv(left: Expression, right: Expression, eps: Double)
     copy(left = l, right = r)
 }
 
+/** Σ (x/m − log(x/m) − 1) with x=x_i+ε, m=μ_i+ε — Itakura-Saito. */
+case class ArrayIsDiv(left: Expression, right: Expression, eps: Double)
+    extends ArrayFoldExpression {
+  override def prettyName: String = "graft_is"
+  override protected def fold(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val r = (a.getDouble(i) + eps) / (b.getDouble(i) + eps)
+      s += r - math.log(r) - 1.0
+      i += 1
+    }
+    s
+  }
+  override protected def perElement(x: String, y: String, s: String): String =
+    s"final double r = ($x + $eps) / ($y + $eps); $s += r - java.lang.Math.log(r) - 1.0;"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σ (x·log(x/m) − x + m) with x=x_i+ε, m=μ_i+ε — generalized I-divergence. */
+case class ArrayGenIDiv(left: Expression, right: Expression, eps: Double)
+    extends ArrayFoldExpression {
+  override def prettyName: String = "graft_geni"
+  override protected def fold(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getDouble(i) + eps
+      val m = b.getDouble(i) + eps
+      s += x * math.log(x / m) - x + m
+      i += 1
+    }
+    s
+  }
+  override protected def perElement(x: String, y: String, s: String): String =
+    s"final double xs = $x + $eps; final double ms = $y + $eps; " +
+      s"$s += xs * java.lang.Math.log(xs / ms) - xs + ms;"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Binary cross-entropy with [ε, 1−ε] clamping — logistic loss. */
+case class ArrayLogisticDiv(left: Expression, right: Expression, eps: Double)
+    extends ArrayFoldExpression {
+  override def prettyName: String = "graft_logistic"
+  @inline private def clamp(v: Double): Double =
+    math.max(eps, math.min(1.0 - eps, v))
+  override protected def fold(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = clamp(a.getDouble(i))
+      val m = clamp(b.getDouble(i))
+      s += x * math.log(x / m) + (1.0 - x) * math.log((1.0 - x) / (1.0 - m))
+      i += 1
+    }
+    s
+  }
+  override protected def perElement(x: String, y: String, s: String): String =
+    s"final double xc = java.lang.Math.max($eps, java.lang.Math.min(${1.0 - eps}, $x)); " +
+      s"final double mc = java.lang.Math.max($eps, java.lang.Math.min(${1.0 - eps}, $y)); " +
+      s"$s += xc * java.lang.Math.log(xc / mc) + (1.0 - xc) * java.lang.Math.log((1.0 - xc) / (1.0 - mc));"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Σ (x_i+ε)·(log(x_i+ε) − logμ_i) where the RIGHT side is the
   * pre-logged center (log(μ+ε) folded to a literal on the driver) — the
   * training-loop form: one `log` per element instead of two.
@@ -222,6 +289,15 @@ object ArrayMath {
     GraftSqlBridge.column(ArrayKlDiv(toDouble(a), toDouble(b), eps))
   private[graft] def klPreLogged(a: Column, logMu: Column, eps: Double): Column =
     GraftSqlBridge.column(ArrayKlPreLogged(toDouble(a), toDouble(logMu), eps))
+  /** ε-smoothed Itakura-Saito */
+  def itakuraSaito(a: Column, b: Column, eps: Double = 1e-10): Column =
+    GraftSqlBridge.column(ArrayIsDiv(toDouble(a), toDouble(b), eps))
+  /** ε-smoothed generalized I-divergence */
+  def generalizedI(a: Column, b: Column, eps: Double = 1e-10): Column =
+    GraftSqlBridge.column(ArrayGenIDiv(toDouble(a), toDouble(b), eps))
+  /** clamped binary cross-entropy (logistic loss) */
+  def logisticLoss(a: Column, b: Column, eps: Double = 1e-10): Column =
+    GraftSqlBridge.column(ArrayLogisticDiv(toDouble(a), toDouble(b), eps))
 
   private[functions] val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_sqdist", "squared euclidean distance of two array<double>",
@@ -241,7 +317,13 @@ object ArrayMath {
             s"graft_kl epsilon must be a literal, got $other")
         }
         ArrayKlDiv(c(es(0)), c(es(1)), eps)
-      })
+      }),
+    ("graft_is", "epsilon-smoothed Itakura-Saito divergence",
+      (es: Seq[Expression]) => ArrayIsDiv(c(es(0)), c(es(1)), 1e-10)),
+    ("graft_geni", "epsilon-smoothed generalized I-divergence",
+      (es: Seq[Expression]) => ArrayGenIDiv(c(es(0)), c(es(1)), 1e-10)),
+    ("graft_logistic", "clamped binary cross-entropy (logistic loss)",
+      (es: Seq[Expression]) => ArrayLogisticDiv(c(es(0)), c(es(1)), 1e-10))
   )
 
   /** Numeric-array inputs (float/int arrays) coerce to array<double>. */

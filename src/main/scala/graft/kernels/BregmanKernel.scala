@@ -201,6 +201,11 @@ final class ItakuraSaitoKernel(val smoothing: Double = 1e-10) extends BregmanKer
 
   override def validate(x: Array[Double]): Boolean =
     x.forall(v => !v.isNaN && !v.isInfinity && v >= 0.0)
+
+  override def supportsExpressionOptimization: Boolean = true
+  override def distExpr(features: Column, center: Array[Double]): Option[Column] =
+    Some(graft.functions.ArrayMath.itakuraSaito(
+      features, graft.functions.ArrayMath.literal(center), smoothing))
 }
 
 /** Generalized I-divergence: D = sum (x log(x/mu) - x + mu), eps-smoothed.
@@ -247,6 +252,11 @@ final class GeneralizedIDivergenceKernel(val smoothing: Double = 1e-10) extends 
 
   override def validate(x: Array[Double]): Boolean =
     x.forall(v => !v.isNaN && !v.isInfinity && v >= 0.0)
+
+  override def supportsExpressionOptimization: Boolean = true
+  override def distExpr(features: Column, center: Array[Double]): Option[Column] =
+    Some(graft.functions.ArrayMath.generalizedI(
+      features, graft.functions.ArrayMath.literal(center), smoothing))
 }
 
 /** Logistic loss (binary cross-entropy); domain (0,1), values clamped to
@@ -301,6 +311,11 @@ final class LogisticLossKernel(val smoothing: Double = 1e-10) extends BregmanKer
 
   override def validate(x: Array[Double]): Boolean =
     x.forall(v => !v.isNaN && !v.isInfinity && v >= 0.0 && v <= 1.0)
+
+  override def supportsExpressionOptimization: Boolean = true
+  override def distExpr(features: Column, center: Array[Double]): Option[Column] =
+    Some(graft.functions.ArrayMath.logisticLoss(
+      features, graft.functions.ArrayMath.literal(center), smoothing))
 }
 
 /** L1 / Manhattan (K-Medians). NOT a Bregman divergence: grad/invGrad are

@@ -112,6 +112,30 @@ class GraftFunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-15))
   }
 
+  test("every expression-capable kernel: distExpr == driver divergence") {
+    import spark.implicits._
+    import graft.kernels._
+    val rnd = new java.util.Random(9)
+    // strictly-positive rows are in-domain for ALL kernels; logistic wants (0,1)
+    val rows = Seq.fill(40)(Seq.fill(12)(rnd.nextDouble() * 0.8 + 0.1))
+    val center = Array.fill(12)(rnd.nextDouble() * 0.8 + 0.1)
+    val df = rows.map(Tuple1(_)).toDF("v")
+    val kernels: Seq[BregmanKernel] = Seq(
+      new SquaredEuclideanKernel, new KLDivergenceKernel(1e-9),
+      new ItakuraSaitoKernel(1e-9), new GeneralizedIDivergenceKernel(1e-9),
+      new LogisticLossKernel(1e-9), new L1Kernel)
+    kernels.foreach { k =>
+      assert(k.supportsExpressionOptimization, s"${k.name} should be expression-capable")
+      val expr = k.distExpr(col("v"), center).get
+      val got = df.select(expr.as("d")).collect().map(_.getDouble(0))
+      rows.zip(got).foreach { case (r, g) =>
+        val want = k.divergence(r.toArray, center)
+        assert(math.abs(g - want) < 1e-9 * (1 + math.abs(want)),
+          s"${k.name}: expr $g vs driver $want")
+      }
+    }
+  }
+
   test("mismatched lengths fold over the common prefix") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 9.0), Seq(1.0, 0.0))).toDF("a", "b")
