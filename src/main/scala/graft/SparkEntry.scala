@@ -93,6 +93,14 @@ object SparkEntry {
         .orderBy(col("doc_freq").desc, col("token"))
         .limit(100)
     },
+    "q_tfidf" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // per-(doc, token) tf-idf over a bounded doc slice; df comes from
+      // the FULL corpus (the slice only bounds the output rows)
+      val docs = t(dir, "documents")
+      TextOps.tfidf(docs, "doc_id", "text")
+        .where(col("doc_id") < 50)
+    },
     // ---- dedup (oracle-checked where hash-free) ----
     "q_dedup_exact" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -631,6 +639,17 @@ object SparkEntry {
         |SELECT token, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS term_freq
         |FROM per GROUP BY 1
         |ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin,
+    "q_tfidf" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM ex WHERE token <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |  round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (token), n
+        |WHERE tf.doc_id < 50""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,

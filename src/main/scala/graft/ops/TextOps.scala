@@ -162,6 +162,30 @@ object TextOps {
       .agg(count(lit(1)).as("doc_freq"), sum(col("tf")).as("term_freq"))
   }
 
+  /** TF-IDF weights per (doc, token): tf · (ln((N+1)/(df+1)) + 1)
+    * (smoothed idf, sklearn convention — never zero, no div-by-zero).
+    * Three aggregations total: per-(doc,token) tf, per-token df, then an
+    * equi-join on token (AQE broadcasts the df side when the vocabulary
+    * is small). Pass `numDocs` when N is already known to skip the count
+    * job. ANSI-portable — DuckDB replicates it bit-for-bit.
+    */
+  def tfidf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numDocs: Option[Long] = None): DataFrame = {
+    val n = numDocs.getOrElse(docs.count())
+    val ex = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("token"))
+      .where(col("token") =!= "")
+    val tf = ex.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** APPROXIMATE vocabulary statistics for the 100-TB path: document
     * frequency via HyperLogLog++ (`approx_count_distinct`), ONE aggregation
     * — the shuffle carries fixed-size HLL sketches per token instead of

@@ -46,6 +46,24 @@ class VocabSpec extends SparkSpec {
     }
   }
 
+  test("tfidf: rare tokens outweigh common ones; tf scales linearly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common"),
+      (3L, "common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val w = TextOps.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // doc 1: 'rare' df=1 beats one 'common' df=4; two 'common' = 2x one
+    assert(w((1L, "rare")) > w((2L, "common")))
+    val idfCommon = math.log(5.0 / 5.0) + 1.0
+    assert(math.abs(w((1L, "common")) - 2.0 * idfCommon) < 1e-6)
+    assert(math.abs(w((2L, "common")) - idfCommon) < 1e-6)
+    val idfRare = math.log(5.0 / 2.0) + 1.0
+    assert(math.abs(w((1L, "rare")) - idfRare) < 1e-6)
+  }
+
   test("plans: exact form has no Expand; approx shuffles HLL partials (one agg level)") {
     val docs = corpus()
     val exactPlan = TextOps.vocabStats(docs, "doc_id", "text")
