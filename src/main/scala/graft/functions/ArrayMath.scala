@@ -348,11 +348,14 @@ object ArrayMath {
   * graft_kl available in plain SQL on every session of the cluster.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ArrayMath.sqlFunctions.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.ArrayMath", name, usage),
         (es: Seq[Expression]) => builder(es)))
     }
+    // auto-accelerate user-written HOF distance patterns
+    ext.injectOptimizerRule(_ => HofDistanceRewrite)
+  }
 }

