@@ -98,5 +98,12 @@ object HofDistanceRewrite extends Rule[LogicalPlan] {
           if zero == 0.0 && isPlainSum(merge) && isIdentity(finish) &&
             isDoubleArray(a) && isDoubleArray(b) =>
         rewriteBody(body, x, y, a, b).getOrElse(agg)
+      // self-norm: aggregate(a, 0D, (s, v) -> s + v*v)  ->  dot(a, a)
+      case agg @ ArrayAggregate(a, Literal(zero, DoubleType),
+            LambdaFunction(Add(acc: NamedLambdaVariable, Multiply(v1, v2, _), _),
+              Seq(accArg: NamedLambdaVariable, vArg: NamedLambdaVariable), _), finish)
+          if zero == 0.0 && isIdentity(finish) && isDoubleArray(a) &&
+            acc.exprId == accArg.exprId && sameVar(v1, vArg) && sameVar(v2, vArg) =>
+        ArrayDot(a, a)
     }
 }

@@ -91,6 +91,18 @@ class HofRewriteSpec extends SparkSpec {
     }
   }
 
+  test("self-norm aggregate(a, 0D, s+v*v) rewrites to dot(a, a)") {
+    withRule {
+      val df = data()
+      val q = df.select(aggregate(col("a"), lit(0.0), (s, v) => s + v * v).as("n2"))
+      assert(q.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[ArrayDot])), optimizedExprs(q).mkString("\n"))
+      val got = q.collect().map(_.getDouble(0))
+      val want = data().collect().map(_.getSeq[Double](0).map(x => x * x).sum)
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    }
+  }
+
   test("SQL text form rewrites too (registered extension path)") {
     withRule {
       spark.range(3).select(
