@@ -121,6 +121,13 @@ object SparkEntry {
       // oracle-checked against a DuckDB full self-join.
       Dedup.minhashDedup(t(dir, "documents"), "doc_id", "text", threshold = 0.7)
     },
+    "q_neardup_components" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // pairwise minhash candidates -> transitive dedup groups via
+      // distributed min-label propagation (keeper = min id per component)
+      val pairs = Dedup.minhashDedup(t(dir, "documents"), "doc_id", "text", threshold = 0.7)
+      Dedup.nearDupGroups(pairs, "id_a", "id_b")
+    },
     "q_simhash_pairs" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       Dedup.simhashCandidates(t(dir, "documents"), "doc_id", "text", maxDist = 3)
@@ -712,6 +719,27 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
         |WHERE round(len(list_intersect(a.s, b.s)) * 1.0
         |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""".stripMargin,
+    "q_neardup_components" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
+        |SELECT comp, min(id) AS keeper_id, count(*) AS group_size
+        |FROM cc GROUP BY comp""".stripMargin,
     "q_ann_topk" ->
       """SELECT query_id, rank, corpus_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

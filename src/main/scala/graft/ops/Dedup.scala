@@ -325,4 +325,72 @@ object Dedup {
         round(Similarity.dot(col("va"), col("vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * PAIRWISE candidates (minhash/simhash/LSH output) into dedup GROUPS:
+    * every member of a component is a (transitive) near-duplicate and the
+    * component label (= min id in the component) is the canonical keeper.
+    *
+    * Distributed min-label propagation: each iteration every node adopts
+    * the smallest label among itself and its neighbors (one join + one
+    * hash aggregate per iteration — the standard BSP shape; no driver
+    * state beyond the convergence counter). Converges in O(component
+    * diameter) iterations; near-dup components are shallow (stars around
+    * a popular document), so the default cap is generous. Throws if the
+    * cap is hit without convergence rather than returning wrong labels.
+    *
+    * Returns (id, comp) for every id appearing in `pairs`.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions, self-loop-free
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): each iteration's frame feeds the
+    // next, so without lineage TRUNCATION the plan doubles per iteration
+    // and analysis/codegen blow up after ~20 rounds — the standard
+    // iterative-DataFrame trap (Spark ML breaks lineage the same way via
+    // checkpointInterval).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min over {own label} ∪ {neighbor labels}, one agg job
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .where(col("comp") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter exceeds the cap; raise maxIter)")
+    labels
+  }
+
+  /** Dedup groups from pairwise candidates: (comp, keeper_id, group_size)
+    * per connected component of the pair graph — `keeper_id` is the
+    * canonical survivor, `group_size` the number of mutual near-dups.
+    */
+  def nearDupGroups(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("comp"))
+      .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("group_size"))
 }

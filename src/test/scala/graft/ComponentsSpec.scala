@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-dup pairs: chains, cliques, isolated
+  * pairs, convergence cap.
+  */
+class ComponentsSpec extends SparkSpec {
+
+  test("chain + clique + isolated pair resolve to min-id components") {
+    import spark.implicits._
+    // component A: chain 1-2-3-4 (diameter 3); component B: clique 10,11,12;
+    // component C: isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+  }
+
+  test("nearDupGroups: keeper is min id, sizes correct") {
+    import spark.implicits._
+    val pairs = Seq((5L, 3L), (3L, 9L), (100L, 101L)).toDF("id_a", "id_b")
+    val g = Dedup.nearDupGroups(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g == Set((3L, 3L, 3L), (100L, 100L, 2L)))
+  }
+
+  test("long chain beyond the iteration cap throws instead of mislabeling") {
+    import spark.implicits._
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with enough iterations the same chain resolves
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+      .agg(countDistinct(col("comp"))).head().getLong(0)
+    assert(cc == 1L)
+  }
+}
