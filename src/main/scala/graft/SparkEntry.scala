@@ -101,6 +101,20 @@ object SparkEntry {
       TextOps.tfidf(docs, "doc_id", "text")
         .where(col("doc_id") < 50)
     },
+    "q_pack_chunks" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // concat-and-chunk packing layout: 512-token chunks, 8 parallel groups
+      TextOps.packDocuments(t(dir, "documents"), "doc_id", "text",
+        capacity = 512, nGroups = 8)
+    },
+    "q_split_sizes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // stable-hash 80/10/10 split; proportions asserted in VocabSpec
+      // (hash values are Spark-specific -> rows-only check here)
+      TextOps.splitByHash(t(dir, "documents"), "doc_id",
+          Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+    },
     // ---- dedup (oracle-checked where hash-free) ----
     "q_dedup_exact" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -657,6 +671,21 @@ object SparkEntry {
         |  round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfreq USING (token), n
         |WHERE tf.doc_id < 50""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(doc_id % 8 AS INT) AS grp
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, grp, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM d)
+        |SELECT doc_id, grp,
+        |  CAST(floor(start / 512.0) AS BIGINT) AS chunk,
+        |  CAST(start % 512 AS BIGINT) AS offset,
+        |  CAST(n_tokens AS INT) AS n_tokens
+        |FROM c""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,

@@ -64,6 +64,38 @@ class VocabSpec extends SparkSpec {
     assert(math.abs(w((1L, "rare")) - idfRare) < 1e-6)
   }
 
+  test("splitByHash: deterministic, order-independent, proportions within tolerance") {
+    import spark.implicits._
+    val docs = (0 until 5000).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val s1 = TextOps.splitByHash(docs, "doc_id", Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // same assignment when the input arrives in a different order
+    val s2 = TextOps.splitByHash(docs.orderBy(rand(7)), "doc_id",
+        Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2, "split must not depend on row order")
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 4000) < 200, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 500) < 120, s"val ${counts("val")}")
+    assert(math.abs(counts("test") - 500) < 120, s"test ${counts("test")}")
+  }
+
+  test("packDocuments: contiguous tape per group, chunk/offset arithmetic exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, Seq.fill(300)("w").mkString(" ")),   // grp 0: 300 tokens
+      (2L, Seq.fill(300)("w").mkString(" ")),   // grp 0: spans chunk 0 -> 1
+      (4L, Seq.fill(100)("w").mkString(" ")),   // grp 0
+      (1L, Seq.fill(600)("w").mkString(" ")))   // grp 1: longer than capacity
+      .toDF("doc_id", "text")
+    val got = TextOps.packDocuments(docs, "doc_id", "text", capacity = 512, nGroups = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((0, 0L, 0L)))     // starts at 0
+    assert(got(2L) == ((0, 0L, 300L)))   // starts at 300, spans into chunk 1
+    assert(got(4L) == ((0, 1L, 88L)))    // 600 % 512 = 88
+    assert(got(1L) == ((1, 0L, 0L)))     // own group tape
+  }
+
   test("plans: exact form has no Expand; approx shuffles HLL partials (one agg level)") {
     val docs = corpus()
     val exactPlan = TextOps.vocabStats(docs, "doc_id", "text")
