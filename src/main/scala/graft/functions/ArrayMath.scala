@@ -19,14 +19,18 @@ import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession, SparkSessionE
   * (`ARCHITECTURE.md` extension surface); this is the Spark-first
   * replacement.
   *
-  * Length contract: mismatched arrays fold over the common prefix
-  * (min length), matching `zip_with`'s non-null overlap. Elements are
-  * assumed non-null (enforced upstream by the validators; SQL users get
-  * whatever `getDouble` yields for a null slot, exactly like
-  * `aggregate(...)` on the same data).
+  * Length contract: mismatched array lengths yield NULL — exactly what
+  * the `aggregate(zip_with(..))` HOF forms produce (zip_with pads the
+  * short side with nulls and the sum poisons), so the optimizer rewrite
+  * in [[HofDistanceRewrite]] is semantics-preserving, and a dimension
+  * bug fails loudly instead of folding a prefix. Elements are assumed
+  * non-null (enforced upstream by the validators).
   */
 abstract class ArrayFoldExpression extends BinaryExpression with Serializable {
   override def dataType: DataType = DoubleType
+
+  // nullable even over non-null inputs: mismatched lengths yield NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -53,8 +57,11 @@ abstract class ArrayFoldExpression extends BinaryExpression with Serializable {
   /** Final value from accumulators. */
   protected def finish(s: String): String = s
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    fold(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val bd = b.asInstanceOf[ArrayData]
+    if (ad.numElements() != bd.numElements()) null else fold(ad, bd)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -64,15 +71,19 @@ abstract class ArrayFoldExpression extends BinaryExpression with Serializable {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |${extraAcc(s)}
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $x = $a.getDouble($i);
-         |  final double $y = $b.getDouble($i);
-         |  ${perElement(x, y, s)}
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  ${extraAcc(s)}
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $x = $a.getDouble($i);
+         |    final double $y = $b.getDouble($i);
+         |    ${perElement(x, y, s)}
+         |  }
+         |  ${ev.value} = ${finish(s)};
          |}
-         |${ev.value} = ${finish(s)};
        """.stripMargin
     })
 }
