@@ -136,10 +136,15 @@ class GraftFunctionsSpec extends SparkSpec {
     }
   }
 
-  test("mismatched lengths fold over the common prefix") {
+  test("mismatched lengths yield NULL (matches zip_with null-padding semantics)") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 9.0), Seq(1.0, 0.0))).toDF("a", "b")
     val r = df.select(ArrayMath.sqdist(col("a"), col("b")).as("d")).head()
-    assert(r.getDouble(0) == 4.0)
+    assert(r.isNullAt(0),
+      "ragged inputs must not silently fold the common prefix: the HOF " +
+        "form (zip_with pads with null, sum poisons) returns NULL, so the " +
+        "native expression must too or the optimizer rewrite changes results")
+    val ok = df.select(ArrayMath.sqdist(slice(col("a"), 1, 2), col("b")).as("d")).head()
+    assert(ok.getDouble(0) == 4.0)
   }
 }
