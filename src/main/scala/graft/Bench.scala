@@ -43,7 +43,14 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Queries are independent; drop any cache state a query left behind
+      // so later queries measure their own plan, not the accumulated
+      // storage/GC pressure of everything that ran before them (r4: the
+      // same queries ran 2-4x slower late in the full 52-query run than
+      // in isolation).
+      spark.catalog.clearCache()
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

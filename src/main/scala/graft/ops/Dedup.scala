@@ -166,7 +166,7 @@ object Dedup {
         TextOps.wordShingles(col(textCol), shingleSize).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidatesFromShingles(sh, numHashes, bands)
-    cands
+    val confirmed = cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -174,6 +174,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    // Materialize the (small) confirmed-pair set eagerly so the cached
+    // shingle frame can be RELEASED here: a lazy return would pin the
+    // cache for the caller's lifetime — every call leaked one cached
+    // copy of the corpus shingles (the r4 bench JVM accumulated these
+    // across 52 queries and spent its tail in GC/eviction churn).
+    val out = confirmed.localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   /** Exact word n-gram Jaccard for candidate pairs. */
@@ -318,12 +326,19 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cands
+    val confirmed = cands
       .join(vecs.select(col("id").as("id_a"), col("vn").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vn").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(Similarity.dot(col("va"), col("vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
+    // Same release discipline as minhashDedup: materialize the confirmed
+    // pairs eagerly, then drop the two cached intermediates instead of
+    // pinning them for the caller's lifetime.
+    val out = confirmed.localCheckpoint()
+    banded.unpersist()
+    vecs.unpersist()
+    out
   }
 
   /** Connected components over a near-dup pair list — the step that turns
