@@ -121,7 +121,7 @@ class CoresetKMeans(override val uid: String)
     // core-set centers (reference: ml/CoresetKMeans.scala refineOnFullData)
     var refined = 0
     while (usedCoreset && refined < $(refinementIterations)) {
-      val assigned = Assignment.assign(data, arrCol, kern, centers, $(assignmentStrategy))
+      val assigned = Assignment.assign(data, arrCol, kern, centers, $(assignmentStrategy), oneShot = false)
       val upd = Update.gradMean(assigned, arrCol, lit(1.0), kern, dim)
       val next = centers.indices.flatMap(upd.centers.get).toArray
       if (next.length == centers.length) centers = next

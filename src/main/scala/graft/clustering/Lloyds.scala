@@ -103,6 +103,17 @@ object Assignment {
     (num.toDouble * mult).toLong
   }
 
+  /** @param oneShot whether this assignment runs ONCE over the data
+    *   (model.transform, metrics) rather than inside an iterative fit
+    *   loop. The literal-expression tier embeds the center values in the
+    *   plan, so each loop iteration would produce a NEW plan and pay a
+    *   whole-stage-codegen (Janino) compile — ~100-300ms of driver time
+    *   per iteration that the broadcast tier amortizes to one compile for
+    *   the whole loop (broadcast values change, the plan does not). Auto
+    *   therefore only picks the expression tier for one-shot scans, where
+    *   the single compile is amortized over the full read and the
+    *   codegen'd distance math wins.
+    */
   def assign(
       df: DataFrame,
       featuresCol: String,
@@ -110,7 +121,8 @@ object Assignment {
       centers: Array[Array[Double]],
       strategy: String = "auto",
       clusterCol: String = "cluster",
-      distCol: String = "dist"): DataFrame = {
+      distCol: String = "dist",
+      oneShot: Boolean = true): DataFrame = {
     if (strategy == "elkan" && kernel.isInstanceOf[SquaredEuclideanKernel])
       return ElkanAssignment.assign(df, featuresCol, centers, clusterCol, distCol)
     if (strategy == "crossjoin")
@@ -120,7 +132,7 @@ object Assignment {
     val useExpr = strategy match {
       case "expression" => true
       case "broadcast" | "chunked" => false
-      case _ => kernel.supportsExpressionOptimization && elems <= ExpressionMaxElems
+      case _ => oneShot && kernel.supportsExpressionOptimization && elems <= ExpressionMaxElems
     }
     if (useExpr && centers.forall(c => kernel.distExpr(col(featuresCol), c).isDefined))
       assignExpr(df, featuresCol, kernel, centers, clusterCol, distCol)
@@ -492,7 +504,7 @@ object LloydsIterator {
 
     while (iter < cfg.maxIter && !converged) {
       cfg.sink.emit(TrainingEvent.IterationStarted(iter))
-      val assigned = Assignment.assign(data, cfg.featuresCol, cfg.kernel, centers, cfg.assignmentStrategy)
+      val assigned = Assignment.assign(data, cfg.featuresCol, cfg.kernel, centers, cfg.assignmentStrategy, oneShot = false)
       val upd =
         if (isMedian) Update.median(assigned, cfg.featuresCol, wCol, dim)
         else Update.gradMean(assigned, cfg.featuresCol, wCol, cfg.kernel, dim)

@@ -134,7 +134,7 @@ class MiniBatchKMeans(override val uid: String)
 
     while (iter < $(maxIter) && !converged) {
       val batch = data.sample(withReplacement = false, fraction, $(seed) + iter)
-      val assigned = Assignment.assign(batch, arrCol, kern, centers, $(assignmentStrategy))
+      val assigned = Assignment.assign(batch, arrCol, kern, centers, $(assignmentStrategy), oneShot = false)
       val rows = assigned
         .groupBy(col("cluster"))
         .agg(aggFn(col(arrCol), wCol.cast("double"), col("dist")).as("r"))
