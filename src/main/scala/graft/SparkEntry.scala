@@ -515,6 +515,76 @@ object SparkEntry {
         .groupBy(col("vec_id")).agg(min(col("d2")).as("md"))
         .agg(round(sum(col("md")), 4).as("wcss"))
     },
+    "q_elkan_fixed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // Elkan lemma-1 PRUNED assignment at fixed centers must equal the
+      // exhaustive argmin — the oracle recomputes the full argmin in SQL,
+      // so this hash-checks the pruning logic itself on real data
+      // (reference: df/strategies/impl/AcceleratedSEAssignment.scala:64-238).
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      graft.clustering.ElkanAssignment.assign(pts, "f", centers)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          round(col("dist"), 6).as("dist"))
+    },
+    "q_spherical_fixed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // cosine-distance assignment at fixed centers through the native
+      // graft_cosine codegen expression; DuckDB rebuilds cos(x, mu) from
+      // scratch (dot / norms) — oracle-checks the spherical kernel math.
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      pts.join(broadcast(centers))
+        .withColumn("cd", lit(1.0) - graft.functions.ArrayMath.cosine(col("pv"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("center_id"), struct(col("cd"), col("center_id"))).as("cluster"),
+          (round(min(col("cd")), 6) + lit(0.0)).as("cosdist"))
+    },
+    "q_kl_assign_fixed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // KL-divergence assignment at fixed centers over positively-shifted
+      // features, through the native graft_kl expression (eps=1e-10);
+      // DuckDB replicates sum((x+eps)*ln((x+eps)/(mu+eps))) independently.
+      val e = t(dir, "embeddings")
+      val pos = e.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"), v => abs(v) + lit(0.1)).as("pv"))
+      val centers = pos.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("pv").as("cv"))
+      pos.join(broadcast(centers))
+        .withColumn("kl", graft.functions.ArrayMath.kl(col("pv"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("center_id"), struct(col("kl"), col("center_id"))).as("cluster"),
+          round(min(col("kl")), 6).as("kl"))
+    },
+    "q_huber_fixed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // One M-estimator (Huber) robust center update at fixed centers:
+      // euclidean assignment, weight w = 1 if d<=thr else thr/d, then the
+      // per-cluster per-dimension weighted mean (first 8 dims) — the
+      // RobustKMeans m_estimator update arithmetic, oracle-checked
+      // (reference: df/OutlierDetection.scala Huber M-estimator update).
+      val e = t(dir, "embeddings")
+      val thr = 1.0
+      val centers = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      pts.join(broadcast(centers))
+        .withColumn("d", sqrt(graft.functions.ArrayMath.sqdist(col("pv"), col("cv"))))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("center_id").as("cluster"), col("pv"), col("d")),
+          struct(col("d"), col("center_id"))).as("b"))
+        .select(col("b.cluster").as("cluster"), col("b.pv").as("pv"), col("b.d").as("d"))
+        .withColumn("w", when(col("d") <= thr, lit(1.0)).otherwise(lit(thr) / col("d")))
+        .select(col("cluster"), col("w"), posexplode(col("pv")).as(Seq("i", "v")))
+        .where(col("i") < 8)
+        .groupBy(col("cluster"), col("i"))
+        .agg((round(sum(col("v") * col("w")) / sum(col("w")), 6) + lit(0.0)).as("cv"))
+    },
     // ---- multimodal columns ----
     "q_multimodal_fingerprint" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -882,5 +952,59 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT CAST(floor(epoch_ns(ts) / 3600000000000) * 3600 AS BIGINT) AS hour_epoch,
         |event_type, count(*) AS n, round(sum(value), 4) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_elkan_fixed" ->
+      """SELECT vec_id, cluster, round(0.5 * d2, 6) AS dist FROM (
+        |  SELECT p.vec_id, c.vec_id AS cluster,
+        |    list_sum(list_transform(range(1, len(p.embedding)+1),
+        |      i -> (p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)^2)) AS d2,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_sum(list_transform(range(1, len(p.embedding)+1),
+        |        i -> (p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)^2)), c.vec_id) AS rn
+        |  FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 8) c)
+        |WHERE rn = 1""".stripMargin,
+    "q_spherical_fixed" ->
+      """SELECT vec_id, cluster, round(cd, 6) + 0.0 AS cosdist FROM (
+        |  SELECT p.vec_id, c.vec_id AS cluster,
+        |    1.0 - list_sum(list_transform(range(1, len(p.embedding)+1),
+        |            i -> p.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(p.embedding, v -> v::DOUBLE * v::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))) AS cd,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      1.0 - list_sum(list_transform(range(1, len(p.embedding)+1),
+        |            i -> p.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))
+        |      / (sqrt(list_sum(list_transform(p.embedding, v -> v::DOUBLE * v::DOUBLE)))
+        |       * sqrt(list_sum(list_transform(c.embedding, v -> v::DOUBLE * v::DOUBLE)))),
+        |      c.vec_id) AS rn
+        |  FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 4) c)
+        |WHERE rn = 1""".stripMargin,
+    "q_kl_assign_fixed" ->
+      """WITH pos AS (
+        |  SELECT vec_id, list_transform(embedding, v -> abs(v::DOUBLE) + 0.1) AS pv
+        |  FROM embeddings)
+        |SELECT vec_id, cluster, round(kl, 6) AS kl FROM (
+        |  SELECT p.vec_id, c.vec_id AS cluster,
+        |    list_sum(list_transform(range(1, len(p.pv)+1),
+        |      i -> (p.pv[i] + 1e-10) * ln((p.pv[i] + 1e-10) / (c.pv[i] + 1e-10)))) AS kl,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_sum(list_transform(range(1, len(p.pv)+1),
+        |        i -> (p.pv[i] + 1e-10) * ln((p.pv[i] + 1e-10) / (c.pv[i] + 1e-10)))),
+        |      c.vec_id) AS rn
+        |  FROM pos p, (SELECT * FROM pos WHERE vec_id < 4) c)
+        |WHERE rn = 1""".stripMargin,
+    "q_huber_fixed" ->
+      """WITH assigned AS (
+        |  SELECT vec_id, cluster, pv, d FROM (
+        |    SELECT p.vec_id, c.vec_id AS cluster, p.embedding::DOUBLE[] AS pv,
+        |      list_distance(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_distance(p.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+        |        c.vec_id) AS rn
+        |    FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 4) c) WHERE rn = 1),
+        |weighted AS (
+        |  SELECT cluster, CASE WHEN d <= 1.0 THEN 1.0 ELSE 1.0 / d END AS w, pv
+        |  FROM assigned)
+        |SELECT cluster, i - 1 AS i, round(sum(pv[i] * w) / sum(w), 6) + 0.0 AS cv
+        |FROM weighted, generate_series(1, 8) AS t(i)
+        |GROUP BY cluster, i - 1""".stripMargin)
 }
