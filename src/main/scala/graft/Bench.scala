@@ -35,9 +35,13 @@ object Bench {
     } catch { case _: Throwable => () }
     // Optional comma-separated subset for local profiling runs; the
     // driver never sets this, so per-round bench always runs everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // blank env value == unset, not "run nothing"
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    if (selected.isEmpty)
+      System.err.println("[bench] warning: SPARK_GRAFT_ONLY matched zero queries")
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -522,12 +522,19 @@ object SparkEntry {
       // so this hash-checks the pruning logic itself on real data
       // (reference: df/strategies/impl/AcceleratedSEAssignment.scala:64-238).
       val e = t(dir, "embeddings")
-      val centers = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
-        .select(col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0).toArray)
+      // collect (vec_id, embedding) PAIRS and remap the assignment's
+      // array index back to the actual vec_id, so the oracle comparison
+      // holds even if the ids below 8 are not dense (r5 ADVICE)
+      val centerRows = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+        .collect()
+      val centerIds = centerRows.map(_.getLong(0))
+      val centers = centerRows.map(_.getSeq[Double](1).toArray)
       val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
       graft.clustering.ElkanAssignment.assign(pts, "f", centers)
-        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        .select(col("vec_id"),
+          element_at(array(centerIds.map(lit(_)): _*), col("cluster") + 1)
+            .cast("long").as("cluster"),
           round(col("dist"), 6).as("dist"))
     },
     "q_spherical_fixed" -> { (s, dir) =>
@@ -559,7 +566,7 @@ object SparkEntry {
         .withColumn("kl", graft.functions.ArrayMath.kl(col("pv"), col("cv")))
         .groupBy(col("vec_id"))
         .agg(min_by(col("center_id"), struct(col("kl"), col("center_id"))).as("cluster"),
-          round(min(col("kl")), 6).as("kl"))
+          (round(min(col("kl")), 6) + lit(0.0)).as("kl"))
     },
     "q_huber_fixed" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -573,13 +580,18 @@ object SparkEntry {
       val centers = e.where(col("vec_id") < 4)
         .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
       val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      // branch on the SQUARED distance (d2 <= thr^2) on both engines: a
+      // 1-ulp sqrt disagreement exactly at the threshold would flip the
+      // weight branch and hash-mismatch (r5 ADVICE); sqrt only feeds the
+      // else-branch VALUE, which the 6-decimal rounding absorbs
       pts.join(broadcast(centers))
-        .withColumn("d", sqrt(graft.functions.ArrayMath.sqdist(col("pv"), col("cv"))))
+        .withColumn("d2", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")))
         .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("center_id").as("cluster"), col("pv"), col("d")),
-          struct(col("d"), col("center_id"))).as("b"))
-        .select(col("b.cluster").as("cluster"), col("b.pv").as("pv"), col("b.d").as("d"))
-        .withColumn("w", when(col("d") <= thr, lit(1.0)).otherwise(lit(thr) / col("d")))
+        .agg(min_by(struct(col("center_id").as("cluster"), col("pv"), col("d2")),
+          struct(col("d2"), col("center_id"))).as("b"))
+        .select(col("b.cluster").as("cluster"), col("b.pv").as("pv"), col("b.d2").as("d2"))
+        .withColumn("w",
+          when(col("d2") <= thr * thr, lit(1.0)).otherwise(lit(thr) / sqrt(col("d2"))))
         .select(col("cluster"), col("w"), posexplode(col("pv")).as(Seq("i", "v")))
         .where(col("i") < 8)
         .groupBy(col("cluster"), col("i"))
@@ -982,7 +994,7 @@ object SparkEntry {
       """WITH pos AS (
         |  SELECT vec_id, list_transform(embedding, v -> abs(v::DOUBLE) + 0.1) AS pv
         |  FROM embeddings)
-        |SELECT vec_id, cluster, round(kl, 6) AS kl FROM (
+        |SELECT vec_id, cluster, round(kl, 6) + 0.0 AS kl FROM (
         |  SELECT p.vec_id, c.vec_id AS cluster,
         |    list_sum(list_transform(range(1, len(p.pv)+1),
         |      i -> (p.pv[i] + 1e-10) * ln((p.pv[i] + 1e-10) / (c.pv[i] + 1e-10)))) AS kl,
@@ -994,15 +1006,17 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "q_huber_fixed" ->
       """WITH assigned AS (
-        |  SELECT vec_id, cluster, pv, d FROM (
+        |  SELECT vec_id, cluster, pv, d2 FROM (
         |    SELECT p.vec_id, c.vec_id AS cluster, p.embedding::DOUBLE[] AS pv,
-        |      list_distance(p.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS d,
+        |      list_sum(list_transform(range(1, len(p.embedding)+1),
+        |        i -> (p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)^2)) AS d2,
         |      row_number() OVER (PARTITION BY p.vec_id
-        |        ORDER BY list_distance(p.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+        |        ORDER BY list_sum(list_transform(range(1, len(p.embedding)+1),
+        |          i -> (p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)^2)),
         |        c.vec_id) AS rn
         |    FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 4) c) WHERE rn = 1),
         |weighted AS (
-        |  SELECT cluster, CASE WHEN d <= 1.0 THEN 1.0 ELSE 1.0 / d END AS w, pv
+        |  SELECT cluster, CASE WHEN d2 <= 1.0 THEN 1.0 ELSE 1.0 / sqrt(d2) END AS w, pv
         |  FROM assigned)
         |SELECT cluster, i - 1 AS i, round(sum(pv[i] * w) / sum(w), 6) + 0.0 AS cv
         |FROM weighted, generate_series(1, 8) AS t(i)
