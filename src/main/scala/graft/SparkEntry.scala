@@ -597,6 +597,155 @@ object SparkEntry {
         .groupBy(col("cluster"), col("i"))
         .agg((round(sum(col("v") * col("w")) / sum(col("w")), 6) + lit(0.0)).as("cv"))
     },
+    "q_balanced_step" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // One BalancedKMeans soft-shed step at fixed centers: cluster 0 is
+      // marked oversized with an always-shed threshold, so every point
+      // whose best center is 0 must land on its SECOND choice — the
+      // quantile-shed branch's second-choice redirect in a deterministic,
+      // SQL-checkable form (full-shed/no-shed only: no data-dependent
+      // threshold boundary that a 1-ulp disagreement could flip).
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      val ranked = pts.join(broadcast(centers))
+        .withColumn("d2", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("center_id"))))
+        .where(col("rn") <= 2)
+      ranked.groupBy(col("vec_id"))
+        .agg(min_by(col("center_id"), col("rn")).as("first_c"),
+          max_by(col("center_id"), col("rn")).as("second_c"),
+          min_by(col("d2"), col("rn")).as("first_d2"),
+          max_by(col("d2"), col("rn")).as("second_d2"))
+        .select(col("vec_id"),
+          when(col("first_c") === 0, col("second_c")).otherwise(col("first_c")).as("cluster"),
+          (round(when(col("first_c") === 0, col("second_d2")).otherwise(col("first_d2")), 6)
+            + lit(0.0)).as("dist"))
+    },
+    "q_coreset_weights" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // CoresetKMeans sensitivity -> clamped sampling probability -> 1/p
+      // importance weight at FIXED pilot centers (hybrid strategy,
+      // distanceWeight=0.5, coresetSize=100, minProb/maxWeight defaults):
+      // exactly buildCoreset's arithmetic minus the rand() draw, so the
+      // whole importance-sampling math is oracle-checked end to end
+      // (reference: ml/CoresetKMeans.scala:269-340).
+      val e = t(dir, "embeddings")
+      val pilots = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      val d2 = pts.join(broadcast(pilots))
+        .withColumn("dd", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")))
+        .groupBy(col("vec_id")).agg(min(col("dd")).as("d2"))
+      val mx = d2.agg(max(col("d2")).as("mx"))
+      val withS = d2.crossJoin(broadcast(mx))
+        .withColumn("ds", col("d2") / col("mx"))
+        .withColumn("sv",
+          lit(0.5) * col("ds") + lit(0.5) * (lit(1.0) + lit(1.0) / (col("ds") + lit(0.1))))
+      val tot = withS.agg(sum(col("sv")).as("tot"))
+      withS.crossJoin(broadcast(tot))
+        .withColumn("p", least(lit(1.0), greatest(lit(1e-6), lit(100.0) * col("sv") / col("tot"))))
+        .select(col("vec_id"), round(col("sv"), 6).as("sens"),
+          round(col("p"), 6).as("p"),
+          round(least(lit(1e6), lit(1.0) / col("p")), 6).as("w"))
+    },
+    "q_minibatch_step" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // One Sculley mini-batch center update at fixed centers with fixed
+      // prior counts n0=10. The sequential per-point eta=1/count running
+      // mean over a batch collapses to the closed form
+      // new_c = (n0*c + sum_batch) / (n0 + |batch_c|) — exactly what
+      // MiniBatchKMeans applies batch-at-a-time; first 8 dims
+      // (reference: ml/MiniBatchKMeans.scala:152-338).
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val batch = e.where(col("vec_id") < 256)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      val assigned = batch.join(broadcast(centers))
+        .withColumn("d2", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("center_id").as("cluster"), col("pv")),
+          struct(col("d2"), col("center_id"))).as("b"))
+        .select(col("b.cluster").as("cluster"), col("b.pv").as("pv"))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("pv")).as(Seq("i", "v")))
+        .where(col("i") < 8)
+        .groupBy(col("cluster"), col("i"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).cast("double").as("cnt"))
+      centers.select(col("center_id").as("cluster"), posexplode(col("cv")).as(Seq("i", "cvi")))
+        .where(col("i") < 8)
+        .join(sums, Seq("cluster", "i"), "left")
+        .select(col("cluster"), col("i"),
+          (round((lit(10.0) * col("cvi") + coalesce(col("sv"), lit(0.0))) /
+            (lit(10.0) + coalesce(col("cnt"), lit(0.0))), 6) + lit(0.0)).as("cv"))
+    },
+    "q_xmeans_bic" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // BIC and AIC at fixed centers/assignments through XMeans.score
+      // ITSELF (the actual model-selection code path), with the clustering
+      // cost computed distributed; DuckDB rebuilds the Gaussian
+      // log-likelihood closed form independently
+      // (reference: ml/XMeans.scala:250-271).
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      val dim = e.select(col("embedding")).head().getSeq[Any](0).length
+      val row = pts.join(broadcast(centers))
+        .withColumn("d2", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")))
+        .groupBy(col("vec_id")).agg((min(col("d2")) / 2).as("md"))
+        .agg(sum(col("md")).as("cost"), count(lit(1)).as("n")).head()
+      val (cost, n) = (row.getDouble(0), row.getLong(1))
+      val bic = new XMeans().score(cost, 4, n, dim)
+      val aic = new XMeans().setCriterion("aic").score(cost, 4, n, dim)
+      s.range(1).select(round(lit(bic), 4).as("bic"), round(lit(aic), 4).as("aic"),
+        lit(n).as("n"))
+    },
+    "q_bisecting_split" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // BisectingKMeans split-selection pass at fixed centers: per-cluster
+      // size and SSE, with the split target chosen as the LARGEST cluster
+      // (id tie-break) — the reference's divisible-cluster selection rule
+      // (reference: ml/BisectingKMeans.scala:136-202).
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      pts.join(broadcast(centers))
+        .withColumn("d2", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("center_id"), struct(col("d2"), col("center_id"))).as("cluster"),
+          min(col("d2")).as("md"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), round(sum(col("md")), 4).as("sse"))
+        .withColumn("chosen",
+          (row_number().over(Window.orderBy(col("n").desc, col("cluster"))) === 1)
+            .cast("int").cast("long"))
+    },
+    "q_softmix_estep" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // BregmanMixture E-step at fixed mixture weights and centers:
+      // responsibilities r_c = exp(ln pi_c - D(x,mu_c) - logsumexp) with
+      // the same stable log-sum-exp the EM UDF uses; pi_c = (c+1)/10 so
+      // the weight term is non-uniform and actually exercised
+      // (reference: ml/BregmanSoftClustering.scala E-step).
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("comp"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      val w = Window.partitionBy(col("vec_id"))
+      pts.join(broadcast(centers))
+        .withColumn("lp",
+          log((col("comp").cast("double") + lit(1.0)) / lit(10.0))
+            - graft.functions.ArrayMath.sqdist(col("pv"), col("cv")) / 2)
+        .withColumn("mx", max(col("lp")).over(w))
+        .withColumn("lse", col("mx") + log(sum(exp(col("lp") - col("mx"))).over(w)))
+        .select(col("vec_id"), col("comp"),
+          (round(exp(col("lp") - col("lse")), 6) + lit(0.0)).as("resp"))
+    },
     // ---- multimodal columns ----
     "q_multimodal_fingerprint" -> { (s, dir) =>
       implicit val sp: SparkSession = s
