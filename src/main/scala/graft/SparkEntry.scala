@@ -1,6 +1,6 @@
 package graft
 
-import graft.clustering.{BalancedKMeans, BisectingKMeans, ConstrainedKMeans, CoresetKMeans, DPMeans, GeneralizedKMeans, MiniBatchKMeans, RobustKMeans, SoftAssignments, SoftKMeans, SparseKMeans, XMeans}
+import graft.clustering.{BalancedKMeans, BisectingKMeans, ConstrainedKMeans, CoresetKMeans, DPMeans, GeneralizedKMeans, MiniBatchKMeans, RobustKMeans, SoftAssignments, SoftKMeans, SparseKMeans, SpectralGraph, XMeans}
 import graft.kernels.SquaredEuclideanKernel
 import graft.ops.{Dedup, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -714,16 +714,21 @@ object SparkEntry {
       val centers = e.where(col("vec_id") < 4)
         .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
       val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
-      pts.join(broadcast(centers))
+      val stats = pts.join(broadcast(centers))
         .withColumn("d2", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")))
         .groupBy(col("vec_id"))
         .agg(min_by(col("center_id"), struct(col("d2"), col("center_id"))).as("cluster"),
           min(col("d2")).as("md"))
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), round(sum(col("md")), 4).as("sse"))
-        .withColumn("chosen",
-          (row_number().over(Window.orderBy(col("n").desc, col("cluster"))) === 1)
-            .cast("int").cast("long"))
+      // split target = largest n, smallest cluster id on ties; a 1-row
+      // max_by aggregate broadcast back instead of a global Window (which
+      // collapses to one partition and trips the WindowExec warning)
+      val best = stats.agg(
+        max_by(col("cluster"), struct(col("n"), -col("cluster"))).as("bc"))
+      stats.crossJoin(broadcast(best))
+        .select(col("cluster"), col("n"), col("sse"),
+          (col("cluster") === col("bc")).cast("int").cast("long").as("chosen"))
     },
     "q_softmix_estep" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -745,6 +750,85 @@ object SparkEntry {
         .withColumn("lse", col("mx") + log(sum(exp(col("lp") - col("mx"))).over(w)))
         .select(col("vec_id"), col("comp"),
           (round(exp(col("lp") - col("lse")), 6) + lit(0.0)).as("resp"))
+    },
+    "q_dpmeans_step" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // One DP-means pass at fixed centers and lambda: each point takes
+      // its argmin center unless the kernel (half-squared) distance
+      // exceeds lambda, in which case it is an outlier / new-cluster
+      // candidate (cluster -1) — the per-point decision rule of
+      // DPMeans.fit, with lambda at the sf-stable median so both branches
+      // are exercised (reference: ml/DPMeans.scala assignment/outlier split).
+      val e = t(dir, "embeddings")
+      val lambda = 0.875
+      val centers = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      pts.join(broadcast(centers))
+        .withColumn("d", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")) / 2)
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("center_id"), struct(col("d"), col("center_id"))).as("best"),
+          min(col("d")).as("md"))
+        .select(col("vec_id"),
+          when(col("md") <= lit(lambda), col("best")).otherwise(lit(-1)).as("cluster"),
+          (round(col("md"), 6) + lit(0.0)).as("dist"))
+    },
+    "q_multiview_step" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // One MultiViewKMeans combined-argmin pass at fixed centers: views
+      // are dims [0,32) and [32,64) with weights 0.7/0.3; combined
+      // distance = 0.7*d2(view1) + 0.3*d2(view2), argmin with center-id
+      // tie-break — exactly the weighted-sum assignment MultiViewKMeans
+      // runs per iteration (reference: ml/MultiViewKMeans.scala combined
+      // distance).
+      val e = t(dir, "embeddings")
+      val full = e.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), 1, 32).as("v1"),
+        slice(col("embedding").cast("array<double>"), 33, 32).as("v2"))
+      val centers = full.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("v1").as("c1"), col("v2").as("c2"))
+      full.join(broadcast(centers))
+        .withColumn("comb",
+          lit(0.7) * graft.functions.ArrayMath.sqdist(col("v1"), col("c1"))
+            + lit(0.3) * graft.functions.ArrayMath.sqdist(col("v2"), col("c2")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("center_id"), struct(col("comb"), col("center_id"))).as("cluster"),
+          (round(min(col("comb")), 6) + lit(0.0)).as("dist"))
+    },
+    "q_clara_score" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // CLARA's distributed full-data scoring of fixed medoids: sum over
+      // all rows of the min EUCLIDEAN (metric, not squared) distance to
+      // any medoid — the one-agg scoring job CLARA.fit runs per sample
+      // set (reference: ml/CLARA.scala full-data cost pass).
+      val e = t(dir, "embeddings")
+      val medoids = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("medoid_id"), col("embedding").cast("array<double>").as("mv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      pts.join(broadcast(medoids))
+        .withColumn("d", sqrt(graft.functions.ArrayMath.sqdist(col("pv"), col("mv"))))
+        .groupBy(col("vec_id")).agg(min(col("d")).as("md"))
+        .agg(round(sum(col("md")), 4).as("cost"), count(lit(1)).as("n"))
+    },
+    "q_spectral_degree" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // Spectral affinity degrees through SpectralGraph ITSELF (the exact
+      // driver-local path used for n <= cap): full RBF affinity
+      // (gamma=0.25, zero diagonal) over the first 64 embeddings, then
+      // the degree vector d_i = sum_j W_ij — the quantity that feeds the
+      // normalized Laplacian; DuckDB rebuilds it independently
+      // (reference: df/SpectralGraph.scala affinity + degrees).
+      val e = t(dir, "embeddings")
+      val pts = e.where(col("vec_id") < 64).orderBy("vec_id")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+        .collect()
+      val ids = pts.map(_.getLong(0))
+      val xs = pts.map(_.getSeq[Double](1).toArray)
+      val w = SpectralGraph.buildAffinity(xs, graft.kernels.RBFKernel(0.25), "full")
+      val deg = SpectralGraph.degrees(w)
+      import s.implicits._
+      ids.zip(deg).toSeq.toDF("vec_id", "deg")
+        .select(col("vec_id"), (round(col("deg"), 6) + lit(0.0)).as("degree"))
     },
     // ---- multimodal columns ----
     "q_multimodal_fingerprint" -> { (s, dir) =>
@@ -1169,5 +1253,140 @@ object SparkEntry {
         |  FROM assigned)
         |SELECT cluster, i - 1 AS i, round(sum(pv[i] * w) / sum(w), 6) + 0.0 AS cv
         |FROM weighted, generate_series(1, 8) AS t(i)
-        |GROUP BY cluster, i - 1""".stripMargin)
+        |GROUP BY cluster, i - 1""".stripMargin,
+    "q_balanced_step" ->
+      """WITH ranked AS (
+        |  SELECT p.vec_id, c.vec_id AS center_id,
+        |    list_sum(list_transform(range(1, len(p.embedding)+1),
+        |      i -> (p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)^2)) AS d2,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_sum(list_transform(range(1, len(p.embedding)+1),
+        |        i -> (p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)^2)),
+        |      c.vec_id) AS rn
+        |  FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 4) c),
+        |top2 AS (SELECT vec_id,
+        |    max(CASE WHEN rn = 1 THEN center_id END) AS first_c,
+        |    max(CASE WHEN rn = 2 THEN center_id END) AS second_c,
+        |    max(CASE WHEN rn = 1 THEN d2 END) AS first_d2,
+        |    max(CASE WHEN rn = 2 THEN d2 END) AS second_d2
+        |  FROM ranked WHERE rn <= 2 GROUP BY 1)
+        |SELECT vec_id,
+        |  CASE WHEN first_c = 0 THEN second_c ELSE first_c END AS cluster,
+        |  round(CASE WHEN first_c = 0 THEN second_d2 ELSE first_d2 END, 6) + 0.0 AS dist
+        |FROM top2""".stripMargin,
+    "q_coreset_weights" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        |d2 AS (SELECT p.vec_id,
+        |    min(list_sum(list_transform(range(1, len(p.embedding)+1),
+        |      i -> (p.embedding[i]::DOUBLE - c.cv[i])^2))) AS d2
+        |  FROM embeddings p, c GROUP BY 1),
+        |mx AS (SELECT max(d2) AS mx FROM d2),
+        |s AS (SELECT vec_id, d2 / mx.mx AS ds,
+        |    0.5 * (d2 / mx.mx) + 0.5 * (1.0 + 1.0 / (d2 / mx.mx + 0.1)) AS sv
+        |  FROM d2, mx),
+        |tot AS (SELECT sum(sv) AS tot FROM s),
+        |p AS (SELECT vec_id, sv,
+        |    least(1.0, greatest(1e-6, 100.0 * sv / tot.tot)) AS p FROM s, tot)
+        |SELECT vec_id, round(sv, 6) AS sens, round(p, 6) AS p,
+        |  round(least(1e6, 1.0 / p), 6) AS w FROM p""".stripMargin,
+    "q_minibatch_step" ->
+      """WITH c AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        |asg AS (
+        |  SELECT vec_id, cluster, pv FROM (
+        |    SELECT p.vec_id, c.cluster, p.embedding::DOUBLE[] AS pv,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_sum(list_transform(range(1, len(p.embedding)+1),
+        |          i -> (p.embedding[i]::DOUBLE - c.cv[i])^2)), c.cluster) AS rn
+        |    FROM (SELECT * FROM embeddings WHERE vec_id < 256) p, c) WHERE rn = 1),
+        |sums AS (SELECT cluster, i - 1 AS i, sum(pv[i]) AS sv, count(*)::DOUBLE AS cnt
+        |  FROM asg, generate_series(1, 8) AS t(i) GROUP BY 1, 2),
+        |cexp AS (SELECT cluster, i - 1 AS i, cv[i] AS cvi
+        |  FROM c, generate_series(1, 8) AS t(i))
+        |SELECT ce.cluster, ce.i,
+        |  round((10.0 * ce.cvi + coalesce(s.sv, 0.0)) / (10.0 + coalesce(s.cnt, 0.0)), 6)
+        |    + 0.0 AS cv
+        |FROM cexp ce LEFT JOIN sums s ON s.cluster = ce.cluster AND s.i = ce.i""".stripMargin,
+    "q_xmeans_bic" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        |md AS (SELECT p.vec_id,
+        |    min(list_sum(list_transform(range(1, len(p.embedding)+1),
+        |      i -> (p.embedding[i]::DOUBLE - c.cv[i])^2))) / 2 AS md
+        |  FROM embeddings p, c GROUP BY 1),
+        |agg AS (SELECT sum(md) AS cost, count(*) AS n FROM md),
+        |v AS (SELECT cost, n, greatest(cost / n, 1e-10) AS var FROM agg),
+        |ll AS (SELECT n,
+        |    -cost / (2 * var) - n * ln(sqrt(var)) - n * ln(2 * pi()) / 2 AS ll FROM v)
+        |SELECT round(-2 * ll + (4 * 64 + 1) * ln(n::DOUBLE), 4) AS bic,
+        |  round(-2 * ll + 2 * (4 * 64 + 1), 4) AS aic, n FROM ll""".stripMargin,
+    "q_bisecting_split" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        |asg AS (
+        |  SELECT vec_id, cluster, md FROM (
+        |    SELECT p.vec_id, c.cid AS cluster,
+        |      list_sum(list_transform(range(1, len(p.embedding)+1),
+        |        i -> (p.embedding[i]::DOUBLE - c.cv[i])^2)) AS md,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_sum(list_transform(range(1, len(p.embedding)+1),
+        |          i -> (p.embedding[i]::DOUBLE - c.cv[i])^2)), c.cid) AS rn
+        |    FROM embeddings p, c) WHERE rn = 1),
+        |stats AS (SELECT cluster, count(*) AS n, round(sum(md), 4) AS sse
+        |  FROM asg GROUP BY 1),
+        |best AS (SELECT cluster AS bc FROM stats ORDER BY n DESC, cluster LIMIT 1)
+        |SELECT s.cluster, s.n, s.sse,
+        |  (CASE WHEN s.cluster = b.bc THEN 1 ELSE 0 END)::BIGINT AS chosen
+        |FROM stats s, best b""".stripMargin,
+    "q_softmix_estep" ->
+      """WITH c AS (SELECT vec_id AS comp, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        |lp AS (
+        |  SELECT p.vec_id, c.comp,
+        |    ln((c.comp + 1.0) / 10.0) - 0.5 * list_sum(list_transform(range(1, len(p.embedding)+1),
+        |      i -> (p.embedding[i]::DOUBLE - c.cv[i])^2)) AS lp
+        |  FROM embeddings p, c),
+        |w AS (SELECT vec_id, comp, lp, max(lp) OVER (PARTITION BY vec_id) AS mx FROM lp),
+        |l AS (SELECT vec_id, comp, lp,
+        |    mx + ln(sum(exp(lp - mx)) OVER (PARTITION BY vec_id)) AS lse FROM w)
+        |SELECT vec_id, comp, round(exp(lp - lse), 6) + 0.0 AS resp FROM l""".stripMargin,
+    "q_dpmeans_step" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        |asg AS (
+        |  SELECT vec_id, cid, d FROM (
+        |    SELECT p.vec_id, c.cid,
+        |      0.5 * list_sum(list_transform(range(1, len(p.embedding)+1),
+        |        i -> (p.embedding[i]::DOUBLE - c.cv[i])^2)) AS d,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_sum(list_transform(range(1, len(p.embedding)+1),
+        |          i -> (p.embedding[i]::DOUBLE - c.cv[i])^2)), c.cid) AS rn
+        |    FROM embeddings p, c) WHERE rn = 1)
+        |SELECT vec_id,
+        |  CASE WHEN d <= 0.875 THEN cid ELSE -1 END AS cluster,
+        |  round(d, 6) + 0.0 AS dist
+        |FROM asg""".stripMargin,
+    "q_multiview_step" ->
+      """WITH f AS (SELECT vec_id, embedding[1:32]::DOUBLE[] AS v1, embedding[33:64]::DOUBLE[] AS v2
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v1 AS c1, v2 AS c2 FROM f WHERE vec_id < 4),
+        |d AS (SELECT p.vec_id, c.cid,
+        |    0.7 * list_sum(list_transform(range(1, 33),
+        |      i -> (p.v1[i] - c.c1[i]) * (p.v1[i] - c.c1[i])))
+        |    + 0.3 * list_sum(list_transform(range(1, 33),
+        |      i -> (p.v2[i] - c.c2[i]) * (p.v2[i] - c.c2[i]))) AS comb
+        |  FROM f p, c)
+        |SELECT vec_id, cluster, round(comb, 6) + 0.0 AS dist FROM (
+        |  SELECT vec_id, cid AS cluster, comb,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY comb, cid) AS rn
+        |  FROM d) WHERE rn = 1""".stripMargin,
+    "q_clara_score" ->
+      """SELECT round(sum(md), 4) AS cost, count(*) AS n FROM (
+        |  SELECT p.vec_id,
+        |    min(sqrt(list_sum(list_transform(range(1, len(p.embedding)+1),
+        |      i -> (p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)^2)))) AS md
+        |  FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 4) c
+        |  GROUP BY p.vec_id)""".stripMargin,
+    "q_spectral_degree" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 64)
+        |SELECT a.vec_id,
+        |  round(sum(CASE WHEN a.vec_id = b.vec_id THEN 0.0
+        |    ELSE exp(-0.25 * list_sum(list_transform(range(1, len(a.v)+1),
+        |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))) END), 6) + 0.0 AS degree
+        |FROM s a, s b GROUP BY 1""".stripMargin)
 }

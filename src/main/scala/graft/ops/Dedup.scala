@@ -153,6 +153,10 @@ object Dedup {
     * (1 - j^2)^32 — ~2e-10 at j=0.7, so the confirmed output equals the
     * exact brute-force answer with near-certainty (which is what lets the
     * harness oracle-check this query against a DuckDB full self-join).
+    *
+    * OWNERSHIP: the returned DataFrame is persisted (already materialized);
+    * the CALLER owns the release — `result.unpersist()` after the terminal
+    * write (the harness loops call `spark.catalog.clearCache()` per query).
     */
   def minhashDedup(
       df: DataFrame,
@@ -304,6 +308,10 @@ object Dedup {
     * join at scale). Pairs lost this way are only those whose EVERY shared
     * bucket is oversized; with OR-amplified tables that probability is
     * negligible for genuinely near pairs.
+    *
+    * OWNERSHIP: the returned DataFrame is persisted (already materialized);
+    * the CALLER owns the release — `result.unpersist()` after the terminal
+    * write (the harness loops call `spark.catalog.clearCache()` per query).
     */
   def embeddingNearDup(
       df: DataFrame,
