@@ -135,11 +135,40 @@ object ElkanAssignment {
 
 object ElkanLloydsIterator {
 
-  /** SE-only Lloyd loop with cross-iteration Hamerly bounds. Produces the
-    * same centers as the exact loop from the same initialization.
+  /** Per-center-bounds cap: above this k the row state (k doubles) stops
+    * paying for itself and the loop falls back to the single Hamerly
+    * bound. The reference keeps per-center bounds unconditionally
+    * (df/ElkanLloydsIterator.scala:92-513); we bound the memory.
+    */
+  val PerCenterBoundsMaxK = 1024
+
+  /** SE-only Lloyd loop with cross-iteration triangle-inequality bounds.
+    * Produces the same centers as the exact loop from the same
+    * initialization (pruning is lossless).
+    *
+    * Two bound modes sharing one loop, selected by
+    * `cfg.assignmentStrategy`:
+    *
+    *  - `"elkan"` — FULL per-center lower bounds (Elkan 2003; reference:
+    *    df/ElkanLloydsIterator.scala:92-513): each row carries lb(j) for
+    *    every center j, decayed by that center's own movement. A point
+    *    whose upper bound stays under min-other lb does zero distance
+    *    work; otherwise only centers whose individual bound is violated
+    *    are recomputed. Prunes much harder at large k, at k doubles of
+    *    row state. Falls back to hamerly above [[PerCenterBoundsMaxK]].
+    *
+    *  - `"hamerly"` — ONE lower bound to any other center (Hamerly 2010),
+    *    decayed by the max movement. Constant row state; rescans whole
+    *    rows when violated (with Lemma-1 pruning inside the rescan).
+    *
     * `distortionHistory` entries are the sum of half-squared upper bounds
     * (exact on iterations where every row was rescanned, a tight upper
     * bound otherwise).
+    *
+    * State layout is identical in both modes — (features, __w, cluster,
+    * ub, lbs array) with lbs length k (elkan) or 1 (hamerly) — so the
+    * update/empty-cluster/convergence plumbing is shared and each
+    * iteration is still exactly one aggregation + one projection job.
     */
   def run(df: DataFrame, cfg: LloydsConfig): LloydsResult = {
     require(cfg.kernel.isInstanceOf[SquaredEuclideanKernel],
@@ -154,23 +183,48 @@ object ElkanLloydsIterator {
     val wCol: Column = cfg.weightCol.map(col).getOrElse(lit(1.0))
 
     var centers = CenterInit.initialize(data, cfg, dim, numPoints)
+    val perCenter =
+      cfg.assignmentStrategy != "hamerly" && centers.length <= PerCenterBoundsMaxK
 
-    // initial full scan with lemma-1 pruning: (f, w, cluster, ub, lb)
+    @inline def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    // initial full scan: (f, w, cluster, ub euclidean, lbs)
+    // hamerly: lbs = [lower bound on second-closest] (lemma-1 pruned scan)
+    // elkan:   lbs = exact euclidean distance to EVERY center
     def fullScan(frame: DataFrame, cs: Array[Array[Double]]): DataFrame = {
       val bcC = sc.broadcast(cs)
       val bcD = sc.broadcast(ElkanAssignment.centerDistances(cs))
-      val f = udf { (xs: Seq[Double]) =>
-        val (c, _, second, _) = ElkanAssignment.findClosest(xs.toArray, bcC.value, bcD.value)
-        val x = xs.toArray
-        var s = 0.0
-        var i = 0
-        while (i < x.length) { val d = x(i) - bcC.value(c)(i); s += d * d; i += 1 }
-        (c, math.sqrt(s), second)
-      }
+      val f =
+        if (perCenter) udf { (xs: Seq[Double]) =>
+          val x = xs.toArray
+          val k = bcC.value.length
+          val lbs = new Array[Double](k)
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            val d = math.sqrt(dist2(x, bcC.value(c)))
+            lbs(c) = d
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          (best, bd, lbs.toSeq)
+        }
+        else udf { (xs: Seq[Double]) =>
+          val x = xs.toArray
+          val (c, _, second, _) = ElkanAssignment.findClosest(x, bcC.value, bcD.value)
+          val ub = math.sqrt(dist2(x, bcC.value(c)))
+          (c, ub, Seq(second))
+        }
       frame.select(col(cfg.featuresCol), wCol.cast("double").as("__w"))
         .withColumn("__e", f(col(cfg.featuresCol)))
         .select(col(cfg.featuresCol), col("__w"),
-          col("__e._1").as("cluster"), col("__e._2").as("ub"), col("__e._3").as("lb"))
+          col("__e._1").as("cluster"), col("__e._2").as("ub"), col("__e._3").as("lbs"))
     }
 
     var state = fullScan(data, centers).persist(StorageLevel.MEMORY_AND_DISK)
@@ -212,10 +266,7 @@ object ElkanLloydsIterator {
       } else {
         // per-center movement (euclidean)
         val moves = centers.zip(newCenters).map { case (a, b) =>
-          var s = 0.0
-          var i = 0
-          while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
-          math.sqrt(s)
+          math.sqrt(dist2(a, b))
         }
         val maxMove = moves.max
         moveHist += maxMove
@@ -230,24 +281,62 @@ object ElkanLloydsIterator {
           val bcD = sc.broadcast(ElkanAssignment.centerDistances(centers))
           val bcM = sc.broadcast(moves)
           val maxM = maxMove
-          val stepUdf = udf { (xs: Seq[Double], cl: Int, ub: Double, lb: Double) =>
-            val ub2 = ub + bcM.value(cl)
-            val lb2 = lb - maxM
-            if (ub2 <= lb2) (cl, ub2, lb2) // bound holds: zero distance work
-            else {
-              val (c, _, second, _) = ElkanAssignment.findClosest(xs.toArray, bcC.value, bcD.value)
-              val x = xs.toArray
-              var s = 0.0
-              var i = 0
-              while (i < x.length) { val d = x(i) - bcC.value(c)(i); s += d * d; i += 1 }
-              (c, math.sqrt(s), second)
+          val stepUdf =
+            if (perCenter) udf { (xs: Seq[Double], cl: Int, ub: Double, lbs: Seq[Double]) =>
+              // Elkan step: decay each bound by ITS center's movement
+              val cs = bcC.value
+              val cd = bcD.value
+              val mv = bcM.value
+              val k = cs.length
+              var ub2 = ub + mv(cl)
+              val lbs2 = new Array[Double](k)
+              var minOther = Double.MaxValue
+              var j = 0
+              while (j < k) {
+                val v = lbs(j) - mv(j)
+                lbs2(j) = if (v > 0.0) v else 0.0
+                if (j != cl && lbs2(j) < minOther) minOther = lbs2(j)
+                j += 1
+              }
+              if (ub2 <= minOther) (cl, ub2, lbs2.toSeq) // zero distance work
+              else {
+                val x = xs.toArray
+                // tighten ub to the exact distance first (Elkan step 3a)
+                var best = cl
+                ub2 = math.sqrt(dist2(x, cs(cl)))
+                lbs2(cl) = ub2
+                j = 0
+                while (j < k) {
+                  // recompute ONLY centers whose own bound is violated and
+                  // that lemma 1 cannot rule out vs the current best
+                  if (j != best && lbs2(j) < ub2 && cd(best)(j) < 2.0 * ub2) {
+                    val dj = math.sqrt(dist2(x, cs(j)))
+                    lbs2(j) = dj
+                    if (dj < ub2) { ub2 = dj; best = j }
+                  }
+                  j += 1
+                }
+                (best, ub2, lbs2.toSeq)
+              }
             }
-          }
+            else udf { (xs: Seq[Double], cl: Int, ub: Double, lbs: Seq[Double]) =>
+              // Hamerly step: single bound, decayed by the max movement
+              val ub2 = ub + bcM.value(cl)
+              val lb2 = lbs(0) - maxM
+              if (ub2 <= lb2) (cl, ub2, Seq(lb2)) // bound holds: zero distance work
+              else {
+                val x = xs.toArray
+                val (c, _, second, _) = ElkanAssignment.findClosest(x, bcC.value, bcD.value)
+                val ubx = math.sqrt(dist2(x, bcC.value(c)))
+                (c, ubx, Seq(second))
+              }
+            }
           val checkpoint = (iter + 1) % cfg.checkpointInterval == 0
           val ns0 = state
-            .withColumn("__e", stepUdf(col(cfg.featuresCol), col("cluster"), col("ub"), col("lb")))
+            .withColumn("__e",
+              stepUdf(col(cfg.featuresCol), col("cluster"), col("ub"), col("lbs")))
             .select(col(cfg.featuresCol), col("__w"),
-              col("__e._1").as("cluster"), col("__e._2").as("ub"), col("__e._3").as("lb"))
+              col("__e._1").as("cluster"), col("__e._2").as("ub"), col("__e._3").as("lbs"))
           val ns =
             if (checkpoint) ns0.localCheckpoint()
             else ns0.persist(StorageLevel.MEMORY_AND_DISK)

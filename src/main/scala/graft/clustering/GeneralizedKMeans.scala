@@ -37,7 +37,8 @@ trait GeneralizedKMeansParams extends Params with HasFeaturesCol with HasPredict
   def getInitSteps: Int = $(initSteps)
 
   final val assignmentStrategy = new Param[String](this, "assignmentStrategy",
-    "auto|broadcast|expression|elkan (elkan: SE only, triangle-inequality pruned)")
+    "auto|broadcast|expression|elkan|hamerly (elkan: SE only, per-center " +
+      "triangle-inequality bounds; hamerly: SE only, single lower bound)")
   def getAssignmentStrategy: String = $(assignmentStrategy)
 
   final val emptyClusterStrategy = new Param[String](this, "emptyClusterStrategy",
@@ -168,7 +169,8 @@ class GeneralizedKMeans(override val uid: String)
       managePersistence = !reuseCachedInput,
       sink = eventSink)
     val keep = (Seq(arrCol) ++ get(weightCol).filter(_.nonEmpty)).distinct
-    val useElkan = $(assignmentStrategy) == "elkan" && kern.isInstanceOf[SquaredEuclideanKernel]
+    val useElkan = Set("elkan", "hamerly").contains($(assignmentStrategy)) &&
+      kern.isInstanceOf[SquaredEuclideanKernel]
     val result =
       if (useElkan) ElkanLloydsIterator.run(df.select(keep.map(col): _*), cfg)
       else LloydsIterator.run(df.select(keep.map(col): _*), cfg)

@@ -123,7 +123,8 @@ object Assignment {
       clusterCol: String = "cluster",
       distCol: String = "dist",
       oneShot: Boolean = true): DataFrame = {
-    if (strategy == "elkan" && kernel.isInstanceOf[SquaredEuclideanKernel])
+    if ((strategy == "elkan" || strategy == "hamerly") &&
+        kernel.isInstanceOf[SquaredEuclideanKernel])
       return ElkanAssignment.assign(df, featuresCol, centers, clusterCol, distCol)
     if (strategy == "crossjoin")
       return assignCrossJoin(df, featuresCol, kernel, centers, clusterCol, distCol)

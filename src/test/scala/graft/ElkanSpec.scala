@@ -66,6 +66,32 @@ class ElkanSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("hamerly (single-bound) loop reaches the same centers as the exact loop") {
+    val df = blobs(60, 6, 11).cache()
+    val std = new GeneralizedKMeans().setK(6).setSeed(9).setMaxIter(15).fit(df)
+    val ham = new GeneralizedKMeans().setK(6).setSeed(9).setMaxIter(15)
+      .setAssignmentStrategy("hamerly").fit(df)
+    std.clusterCenters.zip(ham.clusterCenters).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$x vs $y") }
+    }
+    df.unpersist()
+  }
+
+  test("per-center bounds match exact at larger k (the regime they exist for)") {
+    val df = blobs(25, 24, 13).cache()
+    val std = new GeneralizedKMeans().setK(24).setSeed(17).setMaxIter(12).fit(df)
+    val elk = new GeneralizedKMeans().setK(24).setSeed(17).setMaxIter(12)
+      .setAssignmentStrategy("elkan").fit(df)
+    std.clusterCenters.zip(elk.clusterCenters).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, s"$x vs $y") }
+    }
+    // final-assignment parity on every row (ub/lbs state never desyncs)
+    val p1 = std.transform(df).select("prediction").collect().map(_.getInt(0)).toSeq
+    val p2 = elk.transform(df).select("prediction").collect().map(_.getInt(0)).toSeq
+    assert(p1 == p2)
+    df.unpersist()
+  }
+
   test("elkan falls back gracefully for non-SE divergences") {
     import spark.implicits._
     val df = (1 to 50).map(i => Seq(0.1 + i * 0.01, 0.2, 0.3)).toDF("features")
