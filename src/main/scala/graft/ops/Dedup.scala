@@ -216,7 +216,13 @@ object Dedup {
     * ONE pass over the token array (each token hashed once; 64 bit-votes
     * accumulated in a local array).
     */
-  def simhashUdf: UserDefinedFunction = udf { (tokens: Seq[String]) =>
+  def simhashUdf: UserDefinedFunction = udf { (tokens: Seq[String]) => simhashOf(tokens) }
+
+  /** Plain-Scala simhash of a token sequence — the single implementation
+    * behind [[simhashUdf]] and the streaming banded dedup (which needs it
+    * both executor-side and in tests to pre-verify hamming distances).
+    */
+  def simhashOf(tokens: Seq[String]): Long = {
     val votes = new Array[Int](64)
     if (tokens != null) {
       val it = tokens.iterator

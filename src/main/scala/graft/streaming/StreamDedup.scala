@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.ops.Dedup
 
@@ -47,9 +48,9 @@ object StreamDedup {
     * whose simhash signatures are IDENTICAL (hamming distance 0 — minor
     * whitespace/shingle-preserving edits) dedup against each other within
     * the watermark horizon. This is the bounded-state streaming
-    * complement of [[graft.ops.Dedup.simhashCandidates]]; distance>0
-    * matching needs the batch banded join (documented trade-off: one
-    * state row per signature vs 4 rows per 16-bit band).
+    * complement of [[graft.ops.Dedup.simhashCandidates]]; for distance>0
+    * matching within a stream see [[simhashBanded]] (4 band-keyed state
+    * rows per doc instead of one signature row).
     */
   def simhash(
       docs: DataFrame,
@@ -64,5 +65,122 @@ object StreamDedup {
           .dropDuplicatesWithinWatermark("__sim_key")
       else keyed.dropDuplicates("__sim_key")
     out.drop("__sim_key")
+  }
+
+  /** One doc's appearance under one 16-bit simhash band (pigeonhole
+    * blocking key). `bandKey` packs (band index << 16) | chunk value so the
+    * four bands never collide in one keyspace.
+    */
+  // public only because Spark's encoder codegen must instantiate them;
+  // not part of the operator's API surface
+  case class BandRow(bandKey: Long, id: Long, sig: Long, ts: java.sql.Timestamp)
+
+  /** Per-band-key streaming state: recent (sig, id, tsMs) entries inside
+    * the watermark horizon, newest first.
+    */
+  case class BandState(entries: List[(Long, Long, Long)])
+
+  /** Streaming near-duplicate PAIR detection at hamming distance <= maxDist
+    * (not just identical signatures): the streaming counterpart of the
+    * batch [[graft.ops.Dedup.simhashCandidates]] banded join.
+    *
+    * Scale design, mirroring the batch operator's pigeonhole blocking: each
+    * doc becomes 4 rows keyed by (band, 16-bit chunk); any pair within
+    * hamming distance 3 shares at least one exact chunk, so comparisons
+    * happen only inside band buckets. State is a per-band-key list of
+    * (signature, id, eventTimeMs) pruned two ways: entries older than the
+    * current watermark are evicted on every visit, and a key keeps at most
+    * `maxPerKey` newest entries (skew guard — a degenerate chunk value,
+    * e.g. from near-empty docs, would otherwise accumulate unbounded state
+    * and O(|bucket|) work per arrival; dropped entries cost recall only
+    * for pairs separated by more than maxPerKey docs in the same bucket).
+    * Whole keys die via event-time timeout once idle past the horizon.
+    *
+    * Emits one row per (earlier id_a, later id_b) with their hamming
+    * distance and the later doc's event time. A pair sharing j>1 bands is
+    * emitted up to j times (once per matching band) — consumers treat the
+    * output as a set (drop-decision consumers are insensitive to repeats);
+    * a single-stateful-operator design was chosen over a downstream
+    * streaming `dropDuplicates` so the pipeline stays one shuffle.
+    */
+  def simhashBanded(
+      docs: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      watermark: String = "10 minutes",
+      maxPerKey: Int = 1024): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist=$maxDist not supported: 4 x 16-bit band blocking only guarantees recall for hamming distance <= 3")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(tsCol).as("ts"),
+      Dedup.simhashUdf(split(col(textCol), " ")).as("sh"))
+      .withWatermark("ts", watermark)
+    // the watermarked `ts` attribute must flow into the stateful operator
+    // unchanged (EventTimeTimeout resolves the watermark from its column
+    // metadata), so it is carried as-is rather than pre-converted to millis
+    val rows = sig.select(
+      explode(array((0 until 4).map(c =>
+        lit(c.toLong << 16) + shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)).as("bandKey"),
+      col("id"), col("sh").as("sig"), col("ts"))
+      .as[BandRow]
+    val horizon = parseDurationMs(watermark)
+    val md = maxDist
+    val cap = maxPerKey
+    rows.groupByKey(_.bandKey)
+      .flatMapGroupsWithState[BandState, (Long, Long, Int, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, in: Iterator[BandRow], state: GroupState[BandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_._3 >= wm)
+            val out = List.newBuilder[(Long, Long, Int, java.sql.Timestamp)]
+            var maxTs = 0L
+            // process batch rows oldest-first so in-batch pairs report the
+            // earlier doc as id_a, matching the batch operator's id_a < id_b
+            // convention in spirit (earlier-first here, since streams order
+            // by time, not id)
+            in.toSeq.sortBy(r => (r.ts.getTime, r.id)).foreach { r =>
+              val tsMs = r.ts.getTime
+              entries.foreach { case (s, eid, _) =>
+                if (eid != r.id && java.lang.Long.bitCount(s ^ r.sig) <= md)
+                  out += ((eid, r.id, java.lang.Long.bitCount(s ^ r.sig), r.ts))
+              }
+              entries = ((r.sig, r.id, tsMs) :: entries).take(cap)
+              if (tsMs > maxTs) maxTs = tsMs
+            }
+            state.update(BandState(entries))
+            // key expires once no new doc lands in this bucket for a full
+            // horizon past the newest entry
+            state.setTimeoutTimestamp(maxTs + horizon)
+            out.result().iterator
+          }
+      }
+      .toDF("id_a", "id_b", "hamming", "ts")
+  }
+
+  /** Parse "N seconds|minutes|hours|days" (the watermark grammar subset we
+    * accept) to milliseconds, for state-timeout arithmetic.
+    */
+  private def parseDurationMs(s: String): Long = {
+    val m = raw"(?i)\s*(\d+)\s*(second|minute|hour|day)s?\s*".r
+    s match {
+      case m(n, unit) =>
+        val mult = unit.toLowerCase match {
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour"   => 3600000L
+          case "day"    => 86400000L
+        }
+        n.toLong * mult
+      case _ => throw new IllegalArgumentException(
+        s"cannot parse duration '$s' (expected e.g. '10 minutes')")
+    }
   }
 }

@@ -61,6 +61,44 @@ class StreamDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("simhashBanded: hamming<=3 variant pairs detected across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Build a near-duplicate deterministically: swap single tokens until the
+    // simhash lands within hamming distance 1..3 of the original (signature
+    // function is deterministic, so this search is stable across runs).
+    val words = (0 until 80).map(i => s"tok$i")
+    val docA = words.mkString(" ")
+    val sigA = graft.ops.Dedup.simhashOf(words)
+    val variant = (0 until 400).iterator.map { j =>
+      val cand = words.updated(j % 80, s"alt${j}")
+      val d = java.lang.Long.bitCount(graft.ops.Dedup.simhashOf(cand) ^ sigA)
+      (cand.mkString(" "), d)
+    }.find { case (_, d) => d >= 1 && d <= 3 }
+    assert(variant.isDefined, "no hamming-1..3 variant found in 400 tries")
+    val (docAVar, dist) = variant.get
+    val docB = (0 until 80).map(i => s"other$i").mkString(" ")
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val pairs = StreamDedup.simhashBanded(
+      stream.toDS().toDF("doc_id", "ts", "text"),
+      "ts", "doc_id", "text", maxDist = 3, watermark = "10 minutes")
+    val query = pairs.writeStream.format("memory").queryName("banded_out")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(60000), docA), (2L, ts(61000), docB))
+      query.processAllAvailable()
+      // cross-batch: the hamming-dist variant of doc 1 arrives later
+      stream.addData((3L, ts(120000), docAVar))
+      query.processAllAvailable()
+      val out = spark.table("banded_out")
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(out == Set((1L, 3L, dist)),
+        s"expected exactly pair (1,3,$dist); got $out")
+    } finally query.stop()
+  }
+
   test("batch frames dedup with plain dropDuplicates semantics") {
     import spark.implicits._
     val df = Seq(
