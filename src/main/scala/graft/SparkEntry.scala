@@ -830,6 +830,111 @@ object SparkEntry {
       ids.zip(deg).toSeq.toDF("vec_id", "deg")
         .select(col("vec_id"), (round(col("deg"), 6) + lit(0.0)).as("degree"))
     },
+    "q_agglomerative_merge" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // First agglomerative merge decision through AgglomerativeBregman.fit
+      // ITSELF on the first 8 embeddings (driver-local by design, SURVEY
+      // §2.3): the closest pair under the ½-SE Bregman divergence with the
+      // scan-order tie-break; DuckDB independently finds the closest pair
+      // (reference: ml/AgglomerativeBregman.scala merge selection).
+      val e = t(dir, "embeddings")
+      val pts = e.where(col("vec_id") < 8).orderBy("vec_id") // leaf i == vec_id i
+      val m = new graft.clustering.AgglomerativeBregman().setNumClusters(1)
+        .setLinkage("single").setFeaturesCol("embedding").fit(pts)
+      val first = m.dendrogram.head
+      s.range(1).select(
+        lit(first.a).cast("long").as("a"), lit(first.b).cast("long").as("b"),
+        (round(lit(first.distance), 6) + lit(0.0)).as("dist"))
+    },
+    "q_robust_trim" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // RobustKMeans trimmed update at fixed centers: assign, drop the
+      // ceil(20%) farthest rows by (distance, vec_id) RANK — rank-based,
+      // so no data-dependent threshold boundary a 1-ulp disagreement could
+      // flip — then the per-cluster mean of the first 4 dims over kept
+      // rows (reference: ml/RobustKMeans.scala trimmed update; the drop
+      // set is a distributed ordered top-k, not a global sort).
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      val asg = pts.join(broadcast(centers))
+        .withColumn("d2", graft.functions.ArrayMath.sqdist(col("pv"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("center_id").as("cluster"), col("pv")),
+          struct(col("d2"), col("center_id"))).as("b"), min(col("d2")).as("md"))
+        .select(col("vec_id"), col("b.cluster").as("cluster"), col("b.pv").as("pv"), col("md"))
+      val nTotal = asg.count()
+      val nDrop = math.ceil(0.2 * nTotal).toLong
+      // TakeOrderedAndProject: each partition contributes its local top-k
+      val dropped = asg.orderBy(col("md").desc, col("vec_id").desc)
+        .limit(nDrop.toInt).select(col("vec_id"))
+      asg.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+        .select(col("cluster"), posexplode(col("pv")).as(Seq("i", "v")))
+        .where(col("i") < 4)
+        .groupBy(col("cluster"), col("i").cast("long").as("i"))
+        .agg((round(avg(col("v")), 6) + lit(0.0)).as("cv"),
+          count(lit(1)).as("n_kept"))
+    },
+    "q_mixture_mstep" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // BregmanMixture M-step at responsibilities from the fixed-parameter
+      // E-step (same stable log-sum-exp as q_softmix_estep): pi'_c =
+      // sum(r)/n and mu'_c[i] = sum(r*x_i)/sum(r) — for SE the gradient is
+      // the identity, so the weighted grad mean IS the weighted mean
+      // (reference: df/EMIterator.scala M-step); first 4 dims.
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("comp"), col("embedding").cast("array<double>").as("cv"))
+      val pts = e.select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      val w = Window.partitionBy(col("vec_id"))
+      val resp = pts.join(broadcast(centers))
+        .withColumn("lp",
+          log((col("comp").cast("double") + lit(1.0)) / lit(10.0))
+            - graft.functions.ArrayMath.sqdist(col("pv"), col("cv")) / 2)
+        .withColumn("mx", max(col("lp")).over(w))
+        .withColumn("lse", col("mx") + log(sum(exp(col("lp") - col("mx"))).over(w)))
+        .select(col("comp"), col("pv"), exp(col("lp") - col("lse")).as("r"))
+      val nTotal = pts.count()
+      resp.select(col("comp"), col("r"), posexplode(col("pv")).as(Seq("i", "v")))
+        .where(col("i") < 4)
+        .groupBy(col("comp"), col("i").cast("long").as("i"))
+        .agg((round(sum(col("r") * col("v")) / sum(col("r")), 6) + lit(0.0)).as("mu"),
+          (round(sum(col("r")) / lit(nTotal.toDouble), 6) + lit(0.0)).as("pi"))
+    },
+    "q_sparse_step" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // Sparse SE assignment at fixed centers over an (indices, values)
+      // representation (|v| >= 0.15 kept, ~23% nnz at this SF): distance
+      // via the sparse decomposition ||x||² − 2⟨x,c⟩ + ||c||² where the
+      // dot touches only indices present in BOTH sparse vectors (map
+      // lookup) — the O(nnz) arithmetic SparseKMeans runs instead of the
+      // dense loop (reference: df/kernels/SparseBregmanKernel.scala SE
+      // decomposition).
+      val e = t(dir, "embeddings")
+      val thr = 0.15
+      def sparse(src: Column): (Column, Column) = {
+        val idx = filter(sequence(lit(1), size(src)), i => abs(element_at(src, i)) >= thr)
+        (idx, transform(idx, i => element_at(src, i)))
+      }
+      val arr = col("embedding").cast("array<double>")
+      val (pi_, pv_) = sparse(arr)
+      val base = e.select(col("vec_id"), pi_.as("pidx"), pv_.as("pval"))
+        .withColumn("pn", aggregate(col("pval"), lit(0.0), (a, v) => a + v * v))
+      val centers = base.where(col("vec_id") < 4)
+        .select(col("vec_id").as("center_id"),
+          map_from_arrays(col("pidx"), col("pval")).as("cmap"), col("pn").as("cn"))
+      base.join(broadcast(centers))
+        .withColumn("dot", aggregate(
+          zip_with(col("pidx"), col("pval"),
+            (i, v) => v * coalesce(element_at(col("cmap"), i), lit(0.0))),
+          lit(0.0), (a, v) => a + v))
+        .withColumn("d", col("pn") - lit(2.0) * col("dot") + col("cn"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("center_id"), struct(col("d"), col("center_id"))).as("cluster"),
+          (round(min(col("d")), 6) + lit(0.0)).as("dist"),
+          first(size(col("pidx"))).cast("long").as("nnz"))
+    },
     // ---- multimodal columns ----
     "q_multimodal_fingerprint" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -1388,5 +1493,63 @@ object SparkEntry {
         |  round(sum(CASE WHEN a.vec_id = b.vec_id THEN 0.0
         |    ELSE exp(-0.25 * list_sum(list_transform(range(1, len(a.v)+1),
         |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])))) END), 6) + 0.0 AS degree
-        |FROM s a, s b GROUP BY 1""".stripMargin)
+        |FROM s a, s b GROUP BY 1""".stripMargin,
+    "q_agglomerative_merge" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 8),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |    0.5 * list_sum(list_transform(range(1, len(a.v)+1),
+        |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS d
+        |  FROM s a, s b WHERE a.vec_id < b.vec_id)
+        |SELECT a, b, round(d, 6) + 0.0 AS dist FROM (
+        |  SELECT a, b, d, row_number() OVER (ORDER BY d, a, b) AS rn FROM p)
+        |WHERE rn = 1""".stripMargin,
+    "q_robust_trim" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        |asg AS (
+        |  SELECT vec_id, cid AS cluster, pv, md FROM (
+        |    SELECT p.vec_id, c.cid, p.embedding::DOUBLE[] AS pv,
+        |      list_sum(list_transform(range(1, len(p.embedding)+1),
+        |        i -> (p.embedding[i]::DOUBLE - c.cv[i]) * (p.embedding[i]::DOUBLE - c.cv[i]))) AS md,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_sum(list_transform(range(1, len(p.embedding)+1),
+        |          i -> (p.embedding[i]::DOUBLE - c.cv[i]) * (p.embedding[i]::DOUBLE - c.cv[i]))), c.cid) AS rn
+        |    FROM embeddings p, c) WHERE rn = 1),
+        |ranked AS (SELECT *, row_number() OVER (ORDER BY md DESC, vec_id DESC) AS drop_rank,
+        |    count(*) OVER () AS n FROM asg),
+        |kept AS (SELECT * FROM ranked WHERE drop_rank > ceil(0.2 * n))
+        |SELECT cluster, t.i - 1 AS i, round(avg(pv[t.i]), 6) + 0.0 AS cv, count(*) AS n_kept
+        |FROM kept, range(1, 5) AS t(i)
+        |GROUP BY cluster, t.i""".stripMargin,
+    "q_mixture_mstep" ->
+      """WITH c AS (SELECT vec_id AS comp, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        |lp AS (
+        |  SELECT p.vec_id, c.comp, p.embedding::DOUBLE[] AS pv,
+        |    ln((c.comp + 1.0) / 10.0) - 0.5 * list_sum(list_transform(range(1, len(p.embedding)+1),
+        |      i -> (p.embedding[i]::DOUBLE - c.cv[i])^2)) AS lp
+        |  FROM embeddings p, c),
+        |w AS (SELECT vec_id, comp, pv, lp, max(lp) OVER (PARTITION BY vec_id) AS mx FROM lp),
+        |r AS (SELECT vec_id, comp, pv,
+        |    exp(lp - (mx + ln(sum(exp(lp - mx)) OVER (PARTITION BY vec_id)))) AS r FROM w),
+        |n AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT comp, t.i - 1 AS i,
+        |  round(sum(r * pv[t.i]) / sum(r), 6) + 0.0 AS mu,
+        |  round(sum(r) / any_value(n.n), 6) + 0.0 AS pi
+        |FROM r, n, range(1, 5) AS t(i)
+        |GROUP BY comp, t.i""".stripMargin,
+    "q_sparse_step" ->
+      """WITH sp AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_filter(range(1, len(embedding)+1), i -> abs(embedding[i]::DOUBLE) >= 0.15) AS idx
+        |  FROM embeddings),
+        |base AS (SELECT vec_id, v, idx,
+        |    list_sum(list_transform(idx, i -> v[i] * v[i])) AS pn FROM sp),
+        |c AS (SELECT vec_id AS cid, v AS cv, idx AS cidx, pn AS cn FROM base WHERE vec_id < 4),
+        |d AS (SELECT p.vec_id, c.cid, len(p.idx) AS nnz,
+        |    p.pn - 2.0 * coalesce(list_sum(list_transform(p.idx,
+        |      i -> CASE WHEN list_contains(c.cidx, i) THEN p.v[i] * c.cv[i] ELSE 0.0 END)), 0.0)
+        |      + c.cn AS d
+        |  FROM base p, c)
+        |SELECT vec_id, cid AS cluster, round(d, 6) + 0.0 AS dist, nnz FROM (
+        |  SELECT vec_id, cid, d, nnz, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM d) WHERE rn = 1""".stripMargin)
 }
