@@ -935,6 +935,60 @@ object SparkEntry {
           (round(min(col("d")), 6) + lit(0.0)).as("dist"),
           first(size(col("pidx"))).cast("long").as("nnz"))
     },
+    "q_ib_step" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // One Blahut-Arimoto update at a FIXED deterministic p(t|x): the
+      // joint comes from MutualInformation.estimateJoint (the same ONE
+      // distributed groupBy the IB fit uses — 100 TB of rows reduce to a
+      // contingency table); the update p(t|x)' ∝ p(t)·exp(−β·KL(p(y|x)‖
+      // p(y|t))) mirrors the fit's loop body exactly (same smoothing,
+      // same row-sum normalization, same log-space softmax). X = integer
+      // length bins, Y = the lang column — no float binning boundary for
+      // the two engines to disagree on. p0(t|x) ∝ 1+((x+t) mod 4), whose
+      // row sum is always 10 (reference: ml/InformationBottleneck.scala
+      // BA fixed point).
+      val docs = t(dir, "documents")
+      val kk = 4; val beta = 2.0; val eps = 1e-6
+      val pairs = docs.select(
+        least(lit(15), floor(col("n_chars") / 150)).cast("int").as("__x"),
+        col("lang").as("__y"))
+      val (joint, xVals, yVals) = graft.ops.MutualInformation.estimateJoint(pairs, "__x", "__y")
+      val numX = xVals.length; val numY = yVals.length
+      val total = joint.map(_.sum).sum
+      val pX = joint.map(_.sum / total)
+      val pYgX = joint.map { row =>
+        val rs = row.sum + eps * numY
+        row.map(v => (v + eps) / rs)
+      }
+      val xInts = xVals.map(_.toString.toInt)
+      val p0 = Array.tabulate(numX, kk)((xi, tt) => (1.0 + ((xInts(xi) + tt) % 4)) / 10.0)
+      val pT = Array.tabulate(kk)(tt => (0 until numX).map(x => pX(x) * p0(x)(tt)).sum)
+      val pYgT = Array.tabulate(kk) { tt =>
+        val row = new Array[Double](numY)
+        for (x <- 0 until numX; y <- 0 until numY) row(y) += pX(x) * p0(x)(tt) * pYgX(x)(y)
+        val rs = row.sum
+        row.map(_ / rs) // rs > 0 always: smoothing keeps every cell positive
+      }
+      val out = (0 until numX).flatMap { xi =>
+        val logits = Array.tabulate(kk) { tt =>
+          var klv = 0.0
+          var y = 0
+          while (y < numY) {
+            val p = pYgX(xi)(y)
+            klv += p * math.log(p / math.max(pYgT(tt)(y), 1e-300))
+            y += 1
+          }
+          math.log(math.max(pT(tt), 1e-300)) - beta * klv
+        }
+        val mx = logits.max
+        val ex = logits.map(l => math.exp(l - mx))
+        val z = ex.sum
+        (0 until kk).map(tt => (xInts(xi).toLong, tt.toLong, ex(tt) / z))
+      }
+      import s.implicits._
+      out.toDF("xbin", "t", "p")
+        .select(col("xbin"), col("t"), (round(col("p"), 6) + lit(0.0)).as("p"))
+    },
     // ---- multimodal columns ----
     "q_multimodal_fingerprint" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -1551,5 +1605,33 @@ object SparkEntry {
         |  FROM base p, c)
         |SELECT vec_id, cid AS cluster, round(d, 6) + 0.0 AS dist, nnz FROM (
         |  SELECT vec_id, cid, d, nnz, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        |  FROM d) WHERE rn = 1""".stripMargin)
+        |  FROM d) WHERE rn = 1""".stripMargin,
+    "q_ib_step" ->
+      """WITH xs AS (SELECT least(15, n_chars // 150) AS x, lang AS y FROM documents),
+        |cnt AS (SELECT x, y, count(*)::DOUBLE AS c FROM xs GROUP BY x, y),
+        |xv AS (SELECT DISTINCT x FROM xs),
+        |yv AS (SELECT DISTINCT y FROM xs),
+        |ny AS (SELECT count(*)::DOUBLE AS ny FROM yv),
+        |grid AS (SELECT xv.x, yv.y, coalesce(cnt.c, 0.0) AS c
+        |  FROM xv CROSS JOIN yv LEFT JOIN cnt ON cnt.x = xv.x AND cnt.y = yv.y),
+        |rs AS (SELECT x, sum(c) AS rsum FROM grid GROUP BY x),
+        |tot AS (SELECT sum(c) AS total FROM grid),
+        |px AS (SELECT x, rsum / total AS px FROM rs, tot),
+        |pygx AS (SELECT g.x, g.y, (g.c + 1e-6) / (r.rsum + 1e-6 * ny.ny) AS p
+        |  FROM grid g JOIN rs r ON g.x = r.x, ny),
+        |ts AS (SELECT i AS t FROM range(0, 4) r(i)),
+        |p0 AS (SELECT xv.x, ts.t, (1.0 + ((xv.x + ts.t) % 4)) / 10.0 AS p0 FROM xv, ts),
+        |pt AS (SELECT p0.t, sum(px.px * p0.p0) AS pt
+        |  FROM p0 JOIN px ON p0.x = px.x GROUP BY p0.t),
+        |un AS (SELECT p0.t, g.y, sum(px.px * p0.p0 * g.p) AS u
+        |  FROM p0 JOIN px ON p0.x = px.x JOIN pygx g ON g.x = p0.x GROUP BY p0.t, g.y),
+        |sn AS (SELECT t, sum(u) AS s FROM un GROUP BY t),
+        |pygt AS (SELECT un.t, un.y, un.u / sn.s AS p FROM un JOIN sn ON un.t = sn.t),
+        |kl AS (SELECT a.x, b.t, sum(a.p * ln(a.p / greatest(b.p, 1e-300))) AS kl
+        |  FROM pygx a JOIN pygt b ON a.y = b.y GROUP BY a.x, b.t),
+        |lg AS (SELECT kl.x, kl.t, ln(greatest(pt.pt, 1e-300)) - 2.0 * kl.kl AS l
+        |  FROM kl JOIN pt ON kl.t = pt.t),
+        |sm AS (SELECT x, t, l, max(l) OVER (PARTITION BY x) AS mx FROM lg),
+        |z AS (SELECT x, t, exp(l - mx) AS e, sum(exp(l - mx)) OVER (PARTITION BY x) AS z FROM sm)
+        |SELECT x AS xbin, t, round(e / z, 6) + 0.0 AS p FROM z""".stripMargin)
 }

@@ -25,6 +25,25 @@ object Dedup {
   /** Exact dedup on a content column: one hash-aggregate.
     * Returns (key, keeper_id, dup_count); keeper = min id for determinism.
     */
+  /** Guarantee a minimum MAP parallelism before CPU-heavy per-row work.
+    *
+    * Signature/shingle computation inherits the input's file-split
+    * parallelism: a small compressed file — or a parquet file with a
+    * single row group, which cannot be split no matter what
+    * `files.maxPartitionBytes` says — plans as ONE task regardless of
+    * cluster size, serializing the most expensive map stage of the dedup
+    * pipeline (measured r7: the whole shingle+signature pass of
+    * q_ngram_jaccard ran 1-of-32 cores). Repartitions the raw (id, text)
+    * projection — cheaper to shuffle than the computed shingles — and
+    * ONLY when the planned partition count is under half the cluster's
+    * default parallelism: at real scale input splits already exceed it
+    * and this is a no-op with zero added shuffle.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
@@ -138,8 +157,8 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 32): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      TextOps.wordShingles(col(textCol), shingleSize).as("sh"))
+    val sh = fanOut(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), TextOps.wordShingles(col("__txt"), shingleSize).as("sh"))
     minhashCandidatesFromShingles(sh, numHashes, bands)
   }
 
@@ -166,8 +185,8 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 32): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        TextOps.wordShingles(col(textCol), shingleSize).as("sh"))
+    val sh = fanOut(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), TextOps.wordShingles(col("__txt"), shingleSize).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidatesFromShingles(sh, numHashes, bands)
     val confirmed = cands
@@ -202,7 +221,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), TextOps.wordShingles(col(textCol), shingleSize).as("sh"))
+    val sh = fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), TextOps.wordShingles(col("__txt"), shingleSize).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -257,7 +277,8 @@ object Dedup {
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist=$maxDist not supported: 4 x 16-bit chunk blocking only guarantees recall for hamming distance <= 3")
-    val sh = df.select(col(idCol).as("id"), simhashUdf(split(col(textCol), " ")).as("sh"))
+    val sh = fanOut(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), simhashUdf(split(col("__txt"), " ")).as("sh"))
     val chunked = sh.select(col("id"), col("sh"), posexplode(
       array((0 until 4).map(c => shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
     ).as(Seq("chunk", "val")))
@@ -281,7 +302,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), TextOps.charShingles(col(textCol), shingleSize).as("sh"))
+    val sh = fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), TextOps.charShingles(col("__txt"), shingleSize).as("sh"))
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -329,8 +351,8 @@ object Dedup {
       seed: Long = 42L,
       maxBucketSize: Int = 4096): DataFrame = {
     val sigUdf = Similarity.hyperplaneTableKeysUdf(numTables, planesPerTable, seed)
-    val vecs = df.select(col(idCol).as("id"),
-        Similarity.normalizeUdf(col(vecCol).cast("array<double>")).as("vn"))
+    val vecs = fanOut(df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v")))
+      .select(col("id"), Similarity.normalizeUdf(col("__v")).as("vn"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // band only (id, table, bucket) — never shuffle the vector numTables times
     val banded = vecs.select(col("id"), posexplode(sigUdf(col("vn"))).as(Seq("tbl", "bucket")))
