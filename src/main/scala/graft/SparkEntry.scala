@@ -211,6 +211,38 @@ object SparkEntry {
       // (index cache intentionally retained: a static corpus serves many
       // query batches; ~sizeof(corpus) memory, LRU-evictable)
     },
+    "q_ann_ivf_full" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // IVF index driven END TO END with a hard oracle: probing ALL cells
+      // (nProbe = nCells) makes the cell-pruned search exactly equal to
+      // brute force, so the whole build-quantizer/assign-cells/probe/join/
+      // top-k machinery is hash-checked against DuckDB's full self-join —
+      // the approximation of the nProbe<nCells path is a recall knob, not
+      // different machinery (recall itself is bounded in RecallSpec).
+      val e = t(dir, "embeddings")
+      val idx = graft.ops.IvfIndex.build(e, "vec_id", "embedding", nCells = 8, maxIter = 5, seed = 42)
+      val queriesDf = e.where(col("vec_id") < 10)
+      idx.search(queriesDf, "vec_id", "embedding", k = 5, nProbe = 8)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    },
+    "q_pam_build" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // KMedoids BUILD step 1 at a fixed candidate set: the first medoid is
+      // the point minimizing total EUCLIDEAN (metric, not squared) distance
+      // to all others — PAM's greedy seed — over the first 64 embeddings,
+      // computed as a distributed self-join + one aggregate
+      // (reference: ml/KMedoids.scala BUILD phase).
+      val e = t(dir, "embeddings")
+      val pts = e.where(col("vec_id") < 64)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      val costs = pts.join(broadcast(pts.select(col("vec_id").as("id_b"), col("pv").as("pb"))))
+        .where(col("vec_id") =!= col("id_b"))
+        .withColumn("d", sqrt(graft.functions.ArrayMath.sqdist(col("pv"), col("pb"))))
+        .groupBy(col("vec_id")).agg(sum(col("d")).as("cost"))
+      costs.agg(
+        min_by(col("vec_id"), struct(col("cost"), col("vec_id"))).as("medoid_id"),
+        (round(min(struct(col("cost"), col("vec_id"))).getField("cost"), 4) + lit(0.0)).as("cost"))
+    },
     // ---- clustering (seed-deterministic; rows-only or fixed-center oracle) ----
     "q_kmeans_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -1633,5 +1665,23 @@ object SparkEntry {
         |  FROM kl JOIN pt ON kl.t = pt.t),
         |sm AS (SELECT x, t, l, max(l) OVER (PARTITION BY x) AS mx FROM lg),
         |z AS (SELECT x, t, exp(l - mx) AS e, sum(exp(l - mx)) OVER (PARTITION BY x) AS z FROM sm)
-        |SELECT x AS xbin, t, round(e / z, 6) + 0.0 AS p FROM z""".stripMargin)
+        |SELECT x AS xbin, t, round(e / z, 6) + 0.0 AS p FROM z""".stripMargin,
+    "q_ann_ivf_full" ->
+      """SELECT query_id, rank, corpus_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5""".stripMargin,
+    "q_pam_build" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 64),
+        |costs AS (
+        |  SELECT a.vec_id, sum(sqrt(list_sum(list_transform(range(1, len(a.v)+1),
+        |    i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))))) AS cost
+        |  FROM s a JOIN s b ON a.vec_id <> b.vec_id GROUP BY a.vec_id)
+        |SELECT vec_id AS medoid_id, round(cost, 4) + 0.0 AS cost FROM (
+        |  SELECT vec_id, cost, row_number() OVER (ORDER BY cost, vec_id) AS rn FROM costs)
+        |WHERE rn = 1""".stripMargin)
 }
