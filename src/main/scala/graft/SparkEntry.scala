@@ -20,6 +20,112 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared body of the full-fit oracle queries (q_kmeans_fit,
+    * q_kmeans_fit_elkan, q_kmedians_fit, q_kl_fit): a full multi-iteration
+    * GeneralizedKMeans fit warm-started from the embeddings with vec_id < 8,
+    * emitting (cluster, d, v, n) — every final center coordinate (4 dp) plus
+    * the cluster's size under the final assignment. Cluster labels are the
+    * seeding vec_ids (ids below 8 need not be dense). `prep` maps the raw
+    * double-cast embedding column into feature space (identity for SE/L1,
+    * positive shift for KL).
+    */
+  private def lloydFitQuery(
+      s: SparkSession, dir: String, strategy: String, divergence: String,
+      iters: Int, prep: Column => Column = identity): DataFrame = {
+    implicit val sp: SparkSession = s
+    val e = t(dir, "embeddings")
+      .select(col("vec_id"), prep(col("embedding").cast("array<double>")).as("f"))
+    val centerRows = e.where(col("vec_id") < 8).orderBy(col("vec_id")).collect()
+    val centerIds = centerRows.map(_.getLong(0))
+    val init = centerRows.map(_.getSeq[Double](1).toArray)
+    val model = new GeneralizedKMeans()
+      .setK(init.length).setFeaturesCol("f").setMaxIter(iters).setTol(0.0)
+      .setDivergence(divergence)
+      .setEmptyClusterStrategy("drop").setAssignmentStrategy(strategy)
+      .setInitialCenters(init)
+      .fit(e)
+    require(model.clusterCenters.length == init.length,
+      "a cluster emptied mid-fit; the oracle unroll assumes stable cluster ids")
+    val idOf = array(centerIds.map(lit(_)): _*)
+    val sizes = model.transform(e)
+      .groupBy(element_at(idOf, col("prediction") + 1).cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+    import sp.implicits._
+    val centers = model.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, j) => (centerIds(i), j.toLong, v) }
+    }.toSeq.toDF("cluster", "d", "v")
+    centers.join(sizes, "cluster")
+      .select(col("cluster"), col("d"), round(col("v"), 4).as("v"), col("n"))
+  }
+
+  /** DuckDB unroll of `iters` Lloyd iterations from the same deterministic
+    * start as [[lloydFitQuery]] — chained CTEs c0 -> a1 -> c1 -> ... ->
+    * c`iters`, then a final assignment for cluster sizes. `distSql` is the
+    * divergence between point list `p` and center list `c`; `updateCte`
+    * builds center CTE `cN` from assignment CTE `aN` (rows: vec_id, pv,
+    * cid); `prepSql` maps the raw embedding into feature space.
+    */
+  private def lloydFitOracleSql(
+      iters: Int,
+      distSql: (String, String) => String,
+      updateCte: (String, String) => String,
+      prepSql: String = "embedding::DOUBLE[]"): String = {
+    def assign(name: String, centersCte: String, keepPv: Boolean): String =
+      s"""$name AS (SELECT vec_id${if (keepPv) ", pv" else ""}, cid FROM (
+         |  SELECT p.vec_id, p.pv, c.cid, row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY ${distSql("p.pv", "c.cv")}, c.cid) AS rn
+         |  FROM p, $centersCte c) WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      assign(s"a$i", s"c${i - 1}", keepPv = true) + ",\n" + updateCte(s"c$i", s"a$i")
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT vec_id, $prepSql AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, $prepSql AS cv FROM embeddings WHERE vec_id < 8),
+       |$steps,
+       |${assign("af", s"c$iters", keepPv = false)},
+       |sizes AS (SELECT cid AS cluster, count(*) AS n FROM af GROUP BY 1),
+       |cx AS (SELECT cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) AS v
+       |       FROM c$iters, unnest(range(1, len(cv)+1)) AS t(j))
+       |SELECT cx.cluster, cx.d, cx.v, sizes.n FROM cx JOIN sizes USING (cluster)""".stripMargin
+  }
+
+  /** Mean update (SE): cN = per-cluster arithmetic mean of member points. */
+  private def meanUpdateCte(cN: String, aN: String): String =
+    s"""$cN AS (SELECT cid, list(av ORDER BY j) AS cv FROM (
+       |  SELECT cid, j, avg(pv[j]) AS av FROM $aN, unnest(range(1, len(pv)+1)) AS t(j)
+       |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+
+  /** Exact per-dimension median update (L1/K-medians): smallest value whose
+    * cumulative count reaches half the cluster's total — same definition as
+    * Update.median, and exact (medians are data values, so the unrolled
+    * iterations carry NO float drift at all between engines).
+    */
+  private def medianUpdateCte(cN: String, aN: String): String =
+    s"""$cN AS (SELECT cid, list(med ORDER BY d) AS cv FROM (
+       |  SELECT cid, d, min(v) AS med FROM (
+       |    SELECT cid, d, v, w,
+       |      sum(w) OVER (PARTITION BY cid, d ORDER BY v) AS cw,
+       |      sum(w) OVER (PARTITION BY cid, d) AS tw
+       |    FROM (SELECT cid, j - 1 AS d, pv[j] AS v, count(*)::DOUBLE AS w
+       |          FROM $aN, unnest(range(1, len(pv)+1)) AS t(j) GROUP BY 1, 2, 3))
+       |  WHERE cw >= tw / 2 GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+
+  /** KL gradient-space mean update: invGrad(avg(grad(x))) with
+    * grad = ln(x+eps)+1, invGrad = exp(t-1) — i.e. the geometric mean of
+    * the eps-shifted members (reference: df/kernels/KLDivergenceKernel).
+    */
+  private def klUpdateCte(eps: Double)(cN: String, aN: String): String =
+    s"""$cN AS (SELECT cid, list(gm ORDER BY j) AS cv FROM (
+       |  SELECT cid, j, exp(avg(ln(pv[j] + $eps))) AS gm
+       |  FROM $aN, unnest(range(1, len(pv)+1)) AS t(j)
+       |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+
+  private def seDistSql(p: String, c: String): String =
+    s"list_sum(list_transform(range(1, len($p)+1), i -> ($p[i] - $c[i])^2))"
+  private def l1DistSql(p: String, c: String): String =
+    s"list_sum(list_transform(range(1, len($p)+1), i -> abs($p[i] - $c[i])))"
+  private def klDistSql(eps: Double)(p: String, c: String): String =
+    s"list_sum(list_transform(range(1, len($p)+1), i -> ($p[i] + $eps) * ln(($p[i] + $eps) / ($c[i] + $eps))))"
+
   /** Flagship: k-means on the embeddings table, cluster profile output. */
   def entry(spark: SparkSession): DataFrame = {
     implicit val s: SparkSession = spark
@@ -252,6 +358,30 @@ object SparkEntry {
       model.transform(e)
         .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
     },
+    // Full 5-iteration Lloyd fit through the REAL estimator, warm-started
+    // from deterministic centers (embeddings vec_id < 8) with tol=0 so both
+    // engines run exactly 5 assignment+update rounds: DuckDB unrolls the
+    // whole loop as chained CTEs (argmin is exact integer math; center
+    // means drift only at ~1e-13 ulp between engines, far inside the 4-dp
+    // rounding of the output). This oracle-checks the ACTUAL iterative
+    // algorithm end to end — assignment strategy, mean update, movement
+    // bookkeeping — not just one frozen step.
+    "q_kmeans_fit" -> ((s, dir) => lloydFitQuery(s, dir, "auto", "squaredEuclidean", 5)),
+    // Same oracle, but through the full per-center-bounds Elkan loop:
+    // cross-iteration bound maintenance must be LOSSLESS, i.e. produce the
+    // identical centers/sizes as the exhaustive loop and the SQL unroll.
+    "q_kmeans_fit_elkan" -> ((s, dir) => lloydFitQuery(s, dir, "elkan", "squaredEuclidean", 5)),
+    // Full K-medians fit: L1 assignment + exact weighted-median update,
+    // 5 unrolled iterations. Medians are actual data values, so the
+    // inter-iteration centers are bit-identical between engines — the
+    // strongest of the fit oracles (zero float drift).
+    "q_kmedians_fit" -> ((s, dir) => lloydFitQuery(s, dir, "auto", "l1", 5)),
+    // Full KL-divergence fit over positively-shifted features: KL argmin
+    // assignment + gradient-space mean update (geometric mean of shifted
+    // members), 4 unrolled iterations.
+    "q_kl_fit" -> ((s, dir) =>
+      lloydFitQuery(s, dir, "auto", "kl", 4,
+        prep = c => transform(c, v => abs(v) + lit(0.1)))),
     "q_bisecting_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
@@ -1399,6 +1529,11 @@ object SparkEntry {
         |        i -> (p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)^2)), c.vec_id) AS rn
         |  FROM embeddings p, (SELECT * FROM embeddings WHERE vec_id < 8) c)
         |WHERE rn = 1""".stripMargin,
+    "q_kmeans_fit" -> lloydFitOracleSql(5, seDistSql, meanUpdateCte),
+    "q_kmeans_fit_elkan" -> lloydFitOracleSql(5, seDistSql, meanUpdateCte),
+    "q_kmedians_fit" -> lloydFitOracleSql(5, l1DistSql, medianUpdateCte),
+    "q_kl_fit" -> lloydFitOracleSql(4, klDistSql(1e-10), klUpdateCte(1e-10),
+      prepSql = "list_transform(embedding::DOUBLE[], v -> abs(v::DOUBLE) + 0.1)"),
     "q_spherical_fixed" ->
       """SELECT vec_id, cluster, round(cd, 6) + 0.0 AS cosdist FROM (
         |  SELECT p.vec_id, c.vec_id AS cluster,

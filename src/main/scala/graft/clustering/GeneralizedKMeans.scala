@@ -135,6 +135,16 @@ class GeneralizedKMeans(override val uid: String)
   @transient private var eventSink: SummarySink = SummarySink.Silent
   def setEventSink(s: SummarySink): this.type = { eventSink = s; this }
 
+  /** Warm start: train from these centers instead of initMode (resume from
+    * a previous model, or a deterministic start for reproducible fits).
+    * Must be k rows of the data's dimensionality. Not part of the persisted
+    * param map — a loaded estimator re-initializes via initMode.
+    */
+  @transient private var initialCentersOpt: Option[Array[Array[Double]]] = None
+  def setInitialCenters(cs: Array[Array[Double]]): this.type = {
+    initialCentersOpt = Option(cs); this
+  }
+
   def setK(v: Int): this.type = set(k, v)
   def setDivergence(v: String): this.type = set(divergence, v)
   def setSmoothing(v: Double): this.type = set(smoothing, v)
@@ -167,6 +177,7 @@ class GeneralizedKMeans(override val uid: String)
       validate = !reuseCachedInput,
       knownNumPoints = knownN,
       managePersistence = !reuseCachedInput,
+      initialCenters = initialCentersOpt,
       sink = eventSink)
     val keep = (Seq(arrCol) ++ get(weightCol).filter(_.nonEmpty)).distinct
     val useElkan = Set("elkan", "hamerly").contains($(assignmentStrategy)) &&

@@ -41,6 +41,10 @@ case class LloydsConfig(
     knownNumPoints: Option[Long] = None,
     // Caller already persisted the input (sub-runs): skip persist/unpersist.
     managePersistence: Boolean = true,
+    // Warm start: explicit initial centers (k x dim) bypass initMode
+    // entirely — resume training from a previous model's centers, or pin
+    // a deterministic start for reproducible runs.
+    initialCenters: Option[Array[Array[Double]]] = None,
     // Typed training-event stream (IterationStarted/Completed, empty-
     // cluster + convergence events); Silent by default.
     sink: SummarySink = SummarySink.Silent)
@@ -690,9 +694,19 @@ object LocalLloyds {
 object CenterInit {
 
   def initialize(df: DataFrame, cfg: LloydsConfig, dim: Int, numPoints: Long): Array[Array[Double]] =
-    cfg.initMode.toLowerCase match {
-      case "random" => samplePoints(df, cfg.featuresCol, cfg.k, cfg.seed, numPoints).toArray
-      case _        => kMeansParallel(df, cfg, numPoints)
+    cfg.initialCenters match {
+      case Some(cs) =>
+        if (cs.length != cfg.k)
+          throw new GKMException(GKMError.InvalidParam(
+            "initialCenters", s"${cs.length} centers provided but k=${cfg.k}"))
+        cs.find(_.length != dim).foreach(c =>
+          throw new GKMException(GKMError.InvalidParam(
+            "initialCenters", s"center has dim ${c.length}, data has dim $dim")))
+        cs.map(_.clone())
+      case None => cfg.initMode.toLowerCase match {
+        case "random" => samplePoints(df, cfg.featuresCol, cfg.k, cfg.seed, numPoints).toArray
+        case _        => kMeansParallel(df, cfg, numPoints)
+      }
     }
 
   /** ~uniform random sample of n feature rows, scale-safe: Bernoulli sample
