@@ -119,6 +119,74 @@ object SparkEntry {
        |  FROM $aN, unnest(range(1, len(pv)+1)) AS t(j)
        |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
 
+  /** DuckDB unroll of `iters` mixture-EM iterations (SE kernel): E-step
+    * responsibilities r ∝ exp(ln(pi) - D) via stable max-window softmax,
+    * M-step responsibility-weighted means + Dirichlet-smoothed (alpha)
+    * mixing-weight update; final MAP assignment for component sizes.
+    * Matches BregmanMixture's fit loop from the same warm start.
+    */
+  private def mixtureFitOracleSql(iters: Int, k: Int, alpha: Double): String = {
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS (SELECT vec_id, pv, cid,
+         |    ln(greatest(pi, 1e-300)) - 0.5 * ${seDistSql("pv", "cv")} AS logp
+         |  FROM (SELECT p.vec_id, p.pv, c.cid, c.cv, w.pi
+         |        FROM p, c${i - 1} c JOIN w${i - 1} w USING (cid))),
+         |r$i AS (SELECT vec_id, pv, cid, u / (sum(u) OVER (PARTITION BY vec_id)) AS r
+         |  FROM (SELECT vec_id, pv, cid,
+         |          exp(logp - max(logp) OVER (PARTITION BY vec_id)) AS u FROM l$i)),
+         |g$i AS (SELECT cid, sum(r) AS nc FROM r$i GROUP BY cid),
+         |w$i AS (SELECT cid, (nc + $alpha) / ((SELECT sum(nc) FROM g$i) + $alpha * $k) AS pi FROM g$i),
+         |c$i AS (SELECT cid, list(sv ORDER BY j) AS cv FROM (
+         |  SELECT cid, j, sum(r * pv[j]) / sum(r) AS sv
+         |  FROM r$i, unnest(range(1, len(pv)+1)) AS t(j) GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT vec_id, list_transform(embedding::DOUBLE[], v -> v * 4.0) AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, list_transform(embedding::DOUBLE[], v -> v * 4.0) AS cv
+       |       FROM embeddings WHERE vec_id < $k),
+       |w0 AS (SELECT cid, 1.0 / $k AS pi FROM c0),
+       |$steps,
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
+       |    ORDER BY ln(greatest(w.pi, 1e-300)) - 0.5 * ${seDistSql("p.pv", "c.cv")} DESC, c.cid) AS rn
+       |  FROM p, c$iters c JOIN w$iters w USING (cid)) WHERE rn = 1),
+       |sizes AS (SELECT cid AS cluster, count(*) AS n FROM af GROUP BY 1),
+       |cx AS (SELECT c.cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) AS v,
+       |              round(w.pi, 6) AS w
+       |       FROM c$iters c JOIN w$iters w USING (cid), unnest(range(1, len(cv)+1)) AS t(j))
+       |SELECT cx.cluster, cx.d, cx.v, cx.w, coalesce(sizes.n, 0) AS n
+       |FROM cx LEFT JOIN sizes USING (cluster)""".stripMargin
+  }
+
+  /** DuckDB unroll of `iters` soft-EM iterations (SE kernel, beta=2,
+    * minMembership=0): stable softmax p ∝ exp(-beta*(d - d_min)) via window
+    * functions, then the gamma-weighted mean M-step; final hard argmin for
+    * sizes. Matches SoftKMeans' fit loop from the same warm start.
+    */
+  private def softFitOracleSql(iters: Int, beta: Double): String = {
+    // d = 0.5 * sqdist (SE kernel's 1/2 factor); exp(-beta*(d - dmin))
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT vec_id, pv, cid,
+         |    exp(-$beta * 0.5 * (sq - min(sq) OVER (PARTITION BY vec_id))) AS u
+         |  FROM (SELECT p.vec_id, p.pv, c.cid, ${seDistSql("p.pv", "c.cv")} AS sq
+         |        FROM p, c${i - 1} c)),
+         |a$i AS (SELECT vec_id, pv, cid, u / (sum(u) OVER (PARTITION BY vec_id)) AS pr FROM s$i),
+         |c$i AS (SELECT cid, list(sv ORDER BY j) AS cv FROM (
+         |  SELECT cid, j, sum(pr * pv[j]) / sum(pr) AS sv
+         |  FROM a$i, unnest(range(1, len(pv)+1)) AS t(j) GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+       |$steps,
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
+       |    ORDER BY ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
+       |  FROM p, c$iters c) WHERE rn = 1),
+       |sizes AS (SELECT cid AS cluster, count(*) AS n FROM af GROUP BY 1),
+       |cx AS (SELECT cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) AS v
+       |       FROM c$iters, unnest(range(1, len(cv)+1)) AS t(j))
+       |SELECT cx.cluster, cx.d, cx.v, sizes.n FROM cx JOIN sizes USING (cluster)""".stripMargin
+  }
+
   private def seDistSql(p: String, c: String): String =
     s"list_sum(list_transform(range(1, len($p)+1), i -> ($p[i] - $c[i])^2))"
   private def l1DistSql(p: String, c: String): String =
@@ -382,6 +450,66 @@ object SparkEntry {
     "q_kl_fit" -> ((s, dir) =>
       lloydFitQuery(s, dir, "auto", "kl", 4,
         prep = c => transform(c, v => abs(v) + lit(0.1)))),
+    // Full mixture-EM fit: 3 unrolled iterations of log-sum-exp E-step
+    // (responsibilities from log pi_c - D(x, mu_c)) + responsibility-
+    // weighted M-step with Dirichlet-smoothed mixing weights, through the
+    // real BregmanMixture estimator. Output carries centers, MAP-component
+    // sizes AND the final mixing weights.
+    "q_mixture_fit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // embeddings are unit-normalized (sqdist <= 2.8), which makes the
+      // E-step nearly uniform and collapses every component to the global
+      // mean — scale features x4 (divergences x16) so the mixture keeps
+      // distinct components and the oracle checks real per-component math
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"), v => v * lit(4.0)).as("f"))
+      val centerRows = e.where(col("vec_id") < 8).orderBy(col("vec_id")).collect()
+      val centerIds = centerRows.map(_.getLong(0))
+      val init = centerRows.map(_.getSeq[Double](1).toArray)
+      val m = new graft.clustering.BregmanMixture().setK(init.length)
+        .setFeaturesCol("f").setMaxIter(3).setTol(0.0)
+        .setInitialCenters(init).fit(e)
+      val idOf = array(centerIds.map(lit(_)): _*)
+      val sizes = m.transform(e)
+        .groupBy(element_at(idOf, col("prediction") + 1).cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+      import sp.implicits._
+      val centers = m.componentCenters.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, j) =>
+          (centerIds(i), j.toLong, v, m.componentWeights(i)) }
+      }.toSeq.toDF("cluster", "d", "v", "w")
+      // LEFT join + coalesce: a component that wins zero MAP points must
+      // still surface its center and weight (dropping it would silently
+      // shrink the oracle's coverage)
+      centers.join(sizes, Seq("cluster"), "left")
+        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+          round(col("w"), 6).as("w"), coalesce(col("n"), lit(0L)).as("n"))
+    },
+    // Full soft-EM fit: 3 unrolled iterations of Boltzmann E-step
+    // (stable softmax over SE divergences, beta=2) + gamma-weighted mean
+    // M-step, through the real SoftKMeans estimator; the SQL unroll
+    // recomputes the soft memberships with window functions.
+    "q_softkmeans_fit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val centerRows = e.where(col("vec_id") < 8).orderBy(col("vec_id")).collect()
+      val centerIds = centerRows.map(_.getLong(0))
+      val init = centerRows.map(_.getSeq[Double](1).toArray)
+      val m = new SoftKMeans().setK(init.length).setBeta(2.0).setFeaturesCol("f")
+        .setMaxIter(3).setTol(0.0).setInitialCenters(init).fit(e)
+      val idOf = array(centerIds.map(lit(_)): _*)
+      val sizes = m.transform(e)
+        .groupBy(element_at(idOf, col("prediction") + 1).cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+      import sp.implicits._
+      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, j) => (centerIds(i), j.toLong, v) }
+      }.toSeq.toDF("cluster", "d", "v")
+      centers.join(sizes, "cluster")
+        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"), col("n"))
+    },
     "q_bisecting_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
@@ -1532,6 +1660,8 @@ object SparkEntry {
     "q_kmeans_fit" -> lloydFitOracleSql(5, seDistSql, meanUpdateCte),
     "q_kmeans_fit_elkan" -> lloydFitOracleSql(5, seDistSql, meanUpdateCte),
     "q_kmedians_fit" -> lloydFitOracleSql(5, l1DistSql, medianUpdateCte),
+    "q_softkmeans_fit" -> softFitOracleSql(3, 2.0),
+    "q_mixture_fit" -> mixtureFitOracleSql(3, 8, 1e-6),
     "q_kl_fit" -> lloydFitOracleSql(4, klDistSql(1e-10), klUpdateCte(1e-10),
       prepSql = "list_transform(embedding::DOUBLE[], v -> abs(v::DOUBLE) + 0.1)"),
     "q_spherical_fixed" ->

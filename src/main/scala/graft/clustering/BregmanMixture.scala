@@ -50,6 +50,14 @@ class BregmanMixture(override val uid: String)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
+  /** Warm start: EM from these component centers instead of initMode
+    * (same contract as GeneralizedKMeans.setInitialCenters; not persisted).
+    */
+  @transient private var initialCentersOpt: Option[Array[Array[Double]]] = None
+  def setInitialCenters(cs: Array[Array[Double]]): this.type = {
+    initialCentersOpt = Option(cs); this
+  }
+
   override def fit(dataset: Dataset[_]): BregmanMixtureModel = {
     val t0 = System.currentTimeMillis()
     val df0 = dataset.toDF()
@@ -65,7 +73,7 @@ class BregmanMixture(override val uid: String)
 
     var centers = CenterInit.initialize(data,
       LloydsConfig(k = kk, kernel = kern, seed = $(seed), initMode = $(initMode),
-        featuresCol = arrCol), dim, n)
+        featuresCol = arrCol, initialCenters = initialCentersOpt), dim, n)
     var mixWeights = Array.fill(kk)(1.0 / kk)
     var prevLL = Double.NegativeInfinity
     var iter = 0

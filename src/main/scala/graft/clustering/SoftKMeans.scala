@@ -88,6 +88,14 @@ class SoftKMeans(override val uid: String)
 
   def this() = this(Identifiable.randomUID("soft-kmeans"))
 
+  /** Warm start: train from these centers instead of initMode (same
+    * contract as GeneralizedKMeans.setInitialCenters; not persisted).
+    */
+  @transient private var initialCentersOpt: Option[Array[Array[Double]]] = None
+  def setInitialCenters(cs: Array[Array[Double]]): this.type = {
+    initialCentersOpt = Option(cs); this
+  }
+
   def setK(v: Int): this.type = set(k, v)
   def setBeta(v: Double): this.type = set(beta, v)
   def setMinMembership(v: Double): this.type = set(minMembership, v)
@@ -121,7 +129,8 @@ class SoftKMeans(override val uid: String)
     // EM then converges to a split-blob local optimum.
     var centers = CenterInit.initialize(data,
       LloydsConfig(k = $(k), kernel = kern, seed = $(seed), initMode = $(initMode),
-        initSteps = $(initSteps), featuresCol = arrCol),
+        initSteps = $(initSteps), featuresCol = arrCol,
+        initialCenters = initialCentersOpt),
       dim, numPoints)
     var prevCost = Double.MaxValue
     var iter = 0
