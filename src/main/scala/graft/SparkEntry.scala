@@ -1,6 +1,6 @@
 package graft
 
-import graft.clustering.{BalancedKMeans, BisectingKMeans, ConstrainedKMeans, CoresetKMeans, DPMeans, GeneralizedKMeans, MiniBatchKMeans, RobustKMeans, SoftAssignments, SoftKMeans, SparseKMeans, SpectralGraph, XMeans}
+import graft.clustering.{BalancedKMeans, BisectingKMeans, ConstrainedKMeans, CoresetKMeans, DPMeans, GeneralizedKMeans, MiniBatchKMeans, RobustKMeans, SoftAssignments, SoftKMeans, SparseKMeans, SpectralGraph, ViewSpec, XMeans}
 import graft.kernels.SquaredEuclideanKernel
 import graft.ops.{Dedup, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -71,15 +71,15 @@ object SparkEntry {
       updateCte: (String, String) => String,
       prepSql: String = "embedding::DOUBLE[]"): String = {
     def assign(name: String, centersCte: String, keepPv: Boolean): String =
-      s"""$name AS (SELECT vec_id${if (keepPv) ", pv" else ""}, cid FROM (
+      s"""$name AS MATERIALIZED (SELECT vec_id${if (keepPv) ", pv" else ""}, cid FROM (
          |  SELECT p.vec_id, p.pv, c.cid, row_number() OVER (PARTITION BY p.vec_id
          |    ORDER BY ${distSql("p.pv", "c.cv")}, c.cid) AS rn
          |  FROM p, $centersCte c) WHERE rn = 1)""".stripMargin
     val steps = (1 to iters).map { i =>
       assign(s"a$i", s"c${i - 1}", keepPv = true) + ",\n" + updateCte(s"c$i", s"a$i")
     }.mkString(",\n")
-    s"""WITH p AS (SELECT vec_id, $prepSql AS pv FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, $prepSql AS cv FROM embeddings WHERE vec_id < 8),
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, $prepSql AS pv FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, $prepSql AS cv FROM embeddings WHERE vec_id < 8),
        |$steps,
        |${assign("af", s"c$iters", keepPv = false)},
        |sizes AS (SELECT cid AS cluster, count(*) AS n FROM af GROUP BY 1),
@@ -88,9 +88,52 @@ object SparkEntry {
        |SELECT cx.cluster, cx.d, cx.v, sizes.n FROM cx JOIN sizes USING (cluster)""".stripMargin
   }
 
+  /** DuckDB unroll of `iters` DP-means iterations: per iteration, either
+    * adopt the farthest point with divergence > lambda as a new center
+    * (cid = max+1, matching the array append) or — when no such point
+    * exists — apply the mean update; the two branches are made exclusive
+    * with EXISTS guards. Seed center is the first input row (min vec_id).
+    */
+  private def dpmeansFitOracleSql(iters: Int, lambda: Double): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      // MATERIALIZED: each CTE is referenced several times; inlining would
+      // re-expand the whole iteration chain per reference (exponential
+      // plan growth — observed as fd exhaustion re-opening the parquet)
+      s"""a$i AS MATERIALIZED (SELECT vec_id, pv, cid, dv FROM (
+         |  SELECT p.vec_id, p.pv, c.cid, 0.5 * ${seDistSql("p.pv", "c.cv")} AS dv,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY 0.5 * ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
+         |  FROM p, $prev c) WHERE rn = 1),
+         |o$i AS MATERIALIZED (SELECT pv FROM a$i WHERE dv > $lambda ORDER BY dv DESC, vec_id LIMIT 1),
+         |c$i AS MATERIALIZED (
+         |  SELECT cid, cv FROM $prev WHERE EXISTS (SELECT 1 FROM o$i)
+         |  UNION ALL
+         |  SELECT (SELECT max(cid) + 1 FROM $prev) AS cid, pv AS cv FROM o$i
+         |  UNION ALL
+         |  SELECT cid, cv FROM (
+         |    SELECT cid, list(av ORDER BY j) AS cv FROM (
+         |      SELECT cid, j, avg(pv[j]) AS av FROM a$i, unnest(range(1, len(pv)+1)) AS t(j)
+         |      GROUP BY 1, 2) GROUP BY cid)
+         |  WHERE NOT EXISTS (SELECT 1 FROM o$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT 0 AS cid, pv AS cv FROM (SELECT pv FROM p ORDER BY vec_id LIMIT 1)),
+       |$steps,
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
+       |    ORDER BY ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
+       |  FROM p, c$iters c) WHERE rn = 1),
+       |sizes AS (SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n FROM af GROUP BY 1),
+       |cx AS (SELECT CAST(cid AS BIGINT) AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) AS v
+       |       FROM c$iters, unnest(range(1, len(cv)+1)) AS t(j))
+       |SELECT cx.cluster, cx.d, cx.v, coalesce(sizes.n, 0) AS n
+       |FROM cx LEFT JOIN sizes USING (cluster)""".stripMargin
+  }
+
   /** Mean update (SE): cN = per-cluster arithmetic mean of member points. */
   private def meanUpdateCte(cN: String, aN: String): String =
-    s"""$cN AS (SELECT cid, list(av ORDER BY j) AS cv FROM (
+    s"""$cN AS MATERIALIZED (SELECT cid, list(av ORDER BY j) AS cv FROM (
        |  SELECT cid, j, avg(pv[j]) AS av FROM $aN, unnest(range(1, len(pv)+1)) AS t(j)
        |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
 
@@ -100,7 +143,7 @@ object SparkEntry {
     * iterations carry NO float drift at all between engines).
     */
   private def medianUpdateCte(cN: String, aN: String): String =
-    s"""$cN AS (SELECT cid, list(med ORDER BY d) AS cv FROM (
+    s"""$cN AS MATERIALIZED (SELECT cid, list(med ORDER BY d) AS cv FROM (
        |  SELECT cid, d, min(v) AS med FROM (
        |    SELECT cid, d, v, w,
        |      sum(w) OVER (PARTITION BY cid, d ORDER BY v) AS cw,
@@ -114,7 +157,7 @@ object SparkEntry {
     * the eps-shifted members (reference: df/kernels/KLDivergenceKernel).
     */
   private def klUpdateCte(eps: Double)(cN: String, aN: String): String =
-    s"""$cN AS (SELECT cid, list(gm ORDER BY j) AS cv FROM (
+    s"""$cN AS MATERIALIZED (SELECT cid, list(gm ORDER BY j) AS cv FROM (
        |  SELECT cid, j, exp(avg(ln(pv[j] + $eps))) AS gm
        |  FROM $aN, unnest(range(1, len(pv)+1)) AS t(j)
        |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
@@ -127,23 +170,23 @@ object SparkEntry {
     */
   private def mixtureFitOracleSql(iters: Int, k: Int, alpha: Double): String = {
     val steps = (1 to iters).map { i =>
-      s"""l$i AS (SELECT vec_id, pv, cid,
+      s"""l$i AS MATERIALIZED (SELECT vec_id, pv, cid,
          |    ln(greatest(pi, 1e-300)) - 0.5 * ${seDistSql("pv", "cv")} AS logp
          |  FROM (SELECT p.vec_id, p.pv, c.cid, c.cv, w.pi
          |        FROM p, c${i - 1} c JOIN w${i - 1} w USING (cid))),
-         |r$i AS (SELECT vec_id, pv, cid, u / (sum(u) OVER (PARTITION BY vec_id)) AS r
+         |r$i AS MATERIALIZED (SELECT vec_id, pv, cid, u / (sum(u) OVER (PARTITION BY vec_id)) AS r
          |  FROM (SELECT vec_id, pv, cid,
          |          exp(logp - max(logp) OVER (PARTITION BY vec_id)) AS u FROM l$i)),
-         |g$i AS (SELECT cid, sum(r) AS nc FROM r$i GROUP BY cid),
-         |w$i AS (SELECT cid, (nc + $alpha) / ((SELECT sum(nc) FROM g$i) + $alpha * $k) AS pi FROM g$i),
-         |c$i AS (SELECT cid, list(sv ORDER BY j) AS cv FROM (
+         |g$i AS MATERIALIZED (SELECT cid, sum(r) AS nc FROM r$i GROUP BY cid),
+         |w$i AS MATERIALIZED (SELECT cid, (nc + $alpha) / ((SELECT sum(nc) FROM g$i) + $alpha * $k) AS pi FROM g$i),
+         |c$i AS MATERIALIZED (SELECT cid, list(sv ORDER BY j) AS cv FROM (
          |  SELECT cid, j, sum(r * pv[j]) / sum(r) AS sv
          |  FROM r$i, unnest(range(1, len(pv)+1)) AS t(j) GROUP BY 1, 2) GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS (SELECT vec_id, list_transform(embedding::DOUBLE[], v -> v * 4.0) AS pv FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, list_transform(embedding::DOUBLE[], v -> v * 4.0) AS cv
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, list_transform(embedding::DOUBLE[], v -> v * 4.0) AS pv FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, list_transform(embedding::DOUBLE[], v -> v * 4.0) AS cv
        |       FROM embeddings WHERE vec_id < $k),
-       |w0 AS (SELECT cid, 1.0 / $k AS pi FROM c0),
+       |w0 AS MATERIALIZED (SELECT cid, 1.0 / $k AS pi FROM c0),
        |$steps,
        |af AS (SELECT vec_id, cid FROM (
        |  SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
@@ -165,17 +208,17 @@ object SparkEntry {
   private def softFitOracleSql(iters: Int, beta: Double): String = {
     // d = 0.5 * sqdist (SE kernel's 1/2 factor); exp(-beta*(d - dmin))
     val steps = (1 to iters).map { i =>
-      s"""s$i AS (SELECT vec_id, pv, cid,
+      s"""s$i AS MATERIALIZED (SELECT vec_id, pv, cid,
          |    exp(-$beta * 0.5 * (sq - min(sq) OVER (PARTITION BY vec_id))) AS u
          |  FROM (SELECT p.vec_id, p.pv, c.cid, ${seDistSql("p.pv", "c.cv")} AS sq
          |        FROM p, c${i - 1} c)),
-         |a$i AS (SELECT vec_id, pv, cid, u / (sum(u) OVER (PARTITION BY vec_id)) AS pr FROM s$i),
-         |c$i AS (SELECT cid, list(sv ORDER BY j) AS cv FROM (
+         |a$i AS MATERIALIZED (SELECT vec_id, pv, cid, u / (sum(u) OVER (PARTITION BY vec_id)) AS pr FROM s$i),
+         |c$i AS MATERIALIZED (SELECT cid, list(sv ORDER BY j) AS cv FROM (
          |  SELECT cid, j, sum(pr * pv[j]) / sum(pr) AS sv
          |  FROM a$i, unnest(range(1, len(pv)+1)) AS t(j) GROUP BY 1, 2) GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
        |$steps,
        |af AS (SELECT vec_id, cid FROM (
        |  SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
@@ -450,6 +493,96 @@ object SparkEntry {
     "q_kl_fit" -> ((s, dir) =>
       lloydFitQuery(s, dir, "auto", "kl", 4,
         prep = c => transform(c, v => abs(v) + lit(0.1)))),
+    // Full DP-means fit: 6 unrolled iterations of the deterministic batch
+    // rule — seed with the first input point; while any point's divergence
+    // exceeds lambda, adopt the FARTHEST such point as a new center (one
+    // per iteration), otherwise do a mean update. The oracle replays the
+    // identical conditional schedule in SQL (EXISTS-guarded UNION branches)
+    // so cluster discovery order, centers, and sizes must all agree.
+    "q_dpmeans_fit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+        .orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val m = new DPMeans().setLambda(1.1).setMaxIter(6).setTol(0.0)
+        .setFeaturesCol("f").fit(e)
+      val sizes = m.transform(e)
+        .groupBy(col("prediction").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+      import sp.implicits._
+      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
+      }.toSeq.toDF("cluster", "d", "v")
+      centers.join(sizes, Seq("cluster"), "left")
+        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    },
+    // Full sparse-path fit: features thresholded to ~70% zeros, forced
+    // through the (indices, values) O(nnz) sparse engine for 4 iterations
+    // from a deterministic warm start. The oracle replays the SAME
+    // iterations with plain dense SQL — proving the nnz-only expanded-form
+    // distance (0.5(|x|^2 - 2x.c + |c|^2)) and sparse aggregation produce
+    // exactly the dense math's centers and sizes.
+    "q_sparse_fit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            v => when(abs(v) < lit(0.13), lit(0.0)).otherwise(v)).as("f"))
+      val centerRows = e.where(col("vec_id") < 8).orderBy(col("vec_id")).collect()
+      val centerIds = centerRows.map(_.getLong(0))
+      val init = centerRows.map(_.getSeq[Double](1).toArray)
+      val m = new SparseKMeans().setK(init.length).setFeaturesCol("f")
+        .setSparseMode("sparse").setMaxIter(4).setTol(0.0)
+        .setInitialCenters(init).fit(e)
+      val idOf = array(centerIds.map(lit(_)): _*)
+      val sizes = m.transform(e)
+        .groupBy(element_at(idOf, col("prediction") + 1).cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+      import sp.implicits._
+      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, j) => (centerIds(i), j.toLong, v) }
+      }.toSeq.toDF("cluster", "d", "v")
+      centers.join(sizes, Seq("cluster"), "left")
+        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    },
+    // Full multi-view fit: views = first/last 32 dims of the embedding
+    // with weights 1:2 (normalized 1/3:2/3), combined weighted-SE argmin
+    // assignment + per-view mean update, 3 unrolled iterations through the
+    // real MultiViewKMeans estimator. The oracle recomputes the two-slice
+    // weighted distance; since both views are SE, the concatenated
+    // per-view means equal the full-vector mean, so the update CTE is the
+    // plain mean over the whole embedding.
+    "q_multiview_fit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), 1, 32).as("f1"),
+          slice(col("embedding").cast("array<double>"), 33, 32).as("f2"))
+      val centerRows = e.where(col("vec_id") < 8).orderBy(col("vec_id")).collect()
+      val centerIds = centerRows.map(_.getLong(0))
+      val init = Array(
+        centerRows.map(_.getSeq[Double](1).toArray),
+        centerRows.map(_.getSeq[Double](2).toArray))
+      val m = new graft.clustering.MultiViewKMeans()
+        .setViews(Seq(ViewSpec("f1", 1.0), ViewSpec("f2", 2.0)))
+        .setK(init(0).length).setMaxIter(3).setTol(0.0)
+        .setInitialCenters(init)
+        .fit(e)
+      val idOf = array(centerIds.map(lit(_)): _*)
+      val sizes = m.transform(e)
+        .groupBy(element_at(idOf, col("prediction") + 1).cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+      import sp.implicits._
+      val centers = (0 until init(0).length).flatMap { c =>
+        val full = m.viewCenters(0)(c) ++ m.viewCenters(1)(c)
+        full.zipWithIndex.map { case (v, j) => (centerIds(c), j.toLong, v) }
+      }.toDF("cluster", "d", "v")
+      centers.join(sizes, Seq("cluster"), "left")
+        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    },
     // Full mixture-EM fit: 3 unrolled iterations of log-sum-exp E-step
     // (responsibilities from log pi_c - D(x, mu_c)) + responsibility-
     // weighted M-step with Dirichlet-smoothed mixing weights, through the
@@ -1662,6 +1795,15 @@ object SparkEntry {
     "q_kmedians_fit" -> lloydFitOracleSql(5, l1DistSql, medianUpdateCte),
     "q_softkmeans_fit" -> softFitOracleSql(3, 2.0),
     "q_mixture_fit" -> mixtureFitOracleSql(3, 8, 1e-6),
+    "q_dpmeans_fit" -> dpmeansFitOracleSql(6, 1.1),
+    "q_sparse_fit" -> lloydFitOracleSql(4, seDistSql, meanUpdateCte,
+      prepSql = "list_transform(embedding::DOUBLE[], v -> CASE WHEN abs(v::DOUBLE) < 0.13 THEN 0.0 ELSE v::DOUBLE END)"),
+    // two-view weighted-SE distance over the 32/32 embedding split; the
+    // per-view mean update is the full-vector mean (both views SE)
+    "q_multiview_fit" -> lloydFitOracleSql(3, (p, c) =>
+      s"((1.0/3.0) * list_sum(list_transform(range(1, 33), i -> ($p[i] - $c[i])^2))" +
+      s" + (2.0/3.0) * list_sum(list_transform(range(33, 65), i -> ($p[i] - $c[i])^2)))",
+      meanUpdateCte),
     "q_kl_fit" -> lloydFitOracleSql(4, klDistSql(1e-10), klUpdateCte(1e-10),
       prepSql = "list_transform(embedding::DOUBLE[], v -> abs(v::DOUBLE) + 0.1)"),
     "q_spherical_fixed" ->

@@ -54,6 +54,14 @@ class MultiViewKMeans(override val uid: String)
   def getViews: Seq[ViewSpec] = viewSpecs
   def numViews: Int = viewSpecs.length
 
+  /** Warm start: per-view initial centers, indexed (view)(cluster)(dim) —
+    * same contract as GeneralizedKMeans.setInitialCenters; not persisted.
+    */
+  @transient private var initialViewCentersOpt: Option[Array[Array[Array[Double]]]] = None
+  def setInitialCenters(cs: Array[Array[Array[Double]]]): this.type = {
+    initialViewCentersOpt = Option(cs); this
+  }
+
   def setK(v: Int): this.type = set(k, v)
   def setMaxIter(v: Int): this.type = set(maxIter, v)
   def setTol(v: Double): this.type = set(tol, v)
@@ -92,9 +100,19 @@ class MultiViewKMeans(override val uid: String)
     val offsets = dims.scanLeft(0)(_ + _)
 
     // shared-row init: ONE sample drives every view's initial centers
-    val initRows = sampleRows(proj, $(k), $(seed), n)
-    var centers: Array[Array[Array[Double]]] = Array.tabulate(viewSpecs.length) { v =>
-      initRows.map(r => r.getSeq[Double](v).toArray)
+    // (unless warm-started with explicit per-view centers)
+    var centers: Array[Array[Array[Double]]] = initialViewCentersOpt match {
+      case Some(cs) =>
+        require(cs.length == viewSpecs.length,
+          s"initialCenters has ${cs.length} views, estimator has ${viewSpecs.length}")
+        require(cs.forall(_.length == $(k)),
+          s"initialCenters must provide k=${$(k)} centers per view")
+        cs.map(_.map(_.clone()))
+      case None =>
+        val initRows = sampleRows(proj, $(k), $(seed), n)
+        Array.tabulate(viewSpecs.length) { v =>
+          initRows.map(r => r.getSeq[Double](v).toArray)
+        }
     }
 
     val sc = proj.sparkSession.sparkContext

@@ -63,6 +63,15 @@ class SparseKMeans(override val uid: String)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
+  /** Warm start: dense k x dim initial centers bypassing the sampled
+    * k-means++ seeding (same contract as GeneralizedKMeans; not persisted).
+    * Honored by both the sparse path and the dense fallback.
+    */
+  @transient private var initialCentersOpt: Option[Array[Array[Double]]] = None
+  def setInitialCenters(cs: Array[Array[Double]]): this.type = {
+    initialCentersOpt = Option(cs); this
+  }
+
   /** Density (nnz / dim) estimated on a sample. */
   private[graft] def estimateDensity(df: DataFrame): Double = {
     val rows = df.select(col($(featuresCol))).limit(1000).collect()
@@ -97,6 +106,7 @@ class SparseKMeans(override val uid: String)
         // dense fallback: the shared engine
         val gk = new GeneralizedKMeans(uid)
         copyValues(gk)
+        initialCentersOpt.foreach(gk.setInitialCenters)
         gk.fit(df)
       } else fitSparse(df, t0)
     copyValues(model.setParent(this))
@@ -148,19 +158,23 @@ class SparseKMeans(override val uid: String)
     // local k-means++ seeding so disjoint-support clusters each get a seed
     // (a pool of 10k draws misses a 1/k-mass cluster with prob ~k*e^-10)
     val poolSize = math.max(10 * $(k), 20)
-    val sampled = data.select(col("idx"), col("vals"))
-      .sample(withReplacement = false,
-        math.min(1.0, 10.0 * poolSize / math.max(1L, n)), $(seed))
-      .orderBy(rand($(seed) + 7)) // de-bias the partition-prefix order
-      .limit(poolSize).collect()
-    var centers: Array[Array[Double]] = {
-      val pool =
-        (if (sampled.length >= $(k)) sampled
-         else data.select(col("idx"), col("vals")).limit(poolSize).collect())
-          .map(r => densify(r.getSeq[Int](0), r.getSeq[Double](1)))
-      if (pool.length <= $(k)) pool
-      else CenterInit.localKMeansPlusPlusBest(pool, Array.fill(pool.length)(1.0),
-        $(k), graft.kernels.KernelFactory($(divergence), $(smoothing)), $(seed))
+    var centers: Array[Array[Double]] = initialCentersOpt match {
+      case Some(cs) =>
+        require(cs.length == $(k), s"${cs.length} initial centers provided but k=${$(k)}")
+        cs.map(_.clone())
+      case None =>
+        val sampled = data.select(col("idx"), col("vals"))
+          .sample(withReplacement = false,
+            math.min(1.0, 10.0 * poolSize / math.max(1L, n)), $(seed))
+          .orderBy(rand($(seed) + 7)) // de-bias the partition-prefix order
+          .limit(poolSize).collect()
+        val pool =
+          (if (sampled.length >= $(k)) sampled
+           else data.select(col("idx"), col("vals")).limit(poolSize).collect())
+            .map(r => densify(r.getSeq[Int](0), r.getSeq[Double](1)))
+        if (pool.length <= $(k)) pool
+        else CenterInit.localKMeansPlusPlusBest(pool, Array.fill(pool.length)(1.0),
+          $(k), graft.kernels.KernelFactory($(divergence), $(smoothing)), $(seed))
     }
     if (spherical) centers = centers.map(SparseKMeans.l2normalize)
 
