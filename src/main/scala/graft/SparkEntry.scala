@@ -88,6 +88,107 @@ object SparkEntry {
        |SELECT cx.cluster, cx.d, cx.v, sizes.n FROM cx JOIN sizes USING (cluster)""".stripMargin
   }
 
+  /** DuckDB unroll of `iters` constrained-k-means iterations with the
+    * harness constraint set (must (0,9), (1,12); cannot (2,15); penalty
+    * lambda): the greedy is replayed as chained one-row CTEs in sorted-id
+    * order — each id's argmin cost is 0.5*sqdist plus lambda per violated
+    * constraint against ALREADY-FIXED partners — then the unconstrained
+    * argmin and mean update run as in the plain Lloyd unroll.
+    */
+  private def constrainedFitOracleSql(iters: Int, lambda: Double): String = {
+    // (id, penalty-term builder given this iteration's CTE prefix)
+    val greedy: Seq[(Long, String => String)] = Seq(
+      0L -> (_ => ""),
+      1L -> (_ => ""),
+      2L -> (_ => ""),
+      9L -> (p => s" + CASE WHEN c.cid <> (SELECT cid FROM ${p}f0) THEN $lambda ELSE 0.0 END"),
+      12L -> (p => s" + CASE WHEN c.cid <> (SELECT cid FROM ${p}f1) THEN $lambda ELSE 0.0 END"),
+      15L -> (p => s" + CASE WHEN c.cid = (SELECT cid FROM ${p}f2) THEN $lambda ELSE 0.0 END"))
+    val conIds = greedy.map(_._1).mkString(", ")
+    val steps = (1 to iters).map { i =>
+      val pre = s"i$i"
+      val fixed = greedy.map { case (id, pen) =>
+        s"""${pre}f$id AS MATERIALIZED (SELECT cid FROM (
+           |  SELECT c.cid, row_number() OVER (ORDER BY
+           |    0.5 * ${seDistSql("px.pv", "c.cv")}${pen(pre)}, c.cid) AS rn
+           |  FROM c${i - 1} c, (SELECT pv FROM p WHERE vec_id = $id) px) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val fixedUnion = greedy.map { case (id, _) =>
+        s"SELECT $id AS vec_id, (SELECT pv FROM p WHERE vec_id = $id) AS pv, (SELECT cid FROM ${pre}f$id) AS cid"
+      }.mkString("\n  UNION ALL ")
+      s"""$fixed,
+         |a$i AS MATERIALIZED (
+         |  SELECT vec_id, pv, cid FROM (
+         |    SELECT p.vec_id, p.pv, c.cid, row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
+         |    FROM p, c${i - 1} c WHERE p.vec_id NOT IN ($conIds)) WHERE rn = 1
+         |  UNION ALL
+         |  $fixedUnion),
+         |${meanUpdateCte(s"c$i", s"a$i")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+       |$steps,
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT p.vec_id, c.cid, row_number() OVER (PARTITION BY p.vec_id
+       |    ORDER BY ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
+       |  FROM p, c$iters c) WHERE rn = 1),
+       |sizes AS (SELECT cid AS cluster, count(*) AS n FROM af GROUP BY 1),
+       |cx AS (SELECT cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) AS v
+       |       FROM c$iters, unnest(range(1, len(cv)+1)) AS t(j))
+       |SELECT cx.cluster, cx.d, cx.v, coalesce(sizes.n, 0) AS n
+       |FROM cx LEFT JOIN sizes USING (cluster)""".stripMargin
+  }
+
+  /** DuckDB unroll of `iters` exact kernel k-means iterations over the
+    * full RBF Gram: membership CTEs a0..aN, each iteration computing the
+    * per-cluster self term (mean Gram over member pairs) and per-point
+    * cross term, then the induced-distance argmin (ties -> smallest
+    * cluster id, matching the strict-< scan). Output: per-cluster
+    * pre-image means + training sizes.
+    */
+  private def kernelFitOracleSql(iters: Int, gamma: Double): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"a${i - 1}"
+      s"""m$i AS MATERIALIZED (SELECT cid, count(*) AS cnt FROM $prev GROUP BY cid),
+         |st$i AS MATERIALIZED (
+         |  SELECT x.cid, sum(g.gv) / (max(m.cnt) * max(m.cnt)) AS self
+         |  FROM $prev x JOIN $prev y ON x.cid = y.cid
+         |  JOIN g ON g.i = x.vec_id AND g.j = y.vec_id
+         |  JOIN m$i m ON m.cid = x.cid GROUP BY x.cid),
+         |cr$i AS MATERIALIZED (
+         |  SELECT g.i AS vec_id, a.cid, sum(g.gv) / max(m.cnt) AS crs
+         |  FROM g JOIN $prev a ON a.vec_id = g.j JOIN m$i m ON m.cid = a.cid
+         |  GROUP BY 1, 2),
+         |a$i AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT cr.vec_id, cr.cid, row_number() OVER (PARTITION BY cr.vec_id
+         |    ORDER BY gii.gv - 2 * cr.crs + st.self, cr.cid) AS rn
+         |  FROM cr$i cr JOIN st$i st USING (cid)
+         |  JOIN gd gii ON gii.i = cr.vec_id) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+       |g AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
+       |  exp(-$gamma * ${seDistSql("a.pv", "b.pv")}) AS gv FROM p a, p b),
+       |gd AS MATERIALIZED (SELECT i, gv FROM g WHERE i = j),
+       |s AS MATERIALIZED (SELECT vec_id AS cid, vec_id AS sid FROM embeddings WHERE vec_id < 8),
+       |a0 AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT gii.i AS vec_id, s.cid, row_number() OVER (PARTITION BY gii.i
+       |    ORDER BY gii.gv - 2 * gis.gv + gss.gv, s.cid) AS rn
+       |  FROM gd gii
+       |  CROSS JOIN s
+       |  JOIN g gis ON gis.i = gii.i AND gis.j = s.sid
+       |  JOIN gd gss ON gss.i = s.sid) WHERE rn = 1),
+       |$steps,
+       |sizes AS (SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n FROM a$iters GROUP BY 1),
+       |cx AS (SELECT CAST(a.cid AS BIGINT) AS cluster, CAST(j - 1 AS BIGINT) AS d,
+       |              round(avg(p.pv[j]), 4) AS v
+       |       FROM a$iters a JOIN p ON p.vec_id = a.vec_id,
+       |            unnest(range(1, len(p.pv)+1)) AS t(j)
+       |       GROUP BY 1, 2)
+       |SELECT cx.cluster, cx.d, cx.v, coalesce(sizes.n, 0) AS n
+       |FROM cx LEFT JOIN sizes USING (cluster)""".stripMargin
+  }
+
   /** DuckDB unroll of `iters` DP-means iterations: per iteration, either
     * adopt the farthest point with divergence > lambda as a new center
     * (cid = max+1, matching the array append) or — when no such point
@@ -493,6 +594,60 @@ object SparkEntry {
     "q_kl_fit" -> ((s, dir) =>
       lloydFitQuery(s, dir, "auto", "kl", 4,
         prep = c => transform(c, v => abs(v) + lit(0.1)))),
+    // Full constrained fit: 2 unrolled iterations of greedy sequential
+    // constrained assignment (sorted-id order; must-link (0,9), (1,12),
+    // cannot-link (2,15), penalty 10) + plain argmin for unconstrained
+    // rows + mean update, through the real ConstrainedKMeans estimator.
+    // The oracle replays the greedy as chained one-row CTEs whose penalty
+    // terms reference the earlier ids' fixed choices.
+    "q_constrained_fit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val centerRows = e.where(col("vec_id") < 8).orderBy(col("vec_id")).collect()
+      val centerIds = centerRows.map(_.getLong(0))
+      val init = centerRows.map(_.getSeq[Double](1).toArray)
+      val m = new ConstrainedKMeans().setK(init.length).setFeaturesCol("f")
+        .setIdCol("vec_id").setConstraintWeight(10.0)
+        .setConstraints(mustLinks = Seq((0L, 9L), (1L, 12L)), cannotLinks = Seq((2L, 15L)))
+        .setMaxIter(2).setTol(0.0).setInitialCenters(init)
+        .fit(e)
+      val idOf = array(centerIds.map(lit(_)): _*)
+      val sizes = m.transform(e)
+        .groupBy(element_at(idOf, col("prediction") + 1).cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+      import sp.implicits._
+      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, j) => (centerIds(i), j.toLong, v) }
+      }.toSeq.toDF("cluster", "d", "v")
+      centers.join(sizes, Seq("cluster"), "left")
+        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    },
+    // Full exact kernel k-means fit: RBF Gram, membership-based induced
+    // distance d^2(i,C) = g_ii - 2/|C| sum g_ij + (1/|C|^2) sum g_jl, 4
+    // unrolled batch-update iterations from singleton seeds 0..7. The
+    // oracle rebuilds the whole Gram matrix in SQL and replays the same
+    // membership iterations; output = pre-image means + training sizes.
+    "q_kernelkmeans_fit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings").orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val m = new graft.clustering.KernelKMeans()
+        .setK(8).setKernelType("rbf").setGamma(1.0).setMode("exact")
+        .setMaxIter(4).setInitialSeedIndices(Array(0, 1, 2, 3, 4, 5, 6, 7))
+        .setFeaturesCol("f").fit(e)
+      val exact = m.asInstanceOf[graft.clustering.ExactKernelKMeansModel]
+      import sp.implicits._
+      val sizes = exact.assignments.groupBy(identity).map { case (c, xs) =>
+        (c.toLong, xs.length.toLong) }.toSeq.toDF("cluster", "n")
+      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
+      }.toSeq.toDF("cluster", "d", "v")
+      centers.join(sizes, Seq("cluster"), "left")
+        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    },
     // Full DP-means fit: 6 unrolled iterations of the deterministic batch
     // rule — seed with the first input point; while any point's divergence
     // exceeds lambda, adopt the FARTHEST such point as a new center (one
@@ -1796,6 +1951,8 @@ object SparkEntry {
     "q_softkmeans_fit" -> softFitOracleSql(3, 2.0),
     "q_mixture_fit" -> mixtureFitOracleSql(3, 8, 1e-6),
     "q_dpmeans_fit" -> dpmeansFitOracleSql(6, 1.1),
+    "q_kernelkmeans_fit" -> kernelFitOracleSql(4, 1.0),
+    "q_constrained_fit" -> constrainedFitOracleSql(2, 10.0),
     "q_sparse_fit" -> lloydFitOracleSql(4, seDistSql, meanUpdateCte,
       prepSql = "list_transform(embedding::DOUBLE[], v -> CASE WHEN abs(v::DOUBLE) < 0.13 THEN 0.0 ELSE v::DOUBLE END)"),
     // two-view weighted-SE distance over the 32/32 embedding split; the

@@ -89,6 +89,14 @@ class ConstrainedKMeans(override val uid: String)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
+  /** Warm start: train from these centers instead of initMode (same
+    * contract as GeneralizedKMeans.setInitialCenters; not persisted).
+    */
+  @transient private var initialCentersOpt: Option[Array[Array[Double]]] = None
+  def setInitialCenters(cs: Array[Array[Double]]): this.type = {
+    initialCentersOpt = Option(cs); this
+  }
+
   /** Count of violated constraints under the model's centers, using the
     * SAME greedy constrained assignment the training loop uses for
     * constrained points (a plain argmin transform can split a must-linked
@@ -161,7 +169,7 @@ class ConstrainedKMeans(override val uid: String)
 
     var centers = CenterInit.initialize(data,
       LloydsConfig(k = $(k), kernel = kern, seed = $(seed), initMode = $(initMode),
-        featuresCol = arrCol), dim, n)
+        featuresCol = arrCol, initialCenters = initialCentersOpt), dim, n)
     var iter = 0
     var converged = false
     val distHist = Seq.newBuilder[Double]

@@ -61,6 +61,16 @@ class KernelKMeans(override val uid: String)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
+  /** Warm start for exact mode: row indices (into the collected input
+    * order) used as the k initial singleton seeds, bypassing the
+    * kernel-space k-means++ sampling. Deterministic-fit counterpart of
+    * setInitialCenters on the centroid estimators; not persisted.
+    */
+  @transient private var initialSeedIndicesOpt: Option[Array[Int]] = None
+  def setInitialSeedIndices(idx: Array[Int]): this.type = {
+    initialSeedIndicesOpt = Option(idx); this
+  }
+
   private def mercer: MercerKernel = MercerKernel($(kernelType), $(gamma), $(degree))
 
   override def fit(dataset: Dataset[_]): GeneralizedKMeansModel = {
@@ -167,24 +177,32 @@ class KernelKMeans(override val uid: String)
     // kernel-space k-means++ seeding (random-partition init collapses
     // well-separated clusters onto near-identical means): D^2 sampling on
     // the induced distance d^2(i,j) = g_ii - 2 g_ij + g_jj
-    val seeds = scala.collection.mutable.ArrayBuffer[Int](rnd.nextInt(n))
-    val minD = Array.tabulate(n)(i => g(i)(i) - 2 * g(i)(seeds(0)) + g(seeds(0))(seeds(0)))
-    while (seeds.length < kk) {
-      val total = minD.sum
-      var pick = 0
-      if (total > 0) {
-        var r = rnd.nextDouble() * total
-        var i = 0
-        while (i < n - 1 && r > minD(i)) { r -= minD(i); i += 1 }
-        pick = i
-      } else pick = rnd.nextInt(n)
-      seeds += pick
-      var i = 0
-      while (i < n) {
-        val d = g(i)(i) - 2 * g(i)(pick) + g(pick)(pick)
-        if (d < minD(i)) minD(i) = d
-        i += 1
-      }
+    val seeds = initialSeedIndicesOpt match {
+      case Some(idx) =>
+        require(idx.length == kk, s"${idx.length} seed indices provided but k=$kk")
+        require(idx.forall(i => i >= 0 && i < n), s"seed index out of range [0, $n)")
+        scala.collection.mutable.ArrayBuffer[Int](idx: _*)
+      case None =>
+        val s0 = scala.collection.mutable.ArrayBuffer[Int](rnd.nextInt(n))
+        val minD = Array.tabulate(n)(i => g(i)(i) - 2 * g(i)(s0(0)) + g(s0(0))(s0(0)))
+        while (s0.length < kk) {
+          val total = minD.sum
+          var pick = 0
+          if (total > 0) {
+            var r = rnd.nextDouble() * total
+            var i = 0
+            while (i < n - 1 && r > minD(i)) { r -= minD(i); i += 1 }
+            pick = i
+          } else pick = rnd.nextInt(n)
+          s0 += pick
+          var i = 0
+          while (i < n) {
+            val d = g(i)(i) - 2 * g(i)(pick) + g(pick)(pick)
+            if (d < minD(i)) minD(i) = d
+            i += 1
+          }
+        }
+        s0
     }
     val assign = Array.tabulate(n) { i =>
       var best = 0
