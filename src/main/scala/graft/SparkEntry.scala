@@ -88,6 +88,120 @@ object SparkEntry {
        |SELECT cx.cluster, cx.d, cx.v, sizes.n FROM cx JOIN sizes USING (cluster)""".stripMargin
   }
 
+  /** DuckDB unroll of full PAM (BUILD + SWAP, euclidean) over the first
+    * `n` embeddings at k medoids: greedy BUILD steps maximize the
+    * positive-part gain (ties -> smallest candidate); each SWAP step
+    * scores every (slot, candidate) replacement's total cost, applies the
+    * strictly-best improvement (Spark's -1e-12 threshold) or no-ops via a
+    * LEFT JOIN on the empty pick — converged steps replay as identity.
+    */
+  private def pamFitOracleSql(n: Int, k: Int, swaps: Int): String = {
+    val euclid = s"sqrt(${seDistSql("a.pv", "b.pv")})"
+    val buildSteps = (1 to (k - 1)).map { s =>
+      s"""md$s AS MATERIALIZED (SELECT b.i, min(b.dd) AS md FROM base b
+         |  JOIN medB${s - 1} m ON b.j = m.pid GROUP BY b.i),
+         |gain$s AS MATERIALIZED (
+         |  SELECT b.j AS cand, sum(CASE WHEN md.md > b.dd THEN md.md - b.dd ELSE 0.0 END) AS g
+         |  FROM base b JOIN md$s md ON md.i = b.i
+         |  WHERE b.j NOT IN (SELECT pid FROM medB${s - 1}) GROUP BY 1),
+         |pickB$s AS MATERIALIZED (SELECT cand FROM gain$s ORDER BY g DESC, cand LIMIT 1),
+         |medB$s AS MATERIALIZED (SELECT mi, pid FROM medB${s - 1}
+         |  UNION ALL SELECT $s AS mi, cand AS pid FROM pickB$s)""".stripMargin
+    }.mkString(",\n")
+    val swapSteps = (1 to swaps).map { t =>
+      val prev = if (t == 1) s"medB${k - 1}" else s"med${t - 1}"
+      val prevCost = if (t == 1) "cost0" else s"cost${t - 1}"
+      s"""trial$t AS MATERIALIZED (
+         |  SELECT cd.mi, cd.cand, m2.pid FROM
+         |    (SELECT m.mi, c.vec_id AS cand FROM $prev m, p c
+         |     WHERE c.vec_id NOT IN (SELECT pid FROM $prev)) cd
+         |  JOIN $prev m2 ON m2.mi <> cd.mi
+         |  UNION ALL
+         |  SELECT m.mi, c.vec_id AS cand, c.vec_id AS pid FROM $prev m, p c
+         |  WHERE c.vec_id NOT IN (SELECT pid FROM $prev)),
+         |costs$t AS MATERIALIZED (
+         |  SELECT mi, cand, sum(dmin) AS tc FROM (
+         |    SELECT tr.mi, tr.cand, b.i, min(b.dd) AS dmin
+         |    FROM trial$t tr JOIN base b ON b.j = tr.pid GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |pick$t AS MATERIALIZED (SELECT mi, cand, tc FROM costs$t
+         |  WHERE tc < (SELECT c FROM $prevCost) - 1e-12 ORDER BY tc, mi, cand LIMIT 1),
+         |med$t AS MATERIALIZED (
+         |  SELECT m.mi, CASE WHEN m.mi = (SELECT mi FROM pick$t)
+         |    THEN (SELECT cand FROM pick$t) ELSE m.pid END AS pid FROM $prev m),
+         |cost$t AS MATERIALIZED (SELECT coalesce(
+         |  (SELECT tc FROM pick$t), (SELECT c FROM $prevCost)) AS c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv
+       |  FROM embeddings WHERE vec_id < $n),
+       |base AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j, $euclid AS dd FROM p a, p b),
+       |medB0 AS MATERIALIZED (SELECT 0 AS mi, vec_id AS pid FROM (
+       |  SELECT b.j AS vec_id, sum(b.dd) AS tot FROM base b WHERE b.i <> b.j GROUP BY 1
+       |  ORDER BY tot, vec_id LIMIT 1)),
+       |$buildSteps,
+       |cost0 AS MATERIALIZED (SELECT sum(md) AS c FROM (
+       |  SELECT b.i, min(b.dd) AS md FROM base b JOIN medB${k - 1} m ON b.j = m.pid GROUP BY b.i)),
+       |$swapSteps,
+       |af AS (SELECT i AS vec_id, mi FROM (
+       |  SELECT b.i, m.mi, row_number() OVER (PARTITION BY b.i ORDER BY b.dd, m.mi) AS rn
+       |  FROM base b JOIN med$swaps m ON m.pid = b.j) WHERE rn = 1),
+       |sizes AS (SELECT CAST(mi AS BIGINT) AS cluster, count(*) AS n FROM af GROUP BY 1),
+       |cx AS (SELECT CAST(m.mi AS BIGINT) AS cluster, CAST(j - 1 AS BIGINT) AS d,
+       |              round(p.pv[j], 4) AS v
+       |       FROM med$swaps m JOIN p ON p.vec_id = m.pid,
+       |            unnest(range(1, len(p.pv)+1)) AS t(j))
+       |SELECT cx.cluster, cx.d, cx.v, coalesce(sizes.n, 0) AS n
+       |FROM cx LEFT JOIN sizes USING (cluster)""".stripMargin
+  }
+
+  /** DuckDB unroll of agglomerative single-linkage over the first `n`
+    * embeddings down to `targetK` clusters: each of the n - targetK merge
+    * steps picks the globally closest active pair (ORDER BY d, slotA,
+    * slotB — the driver's strict-< scan order), folds the larger slot into
+    * the smaller, and the epilogue rebuilds dendrogram node ids
+    * (n + last merge index per surviving slot; leaf id for singletons) and
+    * the sorted-node-id -> 0..k-1 label remap the estimator applies.
+    */
+  private def agglomerativeFitOracleSql(n: Int, targetK: Int): String = {
+    val merges = n - targetK
+    val steps = (1 to merges).map { t =>
+      s"""sd$t AS MATERIALIZED (
+         |  SELECT la.slot AS a, lb.slot AS b, min(bd.dd) AS dd
+         |  FROM base bd
+         |  JOIN m${t - 1} la ON la.vec_id = bd.i
+         |  JOIN m${t - 1} lb ON lb.vec_id = bd.j
+         |  WHERE la.slot < lb.slot GROUP BY 1, 2),
+         |pick$t AS MATERIALIZED (SELECT a, b FROM sd$t ORDER BY dd, a, b LIMIT 1),
+         |m$t AS MATERIALIZED (
+         |  SELECT vec_id, CASE WHEN slot = (SELECT b FROM pick$t)
+         |    THEN (SELECT a FROM pick$t) ELSE slot END AS slot FROM m${t - 1})""".stripMargin
+    }.mkString(",\n")
+    val picksUnion = (1 to merges)
+      .map(t => s"SELECT $t AS t, a FROM pick$t").mkString("\n  UNION ALL ")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv
+       |  FROM embeddings WHERE vec_id < $n),
+       |base AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
+       |  ${seDistSql("a.pv", "b.pv")} AS dd FROM p a, p b WHERE a.vec_id <> b.vec_id),
+       |m0 AS MATERIALIZED (SELECT vec_id, vec_id AS slot FROM p),
+       |$steps,
+       |picks AS ($picksUnion),
+       |lastm AS (SELECT a AS slot, max(t) AS lt FROM picks GROUP BY a),
+       |nodes AS (
+       |  SELECT f.slot,
+       |    CASE WHEN lm.lt IS NULL THEN f.slot ELSE $n + lm.lt - 1 END AS node
+       |  FROM (SELECT DISTINCT slot FROM m$merges) f
+       |  LEFT JOIN lastm lm ON lm.slot = f.slot),
+       |labels AS (SELECT slot,
+       |    CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS cluster FROM nodes),
+       |mem AS (SELECT m.vec_id, l.cluster FROM m$merges m JOIN labels l ON l.slot = m.slot),
+       |sizes AS (SELECT cluster, count(*) AS n FROM mem GROUP BY 1),
+       |cx AS (SELECT mem.cluster, CAST(j - 1 AS BIGINT) AS d, round(avg(p.pv[j]), 4) AS v
+       |       FROM mem JOIN p ON p.vec_id = mem.vec_id,
+       |            unnest(range(1, len(p.pv)+1)) AS t(j)
+       |       GROUP BY 1, 2)
+       |SELECT cx.cluster, cx.d, cx.v, sizes.n FROM cx JOIN sizes USING (cluster)""".stripMargin
+  }
+
   /** DuckDB unroll of `iters` constrained-k-means iterations with the
     * harness constraint set (must (0,9), (1,12); cannot (2,15); penalty
     * lambda): the greedy is replayed as chained one-row CTEs in sorted-id
@@ -594,6 +708,73 @@ object SparkEntry {
     "q_kl_fit" -> ((s, dir) =>
       lloydFitQuery(s, dir, "auto", "kl", 4,
         prep = c => transform(c, v => abs(v) + lit(0.1)))),
+    // Spectral graph construction at a fixed point set: RBF affinity
+    // (zero diagonal), degree vector, and the full symmetric normalized
+    // Laplacian I - D^{-1/2} W D^{-1/2} over the first 24 embeddings —
+    // the deterministic half of spectral clustering (the eigensolve is
+    // LAPACK's and is covered by sbt parity tests instead).
+    "q_spectral_graph" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings").where(col("vec_id") < 24).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val rows = e.collect()
+      val ids = rows.map(_.getLong(0))
+      val pts = rows.map(_.getSeq[Double](1).toArray)
+      val w = graft.clustering.SpectralGraph.buildAffinity(
+        pts, graft.kernels.RBFKernel(1.0), "full")
+      val deg = graft.clustering.SpectralGraph.degrees(w)
+      val lap = graft.clustering.SpectralGraph.laplacian(w, "symmetric")
+      import sp.implicits._
+      pts.indices.flatMap { i =>
+        pts.indices.map { j => (ids(i), ids(j), lap(i)(j), deg(i)) }
+      }.toDF("i", "j", "l", "deg")
+        .select(col("i"), col("j"), (round(col("l"), 6) + lit(0.0)).as("l"),
+          (round(col("deg"), 6) + lit(0.0)).as("deg"))
+    },
+    // Full PAM fit (BUILD + best-improvement SWAP, euclidean metric) on
+    // the first 60 embeddings, k=4, up to 3 swap iterations. The oracle
+    // replays greedy BUILD (max positive-part gain, ties -> smallest
+    // candidate), then each SWAP step evaluates EVERY (medoid-slot,
+    // candidate) replacement's total cost and applies the strictly-best
+    // one (-1e-12 threshold), no-op once converged — the full algorithm.
+    "q_kmedoids_fit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings").where(col("vec_id") < 60).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val m = new graft.clustering.KMedoids()
+        .setK(4).setMaxIter(3).setFeaturesCol("f").fit(e)
+      val sizes = m.transform(e)
+        .groupBy(col("prediction").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"))
+      import sp.implicits._
+      val centers = m.medoids.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
+      }.toSeq.toDF("cluster", "d", "v")
+      centers.join(sizes, Seq("cluster"), "left")
+        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    },
+    // Full agglomerative fit (single linkage, 12 points -> 4 clusters):
+    // 8 unrolled greedy merges of the closest active pair, tie-broken by
+    // slot order exactly like the driver scan; the oracle replays the
+    // merges, reconstructs dendrogram node ids (n + last merge index per
+    // surviving component) and the same sorted-node-id label remap.
+    "q_agglomerative_fit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings").where(col("vec_id") < 12).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val m = new graft.clustering.AgglomerativeBregman()
+        .setNumClusters(4).setLinkage("single").setFeaturesCol("f").fit(e)
+      import sp.implicits._
+      val sizes = m.trainingAssignments.groupBy(identity).map { case (c, xs) =>
+        (c.toLong, xs.length.toLong) }.toSeq.toDF("cluster", "n")
+      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
+      }.toSeq.toDF("cluster", "d", "v")
+      centers.join(sizes, Seq("cluster"), "left")
+        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    },
     // Full constrained fit: 2 unrolled iterations of greedy sequential
     // constrained assignment (sorted-id order; must-link (0,9), (1,12),
     // cannot-link (2,15), penalty 10) + plain argmin for unconstrained
@@ -1953,6 +2134,24 @@ object SparkEntry {
     "q_dpmeans_fit" -> dpmeansFitOracleSql(6, 1.1),
     "q_kernelkmeans_fit" -> kernelFitOracleSql(4, 1.0),
     "q_constrained_fit" -> constrainedFitOracleSql(2, 10.0),
+    "q_agglomerative_fit" -> agglomerativeFitOracleSql(12, 4),
+    "q_kmedoids_fit" -> pamFitOracleSql(60, 4, 3),
+    "q_spectral_graph" ->
+      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 24),
+        |w AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
+        |  CASE WHEN a.vec_id = b.vec_id THEN 0.0
+        |       ELSE exp(-1.0 * list_sum(list_transform(range(1, len(a.pv)+1),
+        |              t -> (a.pv[t] - b.pv[t])^2))) END AS wv
+        |  FROM p a, p b),
+        |deg AS MATERIALIZED (SELECT i, sum(wv) AS d FROM w GROUP BY i)
+        |SELECT w.i, w.j,
+        |  round(CASE WHEN w.i = w.j THEN 1.0 ELSE 0.0 END
+        |    - (CASE WHEN di.d > 1e-12 THEN 1.0 / sqrt(di.d) ELSE 0.0 END)
+        |      * w.wv
+        |      * (CASE WHEN dj.d > 1e-12 THEN 1.0 / sqrt(dj.d) ELSE 0.0 END), 6) + 0.0 AS l,
+        |  round(di.d, 6) + 0.0 AS deg
+        |FROM w JOIN deg di ON di.i = w.i JOIN deg dj ON dj.i = w.j""".stripMargin,
     "q_sparse_fit" -> lloydFitOracleSql(4, seDistSql, meanUpdateCte,
       prepSql = "list_transform(embedding::DOUBLE[], v -> CASE WHEN abs(v::DOUBLE) < 0.13 THEN 0.0 ELSE v::DOUBLE END)"),
     // two-view weighted-SE distance over the 32/32 embedding split; the
