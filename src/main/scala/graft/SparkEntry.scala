@@ -88,6 +88,67 @@ object SparkEntry {
        |SELECT cx.cluster, cx.d, cx.v, sizes.n FROM cx JOIN sizes USING (cluster)""".stripMargin
   }
 
+  /** Shared body of q_dtw_dist / q_softdtw_dist: distances from embedding
+    * 0 to the first 50 embeddings over their 16-dim prefix, through the
+    * real SequenceKernel DP in an executor closure.
+    */
+  private def dtwDistQuery(s: SparkSession, dir: String, soft: Boolean): DataFrame = {
+    implicit val sp: SparkSession = s
+    val e = t(dir, "embeddings").where(col("vec_id") < 50).orderBy(col("vec_id"))
+      .select(col("vec_id"), slice(col("embedding").cast("array<double>"), 1, 16).as("f"))
+    val x0 = e.where(col("vec_id") === 0).head().getSeq[Double](1).toArray
+    val kern: graft.kernels.SequenceKernel =
+      if (soft) graft.kernels.SoftDTWKernel(gamma = 0.5)
+      else graft.kernels.DTWKernel(None)
+    val dUdf = udf { (ys: Seq[Double]) => kern.distance(x0, ys.toArray) }
+    e.select(col("vec_id"), (round(dUdf(col("f")), 6) + lit(0.0)).as("dist"))
+  }
+
+  /** DuckDB cell-by-cell unroll of the (Soft-)DTW dynamic program over
+    * 16-step series: a RECURSIVE CTE appends one DP cell per step to a
+    * list column, combining the three predecessors with least() (DTW) or
+    * the stabilized soft-min (Soft-DTW, gamma). Boundary cells read +inf;
+    * cell (0,0)'s diagonal predecessor is the DP origin 0.
+    */
+  private def dtwDistOracleSql(soft: Boolean, gamma: Double): String = {
+    val L = 16
+    val diag = s"""CASE WHEN step // $L > 0 AND step % $L > 0 THEN cells[(step // $L - 1) * $L + (step % $L)]
+                  |         WHEN step // $L = 0 AND step % $L = 0 THEN 0.0
+                  |         ELSE CAST('Infinity' AS DOUBLE) END""".stripMargin
+    val up = s"""CASE WHEN step // $L > 0 THEN cells[(step // $L - 1) * $L + (step % $L) + 1]
+                |         ELSE CAST('Infinity' AS DOUBLE) END""".stripMargin
+    val left = s"""CASE WHEN step % $L > 0 THEN cells[(step // $L) * $L + (step % $L)]
+                  |         ELSE CAST('Infinity' AS DOUBLE) END""".stripMargin
+    val combine =
+      if (!soft) s"least(\n$diag,\n$up,\n$left)"
+      else {
+        // stabilized soft-min over (a, b, c) with m = least(a, b, c)
+        s"""(SELECT CASE WHEN isinf(m) THEN m
+           |  ELSE m - $gamma * ln(exp(-(a - m) / $gamma) + exp(-(b - m) / $gamma) + exp(-(c - m) / $gamma))
+           |  END
+           | FROM (SELECT a, b, c, least(a, b, c) AS m FROM (SELECT
+           |$diag AS a,
+           |$up AS b,
+           |$left AS c)))""".stripMargin
+      }
+    val finish =
+      if (!soft) s"round(sqrt(cells[$L * $L]), 6) + 0.0"
+      else s"round(cells[$L * $L], 6) + 0.0"
+    s"""WITH RECURSIVE
+       |p AS MATERIALIZED (SELECT vec_id, (embedding::DOUBLE[])[1:$L] AS pv
+       |  FROM embeddings WHERE vec_id < 50),
+       |x0 AS MATERIALIZED (SELECT pv AS xv FROM p WHERE vec_id = 0),
+       |dp AS (
+       |  SELECT p.vec_id, p.pv AS yv, x0.xv AS xv, 0 AS step, CAST([] AS DOUBLE[]) AS cells
+       |  FROM p, x0
+       |  UNION ALL
+       |  SELECT vec_id, yv, xv, step + 1,
+       |    list_append(cells,
+       |      (xv[(step // $L) + 1] - yv[(step % $L) + 1])^2 + $combine)
+       |  FROM dp WHERE step < $L * $L)
+       |SELECT vec_id, $finish AS dist FROM dp WHERE step = $L * $L""".stripMargin
+  }
+
   /** DuckDB unroll of full PAM (BUILD + SWAP, euclidean) over the first
     * `n` embeddings at k medoids: greedy BUILD steps maximize the
     * positive-part gain (ties -> smallest candidate); each SWAP step
@@ -280,7 +341,8 @@ object SparkEntry {
          |  FROM cr$i cr JOIN st$i st USING (cid)
          |  JOIN gd gii ON gii.i = cr.vec_id) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv
+       |  FROM embeddings WHERE vec_id < 500),
        |g AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
        |  exp(-$gamma * ${seDistSql("a.pv", "b.pv")}) AS gv FROM p a, p b),
        |gd AS MATERIALIZED (SELECT i, gv FROM g WHERE i = j),
@@ -708,6 +770,17 @@ object SparkEntry {
     "q_kl_fit" -> ((s, dir) =>
       lloydFitQuery(s, dir, "auto", "kl", 4,
         prep = c => transform(c, v => abs(v) + lit(0.1)))),
+    // DTW distances (the tskmeans family's core DP) between embedding 0
+    // and the first 50 embeddings over 16-step series: the oracle replays
+    // the full (n+1)x(m+1) dynamic program cell by cell in a DuckDB
+    // RECURSIVE CTE carrying the DP table as a growing list — the
+    // recurrence is the same IEEE expression in both engines, so the
+    // distances match to the last bit before the 6-dp rounding.
+    "q_dtw_dist" -> ((s, dir) => dtwDistQuery(s, dir, soft = false)),
+    // Soft-DTW (gamma=0.5): same unroll with the stabilized soft-min
+    // (m - g*ln(sum exp(-(v-m)/g))) in place of least(); negative values
+    // are legal (soft-DTW is a divergence, not a metric).
+    "q_softdtw_dist" -> ((s, dir) => dtwDistQuery(s, dir, soft = true)),
     // Spectral graph construction at a fixed point set: RBF affinity
     // (zero diagonal), degree vector, and the full symmetric normalized
     // Laplacian I - D^{-1/2} W D^{-1/2} over the first 24 embeddings —
@@ -812,7 +885,10 @@ object SparkEntry {
     // membership iterations; output = pre-image means + training sizes.
     "q_kernelkmeans_fit" -> { (s, dir) =>
       implicit val sp: SparkSession = s
-      val e = t(dir, "embeddings").orderBy(col("vec_id"))
+      // cap at 500 rows: exact mode is an O(n^2) driver Gram by design
+      // (the scale path is mode=nystrom); the cap keeps this correctness
+      // probe constant-cost across SFs and matches the oracle's scan
+      val e = t(dir, "embeddings").where(col("vec_id") < 500).orderBy(col("vec_id"))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
       val m = new graft.clustering.KernelKMeans()
         .setK(8).setKernelType("rbf").setGamma(1.0).setMode("exact")
@@ -2136,6 +2212,8 @@ object SparkEntry {
     "q_constrained_fit" -> constrainedFitOracleSql(2, 10.0),
     "q_agglomerative_fit" -> agglomerativeFitOracleSql(12, 4),
     "q_kmedoids_fit" -> pamFitOracleSql(60, 4, 3),
+    "q_dtw_dist" -> dtwDistOracleSql(soft = false, gamma = 0.0),
+    "q_softdtw_dist" -> dtwDistOracleSql(soft = true, gamma = 0.5),
     "q_spectral_graph" ->
       """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv
         |  FROM embeddings WHERE vec_id < 24),
