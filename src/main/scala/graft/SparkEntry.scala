@@ -149,6 +149,51 @@ object SparkEntry {
        |SELECT vec_id, $finish AS dist FROM dp WHERE step = $L * $L""".stripMargin
   }
 
+  /** DuckDB unroll of the GAK log-space DP: for each row both k(x0,y) and
+    * k(y,y) run as recursive-CTE DPs (kind 'xy' / 'yy') with the
+    * stabilized log-sum-exp combiner; k(x0,x0) is row 0's 'yy'. Distance
+    * = sqrt(max(0, 2 - 2 exp(kxy - (kxx + kyy)/2))).
+    */
+  private def gakDistOracleSql(sigma: Double): String = {
+    val L = 16
+    val diag = s"""CASE WHEN step // $L > 0 AND step % $L > 0 THEN cells[(step // $L - 1) * $L + (step % $L)]
+                  |         WHEN step // $L = 0 AND step % $L = 0 THEN 0.0
+                  |         ELSE CAST('-Infinity' AS DOUBLE) END""".stripMargin
+    val up = s"""CASE WHEN step // $L > 0 THEN cells[(step // $L - 1) * $L + (step % $L) + 1]
+                |         ELSE CAST('-Infinity' AS DOUBLE) END""".stripMargin
+    val left = s"""CASE WHEN step % $L > 0 THEN cells[(step // $L) * $L + (step % $L)]
+                  |         ELSE CAST('-Infinity' AS DOUBLE) END""".stripMargin
+    val lse =
+      s"""(SELECT CASE WHEN mx = CAST('-Infinity' AS DOUBLE) THEN mx
+         |  ELSE mx + ln(exp(a - mx) + exp(b - mx) + exp(c - mx)) END
+         | FROM (SELECT a, b, c, greatest(a, b, c) AS mx FROM (SELECT
+         |$diag AS a,
+         |$up AS b,
+         |$left AS c)))""".stripMargin
+    s"""WITH RECURSIVE
+       |p AS MATERIALIZED (SELECT vec_id, (embedding::DOUBLE[])[1:$L] AS pv
+       |  FROM embeddings WHERE vec_id < 30),
+       |x0 AS MATERIALIZED (SELECT pv AS xv FROM p WHERE vec_id = 0),
+       |dp AS (
+       |  SELECT p.vec_id, 'xy' AS kind, x0.xv AS xv, p.pv AS yv, 0 AS step,
+       |         CAST([] AS DOUBLE[]) AS cells FROM p, x0
+       |  UNION ALL
+       |  SELECT vec_id, kind, xv, yv, step, cells FROM (
+       |    SELECT p.vec_id, 'yy' AS kind, p.pv AS xv, p.pv AS yv, 0 AS step,
+       |           CAST([] AS DOUBLE[]) AS cells FROM p) base0
+       |  UNION ALL
+       |  SELECT vec_id, kind, xv, yv, step + 1,
+       |    list_append(cells,
+       |      -((xv[(step // $L) + 1] - yv[(step % $L) + 1])^2) / (2.0 * $sigma * $sigma) + $lse)
+       |  FROM dp WHERE step < $L * $L),
+       |res AS (SELECT vec_id, kind, cells[$L * $L] AS lk FROM dp WHERE step = $L * $L)
+       |SELECT rxy.vec_id,
+       |  round(sqrt(greatest(0.0, 2.0 - 2.0 * exp(rxy.lk
+       |    - 0.5 * ((SELECT lk FROM res WHERE vec_id = 0 AND kind = 'yy') + ryy.lk)))), 6) + 0.0 AS dist
+       |FROM (SELECT vec_id, lk FROM res WHERE kind = 'xy') rxy
+       |JOIN (SELECT vec_id, lk FROM res WHERE kind = 'yy') ryy USING (vec_id)""".stripMargin
+  }
+
   /** DuckDB unroll of full PAM (BUILD + SWAP, euclidean) over the first
     * `n` embeddings at k medoids: greedy BUILD steps maximize the
     * positive-part gain (ties -> smallest candidate); each SWAP step
@@ -781,6 +826,19 @@ object SparkEntry {
     // (m - g*ln(sum exp(-(v-m)/g))) in place of least(); negative values
     // are legal (soft-DTW is a divergence, not a metric).
     "q_softdtw_dist" -> ((s, dir) => dtwDistQuery(s, dir, soft = true)),
+    // GAK (Global Alignment Kernel) induced distance: three log-space DPs
+    // per row (k(x,y), k(x,x), k(y,y)) each replayed cell by cell in the
+    // same recursive-CTE scheme with log-sum-exp combining, then
+    // sqrt(max(0, 2 - 2*exp(kxy - (kxx+kyy)/2))).
+    "q_gak_dist" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings").where(col("vec_id") < 30).orderBy(col("vec_id"))
+        .select(col("vec_id"), slice(col("embedding").cast("array<double>"), 1, 16).as("f"))
+      val x0 = e.where(col("vec_id") === 0).head().getSeq[Double](1).toArray
+      val kern = graft.kernels.GAKKernel(sigma = 1.0)
+      val dUdf = udf { (ys: Seq[Double]) => kern.distance(x0, ys.toArray) }
+      e.select(col("vec_id"), (round(dUdf(col("f")), 6) + lit(0.0)).as("dist"))
+    },
     // Spectral graph construction at a fixed point set: RBF affinity
     // (zero diagonal), degree vector, and the full symmetric normalized
     // Laplacian I - D^{-1/2} W D^{-1/2} over the first 24 embeddings —
@@ -2214,6 +2272,7 @@ object SparkEntry {
     "q_kmedoids_fit" -> pamFitOracleSql(60, 4, 3),
     "q_dtw_dist" -> dtwDistOracleSql(soft = false, gamma = 0.0),
     "q_softdtw_dist" -> dtwDistOracleSql(soft = true, gamma = 0.5),
+    "q_gak_dist" -> gakDistOracleSql(sigma = 1.0),
     "q_spectral_graph" ->
       """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv
         |  FROM embeddings WHERE vec_id < 24),
