@@ -23,6 +23,23 @@ class InterchangeSpec extends SparkSpec {
     }.toDF("id", "features")
   }
 
+  test("resume training from an interchange checkpoint (load -> warm start)") {
+    // the migration story end to end: a model written in the engine-neutral
+    // layout (by us or by the reference) seeds continued training here
+    val df = data
+    val m1 = new GeneralizedKMeans().setK(3).setFeaturesCol("features")
+      .setSeed(11).setMaxIter(4).fit(df)
+    val dir = tmpDir()
+    InterchangeV1.save(spark, m1, dir)
+    val loaded = InterchangeV1.load(spark, dir)
+    val resumed = new GeneralizedKMeans().setK(3).setFeaturesCol("features")
+      .setMaxIter(10).setTol(1e-6)
+      .setInitialCenters(loaded.clusterCenters).fit(df)
+    // warm-started fit converges (first movement small-ish, cost no worse)
+    assert(resumed.computeCost(df) <= m1.computeCost(df) + 1e-9)
+    assert(resumed.summary.converged || resumed.summary.iterations == 10)
+  }
+
   test("LayoutV1 round-trip preserves centers, divergence, and params") {
     val model = new GeneralizedKMeans()
       .setK(3).setSeed(11).setMaxIter(8).setDivergence("kl")
