@@ -681,6 +681,14 @@ object SparkEntry {
       val pairs = Dedup.minhashDedup(t(dir, "documents"), "doc_id", "text", threshold = 0.7)
       Dedup.nearDupGroups(pairs, "id_a", "id_b")
     },
+    // One-call corpus curation: language filter -> quality filter ->
+    // exact dedup -> near-dup components -> best-quality representative.
+    // Fully deterministic composition, oracle-checked end to end.
+    "q_curate_corpus" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Curate.curate(t(dir, "documents"), "doc_id", "text",
+        lang = "en", minQuality = 0.5, jaccardThreshold = 0.7)
+    },
     "q_simhash_pairs" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       Dedup.simhashCandidates(t(dir, "documents"), "doc_id", "text", maxDist = 3)
@@ -2273,6 +2281,59 @@ object SparkEntry {
     "q_dtw_dist" -> dtwDistOracleSql(soft = false, gamma = 0.0),
     "q_softdtw_dist" -> dtwDistOracleSql(soft = true, gamma = 0.5),
     "q_gak_dist" -> gakDistOracleSql(sigma = 1.0),
+    "q_curate_corpus" ->
+      """WITH RECURSIVE
+        |sc AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','is'))) AS s_en,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que'))) AS s_es,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','und','das'))) AS s_de,
+        |    least(length(text) / 500.0, 1.0) * 0.4
+        |      + least(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the','a','of','and','to','in','is','it')))
+        |          * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.4
+        |      + (1.0 - least(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
+        |          * 1.0 / greatest(length(text), 1), 1.0)) * 0.2 AS quality
+        |  FROM documents),
+        |filt AS MATERIALIZED (
+        |  SELECT doc_id, text, quality FROM sc
+        |  WHERE quality >= 0.5 AND (CASE
+        |    WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |    WHEN s_es > s_en AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |    WHEN s_fr > s_en AND s_fr > s_es AND s_fr >= s_de THEN 'fr'
+        |    WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+        |    ELSE 'en' END) = 'en'),
+        |uniq AS MATERIALIZED (SELECT min(doc_id) AS doc_id, text, min(quality) AS quality
+        |  FROM filt GROUP BY text),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM uniq),
+        |p AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |nn AS (SELECT DISTINCT src AS id FROM e),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM nn
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+        |lab AS MATERIALIZED (SELECT u.doc_id, u.text, u.quality, cc.comp
+        |  FROM uniq u LEFT JOIN cc ON cc.id = u.doc_id),
+        |reps AS (SELECT doc_id, text, quality FROM (
+        |  SELECT doc_id, text, quality,
+        |    row_number() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn
+        |  FROM lab WHERE comp IS NOT NULL) WHERE rn = 1),
+        |singles AS (SELECT doc_id, text, quality FROM lab WHERE comp IS NULL)
+        |SELECT doc_id, round(quality, 6) + 0.0 AS quality,
+        |  len(string_split(text, ' ')) AS n_tokens
+        |FROM (SELECT * FROM reps UNION ALL SELECT * FROM singles)""".stripMargin,
     "q_spectral_graph" ->
       """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv
         |  FROM embeddings WHERE vec_id < 24),

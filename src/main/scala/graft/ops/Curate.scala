@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** One-call corpus curation — the standard LLM training-data pipeline
+  * composed from the engine's oracle-checked pieces:
+  *
+  *   1. language filter (n-gram heuristic language ID)
+  *   2. quality filter (length/stopword/punctuation score)
+  *   3. exact dedup (survivor = min id per identical text)
+  *   4. near-dup grouping (MinHash-banded candidates, exact word-shingle
+  *      Jaccard confirm, connected components)
+  *   5. representative selection (max quality, tie -> min id, per group)
+  *
+  * Every stage is a shuffle-based DataFrame transform (hash aggregations,
+  * banded equi-joins, BSP label propagation) — no driver collection — so
+  * the pipeline holds at corpus scale; and every stage is deterministic,
+  * so the whole composition is DuckDB-oracle-checkable end to end
+  * (harness query q_curate_corpus).
+  */
+object Curate {
+
+  /** Curate `docs`, returning surviving (doc_id, quality, n_tokens) rows.
+    *
+    * OWNERSHIP: the returned DataFrame is persisted (already
+    * materialized); the caller owns the release — same contract as
+    * [[Dedup.minhashDedup]].
+    */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      jaccardThreshold: Double = 0.7,
+      shingleSize: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .withColumn("lang", TextOps.langId(col("text")))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .where(col("lang") === lit(lang) && col("quality") >= lit(minQuality))
+    // exact dedup: one survivor per identical text; lang/quality are pure
+    // functions of the text, so min() over the group is THE group value
+    val uniq = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.minhashDedup(uniq, "doc_id", "text",
+      threshold = jaccardThreshold, shingleSize = shingleSize)
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    pairs.unpersist()
+    val labeled = uniq.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+    // representative per component: lexicographic max of (quality, -id)
+    val reps = labeled.where(col("comp").isNotNull)
+      .groupBy(col("comp"))
+      .agg(max_by(struct(col("doc_id"), col("text"), col("quality")),
+        struct(col("quality"), -col("doc_id"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.quality").as("quality"))
+    val singles = labeled.where(col("comp").isNull)
+      .select(col("doc_id"), col("text"), col("quality"))
+    val out = reps.unionByName(singles)
+      .select(col("doc_id"), round(col("quality"), 6).as("quality"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    uniq.unpersist()
+    out
+  }
+}
