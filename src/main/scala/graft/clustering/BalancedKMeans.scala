@@ -60,6 +60,14 @@ class BalancedKMeans(override val uid: String)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
+  /** Warm start: train from these centers instead of initMode (same
+    * contract as GeneralizedKMeans.setInitialCenters; not persisted).
+    */
+  @transient private var initialCentersOpt: Option[Array[Array[Double]]] = None
+  def setInitialCenters(cs: Array[Array[Double]]): this.type = {
+    initialCentersOpt = Option(cs); this
+  }
+
   /** Quantile grid for the lagged shed thresholds (fractions 0.05..0.95). */
   private val QuantileGrid: Array[Double] = (1 to 19).map(_ * 0.05).toArray
 
@@ -79,7 +87,7 @@ class BalancedKMeans(override val uid: String)
 
     var centers = CenterInit.initialize(data,
       LloydsConfig(k = $(k), kernel = kern, seed = $(seed), initMode = $(initMode),
-        featuresCol = arrCol), dim, n)
+        featuresCol = arrCol, initialCenters = initialCentersOpt), dim, n)
     var iter = 0
     var converged = false
     val distHist = Seq.newBuilder[Double]

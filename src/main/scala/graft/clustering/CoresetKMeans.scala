@@ -69,6 +69,14 @@ class CoresetKMeans(override val uid: String)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
 
+  /** Warm start: train from these centers instead of initMode (same
+    * contract as GeneralizedKMeans.setInitialCenters; not persisted).
+    */
+  @transient private var initialCentersOpt: Option[Array[Array[Double]]] = None
+  def setInitialCenters(cs: Array[Array[Double]]): this.type = {
+    initialCentersOpt = Option(cs); this
+  }
+
   override def fit(dataset: Dataset[_]): GeneralizedKMeansModel = {
     val t0 = System.currentTimeMillis()
     val df0 = dataset.toDF()
@@ -98,9 +106,14 @@ class CoresetKMeans(override val uid: String)
       val rows = train.collect()
       val pts = rows.map(_.getSeq[Double](0).toArray)
       val ws = rows.map(_.getDouble(1))
-      val init =
-        if (pts.length <= $(k)) pts
-        else CenterInit.localKMeansPlusPlusBest(pts, ws, $(k), kern, $(seed))
+      val init = initialCentersOpt match {
+        case Some(cs) =>
+          require(cs.length == $(k), s"${cs.length} initial centers provided but k=${$(k)}")
+          cs.map(_.clone())
+        case None =>
+          if (pts.length <= $(k)) pts
+          else CenterInit.localKMeansPlusPlusBest(pts, ws, $(k), kern, $(seed))
+      }
       centers = LocalLloyds.run(pts, ws, $(k), kern, $(maxIter), $(tol), $(seed),
         initCenters = Some(init))
       coreIters = $(maxIter)
@@ -108,6 +121,7 @@ class CoresetKMeans(override val uid: String)
       val cfg = LloydsConfig(
         k = $(k), kernel = kern, maxIter = $(maxIter), tol = $(tol), seed = $(seed),
         initMode = $(initMode), featuresCol = arrCol,
+        initialCenters = initialCentersOpt,
         weightCol = if (usedCoreset) Some("__w") else None,
         knownDim = Some(dim),
         validate = !usedCoreset,

@@ -46,6 +46,14 @@ class MiniBatchKMeans(override val uid: String)
   def setInitMode(v: String): this.type = set(initMode, v)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  /** Warm start: train from these centers instead of initMode (same
+    * contract as GeneralizedKMeans.setInitialCenters; not persisted).
+    */
+  @transient private var initialCentersOpt: Option[Array[Array[Double]]] = None
+  def setInitialCenters(cs: Array[Array[Double]]): this.type = {
+    initialCentersOpt = Option(cs); this
+  }
   def setWeightCol(v: String): this.type = set(weightCol, v)
 
   override def fit(dataset: Dataset[_]): GeneralizedKMeansModel = {
@@ -82,9 +90,14 @@ class MiniBatchKMeans(override val uid: String)
     val b0pts = shuffled.map(_.getSeq[Double](0).toArray).toArray
     val b0w = shuffled.map(_.getDouble(1)).toArray
     val pool = b0pts.take(poolN)
-    val centers =
-      if (pool.length <= $(k)) pool.map(_.clone())
-      else CenterInit.localKMeansPlusPlusBest(pool, b0w.take(poolN), $(k), kern, $(seed))
+    val centers = initialCentersOpt match {
+      case Some(cs) =>
+        require(cs.length == $(k), s"${cs.length} initial centers provided but k=${$(k)}")
+        cs.map(_.clone())
+      case None =>
+        if (pool.length <= $(k)) pool.map(_.clone())
+        else CenterInit.localKMeansPlusPlusBest(pool, b0w.take(poolN), $(k), kern, $(seed))
+    }
     val counts = new Array[Double]($(k))
     val aggFn = udaf(new CentroidAggregator(dim))
 

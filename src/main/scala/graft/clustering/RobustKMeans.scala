@@ -52,6 +52,14 @@ class RobustKMeans(override val uid: String)
   def setInitMode(v: String): this.type = set(initMode, v)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  /** Warm start: train from these centers instead of initMode (same
+    * contract as GeneralizedKMeans.setInitialCenters; not persisted).
+    */
+  @transient private var initialCentersOpt: Option[Array[Array[Double]]] = None
+  def setInitialCenters(cs: Array[Array[Double]]): this.type = {
+    initialCentersOpt = Option(cs); this
+  }
   def setWeightCol(v: String): this.type = set(weightCol, v)
 
   override def fit(dataset: Dataset[_]): GeneralizedKMeansModel = {
@@ -69,7 +77,7 @@ class RobustKMeans(override val uid: String)
 
     var centers = CenterInit.initialize(data,
       LloydsConfig(k = $(k), kernel = kern, seed = $(seed), initMode = $(initMode),
-        featuresCol = arrCol), dim, n)
+        featuresCol = arrCol, initialCenters = initialCentersOpt), dim, n)
     var iter = 0
     var converged = false
     val distHist = Seq.newBuilder[Double]

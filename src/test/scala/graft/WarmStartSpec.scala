@@ -81,6 +81,22 @@ class WarmStartSpec extends SparkSpec {
     assert(math.abs(c(0)(0) - 0.1) < 1e-9 && math.abs(c(1)(0) - 10.1) < 1e-9)
   }
 
+  test("MiniBatch / Coreset / Robust / Balanced honor warm starts") {
+    val init = Array(Array(0.1, 0.1), Array(10.1, 10.1))
+    val mb = new MiniBatchKMeans().setK(2).setFeaturesCol("f").setMaxIter(2)
+      .setBatchSize(8).setSeed(5).setInitialCenters(init).fit(tiny)
+    assert(mb.clusterCenters.length == 2)
+    val cs = new CoresetKMeans().setK(2).setFeaturesCol("f").setMaxIter(3)
+      .setCoresetSize(8).setSeed(5).setInitialCenters(init).fit(tiny)
+    assert(cs.clusterCenters.sortBy(_.head).head.head < 1.0)
+    val rb = new RobustKMeans().setK(2).setFeaturesCol("f").setMaxIter(3)
+      .setOutlierFraction(0.1).setSeed(5).setInitialCenters(init).fit(tiny)
+    assert(rb.clusterCenters.length == 2)
+    val bl = new BalancedKMeans().setK(2).setFeaturesCol("f").setMaxIter(3)
+      .setSeed(5).setInitialCenters(init).fit(tiny)
+    assert(bl.clusterCenters.length == 2)
+  }
+
   test("MultiViewKMeans honors per-view warm starts") {
     val two = tiny.select(col("f").as("v1"), transform(col("f"), x => x * 2).as("v2"))
     val init = Array(
