@@ -681,6 +681,16 @@ object SparkEntry {
       val pairs = Dedup.minhashDedup(t(dir, "documents"), "doc_id", "text", threshold = 0.7)
       Dedup.nearDupGroups(pairs, "id_a", "id_b")
     },
+    // Benchmark decontamination: flag training docs sharing any word
+    // 5-gram with the (deterministic) eval subset doc_id % 50 == 0. The
+    // eval shingle set broadcasts; the training side never shuffles.
+    "q_decontaminate" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.ops.Curate.decontaminate(
+        docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 50 === 0), "text", n = 5)
+    },
     // One-call corpus curation: language filter -> quality filter ->
     // exact dedup -> near-dup components -> best-quality representative.
     // Fully deterministic composition, oracle-checked end to end.
@@ -2281,6 +2291,22 @@ object SparkEntry {
     "q_dtw_dist" -> dtwDistOracleSql(soft = false, gamma = 0.0),
     "q_softdtw_dist" -> dtwDistOracleSql(soft = true, gamma = 0.5),
     "q_gak_dist" -> gakDistOracleSql(sigma = 1.0),
+    "q_decontaminate" ->
+      """WITH ev AS MATERIALIZED (SELECT DISTINCT sh FROM (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+        |  FROM documents WHERE doc_id % 50 = 0)),
+        |tr AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev USING (sh) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "q_curate_corpus" ->
       """WITH RECURSIVE
         |sc AS MATERIALIZED (

@@ -67,4 +67,36 @@ object Curate {
     uniq.unpersist()
     out
   }
+
+  /** Benchmark decontamination: flag training documents sharing at least
+    * `minHits` word `n`-grams with any document of an evaluation set.
+    *
+    * Scale shape: the EVAL side is the small one by construction, so its
+    * distinct shingle set broadcasts; the training corpus is exploded to
+    * (doc_id, shingle) and hash-joined against the broadcast — the big
+    * side never shuffles, and the per-doc hit count is a map-side partial
+    * aggregation. Returns (doc_id, n_hits, contaminated).
+    */
+  def decontaminate(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    val evalShingles = evalDocs
+      .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("sh"))
+      .distinct()
+    val trainShingles = train
+      .select(col(trainIdCol).cast("long").as("doc_id"),
+        explode(TextOps.wordShingles(col(trainTextCol), n)).as("sh"))
+    val hits = trainShingles
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    train.select(col(trainIdCol).cast("long").as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
 }

@@ -44,6 +44,23 @@ class CurateSpec extends SparkSpec {
     assert(ids == Set(1L, 3L))
   }
 
+  test("decontaminate flags n-gram overlap with the eval set, broadcast-joined") {
+    val train = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "completely different words with no overlap at all whatsoever here"),
+      (3L, "alpha beta one two three four five gamma delta")) // shares 5-gram "one two three four five"
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "zz one two three four five yy")).toDF("doc_id", "text")
+    val out = Curate.decontaminate(train, "doc_id", "text", ev, "text", n = 5)
+    val m = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(m(1L)._2 && m(3L)._2 && !m(2L)._2)
+    assert(m(2L)._1 == 0L)
+    // the eval shingle side must broadcast: the training corpus is the
+    // big side and must not shuffle for this join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(500))
+  }
+
   test("curate output carries quality and token counts for survivors") {
     val docs = Seq((1L, en("body one")), (2L, en("totally different body two here")))
       .toDF("doc_id", "text")
