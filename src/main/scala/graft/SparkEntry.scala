@@ -55,7 +55,7 @@ object SparkEntry {
       c.zipWithIndex.map { case (v, j) => (centerIds(i), j.toLong, v) }
     }.toSeq.toDF("cluster", "d", "v")
     centers.join(sizes, "cluster")
-      .select(col("cluster"), col("d"), round(col("v"), 4).as("v"), col("n"))
+      .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"), col("n"))
   }
 
   /** DuckDB unroll of `iters` Lloyd iterations from the same deterministic
@@ -83,7 +83,7 @@ object SparkEntry {
        |$steps,
        |${assign("af", s"c$iters", keepPv = false)},
        |sizes AS (SELECT cid AS cluster, count(*) AS n FROM af GROUP BY 1),
-       |cx AS (SELECT cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) AS v
+       |cx AS (SELECT cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) + 0.0 AS v
        |       FROM c$iters, unnest(range(1, len(cv)+1)) AS t(j))
        |SELECT cx.cluster, cx.d, cx.v, sizes.n FROM cx JOIN sizes USING (cluster)""".stripMargin
   }
@@ -253,7 +253,7 @@ object SparkEntry {
        |  FROM base b JOIN med$swaps m ON m.pid = b.j) WHERE rn = 1),
        |sizes AS (SELECT CAST(mi AS BIGINT) AS cluster, count(*) AS n FROM af GROUP BY 1),
        |cx AS (SELECT CAST(m.mi AS BIGINT) AS cluster, CAST(j - 1 AS BIGINT) AS d,
-       |              round(p.pv[j], 4) AS v
+       |              round(p.pv[j], 4) + 0.0 AS v
        |       FROM med$swaps m JOIN p ON p.vec_id = m.pid,
        |            unnest(range(1, len(p.pv)+1)) AS t(j))
        |SELECT cx.cluster, cx.d, cx.v, coalesce(sizes.n, 0) AS n
@@ -301,7 +301,7 @@ object SparkEntry {
        |    CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS cluster FROM nodes),
        |mem AS (SELECT m.vec_id, l.cluster FROM m$merges m JOIN labels l ON l.slot = m.slot),
        |sizes AS (SELECT cluster, count(*) AS n FROM mem GROUP BY 1),
-       |cx AS (SELECT mem.cluster, CAST(j - 1 AS BIGINT) AS d, round(avg(p.pv[j]), 4) AS v
+       |cx AS (SELECT mem.cluster, CAST(j - 1 AS BIGINT) AS d, round(avg(p.pv[j]), 4) + 0.0 AS v
        |       FROM mem JOIN p ON p.vec_id = mem.vec_id,
        |            unnest(range(1, len(p.pv)+1)) AS t(j)
        |       GROUP BY 1, 2)
@@ -354,7 +354,7 @@ object SparkEntry {
        |    ORDER BY ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
        |  FROM p, c$iters c) WHERE rn = 1),
        |sizes AS (SELECT cid AS cluster, count(*) AS n FROM af GROUP BY 1),
-       |cx AS (SELECT cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) AS v
+       |cx AS (SELECT cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) + 0.0 AS v
        |       FROM c$iters, unnest(range(1, len(cv)+1)) AS t(j))
        |SELECT cx.cluster, cx.d, cx.v, coalesce(sizes.n, 0) AS n
        |FROM cx LEFT JOIN sizes USING (cluster)""".stripMargin
@@ -402,7 +402,7 @@ object SparkEntry {
        |$steps,
        |sizes AS (SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n FROM a$iters GROUP BY 1),
        |cx AS (SELECT CAST(a.cid AS BIGINT) AS cluster, CAST(j - 1 AS BIGINT) AS d,
-       |              round(avg(p.pv[j]), 4) AS v
+       |              round(avg(p.pv[j]), 4) + 0.0 AS v
        |       FROM a$iters a JOIN p ON p.vec_id = a.vec_id,
        |            unnest(range(1, len(p.pv)+1)) AS t(j)
        |       GROUP BY 1, 2)
@@ -447,7 +447,7 @@ object SparkEntry {
        |    ORDER BY ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
        |  FROM p, c$iters c) WHERE rn = 1),
        |sizes AS (SELECT CAST(cid AS BIGINT) AS cluster, count(*) AS n FROM af GROUP BY 1),
-       |cx AS (SELECT CAST(cid AS BIGINT) AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) AS v
+       |cx AS (SELECT CAST(cid AS BIGINT) AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) + 0.0 AS v
        |       FROM c$iters, unnest(range(1, len(cv)+1)) AS t(j))
        |SELECT cx.cluster, cx.d, cx.v, coalesce(sizes.n, 0) AS n
        |FROM cx LEFT JOIN sizes USING (cluster)""".stripMargin
@@ -515,8 +515,8 @@ object SparkEntry {
        |    ORDER BY ln(greatest(w.pi, 1e-300)) - 0.5 * ${seDistSql("p.pv", "c.cv")} DESC, c.cid) AS rn
        |  FROM p, c$iters c JOIN w$iters w USING (cid)) WHERE rn = 1),
        |sizes AS (SELECT cid AS cluster, count(*) AS n FROM af GROUP BY 1),
-       |cx AS (SELECT c.cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) AS v,
-       |              round(w.pi, 6) AS w
+       |cx AS (SELECT c.cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) + 0.0 AS v,
+       |              round(w.pi, 6) + 0.0 AS w
        |       FROM c$iters c JOIN w$iters w USING (cid), unnest(range(1, len(cv)+1)) AS t(j))
        |SELECT cx.cluster, cx.d, cx.v, cx.w, coalesce(sizes.n, 0) AS n
        |FROM cx LEFT JOIN sizes USING (cluster)""".stripMargin
@@ -547,7 +547,7 @@ object SparkEntry {
        |    ORDER BY ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
        |  FROM p, c$iters c) WHERE rn = 1),
        |sizes AS (SELECT cid AS cluster, count(*) AS n FROM af GROUP BY 1),
-       |cx AS (SELECT cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) AS v
+       |cx AS (SELECT cid AS cluster, CAST(j - 1 AS BIGINT) AS d, round(cv[j], 4) + 0.0 AS v
        |       FROM c$iters, unnest(range(1, len(cv)+1)) AS t(j))
        |SELECT cx.cluster, cx.d, cx.v, sizes.n FROM cx JOIN sizes USING (cluster)""".stripMargin
   }
@@ -900,7 +900,7 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
       }.toSeq.toDF("cluster", "d", "v")
       centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
           coalesce(col("n"), lit(0L)).as("n"))
     },
     // Full agglomerative fit (single linkage, 12 points -> 4 clusters):
@@ -921,7 +921,7 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
       }.toSeq.toDF("cluster", "d", "v")
       centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
           coalesce(col("n"), lit(0L)).as("n"))
     },
     // Full constrained fit: 2 unrolled iterations of greedy sequential
@@ -951,7 +951,7 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, j) => (centerIds(i), j.toLong, v) }
       }.toSeq.toDF("cluster", "d", "v")
       centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
           coalesce(col("n"), lit(0L)).as("n"))
     },
     // Full exact kernel k-means fit: RBF Gram, membership-based induced
@@ -978,7 +978,7 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
       }.toSeq.toDF("cluster", "d", "v")
       centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
           coalesce(col("n"), lit(0L)).as("n"))
     },
     // Full DP-means fit: 6 unrolled iterations of the deterministic batch
@@ -1002,7 +1002,7 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
       }.toSeq.toDF("cluster", "d", "v")
       centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
           coalesce(col("n"), lit(0L)).as("n"))
     },
     // Full sparse-path fit: features thresholded to ~70% zeros, forced
@@ -1032,7 +1032,7 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, j) => (centerIds(i), j.toLong, v) }
       }.toSeq.toDF("cluster", "d", "v")
       centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
           coalesce(col("n"), lit(0L)).as("n"))
     },
     // Full multi-view fit: views = first/last 32 dims of the embedding
@@ -1068,7 +1068,7 @@ object SparkEntry {
         full.zipWithIndex.map { case (v, j) => (centerIds(c), j.toLong, v) }
       }.toDF("cluster", "d", "v")
       centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
+        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
           coalesce(col("n"), lit(0L)).as("n"))
     },
     // Full mixture-EM fit: 3 unrolled iterations of log-sum-exp E-step
@@ -1104,8 +1104,8 @@ object SparkEntry {
       // still surface its center and weight (dropping it would silently
       // shrink the oracle's coverage)
       centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"),
-          round(col("w"), 6).as("w"), coalesce(col("n"), lit(0L)).as("n"))
+        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
+          (round(col("w"), 6) + lit(0.0)).as("w"), coalesce(col("n"), lit(0L)).as("n"))
     },
     // Full soft-EM fit: 3 unrolled iterations of Boltzmann E-step
     // (stable softmax over SE divergences, beta=2) + gamma-weighted mean
@@ -1129,7 +1129,7 @@ object SparkEntry {
         c.zipWithIndex.map { case (v, j) => (centerIds(i), j.toLong, v) }
       }.toSeq.toDF("cluster", "d", "v")
       centers.join(sizes, "cluster")
-        .select(col("cluster"), col("d"), round(col("v"), 4).as("v"), col("n"))
+        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"), col("n"))
     },
     "q_bisecting_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
