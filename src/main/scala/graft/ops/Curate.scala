@@ -99,4 +99,34 @@ object Curate {
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
+
+  /** Streaming decontamination: flag documents of a STREAM against a
+    * static eval set as they arrive. The stream side explodes to
+    * (doc_id, shingle) and inner-joins the broadcast eval shingles — a
+    * stateless stream-static join — then a streaming aggregation counts
+    * hits per doc (update output mode; only contaminated docs surface).
+    * A document's shingles all come from its single input row, so its
+    * count is complete within the micro-batch that carried it; the
+    * aggregation state is one counter per CONTAMINATED doc id (hit rows
+    * only survive the join), which is small by construction — eval
+    * overlap is the anomaly, not the norm.
+    */
+  def decontaminateStream(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    val evalShingles = evalDocs
+      .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("sh"))
+      .distinct()
+    train
+      .select(col(trainIdCol).cast("long").as("doc_id"),
+        explode(TextOps.wordShingles(col(trainTextCol), n)).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
 }

@@ -61,6 +61,27 @@ class CurateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(500))
   }
 
+  test("decontaminateStream flags contaminated docs across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq((100L, "zz one two three four five yy")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val flagged = Curate.decontaminateStream(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text", ev, "text", n = 5)
+    val query = flagged.writeStream.format("memory").queryName("decon_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(
+        (1L, "one two three four five six seven eight nine ten"),
+        (2L, "completely different words with no overlap at all whatsoever here"))
+      query.processAllAvailable()
+      stream.addData((3L, "alpha beta one two three four five gamma delta"))
+      query.processAllAvailable()
+      val out = spark.table("decon_out").select("doc_id").as[Long].collect().toSet
+      assert(out == Set(1L, 3L), s"got $out")
+    } finally query.stop()
+  }
+
   test("curate output carries quality and token counts for survivors") {
     val docs = Seq((1L, en("body one")), (2L, en("totally different body two here")))
       .toDF("doc_id", "text")
