@@ -58,6 +58,25 @@ object SparkEntry {
       .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"), col("n"))
   }
 
+  /** Single-sourced (cluster, d, v, n) emission for the full-fit probes:
+    * driver-local centers + a (cluster, n) sizes frame -> rounded rows
+    * with the driver gate's negative-zero normalization (round + 0.0).
+    * `ids` maps center slot -> emitted cluster id (seed vec_ids for
+    * warm-started fits, slot index otherwise). LEFT join + coalesce keeps
+    * clusters that win zero points — dropping them would silently shrink
+    * oracle coverage.
+    */
+  private def emitCenters(sp: SparkSession, centers: Array[Array[Double]],
+      sizes: DataFrame, ids: Int => Long = _.toLong): DataFrame = {
+    import sp.implicits._
+    val cdf = centers.zipWithIndex.flatMap { case (c, i) =>
+      c.zipWithIndex.map { case (v, j) => (ids(i), j.toLong, v) }
+    }.toSeq.toDF("cluster", "d", "v")
+    cdf.join(sizes, Seq("cluster"), "left")
+      .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** DuckDB unroll of `iters` Lloyd iterations from the same deterministic
     * start as [[lloydFitQuery]] — chained CTEs c0 -> a1 -> c1 -> ... ->
     * c`iters`, then a final assignment for cluster sizes. `distSql` is the
@@ -895,13 +914,7 @@ object SparkEntry {
       val sizes = m.transform(e)
         .groupBy(col("prediction").cast("long").as("cluster"))
         .agg(count(lit(1)).as("n"))
-      import sp.implicits._
-      val centers = m.medoids.zipWithIndex.flatMap { case (c, i) =>
-        c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
-      }.toSeq.toDF("cluster", "d", "v")
-      centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
-          coalesce(col("n"), lit(0L)).as("n"))
+      emitCenters(s, m.medoids, sizes)
     },
     // Full agglomerative fit (single linkage, 12 points -> 4 clusters):
     // 8 unrolled greedy merges of the closest active pair, tie-broken by
@@ -917,12 +930,7 @@ object SparkEntry {
       import sp.implicits._
       val sizes = m.trainingAssignments.groupBy(identity).map { case (c, xs) =>
         (c.toLong, xs.length.toLong) }.toSeq.toDF("cluster", "n")
-      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
-        c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
-      }.toSeq.toDF("cluster", "d", "v")
-      centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
-          coalesce(col("n"), lit(0L)).as("n"))
+      emitCenters(s, m.clusterCenters, sizes)
     },
     // Full constrained fit: 2 unrolled iterations of greedy sequential
     // constrained assignment (sorted-id order; must-link (0,9), (1,12),
@@ -946,13 +954,7 @@ object SparkEntry {
       val sizes = m.transform(e)
         .groupBy(element_at(idOf, col("prediction") + 1).cast("long").as("cluster"))
         .agg(count(lit(1)).as("n"))
-      import sp.implicits._
-      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
-        c.zipWithIndex.map { case (v, j) => (centerIds(i), j.toLong, v) }
-      }.toSeq.toDF("cluster", "d", "v")
-      centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
-          coalesce(col("n"), lit(0L)).as("n"))
+      emitCenters(s, m.clusterCenters, sizes, centerIds(_))
     },
     // Full exact kernel k-means fit: RBF Gram, membership-based induced
     // distance d^2(i,C) = g_ii - 2/|C| sum g_ij + (1/|C|^2) sum g_jl, 4
@@ -974,12 +976,7 @@ object SparkEntry {
       import sp.implicits._
       val sizes = exact.assignments.groupBy(identity).map { case (c, xs) =>
         (c.toLong, xs.length.toLong) }.toSeq.toDF("cluster", "n")
-      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
-        c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
-      }.toSeq.toDF("cluster", "d", "v")
-      centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
-          coalesce(col("n"), lit(0L)).as("n"))
+      emitCenters(s, m.clusterCenters, sizes)
     },
     // Full DP-means fit: 6 unrolled iterations of the deterministic batch
     // rule — seed with the first input point; while any point's divergence
@@ -997,13 +994,7 @@ object SparkEntry {
       val sizes = m.transform(e)
         .groupBy(col("prediction").cast("long").as("cluster"))
         .agg(count(lit(1)).as("n"))
-      import sp.implicits._
-      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
-        c.zipWithIndex.map { case (v, j) => (i.toLong, j.toLong, v) }
-      }.toSeq.toDF("cluster", "d", "v")
-      centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
-          coalesce(col("n"), lit(0L)).as("n"))
+      emitCenters(s, m.clusterCenters, sizes)
     },
     // Full sparse-path fit: features thresholded to ~70% zeros, forced
     // through the (indices, values) O(nnz) sparse engine for 4 iterations
@@ -1027,13 +1018,7 @@ object SparkEntry {
       val sizes = m.transform(e)
         .groupBy(element_at(idOf, col("prediction") + 1).cast("long").as("cluster"))
         .agg(count(lit(1)).as("n"))
-      import sp.implicits._
-      val centers = m.clusterCenters.zipWithIndex.flatMap { case (c, i) =>
-        c.zipWithIndex.map { case (v, j) => (centerIds(i), j.toLong, v) }
-      }.toSeq.toDF("cluster", "d", "v")
-      centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
-          coalesce(col("n"), lit(0L)).as("n"))
+      emitCenters(s, m.clusterCenters, sizes, centerIds(_))
     },
     // Full multi-view fit: views = first/last 32 dims of the embedding
     // with weights 1:2 (normalized 1/3:2/3), combined weighted-SE argmin
@@ -1062,14 +1047,10 @@ object SparkEntry {
       val sizes = m.transform(e)
         .groupBy(element_at(idOf, col("prediction") + 1).cast("long").as("cluster"))
         .agg(count(lit(1)).as("n"))
-      import sp.implicits._
-      val centers = (0 until init(0).length).flatMap { c =>
-        val full = m.viewCenters(0)(c) ++ m.viewCenters(1)(c)
-        full.zipWithIndex.map { case (v, j) => (centerIds(c), j.toLong, v) }
-      }.toDF("cluster", "d", "v")
-      centers.join(sizes, Seq("cluster"), "left")
-        .select(col("cluster"), col("d"), (round(col("v"), 4) + lit(0.0)).as("v"),
-          coalesce(col("n"), lit(0L)).as("n"))
+      // both views are SE, so concatenated per-view centers = full-vector rows
+      val full = Array.tabulate(init(0).length)(c =>
+        m.viewCenters(0)(c) ++ m.viewCenters(1)(c))
+      emitCenters(s, full, sizes, centerIds(_))
     },
     // Full mixture-EM fit: 3 unrolled iterations of log-sum-exp E-step
     // (responsibilities from log pi_c - D(x, mu_c)) + responsibility-
@@ -1775,6 +1756,10 @@ object SparkEntry {
         .agg(min_by(struct(col("center_id").as("cluster"), col("pv")),
           struct(col("d2"), col("center_id"))).as("b"), min(col("d2")).as("md"))
         .select(col("vec_id"), col("b.cluster").as("cluster"), col("b.pv").as("pv"), col("md"))
+        // consumed 3x (count, top-k drop set, anti-join left side); cache
+        // so the broadcast-join + min_by agg runs once (bench/verify
+        // clearCache releases it)
+        .persist()
       val nTotal = asg.count()
       val nDrop = math.ceil(0.2 * nTotal).toLong
       // TakeOrderedAndProject: each partition contributes its local top-k
@@ -2315,12 +2300,14 @@ object SparkEntry {
         |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que'))) AS s_es,
         |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','et','les'))) AS s_fr,
         |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','und','das'))) AS s_de,
-        |    least(length(text) / 500.0, 1.0) * 0.4
+        |    -- round(,6) matches TextOps.qualityScore, which rounds BEFORE
+        |    -- the minQuality filter and the representative tie-break
+        |    round(least(length(text) / 500.0, 1.0) * 0.4
         |      + least(len(list_filter(string_split(text, ' '),
         |            t -> t IN ('the','a','of','and','to','in','is','it')))
         |          * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.4
         |      + (1.0 - least(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
-        |          * 1.0 / greatest(length(text), 1), 1.0)) * 0.2 AS quality
+        |          * 1.0 / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality
         |  FROM documents),
         |filt AS MATERIALIZED (
         |  SELECT doc_id, text, quality FROM sc

@@ -108,7 +108,7 @@ class CoresetKMeans(override val uid: String)
       val ws = rows.map(_.getDouble(1))
       val init = initialCentersOpt match {
         case Some(cs) =>
-          require(cs.length == $(k), s"${cs.length} initial centers provided but k=${$(k)}")
+          CenterInit.validateExplicit(cs, $(k), dim)
           cs.map(_.clone())
         case None =>
           if (pts.length <= $(k)) pts

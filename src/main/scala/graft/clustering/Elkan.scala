@@ -98,7 +98,7 @@ object ElkanAssignment {
     (best, bd * 0.5, second, computed)
   }
 
-  @inline private def dist2(a: Array[Double], b: Array[Double]): Double = {
+  @inline private[clustering] def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
@@ -186,12 +186,9 @@ object ElkanLloydsIterator {
     val perCenter =
       cfg.assignmentStrategy != "hamerly" && centers.length <= PerCenterBoundsMaxK
 
-    @inline def dist2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
+    // hot distance kernel shared with the one-shot assignment path
+    @inline def dist2(a: Array[Double], b: Array[Double]): Double =
+      ElkanAssignment.dist2(a, b)
 
     // initial full scan: (f, w, cluster, ub euclidean, lbs)
     // hamerly: lbs = [lower bound on second-closest] (lemma-1 pruned scan)

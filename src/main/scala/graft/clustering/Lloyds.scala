@@ -693,15 +693,23 @@ object LocalLloyds {
   */
 object CenterInit {
 
+  /** Typed validation for explicitly-provided (warm-start) centers — one
+    * contract for every estimator's setInitialCenters, whether the fit
+    * runs through the distributed Lloyd loop or a driver-local path.
+    */
+  def validateExplicit(cs: Array[Array[Double]], k: Int, dim: Int): Unit = {
+    if (cs.length != k)
+      throw new GKMException(GKMError.InvalidParam(
+        "initialCenters", s"${cs.length} centers provided but k=$k"))
+    cs.find(_.length != dim).foreach(c =>
+      throw new GKMException(GKMError.InvalidParam(
+        "initialCenters", s"center has dim ${c.length}, data has dim $dim")))
+  }
+
   def initialize(df: DataFrame, cfg: LloydsConfig, dim: Int, numPoints: Long): Array[Array[Double]] =
     cfg.initialCenters match {
       case Some(cs) =>
-        if (cs.length != cfg.k)
-          throw new GKMException(GKMError.InvalidParam(
-            "initialCenters", s"${cs.length} centers provided but k=${cfg.k}"))
-        cs.find(_.length != dim).foreach(c =>
-          throw new GKMException(GKMError.InvalidParam(
-            "initialCenters", s"center has dim ${c.length}, data has dim $dim")))
+        validateExplicit(cs, cfg.k, dim)
         cs.map(_.clone())
       case None => cfg.initMode.toLowerCase match {
         case "random" => samplePoints(df, cfg.featuresCol, cfg.k, cfg.seed, numPoints).toArray

@@ -92,7 +92,7 @@ class MiniBatchKMeans(override val uid: String)
     val pool = b0pts.take(poolN)
     val centers = initialCentersOpt match {
       case Some(cs) =>
-        require(cs.length == $(k), s"${cs.length} initial centers provided but k=${$(k)}")
+        CenterInit.validateExplicit(cs, $(k), dim)
         cs.map(_.clone())
       case None =>
         if (pool.length <= $(k)) pool.map(_.clone())

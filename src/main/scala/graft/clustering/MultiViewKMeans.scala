@@ -107,6 +107,7 @@ class MultiViewKMeans(override val uid: String)
           s"initialCenters has ${cs.length} views, estimator has ${viewSpecs.length}")
         require(cs.forall(_.length == $(k)),
           s"initialCenters must provide k=${$(k)} centers per view")
+        cs.indices.foreach(v => CenterInit.validateExplicit(cs(v), $(k), dims(v)))
         cs.map(_.map(_.clone()))
       case None =>
         val initRows = sampleRows(proj, $(k), $(seed), n)

@@ -160,7 +160,7 @@ class SparseKMeans(override val uid: String)
     val poolSize = math.max(10 * $(k), 20)
     var centers: Array[Array[Double]] = initialCentersOpt match {
       case Some(cs) =>
-        require(cs.length == $(k), s"${cs.length} initial centers provided but k=${$(k)}")
+        CenterInit.validateExplicit(cs, $(k), dim)
         cs.map(_.clone())
       case None =>
         val sampled = data.select(col("idx"), col("vals"))

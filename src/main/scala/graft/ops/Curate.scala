@@ -119,9 +119,16 @@ object Curate {
       evalTextCol: String,
       n: Int = 8,
       minHits: Int = 1): DataFrame = {
+    // the static side of a stream-static join is re-evaluated every
+    // micro-batch: persist + materialize the distinct shingle set ONCE so
+    // each trigger re-broadcasts from cache instead of re-shingling the
+    // eval corpus. OWNERSHIP: released when the stream's session clears
+    // its cache (same caller-owns-release contract as minhashDedup).
     val evalShingles = evalDocs
       .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("sh"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    evalShingles.count()
     train
       .select(col(trainIdCol).cast("long").as("doc_id"),
         explode(TextOps.wordShingles(col(trainTextCol), n)).as("sh"))

@@ -141,7 +141,6 @@ object StreamDedup {
             var entries = state.getOption.map(_.entries).getOrElse(Nil)
               .filter(_._3 >= wm)
             val out = List.newBuilder[(Long, Long, Int, java.sql.Timestamp)]
-            var maxTs = 0L
             // process batch rows oldest-first so in-batch pairs report the
             // earlier doc as id_a, matching the batch operator's id_a < id_b
             // convention in spirit (earlier-first here, since streams order
@@ -152,13 +151,23 @@ object StreamDedup {
                 if (eid != r.id && java.lang.Long.bitCount(s ^ r.sig) <= md)
                   out += ((eid, r.id, java.lang.Long.bitCount(s ^ r.sig), r.ts))
               }
+              // per-row cap bounds work/memory mid-batch; ordering is
+              // restored below before the state write
               entries = ((r.sig, r.id, tsMs) :: entries).take(cap)
-              if (tsMs > maxTs) maxTs = tsMs
             }
+            // a late-but-within-watermark arrival prepends OLDER than the
+            // head, so restore newest-first once per batch — the cap must
+            // evict the OLDEST entries, and later batches rely on the
+            // invariant
+            entries = entries.sortBy(e => -e._3).take(cap)
             state.update(BandState(entries))
             // key expires once no new doc lands in this bucket for a full
-            // horizon past the newest entry
-            state.setTimeoutTimestamp(maxTs + horizon)
+            // horizon past the NEWEST surviving entry (the batch max alone
+            // would move the timeout backwards on a late-only batch,
+            // expiring live entries early); wm guard keeps the timeout
+            // legally in the future even for late-edge batches
+            val newest = entries.headOption.map(_._3).getOrElse(wm)
+            state.setTimeoutTimestamp(math.max(newest, wm) + horizon)
             out.result().iterator
           }
       }

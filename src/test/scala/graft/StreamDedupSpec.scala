@@ -99,6 +99,47 @@ class StreamDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("simhashBanded: late-but-within-watermark arrival still pairs and does not expire newer state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val words = (0 until 80).map(i => s"tok$i")
+    val docA = words.mkString(" ")
+    val sigA = graft.ops.Dedup.simhashOf(words)
+    val variant = (0 until 400).iterator.map { j =>
+      val cand = words.updated(j % 80, s"alt${j}")
+      val d = java.lang.Long.bitCount(graft.ops.Dedup.simhashOf(cand) ^ sigA)
+      (cand.mkString(" "), d)
+    }.find { case (_, d) => d >= 1 && d <= 3 }.get
+    val (docAVar, dist) = variant
+
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val pairs = StreamDedup.simhashBanded(
+      stream.toDS().toDF("doc_id", "ts", "text"),
+      "ts", "doc_id", "text", maxDist = 3, watermark = "10 minutes")
+    val query = pairs.writeStream.format("memory").queryName("banded_late_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 1 at t=300s
+      stream.addData((1L, ts(300000), docA))
+      query.processAllAvailable()
+      // batch 2: LATE duplicate at t=120s — older than doc 1 but within the
+      // 10-minute horizon (watermark is still below it). Before the r7 fix
+      // this batch (a) moved the key timeout back to 120s+horizon, and
+      // (b) prepended the older entry at the head of the state list.
+      stream.addData((2L, ts(120000), docAVar))
+      query.processAllAvailable()
+      // batch 3: another variant at t=310s must still pair with doc 1 —
+      // proving the late batch neither expired nor evicted the newer entry
+      stream.addData((3L, ts(310000), docA))
+      query.processAllAvailable()
+      val out = spark.table("banded_late_out")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(out.contains((1L, 2L)), s"late arrival should pair with doc 1; got $out")
+      assert(out.contains((1L, 3L)), s"doc 1 must survive the late batch and pair with doc 3; got $out")
+      assert(out.contains((2L, 3L)), s"doc 2 within horizon of doc 3; got $out")
+    } finally query.stop()
+  }
+
   test("batch frames dedup with plain dropDuplicates semantics") {
     import spark.implicits._
     val df = Seq(
