@@ -168,6 +168,56 @@ object SparkEntry {
        |SELECT vec_id, $finish AS dist FROM dp WHERE step = $L * $L""".stripMargin
   }
 
+  /** DuckDB oracle for the DTW alignment-path export: the same forward DP
+    * as [[dtwDistOracleSql]] (hard min — no transcendentals, so the cell
+    * values are bit-identical to the Scala DP), then a second RECURSIVE
+    * CTE backtracking from (L-1, L-1) with the Scala backtrack's exact
+    * tie order (diag, then up, then left). Emits one (vec_id, i, j) row
+    * per path point; row order is irrelevant to the sorted-hash compare.
+    */
+  private def dtwPathOracleSql(): String = {
+    val L = 16
+    val diag = s"""CASE WHEN step // $L > 0 AND step % $L > 0 THEN cells[(step // $L - 1) * $L + (step % $L)]
+                  |         WHEN step // $L = 0 AND step % $L = 0 THEN 0.0
+                  |         ELSE CAST('Infinity' AS DOUBLE) END""".stripMargin
+    val up = s"""CASE WHEN step // $L > 0 THEN cells[(step // $L - 1) * $L + (step % $L) + 1]
+                |         ELSE CAST('Infinity' AS DOUBLE) END""".stripMargin
+    val left = s"""CASE WHEN step % $L > 0 THEN cells[(step // $L) * $L + (step % $L)]
+                  |         ELSE CAST('Infinity' AS DOUBLE) END""".stripMargin
+    s"""WITH RECURSIVE
+       |p AS MATERIALIZED (SELECT vec_id, (embedding::DOUBLE[])[1:$L] AS pv
+       |  FROM embeddings WHERE vec_id < 50),
+       |x0 AS MATERIALIZED (SELECT pv AS xv FROM p WHERE vec_id = 0),
+       |dp AS (
+       |  SELECT p.vec_id, p.pv AS yv, x0.xv AS xv, 0 AS step, CAST([] AS DOUBLE[]) AS cells
+       |  FROM p, x0
+       |  UNION ALL
+       |  SELECT vec_id, yv, xv, step + 1,
+       |    list_append(cells,
+       |      (xv[(step // $L) + 1] - yv[(step % $L) + 1])^2 + least(
+       |$diag,
+       |$up,
+       |$left))
+       |  FROM dp WHERE step < $L * $L),
+       |m AS MATERIALIZED (SELECT vec_id, cells FROM dp WHERE step = $L * $L),
+       |bt AS (
+       |  SELECT vec_id, cells, ${L - 1} AS r, ${L - 1} AS c FROM m
+       |  UNION ALL
+       |  SELECT vec_id, cells,
+       |    CASE WHEN dg <= u AND dg <= lf THEN r - 1 WHEN u <= lf THEN r - 1 ELSE r END,
+       |    CASE WHEN dg <= u AND dg <= lf THEN c - 1 WHEN u <= lf THEN c ELSE c - 1 END
+       |  FROM (SELECT vec_id, cells, r, c,
+       |      CASE WHEN r > 0 AND c > 0 THEN cells[(r - 1) * $L + c]
+       |           WHEN r = 0 AND c = 0 THEN 0.0
+       |           ELSE CAST('Infinity' AS DOUBLE) END AS dg,
+       |      CASE WHEN r > 0 THEN cells[(r - 1) * $L + c + 1]
+       |           ELSE CAST('Infinity' AS DOUBLE) END AS u,
+       |      CASE WHEN c > 0 THEN cells[r * $L + c]
+       |           ELSE CAST('Infinity' AS DOUBLE) END AS lf
+       |    FROM bt) WHERE r > 0 OR c > 0)
+       |SELECT vec_id, CAST(r AS BIGINT) AS i, CAST(c AS BIGINT) AS j FROM bt""".stripMargin
+  }
+
   /** DuckDB unroll of the GAK log-space DP: for each row both k(x0,y) and
     * k(y,y) run as recursive-CTE DPs (kind 'xy' / 'yy') with the
     * stabilized log-sum-exp combiner; k(x0,x0) is row 0's 'yy'. Distance
@@ -859,6 +909,19 @@ object SparkEntry {
     // recurrence is the same IEEE expression in both engines, so the
     // distances match to the last bit before the 6-dp rounding.
     "q_dtw_dist" -> ((s, dir) => dtwDistQuery(s, dir, soft = false)),
+    // DTW alignment-path export: the optimal warping path (i over x0,
+    // j over y) for each of the first 50 embeddings' 16-dim prefix —
+    // the path the oracle re-derives by backtracking its own DP matrix
+    "q_dtw_path" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings").where(col("vec_id") < 50).orderBy(col("vec_id"))
+        .select(col("vec_id"), slice(col("embedding").cast("array<double>"), 1, 16).as("f"))
+      val x0 = e.where(col("vec_id") === 0).head().getSeq[Double](1).toArray
+      val kern = graft.kernels.DTWKernel(None)
+      val pUdf = udf { (ys: Seq[Double]) => kern.alignmentPath(x0, ys.toArray) }
+      e.select(col("vec_id"), explode(pUdf(col("f"))).as("p"))
+        .select(col("vec_id"), col("p._1").cast("long").as("i"), col("p._2").cast("long").as("j"))
+    },
     // Soft-DTW (gamma=0.5): same unroll with the stabilized soft-min
     // (m - g*ln(sum exp(-(v-m)/g))) in place of least(); negative values
     // are legal (soft-DTW is a divergence, not a metric).
@@ -2274,6 +2337,7 @@ object SparkEntry {
     "q_agglomerative_fit" -> agglomerativeFitOracleSql(12, 4),
     "q_kmedoids_fit" -> pamFitOracleSql(60, 4, 3),
     "q_dtw_dist" -> dtwDistOracleSql(soft = false, gamma = 0.0),
+    "q_dtw_path" -> dtwPathOracleSql(),
     "q_softdtw_dist" -> dtwDistOracleSql(soft = true, gamma = 0.5),
     "q_gak_dist" -> gakDistOracleSql(sigma = 1.0),
     "q_decontaminate" ->

@@ -14,6 +14,42 @@ sealed trait SequenceKernel extends Serializable {
 
   /** Optimal (or canonical) alignment path as (i, j) pairs. */
   def alignmentPath(x: Array[Double], y: Array[Double]): Seq[(Int, Int)]
+
+  /** Elastic (weighted) mean of a set of series — DBA (Petitjean et al.
+    * 2011) by default: each iteration aligns every series to the current
+    * barycenter via [[alignmentPath]] and weight-averages the values
+    * mapped to each barycenter index. SoftDTW overrides this with its
+    * differentiable gradient barycenter. `weights=None` = uniform.
+    * (reference: df/kernels/SequenceKernel.scala:63-68 trait barycenter.)
+    */
+  def barycenter(
+      series: Seq[Array[Double]],
+      init: Array[Double],
+      maxIter: Int = 10,
+      weights: Option[Array[Double]] = None): Array[Double] = {
+    require(weights.forall(_.length == series.length),
+      "weights must match the number of series")
+    val ws = weights.getOrElse(Array.fill(series.length)(1.0))
+    var center = init.clone
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = new Array[Double](center.length)
+      val mass = new Array[Double](center.length)
+      series.iterator.zip(ws.iterator).foreach { case (s, w) =>
+        if (w != 0.0) alignmentPath(center, s).foreach { case (ci, si) =>
+          sums(ci) += w * s(si)
+          mass(ci) += w
+        }
+      }
+      val next = center.indices.map(i =>
+        if (mass(i) > 0) sums(i) / mass(i) else center(i)).toArray
+      val moved = center.zip(next).map { case (a, b) => math.abs(a - b) }.max
+      center = next
+      iter += 1
+      if (moved < 1e-9) iter = maxIter
+    }
+    center
+  }
 }
 
 /** Classic DTW with squared pointwise cost and optional Sakoe-Chiba band.
@@ -65,34 +101,6 @@ case class DTWKernel(window: Option[Int] = None) extends SequenceKernel {
     path.reverse.toSeq
   }
 
-  /** DBA (DTW Barycenter Averaging): the elastic mean of a set of series.
-    * Each iteration aligns every series to the current barycenter and
-    * averages the values mapped to each barycenter index.
-    */
-  def barycenter(
-      series: Seq[Array[Double]],
-      init: Array[Double],
-      maxIter: Int = 10): Array[Double] = {
-    var center = init.clone
-    var iter = 0
-    while (iter < maxIter) {
-      val sums = new Array[Double](center.length)
-      val counts = new Array[Int](center.length)
-      series.foreach { s =>
-        alignmentPath(center, s).foreach { case (ci, si) =>
-          sums(ci) += s(si)
-          counts(ci) += 1
-        }
-      }
-      val next = center.indices.map(i =>
-        if (counts(i) > 0) sums(i) / counts(i) else center(i)).toArray
-      val moved = center.zip(next).map { case (a, b) => math.abs(a - b) }.max
-      center = next
-      iter += 1
-      if (moved < 1e-9) iter = maxIter
-    }
-    center
-  }
 }
 
 /** Derivative DTW: DTW over first differences (shape, not level). */
@@ -160,6 +168,103 @@ case class SoftDTWKernel(gamma: Double = 1.0, window: Option[Int] = None)
   /** Canonical path from the hard-min backtrack (soft paths are diffuse). */
   def alignmentPath(x: Array[Double], y: Array[Double]): Seq[(Int, Int)] =
     DTWKernel(window).alignmentPath(x, y)
+
+  /** Gradient of softDTW(x, y) w.r.t. x, via the backward pass of
+    * Cuturi & Blondel 2017 (Algorithm 2): forward R matrix, then the
+    * alignment-expectation matrix E, then
+    * d/dx_i = sum_j E(i,j) * 2 (x_i - y_j)  (squared pointwise cost).
+    * Unwindowed — the gradient flows over every cell.
+    */
+  def gradient(x: Array[Double], y: Array[Double]): Array[Double] = {
+    val n = x.length
+    val m = y.length
+    val inf = Double.PositiveInfinity
+    // forward: R is (n+2)x(m+2) with the standard padding so the backward
+    // recursion can read row n+1 / col m+1 without bounds checks
+    val R = Array.fill(n + 2, m + 2)(inf)
+    R(0)(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= m) {
+        val t = x(i - 1) - y(j - 1)
+        R(i)(j) = t * t + softMin(R(i - 1)(j - 1), R(i - 1)(j), R(i)(j - 1))
+        j += 1
+      }
+      i += 1
+    }
+    @inline def delta(i: Int, j: Int): Double =
+      if (i >= 1 && i <= n && j >= 1 && j <= m) {
+        val t = x(i - 1) - y(j - 1); t * t
+      } else 0.0
+    val E = Array.fill(n + 2, m + 2)(0.0)
+    E(n + 1)(m + 1) = 1.0
+    R(n + 1)(m + 1) = R(n)(m)
+    // treat the padding row/col as unreachable except the terminal cell
+    i = n
+    while (i >= 1) {
+      var j = m
+      while (j >= 1) {
+        @inline def w(pi: Int, pj: Int): Double =
+          if (R(pi)(pj).isInfinity || R(i)(j).isInfinity) 0.0
+          else math.exp((R(pi)(pj) - R(i)(j) - delta(pi, pj)) / gamma) * E(pi)(pj)
+        E(i)(j) = w(i + 1, j) + w(i, j + 1) + w(i + 1, j + 1)
+        j -= 1
+      }
+      i -= 1
+    }
+    val g = new Array[Double](n)
+    i = 1
+    while (i <= n) {
+      var j = 1
+      var s = 0.0
+      while (j <= m) { s += E(i)(j) * 2.0 * (x(i - 1) - y(j - 1)); j += 1 }
+      g(i - 1) = s
+      i += 1
+    }
+    g
+  }
+
+  /** Soft-DTW barycenter: gradient descent on
+    * F(c) = sum_i w_i softDTW(c, x_i) from a (weighted) DBA start —
+    * the differentiable counterpart the hard-DTW DBA cannot express
+    * (reference: df/kernels/SequenceKernel.scala:323-330 softDBA).
+    * Step size 1/sum(w) per iteration; halves on non-improvement.
+    */
+  override def barycenter(
+      series: Seq[Array[Double]],
+      init: Array[Double],
+      maxIter: Int = 10,
+      weights: Option[Array[Double]] = None): Array[Double] = {
+    require(weights.forall(_.length == series.length),
+      "weights must match the number of series")
+    val ws = weights.getOrElse(Array.fill(series.length)(1.0))
+    val wSum = ws.sum
+    if (series.isEmpty || wSum <= 0.0) return init.clone
+    // warm start from hard-DBA (the trait default on a plain DTW kernel)
+    var c = DTWKernel(window).barycenter(series, init, math.max(1, maxIter / 2), weights)
+    def objective(center: Array[Double]): Double =
+      series.iterator.zip(ws.iterator).map { case (s, w) => w * distance(center, s) }.sum
+    var best = objective(c)
+    var lr = 1.0 / wSum
+    var iter = 0
+    while (iter < maxIter) {
+      val g = new Array[Double](c.length)
+      series.iterator.zip(ws.iterator).foreach { case (s, w) =>
+        if (w != 0.0) {
+          val gi = gradient(c, s)
+          var i = 0
+          while (i < g.length) { g(i) += w * gi(i); i += 1 }
+        }
+      }
+      val cand = Array.tabulate(c.length)(i => c(i) - lr * g(i))
+      val f = objective(cand)
+      if (f < best - 1e-12) { c = cand; best = f }
+      else lr *= 0.5 // backtracking: keep the iterate, shrink the step
+      iter += 1
+    }
+    c
+  }
 }
 
 /** Global Alignment Kernel (Cuturi 2011): positive-definite sum over ALL

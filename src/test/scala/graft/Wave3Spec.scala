@@ -173,6 +173,53 @@ class Wave3Spec extends SparkSpec {
     assert(bar.max > 1.5, s"barycenter smeared: ${bar.toSeq}")
   }
 
+  test("weighted DBA: zero-weight series is ignored; uniform matches unweighted") {
+    val series = Seq(
+      Array(0.0, 2.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 2.0, 0.0, 0.0),
+      Array(9.0, 9.0, 9.0, 9.0, 9.0)) // outlier, weight 0
+    val k = DTWKernel()
+    val w = k.barycenter(series, series(0), maxIter = 10,
+      weights = Some(Array(1.0, 1.0, 0.0)))
+    val noOutlier = k.barycenter(series.take(2), series(0), maxIter = 10)
+    assert(w.toSeq == noOutlier.toSeq, "zero weight must equal dropping the series")
+    assert(w.max < 5.0, s"outlier leaked into barycenter: ${w.toSeq}")
+    val uniform = k.barycenter(series.take(2), series(0), maxIter = 10,
+      weights = Some(Array(1.0, 1.0)))
+    assert(uniform.toSeq == noOutlier.toSeq)
+  }
+
+  test("SoftDTW gradient matches finite differences") {
+    val x = Array(0.3, 1.2, -0.5, 0.8)
+    val y = Array(0.1, 0.9, 0.4, -0.2, 0.5)
+    val k = SoftDTWKernel(gamma = 0.5)
+    val g = k.gradient(x, y)
+    val eps = 1e-6
+    x.indices.foreach { i =>
+      val xp = x.clone; xp(i) += eps
+      val xm = x.clone; xm(i) -= eps
+      val fd = (k.distance(xp, y) - k.distance(xm, y)) / (2 * eps)
+      assert(math.abs(g(i) - fd) < 1e-4,
+        s"grad($i)=${g(i)} vs finite-diff $fd")
+    }
+  }
+
+  test("SoftDTW barycenter improves the soft objective over its DBA start") {
+    val series = Seq(
+      Array(0.0, 2.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 2.0, 0.0, 0.0, 0.0),
+      Array(0.0, 0.0, 0.0, 2.0, 0.0, 0.0))
+    val k = SoftDTWKernel(gamma = 0.1)
+    def obj(c: Array[Double]) = series.map(s => k.distance(c, s)).sum
+    val dbaStart = DTWKernel().barycenter(series, series(1), maxIter = 10)
+    val soft = k.barycenter(series, series(1), maxIter = 20)
+    assert(obj(soft) <= obj(dbaStart) + 1e-9,
+      s"soft ${obj(soft)} should not exceed DBA ${obj(dbaStart)}")
+    // barycenter of identical copies stays (numerically) on the series
+    val same = k.barycenter(Seq(series(0), series(0)), series(0), maxIter = 5)
+    assert(same.zip(series(0)).map { case (a, b) => math.abs(a - b) }.max < 1e-6)
+  }
+
   test("TimeSeriesKMeans clusters shifted-peak families that euclidean k-means mixes") {
     import spark.implicits._
     val rnd = new java.util.Random(3)
