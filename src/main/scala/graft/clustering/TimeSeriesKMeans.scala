@@ -43,7 +43,19 @@ class TimeSeriesKMeans(override val uid: String)
     "DBA refinement iterations per k-means iteration", ParamValidators.gt(0))
   def setDbaIter(v: Int): this.type = set(dbaIter, v)
 
-  setDefault(tsDistance -> "dtw", sakoeChibaWindow -> 0, gamma -> 1.0, dbaIter -> 5)
+  /** Centroid update rule: "dba" (hard-DTW barycenter averaging, default)
+    * or "softdtw" (one soft-DBA fixed-point update per k-means iteration:
+    * c_i = sum_j E(i,j) x_j / sum_j E(i,j) over the soft-alignment
+    * expectation matrix — for use with tsDistance=softdtw). Both run as
+    * the SAME distributed shape: per-row executor work + one
+    * groupBy(cluster) aggregation carrying k x L doubles.
+    */
+  final val centroidMode = new Param[String](this, "centroidMode",
+    "dba|softdtw", ParamValidators.inArray(Array("dba", "softdtw")))
+  def setCentroidMode(v: String): this.type = set(centroidMode, v)
+
+  setDefault(tsDistance -> "dtw", sakoeChibaWindow -> 0, gamma -> 1.0, dbaIter -> 5,
+    centroidMode -> "dba")
 
   def setK(v: Int): this.type = set(k, v)
   def setMaxIter(v: Int): this.type = set(maxIter, v)
@@ -91,20 +103,31 @@ class TimeSeriesKMeans(override val uid: String)
       val assigned = data.withColumn("__b", asgUdf(col(arrCol)))
         .select(col(arrCol), col("__b._1").as("cluster"), col("__b._2").as("dist"))
 
-      // one DBA alignment round, distributed: each row aligns to its
-      // cluster's CURRENT barycenter and emits per-index (sum, count)
-      // vectors; one groupBy(cluster) agg merges them
+      // one centroid-update round, distributed: each row emits per-index
+      // (sum, count) vectors — DBA alignment sums, or the soft-DTW
+      // gradient with count=1 — and one groupBy(cluster) agg merges them
+      val softMode = $(centroidMode) == "softdtw"
+      val softKern = graft.kernels.SoftDTWKernel($(gamma),
+        if ($(sakoeChibaWindow) > 0) Some($(sakoeChibaWindow)) else None)
       val bcD = sc.broadcast(dtwForDba)
+      val bcS = sc.broadcast(softKern)
       val alignUdf = udf { (xs: Seq[Double], cluster: Int) =>
         val x = xs.toArray
         val center = bcC.value(cluster)
-        val sums = new Array[Double](center.length)
-        val counts = new Array[Double](center.length)
-        bcD.value.alignmentPath(center, x).foreach { case (ci, si) =>
-          sums(ci) += x(si)
-          counts(ci) += 1.0
+        if (softMode) {
+          // soft-DBA fixed point: per-index (sum E*x, sum E) — merged
+          // across the cluster, c' = sums/counts, the soft analog of the
+          // hard alignment sums below (same combine rule)
+          bcS.value.alignmentExpectation(center, x)
+        } else {
+          val sums = new Array[Double](center.length)
+          val counts = new Array[Double](center.length)
+          bcD.value.alignmentPath(center, x).foreach { case (ci, si) =>
+            sums(ci) += x(si)
+            counts(ci) += 1.0
+          }
+          (sums, counts)
         }
-        (sums, counts)
       }
       val agg = assigned
         .withColumn("__a", alignUdf(col(arrCol), col("cluster")))
@@ -126,6 +149,8 @@ class TimeSeriesKMeans(override val uid: String)
         val counts = r.getSeq[Double](2)
         distortion += r.getDouble(3)
         val c = centers(cid)
+        // same combine for both modes: DBA path sums or soft-expectation
+        // sums, normalized by their own mass
         updated(cid) = Array.tabulate(len)(i =>
           if (counts(i) > 0) sums(i) / counts(i) else c(i))
       }

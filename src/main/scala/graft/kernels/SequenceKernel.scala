@@ -178,6 +178,48 @@ case class SoftDTWKernel(gamma: Double = 1.0, window: Option[Int] = None)
   def gradient(x: Array[Double], y: Array[Double]): Array[Double] = {
     val n = x.length
     val m = y.length
+    val E = expectationMatrix(x, y)
+    val g = new Array[Double](n)
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      var s = 0.0
+      while (j <= m) { s += E(i)(j) * 2.0 * (x(i - 1) - y(j - 1)); j += 1 }
+      g(i - 1) = s
+      i += 1
+    }
+    g
+  }
+
+  /** Soft-alignment weighted sums: for each index i of `x`, returns
+    * (sum_j E(i,j) * y_j, sum_j E(i,j)) — the numerator/denominator of
+    * the soft-DBA fixed-point update c_i = sum E y / sum E, the exact
+    * soft analog of hard DBA's per-index path sums. Distributive over a
+    * set of series, so executors can emit per-row pairs and one
+    * aggregation merges them.
+    */
+  def alignmentExpectation(x: Array[Double], y: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = x.length
+    val m = y.length
+    val E = expectationMatrix(x, y)
+    val wsum = new Array[Double](n)
+    val mass = new Array[Double](n)
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= m) { wsum(i - 1) += E(i)(j) * y(j - 1); mass(i - 1) += E(i)(j); j += 1 }
+      i += 1
+    }
+    (wsum, mass)
+  }
+
+  /** Alignment-expectation matrix E (Cuturi & Blondel 2017, Algorithm 2):
+    * E(i,j) = expected mass the soft minimum puts on aligning x_i with
+    * y_j. 1-based over (1..n, 1..m) inside a padded (n+2)x(m+2) array.
+    */
+  private def expectationMatrix(x: Array[Double], y: Array[Double]): Array[Array[Double]] = {
+    val n = x.length
+    val m = y.length
     val inf = Double.PositiveInfinity
     // forward: R is (n+2)x(m+2) with the standard padding so the backward
     // recursion can read row n+1 / col m+1 without bounds checks
@@ -213,16 +255,7 @@ case class SoftDTWKernel(gamma: Double = 1.0, window: Option[Int] = None)
       }
       i -= 1
     }
-    val g = new Array[Double](n)
-    i = 1
-    while (i <= n) {
-      var j = 1
-      var s = 0.0
-      while (j <= m) { s += E(i)(j) * 2.0 * (x(i - 1) - y(j - 1)); j += 1 }
-      g(i - 1) = s
-      i += 1
-    }
-    g
+    E
   }
 
   /** Soft-DTW barycenter: gradient descent on

@@ -244,6 +244,30 @@ class Wave3Spec extends SparkSpec {
     assert(m.summary.algorithm == "TimeSeriesKMeans")
   }
 
+  test("TimeSeriesKMeans soft-DTW centroid mode clusters shifted peaks") {
+    import spark.implicits._
+    val rnd = new java.util.Random(11)
+    def peak(at: Int): Seq[Double] =
+      (0 until 12).map(i => (if (i == at) 2.0 else 0.0) + rnd.nextGaussian() * 0.05)
+    def plateau(at: Int): Seq[Double] =
+      (0 until 12).map(i => (if (i >= at && i < at + 6) 1.0 else 0.0) + rnd.nextGaussian() * 0.05)
+    val a = (1 to 25).map(_ => peak(3 + rnd.nextInt(4)))
+    val b = (1 to 25).map(_ => plateau(1 + rnd.nextInt(4)))
+    val df = (a ++ b).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "features")
+    val m = new TimeSeriesKMeans().setK(2).setSeed(5).setMaxIter(8)
+      .setTsDistance("softdtw").setGamma(0.1).setCentroidMode("softdtw").fit(df)
+    val pred = m.transform(df).select("id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val fa = pred.filter(_._1 < 25).map(_._2)
+    val fb = pred.filter(_._1 >= 25).map(_._2)
+    val famA = fa.groupBy(identity).maxBy(_._2.length)._1
+    val famB = fb.groupBy(identity).maxBy(_._2.length)._1
+    val purity = (fa.count(_ == famA) + fb.count(_ == famB)).toDouble / 50
+    assert(famA != famB && purity >= 0.85, s"purity $purity")
+    val h = m.summary.distortionHistory
+    assert(h.last <= h.head + 1e-9, s"distortion did not improve: $h")
+  }
+
   // ---- MutualInformation ----
 
   test("entropy/KL/JS/MI match hand-computed values") {
