@@ -909,6 +909,40 @@ object SparkEntry {
     // recurrence is the same IEEE expression in both engines, so the
     // distances match to the last bit before the 6-dp rounding.
     "q_dtw_dist" -> ((s, dir) => dtwDistQuery(s, dir, soft = false)),
+    // Product-quantization ADC math, oracle-checked end to end: a FIXED
+    // codebook (subvectors of the first 16 embeddings — no training, so
+    // DuckDB can rebuild it), every row encoded through the real
+    // PqCodebook.encode, scored against query vec 0 by the real ADC
+    // lookup-table path, top 50 by (score, id). All float ops happen in
+    // identical IEEE order on both sides, so ranks hash-match. The
+    // TRAINED codebook path is covered by RecallSpec (recall + roundtrip).
+    "q_pq_adc" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cbVecs = e.where(col("vec_id") < 16).orderBy(col("vec_id")).collect()
+        .map(_.getSeq[Double](1).toArray)
+      val cb = graft.ops.PqCodebook.fromVectors(cbVecs, m = 8)
+      val q0 = cbVecs(0)
+      val lut = cb.dotLut(q0)
+      val qn = math.sqrt(q0.map(x => x * x).sum)
+      val bc = s.sparkContext.broadcast((cb, lut))
+      val scoreUdf = udf { (xs: Seq[Double]) =>
+        val x = xs.toArray
+        val codes = bc.value._1.encode(x)
+        val norm = math.sqrt(x.map(v => v * v).sum)
+        val d = bc.value._1.adcDot(bc.value._2, codes)
+        if (norm > 0 && qn > 0) d / (qn * norm) else 0.0
+      }
+      // distributed partial top-k first (TakeOrderedAndProject), then the
+      // global-rank window runs over 50 rows, not the whole table
+      val top = e.withColumn("sim", scoreUdf(col("v")))
+        .orderBy(col("sim").desc, col("vec_id")).limit(50)
+      val w = Window.orderBy(col("sim").desc, col("vec_id"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("rank").cast("long").as("rank"), col("vec_id"),
+          (round(col("sim"), 6) + lit(0.0)).as("adc_cosine"))
+    },
     // DTW alignment-path export: the optimal warping path (i over x0,
     // j over y) for each of the first 50 embeddings' 16-dim prefix —
     // the path the oracle re-derives by backtracking its own DP matrix
@@ -2338,6 +2372,41 @@ object SparkEntry {
     "q_kmedoids_fit" -> pamFitOracleSql(60, 4, 3),
     "q_dtw_dist" -> dtwDistOracleSql(soft = false, gamma = 0.0),
     "q_dtw_path" -> dtwPathOracleSql(),
+    "q_pq_adc" ->
+      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS MATERIALIZED (SELECT vec_id AS code, v FROM p WHERE vec_id < 16),
+        |q0 AS MATERIALIZED (SELECT v AS qv,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS qn FROM p WHERE vec_id = 0),
+        |subs AS (SELECT unnest(range(0, 8)) AS s),
+        |dists AS MATERIALIZED (
+        |  SELECT p.vec_id, subs.s, cb.code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (p.v[subs.s * 8 + i] - cb.v[subs.s * 8 + i])^2)) AS dist
+        |  FROM p, subs, cb),
+        |enc AS MATERIALIZED (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |lut AS MATERIALIZED (
+        |  SELECT subs.s, cb.code,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> q0.qv[subs.s * 8 + i] * cb.v[subs.s * 8 + i])) AS lv
+        |  FROM subs, cb, q0),
+        |adc AS MATERIALIZED (
+        |  SELECT enc.vec_id, list_sum(list(lut.lv ORDER BY enc.s)) AS d
+        |  FROM enc JOIN lut ON lut.s = enc.s AND lut.code = enc.code
+        |  GROUP BY enc.vec_id),
+        |scored AS (
+        |  SELECT adc.vec_id,
+        |    CASE WHEN nrm.norm > 0 AND q0.qn > 0
+        |         THEN adc.d / (q0.qn * nrm.norm) ELSE 0.0 END AS sim
+        |  FROM adc
+        |  JOIN (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS norm
+        |        FROM p) nrm USING (vec_id), q0)
+        |SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank,
+        |  vec_id, round(sim, 6) + 0.0 AS adc_cosine
+        |FROM scored ORDER BY sim DESC, vec_id LIMIT 50""".stripMargin,
     "q_softdtw_dist" -> dtwDistOracleSql(soft = true, gamma = 0.5),
     "q_gak_dist" -> gakDistOracleSql(sigma = 1.0),
     "q_decontaminate" ->

@@ -1,0 +1,342 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.clustering.{GeneralizedKMeans, LocalLloyds}
+import graft.kernels.SquaredEuclideanKernel
+
+/** Product quantization for the ANN path.
+  *
+  * A 64-dim float corpus row costs 512 bytes as doubles; its PQ code is
+  * `m` small integers (m=8 -> 8 bytes at ksub<=256). At 100 TB of
+  * embeddings that is the difference between a corpus that fits in
+  * cluster memory and one that does not — IVF partition pruning bounds
+  * the rows a probe READS, PQ bounds the bytes each row COSTS.
+  *
+  * Codebooks: the vector splits into `m` contiguous subspaces; each
+  * subspace gets its own ksub-codeword k-means codebook (trained on a
+  * driver-local sample, like FAISS's PQ training — the codebook is
+  * k*dsub small, the corpus is what must stay distributed). Encoding
+  * maps each subvector to its nearest codeword id. Search uses ADC
+  * (asymmetric distance computation): per query, one lookup table of
+  * dot(query_sub, codeword) per (subspace, codeword); a row's
+  * approximate dot product is m table lookups, no float math on the
+  * corpus side.
+  *
+  * (reference has no ANN surface; LLM-pipeline brief. Design follows
+  * Jegou, Douze, Schmid 2011, "Product Quantization for Nearest
+  * Neighbor Search".)
+  */
+final case class PqCodebook(
+    codebooks: Array[Array[Array[Double]]], // [m][ksub][dsub]
+    dim: Int) extends Serializable {
+
+  def m: Int = codebooks.length
+  def ksub: Int = codebooks(0).length
+  def dsub: Int = dim / m
+
+  /** Nearest-codeword id per subspace. */
+  def encode(v: Array[Double]): Array[Short] = {
+    val out = new Array[Short](m)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < codebooks(s).length) {
+        val cw = codebooks(s)(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val t = v(off + i) - cw(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      out(s) = best.toShort
+      s += 1
+    }
+    out
+  }
+
+  /** ADC lookup table for one query: lut(s*ksub + c) = dot(q_sub_s, cw_c). */
+  def dotLut(q: Array[Double]): Array[Double] = {
+    val lut = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val off = s * dsub
+      var c = 0
+      while (c < codebooks(s).length) {
+        val cw = codebooks(s)(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { d += q(off + i) * cw(i); i += 1 }
+        lut(s * ksub + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** Approximate dot(query, decoded(codes)) from a precomputed table. */
+  def adcDot(lut: Array[Double], codes: Array[Short]): Double = {
+    var d = 0.0
+    var s = 0
+    while (s < m) { d += lut(s * ksub + codes(s)); s += 1 }
+    d
+  }
+
+  /** Decoded (reconstructed) vector — for diagnostics/tests. */
+  def decode(codes: Array[Short]): Array[Double] = {
+    val v = new Array[Double](dim)
+    var s = 0
+    while (s < m) {
+      System.arraycopy(codebooks(s)(codes(s)), 0, v, s * dsub, dsub)
+      s += 1
+    }
+    v
+  }
+}
+
+object PqCodebook {
+
+  /** Train per-subspace codebooks on a driver-local sample of the corpus
+    * (the codebook is m*ksub*dsub doubles — tiny; sampling to the driver
+    * is the standard PQ training shape, not a scale compromise).
+    */
+  def train(
+      corpus: DataFrame,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      sampleSize: Int = 10000,
+      maxIter: Int = 10,
+      seed: Long = 42L): PqCodebook = {
+    val first = corpus.select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
+    val dim = first.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val n = corpus.count()
+    val frac = math.min(1.0, sampleSize.toDouble * 2 / math.max(1L, n))
+    val sample = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .sample(withReplacement = false, frac, seed)
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    fromSample(sample, dim, m, ksub, maxIter, seed)
+  }
+
+  /** Train codebooks from an in-memory sample (one local k-means per
+    * subspace via the shared LocalLloyds routine).
+    */
+  def fromSample(
+      sample: Array[Array[Double]],
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      maxIter: Int = 10,
+      seed: Long = 42L): PqCodebook = {
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dsub = dim / m
+    val kern = new SquaredEuclideanKernel
+    val w = Array.fill(sample.length)(1.0)
+    val books = Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      LocalLloyds.run(sub, w, math.min(ksub, sub.length), kern,
+        maxIter, 1e-6, seed + s)
+    }
+    PqCodebook(books, dim)
+  }
+
+  /** Deterministic codebook from explicit vectors (subvector c of vector
+    * c is codeword c in every subspace) — no training, so the whole
+    * encode/ADC pipeline is SQL-replayable for the oracle harness.
+    */
+  def fromVectors(vectors: Array[Array[Double]], m: Int): PqCodebook = {
+    require(vectors.nonEmpty, "no codebook vectors")
+    val dim = vectors(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val books = Array.tabulate(m) { s =>
+      vectors.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+    }
+    PqCodebook(books, dim)
+  }
+}
+
+/** IVF + PQ index: coarse cells for partition-pruned probes (same design
+  * as [[IvfIndex]]) with PQ codes instead of raw vectors in the cells —
+  * `codes` plus the row's norm are all a probe reads.
+  */
+final class IvfPqIndex private[ops] (
+    val cells: DataFrame, // (corpus_id, cell, codes: array<short>, norm)
+    val centroids: Array[Array[Double]],
+    val codebook: PqCodebook) {
+
+  /** Approximate cosine top-k: probe nProbe cells, score by
+    * ADC dot / (|q| * stored corpus norm). The per-query LUT is built
+    * once on the driver (queries are the small side) and broadcast.
+    */
+  def search(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val kern = new SquaredEuclideanKernel
+    val qRows = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cb = codebook
+    val luts: Map[Long, (Array[Double], Double)] = qRows.map { case (id, q) =>
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      id -> (cb.dotLut(q), qn)
+    }.toMap
+    val bcLut = spark.sparkContext.broadcast(luts)
+    import spark.implicits._
+    val probes = qRows.flatMap { case (id, q) =>
+      bcCent.value.indices.map(i => (kern.divergence(q, bcCent.value(i)), i))
+        .sortBy(t => (t._1, t._2)).take(nProbe).map { case (_, cellId) => (id, cellId) }
+    }.toSeq.toDF("query_id", "cell")
+    val scoreUdf = udf { (qid: Long, codes: Seq[Short], norm: Double) =>
+      val (lut, qn) = bcLut.value(qid)
+      val d = cb.adcDot(lut, codes.toArray)
+      if (qn > 0 && norm > 0) d / (qn * norm) else 0.0
+    }
+    val joined = cells.join(broadcast(probes), Seq("cell"))
+      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+      .withColumn("sim", scoreUdf(col("query_id"), col("codes"), col("norm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("cosine"))
+  }
+
+  /** ADC candidates + exact rerank (the FAISS IVFPQ+refine shape): the
+    * coded cells produce `rerankK` candidates per query cheaply; only
+    * those candidate ids join back to the full-precision corpus for the
+    * exact cosine top-k. At scale the exact pass touches k' rows per
+    * query instead of the probed cells' full contents — PQ bounds the
+    * candidate scan's bytes, the rerank join bounds the float math.
+    * `corpus` must carry the same id/vector columns the index was built
+    * from (any frame with those columns works, e.g. the original table).
+    */
+  def searchRerank(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      corpus: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      rerankK: Int = 50,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    val cand = search(queries, idCol, vecCol, rerankK, nProbe, excludeSelf)
+      .select(col("query_id"), col("corpus_id"))
+    val cvs = corpus.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qvs = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val exact = cand
+      .join(cvs, Seq("corpus_id"))
+      .join(broadcast(qvs), Seq("query_id"))
+      .withColumn("sim", Similarity.cosineSim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("cosine"))
+  }
+
+  /** Persist: coded cells partitioned by cell (probe = partition-pruned
+    * scan of codes, not vectors), centroids + codebook as small parquet.
+    */
+  def write(path: String): Unit = {
+    cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val spark = cells.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.toDF("centroid", "cell")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cbRows = for {
+      s <- codebook.codebooks.indices
+      c <- codebook.codebooks(s).indices
+    } yield (s, c, codebook.codebooks(s)(c).toSeq)
+    cbRows.toDF("subspace", "code", "codeword")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def unpersist(): Unit = { cells.unpersist(); () }
+}
+
+object IvfPqIndex {
+
+  /** Build: train the coarse quantizer (shared with IvfIndex's design)
+    * and the PQ codebooks, then encode every row ONCE. The cached cells
+    * frame carries (id, cell, codes, norm) only — the raw vectors are
+    * released after encoding.
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      m: Int = 8,
+      ksub: Int = 256,
+      maxIter: Int = 5,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): IvfPqIndex = {
+    val c = corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = c.count()
+    val gk = new GeneralizedKMeans()
+      .setK(nCells).setFeaturesCol("cv").setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
+    gk.reuseCachedInput = true
+    gk.knownN = Some(n)
+    val cents = gk.fit(c).clusterCenters
+    val cb = PqCodebook.train(c, "cv", m, ksub, sampleSize, maxIter = 10, seed = seed)
+    val spark = c.sparkSession
+    val bcCent = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val kern = new SquaredEuclideanKernel
+    val encodeUdf = udf { (xs: Seq[Double]) =>
+      val x = xs.toArray
+      var best = 0; var bd = Double.MaxValue
+      var i = 0
+      while (i < bcCent.value.length) {
+        val d = kern.divergence(x, bcCent.value(i)); if (d < bd) { bd = d; best = i }; i += 1
+      }
+      val norm = math.sqrt(x.map(v => v * v).sum)
+      (best, bcCb.value.encode(x), norm)
+    }
+    val cells = c.withColumn("__e", encodeUdf(col("cv")))
+      .select(col("corpus_id"), col("__e._1").as("cell"),
+        col("__e._2").as("codes"), col("__e._3").as("norm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cells.count()
+    c.unpersist()
+    new IvfPqIndex(cells, cents, cb)
+  }
+
+  /** Reopen a written index; the cells scan stays partition-prunable. */
+  def load(spark: SparkSession, path: String): IvfPqIndex = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("corpus_id"), col("cell").cast("int").as("cell"),
+        col("codes"), col("norm"))
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](0).toArray)
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("subspace"), col("code")).collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(m) { s =>
+      cbRows.filter(_.getInt(0) == s).map(_.getSeq[Double](2).toArray)
+    }
+    new IvfPqIndex(cells, cents, PqCodebook(books, books(0)(0).length * m))
+  }
+}

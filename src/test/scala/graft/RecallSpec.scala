@@ -133,4 +133,82 @@ class RecallSpec extends SparkSpec {
     }
     idx.unpersist()
   }
+
+  test("PqCodebook: encode/decode reconstruction beats a random codeword; ADC dot matches decoded dot") {
+    val rnd = new java.util.Random(19)
+    val sample = Array.fill(400)(Array.fill(32)(rnd.nextGaussian()))
+    val cb = graft.ops.PqCodebook.fromSample(sample, dim = 32, m = 4, ksub = 16, seed = 5)
+    val v = sample(7)
+    val codes = cb.encode(v)
+    val dec = cb.decode(codes)
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // encoding picks the best codeword: any other code reconstructs worse
+    // (gaussian data is near-incompressible, so only strict dominance —
+    // not a large margin — is the invariant to check)
+    val wrong = cb.decode(codes.map(c => ((c + 7) % cb.ksub).toShort))
+    assert(sq(v, dec) < sq(v, wrong),
+      s"reconstruction ${sq(v, dec)} not better than wrong-code ${sq(v, wrong)}")
+    // ADC identity: lut-summed dot == dot(q, decode(codes)) exactly
+    val q = Array.fill(32)(rnd.nextGaussian())
+    val adc = cb.adcDot(cb.dotLut(q), codes)
+    val direct = q.zip(dec).map { case (a, b) => a * b }.sum
+    assert(math.abs(adc - direct) < 1e-9, s"ADC $adc vs direct $direct")
+  }
+
+  test("IvfPqIndex: recall@5 >= 0.8 on clusterable data; write/load roundtrip identical") {
+    import spark.implicits._
+    val rnd = new java.util.Random(13)
+    // jitter 1.2 (vs center norm ~20): within-blob cosines spread enough
+    // that PQ codes differ between blob members — the realistic regime;
+    // at near-zero jitter all blob rows share one code and no quantized
+    // score can order them (only rerankK > blob size would)
+    val blobCenters = Array.fill(10)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val pts = (0 until 1500).map { i =>
+      val c = blobCenters(i % 10)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 1.2).toSeq)
+    }
+    val e = pts.toDF("vec_id", "v")
+    val queries = e.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "v", k = 5)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = graft.ops.IvfPqIndex.build(e, "vec_id", "v",
+      nCells = 10, m = 8, ksub = 32, maxIter = 8, sampleSize = 1500, seed = 42)
+    // ADC-only contract: candidates come from the right NEIGHBORHOOD
+    // (PQ quantizes same-blob rows to near-identical codes, so it cannot
+    // order WITHIN a blob — that is what the rerank pass is for)
+    val adc = idx.search(queries, "vec_id", "v", k = 5, nProbe = 3)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val blobPrecision = adc.count { case (q, c) => c % 10 == q % 10 }.toDouble / adc.length
+    assert(blobPrecision >= 0.9, s"ADC same-blob precision = $blobPrecision < 0.9")
+    // rerank contract: exact top-k recovered from the candidate pool
+    val reranked = idx.searchRerank(queries, "vec_id", "v", e, k = 5,
+        nProbe = 3, rerankK = 100)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = reranked.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ rerank recall@5 = $recall < 0.9")
+
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    try {
+      idx.write(dir)
+      val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("cell="))
+      assert(cellDirs.nonEmpty, "cells layout must be partitioned by cell")
+      val reopened = graft.ops.IvfPqIndex.load(spark, dir)
+      assert(reopened.codebook.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+        idx.codebook.codebooks.map(_.map(_.toSeq).toSeq).toSeq, "codebook roundtrip")
+      val viaDisk = reopened.search(queries, "vec_id", "v", k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val viaMem = idx.search(queries, "vec_id", "v", k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(viaDisk == viaMem, "disk-loaded PQ search diverged")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+    idx.unpersist()
+  }
 }
