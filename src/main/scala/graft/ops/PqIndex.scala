@@ -200,16 +200,23 @@ final class IvfPqIndex private[ops] (
     }.toMap
     val bcLut = spark.sparkContext.broadcast(luts)
     import spark.implicits._
-    val probes = qRows.flatMap { case (id, q) =>
+    val probePairs = qRows.flatMap { case (id, q) =>
       bcCent.value.indices.map(i => (kern.divergence(q, bcCent.value(i)), i))
         .sortBy(t => (t._1, t._2)).take(nProbe).map { case (_, cellId) => (id, cellId) }
-    }.toSeq.toDF("query_id", "cell")
+    }.toSeq
+    val probes = probePairs.toDF("query_id", "cell")
     val scoreUdf = udf { (qid: Long, codes: Seq[Short], norm: Double) =>
       val (lut, qn) = bcLut.value(qid)
       val d = cb.adcDot(lut, codes.toArray)
       if (qn > 0 && norm > 0) d / (qn * norm) else 0.0
     }
-    val joined = cells.join(broadcast(probes), Seq("cell"))
+    // probe cells are driver-known (the query side was collected to build
+    // the LUTs), so push a STATIC cell IN (...) filter into the scan —
+    // guaranteed partition pruning on the on-disk layout, independent of
+    // whether DPP fires for a LocalRelation-built broadcast side
+    val probedCells = probePairs.map(_._2).distinct
+    val joined = cells.where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), Seq("cell"))
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
       .withColumn("sim", scoreUdf(col("query_id"), col("codes"), col("norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
