@@ -84,6 +84,14 @@ class TimeSeriesKMeans(override val uid: String)
     var iter = 0
     var converged = false
     val distHist = Seq.newBuilder[Double]
+    // loop-invariant: the update kernel for the selected centroid mode is
+    // broadcast once for the whole fit, not once per iteration
+    val softMode = $(centroidMode) == "softdtw"
+    val bcUpd: org.apache.spark.broadcast.Broadcast[SequenceKernel] =
+      if (softMode)
+        sc.broadcast(graft.kernels.SoftDTWKernel($(gamma),
+          if ($(sakoeChibaWindow) > 0) Some($(sakoeChibaWindow)) else None))
+      else sc.broadcast(dtwForDba)
 
     while (iter < $(maxIter) && !converged) {
       val bcC = sc.broadcast(centers)
@@ -104,29 +112,24 @@ class TimeSeriesKMeans(override val uid: String)
         .select(col(arrCol), col("__b._1").as("cluster"), col("__b._2").as("dist"))
 
       // one centroid-update round, distributed: each row emits per-index
-      // (sum, count) vectors — DBA alignment sums, or the soft-DTW
-      // gradient with count=1 — and one groupBy(cluster) agg merges them
-      val softMode = $(centroidMode) == "softdtw"
-      val softKern = graft.kernels.SoftDTWKernel($(gamma),
-        if ($(sakoeChibaWindow) > 0) Some($(sakoeChibaWindow)) else None)
-      val bcD = sc.broadcast(dtwForDba)
-      val bcS = sc.broadcast(softKern)
+      // (sum, count) vectors — DBA alignment sums, or the soft-DBA
+      // expectation sums — and one groupBy(cluster) agg merges them
       val alignUdf = udf { (xs: Seq[Double], cluster: Int) =>
         val x = xs.toArray
         val center = bcC.value(cluster)
-        if (softMode) {
+        bcUpd.value match {
           // soft-DBA fixed point: per-index (sum E*x, sum E) — merged
           // across the cluster, c' = sums/counts, the soft analog of the
           // hard alignment sums below (same combine rule)
-          bcS.value.alignmentExpectation(center, x)
-        } else {
-          val sums = new Array[Double](center.length)
-          val counts = new Array[Double](center.length)
-          bcD.value.alignmentPath(center, x).foreach { case (ci, si) =>
-            sums(ci) += x(si)
-            counts(ci) += 1.0
-          }
-          (sums, counts)
+          case sk: graft.kernels.SoftDTWKernel => sk.alignmentExpectation(center, x)
+          case hk =>
+            val sums = new Array[Double](center.length)
+            val counts = new Array[Double](center.length)
+            hk.alignmentPath(center, x).foreach { case (ci, si) =>
+              sums(ci) += x(si)
+              counts(ci) += 1.0
+            }
+            (sums, counts)
         }
       }
       val agg = assigned

@@ -173,7 +173,7 @@ case class SoftDTWKernel(gamma: Double = 1.0, window: Option[Int] = None)
     * Cuturi & Blondel 2017 (Algorithm 2): forward R matrix, then the
     * alignment-expectation matrix E, then
     * d/dx_i = sum_j E(i,j) * 2 (x_i - y_j)  (squared pointwise cost).
-    * Unwindowed — the gradient flows over every cell.
+    * Honors the Sakoe-Chiba window, matching [[distance]]'s objective.
     */
   def gradient(x: Array[Double], y: Array[Double]): Array[Double] = {
     val n = x.length
@@ -229,8 +229,13 @@ case class SoftDTWKernel(gamma: Double = 1.0, window: Option[Int] = None)
     while (i <= n) {
       var j = 1
       while (j <= m) {
-        val t = x(i - 1) - y(j - 1)
-        R(i)(j) = t * t + softMin(R(i - 1)(j - 1), R(i - 1)(j), R(i)(j - 1))
+        // same band as distance(): out-of-window cells stay +inf, so the
+        // backward weights vanish there and the gradient matches the
+        // windowed objective exactly
+        if (inWindow(i - 1, j - 1)) {
+          val t = x(i - 1) - y(j - 1)
+          R(i)(j) = t * t + softMin(R(i - 1)(j - 1), R(i - 1)(j), R(i)(j - 1))
+        }
         j += 1
       }
       i += 1

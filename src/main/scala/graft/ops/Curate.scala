@@ -120,15 +120,18 @@ object Curate {
       n: Int = 8,
       minHits: Int = 1): DataFrame = {
     // the static side of a stream-static join is re-evaluated every
-    // micro-batch: persist + materialize the distinct shingle set ONCE so
-    // each trigger re-broadcasts from cache instead of re-shingling the
-    // eval corpus. OWNERSHIP: released when the stream's session clears
-    // its cache (same caller-owns-release contract as minhashDedup).
-    val evalShingles = evalDocs
+    // micro-batch: materialize the distinct shingle set ONCE, to the
+    // driver (it must fit there anyway — the join broadcasts it), and
+    // re-enter it as a local relation. No session cache entry is left
+    // behind, so nothing leaks across eval-set rotations in a
+    // long-running service.
+    val spark = train.sparkSession
+    import spark.implicits._
+    val shingleSet = evalDocs
       .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("sh"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    evalShingles.count()
+      .as[String].collect().toSeq
+    val evalShingles = shingleSet.toDF("sh")
     train
       .select(col(trainIdCol).cast("long").as("doc_id"),
         explode(TextOps.wordShingles(col(trainTextCol), n)).as("sh"))

@@ -33,6 +33,9 @@ import graft.kernels.SquaredEuclideanKernel
 final case class PqCodebook(
     codebooks: Array[Array[Array[Double]]], // [m][ksub][dsub]
     dim: Int) extends Serializable {
+  require(codebooks.forall(_.length == codebooks(0).length),
+    "ragged codebooks: every subspace must carry the same codeword count " +
+      "(the ADC lookup table is strided by it)")
 
   def m: Int = codebooks.length
   def ksub: Int = codebooks(0).length
@@ -114,11 +117,15 @@ object PqCodebook {
       ksub: Int,
       sampleSize: Int = 10000,
       maxIter: Int = 10,
-      seed: Long = 42L): PqCodebook = {
-    val first = corpus.select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
-    val dim = first.length
+      seed: Long = 42L,
+      knownN: Option[Long] = None,
+      knownDim: Option[Int] = None): PqCodebook = {
+    // knownN/knownDim let a caller that already scanned the frame (e.g.
+    // IvfPqIndex.build counts it for the coarse quantizer) skip two jobs
+    val dim = knownDim.getOrElse(
+      corpus.select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).length)
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val n = corpus.count()
+    val n = knownN.getOrElse(corpus.count())
     val frac = math.min(1.0, sampleSize.toDouble * 2 / math.max(1L, n))
     val sample = corpus.select(col(vecCol).cast("array<double>").as("v"))
       .sample(withReplacement = false, frac, seed)
@@ -142,10 +149,17 @@ object PqCodebook {
     val dsub = dim / m
     val kern = new SquaredEuclideanKernel
     val w = Array.fill(sample.length)(1.0)
+    val kTarget = math.min(ksub, sample.length)
     val books = Array.tabulate(m) { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      LocalLloyds.run(sub, w, math.min(ksub, sub.length), kern,
-        maxIter, 1e-6, seed + s)
+      val trained = LocalLloyds.run(sub, w, kTarget, kern, maxIter, 1e-6, seed + s)
+      // LocalLloyds drops emptied clusters; pad back to a UNIFORM kTarget
+      // with copies of codeword 0 so the ADC stride stays rectangular.
+      // Padded duplicates sit at higher code ids, so the encode argmin's
+      // first-wins tie-break can never select them — dead code space,
+      // never wrong scores.
+      if (trained.length == kTarget) trained
+      else trained ++ Array.fill(kTarget - trained.length)(trained(0).clone)
     }
     PqCodebook(books, dim)
   }
@@ -307,7 +321,8 @@ object IvfPqIndex {
     gk.reuseCachedInput = true
     gk.knownN = Some(n)
     val cents = gk.fit(c).clusterCenters
-    val cb = PqCodebook.train(c, "cv", m, ksub, sampleSize, maxIter = 10, seed = seed)
+    val cb = PqCodebook.train(c, "cv", m, ksub, sampleSize, maxIter = 10, seed = seed,
+      knownN = Some(n), knownDim = Some(cents(0).length))
     val spark = c.sparkSession
     val bcCent = spark.sparkContext.broadcast(cents)
     val bcCb = spark.sparkContext.broadcast(cb)

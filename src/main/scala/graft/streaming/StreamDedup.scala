@@ -151,14 +151,17 @@ object StreamDedup {
                 if (eid != r.id && java.lang.Long.bitCount(s ^ r.sig) <= md)
                   out += ((eid, r.id, java.lang.Long.bitCount(s ^ r.sig), r.ts))
               }
-              // per-row cap bounds work/memory mid-batch; ordering is
-              // restored below before the state write
-              entries = ((r.sig, r.id, tsMs) :: entries).take(cap)
+              // mid-batch the list may grow past cap; trim lazily (at
+              // 2*cap) BY EVENT TIME so a late arrival can never evict a
+              // newer entry while itself surviving — a plain take(cap)
+              // drops the list tail, which after a late prepend is not
+              // the oldest element
+              entries = (r.sig, r.id, tsMs) :: entries
+              if (entries.lengthCompare(cap * 2) > 0)
+                entries = entries.sortBy(e => -e._3).take(cap)
             }
-            // a late-but-within-watermark arrival prepends OLDER than the
-            // head, so restore newest-first once per batch — the cap must
-            // evict the OLDEST entries, and later batches rely on the
-            // invariant
+            // restore newest-first once per batch — the cap must evict
+            // the OLDEST entries, and later batches rely on the invariant
             entries = entries.sortBy(e => -e._3).take(cap)
             state.update(BandState(entries))
             // key expires once no new doc lands in this bucket for a full

@@ -202,6 +202,18 @@ class Wave3Spec extends SparkSpec {
       assert(math.abs(g(i) - fd) < 1e-4,
         s"grad($i)=${g(i)} vs finite-diff $fd")
     }
+    // windowed variant must differentiate the WINDOWED objective
+    val xs = Array(0.3, 1.2, -0.5, 0.8, 0.1)
+    val ys = Array(0.1, 0.9, 0.4, -0.2, 0.5)
+    val kw = SoftDTWKernel(gamma = 0.5, window = Some(1))
+    val gw = kw.gradient(xs, ys)
+    xs.indices.foreach { i =>
+      val xp = xs.clone; xp(i) += eps
+      val xm = xs.clone; xm(i) -= eps
+      val fd = (kw.distance(xp, ys) - kw.distance(xm, ys)) / (2 * eps)
+      assert(math.abs(gw(i) - fd) < 1e-4,
+        s"windowed grad($i)=${gw(i)} vs finite-diff $fd")
+    }
   }
 
   test("SoftDTW barycenter improves the soft objective over its DBA start") {
