@@ -218,6 +218,58 @@ object SparkEntry {
        |SELECT vec_id, CAST(r AS BIGINT) AS i, CAST(c AS BIGINT) AS j FROM bt""".stripMargin
   }
 
+  /** DuckDB oracle for one DBA update: per series 1..12, the same
+    * forward-DP + backtrack as [[dtwPathOracleSql]] (carrying the series
+    * values through the backtrack), then the per-center-index mean of
+    * aligned series values across all paths — exactly the trait
+    * barycenter's single-iteration sums/mass rule.
+    */
+  private def dbaStepOracleSql(): String = {
+    val L = 16
+    val diag = s"""CASE WHEN step // $L > 0 AND step % $L > 0 THEN cells[(step // $L - 1) * $L + (step % $L)]
+                  |         WHEN step // $L = 0 AND step % $L = 0 THEN 0.0
+                  |         ELSE CAST('Infinity' AS DOUBLE) END""".stripMargin
+    val up = s"""CASE WHEN step // $L > 0 THEN cells[(step // $L - 1) * $L + (step % $L) + 1]
+                |         ELSE CAST('Infinity' AS DOUBLE) END""".stripMargin
+    val left = s"""CASE WHEN step % $L > 0 THEN cells[(step // $L) * $L + (step % $L)]
+                  |         ELSE CAST('Infinity' AS DOUBLE) END""".stripMargin
+    s"""WITH RECURSIVE
+       |p AS MATERIALIZED (SELECT vec_id, (embedding::DOUBLE[])[1:$L] AS pv
+       |  FROM embeddings WHERE vec_id < 13),
+       |x0 AS MATERIALIZED (SELECT pv AS xv FROM p WHERE vec_id = 0),
+       |dp AS (
+       |  SELECT p.vec_id, p.pv AS yv, x0.xv AS xv, 0 AS step, CAST([] AS DOUBLE[]) AS cells
+       |  FROM p, x0 WHERE p.vec_id > 0
+       |  UNION ALL
+       |  SELECT vec_id, yv, xv, step + 1,
+       |    list_append(cells,
+       |      (xv[(step // $L) + 1] - yv[(step % $L) + 1])^2 + least(
+       |$diag,
+       |$up,
+       |$left))
+       |  FROM dp WHERE step < $L * $L),
+       |m AS MATERIALIZED (SELECT vec_id, yv, cells FROM dp WHERE step = $L * $L),
+       |bt AS (
+       |  SELECT vec_id, yv, cells, ${L - 1} AS r, ${L - 1} AS c FROM m
+       |  UNION ALL
+       |  SELECT vec_id, yv, cells,
+       |    CASE WHEN dg <= u AND dg <= lf THEN r - 1 WHEN u <= lf THEN r - 1 ELSE r END,
+       |    CASE WHEN dg <= u AND dg <= lf THEN c - 1 WHEN u <= lf THEN c ELSE c - 1 END
+       |  FROM (SELECT vec_id, yv, cells, r, c,
+       |      CASE WHEN r > 0 AND c > 0 THEN cells[(r - 1) * $L + c]
+       |           WHEN r = 0 AND c = 0 THEN 0.0
+       |           ELSE CAST('Infinity' AS DOUBLE) END AS dg,
+       |      CASE WHEN r > 0 THEN cells[(r - 1) * $L + c + 1]
+       |           ELSE CAST('Infinity' AS DOUBLE) END AS u,
+       |      CASE WHEN c > 0 THEN cells[r * $L + c]
+       |           ELSE CAST('Infinity' AS DOUBLE) END AS lf
+       |    FROM bt) WHERE r > 0 OR c > 0)
+       |SELECT CAST(r AS BIGINT) AS i,
+       |  round(sum(yv[c + 1]) / count(*), 6) + 0.0 AS cv,
+       |  count(*) AS n_aligned
+       |FROM bt GROUP BY r""".stripMargin
+  }
+
   /** DuckDB unroll of the GAK log-space DP: for each row both k(x0,y) and
     * k(y,y) run as recursive-CTE DPs (kind 'xy' / 'yy') with the
     * stabilized log-sum-exp combiner; k(x0,x0) is row 0's 'yy'. Distance
@@ -942,6 +994,28 @@ object SparkEntry {
       top.withColumn("rank", row_number().over(w))
         .select(col("rank").cast("long").as("rank"), col("vec_id"),
           (round(col("sim"), 6) + lit(0.0)).as("adc_cosine"))
+    },
+    // One DBA barycenter update, oracle-checked: align series 1..12 to
+    // center x0 (16-dim prefixes) through the REAL trait barycenter with
+    // maxIter=1, emit the per-index mean of aligned values + alignment
+    // mass. The oracle re-derives every alignment path by DP backtrack
+    // (same CTE family as q_dtw_path) and recomputes the means.
+    "q_dba_step" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings").where(col("vec_id") < 13).orderBy(col("vec_id"))
+        .select(col("vec_id"), slice(col("embedding").cast("array<double>"), 1, 16).as("f"))
+      val rows = e.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val x0 = rows.head._2
+      val series = rows.tail.map(_._2).toSeq
+      val kern = graft.kernels.DTWKernel(None)
+      val next = kern.barycenter(series, x0, maxIter = 1)
+      // alignment mass per index, from the same paths the update used
+      val mass = new Array[Long](x0.length)
+      series.foreach(y => kern.alignmentPath(x0, y).foreach { case (ci, _) => mass(ci) += 1 })
+      import sp.implicits._
+      next.zipWithIndex.map { case (v, i) => (i.toLong, v, mass(i)) }.toSeq
+        .toDF("i", "cv", "n_aligned")
+        .select(col("i"), (round(col("cv"), 6) + lit(0.0)).as("cv"), col("n_aligned"))
     },
     // DTW alignment-path export: the optimal warping path (i over x0,
     // j over y) for each of the first 50 embeddings' 16-dim prefix —
@@ -2372,6 +2446,7 @@ object SparkEntry {
     "q_kmedoids_fit" -> pamFitOracleSql(60, 4, 3),
     "q_dtw_dist" -> dtwDistOracleSql(soft = false, gamma = 0.0),
     "q_dtw_path" -> dtwPathOracleSql(),
+    "q_dba_step" -> dbaStepOracleSql(),
     "q_pq_adc" ->
       """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cb AS MATERIALIZED (SELECT vec_id AS code, v FROM p WHERE vec_id < 16),
