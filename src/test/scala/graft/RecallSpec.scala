@@ -156,6 +156,37 @@ class RecallSpec extends SparkSpec {
     assert(math.abs(adc - direct) < 1e-9, s"ADC $adc vs direct $direct")
   }
 
+  test("PqCodebook properties: codewords are fixed points; encode is stable under decode") {
+    val rnd = new java.util.Random(23)
+    val sample = Array.fill(300)(Array.fill(24)(rnd.nextGaussian()))
+    val cb = graft.ops.PqCodebook.fromSample(sample, dim = 24, m = 3, ksub = 8, seed = 9)
+    // every decoded vector re-encodes to its own codes (codewords are
+    // their own nearest codeword; ties broken toward the lower id can
+    // only matter for exactly-duplicate codewords, which training with
+    // distinct gaussian data does not produce)
+    (0 until 100).foreach { _ =>
+      val v = Array.fill(24)(rnd.nextGaussian())
+      val codes = cb.encode(v)
+      assert(cb.encode(cb.decode(codes)).toSeq == codes.toSeq,
+        s"encode∘decode not stable for ${codes.toSeq}")
+    }
+    // reconstruction never beats the point itself: d(v, decode(encode(v)))
+    // <= d(v, decode(any other single-subspace perturbation)
+    val v = sample(3)
+    val codes = cb.encode(v)
+    def err(cs: Array[Short]) = {
+      val d = cb.decode(cs)
+      v.zip(d).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    val base = err(codes)
+    (0 until cb.m).foreach { s =>
+      (0 until cb.ksub).foreach { c =>
+        val alt = codes.clone; alt(s) = c.toShort
+        assert(base <= err(alt) + 1e-12, s"subspace $s code $c beats the argmin")
+      }
+    }
+  }
+
   test("IvfPqIndex: recall@5 >= 0.8 on clusterable data; write/load roundtrip identical") {
     import spark.implicits._
     val rnd = new java.util.Random(13)

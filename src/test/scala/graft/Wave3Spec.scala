@@ -216,6 +216,26 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  test("sequence-kernel properties: symmetry, identity, window tightening") {
+    val rnd = new java.util.Random(29)
+    (0 until 30).foreach { _ =>
+      val n = 4 + rnd.nextInt(8)
+      val x = Array.fill(n)(rnd.nextGaussian())
+      val y = Array.fill(n)(rnd.nextGaussian())
+      val dtw = DTWKernel()
+      assert(math.abs(dtw.distance(x, y) - dtw.distance(y, x)) < 1e-12, "DTW symmetry")
+      assert(dtw.distance(x, x) == 0.0, "DTW identity")
+      val soft = SoftDTWKernel(gamma = 0.3)
+      assert(math.abs(soft.distance(x, y) - soft.distance(y, x)) < 1e-9, "SoftDTW symmetry")
+      // a tighter band can only REMOVE alignments: windowed DTW >= unwindowed
+      val banded = DTWKernel(Some(1)).distance(x, y)
+      assert(banded >= dtw.distance(x, y) - 1e-12, "window tightening lowers cost?")
+      // barycenter of a single series from itself is itself
+      val bar = dtw.barycenter(Seq(x), x, maxIter = 3)
+      assert(bar.zip(x).forall { case (a, b) => math.abs(a - b) < 1e-12 }, "singleton barycenter")
+    }
+  }
+
   test("SoftDTW barycenter improves the soft objective over its DBA start") {
     val series = Seq(
       Array(0.0, 2.0, 0.0, 0.0, 0.0, 0.0),
