@@ -820,6 +820,10 @@ object SparkEntry {
       graft.ops.Curate.curate(t(dir, "documents"), "doc_id", "text",
         lang = "en", minQuality = 0.5, jaccardThreshold = 0.7)
     },
+    "q_unigram_nll" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.TextOps.unigramNll(t(dir, "documents"), "doc_id", "text")
+    },
     "q_simhash_pairs" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       Dedup.simhashCandidates(t(dir, "documents"), "doc_id", "text", maxDist = 3)
@@ -2447,6 +2451,16 @@ object SparkEntry {
     "q_dtw_dist" -> dtwDistOracleSql(soft = false, gamma = 0.0),
     "q_dtw_path" -> dtwPathOracleSql(),
     "q_dba_step" -> dbaStepOracleSql(),
+    "q_unigram_nll" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tk AS MATERIALIZED (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |counts AS MATERIALIZED (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM counts)
+        |SELECT tk.doc_id, round(avg(-ln(CAST(counts.cnt AS DOUBLE) / tot.t)), 6) + 0.0 AS nll,
+        |  count(*) AS n_tokens
+        |FROM tk JOIN counts USING (token), tot
+        |GROUP BY tk.doc_id""".stripMargin,
     "q_pq_adc" ->
       """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cb AS MATERIALIZED (SELECT vec_id AS code, v FROM p WHERE vec_id < 16),

@@ -96,6 +96,21 @@ class VocabSpec extends SparkSpec {
     assert(got(1L) == ((1, 0L, 0L)))     // own group tape
   }
 
+  test("unigramNll: rare-token docs score higher than common-token docs; hand-checked value") {
+    import spark.implicits._
+    // corpus: "a" appears 6x, "b" 2x, "z" 1x -> p(a)=6/9, p(b)=2/9, p(z)=1/9
+    val docs = Seq(
+      (1L, "a a a"), (2L, "a a a"), (3L, "b b z")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val pA = 6.0 / 9; val pB = 2.0 / 9; val pZ = 1.0 / 9
+    assert(math.abs(out(1L)._1 - (-math.log(pA))) < 1e-6, s"doc1 ${out(1L)}")
+    val expected3 = (-math.log(pB) * 2 - math.log(pZ)) / 3
+    assert(math.abs(out(3L)._1 - expected3) < 1e-6, s"doc3 ${out(3L)}")
+    assert(out(3L)._1 > out(1L)._1, "rare-token doc must score higher NLL")
+    assert(out(1L)._2 == 3 && out(3L)._2 == 3)
+  }
+
   test("plans: exact form has no Expand; approx shuffles HLL partials (one agg level)") {
     val docs = corpus()
     val exactPlan = TextOps.vocabStats(docs, "doc_id", "text")
