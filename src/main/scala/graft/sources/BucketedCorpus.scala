@@ -53,7 +53,11 @@ object BucketedCorpus {
     */
   def colocated(spark: SparkSession, tableA: String, tableB: String, keyCol: String): Boolean = {
     def spec(t: String): Option[(Seq[String], Int)] = {
-      val rows = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+      // total predicate: a missing table is simply "not co-located", and
+      // the name is backtick-quoted before entering SQL
+      if (!spark.catalog.tableExists(t)) return None
+      val quoted = t.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
+      val rows = spark.sql(s"DESCRIBE TABLE EXTENDED $quoted").collect()
       val cols = rows.find(_.getString(0) == "Bucket Columns")
         .map(_.getString(1).stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
       val n = rows.find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)

@@ -109,6 +109,9 @@ class VocabSpec extends SparkSpec {
     assert(math.abs(out(3L)._1 - expected3) < 1e-6, s"doc3 ${out(3L)}")
     assert(out(3L)._1 > out(1L)._1, "rare-token doc must score higher NLL")
     assert(out(1L)._2 == 3 && out(3L)._2 == 3)
+    // empty corpus: empty result, no construction-time job or NPE
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.TextOps.unigramNll(empty, "doc_id", "text").count() == 0)
   }
 
   test("plans: exact form has no Expand; approx shuffles HLL partials (one agg level)") {
