@@ -34,4 +34,30 @@ class MllibParitySpec extends SparkSpec {
       f"graft SSE $graftSse%.2f vs MLlib $mllibSse%.2f (ratio $ratio%.4f)")
     withVec.unpersist()
   }
+
+  test("BisectingKMeans SE objective within 15% of MLlib BisectingKMeans") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val withVec = e.select(col("vec_id"),
+      org.apache.spark.ml.functions.array_to_vector(
+        col("embedding").cast("array<double>")).as("fv"))
+      .cache()
+
+    val mllib = new org.apache.spark.ml.clustering.BisectingKMeans()
+      .setK(8).setSeed(42).setMaxIter(10).setFeaturesCol("fv")
+      .fit(withVec)
+    val mllibCost = mllib.computeCost(withVec)
+
+    val graftModel = new graft.clustering.BisectingKMeans()
+      .setK(8).setSeed(42).setMaxIter(10).setFeaturesCol("embedding")
+      .fit(e)
+    val graftSse = 2.0 * graftModel.computeCost(e)
+
+    // split heuristics differ (both are greedy bisecting, neither optimal),
+    // so parity is a band, not equality — a real regression (wrong
+    // distance, wrong update, leaked points) lands far outside 15%
+    val ratio = graftSse / mllibCost
+    assert(ratio < 1.15 && ratio > 0.5,
+      f"graft bisecting SSE $graftSse%.2f vs MLlib $mllibCost%.2f (ratio $ratio%.4f)")
+    withVec.unpersist()
+  }
 }
