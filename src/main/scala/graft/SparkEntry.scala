@@ -2087,10 +2087,10 @@ object SparkEntry {
       val withFrames = assets.withColumn("n_frames",
         size(graft.ops.Multimodal.sampleFrames(col("payload"), 64, 2)))
       graft.ops.Multimodal.extractFeatures(withFrames, "payload", "feat")
-        .select(col("asset_id"), col("n_frames"),
+        .select(col("asset_id"), col("n_frames").cast("long").as("n_frames"),
           col("meta.sizeBytes").as("size_bytes"),
-          round(aggregate(col("feat").cast("array<double>"), lit(0.0),
-            (a, v) => a + v * v), 6).as("feat_sq_norm"))
+          (round(aggregate(col("feat").cast("array<double>"), lit(0.0),
+            (a, v) => a + v * v), 6) + lit(0.0)).as("feat_sq_norm"))
     },
     // ---- co-clustering ----
     "q_cocluster_blocks" -> { (s, dir) =>
@@ -2251,6 +2251,24 @@ object SparkEntry {
         |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
         |  count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_multimodal_features" ->
+      """WITH d AS MATERIALIZED (SELECT doc_id AS asset_id, text,
+        |  CAST(strlen(text) AS BIGINT) AS size_bytes FROM documents),
+        |pos AS (SELECT asset_id, text, size_bytes,
+        |  unnest(range(1, CAST(size_bytes AS INT) + 1)) AS p FROM d),
+        |b AS (SELECT asset_id, (p - 1) % 16 AS bucket,
+        |  ascii(substr(text, CAST(p AS INT), 1)) AS byte FROM pos),
+        |agg AS (SELECT asset_id, bucket,
+        |  CAST(CAST(sum(byte) AS DOUBLE) / count(*) / 255.0 AS FLOAT) AS f
+        |  FROM b GROUP BY 1, 2),
+        |sq AS (SELECT asset_id,
+        |  list_sum(list(CAST(f AS DOUBLE) * CAST(f AS DOUBLE) ORDER BY bucket)) AS sqn
+        |  FROM agg GROUP BY 1)
+        |SELECT d.asset_id,
+        |  (greatest(1, size_bytes // 64) + 1) // 2 AS n_frames,
+        |  d.size_bytes,
+        |  round(coalesce(sq.sqn, 0.0), 6) + 0.0 AS feat_sq_norm
+        |FROM d LEFT JOIN sq USING (asset_id)""".stripMargin,
     "q_multimodal_fingerprint" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,

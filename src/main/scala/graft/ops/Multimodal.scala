@@ -98,24 +98,25 @@ object Multimodal {
 
   /** ======================= STUB =======================
     * Deterministic fake decoder: stands in for an image/audio codec
-    * (javax.imageio / ffmpeg are not in this container). Produces a
-    * "pixel" array derived ONLY from the payload bytes, so results are
-    * stable across runs and partitionings. Replace this body with a real
-    * codec to productionize; the schema and plumbing stay unchanged.
+    * (javax.imageio / ffmpeg are not in this container). "Pixel" bucket i
+    * is the mean of payload bytes at positions i, i+dim, i+2dim, ...
+    * scaled to [0, 1] — derived ONLY from the payload bytes, so results
+    * are stable across runs and partitionings, and simple enough that an
+    * external SQL engine can replay it (q_multimodal_features is
+    * hash-oracle-checked on exactly this definition). Replace this body
+    * with a real codec to productionize; the schema and plumbing stay
+    * unchanged.
     */
   def decodeStub(bytes: Array[Byte], targetDim: Int): Array[Float] = {
     val out = new Array[Float](targetDim)
     if (bytes == null || bytes.isEmpty) return out
     var i = 0
     while (i < targetDim) {
-      // deterministic mix of the byte stream into targetDim buckets
-      var acc = 1469598103934665603L // FNV offset
+      var sum = 0L
+      var cnt = 0
       var j = i
-      while (j < bytes.length) {
-        acc = (acc ^ bytes(j)) * 1099511628211L
-        j += targetDim
-      }
-      out(i) = ((acc >>> 11).toDouble / (1L << 53).toDouble).toFloat
+      while (j < bytes.length) { sum += bytes(j) & 0xFF; cnt += 1; j += targetDim }
+      if (cnt > 0) out(i) = (sum.toDouble / cnt / 255.0).toFloat
       i += 1
     }
     out
