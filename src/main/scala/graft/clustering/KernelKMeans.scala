@@ -181,6 +181,8 @@ class KernelKMeans(override val uid: String)
       case Some(idx) =>
         require(idx.length == kk, s"${idx.length} seed indices provided but k=$kk")
         require(idx.forall(i => i >= 0 && i < n), s"seed index out of range [0, $n)")
+        require(idx.distinct.length == idx.length,
+          s"duplicate seed indices: coincident seeds collapse into empty clusters mid-fit")
         scala.collection.mutable.ArrayBuffer[Int](idx: _*)
       case None =>
         val s0 = scala.collection.mutable.ArrayBuffer[Int](rnd.nextInt(n))

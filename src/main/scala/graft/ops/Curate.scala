@@ -127,10 +127,20 @@ object Curate {
     // long-running service.
     val spark = train.sparkSession
     import spark.implicits._
-    val shingleSet = evalDocs
+    val distinctShingles = evalDocs
       .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("sh"))
       .distinct()
-      .as[String].collect().toSeq
+    // guard the driver collect: an unexpectedly large eval set should fail
+    // with a clear message, not OOM the driver mid-collect
+    val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
+      .map(_.toLong).getOrElse(50000000L)
+    val nShingles = distinctShingles.count()
+    require(nShingles <= cap,
+      s"eval set explodes to $nShingles distinct $n-gram shingles, above the " +
+        s"driver-collect cap of $cap (the decontamination join broadcasts the " +
+        "eval side, so it must fit on the driver). Shrink the eval set or " +
+        "raise graft.decontaminate.maxEvalShingles.")
+    val shingleSet = distinctShingles.as[String].collect().toSeq
     val evalShingles = shingleSet.toDF("sh")
     train
       .select(col(trainIdCol).cast("long").as("doc_id"),

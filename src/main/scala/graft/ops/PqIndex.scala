@@ -36,6 +36,11 @@ final case class PqCodebook(
   require(codebooks.forall(_.length == codebooks(0).length),
     "ragged codebooks: every subspace must carry the same codeword count " +
       "(the ADC lookup table is strided by it)")
+  require(codebooks.nonEmpty && dim % codebooks.length == 0,
+    s"dim=$dim must divide evenly into m=${codebooks.length} subspaces")
+  require(codebooks.forall(_.forall(_.length == dim / codebooks.length)),
+    s"every codeword must have length dim/m=${dim / codebooks.length}: " +
+      "encode/decode stride subvectors by that width")
 
   def m: Int = codebooks.length
   def ksub: Int = codebooks(0).length
@@ -207,6 +212,9 @@ final class IvfPqIndex private[ops] (
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      "duplicate query ids: the per-query ADC lookup table is keyed by id, " +
+        "so duplicates would silently collapse (last one wins)")
     val cb = codebook
     val luts: Map[Long, (Array[Double], Double)] = qRows.map { case (id, q) =>
       val qn = math.sqrt(q.map(x => x * x).sum)

@@ -53,15 +53,14 @@ object BucketedCorpus {
     */
   def colocated(spark: SparkSession, tableA: String, tableB: String, keyCol: String): Boolean = {
     def spec(t: String): Option[(Seq[String], Int)] = {
-      // total predicate: a missing table is simply "not co-located", and
-      // the name is backtick-quoted before entering SQL
+      // total predicate: a missing table is simply "not co-located".
+      // Read bucketSpec from the catalog's structured metadata — parsing
+      // DESCRIBE TABLE EXTENDED's human-readable rows is brittle across
+      // Spark versions and silently returns false on format drift.
       if (!spark.catalog.tableExists(t)) return None
-      val quoted = t.split('.').map(p => "`" + p.replace("`", "``") + "`").mkString(".")
-      val rows = spark.sql(s"DESCRIBE TABLE EXTENDED $quoted").collect()
-      val cols = rows.find(_.getString(0) == "Bucket Columns")
-        .map(_.getString(1).stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq)
-      val n = rows.find(_.getString(0) == "Num Buckets").map(_.getString(1).trim.toInt)
-      for (c <- cols; k <- n) yield (c, k)
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+      spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+        .map(bs => (bs.bucketColumnNames.toSeq, bs.numBuckets))
     }
     (spec(tableA), spec(tableB)) match {
       case (Some((ca, na)), Some((cb, nb))) =>
