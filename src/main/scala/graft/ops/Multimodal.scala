@@ -122,21 +122,109 @@ object Multimodal {
     out
   }
 
+  /** Real image decoder (JDK-builtin javax.imageio — no external codec
+    * dependency): decode PNG/JPEG/GIF/BMP bytes to a g×g grid of mean
+    * luminance values in [0, 1] (g = ⌊√targetDim⌋, raster order, zero-pad
+    * to targetDim). Deterministic for a given payload: pure pixel
+    * arithmetic, no resampling library involved. Undecodable bytes fall
+    * back to [[decodeStub]] so a corrupt row degrades instead of failing
+    * the partition.
+    */
+  def decodeImage(bytes: Array[Byte], targetDim: Int): Array[Float] = {
+    val out = new Array[Float](targetDim)
+    if (bytes == null || bytes.isEmpty) return out
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return decodeStub(bytes, targetDim)
+    val g = math.max(1, math.sqrt(targetDim.toDouble).toInt)
+    val w = img.getWidth
+    val h = img.getHeight
+    var cy = 0
+    while (cy < g) {
+      val y0 = cy * h / g
+      val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / g))
+      var cx = 0
+      while (cx < g) {
+        val x0 = cx * w / g
+        val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / g))
+        var sum = 0.0
+        var cnt = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val gg = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            // Rec. 601 luma
+            sum += (0.299 * r + 0.587 * gg + 0.114 * b) / 255.0
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        val idx = cy * g + cx
+        if (idx < targetDim && cnt > 0) out(idx) = (sum / cnt).toFloat
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  private val ImageFormats =
+    Set("png", "jpg", "jpeg", "gif", "bmp", "wbmp", "tiff", "tif")
+
+  /** Decoder selection by the `meta.format` string (a format short-name
+    * or MIME type): image formats javax.imageio handles get the real
+    * pixel decoder; everything else (utf8 text, audio/video formats whose
+    * codecs aren't JDK-builtin) takes the deterministic stub, which keeps
+    * those rows oracle-replayable.
+    */
+  def decoderFor(format: String, targetDim: Int): Array[Byte] => Array[Float] = {
+    val f = if (format == null) "" else format.toLowerCase(java.util.Locale.ROOT)
+    val short = f.stripPrefix("image/")
+    if (ImageFormats.contains(short)) decodeImage(_, targetDim)
+    else decodeStub(_, targetDim)
+  }
+
   /** Distributed feature extraction over binary payloads with the
     * batch-per-partition pattern: ONE "decoder" is instantiated per
     * partition (the expensive step for a real codec/model), then reused
     * across that partition's rows — the Scala analogue of mapInPandas
     * batching. Appends `featCol: array<float>`.
+    *
+    * When `metaCol` names a [[MetaType]]-shaped struct column, the
+    * decoder is selected per row from its `format` field (real
+    * javax.imageio decode for image formats, deterministic stub
+    * otherwise), with one decoder instance cached per distinct format per
+    * partition. With `metaCol = None` (the default) every row takes the
+    * stub — the oracle-replayable path, unchanged.
     */
   def extractFeatures(df: DataFrame, payloadCol: String, featCol: String,
-      targetDim: Int = 16): DataFrame = {
+      targetDim: Int = 16, metaCol: Option[String] = None): DataFrame = {
     val schema = df.schema.add(featCol, ArrayType(FloatType), nullable = false)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val formatIdx: Option[(Int, Int)] = metaCol.map { m =>
+      val mIdx = df.schema.fieldIndex(m)
+      val mType = df.schema(mIdx).dataType.asInstanceOf[StructType]
+      (mIdx, mType.fieldIndex("format"))
+    }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
-      // per-partition decoder setup happens HERE (once), not per row
-      val decoder: Array[Byte] => Array[Float] = decodeStub(_, targetDim)
+      // per-partition decoder setup happens HERE (once per distinct
+      // format), not per row
+      val cache = scala.collection.mutable.HashMap.empty[String, Array[Byte] => Array[Float]]
+      val stub: Array[Byte] => Array[Float] = decodeStub(_, targetDim)
       rows.map { r =>
+        val decoder = formatIdx match {
+          case Some((mi, fi)) if !r.isNullAt(mi) =>
+            val fmt = { val m = r.getStruct(mi); if (m.isNullAt(fi)) "" else m.getString(fi) }
+            cache.getOrElseUpdate(fmt, decoderFor(fmt, targetDim))
+          case _ => stub
+        }
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ decoder(bytes).toSeq)
       }

@@ -68,6 +68,68 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeStub(null, 4).toSeq == Seq(0f, 0f, 0f, 0f))
   }
 
+  /** A real PNG, generated with the JDK's own encoder: left half black,
+    * right half white — a fixture whose grid-luminance features are known
+    * analytically.
+    */
+  private def halfBlackPng(w: Int = 32, h: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage: real PNG decodes to analytic grid-luminance features") {
+    val feat = Multimodal.decodeImage(halfBlackPng(), targetDim = 16)
+    assert(feat.length == 16)
+    // 4x4 grid in raster order: columns 0-1 black (0.0), columns 2-3 white (1.0)
+    for (row <- 0 until 4; c <- 0 until 4) {
+      val expected = if (c < 2) 0.0f else 1.0f
+      assert(math.abs(feat(row * 4 + c) - expected) < 1e-3,
+        s"cell ($row,$c) = ${feat(row * 4 + c)}, expected $expected")
+    }
+    // corrupt bytes fall back to the stub, not an exception
+    val junk = Array.tabulate(64)(_.toByte)
+    assert(Multimodal.decodeImage(junk, 16).toSeq == Multimodal.decodeStub(junk, 16).toSeq)
+  }
+
+  test("decoderFor selects by format short-name or MIME type") {
+    val png = halfBlackPng()
+    val viaShort = Multimodal.decoderFor("png", 16)(png)
+    val viaMime = Multimodal.decoderFor("image/png", 16)(png)
+    val viaStub = Multimodal.decoderFor("utf8", 16)(png)
+    assert(viaShort.toSeq == Multimodal.decodeImage(png, 16).toSeq)
+    assert(viaMime.toSeq == viaShort.toSeq)
+    assert(viaStub.toSeq == Multimodal.decodeStub(png, 16).toSeq)
+    assert(viaShort.toSeq != viaStub.toSeq, "real decode must differ from the stub on a real PNG")
+  }
+
+  test("extractFeatures routes per-row through meta.format: real decode for images, stub otherwise") {
+    val png = halfBlackPng()
+    val text = "hello world".getBytes("UTF-8")
+    def meta(fmt: String, size: Long) =
+      (fmt, 0, 0, 0, 0L, size)
+    val df = Seq(
+      (1L, png, meta("png", png.length.toLong)),
+      (2L, text, meta("utf8", text.length.toLong)),
+      (3L, png, meta("image/png", png.length.toLong)))
+      .toDF("asset_id", "payload", "meta")
+      .withColumn("meta", col("meta").cast(
+        "struct<format:string,width:int,height:int,sampleRate:int,durationMs:bigint,sizeBytes:bigint>"))
+    val out = Multimodal.extractFeatures(df.repartition(2), "payload", "feat",
+        targetDim = 16, metaCol = Some("meta"))
+      .select("asset_id", "feat").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(1L) == Multimodal.decodeImage(png, 16).toSeq, "png row must take the imageio path")
+    assert(out(3L) == out(1L), "MIME-typed png row must take the same path")
+    assert(out(2L) == Multimodal.decodeStub(text, 16).toSeq, "utf8 row must stay on the stub path")
+    // the default (no metaCol) path is byte-for-byte what it was: stub everywhere
+    val noMeta = Multimodal.extractFeatures(df, "payload", "feat")
+      .select("asset_id", "feat").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(noMeta(1L) == Multimodal.decodeStub(png, 16).toSeq)
+  }
+
   test("extracted features feed the existing similarity operators end-to-end") {
     val df = assets()
     val feats = Multimodal.extractFeatures(df, "payload", "feat")
