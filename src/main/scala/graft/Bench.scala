@@ -3,11 +3,36 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line. Results are materialized
-  * through the noop sink so the full plan executes (a bare count() would
-  * let Catalyst prune the projections we're trying to measure).
+  * SPARK_GRAFT_SF_DIR and prints a per-query JSON record plus a compact
+  * headline line. Results are materialized through the noop sink so the
+  * full plan executes (a bare count() would let Catalyst prune the
+  * projections we're trying to measure).
+  *
+  * Robustness against a contended host (r7 postmortem: a driver-side
+  * bench run showed 4-14x inflation on a handful of queries that
+  * re-measured clean in isolation):
+  *   - every query is timed SPARK_GRAFT_REPEAT times (default 3) and the
+  *     per-query metric is the MEDIAN of its passes, so one contended
+  *     pass cannot poison the number;
+  *   - a sentinel re-runs any query whose median is still >3x its
+  *     fastest pass (spread that wide means every pass was disturbed)
+  *     and recomputes the median over all passes;
+  *   - the LAST stdout line is a compact headline (<2000 chars) so a
+  *     tail-capturing harness always sees one complete, parseable JSON
+  *     line; the full per-query map is printed on its own line right
+  *     before it.
   */
 object Bench {
+
+  /** Lower median: sorted order statistic at (n-1)/2 — the true median
+    * for odd n; for even n the lower of the two middles, which for
+    * timings avoids averaging a contended pass into the estimate.
+    */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.length - 1) / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,10 +70,10 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     if (selected.isEmpty)
       System.err.println("[bench] warning: SPARK_GRAFT_ONLY matched zero queries")
-    // Diagnostic: run the selected list N times (driver never sets this).
-    // Pass 2+ timings separate one-time codegen/JIT compile cost from
-    // steady-state execution when profiling a single query.
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1)
+    // Passes per query; the median is the reported metric. Set to 1 for
+    // quick local profiling, higher to tighten the estimate further.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
     // Steady-state warmup: run every selected query once against the tiny
     // sf0.001 tables before timing. Schemas are identical across SFs, so
     // this compiles exactly the generated code the timed sf0.1 runs will
@@ -66,10 +91,9 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
-    val repeated = (1 to repeat).flatMap(pass =>
-      if (repeat == 1) selected
-      else selected.map { case (n, f) => (s"${n}__pass$pass", f) })
-    val results = repeated.map { case (name, fn) =>
+
+    /** One timed execution; negative means the query threw. */
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -81,12 +105,48 @@ object Bench {
       // same queries ran 2-4x slower late in the full 52-query run than
       // in isolation).
       spark.catalog.clearCache()
-      name -> (if (ok) elapsed else -1.0)
+      if (ok) elapsed else -1.0
+    }
+
+    // Pass-interleaved timing (all queries pass 1, then pass 2, ...): a
+    // transient contention window hits each query in at most one pass,
+    // and the median discards it.
+    val passTimes = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    for (pass <- 1 to repeat; (name, fn) <- selected) {
+      val t = timeOnce(name, fn)
+      passTimes(name) = passTimes.getOrElse(name, Nil) :+ t
+      val _ = pass
+    }
+    // Contention sentinel: a median still >3x the fastest pass means no
+    // clean majority of passes exists — take up to 2 extra measurements
+    // and re-median over everything.
+    val results = selected.map { case (name, fn) =>
+      var times = passTimes(name).filter(_ >= 0)
+      val failed = times.isEmpty
+      if (!failed && times.length > 1) {
+        var extra = 0
+        while (extra < 2 && median(times) > 3 * times.min) {
+          System.err.println(f"[bench] $name: median ${median(times)}%.2f > 3x min ${times.min}%.2f, re-running")
+          val t = timeOnce(name, fn)
+          if (t >= 0) times = times :+ t
+          extra += 1
+        }
+      }
+      name -> (if (failed) -1.0 else median(times))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Full record first (its own line), compact headline LAST: the
+    // harness keeps only the final ~2000 chars of stdout, and the full
+    // per-query map alone is ~2.5KB — a truncated JSON head parses as
+    // nothing. The headline carries the gate metric plus the slowest
+    // queries and always fits.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val nFail = results.count(_._2 < 0)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.length},"n_failed":$nFail,"passes":$repeat,"slowest":$slowest,"detail":"per-query medians on the full queries line above"}""")
     spark.stop()
   }
 }
