@@ -107,6 +107,49 @@ object SparkEntry {
        |SELECT cx.cluster, cx.d, cx.v, sizes.n FROM cx JOIN sizes USING (cluster)""".stripMargin
   }
 
+  /** DuckDB replay of the ENTIRE XMeans selection loop: one independent
+    * `iters`-step Lloyd unroll per candidate k (each warm-started from the
+    * first k embeddings — [[lloydFitOracleSql]]'s chain with k-suffixed CTE
+    * names), each candidate's final clustering cost, the Gaussian BIC
+    * closed form of XMeans.score on that cost, and the argmin winner with
+    * ties to the smaller k (reference: ml/XMeans.scala:117,250-271).
+    */
+  private def xmeansSelectOracleSql(iters: Int, minK: Int, maxK: Int): String = {
+    def chain(k: Int): String = {
+      def assign(name: String, centersCte: String): String =
+        s"""$name AS MATERIALIZED (SELECT vec_id, pv, cid FROM (
+           |  SELECT p.vec_id, p.pv, c.cid, row_number() OVER (PARTITION BY p.vec_id
+           |    ORDER BY ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
+           |  FROM p, $centersCte c) WHERE rn = 1)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        assign(s"a${k}_$i", s"c${k}_${i - 1}") + ",\n" + meanUpdateCte(s"c${k}_$i", s"a${k}_$i")
+      }.mkString(",\n")
+      s"""c${k}_0 AS MATERIALIZED (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < $k),
+         |$steps,
+         |cost$k AS MATERIALIZED (SELECT sum(md) AS cost, count(*) AS n FROM (
+         |  SELECT min(${seDistSql("p.pv", "c.cv")}) / 2 AS md
+         |  FROM p, c${k}_$iters c GROUP BY p.vec_id))""".stripMargin
+    }
+    val chains = (minK to maxK).map(chain).mkString(",\n")
+    val scores = (minK to maxK).map(k => s"SELECT $k AS k, cost, n FROM cost$k")
+      .mkString("\n  UNION ALL ")
+    // the BIC expression keeps XMeans.score's exact operation order:
+    // variance = max(cost/n, 1e-10); ll = -cost/(2 var) - n ln(sqrt(var))
+    // - n ln(2 pi)/2; bic = -2 ll + (k d + 1) ln(n)
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+       |$chains,
+       |scores AS ($scores),
+       |dims AS (SELECT max(len(pv)) AS d FROM p),
+       |bics AS (SELECT k, -2 * (-(cost) / (2 * greatest(cost / n, 1e-10))
+       |    - n * ln(sqrt(greatest(cost / n, 1e-10))) - n * ln(2 * pi()) / 2)
+       |    + (k * d + 1) * ln(n) AS raw
+       |  FROM scores, dims),
+       |best AS (SELECT k FROM bics ORDER BY raw, k LIMIT 1)
+       |SELECT CAST(k AS BIGINT) AS k, round(raw, 4) + 0.0 AS bic,
+       |  CAST(k = (SELECT k FROM best) AS BIGINT) AS chosen FROM bics""".stripMargin
+  }
+
   /** Shared body of q_dtw_dist / q_softdtw_dist: distances from embedding
     * 0 to the first 50 embeddings over their 16-dim prefix, through the
     * real SequenceKernel DP in an executor closure.
@@ -808,9 +851,13 @@ object SparkEntry {
     "q_decontaminate" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val docs = t(dir, "documents")
+      // string-keyed join here: the production default (hashShingles)
+      // joins on xxhash64, which DuckDB can't replay; CurateSpec proves
+      // the hashed path equals this one row-for-row
       graft.ops.Curate.decontaminate(
         docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
-        docs.where(col("doc_id") % 50 === 0), "text", n = 5)
+        docs.where(col("doc_id") % 50 === 0), "text", n = 5,
+        hashShingles = false)
     },
     // One-call corpus curation: language filter -> quality filter ->
     // exact dedup -> near-dup components -> best-quality representative.
@@ -1296,10 +1343,26 @@ object SparkEntry {
     },
     "q_xmeans_k" -> { (s, dir) =>
       implicit val sp: SparkSession = s
+      // END-TO-END model selection through XMeans itself, with every
+      // candidate fit warm-started from the first k embeddings (tol=0,
+      // fixed 3 iterations, drop-empty) — the r6/r7 warm-start recipe
+      // applied to the selection LOOP, so the whole BIC curve and the
+      // winning k are SQL-replayable. Emits the full selection trace:
+      // one row per candidate (k, bic, chosen).
       val e = t(dir, "embeddings")
-      val m = new XMeans().setMinK(8).setMaxK(10).setFeaturesCol("embedding")
-        .setSeed(42).setMaxIter(5).fit(e)
-      e.sparkSession.range(1).select(lit(m.numClusters).as("best_k"))
+      val feats = e.select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val seeds = feats.where(col("vec_id") < 10).orderBy(col("vec_id")).collect()
+        .map(_.getSeq[Double](1).toArray)
+      val xm = new XMeans().setMinK(8).setMaxK(10).setFeaturesCol("f")
+        .setMaxIter(3).setTol(0.0).setSeed(42)
+        .setEmptyClusterStrategy("drop")
+        .setInitialCentersForK(k => seeds.take(k))
+      xm.fit(feats)
+      val bestK = xm.allScores.minBy { case (k, sc) => (sc, k) }._1
+      import sp.implicits._
+      xm.allScores.map { case (k, sc) => (k.toLong, sc) }.toDF("k", "raw")
+        .select(col("k"), (round(col("raw"), 4) + lit(0.0)).as("bic"),
+          (col("k") === lit(bestK.toLong)).cast("long").as("chosen"))
     },
     "q_softkmeans_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -2723,6 +2786,7 @@ object SparkEntry {
         |    -cost / (2 * var) - n * ln(sqrt(var)) - n * ln(2 * pi()) / 2 AS ll FROM v)
         |SELECT round(-2 * ll + (4 * 64 + 1) * ln(n::DOUBLE), 4) AS bic,
         |  round(-2 * ll + 2 * (4 * 64 + 1), 4) AS aic, n FROM ll""".stripMargin,
+    "q_xmeans_k" -> xmeansSelectOracleSql(iters = 3, minK = 8, maxK = 10),
     "q_bisecting_split" ->
       """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
         |asg AS (

@@ -34,6 +34,7 @@ class XMeans(override val uid: String)
   def setMinK(v: Int): this.type = set(minK, v)
   def setMaxK(v: Int): this.type = set(maxK, v)
   def setCriterion(v: String): this.type = set(criterion, v)
+  def setEmptyClusterStrategy(v: String): this.type = set(emptyClusterStrategy, v)
   def setDivergence(v: String): this.type = set(divergence, v)
   def setSmoothing(v: Double): this.type = set(smoothing, v)
   def setMaxIter(v: Int): this.type = set(maxIter, v)
@@ -45,6 +46,23 @@ class XMeans(override val uid: String)
 
   /** Score of the kept model (populated after fit). */
   @transient private[graft] var bestScore: Double = Double.NaN
+
+  /** Every candidate's (k, score), ascending k (populated after fit) —
+    * the full model-selection trace, so callers (and the correctness
+    * oracle) can check the whole BIC/AIC curve, not just the winner.
+    */
+  @transient private[graft] var allScores: Seq[(Int, Double)] = Nil
+
+  /** Optional deterministic warm start per candidate k: when set, the
+    * k-candidate fit seeds from `fn(k)` instead of k-means|| — this pins
+    * every source of randomness out of the whole selection loop, making
+    * the end-to-end fit SQL-replayable (same recipe as
+    * GeneralizedKMeans.setInitialCenters).
+    */
+  @transient private var initialCentersForK: Option[Int => Array[Array[Double]]] = None
+  def setInitialCentersForK(fn: Int => Array[Array[Double]]): this.type = {
+    initialCentersForK = Some(fn); this
+  }
 
   override def fit(dataset: Dataset[_]): GeneralizedKMeansModel = {
     require($(minK) <= $(maxK), s"minK=${$(minK)} must be <= maxK=${$(maxK)}")
@@ -63,7 +81,9 @@ class XMeans(override val uid: String)
           .setK(kTry).setDivergence($(divergence)).setSmoothing($(smoothing))
           .setMaxIter($(maxIter)).setTol($(tol)).setSeed($(seed))
           .setFeaturesCol($(featuresCol)).setPredictionCol($(predictionCol))
+          .setEmptyClusterStrategy($(emptyClusterStrategy))
         get(weightCol).filter(_.nonEmpty).foreach(est.setWeightCol)
+        initialCentersForK.foreach(fn => est.setInitialCenters(fn(kTry)))
         est.reuseCachedInput = true // df persisted + counted above, once
         est.knownN = Some(n)
         val m = est.fit(df)
@@ -73,6 +93,7 @@ class XMeans(override val uid: String)
     }
     val results = futures.map(f => Await.result(f, Duration.Inf))
     df.unpersist()
+    allScores = results.map { case (kTry, _, s) => (kTry, s) }
     // deterministic winner: lowest score, ties to the smaller k
     val (_, best, bestS) = results.minBy { case (kTry, _, s) => (s, kTry) }
     bestScore = bestS
