@@ -108,6 +108,12 @@ case class TrainingSummary(
     movementHistory: Seq[Double],
     divergence: String,
     elapsedMillis: Long) {
+  /** Distortion after the last completed iteration (reference:
+    * ml/TrainingSummary.scala:55).
+    */
+  def finalDistortion: Double = distortionHistory.lastOption.getOrElse(Double.NaN)
+  def avgIterationMillis: Double =
+    if (iterations > 0) elapsedMillis.toDouble / iterations else 0.0
   def toDataFrame(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(this).toDF()
