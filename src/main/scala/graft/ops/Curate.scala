@@ -36,32 +36,41 @@ object Curate {
       minQuality: Double = 0.5,
       jaccardThreshold: Double = 0.7,
       shingleSize: Int = 3): DataFrame = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
-      .withColumn("lang", TextOps.langId(col("text")))
-      .withColumn("quality", TextOps.qualityScore(col("text")))
-      .where(col("lang") === lit(lang) && col("quality") >= lit(minQuality))
-    // exact dedup: one survivor per identical text; lang/quality are pure
-    // functions of the text, so min() over the group is THE group value
+    // FUSED filter scan: language id, quality score, and token count in
+    // ONE traversal per row (TextOps.langQuality) instead of ~5 — the
+    // langid/quality/token semantics (and their SQL oracles) are
+    // unchanged, only the number of passes over each document drops.
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
+        TextOps.langQuality(col(textCol)).as("lq"))
+      .where(col("lq._1") === lit(lang) && col("lq._2") >= lit(minQuality))
+      .select(col("doc_id"), col("text"),
+        col("lq._2").as("quality"), col("lq._3").as("n_tokens"))
+    // exact dedup: one survivor per identical text; quality/n_tokens are
+    // pure functions of the text, so min() over the group is THE group
+    // value
     val uniq = base.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"),
+        min(col("n_tokens")).as("n_tokens"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.minhashDedup(uniq, "doc_id", "text",
       threshold = jaccardThreshold, shingleSize = shingleSize)
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
     pairs.unpersist()
     val labeled = uniq.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-    // representative per component: lexicographic max of (quality, -id)
+    // representative per component: lexicographic max of (quality, -id);
+    // n_tokens rides along, so no re-tokenization pass runs on the output
     val reps = labeled.where(col("comp").isNotNull)
       .groupBy(col("comp"))
-      .agg(max_by(struct(col("doc_id"), col("text"), col("quality")),
+      .agg(max_by(struct(col("doc_id"), col("quality"), col("n_tokens")),
         struct(col("quality"), -col("doc_id"))).as("r"))
-      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
-        col("r.quality").as("quality"))
+      .select(col("r.doc_id").as("doc_id"), col("r.quality").as("quality"),
+        col("r.n_tokens").as("n_tokens"))
     val singles = labeled.where(col("comp").isNull)
-      .select(col("doc_id"), col("text"), col("quality"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
     val out = reps.unionByName(singles)
       .select(col("doc_id"), round(col("quality"), 6).as("quality"),
-        TextOps.tokenCount(col("text")).as("n_tokens"))
+        col("n_tokens").cast("int").as("n_tokens"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     uniq.unpersist()
@@ -77,6 +86,14 @@ object Curate {
     * side never shuffles, and the per-doc hit count is a map-side partial
     * aggregation. Returns (doc_id, n_hits, contaminated).
     */
+  /** @param hashShingles when true (the default — the 100 TB shape), both
+    *   sides join on xxhash64 of the shingle instead of the string: the
+    *   broadcast table carries 8-byte longs instead of ~n-word strings
+    *   (an order of magnitude smaller for n=8), and the probe hashes once
+    *   per shingle instead of comparing strings. Exact up to 64-bit hash
+    *   collisions (~2^-64 per cross pair — vanishing at any real scale);
+    *   the string path remains for engine-portable oracle replay.
+    */
   def decontaminate(
       train: DataFrame,
       trainIdCol: String,
@@ -84,13 +101,17 @@ object Curate {
       evalDocs: DataFrame,
       evalTextCol: String,
       n: Int = 8,
-      minHits: Int = 1): DataFrame = {
+      minHits: Int = 1,
+      hashShingles: Boolean = true): DataFrame = {
+    def key(c: Column): Column = if (hashShingles) xxhash64(c) else c
     val evalShingles = evalDocs
-      .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("sh"))
+      .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("__sh"))
+      .select(key(col("__sh")).as("sh"))
       .distinct()
     val trainShingles = train
       .select(col(trainIdCol).cast("long").as("doc_id"),
-        explode(TextOps.wordShingles(col(trainTextCol), n)).as("sh"))
+        explode(TextOps.wordShingles(col(trainTextCol), n)).as("__sh"))
+      .select(col("doc_id"), key(col("__sh")).as("sh"))
     val hits = trainShingles
       .join(broadcast(evalShingles), "sh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
@@ -118,7 +139,8 @@ object Curate {
       evalDocs: DataFrame,
       evalTextCol: String,
       n: Int = 8,
-      minHits: Int = 1): DataFrame = {
+      minHits: Int = 1,
+      hashShingles: Boolean = true): DataFrame = {
     // the static side of a stream-static join is re-evaluated every
     // micro-batch: materialize the distinct shingle set ONCE, to the
     // driver (it must fit there anyway — the join broadcasts it), and
@@ -127,8 +149,12 @@ object Curate {
     // long-running service.
     val spark = train.sparkSession
     import spark.implicits._
+    // hashShingles (default): collect and broadcast 8-byte longs instead
+    // of strings — same exact-up-to-xxhash64-collision contract as
+    // [[decontaminate]], and an order of magnitude less driver memory
     val distinctShingles = evalDocs
-      .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("sh"))
+      .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("__sh"))
+      .select((if (hashShingles) xxhash64(col("__sh")) else col("__sh")).as("sh"))
       .distinct()
     // guard the driver collect: an unexpectedly large eval set should fail
     // with a clear message, not OOM the driver mid-collect
@@ -140,11 +166,14 @@ object Curate {
         s"driver-collect cap of $cap (the decontamination join broadcasts the " +
         "eval side, so it must fit on the driver). Shrink the eval set or " +
         "raise graft.decontaminate.maxEvalShingles.")
-    val shingleSet = distinctShingles.as[String].collect().toSeq
-    val evalShingles = shingleSet.toDF("sh")
+    val evalShingles =
+      if (hashShingles) distinctShingles.as[Long].collect().toSeq.toDF("sh")
+      else distinctShingles.as[String].collect().toSeq.toDF("sh")
     train
       .select(col(trainIdCol).cast("long").as("doc_id"),
-        explode(TextOps.wordShingles(col(trainTextCol), n)).as("sh"))
+        explode(TextOps.wordShingles(col(trainTextCol), n)).as("__sh"))
+      .select(col("doc_id"),
+        (if (hashShingles) xxhash64(col("__sh")) else col("__sh")).as("sh"))
       .join(broadcast(evalShingles), "sh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)

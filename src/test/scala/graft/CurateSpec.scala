@@ -61,6 +61,54 @@ class CurateSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(500))
   }
 
+  test("hashed decontamination equals the string path and broadcasts longs") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val train = docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0)
+    val ev = docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+    val hashed = Curate.decontaminate(train, "doc_id", "text", ev, "text", n = 5)
+    val strings = Curate.decontaminate(train, "doc_id", "text", ev, "text", n = 5,
+      hashShingles = false)
+    val hm = hashed.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val sm = strings.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(hm == sm, "xxhash64-keyed join must reproduce the string join row-for-row")
+    // the broadcast side must carry 8-byte longs, not shingle strings:
+    // after execution the (AQE-wrapped) final plan prints the broadcast
+    // hash mode with its key type
+    val planStr = hashed.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastExchange") || planStr.contains("BroadcastQueryStage"),
+      "eval side must broadcast\n" + planStr.take(800))
+    assert(planStr.contains("HashedRelationBroadcastMode(List(input[0, bigint"),
+      "broadcast join key must be bigint (xxhash64), not string\n" + planStr.take(800))
+    val stringPlan = strings.queryExecution.executedPlan.toString
+    assert(stringPlan.contains("HashedRelationBroadcastMode(List(input[0, string"),
+      "string path must still join on the raw shingle\n" + stringPlan.take(800))
+  }
+
+  test("langQuality fused scan is bit-identical to langId + qualityScore + tokenCount") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val both = docs.select(
+        col("doc_id"),
+        graft.ops.TextOps.langQuality(col("text")).as("lq"),
+        graft.ops.TextOps.langId(col("text")).as("lang"),
+        graft.ops.TextOps.qualityScore(col("text")).as("quality"),
+        graft.ops.TextOps.tokenCount(col("text")).as("n_tokens"))
+      .where(col("lq._1") =!= col("lang") || col("lq._2") =!= col("quality") ||
+        col("lq._3") =!= col("n_tokens"))
+    assert(both.count() == 0, "fused profile diverged from the unfused operators")
+    // edge cases: empty text, double spaces, null
+    val edge = Seq((1L, ""), (2L, "a  b"), (3L, "the the the")).toDF("doc_id", "text")
+    val e = edge.select(
+        graft.ops.TextOps.langQuality(col("text")).as("lq"),
+        graft.ops.TextOps.qualityScore(col("text")).as("quality"),
+        graft.ops.TextOps.tokenCount(col("text")).as("n_tokens")).collect()
+    e.foreach { r =>
+      val lq = r.getStruct(0)
+      assert(lq.getDouble(1) == r.getDouble(1) && lq.getInt(2) == r.getInt(2))
+    }
+  }
+
   test("decontaminateStream flags contaminated docs across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
