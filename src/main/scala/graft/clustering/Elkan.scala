@@ -231,6 +231,11 @@ object ElkanLloydsIterator {
     var converged = false
     val distHist = Seq.newBuilder[Double]
     val moveHist = Seq.newBuilder[Double]
+    // skip-rate telemetry: how many bound-maintenance row steps resolved
+    // with zero distance work vs how many ran at all (the initial full
+    // scan is excluded — every loop pays it)
+    val skipAcc = sc.longAccumulator("elkanBoundSkips")
+    val rowAcc = sc.longAccumulator("elkanBoundRows")
 
     while (iter < cfg.maxIter && !converged) {
       // center update from current assignments; distortion ~ sum w/2 ub^2
@@ -295,7 +300,8 @@ object ElkanLloydsIterator {
                 if (j != cl && lbs2(j) < minOther) minOther = lbs2(j)
                 j += 1
               }
-              if (ub2 <= minOther) (cl, ub2, lbs2.toSeq) // zero distance work
+              rowAcc.add(1L)
+              if (ub2 <= minOther) { skipAcc.add(1L); (cl, ub2, lbs2.toSeq) } // zero distance work
               else {
                 val x = xs.toArray
                 // tighten ub to the exact distance first (Elkan step 3a)
@@ -318,9 +324,10 @@ object ElkanLloydsIterator {
             }
             else udf { (xs: Seq[Double], cl: Int, ub: Double, lbs: Seq[Double]) =>
               // Hamerly step: single bound, decayed by the max movement
+              rowAcc.add(1L)
               val ub2 = ub + bcM.value(cl)
               val lb2 = lbs(0) - maxM
-              if (ub2 <= lb2) (cl, ub2, Seq(lb2)) // bound holds: zero distance work
+              if (ub2 <= lb2) { skipAcc.add(1L); (cl, ub2, Seq(lb2)) } // bound holds: zero distance work
               else {
                 val x = xs.toArray
                 val (c, _, second, _) = ElkanAssignment.findClosest(x, bcC.value, bcD.value)
@@ -346,6 +353,9 @@ object ElkanLloydsIterator {
     }
     state.unpersist()
     if (cfg.managePersistence) data.unpersist()
-    LloydsResult(centers, iter, converged, distHist.result(), moveHist.result(), numPoints)
+    val skipRate =
+      if (rowAcc.value > 0L) Some(skipAcc.value.toDouble / rowAcc.value) else None
+    LloydsResult(centers, iter, converged, distHist.result(), moveHist.result(), numPoints,
+      skipRate)
   }
 }

@@ -107,7 +107,10 @@ case class TrainingSummary(
     distortionHistory: Seq[Double],
     movementHistory: Seq[Double],
     divergence: String,
-    elapsedMillis: Long) {
+    elapsedMillis: Long,
+    // Elkan/Hamerly loops: fraction of row-iteration steps resolved with
+    // zero distance work by the cross-iteration bounds; None elsewhere.
+    boundSkipRate: Option[Double] = None) {
   /** Distortion after the last completed iteration (reference:
     * ml/TrainingSummary.scala:55).
     */
@@ -195,7 +198,7 @@ class GeneralizedKMeans(override val uid: String)
     val summary = TrainingSummary("GeneralizedKMeans", $(k), result.centers.length, dim,
       result.numPoints, result.iterations, result.converged,
       result.distortionHistory, result.movementHistory, kern.name,
-      System.currentTimeMillis() - t0)
+      System.currentTimeMillis() - t0, result.boundSkipRate)
     val model = new GeneralizedKMeansModel(uid, result.centers, $(divergence), $(smoothing))
     copyValues(model.setParent(this))
     model.trainingSummary = Some(summary)

@@ -55,7 +55,12 @@ case class LloydsResult(
     converged: Boolean,
     distortionHistory: Seq[Double],
     movementHistory: Seq[Double],
-    numPoints: Long)
+    numPoints: Long,
+    // Fraction of row-iteration steps the cross-iteration triangle bounds
+    // resolved with ZERO distance computations (Elkan/Hamerly loops only;
+    // None for plain Lloyd). Telemetry from accumulators — approximate
+    // under cache-eviction recomputation.
+    boundSkipRate: Option[Double] = None)
 
 /** Assignment: append a `cluster` (argmin-divergence index) and `dist`
   * (min divergence) column for a broadcast set of centers.

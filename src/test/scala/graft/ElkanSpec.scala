@@ -92,6 +92,34 @@ class ElkanSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("k=50: per-center bounds skip more than the single Hamerly bound, and the summary reports it") {
+    // the regime full per-center bounds exist for: many centers, so a
+    // single min-other bound is loose (any center's movement decays it)
+    // while per-center bounds only decay by each center's OWN movement
+    val df = blobs(20, 50, 23).cache()
+    def fitWith(strategy: String) = new GeneralizedKMeans()
+      .setK(50).setSeed(31).setMaxIter(15).setTol(0.0)
+      .setAssignmentStrategy(strategy).fit(df)
+    val elkan = fitWith("elkan")
+    val hamerly = fitWith("hamerly")
+    val eRate = elkan.summary.boundSkipRate
+    val hRate = hamerly.summary.boundSkipRate
+    assert(eRate.isDefined && hRate.isDefined, "accelerated loops must report a skip rate")
+    assert(eRate.get >= 0.0 && eRate.get <= 1.0 && hRate.get >= 0.0 && hRate.get <= 1.0)
+    assert(eRate.get > hRate.get,
+      f"per-center bounds should skip more at k=50: elkan=${eRate.get}%.3f hamerly=${hRate.get}%.3f")
+    assert(eRate.get > 0.5,
+      f"with converging centers most row steps should be bound-resolved, got ${eRate.get}%.3f")
+    // losslessness at this k too: same centers from the same seed
+    elkan.clusterCenters.zip(hamerly.clusterCenters).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+    // the plain loop reports no skip rate
+    val plain = new GeneralizedKMeans().setK(8).setSeed(31).setMaxIter(3).fit(df)
+    assert(plain.summary.boundSkipRate.isEmpty)
+    df.unpersist()
+  }
+
   test("elkan falls back gracefully for non-SE divergences") {
     import spark.implicits._
     val df = (1 to 50).map(i => Seq(0.1 + i * 0.01, 0.2, 0.3)).toDF("features")
