@@ -121,6 +121,87 @@ object Curate {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** One-call STREAMING curation — the ingest-time counterpart of
+    * [[curate]]: language/quality filter, bounded-state dedup (exact
+    * content within the watermark horizon; optionally simhash near-dup),
+    * then decontamination against a static eval set, emitting surviving
+    * (id, ts, quality, n_tokens) rows in append mode.
+    *
+    * Stream-safety by construction: the filter and the decontamination
+    * are STATELESS projections — the filter is the fused one-pass
+    * [[TextOps.langQuality]] scan, and the eval set is collected ONCE
+    * (with [[decontaminateStream]]'s size guard) into a broadcast sorted
+    * array of 64-bit shingle hashes probed per row by binary search, so
+    * no stream-static join and no second aggregation enter the plan. The
+    * only stateful operators are the dropDuplicatesWithinWatermark
+    * stores (one row per distinct key inside the horizon). Late rows
+    * beyond the watermark are dropped by the dedup stage — the standard
+    * ingest contract. Works identically on batch frames.
+    */
+  def curateStream(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      watermark: String = "1 hour",
+      nearDupDedup: Boolean = true,
+      n: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashSeed = 0x27d4eb2f165667c5L
+    val hashUdf = udf { (s: String) => graft.util.Hashing.hashString(s, hashSeed) }
+    val distinctHashes = evalDocs
+      .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("__sh"))
+      .select(hashUdf(col("__sh")).as("h"))
+      .distinct()
+    val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
+      .map(_.toLong).getOrElse(50000000L)
+    val nShingles = distinctHashes.count()
+    require(nShingles <= cap,
+      s"eval set explodes to $nShingles distinct $n-gram shingles, above the " +
+        s"driver-collect cap of $cap. Shrink the eval set or raise " +
+        "graft.decontaminate.maxEvalShingles.")
+    // sorted primitive array + binary search: 8 bytes per shingle and no
+    // boxing — the broadcast stays compact even at tens of millions
+    val evalHashes: Array[Long] = distinctHashes.as[Long].collect().sorted
+    val bc = spark.sparkContext.broadcast(evalHashes)
+    val filtered = docs
+      .select(col(idCol).cast("long").as(idCol), col(tsCol), col(textCol),
+        TextOps.langQuality(col(textCol)).as("__lq"))
+      .where(col("__lq._1") === lit(lang) && col("__lq._2") >= lit(minQuality))
+    val exactDeduped = graft.streaming.StreamDedup.exact(filtered, tsCol, textCol, watermark)
+    val deduped =
+      if (nearDupDedup)
+        // the watermark is already defined by the exact stage; Spark
+        // forbids redefining it on the same stream
+        graft.streaming.StreamDedup.simhash(exactDeduped, tsCol, textCol, watermark,
+          assumeWatermarked = true)
+      else exactDeduped
+    val hitsUdf = udf { (shingles: Seq[String]) =>
+      if (shingles == null) 0
+      else {
+        val arr = bc.value
+        var hits = 0
+        val it = shingles.iterator
+        while (it.hasNext) {
+          if (java.util.Arrays.binarySearch(arr, graft.util.Hashing.hashString(it.next(), hashSeed)) >= 0)
+            hits += 1
+        }
+        hits
+      }
+    }
+    deduped
+      .withColumn("__hits", hitsUdf(TextOps.wordShingles(col(textCol), n)))
+      .where(col("__hits") < minHits)
+      .select(col(idCol), col(tsCol),
+        col("__lq._2").as("quality"), col("__lq._3").as("n_tokens"))
+  }
+
   /** Streaming decontamination: flag documents of a STREAM against a
     * static eval set as they arrive. The stream side explodes to
     * (doc_id, shingle) and inner-joins the broadcast eval shingles — a

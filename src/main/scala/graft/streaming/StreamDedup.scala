@@ -29,18 +29,22 @@ object StreamDedup {
     * @param tsCol     event-time column (timestamp)
     * @param contentCol column whose exact value defines a duplicate
     * @param watermark  how long a key is remembered, e.g. "1 hour"
+    * @param assumeWatermarked set when `docs` ALREADY carries a watermark
+    *   (e.g. chaining dedup stages — Spark forbids redefining one);
+    *   `watermark` is then ignored
     */
   def exact(
       docs: DataFrame,
       tsCol: String,
       contentCol: String,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      assumeWatermarked: Boolean = false): DataFrame = {
     val keyed = docs.withColumn("__dedup_key", xxhash64(col(contentCol)))
     val out =
-      if (docs.isStreaming)
-        keyed.withWatermark(tsCol, watermark)
-          .dropDuplicatesWithinWatermark("__dedup_key")
-      else keyed.dropDuplicates("__dedup_key")
+      if (docs.isStreaming) {
+        val wm = if (assumeWatermarked) keyed else keyed.withWatermark(tsCol, watermark)
+        wm.dropDuplicatesWithinWatermark("__dedup_key")
+      } else keyed.dropDuplicates("__dedup_key")
     out.drop("__dedup_key")
   }
 
@@ -56,14 +60,15 @@ object StreamDedup {
       docs: DataFrame,
       tsCol: String,
       textCol: String,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      assumeWatermarked: Boolean = false): DataFrame = {
     val keyed = docs.withColumn("__sim_key",
       Dedup.simhashUdf(split(col(textCol), " ")))
     val out =
-      if (docs.isStreaming)
-        keyed.withWatermark(tsCol, watermark)
-          .dropDuplicatesWithinWatermark("__sim_key")
-      else keyed.dropDuplicates("__sim_key")
+      if (docs.isStreaming) {
+        val wm = if (assumeWatermarked) keyed else keyed.withWatermark(tsCol, watermark)
+        wm.dropDuplicatesWithinWatermark("__sim_key")
+      } else keyed.dropDuplicates("__sim_key")
     out.drop("__sim_key")
   }
 
