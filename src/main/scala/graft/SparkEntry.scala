@@ -867,6 +867,24 @@ object SparkEntry {
       graft.ops.Curate.curate(t(dir, "documents"), "doc_id", "text",
         lang = "en", minQuality = 0.5, jaccardThreshold = 0.7)
     },
+    // The one-call STREAMING curation composition, run on its batch-mode
+    // parity path (deterministic earliest-(ts, id) keeper): quality/lang
+    // filter -> exact dedup -> decontamination against the doc_id%50==0
+    // eval subset. Simhash near-dup stage off (its internal hash isn't
+    // SQL-replayable); decontamination joins on 64-bit shingle hashes on
+    // the Spark side and raw strings in DuckDB — identical up to 2^-64
+    // collisions. ts = epoch + doc_id seconds, so arrival order == id
+    // order.
+    "q_curate_stream" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      graft.ops.Curate.curateStream(
+        docs.where(col("doc_id") % 50 =!= 0), "doc_id", "ts", "text",
+        docs.where(col("doc_id") % 50 === 0), "text",
+        lang = "en", minQuality = 0.5, nearDupDedup = false, n = 5)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+    },
     "q_unigram_nll" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       graft.ops.TextOps.unigramNll(t(dir, "documents"), "doc_id", "text")
@@ -2595,6 +2613,48 @@ object SparkEntry {
         |  coalesce(h.n_hits, 0) >= 1 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q_curate_stream" ->
+      """WITH sc AS MATERIALIZED (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','is'))) AS s_en,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que'))) AS s_es,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','et','les'))) AS s_fr,
+        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','und','das'))) AS s_de,
+        |    round(least(length(text) / 500.0, 1.0) * 0.4
+        |      + least(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the','a','of','and','to','in','is','it')))
+        |          * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.4
+        |      + (1.0 - least(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
+        |          * 1.0 / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |filt AS MATERIALIZED (
+        |  SELECT doc_id, text, quality, n_tokens FROM sc
+        |  WHERE quality >= 0.5 AND (CASE
+        |    WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |    WHEN s_es > s_en AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |    WHEN s_fr > s_en AND s_fr > s_es AND s_fr >= s_de THEN 'fr'
+        |    WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+        |    ELSE 'en' END) = 'en'),
+        |-- deterministic batch keeper: earliest (ts, id) per exact text;
+        |-- ts is monotone in doc_id, so min(doc_id) is THE keeper
+        |uniq AS MATERIALIZED (
+        |  SELECT doc_id, text, quality, n_tokens FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM filt) WHERE rn = 1),
+        |ev AS MATERIALIZED (SELECT DISTINCT sh FROM (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+        |  FROM documents WHERE doc_id % 50 = 0)),
+        |tr AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+        |  FROM uniq),
+        |contaminated AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (sh))
+        |SELECT u.doc_id, u.quality, u.n_tokens FROM uniq u
+        |WHERE u.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
     "q_curate_corpus" ->
       """WITH RECURSIVE
         |sc AS MATERIALIZED (

@@ -136,7 +136,9 @@ object Curate {
     * only stateful operators are the dropDuplicatesWithinWatermark
     * stores (one row per distinct key inside the horizon). Late rows
     * beyond the watermark are dropped by the dedup stage — the standard
-    * ingest contract. Works identically on batch frames.
+    * ingest contract. Batch frames run the same composition with a
+    * DETERMINISTIC dedup keeper (earliest (ts, id) per key — the batch
+    * analogue of first-arrival-wins).
     */
   def curateStream(
       docs: DataFrame,
@@ -174,14 +176,30 @@ object Curate {
       .select(col(idCol).cast("long").as(idCol), col(tsCol), col(textCol),
         TextOps.langQuality(col(textCol)).as("__lq"))
       .where(col("__lq._1") === lit(lang) && col("__lq._2") >= lit(minQuality))
-    val exactDeduped = graft.streaming.StreamDedup.exact(filtered, tsCol, textCol, watermark)
+    // batch frames get a DETERMINISTIC keeper — the earliest (ts, id) row
+    // per key, the batch analogue of streaming first-arrival-wins — so the
+    // composition is reproducible (and oracle-checkable); the streaming
+    // path's keeper is first-arrival by construction
+    def batchKeepers(df: DataFrame, key: Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key).orderBy(col(tsCol), col(idCol))
+      df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    }
     val deduped =
-      if (nearDupDedup)
-        // the watermark is already defined by the exact stage; Spark
-        // forbids redefining it on the same stream
-        graft.streaming.StreamDedup.simhash(exactDeduped, tsCol, textCol, watermark,
-          assumeWatermarked = true)
-      else exactDeduped
+      if (docs.isStreaming) {
+        val e = graft.streaming.StreamDedup.exact(filtered, tsCol, textCol, watermark)
+        if (nearDupDedup)
+          // the watermark is already defined by the exact stage; Spark
+          // forbids redefining it on the same stream
+          graft.streaming.StreamDedup.simhash(e, tsCol, textCol, watermark,
+            assumeWatermarked = true)
+        else e
+      } else {
+        val e = batchKeepers(filtered, xxhash64(col(textCol)))
+        if (nearDupDedup)
+          batchKeepers(e, Dedup.simhashUdf(split(col(textCol), " ")))
+        else e
+      }
     val hitsUdf = udf { (shingles: Seq[String]) =>
       if (shingles == null) 0
       else {
