@@ -174,19 +174,92 @@ object Multimodal {
     out
   }
 
+  /** Real audio decoder (JDK-builtin javax.sound.sampled — no external
+    * codec dependency): decode WAV/AIFF/AU bytes to `targetDim` windowed
+    * RMS-energy features in [0, 1] — the sample stream is split into
+    * targetDim equal windows and each emits its root-mean-square
+    * amplitude (mono-mixed, PCM normalized by the sample width). The
+    * standard cheap audio profile: silence detection, clipping/level
+    * checks, and coarse envelope similarity all read off it. Undecodable
+    * bytes fall back to [[decodeStub]].
+    */
+  def decodeAudio(bytes: Array[Byte], targetDim: Int): Array[Float] = {
+    val out = new Array[Float](targetDim)
+    if (bytes == null || bytes.isEmpty) return out
+    val stream =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (stream == null) return decodeStub(bytes, targetDim)
+    try {
+      val fmt = stream.getFormat
+      val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+      val channels = math.max(1, fmt.getChannels)
+      val raw = stream.readAllBytes()
+      val frameBytes = bytesPerSample * channels
+      val nFrames = raw.length / frameBytes
+      if (nFrames == 0) return decodeStub(bytes, targetDim)
+      val bigEndian = fmt.isBigEndian
+      val signed = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val fullScale = math.pow(2.0, fmt.getSampleSizeInBits - 1)
+      // mono-mix each frame to one sample in [-1, 1]
+      def sampleAt(frame: Int): Double = {
+        var mix = 0.0
+        var ch = 0
+        while (ch < channels) {
+          val base = frame * frameBytes + ch * bytesPerSample
+          var v = 0L
+          var b = 0
+          while (b < bytesPerSample) {
+            val idx = base + (if (bigEndian) b else bytesPerSample - 1 - b)
+            v = (v << 8) | (raw(idx) & 0xFFL)
+            b += 1
+          }
+          val bits = bytesPerSample * 8
+          var s = v
+          if (signed) { // sign-extend
+            val signBit = 1L << (bits - 1)
+            if ((s & signBit) != 0) s = s - (1L << bits)
+          } else s = s - (1L << (bits - 1)) // unsigned PCM centers at mid-scale
+          mix += s.toDouble / fullScale
+          ch += 1
+        }
+        mix / channels
+      }
+      var w = 0
+      while (w < targetDim) {
+        val from = (w.toLong * nFrames / targetDim).toInt
+        val until = math.max(from + 1, ((w + 1).toLong * nFrames / targetDim).toInt)
+        var sumSq = 0.0
+        var i = from
+        while (i < until && i < nFrames) { val s = sampleAt(i); sumSq += s * s; i += 1 }
+        out(w) = math.min(1.0, math.sqrt(sumSq / (until - from))).toFloat
+        w += 1
+      }
+      out
+    } finally stream.close()
+  }
+
   private val ImageFormats =
     Set("png", "jpg", "jpeg", "gif", "bmp", "wbmp", "tiff", "tif")
+  private val AudioFormats =
+    Set("wav", "wave", "x-wav", "aiff", "x-aiff", "aif", "au", "basic", "snd")
 
   /** Decoder selection by the `meta.format` string (a format short-name
-    * or MIME type): image formats javax.imageio handles get the real
-    * pixel decoder; everything else (utf8 text, audio/video formats whose
+    * or MIME type): image formats get the javax.imageio pixel decoder,
+    * WAV/AIFF/AU get the javax.sound.sampled RMS-envelope decoder;
+    * everything else (utf8 text, video and compressed-audio formats whose
     * codecs aren't JDK-builtin) takes the deterministic stub, which keeps
     * those rows oracle-replayable.
     */
   def decoderFor(format: String, targetDim: Int): Array[Byte] => Array[Float] = {
     val f = if (format == null) "" else format.toLowerCase(java.util.Locale.ROOT)
-    val short = f.stripPrefix("image/")
+    val short = f.stripPrefix("image/").stripPrefix("audio/")
     if (ImageFormats.contains(short)) decodeImage(_, targetDim)
+    else if (AudioFormats.contains(short)) decodeAudio(_, targetDim)
     else decodeStub(_, targetDim)
   }
 

@@ -95,6 +95,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(junk, 16).toSeq == Multimodal.decodeStub(junk, 16).toSeq)
   }
 
+  /** A real 16-bit mono WAV, generated with the JDK's own encoder: first
+    * half silence, second half a full-scale square wave — RMS envelope
+    * features known analytically (0 then ~1).
+    */
+  private def halfSilentWav(nSamples: Int = 8000): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- nSamples / 2 until nSamples) {
+      val v: Short = if (i % 2 == 0) 0x7FFF.toShort else 0x8001.toShort
+      pcm(i * 2) = (v & 0xFF).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio: real WAV decodes to analytic RMS-envelope features") {
+    val feat = Multimodal.decodeAudio(halfSilentWav(), targetDim = 8)
+    assert(feat.length == 8)
+    for (w <- 0 until 4)
+      assert(feat(w) < 1e-3, s"window $w should be silent, got ${feat(w)}")
+    for (w <- 4 until 8)
+      assert(feat(w) > 0.95, s"window $w should be near full scale, got ${feat(w)}")
+    // corrupt bytes fall back to the stub, not an exception
+    val junk = Array.tabulate(64)(_.toByte)
+    assert(Multimodal.decodeAudio(junk, 8).toSeq == Multimodal.decodeStub(junk, 8).toSeq)
+    // routed through extractFeatures by meta.format, short name and MIME
+    val wav = halfSilentWav()
+    assert(Multimodal.decoderFor("wav", 8)(wav).toSeq == feat.toSeq)
+    assert(Multimodal.decoderFor("audio/wav", 8)(wav).toSeq == feat.toSeq)
+    assert(Multimodal.decoderFor("mp3", 8)(wav).toSeq == Multimodal.decodeStub(wav, 8).toSeq,
+      "compressed-audio formats without a JDK codec must stay on the stub")
+  }
+
   test("decoderFor selects by format short-name or MIME type") {
     val png = halfBlackPng()
     val viaShort = Multimodal.decoderFor("png", 16)(png)
