@@ -129,7 +129,11 @@ object TextOps {
     * langId / qualityScore / tokenCount by construction: same Spark
     * split(" ", -1) tokenization, same arithmetic in the same IEEE order,
     * same HALF_UP rounding via BigDecimal.valueOf (Catalyst's round), so
-    * the existing ANSI-SQL oracles replay it unchanged.
+    * the existing ANSI-SQL oracles replay it unchanged. Character counts
+    * use UTF-16 units, which equal Catalyst's code-point length() for all
+    * BMP text — supplementary-plane characters (emoji etc.) would count
+    * as 2 here vs 1 there; the equality test pins parity on the real
+    * corpus.
     */
   def langQuality(text: Column): Column = langQualityUdf(text)
 

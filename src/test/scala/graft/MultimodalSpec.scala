@@ -133,6 +133,23 @@ class MultimodalSpec extends SparkSpec {
       "compressed-audio formats without a JDK codec must stay on the stub")
   }
 
+  test("decodeAudio handles 8-bit unsigned PCM (the other WAV encoding)") {
+    val n = 4000
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val pcm = new Array[Byte](n)
+    java.util.Arrays.fill(pcm, 0, n / 2, 0x80.toByte) // mid-scale = silence
+    for (i <- n / 2 until n) pcm(i) = (if (i % 2 == 0) 0xFF else 0x00).toByte // full swing
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val feat = Multimodal.decodeAudio(bos.toByteArray, targetDim = 4)
+    assert(feat(0) < 0.02 && feat(1) < 0.02, s"first half should be silent, got ${feat.toSeq}")
+    assert(feat(2) > 0.9 && feat(3) > 0.9, s"second half should be near full scale, got ${feat.toSeq}")
+  }
+
   test("decoderFor selects by format short-name or MIME type") {
     val png = halfBlackPng()
     val viaShort = Multimodal.decoderFor("png", 16)(png)
