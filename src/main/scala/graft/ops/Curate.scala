@@ -40,9 +40,12 @@ object Curate {
     // ONE traversal per row (TextOps.langQuality) instead of ~5 — the
     // langid/quality/token semantics (and their SQL oracles) are
     // unchanged, only the number of passes over each document drops.
-    val base = docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"),
-        TextOps.langQuality(col(textCol)).as("lq"))
+    // fanOut first: the scan is CPU-heavy per row and must not inherit a
+    // single-row-group file's 1-task parallelism (same guard as Dedup).
+    val base = Dedup.fanOut(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"), col("text"),
+        TextOps.langQuality(col("text")).as("lq"))
       .where(col("lq._1") === lit(lang) && col("lq._2") >= lit(minQuality))
       .select(col("doc_id"), col("text"),
         col("lq._2").as("quality"), col("lq._3").as("n_tokens"))
@@ -104,13 +107,15 @@ object Curate {
       minHits: Int = 1,
       hashShingles: Boolean = true): DataFrame = {
     def key(c: Column): Column = if (hashShingles) xxhash64(c) else c
-    val evalShingles = evalDocs
-      .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("__sh"))
+    // fanOut both shingle scans: shingle materialization is the CPU-heavy
+    // map stage and must not serialize on a single-row-group input file
+    val evalShingles = Dedup.fanOut(evalDocs.select(col(evalTextCol).as("__t")))
+      .select(explode(TextOps.wordShingles(col("__t"), n)).as("__sh"))
       .select(key(col("__sh")).as("sh"))
       .distinct()
-    val trainShingles = train
-      .select(col(trainIdCol).cast("long").as("doc_id"),
-        explode(TextOps.wordShingles(col(trainTextCol), n)).as("__sh"))
+    val trainShingles = Dedup.fanOut(
+      train.select(col(trainIdCol).cast("long").as("doc_id"), col(trainTextCol).as("__t")))
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("__t"), n)).as("__sh"))
       .select(col("doc_id"), key(col("__sh")).as("sh"))
     val hits = trainShingles
       .join(broadcast(evalShingles), "sh")
@@ -157,8 +162,8 @@ object Curate {
     import spark.implicits._
     val hashSeed = 0x27d4eb2f165667c5L
     val hashUdf = udf { (s: String) => graft.util.Hashing.hashString(s, hashSeed) }
-    val distinctHashes = evalDocs
-      .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("__sh"))
+    val distinctHashes = Dedup.fanOut(evalDocs.select(col(evalTextCol).as("__t")))
+      .select(explode(TextOps.wordShingles(col("__t"), n)).as("__sh"))
       .select(hashUdf(col("__sh")).as("h"))
       .distinct()
     val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
@@ -172,9 +177,9 @@ object Curate {
     // boxing — the broadcast stays compact even at tens of millions
     val evalHashes: Array[Long] = distinctHashes.as[Long].collect().sorted
     val bc = spark.sparkContext.broadcast(evalHashes)
-    val filtered = docs
-      .select(col(idCol).cast("long").as(idCol), col(tsCol), col(textCol),
-        TextOps.langQuality(col(textCol)).as("__lq"))
+    val filtered = Dedup.fanOut(
+      docs.select(col(idCol).cast("long").as(idCol), col(tsCol), col(textCol)))
+      .withColumn("__lq", TextOps.langQuality(col(textCol)))
       .where(col("__lq._1") === lit(lang) && col("__lq._2") >= lit(minQuality))
     // batch frames get a DETERMINISTIC keeper — the earliest (ts, id) row
     // per key, the batch analogue of streaming first-arrival-wins — so the
@@ -251,8 +256,8 @@ object Curate {
     // hashShingles (default): collect and broadcast 8-byte longs instead
     // of strings — same exact-up-to-xxhash64-collision contract as
     // [[decontaminate]], and an order of magnitude less driver memory
-    val distinctShingles = evalDocs
-      .select(explode(TextOps.wordShingles(col(evalTextCol), n)).as("__sh"))
+    val distinctShingles = Dedup.fanOut(evalDocs.select(col(evalTextCol).as("__t")))
+      .select(explode(TextOps.wordShingles(col("__t"), n)).as("__sh"))
       .select((if (hashShingles) xxhash64(col("__sh")) else col("__sh")).as("sh"))
       .distinct()
     // guard the driver collect: an unexpectedly large eval set should fail

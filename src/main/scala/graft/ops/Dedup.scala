@@ -39,7 +39,8 @@ object Dedup {
     * default parallelism: at real scale input splits already exceed it
     * and this is a no-op with zero added shuffle.
     */
-  private def fanOut(df: DataFrame): DataFrame = {
+  private[ops] def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batch partitioning is the planner's
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }

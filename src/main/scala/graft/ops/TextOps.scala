@@ -237,11 +237,16 @@ object TextOps {
     */
   /** Shared tokenize-and-explode step: one definition of "token" for
     * every corpus-statistics operator (space split, empties dropped) —
-    * a tokenization change must not silently desynchronize them.
+    * a tokenization change must not silently desynchronize them. The
+    * projection fans out first (Dedup.fanOut) so the tokenize/explode
+    * map stage never serializes on a single-row-group input file.
     */
-  private def explodeTokens(docs: DataFrame, idExpr: Column, textCol: String): DataFrame =
-    docs.select(idExpr, explode(split(col(textCol), " ")).as("token"))
+  private def explodeTokens(docs: DataFrame, idExpr: Column, textCol: String): DataFrame = {
+    val projected = Dedup.fanOut(docs.select(idExpr, col(textCol).as("__text")))
+    val idName = projected.columns(0)
+    projected.select(col(idName), explode(split(col("__text"), " ")).as("token"))
       .where(col("token") =!= "")
+  }
 
   def vocabStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = explodeTokens(docs, col(idCol).as("__doc"), textCol)
