@@ -88,8 +88,11 @@ object IvfIndex {
       nCells: Int,
       maxIter: Int = 5,
       seed: Long = 42L): IvfIndex = {
-    val c = corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    // fan out before persisting: the coarse-quantizer fit and the cell
+    // assignment both scan this cached frame with CPU-heavy closures and
+    // would otherwise inherit a single-row-group file's 1-task parallelism
+    val c = Dedup.fanOut(corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = c.count()
     // random init: a coarse quantizer needs rough Voronoi cells, not

@@ -286,7 +286,9 @@ object Multimodal {
       (mIdx, mType.fieldIndex("format"))
     }
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.mapPartitions { rows =>
+    // real codecs cost milliseconds per payload — fan the scan out so the
+    // decode stage never serializes on a single-row-group input file
+    Dedup.fanOut(df).mapPartitions { rows =>
       // per-partition decoder setup happens HERE (once per distinct
       // format), not per row
       val cache = scala.collection.mutable.HashMap.empty[String, Array[Byte] => Array[Float]]

@@ -124,7 +124,11 @@ object Similarity {
       vecCol: String,
       k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    // the per-pair cosine scan is the CPU-heavy map stage — fan out so it
+    // never serializes on a single-row-group corpus file (Dedup's guard:
+    // no-op when input splits already cover the cluster)
+    val c = Dedup.fanOut(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
