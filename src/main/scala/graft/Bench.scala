@@ -120,6 +120,7 @@ object Bench {
     // Contention sentinel: a median still >3x the fastest pass means no
     // clean majority of passes exists — take up to 2 extra measurements
     // and re-median over everything.
+    val resampled = scala.collection.mutable.ListBuffer[String]()
     val results = selected.map { case (name, fn) =>
       var times = passTimes(name).filter(_ >= 0)
       val failed = times.isEmpty
@@ -131,6 +132,7 @@ object Bench {
           if (t >= 0) times = times :+ t
           extra += 1
         }
+        if (extra > 0) resampled += name
       }
       name -> (if (failed) -1.0 else median(times))
     }
@@ -146,7 +148,10 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val nFail = results.count(_._2 < 0)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.length},"n_failed":$nFail,"passes":$repeat,"slowest":$slowest,"detail":"per-query medians on the full queries line above"}""")
+    // "passes" is the BASE count; queries the sentinel re-measured (their
+    // medians span more passes) are named so the extra samples are visible
+    val resampledJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.length},"n_failed":$nFail,"passes":$repeat,"resampled":$resampledJson,"slowest":$slowest,"detail":"per-query medians on the full queries line above"}""")
     spark.stop()
   }
 }

@@ -162,10 +162,13 @@ object Curate {
     import spark.implicits._
     val hashSeed = 0x27d4eb2f165667c5L
     val hashUdf = udf { (s: String) => graft.util.Hashing.hashString(s, hashSeed) }
+    // persist before the cap check so the count and the collect share one
+    // execution of the shingle scan instead of running it twice
     val distinctHashes = Dedup.fanOut(evalDocs.select(col(evalTextCol).as("__t")))
       .select(explode(TextOps.wordShingles(col("__t"), n)).as("__sh"))
       .select(hashUdf(col("__sh")).as("h"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
       .map(_.toLong).getOrElse(50000000L)
     val nShingles = distinctHashes.count()
@@ -175,7 +178,9 @@ object Curate {
         "graft.decontaminate.maxEvalShingles.")
     // sorted primitive array + binary search: 8 bytes per shingle and no
     // boxing — the broadcast stays compact even at tens of millions
-    val evalHashes: Array[Long] = distinctHashes.as[Long].collect().sorted
+    val evalHashes: Array[Long] =
+      try distinctHashes.as[Long].collect().sorted
+      finally distinctHashes.unpersist()
     val bc = spark.sparkContext.broadcast(evalHashes)
     val filtered = Dedup.fanOut(
       docs.select(col(idCol).cast("long").as(idCol), col(tsCol), col(textCol)))
@@ -256,10 +261,13 @@ object Curate {
     // hashShingles (default): collect and broadcast 8-byte longs instead
     // of strings — same exact-up-to-xxhash64-collision contract as
     // [[decontaminate]], and an order of magnitude less driver memory
+    // persist before the cap check so the count and the collect share one
+    // execution of the shingle scan instead of running it twice
     val distinctShingles = Dedup.fanOut(evalDocs.select(col(evalTextCol).as("__t")))
       .select(explode(TextOps.wordShingles(col("__t"), n)).as("__sh"))
       .select((if (hashShingles) xxhash64(col("__sh")) else col("__sh")).as("sh"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // guard the driver collect: an unexpectedly large eval set should fail
     // with a clear message, not OOM the driver mid-collect
     val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
@@ -271,8 +279,10 @@ object Curate {
         "eval side, so it must fit on the driver). Shrink the eval set or " +
         "raise graft.decontaminate.maxEvalShingles.")
     val evalShingles =
-      if (hashShingles) distinctShingles.as[Long].collect().toSeq.toDF("sh")
-      else distinctShingles.as[String].collect().toSeq.toDF("sh")
+      try {
+        if (hashShingles) distinctShingles.as[Long].collect().toSeq.toDF("sh")
+        else distinctShingles.as[String].collect().toSeq.toDF("sh")
+      } finally distinctShingles.unpersist()
     train
       .select(col(trainIdCol).cast("long").as("doc_id"),
         explode(TextOps.wordShingles(col(trainTextCol), n)).as("__sh"))

@@ -41,6 +41,19 @@ object Dedup {
     */
   private[ops] def fanOut(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch partitioning is the planner's
+    // only scan-shaped plans (leaf + projections/filters) can suffer the
+    // 1-task file-split problem; anything downstream of a shuffle already
+    // has shuffle.partitions-way parallelism. The gate also keeps the
+    // getNumPartitions probe below from materializing upstream stages
+    // under AQE (df.rdd on a plan with exchanges runs real jobs).
+    def scanShaped(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+      case n: org.apache.spark.sql.catalyst.plans.logical.Project => scanShaped(n.child)
+      case n: org.apache.spark.sql.catalyst.plans.logical.Filter => scanShaped(n.child)
+      case n: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => scanShaped(n.child)
+      case _ => false
+    }
+    if (!scanShaped(df.queryExecution.optimizedPlan)) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }

@@ -9,15 +9,21 @@ import org.apache.spark.sql.types._
   * a typed metadata struct; decode / feature-extraction / frame-sampling
   * run distributed over the bytes.
   *
-  * The DECODE step is a clearly-marked deterministic STUB — real codec
-  * libraries are not available in this environment — but everything
-  * Spark-side is real and tested: the schema contract, the binary
-  * fingerprint dedup (one hash aggregate, same shape as text dedup), the
+  * DECODE is real where the JDK ships a codec — [[decodeImage]]
+  * (javax.imageio: PNG/JPEG/GIF/BMP) and [[decodeAudio]]
+  * (javax.sound.sampled: WAV/AIFF/AU) — selected per row from the typed
+  * metadata's format/MIME by [[decoderFor]]. Formats without a JDK codec
+  * (video, compressed audio) and rows without metadata take
+  * [[decodeStub]], a deterministic payload-derived fake that keeps those
+  * rows oracle-replayable; undecodable payloads degrade to the stub
+  * instead of failing the partition. Everything Spark-side is shared
+  * across the three: the schema contract, the binary fingerprint dedup
+  * (one hash aggregate, same shape as text dedup), the
   * referential-integrity check (anti join), the per-partition batch
-  * processing pattern (one "decoder" instance per partition, the Scala
-  * analogue of mapInPandas batch semantics), and the byte-range frame
-  * sampler. Swapping the stub for javax.imageio/ffmpeg changes ONE
-  * function.
+  * processing pattern (one decoder instance per format per partition, the
+  * Scala analogue of mapInPandas batch semantics), and the byte-range
+  * frame sampler. Adding an external codec (ffmpeg etc.) means adding one
+  * function and one routing entry.
   *
   * Scale notes: payloads never reach the driver; fingerprints are
   * codegen'd hash expressions so dedup is a plain hash aggregate; the
@@ -133,9 +139,12 @@ object Multimodal {
   def decodeImage(bytes: Array[Byte], targetDim: Int): Array[Float] = {
     val out = new Array[Float](targetDim)
     if (bytes == null || bytes.isEmpty) return out
+    // NonFatal, not just IOException: imageio plugins throw runtime
+    // exceptions (AIOOBE, NegativeArraySize, ...) on malformed payloads,
+    // and a corrupt row must degrade to the stub, never fail the partition
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return decodeStub(bytes, targetDim)
     val g = math.max(1, math.sqrt(targetDim.toDouble).toInt)
     val w = img.getWidth
@@ -186,13 +195,26 @@ object Multimodal {
   def decodeAudio(bytes: Array[Byte], targetDim: Int): Array[Float] = {
     val out = new Array[Float](targetDim)
     if (bytes == null || bytes.isEmpty) return out
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    // NonFatal, not just IOException: codec plugins throw runtime
+    // exceptions on malformed containers, and a corrupt row must degrade
+    // to the stub, never fail the partition
     val stream =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
-      }
+      try {
+        val raw = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val enc = raw.getFormat.getEncoding
+        if (enc == AudioFormat.Encoding.PCM_SIGNED || enc == AudioFormat.Encoding.PCM_UNSIGNED)
+          raw
+        else {
+          // mu-law/A-law AU, float WAV, ...: convert to linear signed PCM
+          // (the JDK ships these converters) rather than misreading the
+          // raw bit patterns as linear samples
+          val f = raw.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, 2 * f.getChannels, f.getSampleRate, false)
+          AudioSystem.getAudioInputStream(target, raw)
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
     if (stream == null) return decodeStub(bytes, targetDim)
     try {
       val fmt = stream.getFormat
@@ -240,6 +262,10 @@ object Multimodal {
         w += 1
       }
       out
+    } catch {
+      // frame parsing on a structurally-valid-but-lying header must
+      // degrade the same way as an unopenable payload
+      case scala.util.control.NonFatal(_) => decodeStub(bytes, targetDim)
     } finally stream.close()
   }
 

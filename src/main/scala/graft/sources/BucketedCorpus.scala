@@ -53,14 +53,22 @@ object BucketedCorpus {
     */
   def colocated(spark: SparkSession, tableA: String, tableB: String, keyCol: String): Boolean = {
     def spec(t: String): Option[(Seq[String], Int)] = {
-      // total predicate: a missing table is simply "not co-located".
-      // Read bucketSpec from the catalog's structured metadata — parsing
-      // DESCRIBE TABLE EXTENDED's human-readable rows is brittle across
-      // Spark versions and silently returns false on format drift.
-      if (!spark.catalog.tableExists(t)) return None
-      val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
-      spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
-        .map(bs => (bs.bucketColumnNames.toSeq, bs.numBuckets))
+      // total predicate: anything that isn't a bucketed catalog table —
+      // missing names, temp views, unparseable identifiers — is simply
+      // "not co-located", never an exception. Reads bucketSpec from the
+      // catalog's structured metadata (parsing DESCRIBE TABLE EXTENDED's
+      // human-readable rows was brittle across Spark versions and
+      // silently returned false on format drift).
+      try {
+        if (!spark.catalog.tableExists(t)) return None
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(t)
+        spark.sessionState.catalog.getTableMetadata(ident).bucketSpec
+          .map(bs => (bs.bucketColumnNames.toSeq, bs.numBuckets))
+      } catch {
+        // temp views pass tableExists but have no external-catalog entry;
+        // 3-part or special-character names fail the 2-part parser
+        case scala.util.control.NonFatal(_) => None
+      }
     }
     (spec(tableA), spec(tableB)) match {
       case (Some((ca, na)), Some((cb, nb))) =>

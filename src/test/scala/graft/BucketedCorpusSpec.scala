@@ -48,6 +48,24 @@ class BucketedCorpusSpec extends SparkSpec {
     }
   }
 
+  test("colocated is a total predicate: temp views, odd names, and missing tables are false, not exceptions") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    docs.createOrReplaceTempView("bc_temp_view")
+    try {
+      BucketedCorpus.write(docs, "bc_real", "doc_id", numBuckets = 4)
+      // temp view passes tableExists but has no external-catalog entry
+      assert(!BucketedCorpus.colocated(spark, "bc_temp_view", "bc_real", "doc_id"))
+      // 3-part and special-character identifiers must not throw
+      assert(!BucketedCorpus.colocated(spark, "spark_catalog.default.nope", "bc_real", "doc_id"))
+      assert(!BucketedCorpus.colocated(spark, "no such-table!", "bc_real", "doc_id"))
+      assert(!BucketedCorpus.colocated(spark, "bc_real", "missing_table", "doc_id"))
+    } finally {
+      spark.catalog.dropTempView("bc_temp_view")
+      spark.sql("DROP TABLE IF EXISTS bc_real")
+    }
+  }
+
   test("mismatched bucket counts are detected as not co-located") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
       .select(col("doc_id"), col("lang"))

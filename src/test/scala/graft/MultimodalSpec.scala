@@ -150,6 +150,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feat(2) > 0.9 && feat(3) > 0.9, s"second half should be near full scale, got ${feat.toSeq}")
   }
 
+  test("decodeAudio converts mu-law AU to linear PCM instead of misreading the bit patterns") {
+    import javax.sound.sampled._
+    // silent 16-bit PCM -> mu-law AU file (mu-law encodes silence near
+    // 0xFF; reading it AS linear unsigned would yield ~full-scale RMS)
+    val n = 4000
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val silent = new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](n * 2)), pcmFmt, n.toLong)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val ulaw = AudioSystem.getAudioInputStream(ulawFmt, silent)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.AU, bos)
+    val feat = Multimodal.decodeAudio(bos.toByteArray, targetDim = 4)
+    assert(feat.forall(_ < 0.02),
+      s"silent mu-law AU must decode to silence, got ${feat.toSeq}")
+  }
+
   test("decoderFor selects by format short-name or MIME type") {
     val png = halfBlackPng()
     val viaShort = Multimodal.decoderFor("png", 16)(png)
