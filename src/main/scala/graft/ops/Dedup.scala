@@ -442,13 +442,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("ncomp"))
+      // carry the per-row improvement flag INTO the checkpointed frame:
+      // convergence detection then reads the materialized result instead
+      // of re-joining this iteration's labels against the previous ones
+      // (which re-scanned both frames as a second full job per round)
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("__improved"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .where(col("comp") < col("old")).count()
-      labels = next
+      val changed = next.where(col("__improved")).limit(1).count()
+      labels = next.drop("__improved")
       converged = changed == 0
       iter += 1
     }

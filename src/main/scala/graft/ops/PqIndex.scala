@@ -188,11 +188,20 @@ object PqCodebook {
 /** IVF + PQ index: coarse cells for partition-pruned probes (same design
   * as [[IvfIndex]]) with PQ codes instead of raw vectors in the cells —
   * `codes` plus the row's norm are all a probe reads.
+  *
+  * With `residual = true` (the default, the IVFADC shape of Jegou/Douze/
+  * Schmid 2011 §IV), the codebooks are trained on and encode x − c(x)
+  * (the vector's offset from its cell centroid) instead of x itself:
+  * residuals span a much smaller region than the raw corpus, so the same
+  * m×ksub code budget quantizes them with far less error, and the ADC
+  * estimate becomes dot(q, centroid) + adcDot(residual codes) — the
+  * per-cell constant is driver-computed for the probed cells only.
   */
 final class IvfPqIndex private[ops] (
     val cells: DataFrame, // (corpus_id, cell, codes: array<short>, norm)
     val centroids: Array[Array[Double]],
-    val codebook: PqCodebook) {
+    val codebook: PqCodebook,
+    val residual: Boolean = true) {
 
   /** Approximate cosine top-k: probe nProbe cells, score by
     * ADC dot / (|q| * stored corpus norm). The per-query LUT is built
@@ -216,20 +225,34 @@ final class IvfPqIndex private[ops] (
       "duplicate query ids: the per-query ADC lookup table is keyed by id, " +
         "so duplicates would silently collapse (last one wins)")
     val cb = codebook
-    val luts: Map[Long, (Array[Double], Double)] = qRows.map { case (id, q) =>
-      val qn = math.sqrt(q.map(x => x * x).sum)
-      id -> (cb.dotLut(q), qn)
-    }.toMap
-    val bcLut = spark.sparkContext.broadcast(luts)
     import spark.implicits._
     val probePairs = qRows.flatMap { case (id, q) =>
       bcCent.value.indices.map(i => (kern.divergence(q, bcCent.value(i)), i))
         .sortBy(t => (t._1, t._2)).take(nProbe).map { case (_, cellId) => (id, cellId) }
     }.toSeq
+    val probedByQuery = probePairs.groupBy(_._1)
+    // per query: residual-ADC lookup table, |q|, and — in residual mode —
+    // dot(q, centroid) for each of ITS probed cells (nProbe values; the
+    // cell constant completes dot(q, x) ≈ dot(q, c) + dot(q, x − c))
+    val isResidual = residual
+    val luts: Map[Long, (Array[Double], Double, Map[Int, Double])] = qRows.map { case (id, q) =>
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val cellDots: Map[Int, Double] =
+        if (!isResidual) Map.empty
+        else probedByQuery.getOrElse(id, Nil).map { case (_, cellId) =>
+          val cent = bcCent.value(cellId)
+          var d = 0.0
+          var i = 0
+          while (i < q.length) { d += q(i) * cent(i); i += 1 }
+          cellId -> d
+        }.toMap
+      id -> (cb.dotLut(q), qn, cellDots)
+    }.toMap
+    val bcLut = spark.sparkContext.broadcast(luts)
     val probes = probePairs.toDF("query_id", "cell")
-    val scoreUdf = udf { (qid: Long, codes: Seq[Short], norm: Double) =>
-      val (lut, qn) = bcLut.value(qid)
-      val d = cb.adcDot(lut, codes.toArray)
+    val scoreUdf = udf { (qid: Long, cell: Int, codes: Seq[Short], norm: Double) =>
+      val (lut, qn, cellDots) = bcLut.value(qid)
+      val d = cellDots.getOrElse(cell, 0.0) + cb.adcDot(lut, codes.toArray)
       if (qn > 0 && norm > 0) d / (qn * norm) else 0.0
     }
     // probe cells are driver-known (the query side was collected to build
@@ -240,7 +263,7 @@ final class IvfPqIndex private[ops] (
     val joined = cells.where(col("cell").isin(probedCells: _*))
       .join(broadcast(probes), Seq("cell"))
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
-      .withColumn("sim", scoreUdf(col("query_id"), col("codes"), col("norm")))
+      .withColumn("sim", scoreUdf(col("query_id"), col("cell"), col("codes"), col("norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
     joined.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -297,6 +320,8 @@ final class IvfPqIndex private[ops] (
     } yield (s, c, codebook.codebooks(s)(c).toSeq)
     cbRows.toDF("subspace", "code", "codeword")
       .write.mode("overwrite").parquet(s"$path/codebook")
+    Seq(Tuple1(residual)).toDF("residual")
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   def unpersist(): Unit = { cells.unpersist(); () }
@@ -318,9 +343,10 @@ object IvfPqIndex {
       ksub: Int = 256,
       maxIter: Int = 5,
       sampleSize: Int = 10000,
-      seed: Long = 42L): IvfPqIndex = {
-    val c = corpus
-      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+      seed: Long = 42L,
+      residual: Boolean = true): IvfPqIndex = {
+    val c = Dedup.fanOut(corpus
+      .select(col(idCol).cast("long").as("corpus_id"), col(vecCol).cast("array<double>").as("cv")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = c.count()
     val gk = new GeneralizedKMeans()
@@ -329,13 +355,13 @@ object IvfPqIndex {
     gk.reuseCachedInput = true
     gk.knownN = Some(n)
     val cents = gk.fit(c).clusterCenters
-    val cb = PqCodebook.train(c, "cv", m, ksub, sampleSize, maxIter = 10, seed = seed,
-      knownN = Some(n), knownDim = Some(cents(0).length))
     val spark = c.sparkSession
     val bcCent = spark.sparkContext.broadcast(cents)
-    val bcCb = spark.sparkContext.broadcast(cb)
     val kern = new SquaredEuclideanKernel
-    val encodeUdf = udf { (xs: Seq[Double]) =>
+    // one assignment pass: (cell, encode-input vector, raw norm). In
+    // residual mode the encode input is x − c(x); the norm is ALWAYS the
+    // raw vector's (it is the cosine denominator at query time).
+    val assignUdf = udf { (xs: Seq[Double]) =>
       val x = xs.toArray
       var best = 0; var bd = Double.MaxValue
       var i = 0
@@ -343,15 +369,35 @@ object IvfPqIndex {
         val d = kern.divergence(x, bcCent.value(i)); if (d < bd) { bd = d; best = i }; i += 1
       }
       val norm = math.sqrt(x.map(v => v * v).sum)
-      (best, bcCb.value.encode(x), norm)
+      val enc =
+        if (residual) {
+          val cent = bcCent.value(best)
+          val r = new Array[Double](x.length)
+          var j = 0
+          while (j < x.length) { r(j) = x(j) - cent(j); j += 1 }
+          r
+        } else x
+      (best, enc, norm)
     }
-    val cells = c.withColumn("__e", encodeUdf(col("cv")))
-      .select(col("corpus_id"), col("__e._1").as("cell"),
-        col("__e._2").as("codes"), col("__e._3").as("norm"))
+    val assigned = c.withColumn("__a", assignUdf(col("cv")))
+      .select(col("corpus_id"), col("__a._1").as("cell"),
+        col("__a._2").as("ev"), col("__a._3").as("norm"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    c.unpersist()
+    // codebooks train on what they will encode — residuals in residual
+    // mode (they span a far smaller region than the raw corpus, so the
+    // same m x ksub budget quantizes them with much less error)
+    val cb = PqCodebook.train(assigned, "ev", m, ksub, sampleSize, maxIter = 10, seed = seed,
+      knownN = Some(n), knownDim = Some(cents(0).length))
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val encodeUdf = udf { (ev: Seq[Double]) => bcCb.value.encode(ev.toArray) }
+    val cells = assigned
+      .select(col("corpus_id"), col("cell"), encodeUdf(col("ev")).as("codes"), col("norm"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     cells.count()
-    c.unpersist()
-    new IvfPqIndex(cells, cents, cb)
+    assigned.unpersist()
+    new IvfPqIndex(cells, cents, cb, residual)
   }
 
   /** Reopen a written index; the cells scan stays partition-prunable. */
@@ -367,6 +413,11 @@ object IvfPqIndex {
     val books = Array.tabulate(m) { s =>
       cbRows.filter(_.getInt(0) == s).map(_.getSeq[Double](2).toArray)
     }
-    new IvfPqIndex(cells, cents, PqCodebook(books, books(0)(0).length * m))
+    // indexes written before the residual flag existed carry no meta dir:
+    // they were raw-encoded, so default false
+    val residual =
+      try spark.read.parquet(s"$path/meta").head().getBoolean(0)
+      catch { case scala.util.control.NonFatal(_) => false }
+    new IvfPqIndex(cells, cents, PqCodebook(books, books(0)(0).length * m), residual)
   }
 }

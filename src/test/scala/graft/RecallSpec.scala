@@ -221,6 +221,23 @@ class RecallSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = reranked.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF-PQ rerank recall@5 = $recall < 0.9")
+    // residual (IVFADC) encoding must rank candidates at least as well as
+    // raw encoding with the identical code budget: same-code-budget ADC
+    // recall@5 against the exact top-5, residual vs raw
+    val rawIdx = graft.ops.IvfPqIndex.build(e, "vec_id", "v",
+      nCells = 10, m = 8, ksub = 32, maxIter = 8, sampleSize = 1500, seed = 42,
+      residual = false)
+    def adcRecall(i: graft.ops.IvfPqIndex): Double = {
+      val got = i.search(queries, "vec_id", "v", k = 5, nProbe = 3)
+        .select("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val resRecall = adcRecall(idx)
+    val rawRecall = adcRecall(rawIdx)
+    rawIdx.unpersist()
+    assert(resRecall >= rawRecall - 1e-9,
+      s"residual ADC recall $resRecall must not trail raw encoding $rawRecall")
 
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
     try {
