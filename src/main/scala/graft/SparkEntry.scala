@@ -783,6 +783,40 @@ object SparkEntry {
         round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"),
         TextOps.qualityScore(col("text")).as("quality"))
     },
+    // Gopher-style repetition quality rules: duplicate-line fraction
+    // (lines cut at ' table ' — the corpus has no newlines, so a
+    // deterministic, SQL-replayable line structure is synthesized) and
+    // duplicate word-n-gram fractions at n=3 and n=10.
+    "q_repetition" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val lined = regexp_replace(col("text"), " table ", "\n")
+      t(dir, "documents").select(
+        col("doc_id"),
+        TextOps.dupLineFraction(lined).as("dup_line_frac"),
+        TextOps.dupNgramFraction(col("text"), 3).as("dup3_frac"),
+        TextOps.dupNgramFraction(col("text"), 10).as("dup10_frac"))
+    },
+    // PII redaction audit: the corpus is synthetic (no real PII), so a
+    // deterministic contact block derived from doc_id is appended and
+    // must be found and redacted — counts per category plus the tail of
+    // the redacted text (which carries all three tags) are the output.
+    "q_pii_redact" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val withPii = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com at 10.0."), (col("doc_id") % 200).cast("string"),
+        lit(".1 or call +1 (555) 010-"), (lit(1000) + col("doc_id") % 9000).cast("string"))
+      val counts = TextOps.piiCounts(withPii)
+      val red = TextOps.redactPii(withPii)
+      // last-60-chars via explicit 1-based start: negative-start substring
+      // semantics differ between engines, greatest(len-59, 1) does not
+      t(dir, "documents").select(
+        col("doc_id"),
+        counts.getField("emails").cast("long").as("n_emails"),
+        counts.getField("ips").cast("long").as("n_ips"),
+        counts.getField("phones").cast("long").as("n_phones"),
+        red.substr(greatest(length(red) - 59, lit(1)), lit(60)).as("redacted_tail"))
+    },
     "q_lang_id" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       t(dir, "documents").select(
@@ -2250,6 +2284,49 @@ object SparkEntry {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |greatest(1, CAST(floor(length(text) / 4) AS INT)) AS n_tokens_bpe
         |FROM documents""".stripMargin,
+    "q_repetition" ->
+      """WITH lined AS (
+        |  SELECT doc_id, string_split(regexp_replace(text, ' table ', chr(10), 'g'), chr(10)) AS ls,
+        |    string_split(text, ' ') AS toks, text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(ls) <= 0 THEN 0.0
+        |    ELSE round((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 6) END AS dup_line_frac,
+        |  CASE WHEN greatest(len(toks) - 2, 0) <= 0 THEN 0.0
+        |    ELSE round((greatest(len(toks) - 2, 0) - len(list_distinct(list_transform(
+        |      range(0, greatest(len(toks) - 3, 0) + 1),
+        |      i -> array_to_string(toks[i+1:i+3], ' '))))) * 1.0 / greatest(len(toks) - 2, 0), 6)
+        |  END AS dup3_frac,
+        |  CASE WHEN greatest(len(toks) - 9, 0) <= 0 THEN 0.0
+        |    ELSE round((greatest(len(toks) - 9, 0) - len(list_distinct(list_transform(
+        |      range(0, greatest(len(toks) - 10, 0) + 1),
+        |      i -> array_to_string(toks[i+1:i+10], ' '))))) * 1.0 / greatest(len(toks) - 9, 0), 6)
+        |  END AS dup10_frac
+        |FROM lined""".stripMargin,
+    "q_pii_redact" ->
+      """WITH pii AS (
+        |  SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com at 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+        |    || '.1 or call +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+        |  FROM documents),
+        |steps AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        |  FROM pii),
+        |steps2 AS (
+        |  SELECT doc_id, t, after_email,
+        |    regexp_replace(after_email, '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS after_ip
+        |  FROM steps),
+        |red AS (
+        |  SELECT doc_id, t, after_email, after_ip,
+        |    regexp_replace(after_ip, '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |  FROM steps2)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(after_email, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips,
+        |  len(regexp_extract_all(after_ip, '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phones,
+        |  substring(redacted, greatest(length(redacted) - 59, 1), 60) AS redacted_tail
+        |FROM red""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, length(text) AS n_chars,
         |len(list_filter(string_split(text, ' '),

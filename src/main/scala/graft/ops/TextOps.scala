@@ -203,6 +203,67 @@ object TextOps {
     }
   }
 
+  /** Repetition statistics — the Gopher-style quality rules (Rae et al.
+    * 2021, table A1) that catch boilerplate and crawler loops: the
+    * fraction of a document's lines that are duplicates of an earlier
+    * line, and the fraction of its word n-grams that are repeats. Pure
+    * expressions (split / size / array_distinct), so ANSI-SQL-replayable
+    * and codegen'd. Lines are '\n'-separated; n-grams share
+    * [[wordShingles]]'s tokenization (the empty document counts 0).
+    */
+  def dupLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    val n = size(lines)
+    when(n <= 0, lit(0.0)).otherwise(
+      round((n - size(array_distinct(lines))).cast("double") / n, 6))
+  }
+
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    // total n-gram count INCLUDING repeats vs the distinct set
+    val total = greatest(size(toks) - lit(n - 1), lit(0))
+    val distinctN = size(wordShingles(text, n))
+    when(total <= 0, lit(0.0)).otherwise(
+      round((total - distinctN).cast("double") / total, 6))
+  }
+
+  /** PII patterns every public-corpus pipeline scrubs (C4/RefinedWeb
+    * style): email addresses, international-ish phone numbers, and IPv4
+    * addresses. Deliberately conservative ANSI-portable regexes — the
+    * SAME pattern strings drive Spark's regexp_replace/regexp_count and
+    * the SQL oracle, so redaction is deterministic and engine-portable.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact PII in place: each match category is replaced by its tag
+    * (`<EMAIL>`, `<PHONE>`, `<IP>`). Order matters and is fixed — emails
+    * first (their local parts can contain digits that the phone pattern
+    * would otherwise eat), then IPs, then phones.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val i = regexp_replace(e, Ipv4Re, "<IP>")
+    regexp_replace(i, PhoneRe, "<PHONE>")
+  }
+
+  /** Per-category PII match counts (pre-redaction) — the audit signal a
+    * curation run reports beside the redacted text.
+    */
+  def piiCounts(text: Column): Column = {
+    // phones are counted on the email+IP-redacted text, mirroring
+    // redactPii's replacement order (an IPv4 is digits-and-dots long
+    // enough to satisfy the phone pattern, and email local parts can
+    // carry digit runs)
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    struct(
+      regexp_count(text, lit(EmailRe)).as("emails"),
+      regexp_count(afterEmail, lit(Ipv4Re)).as("ips"),
+      regexp_count(afterIp, lit(PhoneRe)).as("phones"))
+  }
+
   /** 64-bit FNV-1a document fingerprint over the raw text — deterministic
     * content hash for exact-dup detection and sharding. Catalyst xxhash64
     * is used for speed; portability is not needed here (hash-based queries

@@ -124,4 +124,52 @@ class VocabSpec extends SparkSpec {
     assert(approxPlan.contains("approx_count_distinct")
       || approxPlan.contains("HyperLogLog"), s"approx plan:\n$approxPlan")
   }
+
+  test("repetition stats: duplicate lines and n-grams on handcrafted fixtures") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b\na b\nc d"),          // 3 lines, 1 dup -> 1/3
+      (2L, "x y\nz w"),                // no dup lines
+      (3L, "a b c a b c a b c"),       // 9 tokens: 7 3-grams, distinct {abc,bca,cab} -> 4/7
+      (4L, "p q r s t u v w x y"))     // all distinct
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextOps.dupLineFraction(col("text")).as("dl"),
+        TextOps.dupNgramFraction(col("text"), 3).as("d3"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(out(1L)._1 - 1.0 / 3) < 1e-6)
+    assert(out(2L)._1 == 0.0)
+    assert(math.abs(out(3L)._2 - 4.0 / 7) < 1e-6, s"got ${out(3L)._2}")
+    assert(out(4L)._2 == 0.0)
+    // degenerate inputs
+    val edge = Seq((9L, "")).toDF("doc_id", "text")
+      .select(TextOps.dupLineFraction(col("text")).as("dl"),
+        TextOps.dupNgramFraction(col("text"), 3).as("d3")).head()
+    assert(edge.getDouble(0) == 0.0 && edge.getDouble(1) == 0.0)
+  }
+
+  test("PII redaction: emails, IPs, phones found, counted, and replaced in fixed order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to jane.doe+x@corp.example.org today"),
+      (2L, "server 192.168.100.200 is down, call +1 (555) 010-9999 now"),
+      (3L, "no pii here at all"),
+      (4L, "two mails a@b.co and c@d.org plus 10.0.0.1"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextOps.piiCounts(col("text")).as("c"),
+        TextOps.redactPii(col("text")).as("r"))
+      .collect().map { r =>
+        val c = r.getStruct(1)
+        r.getLong(0) -> (c.getInt(0), c.getInt(1), c.getInt(2), r.getString(2))
+      }.toMap
+    assert(out(1L)._1 == 1 && out(1L)._4 == "write to <EMAIL> today")
+    assert(out(2L)._2 == 1 && out(2L)._3 == 1)
+    assert(out(2L)._4 == "server <IP> is down, call <PHONE> now")
+    assert(out(3L) == ((0, 0, 0, "no pii here at all")))
+    assert(out(4L)._1 == 2 && out(4L)._2 == 1)
+    assert(out(4L)._4 == "two mails <EMAIL> and <EMAIL> plus <IP>")
+    // the order contract: an IP must never be half-eaten by the phone rule
+    assert(!out(2L)._4.contains("<PHONE>."), out(2L)._4)
+  }
 }
