@@ -169,18 +169,21 @@ object Curate {
       .select(hashUdf(col("__sh")).as("h"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
-      .map(_.toLong).getOrElse(50000000L)
-    val nShingles = distinctHashes.count()
-    require(nShingles <= cap,
-      s"eval set explodes to $nShingles distinct $n-gram shingles, above the " +
-        s"driver-collect cap of $cap. Shrink the eval set or raise " +
-        "graft.decontaminate.maxEvalShingles.")
     // sorted primitive array + binary search: 8 bytes per shingle and no
-    // boxing — the broadcast stays compact even at tens of millions
+    // boxing — the broadcast stays compact even at tens of millions.
+    // The finally covers the cap check too: a failing require must not
+    // strand the materialized cache in executor storage.
     val evalHashes: Array[Long] =
-      try distinctHashes.as[Long].collect().sorted
-      finally distinctHashes.unpersist()
+      try {
+        val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
+          .map(_.toLong).getOrElse(50000000L)
+        val nShingles = distinctHashes.count()
+        require(nShingles <= cap,
+          s"eval set explodes to $nShingles distinct $n-gram shingles, above the " +
+            s"driver-collect cap of $cap. Shrink the eval set or raise " +
+            "graft.decontaminate.maxEvalShingles.")
+        distinctHashes.as[Long].collect().sorted
+      } finally distinctHashes.unpersist()
     val bc = spark.sparkContext.broadcast(evalHashes)
     val filtered = Dedup.fanOut(
       docs.select(col(idCol).cast("long").as(idCol), col(tsCol), col(textCol)))
@@ -269,17 +272,19 @@ object Curate {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // guard the driver collect: an unexpectedly large eval set should fail
-    // with a clear message, not OOM the driver mid-collect
-    val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
-      .map(_.toLong).getOrElse(50000000L)
-    val nShingles = distinctShingles.count()
-    require(nShingles <= cap,
-      s"eval set explodes to $nShingles distinct $n-gram shingles, above the " +
-        s"driver-collect cap of $cap (the decontamination join broadcasts the " +
-        "eval side, so it must fit on the driver). Shrink the eval set or " +
-        "raise graft.decontaminate.maxEvalShingles.")
+    // with a clear message, not OOM the driver mid-collect. The finally
+    // covers the cap check too — a failing require must not strand the
+    // materialized cache in executor storage.
     val evalShingles =
       try {
+        val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
+          .map(_.toLong).getOrElse(50000000L)
+        val nShingles = distinctShingles.count()
+        require(nShingles <= cap,
+          s"eval set explodes to $nShingles distinct $n-gram shingles, above the " +
+            s"driver-collect cap of $cap (the decontamination join broadcasts the " +
+            "eval side, so it must fit on the driver). Shrink the eval set or " +
+            "raise graft.decontaminate.maxEvalShingles.")
         if (hashShingles) distinctShingles.as[Long].collect().toSeq.toDF("sh")
         else distinctShingles.as[String].collect().toSeq.toDF("sh")
       } finally distinctShingles.unpersist()

@@ -39,7 +39,7 @@ object Dedup {
     * default parallelism: at real scale input splits already exceed it
     * and this is a no-op with zero added shuffle.
     */
-  private[ops] def fanOut(df: DataFrame): DataFrame = {
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batch partitioning is the planner's
     // only scan-shaped plans (leaf + projections/filters) can suffer the
     // 1-task file-split problem; anything downstream of a shuffle already
@@ -51,6 +51,9 @@ object Dedup {
       case n: org.apache.spark.sql.catalyst.plans.logical.Project => scanShaped(n.child)
       case n: org.apache.spark.sql.catalyst.plans.logical.Filter => scanShaped(n.child)
       case n: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => scanShaped(n.child)
+      // a union of scans has the same 1-task-per-unsplittable-file
+      // exposure as a single scan
+      case n: org.apache.spark.sql.catalyst.plans.logical.Union => n.children.forall(scanShaped)
       case _ => false
     }
     if (!scanShaped(df.queryExecution.optimizedPlan)) return df

@@ -414,10 +414,14 @@ object IvfPqIndex {
       cbRows.filter(_.getInt(0) == s).map(_.getSeq[Double](2).toArray)
     }
     // indexes written before the residual flag existed carry no meta dir:
-    // they were raw-encoded, so default false
+    // those were raw-encoded, so ABSENCE means false — but a present,
+    // unreadable meta must propagate, not silently downgrade a residual
+    // index to raw scoring (which would return wrong rankings, not errors)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val residual =
-      try spark.read.parquet(s"$path/meta").head().getBoolean(0)
-      catch { case scala.util.control.NonFatal(_) => false }
+      if (fs.exists(metaPath)) spark.read.parquet(s"$path/meta").head().getBoolean(0)
+      else false
     new IvfPqIndex(cells, cents, PqCodebook(books, books(0)(0).length * m), residual)
   }
 }

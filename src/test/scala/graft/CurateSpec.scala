@@ -109,6 +109,23 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("fanOut covers scan-shaped plans including unions; skips shuffled frames") {
+    import org.apache.spark.sql.functions._
+    val target = spark.sparkContext.defaultParallelism
+    val scan = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    assert(graft.ops.Dedup.fanOut(scan).rdd.getNumPartitions >= target / 2,
+      "single-file scan must fan out")
+    // union of single-row-group scans has the same 1-task-per-file exposure
+    val u = scan.union(scan)
+    assert(graft.ops.Dedup.fanOut(u).rdd.getNumPartitions >= target / 2,
+      "union of scans must fan out")
+    // a frame downstream of a shuffle is untouched (already parallel, and
+    // probing it must not materialize AQE stages)
+    val agged = scan.groupBy("doc_id").count()
+    assert(graft.ops.Dedup.fanOut(agged) eq agged, "shuffled frame must pass through")
+  }
+
   test("decontaminateStream flags contaminated docs across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
