@@ -790,11 +790,14 @@ object SparkEntry {
     "q_repetition" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val lined = regexp_replace(col("text"), " table ", "\n")
+      // both n-gram fractions from one tokenization pass (bit-identical
+      // to the expression form, proven in VocabSpec)
+      val fracs = TextOps.dupNgramFractions(Seq(3, 10))(col("text"))
       t(dir, "documents").select(
         col("doc_id"),
         TextOps.dupLineFraction(lined).as("dup_line_frac"),
-        TextOps.dupNgramFraction(col("text"), 3).as("dup3_frac"),
-        TextOps.dupNgramFraction(col("text"), 10).as("dup10_frac"))
+        fracs.getItem(0).as("dup3_frac"),
+        fracs.getItem(1).as("dup10_frac"))
     },
     // PII redaction audit: the corpus is synthetic (no real PII), so a
     // deterministic contact block derived from doc_id is appended and

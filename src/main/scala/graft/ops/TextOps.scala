@@ -227,6 +227,45 @@ object TextOps {
       round((total - distinctN).cast("double") / total, 6))
   }
 
+  /** All requested n-gram duplicate fractions from ONE tokenization pass
+    * (a scala UDF; the pure-expression [[dupNgramFraction]] runs an
+    * interpreted higher-order transform + distinct per n). Bit-identical
+    * to the expression form: same split(" ", -1) tokenization, same
+    * integer distinct counts, same division and HALF_UP rounding — the
+    * SQL oracles replay either. Returns one fraction per n, in order.
+    */
+  def dupNgramFractions(ns: Seq[Int]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val nsArr = ns.toArray
+    udf { (s: String) =>
+      if (s == null) nsArr.toSeq.map(_ => 0.0)
+      else {
+        val toks = s.split(" ", -1)
+        nsArr.toSeq.map { n =>
+          val total = math.max(toks.length - (n - 1), 0)
+          if (total <= 0) 0.0
+          else {
+            val seen = new java.util.HashSet[String]()
+            var i = 0
+            val sb = new java.lang.StringBuilder
+            while (i <= toks.length - n) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) {
+                if (j > 0) sb.append(' ')
+                sb.append(toks(i + j))
+                j += 1
+              }
+              seen.add(sb.toString)
+              i += 1
+            }
+            java.math.BigDecimal.valueOf((total - seen.size).toDouble / total)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          }
+        }
+      }
+    }
+  }
+
   /** PII patterns every public-corpus pipeline scrubs (C4/RefinedWeb
     * style): email addresses, international-ish phone numbers, and IPv4
     * addresses. Deliberately conservative ANSI-portable regexes — the

@@ -146,6 +146,16 @@ class VocabSpec extends SparkSpec {
       .select(TextOps.dupLineFraction(col("text")).as("dl"),
         TextOps.dupNgramFraction(col("text"), 3).as("d3")).head()
     assert(edge.getDouble(0) == 0.0 && edge.getDouble(1) == 0.0)
+    // the fused single-pass UDF is bit-identical to the expression form
+    // on real corpus text, for every n the harness uses
+    val real = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val fused = TextOps.dupNgramFractions(Seq(3, 10))(col("text"))
+    val diff = real.select(
+        fused.getItem(0).as("f3"), fused.getItem(1).as("f10"),
+        TextOps.dupNgramFraction(col("text"), 3).as("e3"),
+        TextOps.dupNgramFraction(col("text"), 10).as("e10"))
+      .where(col("f3") =!= col("e3") || col("f10") =!= col("e10"))
+    assert(diff.count() == 0, "fused n-gram fractions diverged from the expression form")
   }
 
   test("PII redaction: emails, IPs, phones found, counted, and replaced in fixed order") {
