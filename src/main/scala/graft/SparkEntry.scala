@@ -975,6 +975,22 @@ object SparkEntry {
       Dedup.embeddingNearDup(e.union(jittered), "vec_id", "v",
         threshold = 0.85, numTables = 24, planesPerTable = 12)
     },
+    // SemDeDup (Abbas et al. 2023) at fixed centers (vec_id < 8): cosine
+    // assignment -> within-cluster pairs at round(cos,6) >= 0.3 ->
+    // connected components -> min-id representative. Fully deterministic,
+    // oracle-replayed end to end (recursive CTE for the components).
+    "q_semdedup" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      graft.ops.SemDedup.semDedupFixed(e, "vec_id", "embedding", centers,
+          epsilon = 0.3)
+        .select(col("id"), col("cluster"),
+          (round(col("centroid_sim"), 6) + lit(0.0)).as("centroid_sim"),
+          col("comp"), col("keep"))
+    },
     // ---- similarity search ----
     "q_ann_topk" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -2493,6 +2509,31 @@ object SparkEntry {
         |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a)
         |SELECT comp, min(id) AS keeper_id, count(*) AS group_size
         |FROM cc GROUP BY comp""".stripMargin,
+    "q_semdedup" ->
+      """WITH RECURSIVE p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT id, cluster, sim, v FROM (
+        |    SELECT p.id, c.cid AS cluster, list_cosine_similarity(p.v, c.cv) AS sim, p.v,
+        |      row_number() OVER (PARTITION BY p.id
+        |        ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cid) AS rn
+        |    FROM p, c) WHERE rn = 1),
+        |pr AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.id > a.id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+        |lab AS (SELECT asg.id, asg.cluster, asg.sim, cc.comp FROM asg LEFT JOIN cc USING (id)),
+        |keep AS (SELECT comp, min(id) AS keep_id FROM lab WHERE comp IS NOT NULL GROUP BY comp)
+        |SELECT lab.id, lab.cluster, round(lab.sim, 6) + 0.0 AS centroid_sim, lab.comp,
+        |  (lab.comp IS NULL OR lab.id = keep.keep_id) AS keep
+        |FROM lab LEFT JOIN keep USING (comp)""".stripMargin,
     "q_ann_topk" ->
       """SELECT query_id, rank, corpus_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Semantic deduplication over an embedding column — the SemDeDup recipe
+  * (Abbas, Tirumala, Simig, Ganguli, Morcos 2023, arXiv:2303.09540):
+  * cluster the corpus embeddings with k-means, compare points ONLY within
+  * their cluster, connect pairs whose cosine similarity exceeds a
+  * threshold, and keep one representative per duplicate group.
+  *
+  * Scale shape: clustering bounds the pairwise work to O(Σ |cluster|²)
+  * instead of O(n²) — the same bucketing idea as the MinHash band join in
+  * [[Dedup.minhashDedup]], with the cluster id as the bucket key. k is the
+  * knob: at 100 TB pick k so the expected cluster size keeps |cluster|²
+  * tractable (the paper runs k = 11k–110k on 100M+ images). The
+  * within-cluster join is a hash equi-join on the cluster id; a
+  * `maxClusterSize` guard refuses (with the offending sizes) rather than
+  * silently running a quadratic blow-up on a skewed cluster. Everything
+  * else is hash aggregation and the BSP component propagation of
+  * [[Dedup.connectedComponents]] — no driver collection beyond k centers.
+  *
+  * Unlike exact/MinHash dedup (which need literal or n-gram overlap),
+  * SemDeDup removes SEMANTIC duplicates: same content re-rendered,
+  * templated, or paraphrased, which survives string-level dedup. The
+  * reference engine has no analogue; this composes the repo's own k-means
+  * ([[graft.clustering.GeneralizedKMeans]], spherical divergence) with
+  * its dedup machinery.
+  */
+object SemDedup {
+
+  /** Keeper strategies for the representative of each duplicate group. */
+  val KeepMinId = "min_id"
+  /** The paper's §3.3 choice: keep the member with the LOWEST cosine
+    * similarity to its cluster centroid (the least prototypical example),
+    * which the authors found preserves the most diversity.
+    */
+  val KeepFarFromCentroid = "far_from_centroid"
+
+  /** Semantic dedup at FIXED centers (the deterministic, oracle-checkable
+    * core; [[semDedup]] trains the centers first and delegates here).
+    *
+    * Returns one audit row per input vector:
+    * (id, cluster, centroid_sim, comp, keep) — `comp` is null for vectors
+    * with no near-duplicate, `keep` marks the surviving representative
+    * (always true outside duplicate groups).
+    *
+    * Assignment is by maximum cosine similarity (ties → lowest cluster
+    * id); pairs are connected when cosine(a, b) >= epsilon.
+    */
+  def semDedupFixed(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]],
+      epsilon: Double,
+      keeper: String = KeepMinId,
+      maxClusterSize: Int = 100000): DataFrame = {
+    require(centers.nonEmpty, "semDedup needs at least one center")
+    require(epsilon > 0.0 && epsilon <= 1.0, s"epsilon must be in (0, 1], got $epsilon")
+    require(keeper == KeepMinId || keeper == KeepFarFromCentroid,
+      s"unknown keeper strategy '$keeper' (use $KeepMinId | $KeepFarFromCentroid)")
+    val spark = vectors.sparkSession
+    val centersDf = {
+      import spark.implicits._
+      centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toSeq.toDF("cluster", "cv")
+    }
+    // one broadcast pass: nearest center by cosine distance; the assigned
+    // center's similarity rides along for the far-from-centroid keeper
+    val pts = Dedup.fanOut(
+      vectors.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+    val assigned = pts.join(broadcast(centersDf))
+      .withColumn("sim", graft.functions.ArrayMath.cosine(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(
+        min_by(struct(col("cluster"), col("sim"), col("v")),
+          struct(lit(1.0) - col("sim"), col("cluster"))).as("a"))
+      .select(col("id"), col("a.cluster").as("cluster"),
+        col("a.sim").as("centroid_sim"), col("a.v").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    // refuse quadratic blow-up on skewed clusters instead of running it:
+    // k-row aggregate, costs one small job
+    val oversized = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxClusterSize)
+      .orderBy(col("n").desc).limit(5)
+      .collect()
+    if (oversized.nonEmpty) {
+      assigned.unpersist()
+      throw new IllegalArgumentException(
+        "semDedup: cluster(s) exceed maxClusterSize=" + maxClusterSize + ": " +
+          oversized.map(r => s"cluster ${r.getLong(0)} has ${r.getLong(1)} rows").mkString("; ") +
+          ". Raise k (smaller clusters) or maxClusterSize.")
+    }
+    // within-cluster candidate pairs — hash equi-join on the cluster id
+    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("vb"))
+    // threshold at 6-decimal precision: near-dup verdicts then don't flip
+    // on last-ulp differences across hardware / vectorization (and the
+    // compare is replayable bit-for-bit by an independent engine)
+    val pairs = a.join(b, Seq("cluster"))
+      .where(col("id_b") > col("id_a"))
+      .where(round(graft.functions.ArrayMath.cosine(col("va"), col("vb")), 6) >= epsilon)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val labeled = assigned.drop("v").join(labels, Seq("id"), "left")
+    // representative per component; members outside any component keep
+    val keepIds = labeled.where(col("comp").isNotNull)
+      .groupBy(col("comp"))
+      .agg((keeper match {
+        case KeepMinId => min(col("id"))
+        case KeepFarFromCentroid =>
+          min_by(col("id"), struct(col("centroid_sim"), col("id")))
+      }).as("keep_id"))
+    // keepIds carries one row per duplicate GROUP — orders of magnitude
+    // smaller than the corpus in any real run, but unbounded in principle,
+    // so the broadcast decision is left to the optimizer/AQE instead of a
+    // forced hint that could OOM the driver on a degenerate corpus
+    val out = labeled
+      .join(keepIds, Seq("comp"), "left")
+      .select(col("id"), col("cluster"), col("centroid_sim"), col("comp"),
+        (col("comp").isNull || col("id") === col("keep_id")).as("keep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    assigned.unpersist()
+    out
+  }
+
+  /** Train spherical k-means on the vectors, then run [[semDedupFixed]]
+    * at the fitted centers. This is the paper's end-to-end recipe.
+    */
+  def semDedup(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      epsilon: Double,
+      seed: Long = 42L,
+      maxIter: Int = 10,
+      keeper: String = KeepMinId,
+      maxClusterSize: Int = 100000): DataFrame = {
+    val model = new graft.clustering.GeneralizedKMeans()
+      .setK(k).setDivergence("spherical").setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol(vecCol)
+      .fit(vectors)
+    semDedupFixed(vectors, idCol, vecCol, model.clusterCenters, epsilon,
+      keeper, maxClusterSize)
+  }
+}
