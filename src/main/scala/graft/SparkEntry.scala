@@ -855,6 +855,50 @@ object SparkEntry {
           Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     },
+    // ---- deterministic sampling / domain mixing (all oracle-checked:
+    // the keyed md5 uniform is engine-portable by construction) ----
+    "q_sample_hash" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.hashSample(t(dir, "documents"), "doc_id", 0.25, "r9")
+        .select(col("doc_id"),
+          (round(graft.ops.Sampling.uniform(col("doc_id"), "r9"), 6) + lit(0.0)).as("u"))
+    },
+    "q_sample_strata" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.sampleByStrata(t(dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultRate = 0.1, seed = "r9s")
+        .select(col("doc_id"), col("lang"))
+    },
+    // Efraimidis–Spirakis weighted top-n (n_chars as the weight); the
+    // output omits the u^(1/w) score itself — pow's last ulp is libm-
+    // dependent — but the SELECTION it induces is compared exactly
+    "q_sample_weighted" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.weightedSampleN(t(dir, "documents"), "doc_id", "n_chars",
+          n = 50, seed = "r9w")
+        .select(col("doc_id"), col("n_chars"))
+    },
+    "q_mixture_plan" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.mixturePlan(t(dir, "documents"), "lang",
+          TextOps.tokenCount(col("text")).cast("long"),
+          Map("en" -> 0.5, "zh" -> 0.3, "de" -> 0.2))
+        .select(col("domain"), col("available"),
+          (round(col("target_weight"), 6) + lit(0.0)).as("target_weight"),
+          (round(col("rate"), 6) + lit(0.0)).as("rate"),
+          (round(col("planned"), 6) + lit(0.0)).as("planned"))
+    },
+    "q_budget_select" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.budgetSelect(t(dir, "documents"), "lang", "doc_id",
+        TextOps.qualityScore(col("text")), TextOps.tokenCount(col("text")), 2000L)
+    },
+    "q_shuffle_order" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.deterministicShuffle(t(dir, "documents"), "doc_id", "r9o")
+        .limit(200)
+        .select(col("doc_id"), (round(col("shuffle_key"), 6) + lit(0.0)).as("u"))
+    },
     // ---- dedup (oracle-checked where hash-free) ----
     "q_dedup_exact" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -2408,6 +2452,61 @@ object SparkEntry {
         |  CAST(start % 512 AS BIGINT) AS offset,
         |  CAST(n_tokens AS INT) AS n_tokens
         |FROM c""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, round(u, 6) + 0.0 AS u FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('r9:' || doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 AS u
+        |  FROM documents)
+        |WHERE u < 0.25""".stripMargin,
+    "q_sample_strata" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('r9s:' || doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 AS u,
+        |    CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.25
+        |      ELSE 0.1 END AS rate
+        |  FROM documents)
+        |WHERE u < rate""".stripMargin,
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars > 0
+        |ORDER BY pow(('0x' || substr(md5('r9w:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+        |             / 4294967296.0, 1.0 / n_chars) DESC, doc_id
+        |LIMIT 50""".stripMargin,
+    "q_mixture_plan" ->
+      """WITH avail AS (
+        |  SELECT lang AS domain,
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS available
+        |  FROM documents GROUP BY 1),
+        |t(domain, target_weight) AS (VALUES ('en', 0.5), ('zh', 0.3), ('de', 0.2)),
+        |j AS (SELECT avail.domain, available, target_weight FROM avail JOIN t USING (domain)),
+        |s AS (SELECT min(available / target_weight) AS scale FROM j)
+        |SELECT domain, available, round(target_weight, 6) + 0.0 AS target_weight,
+        |  round(scale * target_weight / available, 6) + 0.0 AS rate,
+        |  round(scale * target_weight, 6) + 0.0 AS planned
+        |FROM j, s""".stripMargin,
+    "q_budget_select" ->
+      """WITH d AS (
+        |  SELECT lang AS domain, doc_id AS key,
+        |    round(least(length(text) / 500.0, 1.0) * 0.4
+        |      + least(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the','a','of','and','to','in','is','it')))
+        |          * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.4
+        |      + (1.0 - least(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
+        |          * 1.0 / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT domain, key, quality, n_tokens, cum_tokens FROM (
+        |  SELECT domain, key, quality, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY domain ORDER BY quality DESC, key
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM d)
+        |WHERE cum_tokens - n_tokens < 2000""".stripMargin,
+    "q_shuffle_order" ->
+      """SELECT doc_id, round(u, 6) + 0.0 AS u FROM (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('r9o:' || doc_id::VARCHAR), 1, 8))::UBIGINT / 4294967296.0 AS u
+        |  FROM documents)
+        |ORDER BY u, doc_id LIMIT 200""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, domain mixing, and data-selection operators
+  * for corpus construction.
+  *
+  * Everything here derives its randomness from a PORTABLE keyed hash
+  * (md5 of "seed:key", first 32 bits → uniform in [0,1)), never from
+  * `rand()` or `df.sample`. That buys three properties Spark's built-in
+  * sampling does not have at cluster scale:
+  *
+  *  - **partition-independent**: the verdict for a row depends only on
+  *    (seed, key) — repartitioning, AQE re-planning, or a different
+  *    cluster layout cannot change which rows are sampled;
+  *  - **retry-stable**: a re-executed task (speculative or recovered)
+  *    re-derives the identical sample, so downstream counts cannot drift
+  *    mid-job (rand()-based filters are famously non-idempotent under
+  *    task retry);
+  *  - **engine-portable**: the same expression evaluates identically in
+  *    any SQL engine, so every sample here is DuckDB-oracle-checkable.
+  *
+  * All operators are single-pass projections/filters (plus one k-row
+  * aggregate for [[mixturePlan]] and a per-domain window for
+  * [[budgetSelect]]) — no shuffle beyond what the semantics require.
+  */
+object Sampling {
+
+  /** Portable deterministic uniform in [0,1): first 8 hex digits of
+    * md5("seed:key") as a 32-bit integer, scaled. Engine-portable SQL:
+    * `('0x' || substr(md5(seed || ':' || key), 1, 8))::UBIGINT / 2^32`.
+    */
+  def uniform(key: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Deterministic Bernoulli sample: keep rows whose keyed uniform falls
+    * below `fraction`. Unlike `df.sample`, reproducible across runs,
+    * partitionings, and task retries.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double, seed: String): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    df.where(uniform(col(keyCol), seed) < lit(fraction))
+  }
+
+  /** Per-stratum deterministic sampling: each stratum (language, source,
+    * quality bucket, ...) keeps its own fraction; strata absent from
+    * `rates` fall back to `defaultRate`. One projection + filter — the
+    * rate lookup is a literal map, not a join.
+    */
+  def sampleByStrata(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      seed: String): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "all rates must be in [0,1]")
+    val rateMap = map(rates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val rate = coalesce(element_at(rateMap, col(strataCol).cast("string")), lit(defaultRate))
+    df.where(uniform(col(keyCol), seed) < rate)
+  }
+
+  /** Weighted sample of `n` rows WITHOUT replacement, one pass, no
+    * iteration: the Efraimidis–Spirakis (2006) exponential-key scheme —
+    * score every row u^(1/w) with its keyed uniform u and weight w, take
+    * the top n by score. Inclusion probability is proportional to weight
+    * at each of the n sequential draws. Rows with weight <= 0 or null
+    * are excluded. Plans as TakeOrdered (map-side per-partition top-n,
+    * then an n-row merge on the driver side of the shuffle) — no global
+    * sort materializes.
+    */
+  def weightedSampleN(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      n: Int,
+      seed: String): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val score = pow(uniform(col(keyCol), seed), lit(1.0) / col(weightCol).cast("double"))
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_score", score)
+      .orderBy(col("sample_score").desc, col(keyCol))
+      .limit(n)
+  }
+
+  /** Max-retention sampling plan for a target domain mixture: given the
+    * available token mass per domain and target weights, find the largest
+    * corpus honoring the target proportions EXACTLY without upsampling
+    * any domain, and the per-domain sampling rate that realizes it.
+    *
+    * scale = min over target domains of available_d / target_d;
+    * planned_d = scale * target_d; rate_d = planned_d / available_d
+    * (the binding domain keeps rate 1.0). Domains with no target weight
+    * get rate 0. Targets are normalized to sum to 1 first.
+    *
+    * Output: (domain, available, target_weight, rate, planned) — one row
+    * per target domain. Feed the rates to [[sampleByStrata]].
+    */
+  def mixturePlan(
+      df: DataFrame,
+      domainCol: String,
+      weightCol: Column,
+      target: Map[String, Double]): DataFrame = {
+    require(target.nonEmpty && target.values.forall(_ > 0.0),
+      "target must be non-empty with positive weights")
+    val total = target.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targetDf = target.toSeq.map { case (d, w) => (d, w / total) }
+      .toDF("domain", "target_weight")
+    val avail = df.select(col(domainCol).cast("string").as("domain"), weightCol.as("__w"))
+      .groupBy(col("domain")).agg(sum(col("__w")).cast("double").as("available"))
+    val joined = avail.join(broadcast(targetDf), Seq("domain"), "inner")
+    // the limiting domain: one scalar, computed distributed then crossed
+    // back in (the frame is k rows — domains — so this is all tiny)
+    val scale = joined.agg(min(col("available") / col("target_weight")).as("__scale"))
+    joined.crossJoin(broadcast(scale))
+      .select(col("domain"), col("available"), col("target_weight"),
+        (col("__scale") * col("target_weight") / col("available")).as("rate"),
+        (col("__scale") * col("target_weight")).as("planned"))
+  }
+
+  /** Quality-first selection under a per-domain token budget: within each
+    * domain take documents in (quality desc, key asc) order while the
+    * running token total BEFORE the document is inside the budget — the
+    * greedy prefix rule, so the first document of a domain is always
+    * taken (a budget smaller than every document still yields one doc
+    * per domain, never zero).
+    *
+    * One window per domain (hash-partitioned sort); the output carries
+    * the running total for auditability.
+    */
+  def budgetSelect(
+      df: DataFrame,
+      domainCol: String,
+      keyCol: String,
+      qualityCol: Column,
+      tokenCol: Column,
+      budgetPerDomain: Long): DataFrame = {
+    require(budgetPerDomain > 0, s"budget must be positive, got $budgetPerDomain")
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("quality").desc, col("key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(domainCol).as("domain"), col(keyCol).as("key"),
+        qualityCol.as("quality"), tokenCol.cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") - col("n_tokens") < lit(budgetPerDomain))
+  }
+
+  /** Deterministic global shuffle — the training-order scramble: total
+    * order by (keyed uniform, key). Plans as a range-partitioned sort
+    * (sample → range boundaries → per-partition sort), so it scales as
+    * ordinary distributed sorting; the order is a pure function of
+    * (seed, key) and therefore identical on every run and layout.
+    * Writing the result preserves the order within each output file and
+    * across files by partition index — the standard contract for
+    * pre-shuffled training shards.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
+    df.withColumn("shuffle_key", uniform(col(keyCol), seed))
+      .orderBy(col("shuffle_key"), col(keyCol))
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / mixing operators: reproducibility, partition
+  * invariance, rate fidelity, weighted inclusion, plan math, budgets.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private def keys(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("id")
+  }
+
+  test("hashSample: deterministic, partition-invariant, rate-faithful") {
+    val df = keys(2000)
+    val a = Sampling.hashSample(df, "id", 0.5, "s1").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, "id", 0.5, "s1").collect().map(_.getLong(0)).toSet
+    val c = Sampling.hashSample(df.repartition(13), "id", 0.5, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a == c)
+    assert(math.abs(a.size - 1000) < 70) // ~4 sigma
+    // a different seed draws a genuinely different sample
+    val d = Sampling.hashSample(df, "id", 0.5, "s2").collect().map(_.getLong(0)).toSet
+    assert(a != d)
+    // nested property: a smaller fraction at the same seed is a subset
+    val e = Sampling.hashSample(df, "id", 0.2, "s1").collect().map(_.getLong(0)).toSet
+    assert(e.subsetOf(a))
+  }
+
+  test("sampleByStrata: per-stratum rates, default fallback") {
+    import spark.implicits._
+    val df = (0L until 900L).map(i => (i, s"dom${i % 3}")).toDF("id", "dom")
+    val out = Sampling.sampleByStrata(df, "dom", "id",
+      Map("dom0" -> 1.0, "dom1" -> 0.0), defaultRate = 0.5, seed = "st")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom("dom0") == 300)
+    assert(!byDom.contains("dom1"))
+    assert(math.abs(byDom("dom2") - 150) < 50)
+  }
+
+  test("weightedSampleN: size, weight bias, exclusions, determinism") {
+    import spark.implicits._
+    // 500 light rows (w=1) + 20 heavy rows (w=200) + invalid weights
+    val df = ((0L until 500L).map(i => (i, 1.0)) ++
+      (1000L until 1020L).map(i => (i, 200.0)) ++
+      Seq((2000L, 0.0), (2001L, -3.0))).toDF("id", "w")
+    val sel = Sampling.weightedSampleN(df, "id", "w", 40, "ws")
+    val ids = sel.collect().map(_.getLong(0))
+    assert(ids.length == 40)
+    assert(ids.toSet.intersect(Set(2000L, 2001L)).isEmpty)
+    // heavy rows are 200x likelier per draw: essentially all 20 make top-40
+    assert(ids.count(_ >= 1000L) >= 18)
+    val again = Sampling.weightedSampleN(df.repartition(9), "id", "w", 40, "ws")
+      .collect().map(_.getLong(0))
+    assert(ids.sorted.sameElements(again.sorted))
+  }
+
+  test("mixturePlan: max-retention rates for the target mixture") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => (s"r$i", "a", 100L)) ++
+      (1 to 3).map(i => (s"s$i", "b", 100L)) ++
+      Seq(("t1", "c", 999L))).toDF("key", "dom", "tok")
+    // targets 1:1 (given unnormalized as 2,2); domain c untargeted
+    val plan = Sampling.mixturePlan(df, "dom", col("tok"), Map("a" -> 2.0, "b" -> 2.0))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(plan.keySet == Set("a", "b"))
+    val (availA, twA, rateA, plannedA) = plan("a")
+    val (availB, twB, rateB, plannedB) = plan("b")
+    assert(availA == 1000.0 && availB == 300.0)
+    assert(twA == 0.5 && twB == 0.5)
+    // binding domain b caps the corpus at 600 tokens: 300 from each
+    assert(math.abs(plannedA - 300.0) < 1e-9 && math.abs(plannedB - 300.0) < 1e-9)
+    assert(math.abs(rateA - 0.3) < 1e-9 && math.abs(rateB - 1.0) < 1e-9)
+  }
+
+  test("budgetSelect: greedy quality-first prefix per domain") {
+    import spark.implicits._
+    val df = Seq(
+      // domain x: qualities 0.9 (300 tok), 0.8 (300), 0.7 (300), 0.5 (10)
+      ("x", 1L, 0.9, 300L), ("x", 2L, 0.8, 300L), ("x", 3L, 0.7, 300L), ("x", 4L, 0.5, 10L),
+      // domain y: single huge doc exceeds the budget but is still taken
+      ("y", 9L, 0.4, 5000L), ("y", 8L, 0.3, 100L)
+    ).toDF("dom", "id", "q", "tok")
+    val out = Sampling.budgetSelect(df, "dom", "id", col("q"), col("tok"), 700L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val x = out.filter(_._1 == "x").map(_._2).sorted
+    val y = out.filter(_._1 == "y").map(_._2).sorted
+    // x: 0.9 (cum 300 before=0), 0.8 (before=300), 0.7 (before=600 < 700); 0.5 excluded (before=900)
+    assert(x.toSeq == Seq(1L, 2L, 3L))
+    // y: the best doc always enters even though it alone blows the budget
+    assert(y.toSeq == Seq(9L))
+    val cums = out.filter(_._1 == "x").map(t => t._2 -> t._4).toMap
+    assert(cums(3L) == 900L)
+  }
+
+  test("deterministicShuffle: stable permutation of the full input") {
+    val df = keys(500)
+    val a = Sampling.deterministicShuffle(df, "id", "sh").collect().map(_.getLong(0))
+    val b = Sampling.deterministicShuffle(df.repartition(11), "id", "sh")
+      .collect().map(_.getLong(0))
+    assert(a.sameElements(b))
+    assert(a.sorted.toSeq == (0L until 500L).toSeq)
+    assert(a.toSeq != (0L until 500L).toSeq) // actually scrambled
+  }
+}
