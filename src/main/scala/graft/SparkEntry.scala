@@ -847,6 +847,15 @@ object SparkEntry {
       TextOps.packDocuments(t(dir, "documents"), "doc_id", "text",
         capacity = 512, nGroups = 8)
     },
+    // Cross-document duplicate n-gram coverage (Lee et al. 2021 signal,
+    // n-gram approximation): per doc, the fraction of its distinct word
+    // 5-grams appearing in >= 2 docs. String-keyed here for the oracle;
+    // the hashed production path is proven equal in VocabSpec.
+    "q_crossdoc_ngrams" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      TextOps.crossDocNgramStats(t(dir, "documents"), "doc_id", "text",
+        n = 5, minDf = 2, hashNgrams = false)
+    },
     "q_split_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // stable-hash 80/10/10 split; proportions asserted in VocabSpec
@@ -2452,6 +2461,19 @@ object SparkEntry {
         |  CAST(start % 512 AS BIGINT) AS offset,
         |  CAST(n_tokens AS INT) AS n_tokens
         |FROM c""".stripMargin,
+    "q_crossdoc_ngrams" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS g
+        |  FROM documents),
+        |dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id, n_ngrams, n_dup_ngrams,
+        |  round(n_dup_ngrams * 1.0 / n_ngrams, 6) + 0.0 AS dup_frac
+        |FROM (
+        |  SELECT doc_id, count(*) AS n_ngrams,
+        |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams
+        |  FROM sh JOIN dfreq USING (g) GROUP BY 1)""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, round(u, 6) + 0.0 AS u FROM (
         |  SELECT doc_id,

@@ -478,4 +478,46 @@ object TextOps {
       .agg(approx_count_distinct(col("__doc"), rsd).as("doc_freq"),
         count(lit(1)).as("term_freq"))
   }
+
+  /** Cross-document duplicate n-gram coverage — the substring-level dedup
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), in its distributed n-gram approximation:
+    * for each document, the fraction of its distinct word `n`-grams that
+    * also appear in at least `minDf - 1` OTHER documents. High coverage
+    * flags boilerplate and templated near-copy that document-level dedup
+    * misses (the paper's suffix-array construction finds the exact spans;
+    * the n-gram statistic finds the same documents at corpus scale with
+    * two hash shuffles and no global suffix sort).
+    *
+    * Shape: explode to (doc, n-gram) — distinct per doc, so the frame is
+    * ~one row per token; aggregate n-gram document frequencies (map-side
+    * partial combine); hash-join the per-doc grams back to the frequency
+    * table (both sides keyed by the gram, AQE-planned); roll up per doc.
+    * With `hashNgrams` (default — the 100 TB shape) both frames carry
+    * 8-byte xxhash64 keys instead of ~n-word strings, an order of
+    * magnitude less shuffle IO; exact up to 64-bit collisions. The string
+    * path remains for engine-portable oracle replay (q_crossdoc_ngrams).
+    */
+  def crossDocNgramStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 10,
+      minDf: Int = 2,
+      hashNgrams: Boolean = true): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDf >= 2, s"minDf must be >= 2 (a gram always appears in its own doc), got $minDf")
+    def key(c: Column): Column = if (hashNgrams) xxhash64(c) else c
+    val grams = Dedup.fanOut(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"), explode(wordShingles(col("__t"), n)).as("__g"))
+      .select(col("doc_id"), key(col("__g")).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_ngrams"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_dup_ngrams"),
+        round(col("n_dup_ngrams").cast("double") / col("n_ngrams"), 6).as("dup_frac"))
+  }
 }

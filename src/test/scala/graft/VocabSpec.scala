@@ -158,6 +158,33 @@ class VocabSpec extends SparkSpec {
     assert(diff.count() == 0, "fused n-gram fractions diverged from the expression form")
   }
 
+  test("crossDocNgramStats: shared n-grams counted across docs, hash path equals string path") {
+    import spark.implicits._
+    // docs 1 and 2 share the 4-token prefix (two distinct 3-grams);
+    // doc 3 shares nothing; doc 4 is a verbatim copy of doc 3
+    val docs = Seq(
+      (1L, "alpha beta gamma delta one two"),
+      (2L, "alpha beta gamma delta nine ten"),
+      (3L, "unique words entirely different here"),
+      (4L, "unique words entirely different here")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.crossDocNgramStats(docs, "doc_id", "text", n = 3,
+        hashNgrams = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: 4 distinct 3-grams, 2 shared with doc 2 ("alpha beta gamma",
+    // "beta gamma delta")
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(2L) == ((4L, 2L, 0.5)))
+    // verbatim copies: every gram duplicated
+    assert(out(3L) == ((3L, 3L, 1.0)))
+    assert(out(4L) == ((3L, 3L, 1.0)))
+    // the hashed production path computes the identical statistics
+    val hashed = graft.ops.TextOps.crossDocNgramStats(docs, "doc_id", "text", n = 3,
+        hashNgrams = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(hashed == out)
+  }
+
   test("PII redaction: emails, IPs, phones found, counted, and replaced in fixed order") {
     import spark.implicits._
     val docs = Seq(
