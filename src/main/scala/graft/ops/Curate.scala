@@ -62,18 +62,17 @@ object Curate {
     pairs.unpersist()
     val labeled = uniq.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
     // representative per component: lexicographic max of (quality, -id);
-    // n_tokens rides along, so no re-tokenization pass runs on the output
-    val reps = labeled.where(col("comp").isNotNull)
-      .groupBy(col("comp"))
+    // n_tokens rides along, so no re-tokenization pass runs on the output.
+    // Docs outside any component key a singleton group (-id - 1 cannot
+    // collide with a real component label, which is a member id >= 0), so
+    // ONE aggregation pass covers representatives and singles — the
+    // two-branch filter + union form scanned the joined frame twice
+    val out = labeled
+      .groupBy(coalesce(col("comp"), -col("doc_id") - 1).as("__grp"))
       .agg(max_by(struct(col("doc_id"), col("quality"), col("n_tokens")),
         struct(col("quality"), -col("doc_id"))).as("r"))
-      .select(col("r.doc_id").as("doc_id"), col("r.quality").as("quality"),
-        col("r.n_tokens").as("n_tokens"))
-    val singles = labeled.where(col("comp").isNull)
-      .select(col("doc_id"), col("quality"), col("n_tokens"))
-    val out = reps.unionByName(singles)
-      .select(col("doc_id"), round(col("quality"), 6).as("quality"),
-        col("n_tokens").cast("int").as("n_tokens"))
+      .select(col("r.doc_id").as("doc_id"), round(col("r.quality"), 6).as("quality"),
+        col("r.n_tokens").cast("int").as("n_tokens"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     uniq.unpersist()

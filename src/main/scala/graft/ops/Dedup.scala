@@ -416,6 +416,16 @@ object Dedup {
     * a popular document), so the default cap is generous. Throws if the
     * cap is hit without convergence rather than returning wrong labels.
     *
+    * Small graphs short-circuit to a driver-local union-find: the pair
+    * graph of a dedup pass is tiny relative to the corpus (pairs are the
+    * anomaly), and each BSP round costs whole jobs of scheduler overhead
+    * that dwarf the actual work below a few million edges. The cutover is
+    * edge-count-gated (`graft.components.localMaxEdges`, default 2M ≈
+    * ~100 MB driver heap transiently) and the result is IDENTICAL — min
+    * id per component either way; above the gate the distributed BSP path
+    * runs exactly as before, so corpus-scale graphs never touch the
+    * driver.
+    *
     * Returns (id, comp) for every id appearing in `pairs`.
     */
   def connectedComponents(
@@ -429,6 +439,18 @@ object Dedup {
       .where(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = pairs.sparkSession
+    val localMaxEdges = spark.conf.getOption("graft.components.localMaxEdges")
+      .map(_.toLong).getOrElse(2000000L)
+    // the count doubles as the cache materialization the first BSP round
+    // would have paid anyway
+    val nEdges = edges.count()
+    if (nEdges <= localMaxEdges) {
+      val locals = localComponents(edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      edges.unpersist()
+      import spark.implicits._
+      return locals.toSeq.toDF("id", "comp")
+    }
     // localCheckpoint (not persist): each iteration's frame feeds the
     // next, so without lineage TRUNCATION the plan doubles per iteration
     // and analysis/codegen blow up after ~20 rounds — the standard
@@ -464,6 +486,37 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter iterations " +
         "(component diameter exceeds the cap; raise maxIter)")
     labels
+  }
+
+  /** Union-find with path halving for the driver-local small-graph tier
+    * of [[connectedComponents]]: O(E α(E)), one pass to union, one to
+    * relabel each component by its minimum member id (the same canonical
+    * label the BSP path produces).
+    */
+  private def localComponents(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val index = scala.collection.mutable.HashMap.empty[Long, Int]
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def idx(v: Long): Int = index.getOrElseUpdate(v, { ids += v; ids.length - 1 })
+    edges.foreach { case (a, b) => idx(a); idx(b) }
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(idx(a)); val rb = find(idx(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Int, Long]
+    var i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      val cur = minOfRoot.getOrElse(r, Long.MaxValue)
+      if (ids(i) < cur) minOfRoot(r) = ids(i)
+      i += 1
+    }
+    Array.tabulate(ids.length)(j => (ids(j), minOfRoot(find(j))))
   }
 
   /** Dedup groups from pairwise candidates: (comp, keeper_id, group_size)

@@ -32,16 +32,37 @@ class ComponentsSpec extends SparkSpec {
     assert(g == Set((3L, 3L, 3L), (100L, 100L, 2L)))
   }
 
-  test("long chain beyond the iteration cap throws instead of mislabeling") {
+  test("long chain beyond the iteration cap throws instead of mislabeling (BSP path)") {
     import spark.implicits._
     val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val ex = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 3).collect()
-    }
-    assert(ex.getMessage.contains("did not converge"))
-    // and with enough iterations the same chain resolves
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
-      .agg(countDistinct(col("comp"))).head().getLong(0)
-    assert(cc == 1L)
+    // force the distributed path: the local union-find tier has no
+    // iteration cap to test
+    spark.conf.set("graft.components.localMaxEdges", "0")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 3).collect()
+      }
+      assert(ex.getMessage.contains("did not converge"))
+      // and with enough iterations the same chain resolves
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+        .agg(countDistinct(col("comp"))).head().getLong(0)
+      assert(cc == 1L)
+    } finally spark.conf.unset("graft.components.localMaxEdges")
+  }
+
+  test("local union-find tier and BSP path label identically") {
+    import spark.implicits._
+    // chain + clique + stars + isolates, with non-contiguous ids
+    val pairs = (Seq((7L, 3L), (3L, 11L), (11L, 5L), (40L, 41L), (40L, 42L),
+      (41L, 42L), (90L, 13L)) ++ (100L until 120L).map(i => (200L, i))).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("graft.components.localMaxEdges", "0")
+    val bsp =
+      try Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("graft.components.localMaxEdges")
+    assert(local == bsp)
+    assert(local(5L) == 3L && local(42L) == 40L && local(13L) == 13L && local(119L) == 100L)
   }
 }
