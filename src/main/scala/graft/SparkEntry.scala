@@ -856,6 +856,17 @@ object SparkEntry {
       TextOps.crossDocNgramStats(t(dir, "documents"), "doc_id", "text",
         n = 5, minDf = 2, hashNgrams = false)
     },
+    // Substring-level exact dedup (Lee et al. 2022 ExactSubstr, token-
+    // window formulation): duplicated >=8-token spans merged and CUT from
+    // the text; clean text pinned by portable md5. String windows here so
+    // the oracle replays them; hashed==string proven in DedupSpec.
+    "q_substring_dedup" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.substringDedup(t(dir, "documents"), "doc_id", "text",
+          minLen = 8, minCount = 2, hashWindows = false)
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+          col("dup_frac"), md5(col("clean_text")).as("clean_md5"))
+    },
     "q_split_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // stable-hash 80/10/10 split; proportions asserted in VocabSpec
@@ -901,6 +912,25 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.ops.Sampling.budgetSelect(t(dir, "documents"), "lang", "doc_id",
         TextOps.qualityScore(col("text")), TextOps.tokenCount(col("text")), 2000L)
+    },
+    // DSIR (Xie et al. 2023): importance weights of every doc under a
+    // target-domain unigram LM (target = the corpus's German slice) vs
+    // the raw-corpus LM, then Gumbel top-k resampling. logw is rounded
+    // 6dp post-aggregation; the Gumbel score is omitted from the select
+    // output (libm ulp) — the SELECTION it induces is compared exactly.
+    "q_dsir_weights" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.ops.Sampling.importanceWeights(
+        docs, docs.where(col("lang") === "de"), "doc_id", "text")
+    },
+    "q_dsir_select" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      val w = graft.ops.Sampling.importanceWeights(
+        docs, docs.where(col("lang") === "de"), "doc_id", "text")
+      graft.ops.Sampling.dsirSelect(w, "doc_id", n = 50, seed = "r9d")
+        .select(col("doc_id"), col("n_tokens"), col("logw"))
     },
     "q_shuffle_order" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -2474,6 +2504,53 @@ object SparkEntry {
         |  SELECT doc_id, count(*) AS n_ngrams,
         |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams
         |  FROM sh JOIN dfreq USING (g) GROUP BY 1)""".stripMargin,
+    "q_substring_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |base2 AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base),
+        |wins AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(n_tokens - 7, 0))) AS start,
+        |    unnest(list_transform(range(0, greatest(n_tokens - 7, 0)),
+        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS key
+        |  FROM base2),
+        |dup AS (SELECT key FROM wins GROUP BY key HAVING count(*) >= 2),
+        |dwin AS (SELECT w.doc_id, w.start FROM wins w JOIN dup USING (key)),
+        |isl AS (
+        |  SELECT doc_id, start,
+        |    CASE WHEN coalesce(max(start + 7) OVER (PARTITION BY doc_id ORDER BY start
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) < start - 1
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM dwin),
+        |grp AS (
+        |  SELECT doc_id, start,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS span_id
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, span_id, min(start) AS lo, max(start) + 7 AS hi
+        |  FROM grp GROUP BY doc_id, span_id),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(hi - lo + 1) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id),
+        |tokpos AS (
+        |  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS p
+        |  FROM base2),
+        |clean AS (
+        |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
+        |  FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.lo AND s.hi)
+        |  GROUP BY tp.doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(pd.dup_tokens, 0) AS dup_tokens,
+        |  CASE WHEN b.n_tokens = 0 THEN 0.0
+        |    ELSE round(coalesce(pd.dup_tokens, 0) * 1.0 / b.n_tokens, 6) + 0.0
+        |    END AS dup_frac,
+        |  md5(coalesce(cl.clean_text, '')) AS clean_md5
+        |FROM base2 b
+        |LEFT JOIN perdoc pd USING (doc_id)
+        |LEFT JOIN clean cl USING (doc_id)""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, round(u, 6) + 0.0 AS u FROM (
         |  SELECT doc_id,
@@ -2523,6 +2600,57 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
         |  FROM d)
         |WHERE cum_tokens - n_tokens < 2000""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH rawt AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |tgtt AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents WHERE lang = 'de'),
+        |rc AS (SELECT token, count(*) AS n FROM rawt GROUP BY 1),
+        |tc AS (SELECT token, count(*) AS n FROM tgtt GROUP BY 1),
+        |vocab AS (
+        |  SELECT coalesce(rc.token, tc.token) AS token,
+        |    coalesce(rc.n, 0) AS rcn, coalesce(tc.n, 0) AS tcn
+        |  FROM rc FULL OUTER JOIN tc ON rc.token = tc.token),
+        |tot AS (SELECT sum(rcn)::DOUBLE AS rtot, sum(tcn)::DOUBLE AS ttot,
+        |  count(*)::DOUBLE AS v FROM vocab),
+        |ratio AS (
+        |  SELECT token,
+        |    ln((tcn + 1.0) / (ttot + v)) - ln((rcn + 1.0) / (rtot + v)) AS lr
+        |  FROM vocab, tot)
+        |SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 6) + 0.0 AS logw
+        |FROM rawt JOIN ratio USING (token)
+        |GROUP BY 1""".stripMargin,
+    "q_dsir_select" ->
+      """WITH rawt AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |tgtt AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents WHERE lang = 'de'),
+        |rc AS (SELECT token, count(*) AS n FROM rawt GROUP BY 1),
+        |tc AS (SELECT token, count(*) AS n FROM tgtt GROUP BY 1),
+        |vocab AS (
+        |  SELECT coalesce(rc.token, tc.token) AS token,
+        |    coalesce(rc.n, 0) AS rcn, coalesce(tc.n, 0) AS tcn
+        |  FROM rc FULL OUTER JOIN tc ON rc.token = tc.token),
+        |tot AS (SELECT sum(rcn)::DOUBLE AS rtot, sum(tcn)::DOUBLE AS ttot,
+        |  count(*)::DOUBLE AS v FROM vocab),
+        |ratio AS (
+        |  SELECT token,
+        |    ln((tcn + 1.0) / (ttot + v)) - ln((rcn + 1.0) / (rtot + v)) AS lr
+        |  FROM vocab, tot),
+        |w AS (
+        |  SELECT doc_id, count(*) AS n_tokens, round(sum(lr), 6) + 0.0 AS logw
+        |  FROM rawt JOIN ratio USING (token)
+        |  GROUP BY 1)
+        |SELECT doc_id, n_tokens, logw FROM (
+        |  SELECT doc_id, n_tokens, logw,
+        |    logw - ln(-ln(('0x' || substr(md5('r9d:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+        |      / 4294967296.0)) AS score
+        |  FROM w)
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     "q_shuffle_order" ->
       """SELECT doc_id, round(u, 6) + 0.0 AS u FROM (
         |  SELECT doc_id,

@@ -527,4 +527,91 @@ object Dedup {
     connectedComponents(pairs, aCol, bCol)
       .groupBy(col("comp"))
       .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("group_size"))
+
+  /** Substring-level exact dedup: remove duplicated token SPANS from
+    * documents rather than whole documents (the ExactSubstr setting of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — their suffix-array formulation is single-machine; this is
+    * the distributed token-window equivalent, exact at token granularity).
+    *
+    * Semantics: every overlapping `minLen`-token window whose global
+    * occurrence count is >= `minCount` is a duplicate window; per
+    * document, overlapping/adjacent duplicate windows merge into maximal
+    * spans, whose tokens are cut from the text. ALL occurrences of a
+    * duplicated span are removed (the paper's tool does the same); to
+    * keep one canonical copy of fully-duplicated documents, run
+    * [[exactDedup]] first. A region repeated in full is covered end to
+    * end because every one of its sub-windows is duplicated.
+    *
+    * Scale shape: the window pass is one projection (token split + a
+    * `transform` producing one key per start offset) — with `hashWindows`
+    * (default) each window is xxhash64'd INSIDE the lambda, so the
+    * shuffle and the count aggregation carry 8-byte longs, never
+    * minLen-token strings; the duplicate-key set is a two-phase hash
+    * agg; the join back is keyed (AQE broadcasts when the dup set is
+    * small); span-merge is a per-doc window function over DUPLICATE
+    * windows only; reconstruction is an indexed-lambda `filter` against
+    * the per-doc span array (bounded by the doc's own length). Nothing
+    * is ever pairwise and nothing collects. The string-window path
+    * (`hashWindows = false`) exists for engine-portable oracle replay;
+    * HashedSubstrSpec-style equality with the hashed path is asserted
+    * in the suite.
+    *
+    * Returns (doc_id, n_tokens, dup_tokens, dup_frac, clean_text).
+    */
+  def substringDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 50,
+      minCount: Int = 2,
+      hashWindows: Boolean = true): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    def winKey(c: Column): Column = if (hashWindows) xxhash64(c) else c
+    val base = fanOut(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
+        filter(split(col("__t"), " "), t => t =!= "").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    // one row per window start; docs shorter than minLen emit none
+    // (posexplode of NULL yields zero rows)
+    val wins = base.select(col("doc_id"),
+      posexplode(when(col("n_tokens") >= minLen,
+        transform(sequence(lit(0), col("n_tokens") - lit(minLen)),
+          i => winKey(concat_ws(" ", slice(col("toks"), i + lit(1), lit(minLen))))))))
+      .select(col("doc_id"), col("pos").as("start"), col("col").as("key"))
+    val dupKeys = wins.groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("key"))
+    val dupWins = wins.join(dupKeys, "key").select(col("doc_id"), col("start"))
+    // gaps-and-islands: windows merge when the next start is within the
+    // running max end + 1 (adjacent coverage is contiguous coverage)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val spans = dupWins
+      .withColumn("prev_end",
+        max(col("start") + lit(minLen - 1))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("prev_end") < col("start") - 1, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(byDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("start")).as("lo"),
+        (max(col("start")) + lit(minLen - 1)).as("hi"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("hi") - col("lo") + 1).as("dup_tokens"),
+        collect_list(struct(col("lo"), col("hi"))).as("spans"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"), 6)).as("dup_frac"),
+        concat_ws(" ", filter(col("toks"), (t, i) =>
+          coalesce(!exists(col("spans"),
+            s => i >= s("lo") && i <= s("hi")), lit(true)))).as("clean_text"))
+  }
 }

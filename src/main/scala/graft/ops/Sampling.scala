@@ -151,6 +151,79 @@ object Sampling {
       .where(col("cum_tokens") - col("n_tokens") < lit(budgetPerDomain))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each raw document
+    * by how much more likely a unigram LM fit on the TARGET corpus finds
+    * it than a unigram LM fit on the RAW corpus itself —
+    * `logw = Σ_tokens [log p_target(tok) − log p_raw(tok)]` with add-α
+    * smoothing over the union vocabulary. High logw = "looks like the
+    * target domain"; feed the result to [[dsirSelect]] (Gumbel top-k) for
+    * the paper's resampling step.
+    *
+    * Shape: one vocab hash-agg per corpus (map-side combined), totals and
+    * union-vocab size as lazy one-row aggregates, one keyed join of the
+    * raw token stream against the (vocab-sized) log-ratio table, one
+    * per-doc roll-up. Nothing collects; the token join is the same
+    * AQE-planned shape as [[TextOps.tfidf]]. Tokenization is the shared
+    * space-split/drop-empties contract.
+    *
+    * Returns (doc_id, n_tokens, logw) — logw rounded to 6dp for
+    * engine-portable comparison.
+    */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0.0, s"smoothing must be positive, got $smoothing")
+    def toks(df: DataFrame, id: Column): DataFrame =
+      Dedup.fanOut(df.select(id, col(textCol).as("__text")))
+        .select(col("doc_id"), explode(split(col("__text"), " ")).as("token"))
+        .where(col("token") =!= "")
+    val rawToks = toks(raw, col(idCol).cast("long").as("doc_id"))
+    val tgtToks = toks(target, col(idCol).cast("long").as("doc_id"))
+    val rawCnt = rawToks.groupBy(col("token")).agg(count(lit(1)).as("rc"))
+    val tgtCnt = tgtToks.groupBy(col("token")).agg(count(lit(1)).as("tc"))
+    // union vocabulary with both counts (absent side = 0)
+    val vocab = rawCnt.join(tgtCnt, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("rc"), lit(0L)).as("rc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val tot = vocab.agg(sum(col("rc")).cast("double").as("__rtot"),
+      sum(col("tc")).cast("double").as("__ttot"),
+      count(lit(1)).cast("double").as("__v"))
+    val ratio = vocab.crossJoin(broadcast(tot))
+      .select(col("token"),
+        (log((col("tc") + lit(smoothing)) / (col("__ttot") + lit(smoothing) * col("__v"))) -
+          log((col("rc") + lit(smoothing)) / (col("__rtot") + lit(smoothing) * col("__v"))))
+          .as("__lr"))
+    rawToks.join(ratio, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (round(sum(col("__lr")), 6) + lit(0.0)).as("logw"))
+  }
+
+  /** DSIR selection: Gumbel top-`n` over the importance weights — sample
+    * n documents WITHOUT replacement with probability proportional to
+    * their (unnormalized) importance weight exp(logw), the Gumbel-max
+    * resampling of the DSIR paper. The Gumbel noise derives from the
+    * keyed [[uniform]] (g = −log(−log u)), so the draw is deterministic,
+    * retry-stable, and oracle-checkable. Plans as TakeOrdered — map-side
+    * per-partition top-n, an n-row driver merge, no global sort.
+    */
+  def dsirSelect(
+      weights: DataFrame,
+      keyCol: String,
+      n: Int,
+      seed: String): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val gumbel = -log(-log(uniform(col(keyCol), seed)))
+    weights.withColumn("gumbel_score", col("logw") + gumbel)
+      .orderBy(col("gumbel_score").desc, col(keyCol))
+      .limit(n)
+  }
+
   /** Deterministic global shuffle — the training-order scramble: total
     * order by (keyed uniform, key). Plans as a range-partitioned sort
     * (sample → range boundaries → per-partition sort), so it scales as

@@ -96,6 +96,30 @@ class SamplingSpec extends SparkSpec {
     assert(cums(3L) == 900L)
   }
 
+  test("DSIR: target-like docs score higher; selection is deterministic") {
+    import spark.implicits._
+    // raw corpus: 20 docs of domain A vocabulary, 20 of domain B
+    val raw = ((0L until 20L).map(i => (i, s"alpha beta gamma delta a$i")) ++
+      (20L until 40L).map(i => (i, s"omega sigma tau rho b$i"))).toDF("doc_id", "text")
+    // target: domain-A-flavored docs only
+    val target = (100L until 110L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val w = Sampling.importanceWeights(raw, target, "doc_id", "text")
+    val scores = w.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores.size == 40)
+    // every A doc outscores every B doc
+    val aMin = (0L until 20L).map(scores).min
+    val bMax = (20L until 40L).map(scores).max
+    assert(aMin > bMax)
+    // Gumbel top-k: deterministic, partition-invariant, favors A docs
+    val sel1 = Sampling.dsirSelect(w, "doc_id", n = 15, seed = "g1")
+      .collect().map(_.getLong(0)).toSet
+    val sel2 = Sampling.dsirSelect(w.repartition(7), "doc_id", n = 15, seed = "g1")
+      .collect().map(_.getLong(0)).toSet
+    assert(sel1 == sel2 && sel1.size == 15)
+    assert(sel1.count(_ < 20L) > 10) // mostly target-domain docs
+  }
+
   test("deterministicShuffle: stable permutation of the full input") {
     val df = keys(500)
     val a = Sampling.deterministicShuffle(df, "id", "sh").collect().map(_.getLong(0))
