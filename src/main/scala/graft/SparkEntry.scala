@@ -979,6 +979,19 @@ object SparkEntry {
         docs.where(col("doc_id") % 50 === 0), "text", n = 5,
         hashShingles = false)
     },
+    // Fuzzy decontamination: exact 3-gram Jaccard of every train doc
+    // against its best-matching eval doc (eval = the doc_id % 97 slice,
+    // which also self-tests: those docs must report jaccard 1.0 with
+    // themselves). String shingles for the oracle; hashed == string
+    // proven in CurateSpec.
+    "q_fuzzy_decontaminate" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.ops.Curate.fuzzyDecontaminate(
+        docs, "doc_id", "text",
+        docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
+        n = 3, threshold = 0.5, hashShingles = false)
+    },
     // One-call corpus curation: language filter -> quality filter ->
     // exact dedup -> near-dup components -> best-quality representative.
     // Fully deterministic composition, oracle-checked end to end.
@@ -2983,6 +2996,32 @@ object SparkEntry {
         |  coalesce(h.n_hits, 0) >= 1 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "q_fuzzy_decontaminate" ->
+      """WITH sh AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0),
+        |pairs AS (
+        |  SELECT t.doc_id, e.eval_id, len(list_intersect(t.s, e.s)) AS inter,
+        |    len(t.s) AS n_a, len(e.s) AS n_b
+        |  FROM sh t, ev e),
+        |scored AS (
+        |  SELECT doc_id, eval_id,
+        |    inter * 1.0 / (n_a + n_b - inter) AS jaccard
+        |  FROM pairs WHERE inter > 0),
+        |best AS (
+        |  SELECT doc_id, eval_id AS best_eval_id,
+        |    round(jaccard, 6) + 0.0 AS jaccard, jaccard >= 0.5 AS contaminated
+        |  FROM (SELECT doc_id, eval_id, jaccard,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY jaccard DESC, eval_id) AS rk
+        |    FROM scored) WHERE rk = 1)
+        |SELECT d.doc_id, b.best_eval_id,
+        |  coalesce(b.jaccard, 0.0) AS jaccard,
+        |  coalesce(b.contaminated, false) AS contaminated
+        |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
     "q_curate_stream" ->
       """WITH sc AS MATERIALIZED (
         |  SELECT doc_id, text,

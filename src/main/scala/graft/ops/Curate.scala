@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -123,6 +124,73 @@ object Curate {
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  /** FUZZY benchmark decontamination: flag training documents whose
+    * word-`n`-gram Jaccard similarity with ANY evaluation document
+    * reaches `threshold` — catches paraphrased and lightly-edited eval
+    * copies that exact shingle matching ([[decontaminate]]) misses
+    * (e.g. a reformatted benchmark question sharing no single exact
+    * 8-gram but 80% of its 3-gram set).
+    *
+    * EXACT Jaccard, not MinHash: the eval side is small by construction,
+    * so its full (eval_id, shingle) set broadcasts and the train side
+    * never shuffles raw text — the only shuffled frame is the
+    * (train_doc, eval_doc, partial intersection count) aggregate, which
+    * map-side combines and is bounded by the pairs that actually share a
+    * shingle. Per-doc shingle-set sizes ride the same projections. With
+    * `hashShingles` (default — the 100 TB shape) the broadcast carries
+    * 8-byte longs. Best-match selection is a rank-1 window per train doc
+    * (plans as WindowGroupLimit partial/final).
+    *
+    * Returns one row per train doc: (doc_id, best_eval_id, jaccard,
+    * contaminated) — best_eval_id null and jaccard 0.0 when the doc
+    * shares no shingle with any eval doc.
+    */
+  def fuzzyDecontaminate(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      evalDocs: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      hashShingles: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    def key(c: Column): Column = if (hashShingles) xxhash64(c) else c
+    val tsh = Dedup.fanOut(
+      train.select(col(trainIdCol).cast("long").as("doc_id"), col(trainTextCol).as("__t")))
+      .select(col("doc_id"), TextOps.wordShingles(col("__t"), n).as("__shs"))
+      .select(col("doc_id"), size(col("__shs")).cast("long").as("n_a"),
+        explode(col("__shs")).as("__sh"))
+      .select(col("doc_id"), col("n_a"), key(col("__sh")).as("sh"))
+    val esh = Dedup.fanOut(
+      evalDocs.select(col(evalIdCol).cast("long").as("eval_id"), col(evalTextCol).as("__t")))
+      .select(col("eval_id"), TextOps.wordShingles(col("__t"), n).as("__shs"))
+      .select(col("eval_id"), size(col("__shs")).cast("long").as("n_b"),
+        explode(col("__shs")).as("__sh"))
+      .select(col("eval_id"), col("n_b"), key(col("__sh")).as("sh"))
+    val inter = tsh.join(broadcast(esh), "sh")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("eval_id").asc)
+    val best = inter
+      .withColumn("__rk", row_number().over(byDoc))
+      .where(col("__rk") === 1)
+      .select(col("doc_id"), col("eval_id").as("best_eval_id"),
+        (round(col("jaccard"), 6) + lit(0.0)).as("jaccard"),
+        (col("jaccard") >= threshold).as("contaminated"))
+    train.select(col(trainIdCol).cast("long").as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best_eval_id"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
   /** One-call STREAMING curation — the ingest-time counterpart of

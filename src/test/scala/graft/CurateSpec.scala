@@ -84,6 +84,43 @@ class CurateSpec extends SparkSpec {
       "string path must still join on the raw shingle\n" + stringPlan.take(800))
   }
 
+  test("fuzzyDecontaminate: paraphrase caught, unrelated doc clean, self-match 1.0") {
+    import org.apache.spark.sql.functions._
+    // eval doc; train 1 = lightly edited copy (high 3-gram overlap);
+    // train 2 = unrelated; train 3 = exact copy
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, evalText)
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, evalText)).toDF("eval_id", "text")
+    val out = Curate.fuzzyDecontaminate(train, "doc_id", "text",
+      ev, "eval_id", "text", n = 3, threshold = 0.5)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(rows(3L) == ((100L, 1.0, true)))
+    // 8 shingles each, 7 shared -> 7/9
+    assert(rows(1L)._1 == 100L && rows(1L)._3 &&
+      math.abs(rows(1L)._2 - 7.0 / 9.0) < 1e-6)
+    assert(rows(2L) == ((-1L, 0.0, false)))
+  }
+
+  test("fuzzyDecontaminate hashed path equals the string path on real docs") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val ev = docs.where(col("doc_id") % 97 === 0)
+    val hashed = Curate.fuzzyDecontaminate(docs, "doc_id", "text",
+      ev, "doc_id", "text", n = 3, threshold = 0.5)
+    val strings = Curate.fuzzyDecontaminate(docs, "doc_id", "text",
+      ev, "doc_id", "text", n = 3, threshold = 0.5, hashShingles = false)
+    assert(hashed.exceptAll(strings).isEmpty && strings.exceptAll(hashed).isEmpty)
+    // the eval slice must self-report jaccard 1.0
+    val self = hashed.where(col("doc_id") % 97 === 0)
+      .select(min(col("jaccard"))).head.getDouble(0)
+    assert(self == 1.0)
+  }
+
   test("langQuality fused scan is bit-identical to langId + qualityScore + tokenCount") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
