@@ -932,6 +932,15 @@ object SparkEntry {
       graft.ops.Sampling.dsirSelect(w, "doc_id", n = 50, seed = "r9d")
         .select(col("doc_id"), col("n_tokens"), col("logw"))
     },
+    // Multinomial NB domain classifier trained on the doc_id % 7 slice
+    // (label = lang), applied to the full corpus — the pipeline's
+    // classifier-based filtering stage, train+score as pure dataflow
+    "q_nb_classify" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.ops.Classify.nbClassify(
+        docs, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", "lang")
+    },
     "q_shuffle_order" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       graft.ops.Sampling.deterministicShuffle(t(dir, "documents"), "doc_id", "r9o")
@@ -2664,6 +2673,42 @@ object SparkEntry {
         |      / 4294967296.0)) AS score
         |  FROM w)
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "q_nb_classify" ->
+      """WITH labt AS (
+        |  SELECT lang AS label,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |tokcnt AS (SELECT label, token, count(*) AS cnt FROM labt GROUP BY 1, 2),
+        |classtot AS (SELECT label, sum(cnt)::DOUBLE AS tok_c FROM tokcnt GROUP BY 1),
+        |prior AS (SELECT lang AS label, count(*)::DOUBLE AS n_docs
+        |  FROM documents WHERE doc_id % 7 = 0 GROUP BY 1),
+        |pt AS (SELECT sum(n_docs) AS nd FROM prior),
+        |vs AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM tokcnt),
+        |vocab AS (SELECT DISTINCT token FROM tokcnt),
+        |dense AS (
+        |  SELECT v.token, ct.label,
+        |    ln((coalesce(tc.cnt, 0) + 1.0) / (ct.tok_c + vs.v)) AS logp
+        |  FROM vocab v CROSS JOIN classtot ct
+        |  LEFT JOIN tokcnt tc ON tc.token = v.token AND tc.label = ct.label, vs),
+        |doct AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        |  FROM documents),
+        |post AS (
+        |  SELECT d.doc_id, dn.label, ln(p.n_docs / pt.nd) + sum(dn.logp) AS lp
+        |  FROM doct d JOIN dense dn USING (token)
+        |  JOIN prior p ON p.label = dn.label, pt
+        |  GROUP BY d.doc_id, dn.label, p.n_docs, pt.nd),
+        |ranked AS (
+        |  SELECT doc_id, label, lp,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, label) AS rk
+        |  FROM post)
+        |SELECT d.doc_id, b.label AS label_pred,
+        |  round(coalesce(b.lp, 0.0), 6) + 0.0 AS logpost,
+        |  round(coalesce(b.lp - s.lp, 0.0), 6) + 0.0 AS margin
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN (SELECT doc_id, label, lp FROM ranked WHERE rk = 1) b USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, lp FROM ranked WHERE rk = 2) s USING (doc_id)""".stripMargin,
     "q_shuffle_order" ->
       """SELECT doc_id, round(u, 6) + 0.0 AS u FROM (
         |  SELECT doc_id,

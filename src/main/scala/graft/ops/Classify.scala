@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-based document scoring for corpus selection — the
+  * "quality/domain classifier" stage of the standard LLM data pipeline
+  * (CCNet's fastText filter, GPT-3's LR-vs-WebText filter): a
+  * multinomial Naive Bayes model trained ON A LABELED FRAME and applied
+  * to the full corpus, entirely as dataflow — no driver-side model
+  * object, no UDF, every number a closed-form aggregate, so the whole
+  * train+score composition is deterministic and replayable in any SQL
+  * engine.
+  *
+  * Math: logpost(c | doc) = log prior(c) + Σ_tok log p(tok | c), with
+  * add-α smoothing over the union vocabulary V of the labeled corpus:
+  * p(tok|c) = (count(tok,c) + α) / (tokens_c + α·|V|). Out-of-vocabulary
+  * tokens are ignored (the standard multinomial-NB treatment). The
+  * prediction is the argmax class; `margin` (best − runner-up log
+  * posterior) is the confidence signal to threshold on for filtering.
+  *
+  * Scale shape: class-token counts are one two-phase hash aggregation
+  * over the labeled corpus; the dense (token × class) log-prob table is
+  * vocab-sized × k and joins the scored corpus's token stream keyed
+  * (same shape as [[TextOps.tfidf]]); per-(doc, class) partial sums
+  * combine map-side, the per-doc frame carries k rows, and the argmax
+  * is a rank-1 window (WindowGroupLimit). Class priors and totals ride
+  * broadcast k-row aggregates. Nothing collects.
+  *
+  * Returns one row per scored doc: (doc_id, label_pred, logpost,
+  * margin) — label_pred null when the doc shares no vocabulary token
+  * (logpost/margin 0.0); margin 0.0 when the model has one class.
+  * logpost/margin rounded 6dp post-aggregation for engine portability.
+  */
+object Classify {
+
+  def nbClassify(
+      docs: DataFrame,
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0.0, s"smoothing must be positive, got $smoothing")
+    def toks(df: DataFrame, key: Column, keyName: String): DataFrame =
+      Dedup.fanOut(df.select(key.as(keyName), col(textCol).as("__text")))
+        .select(col(keyName), explode(split(col("__text"), " ")).as("token"))
+        .where(col("token") =!= "")
+    val labToks = toks(labeled, col(labelCol).cast("string"), "label")
+    // class-token counts + per-class totals + class priors (k rows)
+    val tokCnt = labToks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val classTot = tokCnt.groupBy(col("label"))
+      .agg(sum(col("cnt")).cast("double").as("tok_c"))
+    val prior = labeled.groupBy(col(labelCol).cast("string").as("label"))
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val priorTot = prior.agg(sum(col("n_docs")).as("__nd"))
+    val vocabSize = tokCnt.select(col("token")).distinct()
+      .agg(count(lit(1)).cast("double").as("__v"))
+    // dense (token x class) table: every vocab token gets a row per
+    // class, absent counts falling to the smoothing floor
+    val vocab = tokCnt.select(col("token")).distinct()
+    val dense = vocab.crossJoin(broadcast(classTot))
+      .join(tokCnt, Seq("token", "label"), "left")
+      .crossJoin(broadcast(vocabSize))
+      .select(col("token"), col("label"),
+        log((coalesce(col("cnt"), lit(0L)) + lit(smoothing)) /
+          (col("tok_c") + lit(smoothing) * col("__v"))).as("logp"))
+    val docToks = toks(docs, col(idCol).cast("long"), "doc_id")
+    val post = docToks.join(dense, "token")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("logp")).as("__sum"))
+      .join(broadcast(prior.crossJoin(priorTot)
+        .select(col("label"), log(col("n_docs") / col("__nd")).as("logprior"))), "label")
+      .select(col("doc_id"), col("label"), (col("logprior") + col("__sum")).as("lp"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("lp").desc, col("label").asc)
+    val ranked = post.withColumn("__rk", row_number().over(byDoc))
+    val best = ranked.where(col("__rk") === 1)
+      .select(col("doc_id"), col("label").as("label_pred"), col("lp").as("__best"))
+    val second = ranked.where(col("__rk") === 2)
+      .select(col("doc_id"), col("lp").as("__second"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .join(second, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("label_pred"),
+        (round(coalesce(col("__best"), lit(0.0)), 6) + lit(0.0)).as("logpost"),
+        (round(coalesce(col("__best") - col("__second"), lit(0.0)), 6) + lit(0.0))
+          .as("margin"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Classify
+import org.apache.spark.sql.functions._
+
+/** Multinomial NB document classifier: separable vocabularies classify
+  * correctly, priors break vocabulary ties, OOV docs stay null, and the
+  * lang-labeled slice of real documents predicts its own labels back.
+  */
+class ClassifySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("separable vocabularies are classified with positive margin; OOV is null") {
+    val labeled = Seq(
+      ("A", "apple banana cherry apple banana"),
+      ("A", "apple cherry apple banana fig"),
+      ("B", "wolf bear lynx wolf bear"),
+      ("B", "bear lynx wolf otter")
+    ).toDF("label", "text")
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "wolf bear wolf lynx"),
+      (3L, "quartz feldspar mica") // fully out of vocabulary
+    ).toDF("doc_id", "text")
+    val out = Classify.nbClassify(docs, labeled, "doc_id", "text", "label")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((if (r.isNullAt(1)) null else r.getString(1)), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(1L)._1 == "A" && rows(1L)._3 > 0.0)
+    assert(rows(2L)._1 == "B" && rows(2L)._3 > 0.0)
+    assert(rows(3L) == ((null, 0.0, 0.0)))
+  }
+
+  test("lang model trained on a slice predicts the slice's own labels back") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val labeled = docs.where(col("doc_id") % 7 === 0)
+    val out = Classify.nbClassify(docs, labeled, "doc_id", "text", "lang")
+    assert(out.count() == docs.count())
+    // the synthetic languages share one token pool and differ only in
+    // token DISTRIBUTION, so perfect accuracy is impossible by design —
+    // the model must still clearly beat the majority-class baseline
+    // (en ~= 39% of docs), on the training slice and held out
+    val baseline = docs.groupBy(col("lang")).count()
+      .agg(max(col("count"))).head.getLong(0).toDouble / docs.count()
+    val joined = out.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val acc = joined.where(col("doc_id") % 7 === 0).agg(
+      avg(when(col("label_pred") === col("lang"), 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(acc > baseline + 0.15, s"training-set accuracy $acc vs baseline $baseline")
+    // held out, the 72-doc training slice can only beat RANDOM (1/5) on
+    // this weak distributional signal — correctness on separable data is
+    // the hand-built test above; this pins end-to-end plumbing on real
+    // documents (every doc scored, signal above chance)
+    val hoAcc = joined.where(col("doc_id") % 7 =!= 0).agg(
+      avg(when(col("label_pred") === col("lang"), 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(hoAcc > 0.25, s"held-out accuracy $hoAcc not above chance")
+  }
+}
