@@ -39,7 +39,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // ~98 queries x several codegen units overflow the default 100-entry
+      // ~111 queries x several codegen units overflow the default 100-entry
       // generated-code cache, forcing recompiles of already-seen plans
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.adaptive.enabled", "true")

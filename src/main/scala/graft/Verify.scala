@@ -10,7 +10,7 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // ~98 queries x several codegen units exceed the default 100-entry
+      // ~111 queries x several codegen units exceed the default 100-entry
       // generated-code cache (same sizing as Bench)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")

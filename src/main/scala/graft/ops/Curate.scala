@@ -80,6 +80,45 @@ object Curate {
     out
   }
 
+  /** [[curate]] followed by substring-level duplicate-SPAN cutting on the
+    * surviving documents — the full Lee et al. 2022 order (document-level
+    * dedup first, then ExactSubstr over what remains). Returns
+    * (doc_id, quality, n_tokens, dup_tokens, dup_frac, clean_text):
+    * `n_tokens`/`dup_tokens`/`dup_frac` from the span pass over the
+    * SURVIVOR corpus, `clean_text` with every globally-duplicated
+    * `spanMinLen`-token span removed. Both stages are independently
+    * oracle-checked (q_curate_corpus, q_substring_dedup); the
+    * composition is a keyed join of the two.
+    *
+    * OWNERSHIP: the returned frame is persisted and materialized; the
+    * caller owns the release — same contract as [[curate]].
+    */
+  def curateAndCut(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lang: String = "en",
+      minQuality: Double = 0.5,
+      jaccardThreshold: Double = 0.7,
+      shingleSize: Int = 3,
+      spanMinLen: Int = 50,
+      spanMinCount: Int = 2): DataFrame = {
+    val kept = curate(docs, idCol, textCol, lang, minQuality, jaccardThreshold,
+      shingleSize)
+    val survivors = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .join(kept.select(col("doc_id"), col("quality")), "doc_id")
+    val cut = Dedup.substringDedup(survivors, "doc_id", "text",
+      minLen = spanMinLen, minCount = spanMinCount)
+    val out = cut.join(kept.select(col("doc_id"), col("quality")), "doc_id")
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("dup_tokens"), col("dup_frac"), col("clean_text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    kept.unpersist()
+    out
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minHits` word `n`-grams with any document of an evaluation set.
     *

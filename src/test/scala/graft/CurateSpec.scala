@@ -121,6 +121,37 @@ class CurateSpec extends SparkSpec {
     assert(self == 1.0)
   }
 
+  test("curateAndCut: doc-level dedup first, then duplicate spans cut from survivors") {
+    import org.apache.spark.sql.functions._
+    // docs 1 and 2 are exact copies (doc-level dedup keeps 1); docs 3 and
+    // 4 are distinct but share a long boilerplate tail (substring stage
+    // must cut it from BOTH); doc 5 is clean
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, en("same body")),
+      (2L, en("same body")),
+      (3L, en2("three unique lead") + " " + boiler),
+      (4L, en2("four other lead words") + " " + boiler),
+      (5L, en("five clean"))
+    ).toDF("doc_id", "text")
+    val out = Curate.curateAndCut(docs, "doc_id", "text", minQuality = 0.0,
+      jaccardThreshold = 0.95, spanMinLen = 50, spanMinCount = 2)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(3), r.getString(5)))).toMap
+    out.unpersist()
+    // doc 2 deduped away; 1, 3, 4, 5 survive
+    assert(rows.keySet == Set(1L, 3L, 4L, 5L))
+    // the shared 60-token boilerplate (plus any shared en2 windows) is cut
+    // from both 3 and 4; their unique leads survive
+    assert(rows(3L)._1 >= 60L && !rows(3L)._2.contains("b30") &&
+      rows(3L)._2.contains("three unique lead"))
+    assert(rows(4L)._1 >= 60L && !rows(4L)._2.contains("b30") &&
+      rows(4L)._2.contains("four other lead words"))
+    // docs 1 and 5 share the en() filler -> their repeated-filler windows
+    // are cross-doc duplicates too; their unique tails must survive
+    assert(rows(1L)._2.contains("same body") && rows(5L)._2.contains("five clean"))
+  }
+
   test("langQuality fused scan is bit-identical to langId + qualityScore + tokenCount") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
