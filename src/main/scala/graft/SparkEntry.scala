@@ -1104,6 +1104,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, queriesDf, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     },
+    // Deterministic JL random projection 64 -> 16, md5-derived sign
+    // matrix — the oracle rebuilds the exact matrix and projection
+    "q_random_project" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Similarity.randomProject(t(dir, "embeddings"), "vec_id", "embedding",
+          inDim = 64, outDim = 16, seed = "rp9")
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          (round(col("col"), 6) + lit(0.0)).as("v"))
+    },
     "q_ann_ivf" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
@@ -2850,6 +2860,21 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5""".stripMargin,
+    "q_random_project" ->
+      """WITH signs AS (
+        |  SELECT ii.i, jj.j,
+        |    CASE WHEN ('0x' || substr(md5('rp9:' || ii.i || ':' || jj.j), 1, 1))::UBIGINT < 8
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM (SELECT unnest(range(64)) AS i) ii,
+        |       (SELECT unnest(range(16)) AS j) jj),
+        |vecs AS (
+        |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |    unnest(range(len(embedding))) AS i
+        |  FROM embeddings)
+        |SELECT v.vec_id, sg.j,
+        |  round(sum(v.x * sg.s) / sqrt(16.0), 6) + 0.0 AS v
+        |FROM vecs v JOIN signs sg ON sg.i = v.i
+        |GROUP BY 1, 2""".stripMargin,
     "q_soft_assign_fixed" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 3),
         |d AS (SELECT p.vec_id, c.cid,

@@ -22,6 +22,61 @@ object Similarity {
   def cosineSim(a: Column, b: Column): Column =
     graft.functions.ArrayMath.cosine(a, b)
 
+  /** Deterministic Johnson–Lindenstrauss random projection: map a
+    * `inDim`-dimensional embedding to `outDim` dimensions with a dense
+    * ±1 sign matrix scaled by 1/√outDim (Achlioptas 2003's database-
+    * friendly construction, sign-only variant) — pairwise distances are
+    * preserved within ~√(log n / outDim) distortion, which is what lets
+    * ANN / near-dup / clustering run on a fraction of the vector bytes
+    * at corpus scale.
+    *
+    * The sign matrix derives from md5("seed:i:j") (high bit of the first
+    * hex digit), NOT from a JVM RNG: the projection is reproducible
+    * across runs/partitions/engines, and an independent SQL engine can
+    * rebuild the exact matrix — q_random_project hash-checks the full
+    * projection against DuckDB. The matrix (inDim × outDim doubles) is
+    * built on the driver and broadcast with the closure; all outDim
+    * lanes are computed in ONE pass over the row's values (the sketch
+    * pattern — interpreted HOFs would traverse the array outDim times).
+    *
+    * Returns (idCol, proj array<double>).
+    */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDim: Int,
+      outDim: Int,
+      seed: String): DataFrame = {
+    require(inDim > 0 && outDim > 0, s"dims must be positive, got $inDim -> $outDim")
+    val signs = Array.tabulate(inDim, outDim) { (i, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      // high bit of the first hex digit == high bit of the first byte
+      if ((md(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val projUdf = udf { (xs: Seq[Double]) =>
+      require(xs.length == inDim,
+        s"randomProject: expected $inDim dims, got ${xs.length}")
+      val out = new Array[Double](outDim)
+      var i = 0
+      while (i < inDim) {
+        val x = xs(i)
+        if (x != 0.0) {
+          val row = signs(i)
+          var j = 0
+          while (j < outDim) { out(j) += x * row(j); j += 1 }
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < outDim) { out(j) *= scale; j += 1 }
+      out.toSeq
+    }
+    df.select(col(idCol), projUdf(col(vecCol).cast("array<double>")).as("proj"))
+  }
+
   /** Dot product of two array<double> columns (native codegen loop). */
   def dot(a: Column, b: Column): Column =
     graft.functions.ArrayMath.dot(a, b)

@@ -259,4 +259,35 @@ class RecallSpec extends SparkSpec {
     }
     idx.unpersist()
   }
+
+  test("randomProject: JL distance preservation, determinism, partition invariance") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val proj = graft.ops.Similarity.randomProject(e, "vec_id", "embedding",
+      inDim = 64, outDim = 16, seed = "jl")
+    val projMap = proj.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val origMap = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // 100 deterministic pairs: mean relative sqdist distortion must be
+    // small (E[distortion] ~ sqrt(2/k) ~ 0.35 at k=16), no pair wildly off
+    val ids = origMap.keys.toArray.sorted.take(101)
+    val dists = (0 until 100).map { i =>
+      val (a, b) = (ids(i), ids(i + 1))
+      val d0 = sq(origMap(a), origMap(b))
+      val d1 = sq(projMap(a), projMap(b))
+      math.abs(d1 / d0 - 1.0)
+    }
+    assert(dists.sum / dists.size < 0.4,
+      s"mean JL distortion ${dists.sum / dists.size}")
+    assert(dists.max < 1.5, s"worst-pair distortion ${dists.max}")
+    // deterministic and partition-invariant
+    val again = graft.ops.Similarity.randomProject(e.repartition(7), "vec_id",
+      "embedding", inDim = 64, outDim = 16, seed = "jl")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(projMap.keySet == again.keySet &&
+      projMap.forall { case (k, v) => v.sameElements(again(k)) })
+  }
 }
