@@ -120,6 +120,28 @@ class SamplingSpec extends SparkSpec {
     assert(sel1.count(_ < 20L) > 10) // mostly target-domain docs
   }
 
+  test("hashSample and sampleByStrata are stream-safe (ingest-time sampling)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    // stateless deterministic filter: works unchanged on a stream, and
+    // emits EXACTLY the batch-mode sample of the same keys
+    val sampled = Sampling.hashSample(stream.toDF().withColumnRenamed("value", "id"),
+      "id", 0.5, "s1")
+    val query = sampled.writeStream.format("memory").queryName("samp_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(0L until 1000L)
+      query.processAllAvailable()
+      stream.addData(1000L until 2000L)
+      query.processAllAvailable()
+      val streamed = spark.table("samp_out").as[Long].collect().toSet
+      val batch = Sampling.hashSample(keys(2000), "id", 0.5, "s1")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("deterministicShuffle: stable permutation of the full input") {
     val df = keys(500)
     val a = Sampling.deterministicShuffle(df, "id", "sh").collect().map(_.getLong(0))
