@@ -1104,6 +1104,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, queriesDf, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     },
+    // int8 scalar quantization of the embedding corpus: codes + scale
+    // are pure closed-form expressions, replayed exactly by the oracle
+    "q_quantize_int8" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Similarity.quantizeInt8(t(dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          col("col").cast("long").as("code"))
+    },
     // Deterministic JL random projection 64 -> 16, md5-derived sign
     // matrix — the oracle rebuilds the exact matrix and projection
     "q_random_project" -> { (s, dir) =>
@@ -2860,6 +2869,17 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5""".stripMargin,
+    "q_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale,
+        |    embedding::DOUBLE[] AS v
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  unnest(range(len(v))) AS j,
+        |  unnest(list_transform(v, x -> CASE WHEN scale = 0
+        |    THEN 0 ELSE CAST(round(x / scale * 127.0) AS BIGINT) END)) AS code
+        |FROM q""".stripMargin,
     "q_random_project" ->
       """WITH signs AS (
         |  SELECT ii.i, jj.j,

@@ -77,6 +77,33 @@ object Similarity {
     df.select(col(idCol), projUdf(col(vecCol).cast("array<double>")).as("proj"))
   }
 
+  /** Scalar int8 quantization of an embedding column: per-vector
+    * symmetric max-abs scaling, code_j = round(x_j / scale · 127) ∈
+    * [−127, 127] — the standard serving-time compression for embedding
+    * corpora (8× smaller than float64, 4× smaller than float32) when
+    * product quantization's 30× is more loss than the workload wants.
+    * Pure Spark expressions (no UDF, engine-portable math) so the whole
+    * encoding is DuckDB-replayable (q_quantize_int8); dot/cosine on
+    * [[dequantizeInt8]] output approximates the exact value to ~1%
+    * (asserted with recall preservation in RecallSpec).
+    *
+    * Returns (idCol, codes array<int>, scale double); all-zero vectors
+    * encode as zero codes with scale 0.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol), col("__v"),
+        array_max(transform(col("__v"), x => abs(x))).as("scale"))
+      .select(col(idCol),
+        transform(col("__v"), x =>
+          when(col("scale") === 0.0, lit(0))
+            .otherwise(round(x / col("scale") * 127.0, 0).cast("int"))).as("codes"),
+        col("scale"))
+
+  /** Inverse of [[quantizeInt8]]: codes · scale / 127 as array<double>. */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale / 127.0)
+
   /** Dot product of two array<double> columns (native codegen loop). */
   def dot(a: Column, b: Column): Column =
     graft.functions.ArrayMath.dot(a, b)

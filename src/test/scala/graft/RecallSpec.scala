@@ -260,6 +260,34 @@ class RecallSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("quantizeInt8: bounded reconstruction error, recall preserved") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val quant = graft.ops.Similarity.quantizeInt8(e, "vec_id", "embedding")
+    val deq = quant.select(col("vec_id"),
+      graft.ops.Similarity.dequantizeInt8(col("codes"), col("scale")).as("embedding"))
+    // per-element reconstruction error <= scale / 127 / 2 (+ half-ulp)
+    val joined = deq.join(
+      e.select(col("vec_id"), col("embedding").cast("array<double>").as("orig")),
+      "vec_id").join(quant.select(col("vec_id"), col("scale")), "vec_id")
+    val bad = joined.select(
+      exists(zip_with(col("embedding"), col("orig"), (a, b) => abs(a - b)),
+        err => err > col("scale") / 127.0 / 2.0 + lit(1e-12)).as("bad"))
+      .where(col("bad")).count()
+    assert(bad == 0L)
+    // exact top-5 neighbors from dequantized vectors match exact >= 90%
+    val q = e.where(col("vec_id") < 20)
+    val exact = graft.ops.Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("corpus_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qDeq = deq.where(col("vec_id") < 20)
+    val approx = graft.ops.Similarity.bruteForceTopK(deq, qDeq, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("corpus_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall")
+  }
+
   test("randomProject: JL distance preservation, determinism, partition invariance") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
