@@ -119,6 +119,16 @@ class CurateSpec extends SparkSpec {
     val self = hashed.where(col("doc_id") % 97 === 0)
       .select(min(col("jaccard"))).head.getDouble(0)
     assert(self == 1.0)
+    // plan shape: the eval shingle side broadcasts (the train side never
+    // shuffles its raw shingles for the join), keyed by bigint hashes —
+    // execute first so AQE materializes the final stages
+    hashed.count()
+    val planStr = hashed.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastExchange") || planStr.contains("BroadcastQueryStage"),
+      "eval shingles must broadcast\n" + planStr.take(600))
+    assert("HashedRelationBroadcastMode\\(List\\(input\\[\\d+, bigint".r
+      .findFirstIn(planStr).isDefined,
+      "fuzzy join key must be bigint on the hashed path\n" + planStr.take(600))
   }
 
   test("curateAndCut: doc-level dedup first, then duplicate spans cut from survivors") {
