@@ -1001,6 +1001,18 @@ object SparkEntry {
         docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
         n = 3, threshold = 0.5, hashShingles = false)
     },
+    // Containment-mode decontamination: eval docs are 200-char snippets
+    // CUT FROM train docs — Jaccard vs the full doc is low, containment
+    // is ~1.0; the metric choice is exactly what catches quoted evals
+    "q_decontaminate_contain" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      val ev = docs.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id"), substring(col("text"), 50, 200).as("text"))
+      graft.ops.Curate.fuzzyDecontaminate(
+        docs, "doc_id", "text", ev, "doc_id", "text",
+        n = 3, threshold = 0.8, hashShingles = false, metric = "containment")
+    },
     // One-call corpus curation: language filter -> quality filter ->
     // exact dedup -> near-dup components -> best-quality representative.
     // Fully deterministic composition, oracle-checked end to end.
@@ -3099,17 +3111,55 @@ object SparkEntry {
         |  FROM sh t, ev e),
         |scored AS (
         |  SELECT doc_id, eval_id,
-        |    inter * 1.0 / (n_a + n_b - inter) AS jaccard
+        |    inter * 1.0 / (n_a + n_b - inter) AS jaccard,
+        |    inter * 1.0 / n_b AS containment
         |  FROM pairs WHERE inter > 0),
         |best AS (
         |  SELECT doc_id, eval_id AS best_eval_id,
-        |    round(jaccard, 6) + 0.0 AS jaccard, jaccard >= 0.5 AS contaminated
-        |  FROM (SELECT doc_id, eval_id, jaccard,
+        |    round(jaccard, 6) + 0.0 AS jaccard,
+        |    round(containment, 6) + 0.0 AS containment,
+        |    jaccard >= 0.5 AS contaminated
+        |  FROM (SELECT doc_id, eval_id, jaccard, containment,
         |      row_number() OVER (PARTITION BY doc_id
         |        ORDER BY jaccard DESC, eval_id) AS rk
         |    FROM scored) WHERE rk = 1)
         |SELECT d.doc_id, b.best_eval_id,
         |  coalesce(b.jaccard, 0.0) AS jaccard,
+        |  coalesce(b.containment, 0.0) AS containment,
+        |  coalesce(b.contaminated, false) AS contaminated
+        |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
+    "q_decontaminate_contain" ->
+      """WITH tr AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents),
+        |ev AS (
+        |  SELECT doc_id AS eval_id, list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(substr(text, 50, 200), ' ')) - 3, 0) + 1),
+        |    i -> array_to_string(string_split(substr(text, 50, 200), ' ')[i+1:i+3], ' '))) AS s
+        |  FROM documents WHERE doc_id % 101 = 0),
+        |pairs AS (
+        |  SELECT t.doc_id, e.eval_id, len(list_intersect(t.s, e.s)) AS inter,
+        |    len(t.s) AS n_a, len(e.s) AS n_b
+        |  FROM tr t, ev e),
+        |scored AS (
+        |  SELECT doc_id, eval_id,
+        |    inter * 1.0 / (n_a + n_b - inter) AS jaccard,
+        |    inter * 1.0 / n_b AS containment
+        |  FROM pairs WHERE inter > 0),
+        |best AS (
+        |  SELECT doc_id, eval_id AS best_eval_id,
+        |    round(jaccard, 6) + 0.0 AS jaccard,
+        |    round(containment, 6) + 0.0 AS containment,
+        |    containment >= 0.8 AS contaminated
+        |  FROM (SELECT doc_id, eval_id, jaccard, containment,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY containment DESC, eval_id) AS rk
+        |    FROM scored) WHERE rk = 1)
+        |SELECT d.doc_id, b.best_eval_id,
+        |  coalesce(b.jaccard, 0.0) AS jaccard,
+        |  coalesce(b.containment, 0.0) AS containment,
         |  coalesce(b.contaminated, false) AS contaminated
         |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
     "q_curate_stream" ->

@@ -182,9 +182,18 @@ object Curate {
     * 8-byte longs. Best-match selection is a rank-1 window per train doc
     * (plans as WindowGroupLimit partial/final).
     *
+    * `metric` picks what "similar" means — and it matters for
+    * decontamination: `"jaccard"` is symmetric overlap, but a LONG
+    * training document that embeds a SHORT eval question whole has low
+    * Jaccard and full CONTAINMENT (|A∩B| / |B|, the fraction of the
+    * EVAL doc's shingles present in the train doc) — `"containment"`
+    * is the right default when eval items can be quoted inside larger
+    * pages. Both scores are always emitted; `metric` chooses which one
+    * ranks the best match and trips `contaminated`.
+    *
     * Returns one row per train doc: (doc_id, best_eval_id, jaccard,
-    * contaminated) — best_eval_id null and jaccard 0.0 when the doc
-    * shares no shingle with any eval doc.
+    * containment, contaminated) — best_eval_id null and both scores 0.0
+    * when the doc shares no shingle with any eval doc.
     */
   def fuzzyDecontaminate(
       train: DataFrame,
@@ -195,9 +204,12 @@ object Curate {
       evalTextCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      hashShingles: Boolean = true): DataFrame = {
+      hashShingles: Boolean = true,
+      metric: String = "jaccard"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    require(metric == "jaccard" || metric == "containment",
+      s"metric must be 'jaccard' or 'containment', got '$metric'")
     def key(c: Column): Column = if (hashShingles) xxhash64(c) else c
     val tsh = Dedup.fanOut(
       train.select(col(trainIdCol).cast("long").as("doc_id"), col(trainTextCol).as("__t")))
@@ -217,18 +229,22 @@ object Curate {
         first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .withColumn("containment", col("inter").cast("double") / col("n_b"))
+    val score = col(metric)
     val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("jaccard").desc, col("eval_id").asc)
+      .orderBy(score.desc, col("eval_id").asc)
     val best = inter
       .withColumn("__rk", row_number().over(byDoc))
       .where(col("__rk") === 1)
       .select(col("doc_id"), col("eval_id").as("best_eval_id"),
         (round(col("jaccard"), 6) + lit(0.0)).as("jaccard"),
-        (col("jaccard") >= threshold).as("contaminated"))
+        (round(col("containment"), 6) + lit(0.0)).as("containment"),
+        (score >= threshold).as("contaminated"))
     train.select(col(trainIdCol).cast("long").as("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("best_eval_id"),
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"),
+        coalesce(col("containment"), lit(0.0)).as("containment"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 

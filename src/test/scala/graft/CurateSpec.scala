@@ -98,12 +98,23 @@ class CurateSpec extends SparkSpec {
     val out = Curate.fuzzyDecontaminate(train, "doc_id", "text",
       ev, "eval_id", "text", n = 3, threshold = 0.5)
     val rows = out.collect().map(r => r.getLong(0) ->
-      ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getDouble(2), r.getBoolean(3))).toMap
-    assert(rows(3L) == ((100L, 1.0, true)))
-    // 8 shingles each, 7 shared -> 7/9
-    assert(rows(1L)._1 == 100L && rows(1L)._3 &&
-      math.abs(rows(1L)._2 - 7.0 / 9.0) < 1e-6)
-    assert(rows(2L) == ((-1L, 0.0, false)))
+      ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    assert(rows(3L) == ((100L, 1.0, 1.0, true)))
+    // 8 shingles each, 7 shared -> jaccard 7/9, containment 7/8
+    assert(rows(1L)._1 == 100L && rows(1L)._4 &&
+      math.abs(rows(1L)._2 - 7.0 / 9.0) < 1e-6 &&
+      math.abs(rows(1L)._3 - 7.0 / 8.0) < 1e-6)
+    assert(rows(2L) == ((-1L, 0.0, 0.0, false)))
+    // containment metric: a LONG doc quoting the eval whole is missed by
+    // jaccard at 0.5 but caught by containment
+    val long = Seq((9L, ("pad" + (1 to 40).map(i => s" w$i").mkString) +
+      " " + evalText)).toDF("doc_id", "text")
+    val jac = Curate.fuzzyDecontaminate(long, "doc_id", "text",
+      ev, "eval_id", "text", n = 3, threshold = 0.5).head
+    val con = Curate.fuzzyDecontaminate(long, "doc_id", "text",
+      ev, "eval_id", "text", n = 3, threshold = 0.8, metric = "containment").head
+    assert(!jac.getBoolean(4) && con.getBoolean(4) && con.getDouble(3) == 1.0)
   }
 
   test("fuzzyDecontaminate hashed path equals the string path on real docs") {
