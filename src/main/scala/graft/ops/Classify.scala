@@ -35,18 +35,34 @@ import org.apache.spark.sql.functions._
   */
 object Classify {
 
+  /** @param hashBuckets when set, tokens are FEATURE-HASHED to
+    *   `pmod(xxhash64(token), B)` buckets before counting (the
+    *   fastText/Weinberger et al. 2009 trick): the dense feature × class
+    *   table is then B×k rows REGARDLESS of corpus vocabulary — at
+    *   100 TB the raw vocabulary keeps growing, the hashed model does
+    *   not, and the token-stream join carries 8-byte longs instead of
+    *   strings. Collisions merge token statistics (the standard
+    *   hashing-trick tradeoff; accuracy parity asserted in
+    *   ClassifySpec). The string path (None) remains for the
+    *   engine-portable oracle (q_nb_classify).
+    */
   def nbClassify(
       docs: DataFrame,
       labeled: DataFrame,
       idCol: String,
       textCol: String,
       labelCol: String,
-      smoothing: Double = 1.0): DataFrame = {
+      smoothing: Double = 1.0,
+      hashBuckets: Option[Int] = None): DataFrame = {
     require(smoothing > 0.0, s"smoothing must be positive, got $smoothing")
-    def toks(df: DataFrame, key: Column, keyName: String): DataFrame =
-      Dedup.fanOut(df.select(key.as(keyName), col(textCol).as("__text")))
-        .select(col(keyName), explode(split(col("__text"), " ")).as("token"))
-        .where(col("token") =!= "")
+    require(hashBuckets.forall(_ > 1), s"hashBuckets must be > 1, got $hashBuckets")
+    def key(c: Column): Column =
+      hashBuckets.map(b => pmod(xxhash64(c), lit(b.toLong))).getOrElse(c)
+    def toks(df: DataFrame, k: Column, keyName: String): DataFrame =
+      Dedup.fanOut(df.select(k.as(keyName), col(textCol).as("__text")))
+        .select(col(keyName), explode(split(col("__text"), " ")).as("__tok"))
+        .where(col("__tok") =!= "")
+        .select(col(keyName), key(col("__tok")).as("token"))
     val labToks = toks(labeled, col(labelCol).cast("string"), "label")
     // class-token counts + per-class totals + class priors (k rows)
     val tokCnt = labToks.groupBy(col("label"), col("token"))

@@ -31,6 +31,30 @@ class ClassifySpec extends SparkSpec {
     assert(rows(3L) == ((null, 0.0, 0.0)))
   }
 
+  test("feature-hashed path matches the string path on separable data") {
+    val labeled = Seq(
+      ("A", "apple banana cherry apple banana"),
+      ("A", "apple cherry apple banana fig"),
+      ("B", "wolf bear lynx wolf bear"),
+      ("B", "bear lynx wolf otter")
+    ).toDF("label", "text")
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "wolf bear wolf lynx"),
+      (3L, "quartz feldspar mica")
+    ).toDF("doc_id", "text")
+    val hashed = Classify.nbClassify(docs, labeled, "doc_id", "text", "label",
+      hashBuckets = Some(1 << 16))
+    val rows = hashed.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    // at 65k buckets for an 11-token vocab, collisions are absent and the
+    // predictions coincide with the string path exactly
+    assert(rows == Map(1L -> "A", 2L -> "B", 3L -> null))
+    // determinism across partitionings
+    val again = Classify.nbClassify(docs.repartition(5), labeled.repartition(3),
+      "doc_id", "text", "label", hashBuckets = Some(1 << 16))
+    assert(hashed.exceptAll(again).isEmpty && again.exceptAll(hashed).isEmpty)
+  }
+
   test("lang model trained on a slice predicts the slice's own labels back") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val labeled = docs.where(col("doc_id") % 7 === 0)
