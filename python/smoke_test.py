@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Smoke test for the graft PySpark bindings.
+
+Run against a local session with the graft jar on the classpath:
+
+    sbt package
+    GRAFT_JAR=target/scala-2.13/<graft jar> python3 python/smoke_test.py
+
+Covers the full user workflow: fit (SE and KL), transform, predict,
+computeCost, summary, save/load round-trip (Python-side load of a
+Python-saved model), and param transfer fidelity.
+"""
+
+import glob
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.ml.linalg import Vectors
+from pyspark.sql import SparkSession
+
+from graft.clustering import GeneralizedKMeans, GeneralizedKMeansModel
+
+
+def find_jar() -> str:
+    jar = os.environ.get("GRAFT_JAR")
+    if jar:
+        return jar
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cands = glob.glob(os.path.join(root, "target", "scala-2.13", "*.jar"))
+    cands = [c for c in cands if "sources" not in c and "javadoc" not in c]
+    if not cands:
+        raise SystemExit("no graft jar found: run `sbt package` or set GRAFT_JAR")
+    return max(cands, key=os.path.getmtime)
+
+
+def main() -> None:
+    spark_jars = find_jar()
+    extra = glob.glob("/opt/spark/jars/*.jar")
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("graft-python-smoke")
+        .config("spark.jars", spark_jars)
+        .config("spark.driver.extraClassPath", spark_jars)
+        .config("spark.executor.extraClassPath", spark_jars)
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    try:
+        df = spark.createDataFrame(
+            [(Vectors.dense([0.0, 0.0]),), (Vectors.dense([0.2, 0.1]),),
+             (Vectors.dense([0.1, 0.3]),), (Vectors.dense([9.9, 10.1]),),
+             (Vectors.dense([10.2, 9.8]),), (Vectors.dense([10.0, 10.0]),)],
+            ["features"],
+        )
+
+        # --- squared Euclidean fit / transform / predict / cost ---
+        km = GeneralizedKMeans(k=2, seed=7, maxIter=10, distanceCol="dist")
+        model = km.fit(df)
+        assert model.numClusters == 2, model.numClusters
+        assert model.numFeatures == 2, model.numFeatures
+        pred = model.transform(df)
+        assert pred.columns == ["features", "prediction", "dist"], pred.columns
+        assert pred.select("prediction").distinct().count() == 2
+        # the two blobs separate perfectly
+        a = model.predict(Vectors.dense([0.1, 0.1]))
+        b = model.predict(Vectors.dense([10.0, 10.0]))
+        assert a != b, (a, b)
+        cost = model.computeCost(df)
+        assert 0.0 < cost < 1.0, cost  # tight blobs -> tiny WCSS
+        centers = model.clusterCenters()
+        assert len(centers) == 2 and len(centers[0]) == 2
+        s = model.summary
+        assert s.algorithm == "GeneralizedKMeans" and s.k == 2
+        assert s.numPoints == 6 and s.iterations >= 1
+        print(f"SE fit ok: cost={cost:.4f} {s}")
+
+        # --- KL divergence fit (simplex-ish positive data) ---
+        kl_df = spark.createDataFrame(
+            [(Vectors.dense([0.8, 0.1, 0.1]),), (Vectors.dense([0.7, 0.2, 0.1]),),
+             (Vectors.dense([0.1, 0.1, 0.8]),), (Vectors.dense([0.1, 0.2, 0.7]),)],
+            ["features"],
+        )
+        kl_model = GeneralizedKMeans(k=2, divergence="kl", seed=3, maxIter=10).fit(kl_df)
+        assert kl_model.transform(kl_df).select("prediction").distinct().count() == 2
+        print("KL fit ok")
+
+        # --- save / load round trip ---
+        tmp = tempfile.mkdtemp(prefix="graft-py-model-")
+        try:
+            path = os.path.join(tmp, "model")
+            model.write().overwrite().save(path)
+            loaded = GeneralizedKMeansModel.load(path)
+            assert loaded.clusterCenters() == model.clusterCenters()
+            assert loaded.getDivergence() == "squaredEuclidean"
+            assert loaded.getDistanceCol() == "dist"
+            re_pred = loaded.transform(df)
+            assert (
+                pred.select("features", "prediction").collect()
+                == re_pred.select("features", "prediction").collect()
+            )
+            assert not loaded.hasSummary()
+            print("save/load round-trip ok")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        # --- param transfer fidelity ---
+        est = GeneralizedKMeans(
+            k=3, divergence="l1", assignmentStrategy="broadcast", maxIter=5
+        )
+        jm = est._to_java()
+        assert jm.getK() == 3
+        assert jm.getDivergence() == "l1"
+        assert jm.getAssignmentStrategy() == "broadcast"
+        assert jm.getMaxIter() == 5
+        print("param transfer ok")
+
+        print("SMOKE TEST PASSED")
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -869,8 +869,9 @@ object SparkEntry {
     },
     "q_split_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
-      // stable-hash 80/10/10 split; proportions asserted in VocabSpec
-      // (hash values are Spark-specific -> rows-only check here)
+      // stable-hash 80/10/10 split on the portable md5 house uniform —
+      // the per-row assignment (not just the proportions) replays in
+      // DuckDB, so the counts hash-check end to end
       TextOps.splitByHash(t(dir, "documents"), "doc_id",
           Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
@@ -908,10 +909,14 @@ object SparkEntry {
           (round(col("rate"), 6) + lit(0.0)).as("rate"),
           (round(col("planned"), 6) + lit(0.0)).as("planned"))
     },
+    // Quality enters the contract as integer micro-units (floor(x*1e6+0.5)
+    // — half-up in every engine), so neither the window ORDER BY nor the
+    // canon hash ever sees a double: the r9 driver-side hash mismatch was
+    // round()'s engine-dependent half-even/half-up at a 6-dp boundary.
     "q_budget_select" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       graft.ops.Sampling.budgetSelect(t(dir, "documents"), "lang", "doc_id",
-        TextOps.qualityScore(col("text")), TextOps.tokenCount(col("text")), 2000L)
+        TextOps.qualityScoreMicro(col("text")), TextOps.tokenCount(col("text")), 2000L)
     },
     // DSIR (Xie et al. 2023): importance weights of every doc under a
     // target-domain unigram LM (target = the corpus's German slice) vs
@@ -940,6 +945,17 @@ object SparkEntry {
       val docs = t(dir, "documents")
       graft.ops.Classify.nbClassify(
         docs, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", "lang")
+    },
+    // The PRODUCTION feature-hashed path (bounded B×k model at any corpus
+    // scale): same train/score composition, tokens bucketed by the
+    // portable md5 house hash — the full hashed pipeline hash-checks
+    // against DuckDB, not just the string-vocab sibling
+    "q_nb_classify_hashed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.ops.Classify.nbClassify(
+        docs, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", "lang",
+        hashBuckets = Some(4096))
     },
     "q_shuffle_order" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -1624,22 +1640,26 @@ object SparkEntry {
     },
     "q_ib_info" -> { (s, dir) =>
       implicit val sp: SparkSession = s
-      // Information Bottleneck: compress document-length bins (16 states)
-      // into 4 states preserving information about the quality-score
-      // bucket — a genuinely correlated X/Y pair (quality includes a
-      // length term; the purely relational testdata columns are pairwise
-      // independent). ONE distributed groupBy builds the joint; BA runs
-      // on the 16 x ~10 contingency table. Deterministic under the seed.
+      // Information Bottleneck END-TO-END oracle: deterministic init (the
+      // same p0(t|x) ∝ 1+((x+t) mod 4) the q_ib_step oracle replays) and
+      // EXACTLY two BA iterations, so the oracle SQL unrolls the full
+      // fixed-point chain (the q_xmeans_k warm-start pattern) and
+      // hash-checks I(X;T)/I(T;Y) — not just row counts. Same X/Y base
+      // as q_ib_step: integer n_chars bins vs lang, no float boundary
+      // for the engines to disagree on.
       val docs = t(dir, "documents")
       val pairs = docs.select(
-        least(lit(15), floor(length(col("text")) / 150)).cast("int").as("xbin"),
-        floor(TextOps.qualityScore(col("text")) * 10).cast("int").as("y"))
-      val m = new graft.clustering.InformationBottleneck().setK(4).setBeta(8.0)
+        least(lit(15), floor(col("n_chars") / 150)).cast("int").as("xbin"),
+        col("lang").as("y"))
+      val m = new graft.clustering.InformationBottleneck().setK(4).setBeta(2.0)
         .setFeaturesCol("xbin").setRelevanceCol("y")
-        .setMaxIter(150).setSeed(42).fit(pairs)
+        .setSmoothing(1e-6).setMaxIter(2).setTol(0.0)
+        .setInitialEncoder((key, kk) =>
+          Array.tabulate(kk)(t => (1.0 + ((key.toInt + t) % 4)) / 10.0))
+        .fit(pairs)
       s.range(1).select(
-        round(lit(m.getCompressionInfo), 6).as("i_xt"),
-        round(lit(m.getRelevanceInfo), 6).as("i_ty"),
+        (round(lit(m.getCompressionInfo), 6) + lit(0.0)).as("i_xt"),
+        (round(lit(m.getRelevanceInfo), 6) + lit(0.0)).as("i_ty"),
         lit(m.numClusters).as("k"))
     },
     "q_multiview_sizes" -> { (s, dir) =>
@@ -2604,6 +2624,15 @@ object SparkEntry {
         |FROM base2 b
         |LEFT JOIN perdoc pd USING (doc_id)
         |LEFT JOIN clean cl USING (doc_id)""".stripMargin,
+    "q_split_sizes" ->
+      """SELECT split, count(*) AS n FROM (
+        |  SELECT CASE WHEN u < 0.8 THEN 'train'
+        |              WHEN u < 0.9 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT ('0x' || substr(md5('graft:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+        |                 / 4294967296.0 AS u
+        |        FROM documents))
+        |GROUP BY split""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, round(u, 6) + 0.0 AS u FROM (
         |  SELECT doc_id,
@@ -2630,21 +2659,23 @@ object SparkEntry {
         |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS available
         |  FROM documents GROUP BY 1),
         |t(domain, target_weight) AS (VALUES ('en', 0.5), ('zh', 0.3), ('de', 0.2)),
-        |j AS (SELECT avail.domain, available, target_weight FROM avail JOIN t USING (domain)),
+        |j AS (SELECT t.domain, coalesce(available, 0) AS available, target_weight
+        |      FROM t LEFT JOIN avail USING (domain)),
         |s AS (SELECT min(available / target_weight) AS scale FROM j)
         |SELECT domain, available, round(target_weight, 6) + 0.0 AS target_weight,
-        |  round(scale * target_weight / available, 6) + 0.0 AS rate,
+        |  round(CASE WHEN available = 0 THEN 0.0
+        |             ELSE scale * target_weight / available END, 6) + 0.0 AS rate,
         |  round(scale * target_weight, 6) + 0.0 AS planned
         |FROM j, s""".stripMargin,
     "q_budget_select" ->
       """WITH d AS (
         |  SELECT lang AS domain, doc_id AS key,
-        |    round(least(length(text) / 500.0, 1.0) * 0.4
+        |    CAST(floor((least(length(text) / 500.0, 1.0) * 0.4
         |      + least(len(list_filter(string_split(text, ' '),
         |            t -> t IN ('the','a','of','and','to','in','is','it')))
         |          * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.4
         |      + (1.0 - least(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
-        |          * 1.0 / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality,
+        |          * 1.0 / greatest(length(text), 1), 1.0)) * 0.2) * 1000000 + 0.5) AS BIGINT) AS quality,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT domain, key, quality, n_tokens, cum_tokens FROM (
@@ -2725,6 +2756,44 @@ object SparkEntry {
         |  SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
         |  FROM documents),
+        |post AS (
+        |  SELECT d.doc_id, dn.label, ln(p.n_docs / pt.nd) + sum(dn.logp) AS lp
+        |  FROM doct d JOIN dense dn USING (token)
+        |  JOIN prior p ON p.label = dn.label, pt
+        |  GROUP BY d.doc_id, dn.label, p.n_docs, pt.nd),
+        |ranked AS (
+        |  SELECT doc_id, label, lp,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY lp DESC, label) AS rk
+        |  FROM post)
+        |SELECT d.doc_id, b.label AS label_pred,
+        |  round(coalesce(b.lp, 0.0), 6) + 0.0 AS logpost,
+        |  round(coalesce(b.lp - s.lp, 0.0), 6) + 0.0 AS margin
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN (SELECT doc_id, label, lp FROM ranked WHERE rk = 1) b USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, lp FROM ranked WHERE rk = 2) s USING (doc_id)""".stripMargin,
+    "q_nb_classify_hashed" ->
+      """WITH labt AS (
+        |  SELECT label, ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS token
+        |  FROM (SELECT lang AS label,
+        |          unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |        FROM documents WHERE doc_id % 7 = 0)),
+        |tokcnt AS (SELECT label, token, count(*) AS cnt FROM labt GROUP BY 1, 2),
+        |classtot AS (SELECT label, sum(cnt)::DOUBLE AS tok_c FROM tokcnt GROUP BY 1),
+        |prior AS (SELECT lang AS label, count(*)::DOUBLE AS n_docs
+        |  FROM documents WHERE doc_id % 7 = 0 GROUP BY 1),
+        |pt AS (SELECT sum(n_docs) AS nd FROM prior),
+        |vs AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM tokcnt),
+        |vocab AS (SELECT DISTINCT token FROM tokcnt),
+        |dense AS (
+        |  SELECT v.token, ct.label,
+        |    ln((coalesce(tc.cnt, 0) + 1.0) / (ct.tok_c + vs.v)) AS logp
+        |  FROM vocab v CROSS JOIN classtot ct
+        |  LEFT JOIN tokcnt tc ON tc.token = v.token AND tc.label = ct.label, vs),
+        |doct AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS token
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |        FROM documents)),
         |post AS (
         |  SELECT d.doc_id, dn.label, ln(p.n_docs / pt.nd) + sum(dn.logp) AS lp
         |  FROM doct d JOIN dense dn USING (token)
@@ -3553,6 +3622,66 @@ object SparkEntry {
         |sm AS (SELECT x, t, l, max(l) OVER (PARTITION BY x) AS mx FROM lg),
         |z AS (SELECT x, t, exp(l - mx) AS e, sum(exp(l - mx)) OVER (PARTITION BY x) AS z FROM sm)
         |SELECT x AS xbin, t, round(e / z, 6) + 0.0 AS p FROM z""".stripMargin,
+    "q_ib_info" ->
+      """WITH xs AS (SELECT least(15, n_chars // 150) AS x, lang AS y FROM documents),
+        |cnt AS (SELECT x, y, count(*)::DOUBLE AS c FROM xs GROUP BY x, y),
+        |xv AS (SELECT DISTINCT x FROM xs),
+        |yv AS (SELECT DISTINCT y FROM xs),
+        |ny AS (SELECT count(*)::DOUBLE AS ny FROM yv),
+        |grid AS (SELECT xv.x, yv.y, coalesce(cnt.c, 0.0) AS c
+        |  FROM xv CROSS JOIN yv LEFT JOIN cnt ON cnt.x = xv.x AND cnt.y = yv.y),
+        |rs AS (SELECT x, sum(c) AS rsum FROM grid GROUP BY x),
+        |tot AS (SELECT sum(c) AS total FROM grid),
+        |px AS (SELECT x, rsum / total AS px FROM rs, tot),
+        |pygx AS (SELECT g.x, g.y, (g.c + 1e-6) / (r.rsum + 1e-6 * ny.ny) AS p
+        |  FROM grid g JOIN rs r ON g.x = r.x, ny),
+        |ts AS (SELECT i AS t FROM range(0, 4) r(i)),
+        |p0 AS (SELECT xv.x, ts.t, (1.0 + ((xv.x + ts.t) % 4)) / 10.0 AS p FROM xv, ts),
+        |pt1 AS (SELECT p0.t, sum(px.px * p0.p) AS pt
+        |  FROM p0 JOIN px ON p0.x = px.x GROUP BY p0.t),
+        |un1 AS (SELECT p0.t, g.y, sum(px.px * p0.p * g.p) AS u
+        |  FROM p0 JOIN px ON p0.x = px.x JOIN pygx g ON g.x = p0.x GROUP BY p0.t, g.y),
+        |sn1 AS (SELECT t, sum(u) AS s FROM un1 GROUP BY t),
+        |pygt1 AS (SELECT un1.t, un1.y, un1.u / sn1.s AS p FROM un1 JOIN sn1 ON un1.t = sn1.t),
+        |kl1 AS (SELECT a.x, b.t, sum(a.p * ln(a.p / greatest(b.p, 1e-300))) AS kl
+        |  FROM pygx a JOIN pygt1 b ON a.y = b.y GROUP BY a.x, b.t),
+        |lg1 AS (SELECT kl1.x, kl1.t, ln(greatest(pt1.pt, 1e-300)) - 2.0 * kl1.kl AS l
+        |  FROM kl1 JOIN pt1 ON kl1.t = pt1.t),
+        |sm1 AS (SELECT x, t, l, max(l) OVER (PARTITION BY x) AS mx FROM lg1),
+        |p1 AS (SELECT x, t, exp(l - mx) / sum(exp(l - mx)) OVER (PARTITION BY x) AS p FROM sm1),
+        |pt2 AS (SELECT p1.t, sum(px.px * p1.p) AS pt
+        |  FROM p1 JOIN px ON p1.x = px.x GROUP BY p1.t),
+        |un2 AS (SELECT p1.t, g.y, sum(px.px * p1.p * g.p) AS u
+        |  FROM p1 JOIN px ON p1.x = px.x JOIN pygx g ON g.x = p1.x GROUP BY p1.t, g.y),
+        |sn2 AS (SELECT t, sum(u) AS s FROM un2 GROUP BY t),
+        |pygt2 AS (SELECT un2.t, un2.y, un2.u / sn2.s AS p FROM un2 JOIN sn2 ON un2.t = sn2.t),
+        |kl2 AS (SELECT a.x, b.t, sum(a.p * ln(a.p / greatest(b.p, 1e-300))) AS kl
+        |  FROM pygx a JOIN pygt2 b ON a.y = b.y GROUP BY a.x, b.t),
+        |lg2 AS (SELECT kl2.x, kl2.t, ln(greatest(pt2.pt, 1e-300)) - 2.0 * kl2.kl AS l
+        |  FROM kl2 JOIN pt2 ON kl2.t = pt2.t),
+        |sm2 AS (SELECT x, t, l, max(l) OVER (PARTITION BY x) AS mx FROM lg2),
+        |p2 AS (SELECT x, t, exp(l - mx) / sum(exp(l - mx)) OVER (PARTITION BY x) AS p FROM sm2),
+        |ptf AS (SELECT p2.t, sum(px.px * p2.p) AS pt
+        |  FROM p2 JOIN px ON p2.x = px.x GROUP BY p2.t),
+        |unf AS (SELECT p2.t, g.y, sum(px.px * p2.p * g.p) AS u
+        |  FROM p2 JOIN px ON p2.x = px.x JOIN pygx g ON g.x = p2.x GROUP BY p2.t, g.y),
+        |snf AS (SELECT t, sum(u) AS s FROM unf GROUP BY t),
+        |pygtf AS (SELECT unf.t, unf.y, unf.u / snf.s AS p FROM unf JOIN snf ON unf.t = snf.t),
+        |jxt AS (SELECT p2.x, p2.t, px.px * p2.p AS j FROM p2 JOIN px ON p2.x = px.x),
+        |jxtt AS (SELECT sum(j) AS tt FROM jxt),
+        |jxtr AS (SELECT x, sum(j) AS r FROM jxt GROUP BY x),
+        |jxtc AS (SELECT t, sum(j) AS c FROM jxt GROUP BY t),
+        |ixt AS (SELECT sum((j / tt) * ln((j / tt) / ((r / tt) * (c / tt)))) / ln(2) AS i
+        |  FROM jxt JOIN jxtr USING (x) JOIN jxtc USING (t), jxtt),
+        |jty AS (SELECT pygtf.t, pygtf.y, ptf.pt * pygtf.p AS j
+        |  FROM pygtf JOIN ptf ON pygtf.t = ptf.t),
+        |jtyt AS (SELECT sum(j) AS tt FROM jty),
+        |jtyr AS (SELECT t, sum(j) AS r FROM jty GROUP BY t),
+        |jtyc AS (SELECT y, sum(j) AS c FROM jty GROUP BY y),
+        |ity AS (SELECT sum((j / tt) * ln((j / tt) / ((r / tt) * (c / tt)))) / ln(2) AS i
+        |  FROM jty JOIN jtyr USING (t) JOIN jtyc USING (y), jtyt)
+        |SELECT round(ixt.i, 6) + 0.0 AS i_xt, round(ity.i, 6) + 0.0 AS i_ty, 4 AS k
+        |FROM ixt, ity""".stripMargin,
     "q_ann_ivf_full" ->
       """SELECT query_id, rank, corpus_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

@@ -26,6 +26,18 @@ class InformationBottleneck(override val uid: String)
 
   def this() = this(Identifiable.randomUID("ib"))
 
+  /** Warm start: deterministic initial encoder p0(t|x), given the x key
+    * and k; rows must be positive length-k and are normalized. Not part
+    * of the persisted param map — a loaded estimator re-initializes from
+    * the seed. Enables engine-replayable fits (q_ib_info chains the
+    * oracle from this exact p0) and resuming a deterministic-annealing
+    * run from a previous encoder.
+    */
+  @transient private var initialEncoderOpt: Option[(String, Int) => Array[Double]] = None
+  def setInitialEncoder(f: (String, Int) => Array[Double]): this.type = {
+    initialEncoderOpt = Option(f); this
+  }
+
   def setK(v: Int): this.type = set(k, v)
   def setBeta(v: Double): this.type = set(beta, v)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
@@ -60,12 +72,23 @@ class InformationBottleneck(override val uid: String)
     }
 
     // Blahut-Arimoto fixed point (driver: k x numX / k x numY matrices)
-    val rnd = new java.util.Random($(seed))
     val kk = $(k)
-    var pTgX = Array.fill(numX) {
-      val r = Array.fill(kk)(0.1 + rnd.nextDouble())
-      val s = r.sum
-      r.map(_ / s)
+    var pTgX = initialEncoderOpt match {
+      case Some(f) =>
+        Array.tabulate(numX) { xi =>
+          val r = f(xVals(xi).toString, kk)
+          require(r.length == kk && r.forall(_ > 0.0),
+            s"initial encoder rows must be positive length-$kk")
+          val s = r.sum
+          r.map(_ / s)
+        }
+      case None =>
+        val rnd = new java.util.Random($(seed))
+        Array.fill(numX) {
+          val r = Array.fill(kk)(0.1 + rnd.nextDouble())
+          val s = r.sum
+          r.map(_ / s)
+        }
     }
     var iter = 0
     var converged = false

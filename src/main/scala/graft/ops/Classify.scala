@@ -36,15 +36,19 @@ import org.apache.spark.sql.functions._
 object Classify {
 
   /** @param hashBuckets when set, tokens are FEATURE-HASHED to
-    *   `pmod(xxhash64(token), B)` buckets before counting (the
+    *   `first32bits(md5(token)) mod B` buckets before counting (the
     *   fastText/Weinberger et al. 2009 trick): the dense feature × class
     *   table is then B×k rows REGARDLESS of corpus vocabulary — at
     *   100 TB the raw vocabulary keeps growing, the hashed model does
     *   not, and the token-stream join carries 8-byte longs instead of
     *   strings. Collisions merge token statistics (the standard
     *   hashing-trick tradeoff; accuracy parity asserted in
-    *   ClassifySpec). The string path (None) remains for the
-    *   engine-portable oracle (q_nb_classify).
+    *   ClassifySpec). The bucket hash is the PORTABLE md5 house hash
+    *   (same family as [[Sampling.uniform]]), not xxhash64, so the
+    *   hashed path is itself DuckDB-oracle-checkable end to end
+    *   (q_nb_classify_hashed) — `('0x' || substr(md5(tok),1,8))::UBIGINT
+    *   % B` rebuilds the exact bucketing in any engine. The string path
+    *   (None) remains the vocabulary-exact form (q_nb_classify).
     */
   def nbClassify(
       docs: DataFrame,
@@ -57,7 +61,8 @@ object Classify {
     require(smoothing > 0.0, s"smoothing must be positive, got $smoothing")
     require(hashBuckets.forall(_ > 1), s"hashBuckets must be > 1, got $hashBuckets")
     def key(c: Column): Column =
-      hashBuckets.map(b => pmod(xxhash64(c), lit(b.toLong))).getOrElse(c)
+      hashBuckets.map(b =>
+        pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(b.toLong))).getOrElse(c)
     def toks(df: DataFrame, k: Column, keyName: String): DataFrame =
       Dedup.fanOut(df.select(k.as(keyName), col(textCol).as("__text")))
         .select(col(keyName), explode(split(col("__text"), " ")).as("__tok"))

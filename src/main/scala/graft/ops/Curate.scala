@@ -64,12 +64,15 @@ object Curate {
     val labeled = uniq.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
     // representative per component: lexicographic max of (quality, -id);
     // n_tokens rides along, so no re-tokenization pass runs on the output.
-    // Docs outside any component key a singleton group (-id - 1 cannot
-    // collide with a real component label, which is a member id >= 0), so
-    // ONE aggregation pass covers representatives and singles — the
-    // two-branch filter + union form scanned the joined frame twice
+    // Docs outside any component key a singleton group, so ONE aggregation
+    // pass covers representatives and singles — the two-branch filter +
+    // union form scanned the joined frame twice. The group key is a
+    // (is-singleton, id) struct: collision-free for ANY id domain,
+    // including negative ids (a `-id - 1` arithmetic key would collide
+    // with a real component label there and silently drop a survivor).
     val out = labeled
-      .groupBy(coalesce(col("comp"), -col("doc_id") - 1).as("__grp"))
+      .groupBy(struct(col("comp").isNull.as("s"),
+        coalesce(col("comp"), col("doc_id")).as("k")).as("__grp"))
       .agg(max_by(struct(col("doc_id"), col("quality"), col("n_tokens")),
         struct(col("quality"), -col("doc_id"))).as("r"))
       .select(col("r.doc_id").as("doc_id"), round(col("r.quality"), 6).as("quality"),
@@ -223,6 +226,20 @@ object Curate {
       .select(col("eval_id"), size(col("__shs")).cast("long").as("n_b"),
         explode(col("__shs")).as("__sh"))
       .select(col("eval_id"), col("n_b"), key(col("__sh")).as("sh"))
+    // guard the eval-side broadcast with the same configurable cap as
+    // [[decontaminate]]'s driver collect: a pathological eval set should
+    // fail with remediation text, not OOM the broadcast. The count is one
+    // cheap extra job over the (small-by-construction) eval side; the
+    // exploded row count — not the distinct shingle count — is what bounds
+    // the broadcast, so that is what the cap checks.
+    val evalCap = graft.util.Conf.long(train.sparkSession,
+      "graft.decontaminate.maxEvalShingles", 50000000L)
+    val nEvalRows = esh.count()
+    require(nEvalRows <= evalCap,
+      s"eval set explodes to $nEvalRows (eval_id, $n-gram shingle) rows, above " +
+        s"the broadcast cap of $evalCap (fuzzy decontamination broadcasts the " +
+        "exploded eval side). Shrink the eval set or raise " +
+        "graft.decontaminate.maxEvalShingles.")
     val inter = tsh.join(broadcast(esh), "sh")
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("inter"),
@@ -297,8 +314,8 @@ object Curate {
     // strand the materialized cache in executor storage.
     val evalHashes: Array[Long] =
       try {
-        val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
-          .map(_.toLong).getOrElse(50000000L)
+        val cap = graft.util.Conf.long(spark,
+          "graft.decontaminate.maxEvalShingles", 50000000L)
         val nShingles = distinctHashes.count()
         require(nShingles <= cap,
           s"eval set explodes to $nShingles distinct $n-gram shingles, above the " +
@@ -399,8 +416,8 @@ object Curate {
     // materialized cache in executor storage.
     val evalShingles =
       try {
-        val cap = spark.conf.getOption("graft.decontaminate.maxEvalShingles")
-          .map(_.toLong).getOrElse(50000000L)
+        val cap = graft.util.Conf.long(spark,
+          "graft.decontaminate.maxEvalShingles", 50000000L)
         val nShingles = distinctShingles.count()
         require(nShingles <= cap,
           s"eval set explodes to $nShingles distinct $n-gram shingles, above the " +

@@ -440,8 +440,7 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = pairs.sparkSession
-    val localMaxEdges = spark.conf.getOption("graft.components.localMaxEdges")
-      .map(_.toLong).getOrElse(2000000L)
+    val localMaxEdges = graft.util.Conf.long(spark, "graft.components.localMaxEdges", 2000000L)
     // the count doubles as the cache materialization the first BSP round
     // would have paid anyway
     val nEdges = edges.count()
@@ -449,7 +448,12 @@ object Dedup {
       val locals = localComponents(edges.collect().map(r => (r.getLong(0), r.getLong(1))))
       edges.unpersist()
       import spark.implicits._
-      return locals.toSeq.toDF("id", "comp")
+      // parallelize, NOT toSeq.toDF: a LocalRelation of up to ~4M rows
+      // would embed in the LOGICAL PLAN and re-serialize with every task
+      // closure of every downstream join; as an RDD the rows ship once as
+      // ordinary partition data
+      return spark.sparkContext.parallelize(locals.toSeq, spark.sparkContext.defaultParallelism)
+        .toDF("id", "comp")
     }
     // localCheckpoint (not persist): each iteration's frame feeds the
     // next, so without lineage TRUNCATION the plan doubles per iteration

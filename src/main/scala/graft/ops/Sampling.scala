@@ -97,6 +97,13 @@ object Sampling {
     * (the binding domain keeps rate 1.0). Domains with no target weight
     * get rate 0. Targets are normalized to sum to 1 first.
     *
+    * EVERY target domain produces an output row: a domain absent from
+    * the corpus (or with zero weight mass) emits available=0 and forces
+    * scale=0 — every row's rate/planned collapses to 0, so an
+    * unsatisfiable mixture is VISIBLE in the plan instead of being
+    * silently re-normalized over the domains that happen to exist
+    * (which would no longer realize the target proportions).
+    *
     * Output: (domain, available, target_weight, rate, planned) — one row
     * per target domain. Feed the rates to [[sampleByStrata]].
     */
@@ -114,13 +121,19 @@ object Sampling {
       .toDF("domain", "target_weight")
     val avail = df.select(col(domainCol).cast("string").as("domain"), weightCol.as("__w"))
       .groupBy(col("domain")).agg(sum(col("__w")).cast("double").as("available"))
-    val joined = avail.join(broadcast(targetDf), Seq("domain"), "inner")
+    // LEFT join from the target side: a target domain the corpus cannot
+    // supply must not vanish from the plan (avail is the k-row aggregate
+    // output, so broadcasting it is free)
+    val joined = targetDf.join(broadcast(avail), Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("available"), lit(0.0)).as("available"), col("target_weight"))
     // the limiting domain: one scalar, computed distributed then crossed
     // back in (the frame is k rows — domains — so this is all tiny)
     val scale = joined.agg(min(col("available") / col("target_weight")).as("__scale"))
     joined.crossJoin(broadcast(scale))
       .select(col("domain"), col("available"), col("target_weight"),
-        (col("__scale") * col("target_weight") / col("available")).as("rate"),
+        when(col("available") === 0.0, lit(0.0))
+          .otherwise(col("__scale") * col("target_weight") / col("available")).as("rate"),
         (col("__scale") * col("target_weight")).as("planned"))
   }
 

@@ -56,7 +56,12 @@ object Similarity {
       if ((md(0) & 0x80) == 0) 1.0 else -1.0
     }
     val scale = 1.0 / math.sqrt(outDim.toDouble)
+    // null embeddings PROPAGATE (null in -> null proj), matching the
+    // pure-expression ops (quantizeInt8 etc.) — not an opaque NPE inside
+    // codegen from an unconditional dereference
     val projUdf = udf { (xs: Seq[Double]) =>
+      if (xs == null) null
+      else {
       require(xs.length == inDim,
         s"randomProject: expected $inDim dims, got ${xs.length}")
       val out = new Array[Double](outDim)
@@ -73,6 +78,7 @@ object Similarity {
       var j = 0
       while (j < outDim) { out(j) *= scale; j += 1 }
       out.toSeq
+      }
     }
     df.select(col(idCol), projUdf(col(vecCol).cast("array<double>")).as("proj"))
   }

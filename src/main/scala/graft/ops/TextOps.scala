@@ -46,15 +46,30 @@ object TextOps {
     aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks)
   }
 
-  /** Composite quality score in [0,1]: favors mid-length docs with some
-    * stopwords and low symbol noise. Deterministic, portable.
+  /** Composite quality score in [0,1], UNROUNDED: favors mid-length docs
+    * with some stopwords and low symbol noise. Deterministic, portable.
+    * Use [[qualityScore]] for the 6-dp presentation form, or
+    * [[qualityScoreMicro]] for an all-integer hash-stable form.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreRaw(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
     val noisePenalty = least(nonAlphaCount(text).cast("double") / greatest(length(text), lit(1)), lit(1.0))
-    round((lenScore * lit(0.4) + stopScore * lit(0.4) + (lit(1.0) - noisePenalty) * lit(0.2)), 6)
+    lenScore * lit(0.4) + stopScore * lit(0.4) + (lit(1.0) - noisePenalty) * lit(0.2)
   }
+
+  /** [[qualityScoreRaw]] rounded to 6dp for human-facing output. */
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
+
+  /** [[qualityScoreRaw]] in integer micro-units: floor(x*1e6 + 0.5), a
+    * BIGINT in [0, 1000000]. floor(+0.5) rounds half-up in EVERY engine
+    * (unlike round(), whose half-even vs half-up behavior is
+    * engine/version-dependent at a 6-dp boundary), so comparisons that
+    * hash this value are immune to float-formatting and rounding-mode
+    * drift across environments.
+    */
+  def qualityScoreMicro(text: Column): Column =
+    floor(qualityScoreRaw(text) * lit(1e6) + lit(0.5)).cast("long")
 
   /** Occurrences of `term` as substring — replace-based so the identical
     * SQL works in any engine: (len(s) - len(replace(s, term, ''))) / len(term).
@@ -359,6 +374,9 @@ object TextOps {
     * column: reproducible across runs, machines, and table re-orderings
     * (the property `randomSplit` lacks), and a pure projection — no
     * shuffle, no state. `weights` need not sum to 1 (normalized).
+    * The uniform is the PORTABLE md5 house hash ([[Sampling.uniform]]),
+    * so the assignment replays bit-identically in any SQL engine —
+    * q_split_sizes hash-checks the split counts end to end.
     * Returns the input plus a `split` column with the given labels.
     */
   def splitByHash(
@@ -371,9 +389,8 @@ object TextOps {
       "labels and weights must align")
     val total = weights.sum
     val cum = weights.scanLeft(0.0)(_ + _).tail.map(_ / total)
-    // uniform in [0,1) from a 64-bit stable hash
-    val u = (pmod(xxhash64(concat_ws(" ", col(idCol), lit(salt))),
-      lit(1000000000L)).cast("double")) / 1000000000.0
+    // uniform in [0,1) from the keyed portable hash: md5("salt:id")
+    val u = Sampling.uniform(col(idCol), salt)
     val expr = cum.zip(labels).reverse.foldLeft(lit(labels.last): Column) {
       case (acc, (bound, label)) => when(u < bound, label).otherwise(acc)
     }

@@ -44,6 +44,45 @@ class CurateSpec extends SparkSpec {
     assert(ids == Set(1L, 3L))
   }
 
+  test("curate representative selection is collision-free for negative doc ids") {
+    // the old arithmetic singleton key (-id - 1) maps id -4 to 3, which
+    // collides with the component labeled by member id 3 — one aggregation
+    // group instead of two, silently dropping a survivor. The struct key
+    // (is-singleton, id) cannot collide for any id domain.
+    val nearA = en("shared tail one two three")
+    val nearB = en("shared tail one two three four")
+    val docs = Seq(
+      (3L, nearA), (4L, nearB),          // near-dup component labeled 3
+      (-4L, en2("negative id singleton"))) // old key: -(-4) - 1 = 3 -> collision
+      .toDF("doc_id", "text")
+    val out = Curate.curate(docs, "doc_id", "text",
+      lang = "en", minQuality = 0.4, jaccardThreshold = 0.6)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    out.unpersist()
+    assert(ids.contains(-4L), s"negative-id singleton must survive: $ids")
+    assert(Seq(3L, 4L).count(ids.contains) == 1, s"one near-dup survivor: $ids")
+    assert(ids.size == 2)
+  }
+
+  test("fuzzyDecontaminate caps the eval-side broadcast with remediation text") {
+    val train = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    val ev = Seq((100L, "one two three four five six seven")).toDF("doc_id", "text")
+    spark.conf.set("graft.decontaminate.maxEvalShingles", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Curate.fuzzyDecontaminate(train, "doc_id", "text", ev, "doc_id", "text", n = 3)
+      }
+      assert(e.getMessage.contains("maxEvalShingles"), e.getMessage)
+      // malformed conf fails with the key in the message, not a bare
+      // NumberFormatException from deep inside the operator
+      spark.conf.set("graft.decontaminate.maxEvalShingles", "lots")
+      val e2 = intercept[IllegalArgumentException] {
+        Curate.fuzzyDecontaminate(train, "doc_id", "text", ev, "doc_id", "text", n = 3)
+      }
+      assert(e2.getMessage.contains("graft.decontaminate.maxEvalShingles"), e2.getMessage)
+    } finally spark.conf.unset("graft.decontaminate.maxEvalShingles")
+  }
+
   test("decontaminate flags n-gram overlap with the eval set, broadcast-joined") {
     val train = Seq(
       (1L, "one two three four five six seven eight nine ten"),

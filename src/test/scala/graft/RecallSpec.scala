@@ -318,4 +318,15 @@ class RecallSpec extends SparkSpec {
     assert(projMap.keySet == again.keySet &&
       projMap.forall { case (k, v) => v.sameElements(again(k)) })
   }
+
+  test("randomProject propagates null embeddings instead of an opaque NPE") {
+    import spark.implicits._
+    val df = Seq((1L, Some(Seq(1.0, 2.0, 3.0, 4.0))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val rows = graft.ops.Similarity.randomProject(df, "vec_id", "embedding",
+      inDim = 4, outDim = 2, seed = "n")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(rows(1L) != null && rows(1L).length == 2)
+    assert(rows(2L) == null, "null in -> null proj, matching the pure-expression ops")
+  }
 }

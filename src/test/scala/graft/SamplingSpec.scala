@@ -76,6 +76,22 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(rateA - 0.3) < 1e-9 && math.abs(rateB - 1.0) < 1e-9)
   }
 
+  test("mixturePlan surfaces a target domain the corpus cannot supply") {
+    import spark.implicits._
+    // target includes 'c' which the corpus lacks entirely: the old inner
+    // join silently dropped it and re-normalized over {a, b}, producing
+    // rates that no longer realize the target proportions. Now the row
+    // appears with available=0, which forces scale=0: EVERY rate/planned
+    // collapses to 0, making the unsatisfiable mixture visible.
+    val df = Seq(("r1", "a", 100L), ("s1", "b", 100L)).toDF("key", "dom", "tok")
+    val plan = Sampling.mixturePlan(df, "dom", col("tok"), Map("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(plan.keySet == Set("a", "b", "c"), s"every target domain must emit a row: ${plan.keySet}")
+    assert(plan("c")._1 == 0.0)
+    assert(plan.values.forall { case (_, rate, planned) => rate == 0.0 && planned == 0.0 },
+      s"unsatisfiable mixture must zero the whole plan: $plan")
+  }
+
   test("budgetSelect: greedy quality-first prefix per domain") {
     import spark.implicits._
     val df = Seq(

@@ -89,4 +89,36 @@ class StreamingSpec extends SparkSpec {
     val pred = model.transform(blobBatch(20, 0, 10, 3))
     assert(pred.select("prediction").distinct().count() == 1)
   }
+
+  test("concurrent reads see immutable snapshots while updates run") {
+    // The reference mutates its live center array in place
+    // (ml/StreamingKMeans.scala:250-263), so a transform racing an update
+    // can read a half-updated matrix. Our model swaps a @volatile
+    // immutable (centers, weights) tuple: any reference a reader obtains
+    // must NEVER change underneath it, and every weights read must be
+    // internally well-formed. A reader thread hammers snapshots while the
+    // test thread drives real updates.
+    val init = blobBatch(0, 0, 50, 1).union(blobBatch(10, 0, 50, 2))
+    val est = new StreamingKMeans().setK(2).setSeed(4).setMaxIter(5)
+      .setDecayFactor(0.5)
+    val model = est.fit(init).asInstanceOf[StreamingKMeansModel]
+    @volatile var failure: Option[String] = None
+    @volatile var done = false
+    val reader = new Thread(() => {
+      while (!done && failure.isEmpty) {
+        val snap = model.currentCenters
+        val copy = snap.map(_.clone)
+        Thread.sleep(1)
+        if (!snap.zip(copy).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+          failure = Some("snapshot center matrix mutated in place during a concurrent update")
+        val w = model.clusterWeights
+        if (w.length != 2 || w.exists(x => x.isNaN || x < 0.0))
+          failure = Some(s"inconsistent weights read: ${w.mkString(",")}")
+      }
+    })
+    reader.start()
+    try (0 until 6).foreach { i => model.update(blobBatch(5.0 + i, 0, 50, 20 + i)) }
+    finally { done = true; reader.join(30000) }
+    assert(failure.isEmpty, failure.getOrElse(""))
+  }
 }
