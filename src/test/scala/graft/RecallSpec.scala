@@ -95,6 +95,42 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall@5 = $recall < 0.9")
   }
 
+  test("ivfTopK: recall@5 >= 0.9 at the sf1-replica scale (20k real vectors)") {
+    // The bench's scale claims are measured on 10x noisy replicas of the
+    // real embeddings table (graft.tools.BuildReplica recipe). Assert
+    // index quality AT that scale, not only on the 2k fixture above:
+    // same recipe in-memory — replica r adds seeded sigma-0.05 gaussian
+    // noise and offsets vec_id — giving 20k vectors of genuine corpus
+    // geometry with known tight neighborhoods (each base vector's 10
+    // replicas).
+    import spark.implicits._
+    val base = spark.read.parquet(s"${TestSpark.sf01}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val noisy = udf { (v: Seq[Double], vecId: Long, r: Int) =>
+      val rnd = new java.util.Random(r.toLong * 1000003L + vecId)
+      v.map(x => x + 0.05 * rnd.nextGaussian())
+    }
+    val corpus = (0 until 10).map { r =>
+      if (r == 0) base
+      else base.select((col("vec_id") + lit(r * 1000000000L)).as("vec_id"),
+        noisy(col("v"), col("vec_id"), lit(r)).as("v"))
+    }.reduce(_ union _).persist()
+    assert(corpus.count() == 20000)
+    val queries = base.where(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "v", k = 5)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = new GeneralizedKMeans().setK(64).setFeaturesCol("v")
+      .setSeed(42).setMaxIter(10).fit(corpus)
+    val approx = Similarity.ivfTopK(corpus, queries, "vec_id", "v", k = 5,
+        centroids = model.clusterCenters, nProbe = 8)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    corpus.unpersist()
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall@5 at 20k = $recall < 0.9")
+  }
+
   test("IvfIndex: build/search agrees with ivfTopK; write/load roundtrip prunes by cell") {
     import spark.implicits._
     val rnd = new java.util.Random(7)
