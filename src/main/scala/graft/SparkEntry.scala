@@ -1086,19 +1086,20 @@ object SparkEntry {
       // regime. The raw table has no pairs above cosine 0.7 (sign-LSH at
       // mid thresholds is provably a cartesian product in disguise — r2
       // verdict), so the corpus is augmented with one deterministically
-      // jittered copy per vector (cosine ~0.93 to its source): 2000
-      // planted near-dup pairs that the operator must recover. Rows-only
-      // check (bucket membership is hash-dependent) but every emitted pair
-      // is exact-cosine-confirmed and the jitter is seed-free
-      // deterministic, so the row count is stable. Recall vs brute force
-      // is asserted in DedupSpec.
+      // jittered copy per vector (cosine ~0.93 to its source): planted
+      // near-dup pairs the operator must recover. Both the jitter and the
+      // plane matrix are md5-derived (Hashing.md5Unit — every arithmetic
+      // step exact), so the oracle rebuilds the exact planes, replays the
+      // banded bucket join, and hash-checks the WHOLE pipeline end to end
+      // (was rows-only before r10). Recall vs brute force is additionally
+      // asserted in DedupSpec.
       val e = t(dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val jitterUdf = udf { (id: Long, xs: Seq[Double]) =>
         val r = new Array[Double](xs.length)
         var i = 0
         while (i < xs.length) {
-          r(i) = xs(i) + 0.08 * graft.util.Hashing.unitDouble(id, i.toLong)
+          r(i) = xs(i) + 0.08 * graft.util.Hashing.md5Unit(id, i.toLong)
           i += 1
         }
         r
@@ -2889,6 +2890,47 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON floor(a.vec_id / 20) = floor(b.vec_id / 20) AND b.vec_id > a.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2""".stripMargin,
+    // Full banded-hyperplane-LSH replay: md5-rebuilt jitter + plane matrix
+    // (24 tables x 12 planes x 64 dims, index key '42:' || p*64+i), ORDERED
+    // list dots so the sign decisions are bit-exact, 12-bit sign signature
+    // per table, bucket equi-join, exact-cosine confirm at 0.85. The
+    // maxBucketSize=4096 skew guard cannot fire below 4096 corpus rows, so
+    // the replay omits it.
+    "q_embed_lsh" ->
+      """WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |jit AS (
+        |  SELECT oid + 1000000 AS id, jv AS v FROM (
+        |    SELECT id AS oid, list_transform(range(len(v)),
+        |      i -> v[i+1] + 0.08 * (('0x' || substr(md5(id || ':' || i), 1, 8))::UBIGINT::DOUBLE
+        |                            / 4294967296 * 2 - 1)) AS jv
+        |    FROM base)),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM jit),
+        |norm AS (
+        |  SELECT id, CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+        |                  ELSE list_transform(v, x -> 0.0) END AS vn
+        |  FROM (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM corpus)),
+        |pl AS (
+        |  SELECT pp.p, list_transform(range(64),
+        |    i -> ('0x' || substr(md5('42:' || (pp.p * 64 + i)), 1, 8))::UBIGINT::DOUBLE
+        |         / 4294967296 * 2 - 1) AS m
+        |  FROM (SELECT unnest(range(288)) AS p) pp),
+        |proj AS (
+        |  SELECT n.id, pl.p,
+        |    list_sum(list_transform(range(64), i -> n.vn[i+1] * pl.m[i+1])) AS d
+        |  FROM norm n CROSS JOIN pl),
+        |sig AS (
+        |  SELECT id, p // 12 AS tbl,
+        |    bit_or(CASE WHEN d >= 0 THEN 1::UBIGINT << (p % 12) ELSE 0::UBIGINT END)
+        |      | (((p // 12)::UBIGINT) << 32) AS bucket
+        |  FROM proj GROUP BY id, p // 12),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    round(list_sum(list_transform(range(64), i -> na.vn[i+1] * nb.vn[i+1])), 6) AS cosine
+        |  FROM cand c JOIN norm na ON na.id = c.id_a JOIN norm nb ON nb.id = c.id_b)
+        |WHERE cosine >= 0.85""".stripMargin,
     "q_minhash_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -2901,6 +2943,30 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
         |WHERE round(len(list_intersect(a.s, b.s)) * 1.0
         |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""".stripMargin,
+    // Full simhash replay: per-token md5Long (first 8 md5 bytes), 64
+    // bit-votes, sign-bit signature, 4x16-bit band self-join, hamming via
+    // bit_count(xor). Portable because the token hash is the md5 house
+    // hash — bit-identical as UBIGINT here and signed long in the engine.
+    "q_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (SELECT id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM toks),
+        |votes AS (
+        |  SELECT th.id, bits.b,
+        |    sum(CASE WHEN (th.h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+        |  GROUP BY th.id, bits.b),
+        |sig AS (
+        |  SELECT id, bit_or(CASE WHEN v > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS sh
+        |  FROM votes GROUP BY id),
+        |chunked AS (
+        |  SELECT id, sh, cs.c AS chunk, (sh >> (cs.c * 16)) & 65535 AS val
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) cs)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |  bit_count(xor(a.sh, b.sh)) AS hamming
+        |FROM chunked a JOIN chunked b
+        |  ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "q_neardup_components" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -258,13 +258,18 @@ object Dedup {
   /** Plain-Scala simhash of a token sequence — the single implementation
     * behind [[simhashUdf]] and the streaming banded dedup (which needs it
     * both executor-side and in tests to pre-verify hamming distances).
+    *
+    * The per-token hash is the ENGINE-PORTABLE [[Hashing.md5Long]] (first
+    * 8 bytes of md5), so the whole signature — votes, sign bits, band
+    * chunks — replays exactly in any SQL engine; q_simhash_pairs
+    * hash-checks the banded candidate join end to end against DuckDB.
     */
   def simhashOf(tokens: Seq[String]): Long = {
     val votes = new Array[Int](64)
     if (tokens != null) {
       val it = tokens.iterator
       while (it.hasNext) {
-        val h = Hashing.hashString(it.next(), 0x517cc1b727220a95L)
+        val h = Hashing.md5Long(it.next())
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

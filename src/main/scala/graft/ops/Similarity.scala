@@ -145,6 +145,12 @@ object Similarity {
     * each (seed, planes, dim) matrix is materialized once per JVM, not
     * re-hashed per row. Key: (seed, totalPlanes, dim); value laid out as
     * plane-major [p * dim + i].
+    *
+    * Entries come from the ENGINE-PORTABLE [[graft.util.Hashing.md5Unit]]
+    * (index key p * dim + i), so an external SQL engine can rebuild the
+    * exact matrix and replay the bucket assignment — q_embed_lsh
+    * hash-checks the full banded-LSH pipeline against DuckDB. The md5
+    * cost is paid once per JVM (matrix build), never per row.
     */
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
@@ -154,7 +160,7 @@ object Similarity {
       val (s, t, d) = key
       val m = new Array[Double](t * d)
       var j = 0
-      while (j < m.length) { m(j) = graft.util.Hashing.unitDouble(s, j.toLong); j += 1 }
+      while (j < m.length) { m(j) = graft.util.Hashing.md5Unit(s, j.toLong); j += 1 }
       m
     })
 

@@ -35,4 +35,43 @@ object Hashing {
   /** Deterministic pseudo-random double in [-1, 1) from a hash of (seed, j). */
   @inline def unitDouble(seed: Long, j: Long): Double =
     (mix64(seed ^ (j * 0x9e3779b97f4a7c15L)) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** ENGINE-PORTABLE 64-bit hash: the first 8 bytes of md5(UTF-8 bytes),
+    * big-endian — in any SQL engine this is
+    * `('0x' || substr(md5(s), 1, 16))::UBIGINT` (same bit pattern; we
+    * return it as a signed long). Slower than [[hashString]]; use it for
+    * hashes that enter an oracle-checked contract (the house rule also
+    * behind `Sampling.uniform` and the feature-hashed NB classifier).
+    */
+  def md5Long(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** ENGINE-PORTABLE deterministic pseudo-random double in [-1, 1): the
+    * first 4 bytes of md5("seed:j") as an unsigned 32-bit value, scaled.
+    * In any SQL engine:
+    * `('0x' || substr(md5(seed || ':' || j), 1, 8))::UBIGINT::DOUBLE
+    *  / 4294967296 * 2 - 1` — every arithmetic step (power-of-two divide,
+    * double, subtract) is exact, so the double is bit-identical across
+    * engines. Used for hash-derived matrices that enter oracle-checked
+    * contracts (hyperplane LSH planes, the q_embed_lsh jitter).
+    */
+  def md5Unit(seed: Long, j: Long): Double = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s"$seed:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    u.toDouble / 4294967296.0 * 2.0 - 1.0
+  }
 }
