@@ -28,7 +28,20 @@ from pyspark.ml.util import JavaMLReadable, JavaMLWritable
 from pyspark.ml.wrapper import JavaEstimator, JavaModel
 from pyspark.sql import DataFrame
 
-__all__ = ["GeneralizedKMeans", "GeneralizedKMeansModel", "TrainingSummary"]
+__all__ = [
+    "GeneralizedKMeans",
+    "GeneralizedKMeansModel",
+    "TrainingSummary",
+    "XMeans",
+    "BisectingKMeans",
+    "SoftKMeans",
+    "SoftKMeansModel",
+    "KMedoids",
+    "KMedoidsModel",
+    "CLARA",
+    "StreamingKMeans",
+    "StreamingKMeansModel",
+]
 
 
 class _GeneralizedKMeansParams(
@@ -266,6 +279,452 @@ class GeneralizedKMeansModel(
     def summary(self) -> "TrainingSummary":
         """Training telemetry (raises if the model was loaded, not fit)."""
         return TrainingSummary(self._call_java("summary"))
+
+
+class XMeans(JavaEstimator, _GeneralizedKMeansParams, JavaMLReadable, JavaMLWritable):
+    """Model-selecting k-means: fits k in [minK, maxK], scores each with
+    BIC or AIC, returns the winning :class:`GeneralizedKMeansModel`."""
+
+    minK = Param(
+        Params._dummy(), "minK", "minimum k to try (> 1)",
+        typeConverter=TypeConverters.toInt,
+    )
+    maxK = Param(
+        Params._dummy(), "maxK", "maximum k to try (> 1)",
+        typeConverter=TypeConverters.toInt,
+    )
+    criterion = Param(
+        Params._dummy(), "criterion", "bic|aic",
+        typeConverter=TypeConverters.toString,
+    )
+
+    @keyword_only
+    def __init__(
+        self,
+        *,
+        featuresCol: str = "features",
+        predictionCol: str = "prediction",
+        minK: int = 2,
+        maxK: int = 8,
+        criterion: str = "bic",
+        divergence: str = "squaredEuclidean",
+        smoothing: float = 1e-10,
+        maxIter: int = 20,
+        tol: float = 1e-4,
+        seed: Optional[int] = None,
+        weightCol: Optional[str] = None,
+    ):
+        super(XMeans, self).__init__()
+        self._java_obj = self._new_java_obj("graft.clustering.XMeans", self.uid)
+        self._setDefault(
+            minK=2, maxK=8, criterion="bic", divergence="squaredEuclidean",
+            smoothing=1e-10, maxIter=20, tol=1e-4,
+        )
+        kwargs = self._input_kwargs
+        self.setParams(**{k_: v for k_, v in kwargs.items() if v is not None})
+
+    @keyword_only
+    def setParams(self, **kwargs: Any) -> "XMeans":
+        return self._set(**self._input_kwargs)
+
+    def setMinK(self, value: int) -> "XMeans":
+        return self._set(minK=value)
+
+    def setMaxK(self, value: int) -> "XMeans":
+        return self._set(maxK=value)
+
+    def setCriterion(self, value: str) -> "XMeans":
+        return self._set(criterion=value)
+
+    def getMinK(self) -> int:
+        return self.getOrDefault(self.minK)
+
+    def getMaxK(self) -> int:
+        return self.getOrDefault(self.maxK)
+
+    def getCriterion(self) -> str:
+        return self.getOrDefault(self.criterion)
+
+    def _create_model(self, java_model: Any) -> "GeneralizedKMeansModel":
+        return GeneralizedKMeansModel(java_model)
+
+
+class BisectingKMeans(
+    JavaEstimator, _GeneralizedKMeansParams, JavaMLReadable, JavaMLWritable
+):
+    """Divisive hierarchical k-means: recursively bisects the largest
+    divisible cluster until k leaves remain. Returns a
+    :class:`GeneralizedKMeansModel`."""
+
+    minDivisibleClusterSize = Param(
+        Params._dummy(), "minDivisibleClusterSize",
+        ">= 1: absolute minimum points; < 1: minimum fraction of all points",
+        typeConverter=TypeConverters.toFloat,
+    )
+
+    @keyword_only
+    def __init__(
+        self,
+        *,
+        featuresCol: str = "features",
+        predictionCol: str = "prediction",
+        k: int = 4,
+        divergence: str = "squaredEuclidean",
+        smoothing: float = 1e-10,
+        maxIter: int = 20,
+        tol: float = 1e-4,
+        seed: Optional[int] = None,
+        minDivisibleClusterSize: float = 1.0,
+        weightCol: Optional[str] = None,
+    ):
+        super(BisectingKMeans, self).__init__()
+        self._java_obj = self._new_java_obj(
+            "graft.clustering.BisectingKMeans", self.uid
+        )
+        self._setDefault(
+            k=4, divergence="squaredEuclidean", smoothing=1e-10,
+            maxIter=20, tol=1e-4, minDivisibleClusterSize=1.0,
+        )
+        kwargs = self._input_kwargs
+        self.setParams(**{k_: v for k_, v in kwargs.items() if v is not None})
+
+    @keyword_only
+    def setParams(self, **kwargs: Any) -> "BisectingKMeans":
+        return self._set(**self._input_kwargs)
+
+    def setK(self, value: int) -> "BisectingKMeans":
+        return self._set(k=value)
+
+    def setMinDivisibleClusterSize(self, value: float) -> "BisectingKMeans":
+        return self._set(minDivisibleClusterSize=value)
+
+    def getMinDivisibleClusterSize(self) -> float:
+        return self.getOrDefault(self.minDivisibleClusterSize)
+
+    def _create_model(self, java_model: Any) -> "GeneralizedKMeansModel":
+        return GeneralizedKMeansModel(java_model)
+
+
+class _SoftKMeansParams(_GeneralizedKMeansParams):
+    beta = Param(
+        Params._dummy(), "beta",
+        "inverse temperature of the Boltzmann soft assignment (> 0)",
+        typeConverter=TypeConverters.toFloat,
+    )
+    minMembership = Param(
+        Params._dummy(), "minMembership",
+        "memberships below this are zeroed then renormalized",
+        typeConverter=TypeConverters.toFloat,
+    )
+    probabilityCol = Param(
+        Params._dummy(), "probabilityCol",
+        "output column with the per-cluster membership vector",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def getBeta(self) -> float:
+        return self.getOrDefault(self.beta)
+
+    def getMinMembership(self) -> float:
+        return self.getOrDefault(self.minMembership)
+
+    def getProbabilityCol(self) -> str:
+        return self.getOrDefault(self.probabilityCol)
+
+
+class SoftKMeans(JavaEstimator, _SoftKMeansParams, JavaMLReadable, JavaMLWritable):
+    """Fuzzy c-means under any Bregman divergence: soft Boltzmann
+    memberships, distributed membership-weighted M-step."""
+
+    @keyword_only
+    def __init__(
+        self,
+        *,
+        featuresCol: str = "features",
+        predictionCol: str = "prediction",
+        probabilityCol: str = "probability",
+        k: int = 2,
+        beta: float = 2.0,
+        minMembership: float = 0.0,
+        divergence: str = "squaredEuclidean",
+        smoothing: float = 1e-10,
+        maxIter: int = 20,
+        tol: float = 1e-4,
+        seed: Optional[int] = None,
+        initMode: str = "k-means||",
+        initSteps: int = 2,
+        weightCol: Optional[str] = None,
+    ):
+        super(SoftKMeans, self).__init__()
+        self._java_obj = self._new_java_obj("graft.clustering.SoftKMeans", self.uid)
+        self._setDefault(
+            k=2, beta=2.0, minMembership=0.0, divergence="squaredEuclidean",
+            smoothing=1e-10, maxIter=20, tol=1e-4, initMode="k-means||",
+            initSteps=2, probabilityCol="probability",
+        )
+        kwargs = self._input_kwargs
+        self.setParams(**{k_: v for k_, v in kwargs.items() if v is not None})
+
+    @keyword_only
+    def setParams(self, **kwargs: Any) -> "SoftKMeans":
+        return self._set(**self._input_kwargs)
+
+    def setK(self, value: int) -> "SoftKMeans":
+        return self._set(k=value)
+
+    def setBeta(self, value: float) -> "SoftKMeans":
+        return self._set(beta=value)
+
+    def setMinMembership(self, value: float) -> "SoftKMeans":
+        return self._set(minMembership=value)
+
+    def setProbabilityCol(self, value: str) -> "SoftKMeans":
+        return self._set(probabilityCol=value)
+
+    def _create_model(self, java_model: Any) -> "SoftKMeansModel":
+        return SoftKMeansModel(java_model)
+
+
+class SoftKMeansModel(JavaModel, _SoftKMeansParams, JavaMLReadable, JavaMLWritable):
+    """Model fitted by :class:`SoftKMeans`: ``transform`` appends the hard
+    prediction and the membership vector column."""
+
+    def clusterCenters(self) -> List[List[float]]:
+        return [[float(x) for x in jc] for jc in self._java_obj.clusterCenters()]
+
+    @property
+    def numClusters(self) -> int:
+        return self._call_java("numClusters")
+
+    def hasSummary(self) -> bool:
+        return self._call_java("hasSummary")
+
+    @property
+    def summary(self) -> "TrainingSummary":
+        return TrainingSummary(self._call_java("summary"))
+
+
+class _KMedoidsParams(HasFeaturesCol, HasPredictionCol, HasMaxIter, HasSeed):
+    k = Param(
+        Params._dummy(), "k", "number of medoids (> 1)",
+        typeConverter=TypeConverters.toInt,
+    )
+    distanceFunction = Param(
+        Params._dummy(), "distanceFunction",
+        "euclidean|manhattan|cosine",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def getK(self) -> int:
+        return self.getOrDefault(self.k)
+
+    def getDistanceFunction(self) -> str:
+        return self.getOrDefault(self.distanceFunction)
+
+
+class KMedoids(JavaEstimator, _KMedoidsParams, JavaMLReadable, JavaMLWritable):
+    """PAM (BUILD + best-improvement SWAP) k-medoids over an arbitrary
+    metric; the driver tier is capped (``maxDriverPoints``) — use
+    :class:`CLARA` above the cap."""
+
+    maxDriverPoints = Param(
+        Params._dummy(), "maxDriverPoints",
+        "refuse exact PAM above this many points",
+        typeConverter=TypeConverters.toInt,
+    )
+
+    @keyword_only
+    def __init__(
+        self,
+        *,
+        featuresCol: str = "features",
+        predictionCol: str = "prediction",
+        k: int = 2,
+        distanceFunction: str = "euclidean",
+        maxIter: int = 10,
+        seed: Optional[int] = None,
+    ):
+        super(KMedoids, self).__init__()
+        self._java_obj = self._new_java_obj("graft.clustering.KMedoids", self.uid)
+        self._setDefault(k=2, distanceFunction="euclidean", maxIter=10)
+        kwargs = self._input_kwargs
+        self.setParams(**{k_: v for k_, v in kwargs.items() if v is not None})
+
+    @keyword_only
+    def setParams(self, **kwargs: Any) -> "KMedoids":
+        return self._set(**self._input_kwargs)
+
+    def setK(self, value: int) -> "KMedoids":
+        return self._set(k=value)
+
+    def setDistanceFunction(self, value: str) -> "KMedoids":
+        return self._set(distanceFunction=value)
+
+    def _create_model(self, java_model: Any) -> "KMedoidsModel":
+        return KMedoidsModel(java_model)
+
+
+class CLARA(JavaEstimator, _KMedoidsParams, JavaMLReadable, JavaMLWritable):
+    """Scalable k-medoids: PAM on ``numSamples`` random samples, each
+    candidate medoid set scored over the FULL dataset distributed."""
+
+    numSamples = Param(
+        Params._dummy(), "numSamples", "number of PAM samples",
+        typeConverter=TypeConverters.toInt,
+    )
+    sampleSize = Param(
+        Params._dummy(), "sampleSize", "points per PAM sample",
+        typeConverter=TypeConverters.toInt,
+    )
+
+    @keyword_only
+    def __init__(
+        self,
+        *,
+        featuresCol: str = "features",
+        predictionCol: str = "prediction",
+        k: int = 2,
+        distanceFunction: str = "euclidean",
+        maxIter: int = 10,
+        numSamples: int = 5,
+        sampleSize: int = 200,
+        seed: Optional[int] = None,
+    ):
+        super(CLARA, self).__init__()
+        self._java_obj = self._new_java_obj("graft.clustering.CLARA", self.uid)
+        self._setDefault(
+            k=2, distanceFunction="euclidean", maxIter=10,
+            numSamples=5, sampleSize=200,
+        )
+        kwargs = self._input_kwargs
+        self.setParams(**{k_: v for k_, v in kwargs.items() if v is not None})
+
+    @keyword_only
+    def setParams(self, **kwargs: Any) -> "CLARA":
+        return self._set(**self._input_kwargs)
+
+    def setK(self, value: int) -> "CLARA":
+        return self._set(k=value)
+
+    def setNumSamples(self, value: int) -> "CLARA":
+        return self._set(numSamples=value)
+
+    def setSampleSize(self, value: int) -> "CLARA":
+        return self._set(sampleSize=value)
+
+    def _create_model(self, java_model: Any) -> "KMedoidsModel":
+        return KMedoidsModel(java_model)
+
+
+class KMedoidsModel(JavaModel, _KMedoidsParams, JavaMLReadable, JavaMLWritable):
+    """Model fitted by :class:`KMedoids` or :class:`CLARA`; the centers are
+    actual data points (medoids)."""
+
+    def medoids(self) -> List[List[float]]:
+        return [[float(x) for x in jc] for jc in self._java_obj.medoids()]
+
+    @property
+    def numClusters(self) -> int:
+        return self._call_java("numClusters")
+
+    @property
+    def summary(self) -> "TrainingSummary":
+        """Training telemetry (raises if the model was loaded, not fit)."""
+        return TrainingSummary(self._call_java("summary"))
+
+
+class StreamingKMeans(
+    JavaEstimator, _GeneralizedKMeansParams, JavaMLReadable, JavaMLWritable
+):
+    """Streaming k-means with exponential forgetting: batch-fit the
+    initial centers, then keep updating them from micro-batches
+    (``model.update``) or a whole stream (``model.updateOn``)."""
+
+    decayFactor = Param(
+        Params._dummy(), "decayFactor",
+        "exponential forgetting factor in [0, 1]; 1.0 = never forget",
+        typeConverter=TypeConverters.toFloat,
+    )
+    timeUnit = Param(
+        Params._dummy(), "timeUnit", "batches|points",
+        typeConverter=TypeConverters.toString,
+    )
+    halfLife = Param(
+        Params._dummy(), "halfLife",
+        "half-life in timeUnit units; overrides decayFactor when set",
+        typeConverter=TypeConverters.toFloat,
+    )
+
+    @keyword_only
+    def __init__(
+        self,
+        *,
+        featuresCol: str = "features",
+        predictionCol: str = "prediction",
+        k: int = 2,
+        divergence: str = "squaredEuclidean",
+        smoothing: float = 1e-10,
+        maxIter: int = 20,
+        tol: float = 1e-4,
+        seed: Optional[int] = None,
+        decayFactor: float = 1.0,
+        timeUnit: str = "batches",
+        halfLife: Optional[float] = None,
+        weightCol: Optional[str] = None,
+    ):
+        super(StreamingKMeans, self).__init__()
+        self._java_obj = self._new_java_obj(
+            "graft.streaming.StreamingKMeans", self.uid
+        )
+        self._setDefault(
+            k=2, divergence="squaredEuclidean", smoothing=1e-10, maxIter=20,
+            tol=1e-4, decayFactor=1.0, timeUnit="batches",
+        )
+        kwargs = self._input_kwargs
+        self.setParams(**{k_: v for k_, v in kwargs.items() if v is not None})
+
+    @keyword_only
+    def setParams(self, **kwargs: Any) -> "StreamingKMeans":
+        return self._set(**self._input_kwargs)
+
+    def setK(self, value: int) -> "StreamingKMeans":
+        return self._set(k=value)
+
+    def setDecayFactor(self, value: float) -> "StreamingKMeans":
+        return self._set(decayFactor=value)
+
+    def setTimeUnit(self, value: str) -> "StreamingKMeans":
+        return self._set(timeUnit=value)
+
+    def setHalfLife(self, value: float) -> "StreamingKMeans":
+        return self._set(halfLife=value)
+
+    def getDecayFactor(self) -> float:
+        return self.getOrDefault(self.decayFactor)
+
+    def getTimeUnit(self) -> str:
+        return self.getOrDefault(self.timeUnit)
+
+    def _create_model(self, java_model: Any) -> "StreamingKMeansModel":
+        return StreamingKMeansModel(java_model)
+
+
+class StreamingKMeansModel(GeneralizedKMeansModel):
+    """Mutable streaming model: ``transform`` always scores against an
+    immutable snapshot of the CURRENT centers; ``update`` folds in one
+    mini-batch with the configured decay."""
+
+    def update(self, batch: DataFrame) -> "StreamingKMeansModel":
+        """Fold one mini-batch into the centers (safe from foreachBatch)."""
+        self._call_java("update", batch)
+        return self
+
+    def currentCenters(self) -> List[List[float]]:
+        """Snapshot of the current (possibly updated) centers."""
+        return [[float(x) for x in jc] for jc in self._java_obj.currentCenters()]
+
+    def clusterWeights(self) -> List[float]:
+        return [float(x) for x in self._java_obj.clusterWeights()]
 
 
 class TrainingSummary:

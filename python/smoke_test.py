@@ -22,7 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.ml.linalg import Vectors
 from pyspark.sql import SparkSession
 
-from graft.clustering import GeneralizedKMeans, GeneralizedKMeansModel
+from graft.clustering import (
+    CLARA,
+    BisectingKMeans,
+    GeneralizedKMeans,
+    GeneralizedKMeansModel,
+    KMedoids,
+    SoftKMeans,
+    StreamingKMeans,
+    XMeans,
+)
 
 
 def find_jar() -> str:
@@ -118,6 +127,67 @@ def main() -> None:
         assert jm.getAssignmentStrategy() == "broadcast"
         assert jm.getMaxIter() == 5
         print("param transfer ok")
+
+        # --- XMeans: BIC selection over [minK, maxK]. The reference's
+        # Gaussian-BIC keeps improving slowly past the true k on dense
+        # blobs (documented in VariantsSpec), so the hard guarantee is the
+        # k range and that well-separated blobs are never merged.
+        import random
+
+        rnd = random.Random(42)
+        blob_rows = [
+            (Vectors.dense([cx + rnd.gauss(0, 0.3), cy + rnd.gauss(0, 0.3)]),)
+            for cx, cy in [(0.0, 0.0), (10.0, 10.0)]
+            for _ in range(25)
+        ]
+        blobs = spark.createDataFrame(blob_rows, ["features"])
+        xm_model = XMeans(minK=2, maxK=4, seed=11, maxIter=10).fit(blobs)
+        assert 2 <= xm_model.numClusters <= 4, xm_model.numClusters
+        xm_pred = xm_model.transform(blobs)
+        # no cluster may span both blobs: predictions within each blob's
+        # 50-row half must be disjoint from the other half's
+        halves = xm_pred.select("prediction").collect()
+        left = {r[0] for r in halves[:25]}
+        right = {r[0] for r in halves[25:]}
+        assert left.isdisjoint(right), (left, right)
+        print("XMeans ok: selected k =", xm_model.numClusters)
+
+        # --- BisectingKMeans ---
+        bi_model = BisectingKMeans(k=2, seed=5, maxIter=10).fit(df)
+        assert bi_model.transform(df).select("prediction").distinct().count() == 2
+        print("BisectingKMeans ok")
+
+        # --- SoftKMeans: memberships column + hard predictions ---
+        soft_model = SoftKMeans(k=2, beta=4.0, seed=9, maxIter=10).fit(df)
+        soft_pred = soft_model.transform(df)
+        assert "probability" in soft_pred.columns, soft_pred.columns
+        probs = soft_pred.select("probability").first()[0]
+        assert abs(sum(probs) - 1.0) < 1e-6, probs
+        assert soft_pred.select("prediction").distinct().count() == 2
+        print("SoftKMeans ok")
+
+        # --- KMedoids / CLARA: medoids are actual data points ---
+        pam_model = KMedoids(k=2, seed=13, maxIter=5).fit(df)
+        meds = pam_model.medoids()
+        rows = [list(r[0]) for r in df.collect()]
+        assert all(m in rows for m in meds), meds
+        assert pam_model.transform(df).select("prediction").distinct().count() == 2
+        clara_model = CLARA(k=2, seed=13, numSamples=2, sampleSize=6).fit(df)
+        assert len(clara_model.medoids()) == 2
+        print("KMedoids/CLARA ok")
+
+        # --- StreamingKMeans: batch init + mini-batch update ---
+        skm_model = StreamingKMeans(k=2, seed=17, maxIter=5, decayFactor=0.5).fit(df)
+        before = skm_model.currentCenters()
+        shift = spark.createDataFrame(
+            [(Vectors.dense([20.0, 20.0]),), (Vectors.dense([20.5, 19.5]),)],
+            ["features"],
+        )
+        skm_model.update(shift)
+        after = skm_model.currentCenters()
+        assert before != after, "update did not move the centers"
+        assert skm_model.transform(df).select("prediction").count() == 6
+        print("StreamingKMeans ok: centers moved after update")
 
         print("SMOKE TEST PASSED")
     finally:
