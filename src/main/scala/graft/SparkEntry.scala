@@ -1106,8 +1106,14 @@ object SparkEntry {
       }
       val jittered = e.select((col("vec_id") + 1000000L).as("vec_id"),
         jitterUdf(col("vec_id"), col("v")).as("v"))
+      // planesPerTable scales as log2(corpus) (lshPlanesForCorpus): a
+      // FIXED signature width makes random-collision pairs ~n^2/2^pt —
+      // quadratic; caught at the r10 sf10 point (400k vectors, 12-bit
+      // sigs, ~470M collision pairs, bench timeout). The oracle derives
+      // the identical width from count(*).
+      val ptLsh = Similarity.lshPlanesForCorpus(2L * e.count())
       Dedup.embeddingNearDup(e.union(jittered), "vec_id", "v",
-        threshold = 0.85, numTables = 24, planesPerTable = 12)
+        threshold = 0.85, numTables = 24, planesPerTable = ptLsh)
     },
     // SemDeDup (Abbas et al. 2023) at fixed centers (vec_id < 8): cosine
     // assignment -> within-cluster pairs at round(cos,6) >= 0.3 ->
@@ -2891,13 +2897,20 @@ object SparkEntry {
         |  ON floor(a.vec_id / 20) = floor(b.vec_id / 20) AND b.vec_id > a.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.2""".stripMargin,
     // Full banded-hyperplane-LSH replay: md5-rebuilt jitter + plane matrix
-    // (24 tables x 12 planes x 64 dims, index key '42:' || p*64+i), ORDERED
-    // list dots so the sign decisions are bit-exact, 12-bit sign signature
-    // per table, bucket equi-join, exact-cosine confirm at 0.85. The
+    // (24 tables x pt planes x 64 dims, index key '42:' || p*64+i), ORDERED
+    // list dots so the sign decisions are bit-exact, pt-bit sign signature
+    // per table, bucket equi-join, exact-cosine confirm at 0.85. pt is
+    // derived from count(*) exactly as Similarity.lshPlanesForCorpus does
+    // (highest set bit of ceil(corpus/4), clamped [12, 28]); the
     // maxBucketSize=4096 skew guard cannot fire below 4096 corpus rows, so
     // the replay omits it.
     "q_embed_lsh" ->
-      """WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH par AS (
+        |  SELECT least(28, greatest(12,
+        |    CASE WHEN (count(*) + 1) // 2 <= 1 THEN 12
+        |         ELSE length(bin((count(*) + 1) // 2 - 1)) END))::BIGINT AS pt
+        |  FROM embeddings),
+        |base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |jit AS (
         |  SELECT oid + 1000000 AS id, jv AS v FROM (
         |    SELECT id AS oid, list_transform(range(len(v)),
@@ -2913,16 +2926,16 @@ object SparkEntry {
         |  SELECT pp.p, list_transform(range(64),
         |    i -> ('0x' || substr(md5('42:' || (pp.p * 64 + i)), 1, 8))::UBIGINT::DOUBLE
         |         / 4294967296 * 2 - 1) AS m
-        |  FROM (SELECT unnest(range(288)) AS p) pp),
+        |  FROM (SELECT unnest(range(24 * pt)) AS p FROM par) pp),
         |proj AS (
         |  SELECT n.id, pl.p,
         |    list_sum(list_transform(range(64), i -> n.vn[i+1] * pl.m[i+1])) AS d
         |  FROM norm n CROSS JOIN pl),
         |sig AS (
-        |  SELECT id, p // 12 AS tbl,
-        |    bit_or(CASE WHEN d >= 0 THEN 1::UBIGINT << (p % 12) ELSE 0::UBIGINT END)
-        |      | (((p // 12)::UBIGINT) << 32) AS bucket
-        |  FROM proj GROUP BY id, p // 12),
+        |  SELECT id, p // pt AS tbl,
+        |    bit_or(CASE WHEN d >= 0 THEN 1::UBIGINT << (p % pt) ELSE 0::UBIGINT END)
+        |      | (((p // pt)::UBIGINT) << 32) AS bucket
+        |  FROM proj, par GROUP BY id, p // pt),
         |cand AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
         |  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)

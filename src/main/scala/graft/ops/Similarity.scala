@@ -164,6 +164,38 @@ object Similarity {
       m
     })
 
+  /** planesPerTable that keeps the banded-LSH join LINEAR in corpus size:
+    * with pt sign bits a table has 2^pt buckets, so RANDOM-collision
+    * candidate pairs cost ~L * n^2 / 2^(pt+1) — any FIXED pt turns the
+    * join quadratic as n grows (measured: pt=12 at a 400k-vector corpus
+    * planned ~470M collision pairs and ran past the bench timeout; the
+    * same corpus at the log2-scaled pt=17 is ~14M). Choosing
+    * 2^pt >= n / targetBucketSize caps expected bucket size at
+    * targetBucketSize, making collision work O(L * n * targetBucketSize).
+    * Exact integer computation (highest-set-bit), identical in SQL as
+    * `length(bin(ceil(n / target) - 1))`.
+    *
+    * The flip side is per-table recall s^pt (s = 1 - theta/pi): sharper
+    * bands admit fewer TRUE pairs per table, so a corpus 32x bigger
+    * (pt+5) needs numTables scaled by ~s^-5 to keep the same recall
+    * curve — the standard LSH n^rho tradeoff. High-similarity pairs
+    * (cosine >= ~0.9) survive pt=17..20 at L=24; for mid thresholds at
+    * large n use IVF/block-bucketed search instead (sign-LSH is a
+    * high-similarity family, see [[graft.ops.Dedup.embeddingNearDup]]).
+    */
+  def lshPlanesForCorpus(
+      n: Long,
+      targetBucketSize: Int = 4,
+      minPlanes: Int = 12,
+      maxPlanes: Int = 28): Int = {
+    require(n >= 0 && targetBucketSize > 0, s"bad lshPlanesForCorpus($n, $targetBucketSize)")
+    val buckets = (n + targetBucketSize - 1) / targetBucketSize // ceil(n / target)
+    val pt =
+      if (buckets <= 1L) minPlanes
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil(log2(buckets))
+    math.min(maxPlanes, math.max(minPlanes, pt))
+  }
+
   /** Banded hyperplane LSH keys: `numTables` independent sign-bit
     * signatures of `planesPerTable` planes each, ALL computed in a single
     * pass over the vector (one multiply-add per (dim, plane) pair against a
