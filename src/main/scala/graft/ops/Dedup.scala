@@ -291,21 +291,41 @@ object Dedup {
     * `chunks-1` shares at least one exact chunk) — equi-join on chunk
     * value, no cross join. maxDist must be <= 3 for the 4-chunk guarantee
     * to hold (ADVICE r1: larger distances would silently drop pairs).
+    *
+    * Skew guard (same rationale as [[embeddingNearDup]]'s): a chunk value
+    * shared by m docs costs m²/2 join rows, and unlike the LSH planes the
+    * 16-bit band width CANNOT scale with n — it is pigeonhole-forced by
+    * the 64-bit signature and the distance-3 guarantee. A degenerate
+    * corpus (near-identical boilerplate, the all-zero signature of empty
+    * docs) would otherwise go quadratic in one bucket; buckets larger
+    * than `maxBucketSize` are dropped from candidate generation. A pair
+    * is lost only if EVERY one of its >= 1 shared chunks is oversized;
+    * run exact dedup first so mass-identical docs never reach this join.
+    * At 100-TB scale the structural answer is hierarchical blocking
+    * (dedup exact -> partition -> simhash within partition), not a wider
+    * band.
     */
   def simhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      maxBucketSize: Int = 4096): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist=$maxDist not supported: 4 x 16-bit chunk blocking only guarantees recall for hamming distance <= 3")
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
     val sh = fanOut(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
       .select(col("id"), simhashUdf(split(col("__txt"), " ")).as("sh"))
     val chunked = sh.select(col("id"), col("sh"), posexplode(
       array((0 until 4).map(c => shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)
     ).as(Seq("chunk", "val")))
-    val a = chunked.as("a")
-    val b = chunked.as("b")
+    val smallBuckets = chunked.groupBy(col("chunk"), col("val"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBucketSize)
+      .select(col("chunk"), col("val"))
+    val pruned = chunked.join(smallBuckets, Seq("chunk", "val"))
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     val hamming = bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.val") === col("b.val") &&
         col("a.id") < col("b.id"))

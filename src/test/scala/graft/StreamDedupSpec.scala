@@ -140,6 +140,29 @@ class StreamDedupSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("simhashCandidates: oversized chunk buckets are dropped (skew guard)") {
+    import spark.implicits._
+    // 30 identical docs share every chunk value -> one 30-doc bucket per
+    // chunk; with the cap below 30 the quadratic bucket contributes no
+    // pairs, while the two distinct near-variants still pair up.
+    val boiler = (1L to 30L).map(i => (i, "the same boilerplate text repeated everywhere"))
+    // identical pair (hamming 0) in its own small bucket: survives the
+    // guard deterministically (a one-token variant can flip > 3 sign bits
+    // on short docs, so it would make the assertion flaky)
+    val variants = Seq(
+      (100L, "a unique document about distributed clustering engines and data"),
+      (101L, "a unique document about distributed clustering engines and data"))
+    val df = (boiler ++ variants).toDF("doc_id", "text")
+    val all = graft.ops.Dedup.simhashCandidates(df, "doc_id", "text", maxDist = 3)
+    assert(all.where(col("id_a") <= 30 && col("id_b") <= 30).count() == 30L * 29 / 2)
+    val guarded = graft.ops.Dedup.simhashCandidates(df, "doc_id", "text",
+      maxDist = 3, maxBucketSize = 16)
+    val g = guarded.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!g.exists { case (x, y) => x <= 30 && y <= 30 },
+      s"boilerplate bucket should be dropped, got $g")
+    assert(g.contains((100L, 101L)), s"near-variant pair must survive the guard, got $g")
+  }
+
   test("batch frames dedup with plain dropDuplicates semantics") {
     import spark.implicits._
     val df = Seq(
