@@ -39,8 +39,6 @@ __all__ = [
     "KMedoids",
     "KMedoidsModel",
     "CLARA",
-    "StreamingKMeans",
-    "StreamingKMeansModel",
 ]
 
 
@@ -542,11 +540,14 @@ class KMedoids(JavaEstimator, _KMedoidsParams, JavaMLReadable, JavaMLWritable):
         k: int = 2,
         distanceFunction: str = "euclidean",
         maxIter: int = 10,
+        maxDriverPoints: int = 20000,
         seed: Optional[int] = None,
     ):
         super(KMedoids, self).__init__()
         self._java_obj = self._new_java_obj("graft.clustering.KMedoids", self.uid)
-        self._setDefault(k=2, distanceFunction="euclidean", maxIter=10)
+        self._setDefault(
+            k=2, distanceFunction="euclidean", maxIter=10, maxDriverPoints=20000
+        )
         kwargs = self._input_kwargs
         self.setParams(**{k_: v for k_, v in kwargs.items() if v is not None})
 
@@ -556,6 +557,12 @@ class KMedoids(JavaEstimator, _KMedoidsParams, JavaMLReadable, JavaMLWritable):
 
     def setK(self, value: int) -> "KMedoids":
         return self._set(k=value)
+
+    def setMaxDriverPoints(self, value: int) -> "KMedoids":
+        return self._set(maxDriverPoints=value)
+
+    def getMaxDriverPoints(self) -> int:
+        return self.getOrDefault(self.maxDriverPoints)
 
     def setDistanceFunction(self, value: str) -> "KMedoids":
         return self._set(distanceFunction=value)
@@ -633,100 +640,6 @@ class KMedoidsModel(JavaModel, _KMedoidsParams, JavaMLReadable, JavaMLWritable):
         return TrainingSummary(self._call_java("summary"))
 
 
-class StreamingKMeans(
-    JavaEstimator, _GeneralizedKMeansParams, JavaMLReadable, JavaMLWritable
-):
-    """Streaming k-means with exponential forgetting: batch-fit the
-    initial centers, then keep updating them from micro-batches
-    (``model.update``) or a whole stream (``model.updateOn``)."""
-
-    decayFactor = Param(
-        Params._dummy(), "decayFactor",
-        "exponential forgetting factor in [0, 1]; 1.0 = never forget",
-        typeConverter=TypeConverters.toFloat,
-    )
-    timeUnit = Param(
-        Params._dummy(), "timeUnit", "batches|points",
-        typeConverter=TypeConverters.toString,
-    )
-    halfLife = Param(
-        Params._dummy(), "halfLife",
-        "half-life in timeUnit units; overrides decayFactor when set",
-        typeConverter=TypeConverters.toFloat,
-    )
-
-    @keyword_only
-    def __init__(
-        self,
-        *,
-        featuresCol: str = "features",
-        predictionCol: str = "prediction",
-        k: int = 2,
-        divergence: str = "squaredEuclidean",
-        smoothing: float = 1e-10,
-        maxIter: int = 20,
-        tol: float = 1e-4,
-        seed: Optional[int] = None,
-        decayFactor: float = 1.0,
-        timeUnit: str = "batches",
-        halfLife: Optional[float] = None,
-        weightCol: Optional[str] = None,
-    ):
-        super(StreamingKMeans, self).__init__()
-        self._java_obj = self._new_java_obj(
-            "graft.streaming.StreamingKMeans", self.uid
-        )
-        self._setDefault(
-            k=2, divergence="squaredEuclidean", smoothing=1e-10, maxIter=20,
-            tol=1e-4, decayFactor=1.0, timeUnit="batches",
-        )
-        kwargs = self._input_kwargs
-        self.setParams(**{k_: v for k_, v in kwargs.items() if v is not None})
-
-    @keyword_only
-    def setParams(self, **kwargs: Any) -> "StreamingKMeans":
-        return self._set(**self._input_kwargs)
-
-    def setK(self, value: int) -> "StreamingKMeans":
-        return self._set(k=value)
-
-    def setDecayFactor(self, value: float) -> "StreamingKMeans":
-        return self._set(decayFactor=value)
-
-    def setTimeUnit(self, value: str) -> "StreamingKMeans":
-        return self._set(timeUnit=value)
-
-    def setHalfLife(self, value: float) -> "StreamingKMeans":
-        return self._set(halfLife=value)
-
-    def getDecayFactor(self) -> float:
-        return self.getOrDefault(self.decayFactor)
-
-    def getTimeUnit(self) -> str:
-        return self.getOrDefault(self.timeUnit)
-
-    def _create_model(self, java_model: Any) -> "StreamingKMeansModel":
-        return StreamingKMeansModel(java_model)
-
-
-class StreamingKMeansModel(GeneralizedKMeansModel):
-    """Mutable streaming model: ``transform`` always scores against an
-    immutable snapshot of the CURRENT centers; ``update`` folds in one
-    mini-batch with the configured decay."""
-
-    def update(self, batch: DataFrame) -> "StreamingKMeansModel":
-        """Fold one mini-batch into the centers (safe from foreachBatch)."""
-        self._call_java("update", batch)
-        return self
-
-    def currentCenters(self) -> List[List[float]]:
-        """Snapshot of the current (possibly updated) centers."""
-        return [[float(x) for x in jc] for jc in self._java_obj.currentCenters()]
-
-    def clusterWeights(self) -> List[float]:
-        return [float(x) for x in self._java_obj.clusterWeights()]
-
-
 class TrainingSummary:
     """Eager snapshot of the Scala ``TrainingSummary`` case class."""
 
@@ -750,3 +663,12 @@ class TrainingSummary:
             f"converged={self.converged}, "
             f"finalDistortion={self.finalDistortion:.6g})"
         )
+
+
+# Streaming wrappers live in graft.streaming (mirroring the JVM package,
+# which cross-language save/load derives class names from); re-exported
+# here for convenience. Import at the bottom to avoid a circular import
+# (graft.streaming imports the shared bases from this module).
+from graft.streaming import StreamingKMeans, StreamingKMeansModel  # noqa: E402
+
+__all__ += ["StreamingKMeans", "StreamingKMeansModel"]

@@ -29,9 +29,9 @@ from graft.clustering import (
     GeneralizedKMeansModel,
     KMedoids,
     SoftKMeans,
-    StreamingKMeans,
     XMeans,
 )
+from graft.streaming import StreamingKMeans, StreamingKMeansModel
 
 
 def find_jar() -> str:
@@ -48,7 +48,6 @@ def find_jar() -> str:
 
 def main() -> None:
     spark_jars = find_jar()
-    extra = glob.glob("/opt/spark/jars/*.jar")
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("graft-python-smoke")
@@ -188,6 +187,22 @@ def main() -> None:
         assert before != after, "update did not move the centers"
         assert skm_model.transform(df).select("prediction").count() == 6
         print("StreamingKMeans ok: centers moved after update")
+
+        # --- streaming model save/load across the graft.streaming module
+        # (the JVM class lives in graft.streaming; the Python module path
+        # must mirror it for JavaMLReadable to resolve the loader) ---
+        tmp = tempfile.mkdtemp(prefix="graft-py-stream-")
+        try:
+            spath = os.path.join(tmp, "smodel")
+            skm_model.write().overwrite().save(spath)
+            sloaded = StreamingKMeansModel.load(spath)
+            assert sloaded.currentCenters() == skm_model.currentCenters()
+            assert sloaded.clusterWeights() == skm_model.clusterWeights()
+            sloaded.update(shift)  # restored model keeps updating
+            assert sloaded.currentCenters() != skm_model.currentCenters()
+            print("streaming save/load ok")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
         print("SMOKE TEST PASSED")
     finally:

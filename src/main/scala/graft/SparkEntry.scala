@@ -2957,9 +2957,11 @@ object SparkEntry {
         |WHERE round(len(list_intersect(a.s, b.s)) * 1.0
         |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""".stripMargin,
     // Full simhash replay: per-token md5Long (first 8 md5 bytes), 64
-    // bit-votes, sign-bit signature, 4x16-bit band self-join, hamming via
-    // bit_count(xor). Portable because the token hash is the md5 house
-    // hash — bit-identical as UBIGINT here and signed long in the engine.
+    // bit-votes, sign-bit signature, 4x16-bit band self-join (with the
+    // operator's maxBucketSize=4096 skew guard replayed as a HAVING
+    // filter), hamming via bit_count(xor). Portable because the token
+    // hash is the md5 house hash — bit-identical as UBIGINT here and
+    // signed long in the engine.
     "q_simhash_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -2974,10 +2976,13 @@ object SparkEntry {
         |  FROM votes GROUP BY id),
         |chunked AS (
         |  SELECT id, sh, cs.c AS chunk, (sh >> (cs.c * 16)) & 65535 AS val
-        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) cs)
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) cs),
+        |small AS (
+        |  SELECT chunk, val FROM chunked GROUP BY chunk, val HAVING count(*) <= 4096),
+        |pruned AS (SELECT c.* FROM chunked c JOIN small USING (chunk, val))
         |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |  bit_count(xor(a.sh, b.sh)) AS hamming
-        |FROM chunked a JOIN chunked b
+        |FROM pruned a JOIN pruned b
         |  ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "q_neardup_components" ->

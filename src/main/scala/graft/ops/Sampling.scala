@@ -119,11 +119,17 @@ object Sampling {
     import spark.implicits._
     val targetDf = target.toSeq.map { case (d, w) => (d, w / total) }
       .toDF("domain", "target_weight")
+    // restrict the aggregation to TARGET domains before grouping: the
+    // corpus may carry unboundedly many distinct domains (hosts, URLs),
+    // and only the target's k rows matter — the isin filter pushes to the
+    // scan and bounds the aggregate (and the broadcast below) at k rows
+    val targetKeys = target.keySet.toSeq
     val avail = df.select(col(domainCol).cast("string").as("domain"), weightCol.as("__w"))
+      .where(col("domain").isin(targetKeys: _*))
       .groupBy(col("domain")).agg(sum(col("__w")).cast("double").as("available"))
     // LEFT join from the target side: a target domain the corpus cannot
-    // supply must not vanish from the plan (avail is the k-row aggregate
-    // output, so broadcasting it is free)
+    // supply must not vanish from the plan (avail is now at most k rows
+    // by the filter above, so broadcasting it is free)
     val joined = targetDf.join(broadcast(avail), Seq("domain"), "left")
       .select(col("domain"),
         coalesce(col("available"), lit(0.0)).as("available"), col("target_weight"))

@@ -42,7 +42,15 @@ object SemDedup {
   def balancedK(n: Long, minK: Int = 8): Int =
     math.max(minK.toLong, math.ceil(math.sqrt(n.toDouble) / 2.0).toLong).toInt
 
-  /** Keeper strategies for the representative of each duplicate group. */
+  /** Keeper strategies for the representative of each duplicate group.
+    *
+    * Note: `maxClusterSize` defaults tightened from 100000 to 20000 in
+    * round 10 — a 100k-member cluster costs ~5e9 within-cluster pairs,
+    * which is a misconfiguration (k too small for the corpus; see
+    * [[balancedK]]) that should refuse with the offending sizes rather
+    * than crawl. Pass maxClusterSize explicitly to accept larger
+    * clusters.
+    */
   val KeepMinId = "min_id"
   /** The paper's §3.3 choice: keep the member with the LOWEST cosine
     * similarity to its cluster centroid (the least prototypical example),

@@ -166,3 +166,18 @@ class StreamingKMeansModel(
       }
       .start()
 }
+
+object StreamingKMeans
+    extends org.apache.spark.ml.util.DefaultParamsReadable[StreamingKMeans]
+
+/** Standard MLReadable companion so `StreamingKMeansModel.load(path)`
+  * works from Scala AND from PySpark's JavaMLReadable (which resolves the
+  * static `load` on the class named by the Python module path); delegates
+  * to [[graft.clustering.StreamingModelIO]].
+  */
+object StreamingKMeansModel
+    extends org.apache.spark.ml.util.MLReadable[StreamingKMeansModel] {
+  override def read: org.apache.spark.ml.util.MLReader[StreamingKMeansModel] =
+    graft.clustering.StreamingModelIO.read
+  override def load(path: String): StreamingKMeansModel = read.load(path)
+}

@@ -99,10 +99,12 @@ class RecallSpec extends SparkSpec {
     // The bench's scale claims are measured on 10x noisy replicas of the
     // real embeddings table (graft.tools.BuildReplica recipe). Assert
     // index quality AT that scale, not only on the 2k fixture above:
-    // same recipe in-memory — replica r adds seeded sigma-0.05 gaussian
-    // noise and offsets vec_id — giving 20k vectors of genuine corpus
-    // geometry with known tight neighborhoods (each base vector's 10
-    // replicas).
+    // an equivalent corpus built in-memory with the same parameters
+    // (seed formula r*1000003+vecId, sigma-0.05 gaussian noise, 1e9 id
+    // stride) — NOT byte-identical to the tool's parquet output (the
+    // tool stores float32 embeddings, this keeps doubles), but the same
+    // geometry: 20k vectors with known tight neighborhoods (each base
+    // vector's 10 replicas).
     import spark.implicits._
     val base = spark.read.parquet(s"${TestSpark.sf01}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
