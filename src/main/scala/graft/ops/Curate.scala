@@ -168,6 +168,119 @@ object Curate {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** BLOOM-FILTER decontamination: the [[decontaminate]] contract (flag
+    * training documents sharing at least `minHits` distinct word
+    * `n`-grams with the eval set) probed against a Bloom filter of the
+    * eval shingles instead of the exact set.
+    *
+    * WHY at 100 TB: the exact paths carry the eval side as either a
+    * broadcast shingle table or a sorted 8-byte-per-shingle array
+    * ([[decontaminateStream]]) — memory grows linearly with the eval
+    * set and is hard-capped at 50M shingles (~400 MB). The Bloom image
+    * is `bitsPerShingle` BITS per shingle regardless of string length
+    * (10 bits/shingle ≈ 0.8% false positives at `numHashes` = 7): the
+    * same 400 MB broadcast budget covers ~320M shingles, an 8×
+    * headroom, and the filter is built DISTRIBUTED (per-partition local
+    * bitsets OR-combined in a tree — the driver never holds more than
+    * the final m/8 bytes). False positives only ever ADD flags (never
+    * drop a genuinely contaminated doc), the right failure direction
+    * for decontamination; false-negative rate is zero.
+    *
+    * ENGINE-PORTABLE and fully deterministic: bit positions are
+    * independent md5 hashes (`Hashing.md5Long(sh + ":" + i) mod m`,
+    * unsigned), so an external SQL engine rebuilds the EXACT filter —
+    * including its false positives — and the whole operator
+    * hash-checks end to end (harness query q_bloom_decontaminate).
+    *
+    * Returns (doc_id, n_hits, contaminated) — n_hits counts the doc's
+    * distinct shingles that pass the membership test (≥ the exact
+    * operator's n_hits; equal when no false positive lands in the doc).
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1,
+      bitsPerShingle: Int = 10,
+      numHashes: Int = 7): DataFrame = {
+    require(bitsPerShingle >= 2 && bitsPerShingle <= 64,
+      s"bitsPerShingle must be in [2, 64], got $bitsPerShingle")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes must be in [1, 16], got $numHashes")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val k = numHashes
+    // persist: the count (sizes m) and the build share one execution of
+    // the shingle scan; finally releases even if the build job fails
+    val evalShingles = Dedup.fanOut(evalDocs.select(col(evalTextCol).as("__t")))
+      .select(explode(TextOps.wordShingles(col("__t"), n)).as("sh"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the true modulus m = max(64, bitsPerShingle * nd) must be shared
+    // between build and probe — the word array is padded to a multiple
+    // of 64 bits, so it cannot be recovered from the array length
+    val (bitsArr: Array[Long], m: Long) =
+      try {
+        val nd = evalShingles.count()
+        val mm = math.max(64L, bitsPerShingle.toLong * nd)
+        require(mm <= (1L << 36),
+          s"Bloom filter would need $mm bits (> 8 GiB); shrink the eval set " +
+            "or lower bitsPerShingle")
+        val words = ((mm + 63L) >>> 6).toInt
+        // distributed build: each partition fills a local bitset, then a
+        // depth-2 tree OR-combine — network cost O(partitions * m/8),
+        // driver memory exactly m/8 bytes
+        val arr = evalShingles.as[String].rdd.treeAggregate(new Array[Long](words))(
+          seqOp = { (acc, sh) =>
+            var i = 0
+            while (i < k) {
+              val pos = java.lang.Long.remainderUnsigned(
+                graft.util.Hashing.md5Long(sh + ":" + i), mm)
+              acc((pos >>> 6).toInt) |= 1L << (pos & 63L)
+              i += 1
+            }
+            acc
+          },
+          combOp = { (a, b) =>
+            var i = 0
+            while (i < a.length) { a(i) |= b(i); i += 1 }
+            a
+          },
+          depth = 2)
+        (arr, mm)
+      } finally evalShingles.unpersist()
+    val bc = spark.sparkContext.broadcast(bitsArr)
+    val probe = udf { (shs: Seq[String]) =>
+      if (shs == null) 0L
+      else {
+        val arr = bc.value
+        var hits = 0L
+        val it = shs.iterator
+        while (it.hasNext) {
+          val sh = it.next()
+          var i = 0
+          var all = true
+          while (i < k && all) {
+            val pos = java.lang.Long.remainderUnsigned(
+              graft.util.Hashing.md5Long(sh + ":" + i), m)
+            if ((arr((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) all = false
+            i += 1
+          }
+          if (all) hits += 1L
+        }
+        hits
+      }
+    }
+    Dedup.fanOut(train.select(col(trainIdCol).cast("long").as("doc_id"),
+        col(trainTextCol).as("__t")))
+      .select(col("doc_id"), probe(TextOps.wordShingles(col("__t"), n)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") >= minHits).as("contaminated"))
+  }
+
   /** FUZZY benchmark decontamination: flag training documents whose
     * word-`n`-gram Jaccard similarity with ANY evaluation document
     * reaches `threshold` — catches paraphrased and lightly-edited eval
