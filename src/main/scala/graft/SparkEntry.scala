@@ -20,6 +20,18 @@ object SparkEntry {
   private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` as epoch milliseconds, robust to the physical parquet
+    * type the generator produced: TIMESTAMP(NANOS) surfaced as a nanos
+    * long (legacy `nanosAsLong` read), TIMESTAMP_NTZ (Spark 4 infers NTZ
+    * for parquet timestamps not adjusted to UTC), or plain TIMESTAMP.
+    * NTZ wall-clock is interpreted in the session time zone — Verify and
+    * Bench both pin UTC, matching DuckDB's `epoch_ms` on a naive ts.
+    */
+  private def eventTsMs(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+    case _ => unix_millis(col("ts").cast("timestamp"))
+  }
+
   /** Shared body of the full-fit oracle queries (q_kmeans_fit,
     * q_kmeans_fit_elkan, q_kmedians_fit, q_kl_fit): a full multi-iteration
     * GeneralizedKMeans fit warm-started from the embeddings with vec_id < 8,
@@ -2429,11 +2441,9 @@ object SparkEntry {
       // same code path Structured Streaming runs with event-time timeout);
       // ORACLE: the classic lag/cumsum session SQL reproduces it exactly
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // integer `div`, NOT `/`: long/long in Spark SQL is DOUBLE division,
-      // which loses exactness at nanosecond-epoch magnitudes (> 2^53)
-      val ev = t(dir, "events")
-        .select(col("user_id"), expr("ts div 1000000").as("ts_ms"), col("value"))
-        .select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"), col("value"))
+      val evRaw = t(dir, "events")
+      val ev = evRaw
+        .select(col("user_id"), timestamp_millis(eventTsMs(evRaw)).as("ts"), col("value"))
       graft.streaming.EventOps.sessionize(ev, "user_id", "ts", "value",
         gapMs = 30 * 60000L).toDF()
         .select(col("key").as("user_id"), col("startMs").as("start_ms"),
@@ -2443,11 +2453,12 @@ object SparkEntry {
     // ---- event-time windowed aggregation (streaming semantics on batch) ----
     "q_events_window" -> { (s, dir) =>
       implicit val sp: SparkSession = s
-      // events.ts is TIMESTAMP(NANOS) parquet — read nanos as long and
-      // bucket to epoch-second hours (portable across engines).
+      // bucket events to epoch-second hours (portable across engines);
+      // ts handling is schema-adaptive via eventTsMs.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(dir, "events")
-        .groupBy((floor(col("ts") / lit(3600000000000L)) * 3600).cast("long").as("hour_epoch"),
+      val evRaw = t(dir, "events")
+      evRaw
+        .groupBy((floor(eventTsMs(evRaw) / lit(3600000L)) * 3600).cast("long").as("hour_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
     })
@@ -2681,16 +2692,22 @@ object SparkEntry {
         |  round(scale * target_weight, 6) + 0.0 AS planned
         |FROM j, s""".stripMargin,
     "q_budget_select" ->
-      """WITH d AS (
+      """WITH c AS (
         |  SELECT lang AS domain, doc_id AS key,
-        |    CAST(floor((least(length(text) / 500.0, 1.0) * 0.4
-        |      + least(len(list_filter(string_split(text, ' '),
-        |            t -> t IN ('the','a','of','and','to','in','is','it')))
-        |          * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.4
-        |      + (1.0 - least(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
-        |          * 1.0 / greatest(length(text), 1), 1.0)) * 0.2) * 1000000 + 0.5) AS BIGINT) AS quality,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents)
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop,
+        |    CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS BIGINT) AS n_noise
+        |  FROM documents),
+        |d AS (
+        |  -- pure 64-bit integer arithmetic: identical in every engine
+        |  SELECT domain, key,
+        |    800 * least(len, 500)
+        |      + least((2000000 * n_stop) // n_tokens, 400000)
+        |      + (200000 - least((200000 * n_noise) // greatest(len, 1), 200000)) AS quality,
+        |    n_tokens
+        |  FROM c)
         |SELECT domain, key, quality, n_tokens, cum_tokens FROM (
         |  SELECT domain, key, quality, n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY domain ORDER BY quality DESC, key

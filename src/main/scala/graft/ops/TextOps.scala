@@ -61,15 +61,38 @@ object TextOps {
   /** [[qualityScoreRaw]] rounded to 6dp for human-facing output. */
   def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
 
-  /** [[qualityScoreRaw]] in integer micro-units: floor(x*1e6 + 0.5), a
-    * BIGINT in [0, 1000000]. floor(+0.5) rounds half-up in EVERY engine
-    * (unlike round(), whose half-even vs half-up behavior is
-    * engine/version-dependent at a 6-dp boundary), so comparisons that
-    * hash this value are immune to float-formatting and rounding-mode
-    * drift across environments.
+  /** Quality score in integer micro-units, computed in PURE 64-bit
+    * integer arithmetic — multiply, floor-division, least/greatest over
+    * the four integer counts (chars, tokens, stopwords, non-alpha
+    * chars). A BIGINT in [0, 1000000] agreeing with
+    * floor([[qualityScoreRaw]]*1e6) up to sub-term floor order.
+    *
+    * Why not floor(raw*1e6 + 0.5): composed double expressions are only
+    * reproducible across ENGINES if both evaluate the identical IEEE op
+    * sequence; a different engine version may fold or reorder the
+    * arithmetic and land 1 ulp away, flipping the integer at a .5
+    * boundary (observed: the round-10 driver gate's DuckDB disagreed
+    * with DuckDB 1.0.0 on exactly this contract while both matched the
+    * 6-dp rounded form). Integer mul/div/min have ONE possible result,
+    * so the value that enters the window ordering and the canon hash
+    * cannot drift.
     */
-  def qualityScoreMicro(text: Column): Column =
-    floor(qualityScoreRaw(text) * lit(1e6) + lit(0.5)).cast("long")
+  def qualityScoreMicro(text: Column): Column = {
+    val len = length(text).cast("long")
+    val nTok = tokenCount(text).cast("long")
+    val nStop = stopwordCount(text).cast("long")
+    val nNoise = nonAlphaCount(text).cast("long")
+    // `div` = IntegralDivide: true long floor-division, NOT the double
+    // division `/` lowers to for long operands.
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    // 400000*min(len/500,1) = 800*min(len,500); exact.
+    val lenScore = lit(800L) * least(len, lit(500L))
+    // 400000*min(5*stop/ntok,1) = min((2000000*stop) div ntok, 400000)
+    val stopScore = least(idiv(lit(2000000L) * nStop, nTok), lit(400000L))
+    // 200000*(1 - min(noise/len,1)) = 200000 - min((200000*noise) div max(len,1), 200000)
+    val noise = least(idiv(lit(200000L) * nNoise, greatest(len, lit(1L))), lit(200000L))
+    lenScore + stopScore + (lit(200000L) - noise)
+  }
 
   /** Occurrences of `term` as substring — replace-based so the identical
     * SQL works in any engine: (len(s) - len(replace(s, term, ''))) / len(term).
