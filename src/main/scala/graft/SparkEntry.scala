@@ -1016,6 +1016,19 @@ object SparkEntry {
         docs.where(col("doc_id") % 50 === 0), "text", n = 5,
         hashShingles = false)
     },
+    // Bloom-filter decontamination: same contract probed against the
+    // distributed-built Bloom image of the eval shingles. Bit positions
+    // are md5-derived (engine-portable), so DuckDB rebuilds the EXACT
+    // filter — false positives included — and the hash check covers the
+    // whole build+probe path end to end.
+    "q_bloom_decontaminate" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.ops.Curate.decontaminateBloom(
+        docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        docs.where(col("doc_id") % 50 === 0), "text", n = 5,
+        bitsPerShingle = 10, numHashes = 7)
+    },
     // Fuzzy decontamination: exact 3-gram Jaccard of every train doc
     // against its best-matching eval doc (eval = the doc_id % 97 slice,
     // which also self-tests: those docs must report jaccard 1.0 with
@@ -3272,6 +3285,49 @@ object SparkEntry {
         |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
         |  FROM documents WHERE doc_id % 50 <> 0),
         |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev USING (sh) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    // Rebuilds the EXACT Bloom filter: m = max(64, 10 * nd) from the
+    // distinct eval shingle count; 7 bit positions per shingle by
+    // Kirsch-Mitzenmacher double hashing of ONE md5 — h1/h2 = the
+    // digest's two unsigned 8-byte halves mod m, pos_i = (h1 + i*h2)
+    // mod m. A train shingle passes iff all 7 positions are set by
+    // SOME eval shingle.
+    "q_bloom_decontaminate" ->
+      """WITH ev AS MATERIALIZED (SELECT DISTINCT sh FROM (
+        |  SELECT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+        |  FROM documents WHERE doc_id % 50 = 0)),
+        |par AS (SELECT CAST(greatest(64, 10 * count(*)) AS UBIGINT) AS m FROM ev),
+        |evh AS (SELECT
+        |    ('0x' || substr(md5(sh), 1, 16))::UBIGINT % (SELECT m FROM par) AS h1,
+        |    ('0x' || substr(md5(sh), 17, 16))::UBIGINT % (SELECT m FROM par) AS h2
+        |  FROM ev),
+        |ep AS MATERIALIZED (SELECT DISTINCT
+        |    (h1 + i * h2) % (SELECT m FROM par) AS pos
+        |  FROM evh CROSS JOIN range(7) r(i)),
+        |tr AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |trh AS (SELECT doc_id, sh,
+        |    ('0x' || substr(md5(sh), 1, 16))::UBIGINT % (SELECT m FROM par) AS h1,
+        |    ('0x' || substr(md5(sh), 17, 16))::UBIGINT % (SELECT m FROM par) AS h2
+        |  FROM tr),
+        |trp AS (SELECT doc_id, sh, (h1 + i * h2) % (SELECT m FROM par) AS pos
+        |  FROM trh CROSS JOIN range(7) r(i)),
+        |-- a shingle passes iff EVERY one of its distinct positions is
+        |-- set (double-hashed positions can self-collide, so compare
+        |-- against the distinct-position count, not 7)
+        |pass AS (SELECT t.doc_id, t.sh
+        |  FROM (SELECT DISTINCT doc_id, sh, pos FROM trp) t
+        |  LEFT JOIN ep ON t.pos = ep.pos
+        |  GROUP BY t.doc_id, t.sh HAVING count(*) = count(ep.pos)),
+        |hits AS (SELECT doc_id, count(*) AS n_hits FROM pass GROUP BY 1)
         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
         |  coalesce(h.n_hits, 0) >= 1 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -130,6 +131,12 @@ object Curate {
     * (doc_id, shingle) and hash-joined against the broadcast — the big
     * side never shuffles, and the per-doc hit count is a map-side partial
     * aggregation. Returns (doc_id, n_hits, contaminated).
+    *
+    * PRECONDITION: `trainIdCol` values are unique. Duplicate ids combine
+    * into ONE output row whose n_hits spans all duplicates' shingles
+    * (and the final id join multiplies rows) — whereas the Bloom variant
+    * probes per input row — so the documented cross-variant n_hits
+    * relation only holds row-wise for unique ids.
     */
   /** @param hashShingles when true (the default — the 100 TB shape), both
     *   sides join on xxhash64 of the shingle instead of the string: the
@@ -180,17 +187,38 @@ object Curate {
     * is `bitsPerShingle` BITS per shingle regardless of string length
     * (10 bits/shingle ≈ 0.8% false positives at `numHashes` = 7): the
     * same 400 MB broadcast budget covers ~320M shingles, an 8×
-    * headroom, and the filter is built DISTRIBUTED (per-partition local
-    * bitsets OR-combined in a tree — the driver never holds more than
-    * the final m/8 bytes). False positives only ever ADD flags (never
-    * drop a genuinely contaminated doc), the right failure direction
-    * for decontamination; false-negative rate is zero.
+    * headroom. The filter is built DISTRIBUTED with no dense bitset in
+    * any task: each partition accumulates its set bits in a SPARSE word
+    * map (bounded by `numHashes` × its own shingle count, never m/8),
+    * the (wordIndex, bits) pairs OR-combine by key map-side, and only
+    * the driver assembles the dense m/8-byte array — streamed, so peak
+    * driver memory is m/8 plus one partition of pairs. False positives
+    * only ever ADD flags (never drop a genuinely contaminated doc), the
+    * right failure direction for decontamination; false-negative rate
+    * is zero. NOTE the FP rate is PER SHINGLE: a doc probing D distinct
+    * shingles is falsely flagged at minHits=1 with probability
+    * ~1-(1-p)^D, so for long documents either raise `minHits` above the
+    * expected false-hit count (~p·D) or spend more `bitsPerShingle`;
+    * minHits=1 is for short eval-sized records.
     *
     * ENGINE-PORTABLE and fully deterministic: bit positions are
-    * independent md5 hashes (`Hashing.md5Long(sh + ":" + i) mod m`,
-    * unsigned), so an external SQL engine rebuilds the EXACT filter —
-    * including its false positives — and the whole operator
+    * double-hashed from ONE md5 per shingle (Kirsch–Mitzenmacher:
+    * `pos_i = (h1 + i·h2) mod m` with h1/h2 the digest's two unsigned
+    * 8-byte halves mod m — one digest instead of `numHashes`, same FP
+    * asymptotics), so an external SQL engine rebuilds the EXACT
+    * filter — including its false positives — and the whole operator
     * hash-checks end to end (harness query q_bloom_decontaminate).
+    *
+    * BROADCAST LIFETIME: the filter broadcast lives as long as the
+    * returned plan — Spark's ContextCleaner removes it once the
+    * DataFrame is garbage-collected on the driver. Long-running
+    * services that rotate eval sets should call
+    * [[decontaminateBloomTracked]] and `destroy()` the handle after
+    * materializing the output (the same state-rotation discipline as
+    * [[decontaminateStream]]).
+    *
+    * PRECONDITION: `trainIdCol` values are unique (one probe per input
+    * row; see the row-shape note on [[decontaminate]]).
     *
     * Returns (doc_id, n_hits, contaminated) — n_hits counts the doc's
     * distinct shingles that pass the membership test (≥ the exact
@@ -205,7 +233,24 @@ object Curate {
       n: Int = 8,
       minHits: Int = 1,
       bitsPerShingle: Int = 10,
-      numHashes: Int = 7): DataFrame = {
+      numHashes: Int = 7): DataFrame =
+    decontaminateBloomTracked(train, trainIdCol, trainTextCol, evalDocs,
+      evalTextCol, n, minHits, bitsPerShingle, numHashes)._1
+
+  /** [[decontaminateBloom]] returning the filter broadcast alongside the
+    * output, so callers that outlive the plan can `destroy()` it once
+    * the output is materialized.
+    */
+  def decontaminateBloomTracked(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1,
+      bitsPerShingle: Int = 10,
+      numHashes: Int = 7): (DataFrame, Broadcast[Array[Long]]) = {
     require(bitsPerShingle >= 2 && bitsPerShingle <= 64,
       s"bitsPerShingle must be in [2, 64], got $bitsPerShingle")
     require(numHashes >= 1 && numHashes <= 16,
@@ -226,31 +271,50 @@ object Curate {
       try {
         val nd = evalShingles.count()
         val mm = math.max(64L, bitsPerShingle.toLong * nd)
-        require(mm <= (1L << 36),
-          s"Bloom filter would need $mm bits (> 8 GiB); shrink the eval set " +
-            "or lower bitsPerShingle")
+        // capped by what a single broadcast + per-executor copy tolerates
+        // (1 GiB dense image by default), NOT by what the build could
+        // produce: the build itself is sparse end to end
+        val bitCap = graft.util.Conf.long(spark,
+          "graft.decontaminate.maxBloomBits", 1L << 33)
+        require(mm <= bitCap,
+          s"Bloom filter would need $mm bits, above the broadcast cap of " +
+            s"$bitCap (default 2^33 = 1 GiB dense image). Shrink the eval " +
+            "set, lower bitsPerShingle, or raise graft.decontaminate.maxBloomBits.")
         val words = ((mm + 63L) >>> 6).toInt
-        // distributed build: each partition fills a local bitset, then a
-        // depth-2 tree OR-combine — network cost O(partitions * m/8),
-        // driver memory exactly m/8 bytes
-        val arr = evalShingles.as[String].rdd.treeAggregate(new Array[Long](words))(
-          seqOp = { (acc, sh) =>
+        // distributed build with NO dense bitset in any task: a dense
+        // Array[Long](words) zeroValue would be serialized into the task
+        // binary (closure serialization hard-fails near 2 GiB) and
+        // deserialized once per concurrent task. Instead each partition
+        // fills a sparse word map bounded by k x its OWN shingle count,
+        // pairs OR-combine by word index (map-side), and only the driver
+        // holds the dense array — assembled from a streamed iterator, so
+        // peak driver memory is m/8 plus one partition of pairs.
+        val pairs = evalShingles.as[String].rdd.mapPartitions { it =>
+          val local = new java.util.HashMap[Integer, java.lang.Long]()
+          while (it.hasNext) {
+            val sh = it.next()
+            val (h1r, h2r) = graft.util.Hashing.md5LongPair(sh)
+            val h1 = java.lang.Long.remainderUnsigned(h1r, mm)
+            val h2 = java.lang.Long.remainderUnsigned(h2r, mm)
             var i = 0
             while (i < k) {
-              val pos = java.lang.Long.remainderUnsigned(
-                graft.util.Hashing.md5Long(sh + ":" + i), mm)
-              acc((pos >>> 6).toInt) |= 1L << (pos & 63L)
+              val pos = (h1 + i * h2) % mm
+              val w = Integer.valueOf((pos >>> 6).toInt)
+              val bit = 1L << (pos & 63L)
+              val prev = local.get(w)
+              local.put(w,
+                java.lang.Long.valueOf(if (prev == null) bit else prev.longValue() | bit))
               i += 1
             }
-            acc
-          },
-          combOp = { (a, b) =>
-            var i = 0
-            while (i < a.length) { a(i) |= b(i); i += 1 }
-            a
-          },
-          depth = 2)
-        (arr, mm)
+          }
+          import scala.jdk.CollectionConverters._
+          local.entrySet().iterator().asScala
+            .map(e => (e.getKey.intValue(), e.getValue.longValue()))
+        }
+        val dense = new Array[Long](words)
+        pairs.reduceByKey(_ | _).toLocalIterator
+          .foreach { case (w, bits) => dense(w) |= bits }
+        (dense, mm)
       } finally evalShingles.unpersist()
     val bc = spark.sparkContext.broadcast(bitsArr)
     val probe = udf { (shs: Seq[String]) =>
@@ -261,11 +325,13 @@ object Curate {
         val it = shs.iterator
         while (it.hasNext) {
           val sh = it.next()
+          val (h1r, h2r) = graft.util.Hashing.md5LongPair(sh)
+          val h1 = java.lang.Long.remainderUnsigned(h1r, m)
+          val h2 = java.lang.Long.remainderUnsigned(h2r, m)
           var i = 0
           var all = true
           while (i < k && all) {
-            val pos = java.lang.Long.remainderUnsigned(
-              graft.util.Hashing.md5Long(sh + ":" + i), m)
+            val pos = (h1 + i * h2) % m
             if ((arr((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) all = false
             i += 1
           }
@@ -274,11 +340,12 @@ object Curate {
         hits
       }
     }
-    Dedup.fanOut(train.select(col(trainIdCol).cast("long").as("doc_id"),
+    val out = Dedup.fanOut(train.select(col(trainIdCol).cast("long").as("doc_id"),
         col(trainTextCol).as("__t")))
       .select(col("doc_id"), probe(TextOps.wordShingles(col("__t"), n)).as("n_hits"))
       .select(col("doc_id"), col("n_hits"),
         (col("n_hits") >= minHits).as("contaminated"))
+    (out, bc)
   }
 
   /** FUZZY benchmark decontamination: flag training documents whose

@@ -57,6 +57,24 @@ object Hashing {
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 
+  /** BOTH 64-bit halves of md5(UTF-8 bytes), big-endian — one digest,
+    * two independent engine-portable hashes. In SQL:
+    * `('0x' || substr(md5(s), 1, 16))::UBIGINT` and
+    * `('0x' || substr(md5(s), 17, 16))::UBIGINT`. Use for
+    * double-hashing schemes (Kirsch–Mitzenmacher Bloom probes) where a
+    * per-probe md5 would dominate the operator's cost.
+    */
+  def md5LongPair(s: String): (Long, Long) = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def be(o: Int): Long =
+      ((d(o) & 0xffL) << 56) | ((d(o + 1) & 0xffL) << 48) | ((d(o + 2) & 0xffL) << 40) |
+        ((d(o + 3) & 0xffL) << 32) | ((d(o + 4) & 0xffL) << 24) | ((d(o + 5) & 0xffL) << 16) |
+        ((d(o + 6) & 0xffL) << 8) | (d(o + 7) & 0xffL)
+    (be(0), be(8))
+  }
+
   /** ENGINE-PORTABLE deterministic pseudo-random double in [-1, 1): the
     * first 4 bytes of md5("seed:j") as an unsigned 32-bit value, scaled.
     * In any SQL engine:

@@ -123,6 +123,49 @@ class CurateSpec extends SparkSpec {
       "string path must still join on the raw shingle\n" + stringPlan.take(800))
   }
 
+  test("decontaminateBloom: superset of exact flags, zero false negatives, tracked broadcast") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val train = docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0)
+    val ev = docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+    val exact = Curate.decontaminate(train, "doc_id", "text", ev, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (bloomDf, bc) = Curate.decontaminateBloomTracked(
+      train, "doc_id", "text", ev, "text", n = 5)
+    val bloom = bloomDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom.keySet == exact.keySet, "one row per train doc in both variants")
+    // zero false negatives: every exact hit is a bloom hit, per doc
+    exact.foreach { case (id, nExact) =>
+      assert(bloom(id) >= nExact,
+        s"doc $id: bloom n_hits ${bloom(id)} < exact $nExact (false negative)")
+    }
+    // at 10 bits/shingle + 7 hashes the PER-SHINGLE FP rate is ~0.8%:
+    // total extra hits over total probed shingles must sit near it
+    // (doc-level flag counts amplify with shingles-per-doc, so they are
+    // NOT the design point — see the scaladoc's minHits guidance)
+    val totalShingles = train.select(
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.size(
+        graft.ops.TextOps.wordShingles(org.apache.spark.sql.functions.col("text"), 5))))
+      .collect()(0).getLong(0)
+    val extraHits = exact.keysIterator.map(id => bloom(id) - exact(id)).sum
+    val fpRate = extraHits.toDouble / totalShingles
+    assert(fpRate < 0.025, s"per-shingle FP rate $fpRate far above the ~0.8% design point")
+    // tracked broadcast: caller can destroy after materialization
+    bc.destroy()
+  }
+
+  test("decontaminateBloom caps the filter size with remediation text") {
+    val train = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    val ev = Seq((100L, "one two three four five six seven")).toDF("doc_id", "text")
+    spark.conf.set("graft.decontaminate.maxBloomBits", "128")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Curate.decontaminateBloom(train, "doc_id", "text", ev, "text",
+          n = 1, bitsPerShingle = 64)
+      }
+      assert(e.getMessage.contains("maxBloomBits"), e.getMessage)
+    } finally spark.conf.unset("graft.decontaminate.maxBloomBits")
+  }
+
   test("fuzzyDecontaminate: paraphrase caught, unrelated doc clean, self-match 1.0") {
     import org.apache.spark.sql.functions._
     // eval doc; train 1 = lightly edited copy (high 3-gram overlap);
