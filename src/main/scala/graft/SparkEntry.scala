@@ -1201,6 +1201,22 @@ object SparkEntry {
       // (index cache intentionally retained: a static corpus serves many
       // query batches; ~sizeof(corpus) memory, LRU-evictable)
     },
+    // The cell-PRUNED IVF path (nProbe < nCells) under a hard oracle: a
+    // caller-supplied quantizer (embeddings vec_id < 8) makes the cell
+    // partition, the probe sets, and therefore the pruned candidate set
+    // deterministic — DuckDB replays assignment, probing, and top-k
+    // exactly. Complements q_ann_ivf_full (all-cells == brute force)
+    // and q_ann_ivf (the seeded production build, rows-only).
+    "q_ann_ivf_pruned" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val idx = graft.ops.IvfIndex.buildWithCenters(e, "vec_id", "embedding", cents)
+      idx.search(e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    },
     "q_ann_ivf_full" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // IVF index driven END TO END with a hard oracle: probing ALL cells
@@ -3847,6 +3863,31 @@ object SparkEntry {
         |  FROM jty JOIN jtyr USING (t) JOIN jtyc USING (y), jtyt)
         |SELECT round(ixt.i, 6) + 0.0 AS i_xt, round(ity.i, 6) + 0.0 AS i_ty, 4 AS k
         |FROM ixt, ity""".stripMargin,
+    "q_ann_ivf_pruned" ->
+      """WITH cent AS MATERIALIZED (
+        |  SELECT vec_id AS cell, embedding::DOUBLE[] AS ct
+        |  FROM embeddings WHERE vec_id < 8),
+        |corp AS MATERIALIZED (
+        |  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |asg AS (SELECT corpus_id, cell FROM (
+        |  SELECT c.corpus_id, t.cell, row_number() OVER (PARTITION BY c.corpus_id
+        |    ORDER BY list_sum(list_transform(range(1, len(c.cv)+1),
+        |      i -> (c.cv[i]-t.ct[i])*(c.cv[i]-t.ct[i]))), t.cell) AS rn
+        |  FROM corp c CROSS JOIN cent t) WHERE rn = 1),
+        |probe AS (SELECT query_id, cell FROM (
+        |  SELECT q.corpus_id AS query_id, t.cell, row_number() OVER (PARTITION BY q.corpus_id
+        |    ORDER BY list_sum(list_transform(range(1, len(q.cv)+1),
+        |      i -> (q.cv[i]-t.ct[i])*(q.cv[i]-t.ct[i]))), t.cell) AS rn
+        |  FROM corp q CROSS JOIN cent t WHERE q.corpus_id < 10) WHERE rn <= 3),
+        |cand AS (SELECT p.query_id, a.corpus_id FROM probe p JOIN asg a USING (cell)
+        |  WHERE a.corpus_id <> p.query_id)
+        |SELECT query_id, rank, corpus_id FROM (
+        |  SELECT cd.query_id, cd.corpus_id,
+        |    row_number() OVER (PARTITION BY cd.query_id
+        |      ORDER BY list_cosine_similarity(q.cv, c.cv) DESC, cd.corpus_id) AS rank
+        |  FROM cand cd JOIN corp q ON q.corpus_id = cd.query_id
+        |               JOIN corp c ON c.corpus_id = cd.corpus_id)
+        |WHERE rank <= 5""".stripMargin,
     "q_ann_ivf_full" ->
       """SELECT query_id, rank, corpus_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

@@ -105,6 +105,38 @@ object IvfIndex {
     gk.knownN = Some(n)
     val model = gk.fit(c)
     val cents = model.clusterCenters
+    val cells = assignCells(c, cents)
+    c.unpersist()
+    new IvfIndex(cells, cents)
+  }
+
+  /** Build with a CALLER-SUPPLIED coarse quantizer instead of training
+    * one — FAISS's `clustering_index` analogue. The index is then fully
+    * DETERMINISTIC in its inputs: same centers, same cells, same probe
+    * sets, which makes the cell-PRUNED search path (nProbe < nCells)
+    * engine-replayable end to end (harness query q_ann_ivf_pruned) and
+    * lets a quantizer trained on a sample, an earlier corpus snapshot,
+    * or another engine be reused verbatim. Cell i = index i in
+    * `centers`; nearest-center ties resolve to the lowest index.
+    */
+  def buildWithCenters(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]]): IvfIndex = {
+    require(centers.nonEmpty, "centers must be non-empty")
+    val c = Dedup.fanOut(corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cells = assignCells(c, centers)
+    c.unpersist()
+    new IvfIndex(cells, centers.map(_.clone))
+  }
+
+  /** Nearest-center cell assignment, materialized once so every later
+    * search skips it. Ties resolve to the lowest cell index.
+    */
+  private def assignCells(c: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val bc = c.sparkSession.sparkContext.broadcast(cents)
     val kern = new SquaredEuclideanKernel
     val cellUdf = udf { (xs: Seq[Double]) =>
@@ -118,9 +150,8 @@ object IvfIndex {
     }
     val cells = c.withColumn("cell", cellUdf(col("cv")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cells.count() // materialize so every later search skips the assignment
-    c.unpersist()
-    new IvfIndex(cells, cents)
+    cells.count()
+    cells
   }
 
   /** Reopen a written index. The cells scan stays lazy — Spark prunes the
