@@ -123,6 +123,23 @@ class CurateSpec extends SparkSpec {
       "string path must still join on the raw shingle\n" + stringPlan.take(800))
   }
 
+  test("qualityScoreMicro: bounded integer, within 2 micro-units of the double form") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val rows = docs.select(
+      graft.ops.TextOps.qualityScoreMicro(col("text")).as("micro"),
+      graft.ops.TextOps.qualityScoreRaw(col("text")).as("raw"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val micro = r.getLong(0); val raw = r.getDouble(1)
+      assert(micro >= 0L && micro <= 1000000L, s"micro $micro out of [0, 1e6]")
+      // each floored sub-term loses < 1 micro-unit vs the double form
+      assert(math.abs(micro - raw * 1e6) <= 2.0,
+        s"integer form drifted: micro=$micro raw*1e6=${raw * 1e6}")
+    }
+  }
+
   test("decontaminateBloom: superset of exact flags, zero false negatives, tracked broadcast") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val train = docs.where(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0)
@@ -149,6 +166,12 @@ class CurateSpec extends SparkSpec {
     val extraHits = exact.keysIterator.map(id => bloom(id) - exact(id)).sum
     val fpRate = extraHits.toDouble / totalShingles
     assert(fpRate < 0.025, s"per-shingle FP rate $fpRate far above the ~0.8% design point")
+    // the probe is a pure projection over the train scan — no join, no
+    // aggregation, nothing that could shuffle corpus rows by key (the
+    // only Exchange is fanOut's round-robin spread)
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      "bloom probe must not join or aggregate the corpus side\n" + plan.take(600))
     // tracked broadcast: caller can destroy after materialization
     bc.destroy()
   }

@@ -20,6 +20,16 @@ class HashingSpec extends AnyFunSuite {
     assert(Hashing.md5Long("the") == -8087290180436138277L)
   }
 
+  test("md5LongPair: first half equals md5Long, second half independently derived") {
+    // expected values from python hashlib (struct.unpack('>q', digest[8:16]))
+    assert(Hashing.md5LongPair("abc") == ((-8070080442485551184L, -2984127896297046158L)))
+    assert(Hashing.md5LongPair("the quick") == ((-1713262776185533035L, -8631621222697787648L)))
+    Seq("", "a", "shingle one two", "é中").foreach { s =>
+      assert(Hashing.md5LongPair(s)._1 == Hashing.md5Long(s),
+        s"first half must equal md5Long for $s")
+    }
+  }
+
   test("md5Unit matches independently computed values bit-for-bit") {
     // exact == on doubles is intentional: every scaling step is exact, so
     // any engine computing u/2^32*2-1 must land on the identical double
