@@ -12,6 +12,12 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+try:
+    verrs = json.load(open(f"{outdir}/verify_errors.json"))
+except Exception:
+    verrs = {}
+for name, msg in verrs.items():
+    print(f"FAIL {name}: verify-side error: {msg[:160]}")
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -27,7 +33,7 @@ def canon(rows, cols):
     out.sort()
     return hash(tuple(out))
 
-fails = 0
+fails = len(verrs)
 for name in sorted(oracle):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
