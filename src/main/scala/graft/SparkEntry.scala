@@ -96,6 +96,20 @@ object SparkEntry {
     * builds center CTE `cN` from assignment CTE `aN` (rows: vec_id, pv,
     * cid); `prepSql` maps the raw embedding into feature space.
     */
+  /** DuckDB expression for a doc's DISTINCT word `n`-gram shingle list —
+    * the ONE definition of TextOps.wordShingles' tokenization behind every
+    * decontamination oracle (a drifted inline copy would silently break
+    * parity for just that query). `textSql` lets callers shingle a
+    * substring or other text expression.
+    */
+  private def shingleListSql(n: Int, textSql: String = "text"): String =
+    s"list_distinct(list_transform(range(0, greatest(len(string_split($textSql, ' ')) - $n, 0) + 1), " +
+      s"i -> array_to_string(string_split($textSql, ' ')[i+1:i+$n], ' ')))"
+
+  /** [[shingleListSql]] unnested to one row per shingle. */
+  private def shingleRowsSql(n: Int, textSql: String = "text"): String =
+    s"unnest(${shingleListSql(n, textSql)})"
+
   private def lloydFitOracleSql(
       iters: Int,
       distSql: (String, String) => String,
@@ -921,10 +935,12 @@ object SparkEntry {
           (round(col("rate"), 6) + lit(0.0)).as("rate"),
           (round(col("planned"), 6) + lit(0.0)).as("planned"))
     },
-    // Quality enters the contract as integer micro-units (floor(x*1e6+0.5)
-    // — half-up in every engine), so neither the window ORDER BY nor the
-    // canon hash ever sees a double: the r9 driver-side hash mismatch was
-    // round()'s engine-dependent half-even/half-up at a 6-dp boundary.
+    // Quality enters the contract as integer micro-units computed in PURE
+    // 64-bit integer arithmetic (counts, IntegralDivide, least/greatest —
+    // see TextOps.qualityScoreMicro), so no double EXISTS on either side
+    // of the window ORDER BY or the canon hash: both the r9 round() form
+    // and the r10 floor(x*1e6+0.5) form drifted across DuckDB versions
+    // at boundary values.
     "q_budget_select" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       graft.ops.Sampling.budgetSelect(t(dir, "documents"), "lang", "doc_id",
@@ -2618,10 +2634,8 @@ object SparkEntry {
         |  CAST(n_tokens AS INT) AS n_tokens
         |FROM c""".stripMargin,
     "q_crossdoc_ngrams" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS g
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${shingleRowsSql(5)} AS g
         |  FROM documents),
         |dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
         |SELECT doc_id, n_ngrams, n_dup_ngrams,
@@ -2991,10 +3005,8 @@ object SparkEntry {
         |  FROM cand c JOIN norm na ON na.id = c.id_a JOIN norm nb ON nb.id = c.id_b)
         |WHERE cosine >= 0.85""".stripMargin,
     "q_minhash_pairs" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${shingleListSql(3)} AS s
         |  FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(len(list_intersect(a.s, b.s)) * 1.0
@@ -3032,10 +3044,8 @@ object SparkEntry {
         |  ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
     "q_neardup_components" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, ${shingleListSql(3)} AS s
         |  FROM documents),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -3290,15 +3300,11 @@ object SparkEntry {
     "q_softdtw_dist" -> dtwDistOracleSql(soft = true, gamma = 0.5),
     "q_gak_dist" -> gakDistOracleSql(sigma = 1.0),
     "q_decontaminate" ->
-      """WITH ev AS MATERIALIZED (SELECT DISTINCT sh FROM (
-        |  SELECT unnest(list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+      s"""WITH ev AS MATERIALIZED (SELECT DISTINCT sh FROM (
+        |  SELECT ${shingleRowsSql(5)} AS sh
         |  FROM documents WHERE doc_id % 50 = 0)),
         |tr AS MATERIALIZED (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+        |  SELECT doc_id, ${shingleRowsSql(5)} AS sh
         |  FROM documents WHERE doc_id % 50 <> 0),
         |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr JOIN ev USING (sh) GROUP BY 1)
         |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
@@ -3312,10 +3318,8 @@ object SparkEntry {
     // mod m. A train shingle passes iff all 7 positions are set by
     // SOME eval shingle.
     "q_bloom_decontaminate" ->
-      """WITH ev AS MATERIALIZED (SELECT DISTINCT sh FROM (
-        |  SELECT unnest(list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+      s"""WITH ev AS MATERIALIZED (SELECT DISTINCT sh FROM (
+        |  SELECT ${shingleRowsSql(5)} AS sh
         |  FROM documents WHERE doc_id % 50 = 0)),
         |par AS (SELECT CAST(greatest(64, 10 * count(*)) AS UBIGINT) AS m FROM ev),
         |evh AS (SELECT
@@ -3326,9 +3330,7 @@ object SparkEntry {
         |    (h1 + i * h2) % (SELECT m FROM par) AS pos
         |  FROM evh CROSS JOIN range(7) r(i)),
         |tr AS MATERIALIZED (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+        |  SELECT doc_id, ${shingleRowsSql(5)} AS sh
         |  FROM documents WHERE doc_id % 50 <> 0),
         |trh AS (SELECT doc_id, sh,
         |    ('0x' || substr(md5(sh), 1, 16))::UBIGINT % (SELECT m FROM par) AS h1,
@@ -3349,10 +3351,8 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "q_fuzzy_decontaminate" ->
-      """WITH sh AS MATERIALIZED (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+      s"""WITH sh AS MATERIALIZED (
+        |  SELECT doc_id, ${shingleListSql(3)} AS s
         |  FROM documents),
         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0),
         |pairs AS (
@@ -3379,15 +3379,11 @@ object SparkEntry {
         |  coalesce(b.contaminated, false) AS contaminated
         |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
     "q_decontaminate_contain" ->
-      """WITH tr AS MATERIALIZED (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+      s"""WITH tr AS MATERIALIZED (
+        |  SELECT doc_id, ${shingleListSql(3)} AS s
         |  FROM documents),
         |ev AS (
-        |  SELECT doc_id AS eval_id, list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(substr(text, 50, 200), ' ')) - 3, 0) + 1),
-        |    i -> array_to_string(string_split(substr(text, 50, 200), ' ')[i+1:i+3], ' '))) AS s
+        |  SELECT doc_id AS eval_id, ${shingleListSql(3, "substr(text, 50, 200)")} AS s
         |  FROM documents WHERE doc_id % 101 = 0),
         |pairs AS (
         |  SELECT t.doc_id, e.eval_id, len(list_intersect(t.s, e.s)) AS inter,
@@ -3413,7 +3409,7 @@ object SparkEntry {
         |  coalesce(b.contaminated, false) AS contaminated
         |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
     "q_curate_stream" ->
-      """WITH sc AS MATERIALIZED (
+      s"""WITH sc AS MATERIALIZED (
         |  SELECT doc_id, text,
         |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','is'))) AS s_en,
         |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que'))) AS s_es,
@@ -3442,20 +3438,16 @@ object SparkEntry {
         |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
         |    FROM filt) WHERE rn = 1),
         |ev AS MATERIALIZED (SELECT DISTINCT sh FROM (
-        |  SELECT unnest(list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+        |  SELECT ${shingleRowsSql(5)} AS sh
         |  FROM documents WHERE doc_id % 50 = 0)),
         |tr AS MATERIALIZED (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 5, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+5], ' ')))) AS sh
+        |  SELECT doc_id, ${shingleRowsSql(5)} AS sh
         |  FROM uniq),
         |contaminated AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (sh))
         |SELECT u.doc_id, u.quality, u.n_tokens FROM uniq u
         |WHERE u.doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
     "q_curate_corpus" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |sc AS MATERIALIZED (
         |  SELECT doc_id, text,
         |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','is'))) AS s_en,
@@ -3482,9 +3474,7 @@ object SparkEntry {
         |uniq AS MATERIALIZED (SELECT min(doc_id) AS doc_id, text, min(quality) AS quality
         |  FROM filt GROUP BY text),
         |sh AS MATERIALIZED (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
-        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))) AS s
+        |  SELECT doc_id, ${shingleListSql(3)} AS s
         |  FROM uniq),
         |p AS MATERIALIZED (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -276,6 +276,14 @@ object Curate {
         // produce: the build itself is sparse end to end
         val bitCap = graft.util.Conf.long(spark,
           "graft.decontaminate.maxBloomBits", 1L << 33)
+        // hard ceiling regardless of conf: word INDICES are Ints (2^37
+        // bits = 2^31 words) and the dense image broadcasts whole — a
+        // cap raised past that would overflow the build, not run it
+        require(bitCap <= (1L << 36),
+          s"graft.decontaminate.maxBloomBits = $bitCap exceeds the " +
+            "implementation ceiling of 2^36 bits (8 GiB dense image; " +
+            "int word indexing). Use the exact decontaminate paths or " +
+            "shard the eval set instead.")
         require(mm <= bitCap,
           s"Bloom filter would need $mm bits, above the broadcast cap of " +
             s"$bitCap (default 2^33 = 1 GiB dense image). Shrink the eval " +

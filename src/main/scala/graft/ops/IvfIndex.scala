@@ -125,12 +125,17 @@ object IvfIndex {
       vecCol: String,
       centers: Array[Array[Double]]): IvfIndex = {
     require(centers.nonEmpty, "centers must be non-empty")
+    // clone ONCE and use the clone everywhere: assignment broadcasts and
+    // the stored centroids must be the same snapshot, or a caller-side
+    // mutation after return could desynchronize a recomputed cells
+    // partition from the probe-side centroids
+    val snap = centers.map(_.clone)
     val c = Dedup.fanOut(corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cells = assignCells(c, centers)
+    val cells = assignCells(c, snap)
     c.unpersist()
-    new IvfIndex(cells, centers.map(_.clone))
+    new IvfIndex(cells, snap)
   }
 
   /** Nearest-center cell assignment, materialized once so every later

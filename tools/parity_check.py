@@ -35,6 +35,8 @@ def canon(rows, cols):
 
 fails = len(verrs)
 for name in sorted(oracle):
+    if name in verrs:
+        continue  # already counted via the verify-side error line
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
