@@ -72,10 +72,30 @@ object BuildReplica {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // the relational/event tables are read by queries outside the scale
-    // family — symlink-copy them so the outDir is a complete sf layout
+    // events: replica r offsets event_id AND user_id by the id stride —
+    // distinct users per replica means no session ever merges across
+    // replicas, so the gap/session structure of the base is preserved
+    // per replica and sessionization work grows LINEARLY with rows (the
+    // honest scale shape; duplicating user_ids would instead interleave
+    // identical timestamps into degenerate mega-sessions). ts is
+    // unchanged: event-time distribution is scale-invariant.
+    val evSrc = new java.io.File(s"$srcDir/events.parquet")
+    if (evSrc.exists()) {
+      val ev = spark.read.parquet(s"$srcDir/events.parquet")
+      val evReplicas = (0 until factor).map { r =>
+        if (r == 0) ev
+        else ev.withColumn("event_id", col("event_id") + lit(r * idStride))
+          .withColumn("user_id", col("user_id") + lit(r * idStride))
+      }
+      evReplicas.reduce(_ union _)
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+
+    // the relational tables are read by queries outside the scale
+    // family — copy them so the outDir is a complete sf layout
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events")
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach { t =>
         val src = new org.apache.hadoop.fs.Path(s"$srcDir/$t.parquet")
         if (fs.exists(src))
