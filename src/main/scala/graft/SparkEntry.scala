@@ -3321,7 +3321,7 @@ object SparkEntry {
       s"""WITH ev AS MATERIALIZED (SELECT DISTINCT sh FROM (
         |  SELECT ${shingleRowsSql(5)} AS sh
         |  FROM documents WHERE doc_id % 50 = 0)),
-        |par AS (SELECT CAST(greatest(64, 10 * count(*)) AS UBIGINT) AS m FROM ev),
+        |par AS (SELECT CAST(greatest(1024, 10 * count(*)) AS UBIGINT) AS m FROM ev),
         |evh AS (SELECT
         |    ('0x' || substr(md5(sh), 1, 16))::UBIGINT % (SELECT m FROM par) AS h1,
         |    ('0x' || substr(md5(sh), 17, 16))::UBIGINT % (SELECT m FROM par) AS h2

@@ -256,6 +256,40 @@ object Curate {
     require(numHashes >= 1 && numHashes <= 16,
       s"numHashes must be in [1, 16], got $numHashes")
     val spark = train.sparkSession
+    val k = numHashes
+    val (bitsArr, m) = bloomImage(evalDocs, evalTextCol, n, bitsPerShingle, numHashes)
+    val bc = spark.sparkContext.broadcast(bitsArr)
+    val probe = udf { (shs: Seq[String]) =>
+      if (shs == null) 0L else bloomHits(bc.value, m, k, shs)
+    }
+    val out = Dedup.fanOut(train.select(col(trainIdCol).cast("long").as("doc_id"),
+        col(trainTextCol).as("__t")))
+      .select(col("doc_id"), probe(TextOps.wordShingles(col("__t"), n)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") >= minHits).as("contaminated"))
+    (out, bc)
+  }
+
+  /** Distributed Bloom-image build shared by [[decontaminateBloom]] and
+    * [[curateStream]]'s bloom eval filter: returns (dense bit words,
+    * modulus m = max(1024, bitsPerShingle·nd)). m must travel WITH the
+    * words — the array is padded to a multiple of 64 bits, so it cannot
+    * be recovered from the array length. No dense bitset exists in any
+    * task: a dense zeroValue would be serialized into the task binary
+    * (closure serialization hard-fails near 2 GiB) and deserialized once
+    * per concurrent task; instead each partition fills a SPARSE word map
+    * bounded by numHashes × its own shingle count, the (wordIndex, bits)
+    * pairs OR-combine by key map-side, and only the driver assembles the
+    * dense array from a streamed iterator — peak driver memory is m/8
+    * plus one partition of pairs.
+    */
+  private def bloomImage(
+      evalDocs: DataFrame,
+      evalTextCol: String,
+      n: Int,
+      bitsPerShingle: Int,
+      numHashes: Int): (Array[Long], Long) = {
+    val spark = evalDocs.sparkSession
     import spark.implicits._
     val k = numHashes
     // persist: the count (sizes m) and the build share one execution of
@@ -264,96 +298,82 @@ object Curate {
       .select(explode(TextOps.wordShingles(col("__t"), n)).as("sh"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the true modulus m = max(64, bitsPerShingle * nd) must be shared
-    // between build and probe — the word array is padded to a multiple
-    // of 64 bits, so it cannot be recovered from the array length
-    val (bitsArr: Array[Long], m: Long) =
-      try {
-        val nd = evalShingles.count()
-        val mm = math.max(64L, bitsPerShingle.toLong * nd)
-        // capped by what a single broadcast + per-executor copy tolerates
-        // (1 GiB dense image by default), NOT by what the build could
-        // produce: the build itself is sparse end to end
-        val bitCap = graft.util.Conf.long(spark,
-          "graft.decontaminate.maxBloomBits", 1L << 33)
-        // hard ceiling regardless of conf: word INDICES are Ints (2^37
-        // bits = 2^31 words) and the dense image broadcasts whole — a
-        // cap raised past that would overflow the build, not run it
-        require(bitCap <= (1L << 36),
-          s"graft.decontaminate.maxBloomBits = $bitCap exceeds the " +
-            "implementation ceiling of 2^36 bits (8 GiB dense image; " +
-            "int word indexing). Use the exact decontaminate paths or " +
-            "shard the eval set instead.")
-        require(mm <= bitCap,
-          s"Bloom filter would need $mm bits, above the broadcast cap of " +
-            s"$bitCap (default 2^33 = 1 GiB dense image). Shrink the eval " +
-            "set, lower bitsPerShingle, or raise graft.decontaminate.maxBloomBits.")
-        val words = ((mm + 63L) >>> 6).toInt
-        // distributed build with NO dense bitset in any task: a dense
-        // Array[Long](words) zeroValue would be serialized into the task
-        // binary (closure serialization hard-fails near 2 GiB) and
-        // deserialized once per concurrent task. Instead each partition
-        // fills a sparse word map bounded by k x its OWN shingle count,
-        // pairs OR-combine by word index (map-side), and only the driver
-        // holds the dense array — assembled from a streamed iterator, so
-        // peak driver memory is m/8 plus one partition of pairs.
-        val pairs = evalShingles.as[String].rdd.mapPartitions { it =>
-          val local = new java.util.HashMap[Integer, java.lang.Long]()
-          while (it.hasNext) {
-            val sh = it.next()
-            val (h1r, h2r) = graft.util.Hashing.md5LongPair(sh)
-            val h1 = java.lang.Long.remainderUnsigned(h1r, mm)
-            val h2 = java.lang.Long.remainderUnsigned(h2r, mm)
-            var i = 0
-            while (i < k) {
-              val pos = (h1 + i * h2) % mm
-              val w = Integer.valueOf((pos >>> 6).toInt)
-              val bit = 1L << (pos & 63L)
-              val prev = local.get(w)
-              local.put(w,
-                java.lang.Long.valueOf(if (prev == null) bit else prev.longValue() | bit))
-              i += 1
-            }
-          }
-          import scala.jdk.CollectionConverters._
-          local.entrySet().iterator().asScala
-            .map(e => (e.getKey.intValue(), e.getValue.longValue()))
-        }
-        val dense = new Array[Long](words)
-        pairs.reduceByKey(_ | _).toLocalIterator
-          .foreach { case (w, bits) => dense(w) |= bits }
-        (dense, mm)
-      } finally evalShingles.unpersist()
-    val bc = spark.sparkContext.broadcast(bitsArr)
-    val probe = udf { (shs: Seq[String]) =>
-      if (shs == null) 0L
-      else {
-        val arr = bc.value
-        var hits = 0L
-        val it = shs.iterator
+    try {
+      val nd = evalShingles.count()
+      // 1024-bit floor: at the 64-bit minimum a handful of shingles x
+      // numHashes positions saturates the filter (observed ~88%
+      // doc-level FP on a 6-shingle eval set); 128 bytes buys a
+      // vanishing FP rate for tiny eval sets
+      val mm = math.max(1024L, bitsPerShingle.toLong * nd)
+      // capped by what a single broadcast + per-executor copy tolerates
+      // (1 GiB dense image by default), NOT by what the build could
+      // produce: the build itself is sparse end to end
+      val bitCap = graft.util.Conf.long(spark,
+        "graft.decontaminate.maxBloomBits", 1L << 33)
+      // hard ceiling regardless of conf: word INDICES are Ints (2^37
+      // bits = 2^31 words) and the dense image broadcasts whole — a
+      // cap raised past that would overflow the build, not run it
+      require(bitCap <= (1L << 36),
+        s"graft.decontaminate.maxBloomBits = $bitCap exceeds the " +
+          "implementation ceiling of 2^36 bits (8 GiB dense image; " +
+          "int word indexing). Use the exact decontaminate paths or " +
+          "shard the eval set instead.")
+      require(mm <= bitCap,
+        s"Bloom filter would need $mm bits, above the broadcast cap of " +
+          s"$bitCap (default 2^33 = 1 GiB dense image). Shrink the eval " +
+          "set, lower bitsPerShingle, or raise graft.decontaminate.maxBloomBits.")
+      val words = ((mm + 63L) >>> 6).toInt
+      val pairs = evalShingles.as[String].rdd.mapPartitions { it =>
+        val local = new java.util.HashMap[Integer, java.lang.Long]()
         while (it.hasNext) {
           val sh = it.next()
           val (h1r, h2r) = graft.util.Hashing.md5LongPair(sh)
-          val h1 = java.lang.Long.remainderUnsigned(h1r, m)
-          val h2 = java.lang.Long.remainderUnsigned(h2r, m)
+          val h1 = java.lang.Long.remainderUnsigned(h1r, mm)
+          val h2 = java.lang.Long.remainderUnsigned(h2r, mm)
           var i = 0
-          var all = true
-          while (i < k && all) {
-            val pos = (h1 + i * h2) % m
-            if ((arr((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) all = false
+          while (i < k) {
+            val pos = (h1 + i * h2) % mm
+            val w = Integer.valueOf((pos >>> 6).toInt)
+            val bit = 1L << (pos & 63L)
+            val prev = local.get(w)
+            local.put(w,
+              java.lang.Long.valueOf(if (prev == null) bit else prev.longValue() | bit))
             i += 1
           }
-          if (all) hits += 1L
         }
-        hits
+        import scala.jdk.CollectionConverters._
+        local.entrySet().iterator().asScala
+          .map(e => (e.getKey.intValue(), e.getValue.longValue()))
       }
+      val dense = new Array[Long](words)
+      pairs.reduceByKey(_ | _).toLocalIterator
+        .foreach { case (w, bits) => dense(w) |= bits }
+      (dense, mm)
+    } finally evalShingles.unpersist()
+  }
+
+  /** Count of shingles whose k double-hashed positions are ALL set —
+    * the shared executor-side probe (Kirsch–Mitzenmacher, one md5 per
+    * shingle).
+    */
+  private def bloomHits(arr: Array[Long], m: Long, k: Int, shs: Seq[String]): Long = {
+    var hits = 0L
+    val it = shs.iterator
+    while (it.hasNext) {
+      val sh = it.next()
+      val (h1r, h2r) = graft.util.Hashing.md5LongPair(sh)
+      val h1 = java.lang.Long.remainderUnsigned(h1r, m)
+      val h2 = java.lang.Long.remainderUnsigned(h2r, m)
+      var i = 0
+      var all = true
+      while (i < k && all) {
+        val pos = (h1 + i * h2) % m
+        if ((arr((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) all = false
+        i += 1
+      }
+      if (all) hits += 1L
     }
-    val out = Dedup.fanOut(train.select(col(trainIdCol).cast("long").as("doc_id"),
-        col(trainTextCol).as("__t")))
-      .select(col("doc_id"), probe(TextOps.wordShingles(col("__t"), n)).as("n_hits"))
-      .select(col("doc_id"), col("n_hits"),
-        (col("n_hits") >= minHits).as("contaminated"))
-    (out, bc)
+    hits
   }
 
   /** FUZZY benchmark decontamination: flag training documents whose
@@ -471,6 +491,20 @@ object Curate {
     * ingest contract. Batch frames run the same composition with a
     * DETERMINISTIC dedup keeper (earliest (ts, id) per key — the batch
     * analogue of first-arrival-wins).
+    *
+    * `evalFilter` picks the decontamination memory/exactness trade:
+    * `"exact"` (default) probes a broadcast sorted array of 64-bit
+    * shingle hashes (8 bytes/shingle, capped at 50M); `"bloom"` probes
+    * a [[decontaminateBloom]]-style image at 20 bits/shingle with 14
+    * hashes — 3.2× more eval capacity at the same broadcast budget.
+    * The heavier parameters (vs decontaminateBloom's 10/7 default) are
+    * deliberate: an ingest filter at minHits=1 multiplies the
+    * per-shingle FP rate by EVERY doc's shingle count, so this mode
+    * targets ~6e-5/shingle (≈3% doc-level at 500 shingles) rather than
+    * 0.8%/shingle (~98% doc-level). False positives only ever DROP
+    * extra docs, never admit a contaminated one. Both modes are
+    * stateless per-row probes, so the streaming plan shape is
+    * identical.
     */
   def curateStream(
       docs: DataFrame,
@@ -484,34 +518,59 @@ object Curate {
       watermark: String = "1 hour",
       nearDupDedup: Boolean = true,
       n: Int = 8,
-      minHits: Int = 1): DataFrame = {
+      minHits: Int = 1,
+      evalFilter: String = "exact"): DataFrame = {
+    require(evalFilter == "exact" || evalFilter == "bloom",
+      s"evalFilter must be 'exact' or 'bloom', got '$evalFilter'")
     val spark = docs.sparkSession
     import spark.implicits._
     val hashSeed = 0x27d4eb2f165667c5L
     val hashUdf = udf { (s: String) => graft.util.Hashing.hashString(s, hashSeed) }
-    // persist before the cap check so the count and the collect share one
-    // execution of the shingle scan instead of running it twice
-    val distinctHashes = Dedup.fanOut(evalDocs.select(col(evalTextCol).as("__t")))
-      .select(explode(TextOps.wordShingles(col("__t"), n)).as("__sh"))
-      .select(hashUdf(col("__sh")).as("h"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // sorted primitive array + binary search: 8 bytes per shingle and no
-    // boxing — the broadcast stays compact even at tens of millions.
-    // The finally covers the cap check too: a failing require must not
-    // strand the materialized cache in executor storage.
-    val evalHashes: Array[Long] =
-      try {
-        val cap = graft.util.Conf.long(spark,
-          "graft.decontaminate.maxEvalShingles", 50000000L)
-        val nShingles = distinctHashes.count()
-        require(nShingles <= cap,
-          s"eval set explodes to $nShingles distinct $n-gram shingles, above the " +
-            s"driver-collect cap of $cap. Shrink the eval set or raise " +
-            "graft.decontaminate.maxEvalShingles.")
-        distinctHashes.as[Long].collect().sorted
-      } finally distinctHashes.unpersist()
-    val bc = spark.sparkContext.broadcast(evalHashes)
+    // hitsOf: per-row count of this doc's distinct shingles present in
+    // the eval structure — built ONCE from the static eval set, probed
+    // statelessly per row in either mode
+    val hitsOf: Seq[String] => Int =
+      if (evalFilter == "bloom") {
+        val (bits, m) = bloomImage(evalDocs, evalTextCol, n,
+          bitsPerShingle = 20, numHashes = 14)
+        val bcBits = spark.sparkContext.broadcast(bits)
+        shs => bloomHits(bcBits.value, m, 14, shs).toInt
+      } else {
+        // persist before the cap check so the count and the collect share
+        // one execution of the shingle scan instead of running it twice
+        val distinctHashes = Dedup.fanOut(evalDocs.select(col(evalTextCol).as("__t")))
+          .select(explode(TextOps.wordShingles(col("__t"), n)).as("__sh"))
+          .select(hashUdf(col("__sh")).as("h"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // sorted primitive array + binary search: 8 bytes per shingle and
+        // no boxing — the broadcast stays compact even at tens of
+        // millions. The finally covers the cap check too: a failing
+        // require must not strand the materialized cache.
+        val evalHashes: Array[Long] =
+          try {
+            val cap = graft.util.Conf.long(spark,
+              "graft.decontaminate.maxEvalShingles", 50000000L)
+            val nShingles = distinctHashes.count()
+            require(nShingles <= cap,
+              s"eval set explodes to $nShingles distinct $n-gram shingles, above the " +
+                s"driver-collect cap of $cap. Shrink the eval set, raise " +
+                "graft.decontaminate.maxEvalShingles, or use evalFilter = \"bloom\".")
+            distinctHashes.as[Long].collect().sorted
+          } finally distinctHashes.unpersist()
+        val bc = spark.sparkContext.broadcast(evalHashes)
+        shs => {
+          val arr = bc.value
+          var hits = 0
+          val it = shs.iterator
+          while (it.hasNext) {
+            if (java.util.Arrays.binarySearch(arr,
+                graft.util.Hashing.hashString(it.next(), hashSeed)) >= 0)
+              hits += 1
+          }
+          hits
+        }
+      }
     val filtered = Dedup.fanOut(
       docs.select(col(idCol).cast("long").as(idCol), col(tsCol), col(textCol)))
       .withColumn("__lq", TextOps.langQuality(col(textCol)))
@@ -541,17 +600,7 @@ object Curate {
         else e
       }
     val hitsUdf = udf { (shingles: Seq[String]) =>
-      if (shingles == null) 0
-      else {
-        val arr = bc.value
-        var hits = 0
-        val it = shingles.iterator
-        while (it.hasNext) {
-          if (java.util.Arrays.binarySearch(arr, graft.util.Hashing.hashString(it.next(), hashSeed)) >= 0)
-            hits += 1
-        }
-        hits
-      }
+      if (shingles == null) 0 else hitsOf(shingles)
     }
     deduped
       .withColumn("__hits", hitsUdf(TextOps.wordShingles(col(textCol), n)))

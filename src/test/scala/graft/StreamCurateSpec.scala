@@ -88,4 +88,46 @@ class StreamCurateSpec extends SparkSpec {
     // batch keeper is deterministic: earliest (ts, id) — doc 1
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("curateStream: bloom eval filter never admits what exact drops") {
+    val ev = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, ts(600000), en("unique first body")),
+      (3L, ts(601000), en2("unique second body")),
+      (7L, ts(602000), en3("contains benchmark answer alpha beta gamma delta epsilon overlap")),
+      (6L, ts(603000), "zzz !!!"))
+      .toDF("doc_id", "ts", "text")
+    val exact = Curate.curateStream(docs, "doc_id", "ts", "text", ev, "text",
+      lang = "en", minQuality = 0.4, n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Curate.curateStream(docs, "doc_id", "ts", "text", ev, "text",
+      lang = "en", minQuality = 0.4, n = 5, evalFilter = "bloom")
+      .select("doc_id").as[Long].collect().toSet
+    // zero false negatives: bloom can only DROP extra docs, never admit
+    // a doc the exact filter flags as contaminated
+    assert(bloom.subsetOf(exact), s"bloom admitted $bloom beyond exact $exact")
+    // on this fixture the ~0.8%/shingle FP rate should change nothing
+    assert(bloom == exact, s"bloom $bloom vs exact $exact")
+    assert(exact == Set(1L, 3L))
+  }
+
+  test("curateStream: bloom eval filter works on a real memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val curated = Curate.curateStream(
+      stream.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "ts", "text", ev, "text",
+      lang = "en", minQuality = 0.4, n = 5, nearDupDedup = false,
+      evalFilter = "bloom")
+    val q = curated.writeStream.format("memory").queryName("bloom_curated")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(600000), en("unique first body")),
+        (7L, ts(601000), en3("contains benchmark answer alpha beta gamma delta epsilon overlap")))
+      q.processAllAvailable()
+      val got = spark.table("bloom_curated").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L), s"stream survivors: $got")
+    } finally q.stop()
+  }
 }
