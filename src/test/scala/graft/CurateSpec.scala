@@ -125,7 +125,13 @@ class CurateSpec extends SparkSpec {
 
   test("qualityScoreMicro: bounded integer, within 2 micro-units of the double form") {
     import org.apache.spark.sql.functions.col
+    // real corpus PLUS adversarial inputs: empty, whitespace runs,
+    // no-alpha, unicode, single token — the shapes that break ratio
+    // denominators or length assumptions
+    val adversarial = Seq("", " ", "   ", "a", "!!!", "???  !!!",
+      "é中文 テスト", "the " * 1000, "\t\n", "a b  c   d").toDF("text")
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("text")).union(adversarial)
     val rows = docs.select(
       graft.ops.TextOps.qualityScoreMicro(col("text")).as("micro"),
       graft.ops.TextOps.qualityScoreRaw(col("text")).as("raw"))

@@ -20,6 +20,18 @@ class HashingSpec extends AnyFunSuite {
     assert(Hashing.md5Long("the") == -8087290180436138277L)
   }
 
+  test("md5LongPair first half equals md5Long for arbitrary strings (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val prop = forAll(Gen.asciiPrintableStr, Gen.listOf(Gen.alphaNumChar).map(_.mkString)) {
+      (a: String, b: String) =>
+        val s = a + b
+        Hashing.md5LongPair(s)._1 == Hashing.md5Long(s)
+    }
+    val res = org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("md5LongPair: first half equals md5Long, second half independently derived") {
     // expected values from python hashlib (struct.unpack('>q', digest[8:16]))
     assert(Hashing.md5LongPair("abc") == ((-8070080442485551184L, -2984127896297046158L)))
