@@ -110,6 +110,28 @@ object SparkEntry {
   private def shingleRowsSql(n: Int, textSql: String = "text"): String =
     s"unnest(${shingleListSql(n, textSql)})"
 
+  /** The four integer counts feeding [[graft.ops.TextOps.qualityScoreMicro]],
+    * as a DuckDB select-list fragment emitting columns len / n_tokens /
+    * n_stop / n_noise. Single definition — every quality-micro oracle
+    * composes this with [[qualityMicroSql]].
+    */
+  private def qualityCountsSql(textSql: String = "text"): String =
+    s"CAST(length($textSql) AS BIGINT) AS len, " +
+      s"CAST(len(string_split($textSql, ' ')) AS BIGINT) AS n_tokens, " +
+      s"CAST(len(list_filter(string_split($textSql, ' '), " +
+      "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop, " +
+      s"CAST(length(regexp_replace(lower($textSql), '[a-z ]', '', 'g')) AS BIGINT) AS n_noise"
+
+  /** [[graft.ops.TextOps.qualityScoreMicro]] as pure 64-bit integer SQL
+    * over the [[qualityCountsSql]] columns — identical in every engine
+    * (integer mul/floor-div/min have exactly one possible result).
+    */
+  private def qualityMicroSql(len: String = "len", nTok: String = "n_tokens",
+      nStop: String = "n_stop", nNoise: String = "n_noise"): String =
+    s"800 * least($len, 500) " +
+      s"+ least((2000000 * $nStop) // $nTok, 400000) " +
+      s"+ (200000 - least((200000 * $nNoise) // greatest($len, 1), 200000))"
+
   private def lloydFitOracleSql(
       iters: Int,
       distSql: (String, String) => String,
@@ -1099,6 +1121,34 @@ object SparkEntry {
     "q_unigram_nll" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       graft.ops.TextOps.unigramNll(t(dir, "documents"), "doc_id", "text")
+    },
+    "q_bigram_nll" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.TextOps.bigramNll(t(dir, "documents"), "doc_id", "text")
+    },
+    "q_corpus_profile" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.TextOps.profileCorpus(t(dir, "documents"), "doc_id", "text", "lang")
+    },
+    "q_dedup_stats" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // the synthetic corpus is duplicate-free, so plant exact dups
+      // (every 10th doc re-appended) to make the histogram non-trivial;
+      // group by the content HASH (portable md5) — the fixed-width-key
+      // shuffle shape the scaladoc prescribes for long documents
+      val d = t(dir, "documents")
+      val corpus = d.unionAll(d.where(col("doc_id") % 10 === 0))
+      Dedup.dupGroupStats(corpus.select(md5(col("text")).as("h")), "h")
+    },
+    "q_semantic_decontam" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // eval set = every 5th embedding; train = the rest. tau = 0.35 sits
+      // inside the cross-split cosine range (median 0.30, max 0.49 at
+      // sf0.01) so both outcomes genuinely occur.
+      val e = t(dir, "embeddings")
+      graft.ops.Curate.semanticDecontaminate(
+        e.where(col("vec_id") % 5 =!= 0), "vec_id", "embedding",
+        e.where(col("vec_id") % 5 === 0), "vec_id", "embedding", tau = 0.35)
     },
     "q_simhash_pairs" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -2735,21 +2785,12 @@ object SparkEntry {
         |  round(scale * target_weight, 6) + 0.0 AS planned
         |FROM j, s""".stripMargin,
     "q_budget_select" ->
-      """WITH c AS (
-        |  SELECT lang AS domain, doc_id AS key,
-        |    CAST(length(text) AS BIGINT) AS len,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop,
-        |    CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS BIGINT) AS n_noise
+      s"""WITH c AS (
+        |  SELECT lang AS domain, doc_id AS key, ${qualityCountsSql()}
         |  FROM documents),
         |d AS (
         |  -- pure 64-bit integer arithmetic: identical in every engine
-        |  SELECT domain, key,
-        |    800 * least(len, 500)
-        |      + least((2000000 * n_stop) // n_tokens, 400000)
-        |      + (200000 - least((200000 * n_noise) // greatest(len, 1), 200000)) AS quality,
-        |    n_tokens
+        |  SELECT domain, key, ${qualityMicroSql()} AS quality, n_tokens
         |  FROM c)
         |SELECT domain, key, quality, n_tokens, cum_tokens FROM (
         |  SELECT domain, key, quality, n_tokens,
@@ -3252,6 +3293,73 @@ object SparkEntry {
     "q_dtw_dist" -> dtwDistOracleSql(soft = false, gamma = 0.0),
     "q_dtw_path" -> dtwPathOracleSql(),
     "q_dba_step" -> dbaStepOracleSql(),
+    "q_bigram_nll" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        |  FROM documents),
+        |prs AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS pair
+        |  FROM toks WHERE len(t) >= 2),
+        |pw AS MATERIALIZED (
+        |  SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM prs),
+        |c2 AS MATERIALIZED (SELECT pair, count(*) AS c2 FROM pw GROUP BY pair),
+        |c1 AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM pw GROUP BY w1)
+        |SELECT pw.doc_id,
+        |  round(avg(-ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))), 6) + 0.0 AS nll2,
+        |  count(*) AS n_bigrams
+        |FROM pw JOIN c2 USING (pair) JOIN c1 USING (w1)
+        |GROUP BY pw.doc_id""".stripMargin,
+    "q_corpus_profile" ->
+      s"""WITH c AS MATERIALIZED (
+        |  SELECT lang, doc_id, ${qualityCountsSql()} FROM documents),
+        |base AS MATERIALIZED (
+        |  SELECT lang, doc_id, n_tokens, ${qualityMicroSql()} AS q_micro FROM c),
+        |r AS MATERIALIZED (
+        |  SELECT lang, n_tokens, q_micro,
+        |    count(*) OVER (PARTITION BY lang) AS cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY q_micro, doc_id) AS rq
+        |  FROM base)
+        |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+        |  max(CASE WHEN rt = (cnt * 1 + 9) // 10 THEN n_tokens END) AS p10_tokens,
+        |  max(CASE WHEN rt = (cnt * 5 + 9) // 10 THEN n_tokens END) AS p50_tokens,
+        |  max(CASE WHEN rt = (cnt * 9 + 9) // 10 THEN n_tokens END) AS p90_tokens,
+        |  max(CASE WHEN rq = (cnt * 1 + 9) // 10 THEN q_micro END) AS p10_q_micro,
+        |  max(CASE WHEN rq = (cnt * 5 + 9) // 10 THEN q_micro END) AS p50_q_micro,
+        |  max(CASE WHEN rq = (cnt * 9 + 9) // 10 THEN q_micro END) AS p90_q_micro
+        |FROM r GROUP BY lang""".stripMargin,
+    "q_dedup_stats" ->
+      """WITH corpus AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id % 10 = 0),
+        |g AS (
+        |  SELECT md5(text) AS h, count(*) AS group_size FROM corpus GROUP BY 1)
+        |SELECT group_size, count(*) AS n_groups,
+        |  group_size * count(*) AS n_docs,
+        |  (group_size - 1) * count(*) AS n_deletable
+        |FROM g GROUP BY group_size""".stripMargin,
+    "q_semantic_decontam" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS evv
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |tr AS MATERIALIZED (
+        |  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS tv
+        |  FROM embeddings WHERE vec_id % 5 <> 0),
+        |hits AS MATERIALIZED (
+        |  SELECT doc_id, count(*) AS n_hits, max(cos) AS max_cos,
+        |    min(eval_id) AS min_hit_eval_id
+        |  FROM (SELECT tr.doc_id, ev.eval_id,
+        |          round(list_cosine_similarity(tr.tv, ev.evv), 6) AS cos
+        |        FROM tr CROSS JOIN ev)
+        |  WHERE cos >= 0.35
+        |  GROUP BY doc_id)
+        |SELECT tr.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.max_cos, 0.0) + 0.0 AS max_cos,
+        |  h.min_hit_eval_id,
+        |  coalesce(h.n_hits, 0) >= 1 AS contaminated
+        |FROM tr LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "q_unigram_nll" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

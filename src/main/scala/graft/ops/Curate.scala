@@ -473,6 +473,68 @@ object Curate {
         coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** SEMANTIC decontamination — the third rung after [[decontaminate]]
+    * (exact shingles) and [[fuzzyDecontaminate]] (n-gram overlap): flag
+    * training documents whose EMBEDDING sits within cosine `tau` of any
+    * eval-set embedding. Catches reworded/translated eval leakage that
+    * shares no surface n-grams at all — the contamination mode n-gram
+    * methods are blind to (the same geometry SemDeDup exploits for
+    * dedup, pointed at the eval set instead of the corpus itself).
+    *
+    * Shape: the eval side (small by construction — eval suites are at
+    * most millions of items, guarded by the configurable
+    * `graft.decontaminate.maxEvalVectors` cap) broadcasts; the corpus
+    * side is ONE scan with a codegen'd cosine per (doc, eval) pair
+    * ([[graft.ops.Similarity.cosineSim]] — a fused native loop, no UDF),
+    * and the per-doc rollup collapses map-side, so the only shuffle
+    * carries hit rows. At very large eval sets, prune candidates with
+    * [[graft.ops.IvfIndex]] first and feed the survivors here.
+    *
+    * Determinism for the oracle: scores are rounded to 6 dp BEFORE the
+    * threshold and the aggregates (the same contract as
+    * q_embed_neardup), and the reported id is min(eval_id) among hits —
+    * no float ever drives an ordering.
+    *
+    * Returns one row per train doc: (doc_id, n_hits, max_cos,
+    * min_hit_eval_id, contaminated); zeros/null when nothing is within
+    * tau.
+    */
+  def semanticDecontaminate(
+      train: DataFrame,
+      trainIdCol: String,
+      trainVecCol: String,
+      evalVecs: DataFrame,
+      evalIdCol: String,
+      evalVecCol: String,
+      tau: Double = 0.9): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val ev = evalVecs.select(col(evalIdCol).cast("long").as("eval_id"),
+      col(evalVecCol).cast("array<double>").as("__ev"))
+    val evalCap = graft.util.Conf.long(train.sparkSession,
+      "graft.decontaminate.maxEvalVectors", 2000000L)
+    val nEval = ev.count()
+    require(nEval <= evalCap,
+      s"eval set has $nEval vectors, above the broadcast cap of $evalCap " +
+        "(semantic decontamination broadcasts the eval embeddings). Shrink " +
+        "the eval set, pre-prune with IvfIndex, or raise " +
+        "graft.decontaminate.maxEvalVectors.")
+    val tr = Dedup.fanOut(train.select(col(trainIdCol).cast("long").as("doc_id"),
+      col(trainVecCol).cast("array<double>").as("__tv")))
+    val hits = tr.crossJoin(broadcast(ev))
+      .withColumn("cos", round(Similarity.cosineSim(col("__tv"), col("__ev")), 6))
+      .where(col("cos") >= tau)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"),
+        min(col("eval_id")).as("min_hit_eval_id"))
+    train.select(col(trainIdCol).cast("long").as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("max_cos"), lit(0.0)) + lit(0.0)).as("max_cos"),
+        col("min_hit_eval_id"),
+        (coalesce(col("n_hits"), lit(0L)) >= 1L).as("contaminated"))
+  }
+
   /** One-call STREAMING curation — the ingest-time counterpart of
     * [[curate]]: language/quality filter, bounded-state dedup (exact
     * content within the watermark horizon; optionally simhash near-dup),

@@ -65,6 +65,46 @@ object Dedup {
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact-duplicate GROUP-SIZE distribution — the audit statistic over
+    * [[exact]]'s groups: how many duplicate groups of each size the
+    * corpus holds, the documents they account for, and how many rows
+    * exact dedup would delete. Two hash aggregations (content → group
+    * size, size → histogram), both map-side combined; pure integers end
+    * to end, so the whole table hash-checks across engines
+    * (q_dedup_stats). Group by a content HASH (md5/xxhash64) rather
+    * than raw text when texts are long — the first shuffle then carries
+    * fixed-width keys.
+    */
+  def dupGroupStats(df: DataFrame, contentCol: String): DataFrame =
+    df.groupBy(col(contentCol)).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"))
+      .select(col("group_size"), col("n_groups"),
+        (col("group_size") * col("n_groups")).as("n_docs"),
+        ((col("group_size") - 1) * col("n_groups")).as("n_deletable"))
+
+  /** Choose MinHash-LSH (bands, rowsPerBand) for a target Jaccard
+    * threshold: among factorizations b·r ≤ `numHashes`, pick the pair
+    * whose S-curve midpoint (1/b)^(1/r) is closest to `threshold`,
+    * preferring pairs that use more of the signature (b·r) and then more
+    * bands on ties. The standard MMDS §3.4 rule — callers feed the
+    * result straight into [[minhashCandidates]] instead of hand-tuning.
+    * Driver-side pure arithmetic on a ≤ numHashes-sized search space.
+    */
+  def lshPlan(threshold: Double, numHashes: Int): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    val candidates = for {
+      r <- 1 to numHashes
+      b = numHashes / r
+      if b >= 1
+    } yield (b, r)
+    candidates.minBy { case (b, r) =>
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(threshold - mid), numHashes - b * r, -b)
+    }
+  }
+
   /** Rows surviving exact dedup (keeper rows only) — distributed via a
     * min-over-window on the content hash, no collect.
     */

@@ -560,4 +560,129 @@ object TextOps {
       .select(col("doc_id"), col("n_ngrams"), col("n_dup_ngrams"),
         round(col("n_dup_ngrams").cast("double") / col("n_ngrams"), 6).as("dup_frac"))
   }
+
+  /** Bigram language-model quality signal — the next step up from
+    * [[unigramNll]]: each document's mean negative log-likelihood of its
+    * token BIGRAMS under the corpus's own MLE bigram model,
+    * P(w2 | w1) = c(w1 w2) / c(w1 ·). Captures the local-fluency signal
+    * the unigram form cannot (scrambled text shares a unigram profile
+    * with fluent text but has improbable transitions) — the cheap
+    * in-engine proxy for KenLM-perplexity filtering (CCNet; Wenzek et
+    * al. 2020) with no external LM artifact.
+    *
+    * Shape: bigrams are built INSIDE each row as an array transform
+    * (adjacency is a per-row fact — no window function ever touches the
+    * corpus), then exploded; two hash aggregations (pair counts and
+    * prefix counts, both map-side combined) and two keyed equi-joins,
+    * the identical scale shape as [[tfidf]]/[[unigramNll]]. The pair key
+    * is the two tokens joined by one space — unambiguous because tokens
+    * are space-split — and every step is ANSI-portable (q_bigram_nll
+    * hash-checks vs DuckDB).
+    */
+  def bigramNll(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val pairs = Dedup.fanOut(
+      docs.select(col(idCol).cast("long").as("doc_id"), toks.as("__t")))
+      .where(size(col("__t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(slice(col("__t"), lit(1), size(col("__t")) - 1),
+          (w, i) => concat_ws(" ", w, get(col("__t"), i + 1)))).as("pair"))
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+    val c2 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    pairs.join(c2, "pair").join(c1, "w1")
+      .groupBy(col("doc_id"))
+      .agg(
+        (round(avg(-log(col("c2").cast("double") / col("c1").cast("double"))), 6)
+          + lit(0.0)).as("nll2"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** One-pass corpus profile per language — the audit table a curation
+    * run starts from: document counts, token mass, and EXACT discrete
+    * percentiles (p10/p50/p90) of per-document token count and of the
+    * integer micro-unit quality score ([[qualityScoreMicro]]). The
+    * percentile definition is pinned and engine-portable: the value at
+    * 1-based rank ceil(q·n) of the ascending (value, doc_id) order,
+    * with the rank computed in pure integer arithmetic
+    * ((n·q + 9) div 10) — no float ever drives an ordering, so the
+    * whole profile hash-checks across engines (q_corpus_profile).
+    *
+    * Shape: one projection computes the two per-doc integers, two
+    * window ranks inside the same per-language hash partitioning (one
+    * Exchange, two sorts), one final hash aggregation. The sort is
+    * per-LANGUAGE — right for audit-scale profiles; for 100-TB corpora
+    * with a dominant language use [[approxProfileCorpus]], which
+    * replaces the sorts with fixed-size quantile sketches.
+    */
+  def profileCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    def rk(q: Int, cnt: Column): Column = idiv(cnt * lit(q.toLong) + lit(9L), lit(10L))
+    val base = docs.select(col(langCol).as("lang"), col(idCol).cast("long").as("__id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      qualityScoreMicro(col(textCol)).as("q_micro"))
+    val wc = Window.partitionBy(col("lang"))
+    val wt = wc.orderBy(col("n_tokens"), col("__id"))
+    val wq = wc.orderBy(col("q_micro"), col("__id"))
+    base
+      .withColumn("__cnt", count(lit(1)).over(wc))
+      .withColumn("__rt", row_number().over(wt))
+      .withColumn("__rq", row_number().over(wq))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        max(when(col("__rt") === rk(1, col("__cnt")), col("n_tokens"))).as("p10_tokens"),
+        max(when(col("__rt") === rk(5, col("__cnt")), col("n_tokens"))).as("p50_tokens"),
+        max(when(col("__rt") === rk(9, col("__cnt")), col("n_tokens"))).as("p90_tokens"),
+        max(when(col("__rq") === rk(1, col("__cnt")), col("q_micro"))).as("p10_q_micro"),
+        max(when(col("__rq") === rk(5, col("__cnt")), col("q_micro"))).as("p50_q_micro"),
+        max(when(col("__rq") === rk(9, col("__cnt")), col("q_micro"))).as("p90_q_micro"))
+  }
+
+  /** APPROXIMATE [[profileCorpus]] for the 100-TB path: the same columns
+    * via `percentile_approx` (Greenwald–Khanna sketches) — ONE hash
+    * aggregation, no per-language sort, shuffle carries fixed-size
+    * sketches per language regardless of corpus size. `accuracy` is the
+    * GK accuracy parameter (10000 ≈ 0.01% rank error). Sketch
+    * percentiles are rank-approximate, so this variant is sbt-tested
+    * against the exact profile rather than oracle-hashed.
+    */
+  def approxProfileCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val base = docs.select(col(langCol).as("lang"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      qualityScoreMicro(col(textCol)).as("q_micro"))
+    val ps = array(lit(0.1), lit(0.5), lit(0.9))
+    base.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        percentile_approx(col("n_tokens"), ps, lit(accuracy)).as("p_tokens"),
+        percentile_approx(col("q_micro"), ps, lit(accuracy)).as("p_q_micro"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        col("p_tokens").getItem(0).as("p10_tokens"),
+        col("p_tokens").getItem(1).as("p50_tokens"),
+        col("p_tokens").getItem(2).as("p90_tokens"),
+        col("p_q_micro").getItem(0).as("p10_q_micro"),
+        col("p_q_micro").getItem(1).as("p50_q_micro"),
+        col("p_q_micro").getItem(2).as("p90_q_micro"))
+  }
 }

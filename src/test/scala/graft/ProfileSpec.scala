@@ -1,0 +1,151 @@
+package graft
+
+import graft.ops.{Curate, Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-11 pipeline-audit operators: bigram LM quality, corpus
+  * profiling (exact + sketch), dedup group statistics, LSH parameter
+  * planning, and semantic (embedding-space) decontamination.
+  */
+class ProfileSpec extends SparkSpec {
+
+  test("bigramNll: hand-computed transition likelihoods; sub-2-token docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b b"),
+      (3L, "x")).toDF("doc_id", "text")
+    val got = TextOps.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // corpus model: c("a b")=2, c("b c")=1, c("b b")=1; c1(a)=2, c1(b)=2
+    // doc1 = -(ln(2/2) + ln(1/2))/2 = ln(2)/2, same for doc2
+    val expected = math.round(math.log(2.0) / 2.0 * 1e6) / 1e6
+    assert(got(1L) == ((expected, 2L)))
+    assert(got(2L) == ((expected, 2L)))
+    assert(!got.contains(3L), "a one-token doc has no bigrams")
+  }
+
+  test("bigramNll: scrambled text scores worse than fluent text under the corpus model") {
+    import spark.implicits._
+    // many fluent copies fix the transition stats; one scrambled doc
+    val fluent = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val scrambled = Seq((99L, "mat the on sat cat the"))
+    val docs = (fluent ++ scrambled).toDF("doc_id", "text")
+    val nll = TextOps.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nll(99L) > nll(1L),
+      s"scrambled ${nll(99L)} must exceed fluent ${nll(1L)} (unigram profile is identical)")
+  }
+
+  test("profileCorpus: pinned rank-ceil(q*n) percentiles match a driver-side replay") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val docs = (0 until 90).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, lang, (0 until n).map(j => "tok" + (j % 7)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val prof = TextOps.profileCorpus(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // independent replay: collect per-doc integers, sort, pick rank (n*q+9)/10
+    val perDoc = docs.select(col("lang"), col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long"),
+        TextOps.qualityScoreMicro(col("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (lang <- Seq("en", "de", "fr")) {
+      val rows = perDoc.filter(_._1 == lang)
+      val n = rows.length
+      def pick(vals: Array[Long], q: Int): Long = {
+        val sorted = vals.sorted
+        sorted(((n.toLong * q + 9) / 10).toInt - 1)
+      }
+      val toks = rows.map(_._3)
+      val qs = rows.map(_._4)
+      val r = prof(lang)
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == toks.sum)
+      assert(r.getLong(3) == toks.min && r.getLong(4) == toks.max)
+      assert(r.getLong(5) == pick(toks, 1), s"$lang p10_tokens")
+      assert(r.getLong(6) == pick(toks, 5), s"$lang p50_tokens")
+      assert(r.getLong(7) == pick(toks, 9), s"$lang p90_tokens")
+      assert(r.getLong(8) == pick(qs, 1), s"$lang p10_q_micro")
+      assert(r.getLong(9) == pick(qs, 5), s"$lang p50_q_micro")
+      assert(r.getLong(10) == pick(qs, 9), s"$lang p90_q_micro")
+    }
+  }
+
+  test("approxProfileCorpus: counts exact, sketch percentiles near the exact profile") {
+    import spark.implicits._
+    val docs = (0 until 1000).map { i =>
+      (i.toLong, "en", (0 until (1 + i % 100)).map(_ => "w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val exact = TextOps.profileCorpus(docs, "doc_id", "text", "lang").collect().head
+    val approx = TextOps.approxProfileCorpus(docs, "doc_id", "text", "lang").collect().head
+    assert(approx.getLong(1) == exact.getLong(1)) // n_docs
+    assert(approx.getLong(2) == exact.getLong(2)) // total_tokens
+    for (i <- 5 to 7) { // token percentiles within 2 values of the exact rank
+      assert(math.abs(approx.getLong(i) - exact.getLong(i)) <= 2,
+        s"col $i: approx ${approx.getLong(i)} vs exact ${exact.getLong(i)}")
+    }
+  }
+
+  test("dupGroupStats: histogram over exact-dup groups, pure integers") {
+    import spark.implicits._
+    val docs = Seq("A", "A", "A", "B", "B", "C", "D").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.dupGroupStats(docs.select(md5(col("text")).as("h")), "h")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(3L) == ((1L, 3L, 2L)))
+    assert(got(2L) == ((1L, 2L, 1L)))
+    assert(got(1L) == ((2L, 2L, 0L)))
+    assert(got.size == 3)
+  }
+
+  test("lshPlan: S-curve midpoint lands on the known MMDS factorizations") {
+    assert(Dedup.lshPlan(0.5, 128) == ((25, 5)))
+    assert(Dedup.lshPlan(0.8, 128) == ((11, 11)))
+    // higher thresholds want more rows per band (sharper curves)
+    val (_, rLow) = Dedup.lshPlan(0.3, 128)
+    val (_, rHigh) = Dedup.lshPlan(0.9, 128)
+    assert(rHigh > rLow)
+    // plan is always realizable
+    for (t <- Seq(0.2, 0.5, 0.7, 0.95); h <- Seq(16, 64, 256)) {
+      val (b, r) = Dedup.lshPlan(t, h)
+      assert(b >= 1 && r >= 1 && b * r <= h)
+      assert(math.abs(math.pow(1.0 / b, 1.0 / r) - t) < 0.15,
+        s"midpoint for t=$t h=$h lands near the threshold")
+    }
+  }
+
+  test("semanticDecontaminate: cosine hits flag, misses pass, every train doc emitted") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0))).toDF("id", "vec")
+    val eval = Seq(
+      (10L, Seq(2.0, 0.0, 0.0)), // same direction as train 1
+      (11L, Seq(0.6, 0.8, 0.0))  // cos 0.6 with t1, 0.8 with t2 — below tau
+    ).toDF("id", "vec")
+    val got = Curate.semanticDecontaminate(train, "id", "vec", eval, "id", "vec", tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((1L, 1.0, 10L, true)))
+    assert(got(2L) == ((0L, 0.0, -1L, false)))
+    assert(got(3L) == ((0L, 0.0, -1L, false)))
+    assert(got.size == 3)
+  }
+
+  test("semanticDecontaminate: eval cap fires with remediation text") {
+    import spark.implicits._
+    val train = Seq((1L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val eval = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.0, 1.0))).toDF("id", "vec")
+    spark.conf.set("graft.decontaminate.maxEvalVectors", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Curate.semanticDecontaminate(train, "id", "vec", eval, "id", "vec", tau = 0.9)
+      }
+      assert(e.getMessage.contains("maxEvalVectors"))
+    } finally spark.conf.unset("graft.decontaminate.maxEvalVectors")
+  }
+}
