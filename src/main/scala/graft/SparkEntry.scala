@@ -122,6 +122,42 @@ object SparkEntry {
       "t -> t IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop, " +
       s"CAST(length(regexp_replace(lower($textSql), '[a-z ]', '', 'g')) AS BIGINT) AS n_noise"
 
+  /** [[graft.ops.Bpe]] training unrolled as DuckDB CTEs: word
+    * frequencies, the wrapped-symbol initial form (chr(1)·c·chr(2) per
+    * character — see Bpe.scala for why the wrapping makes literal
+    * replace equal greedy symbol merging), then per merge round r:
+    * weighted pair counts (p_r), the deterministic argmax (b_r), and the
+    * merged vocabulary (w_r). Shared by q_bpe_train and q_bpe_encode.
+    * Assumes the corpus yields all `m` merges at minPairFreq 2 (true for
+    * the documents table at every gate SF; the Spark side stops early
+    * otherwise, which the row-count check would surface).
+    */
+  private def bpeChainSql(m: Int): String = {
+    val b = new StringBuilder
+    b ++= """wf AS MATERIALIZED (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+      |    FROM documents) GROUP BY word),
+      |w0 AS MATERIALIZED (
+      |  SELECT word, array_to_string(list_transform(string_split(word, ''),
+      |    c -> chr(1) || c || chr(2)), '') AS w, freq FROM wf),""".stripMargin
+    for (r <- 1 to m) {
+      b ++= s"""
+        |p$r AS (SELECT pr[1] AS lhs, pr[2] AS rhs, sum(freq) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(len(s) - 1), i -> [s[i+1], s[i+2]])) AS pr, freq
+        |  FROM (SELECT list_filter(string_split(replace(w, chr(2), ''), chr(1)),
+        |                x -> x <> '') AS s, freq FROM w${r - 1}))
+        |  GROUP BY 1, 2),
+        |b$r AS (SELECT lhs, rhs, cnt FROM p$r WHERE cnt >= 2
+        |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |w$r AS MATERIALIZED (
+        |  SELECT word, replace(w, chr(1) || lhs || chr(2) || chr(1) || rhs || chr(2),
+        |    chr(1) || lhs || rhs || chr(2)) AS w, freq
+        |  FROM w${r - 1}, b$r),""".stripMargin
+    }
+    b.toString.dropRight(1) // trailing comma
+  }
+
   /** [[graft.ops.TextOps.qualityScoreMicro]] as pure 64-bit integer SQL
     * over the [[qualityCountsSql]] columns — identical in every engine
     * (integer mul/floor-div/min have exactly one possible result).
@@ -1125,6 +1161,17 @@ object SparkEntry {
     "q_bigram_nll" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       graft.ops.TextOps.bigramNll(t(dir, "documents"), "doc_id", "text")
+    },
+    "q_bpe_train" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Bpe.mergesDf(s,
+        graft.ops.Bpe.train(t(dir, "documents"), "text", numMerges = 8))
+    },
+    "q_bpe_encode" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8)
+      graft.ops.Bpe.encode(docs, "doc_id", "text", merges.map(m => (m.lhs, m.rhs)))
     },
     "q_corpus_profile" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -3293,6 +3340,21 @@ object SparkEntry {
     "q_dtw_dist" -> dtwDistOracleSql(soft = false, gamma = 0.0),
     "q_dtw_path" -> dtwPathOracleSql(),
     "q_dba_step" -> dbaStepOracleSql(),
+    "q_bpe_train" ->
+      s"""WITH ${bpeChainSql(8)}
+        |SELECT * FROM (
+        |${(1 to 8).map(r => s"  SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, cnt FROM b$r")
+             .mkString("  UNION ALL\n")}
+        |)""".stripMargin,
+    "q_bpe_encode" ->
+      s"""WITH ${bpeChainSql(8)},
+        |dw AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        |  FROM documents)
+        |SELECT dw.doc_id, count(*) AS n_words,
+        |  sum(len(w) - len(replace(w, chr(1), ''))) AS n_tokens
+        |FROM dw JOIN w8 USING (word)
+        |GROUP BY dw.doc_id""".stripMargin,
     "q_bigram_nll" ->
       """WITH toks AS MATERIALIZED (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
