@@ -309,7 +309,7 @@ object Dedup {
     if (tokens != null) {
       val it = tokens.iterator
       while (it.hasNext) {
-        val h = Hashing.md5Long(it.next())
+        val h = Hashing.md5LongMemo(it.next())
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -57,6 +57,34 @@ object Hashing {
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 
+  private val memoLocal = new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+    override def initialValue(): java.util.HashMap[String, java.lang.Long] =
+      new java.util.HashMap[String, java.lang.Long](1 << 16)
+  }
+
+  /** [[md5Long]] with a per-thread memo for short, high-repetition keys
+    * (word tokens are Zipf-distributed, so a SimHash pass re-digests the
+    * same few thousand words millions of times). Bit-identical to
+    * [[md5Long]] — the memo only skips recomputation. Keys longer than 48
+    * chars (shingles, texts — mostly distinct, caching would only thrash)
+    * bypass the memo; the map is cleared past 2^17 entries so executor
+    * memory stays bounded (~16 MB worst case per thread).
+    */
+  def md5LongMemo(s: String): Long = {
+    if (s.length > 48) md5Long(s)
+    else {
+      val m = memoLocal.get()
+      val c = m.get(s)
+      if (c != null) c.longValue()
+      else {
+        if (m.size >= (1 << 17)) m.clear()
+        val h = md5Long(s)
+        m.put(s, h)
+        h
+      }
+    }
+  }
+
   /** BOTH 64-bit halves of md5(UTF-8 bytes), big-endian — one digest,
     * two independent engine-portable hashes. In SQL:
     * `('0x' || substr(md5(s), 1, 16))::UBIGINT` and

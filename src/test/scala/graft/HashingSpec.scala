@@ -42,6 +42,37 @@ class HashingSpec extends AnyFunSuite {
     }
   }
 
+  test("md5LongMemo is bit-identical to md5Long (repeats, long keys, concurrency)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val prop = forAll(Gen.asciiPrintableStr) { s: String =>
+      Hashing.md5LongMemo(s) == Hashing.md5Long(s)
+    }
+    val res = org.scalacheck.Test.check(org.scalacheck.Test.Parameters.default, prop)
+    assert(res.passed, res.status.toString)
+    // a repeated probe must hit the memo and still return the true hash
+    (1 to 3).foreach { _ =>
+      assert(Hashing.md5LongMemo("the") == -8087290180436138277L)
+    }
+    // >48 chars bypasses the memo, same value either way
+    val long = "x" * 60
+    assert(Hashing.md5LongMemo(long) == Hashing.md5Long(long))
+    val ok = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        var i = 0
+        while (i < 2000) {
+          if (Hashing.md5LongMemo("tok" + (i % 97)) != Hashing.md5Long("tok" + (i % 97)))
+            ok.set(false)
+          i += 1
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(ok.get())
+  }
+
   test("md5Unit matches independently computed values bit-for-bit") {
     // exact == on doubles is intentional: every scaling step is exact, so
     // any engine computing u/2^32*2-1 must land on the identical double
