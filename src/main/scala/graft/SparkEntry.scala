@@ -2,7 +2,7 @@ package graft
 
 import graft.clustering.{BalancedKMeans, BisectingKMeans, ConstrainedKMeans, CoresetKMeans, DPMeans, GeneralizedKMeans, MiniBatchKMeans, RobustKMeans, SoftAssignments, SoftKMeans, SparseKMeans, SpectralGraph, ViewSpec, XMeans}
 import graft.kernels.SquaredEuclideanKernel
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, IncrementalDedup, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1068,6 +1068,20 @@ object SparkEntry {
       // LSH + exact-confirm output equals the brute-force answer and is
       // oracle-checked against a DuckDB full self-join.
       Dedup.minhashDedup(t(dir, "documents"), "doc_id", "text", threshold = 0.7)
+    },
+    // Incremental ingest dedup: batch (doc_id % 7 == 0) deduped against
+    // the already-ingested rest WITHOUT corpus-sized work — store probe +
+    // exact confirm on matched ids only. Threshold 0.7 makes LSH recall
+    // statistically exact (P(miss) ~ 2e-10), so the verdicts equal the
+    // DuckDB brute-force batch-vs-all replay; jaccard carried as pure
+    // integer micro-units.
+    "q_incremental_dedup" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      IncrementalDedup.ingestVerdict(
+        docs.where(col("doc_id") % 7 =!= 0),
+        docs.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", threshold = 0.7)
     },
     "q_neardup_components" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -3092,6 +3106,35 @@ object SparkEntry {
         |    round(list_sum(list_transform(range(64), i -> na.vn[i+1] * nb.vn[i+1])), 6) AS cosine
         |  FROM cand c JOIN norm na ON na.id = c.id_a JOIN norm nb ON nb.id = c.id_b)
         |WHERE cosine >= 0.85""".stripMargin,
+    // Incremental dedup verdict replay: brute-force batch-vs-all exact
+    // word-shingle Jaccard in integer micro-units ((inter*1e6)//union —
+    // pure integer division both engines), best match ranked by the
+    // INTEGER (jaccard_micro desc, match_id asc) window.
+    "q_incremental_dedup" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${shingleListSql(3)} AS s FROM documents),
+        |conf AS (
+        |  SELECT b.doc_id AS doc_id, m.doc_id AS match_id,
+        |    (len(list_intersect(b.s, m.s)) * 1000000)
+        |      // len(list_distinct(list_concat(b.s, m.s))) AS jaccard_micro
+        |  FROM sh b JOIN sh m
+        |    ON b.doc_id % 7 = 0
+        |   AND ((m.doc_id % 7 <> 0) OR m.doc_id < b.doc_id)
+        |   AND m.doc_id <> b.doc_id
+        |  WHERE (len(list_intersect(b.s, m.s)) * 1000000)
+        |      // len(list_distinct(list_concat(b.s, m.s))) >= 700000),
+        |ranked AS (
+        |  SELECT doc_id, match_id, jaccard_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY jaccard_micro DESC, match_id ASC) AS rn
+        |  FROM conf),
+        |agg AS (SELECT doc_id, count(*) AS n_dup_matches FROM conf GROUP BY doc_id)
+        |SELECT d.doc_id, r.match_id AS dup_of, r.jaccard_micro,
+        |  coalesce(a.n_dup_matches, 0) AS n_dup_matches
+        |FROM documents d
+        |LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |WHERE d.doc_id % 7 = 0""".stripMargin,
     "q_minhash_pairs" ->
       s"""WITH sh AS (
         |  SELECT doc_id, ${shingleListSql(3)} AS s

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.sources.BucketedCorpus
+
+/** Incremental near-duplicate detection: dedup a NEW ingest batch against
+  * an already-ingested corpus without recomputing anything over the
+  * corpus — the ingest-time shape of MinHash dedup that a continuously
+  * growing 100-TB training corpus actually needs (the batch pipeline in
+  * [[Dedup.minhashDedup]] re-signatures the whole corpus per run; an
+  * ingest pass must touch work proportional to the BATCH).
+  *
+  * Architecture:
+  *
+  *  - The corpus's banded MinHash signatures (id, band, bucket) are
+  *    persisted ONCE in a catalog table bucketed by `bucket`
+  *    ([[writeStore]] — the [[graft.sources.BucketedCorpus]] discipline).
+  *    Store size: `bands` longs + one id per document, independent of
+  *    document length.
+  *  - At ingest, the batch is signatured (one scan of the batch), and
+  *    the store is probed ONLY on the batch's bucket values: the probe
+  *    filter is pushed as a literal IN on the bucketing column, so the
+  *    scan reads the matching file-buckets (`SelectedBucketsCount` in
+  *    the plan), not the corpus-sized store. A batch of b docs touches
+  *    at most b*bands buckets of the store regardless of corpus size.
+  *  - Candidates (batch x store plus batch x earlier-batch) are
+  *    confirmed with EXACT word-shingle Jaccard — shingles are computed
+  *    for the batch and for the MATCHED corpus ids only (semi-join
+  *    before the corpus scan), so the confirm step also costs
+  *    O(batch + matches), not O(corpus).
+  *
+  * Jaccard is carried as integer micro-units (inter*1e6 div union —
+  * pure integer arithmetic, the house oracle-portability rule), which
+  * also makes the best-match ordering float-free.
+  *
+  * Verdict per batch doc: `dup_of` = the matched id with the highest
+  * Jaccard (ties: lowest id), considering the existing corpus AND
+  * smaller-id batch docs (so exactly one member of a new duplicate
+  * group is admitted, deterministically); `dup_of` null = novel.
+  *
+  * Recall follows [[Dedup.minhashDedup]]'s banding math: at the default
+  * 64 hashes / 32 bands, P(miss | jaccard >= 0.7) ~ 2e-10, so the
+  * confirmed output equals the brute-force batch-vs-all answer with
+  * near-certainty — which is what lets q_incremental_dedup hash-check
+  * against a DuckDB brute-force replay.
+  *
+  * Reference scope note: the reference engine has no incremental or
+  * ingest-time component (its pipelines are whole-corpus batch runs);
+  * this operator is LLM-pipeline surface beyond it, same as the rest of
+  * `graft.ops`.
+  */
+object IncrementalDedup {
+
+  /** Banded MinHash signature rows (id, band, bucket) for a corpus
+    * slice — the persisted unit of the incremental store. One scan of
+    * `df`; `bands` rows per document.
+    */
+  def bandedSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32): DataFrame = {
+    val keysUdf = Dedup.minhashBandKeysUdf(numHashes, bands)
+    Dedup.fanOut(df.select(col(idCol).cast("long").as("id"), col(textCol).as("__txt")))
+      .select(col("id"), TextOps.wordShingles(col("__txt"), shingleSize).as("sh"))
+      .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "bucket")))
+  }
+
+  /** Persist a banded-signature frame as the incremental store: a
+    * catalog table bucketed (and sorted) by `bucket`, so ingest probes
+    * bucket-prune. `SaveMode.Append` adds a new batch's signatures after
+    * its verdicts are final (Spark appends new files per bucket; the
+    * bucketing spec is preserved).
+    */
+  def writeStore(
+      banded: DataFrame,
+      table: String,
+      numBuckets: Int = 64,
+      location: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    BucketedCorpus.write(
+      banded.select(col("id"), col("band"), col("bucket")),
+      table, "bucket", numBuckets, location, mode)
+
+  /** Reopen the store by catalog name (plain-parquet reads would lose
+    * the bucket metadata that makes probe pruning work).
+    */
+  def loadStore(spark: SparkSession, table: String): DataFrame =
+    BucketedCorpus.load(spark, table)
+
+  /** Candidate (doc_id, match_id) pairs of a signatured batch against a
+    * signatured store. When the batch's distinct bucket values fit the
+    * driver cap (`graft.incdedup.maxProbeBuckets`, default 1M — 8 MB of
+    * longs), they are pushed as a literal IN filter on the store's
+    * bucketing column so a bucketed store scan reads only the matching
+    * file-buckets; above the cap the probe falls back to the plain
+    * equi-join (a batch that large amortizes a store shuffle anyway).
+    */
+  def probeCandidates(store: DataFrame, batchBanded: DataFrame): DataFrame = {
+    val spark = store.sparkSession
+    val cap = math.min(
+      graft.util.Conf.long(spark, "graft.incdedup.maxProbeBuckets", 1000000L),
+      Int.MaxValue.toLong - 1)
+    val buckets = batchBanded.select(col("bucket")).distinct()
+    val probeSet = buckets.limit(cap.toInt + 1).collect().map(_.getLong(0))
+    val pruned =
+      if (probeSet.length <= cap) store.where(col("bucket").isin(probeSet.toSeq: _*))
+      else store
+    pruned.as("s")
+      .join(batchBanded.as("n"),
+        col("s.band") === col("n.band") && col("s.bucket") === col("n.bucket"))
+      .select(col("n.id").as("doc_id"), col("s.id").as("match_id"))
+      .distinct()
+  }
+
+  /** Ingest verdict for a new batch against an existing corpus: one row
+    * per batch doc — (doc_id, dup_of, jaccard_micro, n_dup_matches).
+    * `corpusBanded` should be the persisted store ([[loadStore]]); when
+    * absent it is computed from `corpus` (correct, but corpus-sized work
+    * — batch pipelines only). Batch ids must be disjoint from corpus ids
+    * and unique within the batch.
+    */
+  def ingestVerdict(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      corpusBanded: Option[DataFrame] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0, 1], got $threshold")
+    val thresholdMicro = math.round(threshold * 1e6)
+    val batchIdText = batch.select(col(idCol).cast("long").as("id"), col(textCol).as("__txt"))
+    val batchBanded = bandedSignatures(batch, idCol, textCol, shingleSize, numHashes, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val store = corpusBanded.getOrElse(
+        bandedSignatures(corpus, idCol, textCol, shingleSize, numHashes, bands))
+      // batch vs corpus, plus batch vs smaller-id batch docs (the larger
+      // id of a new duplicate pair is the duplicate, mirroring
+      // exactKeepers' min-id-wins rule)
+      val oldCands = probeCandidates(store, batchBanded)
+      val newCands = batchBanded.as("a")
+        .join(batchBanded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") > col("b.id"))
+        .select(col("a.id").as("doc_id"), col("b.id").as("match_id"))
+        .distinct()
+      val cands = oldCands.union(newCands).distinct()
+      // exact-confirm shingles: batch side fully, corpus side ONLY the
+      // matched ids (semi-join first — candidates << corpus)
+      val matchedCorpus = corpus
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("__txt"))
+        .join(cands.select(col("match_id").as("id")).distinct(), Seq("id"), "left_semi")
+      val sh = Dedup.fanOut(batchIdText.unionByName(matchedCorpus))
+        .select(col("id"), TextOps.wordShingles(col("__txt"), shingleSize).as("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val confirmed = cands
+        .join(sh.select(col("id").as("doc_id"), col("sh").as("sh_a")), "doc_id")
+        .join(sh.select(col("id").as("match_id"), col("sh").as("sh_b")), "match_id")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+        // integer micro-unit jaccard: floor(inter*1e6/uni) >= t*1e6 is
+        // exactly inter/uni >= t for integer thresholds — no double
+        // exists on either engine's side of the contract
+        .withColumn("jaccard_micro", call_function("div", col("inter") * lit(1000000L), col("uni")))
+        .where(col("jaccard_micro") >= lit(thresholdMicro))
+        .select(col("doc_id"), col("match_id"), col("jaccard_micro"))
+      val best = confirmed
+        .groupBy(col("doc_id"))
+        .agg(
+          max_by(struct(col("jaccard_micro"), (-col("match_id")).as("neg_id")),
+            struct(col("jaccard_micro"), (-col("match_id")).as("neg_id"))).as("best"),
+          count(lit(1)).as("n_dup_matches"))
+        .select(col("doc_id"), (-col("best.neg_id")).as("dup_of"),
+          col("best.jaccard_micro").as("jaccard_micro"), col("n_dup_matches"))
+      val out = batchIdText.select(col("id").as("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          col("jaccard_micro"), coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize so the shingle/banded caches can release
+      sh.unpersist()
+      out
+    } finally {
+      batchBanded.unpersist()
+    }
+  }
+}

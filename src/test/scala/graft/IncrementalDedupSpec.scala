@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops.{Dedup, IncrementalDedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Incremental (ingest-time) MinHash dedup: verdicts must equal the
+  * brute-force batch-vs-all answer; the persisted store must
+  * bucket-prune probes on the EXECUTED PLAN; the probe-set driver cap
+  * must fall back to the plain join with identical results.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def batch = docs.where(col("doc_id") % 7 === 0)
+  private def corpus = docs.where(col("doc_id") % 7 =!= 0)
+
+  /** Brute-force expected verdicts via exact word-shingle Jaccard over
+    * batch x (corpus + smaller-id batch docs).
+    */
+  private def bruteForce(threshold: Double): Map[Long, (Long, Long, Long)] = {
+    val sh = docs.select(col("doc_id").as("id"),
+      TextOps.wordShingles(col("text"), 3).as("sh"))
+    val b = sh.where(col("id") % 7 === 0).as("b")
+    val m = sh.as("m")
+    val pairs = b.join(m,
+        (col("m.id") % 7 =!= 0 && col("m.id") =!= col("b.id")) ||
+          (col("m.id") % 7 === 0 && col("m.id") < col("b.id")))
+      .select(col("b.id").as("doc_id"), col("m.id").as("match_id"),
+        call_function("div",
+          size(array_intersect(col("b.sh"), col("m.sh"))).cast("long") * lit(1000000L),
+          size(array_union(col("b.sh"), col("m.sh"))).cast("long")).as("jm"))
+      .where(col("jm") >= math.round(threshold * 1e6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.groupBy(_._1).map { case (d, ms) =>
+      val best = ms.minBy { case (_, mid, jm) => (-jm, mid) }
+      d -> (best._2, best._3, ms.length.toLong)
+    }
+  }
+
+  test("ingest verdict equals brute-force batch-vs-all at threshold 0.5") {
+    val out = IncrementalDedup.ingestVerdict(corpus, batch, "doc_id", "text",
+      threshold = 0.5)
+    try {
+      val got = out.collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))
+      }.toMap
+      val batchIds = batch.collect().map(_.getLong(0)).toSet
+      assert(got.keySet == batchIds, "one verdict row per batch doc")
+      val expected = bruteForce(0.5)
+      assert(expected.nonEmpty, "fixture must contain at least one duplicate pair")
+      expected.foreach { case (d, (mid, jm, n)) =>
+        assert(got(d) == ((mid, jm, n)), s"doc $d: got ${got(d)}, expected ($mid, $jm, $n)")
+      }
+      (got.keySet -- expected.keySet).foreach { d =>
+        assert(got(d) == ((-1L, -1L, 0L)), s"doc $d should be novel, got ${got(d)}")
+      }
+    } finally out.unpersist()
+  }
+
+  test("persisted store: probe scan bucket-prunes and matches the in-memory path") {
+    val corpusBanded = IncrementalDedup.bandedSignatures(corpus, "doc_id", "text")
+    IncrementalDedup.writeStore(corpusBanded, "inc_store", numBuckets = 16)
+    val store = IncrementalDedup.loadStore(spark, "inc_store")
+    val batchBanded = IncrementalDedup.bandedSignatures(batch, "doc_id", "text")
+
+    val pruned = IncrementalDedup.probeCandidates(store, batchBanded)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"store probe must bucket-prune; plan:\n${plan.take(2000)}")
+
+    val direct = IncrementalDedup.probeCandidates(corpusBanded, batchBanded)
+    val a = pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, s"pruned store probe diverged: ${a.diff(b)} / ${b.diff(a)}")
+
+    // end to end through the store: same verdicts as the computed path
+    val viaStore = IncrementalDedup.ingestVerdict(corpus, batch, "doc_id", "text",
+      threshold = 0.5, corpusBanded = Some(store))
+    val inMem = IncrementalDedup.ingestVerdict(corpus, batch, "doc_id", "text",
+      threshold = 0.5)
+    try {
+      val va = viaStore.collect().map(_.toSeq).toSet
+      val vb = inMem.collect().map(_.toSeq).toSet
+      assert(va == vb)
+    } finally { viaStore.unpersist(); inMem.unpersist() }
+  }
+
+  test("append keeps the bucket spec and extends the store") {
+    val half1 = IncrementalDedup.bandedSignatures(
+      corpus.where(col("doc_id") < 250), "doc_id", "text")
+    val half2 = IncrementalDedup.bandedSignatures(
+      corpus.where(col("doc_id") >= 250), "doc_id", "text")
+    IncrementalDedup.writeStore(half1, "inc_store_app", numBuckets = 16)
+    IncrementalDedup.writeStore(half2, "inc_store_app", numBuckets = 16,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val store = IncrementalDedup.loadStore(spark, "inc_store_app")
+    val full = IncrementalDedup.bandedSignatures(corpus, "doc_id", "text")
+    assert(store.count() == full.count())
+    // appended store still bucket-prunes
+    val probe = IncrementalDedup.probeCandidates(store,
+      IncrementalDedup.bandedSignatures(batch, "doc_id", "text"))
+    assert(probe.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"))
+  }
+
+  test("probe-set cap: over-cap batches fall back to the plain join, same answer") {
+    val corpusBanded = IncrementalDedup.bandedSignatures(corpus, "doc_id", "text")
+    val batchBanded = IncrementalDedup.bandedSignatures(batch, "doc_id", "text")
+    val unlimited = IncrementalDedup.probeCandidates(corpusBanded, batchBanded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("graft.incdedup.maxProbeBuckets", "3")
+    try {
+      val capped = IncrementalDedup.probeCandidates(corpusBanded, batchBanded)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == unlimited)
+    } finally spark.conf.unset("graft.incdedup.maxProbeBuckets")
+  }
+
+  test("banded signatures match the batch pipeline's banding bit-for-bit") {
+    // the store must be the SAME family as Dedup.minhashCandidates: a
+    // batch-vs-batch probe through IncrementalDedup reproduces the batch
+    // pipeline's candidate pairs
+    val banded = IncrementalDedup.bandedSignatures(docs, "doc_id", "text")
+    val viaInc = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBatch = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaInc == viaBatch)
+  }
+}
