@@ -867,6 +867,13 @@ object SparkEntry {
         round(TextOps.meanWordLen(col("text")), 6).as("mean_word_len"),
         TextOps.qualityScore(col("text")).as("quality"))
     },
+    // Gopher rule TABLE (Rae et al. 2021 A.1.1): named per-rule boolean
+    // flags + conjunction keep, every threshold an integer
+    // cross-multiplication — no ratio double exists on either side.
+    "q_gopher_rules" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      TextOps.gopherRules(t(dir, "documents"), "doc_id", "text", minWords = 45L)
+    },
     // Gopher-style repetition quality rules: duplicate-line fraction
     // (lines cut at ' table ' — the corpus has no newlines, so a
     // deterministic, SQL-replayable line structure is synthesized) and
@@ -2695,6 +2702,34 @@ object SparkEntry {
         |  + (1.0 - least(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
         |      * 1.0 / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality
         |FROM documents""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS toks,
+        |    (length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS sum_len,
+        |    len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+        |    n_sym,
+        |    len(list_intersect(list_distinct(toks),
+        |        ['the','a','of','and','to','in','is','it'])) AS n_stop
+        |  FROM base)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  n_words >= 45 AND n_words <= 100000 AS word_count_ok,
+        |  sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS mean_len_ok,
+        |  10 * n_sym <= 1 * n_words AS symbol_ok,
+        |  10 * n_alpha >= 8 * n_words AS alpha_ok,
+        |  n_stop >= 2 AS stopword_ok,
+        |  (n_words >= 45 AND n_words <= 100000)
+        |    AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+        |    AND (10 * n_sym <= 1 * n_words)
+        |    AND (10 * n_alpha >= 8 * n_words)
+        |    AND (n_stop >= 2) AS keep
+        |FROM feat""".stripMargin,
     "q_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id,

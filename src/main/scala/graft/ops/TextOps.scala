@@ -94,6 +94,73 @@ object TextOps {
     lenScore + stopScore + (lit(200000L) - noise)
   }
 
+  /** Gopher-style heuristic quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A.1.1), as per-doc boolean
+    * flags plus their conjunction — the rule-TABLE companion to the
+    * scalar [[qualityScoreMicro]]: production pipelines filter on named
+    * rules and audit per-rule rejection rates, not one opaque score.
+    *
+    * Every comparison is an integer cross-multiplication (10*alpha >=
+    * minAlphaPer10*words, never a ratio), so no double exists on either
+    * side of the oracle contract (house rule 1) and the whole table
+    * replays bit-exactly in any SQL engine (q_gopher_rules).
+    *
+    * Rules (document-level; the synthetic corpus has no line structure,
+    * so Gopher's line-level bullet/ellipsis rules appear in their
+    * document-level symbol-mass form):
+    *  - `word_count_ok`: word count within [minWords, maxWords]
+    *  - `mean_len_ok`: mean word length within [minMeanLen, maxMeanLen]
+    *  - `symbol_ok`: '#'/'...' symbol mass at most maxSymbolsPer10 per
+    *    10 words
+    *  - `alpha_ok`: at least minAlphaPer10 of every 10 words contain a
+    *    letter
+    *  - `stopword_ok`: at least minStopHits DISTINCT [[Stopwords]]
+    *    present
+    *  - `keep`: conjunction of all five
+    *
+    * Scale: one projection over the scan — no shuffle, no UDF, no join;
+    * a per-rule rejection-rate audit over the output is one
+    * map-side-combined aggregation.
+    */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanLen: Long = 3L,
+      maxMeanLen: Long = 10L,
+      maxSymbolsPer10: Long = 1L,
+      minAlphaPer10: Long = 8L,
+      minStopHits: Long = 2L): DataFrame = {
+    val text = col(textCol)
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    def rep(t: Column, term: String): Column =
+      call_function("replace", t, lit(term), lit(""))
+    val toks = filter(split(text, " "), t => t =!= "")
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long")
+    val nSym = (length(text) - length(rep(text, "#"))).cast("long") +
+      idiv((length(text) - length(rep(text, "..."))).cast("long"), lit(3L))
+    val nStop = size(array_intersect(array_distinct(toks),
+      array(Stopwords.map(lit): _*))).cast("long")
+    df.select(
+        col(idCol), nWords.as("n_words"), sumLen.as("__sl"), nAlpha.as("__na"),
+        nSym.as("__ns"), nStop.as("__nh"))
+      .select(
+        col(idCol), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("word_count_ok"),
+        (col("__sl") >= lit(minMeanLen) * col("n_words") &&
+          col("__sl") <= lit(maxMeanLen) * col("n_words")).as("mean_len_ok"),
+        (lit(10L) * col("__ns") <= lit(maxSymbolsPer10) * col("n_words")).as("symbol_ok"),
+        (lit(10L) * col("__na") >= lit(minAlphaPer10) * col("n_words")).as("alpha_ok"),
+        (col("__nh") >= minStopHits).as("stopword_ok"))
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_len_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stopword_ok"))
+  }
+
   /** Occurrences of `term` as substring — replace-based so the identical
     * SQL works in any engine: (len(s) - len(replace(s, term, ''))) / len(term).
     */

@@ -148,4 +148,48 @@ class ProfileSpec extends SparkSpec {
       assert(e.getMessage.contains("maxEvalVectors"))
     } finally spark.conf.unset("graft.decontaminate.maxEvalVectors")
   }
+
+  test("gopherRules: each rule fires on a targeted violation, keep is the conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cats sat upon the mats and it is fine today in all ways here now"), // all ok
+      (2L, "the of"), // too few words
+      (3L, "the of " + Seq.fill(14)("extraordinarily").mkString(" ")), // mean len > 10
+      (4L, "the of a b c d e f g h i j k l m n"), // mean len < 3
+      (5L, "the of ### x ### y ### z ### w ### v ### u ### t"), // symbol mass
+      (6L, "the of 1 2 3 4 5 6 7 8 9 10 11 12 13 14"), // non-alpha words
+      (7L, "cat sat mat dog ran far big red sun sky day way out now end")) // no stopwords
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, "doc_id", "text",
+        minWords = 10L, maxWords = 100L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(got(1L) == ((true, true, true, true, true, true)))
+    assert(got(2L)._1 == false && got(2L)._6 == false)
+    assert(got(3L)._2 == false, "long words must fail mean_len")
+    assert(got(4L)._2 == false, "short words must fail mean_len")
+    assert(got(5L)._3 == false, "symbol mass must fail symbol_ok")
+    assert(got(6L)._4 == false, "digit words must fail alpha_ok")
+    assert(got(7L)._5 == false, "no stopwords must fail stopword_ok")
+    // every violation doc is rejected
+    (2L to 7L).foreach(d => assert(!got(d)._6, s"doc $d must not keep"))
+  }
+
+  test("gopherRules: integer cross-multiplication matches the ratio form on the corpus") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val out = TextOps.gopherRules(docs, "doc_id", "text", minWords = 45L)
+    val viaRatio = docs.select(col("doc_id"),
+        (size(split(col("text"), " ")).cast("double")).as("nw"),
+        (TextOps.meanWordLen(col("text"))).as("ml"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    out.collect().foreach { r =>
+      val (nw, ml) = viaRatio(r.getLong(0))
+      assert(r.getBoolean(2) == (nw >= 45 && nw <= 100000), s"word_count doc ${r.getLong(0)}")
+      // boundary-free corpus: the double mean and the integer
+      // cross-multiplication agree away from exact thresholds
+      if (math.abs(ml - 3.0) > 1e-9 && math.abs(ml - 10.0) > 1e-9)
+        assert(r.getBoolean(3) == (ml >= 3.0 && ml <= 10.0), s"mean_len doc ${r.getLong(0)}")
+    }
+  }
 }
