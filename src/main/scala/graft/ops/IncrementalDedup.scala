@@ -100,16 +100,28 @@ object IncrementalDedup {
     * bucketing column so a bucketed store scan reads only the matching
     * file-buckets; above the cap the probe falls back to the plain
     * equi-join (a batch that large amortizes a store shuffle anyway).
+    *
+    * `pushProbeFilter = false` skips the collect + IN entirely — right
+    * when the store is a computed in-memory frame rather than a
+    * bucketed table scan (nothing to prune; the literal IN would only
+    * add planning and evaluation cost).
     */
-  def probeCandidates(store: DataFrame, batchBanded: DataFrame): DataFrame = {
+  def probeCandidates(
+      store: DataFrame,
+      batchBanded: DataFrame,
+      pushProbeFilter: Boolean = true): DataFrame = {
     val spark = store.sparkSession
     val cap = math.min(
       graft.util.Conf.long(spark, "graft.incdedup.maxProbeBuckets", 1000000L),
       Int.MaxValue.toLong - 1)
-    val buckets = batchBanded.select(col("bucket")).distinct()
-    val probeSet = buckets.limit(cap.toInt + 1).collect().map(_.getLong(0))
+    val probeSet =
+      if (pushProbeFilter)
+        batchBanded.select(col("bucket")).distinct()
+          .limit(cap.toInt + 1).collect().map(_.getLong(0))
+      else Array.empty[Long]
     val pruned =
-      if (probeSet.length <= cap) store.where(col("bucket").isin(probeSet.toSeq: _*))
+      if (pushProbeFilter && probeSet.length <= cap)
+        store.where(col("bucket").isin(probeSet.toSeq: _*))
       else store
     pruned.as("s")
       .join(batchBanded.as("n"),
@@ -145,8 +157,11 @@ object IncrementalDedup {
         bandedSignatures(corpus, idCol, textCol, shingleSize, numHashes, bands))
       // batch vs corpus, plus batch vs smaller-id batch docs (the larger
       // id of a new duplicate pair is the duplicate, mirroring
-      // exactKeepers' min-id-wins rule)
-      val oldCands = probeCandidates(store, batchBanded)
+      // exactKeepers' min-id-wins rule). The probe filter only pays off
+      // against a PERSISTED store scan (bucket pruning) — the computed
+      // fallback joins directly.
+      val oldCands = probeCandidates(store, batchBanded,
+        pushProbeFilter = corpusBanded.isDefined)
       val newCands = batchBanded.as("a")
         .join(batchBanded.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

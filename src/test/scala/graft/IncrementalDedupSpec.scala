@@ -16,6 +16,22 @@ class IncrementalDedupSpec extends SparkSpec {
   private def batch = docs.where(col("doc_id") % 7 === 0)
   private def corpus = docs.where(col("doc_id") % 7 =!= 0)
 
+  /** Drop a managed test table AND its warehouse directory — a prior
+    * aborted run can leave the location behind with no catalog entry,
+    * which fails the next CREATE with LOCATION_ALREADY_EXISTS.
+    */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val dir = new java.io.File(new java.io.File(wh), name)
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(del)
+      f.delete(); ()
+    }
+    if (dir.exists) del(dir)
+  }
+
   /** Brute-force expected verdicts via exact word-shingle Jaccard over
     * batch x (corpus + smaller-id batch docs).
     */
@@ -61,6 +77,7 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 
   test("persisted store: probe scan bucket-prunes and matches the in-memory path") {
+    resetTable("inc_store")
     val corpusBanded = IncrementalDedup.bandedSignatures(corpus, "doc_id", "text")
     IncrementalDedup.writeStore(corpusBanded, "inc_store", numBuckets = 16)
     val store = IncrementalDedup.loadStore(spark, "inc_store")
@@ -85,10 +102,11 @@ class IncrementalDedupSpec extends SparkSpec {
       val va = viaStore.collect().map(_.toSeq).toSet
       val vb = inMem.collect().map(_.toSeq).toSet
       assert(va == vb)
-    } finally { viaStore.unpersist(); inMem.unpersist() }
+    } finally { viaStore.unpersist(); inMem.unpersist(); resetTable("inc_store") }
   }
 
   test("append keeps the bucket spec and extends the store") {
+    resetTable("inc_store_app")
     val half1 = IncrementalDedup.bandedSignatures(
       corpus.where(col("doc_id") < 250), "doc_id", "text")
     val half2 = IncrementalDedup.bandedSignatures(
@@ -103,6 +121,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val probe = IncrementalDedup.probeCandidates(store,
       IncrementalDedup.bandedSignatures(batch, "doc_id", "text"))
     assert(probe.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"))
+    resetTable("inc_store_app")
   }
 
   test("probe-set cap: over-cap batches fall back to the plain join, same answer") {
