@@ -20,12 +20,17 @@ import graft.sources.BucketedCorpus
   *    ([[writeStore]] — the [[graft.sources.BucketedCorpus]] discipline).
   *    Store size: `bands` longs + one id per document, independent of
   *    document length.
-  *  - At ingest, the batch is signatured (one scan of the batch), and
-  *    the store is probed ONLY on the batch's bucket values: the probe
-  *    filter is pushed as a literal IN on the bucketing column, so the
-  *    scan reads the matching file-buckets (`SelectedBucketsCount` in
-  *    the plan), not the corpus-sized store. A batch of b docs touches
-  *    at most b*bands buckets of the store regardless of corpus size.
+  *  - At ingest, the batch is signatured (one scan of the batch). A
+  *    SMALL batch probes the store only on its own bucket values: the
+  *    probe filter is pushed as a literal IN on the bucketing column,
+  *    so the scan reads the matching file-buckets
+  *    (`SelectedBucketsCount` in the plan) — b docs touch at most
+  *    b*bands buckets regardless of store size, the micro-batch/point
+  *    regime. A LARGE batch (over `graft.incdedup.maxProbeBuckets`
+  *    distinct buckets) instead joins against one full store scan with
+  *    the batch side broadcast — the store is read once and NEVER
+  *    shuffled, which is the correct large-batch plan (its buckets
+  *    cover most of the store, so pruning cannot help).
   *  - Candidates (batch x store plus batch x earlier-batch) are
   *    confirmed with EXACT word-shingle Jaccard — shingles are computed
   *    for the batch and for the MATCHED corpus ids only (semi-join
@@ -94,12 +99,18 @@ object IncrementalDedup {
     BucketedCorpus.load(spark, table)
 
   /** Candidate (doc_id, match_id) pairs of a signatured batch against a
-    * signatured store. When the batch's distinct bucket values fit the
-    * driver cap (`graft.incdedup.maxProbeBuckets`, default 1M — 8 MB of
-    * longs), they are pushed as a literal IN filter on the store's
-    * bucketing column so a bucketed store scan reads only the matching
-    * file-buckets; above the cap the probe falls back to the plain
-    * equi-join (a batch that large amortizes a store shuffle anyway).
+    * signatured store. When the batch's distinct bucket values fit
+    * `graft.incdedup.maxProbeBuckets` (default 1024), they are pushed as
+    * a literal IN on the store's bucketing column so a bucketed store
+    * scan reads only the matching file-buckets — the POINT-PROBE
+    * optimization for small/continuous micro-batch ingest, where a
+    * handful of docs touches a handful of buckets of an arbitrarily
+    * large store. Above the cap the probe is the plain equi-join: a
+    * large batch's buckets cover most of the store anyway, so the right
+    * plan is ONE full store scan with the batch side broadcast — and a
+    * wide literal IN is actively harmful (measured at sf1: a 22k-value
+    * IN made the store probe 30x slower than the plain join; giant IN
+    * lists poison codegen/pushdown without pruning anything).
     *
     * `pushProbeFilter = false` skips the collect + IN entirely — right
     * when the store is a computed in-memory frame rather than a
@@ -112,7 +123,7 @@ object IncrementalDedup {
       pushProbeFilter: Boolean = true): DataFrame = {
     val spark = store.sparkSession
     val cap = math.min(
-      graft.util.Conf.long(spark, "graft.incdedup.maxProbeBuckets", 1000000L),
+      graft.util.Conf.long(spark, "graft.incdedup.maxProbeBuckets", 1024L),
       Int.MaxValue.toLong - 1)
     val probeSet =
       if (pushProbeFilter)

@@ -83,11 +83,21 @@ class IncrementalDedupSpec extends SparkSpec {
     val store = IncrementalDedup.loadStore(spark, "inc_store")
     val batchBanded = IncrementalDedup.bandedSignatures(batch, "doc_id", "text")
 
-    val pruned = IncrementalDedup.probeCandidates(store, batchBanded)
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount"),
-      s"store probe must bucket-prune; plan:\n${plan.take(2000)}")
+    // point-probe regime: a small batch's bucket values fit the IN cap
+    // and the store scan must read a strict subset of the file-buckets
+    val microBatch = IncrementalDedup.bandedSignatures(
+      batch.where(col("doc_id") % 97 === 0), "doc_id", "text")
+    val microProbe = IncrementalDedup.probeCandidates(store, microBatch)
+    val microPlan = microProbe.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(microPlan)
+    assert(sel.isDefined,
+      s"micro-batch store probe must bucket-prune; plan:\n${microPlan.take(2000)}")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      s"micro-batch probe must read a strict subset of buckets: ${sel.get.matched}")
 
+    // large-batch regime: over the cap, the probe is the plain join
+    val pruned = IncrementalDedup.probeCandidates(store, batchBanded)
     val direct = IncrementalDedup.probeCandidates(corpusBanded, batchBanded)
     val a = pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val b = direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -117,9 +127,10 @@ class IncrementalDedupSpec extends SparkSpec {
     val store = IncrementalDedup.loadStore(spark, "inc_store_app")
     val full = IncrementalDedup.bandedSignatures(corpus, "doc_id", "text")
     assert(store.count() == full.count())
-    // appended store still bucket-prunes
+    // appended store still bucket-prunes a small probe
     val probe = IncrementalDedup.probeCandidates(store,
-      IncrementalDedup.bandedSignatures(batch, "doc_id", "text"))
+      IncrementalDedup.bandedSignatures(
+        batch.where(col("doc_id") % 97 === 0), "doc_id", "text"))
     assert(probe.queryExecution.executedPlan.toString.contains("SelectedBucketsCount"))
     resetTable("inc_store_app")
   }
