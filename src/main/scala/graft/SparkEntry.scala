@@ -1090,6 +1090,14 @@ object SparkEntry {
         docs.where(col("doc_id") % 7 === 0),
         "doc_id", "text", threshold = 0.7)
     },
+    // Leakage-safe split: near-dup groups (same LSH+confirm+components
+    // machinery as q_neardup_components) share one split via the
+    // portable md5 hash of the group representative.
+    "q_leakage_split" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.leakageSafeSplit(t(dir, "documents"), "doc_id", "text",
+        Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
+    },
     "q_neardup_components" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // pairwise minhash candidates -> transitive dedup groups via
@@ -3209,6 +3217,35 @@ object SparkEntry {
         |FROM pruned a JOIN pruned b
         |  ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    // Leakage-safe split replay: same recursive-CTE components as
+    // q_neardup_components, then the house md5 split on the group key.
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE sh AS (
+        |  SELECT doc_id, ${shingleListSql(3)} AS s
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |  WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+        |        / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION SELECT id_b, id_a FROM p),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+        |keyed AS (
+        |  SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS group_key
+        |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id)
+        |SELECT doc_id, group_key,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, group_key,
+        |        ('0x' || substr(md5('graft:' || group_key::VARCHAR), 1, 8))::UBIGINT
+        |          / 4294967296.0 AS u
+        |      FROM keyed)""".stripMargin,
     "q_neardup_components" ->
       s"""WITH RECURSIVE sh AS (
         |  SELECT doc_id, ${shingleListSql(3)} AS s

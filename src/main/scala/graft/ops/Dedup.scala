@@ -597,6 +597,43 @@ object Dedup {
       .groupBy(col("comp"))
       .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("group_size"))
 
+  /** Leakage-safe train/val/test split: near-duplicate documents land in
+    * the SAME split, or held-out evaluation leaks training content
+    * through paraphrases — the dedup-aware split discipline that makes a
+    * test set actually held out (Lee et al. 2022 §6 observe train-test
+    * overlap inflating eval; the standard remedy is splitting by
+    * duplicate GROUP, not by document).
+    *
+    * The split key is the document's near-dup component label (min id of
+    * its [[minhashDedup]] component; singletons key on themselves), and
+    * the split assignment is the portable md5 hash split
+    * ([[TextOps.splitByHash]]) of that key — so the whole composition
+    * (LSH candidates, exact confirm, components, keyed split) is
+    * deterministic and replays in SQL (q_leakage_split).
+    *
+    * Scale shape: inherits minhashDedup's banded equi-join and the
+    * BSP components (both audited); the split itself is a projection.
+    * Returns (doc_id, group_key, split).
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labels: Seq[String],
+      weights: Seq[Double],
+      threshold: Double = 0.7,
+      salt: String = "graft"): DataFrame = {
+    val pairs = minhashDedup(df, idCol, textCol, threshold)
+    try {
+      val comps = connectedComponents(pairs, "id_a", "id_b")
+      val withKey = df.select(col(idCol).cast("long").as("doc_id"))
+        .join(comps.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("group_key"))
+      TextOps.splitByHash(withKey, "group_key", labels, weights, salt)
+        .select(col("doc_id"), col("group_key"), col("split"))
+    } finally pairs.unpersist()
+  }
+
   /** Substring-level exact dedup: remove duplicated token SPANS from
     * documents rather than whole documents (the ExactSubstr setting of
     * Lee et al. 2022, "Deduplicating Training Data Makes Language Models

@@ -65,4 +65,32 @@ class ComponentsSpec extends SparkSpec {
     assert(local == bsp)
     assert(local(5L) == 3L && local(42L) == 40L && local(13L) == 13L && local(119L) == 100L)
   }
+
+  test("leakageSafeSplit: every near-dup group shares one split; singletons match the id split") {
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text",
+      Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == docs.count())
+    // all docs sharing a group_key share the split (true by construction;
+    // asserts the key join didn't duplicate or drop)
+    rows.groupBy(_._2).foreach { case (k, g) =>
+      assert(g.map(_._3).distinct.length == 1, s"group $k split disagreement")
+    }
+    // at least one multi-doc group exists at threshold 0.7 on this corpus
+    assert(rows.groupBy(_._2).exists(_._2.length > 1), "fixture must contain a near-dup group")
+    // singletons: split equals the plain hash split of the id itself
+    val single = rows.filter(r => r._1 == r._2).take(50)
+    val plain = graft.ops.TextOps.splitByHash(
+        docs.select(org.apache.spark.sql.functions.col("doc_id")), "doc_id",
+        Seq("train", "val", "test"), Seq(0.8, 0.1, 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    single.foreach { case (id, _, s) => assert(plain(id) == s, s"singleton $id") }
+    // members of a group get the KEEPER's split, not their own
+    rows.find(r => r._1 != r._2).foreach { case (id, key, s) =>
+      assert(plain(key) == s, s"doc $id must take group $key's split")
+    }
+  }
 }

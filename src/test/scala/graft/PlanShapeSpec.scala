@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Consolidated physical-plan regression guards: the load-bearing plan
+  * properties PLANS.md's audit documents, asserted on EXECUTED plans so
+  * an operator edit (or Spark upgrade) that silently degrades the plan
+  * fails a test instead of a scale run. Complements the per-operator
+  * assertions in BucketedCorpusSpec (zero-Exchange co-located joins),
+  * IncrementalDedupSpec (bucket-pruned probes), CurateSpec (broadcast
+  * eval sides), and GraftFunctionsSpec (WholeStageCodegen distances).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def exchanges(plan: String): Int =
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+
+  test("model transform is a pure projection: zero Exchange, no shuffle") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val model = new graft.clustering.GeneralizedKMeans()
+      .setK(4).setFeaturesCol("embedding").setSeed(1).setMaxIter(2)
+      .fit(emb)
+    val out = model.transform(emb)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"transform must not shuffle; plan:\n${plan.take(1500)}")
+  }
+
+  test("brute-force top-k plans a map-side WindowGroupLimit before the shuffle") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val out = graft.ops.Similarity.bruteForceTopK(
+      emb, emb.where(col("id") < 4), "id", "v", k = 5)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must partial-limit per group before exchanging; plan:\n${plan.take(1500)}")
+  }
+
+  test("gopherRules is one projection over the scan: zero Exchange") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val out = graft.ops.TextOps.gopherRules(docs, "doc_id", "text")
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"rule table must not shuffle; plan:\n${plan.take(1500)}")
+  }
+
+  test("dimension joins broadcast: the fact side shuffles only for the final agg") {
+    val dir = TestSpark.sf0001
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val q = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name")).agg(sum(col("o_totalprice")).as("rev"))
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim joins must broadcast; plan:\n${plan.take(1500)}")
+    assert(exchanges(plan) <= 2,
+      s"only the partial/final agg may shuffle, found ${exchanges(plan)}; plan:\n${plan.take(1500)}")
+  }
+}
