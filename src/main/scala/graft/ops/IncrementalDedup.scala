@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.storage.StorageLevel
 
 import graft.sources.BucketedCorpus
@@ -218,5 +219,87 @@ object IncrementalDedup {
     } finally {
       batchBanded.unpersist()
     }
+  }
+
+  /** CONTINUOUS ingest: dedup a document stream against everything ever
+    * admitted, via foreachBatch over two persistent bucketed tables —
+    * `<store>` (banded signatures, bucketed by bucket: the probe side)
+    * and `<store>_docs` (admitted id/text, bucketed by id: the
+    * exact-confirm side; signatures alone cannot confirm Jaccard). Per
+    * micro-batch: verdict vs the current store ([[ingestVerdict]] — so
+    * within-batch duplicates also resolve), `sink` receives the verdict
+    * frame, and ONLY the admitted docs (dup_of null — novel docs and
+    * one representative per new duplicate group) append their
+    * signatures and texts. Duplicates are never stored, so the store
+    * grows with the corpus's NOVEL mass, not its arrival rate.
+    *
+    * Contrast with [[graft.streaming.StreamDedup]]: that family keeps
+    * watermark-BOUNDED state (duplicates beyond the horizon are
+    * forgotten — the unbounded-feed shape); this one trades bounded
+    * state for permanent memory backed by storage, which is what a
+    * training-corpus ingest actually wants (a document is a duplicate
+    * no matter when its original arrived). State lives in tables, not
+    * the state store, so the stream restarts cleanly from the tables'
+    * contents.
+    *
+    * Batch ids must be globally unique and larger than all previously
+    * admitted ids for the min-id keeper rule to be stable across
+    * batches (monotonic ingest ids — the natural ingest numbering).
+    */
+  def ingestStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      storeTable: String,
+      sink: (DataFrame, Long) => Unit,
+      checkpointDir: String,
+      threshold: Double = 0.7,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      numBuckets: Int = 64): StreamingQuery = {
+    require(docs.isStreaming, "ingestStream needs a streaming frame; use ingestVerdict for batch")
+    val docsTable = storeTable + "_docs"
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (b.count() > 0) {
+            val storeExists = spark.catalog.tableExists(storeTable)
+            val corpus =
+              if (storeExists) BucketedCorpus.load(spark, docsTable)
+              else spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+            val verdict0 = ingestVerdict(corpus, b, "doc_id", "text",
+              threshold, shingleSize, numHashes, bands,
+              corpusBanded = if (storeExists) Some(loadStore(spark, storeTable)) else None)
+            // SNAPSHOT the verdict before touching the tables: the
+            // appends below invalidate any cached plan that READS the
+            // store tables (Spark uncaches dependents on insert), and a
+            // lazily recomputed verdict would then see the batch's own
+            // rows in the store — a doc would "duplicate" itself. The
+            // local checkpoint cuts lineage to the tables entirely.
+            val verdict = verdict0.localCheckpoint(true)
+            verdict0.unpersist()
+            val admitted = b.join(
+              verdict.where(col("dup_of").isNull).select(col("doc_id")), Seq("doc_id"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            admitted.count()
+            val mode = if (storeExists) SaveMode.Append else SaveMode.Overwrite
+            writeStore(
+              bandedSignatures(admitted, "doc_id", "text", shingleSize, numHashes, bands),
+              storeTable, numBuckets, mode = mode)
+            BucketedCorpus.write(admitted, docsTable, "doc_id", numBuckets, mode = mode)
+            sink(verdict, batchId)
+            verdict.unpersist()
+            admitted.unpersist()
+          }
+        } finally b.unpersist()
+        ()
+      }
+      .start()
   }
 }

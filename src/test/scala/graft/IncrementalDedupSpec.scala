@@ -148,6 +148,53 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.incdedup.maxProbeBuckets")
   }
 
+  test("ingestStream: verdicts vs everything ever admitted; duplicates never enter the store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    resetTable("inc_stream"); resetTable("inc_stream_docs")
+    val ckpt = java.nio.file.Files.createTempDirectory("inc-stream-ckpt").toString
+    val d0 = "a b c d e f g h i j"
+    val dup = d0 + " k" // word-3-gram jaccard vs d0 = 8/9 ~ 0.889 >= 0.7
+    val novel = "z y x w v u t s r q"
+    val stream = MemoryStream[(Long, String)]
+    val verdicts = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val q = graft.ops.IncrementalDedup.ingestStream(
+      stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+      "doc_id", "text", "inc_stream",
+      (v, _) => verdicts ++= v.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))),
+      ckpt)
+    try {
+      stream.addData((0L, d0), (1L, dup))
+      q.processAllAvailable()
+      assert(verdicts.toSet == Set((0L, None), (1L, Some(0L))),
+        s"batch 1 verdicts: $verdicts")
+      verdicts.clear()
+      // 2 duplicates an ADMITTED doc; 3 is novel
+      stream.addData((2L, dup), (3L, novel))
+      q.processAllAvailable()
+      assert(verdicts.toSet == Set((2L, Some(0L)), (3L, None)),
+        s"batch 2 verdicts: $verdicts")
+      verdicts.clear()
+      // 4 duplicates a doc that was itself DROPPED as a duplicate —
+      // it must still resolve against the admitted representative
+      stream.addData((4L, d0 + " l"))
+      q.processAllAvailable()
+      assert(verdicts.toSet == Set((4L, Some(0L))), s"batch 3 verdicts: $verdicts")
+      // the store holds only admitted docs
+      val stored = graft.ops.IncrementalDedup.loadStore(spark, "inc_stream_docs")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(stored == Set(0L, 3L), s"store docs: $stored")
+      val sigIds = graft.ops.IncrementalDedup.loadStore(spark, "inc_stream")
+        .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(sigIds == Set(0L, 3L), s"store signature ids: $sigIds")
+    } finally {
+      q.stop()
+      resetTable("inc_stream"); resetTable("inc_stream_docs")
+    }
+  }
+
   test("banded signatures match the batch pipeline's banding bit-for-bit") {
     // the store must be the SAME family as Dedup.minhashCandidates: a
     // batch-vs-batch probe through IncrementalDedup reproduces the batch
