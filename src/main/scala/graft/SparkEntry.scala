@@ -3150,22 +3150,26 @@ object SparkEntry {
         |  FROM cand c JOIN norm na ON na.id = c.id_a JOIN norm nb ON nb.id = c.id_b)
         |WHERE cosine >= 0.85""".stripMargin,
     // Incremental dedup verdict replay: brute-force batch-vs-all exact
-    // word-shingle Jaccard in integer micro-units ((inter*1e6)//union —
-    // pure integer division both engines), best match ranked by the
-    // INTEGER (jaccard_micro desc, match_id asc) window.
+    // word-shingle Jaccard in HALF-UP integer micro-units
+    // ((2*inter*1e6 + union) // (2*union) = round(j*1e6) — pure integer
+    // division both engines, threshold semantics aligned with the batch
+    // pipeline's round(j,6)), best match ranked by the INTEGER
+    // (jaccard_micro desc, match_id asc) window.
     "q_incremental_dedup" ->
       s"""WITH sh AS (
         |  SELECT doc_id, ${shingleListSql(3)} AS s FROM documents),
         |conf AS (
         |  SELECT b.doc_id AS doc_id, m.doc_id AS match_id,
-        |    (len(list_intersect(b.s, m.s)) * 1000000)
-        |      // len(list_distinct(list_concat(b.s, m.s))) AS jaccard_micro
+        |    (len(list_intersect(b.s, m.s)) * 2000000
+        |       + len(list_distinct(list_concat(b.s, m.s))))
+        |      // (2 * len(list_distinct(list_concat(b.s, m.s)))) AS jaccard_micro
         |  FROM sh b JOIN sh m
         |    ON b.doc_id % 7 = 0
         |   AND ((m.doc_id % 7 <> 0) OR m.doc_id < b.doc_id)
         |   AND m.doc_id <> b.doc_id
-        |  WHERE (len(list_intersect(b.s, m.s)) * 1000000)
-        |      // len(list_distinct(list_concat(b.s, m.s))) >= 700000),
+        |  WHERE (len(list_intersect(b.s, m.s)) * 2000000
+        |       + len(list_distinct(list_concat(b.s, m.s))))
+        |      // (2 * len(list_distinct(list_concat(b.s, m.s)))) >= 700000),
         |ranked AS (
         |  SELECT doc_id, match_id, jaccard_micro,
         |    row_number() OVER (PARTITION BY doc_id

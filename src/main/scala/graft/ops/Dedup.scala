@@ -181,6 +181,19 @@ object Dedup {
     }
   }
 
+  /** (id, band, bucket) banding rows from a precomputed (id, sh) shingle
+    * frame — THE single definition of the banded-signature layout, shared
+    * by the batch candidate join below and [[IncrementalDedup]]'s
+    * persisted store (which must stay bit-compatible with it).
+    */
+  private[graft] def bandedFromShingles(
+      shingled: DataFrame, // columns: id, sh
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    val keysUdf = minhashBandKeysUdf(numHashes, bands)
+    shingled.select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "bucket")))
+  }
+
   /** MinHash-LSH candidate pairs from a precomputed (id, shingles) frame:
     * band the signature, bucket-join on (band, bucket), emit distinct
     * (id_a < id_b) pairs. The join is an equi-join on the banded key —
@@ -190,9 +203,7 @@ object Dedup {
       shingled: DataFrame, // columns: id, sh
       numHashes: Int,
       bands: Int): DataFrame = {
-    val keysUdf = minhashBandKeysUdf(numHashes, bands)
-    val banded = shingled
-      .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "bucket")))
+    val banded = bandedFromShingles(shingled, numHashes, bands)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -70,12 +70,11 @@ object IncrementalDedup {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 64,
-      bands: Int = 32): DataFrame = {
-    val keysUdf = Dedup.minhashBandKeysUdf(numHashes, bands)
-    Dedup.fanOut(df.select(col(idCol).cast("long").as("id"), col(textCol).as("__txt")))
-      .select(col("id"), TextOps.wordShingles(col("__txt"), shingleSize).as("sh"))
-      .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "bucket")))
-  }
+      bands: Int = 32): DataFrame =
+    Dedup.bandedFromShingles(
+      Dedup.fanOut(df.select(col(idCol).cast("long").as("id"), col(textCol).as("__txt")))
+        .select(col("id"), TextOps.wordShingles(col("__txt"), shingleSize).as("sh")),
+      numHashes, bands)
 
   /** Persist a banded-signature frame as the incremental store: a
     * catalog table bucketed (and sorted) by `bucket`, so ingest probes
@@ -135,9 +134,13 @@ object IncrementalDedup {
       if (pushProbeFilter && probeSet.length <= cap)
         store.where(col("bucket").isin(probeSet.toSeq: _*))
       else store
+    // the self-pair guard matters under at-least-once replay: a replayed
+    // micro-batch's docs are already in the store and must not match
+    // themselves
     pruned.as("s")
       .join(batchBanded.as("n"),
-        col("s.band") === col("n.band") && col("s.bucket") === col("n.bucket"))
+        col("s.band") === col("n.band") && col("s.bucket") === col("n.bucket") &&
+          col("s.id") =!= col("n.id"))
       .select(col("n.id").as("doc_id"), col("s.id").as("match_id"))
       .distinct()
   }
@@ -182,40 +185,51 @@ object IncrementalDedup {
         .distinct()
       val cands = oldCands.union(newCands).distinct()
       // exact-confirm shingles: batch side fully, corpus side ONLY the
-      // matched ids (semi-join first — candidates << corpus)
+      // matched ids (semi-join first — candidates << corpus).
+      // dropDuplicates("id") makes the confirm tolerant of duplicate
+      // store doc rows (a crashed-then-replayed append leaves them;
+      // candidates are distinct already, this keeps the join 1:1)
       val matchedCorpus = corpus
         .select(col(idCol).cast("long").as("id"), col(textCol).as("__txt"))
         .join(cands.select(col("match_id").as("id")).distinct(), Seq("id"), "left_semi")
       val sh = Dedup.fanOut(batchIdText.unionByName(matchedCorpus))
         .select(col("id"), TextOps.wordShingles(col("__txt"), shingleSize).as("sh"))
+        .dropDuplicates("id")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val confirmed = cands
-        .join(sh.select(col("id").as("doc_id"), col("sh").as("sh_a")), "doc_id")
-        .join(sh.select(col("id").as("match_id"), col("sh").as("sh_b")), "match_id")
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
-        // integer micro-unit jaccard: floor(inter*1e6/uni) >= t*1e6 is
-        // exactly inter/uni >= t for integer thresholds — no double
-        // exists on either engine's side of the contract
-        .withColumn("jaccard_micro", call_function("div", col("inter") * lit(1000000L), col("uni")))
-        .where(col("jaccard_micro") >= lit(thresholdMicro))
-        .select(col("doc_id"), col("match_id"), col("jaccard_micro"))
-      val best = confirmed
-        .groupBy(col("doc_id"))
-        .agg(
-          max_by(struct(col("jaccard_micro"), (-col("match_id")).as("neg_id")),
-            struct(col("jaccard_micro"), (-col("match_id")).as("neg_id"))).as("best"),
-          count(lit(1)).as("n_dup_matches"))
-        .select(col("doc_id"), (-col("best.neg_id")).as("dup_of"),
-          col("best.jaccard_micro").as("jaccard_micro"), col("n_dup_matches"))
-      val out = batchIdText.select(col("id").as("doc_id"))
-        .join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("dup_of"),
-          col("jaccard_micro"), coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      out.count() // materialize so the shingle/banded caches can release
-      sh.unpersist()
-      out
+      try {
+        val confirmed = cands
+          .join(sh.select(col("id").as("doc_id"), col("sh").as("sh_a")), "doc_id")
+          .join(sh.select(col("id").as("match_id"), col("sh").as("sh_b")), "match_id")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+          // integer micro-unit jaccard, HALF-UP nearest: floor((2a*1e6+b)
+          // / 2b) = round(a/b * 1e6), so the threshold agrees with the
+          // batch pipeline's round(j, 6) >= t (minhashDedup) instead of
+          // floor-truncating a pair 1 micro below it — and still no
+          // double exists on either engine's side of the contract
+          .withColumn("jaccard_micro", call_function("div",
+            col("inter") * lit(2000000L) + col("uni"), col("uni") * lit(2L)))
+          .where(col("jaccard_micro") >= lit(thresholdMicro))
+          .select(col("doc_id"), col("match_id"), col("jaccard_micro"))
+        val best = confirmed
+          .groupBy(col("doc_id"))
+          .agg(
+            max_by(struct(col("jaccard_micro"), (-col("match_id")).as("neg_id")),
+              struct(col("jaccard_micro"), (-col("match_id")).as("neg_id"))).as("best"),
+            count(lit(1)).as("n_dup_matches"))
+          .select(col("doc_id"), (-col("best.neg_id")).as("dup_of"),
+            col("best.jaccard_micro").as("jaccard_micro"), col("n_dup_matches"))
+        val out = batchIdText.select(col("id").as("doc_id"))
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"),
+            col("jaccard_micro"), coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize so the shingle/banded caches can release; if the
+        // job fails, release out too instead of leaking the cache entry
+        try out.count()
+        catch { case t: Throwable => out.unpersist(); throw t }
+        out
+      } finally sh.unpersist()
     } finally {
       batchBanded.unpersist()
     }
@@ -245,6 +259,18 @@ object IncrementalDedup {
     * Batch ids must be globally unique and larger than all previously
     * admitted ids for the min-id keeper rule to be stable across
     * batches (monotonic ingest ids — the natural ingest numbering).
+    *
+    * REPLAY SAFETY (foreachBatch is at-least-once): a `<store>_meta`
+    * table records the last batchId whose appends committed — a
+    * replayed batch recomputes and re-delivers its verdict (correct
+    * even against the post-append store: the probe excludes self-pairs
+    * and admitted co-batch docs are not near-dups of each other) but
+    * skips the appends. A crash BETWEEN the two table appends either
+    * repairs on replay (first batch: store treated as absent unless
+    * both tables exist → clean overwrite) or re-appends both (later
+    * batches: duplicate signature/doc rows are tolerated — candidates
+    * are distinct and the confirm dedups ids — at the cost of dead
+    * storage).
     */
   def ingestStream(
       docs: DataFrame,
@@ -260,15 +286,26 @@ object IncrementalDedup {
       numBuckets: Int = 64): StreamingQuery = {
     require(docs.isStreaming, "ingestStream needs a streaming frame; use ingestVerdict for batch")
     val docsTable = storeTable + "_docs"
+    val metaTable = storeTable + "_meta"
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        import spark.implicits._
         val b = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           if (b.count() > 0) {
-            val storeExists = spark.catalog.tableExists(storeTable)
+            // the store is "present" only when BOTH tables exist: a crash
+            // between the first batch's two writes leaves a half-pair,
+            // which the replay then cleanly overwrites
+            val storeExists = spark.catalog.tableExists(storeTable) &&
+              spark.catalog.tableExists(docsTable)
+            val lastCommitted =
+              if (spark.catalog.tableExists(metaTable))
+                spark.table(metaTable)
+                  .select(coalesce(max(col("batch_id")), lit(-1L))).collect()(0).getLong(0)
+              else -1L
             val corpus =
               if (storeExists) BucketedCorpus.load(spark, docsTable)
               else spark.createDataFrame(
@@ -284,18 +321,23 @@ object IncrementalDedup {
             // local checkpoint cuts lineage to the tables entirely.
             val verdict = verdict0.localCheckpoint(true)
             verdict0.unpersist()
-            val admitted = b.join(
-              verdict.where(col("dup_of").isNull).select(col("doc_id")), Seq("doc_id"))
-              .persist(StorageLevel.MEMORY_AND_DISK)
-            admitted.count()
-            val mode = if (storeExists) SaveMode.Append else SaveMode.Overwrite
-            writeStore(
-              bandedSignatures(admitted, "doc_id", "text", shingleSize, numHashes, bands),
-              storeTable, numBuckets, mode = mode)
-            BucketedCorpus.write(admitted, docsTable, "doc_id", numBuckets, mode = mode)
+            if (batchId > lastCommitted) {
+              val admitted = b.join(
+                verdict.where(col("dup_of").isNull).select(col("doc_id")), Seq("doc_id"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              admitted.count()
+              val mode = if (storeExists) SaveMode.Append else SaveMode.Overwrite
+              writeStore(
+                bandedSignatures(admitted, "doc_id", "text", shingleSize, numHashes, bands),
+                storeTable, numBuckets, mode = mode)
+              BucketedCorpus.write(admitted, docsTable, "doc_id", numBuckets, mode = mode)
+              // commit marker LAST: replays of this batchId skip the appends
+              Seq(batchId).toDF("batch_id").write
+                .mode(SaveMode.Overwrite).format("parquet").saveAsTable(metaTable)
+              admitted.unpersist()
+            }
             sink(verdict, batchId)
             verdict.unpersist()
-            admitted.unpersist()
           }
         } finally b.unpersist()
         ()

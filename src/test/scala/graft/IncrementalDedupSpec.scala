@@ -45,8 +45,9 @@ class IncrementalDedupSpec extends SparkSpec {
           (col("m.id") % 7 === 0 && col("m.id") < col("b.id")))
       .select(col("b.id").as("doc_id"), col("m.id").as("match_id"),
         call_function("div",
-          size(array_intersect(col("b.sh"), col("m.sh"))).cast("long") * lit(1000000L),
-          size(array_union(col("b.sh"), col("m.sh"))).cast("long")).as("jm"))
+          size(array_intersect(col("b.sh"), col("m.sh"))).cast("long") * lit(2000000L) +
+            size(array_union(col("b.sh"), col("m.sh"))).cast("long"),
+          size(array_union(col("b.sh"), col("m.sh"))).cast("long") * lit(2L)).as("jm"))
       .where(col("jm") >= math.round(threshold * 1e6))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     pairs.groupBy(_._1).map { case (d, ms) =>
@@ -152,7 +153,7 @@ class IncrementalDedupSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
-    resetTable("inc_stream"); resetTable("inc_stream_docs")
+    resetTable("inc_stream"); resetTable("inc_stream_docs"); resetTable("inc_stream_meta")
     val ckpt = java.nio.file.Files.createTempDirectory("inc-stream-ckpt").toString
     val d0 = "a b c d e f g h i j"
     val dup = d0 + " k" // word-3-gram jaccard vs d0 = 8/9 ~ 0.889 >= 0.7
@@ -189,9 +190,23 @@ class IncrementalDedupSpec extends SparkSpec {
       val sigIds = graft.ops.IncrementalDedup.loadStore(spark, "inc_stream")
         .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
       assert(sigIds == Set(0L, 3L), s"store signature ids: $sigIds")
+      // the commit marker records the last appended batch
+      assert(spark.table("inc_stream_meta").collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // a replayed batch (simulated: verdict against the post-append
+      // store) still resolves correctly — self-pairs are excluded, so
+      // admitted docs stay novel and duplicates still match the keeper
+      val replay = graft.ops.IncrementalDedup.ingestVerdict(
+        graft.ops.IncrementalDedup.loadStore(spark, "inc_stream_docs"),
+        Seq((4L, d0 + " l")).toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.7,
+        corpusBanded = Some(graft.ops.IncrementalDedup.loadStore(spark, "inc_stream")))
+      try {
+        val r = replay.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(r == Seq((4L, 0L)), s"replayed verdict: $r")
+      } finally replay.unpersist()
     } finally {
       q.stop()
-      resetTable("inc_stream"); resetTable("inc_stream_docs")
+      resetTable("inc_stream"); resetTable("inc_stream_docs"); resetTable("inc_stream_meta")
     }
   }
 

@@ -179,9 +179,14 @@ class ProfileSpec extends SparkSpec {
   test("gopherRules: integer cross-multiplication matches the ratio form on the corpus") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val out = TextOps.gopherRules(docs, "doc_id", "text", minWords = 45L)
+    // SAME tokenization as gopherRules (empty tokens dropped): split()
+    // alone would count empties from doubled spaces and compare the
+    // integer rules against a different word count
+    val toksR = filter(split(col("text"), " "), t => t =!= "")
     val viaRatio = docs.select(col("doc_id"),
-        (size(split(col("text"), " ")).cast("double")).as("nw"),
-        (TextOps.meanWordLen(col("text"))).as("ml"))
+        size(toksR).cast("double").as("nw"),
+        (aggregate(toksR, lit(0), (a, t) => a + length(t)).cast("double") /
+          size(toksR)).as("ml"))
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     out.collect().foreach { r =>
       val (nw, ml) = viaRatio(r.getLong(0))
