@@ -110,6 +110,17 @@ object SparkEntry {
   private def shingleRowsSql(n: Int, textSql: String = "text"): String =
     s"unnest(${shingleListSql(n, textSql)})"
 
+  /** HALF-UP integer micro-unit Jaccard of two shingle-list SQL
+    * expressions: (2·|∩|·1e6 + |∪|) // (2·|∪|) = round(j·1e6) — pure
+    * integer arithmetic, THE definition behind
+    * [[graft.ops.IncrementalDedup.ingestVerdict]]'s confirm step.
+    * Single fragment shared by every incremental-dedup oracle.
+    */
+  private def halfUpJaccardMicroSql(aSh: String, bSh: String): String =
+    s"(len(list_intersect($aSh, $bSh)) * 2000000" +
+      s" + len(list_distinct(list_concat($aSh, $bSh))))" +
+      s" // (2 * len(list_distinct(list_concat($aSh, $bSh))))"
+
   /** The four integer counts feeding [[graft.ops.TextOps.qualityScoreMicro]],
     * as a DuckDB select-list fragment emitting columns len / n_tokens /
     * n_stop / n_noise. Single definition — every quality-micro oracle
@@ -1089,6 +1100,26 @@ object SparkEntry {
         docs.where(col("doc_id") % 7 =!= 0),
         docs.where(col("doc_id") % 7 === 0),
         "doc_id", "text", threshold = 0.7)
+    },
+    // Chained two-batch ingest: exactly the per-micro-batch cycle
+    // IncrementalDedup.ingestStream runs (verdict vs admitted-so-far,
+    // then admit novel docs), unrolled for two batches so the WHOLE
+    // chain — including the fact that batch 2 compares against
+    // ADMITTED batch-1 docs only, not dropped duplicates — hash-checks
+    // against SQL.
+    "q_ingest_chain" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents").select(col("doc_id"), col("text"))
+      val b1 = docs.where(col("doc_id") % 2 === 0)
+      val b2 = docs.where(col("doc_id") % 2 =!= 0)
+      val empty = docs.where(lit(false))
+      val v1 = graft.ops.IncrementalDedup.ingestVerdict(empty, b1, "doc_id", "text",
+        threshold = 0.7)
+      val admitted1 = b1.join(
+        v1.where(col("dup_of").isNull).select(col("doc_id")), Seq("doc_id"))
+      val v2 = graft.ops.IncrementalDedup.ingestVerdict(admitted1, b2, "doc_id", "text",
+        threshold = 0.7)
+      v1.withColumn("batch", lit(0L)).unionByName(v2.withColumn("batch", lit(1L)))
     },
     // Leakage-safe split: near-dup groups (same LSH+confirm+components
     // machinery as q_neardup_components) share one split via the
@@ -3160,16 +3191,12 @@ object SparkEntry {
         |  SELECT doc_id, ${shingleListSql(3)} AS s FROM documents),
         |conf AS (
         |  SELECT b.doc_id AS doc_id, m.doc_id AS match_id,
-        |    (len(list_intersect(b.s, m.s)) * 2000000
-        |       + len(list_distinct(list_concat(b.s, m.s))))
-        |      // (2 * len(list_distinct(list_concat(b.s, m.s)))) AS jaccard_micro
+        |    ${halfUpJaccardMicroSql("b.s", "m.s")} AS jaccard_micro
         |  FROM sh b JOIN sh m
         |    ON b.doc_id % 7 = 0
         |   AND ((m.doc_id % 7 <> 0) OR m.doc_id < b.doc_id)
         |   AND m.doc_id <> b.doc_id
-        |  WHERE (len(list_intersect(b.s, m.s)) * 2000000
-        |       + len(list_distinct(list_concat(b.s, m.s))))
-        |      // (2 * len(list_distinct(list_concat(b.s, m.s)))) >= 700000),
+        |  WHERE ${halfUpJaccardMicroSql("b.s", "m.s")} >= 700000),
         |ranked AS (
         |  SELECT doc_id, match_id, jaccard_micro,
         |    row_number() OVER (PARTITION BY doc_id
@@ -3221,6 +3248,55 @@ object SparkEntry {
         |FROM pruned a JOIN pruned b
         |  ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    // Two-batch ingest chain replay: v1 = brute force within batch 1
+    // (smaller ids); admitted = v1's novel docs; v2 = batch 2 vs
+    // admitted ∪ smaller batch-2 ids. Same half-up micro jaccard and
+    // integer-ordered rank-1 window as q_incremental_dedup.
+    "q_ingest_chain" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, ${shingleListSql(3)} AS s FROM documents),
+        |c1 AS (
+        |  SELECT b.doc_id AS doc_id, m.doc_id AS match_id,
+        |    ${halfUpJaccardMicroSql("b.s", "m.s")} AS jaccard_micro
+        |  FROM sh b JOIN sh m
+        |    ON b.doc_id % 2 = 0 AND m.doc_id % 2 = 0 AND m.doc_id < b.doc_id
+        |  WHERE ${halfUpJaccardMicroSql("b.s", "m.s")} >= 700000),
+        |r1 AS (
+        |  SELECT doc_id, match_id, jaccard_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY jaccard_micro DESC, match_id ASC) AS rn
+        |  FROM c1),
+        |a1 AS (SELECT doc_id, count(*) AS n FROM c1 GROUP BY doc_id),
+        |v1 AS (
+        |  SELECT d.doc_id, r.match_id AS dup_of, r.jaccard_micro,
+        |    coalesce(a1.n, 0) AS n_dup_matches, 0 AS batch
+        |  FROM documents d
+        |  LEFT JOIN r1 r ON r.doc_id = d.doc_id AND r.rn = 1
+        |  LEFT JOIN a1 ON a1.doc_id = d.doc_id
+        |  WHERE d.doc_id % 2 = 0),
+        |adm AS (SELECT doc_id FROM v1 WHERE dup_of IS NULL),
+        |c2 AS (
+        |  SELECT b.doc_id AS doc_id, m.doc_id AS match_id,
+        |    ${halfUpJaccardMicroSql("b.s", "m.s")} AS jaccard_micro
+        |  FROM sh b JOIN sh m
+        |    ON b.doc_id % 2 = 1 AND (
+        |       m.doc_id IN (SELECT doc_id FROM adm)
+        |       OR (m.doc_id % 2 = 1 AND m.doc_id < b.doc_id))
+        |  WHERE ${halfUpJaccardMicroSql("b.s", "m.s")} >= 700000),
+        |r2 AS (
+        |  SELECT doc_id, match_id, jaccard_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY jaccard_micro DESC, match_id ASC) AS rn
+        |  FROM c2),
+        |a2 AS (SELECT doc_id, count(*) AS n FROM c2 GROUP BY doc_id),
+        |v2 AS (
+        |  SELECT d.doc_id, r.match_id AS dup_of, r.jaccard_micro,
+        |    coalesce(a2.n, 0) AS n_dup_matches, 1 AS batch
+        |  FROM documents d
+        |  LEFT JOIN r2 r ON r.doc_id = d.doc_id AND r.rn = 1
+        |  LEFT JOIN a2 ON a2.doc_id = d.doc_id
+        |  WHERE d.doc_id % 2 = 1)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin,
     // Leakage-safe split replay: same recursive-CTE components as
     // q_neardup_components, then the house md5 split on the group key.
     "q_leakage_split" ->
