@@ -159,6 +159,43 @@ object IvfIndex {
     cells
   }
 
+  /** Append a new batch to a WRITTEN index without retraining — the
+    * ANN-side analogue of [[IncrementalDedup]]'s ingest path: the
+    * persisted quantizer assigns the batch to cells (bit-identical rule
+    * to build/load: nearest center, ties to the lowest index), and the
+    * rows append into their cell partitions. Ingest cost is one batch
+    * scan plus a partitioned write touching only the batch's cells —
+    * independent of index size. Returns the number of rows appended.
+    *
+    * The quantizer is FROZEN by design: as the corpus distribution
+    * drifts, cell populations skew, which degrades probe recall/cost
+    * balance but never correctness (a probe still searches the nProbe
+    * nearest cells of whatever is stored). Periodic retrain + rewrite
+    * is the maintenance story, same as FAISS IVF. Batch ids must be
+    * new — append performs no dedup (run the corpus through
+    * [[IncrementalDedup]] first; that is the pipeline order anyway).
+    */
+  def append(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Long = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, s"no centroids at $path — not a written IvfIndex")
+    val c = Dedup.fanOut(batch
+      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv")))
+    val cells = assignCells(c, cents)
+    try {
+      val n = cells.count()
+      cells.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      n
+    } finally { cells.unpersist(); () }
+  }
+
   /** Reopen a written index. The cells scan stays lazy — Spark prunes the
     * `cell=` partitions a probe filter selects.
     */

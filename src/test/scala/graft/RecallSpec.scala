@@ -172,6 +172,43 @@ class RecallSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("IvfIndex.append: incremental batch lands in the right cells; search equals a full rebuild") {
+    import spark.implicits._
+    val rnd = new java.util.Random(11)
+    val blobCenters = Array.fill(8)(Array.fill(8)(rnd.nextGaussian() * 5))
+    val pts = (0 until 600).map { i =>
+      val c = blobCenters(i % 8)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val all = pts.toDF("vec_id", "v")
+    val base = all.where(col("vec_id") < 400)
+    val batch = all.where(col("vec_id") >= 400)
+    val queries = all.where(col("vec_id") < 8)
+
+    val idx = graft.ops.IvfIndex.build(base, "vec_id", "v", nCells = 8, maxIter = 8, seed = 7)
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    try {
+      idx.write(dir)
+      val n = graft.ops.IvfIndex.append(spark, dir, batch, "vec_id", "v")
+      assert(n == 200L)
+      val appended = graft.ops.IvfIndex.load(spark, dir)
+      assert(appended.cells.count() == 600L)
+      // same quantizer over the full corpus = the ground truth layout
+      val rebuilt = graft.ops.IvfIndex.buildWithCenters(all, "vec_id", "v", idx.centroids)
+      val viaAppend = appended.search(queries, "vec_id", "v", k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val viaRebuild = rebuilt.search(queries, "vec_id", "v", k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(viaAppend == viaRebuild, "appended index search diverged from full rebuild")
+      rebuilt.unpersist()
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+    idx.unpersist()
+  }
+
   test("PqCodebook: encode/decode reconstruction beats a random codeword; ADC dot matches decoded dot") {
     val rnd = new java.util.Random(19)
     val sample = Array.fill(400)(Array.fill(32)(rnd.nextGaussian()))
