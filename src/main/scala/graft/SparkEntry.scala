@@ -1022,6 +1022,16 @@ object SparkEntry {
       graft.ops.Sampling.budgetSelect(t(dir, "documents"), "lang", "doc_id",
         TextOps.qualityScoreMicro(col("text")), TextOps.tokenCount(col("text")), 2000L)
     },
+    // Exact top-30%-by-quality selection WITHOUT a global sort (score
+    // histogram -> boundary score -> boundary fill by lowest id); the
+    // oracle is the single-window form the operator is contractually
+    // equal to. Integer score — rule-1 compliant ordering.
+    "q_select_top_quality" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val scored = t(dir, "documents").select(col("doc_id"),
+        TextOps.qualityScoreMicro(col("text")).as("quality_micro"))
+      graft.ops.Sampling.selectTopByScore(scored, "doc_id", "quality_micro", 0.3)
+    },
     // DSIR (Xie et al. 2023): importance weights of every doc under a
     // target-domain unigram LM (target = the corpus's German slice) vs
     // the raw-corpus LM, then Gumbel top-k resampling. logw is rounded
@@ -2933,6 +2943,16 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
         |  FROM d)
         |WHERE cum_tokens - n_tokens < 2000""".stripMargin,
+    "q_select_top_quality" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, ${qualityMicroSql()} AS quality_micro
+        |  FROM (SELECT doc_id, ${qualityCountsSql()} FROM documents)),
+        |r AS (
+        |  SELECT doc_id, quality_micro,
+        |    row_number() OVER (ORDER BY quality_micro DESC, doc_id ASC) AS rn
+        |  FROM q)
+        |SELECT doc_id, quality_micro FROM r
+        |WHERE rn <= CAST(ceil(0.3 * (SELECT count(*) FROM documents)) AS BIGINT)""".stripMargin,
     "q_dsir_weights" ->
       """WITH rawt AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token

@@ -255,4 +255,70 @@ object Sampling {
   def deterministicShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
     df.withColumn("shuffle_key", uniform(col(keyCol), seed))
       .orderBy(col("shuffle_key"), col(keyCol))
+
+  /** EXACT deterministic top-`fraction` selection by a scored INTEGER
+    * column — the "keep the best X% by quality" stage of a selection
+    * pipeline — WITHOUT a global sort or single-partition window:
+    *
+    *  1. per-score counts (two-phase map-side-combined aggregation; the
+    *     shuffle carries one row per DISTINCT score, bounded by the
+    *     score domain, never data rows),
+    *  2. driver cumulative sum over the distinct scores (descending)
+    *     finds the boundary score T where the budget k = ceil(f·n)
+    *     crosses — capped by `graft.select.maxDistinctScores`
+    *     (default 10M ≈ 160 MB; a micro-unit score domain),
+    *  3. rows with score > T survive outright (a filter on the scan);
+    *     the boundary score's remainder is filled by lowest id — a
+    *     sort+limit over ONLY the boundary rows (tiny by construction).
+    *
+    * Selection order contract: (score desc, id asc) — identical to the
+    * SQL window `row_number() OVER (ORDER BY score DESC, id ASC) <= k`
+    * that oracles it (q_select_top_quality), but executed without the
+    * window's single-partition bottleneck. Returns the selected
+    * (idCol, scoreCol) rows.
+    */
+  def selectTopByScore(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction must be in (0,1], got $fraction")
+    val spark = df.sparkSession
+    val scored = df.select(col(idCol), col(scoreCol).cast("long").as(scoreCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = scored.count()
+      if (n == 0) return scored.limit(0)
+      val k = math.ceil(fraction * n).toLong
+      val cap = graft.util.Conf.long(spark, "graft.select.maxDistinctScores", 10000000L)
+      val hist = scored.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+        .orderBy(col(scoreCol).desc)
+        .limit(math.min(cap + 1, Int.MaxValue.toLong - 1).toInt)
+        .collect()
+      require(hist.length <= cap,
+        s"distinct scores exceed graft.select.maxDistinctScores=$cap; " +
+          "coarsen the score (fewer micro-digits) or raise the cap")
+      var cum = 0L
+      var i = 0
+      while (i < hist.length && cum < k) { cum += hist(i).getLong(1); i += 1 }
+      val boundary = hist(i - 1).getLong(0) // score where the budget crosses
+      val aboveCount = cum - hist(i - 1).getLong(1)
+      val remainder = k - aboveCount
+      // the boundary fill is a TakeOrdered over ONLY score==T rows; its
+      // size is data-dependent (heavy ties at T), so it is capped with
+      // remediation rather than silently materializing O(k) driver rows
+      val boundaryCap = graft.util.Conf.long(spark, "graft.select.maxBoundaryRows", 10000000L)
+      require(remainder <= boundaryCap,
+        s"boundary fill needs $remainder rows > graft.select.maxBoundaryRows=$boundaryCap; " +
+          "the score ties too heavily at the cut — add a tiebreak digit to the score " +
+          "(e.g. blend in a keyed hash) or raise the cap")
+      val above = scored.where(col(scoreCol) > boundary)
+      val atBoundary = scored.where(col(scoreCol) === boundary)
+        .orderBy(col(idCol).asc)
+        .limit(math.min(remainder, Int.MaxValue.toLong - 1).toInt)
+      val out = above.unionByName(atBoundary)
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      out
+    } finally { scored.unpersist(); () }
+  }
 }

@@ -167,4 +167,45 @@ class SamplingSpec extends SparkSpec {
     assert(a.sorted.toSeq == (0L until 500L).toSeq)
     assert(a.toSeq != (0L until 500L).toSeq) // actually scrambled
   }
+
+  test("selectTopByScore equals the single-window selection (heavy ties included)") {
+    import spark.implicits._
+    // scores with heavy ties: score = id % 7 — the boundary score must
+    // fill by lowest id, exactly like the window form
+    val df = (0L until 300L).map(i => (i, i % 7)).toDF("id", "score")
+    for (f <- Seq(0.1, 0.3, 0.5, 1.0)) {
+      val got = Sampling.selectTopByScore(df, "id", "score", f)
+      try {
+        val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val k = math.ceil(f * 300).toLong
+        val expected = (0L until 300L).map(i => (i, i % 7))
+          .sortBy { case (id, s) => (-s, id) }.take(k.toInt).toSet
+        assert(gotSet == expected, s"fraction $f: ${gotSet.size} vs ${expected.size}")
+      } finally got.unpersist()
+    }
+  }
+
+  test("selectTopByScore on the corpus quality score is partition-invariant") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val scored = docs.select(col("doc_id"),
+      graft.ops.TextOps.qualityScoreMicro(col("text")).as("q"))
+    val a = Sampling.selectTopByScore(scored, "doc_id", "q", 0.3)
+    val b = Sampling.selectTopByScore(scored.repartition(13), "doc_id", "q", 0.3)
+    try {
+      assert(a.collect().map(_.getLong(0)).toSet == b.collect().map(_.getLong(0)).toSet)
+      assert(a.count() == math.ceil(0.3 * docs.count()).toLong)
+    } finally { a.unpersist(); b.unpersist() }
+  }
+
+  test("selectTopByScore boundary cap fires with remediation text") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, 1L)).toDF("id", "score") // all tied
+    spark.conf.set("graft.select.maxBoundaryRows", "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sampling.selectTopByScore(df, "id", "score", 0.5)
+      }
+      assert(e.getMessage.contains("maxBoundaryRows"))
+    } finally spark.conf.unset("graft.select.maxBoundaryRows")
+  }
 }
