@@ -102,9 +102,12 @@ object SparkEntry {
     * parity for just that query). `textSql` lets callers shingle a
     * substring or other text expression.
     */
+  private def shingleOccurrencesSql(n: Int, textSql: String = "text"): String =
+    s"list_transform(range(0, greatest(len(string_split($textSql, ' ')) - $n, 0) + 1), " +
+      s"i -> array_to_string(string_split($textSql, ' ')[i+1:i+$n], ' '))"
+
   private def shingleListSql(n: Int, textSql: String = "text"): String =
-    s"list_distinct(list_transform(range(0, greatest(len(string_split($textSql, ' ')) - $n, 0) + 1), " +
-      s"i -> array_to_string(string_split($textSql, ' ')[i+1:i+$n], ' ')))"
+    s"list_distinct(${shingleOccurrencesSql(n, textSql)})"
 
   /** [[shingleListSql]] unnested to one row per shingle. */
   private def shingleRowsSql(n: Int, textSql: String = "text"): String =
@@ -948,6 +951,12 @@ object SparkEntry {
       // concat-and-chunk packing layout: 512-token chunks, 8 parallel groups
       TextOps.packDocuments(t(dir, "documents"), "doc_id", "text",
         capacity = 512, nGroups = 8)
+    },
+    // Corpus boilerplate audit: top-100 word 5-grams by OCCURRENCE
+    // count (two-phase agg + TakeOrdered; deterministic tie order).
+    "q_frequent_ngrams" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      TextOps.frequentNgrams(t(dir, "documents"), "text", n = 5, k = 100)
     },
     // Cross-document duplicate n-gram coverage (Lee et al. 2021 signal,
     // n-gram approximation): per doc, the fraction of its distinct word
@@ -2828,6 +2837,12 @@ object SparkEntry {
         |  CAST(start % 512 AS BIGINT) AS offset,
         |  CAST(n_tokens AS INT) AS n_tokens
         |FROM c""".stripMargin,
+    "q_frequent_ngrams" ->
+      s"""SELECT ngram, count(*) AS cnt
+        |FROM (SELECT unnest(${shingleOccurrencesSql(5)}) AS ngram FROM documents)
+        |GROUP BY ngram
+        |ORDER BY cnt DESC, ngram ASC
+        |LIMIT 100""".stripMargin,
     "q_crossdoc_ngrams" ->
       s"""WITH sh AS (
         |  SELECT doc_id, ${shingleRowsSql(5)} AS g

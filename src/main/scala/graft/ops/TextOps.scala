@@ -628,6 +628,33 @@ object TextOps {
         round(col("n_dup_ngrams").cast("double") / col("n_ngrams"), 6).as("dup_frac"))
   }
 
+  /** Corpus-wide most-frequent word n-grams by OCCURRENCE count (not
+    * distinct-per-doc document frequency — a passage pasted 40 times
+    * into one doc counts 40) — the "what boilerplate dominates this
+    * corpus" audit table that decides substring-dedup/boilerplate
+    * thresholds. Two-phase map-side-combined count, then TakeOrdered of
+    * k rows; the shuffle carries (gram, partial count), never documents.
+    * Deterministic order: (cnt desc, ngram asc).
+    */
+  def frequentNgrams(
+      docs: DataFrame,
+      textCol: String,
+      n: Int = 5,
+      k: Int = 100): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = split(col("__t"), " ")
+    // occurrence multiset: every window position, NO array_distinct
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    Dedup.fanOut(docs.select(col(textCol).as("__t")))
+      .select(explode(grams).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** Bigram language-model quality signal — the next step up from
     * [[unigramNll]]: each document's mean negative log-likelihood of its
     * token BIGRAMS under the corpus's own MLE bigram model,

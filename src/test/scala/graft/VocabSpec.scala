@@ -209,4 +209,18 @@ class VocabSpec extends SparkSpec {
     // the order contract: an IP must never be half-eaten by the phone rule
     assert(!out(2L)._4.contains("<PHONE>."), out(2L)._4)
   }
+
+  test("frequentNgrams counts OCCURRENCES (within-doc repeats included), deterministic order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // "a b" x3, "b a" x2 (bigrams)
+      (2L, "a b c"),         // "a b", "b c"
+      (3L, "z z")            // "z z"
+    ).toDF("doc_id", "text")
+    val top = graft.ops.TextOps.frequentNgrams(docs, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // occurrence counts: "a b"=4 (3 in doc1 + 1 in doc2), "b a"=2,
+    // then ties at 1 resolve lexicographically ("b c" < "z z")
+    assert(top == Seq(("a b", 4L), ("b a", 2L), ("b c", 1L)), top.toString)
+  }
 }
