@@ -1,0 +1,185 @@
+"""PySpark wrappers for graft's LLM-data-pipeline operators.
+
+Thin py4j shims over the Scala ``graft.ops`` objects — every operator
+stays pure Catalyst dataflow on the JVM; Python passes DataFrames and
+scalars and gets DataFrames back, so results, plans, and scale posture
+are identical to the Scala API. Scala default arguments are not visible
+through py4j, so each wrapper passes the full argument list with the
+same defaults as the Scala side (asserted by the smoke test).
+
+Covered here: the dedup family (exact keepers, MinHash near-dup +
+transitive groups, leakage-safe splits, incremental ingest verdicts),
+quality filtering (Gopher rule table), selection (hash sampling,
+deterministic splits, exact top-fraction by score), decontamination,
+and corpus audit (frequent n-grams). For clustering estimators see
+``graft.clustering``; for streaming k-means see ``graft.streaming``.
+"""
+
+from typing import List
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "exact_keepers",
+    "minhash_dedup",
+    "near_dup_groups",
+    "leakage_safe_split",
+    "ingest_verdict",
+    "gopher_rules",
+    "split_by_hash",
+    "hash_sample",
+    "select_top_by_score",
+    "decontaminate",
+    "frequent_ngrams",
+]
+
+
+def _jvm(df: DataFrame):
+    return df.sparkSession.sparkContext._jvm
+
+
+def _wrap(df: DataFrame, jdf) -> DataFrame:
+    return DataFrame(jdf, df.sparkSession)
+
+
+def _to_seq(df: DataFrame, values: List):
+    return _jvm(df).org.apache.spark.api.python.PythonUtils.toSeq(values)
+
+
+def exact_keepers(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Rows surviving exact dedup: the min-id row per distinct content."""
+    return _wrap(df, _jvm(df).graft.ops.Dedup.exactKeepers(df._jdf, id_col, content_col))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard): banded MinHash LSH
+    candidates confirmed with exact word-shingle Jaccard >= threshold.
+    Returned frame is persisted; call ``.unpersist()`` when done."""
+    return _wrap(df, _jvm(df).graft.ops.Dedup.minhashDedup(
+        df._jdf, id_col, text_col, float(threshold), shingle_size, num_hashes, bands))
+
+
+def near_dup_groups(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Transitive dedup groups (comp, keeper_id, group_size) from pairs."""
+    return _wrap(pairs, _jvm(pairs).graft.ops.Dedup.nearDupGroups(pairs._jdf, a_col, b_col))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    labels: List[str],
+    weights: List[float],
+    threshold: float = 0.7,
+    salt: str = "graft",
+) -> DataFrame:
+    """Train/val/test split where every near-dup group lands in ONE split
+    (split key = dedup-group representative). Returns (doc_id, group_key,
+    split)."""
+    return _wrap(df, _jvm(df).graft.ops.Dedup.leakageSafeSplit(
+        df._jdf, id_col, text_col, _to_seq(df, list(labels)),
+        _to_seq(df, [float(w) for w in weights]), float(threshold), salt))
+
+
+def ingest_verdict(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Incremental ingest dedup: per batch doc, the best near-dup match
+    among the existing corpus and smaller-id batch docs — (doc_id,
+    dup_of, jaccard_micro, n_dup_matches); dup_of null = novel. Work is
+    proportional to the batch (see the Scala scaladoc for the persisted
+    signature-store variant)."""
+    jvm = _jvm(batch)
+    none = jvm.scala.Option.apply(None)
+    return _wrap(batch, jvm.graft.ops.IncrementalDedup.ingestVerdict(
+        corpus._jdf, batch._jdf, id_col, text_col, float(threshold),
+        shingle_size, num_hashes, bands, none))
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    max_symbols_per10: int = 1,
+    min_alpha_per10: int = 8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher A.1.1 quality rule table: named boolean flags + ``keep``,
+    every threshold an integer cross-multiplication."""
+    return _wrap(df, _jvm(df).graft.ops.TextOps.gopherRules(
+        df._jdf, id_col, text_col, min_words, max_words, min_mean_len,
+        max_mean_len, max_symbols_per10, min_alpha_per10, min_stop_hits))
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    labels: List[str],
+    weights: List[float],
+    salt: str = "graft",
+) -> DataFrame:
+    """Deterministic keyed split: adds a ``split`` column from the
+    portable md5 hash of the id — stable across runs and partitionings."""
+    return _wrap(df, _jvm(df).graft.ops.TextOps.splitByHash(
+        df._jdf, id_col, _to_seq(df, list(labels)),
+        _to_seq(df, [float(w) for w in weights]), salt))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, seed: str) -> DataFrame:
+    """Deterministic Bernoulli sample by keyed portable hash — unlike
+    ``df.sample``, reproducible across runs, partitionings, retries."""
+    return _wrap(df, _jvm(df).graft.ops.Sampling.hashSample(
+        df._jdf, key_col, float(fraction), seed))
+
+
+def select_top_by_score(
+    df: DataFrame, id_col: str, score_col: str, fraction: float
+) -> DataFrame:
+    """Exact top-fraction selection by an integer score — (score desc,
+    id asc) order contract — without a global sort or single-partition
+    window. Returned frame is persisted; ``.unpersist()`` when done."""
+    return _wrap(df, _jvm(df).graft.ops.Sampling.selectTopByScore(
+        df._jdf, id_col, score_col, float(fraction)))
+
+
+def decontaminate(
+    train: DataFrame,
+    train_id_col: str,
+    train_text_col: str,
+    eval_docs: DataFrame,
+    eval_text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with the eval set (eval side broadcast; the corpus side is
+    one scan plus map-side aggregation)."""
+    return _wrap(train, _jvm(train).graft.ops.Curate.decontaminate(
+        train._jdf, train_id_col, train_text_col, eval_docs._jdf,
+        eval_text_col, n, min_hits, hash_shingles))
+
+
+def frequent_ngrams(df: DataFrame, text_col: str, n: int = 5, k: int = 100) -> DataFrame:
+    """Corpus boilerplate audit: top-k word n-grams by occurrence count
+    (within-doc repeats included), deterministic (cnt desc, ngram asc)."""
+    return _wrap(df, _jvm(df).graft.ops.TextOps.frequentNgrams(df._jdf, text_col, n, k))

@@ -204,6 +204,60 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+        # ---- data-pipeline ops (graft.ops) ----
+        import graft.ops as gops
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b c d e f g h i j"),
+                (1, "a b c d e f g h i j k"),  # near-dup of 0 (j ~ 0.889)
+                (2, "z y x w v u t s r q"),
+                (3, "a b c d e f g h i j"),   # exact dup of 0
+            ],
+            ["doc_id", "text"],
+        )
+        keep = gops.exact_keepers(docs, "doc_id", "text")
+        assert sorted(r.doc_id for r in keep.collect()) == [0, 1, 2]
+        pairs = gops.minhash_dedup(docs, "doc_id", "text", threshold=0.7)
+        got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (0, 1) in got_pairs and (0, 3) in got_pairs, got_pairs
+        groups = gops.near_dup_groups(pairs, "id_a", "id_b")
+        g = {r.comp: (r.keeper_id, r.group_size) for r in groups.collect()}
+        assert g == {0: (0, 3)}, g
+        pairs.unpersist()
+        split = gops.leakage_safe_split(
+            docs, "doc_id", "text", ["train", "test"], [0.5, 0.5])
+        rows = {r.doc_id: (r.group_key, r.split) for r in split.collect()}
+        assert rows[0][0] == 0 and rows[1][0] == 0 and rows[3][0] == 0
+        assert rows[0][1] == rows[1][1] == rows[3][1], rows
+        verdict = gops.ingest_verdict(
+            docs.where("doc_id < 2"), docs.where("doc_id >= 2"), "doc_id", "text")
+        v = {r.doc_id: r.dup_of for r in verdict.collect()}
+        assert v[3] == 0 and v[2] is None, v
+        verdict.unpersist()
+        rules = gops.gopher_rules(docs, "doc_id", "text", min_words=5)
+        # 10+ single-letter words: word count passes, mean word length
+        # (1 < 3) correctly fails every doc — and therefore keep=false
+        assert rules.where("word_count_ok").count() == 4
+        assert rules.where("mean_len_ok or keep").count() == 0
+        sp = gops.split_by_hash(docs, "doc_id", ["a", "b"], [0.5, 0.5])
+        assert set(r.split for r in sp.collect()) <= {"a", "b"}
+        scored = docs.select("doc_id", F.length("text").alias("score"))
+        top = gops.select_top_by_score(scored, "doc_id", "score", 0.5)
+        assert top.count() == 2
+        top.unpersist()
+        deco = gops.decontaminate(
+            docs.where("doc_id != 0"), "doc_id", "text",
+            docs.where("doc_id = 0"), "text", n=3, hash_shingles=False)
+        d = {r.doc_id: r.contaminated for r in deco.collect()}
+        assert d[1] and d[3] and not d[2], d
+        ngrams = gops.frequent_ngrams(docs, "text", n=3, k=2).collect()
+        assert ngrams[0].cnt >= 2, ngrams
+        samp = gops.hash_sample(docs, "doc_id", 0.99, "s1")
+        assert 1 <= samp.count() <= 4
+        print("ops bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()
