@@ -177,12 +177,16 @@ object IncrementalDedup {
       // fallback joins directly.
       val oldCands = probeCandidates(store, batchBanded,
         pushProbeFilter = corpusBanded.isDefined)
+      // no inner distinct: the union's distinct below collapses the
+      // band-collision multiplicity in ONE exchange (map-side partial
+      // aggregation pre-collapses duplicates), and it is needed anyway —
+      // under replay the store contains batch ids, so the two candidate
+      // sources can overlap
       val newCands = batchBanded.as("a")
         .join(batchBanded.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.id") > col("b.id"))
         .select(col("a.id").as("doc_id"), col("b.id").as("match_id"))
-        .distinct()
       val cands = oldCands.union(newCands).distinct()
       // exact-confirm shingles: batch side fully, corpus side ONLY the
       // matched ids (semi-join first — candidates << corpus).
