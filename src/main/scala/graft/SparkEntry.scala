@@ -124,6 +124,85 @@ object SparkEntry {
       s" + len(list_distinct(list_concat($aSh, $bSh))))" +
       s" // (2 * len(list_distinct(list_concat($aSh, $bSh))))"
 
+  /** Span-merge-and-cut oracle shared by q_substring_dedup and
+    * q_boilerplate_cut (the SQL mirror of `Dedup.cutSpans`): fixed
+    * `winLen`-token windows, a caller-supplied `dup` CTE selecting the
+    * flagged window keys, gaps-and-islands span merge, token cut, and
+    * the md5-pinned clean text. The two queries differ ONLY in window
+    * length and the flagging rule (occurrence count vs document
+    * frequency), so the replay lives in one fragment.
+    */
+  private def spanCutOracleSql(
+      winLen: Int,
+      dupCteSql: String,
+      cutCol: String,
+      fracCol: String): String = {
+    val e = winLen - 1 // span end offset; starts run 0..n_tokens-winLen
+    s"""WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |base2 AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base),
+      |wins AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, greatest(n_tokens - $e, 0))) AS start,
+      |    unnest(list_transform(range(0, greatest(n_tokens - $e, 0)),
+      |      i -> array_to_string(toks[i+1:i+$winLen], ' '))) AS key
+      |  FROM base2),
+      |dup AS ($dupCteSql),
+      |dwin AS (SELECT w.doc_id, w.start FROM wins w JOIN dup USING (key)),
+      |isl AS (
+      |  SELECT doc_id, start,
+      |    CASE WHEN coalesce(max(start + $e) OVER (PARTITION BY doc_id ORDER BY start
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) < start - 1
+      |         THEN 1 ELSE 0 END AS new_span
+      |  FROM dwin),
+      |grp AS (
+      |  SELECT doc_id, start,
+      |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS span_id
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, span_id, min(start) AS lo, max(start) + $e AS hi
+      |  FROM grp GROUP BY doc_id, span_id),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(sum(hi - lo + 1) AS BIGINT) AS $cutCol
+      |  FROM spans GROUP BY doc_id),
+      |tokpos AS (
+      |  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS p
+      |  FROM base2),
+      |clean AS (
+      |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
+      |  FROM tokpos tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+      |    WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.lo AND s.hi)
+      |  GROUP BY tp.doc_id)
+      |SELECT b.doc_id, b.n_tokens,
+      |  coalesce(pd.$cutCol, 0) AS $cutCol,
+      |  CASE WHEN b.n_tokens = 0 THEN 0.0
+      |    ELSE round(coalesce(pd.$cutCol, 0) * 1.0 / b.n_tokens, 6) + 0.0
+      |    END AS $fracCol,
+      |  md5(coalesce(cl.clean_text, '')) AS clean_md5
+      |FROM base2 b
+      |LEFT JOIN perdoc pd USING (doc_id)
+      |LEFT JOIN clean cl USING (doc_id)""".stripMargin
+  }
+
+  /** Corpus bigram-count CTE chain (toks/prs/pw/c2/c1) shared by the
+    * q_bigram_nll and q_ccnet_buckets oracles — the SQL mirror of
+    * `TextOps.bigramJoined`.
+    */
+  private def bigramCountsSql(): String =
+    """toks AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      |  FROM documents),
+      |prs AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS pair
+      |  FROM toks WHERE len(t) >= 2),
+      |pw AS MATERIALIZED (
+      |  SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM prs),
+      |c2 AS MATERIALIZED (SELECT pair, count(*) AS c2 FROM pw GROUP BY pair),
+      |c1 AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM pw GROUP BY w1)""".stripMargin
+
   /** The four integer counts feeding [[graft.ops.TextOps.qualityScoreMicro]],
     * as a DuckDB select-list fragment emitting columns len / n_tokens /
     * n_stop / n_noise. Single definition — every quality-micro oracle
@@ -978,6 +1057,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
           col("dup_frac"), md5(col("clean_text")).as("clean_md5"))
     },
+    // Cross-document boilerplate removal (RefinedWeb line-dedup
+    // analogue, token-window form): 3-token windows in >= 4 distinct
+    // docs are boilerplate; maximal covered spans cut from every doc.
+    // String windows here so the oracle replays them; hashed==string
+    // proven in DedupSpec.
+    "q_boilerplate_cut" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.boilerplateCut(t(dir, "documents"), "doc_id", "text",
+          n = 3, minDf = 4, hashWindows = false)
+        .select(col("doc_id"), col("n_tokens"), col("boiler_tokens"),
+          col("boiler_frac"), md5(col("clean_text")).as("clean_md5"))
+    },
     "q_split_sizes" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // stable-hash 80/10/10 split on the portable md5 house uniform —
@@ -1240,6 +1331,15 @@ object SparkEntry {
     "q_bigram_nll" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       graft.ops.TextOps.bigramNll(t(dir, "documents"), "doc_id", "text")
+    },
+    // CCNet head/middle/tail perplexity bucketing on the corpus's own
+    // bigram model — integer micro-unit fluency score, exact global-rank
+    // thirds via the histogram bucketing (no global sort); the oracle is
+    // the single-window row_number form the operator contractually
+    // equals.
+    "q_ccnet_buckets" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Curate.perplexityBuckets(t(dir, "documents"), "doc_id", "text")
     },
     "q_bpe_train" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -2855,52 +2955,13 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams
         |  FROM sh JOIN dfreq USING (g) GROUP BY 1)""".stripMargin,
     "q_substring_dedup" ->
-      """WITH base AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
-        |  FROM documents),
-        |base2 AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base),
-        |wins AS (
-        |  SELECT doc_id,
-        |    unnest(range(0, greatest(n_tokens - 7, 0))) AS start,
-        |    unnest(list_transform(range(0, greatest(n_tokens - 7, 0)),
-        |      i -> array_to_string(toks[i+1:i+8], ' '))) AS key
-        |  FROM base2),
-        |dup AS (SELECT key FROM wins GROUP BY key HAVING count(*) >= 2),
-        |dwin AS (SELECT w.doc_id, w.start FROM wins w JOIN dup USING (key)),
-        |isl AS (
-        |  SELECT doc_id, start,
-        |    CASE WHEN coalesce(max(start + 7) OVER (PARTITION BY doc_id ORDER BY start
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) < start - 1
-        |         THEN 1 ELSE 0 END AS new_span
-        |  FROM dwin),
-        |grp AS (
-        |  SELECT doc_id, start,
-        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY start) AS span_id
-        |  FROM isl),
-        |spans AS (
-        |  SELECT doc_id, span_id, min(start) AS lo, max(start) + 7 AS hi
-        |  FROM grp GROUP BY doc_id, span_id),
-        |perdoc AS (
-        |  SELECT doc_id, CAST(sum(hi - lo + 1) AS BIGINT) AS dup_tokens
-        |  FROM spans GROUP BY doc_id),
-        |tokpos AS (
-        |  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS p
-        |  FROM base2),
-        |clean AS (
-        |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
-        |  FROM tokpos tp
-        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
-        |    WHERE s.doc_id = tp.doc_id AND tp.p BETWEEN s.lo AND s.hi)
-        |  GROUP BY tp.doc_id)
-        |SELECT b.doc_id, b.n_tokens,
-        |  coalesce(pd.dup_tokens, 0) AS dup_tokens,
-        |  CASE WHEN b.n_tokens = 0 THEN 0.0
-        |    ELSE round(coalesce(pd.dup_tokens, 0) * 1.0 / b.n_tokens, 6) + 0.0
-        |    END AS dup_frac,
-        |  md5(coalesce(cl.clean_text, '')) AS clean_md5
-        |FROM base2 b
-        |LEFT JOIN perdoc pd USING (doc_id)
-        |LEFT JOIN clean cl USING (doc_id)""".stripMargin,
+      spanCutOracleSql(8,
+        "SELECT key FROM wins GROUP BY key HAVING count(*) >= 2",
+        "dup_tokens", "dup_frac"),
+    "q_boilerplate_cut" ->
+      spanCutOracleSql(3,
+        "SELECT key FROM (SELECT DISTINCT doc_id, key FROM wins) GROUP BY key HAVING count(*) >= 4",
+        "boiler_tokens", "boiler_frac"),
     "q_split_sizes" ->
       """SELECT split, count(*) AS n FROM (
         |  SELECT CASE WHEN u < 0.8 THEN 'train'
@@ -3586,22 +3647,28 @@ object SparkEntry {
         |FROM dw JOIN w8 USING (word)
         |GROUP BY dw.doc_id""".stripMargin,
     "q_bigram_nll" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
-        |  FROM documents),
-        |prs AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS pair
-        |  FROM toks WHERE len(t) >= 2),
-        |pw AS MATERIALIZED (
-        |  SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM prs),
-        |c2 AS MATERIALIZED (SELECT pair, count(*) AS c2 FROM pw GROUP BY pair),
-        |c1 AS MATERIALIZED (SELECT w1, count(*) AS c1 FROM pw GROUP BY w1)
+      s"""WITH ${bigramCountsSql()}
         |SELECT pw.doc_id,
         |  round(avg(-ln(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))), 6) + 0.0 AS nll2,
         |  count(*) AS n_bigrams
         |FROM pw JOIN c2 USING (pair) JOIN c1 USING (w1)
         |GROUP BY pw.doc_id""".stripMargin,
+    "q_ccnet_buckets" ->
+      s"""WITH ${bigramCountsSql()},
+        |sc AS MATERIALIZED (
+        |  SELECT doc_id, sum((c2.c2 * 1000000) // c1.c1) // count(*) AS score_micro
+        |  FROM pw JOIN c2 USING (pair) JOIN c1 USING (w1)
+        |  GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, score_micro,
+        |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM sc)
+        |SELECT doc_id, score_micro,
+        |  CASE WHEN rk <= (n * 1 + 2) // 3 THEN 'head'
+        |       WHEN rk <= (n * 2 + 2) // 3 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin,
     "q_corpus_profile" ->
       s"""WITH c AS MATERIALIZED (
         |  SELECT lang, doc_id, ${qualityCountsSql()} FROM documents),

@@ -735,4 +735,34 @@ object Curate {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3: score
+    * every document under a language model, split the corpus into
+    * head/middle/tail thirds, train preferentially on the head) —
+    * re-expressed with the corpus's OWN bigram model and pure integer
+    * arithmetic: [[TextOps.bigramScoreMicro]] is the fluency score
+    * (higher = more probable text), [[Sampling.bucketByScore]] assigns
+    * each document the bucket its exact global rank falls in. No
+    * external LM artifact, no float ever drives the ordering, and the
+    * whole chain — pair counts, integer mean probability, rank,
+    * bucket — replays in ANSI SQL (q_ccnet_buckets).
+    *
+    * `weights`/`labels` default to the paper's equal thirds. Documents
+    * with fewer than two tokens have no bigrams and emit no row.
+    *
+    * Scale shape: two map-side-combined aggregations + two keyed joins
+    * for the score (the [[TextOps.bigramNll]] shape), then the
+    * histogram-rank bucketing — no global sort anywhere.
+    *
+    * Returns (doc_id, score_micro, bucket).
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: Seq[Long] = Seq(1L, 1L, 1L),
+      labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    val scored = TextOps.bigramScoreMicro(docs, idCol, textCol)
+    Sampling.bucketByScore(scored, "doc_id", "score_micro", weights, labels)
+  }
 }

@@ -704,12 +704,90 @@ object Dedup {
       .where(col("cnt") >= minCount)
       .select(col("key"))
     val dupWins = wins.join(dupKeys, "key").select(col("doc_id"), col("start"))
-    // gaps-and-islands: windows merge when the next start is within the
-    // running max end + 1 (adjacent coverage is contiguous coverage)
+    cutSpans(base, dupWins, minLen, "dup_tokens", "dup_frac")
+  }
+
+  /** Cross-document boilerplate removal — the token-span analogue of
+    * RefinedWeb's line-level dedup (Penedo et al. 2023 §3.3: lines
+    * repeated across many pages are navigation/footer boilerplate, cut
+    * from every page). The reference has no counterpart. Any `n`-token
+    * window whose DOCUMENT frequency (distinct docs, not occurrences)
+    * is >= `minDf` is boilerplate; per document, overlapping/adjacent
+    * boilerplate windows merge into maximal spans whose tokens are cut.
+    * Distinct from [[substringDedup]], which counts OCCURRENCES and so
+    * also fires on a passage pasted many times into one document —
+    * in-document repetition is [[TextOps.dupNgramFraction]]'s signal,
+    * not boilerplate; here a window must recur across `minDf` separate
+    * documents before it is cut anywhere.
+    *
+    * Scale shape: identical to [[substringDedup]] except the key
+    * aggregation counts per-doc-distinct windows (the per-row
+    * projection `array_distinct`s window keys inside the doc before
+    * exploding, so the count aggregation stays a plain two-phase
+    * count — no count-distinct expand). The boilerplate key set is the
+    * df >= minDf heavy-hitter tail — small by construction — so the
+    * join back is AQE-broadcast. Everything downstream (span merge,
+    * indexed-lambda cut) is per-doc bounded.
+    *
+    * Returns (doc_id, n_tokens, boiler_tokens, boiler_frac, clean_text).
+    */
+  def boilerplateCut(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDf: Int = 10,
+      hashWindows: Boolean = true): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDf >= 2, s"minDf must be >= 2 (a window is always in its own doc), got $minDf")
+    def winKey(c: Column): Column = if (hashWindows) xxhash64(c) else c
+    val base = fanOut(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
+        filter(split(col("__t"), " "), t => t =!= "").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    val wins = base.select(col("doc_id"),
+      posexplode(when(col("n_tokens") >= n,
+        transform(sequence(lit(0), col("n_tokens") - lit(n)),
+          i => winKey(concat_ws(" ", slice(col("toks"), i + lit(1), lit(n))))))))
+      .select(col("doc_id"), col("pos").as("start"), col("col").as("key"))
+    // document frequency: distinct keys INSIDE the row first, so the
+    // global agg is a plain count of (doc, key)-unique rows
+    val docKeys = base.select(col("doc_id"),
+      explode(when(col("n_tokens") >= n, array_distinct(
+        transform(sequence(lit(0), col("n_tokens") - lit(n)),
+          i => winKey(concat_ws(" ", slice(col("toks"), i + lit(1), lit(n)))))))).as("key"))
+    val boilerKeys = docKeys.groupBy(col("key"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("key"))
+    val dupWins = wins.join(boilerKeys, "key").select(col("doc_id"), col("start"))
+    cutSpans(base, dupWins, n, "boiler_tokens", "boiler_frac")
+  }
+
+  /** Shared span-merge-and-cut tail of [[substringDedup]] and
+    * [[boilerplateCut]]: merge flagged fixed-length windows into maximal
+    * per-doc spans (gaps-and-islands: a window merges into the running
+    * span when its start is within the running max end + 1 — adjacent
+    * coverage is contiguous coverage), then cut the covered tokens.
+    *
+    * `base` is (doc_id, toks, n_tokens); `dupWins` is (doc_id, start)
+    * rows of flagged windows of length `winLen`. The window function
+    * runs over FLAGGED windows only; reconstruction is an indexed-lambda
+    * `filter` against the per-doc span array (bounded by the doc's own
+    * length). Nothing is pairwise, nothing collects.
+    */
+  private def cutSpans(
+      base: DataFrame,
+      dupWins: DataFrame,
+      winLen: Int,
+      cutTokensCol: String,
+      cutFracCol: String): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     val spans = dupWins
       .withColumn("prev_end",
-        max(col("start") + lit(minLen - 1))
+        max(col("start") + lit(winLen - 1))
           .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_span",
         when(col("prev_end").isNull || col("prev_end") < col("start") - 1, 1L)
@@ -717,16 +795,16 @@ object Dedup {
       .withColumn("span_id", sum(col("new_span")).over(byDoc))
       .groupBy(col("doc_id"), col("span_id"))
       .agg(min(col("start")).as("lo"),
-        (max(col("start")) + lit(minLen - 1)).as("hi"))
+        (max(col("start")) + lit(winLen - 1)).as("hi"))
     val perDoc = spans.groupBy(col("doc_id"))
-      .agg(sum(col("hi") - col("lo") + 1).as("dup_tokens"),
+      .agg(sum(col("hi") - col("lo") + 1).as("__cut"),
         collect_list(struct(col("lo"), col("hi"))).as("spans"))
     base.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("__cut"), lit(0L)).as(cutTokensCol),
         when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
-            col("n_tokens"), 6)).as("dup_frac"),
+          .otherwise(round(coalesce(col("__cut"), lit(0L)).cast("double") /
+            col("n_tokens"), 6)).as(cutFracCol),
         concat_ws(" ", filter(col("toks"), (t, i) =>
           coalesce(!exists(col("spans"),
             s => i >= s("lo") && i <= s("hi")), lit(true)))).as("clean_text"))

@@ -321,4 +321,71 @@ object Sampling {
       out
     } finally { scored.unpersist(); () }
   }
+
+  /** Exact multi-way quantile bucketing by an INTEGER score, without a
+    * global sort: every row is labeled with the bucket its global rank
+    * (score descending, `idCol` ascending ties) falls in, where bucket
+    * boundaries are integer-weight fractions of the row count —
+    * k_j = ceil(n·(w_1+…+w_j)/W) in pure 64-bit arithmetic (CCNet's
+    * head/middle/tail split is `weights = Seq(1,1,1)`). Contractually
+    * equal to the single-window `row_number() OVER (ORDER BY score
+    * DESC, id)` form, which is the oracle replay — but the PLAN never
+    * materializes a one-partition total order: a per-score histogram
+    * (two-phase hash agg, driver-capped like [[selectTopByScore]])
+    * yields each distinct score's strictly-above cumulative count; the
+    * global rank is then that count plus a PER-SCORE-PARTITIONED
+    * row_number. The only skew exposure is tie mass at one score value
+    * (micro-unit scores bound it in practice); everything else is
+    * hash-partitioned.
+    *
+    * Returns (idCol, scoreCol, bucket) with `bucket` in `labels`.
+    */
+  def bucketByScore(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      weights: Seq[Long],
+      labels: Seq[String]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0),
+      s"weights must be positive, got $weights")
+    require(labels.size == weights.size,
+      s"labels (${labels.size}) and weights (${weights.size}) must align")
+    require(labels.distinct.size == labels.size, s"labels must be distinct, got $labels")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val scored = df.select(col(idCol), col(scoreCol).cast("long").as(scoreCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = scored.count()
+      if (n == 0) return scored.withColumn("bucket", lit(null).cast("string")).limit(0)
+      val totalW = weights.sum
+      val bounds = weights.scanLeft(0L)(_ + _).tail.dropRight(1)
+        .map(pw => (n * pw + totalW - 1) / totalW) :+ n
+      val cap = graft.util.Conf.long(spark, "graft.bucket.maxDistinctScores", 1000000L)
+      val hist = scored.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+        .orderBy(col(scoreCol).desc)
+        .limit(math.min(cap + 1, Int.MaxValue.toLong - 1).toInt)
+        .collect()
+      require(hist.length <= cap,
+        s"distinct scores exceed graft.bucket.maxDistinctScores=$cap; " +
+          "coarsen the score (fewer micro-digits) or raise the cap")
+      var cum = 0L
+      val above = hist.map { r =>
+        val row = (r.getLong(0), cum); cum += r.getLong(1); row
+      }
+      import spark.implicits._
+      val aboveDf = broadcast(
+        spark.createDataset(above.toIndexedSeq).toDF(scoreCol, "__above"))
+      val rk = col("__above") +
+        row_number().over(Window.partitionBy(col(scoreCol)).orderBy(col(idCol).asc))
+      val bucket = bounds.zip(labels).reverse
+        .foldLeft(lit(labels.last): Column) { case (acc, (k, lab)) =>
+          when(rk <= lit(k), lit(lab)).otherwise(acc)
+        }
+      val out = scored.join(aboveDf, scoreCol)
+        .select(col(idCol), col(scoreCol), bucket.as("bucket"))
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      out
+    } finally { scored.unpersist(); () }
+  }
 }

@@ -677,6 +677,51 @@ object TextOps {
       docs: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    bigramJoined(docs, idCol, textCol)
+      .groupBy(col("doc_id"))
+      .agg(
+        (round(avg(-log(col("c2").cast("double") / col("c1").cast("double"))), 6)
+          + lit(0.0)).as("nll2"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
+  /** Integer-only fluency score for bucketing: each document's MEAN
+    * BIGRAM PROBABILITY under the corpus's own MLE bigram model, in
+    * micro-units and PURE 64-bit integer arithmetic — per bigram
+    * p_micro = (c(w1 w2)·1e6) div c(w1 ·), per doc score_micro =
+    * sum(p_micro) div n_bigrams. The monotone-in-spirit inverse of
+    * [[bigramNll]]'s perplexity signal with no float anywhere, so it
+    * can DRIVE an ordering (rule-1: floats never order a contract) —
+    * the score behind [[Curate.perplexityBuckets]]'s CCNet-style
+    * head/middle/tail split. Same two-hash-aggregation shape as
+    * [[bigramNll]]; documents with fewer than two tokens emit no row.
+    *
+    * Returns (doc_id, n_bigrams, score_micro).
+    */
+  def bigramScoreMicro(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    bigramJoined(docs, idCol, textCol)
+      .select(col("doc_id"), idiv(col("c2") * lit(1000000L), col("c1")).as("p_micro"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        idiv(col("__s"), col("n_bigrams")).as("score_micro"))
+  }
+
+  /** Shared core of [[bigramNll]] and [[bigramScoreMicro]]: one row per
+    * document bigram occurrence, joined to the corpus pair count `c2`
+    * and prefix count `c1`. Bigrams are built INSIDE each row as an
+    * array transform (adjacency is a per-row fact — no window function
+    * touches the corpus); two map-side-combined hash aggregations and
+    * two keyed equi-joins.
+    */
+  private def bigramJoined(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")
     val pairs = Dedup.fanOut(
       docs.select(col(idCol).cast("long").as("doc_id"), toks.as("__t")))
@@ -688,11 +733,6 @@ object TextOps {
     val c2 = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c2"))
     val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     pairs.join(c2, "pair").join(c1, "w1")
-      .groupBy(col("doc_id"))
-      .agg(
-        (round(avg(-log(col("c2").cast("double") / col("c1").cast("double"))), 6)
-          + lit(0.0)).as("nll2"),
-        count(lit(1)).as("n_bigrams"))
   }
 
   /** One-pass corpus profile per language — the audit table a curation

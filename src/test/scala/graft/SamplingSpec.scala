@@ -197,6 +197,71 @@ class SamplingSpec extends SparkSpec {
     } finally { a.unpersist(); b.unpersist() }
   }
 
+  test("bucketByScore equals the single-window rank bucketing (heavy ties included)") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, i % 7)).toDF("id", "score")
+    val got = Sampling.bucketByScore(df, "id", "score", Seq(1L, 1L, 1L),
+      Seq("head", "middle", "tail"))
+    try {
+      val gotMap = got.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val n = 300L
+      val k1 = (n * 1 + 2) / 3
+      val k2 = (n * 2 + 2) / 3
+      val ranked = (0L until n).map(i => (i, i % 7))
+        .sortBy { case (id, s) => (-s, id) }.zipWithIndex
+      val expected = ranked.map { case ((id, _), r0) =>
+        val rk = r0 + 1
+        id -> (if (rk <= k1) "head" else if (rk <= k2) "middle" else "tail")
+      }.toMap
+      assert(gotMap == expected)
+      // exact thirds by construction
+      assert(gotMap.values.groupBy(identity).view.mapValues(_.size).toMap ==
+        Map("head" -> 100, "middle" -> 100, "tail" -> 100))
+    } finally got.unpersist()
+  }
+
+  test("bucketByScore is partition-invariant and covers every row exactly once") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val scored = docs.select(col("doc_id"),
+      graft.ops.TextOps.qualityScoreMicro(col("text")).as("q"))
+    val a = Sampling.bucketByScore(scored, "doc_id", "q", Seq(2L, 3L, 5L),
+      Seq("a", "b", "c"))
+    val b = Sampling.bucketByScore(scored.repartition(13), "doc_id", "q",
+      Seq(2L, 3L, 5L), Seq("a", "b", "c"))
+    try {
+      assert(a.collect().map(r => (r.getLong(0), r.getString(2))).toSet ==
+        b.collect().map(r => (r.getLong(0), r.getString(2))).toSet)
+      assert(a.count() == docs.count())
+      // weighted boundaries: ceil splits, monotone in score
+      val n = docs.count()
+      val sizes = a.groupBy(col("bucket")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sizes("a") == (n * 2 + 9) / 10)
+      assert(sizes("a") + sizes("b") == (n * 5 + 9) / 10)
+    } finally { a.unpersist(); b.unpersist() }
+  }
+
+  test("perplexityBuckets: fluent text heads, scrambled text tails") {
+    import spark.implicits._
+    // 6 fluent docs share the same high-probability bigram chain; 3
+    // scrambled docs use the same words in improbable orders
+    val fluent = (0L until 6L).map(i => (i, "the cat sat on the mat"))
+    val scrambled = Seq(
+      (10L, "mat the on sat cat the"),
+      (11L, "on mat cat the the sat"),
+      (12L, "sat the mat the cat on"))
+    val df = (fluent ++ scrambled).toDF("doc_id", "text")
+    val out = graft.ops.Curate.perplexityBuckets(df, "doc_id", "text")
+    try {
+      val byBucket = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      // 9 docs -> head = 3; every head doc is a fluent one
+      val heads = byBucket.filter(_._2 == "head").keySet
+      assert(heads.size == 3 && heads.forall(_ < 6L))
+      // scrambled docs never reach the head
+      assert(Seq(10L, 11L, 12L).forall(byBucket(_) != "head"))
+    } finally out.unpersist()
+  }
+
   test("selectTopByScore boundary cap fires with remediation text") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, 1L)).toDF("id", "score") // all tied
