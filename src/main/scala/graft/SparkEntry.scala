@@ -1095,6 +1095,15 @@ object SparkEntry {
     // Efraimidis–Spirakis weighted top-n (n_chars as the weight); the
     // output omits the u^(1/w) score itself — pow's last ulp is libm-
     // dependent — but the SELECTION it induces is compared exactly
+    // Per-domain document cap (C4/Dolma-style governance): keep <= 15
+    // docs per source in seeded portable-hash order; the keep rank is
+    // part of the contract, so the whole per-domain ordering replays.
+    "q_domain_cap" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.capPerDomain(t(dir, "documents"), "source", "doc_id",
+          maxDocs = 15L, seed = "r11cap")
+        .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+    },
     "q_sample_weighted" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       graft.ops.Sampling.weightedSampleN(t(dir, "documents"), "doc_id", "n_chars",
@@ -2971,6 +2980,14 @@ object SparkEntry {
         |                 / 4294967296.0 AS u
         |        FROM documents))
         |GROUP BY split""".stripMargin,
+    "q_domain_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5('r11cap:' || doc_id::VARCHAR), 1, 8))::UBIGINT,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, round(u, 6) + 0.0 AS u FROM (
         |  SELECT doc_id,

@@ -33,8 +33,16 @@ object Sampling {
     * `('0x' || substr(md5(seed || ':' || key), 1, 8))::UBIGINT / 2^32`.
     */
   def uniform(key: Column, seed: String): Column =
+    uniformBits(key, seed).cast("double") / lit(4294967296.0)
+
+  /** The raw 32-bit integer behind [[uniform]] — use THIS when the hash
+    * must drive an ordering (rule-1: integers order contracts, floats
+    * don't). Engine-portable SQL:
+    * `('0x' || substr(md5(seed || ':' || key), 1, 8))::UBIGINT`.
+    */
+  def uniformBits(key: Column, seed: String): Column =
     conv(substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+      .cast("long")
 
   /** Deterministic Bernoulli sample: keep rows whose keyed uniform falls
     * below `fraction`. Unlike `df.sample`, reproducible across runs,
@@ -320,6 +328,40 @@ object Sampling {
       out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       out
     } finally { scored.unpersist(); () }
+  }
+
+  /** Per-domain document cap — the "no single site dominates the
+    * corpus" selection step (C4 and Dolma cap documents per domain;
+    * RefinedWeb's URL-level controls serve the same governance goal):
+    * keep at most `maxDocs` documents of each domain, chosen by the
+    * seeded portable hash order ([[uniformBits]], `idCol` ties) so the
+    * kept set is a deterministic uniform subsample of the domain —
+    * reproducible across runs, partitionings, and engines, and
+    * rotatable by seed.
+    *
+    * Plan shape: one window `row_number` partitioned by domain over
+    * (hash, id) — Spark's rank-limit pushdown (WindowGroupLimit, both
+    * Partial and Final modes) prunes every map partition to its own
+    * top-`maxDocs` per domain BEFORE the exchange, so the shuffle
+    * carries at most `maxDocs`·(map tasks) rows per domain, never the
+    * domain's full mass — the skew posture that survives a
+    * billion-page domain. Asserted on the executed plan in
+    * PlanShapeSpec.
+    *
+    * Returns the input columns plus `rk` (1-based keep rank), capped.
+    */
+  def capPerDomain(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      maxDocs: Long,
+      seed: String): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(uniformBits(col(idCol), seed).asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= lit(maxDocs))
   }
 
   /** Exact multi-way quantile bucketing by an INTEGER score, without a

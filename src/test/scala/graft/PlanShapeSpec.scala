@@ -38,6 +38,15 @@ class PlanShapeSpec extends SparkSpec {
       s"top-k must partial-limit per group before exchanging; plan:\n${plan.take(1500)}")
   }
 
+  test("capPerDomain plans a map-side WindowGroupLimit: shuffle never carries a domain's full mass") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val out = graft.ops.Sampling.capPerDomain(docs, "source", "doc_id", 5L, "ps")
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-domain cap must partial-limit per map task before exchanging; plan:\n${plan.take(1500)}")
+  }
+
   test("gopherRules is one projection over the scan: zero Exchange") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val out = graft.ops.TextOps.gopherRules(docs, "doc_id", "text")

@@ -197,6 +197,24 @@ class SamplingSpec extends SparkSpec {
     } finally { a.unpersist(); b.unpersist() }
   }
 
+  test("capPerDomain: cap enforced per domain, deterministic, seed-rotatable") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val a = Sampling.capPerDomain(docs, "source", "doc_id", 5L, "s1")
+    val sizes = a.groupBy(col("source")).count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 5L) && sizes.nonEmpty)
+    // deterministic across partitionings
+    val b = Sampling.capPerDomain(docs.repartition(13), "source", "doc_id", 5L, "s1")
+    assert(a.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      b.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a different seed rotates the kept subsample
+    val c = Sampling.capPerDomain(docs, "source", "doc_id", 5L, "s2")
+    assert(a.select("doc_id").collect().map(_.getLong(0)).toSet !=
+      c.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a cap above the domain size keeps everything
+    val all = Sampling.capPerDomain(docs, "source", "doc_id", 1000000L, "s1")
+    assert(all.count() == docs.count())
+  }
+
   test("bucketByScore equals the single-window rank bucketing (heavy ties included)") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, i % 7)).toDF("id", "score")
