@@ -186,6 +186,51 @@ object SparkEntry {
       |LEFT JOIN clean cl USING (doc_id)""".stripMargin
   }
 
+  /** Full logistic-regression GD chain as CTEs (the SQL mirror of
+    * `Classify.logisticFit`): hashed features (portable md5 bucket),
+    * intercept rows, then `iters` unrolled full-batch steps from w = 0,
+    * ending in a CTE named `wfin` (unrounded weights) plus `feats`.
+    * Shared by q_logreg_fit and q_logreg_score.
+    */
+  private def logregChainSql(
+      iters: Int,
+      buckets: Int,
+      lr: Double,
+      labelSql: String): String = {
+    val head =
+      s"""toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |bt AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % $buckets AS BIGINT) AS bucket
+        |  FROM toks),
+        |nt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM bt GROUP BY doc_id),
+        |bf AS MATERIALIZED (SELECT doc_id, bucket, count(*) AS c FROM bt GROUP BY doc_id, bucket),
+        |feats AS MATERIALIZED (
+        |  SELECT bf.doc_id, bucket, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS x
+        |  FROM bf JOIN nt USING (doc_id)
+        |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), 1.0 FROM nt),
+        |yy AS MATERIALIZED (
+        |  SELECT d.doc_id, $labelSql AS y
+        |  FROM documents d JOIN nt ON d.doc_id = nt.doc_id),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM yy),
+        |g0 AS (SELECT f.bucket, sum((0.5 - y.y) * f.x) / (SELECT n FROM nn) AS g
+        |       FROM feats f JOIN yy y USING (doc_id) GROUP BY f.bucket),
+        |w1 AS (SELECT bucket, -$lr * g AS w FROM g0)""".stripMargin
+    val steps = (1 until iters).map { t =>
+      s"""m$t AS (SELECT f.doc_id, sum(f.x * w$t.w) AS m
+        |  FROM feats f JOIN w$t USING (bucket) GROUP BY f.doc_id),
+        |r$t AS (SELECT m$t.doc_id, 1.0 / (1.0 + exp(-m)) - y.y AS r
+        |  FROM m$t JOIN yy y USING (doc_id)),
+        |g$t AS (SELECT f.bucket, sum(r$t.r * f.x) / (SELECT n FROM nn) AS g
+        |  FROM feats f JOIN r$t USING (doc_id) GROUP BY f.bucket),
+        |w${t + 1} AS (SELECT w$t.bucket, w$t.w - $lr * coalesce(g$t.g, 0.0) AS w
+        |  FROM w$t LEFT JOIN g$t USING (bucket))""".stripMargin
+    }
+    (Seq(head) ++ steps :+ s"wfin AS (SELECT bucket, w FROM w$iters)").mkString(",\n")
+  }
+
   /** Corpus bigram-count CTE chain (toks/prs/pw/c2/c1) shared by the
     * q_bigram_nll and q_ccnet_buckets oracles — the SQL mirror of
     * `TextOps.bigramJoined`.
@@ -1168,6 +1213,28 @@ object SparkEntry {
       val docs = t(dir, "documents")
       graft.ops.Classify.nbClassify(
         docs, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", "lang")
+    },
+    // Trainable LR quality classifier (fastText/GPT-3-filter analogue):
+    // 3 full-batch GD steps on hashed bag-of-words (B=64), label =
+    // "is English". The ENTIRE training chain — features, margins,
+    // sigmoid residuals, gradients, weight updates — replays in SQL.
+    "q_logreg_fit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.ops.Classify.logisticFit(
+        docs.withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0)),
+        "doc_id", "text", "y", buckets = 64, iters = 3, lr = 0.5)
+    },
+    // The trained model applied back to the corpus: per-doc sigmoid
+    // score under the q_logreg_fit weights (the selection signal that
+    // feeds selectTopByScore / bucketByScore).
+    "q_logreg_score" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      val w = graft.ops.Classify.logisticFit(
+        docs.withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0)),
+        "doc_id", "text", "y", buckets = 64, iters = 3, lr = 0.5)
+      graft.ops.Classify.logisticScore(docs, "doc_id", "text", w, buckets = 64)
     },
     // The PRODUCTION feature-hashed path (bounded B×k model at any corpus
     // scale): same train/score composition, tokens bucketed by the
@@ -3097,6 +3164,18 @@ object SparkEntry {
         |      / 4294967296.0)) AS score
         |  FROM w)
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "q_logreg_fit" ->
+      s"""WITH ${logregChainSql(3, 64, 0.5,
+            "CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END")}
+        |SELECT bucket, round(w, 6) + 0.0 AS weight FROM wfin""".stripMargin,
+    "q_logreg_score" ->
+      s"""WITH ${logregChainSql(3, 64, 0.5,
+            "CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END")},
+        |ws AS (SELECT bucket, round(w, 6) + 0.0 AS w FROM wfin),
+        |sm AS (SELECT f.doc_id, sum(f.x * coalesce(ws.w, 0.0)) AS m
+        |  FROM feats f LEFT JOIN ws USING (bucket) GROUP BY f.doc_id)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 6) + 0.0 AS score
+        |FROM sm""".stripMargin,
     "q_nb_classify" ->
       """WITH labt AS (
         |  SELECT lang AS label,

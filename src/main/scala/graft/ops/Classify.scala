@@ -50,6 +50,13 @@ object Classify {
     *   % B` rebuilds the exact bucketing in any engine. The string path
     *   (None) remains the vocabulary-exact form (q_nb_classify).
     */
+  /** Portable feature-hash bucket: first 32 bits of md5 mod `b` — the
+    * same house-hash family as [[Sampling.uniform]]; replayable in any
+    * engine as `('0x' || substr(md5(tok), 1, 8))::UBIGINT % b`.
+    */
+  private def md5Bucket(c: Column, b: Int): Column =
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(b.toLong))
+
   def nbClassify(
       docs: DataFrame,
       labeled: DataFrame,
@@ -61,8 +68,7 @@ object Classify {
     require(smoothing > 0.0, s"smoothing must be positive, got $smoothing")
     require(hashBuckets.forall(_ > 1), s"hashBuckets must be > 1, got $hashBuckets")
     def key(c: Column): Column =
-      hashBuckets.map(b =>
-        pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(b.toLong))).getOrElse(c)
+      hashBuckets.map(b => md5Bucket(c, b)).getOrElse(c)
     def toks(df: DataFrame, k: Column, keyName: String): DataFrame =
       Dedup.fanOut(df.select(k.as(keyName), col(textCol).as("__text")))
         .select(col(keyName), explode(split(col("__text"), " ")).as("__tok"))
@@ -109,5 +115,127 @@ object Classify {
         (round(coalesce(col("__best"), lit(0.0)), 6) + lit(0.0)).as("logpost"),
         (round(coalesce(col("__best") - col("__second"), lit(0.0)), 6) + lit(0.0))
           .as("margin"))
+  }
+
+  /** Hashed bag-of-words features for the logistic classifier: one row
+    * per (doc, bucket) with x = in-doc bucket count / doc token count,
+    * plus one intercept row (bucket −1, x = 1) per non-empty doc. The
+    * bucket hash is [[md5Bucket]] — engine-portable. Two map-side
+    * combined aggregations over the token stream; rows carry 8-byte
+    * bucket ids, never tokens.
+    */
+  private def hashedFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    val toks = Dedup.fanOut(
+      df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text")))
+      .select(col("doc_id"), explode(split(col("__text"), " ")).as("__tok"))
+      .where(col("__tok") =!= "")
+      .select(col("doc_id"), md5Bucket(col("__tok"), buckets).as("bucket"))
+    val nt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+    val bf = toks.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("__c"))
+    bf.join(nt, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        (col("__c").cast("double") / col("__n").cast("double")).as("x"))
+      .unionByName(nt.select(col("doc_id"), lit(-1L).as("bucket"), lit(1.0).as("x")))
+  }
+
+  /** Binary logistic-regression quality classifier trained as pure
+    * dataflow — the trainable counterpart of [[nbClassify]] and the
+    * in-engine analogue of the fastText/LR corpus filters (CCNet;
+    * GPT-3's LR-vs-WebText selection; Joulin et al. 2016): hashed
+    * bag-of-words features ([[hashedFeatures]] — B buckets bound the
+    * model regardless of corpus vocabulary), full-batch gradient
+    * descent on the mean log-loss, `iters` steps of rate `lr` from
+    * w = 0. Every step is relational: margins are one keyed join of
+    * the feature rows against the BROADCAST weight table plus a
+    * per-doc sum; the gradient is one map-side-combined aggregation
+    * per bucket; the weight table itself is a (B+1)-row driver
+    * collect per iteration — the same capped k-row tier as Lloyds
+    * center updates (`buckets` is driver-capped). Deterministic by
+    * construction (no sampling, fixed init), so the full 3-iteration
+    * chain replays in SQL (q_logreg_fit).
+    *
+    * `labelCol` must be numeric 0/1 (cast to double). Documents with
+    * no tokens emit no feature rows and drop out of training, exactly
+    * as in the oracle replay.
+    *
+    * Returns (bucket, weight): one row per feature bucket OBSERVED in
+    * the training frame (unobserved buckets keep weight 0 and are
+    * omitted), bucket −1 the intercept; weight rounded 6dp.
+    */
+  def logisticFit(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int = 4096,
+      iters: Int = 5,
+      lr: Double = 0.5): DataFrame = {
+    require(buckets > 1 && buckets <= (1 << 20),
+      s"buckets must be in (1, 2^20] (the per-iteration driver collect is B rows), got $buckets")
+    require(iters >= 1 && iters <= 1000, s"iters must be in [1, 1000], got $iters")
+    require(lr > 0.0, s"lr must be positive, got $lr")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val feats = hashedFeatures(labeled, idCol, textCol, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ydf = labeled.select(col(idCol).cast("long").as("doc_id"),
+      col(labelCol).cast("double").as("y"))
+    try {
+      val joined = feats.join(ydf, "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = joined.select(col("doc_id")).distinct().count()
+        if (n == 0) return spark.emptyDataset[(Long, Double)].toDF("bucket", "weight")
+        // weights live on the driver between iterations (B+1 doubles);
+        // margins/gradients are distributed
+        var w = Map.empty[Long, Double].withDefaultValue(0.0)
+        for (_ <- 1 to iters) {
+          val wDf = broadcast(
+            spark.createDataset(w.toSeq).toDF("bucket", "__w"))
+          val resid = joined.join(wDf, Seq("bucket"), "left")
+            .groupBy(col("doc_id"))
+            .agg(sum(col("x") * coalesce(col("__w"), lit(0.0))).as("__m"),
+              first(col("y")).as("y"))
+            .select(col("doc_id"),
+              (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("y")).as("r"))
+          val grad = joined.join(resid, "doc_id")
+            .groupBy(col("bucket"))
+            .agg((sum(col("r") * col("x")) / lit(n.toDouble)).as("g"))
+            .collect()
+          w = grad.foldLeft(w) { (acc, row) =>
+            val b = row.getLong(0)
+            acc.updated(b, acc(b) - lr * row.getDouble(1))
+          }
+        }
+        spark.createDataset(w.toSeq).toDF("bucket", "weight")
+          .select(col("bucket"), (round(col("weight"), 6) + lit(0.0)).as("weight"))
+      } finally { joined.unpersist(); () }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** Score documents under a [[logisticFit]] model: p = σ(Σ_b w_b·x_b)
+    * with the same hashed features. One keyed join against the
+    * BROADCAST (B+1)-row weight table + one per-doc aggregation —
+    * the corpus-scan-shaped scoring pass that feeds
+    * [[Sampling.selectTopByScore]] / [[Sampling.bucketByScore]].
+    * Documents with no tokens emit no row. Returns (doc_id, score)
+    * rounded 6dp.
+    */
+  def logisticScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int = 4096): DataFrame = {
+    hashedFeatures(docs, idCol, textCol, buckets)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("x") * coalesce(col("weight"), lit(0.0))).as("__m"))
+      .select(col("doc_id"),
+        (round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6) + lit(0.0)).as("score"))
   }
 }
