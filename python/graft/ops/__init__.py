@@ -9,9 +9,11 @@ same defaults as the Scala side (asserted by the smoke test).
 
 Covered here: the dedup family (exact keepers, MinHash near-dup +
 transitive groups, leakage-safe splits, incremental ingest verdicts),
-quality filtering (Gopher rule table), selection (hash sampling,
-deterministic splits, exact top-fraction by score), decontamination,
-and corpus audit (frequent n-grams). For clustering estimators see
+quality filtering (Gopher rule table, trainable logistic-regression
+scoring), selection (hash sampling, deterministic splits, exact
+top-fraction by score, exact rank bucketing, CCNet perplexity buckets,
+per-domain caps), decontamination, and corpus cleaning/audit (frequent
+n-grams, cross-doc boilerplate cut). For clustering estimators see
 ``graft.clustering``; for streaming k-means see ``graft.streaming``.
 """
 
@@ -31,6 +33,12 @@ __all__ = [
     "select_top_by_score",
     "decontaminate",
     "frequent_ngrams",
+    "boilerplate_cut",
+    "perplexity_buckets",
+    "bucket_by_score",
+    "cap_per_domain",
+    "logistic_fit",
+    "logistic_score",
 ]
 
 
@@ -183,3 +191,92 @@ def frequent_ngrams(df: DataFrame, text_col: str, n: int = 5, k: int = 100) -> D
     """Corpus boilerplate audit: top-k word n-grams by occurrence count
     (within-doc repeats included), deterministic (cnt desc, ngram asc)."""
     return _wrap(df, _jvm(df).graft.ops.TextOps.frequentNgrams(df._jdf, text_col, n, k))
+
+
+def boilerplate_cut(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 10,
+    hash_windows: bool = True,
+) -> DataFrame:
+    """Cross-document boilerplate removal (RefinedWeb line-dedup
+    analogue): n-token windows appearing in >= min_df DISTINCT docs are
+    merged into maximal spans and cut from every doc. Returns (doc_id,
+    n_tokens, boiler_tokens, boiler_frac, clean_text)."""
+    return _wrap(df, _jvm(df).graft.ops.Dedup.boilerplateCut(
+        df._jdf, id_col, text_col, n, min_df, hash_windows))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: List[int] = (1, 1, 1),
+    labels: List[str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style head/middle/tail split by the corpus's own bigram
+    fluency score (integer micro-units). Returns (doc_id, score_micro,
+    bucket); returned frame is persisted — ``.unpersist()`` when done."""
+    return _wrap(df, _jvm(df).graft.ops.Curate.perplexityBuckets(
+        df._jdf, id_col, text_col, _to_seq(df, [int(w) for w in weights]),
+        _to_seq(df, list(labels))))
+
+
+def bucket_by_score(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    weights: List[int],
+    labels: List[str],
+) -> DataFrame:
+    """Exact global-rank bucketing by an integer score (score desc, id
+    asc), integer-weight boundaries, no global sort. Returns (id, score,
+    bucket); returned frame is persisted — ``.unpersist()`` when done."""
+    return _wrap(df, _jvm(df).graft.ops.Sampling.bucketByScore(
+        df._jdf, id_col, score_col, _to_seq(df, [int(w) for w in weights]),
+        _to_seq(df, list(labels))))
+
+
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    max_docs: int,
+    seed: str,
+) -> DataFrame:
+    """Keep at most max_docs docs per domain, chosen by seeded portable
+    hash order — deterministic across runs, partitionings, engines.
+    Returns the input columns plus ``rk`` (1-based keep rank)."""
+    return _wrap(df, _jvm(df).graft.ops.Sampling.capPerDomain(
+        df._jdf, domain_col, id_col, int(max_docs), seed))
+
+
+def logistic_fit(
+    labeled: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    buckets: int = 4096,
+    iters: int = 5,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Binary LR quality classifier on portable-md5-hashed bag-of-words,
+    trained by full-batch GD as pure dataflow. label_col must be numeric
+    0/1. Returns (bucket, weight), bucket -1 the intercept."""
+    return _wrap(labeled, _jvm(labeled).graft.ops.Classify.logisticFit(
+        labeled._jdf, id_col, text_col, label_col, buckets, iters, float(lr)))
+
+
+def logistic_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Apply a ``logistic_fit`` model: per-doc sigmoid score in one
+    scan-shaped pass. Returns (doc_id, score)."""
+    return _wrap(docs, _jvm(docs).graft.ops.Classify.logisticScore(
+        docs._jdf, id_col, text_col, weights._jdf, buckets))

@@ -258,6 +258,29 @@ def main() -> None:
         assert 1 <= samp.count() <= 4
         print("ops bindings ok")
 
+        # round-13 additions: boilerplate cut, rank bucketing, CCNet
+        # buckets, per-domain caps, trainable LR classifier
+        boiler = gops.boilerplate_cut(docs, "doc_id", "text", n=3, min_df=3)
+        assert boiler.count() == docs.count()
+        assert "clean_text" in boiler.columns and "boiler_frac" in boiler.columns
+        buck = gops.bucket_by_score(scored, "doc_id", "score", [1, 1], ["hi", "lo"])
+        assert set(r.bucket for r in buck.collect()) <= {"hi", "lo"}
+        assert buck.count() == docs.count()
+        buck.unpersist()
+        ppl = gops.perplexity_buckets(docs, "doc_id", "text")
+        assert set(r.bucket for r in ppl.collect()) <= {"head", "middle", "tail"}
+        ppl.unpersist()
+        capped = gops.cap_per_domain(
+            docs.withColumn("dom", F.lit("d0")), "dom", "doc_id", 2, "s")
+        assert capped.count() == 2 and "rk" in capped.columns
+        lab = docs.withColumn("y", (F.col("doc_id") % 2 == 0).cast("double"))
+        w = gops.logistic_fit(lab, "doc_id", "text", "y", buckets=64, iters=2, lr=0.5)
+        assert any(r.bucket == -1 for r in w.collect())  # intercept present
+        sc = gops.logistic_score(docs, "doc_id", "text", w, buckets=64)
+        assert sc.count() == docs.count()
+        assert all(0.0 <= r.score <= 1.0 for r in sc.collect())
+        print("round-13 ops bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

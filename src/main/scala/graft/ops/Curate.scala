@@ -760,7 +760,7 @@ object Curate {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      weights: Seq[Long] = Seq(1L, 1L, 1L),
+      weights: Seq[Int] = Seq(1, 1, 1),
       labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
     val scored = TextOps.bigramScoreMicro(docs, idCol, textCol)
     Sampling.bucketByScore(scored, "doc_id", "score_micro", weights, labels)

@@ -386,7 +386,7 @@ object Sampling {
       df: DataFrame,
       idCol: String,
       scoreCol: String,
-      weights: Seq[Long],
+      weights: Seq[Int],
       labels: Seq[String]): DataFrame = {
     require(weights.nonEmpty && weights.forall(_ > 0),
       s"weights must be positive, got $weights")
@@ -400,8 +400,8 @@ object Sampling {
     try {
       val n = scored.count()
       if (n == 0) return scored.withColumn("bucket", lit(null).cast("string")).limit(0)
-      val totalW = weights.sum
-      val bounds = weights.scanLeft(0L)(_ + _).tail.dropRight(1)
+      val totalW = weights.map(_.toLong).sum
+      val bounds = weights.map(_.toLong).scanLeft(0L)(_ + _).tail.dropRight(1)
         .map(pw => (n * pw + totalW - 1) / totalW) :+ n
       val cap = graft.util.Conf.long(spark, "graft.bucket.maxDistinctScores", 1000000L)
       val hist = scored.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))

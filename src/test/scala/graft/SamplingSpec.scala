@@ -218,7 +218,7 @@ class SamplingSpec extends SparkSpec {
   test("bucketByScore equals the single-window rank bucketing (heavy ties included)") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, i % 7)).toDF("id", "score")
-    val got = Sampling.bucketByScore(df, "id", "score", Seq(1L, 1L, 1L),
+    val got = Sampling.bucketByScore(df, "id", "score", Seq(1, 1, 1),
       Seq("head", "middle", "tail"))
     try {
       val gotMap = got.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
@@ -242,10 +242,10 @@ class SamplingSpec extends SparkSpec {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val scored = docs.select(col("doc_id"),
       graft.ops.TextOps.qualityScoreMicro(col("text")).as("q"))
-    val a = Sampling.bucketByScore(scored, "doc_id", "q", Seq(2L, 3L, 5L),
+    val a = Sampling.bucketByScore(scored, "doc_id", "q", Seq(2, 3, 5),
       Seq("a", "b", "c"))
     val b = Sampling.bucketByScore(scored.repartition(13), "doc_id", "q",
-      Seq(2L, 3L, 5L), Seq("a", "b", "c"))
+      Seq(2, 3, 5), Seq("a", "b", "c"))
     try {
       assert(a.collect().map(r => (r.getLong(0), r.getString(2))).toSet ==
         b.collect().map(r => (r.getLong(0), r.getString(2))).toSet)
