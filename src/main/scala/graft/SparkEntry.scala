@@ -1538,6 +1538,18 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, queriesDf, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     },
+    // Hard-negative mining (DPR-style): per query, top-5 most-similar
+    // corpus vectors with a DIFFERENT label — same plan as topk with the
+    // label mismatch fused into the join; cosine omitted from the
+    // contract output only where float ties could reorder ranks (ties
+    // broken by corpus_id on both sides).
+    "q_hard_negatives" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val queriesDf = e.where(col("vec_id") % 20 === 0)
+      Similarity.hardNegatives(e, queriesDf, "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("rank"), col("corpus_id"), col("neg_label"))
+    },
     // int8 scalar quantization of the embedding corpus: codes + scale
     // are pure closed-form expressions, replayed exactly by the oracle
     "q_quantize_int8" -> { (s, dir) =>
@@ -3572,6 +3584,15 @@ object SparkEntry {
         |               c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10)
+        |WHERE rank <= 5""".stripMargin,
+    "q_hard_negatives" ->
+      """SELECT query_id, rank, corpus_id, neg_label FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, c.label AS neg_label,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+        |  WHERE q.vec_id % 20 = 0)
         |WHERE rank <= 5""".stripMargin,
     "q_quantize_int8" ->
       """WITH q AS (

@@ -265,6 +265,43 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive/embedding-model training
+    * (DPR, Karpukhin et al. 2020 §4.2; SimCSE-style pipelines): for
+    * each query vector, the top-`k` MOST similar corpus vectors whose
+    * label differs — the negatives that sit closest to the decision
+    * surface and carry the training signal random negatives lack.
+    *
+    * Same plan shape as [[bruteForceTopK]] (broadcast query side,
+    * corpus-scan map stage, per-query rank-1..k via a window whose
+    * rank filter plans the map-side WindowGroupLimit) with the label
+    * mismatch fused into the join condition, so disqualified pairs die
+    * before the cosine is ever computed. For corpus-scale mining swap
+    * the scan for [[ivfTopK]]'s cell-pruned candidates and apply the
+    * same label filter. Returns (query_id, rank, corpus_id, neg_label,
+    * cosine).
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = Dedup.fanOut(
+      corpus.select(col(idCol).as("corpus_id"), col(labelCol).as("neg_label"),
+        col(vecCol).cast("array<double>").as("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val joined = c.join(broadcast(q), col("neg_label") =!= col("__ql"))
+    val scored = joined.withColumn("sim", cosineSim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("neg_label"),
+        round(col("sim"), 6).as("cosine"))
+  }
+
   /** IVF (inverted-file) approximate top-k: assign corpus rows to coarse
     * cells once (nearest centroid), assign each query to its nProbe
     * closest cells, and only score rows in those cells. The corpus-side

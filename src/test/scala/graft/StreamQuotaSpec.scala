@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.StreamQuota
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming per-domain admission quotas: the lifetime cap holds across
+  * micro-batches, admission order is (ts, id), and batch mode agrees
+  * with the batch capPerDomain count contract.
+  */
+class StreamQuotaSpec extends SparkSpec {
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("quota admits in (ts, id) order and holds across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val out = StreamQuota.domainQuota(
+      stream.toDS().toDF("domain", "doc_id", "ts"), "ts", "domain", "doc_id", maxDocs = 3L)
+    val query = out.writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: domain a sends 2 (out of ts order), domain b sends 1
+      stream.addData(
+        ("a", 11L, ts(62000)),
+        ("a", 10L, ts(61000)),
+        ("b", 20L, ts(61500)))
+      query.processAllAvailable()
+      // batch 2: domain a sends 3 more — only ONE seat left; earliest ts wins
+      stream.addData(
+        ("a", 14L, ts(65000)),
+        ("a", 12L, ts(63000)),
+        ("a", 13L, ts(64000)),
+        ("b", 21L, ts(66000)))
+      query.processAllAvailable()
+      val rows = spark.table("quota_out")
+        .select("domain", "id", "rk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("a", 10L, 1L), ("a", 11L, 2L), // batch 1, ts order not arrival order
+        ("a", 12L, 3L),                 // batch 2: earliest ts takes the last seat
+        ("b", 20L, 1L), ("b", 21L, 2L)))
+    } finally query.stop()
+  }
+
+  test("quota never exceeds the cap under a flood; batch mode agrees with capPerDomain counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val out = StreamQuota.domainQuota(
+      stream.toDS().toDF("domain", "doc_id", "ts"), "ts", "domain", "doc_id", maxDocs = 5L)
+    val query = out.writeStream.format("memory").queryName("quota_flood")
+      .outputMode("append").start()
+    try {
+      (0 until 4).foreach { b =>
+        stream.addData((0 until 25).map(i =>
+          ("d" + (i % 3), (b * 100 + i).toLong, ts(100000L + b * 1000 + i))): _*)
+        query.processAllAvailable()
+      }
+      val counts = spark.table("quota_flood").groupBy("domain").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("d0" -> 5L, "d1" -> 5L, "d2" -> 5L), counts.toString)
+    } finally query.stop()
+
+    // batch mode: one pass, same per-domain counts as the batch cap
+    val batch = (0 until 50).map(i => ("d" + (i % 4), i.toLong, ts(200000L + i)))
+      .toDF("domain", "doc_id", "ts")
+    val admitted = StreamQuota.domainQuota(batch, "ts", "domain", "doc_id", 7L)
+    val bc = admitted.groupBy(col("domain")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bc.values.forall(_ == 7L) && bc.size == 4)
+    // rk is a contiguous 1..7 per domain
+    val rks = admitted.where(col("domain") === "d0").select("rk").collect()
+      .map(_.getLong(0)).sorted
+    assert(rks.toSeq == (1L to 7L))
+  }
+}
