@@ -1400,6 +1400,17 @@ object SparkEntry {
         lang = "en", minQuality = 0.5, nearDupDedup = false, n = 5)
         .select(col("doc_id"), col("quality"), col("n_tokens"))
     },
+    // Streaming per-domain admission quota on its batch parity path:
+    // first 8 docs per source in (ts, id) arrival order (ts = epoch +
+    // doc_id seconds, the q_curate_stream convention) — the stateful
+    // operator's admission rule replayed as a window rank.
+    "q_stream_quota" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      graft.streaming.StreamQuota.domainQuota(docs, "ts", "source", "doc_id", 8L)
+        .select(col("domain"), col("id"), col("rk"))
+    },
     "q_unigram_nll" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       graft.ops.TextOps.unigramNll(t(dir, "documents"), "doc_id", "text")
@@ -3059,6 +3070,12 @@ object SparkEntry {
         |                 / 4294967296.0 AS u
         |        FROM documents))
         |GROUP BY split""".stripMargin,
+    "q_stream_quota" ->
+      """SELECT source AS domain, doc_id AS id, rk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 8""".stripMargin,
     "q_domain_cap" ->
       """SELECT doc_id, source, rk FROM (
         |  SELECT doc_id, source,
