@@ -1165,6 +1165,19 @@ object SparkEntry {
           (round(col("rate"), 6) + lit(0.0)).as("rate"),
           (round(col("planned"), 6) + lit(0.0)).as("planned"))
     },
+    // Temperature-flattened mixture plan (XLM-R alpha-sampling, tau=2):
+    // flattened target shares from the corpus's own token masses, then
+    // the max-retention realization — the pow/normalize/min-scale chain
+    // replays in SQL with 6dp-rounded outputs.
+    "q_temperature_plan" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.temperaturePlan(t(dir, "documents"), "lang",
+          TextOps.tokenCount(col("text")).cast("long"), temperature = 2.0)
+        .select(col("domain"), col("available"),
+          (round(col("target_weight"), 6) + lit(0.0)).as("target_weight"),
+          (round(col("rate"), 6) + lit(0.0)).as("rate"),
+          (round(col("planned"), 6) + lit(0.0)).as("planned"))
+    },
     // Quality enters the contract as integer micro-units computed in PURE
     // 64-bit integer arithmetic (counts, IntegralDivide, least/greatest —
     // see TextOps.qualityScoreMicro), so no double EXISTS on either side
@@ -3118,6 +3131,20 @@ object SparkEntry {
         |             ELSE scale * target_weight / available END, 6) + 0.0 AS rate,
         |  round(scale * target_weight, 6) + 0.0 AS planned
         |FROM j, s""".stripMargin,
+    "q_temperature_plan" ->
+      """WITH avail AS (
+        |  SELECT lang AS domain,
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS available
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT domain, available,
+        |        pow(available, 0.5) / (SELECT sum(pow(available, 0.5)) FROM avail) AS tw
+        |      FROM avail),
+        |s AS (SELECT min(available / tw) AS scale FROM t)
+        |SELECT domain, available, round(tw, 6) + 0.0 AS target_weight,
+        |  round(CASE WHEN available = 0 THEN 0.0
+        |             ELSE scale * tw / available END, 6) + 0.0 AS rate,
+        |  round(scale * tw, 6) + 0.0 AS planned
+        |FROM t, s""".stripMargin,
     "q_budget_select" ->
       s"""WITH c AS (
         |  SELECT lang AS domain, doc_id AS key, ${qualityCountsSql()}

@@ -151,6 +151,45 @@ object Sampling {
         (col("__scale") * col("target_weight")).as("planned"))
   }
 
+  /** Temperature-flattened mixture plan — the multilingual "α/temperature
+    * sampling" rule (mBERT exponent-smoothed sampling; XLM-R, Conneau et
+    * al. 2020 §3.1; mT5's τ): target share of domain d is
+    * c_d^(1/τ) / Σ c^(1/τ), flattening the head and boosting the tail as
+    * τ grows (τ = 1 keeps natural proportions; τ → ∞ approaches uniform).
+    * The realized plan is [[mixturePlan]]'s max-retention solution for
+    * that target — the largest corpus honoring the flattened shares with
+    * NO domain upsampled — so the output schema and the rate semantics
+    * are identical and the rates feed [[sampleByStrata]] unchanged.
+    *
+    * Shape: one k-row aggregate over the domain column collects the
+    * available mass (driver-capped via `graft.mixture.maxDomains`,
+    * default 10000 — temperature sampling is a languages/sources-level
+    * tool, not a per-host one), computes the k target shares in closed
+    * form, and delegates. Returns (domain, available, target_weight,
+    * rate, planned).
+    */
+  def temperaturePlan(
+      df: DataFrame,
+      domainCol: String,
+      weightCol: Column,
+      temperature: Double): DataFrame = {
+    require(temperature > 0.0, s"temperature must be positive, got $temperature")
+    val spark = df.sparkSession
+    val cap = graft.util.Conf.long(spark, "graft.mixture.maxDomains", 10000L)
+    val avail = df.select(col(domainCol).cast("string").as("domain"), weightCol.as("__w"))
+      .groupBy(col("domain")).agg(sum(col("__w")).cast("double").as("available"))
+      .limit(math.min(cap + 1, Int.MaxValue.toLong - 1).toInt)
+      .collect()
+    require(avail.length <= cap,
+      s"distinct domains exceed graft.mixture.maxDomains=$cap; temperature " +
+        "sampling targets a bounded domain axis (languages/sources) — " +
+        "pre-bucket the domain column or raise the cap")
+    val target = avail.filter(r => !r.isNullAt(1) && r.getDouble(1) > 0.0)
+      .map(r => r.getString(0) -> math.pow(r.getDouble(1), 1.0 / temperature)).toMap
+    require(target.nonEmpty, "no domain carries positive weight mass")
+    mixturePlan(df, domainCol, weightCol, target)
+  }
+
   /** Quality-first selection under a per-domain token budget: within each
     * domain take documents in (quality desc, key asc) order while the
     * running token total BEFORE the document is inside the budget — the

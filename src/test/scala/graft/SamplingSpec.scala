@@ -280,6 +280,40 @@ class SamplingSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("temperaturePlan: tau=1 keeps natural shares; large tau flattens toward uniform") {
+    import spark.implicits._
+    val df = (Seq.fill(80)("big") ++ Seq.fill(20)("small")).zipWithIndex
+      .map { case (d, i) => (d, i.toLong) }.toDF("dom", "id")
+    def shares(tau: Double): Map[String, Double] = {
+      val rows = Sampling.temperaturePlan(df, "dom", lit(1L), tau).collect()
+      val tot = rows.map(r => r.getAs[Double]("planned")).sum
+      rows.map(r => r.getString(0) -> r.getAs[Double]("planned") / tot).toMap
+    }
+    val natural = shares(1.0)
+    assert(math.abs(natural("big") - 0.8) < 1e-9 && math.abs(natural("small") - 0.2) < 1e-9)
+    val flat = shares(100.0)
+    assert(flat("big") < 0.52 && flat("small") > 0.48,
+      s"tau=100 should be near-uniform, got $flat")
+    // flattening monotone: small-domain share grows with tau
+    assert(shares(2.0)("small") > natural("small"))
+    // the binding domain keeps rate 1.0 (no upsampling anywhere)
+    val plan2 = Sampling.temperaturePlan(df, "dom", lit(1L), 2.0).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("rate")).toMap
+    assert(math.abs(plan2("small") - 1.0) < 1e-9 && plan2("big") < 1.0)
+  }
+
+  test("temperaturePlan domain cap fires with remediation text") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => ("d" + i, i.toLong)).toDF("dom", "id")
+    spark.conf.set("graft.mixture.maxDomains", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sampling.temperaturePlan(df, "dom", lit(1L), 2.0)
+      }
+      assert(e.getMessage.contains("maxDomains"))
+    } finally spark.conf.unset("graft.mixture.maxDomains")
+  }
+
   test("selectTopByScore boundary cap fires with remediation text") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, 1L)).toDF("id", "score") // all tied
