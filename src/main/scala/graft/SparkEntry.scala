@@ -1140,6 +1140,12 @@ object SparkEntry {
     // Efraimidis–Spirakis weighted top-n (n_chars as the weight); the
     // output omits the u^(1/w) score itself — pow's last ulp is libm-
     // dependent — but the SELECTION it induces is compared exactly
+    "q_sample_weighted" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.weightedSampleN(t(dir, "documents"), "doc_id", "n_chars",
+          n = 50, seed = "r9w")
+        .select(col("doc_id"), col("n_chars"))
+    },
     // Per-domain document cap (C4/Dolma-style governance): keep <= 15
     // docs per source in seeded portable-hash order; the keep rank is
     // part of the contract, so the whole per-domain ordering replays.
@@ -1148,12 +1154,6 @@ object SparkEntry {
       graft.ops.Sampling.capPerDomain(t(dir, "documents"), "source", "doc_id",
           maxDocs = 15L, seed = "r11cap")
         .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
-    },
-    "q_sample_weighted" -> { (s, dir) =>
-      implicit val sp: SparkSession = s
-      graft.ops.Sampling.weightedSampleN(t(dir, "documents"), "doc_id", "n_chars",
-          n = 50, seed = "r9w")
-        .select(col("doc_id"), col("n_chars"))
     },
     "q_mixture_plan" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -3817,7 +3817,7 @@ object SparkEntry {
     "q_ccnet_buckets" ->
       s"""WITH ${bigramCountsSql()},
         |sc AS MATERIALIZED (
-        |  SELECT doc_id, sum((c2.c2 * 1000000) // c1.c1) // count(*) AS score_micro
+        |  SELECT doc_id, CAST(sum((c2.c2 * 1000000) // c1.c1) AS BIGINT) // count(*) AS score_micro
         |  FROM pw JOIN c2 USING (pair) JOIN c1 USING (w1)
         |  GROUP BY doc_id),
         |r AS (

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object Classify {
 
+  /** Portable feature-hash bucket: first 32 bits of md5 mod `b` — the
+    * same house-hash family as [[Sampling.uniform]]; replayable in any
+    * engine as `('0x' || substr(md5(tok), 1, 8))::UBIGINT % b`.
+    */
+  private def md5Bucket(c: Column, b: Int): Column =
+    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(b.toLong))
+
   /** @param hashBuckets when set, tokens are FEATURE-HASHED to
     *   `first32bits(md5(token)) mod B` buckets before counting (the
     *   fastText/Weinberger et al. 2009 trick): the dense feature × class
@@ -50,13 +57,6 @@ object Classify {
     *   % B` rebuilds the exact bucketing in any engine. The string path
     *   (None) remains the vocabulary-exact form (q_nb_classify).
     */
-  /** Portable feature-hash bucket: first 32 bits of md5 mod `b` — the
-    * same house-hash family as [[Sampling.uniform]]; replayable in any
-    * engine as `('0x' || substr(md5(tok), 1, 8))::UBIGINT % b`.
-    */
-  private def md5Bucket(c: Column, b: Int): Column =
-    pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(b.toLong))
-
   def nbClassify(
       docs: DataFrame,
       labeled: DataFrame,
@@ -181,13 +181,13 @@ object Classify {
     val spark = labeled.sparkSession
     import spark.implicits._
     val feats = hashedFeatures(labeled, idCol, textCol, buckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ydf = labeled.select(col(idCol).cast("long").as("doc_id"),
       col(labelCol).cast("double").as("y"))
+    // only `joined` is re-read across iterations — persisting feats too
+    // would pin a second copy of the feature set for zero hits
+    val joined = feats.join(ydf, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val joined = feats.join(ydf, "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
         val n = joined.select(col("doc_id")).distinct().count()
         if (n == 0) return spark.emptyDataset[(Long, Double)].toDF("bucket", "weight")
         // weights live on the driver between iterations (B+1 doubles);
@@ -213,8 +213,7 @@ object Classify {
         }
         spark.createDataset(w.toSeq).toDF("bucket", "weight")
           .select(col("bucket"), (round(col("weight"), 6) + lit(0.0)).as("weight"))
-      } finally { joined.unpersist(); () }
-    } finally { feats.unpersist(); () }
+    } finally { joined.unpersist(); () }
   }
 
   /** Score documents under a [[logisticFit]] model: p = σ(Σ_b w_b·x_b)

@@ -135,9 +135,18 @@ object Sampling {
     val avail = df.select(col(domainCol).cast("string").as("domain"), weightCol.as("__w"))
       .where(col("domain").isin(targetKeys: _*))
       .groupBy(col("domain")).agg(sum(col("__w")).cast("double").as("available"))
+    planFromAvail(avail, targetDf)
+  }
+
+  /** Shared tail of [[mixturePlan]] and [[temperaturePlan]]: the
+    * max-retention realization from an already-aggregated k-row
+    * (domain, available) frame and a k-row (domain, target_weight)
+    * frame with normalized weights.
+    */
+  private def planFromAvail(avail: DataFrame, targetDf: DataFrame): DataFrame = {
     // LEFT join from the target side: a target domain the corpus cannot
-    // supply must not vanish from the plan (avail is now at most k rows
-    // by the filter above, so broadcasting it is free)
+    // supply must not vanish from the plan (avail is at most k rows,
+    // so broadcasting it is free)
     val joined = targetDf.join(broadcast(avail), Seq("domain"), "left")
       .select(col("domain"),
         coalesce(col("available"), lit(0.0)).as("available"), col("target_weight"))
@@ -184,10 +193,19 @@ object Sampling {
       s"distinct domains exceed graft.mixture.maxDomains=$cap; temperature " +
         "sampling targets a bounded domain axis (languages/sources) — " +
         "pre-bucket the domain column or raise the cap")
-    val target = avail.filter(r => !r.isNullAt(1) && r.getDouble(1) > 0.0)
-      .map(r => r.getString(0) -> math.pow(r.getDouble(1), 1.0 / temperature)).toMap
-    require(target.nonEmpty, "no domain carries positive weight mass")
-    mixturePlan(df, domainCol, weightCol, target)
+    val live = avail.filter(r => !r.isNullAt(0) && !r.isNullAt(1) && r.getDouble(1) > 0.0)
+    require(live.nonEmpty, "no domain carries positive weight mass")
+    val pows = live.map(r => r.getString(0) -> math.pow(r.getDouble(1), 1.0 / temperature))
+    val total = pows.map(_._2).sum
+    // the aggregate already ran once — reuse its k collected rows for
+    // both the availability frame and the flattened targets instead of
+    // re-scanning the corpus through mixturePlan
+    import spark.implicits._
+    val availDf = live.map(r => (r.getString(0), r.getDouble(1))).toIndexedSeq
+      .toDF("domain", "available")
+    val targetDf = pows.map { case (d, w) => (d, w / total) }.toIndexedSeq
+      .toDF("domain", "target_weight")
+    planFromAvail(availDf, targetDf)
   }
 
   /** Quality-first selection under a per-domain token budget: within each
@@ -345,6 +363,9 @@ object Sampling {
       require(hist.length <= cap,
         s"distinct scores exceed graft.select.maxDistinctScores=$cap; " +
           "coarsen the score (fewer micro-digits) or raise the cap")
+      require(hist.forall(!_.isNullAt(0)),
+        s"$scoreCol contains nulls; the (score desc, id) order contract needs a total " +
+          "integer order — filter or impute null scores first")
       var cum = 0L
       var i = 0
       while (i < hist.length && cum < k) { cum += hist(i).getLong(1); i += 1 }
@@ -450,6 +471,9 @@ object Sampling {
       require(hist.length <= cap,
         s"distinct scores exceed graft.bucket.maxDistinctScores=$cap; " +
           "coarsen the score (fewer micro-digits) or raise the cap")
+      require(hist.forall(!_.isNullAt(0)),
+        s"$scoreCol contains nulls; the (score desc, id) rank contract needs a total " +
+          "integer order — filter or impute null scores first")
       var cum = 0L
       val above = hist.map { r =>
         val row = (r.getLong(0), cum); cum += r.getLong(1); row
