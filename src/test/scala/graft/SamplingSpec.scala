@@ -280,6 +280,35 @@ class SamplingSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("bucketByScore property: arbitrary scores/weights always equal the single-window reference") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // heavy-tie score domain (0..5) exercises every boundary-fill path
+    val genScores = Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 5L)))
+    val genWeights = Gen.chooseNum(1, 4).flatMap(m => Gen.listOfN(m, Gen.chooseNum(1, 9)))
+    val prop = Prop.forAll(genScores, genWeights) { (scores: List[Long], ws: List[Int]) =>
+      val labels = ws.indices.map(i => s"b$i")
+      val df = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "score")
+      val got = Sampling.bucketByScore(df, "id", "score", ws, labels)
+      try {
+        val gotMap = got.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+        val n = scores.length.toLong
+        val totalW = ws.map(_.toLong).sum
+        val bounds = ws.map(_.toLong).scanLeft(0L)(_ + _).tail.dropRight(1)
+          .map(pw => (n * pw + totalW - 1) / totalW) :+ n
+        val expected = scores.zipWithIndex
+          .sortBy { case (s, i) => (-s, i) }.zipWithIndex.map { case ((_, id), r0) =>
+            val rk = r0 + 1
+            id.toLong -> labels(bounds.indexWhere(rk <= _))
+          }.toMap
+        gotMap == expected
+      } finally { got.unpersist(); () }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("temperaturePlan: tau=1 keeps natural shares; large tau flattens toward uniform") {
     import spark.implicits._
     val df = (Seq.fill(80)("big") ++ Seq.fill(20)("small")).zipWithIndex
