@@ -1146,6 +1146,17 @@ object SparkEntry {
           n = 50, seed = "r9w")
         .select(col("doc_id"), col("n_chars"))
     },
+    // Quality-ranked per-domain selection: the 12 HIGHEST-quality docs
+    // per source by the integer micro-unit score (rule-1 ordering), rank
+    // included in the contract.
+    "q_top_per_domain" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val scored = t(dir, "documents").select(col("doc_id"), col("source"),
+        TextOps.qualityScoreMicro(col("text")).as("q_micro"))
+      graft.ops.Sampling.topPerDomain(scored, "source", "doc_id", "q_micro", 12L)
+        .select(col("doc_id"), col("source"), col("q_micro"),
+          col("rk").cast("long").as("rk"))
+    },
     // Per-domain document cap (C4/Dolma-style governance): keep <= 15
     // docs per source in seeded portable-hash order; the keep rank is
     // part of the contract, so the whole per-domain ordering replays.
@@ -1271,6 +1282,21 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.exact(t(dir, "documents"), "doc_id", "text")
         .select(col("keeper_id"), col("dup_count"))
+    },
+    // Canonicalized exact dedup: UPPERCASED+punctuated variants are
+    // injected, then normalizeText collapses them onto their originals —
+    // min-id keeper per canonical form, the normalize+dedup composition
+    // replayed end to end.
+    "q_dedup_canonical" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      val variants = docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(variants)
+        .withColumn("canon", graft.ops.TextOps.normalizeText(col("text")))
+      Dedup.exactKeepers(corpus, "doc_id", "canon")
+        .select(col("doc_id"), md5(col("canon")).as("canon_md5"))
     },
     "q_ngram_jaccard" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -3083,6 +3109,16 @@ object SparkEntry {
         |                 / 4294967296.0 AS u
         |        FROM documents))
         |GROUP BY split""".stripMargin,
+    "q_top_per_domain" ->
+      s"""WITH c AS (
+        |  SELECT doc_id, source, ${qualityCountsSql()} FROM documents),
+        |d AS (SELECT doc_id, source, ${qualityMicroSql()} AS q_micro FROM c)
+        |SELECT doc_id, source, q_micro, rk FROM (
+        |  SELECT doc_id, source, q_micro,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY q_micro DESC, doc_id) AS rk
+        |  FROM d)
+        |WHERE rk <= 12""".stripMargin,
     "q_stream_quota" ->
       """SELECT source AS domain, doc_id AS id, rk FROM (
         |  SELECT doc_id, source,
@@ -3315,6 +3351,20 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY text""".stripMargin,
+    "q_dedup_canonical" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '!!' FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |canon AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon
+        |  FROM corpus),
+        |k AS (SELECT min(doc_id) AS keeper FROM canon GROUP BY canon)
+        |SELECT c.doc_id, md5(c.canon) AS canon_md5
+        |FROM canon c JOIN k ON c.doc_id = k.keeper""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,

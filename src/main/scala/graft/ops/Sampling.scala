@@ -424,6 +424,33 @@ object Sampling {
       .where(col("rk") <= lit(maxDocs))
   }
 
+  /** Keep the `k` BEST documents of each domain by an integer score —
+    * the quality-ranked counterpart of [[capPerDomain]] (random subsample)
+    * and the count-capped counterpart of [[budgetSelect]] (token budget):
+    * per domain, rows rank by (score desc, `idCol` asc) and ranks > k
+    * drop. Same plan shape as [[capPerDomain]]: the rank filter plans
+    * map-side WindowGroupLimit, so each map task forwards at most k rows
+    * per domain and a billion-page domain never crosses the shuffle
+    * whole (PlanShapeSpec asserts it on the executed plan).
+    *
+    * `scoreCol` must be integer-typed (rule-1: floats don't order
+    * contracts — micro-unit quality scores are the house form).
+    * Returns the input columns plus `rk` (1-based quality rank), capped.
+    */
+  def topPerDomain(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= lit(k))
+  }
+
   /** Exact multi-way quantile bucketing by an INTEGER score, without a
     * global sort: every row is labeled with the bucket its global rank
     * (score descending, `idCol` ascending ties) falls in, where bucket

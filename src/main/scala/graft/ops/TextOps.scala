@@ -735,6 +735,20 @@ object TextOps {
     pairs.join(c2, "pair").join(c1, "w1")
   }
 
+  /** Canonical text normalization for fuzzy-exact dedup (the
+    * "lowercase, strip punctuation, squeeze whitespace" canonicalization
+    * Lee et al. 2022 §4.1 and most production pipelines apply BEFORE
+    * exact hashing, so trivially-reformatted copies collapse): lowercase,
+    * non-alphanumerics (keeping spaces) to spaces, runs of spaces
+    * squeezed, ends trimmed. Pure codegen projection (lower /
+    * regexp_replace / trim — one pass, no shuffle); the regex classes
+    * are ASCII-explicit so the identical expression evaluates in any
+    * engine (q_dedup_canonical replays normalize + dedup end to end).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** One-pass corpus profile per language — the audit table a curation
     * run starts from: document counts, token mass, and EXACT discrete
     * percentiles (p10/p50/p90) of per-document token count and of the

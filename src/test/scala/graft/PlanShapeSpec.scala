@@ -47,6 +47,29 @@ class PlanShapeSpec extends SparkSpec {
       s"per-domain cap must partial-limit per map task before exchanging; plan:\n${plan.take(1500)}")
   }
 
+  test("topPerDomain plans a map-side WindowGroupLimit like the hash cap") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val out = graft.ops.Sampling.topPerDomain(docs, "source", "doc_id", "n_chars", 5L)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"quality top-k must partial-limit per map task; plan:\n${plan.take(1500)}")
+  }
+
+  test("bucketByScore never plans a one-partition total order") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val scored = docs.select(col("doc_id"),
+      graft.ops.TextOps.qualityScoreMicro(col("text")).as("q"))
+    val out = graft.ops.Sampling.bucketByScore(scored, "doc_id", "q",
+      Seq(1, 1, 1), Seq("head", "middle", "tail"))
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"rank bucketing must stay hash-partitioned; plan:\n${plan.take(1500)}")
+    } finally out.unpersist()
+  }
+
   test("gopherRules is one projection over the scan: zero Exchange") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val out = graft.ops.TextOps.gopherRules(docs, "doc_id", "text")

@@ -223,4 +223,25 @@ class VocabSpec extends SparkSpec {
     // then ties at 1 resolve lexicographically ("b c" < "z z")
     assert(top == Seq(("a b", 4L), ("b a", 2L), ("b c", 1L)), top.toString)
   }
+
+  test("normalizeText: case/punctuation/whitespace variants collapse to one canonical form") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The quick, brown fox!"),
+      (2L, "the QUICK   brown--fox"),
+      (3L, "  THE QUICK BROWN FOX?? "),
+      (4L, "a different document")
+    ).toDF("doc_id", "text")
+    val canon = df.select(col("doc_id"),
+      graft.ops.TextOps.normalizeText(col("text")).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(canon(1L) == "the quick brown fox")
+    assert(canon(1L) == canon(2L) && canon(2L) == canon(3L))
+    assert(canon(4L) == "a different document")
+    // composed with exactKeepers: min-id survivor per canonical form
+    val keepers = graft.ops.Dedup.exactKeepers(
+      df.withColumn("c", graft.ops.TextOps.normalizeText(col("text"))), "doc_id", "c")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(keepers.toSeq == Seq(1L, 4L))
+  }
 }
