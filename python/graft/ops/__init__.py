@@ -39,6 +39,10 @@ __all__ = [
     "cap_per_domain",
     "logistic_fit",
     "logistic_score",
+    "hard_negatives",
+    "temperature_plan",
+    "top_per_domain",
+    "domain_quota",
 ]
 
 
@@ -280,3 +284,61 @@ def logistic_score(
     scan-shaped pass. Returns (doc_id, score)."""
     return _wrap(docs, _jvm(docs).graft.ops.Classify.logisticScore(
         docs._jdf, id_col, text_col, weights._jdf, buckets))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """DPR-style hard-negative mining: per query vector, the top-k most
+    similar corpus vectors with a DIFFERENT label. Returns (query_id,
+    rank, corpus_id, neg_label, cosine)."""
+    return _wrap(corpus, _jvm(corpus).graft.ops.Similarity.hardNegatives(
+        corpus._jdf, queries._jdf, id_col, vec_col, label_col, k))
+
+
+def temperature_plan(
+    df: DataFrame,
+    domain_col: str,
+    weight_col: str,
+    temperature: float,
+) -> DataFrame:
+    """XLM-R/mT5 alpha-sampling plan: target share c_d^(1/tau)/sum,
+    realized max-retention (binding domain keeps rate 1.0). weight_col
+    names a column carrying each row's weight (e.g. a token count).
+    Returns (domain, available, target_weight, rate, planned)."""
+    jvm = _jvm(df)
+    w = jvm.org.apache.spark.sql.functions.col(weight_col)
+    return _wrap(df, jvm.graft.ops.Sampling.temperaturePlan(
+        df._jdf, domain_col, w, float(temperature)))
+
+
+def top_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    score_col: str,
+    k: int,
+) -> DataFrame:
+    """Keep the k BEST docs per domain by an integer score (score desc,
+    id asc). Returns the input columns plus ``rk``."""
+    return _wrap(df, _jvm(df).graft.ops.Sampling.topPerDomain(
+        df._jdf, domain_col, id_col, score_col, int(k)))
+
+
+def domain_quota(
+    docs: DataFrame,
+    ts_col: str,
+    domain_col: str,
+    id_col: str,
+    max_docs: int,
+) -> DataFrame:
+    """Lifetime per-domain admission quota (streaming or batch): admit
+    at most max_docs docs per domain in (ts, id) order, one long of
+    state per domain. Returns (domain, id, ts, rk)."""
+    return _wrap(docs, _jvm(docs).graft.streaming.StreamQuota.domainQuota(
+        docs._jdf, ts_col, domain_col, id_col, int(max_docs)))

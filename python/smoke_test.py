@@ -279,6 +279,22 @@ def main() -> None:
         sc = gops.logistic_score(docs, "doc_id", "text", w, buckets=64)
         assert sc.count() == docs.count()
         assert all(0.0 <= r.score <= 1.0 for r in sc.collect())
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        hn = gops.hard_negatives(
+            emb, emb.where("vec_id < 3"), "vec_id", "embedding", "label", k=4)
+        assert hn.count() == 12 and "neg_label" in hn.columns
+        tp = gops.temperature_plan(
+            docs.withColumn("w", F.lit(1)), "doc_id", "w", 2.0)
+        assert tp.count() == 4 and abs(sum(r.rate for r in tp.collect()) - 4.0) < 1e-9
+        tpd = gops.top_per_domain(
+            docs.withColumn("dom", F.lit("d")).withColumn("s", F.col("doc_id") % 2),
+            "dom", "doc_id", "s", 3)
+        assert tpd.count() == 3
+        dq = gops.domain_quota(
+            docs.withColumn("dom", F.lit("d"))
+                .withColumn("ts", F.to_timestamp(F.lit("2024-01-01"))),
+            "ts", "dom", "doc_id", 2)
+        assert dq.count() == 2
         print("round-13 ops bindings ok")
 
         print("SMOKE TEST PASSED")
