@@ -1450,6 +1450,17 @@ object SparkEntry {
       graft.streaming.StreamQuota.domainQuota(docs, "ts", "source", "doc_id", 8L)
         .select(col("domain"), col("id"), col("rk"))
     },
+    // Windowed per-domain rate limit on its batch parity path: <= 3 docs
+    // per source per 600-second tumbling event-time window (ts = epoch +
+    // doc_id seconds); window starts are pure integer epoch arithmetic.
+    "q_rate_limit" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      graft.streaming.StreamQuota.rateLimit(docs, "ts", "source", "doc_id",
+          maxDocs = 3L, windowSeconds = 600L)
+        .select(col("domain"), col("id"), col("win_start_s"), col("rk"))
+    },
     "q_unigram_nll" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       graft.ops.TextOps.unigramNll(t(dir, "documents"), "doc_id", "text")
@@ -3119,6 +3130,15 @@ object SparkEntry {
         |      ORDER BY q_micro DESC, doc_id) AS rk
         |  FROM d)
         |WHERE rk <= 12""".stripMargin,
+    "q_rate_limit" ->
+      """SELECT source AS domain, doc_id AS id, win_start_s, rk FROM (
+        |  SELECT doc_id, source,
+        |    ((1700000000 + doc_id) // 600) * 600 AS win_start_s,
+        |    row_number() OVER (
+        |      PARTITION BY source, (1700000000 + doc_id) // 600
+        |      ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3""".stripMargin,
     "q_stream_quota" ->
       """SELECT source AS domain, doc_id AS id, rk FROM (
         |  SELECT doc_id, source,
