@@ -43,6 +43,7 @@ __all__ = [
     "temperature_plan",
     "top_per_domain",
     "domain_quota",
+    "rate_limit",
 ]
 
 
@@ -342,3 +343,20 @@ def domain_quota(
     state per domain. Returns (domain, id, ts, rk)."""
     return _wrap(docs, _jvm(docs).graft.streaming.StreamQuota.domainQuota(
         docs._jdf, ts_col, domain_col, id_col, int(max_docs)))
+
+
+def rate_limit(
+    docs: DataFrame,
+    ts_col: str,
+    domain_col: str,
+    id_col: str,
+    max_docs: int,
+    window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed per-domain rate limit (streaming or batch): at most
+    max_docs per domain per tumbling event-time window, state one long
+    per live (domain, window). Returns (domain, id, ts, win_start_s, rk)."""
+    return _wrap(docs, _jvm(docs).graft.streaming.StreamQuota.rateLimit(
+        docs._jdf, ts_col, domain_col, id_col, int(max_docs),
+        int(window_seconds), watermark))

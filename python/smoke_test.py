@@ -295,6 +295,11 @@ def main() -> None:
                 .withColumn("ts", F.to_timestamp(F.lit("2024-01-01"))),
             "ts", "dom", "doc_id", 2)
         assert dq.count() == 2
+        rl = gops.rate_limit(
+            docs.withColumn("dom", F.lit("d"))
+                .withColumn("ts", F.to_timestamp(F.lit("2024-01-01"))),
+            "ts", "dom", "doc_id", 3, window_seconds=60)
+        assert rl.count() == 3 and "win_start_s" in rl.columns
         print("round-13 ops bindings ok")
 
         print("SMOKE TEST PASSED")
