@@ -433,8 +433,12 @@ object Sampling {
     * per domain and a billion-page domain never crosses the shuffle
     * whole (PlanShapeSpec asserts it on the executed plan).
     *
-    * `scoreCol` must be integer-typed (rule-1: floats don't order
-    * contracts — micro-unit quality scores are the house form).
+    * The ordering runs on `scoreCol` CAST TO LONG (rule-1: floats don't
+    * order contracts — micro-unit quality scores are the house form;
+    * a fractional score must be micro-scaled by the caller, not passed
+    * raw). Rows whose cast score is null (null input or an uncastable
+    * value) are dropped rather than silently ranked last — enforced the
+    * same way [[selectTopByScore]] rejects null scores.
     * Returns the input columns plus `rk` (1-based quality rank), capped.
     */
   def topPerDomain(
@@ -445,9 +449,11 @@ object Sampling {
       k: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
+    val scoreL = col(scoreCol).cast("long")
     val w = Window.partitionBy(col(domainCol))
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-    df.withColumn("rk", row_number().over(w))
+      .orderBy(scoreL.desc, col(idCol).asc)
+    df.where(scoreL.isNotNull)
+      .withColumn("rk", row_number().over(w))
       .where(col("rk") <= lit(k))
   }
 

@@ -125,4 +125,22 @@ class StreamQuotaSpec extends SparkSpec {
       }.toSet
     assert(rows == expected, s"${rows.size} vs ${expected.size}")
   }
+
+  test("rateLimit windows floor pre-epoch event times (div-truncation regression)") {
+    import spark.implicits._
+    // epoch -70s belongs to window [-120, -60), NOT [-60, 0): truncating
+    // division put it in the wrong window before the pmod floor fix
+    val batch = Seq(
+      ("d", 1L, ts(-70000L)), // epoch -70 -> window -120
+      ("d", 2L, ts(-10000L)), // epoch -10 -> window -60
+      ("d", 3L, ts(10000L))   // epoch  10 -> window 0
+    ).toDF("domain", "doc_id", "ts")
+    val wins = graft.streaming.StreamQuota.rateLimit(
+      batch, "ts", "domain", "doc_id", maxDocs = 5L, windowSeconds = 60L)
+      .select("id", "win_start_s").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wins == Map(1L -> -120L, 2L -> -60L, 3L -> 0L), wins.toString)
+    // invariant: every row's window contains it
+    wins.foreach { case (_, w) => assert(w % 60 == 0) }
+  }
 }
