@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession, SparkSessionExtensions}
 
 /** Native Catalyst expressions for the vector-math hot paths.
@@ -334,7 +334,32 @@ object ArrayMath {
     ("graft_geni", "epsilon-smoothed generalized I-divergence",
       (es: Seq[Expression]) => ArrayGenIDiv(c(es(0)), c(es(1)), 1e-10)),
     ("graft_logistic", "clamped binary cross-entropy (logistic loss)",
-      (es: Seq[Expression]) => ArrayLogisticDiv(c(es(0)), c(es(1)), 1e-10))
+      (es: Seq[Expression]) => ArrayLogisticDiv(c(es(0)), c(es(1)), 1e-10)),
+    // text-pipeline scalars: the same oracle-checked Column compositions
+    // the Scala API uses, exposed to plain SQL (pure builtin expression
+    // trees — codegen'd, engine-portable semantics)
+    ("graft_quality_micro",
+      "integer micro-unit quality score of a text column (rule-1 safe ordering key)",
+      (es: Seq[Expression]) => GraftSqlBridge.expressionTree(
+        graft.ops.TextOps.qualityScoreMicro(GraftSqlBridge.column(es(0))))),
+    ("graft_normalize",
+      "canonical text: lowercase, punctuation to spaces, squeezed/trimmed whitespace",
+      (es: Seq[Expression]) => GraftSqlBridge.expressionTree(
+        graft.ops.TextOps.normalizeText(GraftSqlBridge.column(es(0))))),
+    ("graft_token_count", "whitespace token count of a text column",
+      (es: Seq[Expression]) => GraftSqlBridge.expressionTree(
+        graft.ops.TextOps.tokenCount(GraftSqlBridge.column(es(0))))),
+    ("graft_uniform",
+      "portable seeded uniform in [0,1): graft_uniform(key, 'seed') — md5 house hash",
+      (es: Seq[Expression]) => {
+        val seed = es.lift(1) match {
+          case Some(Literal(v, StringType)) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_uniform seed must be a string literal, got $other")
+        }
+        GraftSqlBridge.expressionTree(
+          graft.ops.Sampling.uniform(GraftSqlBridge.column(es(0)), seed))
+      })
   )
 
   /** Numeric-array inputs (float/int arrays) coerce to array<double>. */

@@ -16,6 +16,15 @@ object GraftSqlBridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Convert a Column built from sql.functions compositions into a plain
+    * catalyst Expression TREE (UnresolvedFunction nodes the analyzer
+    * then resolves). [[expression]] wraps the column node opaquely —
+    * fine as a leaf inside a plan, but a FunctionRegistry builder must
+    * return a real tree or codegen meets an Unevaluable wrapper.
+    */
+  def expressionTree(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   def registerFunction(
       spark: SparkSession,
       name: String,

@@ -97,6 +97,32 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(math.abs(k.getDouble(0) - exp) < 1e-12)
   }
 
+  test("SQL registration: text-pipeline scalars callable from spark.sql") {
+    ArrayMath.register(spark)
+    val r = spark.sql(
+      "SELECT graft_token_count('a b  c') AS tc, " +
+        "graft_normalize('  The QUICK, brown--fox!! ') AS nm, " +
+        "graft_uniform(42, 'seed1') AS u1, graft_uniform(42, 'seed1') AS u2").head()
+    assert(r.getInt(0) == 4) // raw whitespace split: '' from the double space
+    assert(r.getString(1) == "the quick brown fox")
+    assert(r.getDouble(2) == r.getDouble(3) && r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+    // graft_quality_micro == the Scala composition on real documents
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    docs.createOrReplaceTempView("gf_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_quality_micro(text) AS q FROM gf_docs").collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val viaApi = docs.select(col("doc_id"),
+      graft.ops.TextOps.qualityScoreMicro(col("text")).as("q")).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(viaSql == viaApi)
+    // non-literal seed is rejected with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_uniform(1, concat('a','b'))").head()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   test("cosine matches the legacy 3-pass HOF formulation bit-for-bit") {
     import spark.implicits._
     val df = randRows(40, 12, 4).toDF("a", "b")
