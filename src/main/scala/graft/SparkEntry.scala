@@ -124,6 +124,46 @@ object SparkEntry {
       s" + len(list_distinct(list_concat($aSh, $bSh))))" +
       s" // (2 * len(list_distinct(list_concat($aSh, $bSh))))"
 
+  /** Cell-pruned IVF search oracle shared by q_ann_ivf_pruned and
+    * q_hard_negatives_ivf (the SQL mirror of `Similarity.ivfCandidates`
+    * + top-k under a SUPPLIED quantizer — embeddings vec_id < 8):
+    * nearest-cell assignment, nProbe=3 probing, a caller-chosen
+    * candidate filter (self-exclusion vs label mismatch), cosine top-5.
+    */
+  private def ivfPrunedOracleSql(
+      queryPredSql: String,
+      candFilterSql: String,
+      withLabel: Boolean): String = {
+    val labelOut = if (withLabel) ", neg_label" else ""
+    val labelCand = if (withLabel) ", a.label AS neg_label" else ""
+    s"""WITH cent AS MATERIALIZED (
+      |  SELECT vec_id AS cell, embedding::DOUBLE[] AS ct
+      |  FROM embeddings WHERE vec_id < 8),
+      |corp AS MATERIALIZED (
+      |  SELECT vec_id AS corpus_id, label, embedding::DOUBLE[] AS cv FROM embeddings),
+      |asg AS (SELECT corpus_id, label, cell FROM (
+      |  SELECT c.corpus_id, c.label, t.cell, row_number() OVER (PARTITION BY c.corpus_id
+      |    ORDER BY list_sum(list_transform(range(1, len(c.cv)+1),
+      |      i -> (c.cv[i]-t.ct[i])*(c.cv[i]-t.ct[i]))), t.cell) AS rn
+      |  FROM corp c CROSS JOIN cent t) WHERE rn = 1),
+      |probe AS (SELECT query_id, qlabel, cell FROM (
+      |  SELECT q.corpus_id AS query_id, q.label AS qlabel, t.cell,
+      |    row_number() OVER (PARTITION BY q.corpus_id
+      |    ORDER BY list_sum(list_transform(range(1, len(q.cv)+1),
+      |      i -> (q.cv[i]-t.ct[i])*(q.cv[i]-t.ct[i]))), t.cell) AS rn
+      |  FROM corp q CROSS JOIN cent t WHERE $queryPredSql) WHERE rn <= 3),
+      |cand AS (SELECT p.query_id, a.corpus_id$labelCand
+      |  FROM probe p JOIN asg a USING (cell)
+      |  WHERE $candFilterSql)
+      |SELECT query_id, rank, corpus_id$labelOut FROM (
+      |  SELECT cd.query_id, cd.corpus_id$labelOut,
+      |    row_number() OVER (PARTITION BY cd.query_id
+      |      ORDER BY list_cosine_similarity(q.cv, c.cv) DESC, cd.corpus_id) AS rank
+      |  FROM cand cd JOIN corp q ON q.corpus_id = cd.query_id
+      |               JOIN corp c ON c.corpus_id = cd.corpus_id)
+      |WHERE rank <= 5""".stripMargin
+  }
+
   /** Span-merge-and-cut oracle shared by q_substring_dedup and
     * q_boilerplate_cut (the SQL mirror of `Dedup.cutSpans`): fixed
     * `winLen`-token windows, a caller-supplied `dup` CTE selecting the
@@ -1657,6 +1697,20 @@ object SparkEntry {
       val idx = graft.ops.IvfIndex.buildWithCenters(e, "vec_id", "embedding", cents)
       idx.search(e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = 3)
         .select(col("query_id"), col("rank"), col("corpus_id"))
+    },
+    // Hard-negative mining over the cell-pruned IVF path — the
+    // corpus-scale sibling of q_hard_negatives (same supplied-quantizer
+    // trick as q_ann_ivf_pruned, so the candidate pruning + label filter
+    // + top-k replay exactly).
+    "q_hard_negatives_ivf" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.ivfHardNegatives(e, e.where(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", "label", k = 5, centroids = cents, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("corpus_id"), col("neg_label"))
     },
     "q_ann_ivf_full" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -4552,30 +4606,11 @@ object SparkEntry {
         |SELECT round(ixt.i, 6) + 0.0 AS i_xt, round(ity.i, 6) + 0.0 AS i_ty, 4 AS k
         |FROM ixt, ity""".stripMargin,
     "q_ann_ivf_pruned" ->
-      """WITH cent AS MATERIALIZED (
-        |  SELECT vec_id AS cell, embedding::DOUBLE[] AS ct
-        |  FROM embeddings WHERE vec_id < 8),
-        |corp AS MATERIALIZED (
-        |  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
-        |asg AS (SELECT corpus_id, cell FROM (
-        |  SELECT c.corpus_id, t.cell, row_number() OVER (PARTITION BY c.corpus_id
-        |    ORDER BY list_sum(list_transform(range(1, len(c.cv)+1),
-        |      i -> (c.cv[i]-t.ct[i])*(c.cv[i]-t.ct[i]))), t.cell) AS rn
-        |  FROM corp c CROSS JOIN cent t) WHERE rn = 1),
-        |probe AS (SELECT query_id, cell FROM (
-        |  SELECT q.corpus_id AS query_id, t.cell, row_number() OVER (PARTITION BY q.corpus_id
-        |    ORDER BY list_sum(list_transform(range(1, len(q.cv)+1),
-        |      i -> (q.cv[i]-t.ct[i])*(q.cv[i]-t.ct[i]))), t.cell) AS rn
-        |  FROM corp q CROSS JOIN cent t WHERE q.corpus_id < 10) WHERE rn <= 3),
-        |cand AS (SELECT p.query_id, a.corpus_id FROM probe p JOIN asg a USING (cell)
-        |  WHERE a.corpus_id <> p.query_id)
-        |SELECT query_id, rank, corpus_id FROM (
-        |  SELECT cd.query_id, cd.corpus_id,
-        |    row_number() OVER (PARTITION BY cd.query_id
-        |      ORDER BY list_cosine_similarity(q.cv, c.cv) DESC, cd.corpus_id) AS rank
-        |  FROM cand cd JOIN corp q ON q.corpus_id = cd.query_id
-        |               JOIN corp c ON c.corpus_id = cd.corpus_id)
-        |WHERE rank <= 5""".stripMargin,
+      ivfPrunedOracleSql("q.corpus_id < 10", "a.corpus_id <> p.query_id",
+        withLabel = false),
+    "q_hard_negatives_ivf" ->
+      ivfPrunedOracleSql("q.corpus_id % 20 = 0", "a.label <> p.qlabel",
+        withLabel = true),
     "q_ann_ivf_full" ->
       """SELECT query_id, rank, corpus_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

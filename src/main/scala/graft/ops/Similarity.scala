@@ -318,9 +318,32 @@ object Similarity {
       centroids: Array[Array[Double]],
       nProbe: Int = 2,
       excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val joined = ivfCandidates(c, q, centroids, nProbe)
+      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+    val scored = joined.withColumn("sim", cosineSim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("cosine"))
+  }
+
+  /** Shared IVF candidate generation ([[ivfTopK]], [[ivfHardNegatives]]):
+    * assign each corpus row its nearest coarse cell, each query its
+    * nProbe closest cells, and equi-join on cell (query side broadcast) —
+    * the corpus never shuffles and only nProbe/nCells of it is scored.
+    * `c` must carry (corpus_id, cv [, extras]); `q` (query_id, qv
+    * [, extras]).
+    */
+  private def ivfCandidates(
+      c: DataFrame,
+      q: DataFrame,
+      centroids: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
     import graft.kernels.SquaredEuclideanKernel
     val kern = new SquaredEuclideanKernel
-    val spark = corpus.sparkSession
+    val spark = c.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
     val cellUdf = udf { (xs: Seq[Double]) =>
       val x = xs.toArray
@@ -336,16 +359,42 @@ object Similarity {
       bc.value.indices.map(i => (kern.divergence(x, bc.value(i)), i))
         .sortBy(t => (t._1, t._2)).take(nProbe).map(_._2)
     }
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cell", cellUdf(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("cell", explode(probeUdf(col("qv"))))
-    val joined = c.join(broadcast(q), Seq("cell"))
-      .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
+    c.withColumn("cell", cellUdf(col("cv")))
+      .join(broadcast(q.withColumn("cell", explode(probeUdf(col("qv"))))), Seq("cell"))
+  }
+
+  /** [[hardNegatives]]' corpus-scale path: the same cross-label top-k
+    * over IVF cell-pruned candidates instead of the full scan — only
+    * nProbe/nCells of the corpus is ever scored per query, the posture
+    * that stays flat as the corpus grows (q_ann_ivf_pruned's measured
+    * curve). With a caller-supplied quantizer the candidate set is
+    * deterministic, so the whole assignment/probe/label-filter/top-k
+    * chain is SQL-replayable (q_hard_negatives_ivf). Recall caveat
+    * mirrors ivfTopK: a near-boundary negative in an unprobed cell is
+    * missed — acceptable for negative MINING, where candidates are
+    * plentiful by definition.
+    */
+  def ivfHardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nProbe: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = corpus.select(col(idCol).as("corpus_id"), col(labelCol).as("neg_label"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val joined = ivfCandidates(c, q, centroids, nProbe)
+      .where(col("neg_label") =!= col("__ql"))
     val scored = joined.withColumn("sim", cosineSim(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("neg_label"),
+        round(col("sim"), 6).as("cosine"))
   }
 }

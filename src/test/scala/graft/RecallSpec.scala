@@ -96,6 +96,27 @@ class RecallSpec extends SparkSpec {
     assert(cos.min > 0.0, "sf0.001 blobs are separated; negatives still cluster-adjacent")
   }
 
+  test("ivfHardNegatives: cross-label only; recall@5 vs exact hardNegatives quantified") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("label"), col("embedding").as("v"))
+    val q = emb.where(col("id") < 20)
+    val cents = emb.where(col("id") < 8).orderBy(col("id"))
+      .select(col("v").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val approx = graft.ops.Similarity.ivfHardNegatives(
+      emb, q, "id", "v", "label", k = 5, centroids = cents, nProbe = 4)
+    val exact = graft.ops.Similarity.hardNegatives(emb, q, "id", "v", "label", k = 5)
+    val qLabels = q.select(col("id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val aRows = approx.collect()
+    assert(aRows.forall(r => r.getInt(3) != qLabels(r.getLong(0))))
+    val aSet = aRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val eSet = exact.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = eSet.count(aSet.contains).toDouble / eSet.size
+    assert(recall >= 0.6,
+      s"recall@5 $recall below the nProbe=4/8 design point on clustered labels")
+  }
+
   test("ivfTopK: recall@5 >= 0.9 vs bruteForceTopK on clusterable data") {
     // IVF's contract is speedup on CLUSTERABLE corpora (neighbors share a
     // cell); on a near-uniform sphere no sub-linear index can hold recall
