@@ -341,26 +341,36 @@ object ArrayMath {
     ("graft_quality_micro",
       "integer micro-unit quality score of a text column (rule-1 safe ordering key)",
       (es: Seq[Expression]) => GraftSqlBridge.expressionTree(
-        graft.ops.TextOps.qualityScoreMicro(GraftSqlBridge.column(es(0))))),
+        graft.ops.TextOps.qualityScoreMicro(GraftSqlBridge.column(arg(es, 0, "graft_quality_micro", 1))))),
     ("graft_normalize",
       "canonical text: lowercase, punctuation to spaces, squeezed/trimmed whitespace",
       (es: Seq[Expression]) => GraftSqlBridge.expressionTree(
-        graft.ops.TextOps.normalizeText(GraftSqlBridge.column(es(0))))),
+        graft.ops.TextOps.normalizeText(GraftSqlBridge.column(arg(es, 0, "graft_normalize", 1))))),
     ("graft_token_count", "whitespace token count of a text column",
       (es: Seq[Expression]) => GraftSqlBridge.expressionTree(
-        graft.ops.TextOps.tokenCount(GraftSqlBridge.column(es(0))))),
+        graft.ops.TextOps.tokenCount(GraftSqlBridge.column(arg(es, 0, "graft_token_count", 1))))),
     ("graft_uniform",
       "portable seeded uniform in [0,1): graft_uniform(key, 'seed') — md5 house hash",
       (es: Seq[Expression]) => {
-        val seed = es.lift(1) match {
-          case Some(Literal(v, StringType)) => v.toString
+        val seed = arg(es, 1, "graft_uniform", 2) match {
+          case Literal(v, StringType) => v.toString
           case other => throw new IllegalArgumentException(
-            s"graft_uniform seed must be a string literal, got $other")
+            s"graft_uniform's second argument (the seed) must be a string literal, got: $other")
         }
         GraftSqlBridge.expressionTree(
-          graft.ops.Sampling.uniform(GraftSqlBridge.column(es(0)), seed))
+          graft.ops.Sampling.uniform(GraftSqlBridge.column(arg(es, 0, "graft_uniform", 2)), seed))
       })
   )
+
+  /** Arity-checked argument access for the SQL builders: a missing
+    * argument surfaces as a clear wrong-argument-count message instead
+    * of an analyzer IndexOutOfBoundsException.
+    */
+  private def arg(es: Seq[Expression], i: Int, fn: String, expected: Int): Expression = {
+    require(es.length == expected,
+      s"$fn expects $expected argument(s), got ${es.length}")
+    es(i)
+  }
 
   /** Numeric-array inputs (float/int arrays) coerce to array<double>. */
   private def c(e: Expression): Expression = e.dataType match {
@@ -380,8 +390,12 @@ object ArrayMath {
 
 /** SparkSessionExtensions hook:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * makes graft_sqdist / graft_dot / graft_cosine / graft_l1dist /
-  * graft_kl available in plain SQL on every session of the cluster.
+  * makes every `graft_*` function — the codegen'd array math
+  * (graft_sqdist / graft_dot / graft_cosine / graft_l1dist / graft_kl /
+  * graft_is / graft_geni / graft_logistic) AND the text-pipeline
+  * scalars (graft_quality_micro / graft_normalize / graft_token_count /
+  * graft_uniform) — available in plain SQL on every session of the
+  * cluster.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

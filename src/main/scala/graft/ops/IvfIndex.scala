@@ -54,11 +54,7 @@ final class IvfIndex private (
     // probed cell set is known; in-memory it is a hash equi-join on cell.
     val joined = cells.join(broadcast(q), Seq("cell"))
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
-    val scored = joined.withColumn("sim", Similarity.cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("cosine"))
+    Similarity.topKByCosine(joined, k)
   }
 
   /** Persist the index: cells as parquet PARTITIONED BY cell (so probes

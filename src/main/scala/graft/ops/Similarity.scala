@@ -239,6 +239,26 @@ object Similarity {
     }
   }
 
+  /** Shared cosine top-k tail (THE rule-1-sensitive part of every ANN
+    * oracle contract: rank by sim desc with corpus_id tie-break, keep
+    * rank <= k, emit 6dp cosine): one definition for
+    * [[bruteForceTopK]], [[hardNegatives]], [[ivfTopK]],
+    * [[ivfHardNegatives]], and [[IvfIndex.search]]. `joined` must carry
+    * query_id, corpus_id, qv, cv; `extraCols` ride through the output
+    * between corpus_id and cosine.
+    */
+  private[ops] def topKByCosine(
+      joined: DataFrame,
+      k: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val scored = joined.withColumn("sim", cosineSim(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select((Seq("query_id", "rank", "corpus_id") ++ extraCols).map(col) :+
+        (round(col("sim"), 6).as("cosine")): _*)
+  }
+
   /** Brute-force cosine top-k: broadcast the query set, scan the corpus
     * once, per-query top-k via min_by-style window on (sim desc, id asc).
     * Deterministic tie-break on corpus id.
@@ -258,11 +278,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val joined = c.join(broadcast(q),
       if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
-    val scored = joined.withColumn("sim", cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("cosine"))
+    topKByCosine(joined, k)
   }
 
   /** Hard-negative mining for contrastive/embedding-model training
@@ -294,12 +310,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql"),
       col(vecCol).cast("array<double>").as("qv"))
     val joined = c.join(broadcast(q), col("neg_label") =!= col("__ql"))
-    val scored = joined.withColumn("sim", cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("neg_label"),
-        round(col("sim"), 6).as("cosine"))
+    topKByCosine(joined, k, Seq("neg_label"))
   }
 
   /** IVF (inverted-file) approximate top-k: assign corpus rows to coarse
@@ -322,11 +333,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val joined = ivfCandidates(c, q, centroids, nProbe)
       .where(if (excludeSelf) col("corpus_id") =!= col("query_id") else lit(true))
-    val scored = joined.withColumn("sim", cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("cosine"))
+    topKByCosine(joined, k)
   }
 
   /** Shared IVF candidate generation ([[ivfTopK]], [[ivfHardNegatives]]):
@@ -390,11 +397,6 @@ object Similarity {
       col(vecCol).cast("array<double>").as("qv"))
     val joined = ivfCandidates(c, q, centroids, nProbe)
       .where(col("neg_label") =!= col("__ql"))
-    val scored = joined.withColumn("sim", cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("neg_label"),
-        round(col("sim"), 6).as("cosine"))
+    topKByCosine(joined, k, Seq("neg_label"))
   }
 }
