@@ -265,4 +265,56 @@ class ExamplesSuite extends SparkSpec {
     val continued = loaded.update(df2)
     assert(continued.currentCenters.length == 2)
   }
+
+  test("TrainingDataPipelineExample: the round-13 selection layer composed end to end") {
+    // Executable documentation for the modern corpus-curation recipe:
+    // canonicalize -> rule-filter -> cut cross-doc boilerplate ->
+    // bucket by fluency -> cap per domain -> score with a trained LR —
+    // every stage an oracle-checked operator, composed here the way a
+    // pipeline user would.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+
+    // 1. canonical text (case/punct variants collapse downstream)
+    val canon = docs.select(col("doc_id"), col("source"), col("lang"),
+      graft.ops.TextOps.normalizeText(col("text")).as("text"))
+
+    // 2. integer-threshold quality rules (word-soup docs: only the
+    //    word-count band binds; keep = conjunction)
+    val ruled = graft.ops.TextOps.gopherRules(canon, "doc_id", "text", minWords = 10)
+      .where(col("word_count_ok"))
+      .select(col("doc_id")).join(canon, "doc_id")
+
+    // 3. cut cross-document boilerplate spans
+    val cleaned = graft.ops.Dedup.boilerplateCut(ruled, "doc_id", "text", n = 3, minDf = 8)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .where(length(col("text")) > 0)
+      .join(canon.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+
+    // 4. CCNet fluency thirds; train preferentially on the head+middle
+    val bucketed = graft.ops.Curate.perplexityBuckets(cleaned, "doc_id", "text")
+    val keptIds = bucketed.where(col("bucket") =!= "tail").select("doc_id")
+    bucketed.unpersist()
+    val kept = cleaned.join(keptIds, "doc_id")
+
+    // 5. no domain dominates: deterministic per-source cap
+    val capped = graft.ops.Sampling.capPerDomain(kept, "source", "doc_id", 12L, "ex")
+
+    // 6. trained LR scores the survivors (label: English)
+    val w = graft.ops.Classify.logisticFit(
+      capped.withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0)),
+      "doc_id", "text", "y", buckets = 64, iters = 3, lr = 0.5)
+    val scored = graft.ops.Classify.logisticScore(capped, "doc_id", "text", w, buckets = 64)
+
+    val n0 = docs.count(); val nKept = kept.count(); val nCap = capped.count()
+    assert(nKept > 0 && nKept < n0, s"bucketing must drop the tail: $nKept of $n0")
+    assert(nCap <= nKept)
+    val maxPerSource = capped.groupBy(col("source")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(maxPerSource <= 12L)
+    assert(scored.count() == nCap)
+    assert(scored.agg(min(col("score")), max(col("score"))).head match {
+      case r => r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0
+    })
+  }
 }
