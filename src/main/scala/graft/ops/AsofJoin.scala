@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal enrichment operators — the event-time JOIN surface of the
+  * pipeline (training-data assembly regularly needs "each event/sample
+  * enriched with the latest prior state row": feature snapshots, model
+  * versions, account state, crawl metadata). The reference engine has no
+  * temporal join at all; Spark itself lacks a native as-of join, and the
+  * naive formulation (`l JOIN r ON l.k = r.k AND r.ts <= l.ts` + a
+  * max-per-row filter) plans a per-key CARTESIAN of left rows x right
+  * rows — quadratic in rows-per-key and a non-starter at scale.
+  *
+  * These operators instead use the UNION-WINDOW form: tag both sides,
+  * union them, and carry the latest right row forward with one running
+  * `last(ignoreNulls)` window — ONE shuffle on the key, one ordered scan
+  * per key group, never a pair blow-up. This is the same single-exchange
+  * posture as [[graft.streaming.EventOps.sessionize]]: per-key state is
+  * one row, cost is O(|l| + |r|) after the sort, and the shuffle carries
+  * data rows exactly once. Window partitions spill via Spark's unsafe
+  * row array, so a hot key degrades to disk, not OOM; AQE handles skewed
+  * key groups like any other exchange.
+  */
+object AsofJoin {
+
+  /** Backward as-of join: each left row picks the LATEST right row for
+    * the same key with `right.ts <= left.ts` (or `<` when
+    * `strict = true`), within an optional staleness `tolerance`.
+    *
+    * Contract details (all deterministic, engine-replayable — the whole
+    * join is hash-checked against a SQL replay in q_asof_join):
+    *  - `tsCol` must be integer-comparable on both sides (epoch millis as
+    *    LONG is the house form — rule-1 discipline: no float ever drives
+    *    the ordering). It is cast to long internally.
+    *  - Right rows tie-broken by `rightIdCol` ASCENDING — at equal
+    *    (key, ts) the HIGHEST id wins (it sorts last in the running
+    *    window). Duplicate (key, ts, id) right rows make the winner
+    *    non-deterministic; keep (key, ts, id) unique.
+    *  - `tolerance`: a match older than `tolerance` ts units yields the
+    *    no-match (null) output, same as no prior row at all.
+    *  - Output: every left column unchanged, then for each right value
+    *    column `c` a `{prefix}c`, plus `{prefix}ts` = the matched right
+    *    row's timestamp (null when unmatched/stale).
+    *
+    * @param left       big side (scanned once, shuffled once by key)
+    * @param right      state/snapshot side (same shuffle; typically much
+    *                   smaller, but nothing requires it — both sides
+    *                   stream through the one exchange)
+    * @param keyCol     equi-key present on both sides
+    * @param tsCol      event-time column name on both sides (long-castable)
+    * @param rightCols  right value columns to carry onto matches
+    * @param rightIdCol right tie-break id column (long-castable)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCols: Seq[String],
+      rightIdCol: String,
+      tolerance: Option[Long] = None,
+      strict: Boolean = false,
+      prefix: String = "asof_"): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoin: rightCols must name at least one column")
+    require(tolerance.forall(_ > 0), s"asofJoin: tolerance must be positive, got $tolerance")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(c => c.startsWith("__asof")),
+      "asofJoin: left columns may not start with the reserved prefix __asof")
+    val outNames = (s"${prefix}ts" +: rightCols.map(prefix + _))
+    require(outNames.intersect(leftCols).isEmpty,
+      s"asofJoin: output columns ${outNames.intersect(leftCols).mkString(", ")} " +
+        s"collide with left columns — pick a different prefix")
+
+    // Tag and union. Right rows sort BEFORE left rows at equal ts for the
+    // inclusive join (a snapshot AT t is visible to an event AT t) and
+    // AFTER them for the strict one; among right rows the id breaks ties.
+    val rSide = if (strict) 2 else 0
+    val l = left.select(
+      col(keyCol).as("__asof_k"),
+      col(tsCol).cast("long").as("__asof_ts"),
+      lit(1).as("__asof_side"),
+      lit(0L).as("__asof_rid"),
+      struct(leftCols.map(col): _*).as("__asof_l"))
+    val r = right.select(
+      col(keyCol).as("__asof_k"),
+      col(tsCol).cast("long").as("__asof_ts"),
+      lit(rSide).as("__asof_side"),
+      col(rightIdCol).cast("long").as("__asof_rid"),
+      struct(col(tsCol).cast("long").as("__ts") +: rightCols.map(col): _*).as("__asof_r"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy("__asof_k")
+      .orderBy(col("__asof_ts"), col("__asof_side"), col("__asof_rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u.withColumn("__asof_m", last(col("__asof_r"), ignoreNulls = true).over(w))
+
+    val fresh = tolerance match {
+      case Some(tol) =>
+        when(col("__asof_ts") - col("__asof_m.__ts") <= tol, col("__asof_m"))
+      case None => col("__asof_m")
+    }
+    carried
+      .where(col("__asof_side") === 1)
+      .withColumn("__asof_f", fresh)
+      .select(leftCols.map(c => col(s"__asof_l.$c").as(c)) ++
+        (col(s"__asof_f.__ts").as(s"${prefix}ts") +:
+          rightCols.map(c => col(s"__asof_f.$c").as(s"$prefix$c"))): _*)
+  }
+}

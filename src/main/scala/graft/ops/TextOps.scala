@@ -711,6 +711,61 @@ object TextOps {
         idiv(col("__s"), col("n_bigrams")).as("score_micro"))
   }
 
+  /** Collocation extraction by pointwise mutual information (Church &
+    * Hanks 1990; the phrase-mining pass of word2vec-style pipelines):
+    * the top-`k` adjacent word pairs by corpus occurrence count with
+    * PMI = ln(c2·N / (cL·cR)) over the bigram event space, where c2 =
+    * pair occurrences, cL/cR = occurrences of the word in the
+    * first/second slot, N = total bigram occurrences. High-PMI,
+    * high-count pairs are multiword units ("new york"); low-PMI pairs
+    * are syntax glue — the signal behind tokenizer-vocabulary seeding
+    * and boilerplate phrase audits.
+    *
+    * Plan shape: pair/left/right counts are three map-side-combined
+    * hash aggregations over the SAME exploded pair projection (one
+    * corpus scan materialized once); N rides a broadcast one-row
+    * aggregate; the rank is a TakeOrdered over the (already aggregated)
+    * pair table, never a global sort of occurrences. RULE-1: the
+    * ordering is (c2 DESC, w1, w2) — pure integer + string; PMI is a
+    * 6-dp presentation column computed by the identical IEEE op
+    * sequence in both engines (multiply, multiply, divide, ln —
+    * q_collocations hash-checks it, same accepted float class as
+    * q_logreg's sigmoid).
+    */
+  def collocations(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L,
+      k: Int = 100): DataFrame = {
+    require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
+    require(k >= 1, s"collocations: k must be >= 1, got $k")
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val pairs = Dedup.fanOut(
+      docs.select(col(idCol).cast("long").as("doc_id"), toks.as("__t")))
+      .where(size(col("__t")) >= 2)
+      .select(explode(transform(slice(col("__t"), lit(1), size(col("__t")) - 1),
+        (w, i) => struct(w.as("w1"), get(col("__t"), i + 1).as("w2")))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val cL = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c_left"))
+      val cR = pairs.groupBy(col("w2")).agg(count(lit(1)).as("c_right"))
+      val n = broadcast(pairs.agg(count(lit(1)).as("n_pairs")))
+      val out = c2.where(col("c2") >= minCount)
+        .join(cL, "w1").join(cR, "w2").crossJoin(n)
+        .select(col("w1"), col("w2"), col("c2"), col("c_left"), col("c_right"),
+          col("n_pairs"),
+          (round(log(col("c2").cast("double") * col("n_pairs") /
+            (col("c_left").cast("double") * col("c_right"))), 6) + lit(0.0)).as("pmi"))
+        .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
+        .limit(k)
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      out
+    } finally { pairs.unpersist(); () }
+  }
+
   /** Shared core of [[bigramNll]] and [[bigramScoreMicro]]: one row per
     * document bigram occurrence, joined to the corpus pair count `c2`
     * and prefix count `c1`. Bigrams are built INSIDE each row as an
