@@ -164,6 +164,32 @@ object SparkEntry {
       |WHERE rank <= 5""".stripMargin
   }
 
+  /** Prototypicality oracle core shared by q_prototypes and
+    * q_proto_prune (the SQL mirror of `Prototypes.prototypicality`
+    * under the supplied quantizer — embeddings vec_id < 8, the
+    * ivfPrunedOracleSql trick): nearest-centroid assignment (ties to
+    * the lower cell), cosine to the assigned centroid, per-cluster
+    * size, (cosine desc, id) rank — ends in a CTE named `ranked`.
+    */
+  private def protoRankedSql: String =
+    """WITH cent AS MATERIALIZED (
+      |  SELECT vec_id AS cell, embedding::DOUBLE[] AS ct
+      |  FROM embeddings WHERE vec_id < 8),
+      |corp AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |asg AS (SELECT vec_id, cell, sim FROM (
+      |  SELECT c.vec_id, t.cell, list_cosine_similarity(c.v, t.ct) AS sim,
+      |    row_number() OVER (PARTITION BY c.vec_id
+      |      ORDER BY list_sum(list_transform(range(1, len(c.v)+1),
+      |        i -> (c.v[i]-t.ct[i])*(c.v[i]-t.ct[i]))), t.cell) AS rn
+      |  FROM corp c CROSS JOIN cent t) WHERE rn = 1),
+      |ranked AS (
+      |  SELECT vec_id, cell AS cluster,
+      |    count(*) OVER (PARTITION BY cell) AS n_cluster,
+      |    row_number() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id) AS rank,
+      |    sim
+      |  FROM asg)""".stripMargin
+
   /** Span-merge-and-cut oracle shared by q_substring_dedup and
     * q_boilerplate_cut (the SQL mirror of `Dedup.cutSpans`): fixed
     * `winLen`-token windows, a caller-supplied `dup` CTE selecting the
@@ -2985,6 +3011,80 @@ object SparkEntry {
         .groupBy((floor(eventTsMs(evRaw) / lit(3600000L)) * 3600).cast("long").as("hour_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    },
+    // ---- backward as-of join (temporal enrichment, union-window form):
+    // every non-purchase event picks the user's latest prior purchase
+    // within 24 h; the whole union/window/tolerance chain replays in SQL.
+    "q_asof_join" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evRaw = t(dir, "events")
+      val e = evRaw.select(col("event_id"), col("user_id"),
+        eventTsMs(evRaw).as("ts_ms"), col("event_type"), col("value"))
+      val snaps = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("snap_id"), col("user_id"), col("ts_ms"),
+          col("value").as("purchase_value"))
+      val lefts = e.where(col("event_type") =!= "purchase")
+      graft.ops.AsofJoin.asofJoin(lefts, snaps, "user_id", "ts_ms",
+          Seq("purchase_value"), "snap_id", tolerance = Some(86400000L))
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("event_type"),
+          (round(col("value"), 4) + lit(0.0)).as("value"), col("asof_ts"),
+          (round(col("asof_purchase_value"), 4) + lit(0.0)).as("asof_purchase_value"))
+    },
+    // ---- SSL-prototypes scoring (Sorscher et al. 2022) under a supplied
+    // quantizer (embeddings vec_id < 8 — the q_ann_ivf_pruned trick, so
+    // assignment, cosine, and per-cluster rank are all deterministic).
+    "q_prototypes" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      graft.ops.Prototypes.prototypicality(e, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cluster"), col("n_cluster"), col("rank"),
+          (round(col("cosine"), 6) + lit(0.0)).as("cosine"))
+    },
+    // Diversity-preserving prune: keep the hardest third of each cluster
+    // (integer ceil boundary — no float decides membership).
+    "q_proto_prune" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      graft.ops.Prototypes.prunePrototypes(e, "vec_id", "embedding", cents, 1L, 3L)
+        .select(col("vec_id"), col("cluster"), col("n_cluster"), col("rank"),
+          (round(col("cosine"), 6) + lit(0.0)).as("cosine"))
+    },
+    // ---- training-shard manifest: deterministic md5 shard assignment +
+    // order-independent 60-bit XOR digests (the export integrity contract).
+    "q_shard_manifest" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val sharded = graft.sources.ShardExport.assignShards(
+        t(dir, "documents"), "doc_id", 8, "r14shard")
+      graft.sources.ShardExport.manifest(sharded, "doc_id", Seq("text"),
+        TextOps.tokenCount(col("text")))
+    },
+    // ---- corpus snapshot diff: a deterministically perturbed "today"
+    // snapshot (drops %17, edits %5, re-keys %13 as additions) diffed
+    // against the original — all four status classes exercised.
+    "q_snapshot_diff" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      val newSnap = docs.where(pmod(col("doc_id"), lit(17)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" EDIT"))).otherwise(col("text")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(13)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      graft.ops.SnapshotDiff.diff(docs, newSnap, "doc_id", Seq("text", "lang"))
+    },
+    // ---- PMI collocations: top-100 adjacent word pairs by count with
+    // pointwise mutual information (6-dp presentation float; the
+    // ordering is pure integer + string).
+    "q_collocations" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      TextOps.collocations(t(dir, "documents"), "doc_id", "text",
+        minCount = 5L, k = 100)
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -4628,5 +4728,83 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.vec_id <> b.vec_id GROUP BY a.vec_id)
         |SELECT vec_id AS medoid_id, round(cost, 4) + 0.0 AS cost FROM (
         |  SELECT vec_id, cost, row_number() OVER (ORDER BY cost, vec_id) AS rn FROM costs)
-        |WHERE rn = 1""".stripMargin)
+        |WHERE rn = 1""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+        |    event_type, value
+        |  FROM events),
+        |snaps AS (SELECT event_id AS snap_id, user_id, ts_ms, value AS pv
+        |  FROM e WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, ts_ms, 1 AS side, CAST(NULL AS BIGINT) AS snap_id,
+        |    event_id, event_type, value
+        |  FROM e WHERE event_type <> 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts_ms, 0, snap_id, NULL, NULL, NULL FROM snaps),
+        |m AS (
+        |  SELECT *, max(CASE WHEN side = 0 THEN ts_ms END) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, side, coalesce(snap_id, 0)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts
+        |  FROM u)
+        |SELECT l.event_id, l.user_id, l.ts_ms, l.event_type,
+        |  round(l.value, 4) + 0.0 AS value,
+        |  CASE WHEN l.ts_ms - s.ts_ms <= 86400000 THEN s.ts_ms END AS asof_ts,
+        |  CASE WHEN l.ts_ms - s.ts_ms <= 86400000
+        |    THEN round(s.pv, 4) + 0.0 END AS asof_purchase_value
+        |FROM m l LEFT JOIN snaps s ON s.user_id = l.user_id AND s.ts_ms = l.m_ts
+        |WHERE l.side = 1""".stripMargin,
+    "q_prototypes" ->
+      s"""$protoRankedSql
+        |SELECT vec_id, cluster, n_cluster, rank, round(sim, 6) + 0.0 AS cosine
+        |FROM ranked""".stripMargin,
+    "q_proto_prune" ->
+      s"""$protoRankedSql
+        |SELECT vec_id, cluster, n_cluster, rank, round(sim, 6) + 0.0 AS cosine
+        |FROM ranked WHERE n_cluster - rank < (n_cluster * 1 + 2) // 3""".stripMargin,
+    "q_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT CAST(('0x' || substr(md5('r14shard:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+        |      % 8 AS BIGINT) AS shard,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    CAST(('0x' || substr(md5(doc_id::VARCHAR || chr(31) || text), 1, 15))::UBIGINT
+        |      AS BIGINT) AS dig
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  bit_xor(dig) AS digest
+        |FROM d GROUP BY shard""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text || chr(31) || lang) AS old_md5 FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' EDIT' ELSE text END
+        |      || chr(31) || lang) AS new_md5
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, md5(text || chr(31) || lang)
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_md5, n.new_md5
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "q_collocations" ->
+      """WITH base AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+        |pairs AS (
+        |  SELECT unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM base WHERE len(toks) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |cl AS (SELECT w1, count(*) AS c_left FROM pairs GROUP BY 1),
+        |cr AS (SELECT w2, count(*) AS c_right FROM pairs GROUP BY 1),
+        |n AS (SELECT count(*) AS n_pairs FROM pairs)
+        |SELECT w1, w2, c2, c_left, c_right, n_pairs,
+        |  round(ln(CAST(c2 AS DOUBLE) * n_pairs / (CAST(c_left AS DOUBLE) * c_right)), 6)
+        |    + 0.0 AS pmi
+        |FROM c2 JOIN cl USING (w1) JOIN cr USING (w2), n
+        |WHERE c2 >= 5
+        |ORDER BY c2 DESC, w1, w2
+        |LIMIT 100""".stripMargin)
 }
