@@ -44,6 +44,10 @@ __all__ = [
     "top_per_domain",
     "domain_quota",
     "rate_limit",
+    "asof_join",
+    "snapshot_diff",
+    "snapshot_diff_stats",
+    "collocations",
 ]
 
 
@@ -360,3 +364,68 @@ def rate_limit(
     return _wrap(docs, _jvm(docs).graft.streaming.StreamQuota.rateLimit(
         docs._jdf, ts_col, domain_col, id_col, int(max_docs),
         int(window_seconds), watermark))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_cols: List[str],
+    right_id_col: str,
+    tolerance_ms=None,
+    strict: bool = False,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join (union-window form, ONE shuffle on the key):
+    each left row picks the latest right row with right.ts <= left.ts
+    (< when strict), within tolerance_ms staleness if given. ts_col must
+    be integer-comparable (epoch millis as long). Output: the left
+    columns plus {prefix}ts and {prefix}<col> for each right_col."""
+    # the Ms overload takes a plain long (<= 0 = no tolerance): py4j
+    # boxes python ints as Integer, which an Option[Long] cannot unbox
+    jvm = _jvm(left)
+    tol = 0 if tolerance_ms is None else int(tolerance_ms)
+    return _wrap(left, jvm.graft.ops.AsofJoin.asofJoinMs(
+        left._jdf, right._jdf, key_col, ts_col, _to_seq(left, right_cols),
+        right_id_col, tol, bool(strict), prefix))
+
+
+def snapshot_diff(
+    old_snap: DataFrame,
+    new_snap: DataFrame,
+    id_col: str,
+    content_cols: List[str],
+    keep_unchanged: bool = True,
+) -> DataFrame:
+    """Row-level diff of two snapshots by md5 content digest:
+    (id, status in {added, removed, changed, unchanged}, old_md5,
+    new_md5). One full-outer join that only carries digests."""
+    return _wrap(old_snap, _jvm(old_snap).graft.ops.SnapshotDiff.diff(
+        old_snap._jdf, new_snap._jdf, id_col, _to_seq(old_snap, content_cols),
+        bool(keep_unchanged)))
+
+
+def snapshot_diff_stats(
+    old_snap: DataFrame,
+    new_snap: DataFrame,
+    id_col: str,
+    content_cols: List[str],
+) -> DataFrame:
+    """Per-status counts of :func:`snapshot_diff`."""
+    return _wrap(old_snap, _jvm(old_snap).graft.ops.SnapshotDiff.diffStats(
+        old_snap._jdf, new_snap._jdf, id_col, _to_seq(old_snap, content_cols)))
+
+
+def collocations(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k adjacent word pairs by count with PMI (Church & Hanks):
+    (w1, w2, c2, c_left, c_right, n_pairs, pmi). Returned frame is
+    persisted; call ``.unpersist()`` when done."""
+    return _wrap(docs, _jvm(docs).graft.ops.TextOps.collocations(
+        docs._jdf, id_col, text_col, int(min_count), int(k)))

@@ -302,6 +302,38 @@ def main() -> None:
         assert rl.count() == 3 and "win_start_s" in rl.columns
         print("round-13 ops bindings ok")
 
+        import graft.sources as gsrc
+        ev = (docs.withColumn("uid", F.col("doc_id") % 3)
+                  .withColumn("ts_ms", F.col("doc_id") * 1000))
+        snaps = (ev.where("doc_id % 2 = 0")
+                   .selectExpr("doc_id as snap_id", "uid", "ts_ms",
+                               "doc_id as state"))
+        aj = gops.asof_join(ev, snaps, "uid", "ts_ms", ["state"], "snap_id",
+                            tolerance_ms=10_000_000)
+        assert aj.count() == ev.count() and "asof_state" in aj.columns
+        aj2 = gops.asof_join(ev, snaps, "uid", "ts_ms", ["state"], "snap_id")
+        assert aj2.where("asof_ts is null").count() < ev.count()
+        new_snap = docs.where("doc_id % 3 != 0")
+        sd = gops.snapshot_diff(docs, new_snap, "doc_id", ["text"])
+        assert set(r.status for r in sd.collect()) == {"removed", "unchanged"}
+        st = gops.snapshot_diff_stats(docs, new_snap, "doc_id", ["text"])
+        assert {r.status: r.n for r in st.collect()}["removed"] > 0
+        co = gops.collocations(docs, "doc_id", "text", min_count=1, k=5)
+        assert co.count() <= 5 and "pmi" in co.columns
+        co.unpersist()
+        sharded = gsrc.assign_shards(docs.withColumn("ntok", F.lit(1)), "doc_id", 4, "py")
+        man = gsrc.shard_manifest(sharded, "doc_id", ["text"], "ntok")
+        assert man.count() <= 4
+        assert sum(r.n_rows for r in man.collect()) == docs.count()
+        exp_dir = tempfile.mkdtemp(prefix="graft-py-shards")
+        m2 = gsrc.write_shards(docs.withColumn("ntok", F.lit(1)), exp_dir,
+                               "doc_id", ["text"], "ntok", 4, "py")
+        assert m2.count() <= 4
+        assert gsrc.read_shard(spark, exp_dir, 0).count() >= 0
+        assert gsrc.verify_export(spark, exp_dir, "doc_id", ["text"], "ntok").count() == 0
+        shutil.rmtree(exp_dir, ignore_errors=True)
+        print("round-14 ops/sources bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

@@ -53,6 +53,24 @@ object AsofJoin {
     * @param rightCols  right value columns to carry onto matches
     * @param rightIdCol right tie-break id column (long-castable)
     */
+  /** py4j-friendly variant of [[asofJoin]]: `toleranceMs <= 0` means no
+    * tolerance. py4j boxes python ints as Integer, which an
+    * `Option[Long]` cannot unbox (CLAUDE.md rule 7); a plain long
+    * parameter widens fine.
+    */
+  def asofJoinMs(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCols: Seq[String],
+      rightIdCol: String,
+      toleranceMs: Long,
+      strict: Boolean,
+      prefix: String): DataFrame =
+    asofJoin(left, right, keyCol, tsCol, rightCols, rightIdCol,
+      if (toleranceMs > 0) Some(toleranceMs) else None, strict, prefix)
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
