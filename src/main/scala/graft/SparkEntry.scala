@@ -3031,6 +3031,39 @@ object SparkEntry {
           (round(col("value"), 4) + lit(0.0)).as("value"), col("asof_ts"),
           (round(col("asof_purchase_value"), 4) + lit(0.0)).as("asof_purchase_value"))
     },
+    // ---- bucketed range join: every event attributed to its containing
+    // session (sessionize output as the interval side). The ORACLE is
+    // the naive inequality join over lag/cumsum sessions — an
+    // INDEPENDENT formulation, not a replay of the bucketed plan.
+    "q_range_join" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evRaw = t(dir, "events")
+      val ev = evRaw.select(col("event_id"), col("user_id"),
+        eventTsMs(evRaw).as("ts_ms"), col("value"))
+      val sessions = graft.streaming.EventOps.sessionize(
+          ev.select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"), col("value")),
+          "user_id", "ts", "value", gapMs = 30 * 60000L).toDF()
+        .select(col("key").as("user_id"), col("startMs").as("start_ms"),
+          col("endMs").as("end_ms"), col("numEvents").as("n_events"))
+      graft.ops.RangeJoin.rangeJoin(ev.select("event_id", "user_id", "ts_ms"),
+          sessions, "user_id", "ts_ms", "start_ms", "end_ms", widthMs = 3600000L)
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("ivl_start_ms"), col("ivl_end_ms"), col("ivl_n_events"))
+    },
+    // ---- fill-forward resampling: a 6-hour grid per user over their
+    // purchase history, each tick carrying the latest prior purchase.
+    "q_fill_forward" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evRaw = t(dir, "events")
+      val obs = evRaw.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), eventTsMs(evRaw).as("ts_ms"), col("value"))
+      graft.ops.AsofJoin.fillForward(obs, "user_id", "ts_ms", Seq("value"),
+          "event_id", stepMs = 6 * 3600000L)
+        .select(col("user_id"), col("ts_ms"), col("asof_ts"),
+          (round(col("asof_value"), 4) + lit(0.0)).as("asof_value"))
+    },
     // ---- SSL-prototypes scoring (Sorscher et al. 2022) under a supplied
     // quantizer (embeddings vec_id < 8 — the q_ann_ivf_pruned trick, so
     // assignment, cosine, and per-cluster rank are all deterministic).
@@ -4754,6 +4787,54 @@ object SparkEntry {
         |    THEN round(s.pv, 4) + 0.0 END AS asof_purchase_value
         |FROM m l LEFT JOIN snaps s ON s.user_id = l.user_id AND s.ts_ms = l.m_ts
         |WHERE l.side = 1""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, ts_ms, value,
+        |    CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+        |           > 1800000
+        |         OR lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |    count(*) AS n_events
+        |  FROM (SELECT user_id, ts_ms,
+        |          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |        FROM marked)
+        |  GROUP BY user_id, sid)
+        |SELECT e.event_id, e.user_id, e.ts_ms,
+        |  s.start_ms AS ivl_start_ms, s.end_ms AS ivl_end_ms,
+        |  s.n_events AS ivl_n_events
+        |FROM e JOIN sess s
+        |  ON s.user_id = e.user_id AND e.ts_ms BETWEEN s.start_ms AND s.end_ms""".stripMargin,
+    "q_fill_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id, min(ts_ms) AS lo0, max(ts_ms) AS hi0 FROM e GROUP BY 1),
+        |al AS (SELECT user_id,
+        |    lo0 + (((-lo0) % 21600000 + 21600000) % 21600000) AS lo,
+        |    hi0 - ((hi0 % 21600000 + 21600000) % 21600000) AS hi
+        |  FROM b),
+        |g AS (SELECT user_id, unnest(generate_series(lo, hi, 21600000)) AS ts_ms
+        |  FROM al WHERE lo <= hi),
+        |u AS (
+        |  SELECT user_id, ts_ms, 1 AS side, CAST(NULL AS BIGINT) AS snap_id FROM g
+        |  UNION ALL
+        |  SELECT user_id, ts_ms, 0, event_id FROM e),
+        |m AS (
+        |  SELECT *, max(CASE WHEN side = 0 THEN ts_ms END) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, side, coalesce(snap_id, 0)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts
+        |  FROM u)
+        |SELECT t.user_id, t.ts_ms, o.ts_ms AS asof_ts,
+        |  round(o.value, 4) + 0.0 AS asof_value
+        |FROM m t LEFT JOIN e o ON o.user_id = t.user_id AND o.ts_ms = t.m_ts
+        |WHERE t.side = 1""".stripMargin,
     "q_prototypes" ->
       s"""$protoRankedSql
         |SELECT vec_id, cluster, n_cluster, rank, round(sim, 6) + 0.0 AS cosine

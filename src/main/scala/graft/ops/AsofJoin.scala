@@ -53,6 +53,56 @@ object AsofJoin {
     * @param rightCols  right value columns to carry onto matches
     * @param rightIdCol right tie-break id column (long-castable)
     */
+  /** Regular time-grid resampling with last-observation-carried-forward
+    * (the "fill-forward" of feature-store / telemetry pipelines): one
+    * row per (key, aligned grid tick) between each key's first and last
+    * observation, carrying the latest observation at or before the tick
+    * (within `tolerance`, like [[asofJoin]]). Ticks align to multiples
+    * of `stepMs` (pmod-based, so pre-epoch timestamps align correctly
+    * too); a key whose span contains no aligned tick emits nothing.
+    *
+    * Built directly on [[asofJoin]]: the grid (one bounds aggregation +
+    * a sequence explode) is the left side, so the whole operator stays
+    * the one-shuffle union-window shape. Tick count per key is bounded
+    * by `graft.fillforward.maxTicksPerKey` (default 1,000,000) with
+    * remediation — a mis-set step cannot silently explode the grid.
+    *
+    * Output: (keyCol, tsCol = the tick, `{prefix}ts`, `{prefix}c` per
+    * value column).
+    */
+  def fillForward(
+      obs: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      idCol: String,
+      stepMs: Long,
+      tolerance: Option[Long] = None,
+      prefix: String = "asof_"): DataFrame = {
+    require(stepMs > 0, s"fillForward: stepMs must be positive, got $stepMs")
+    val spark = obs.sparkSession
+    val maxTicks = graft.util.Conf.long(spark, "graft.fillforward.maxTicksPerKey", 1000000L)
+    val bounds = obs.groupBy(col(keyCol))
+      .agg(min(col(tsCol).cast("long")).as("__lo"), max(col(tsCol).cast("long")).as("__hi"))
+      // ceil-align the low bound, floor-align the high bound (pmod keeps
+      // both correct for negative timestamps)
+      .withColumn("__lo", col("__lo") + pmod(-col("__lo"), lit(stepMs)))
+      .withColumn("__hi", col("__hi") - pmod(col("__hi"), lit(stepMs)))
+    // the guard lives INSIDE the exploded expression (the data path), so
+    // no projection pruning can optimize the raise_error away
+    val ticks =
+      when((col("__hi") - col("__lo")) / lit(stepMs.toDouble) + 1 > maxTicks,
+        raise_error(concat(
+          lit(s"fillForward: a key needs more than $maxTicks ticks at stepMs=$stepMs " +
+            s"(span "), (col("__hi") - col("__lo")).cast("string"),
+          lit("); raise stepMs or graft.fillforward.maxTicksPerKey"))).cast("array<long>"))
+      .when(col("__lo") <= col("__hi"), sequence(col("__lo"), col("__hi"), lit(stepMs)))
+      .otherwise(array().cast("array<long>"))
+    val grid = bounds.select(col(keyCol), explode(ticks).as(tsCol))
+    asofJoin(grid, obs.select((keyCol +: tsCol +: idCol +: valueCols).distinct.map(col): _*),
+      keyCol, tsCol, valueCols, idCol, tolerance, strict = false, prefix = prefix)
+  }
+
   /** py4j-friendly variant of [[asofJoin]]: `toleranceMs <= 0` means no
     * tolerance. py4j boxes python ints as Integer, which an
     * `Option[Long]` cannot unbox (CLAUDE.md rule 7); a plain long
