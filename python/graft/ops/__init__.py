@@ -419,7 +419,6 @@ def snapshot_diff_stats(
 
 def collocations(
     docs: DataFrame,
-    id_col: str,
     text_col: str,
     min_count: int = 5,
     k: int = 100,
@@ -428,4 +427,4 @@ def collocations(
     (w1, w2, c2, c_left, c_right, n_pairs, pmi). Returned frame is
     persisted; call ``.unpersist()`` when done."""
     return _wrap(docs, _jvm(docs).graft.ops.TextOps.collocations(
-        docs._jdf, id_col, text_col, int(min_count), int(k)))
+        docs._jdf, text_col, int(min_count), int(k)))

@@ -318,7 +318,7 @@ def main() -> None:
         assert set(r.status for r in sd.collect()) == {"removed", "unchanged"}
         st = gops.snapshot_diff_stats(docs, new_snap, "doc_id", ["text"])
         assert {r.status: r.n for r in st.collect()}["removed"] > 0
-        co = gops.collocations(docs, "doc_id", "text", min_count=1, k=5)
+        co = gops.collocations(docs, "text", min_count=1, k=5)
         assert co.count() <= 5 and "pmi" in co.columns
         co.unpersist()
         sharded = gsrc.assign_shards(docs.withColumn("ntok", F.lit(1)), "doc_id", 4, "py")

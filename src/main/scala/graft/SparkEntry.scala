@@ -164,6 +164,32 @@ object SparkEntry {
       |WHERE rank <= 5""".stripMargin
   }
 
+  /** Union/running-max as-of carry shared by q_asof_join and
+    * q_fill_forward (the SQL mirror of `AsofJoin.asofJoin`'s
+    * union-window form). Callers define CTEs `lft` (user_id, ts_ms
+    * [, extras]) and `snaps` (snap_id, user_id, ts_ms, pv); this
+    * fragment adds `u` (tagged union — snapshot side 0 sorts before
+    * event side 1 at equal ts, the inclusive-join rule), `m` (running
+    * max of the matched snapshot ts), and `sj` (the join-back side with
+    * duplicate (user_id, ts_ms) snapshots pre-resolved to the HIGHEST
+    * snap_id via max_by — the operator's documented tie-break, so the
+    * replay stays row-stable if regenerated testdata ever collides
+    * timestamps).
+    */
+  private def asofCarrySql(leftExtraSql: String, rightNullSql: String): String =
+    s"""u AS (
+      |  SELECT user_id, ts_ms, 1 AS side, CAST(NULL AS BIGINT) AS snap_id$leftExtraSql
+      |  FROM lft
+      |  UNION ALL
+      |  SELECT user_id, ts_ms, 0, snap_id$rightNullSql FROM snaps),
+      |m AS (
+      |  SELECT *, max(CASE WHEN side = 0 THEN ts_ms END) OVER (
+      |    PARTITION BY user_id ORDER BY ts_ms, side, coalesce(snap_id, 0)
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts
+      |  FROM u),
+      |sj AS (SELECT user_id, ts_ms, max_by(pv, snap_id) AS pv
+      |  FROM snaps GROUP BY 1, 2)""".stripMargin
+
   /** Prototypicality oracle core shared by q_prototypes and
     * q_proto_prune (the SQL mirror of `Prototypes.prototypicality`
     * under the supplied quantizer — embeddings vec_id < 8, the
@@ -3116,8 +3142,7 @@ object SparkEntry {
     // ordering is pure integer + string).
     "q_collocations" -> { (s, dir) =>
       implicit val sp: SparkSession = s
-      TextOps.collocations(t(dir, "documents"), "doc_id", "text",
-        minCount = 5L, k = 100)
+      TextOps.collocations(t(dir, "documents"), "text", minCount = 5L, k = 100)
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -4763,29 +4788,21 @@ object SparkEntry {
         |  SELECT vec_id, cost, row_number() OVER (ORDER BY cost, vec_id) AS rn FROM costs)
         |WHERE rn = 1""".stripMargin,
     "q_asof_join" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
         |    event_type, value
         |  FROM events),
         |snaps AS (SELECT event_id AS snap_id, user_id, ts_ms, value AS pv
         |  FROM e WHERE event_type = 'purchase'),
-        |u AS (
-        |  SELECT user_id, ts_ms, 1 AS side, CAST(NULL AS BIGINT) AS snap_id,
-        |    event_id, event_type, value
-        |  FROM e WHERE event_type <> 'purchase'
-        |  UNION ALL
-        |  SELECT user_id, ts_ms, 0, snap_id, NULL, NULL, NULL FROM snaps),
-        |m AS (
-        |  SELECT *, max(CASE WHEN side = 0 THEN ts_ms END) OVER (
-        |    PARTITION BY user_id ORDER BY ts_ms, side, coalesce(snap_id, 0)
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts
-        |  FROM u)
+        |lft AS (SELECT user_id, ts_ms, event_id, event_type, value
+        |  FROM e WHERE event_type <> 'purchase'),
+        |${asofCarrySql(", event_id, event_type, value", ", NULL, NULL, NULL")}
         |SELECT l.event_id, l.user_id, l.ts_ms, l.event_type,
         |  round(l.value, 4) + 0.0 AS value,
         |  CASE WHEN l.ts_ms - s.ts_ms <= 86400000 THEN s.ts_ms END AS asof_ts,
         |  CASE WHEN l.ts_ms - s.ts_ms <= 86400000
         |    THEN round(s.pv, 4) + 0.0 END AS asof_purchase_value
-        |FROM m l LEFT JOIN snaps s ON s.user_id = l.user_id AND s.ts_ms = l.m_ts
+        |FROM m l LEFT JOIN sj s ON s.user_id = l.user_id AND s.ts_ms = l.m_ts
         |WHERE l.side = 1""".stripMargin,
     "q_range_join" ->
       """WITH e AS (
@@ -4812,28 +4829,21 @@ object SparkEntry {
         |FROM e JOIN sess s
         |  ON s.user_id = e.user_id AND e.ts_ms BETWEEN s.start_ms AND s.end_ms""".stripMargin,
     "q_fill_forward" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
+      s"""WITH snaps AS (
+        |  SELECT event_id AS snap_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+        |    value AS pv
         |  FROM events WHERE event_type = 'purchase'),
-        |b AS (SELECT user_id, min(ts_ms) AS lo0, max(ts_ms) AS hi0 FROM e GROUP BY 1),
+        |b AS (SELECT user_id, min(ts_ms) AS lo0, max(ts_ms) AS hi0 FROM snaps GROUP BY 1),
         |al AS (SELECT user_id,
         |    lo0 + (((-lo0) % 21600000 + 21600000) % 21600000) AS lo,
         |    hi0 - ((hi0 % 21600000 + 21600000) % 21600000) AS hi
         |  FROM b),
-        |g AS (SELECT user_id, unnest(generate_series(lo, hi, 21600000)) AS ts_ms
+        |lft AS (SELECT user_id, unnest(generate_series(lo, hi, 21600000)) AS ts_ms
         |  FROM al WHERE lo <= hi),
-        |u AS (
-        |  SELECT user_id, ts_ms, 1 AS side, CAST(NULL AS BIGINT) AS snap_id FROM g
-        |  UNION ALL
-        |  SELECT user_id, ts_ms, 0, event_id FROM e),
-        |m AS (
-        |  SELECT *, max(CASE WHEN side = 0 THEN ts_ms END) OVER (
-        |    PARTITION BY user_id ORDER BY ts_ms, side, coalesce(snap_id, 0)
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts
-        |  FROM u)
-        |SELECT t.user_id, t.ts_ms, o.ts_ms AS asof_ts,
-        |  round(o.value, 4) + 0.0 AS asof_value
-        |FROM m t LEFT JOIN e o ON o.user_id = t.user_id AND o.ts_ms = t.m_ts
+        |${asofCarrySql("", "")}
+        |SELECT t.user_id, t.ts_ms, s.ts_ms AS asof_ts,
+        |  round(s.pv, 4) + 0.0 AS asof_value
+        |FROM m t LEFT JOIN sj s ON s.user_id = t.user_id AND s.ts_ms = t.m_ts
         |WHERE t.side = 1""".stripMargin,
     "q_prototypes" ->
       s"""$protoRankedSql
@@ -4855,14 +4865,17 @@ object SparkEntry {
         |  bit_xor(dig) AS digest
         |FROM d GROUP BY shard""".stripMargin,
     "q_snapshot_diff" ->
-      """WITH o AS (SELECT doc_id, md5(text || chr(31) || lang) AS old_md5 FROM documents),
+      """WITH o AS (SELECT doc_id,
+        |    md5(coalesce(text, '') || chr(31) || coalesce(lang, '')) AS old_md5
+        |  FROM documents),
         |n AS (
         |  SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' EDIT' ELSE text END
-        |      || chr(31) || lang) AS new_md5
+        |    md5(coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' EDIT' ELSE text END, '')
+        |      || chr(31) || coalesce(lang, '')) AS new_md5
         |  FROM documents WHERE doc_id % 17 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 10000000, md5(text || chr(31) || lang)
+        |  SELECT doc_id + 10000000,
+        |    md5(coalesce(text, '') || chr(31) || coalesce(lang, ''))
         |  FROM documents WHERE doc_id % 13 = 0)
         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |  CASE WHEN o.doc_id IS NULL THEN 'added'

@@ -25,34 +25,6 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** Backward as-of join: each left row picks the LATEST right row for
-    * the same key with `right.ts <= left.ts` (or `<` when
-    * `strict = true`), within an optional staleness `tolerance`.
-    *
-    * Contract details (all deterministic, engine-replayable — the whole
-    * join is hash-checked against a SQL replay in q_asof_join):
-    *  - `tsCol` must be integer-comparable on both sides (epoch millis as
-    *    LONG is the house form — rule-1 discipline: no float ever drives
-    *    the ordering). It is cast to long internally.
-    *  - Right rows tie-broken by `rightIdCol` ASCENDING — at equal
-    *    (key, ts) the HIGHEST id wins (it sorts last in the running
-    *    window). Duplicate (key, ts, id) right rows make the winner
-    *    non-deterministic; keep (key, ts, id) unique.
-    *  - `tolerance`: a match older than `tolerance` ts units yields the
-    *    no-match (null) output, same as no prior row at all.
-    *  - Output: every left column unchanged, then for each right value
-    *    column `c` a `{prefix}c`, plus `{prefix}ts` = the matched right
-    *    row's timestamp (null when unmatched/stale).
-    *
-    * @param left       big side (scanned once, shuffled once by key)
-    * @param right      state/snapshot side (same shuffle; typically much
-    *                   smaller, but nothing requires it — both sides
-    *                   stream through the one exchange)
-    * @param keyCol     equi-key present on both sides
-    * @param tsCol      event-time column name on both sides (long-castable)
-    * @param rightCols  right value columns to carry onto matches
-    * @param rightIdCol right tie-break id column (long-castable)
-    */
   /** Regular time-grid resampling with last-observation-carried-forward
     * (the "fill-forward" of feature-store / telemetry pipelines): one
     * row per (key, aligned grid tick) between each key's first and last
@@ -121,6 +93,34 @@ object AsofJoin {
     asofJoin(left, right, keyCol, tsCol, rightCols, rightIdCol,
       if (toleranceMs > 0) Some(toleranceMs) else None, strict, prefix)
 
+  /** Backward as-of join: each left row picks the LATEST right row for
+    * the same key with `right.ts <= left.ts` (or `<` when
+    * `strict = true`), within an optional staleness `tolerance`.
+    *
+    * Contract details (all deterministic, engine-replayable — the whole
+    * join is hash-checked against a SQL replay in q_asof_join):
+    *  - `tsCol` must be integer-comparable on both sides (epoch millis as
+    *    LONG is the house form — rule-1 discipline: no float ever drives
+    *    the ordering). It is cast to long internally.
+    *  - Right rows tie-broken by `rightIdCol` ASCENDING — at equal
+    *    (key, ts) the HIGHEST id wins (it sorts last in the running
+    *    window). Duplicate (key, ts, id) right rows make the winner
+    *    non-deterministic; keep (key, ts, id) unique.
+    *  - `tolerance`: a match older than `tolerance` ts units yields the
+    *    no-match (null) output, same as no prior row at all.
+    *  - Output: every left column unchanged, then for each right value
+    *    column `c` a `{prefix}c`, plus `{prefix}ts` = the matched right
+    *    row's timestamp (null when unmatched/stale).
+    *
+    * @param left       big side (scanned once, shuffled once by key)
+    * @param right      state/snapshot side (same shuffle; typically much
+    *                   smaller, but nothing requires it — both sides
+    *                   stream through the one exchange)
+    * @param keyCol     equi-key present on both sides
+    * @param tsCol      event-time column name on both sides (long-castable)
+    * @param rightCols  right value columns to carry onto matches
+    * @param rightIdCol right tie-break id column (long-castable)
+    */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

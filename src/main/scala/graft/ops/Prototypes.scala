@@ -48,7 +48,10 @@ object Prototypes {
       "prototypicality: centroids must share one dimensionality")
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
+    val dim = centroids(0).length
     val cellUdf = udf { (xs: Seq[Double]) =>
+      require(xs.length == dim,
+        s"prototypicality: expected $dim-dim vectors, got ${xs.length}")
       val cs = bc.value
       var best = 0; var bd = Double.MaxValue
       var i = 0
@@ -65,8 +68,12 @@ object Prototypes {
     val centDf = broadcast(
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cluster", "__ct"))
+    // null embeddings are DROPPED (a rank contract cannot carry them;
+    // same policy as the dedup keepers' null-content rule) rather than
+    // surfacing as an opaque NPE inside the assignment UDF
     val assigned = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull)
       .withColumn("cluster", cellUdf(col("__v")))
       .join(centDf, Seq("cluster"))
       .withColumn("__sim", graft.functions.ArrayMath.cosine(col("__v"), col("__ct")))

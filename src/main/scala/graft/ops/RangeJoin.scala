@@ -68,18 +68,25 @@ object RangeJoin {
       .withColumn("__rj_lo", col(prefix + loCol).cast("long"))
       .withColumn("__rj_hi", col(prefix + hiCol).cast("long"))
       .withColumn("__rj_nb", expr(s"(__rj_hi div ${widthMs}L) - (__rj_lo div ${widthMs}L) + 1L"))
-    // ceil(span/width)+1 buckets per interval; refuse degenerate spans
-    // (the raise_error rides the used column so it cannot be pruned out)
-    val guarded = iv0.withColumn("__rj_nb",
-      when(col("__rj_nb") <= maxBuckets, col("__rj_nb"))
-        .otherwise(raise_error(concat(
+    // ceil(span/width)+1 buckets per interval; an INVERTED interval
+    // (hi < lo, nb < 1) contains no point — emit zero buckets, matching
+    // BETWEEN semantics, instead of letting sequence() infer a negative
+    // step and materialize a huge descending array; an over-wide span is
+    // refused (the raise_error rides the data path, so projection
+    // pruning cannot elide the guard)
+    val buckets =
+      when(col("__rj_nb") > maxBuckets,
+        raise_error(concat(
           lit(s"rangeJoin: an interval spans more than $maxBuckets buckets at width " +
             s"$widthMs (span "), (col("__rj_hi") - col("__rj_lo")).cast("string"),
-          lit(s"); raise widthMs or graft.rangejoin.maxBucketsPerInterval"))).cast("long")))
-    val ivlExploded = guarded
-      .withColumn("__rj_ib",
-        explode(sequence(expr(s"__rj_lo div ${widthMs}L"),
-          expr(s"__rj_lo div ${widthMs}L") + col("__rj_nb") - 1)))
+          lit(s"); raise widthMs or graft.rangejoin.maxBucketsPerInterval")))
+          .cast("array<long>"))
+      .when(col("__rj_nb") >= 1,
+        sequence(expr(s"__rj_lo div ${widthMs}L"),
+          expr(s"__rj_lo div ${widthMs}L") + col("__rj_nb") - 1))
+      .otherwise(array().cast("array<long>"))
+    val ivlExploded = iv0
+      .withColumn("__rj_ib", explode(buckets))
       .drop("__rj_nb")
     val pts = points.withColumn("__rj_pb", expr(s"cast($tsCol as long) div ${widthMs}L"))
 

@@ -734,15 +734,13 @@ object TextOps {
     */
   def collocations(
       docs: DataFrame,
-      idCol: String,
       textCol: String,
       minCount: Long = 5L,
       k: Int = 100): DataFrame = {
     require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
     require(k >= 1, s"collocations: k must be >= 1, got $k")
     val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val pairs = Dedup.fanOut(
-      docs.select(col(idCol).cast("long").as("doc_id"), toks.as("__t")))
+    val pairs = Dedup.fanOut(docs.select(toks.as("__t")))
       .where(size(col("__t")) >= 2)
       .select(explode(transform(slice(col("__t"), lit(1), size(col("__t")) - 1),
         (w, i) => struct(w.as("w1"), get(col("__t"), i + 1).as("w2")))).as("__p"))

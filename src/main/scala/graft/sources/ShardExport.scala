@@ -94,7 +94,13 @@ object ShardExport {
       .sortWithinPartitions(col("shard"),
         graft.ops.Sampling.uniformBits(col(idCol), seed + ":ord"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
-    val m = manifest(assignShards(df, idCol, nShards, seed), idCol, contentCols, tokenCol)
+    // The manifest digests the BYTES JUST WRITTEN, not a second
+    // execution of df's lineage: an expensive upstream pipeline runs
+    // once, and the stored manifest is verifyExport-consistent by
+    // construction. (The partition column reads back as int — cast.)
+    val written = df.sparkSession.read.parquet(s"$path/data")
+      .withColumn("shard", col("shard").cast("long"))
+    val m = manifest(written, idCol, contentCols, tokenCol)
     m.write.mode("overwrite").parquet(s"$path/manifest")
     df.sparkSession.read.parquet(s"$path/manifest")
   }

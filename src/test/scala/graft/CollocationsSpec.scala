@@ -17,7 +17,7 @@ class CollocationsSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("counts and PMI match hand-computed marginals") {
-    val got = TextOps.collocations(docs, "doc_id", "text", minCount = 1L, k = 10)
+    val got = TextOps.collocations(docs, "text", minCount = 1L, k = 10)
       .collect()
       .map(r => ((r.getString(0), r.getString(1)),
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
@@ -35,24 +35,24 @@ class CollocationsSpec extends SparkSpec {
   }
 
   test("minCount filters and k caps in (count desc, pair) order") {
-    val got = TextOps.collocations(docs, "doc_id", "text", minCount = 2L, k = 1)
+    val got = TextOps.collocations(docs, "text", minCount = 2L, k = 1)
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(got.toSeq == Seq(("new", "york")))
   }
 
   test("result is partition-invariant") {
     def run(df: org.apache.spark.sql.DataFrame) =
-      TextOps.collocations(df, "doc_id", "text", minCount = 1L, k = 10)
+      TextOps.collocations(df, "text", minCount = 1L, k = 10)
         .collect().map(_.toSeq).toSet
     assert(run(docs.repartition(5)) == run(docs.coalesce(1)))
   }
 
   test("bad parameters are rejected") {
     intercept[IllegalArgumentException] {
-      TextOps.collocations(docs, "doc_id", "text", minCount = 0L)
+      TextOps.collocations(docs, "text", minCount = 0L)
     }
     intercept[IllegalArgumentException] {
-      TextOps.collocations(docs, "doc_id", "text", k = 0)
+      TextOps.collocations(docs, "text", k = 0)
     }
   }
 }

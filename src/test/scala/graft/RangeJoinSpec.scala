@@ -55,6 +55,17 @@ class RangeJoinSpec extends SparkSpec {
     } finally spark.conf.unset("graft.rangejoin.maxBucketsPerInterval")
   }
 
+  test("an inverted interval (hi < lo) matches nothing — like BETWEEN — instead of exploding") {
+    // pre-fix, sequence() inferred step -1 on the inverted bounds and
+    // tried to materialize a huge descending bucket array
+    val iv = Seq((1L, 1L, 1000000000000L, 0L), (2L, 1L, 10L, 12L))
+      .toDF("ivl_id", "k", "lo", "hi")
+    val got = RangeJoin.rangeJoin(points, iv, "k", "ts", "lo", "hi", widthMs = 10L)
+      .select("event_id", "ivl_ivl_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((101L, 2L))) // only the valid interval matches (ts=12)
+  }
+
   test("negative timestamps join consistently") {
     val p = Seq((1L, 1L, -25L), (2L, 1L, -5L)).toDF("event_id", "k", "ts")
     val iv = Seq((1L, 1L, -30L, -20L)).toDF("ivl_id", "k", "lo", "hi")
