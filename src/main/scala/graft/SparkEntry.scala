@@ -3137,6 +3137,14 @@ object SparkEntry {
           .withColumn("doc_id", col("doc_id") + lit(10000000L)))
       graft.ops.SnapshotDiff.diff(docs, newSnap, "doc_id", Seq("text", "lang"))
     },
+    // ---- PCA covariance: the one-pass treeAggregate moment estimate
+    // behind Pca.fit, emitted as the upper triangle (4-dp presentation —
+    // the q_wcss float-sum class; the eigensolve itself is spec-pinned).
+    "q_pca_cov" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Pca.covarianceFrame(t(dir, "embeddings"), "embedding", 64)
+        .select(col("i"), col("j"), (round(col("cov"), 4) + lit(0.0)).as("cov"))
+    },
     // ---- PMI collocations: top-100 adjacent word pairs by count with
     // pointwise mutual information (6-dp presentation float; the
     // ordering is pure integer + string).
@@ -4884,6 +4892,16 @@ object SparkEntry {
         |       ELSE 'changed' END AS status,
         |  o.old_md5, n.new_md5
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "q_pca_cov" ->
+      """WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM v),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |s AS (SELECT i, sum(e[i]) AS si FROM v, idx GROUP BY i),
+        |ss AS (SELECT a.i AS i, b.i AS j, sum(v.e[a.i] * v.e[b.i]) AS sij
+        |  FROM v, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2)
+        |SELECT CAST(ss.i - 1 AS BIGINT) AS i, CAST(ss.j - 1 AS BIGINT) AS j,
+        |  round((sij - s1.si * s2.si / nn.n) / (nn.n - 1), 4) + 0.0 AS cov
+        |FROM ss JOIN s s1 ON s1.i = ss.i JOIN s s2 ON s2.i = ss.j, nn""".stripMargin,
     "q_collocations" ->
       """WITH base AS (
         |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
