@@ -48,6 +48,9 @@ __all__ = [
     "snapshot_diff",
     "snapshot_diff_stats",
     "collocations",
+    "asof_lookup",
+    "time_split",
+    "sessionize_native",
 ]
 
 
@@ -428,3 +431,50 @@ def collocations(
     persisted; call ``.unpersist()`` when done."""
     return _wrap(docs, _jvm(docs).graft.ops.TextOps.collocations(
         docs._jdf, text_col, int(min_count), int(k)))
+
+
+def asof_lookup(
+    left: DataFrame,
+    snapshots: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    right_id_col: str,
+    tolerance_ms=None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Stream-safe as-of LOOKUP against a STATIC (dimension-sized,
+    driver-capped) snapshot table: zero shuffle, zero state — runs
+    identically in batch and streaming queries. Same contract as
+    :func:`asof_join` for one value column."""
+    tol = 0 if tolerance_ms is None else int(tolerance_ms)
+    return _wrap(left, _jvm(left).graft.ops.AsofJoin.asofLookupMs(
+        left._jdf, snapshots._jdf, key_col, ts_col, value_col, right_id_col,
+        tol, prefix))
+
+
+def time_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: int,
+    embargo: int = 0,
+) -> DataFrame:
+    """Temporal train/embargo/test split: rows at or before cutoff are
+    'train', rows in (cutoff, cutoff+embargo] are 'embargo', later rows
+    'test'. Adds a ``split`` column; pure projection, stream-safe."""
+    return _wrap(df, _jvm(df).graft.ops.Sampling.timeSplit(
+        df._jdf, ts_col, int(cutoff), int(embargo)))
+
+
+def sessionize_native(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap sessionization via Spark's native session_window (batch or
+    streaming). Returns (key, startMs, endMs, numEvents, totalValue)."""
+    return _wrap(events, _jvm(events).graft.streaming.EventOps.sessionizeNative(
+        events._jdf, key_col, ts_col, value_col, gap, watermark))

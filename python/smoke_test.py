@@ -334,6 +334,19 @@ def main() -> None:
         shutil.rmtree(exp_dir, ignore_errors=True)
         print("round-14 ops/sources bindings ok")
 
+        al = gops.asof_lookup(ev, snaps, "uid", "ts_ms", "state", "snap_id",
+                              tolerance_ms=10_000_000)
+        assert al.count() == ev.count() and "asof_state" in al.columns
+        tsd = gops.time_split(ev, "ts_ms", cutoff=1000, embargo=1000)
+        labels = set(r.split for r in tsd.select("split").distinct().collect())
+        assert labels == {"train", "embargo", "test"}
+        sn = gops.sessionize_native(
+            docs.withColumn("uid", F.col("doc_id") % 5)
+                .withColumn("ts", F.to_timestamp(F.lit("2024-01-01"))),
+            "uid", "ts", "doc_id", gap="10 minutes")
+        assert sn.count() == 4  # 4 docs -> 4 distinct uids, one session each
+        print("round-14 wave-2 bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

@@ -164,6 +164,28 @@ object SparkEntry {
       |WHERE rank <= 5""".stripMargin
   }
 
+  /** Gap-session oracle shared by q_sessionize (custom state) and
+    * q_session_native (session_window) — the two operators are
+    * spec-asserted equal, and ONE lag/cumsum replay checks both.
+    */
+  private def sessionOracleSql: String =
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
+        |    CASE WHEN CAST(epoch_ms(ts) AS BIGINT)
+        |           - lag(CAST(epoch_ms(ts) AS BIGINT))
+        |             OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_ms, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin
+
   /** Union/running-max as-of carry shared by q_asof_join and
     * q_fill_forward (the SQL mirror of `AsofJoin.asofJoin`'s
     * union-window form). Callers define CTEs `lft` (user_id, ts_ms
@@ -3038,6 +3060,52 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
     },
+    // ---- native session_window sibling of q_sessionize: the
+    // declarative form Catalyst plans itself; SAME oracle fragment as
+    // the custom-state operator (they are spec-asserted equal, and the
+    // lag/cumsum SQL replays both).
+    "q_session_native" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evRaw = t(dir, "events")
+      val ev = evRaw
+        .select(col("user_id"), timestamp_millis(eventTsMs(evRaw)).as("ts"), col("value"))
+      graft.streaming.EventOps.sessionizeNative(ev, "user_id", "ts", "value",
+          gap = "30 minutes")
+        .select(col("key").as("user_id"), col("startMs").as("start_ms"),
+          col("endMs").as("end_ms"), col("numEvents").as("n_events"),
+          round(col("totalValue"), 4).as("total_value"))
+    },
+    // ---- temporal embargo split (eval hygiene for time-structured
+    // data): fixed cutoff 2024-01-02T00:00Z + 6 h embargo.
+    "q_time_split" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evRaw = t(dir, "events")
+      graft.ops.Sampling.timeSplit(
+          evRaw.select(col("event_id"), eventTsMs(evRaw).as("ts_ms")),
+          "ts_ms", cutoff = 1704153600000L, embargo = 6 * 3600000L)
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+    },
+    // ---- broadcast as-of lookup (the stream-safe serving sibling of
+    // q_asof_join — zero shuffle, binary-search probe): same contract,
+    // same carry oracle.
+    "q_asof_lookup" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evRaw = t(dir, "events")
+      val e = evRaw.select(col("event_id"), col("user_id"),
+        eventTsMs(evRaw).as("ts_ms"), col("event_type"), col("value"))
+      val snaps = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("snap_id"), col("user_id"), col("ts_ms"),
+          col("value").as("pv"))
+      val lefts = e.where(col("event_type") =!= "purchase")
+        .select("event_id", "user_id", "ts_ms")
+      graft.ops.AsofJoin.asofLookup(lefts, snaps, "user_id", "ts_ms", "pv",
+          "snap_id", tolerance = Some(86400000L))
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("asof_ts"),
+          (round(col("asof_pv"), 4) + lit(0.0)).as("asof_pv"))
+    },
     // ---- backward as-of join (temporal enrichment, union-window form):
     // every non-purchase event picks the user's latest prior purchase
     // within 24 h; the whole union/window/tolerance chain replays in SQL.
@@ -3605,23 +3673,8 @@ object SparkEntry {
         |k AS (SELECT min(doc_id) AS keeper FROM canon GROUP BY canon)
         |SELECT c.doc_id, md5(c.canon) AS canon_md5
         |FROM canon c JOIN k ON c.doc_id = k.keeper""".stripMargin,
-    "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
-        |    CASE WHEN CAST(epoch_ms(ts) AS BIGINT)
-        |           - lag(CAST(epoch_ms(ts) AS BIGINT))
-        |             OVER (PARTITION BY user_id ORDER BY ts) > 1800000
-        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts_ms, value,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM e)
-        |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
-        |  count(*) AS n_events, round(sum(value), 4) AS total_value
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_sessionize" -> sessionOracleSql,
+    "q_session_native" -> sessionOracleSql,
     "q_multimodal_features" ->
       """WITH d AS MATERIALIZED (SELECT doc_id AS asset_id, text,
         |  CAST(strlen(text) AS BIGINT) AS size_bytes FROM documents),
@@ -4892,6 +4945,28 @@ object SparkEntry {
         |       ELSE 'changed' END AS status,
         |  o.old_md5, n.new_md5
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "q_time_split" ->
+      """SELECT split, count(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN CAST(epoch_ms(ts) AS BIGINT) <= 1704153600000 THEN 'train'
+        |    WHEN CAST(epoch_ms(ts) AS BIGINT) <= 1704153600000 + 21600000 THEN 'embargo'
+        |    ELSE 'test' END AS split
+        |  FROM events) GROUP BY 1""".stripMargin,
+    "q_asof_lookup" ->
+      s"""WITH e AS (
+        |  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+        |    event_type, value
+        |  FROM events),
+        |snaps AS (SELECT event_id AS snap_id, user_id, ts_ms, value AS pv
+        |  FROM e WHERE event_type = 'purchase'),
+        |lft AS (SELECT user_id, ts_ms, event_id FROM e WHERE event_type <> 'purchase'),
+        |${asofCarrySql(", event_id", ", NULL")}
+        |SELECT l.event_id, l.user_id, l.ts_ms,
+        |  CASE WHEN l.ts_ms - s.ts_ms <= 86400000 THEN s.ts_ms END AS asof_ts,
+        |  CASE WHEN l.ts_ms - s.ts_ms <= 86400000
+        |    THEN round(s.pv, 4) + 0.0 END AS asof_pv
+        |FROM m l LEFT JOIN sj s ON s.user_id = l.user_id AND s.ts_ms = l.m_ts
+        |WHERE l.side = 1""".stripMargin,
     "q_pca_cov" ->
       """WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
         |nn AS (SELECT count(*) AS n FROM v),

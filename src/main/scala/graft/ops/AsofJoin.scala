@@ -25,6 +25,94 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Stream-safe as-of LOOKUP against a STATIC snapshot table: the
+    * snapshot history is collected to the driver (capped —
+    * `graft.asof.maxBroadcastRows`, default 10M ≈ a few hundred MB),
+    * organized as per-key timestamp-sorted arrays, broadcast once, and
+    * probed per row with a binary search — ZERO shuffle, ZERO state,
+    * so it runs identically on a batch frame or inside a streaming
+    * query (stateless projection; spec-asserted batch parity on a
+    * memory stream). This is the serving-shaped sibling of
+    * [[asofJoin]]: use it when the snapshot side is dimension-sized
+    * (feature snapshots, model versions, config history) and the event
+    * side is a stream or a 100-TB scan; use [[asofJoin]] when both
+    * sides are data-sized.
+    *
+    * Same contract as [[asofJoin]] (inclusive `<=`, highest
+    * `rightIdCol` wins at equal ts, `tolerance` nulls stale matches)
+    * for ONE right value column, returned as `{prefix}ts` +
+    * `{prefix}{valueCol}` (double). Keys must be long-castable (the
+    * broadcast index is primitive-keyed); null-key/ts snapshot rows
+    * are dropped from the index, null-key/ts left rows look up to
+    * null.
+    */
+  def asofLookup(
+      left: DataFrame,
+      snapshots: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      rightIdCol: String,
+      tolerance: Option[Long] = None,
+      prefix: String = "asof_"): DataFrame = {
+    require(tolerance.forall(_ > 0), s"asofLookup: tolerance must be positive, got $tolerance")
+    val spark = left.sparkSession
+    val cap = graft.util.Conf.long(spark, "graft.asof.maxBroadcastRows", 10000000L)
+    val snapRows = snapshots
+      .select(col(keyCol).cast("long").as("__k"), col(tsCol).cast("long").as("__ts"),
+        col(valueCol).cast("double"), col(rightIdCol).cast("long"))
+      .where(col("__k").isNotNull && col("__ts").isNotNull)
+      .limit(math.min(cap + 1, Int.MaxValue.toLong - 1).toInt)
+      .collect()
+    require(snapRows.length <= cap,
+      s"asofLookup: snapshot side exceeds graft.asof.maxBroadcastRows=$cap — " +
+        "use asofJoin (the distributed union-window form) for data-sized snapshot tables")
+    // per key: parallel arrays sorted by (ts, id); at equal ts the LAST
+    // entry (highest id) is the winner, matching asofJoin's tie-break
+    val byKey: Map[Long, (Array[Long], Array[Double], Array[Long])] =
+      snapRows.groupBy(_.getLong(0)).map { case (k, rows) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getLong(3), r.getDouble(2)))
+          .sortBy(t => (t._1, t._2))
+        (k, (sorted.map(_._1), sorted.map(_._3), sorted.map(_._2)))
+      }
+    val bc = spark.sparkContext.broadcast(byKey)
+    val tol = tolerance.getOrElse(Long.MaxValue)
+    val look = udf { (key: java.lang.Long, ts: java.lang.Long) =>
+      (if (key == null || ts == null) None
+       else bc.value.get(key.longValue()).flatMap { case (tss, vals, _) =>
+         // rightmost index with tss(i) <= ts; ties pre-resolved by the
+         // (ts, id) sort — the last equal-ts entry has the highest id
+         var lo = 0; var hi = tss.length - 1; var ans = -1
+         while (lo <= hi) {
+           val mid = (lo + hi) >>> 1
+           if (tss(mid) <= ts.longValue()) { ans = mid; lo = mid + 1 } else hi = mid - 1
+         }
+         if (ans < 0 || ts.longValue() - tss(ans) > tol) None
+         else Some((tss(ans), vals(ans)))
+       }): Option[(Long, Double)]
+    }
+    left
+      .withColumn("__asof_m", look(col(keyCol).cast("long"), col(tsCol).cast("long")))
+      .withColumn(s"${prefix}ts", col("__asof_m._1"))
+      .withColumn(s"$prefix$valueCol", col("__asof_m._2"))
+      .drop("__asof_m")
+  }
+
+  /** py4j-friendly variant of [[asofLookup]]: `toleranceMs <= 0` means
+    * no tolerance (same Integer-boxing rationale as [[asofJoinMs]]).
+    */
+  def asofLookupMs(
+      left: DataFrame,
+      snapshots: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      rightIdCol: String,
+      toleranceMs: Long,
+      prefix: String): DataFrame =
+    asofLookup(left, snapshots, keyCol, tsCol, valueCol, rightIdCol,
+      if (toleranceMs > 0) Some(toleranceMs) else None, prefix)
+
   /** Regular time-grid resampling with last-observation-carried-forward
     * (the "fill-forward" of feature-store / telemetry pipelines): one
     * row per (key, aligned grid tick) between each key's first and last

@@ -317,6 +317,30 @@ object Sampling {
     * across files by partition index — the standard contract for
     * pre-shuffled training shards.
     */
+  /** Temporal train/test split with an embargo gap — the eval-hygiene
+    * rule for TIME-structured data (forecasting, event models, any
+    * corpus where "the future leaks into the past" is the failure
+    * mode), complementing the content-hash [[graft.ops.TextOps
+    * .splitByHash]] (i.i.d. data) and `Dedup.leakageSafeSplit`
+    * (near-dup groups): rows at or before `cutoff` are `train`, rows
+    * inside (cutoff, cutoff + embargo] are `embargo` (discarded from
+    * both sides — they straddle the boundary via label horizons or
+    * session overlap), later rows are `test`. Pure integer-comparison
+    * projection: no shuffle, stream-safe, trivially engine-portable
+    * (q_time_split).
+    */
+  def timeSplit(
+      df: DataFrame,
+      tsCol: String,
+      cutoff: Long,
+      embargo: Long = 0L): DataFrame = {
+    require(embargo >= 0, s"timeSplit: embargo must be >= 0, got $embargo")
+    df.withColumn("split",
+      when(col(tsCol).cast("long") <= cutoff, lit("train"))
+        .when(col(tsCol).cast("long") <= cutoff + embargo, lit("embargo"))
+        .otherwise(lit("test")))
+  }
+
   def deterministicShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
     df.withColumn("shuffle_key", uniform(col(keyCol), seed))
       .orderBy(col("shuffle_key"), col(keyCol))

@@ -45,6 +45,39 @@ object EventOps {
         col("n"), col("total_value"))
   }
 
+  /** [[sessionize]] via Spark's NATIVE `session_window` — the
+    * declarative form Catalyst plans itself (merging-session state
+    * store on streams, plain aggregation on batch). Same output schema
+    * and semantics as the custom-state operator (spec-asserted equal on
+    * batch); prefer this one unless the session needs custom per-event
+    * logic the aggregate can't express (the reason [[sessionize]]
+    * exists). `gap` is a duration string, e.g. "30 minutes".
+    *
+    * Boundary nuance: the native window is HALF-OPEN — an event at
+    * exactly lastTs + gap starts a new session, where [[sessionize]]'s
+    * inclusive rule (`diff <= gapMs`) continues the old one. Identical
+    * on any data without exact-gap deltas (sub-ms timestamps make
+    * those measure-zero in practice).
+    */
+  def sessionizeNative(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val w = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    w.groupBy(session_window(col(tsCol), gap), col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("numEvents"), sum(col(valueCol).cast("double")).as("totalValue"),
+        min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
+      .select(col("key"),
+        // NTZ timestamps can't cast straight to double — go via
+        // timestamp (pinned to the UTC session zone, the house contract)
+        (col("__first").cast("timestamp").cast("double") * 1000).cast("long").as("startMs"),
+        (col("__last").cast("timestamp").cast("double") * 1000).cast("long").as("endMs"),
+        col("numEvents"), col("totalValue"))
+  }
+
   /** One closed session. */
   case class Session(
       key: Long,
