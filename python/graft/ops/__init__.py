@@ -51,6 +51,11 @@ __all__ = [
     "asof_lookup",
     "time_split",
     "sessionize_native",
+    "range_join",
+    "fill_forward",
+    "prototypicality",
+    "prune_prototypes",
+    "pca_covariance",
 ]
 
 
@@ -478,3 +483,81 @@ def sessionize_native(
     streaming). Returns (key, startMs, endMs, numEvents, totalValue)."""
     return _wrap(events, _jvm(events).graft.streaming.EventOps.sessionizeNative(
         events._jdf, key_col, ts_col, value_col, gap, watermark))
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    width_ms: int,
+    prefix: str = "ivl_",
+) -> DataFrame:
+    """Interval-containment join as a bucketed EQUI-join (never a nested
+    loop): each point matches the same-key intervals containing it;
+    interval columns ride prefixed. Set width_ms near the typical
+    interval span."""
+    return _wrap(points, _jvm(points).graft.ops.RangeJoin.rangeJoin(
+        points._jdf, intervals._jdf, key_col, ts_col, lo_col, hi_col,
+        int(width_ms), prefix))
+
+
+def fill_forward(
+    obs: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: List[str],
+    id_col: str,
+    step_ms: int,
+    tolerance_ms=None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Aligned time-grid resampling with last-observation-carried-forward
+    per key (one shuffle, grid size conf-capped)."""
+    tol = 0 if tolerance_ms is None else int(tolerance_ms)
+    return _wrap(obs, _jvm(obs).graft.ops.AsofJoin.fillForwardMs(
+        obs._jdf, key_col, ts_col, _to_seq(obs, value_cols), id_col,
+        int(step_ms), tol, prefix))
+
+
+def prototypicality(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers: DataFrame,
+    cluster_col: str = "cluster",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """SSL-prototypes scoring (Sorscher et al. 2022): nearest-centroid
+    cluster, cosine to centroid, per-cluster rank (1 = most
+    prototypical). centers is a k-row frame (cluster 0..k-1, centroid
+    array)."""
+    return _wrap(df, _jvm(df).graft.ops.Prototypes.prototypicalityDf(
+        df._jdf, id_col, vec_col, centers._jdf, cluster_col, centroid_col))
+
+
+def prune_prototypes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers: DataFrame,
+    keep_num: int,
+    keep_den: int,
+    keep_hardest: bool = True,
+    cluster_col: str = "cluster",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Keep ceil(n*keep_num/keep_den) rows per cluster — the least
+    prototypical (hardest) by default."""
+    return _wrap(df, _jvm(df).graft.ops.Prototypes.prunePrototypesDf(
+        df._jdf, id_col, vec_col, centers._jdf, cluster_col, centroid_col,
+        int(keep_num), int(keep_den), bool(keep_hardest)))
+
+
+def pca_covariance(df: DataFrame, vec_col: str, in_dim: int) -> DataFrame:
+    """The one-pass covariance estimate behind Pca.fit, as a long-form
+    (i, j, cov) upper-triangle frame."""
+    return _wrap(df, _jvm(df).graft.ops.Pca.covarianceFrame(
+        df._jdf, vec_col, int(in_dim)))

@@ -347,6 +347,30 @@ def main() -> None:
         assert sn.count() == 4  # 4 docs -> 4 distinct uids, one session each
         print("round-14 wave-2 bindings ok")
 
+        sess = gops.sessionize_native(
+            docs.withColumn("uid", F.col("doc_id") % 2)
+                .withColumn("ts", F.to_timestamp(F.lit("2024-01-01"))),
+            "uid", "ts", "doc_id", gap="10 minutes")
+        ivls = sess.selectExpr("key as k", "startMs - 1 as lo", "endMs + 1 as hi",
+                               "numEvents")
+        pts = (docs.withColumn("k", F.col("doc_id") % 2)
+                   .withColumn("ts", F.lit(1704067200000)))
+        rj = gops.range_join(pts, ivls, "k", "ts", "lo", "hi", width_ms=3600000)
+        assert rj.count() == docs.count() and "ivl_numEvents" in rj.columns
+        ff = gops.fill_forward(snaps, "uid", "ts_ms", ["state"], "snap_id", step_ms=500)
+        assert ff.count() > 0 and "asof_state" in ff.columns
+        centers = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [10.0, 10.0])], ["cluster", "centroid"])
+        vecs = spark.createDataFrame(
+            [(1, [0.1, 0.2]), (2, [9.9, 10.1]), (3, [0.3, 0.1])], ["vid", "v"])
+        pr = gops.prototypicality(vecs, "vid", "v", centers)
+        assert pr.count() == 3 and set(r.cluster for r in pr.collect()) == {0, 1}
+        kept = gops.prune_prototypes(vecs, "vid", "v", centers, 1, 2)
+        assert kept.count() == 2  # ceil(2/2) + ceil(1/2)
+        cov = gops.pca_covariance(vecs, "v", 2)
+        assert cov.count() == 3  # upper triangle of 2x2
+        print("round-14 wave-3 bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

@@ -163,6 +163,21 @@ object AsofJoin {
       keyCol, tsCol, valueCols, idCol, tolerance, strict = false, prefix = prefix)
   }
 
+  /** py4j-friendly variant of [[fillForward]]: `toleranceMs <= 0` means
+    * no tolerance (same Integer-boxing rationale as [[asofJoinMs]]).
+    */
+  def fillForwardMs(
+      obs: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      idCol: String,
+      stepMs: Long,
+      toleranceMs: Long,
+      prefix: String): DataFrame =
+    fillForward(obs, keyCol, tsCol, valueCols, idCol, stepMs,
+      if (toleranceMs > 0) Some(toleranceMs) else None, prefix)
+
   /** py4j-friendly variant of [[asofJoin]]: `toleranceMs <= 0` means no
     * tolerance. py4j boxes python ints as Integer, which an
     * `Option[Long]` cannot unbox (CLAUDE.md rule 7); a plain long

@@ -87,6 +87,51 @@ object Prototypes {
         col("__sim").as("cosine"))
   }
 
+  /** [[prototypicality]] with the centroids supplied as a DataFrame
+    * (`clusterCol` long 0..k-1, `centroidCol` array<double>) — the
+    * py4j-safe carrier (a python caller cannot build Array[Array[
+    * Double]] across the bridge; a small DataFrame crosses fine). The
+    * centroid frame is k rows by contract and collects driver-side
+    * (the Lloyd k-row tier); cluster ids must be exactly 0..k-1.
+    */
+  def prototypicalityDf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: DataFrame,
+      clusterCol: String,
+      centroidCol: String): DataFrame =
+    prototypicality(df, idCol, vecCol, collectCenters(centers, clusterCol, centroidCol))
+
+  /** [[prunePrototypes]] with DataFrame-supplied centroids (see
+    * [[prototypicalityDf]]).
+    */
+  def prunePrototypesDf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: DataFrame,
+      clusterCol: String,
+      centroidCol: String,
+      keepNum: Long,
+      keepDen: Long,
+      keepHardest: Boolean): DataFrame =
+    prunePrototypes(df, idCol, vecCol, collectCenters(centers, clusterCol, centroidCol),
+      keepNum, keepDen, keepHardest)
+
+  private def collectCenters(
+      centers: DataFrame, clusterCol: String, centroidCol: String): Array[Array[Double]] = {
+    val rows = centers
+      .select(col(clusterCol).cast("long"), col(centroidCol).cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, "prototypes: centers frame is empty")
+    val byId = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    require(byId.size == rows.length, "prototypes: duplicate cluster ids in centers frame")
+    require((0L until byId.size.toLong).forall(byId.contains),
+      s"prototypes: cluster ids must be exactly 0..${byId.size - 1}, got ${byId.keys.toSeq.sorted}")
+    Array.tabulate(byId.size)(i => byId(i.toLong))
+  }
+
   /** Per-cluster pruning by prototypicality: keep
     * ceil(n_cluster · keepNum / keepDen) rows of each cluster — the
     * LEAST prototypical (lowest cosine) when `keepHardest` (the
