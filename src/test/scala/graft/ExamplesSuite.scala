@@ -317,4 +317,58 @@ class ExamplesSuite extends SparkSpec {
       case r => r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0
     })
   }
+
+  test("TemporalPipelineExample: the round-14 temporal/export layer composed end to end") {
+    // Executable documentation for an event-data preparation recipe:
+    // sessionize -> attribute events to sessions (range join) -> enrich
+    // with the latest prior purchase (as-of) -> temporal eval split ->
+    // export deterministic shards with an integrity manifest.
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val ev = events.select(col("event_id"), col("user_id"),
+      (col("ts").cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"),
+      col("event_type"), col("value"))
+
+    // 1. gap sessions (the native declarative form)
+    val sessions = graft.streaming.EventOps.sessionizeNative(
+        ev.select(col("user_id"), timestamp_millis(col("ts_ms")).as("ts"), col("value")),
+        "user_id", "ts", "value", gap = "30 minutes")
+      .select(col("key").as("user_id"), col("startMs"), col("endMs"),
+        col("numEvents"))
+
+    // 2. every event attributed to its containing session — a bucketed
+    //    equi-join, never a nested loop
+    val attributed = graft.ops.RangeJoin.rangeJoin(
+      ev, sessions, "user_id", "ts_ms", "startMs", "endMs", widthMs = 3600000L)
+    assert(attributed.count() == ev.count(), "each event belongs to exactly one session")
+
+    // 3. enrich with the latest prior purchase within 24 h (one-shuffle
+    //    union-window as-of; asofLookup is the broadcast serving twin)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("snap_id"), col("user_id"), col("ts_ms"),
+        col("value").as("purchase_value"))
+    val enriched = graft.ops.AsofJoin.asofJoin(
+      attributed, purchases, "user_id", "ts_ms", Seq("purchase_value"),
+      "snap_id", tolerance = Some(86400000L))
+    assert(enriched.count() == ev.count())
+    assert(enriched.where(col("asof_purchase_value").isNotNull).count() > 0)
+
+    // 4. time-based eval hygiene: train strictly before the cutoff,
+    //    a 6 h embargo absorbing boundary-straddling sessions
+    val cutoff = ev.agg(expr("percentile(ts_ms, 0.8)")).head.getDouble(0).toLong
+    val split = graft.ops.Sampling.timeSplit(enriched, "ts_ms", cutoff, 6 * 3600000L)
+    val classes = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(classes.keySet == Set("train", "embargo", "test"))
+
+    // 5. export the training slice as 4 deterministic shards + manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft-temporal-ex").toString
+    val m = graft.sources.ShardExport.writeShards(
+      split.where(col("split") === "train"), dir, "event_id",
+      Seq("user_id", "ts_ms"), coalesce(col("asof_purchase_value"), lit(0.0)),
+      nShards = 4, seed = "ex14")
+    assert(m.count() == 4)
+    assert(graft.sources.ShardExport.verifyExport(spark, dir, "event_id",
+      Seq("user_id", "ts_ms"), coalesce(col("asof_purchase_value"), lit(0.0))).count() == 0)
+  }
 }
