@@ -56,6 +56,7 @@ __all__ = [
     "prototypicality",
     "prune_prototypes",
     "pca_covariance",
+    "fill_interpolate",
 ]
 
 
@@ -561,3 +562,19 @@ def pca_covariance(df: DataFrame, vec_col: str, in_dim: int) -> DataFrame:
     (i, j, cov) upper-triangle frame."""
     return _wrap(df, _jvm(df).graft.ops.Pca.covarianceFrame(
         df._jdf, vec_col, int(in_dim)))
+
+
+def fill_interpolate(
+    obs: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    step_ms: int,
+) -> DataFrame:
+    """Aligned time-grid resampling with LINEAR INTERPOLATION between the
+    neighboring observations (fill_forward's interpolating sibling; both
+    window directions ride one exchange). Returns (key, ts, prev_ts,
+    next_ts, value)."""
+    return _wrap(obs, _jvm(obs).graft.ops.AsofJoin.fillInterpolate(
+        obs._jdf, key_col, ts_col, value_col, id_col, int(step_ms)))

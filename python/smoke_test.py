@@ -369,6 +369,9 @@ def main() -> None:
         assert kept.count() == 2  # ceil(2/2) + ceil(1/2)
         cov = gops.pca_covariance(vecs, "v", 2)
         assert cov.count() == 3  # upper triangle of 2x2
+        fi = gops.fill_interpolate(snaps, "uid", "ts_ms", "state", "snap_id",
+                                   step_ms=500)
+        assert fi.count() > 0 and "value" in fi.columns
         print("round-14 wave-3 bindings ok")
 
         print("SMOKE TEST PASSED")

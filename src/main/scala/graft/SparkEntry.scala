@@ -198,7 +198,21 @@ object SparkEntry {
     * replay stays row-stable if regenerated testdata ever collides
     * timestamps).
     */
-  private def asofCarrySql(leftExtraSql: String, rightNullSql: String): String =
+  private def asofCarrySql(
+      leftExtraSql: String, rightNullSql: String, withNext: Boolean = false): String = {
+    // `withNext` (q_fill_interp) adds the FOLLOWING-frame window and its
+    // join-back side: the next observation is the FIRST in window order,
+    // so duplicate-ts snapshots resolve to the LOWEST id there (min_by),
+    // mirroring the prev side's highest-id rule.
+    val nextWin = if (!withNext) "" else
+      """,
+        |    min(CASE WHEN side = 0 THEN ts_ms END) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, side, coalesce(snap_id, 0)
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m_next""".stripMargin
+    val nextSj = if (!withNext) "" else
+      """,
+        |sjn AS (SELECT user_id, ts_ms, min_by(pv, snap_id) AS pv
+        |  FROM snaps GROUP BY 1, 2)""".stripMargin
     s"""u AS (
       |  SELECT user_id, ts_ms, 1 AS side, CAST(NULL AS BIGINT) AS snap_id$leftExtraSql
       |  FROM lft
@@ -207,10 +221,11 @@ object SparkEntry {
       |m AS (
       |  SELECT *, max(CASE WHEN side = 0 THEN ts_ms END) OVER (
       |    PARTITION BY user_id ORDER BY ts_ms, side, coalesce(snap_id, 0)
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts$nextWin
       |  FROM u),
       |sj AS (SELECT user_id, ts_ms, max_by(pv, snap_id) AS pv
-      |  FROM snaps GROUP BY 1, 2)""".stripMargin
+      |  FROM snaps GROUP BY 1, 2)$nextSj""".stripMargin
+  }
 
   /** Prototypicality oracle core shared by q_prototypes and
     * q_proto_prune (the SQL mirror of `Prototypes.prototypicality`
@@ -3158,6 +3173,20 @@ object SparkEntry {
         .select(col("user_id"), col("ts_ms"), col("asof_ts"),
           (round(col("asof_value"), 4) + lit(0.0)).as("asof_value"))
     },
+    // ---- linear-interpolation resampling: fillForward's interpolating
+    // sibling on the same 6-hour purchase grid (both window directions
+    // ride ONE exchange).
+    "q_fill_interp" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evRaw = t(dir, "events")
+      val obs = evRaw.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), eventTsMs(evRaw).as("ts_ms"), col("value"))
+      graft.ops.AsofJoin.fillInterpolate(obs, "user_id", "ts_ms", "value",
+          "event_id", stepMs = 6 * 3600000L)
+        .select(col("user_id"), col("ts_ms"), col("prev_ts"), col("next_ts"),
+          (round(col("value"), 4) + lit(0.0)).as("value"))
+    },
     // ---- SSL-prototypes scoring (Sorscher et al. 2022) under a supplied
     // quantizer (embeddings vec_id < 8 — the q_ann_ivf_pruned trick, so
     // assignment, cosine, and per-cluster rank are all deterministic).
@@ -4905,6 +4934,26 @@ object SparkEntry {
         |SELECT t.user_id, t.ts_ms, s.ts_ms AS asof_ts,
         |  round(s.pv, 4) + 0.0 AS asof_value
         |FROM m t LEFT JOIN sj s ON s.user_id = t.user_id AND s.ts_ms = t.m_ts
+        |WHERE t.side = 1""".stripMargin,
+    "q_fill_interp" ->
+      s"""WITH snaps AS (
+        |  SELECT event_id AS snap_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+        |    value AS pv
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id, min(ts_ms) AS lo0, max(ts_ms) AS hi0 FROM snaps GROUP BY 1),
+        |al AS (SELECT user_id,
+        |    lo0 + (((-lo0) % 21600000 + 21600000) % 21600000) AS lo,
+        |    hi0 - ((hi0 % 21600000 + 21600000) % 21600000) AS hi
+        |  FROM b),
+        |lft AS (SELECT user_id, unnest(generate_series(lo, hi, 21600000)) AS ts_ms
+        |  FROM al WHERE lo <= hi),
+        |${asofCarrySql("", "", withNext = true)}
+        |SELECT t.user_id, t.ts_ms, p.ts_ms AS prev_ts, nx.ts_ms AS next_ts,
+        |  round(CASE WHEN t.m_next IS NULL OR t.m_next = t.m_ts THEN p.pv
+        |    ELSE p.pv + (nx.pv - p.pv) * (t.ts_ms - p.ts_ms) / (nx.ts_ms - p.ts_ms)
+        |    END, 4) + 0.0 AS value
+        |FROM m t LEFT JOIN sj p ON p.user_id = t.user_id AND p.ts_ms = t.m_ts
+        |         LEFT JOIN sjn nx ON nx.user_id = t.user_id AND nx.ts_ms = t.m_next
         |WHERE t.side = 1""".stripMargin,
     "q_prototypes" ->
       s"""$protoRankedSql

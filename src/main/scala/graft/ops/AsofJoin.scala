@@ -163,6 +163,63 @@ object AsofJoin {
       keyCol, tsCol, valueCols, idCol, tolerance, strict = false, prefix = prefix)
   }
 
+  /** [[fillForward]]'s interpolating sibling: one row per aligned grid
+    * tick carrying the LINEAR INTERPOLATION between the nearest
+    * observations on each side — telemetry/feature resampling where a
+    * step function is too coarse. Same union machinery and the SAME
+    * single exchange: the previous observation rides the running
+    * `last(ignoreNulls)` window and the next one a `first(ignoreNulls)`
+    * over the FOLLOWING frame of the identical (partition, ordering) —
+    * Catalyst plans both frames over one sort. A tick at an exact
+    * observation (or at the span's last aligned point) returns that
+    * observation's value. Value column is double; output
+    * (keyCol, tsCol, prev_ts, next_ts, value).
+    */
+  def fillInterpolate(
+      obs: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      idCol: String,
+      stepMs: Long): DataFrame = {
+    require(stepMs > 0, s"fillInterpolate: stepMs must be positive, got $stepMs")
+    val spark = obs.sparkSession
+    val maxTicks = graft.util.Conf.long(spark, "graft.fillforward.maxTicksPerKey", 1000000L)
+    val o = obs.select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__ts"),
+      lit(0).as("__side"), col(idCol).cast("long").as("__rid"),
+      col(valueCol).cast("double").as("__v"))
+    val bounds = o.groupBy(col("__k"))
+      .agg(min(col("__ts")).as("__lo"), max(col("__ts")).as("__hi"))
+      .withColumn("__lo", col("__lo") + pmod(-col("__lo"), lit(stepMs)))
+      .withColumn("__hi", col("__hi") - pmod(col("__hi"), lit(stepMs)))
+    val ticks =
+      when((col("__hi") - col("__lo")) / lit(stepMs.toDouble) + 1 > maxTicks,
+        raise_error(concat(
+          lit(s"fillInterpolate: a key needs more than $maxTicks ticks at stepMs=$stepMs " +
+            s"(span "), (col("__hi") - col("__lo")).cast("string"),
+          lit("); raise stepMs or graft.fillforward.maxTicksPerKey"))).cast("array<long>"))
+      .when(col("__lo") <= col("__hi"), sequence(col("__lo"), col("__hi"), lit(stepMs)))
+      .otherwise(array().cast("array<long>"))
+    val grid = bounds.select(col("__k"), explode(ticks).as("__ts"),
+      lit(1).as("__side"), lit(0L).as("__rid"), lit(null).cast("double").as("__v"))
+    val u = o.unionByName(grid)
+    val ord = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"), col("__rid"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val snap = struct(col("__ts").as("ts"), col("__v").as("v"))
+    val carried = u
+      .withColumn("__p", last(when(col("__side") === 0, snap), ignoreNulls = true).over(wPrev))
+      .withColumn("__n", first(when(col("__side") === 0, snap), ignoreNulls = true).over(wNext))
+      .where(col("__side") === 1)
+    carried.select(
+      col("__k").as(keyCol), col("__ts").as(tsCol),
+      col("__p.ts").as("prev_ts"), col("__n.ts").as("next_ts"),
+      when(col("__n.ts").isNull || col("__n.ts") === col("__p.ts"), col("__p.v"))
+        .otherwise(col("__p.v") + (col("__n.v") - col("__p.v")) *
+          (col("__ts") - col("__p.ts")) / (col("__n.ts") - col("__p.ts")))
+        .as("value"))
+  }
+
   /** py4j-friendly variant of [[fillForward]]: `toleranceMs <= 0` means
     * no tolerance (same Integer-boxing rationale as [[asofJoinMs]]).
     */

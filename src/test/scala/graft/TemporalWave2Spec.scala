@@ -97,6 +97,39 @@ class TemporalWave2Spec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("fillInterpolate linearly interpolates between neighbors, exact at observations") {
+    val obs = Seq(
+      (1L, 1L, 0L, 0.0), (2L, 1L, 10L, 100.0), (3L, 1L, 25L, 40.0),
+      (4L, 2L, 0L, 5.0), (5L, 2L, 30L, 35.0)
+    ).toDF("obs_id", "k", "ts", "v")
+    val got = AsofJoin.fillInterpolate(obs, "k", "ts", "v", "obs_id", stepMs = 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(r.fieldIndex("prev_ts")),
+         Option(r.get(r.fieldIndex("next_ts"))).map(_.asInstanceOf[Long]),
+         r.getDouble(r.fieldIndex("value"))))).toMap
+    // key 1 ticks 0,10,20: 0 exact; 10 exact (prev = the obs itself);
+    // 20 interpolates 100 + (40-100)*(20-10)/(25-10) = 60
+    assert(got((1L, 0L))._3 == 0.0)
+    assert(got((1L, 10L))._3 == 100.0)
+    assert(math.abs(got((1L, 20L))._3 - 60.0) < 1e-12)
+    assert(got((1L, 20L))._1 == 10L && got((1L, 20L))._2 == Some(25L))
+    // key 2 ticks 0..30: linear ramp 5 -> 35; tick 30 = last obs (next
+    // is null there, prev value returned)
+    assert(math.abs(got((2L, 10L))._3 - 15.0) < 1e-12)
+    assert(math.abs(got((2L, 20L))._3 - 25.0) < 1e-12)
+    assert(got((2L, 30L))._3 == 35.0 && got((2L, 30L))._2.isEmpty)
+  }
+
+  test("fillInterpolate plans one exchange for both window directions") {
+    val obs = Seq((1L, 1L, 0L, 0.0), (2L, 1L, 30L, 3.0)).toDF("obs_id", "k", "ts", "v")
+    val plan = AsofJoin.fillInterpolate(obs, "k", "ts", "v", "obs_id", stepMs = 10L)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // the grid bounds aggregation shuffles once on the key; the union
+    // window reuses that partitioning for BOTH frames
+    assert(n <= 2 && !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
+  }
+
   test("timeSplit classifies train/embargo/test on integer boundaries") {
     val df = Seq((1L, 10L), (2L, 20L), (3L, 21L), (4L, 25L), (5L, 26L), (6L, 100L))
       .toDF("id", "ts")
