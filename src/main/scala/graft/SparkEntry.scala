@@ -165,15 +165,20 @@ object SparkEntry {
   }
 
   /** Gap-session oracle shared by q_sessionize (custom state) and
-    * q_session_native (session_window) — the two operators are
-    * spec-asserted equal, and ONE lag/cumsum replay checks both.
+    * q_session_native (session_window). The two operators are
+    * spec-asserted equal on real (sub-ms-granular) data, but their
+    * EXACT-gap boundary differs — custom is inclusive (diff <= gap
+    * continues), session_window is half-open (diff == gap starts a new
+    * session) — so each oracle replays its OWN boundary via
+    * `newSessionCmp` and a regenerated dataset with exact 30-minute
+    * deltas cannot flip either gate.
     */
-  private def sessionOracleSql: String =
-      """WITH e AS (
+  private def sessionOracleSql(newSessionCmp: String): String =
+      s"""WITH e AS (
         |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
         |    CASE WHEN CAST(epoch_ms(ts) AS BIGINT)
         |           - lag(CAST(epoch_ms(ts) AS BIGINT))
-        |             OVER (PARTITION BY user_id ORDER BY ts) > 1800000
+        |             OVER (PARTITION BY user_id ORDER BY ts) $newSessionCmp
         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events),
@@ -3702,8 +3707,8 @@ object SparkEntry {
         |k AS (SELECT min(doc_id) AS keeper FROM canon GROUP BY canon)
         |SELECT c.doc_id, md5(c.canon) AS canon_md5
         |FROM canon c JOIN k ON c.doc_id = k.keeper""".stripMargin,
-    "q_sessionize" -> sessionOracleSql,
-    "q_session_native" -> sessionOracleSql,
+    "q_sessionize" -> sessionOracleSql("> 1800000"),
+    "q_session_native" -> sessionOracleSql(">= 1800000"),
     "q_multimodal_features" ->
       """WITH d AS MATERIALIZED (SELECT doc_id AS asset_id, text,
         |  CAST(strlen(text) AS BIGINT) AS size_bytes FROM documents),

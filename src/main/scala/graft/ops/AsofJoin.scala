@@ -42,9 +42,11 @@ object AsofJoin {
     * `rightIdCol` wins at equal ts, `tolerance` nulls stale matches)
     * for ONE right value column, returned as `{prefix}ts` +
     * `{prefix}{valueCol}` (double). Keys must be long-castable (the
-    * broadcast index is primitive-keyed); null-key/ts snapshot rows
-    * are dropped from the index, null-key/ts left rows look up to
-    * null.
+    * broadcast index is primitive-keyed). Contract divergence from
+    * asofJoin, documented: snapshot rows with a null key, ts, VALUE, or
+    * id are dropped from the index (the primitive-array index cannot
+    * carry a null value the way asofJoin's struct does); null-key/ts
+    * left rows look up to null.
     */
   def asofLookup(
       left: DataFrame,
@@ -56,12 +58,20 @@ object AsofJoin {
       tolerance: Option[Long] = None,
       prefix: String = "asof_"): DataFrame = {
     require(tolerance.forall(_ > 0), s"asofLookup: tolerance must be positive, got $tolerance")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(_.startsWith("__asof")),
+      "asofLookup: left columns may not start with the reserved prefix __asof")
+    val outNames = Seq(s"${prefix}ts", s"$prefix$valueCol")
+    require(outNames.intersect(leftCols).isEmpty,
+      s"asofLookup: output columns ${outNames.intersect(leftCols).mkString(", ")} " +
+        "collide with left columns — pick a different prefix")
     val spark = left.sparkSession
     val cap = graft.util.Conf.long(spark, "graft.asof.maxBroadcastRows", 10000000L)
     val snapRows = snapshots
       .select(col(keyCol).cast("long").as("__k"), col(tsCol).cast("long").as("__ts"),
-        col(valueCol).cast("double"), col(rightIdCol).cast("long"))
-      .where(col("__k").isNotNull && col("__ts").isNotNull)
+        col(valueCol).cast("double").as("__v"), col(rightIdCol).cast("long").as("__rid"))
+      .where(col("__k").isNotNull && col("__ts").isNotNull &&
+        col("__v").isNotNull && col("__rid").isNotNull)
       .limit(math.min(cap + 1, Int.MaxValue.toLong - 1).toInt)
       .collect()
     require(snapRows.length <= cap,
@@ -113,6 +123,38 @@ object AsofJoin {
     asofLookup(left, snapshots, keyCol, tsCol, valueCol, rightIdCol,
       if (toleranceMs > 0) Some(toleranceMs) else None, prefix)
 
+  /** Aligned per-key tick grid shared by [[fillForward]] and
+    * [[fillInterpolate]]: ceil-align the low bound, floor-align the
+    * high (pmod keeps both correct for negative timestamps); the
+    * runaway-grid guard lives INSIDE the exploded expression (the data
+    * path), so projection pruning cannot optimize the raise_error
+    * away. `rows` must carry (keyName, tsName as long); returns
+    * (keyName, tsName = tick).
+    */
+  private def alignedGrid(
+      rows: DataFrame,
+      keyName: String,
+      tsName: String,
+      stepMs: Long,
+      opName: String): DataFrame = {
+    require(stepMs > 0, s"$opName: stepMs must be positive, got $stepMs")
+    val maxTicks =
+      graft.util.Conf.long(rows.sparkSession, "graft.fillforward.maxTicksPerKey", 1000000L)
+    val bounds = rows.groupBy(col(keyName))
+      .agg(min(col(tsName)).as("__lo"), max(col(tsName)).as("__hi"))
+      .withColumn("__lo", col("__lo") + pmod(-col("__lo"), lit(stepMs)))
+      .withColumn("__hi", col("__hi") - pmod(col("__hi"), lit(stepMs)))
+    val ticks =
+      when((col("__hi") - col("__lo")) / lit(stepMs.toDouble) + 1 > maxTicks,
+        raise_error(concat(
+          lit(s"$opName: a key needs more than $maxTicks ticks at stepMs=$stepMs " +
+            s"(span "), (col("__hi") - col("__lo")).cast("string"),
+          lit("); raise stepMs or graft.fillforward.maxTicksPerKey"))).cast("array<long>"))
+      .when(col("__lo") <= col("__hi"), sequence(col("__lo"), col("__hi"), lit(stepMs)))
+      .otherwise(array().cast("array<long>"))
+    bounds.select(col(keyName), explode(ticks).as(tsName))
+  }
+
   /** Regular time-grid resampling with last-observation-carried-forward
     * (the "fill-forward" of feature-store / telemetry pipelines): one
     * row per (key, aligned grid tick) between each key's first and last
@@ -139,26 +181,9 @@ object AsofJoin {
       stepMs: Long,
       tolerance: Option[Long] = None,
       prefix: String = "asof_"): DataFrame = {
-    require(stepMs > 0, s"fillForward: stepMs must be positive, got $stepMs")
-    val spark = obs.sparkSession
-    val maxTicks = graft.util.Conf.long(spark, "graft.fillforward.maxTicksPerKey", 1000000L)
-    val bounds = obs.groupBy(col(keyCol))
-      .agg(min(col(tsCol).cast("long")).as("__lo"), max(col(tsCol).cast("long")).as("__hi"))
-      // ceil-align the low bound, floor-align the high bound (pmod keeps
-      // both correct for negative timestamps)
-      .withColumn("__lo", col("__lo") + pmod(-col("__lo"), lit(stepMs)))
-      .withColumn("__hi", col("__hi") - pmod(col("__hi"), lit(stepMs)))
-    // the guard lives INSIDE the exploded expression (the data path), so
-    // no projection pruning can optimize the raise_error away
-    val ticks =
-      when((col("__hi") - col("__lo")) / lit(stepMs.toDouble) + 1 > maxTicks,
-        raise_error(concat(
-          lit(s"fillForward: a key needs more than $maxTicks ticks at stepMs=$stepMs " +
-            s"(span "), (col("__hi") - col("__lo")).cast("string"),
-          lit("); raise stepMs or graft.fillforward.maxTicksPerKey"))).cast("array<long>"))
-      .when(col("__lo") <= col("__hi"), sequence(col("__lo"), col("__hi"), lit(stepMs)))
-      .otherwise(array().cast("array<long>"))
-    val grid = bounds.select(col(keyCol), explode(ticks).as(tsCol))
+    val grid = alignedGrid(
+      obs.select(col(keyCol), col(tsCol).cast("long").as(tsCol)),
+      keyCol, tsCol, stepMs, "fillForward")
     asofJoin(grid, obs.select((keyCol +: tsCol +: idCol +: valueCols).distinct.map(col): _*),
       keyCol, tsCol, valueCols, idCol, tolerance, strict = false, prefix = prefix)
   }
@@ -182,26 +207,13 @@ object AsofJoin {
       valueCol: String,
       idCol: String,
       stepMs: Long): DataFrame = {
-    require(stepMs > 0, s"fillInterpolate: stepMs must be positive, got $stepMs")
-    val spark = obs.sparkSession
-    val maxTicks = graft.util.Conf.long(spark, "graft.fillforward.maxTicksPerKey", 1000000L)
     val o = obs.select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__ts"),
       lit(0).as("__side"), col(idCol).cast("long").as("__rid"),
       col(valueCol).cast("double").as("__v"))
-    val bounds = o.groupBy(col("__k"))
-      .agg(min(col("__ts")).as("__lo"), max(col("__ts")).as("__hi"))
-      .withColumn("__lo", col("__lo") + pmod(-col("__lo"), lit(stepMs)))
-      .withColumn("__hi", col("__hi") - pmod(col("__hi"), lit(stepMs)))
-    val ticks =
-      when((col("__hi") - col("__lo")) / lit(stepMs.toDouble) + 1 > maxTicks,
-        raise_error(concat(
-          lit(s"fillInterpolate: a key needs more than $maxTicks ticks at stepMs=$stepMs " +
-            s"(span "), (col("__hi") - col("__lo")).cast("string"),
-          lit("); raise stepMs or graft.fillforward.maxTicksPerKey"))).cast("array<long>"))
-      .when(col("__lo") <= col("__hi"), sequence(col("__lo"), col("__hi"), lit(stepMs)))
-      .otherwise(array().cast("array<long>"))
-    val grid = bounds.select(col("__k"), explode(ticks).as("__ts"),
-      lit(1).as("__side"), lit(0L).as("__rid"), lit(null).cast("double").as("__v"))
+    val grid = alignedGrid(o.select(col("__k"), col("__ts")),
+        "__k", "__ts", stepMs, "fillInterpolate")
+      .select(col("__k"), col("__ts"),
+        lit(1).as("__side"), lit(0L).as("__rid"), lit(null).cast("double").as("__v"))
     val u = o.unionByName(grid)
     val ord = Window.partitionBy("__k").orderBy(col("__ts"), col("__side"), col("__rid"))
     val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -121,9 +121,14 @@ object Prototypes {
 
   private def collectCenters(
       centers: DataFrame, clusterCol: String, centroidCol: String): Array[Array[Double]] = {
+    val cap = graft.util.Conf.long(centers.sparkSession, "graft.prototypes.maxCenters", 65536L)
     val rows = centers
       .select(col(clusterCol).cast("long"), col(centroidCol).cast("array<double>"))
+      .limit(math.min(cap + 1, Int.MaxValue.toLong - 1).toInt)
       .collect()
+    require(rows.length <= cap,
+      s"prototypes: centers frame exceeds graft.prototypes.maxCenters=$cap — centroids " +
+        "are a k-row driver tier; pass a clustering's centers, not a data-sized frame")
     require(rows.nonEmpty, "prototypes: centers frame is empty")
     val byId = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
     require(byId.size == rows.length, "prototypes: duplicate cluster ids in centers frame")

@@ -308,15 +308,6 @@ object Sampling {
       .limit(n)
   }
 
-  /** Deterministic global shuffle — the training-order scramble: total
-    * order by (keyed uniform, key). Plans as a range-partitioned sort
-    * (sample → range boundaries → per-partition sort), so it scales as
-    * ordinary distributed sorting; the order is a pure function of
-    * (seed, key) and therefore identical on every run and layout.
-    * Writing the result preserves the order within each output file and
-    * across files by partition index — the standard contract for
-    * pre-shuffled training shards.
-    */
   /** Temporal train/test split with an embargo gap — the eval-hygiene
     * rule for TIME-structured data (forecasting, event models, any
     * corpus where "the future leaks into the past" is the failure
@@ -325,7 +316,9 @@ object Sampling {
     * (near-dup groups): rows at or before `cutoff` are `train`, rows
     * inside (cutoff, cutoff + embargo] are `embargo` (discarded from
     * both sides — they straddle the boundary via label horizons or
-    * session overlap), later rows are `test`. Pure integer-comparison
+    * session overlap), later rows are `test`. A null (or uncastable)
+    * timestamp FAILS with remediation rather than silently leaking an
+    * unknown-time row into the test split. Pure integer-comparison
     * projection: no shuffle, stream-safe, trivially engine-portable
     * (q_time_split).
     */
@@ -336,11 +329,23 @@ object Sampling {
       embargo: Long = 0L): DataFrame = {
     require(embargo >= 0, s"timeSplit: embargo must be >= 0, got $embargo")
     df.withColumn("split",
-      when(col(tsCol).cast("long") <= cutoff, lit("train"))
+      when(col(tsCol).cast("long").isNull,
+        raise_error(lit(s"timeSplit: null or non-long-castable $tsCol — " +
+          "filter or impute timestamps before splitting")))
+        .when(col(tsCol).cast("long") <= cutoff, lit("train"))
         .when(col(tsCol).cast("long") <= cutoff + embargo, lit("embargo"))
         .otherwise(lit("test")))
   }
 
+  /** Deterministic global shuffle — the training-order scramble: total
+    * order by (keyed uniform, key). Plans as a range-partitioned sort
+    * (sample → range boundaries → per-partition sort), so it scales as
+    * ordinary distributed sorting; the order is a pure function of
+    * (seed, key) and therefore identical on every run and layout.
+    * Writing the result preserves the order within each output file and
+    * across files by partition index — the standard contract for
+    * pre-shuffled training shards.
+    */
   def deterministicShuffle(df: DataFrame, keyCol: String, seed: String): DataFrame =
     df.withColumn("shuffle_key", uniform(col(keyCol), seed))
       .orderBy(col("shuffle_key"), col(keyCol))
