@@ -1627,6 +1627,33 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.ops.TextOps.profileCorpus(t(dir, "documents"), "doc_id", "text", "lang")
     },
+    // --- column-bisection siblings (VERDICT r11 item 2): each emits a
+    // column-subset of a formerly-red query so a driver-side divergence
+    // localizes to a COLUMN in the gate itself, not to local theory.
+    "q_budget_cum" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.budgetSelect(t(dir, "documents"), "lang", "doc_id",
+        TextOps.qualityScoreMicro(col("text")), TextOps.tokenCount(col("text")), 2000L)
+        .select(col("domain"), col("key"), col("cum_tokens"))
+    },
+    "q_bpe_pairs" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Bpe.mergesDf(s,
+        graft.ops.Bpe.train(t(dir, "documents"), "text", numMerges = 8))
+        .select(col("rank"), col("lhs"), col("rhs"))
+    },
+    "q_bpe_words" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      val merges = graft.ops.Bpe.train(docs, "text", numMerges = 8)
+      graft.ops.Bpe.encode(docs, "doc_id", "text", merges.map(m => (m.lhs, m.rhs)))
+        .select(col("doc_id"), col("n_words"))
+    },
+    "q_profile_tokens" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      t(dir, "documents").groupBy(col("lang"))
+        .agg(sum(TextOps.tokenCount(col("text"))).as("total_tokens"))
+    },
     "q_dedup_stats" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       // the synthetic corpus is duplicate-free, so plant exact dups
@@ -3533,8 +3560,8 @@ object SparkEntry {
         |  FROM c)
         |SELECT domain, key, quality, n_tokens, cum_tokens FROM (
         |  SELECT domain, key, quality, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY domain ORDER BY quality DESC, key
-        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |    CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY quality DESC, key
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM d)
         |WHERE cum_tokens - n_tokens < 2000""".stripMargin,
     "q_select_top_quality" ->
@@ -4172,7 +4199,7 @@ object SparkEntry {
     "q_bpe_train" ->
       s"""WITH ${bpeChainSql(8)}
         |SELECT * FROM (
-        |${(1 to 8).map(r => s"  SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, cnt FROM b$r")
+        |${(1 to 8).map(r => s"  SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM b$r")
              .mkString("  UNION ALL\n")}
         |)""".stripMargin,
     "q_bpe_encode" ->
@@ -4181,7 +4208,7 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
         |  FROM documents)
         |SELECT dw.doc_id, count(*) AS n_words,
-        |  sum(len(w) - len(replace(w, chr(1), ''))) AS n_tokens
+        |  CAST(sum(len(w) - len(replace(w, chr(1), ''))) AS BIGINT) AS n_tokens
         |FROM dw JOIN w8 USING (word)
         |GROUP BY dw.doc_id""".stripMargin,
     "q_bigram_nll" ->
@@ -4218,7 +4245,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rt,
         |    row_number() OVER (PARTITION BY lang ORDER BY q_micro, doc_id) AS rq
         |  FROM base)
-        |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
         |  max(CASE WHEN rt = (cnt * 1 + 9) // 10 THEN n_tokens END) AS p10_tokens,
         |  max(CASE WHEN rt = (cnt * 5 + 9) // 10 THEN n_tokens END) AS p50_tokens,
@@ -4227,6 +4254,38 @@ object SparkEntry {
         |  max(CASE WHEN rq = (cnt * 5 + 9) // 10 THEN q_micro END) AS p50_q_micro,
         |  max(CASE WHEN rq = (cnt * 9 + 9) // 10 THEN q_micro END) AS p90_q_micro
         |FROM r GROUP BY lang""".stripMargin,
+    // --- column-bisection siblings (see queries block) ---
+    "q_budget_cum" ->
+      s"""WITH c AS (
+        |  SELECT lang AS domain, doc_id AS key, ${qualityCountsSql()}
+        |  FROM documents),
+        |d AS (
+        |  SELECT domain, key, ${qualityMicroSql()} AS quality, n_tokens
+        |  FROM c)
+        |SELECT domain, key, cum_tokens FROM (
+        |  SELECT domain, key, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY domain ORDER BY quality DESC, key
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |WHERE cum_tokens - n_tokens < 2000""".stripMargin,
+    "q_bpe_pairs" ->
+      s"""WITH ${bpeChainSql(8)}
+        |SELECT * FROM (
+        |${(1 to 8).map(r => s"  SELECT CAST($r AS BIGINT) AS rank, lhs, rhs FROM b$r")
+             .mkString("  UNION ALL\n")}
+        |)""".stripMargin,
+    "q_bpe_words" ->
+      s"""WITH ${bpeChainSql(8)},
+        |dw AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+        |  FROM documents)
+        |SELECT dw.doc_id, count(*) AS n_words
+        |FROM dw JOIN w8 USING (word)
+        |GROUP BY dw.doc_id""".stripMargin,
+    "q_profile_tokens" ->
+      """SELECT lang,
+        |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
     "q_dedup_stats" ->
       """WITH corpus AS (
         |  SELECT text FROM documents
