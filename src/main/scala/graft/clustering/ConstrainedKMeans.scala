@@ -22,11 +22,28 @@ case class ConstraintSet(constraints: Seq[Constraint]) {
   def size: Int = constraints.size
   def isEmpty: Boolean = constraints.isEmpty
 
-  /** Pairs that both reference the same id with conflicting kinds. */
+  /** True unless a cannot-link pair falls inside one must-link
+    * TRANSITIVE-CLOSURE component: must(a,b) + must(b,c) + cannot(a,c)
+    * is unsatisfiable even though no single pair conflicts directly.
+    * Union-find over the must-links on the driver (constraint sets are
+    * small by contract — they ride a broadcast in the fit loop).
+    * (reference: df/Constraints.scala:27-260 computes the same
+    * must-link components for its validity check.)
+    */
   def isSatisfiable: Boolean = {
-    val must = mustLinks.map(m => Set(m.a, m.b)).toSet
-    val cannot = cannotLinks.map(c => Set(c.a, c.b)).toSet
-    must.intersect(cannot).isEmpty
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    mustLinks.foreach { m =>
+      val (ra, rb) = (find(m.a), find(m.b))
+      if (ra != rb) parent(ra) = rb
+    }
+    cannotLinks.forall(c => find(c.a) != find(c.b))
   }
 
   /** id -> (partnerId, isMust, weight) adjacency, broadcast into the
@@ -144,6 +161,12 @@ class ConstrainedKMeans(override val uid: String)
 
   override def fit(dataset: Dataset[_]): GeneralizedKMeansModel = {
     val t0 = System.currentTimeMillis()
+    require(constraintSet.isSatisfiable,
+      "ConstrainedKMeans: the constraint set is unsatisfiable — a " +
+        "cannot-link pair falls inside one must-link transitive-closure " +
+        "component (e.g. must(a,b)+must(b,c)+cannot(a,c)). Drop one of " +
+        "the conflicting constraints or lower it to a soft preference " +
+        "by removing it from the set.")
     val df0 = dataset.toDF()
     transformSchema(df0.schema)
     val (dfArr, arrCol) = FeatureCols.asArray(df0, $(featuresCol))

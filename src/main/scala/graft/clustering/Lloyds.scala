@@ -95,11 +95,16 @@ object Assignment {
     * [[ChunkMaxElems]] (reference: impl/AdaptiveBroadcastAssignment.scala
     * picks chunk size from an executor memory estimate).
     */
-  def chunkElemsBudget(spark: org.apache.spark.sql.SparkSession): Long = {
-    val bytes = parseMemory(
-      spark.conf.getOption("spark.executor.memory").getOrElse("4g"))
-    math.min(ChunkMaxElems, math.max(1L << 20, bytes / 8 / 16))
-  }
+  def chunkElemsBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    chunkElemsBudgetOf(parseMemory(
+      spark.conf.getOption("spark.executor.memory").getOrElse("4g")))
+
+  /** Pure sizing rule: 1/16 of the heap as doubles, floored at 1M elems,
+    * capped at [[ChunkMaxElems]] — separated out so specs can pin the
+    * chunk count a given executor size produces.
+    */
+  private[graft] def chunkElemsBudgetOf(heapBytes: Long): Long =
+    math.min(ChunkMaxElems, math.max(1L << 20, heapBytes / 8 / 16))
 
   private[graft] def parseMemory(s: String): Long = {
     val t = s.trim.toLowerCase
@@ -146,11 +151,17 @@ object Assignment {
     }
     if (useExpr && centers.forall(c => kernel.distExpr(col(featuresCol), c).isDefined))
       assignExpr(df, featuresCol, kernel, centers, clusterCol, distCol)
-    else if (strategy == "chunked" || (strategy != "broadcast" && elems > ChunkMaxElems)) {
+    else {
+      // memory-adaptive: both the DECISION to chunk and the chunk size
+      // derive from the executor heap (a 512m executor starts chunking
+      // at k*d the 4g default would broadcast whole) — reference:
+      // impl/AdaptiveBroadcastAssignment.scala sizes from executor memory
       val budget = chunkElemsBudget(df.sparkSession)
-      val perChunk = math.max(1, (budget / math.max(1, dim)).toInt)
-      assignChunked(df, featuresCol, kernel, centers, perChunk, clusterCol, distCol)
-    } else assignBroadcast(df, featuresCol, kernel, centers, clusterCol, distCol)
+      if (strategy == "chunked" || (strategy != "broadcast" && elems > budget)) {
+        val perChunk = math.max(1, (budget / math.max(1, dim)).toInt)
+        assignChunked(df, featuresCol, kernel, centers, perChunk, clusterCol, distCol)
+      } else assignBroadcast(df, featuresCol, kernel, centers, clusterCol, distCol)
+    }
   }
 
   /** Memory-bounded tier: centers broadcast in chunks of `perChunk`; each

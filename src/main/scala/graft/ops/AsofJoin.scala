@@ -207,6 +207,10 @@ object AsofJoin {
       valueCol: String,
       idCol: String,
       stepMs: Long): DataFrame = {
+    val reserved = Set("prev_ts", "next_ts", "value")
+    Seq(keyCol, tsCol).foreach(c => require(!reserved(c),
+      s"fillInterpolate: '$c' collides with a fixed output column " +
+        "(prev_ts/next_ts/value); rename it before resampling"))
     val o = obs.select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__ts"),
       lit(0).as("__side"), col(idCol).cast("long").as("__rid"),
       col(valueCol).cast("double").as("__v"))
@@ -308,6 +312,9 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(c => c.startsWith("__asof")),
       "asofJoin: left columns may not start with the reserved prefix __asof")
+    require(!rightCols.contains("__ts"),
+      "asofJoin: right column '__ts' collides with the carried struct's " +
+        "internal timestamp field; rename it before joining")
     val outNames = (s"${prefix}ts" +: rightCols.map(prefix + _))
     require(outNames.intersect(leftCols).isEmpty,
       s"asofJoin: output columns ${outNames.intersect(leftCols).mkString(", ")} " +

@@ -121,7 +121,12 @@ object ShardExport {
       idCol: String,
       contentCols: Seq[String],
       tokenCol: org.apache.spark.sql.Column): DataFrame = {
-    val actual = manifest(spark.read.parquet(s"$path/data"), idCol, contentCols, tokenCol)
+    // the partition column reads back as INT — cast to long so the
+    // re-derived manifest's schema matches the stored one exactly
+    // (writeShards casts before manifesting)
+    val actual = manifest(
+        spark.read.parquet(s"$path/data").withColumn("shard", col("shard").cast("long")),
+        idCol, contentCols, tokenCol)
       .withColumnRenamed("n_rows", "a_rows").withColumnRenamed("n_tokens", "a_tokens")
       .withColumnRenamed("digest", "a_digest")
     val stored = spark.read.parquet(s"$path/manifest")

@@ -71,10 +71,12 @@ object EventOps {
       .agg(count(lit(1)).as("numEvents"), sum(col(valueCol).cast("double")).as("totalValue"),
         min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
       .select(col("key"),
-        // NTZ timestamps can't cast straight to double — go via
-        // timestamp (pinned to the UTC session zone, the house contract)
-        (col("__first").cast("timestamp").cast("double") * 1000).cast("long").as("startMs"),
-        (col("__last").cast("timestamp").cast("double") * 1000).cast("long").as("endMs"),
+        // NTZ timestamps can't convert straight to millis — go via
+        // timestamp (pinned to the UTC session zone, the house contract).
+        // unix_millis is exact integer micros/1000; a double round-trip
+        // (cast-double * 1000) can be off by 1 ms near binade boundaries.
+        unix_millis(col("__first").cast("timestamp")).as("startMs"),
+        unix_millis(col("__last").cast("timestamp")).as("endMs"),
         col("numEvents"), col("totalValue"))
   }
 
@@ -115,7 +117,7 @@ object EventOps {
     // stateful operator's input or the event-time timeout is rejected
     def proj(df: DataFrame) = df.select(
       col(keyCol).cast("long").as("key"),
-      (col(tsCol).cast("timestamp").cast("double") * 1000).cast("long").as("tsMs"),
+      unix_millis(col(tsCol).cast("timestamp")).as("tsMs"),
       col(valueCol).cast("double").as("value"),
       col(tsCol).as("ts")) // NO cast: it would mint a fresh attribute
                            // without the watermark metadata

@@ -326,7 +326,7 @@ class ExamplesSuite extends SparkSpec {
     import org.apache.spark.sql.functions._
     val events = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
     val ev = events.select(col("event_id"), col("user_id"),
-      (col("ts").cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"),
+      unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
       col("event_type"), col("value"))
 
     // 1. gap sessions (the native declarative form)

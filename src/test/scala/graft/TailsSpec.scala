@@ -156,6 +156,40 @@ class TailsSpec extends SparkSpec {
     assert(centerA(1) == 0.0, s"dim1 median ${centerA(1)} != 0.0 (zeros majority)")
   }
 
+  test("sparse KL and L1 fits equal the dense engine from the same warm start") {
+    val rnd = new java.util.Random(11)
+    val d = 120
+    def mkRow(base: Int) = {
+      val a = new Array[Double](d)
+      (0 until 8).foreach(j => a(base + j) = 1.0 + rnd.nextDouble())
+      a.toSeq
+    }
+    val df = ((1 to 30).map(_ => mkRow(0)) ++ (1 to 30).map(_ => mkRow(60)))
+      .toDF("features").cache()
+    val init = Array(
+      Array.tabulate(d)(j => if (j < 8) 1.5 else 0.0),
+      Array.tabulate(d)(j => if (j >= 60 && j < 68) 1.5 else 0.0))
+    def fitWith(mode: String, div: String) =
+      new SparseKMeans().setK(2).setDivergence(div).setSparseMode(mode)
+        .setMaxIter(4).setTol(0.0).setSeed(7)
+        .setInitialCenters(init.map(_.clone())).fit(df)
+    // KL: sparse shifted-gradient aggregation vs dense gradient mean —
+    // mathematically identical, float order differs -> tight tolerance
+    val (sKl, dKl) = (fitWith("sparse", "kl"), fitWith("dense", "kl"))
+    sKl.clusterCenters.sortBy(_.indexWhere(_ > 0.5))
+      .zip(dKl.clusterCenters.sortBy(_.indexWhere(_ > 0.5))).foreach { case (a, b) =>
+        a.zip(b).foreach { case (x, y) =>
+          assert(math.abs(x - y) < 1e-8, s"sparse KL center drift: $x vs $y") }
+      }
+    // L1: medians are data values -> bit-exact equality
+    val (sL1, dL1) = (fitWith("sparse", "l1"), fitWith("dense", "l1"))
+    sL1.clusterCenters.sortBy(_.indexWhere(_ != 0.0))
+      .zip(dL1.clusterCenters.sortBy(_.indexWhere(_ != 0.0))).foreach { case (a, b) =>
+        assert(a.toSeq == b.toSeq, "sparse L1 centers must equal dense exactly")
+      }
+    df.unpersist()
+  }
+
   test("crossJoin assignment strategy matches broadcast incl. tie-break") {
     val df = blobs(perBlob = 40).cache()
     val m = new GeneralizedKMeans().setK(3).setSeed(42).setMaxIter(5).fit(df)
@@ -221,5 +255,23 @@ class TailsSpec extends SparkSpec {
     assert(Assignment.parseMemory("1024") == 1024L)
     val budget = Assignment.chunkElemsBudget(spark)
     assert(budget >= (1L << 20) && budget <= Assignment.ChunkMaxElems)
+  }
+
+  test("memory-adaptive chunking: chunk counts pinned at two executor sizes") {
+    def chunksFor(mem: String, k: Int, dim: Int): Int = {
+      val budget = Assignment.chunkElemsBudgetOf(Assignment.parseMemory(mem))
+      val perChunk = math.max(1, (budget / dim).toInt)
+      math.ceil(k.toDouble / perChunk).toInt
+    }
+    // 512m heap -> 512M/128 = 4M-elem budget; 100k centers x 64 dims
+    // (6.4M elems) splits into 2 chunks of <=65536 centers
+    assert(chunksFor("512m", 100000, 64) == 2)
+    // 4g heap -> capped 16M-elem budget; the same centers broadcast whole
+    assert(chunksFor("4g", 100000, 64) == 1)
+    // the DECISION threshold is the same budget: 6.4M elems exceeds the
+    // 512m budget (chunked tier) but not the 4g one (single broadcast)
+    val elems = 100000L * 64
+    assert(elems > Assignment.chunkElemsBudgetOf(Assignment.parseMemory("512m")))
+    assert(elems <= Assignment.chunkElemsBudgetOf(Assignment.parseMemory("4g")))
   }
 }

@@ -15,7 +15,7 @@ class TemporalWave2Spec extends SparkSpec {
   private def events = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
 
   private def evMs: DataFrame = events.select(col("event_id"), col("user_id"),
-    (col("ts").cast("timestamp").cast("double") * 1000).cast("long").as("ts_ms"),
+    unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
     col("event_type"), col("value"))
 
   test("asofLookup equals asofJoin on real events") {

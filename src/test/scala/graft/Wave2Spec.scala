@@ -151,6 +151,13 @@ class Wave2Spec extends SparkSpec {
       .setConstraints(mustLinks = Nil, cannotLinks = Seq((0L, 1L)))
     val sep = est2.fit(df)
     assert(est2.countViolations(df, sep) == 0, "cannot-link still violated")
+
+    // an unsatisfiable set (cannot inside a must component) is refused
+    // up front with remediation, before any cluster work starts
+    val bad = new ConstrainedKMeans().setK(2).setSeed(4).setMaxIter(15)
+      .setConstraints(mustLinks = Seq((0L, 1L), (1L, 2L)), cannotLinks = Seq((0L, 2L)))
+    val ex = intercept[IllegalArgumentException](bad.fit(df))
+    assert(ex.getMessage.contains("unsatisfiable"))
     df.unpersist()
   }
 
@@ -160,6 +167,12 @@ class Wave2Spec extends SparkSpec {
     val ok = ConstraintSet.of(Seq((1L, 2L)), Seq((2L, 3L)))
     assert(ok.isSatisfiable)
     assert(ok.adjacency(2L).toSet == Set((1L, true, 1.0), (3L, false, 1.0)))
+    // transitive closure: must(a,b)+must(b,c) fuses {a,b,c}; cannot(a,c)
+    // inside the component is unsatisfiable even with no direct conflict
+    val trans = ConstraintSet.of(Seq((1L, 2L), (2L, 3L)), Seq((1L, 3L)))
+    assert(!trans.isSatisfiable, "cannot-link within a must component must be rejected")
+    val chain = ConstraintSet.of(Seq((1L, 2L), (2L, 3L), (10L, 11L)), Seq((3L, 10L), (4L, 5L)))
+    assert(chain.isSatisfiable, "cannot-link across components is fine")
   }
 
   // ---- SparseKMeans ----
