@@ -489,24 +489,42 @@ object SparkEntry {
     * closed form of XMeans.score on that cost, and the argmin winner with
     * ties to the smaller k (reference: ml/XMeans.scala:117,250-271).
     */
+  /** Per-k warm-started SE Lloyd chain ending in a cost$k CTE — the
+    * shared fragment behind the XMeans selection and elbow oracles
+    * (house rule 5: never inline-copy oracle fragments).
+    */
+  private def seFitCostChainSql(k: Int, iters: Int): String = {
+    def assign(name: String, centersCte: String): String =
+      s"""$name AS MATERIALIZED (SELECT vec_id, pv, cid FROM (
+         |  SELECT p.vec_id, p.pv, c.cid, row_number() OVER (PARTITION BY p.vec_id
+         |    ORDER BY ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
+         |  FROM p, $centersCte c) WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      assign(s"a${k}_$i", s"c${k}_${i - 1}") + ",\n" + meanUpdateCte(s"c${k}_$i", s"a${k}_$i")
+    }.mkString(",\n")
+    s"""c${k}_0 AS MATERIALIZED (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+       |  FROM embeddings WHERE vec_id < $k),
+       |$steps,
+       |cost$k AS MATERIALIZED (SELECT sum(md) AS cost, count(*) AS n FROM (
+       |  SELECT min(${seDistSql("p.pv", "c.cv")}) / 2 AS md
+       |  FROM p, c${k}_$iters c GROUP BY p.vec_id))""".stripMargin
+  }
+
+  /** DuckDB replay of the full warm-started elbow sweep: one `iters`-step
+    * Lloyd chain per k, each ending in its clustering cost.
+    */
+  private def elbowOracleSql(iters: Int, minK: Int, maxK: Int): String = {
+    val chains = (minK to maxK).map(seFitCostChainSql(_, iters)).mkString(",\n")
+    val scores = (minK to maxK).map(k => s"SELECT $k AS k, cost FROM cost$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+       |$chains,
+       |scores AS ($scores)
+       |SELECT CAST(k AS BIGINT) AS k, round(cost, 4) + 0.0 AS wcss FROM scores""".stripMargin
+  }
+
   private def xmeansSelectOracleSql(iters: Int, minK: Int, maxK: Int): String = {
-    def chain(k: Int): String = {
-      def assign(name: String, centersCte: String): String =
-        s"""$name AS MATERIALIZED (SELECT vec_id, pv, cid FROM (
-           |  SELECT p.vec_id, p.pv, c.cid, row_number() OVER (PARTITION BY p.vec_id
-           |    ORDER BY ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
-           |  FROM p, $centersCte c) WHERE rn = 1)""".stripMargin
-      val steps = (1 to iters).map { i =>
-        assign(s"a${k}_$i", s"c${k}_${i - 1}") + ",\n" + meanUpdateCte(s"c${k}_$i", s"a${k}_$i")
-      }.mkString(",\n")
-      s"""c${k}_0 AS MATERIALIZED (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-         |  FROM embeddings WHERE vec_id < $k),
-         |$steps,
-         |cost$k AS MATERIALIZED (SELECT sum(md) AS cost, count(*) AS n FROM (
-         |  SELECT min(${seDistSql("p.pv", "c.cv")}) / 2 AS md
-         |  FROM p, c${k}_$iters c GROUP BY p.vec_id))""".stripMargin
-    }
-    val chains = (minK to maxK).map(chain).mkString(",\n")
+    val chains = (minK to maxK).map(seFitCostChainSql(_, iters)).mkString(",\n")
     val scores = (minK to maxK).map(k => s"SELECT $k AS k, cost, n FROM cost$k")
       .mkString("\n  UNION ALL ")
     // the BIC expression keeps XMeans.score's exact operation order:
@@ -2601,6 +2619,81 @@ object SparkEntry {
         lit(m.clusterSizes(1)).as("n1"),
         lit(m.clusterSizes(2)).as("n2"))
     },
+    // The full elbow sweep through elbowCurve ITSELF (per-k fits +
+    // computeCost), warm-started per k from the first k embeddings with
+    // tol=0 so the SQL unroll replays every iteration exactly.
+    "q_elbow" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val warm = e.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("f")).collect().map(_.getSeq[Double](0).toArray)
+      val curve = graft.clustering.ClusteringMetrics.elbowCurve(
+        e.select(col("f")), minK = 2, maxK = 4, featuresCol = "f",
+        maxIter = 3, tol = 0.0, init = k => Some(warm.take(k)))
+      import sp.implicits._
+      curve.toDF("rk", "rw")
+        .select(col("rk").cast("long").as("k"),
+          (round(col("rw"), 4) + lit(0.0)).as("wcss"))
+    },
+    // Center-proxy silhouette at FIXED centers, full fraction (the
+    // sampled estimator with sampling off so the SQL replay is exact):
+    // a = nearest-center divergence, b = second nearest, s=(b-a)/max.
+    "q_silhouette_proxy" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val sil = graft.clustering.ClusteringMetrics.silhouette(
+        e.select(col("embedding").cast("array<double>").as("f")),
+        "f", new SquaredEuclideanKernel, centers, sampleFraction = 1.0)
+      s.range(1).select((round(lit(sil), 6) + lit(0.0)).as("silhouette"))
+    },
+    // EXACT pairwise silhouette on a capped slice (first 200 vectors,
+    // fixed centers): the O(n²) definition the center-proxy estimator
+    // approximates, replayed pair by pair in SQL.
+    "q_silhouette_exact" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val sil = graft.clustering.ClusteringMetrics.exactSilhouette(
+        e.where(col("vec_id") < 200)
+          .select(col("embedding").cast("array<double>").as("f")),
+        "f", new SquaredEuclideanKernel, centers)
+      s.range(1).select((round(lit(sil), 6) + lit(0.0)).as("silhouette"))
+    },
+    // Soft-metrics layer at fixed centers through the ACTUAL
+    // SoftKMeansModel.effectiveClusters (exp of the entropy of the mean
+    // membership distribution; beta=2, no membership floor).
+    "q_soft_metrics" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val centers = e.where(col("vec_id") < 4).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val model = new graft.clustering.SoftKMeansModel("softmetrics-oracle",
+        centers, "squaredEuclidean", 1e-10, 2.0, 0.0)
+      val eff = model.effectiveClusters(
+        e.select(col("embedding").cast("array<double>").as("features")))
+      s.range(1).select((round(lit(eff), 6) + lit(0.0)).as("eff_clusters"),
+        lit(centers.length.toLong).as("k"))
+    },
+    // The declarative FeatureTransform pipeline (fitted standard-scale
+    // composed with row L2 normalization) through the .expr codegen
+    // path — first 8 dims of every transformed vector.
+    "q_feature_transform" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("f"))
+      val std = graft.clustering.FeatureTransform.fitStandardScale(e, "f")
+      val tf = std.andThen(graft.clustering.NormalizeL2Transform())
+      e.select(col("vec_id"), posexplode(slice(tf.expr(col("f")), 1, 8)).as(Seq("d", "rv")))
+        .select(col("vec_id"), col("d").cast("long").as("d"),
+          (round(col("rv"), 6) + lit(0.0)).as("v"))
+    },
     "q_wcss_fixed" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
@@ -4296,6 +4389,63 @@ object SparkEntry {
         |  (SELECT n FROM stats WHERE cluster = 1) AS n1,
         |  (SELECT n FROM stats WHERE cluster = 2) AS n2
         |FROM tot, bc, dbi, du""".stripMargin,
+    "q_silhouette_proxy" ->
+      s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+        |c AS (SELECT vec_id AS cid, pv AS cv FROM p WHERE vec_id < 4),
+        |d AS (SELECT p.vec_id, c.cid, 0.5 * ${seDistSql("p.pv", "c.cv")} AS dd FROM p, c),
+        |ab AS (SELECT vec_id,
+        |    max(CASE WHEN rn = 1 THEN dd END) AS a,
+        |    max(CASE WHEN rn = 2 THEN dd END) AS b
+        |  FROM (SELECT vec_id, dd,
+        |          row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rn FROM d)
+        |  WHERE rn <= 2 GROUP BY vec_id)
+        |SELECT round(avg(CASE WHEN greatest(a, b) = 0 THEN 0.0
+        |    ELSE (b - a) / greatest(a, b) END), 6) + 0.0 AS silhouette
+        |FROM ab""".stripMargin,
+    "q_silhouette_exact" ->
+      s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv
+        |  FROM embeddings WHERE vec_id < 200),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        |asg AS MATERIALIZED (SELECT vec_id, pv, cid FROM (
+        |  SELECT p.vec_id, p.pv, c.cid, row_number() OVER (PARTITION BY p.vec_id
+        |    ORDER BY 0.5 * ${seDistSql("p.pv", "c.cv")}, c.cid) AS rn
+        |  FROM p, c) WHERE rn = 1),
+        |pair AS (SELECT a.vec_id AS i, a.cid AS ci, b.cid AS cj,
+        |    0.5 * ${seDistSql("a.pv", "b.pv")} AS dij
+        |  FROM asg a JOIN asg b ON a.vec_id <> b.vec_id),
+        |sums AS (SELECT i, ci, cj, sum(dij) AS sd, count(*) AS cnt
+        |  FROM pair GROUP BY 1, 2, 3),
+        |per AS (SELECT i,
+        |    max(CASE WHEN cj = ci THEN sd / cnt END) AS a,
+        |    min(CASE WHEN cj <> ci THEN sd / cnt END) AS b
+        |  FROM sums GROUP BY i)
+        |SELECT round(avg((b - a) / greatest(a, b)), 6) + 0.0 AS silhouette
+        |FROM per WHERE a IS NOT NULL AND b IS NOT NULL AND greatest(a, b) > 0""".stripMargin,
+    "q_soft_metrics" ->
+      s"""WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings),
+        |c AS (SELECT vec_id AS cid, pv AS cv FROM p WHERE vec_id < 4),
+        |d AS (SELECT p.vec_id, c.cid, 0.5 * ${seDistSql("p.pv", "c.cv")} AS dd FROM p, c),
+        |u AS (SELECT vec_id, cid,
+        |    exp(-2.0 * (dd - min(dd) OVER (PARTITION BY vec_id))) AS pu FROM d),
+        |pr AS (SELECT vec_id, cid, pu / (sum(pu) OVER (PARTITION BY vec_id)) AS pr FROM u),
+        |pbar AS (SELECT cid, sum(pr) / (SELECT count(*) FROM p) AS pb FROM pr GROUP BY cid),
+        |h AS (SELECT -sum(CASE WHEN pb > 0 THEN pb * ln(pb) ELSE 0.0 END) AS h FROM pbar)
+        |SELECT round(exp(h), 6) + 0.0 AS eff_clusters,
+        |  CAST((SELECT count(*) FROM c) AS BIGINT) AS k FROM h""".stripMargin,
+    "q_feature_transform" ->
+      """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |stats AS MATERIALIZED (
+        |  SELECT j, avg(v[j]) AS m,
+        |    CASE WHEN stddev_pop(v[j]) > 0 THEN stddev_pop(v[j]) ELSE 1.0 END AS s
+        |  FROM p, unnest(range(1, len(v)+1)) AS t(j) GROUP BY j),
+        |z AS MATERIALIZED (
+        |  SELECT vec_id, j, (pe.v - stats.m) / stats.s AS zv
+        |  FROM (SELECT vec_id, j, v[j] AS v FROM p, unnest(range(1, len(v)+1)) AS t(j)) pe
+        |  JOIN stats USING (j)),
+        |nrm AS (SELECT vec_id, sqrt(sum(zv * zv)) AS nr FROM z GROUP BY vec_id)
+        |SELECT z.vec_id, CAST(z.j - 1 AS BIGINT) AS d,
+        |  round(z.zv / greatest(nr, 1e-10), 6) + 0.0 AS v
+        |FROM z JOIN nrm USING (vec_id) WHERE z.j <= 8""".stripMargin,
     "q_wcss_fixed" ->
       """SELECT round(sum(md), 4) AS wcss FROM (
         |  SELECT p.vec_id, min(list_distance(p.embedding::DOUBLE[], c.embedding::DOUBLE[])^2) AS md
@@ -4860,6 +5010,7 @@ object SparkEntry {
         |SELECT round(-2 * ll + (4 * 64 + 1) * ln(n::DOUBLE), 4) AS bic,
         |  round(-2 * ll + 2 * (4 * 64 + 1), 4) AS aic, n FROM ll""".stripMargin,
     "q_xmeans_k" -> xmeansSelectOracleSql(iters = 3, minK = 8, maxK = 10),
+    "q_elbow" -> elbowOracleSql(iters = 3, minK = 2, maxK = 4),
     "q_bisecting_split" ->
       """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
         |asg AS (

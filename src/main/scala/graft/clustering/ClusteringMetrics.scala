@@ -230,14 +230,20 @@ object ClusteringMetrics {
       featuresCol: String = "features",
       divergence: String = "squaredEuclidean",
       maxIter: Int = 20,
-      seed: Long = 42L): Seq[(Int, Double)] = {
+      seed: Long = 42L,
+      tol: Double = 1e-4,
+      init: Int => Option[Array[Array[Double]]] = _ => None): Seq[(Int, Double)] = {
     require(minK >= 2 && maxK >= minK, s"need 2 <= minK <= maxK, got [$minK, $maxK]")
     val cached = data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cached.count()
     val curve = (minK to maxK).map { kk =>
       val est = new GeneralizedKMeans()
         .setK(kk).setFeaturesCol(featuresCol).setDivergence(divergence)
-        .setMaxIter(maxIter).setSeed(seed)
+        .setMaxIter(maxIter).setSeed(seed).setTol(tol)
+      // deterministic warm start per k (replayable elbow runs — the
+      // driver-gate oracle uses this; production callers keep the
+      // default seeded init)
+      init(kk).foreach(est.setInitialCenters)
       est.reuseCachedInput = true
       est.knownN = Some(n)
       val model = est.fit(cached)
