@@ -4435,9 +4435,13 @@ object SparkEntry {
     "q_feature_transform" ->
       """WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |stats AS MATERIALIZED (
-        |  SELECT j, avg(v[j]) AS m,
-        |    CASE WHEN stddev_pop(v[j]) > 0 THEN stddev_pop(v[j]) ELSE 1.0 END AS s
-        |  FROM p, unnest(range(1, len(v)+1)) AS t(j) GROUP BY j),
+        |  -- same closed form as fitStandardScale: m = Σv/n,
+        |  -- sd = sqrt(max(0, Σv²/n − m²)) — NOT stddev_pop, whose
+        |  -- Welford path would differ from the engine by float shape
+        |  SELECT j, m, CASE WHEN sd > 0 THEN sd ELSE 1.0 END AS s FROM (
+        |    SELECT j, s / n AS m, sqrt(greatest(0.0, s2 / n - (s / n) * (s / n))) AS sd
+        |    FROM (SELECT j, count(*)::DOUBLE AS n, sum(v[j]) AS s, sum(v[j] * v[j]) AS s2
+        |          FROM p, unnest(range(1, len(v)+1)) AS t(j) GROUP BY j))),
         |z AS MATERIALIZED (
         |  SELECT vec_id, j, (pe.v - stats.m) / stats.s AS zv
         |  FROM (SELECT vec_id, j, v[j] AS v FROM p, unnest(range(1, len(v)+1)) AS t(j)) pe

@@ -392,11 +392,48 @@ object BregmanKernel {
     graft.functions.ArrayMath.dot(features, literalArray(c))
 }
 
-/** Name -> kernel dispatch with the reference's aliases.
-  * Reference: df/kernels/KernelFactory.scala:57-199 and
-  * df/ClusteringOps.scala:42-95.
+/** Name -> kernel dispatch with the reference's aliases, plus a
+  * user-extensible registry: the reference's extension contract lets
+  * callers implement their own divergence and hand it to any estimator
+  * (reference: df/kernels/KernelFactory.scala:57-199,
+  * ARCHITECTURE.md:574-657 custom-kernel extension point);
+  * [[register]] provides the same surface here — a registered name
+  * works in every `setDivergence(name)` across the estimator family.
+  *
+  * The kernel instance must be Serializable (it rides a broadcast into
+  * the assignment closure). Registration is process-local: models
+  * persisted with a custom divergence name need the name re-registered
+  * before `load` on a new driver — same contract as Spark UDF
+  * registration.
   */
 object KernelFactory {
+  private val custom =
+    new scala.collection.concurrent.TrieMap[String, Double => BregmanKernel]()
+
+  /** Register (or replace) a custom divergence under `name`; the
+    * builder receives the estimator's smoothing param. Built-in names
+    * cannot be shadowed.
+    */
+  def register(name: String, builder: Double => BregmanKernel): Unit = {
+    val key = name.trim.toLowerCase
+    require(key.nonEmpty, "kernel name must be non-empty")
+    require(!builtinNames(key),
+      s"'$name' is a built-in divergence and cannot be replaced")
+    custom.put(key, builder)
+    ()
+  }
+
+  def unregister(name: String): Unit = { custom.remove(name.trim.toLowerCase); () }
+
+  private val builtinNames = Set(
+    "squaredeuclidean", "se", "euclidean", "l2",
+    "kl", "kullbackleibler", "kl-divergence",
+    "is", "itakurasaito", "itakura-saito",
+    "geni", "generalizedi", "generalized-i",
+    "logistic", "logisticloss",
+    "l1", "manhattan", "kmedians",
+    "cosine", "spherical", "angular")
+
   def apply(name: String, smoothing: Double = 1e-10): BregmanKernel =
     name.trim.toLowerCase match {
       case "squaredeuclidean" | "se" | "euclidean" | "l2" => new SquaredEuclideanKernel
@@ -407,10 +444,15 @@ object KernelFactory {
       case "l1" | "manhattan" | "kmedians"                => new L1Kernel
       case "cosine" | "spherical" | "angular"             => new SphericalKernel
       case other =>
-        throw new IllegalArgumentException(
-          s"Unknown divergence '$other'. Supported: squaredEuclidean|kl|is|generalizedI|logistic|l1|spherical")
+        custom.get(other).map(_(smoothing)).getOrElse(
+          throw new IllegalArgumentException(
+            s"Unknown divergence '$other'. Supported: squaredEuclidean|kl|is|" +
+              "generalizedI|logistic|l1|spherical" +
+              (if (custom.isEmpty) ""
+               else custom.keys.toSeq.sorted.mkString("|", "|", " (registered)"))))
     }
 
-  val supported: Seq[String] =
-    Seq("squaredEuclidean", "kl", "itakuraSaito", "generalizedI", "logistic", "l1", "spherical")
+  def supported: Seq[String] =
+    Seq("squaredEuclidean", "kl", "itakuraSaito", "generalizedI", "logistic",
+      "l1", "spherical") ++ custom.keys.toSeq.sorted
 }

@@ -257,6 +257,43 @@ class TailsSpec extends SparkSpec {
     assert(budget >= (1L << 20) && budget <= Assignment.ChunkMaxElems)
   }
 
+  test("custom kernel registration: a user divergence fits through the estimator family") {
+    // diagonal-weighted SE: the reference's custom-kernel extension
+    // contract (implement the trait, hand it to any estimator by name)
+    class DiagWeightedSE(w: Double) extends graft.kernels.BregmanKernel {
+      override val name = s"diagWSE($w)"
+      override def divergence(x: Array[Double], mu: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { val d = x(i) - mu(i); s += w * d * d; i += 1 }
+        s
+      }
+      override def grad(x: Array[Double]): Array[Double] = x
+      override def invGrad(t: Array[Double]): Array[Double] = t
+    }
+    graft.kernels.KernelFactory.register("diagwse", _ => new DiagWeightedSE(2.0))
+    try {
+      assert(graft.kernels.KernelFactory.supported.contains("diagwse"))
+      val df = blobs(perBlob = 40).cache()
+      val m = new GeneralizedKMeans().setK(3).setDivergence("diagwse")
+        .setSeed(42).setMaxIter(5).fit(df)
+      assert(m.clusterCenters.length == 3)
+      // 2x-weighted SE has the same argmin as SE -> same assignment as the
+      // built-in kernel from the same seed
+      val se = new GeneralizedKMeans().setK(3).setDivergence("squaredEuclidean")
+        .setSeed(42).setMaxIter(5).fit(df)
+      val a = m.transform(df).select("prediction").collect().map(_.getInt(0)).toSeq
+      val b = se.transform(df).select("prediction").collect().map(_.getInt(0)).toSeq
+      assert(a == b, "scaled SE must induce the identical clustering")
+      df.unpersist()
+      // built-ins cannot be shadowed; unknown names list registered ones
+      intercept[IllegalArgumentException](
+        graft.kernels.KernelFactory.register("kl", _ => new DiagWeightedSE(1.0)))
+      val ex = intercept[IllegalArgumentException](graft.kernels.KernelFactory("nope"))
+      assert(ex.getMessage.contains("diagwse"))
+    } finally graft.kernels.KernelFactory.unregister("diagwse")
+    assert(!graft.kernels.KernelFactory.supported.contains("diagwse"))
+  }
+
   test("memory-adaptive chunking: chunk counts pinned at two executor sizes") {
     def chunksFor(mem: String, k: Int, dim: Int): Int = {
       val budget = Assignment.chunkElemsBudgetOf(Assignment.parseMemory(mem))
