@@ -665,6 +665,86 @@ class TrainingSummary:
         )
 
 
+# ---- evaluation metrics (module-level functions over a fitted model) ----
+# Thin shims over graft.clustering.MetricsBridge: the model's java object
+# crosses py4j as-is, primitives stay primitive (no boxed collections —
+# see the Seq[Long] unboxing hazard), frames come back as DataFrames.
+
+
+def _bridge(df: DataFrame) -> Any:
+    return df.sparkSession.sparkContext._jvm.graft.clustering.MetricsBridge
+
+
+def _wrap(df: DataFrame, jdf: Any) -> DataFrame:
+    return DataFrame(jdf, df.sparkSession)
+
+
+def silhouette(
+    model: GeneralizedKMeansModel,
+    df: DataFrame,
+    features_col: str = "features",
+    fraction: float = 0.1,
+    seed: int = 42,
+) -> float:
+    """Sampled center-proxy silhouette of ``model`` over ``df``."""
+    return _bridge(df).silhouette(
+        model._java_obj, df._jdf, features_col, float(fraction), int(seed))
+
+
+def exact_silhouette(
+    model: GeneralizedKMeansModel,
+    df: DataFrame,
+    features_col: str = "features",
+    max_points: int = 10000,
+) -> float:
+    """Exact O(n^2) silhouette; refuses above ``max_points`` rows."""
+    return _bridge(df).exactSilhouette(
+        model._java_obj, df._jdf, features_col, int(max_points))
+
+
+def clustering_metrics(
+    model: GeneralizedKMeansModel,
+    df: DataFrame,
+    features_col: str = "features",
+) -> DataFrame:
+    """One-row DataFrame: wcss, bcss, calinski_harabasz, davies_bouldin,
+    dunn, balance_ratio, n_points, k."""
+    return _wrap(df, _bridge(df).compute(model._java_obj, df._jdf, features_col))
+
+
+def cluster_sizes(
+    model: GeneralizedKMeansModel,
+    df: DataFrame,
+    features_col: str = "features",
+) -> DataFrame:
+    """Per-cluster sizes as (cluster, n)."""
+    return _wrap(df, _bridge(df).clusterSizes(model._java_obj, df._jdf, features_col))
+
+
+def elbow_curve(
+    df: DataFrame,
+    features_col: str = "features",
+    min_k: int = 2,
+    max_k: int = 10,
+    divergence: str = "squaredEuclidean",
+    max_iter: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """(k, wcss) sweep for the elbow plot."""
+    return _wrap(df, _bridge(df).elbowCurve(
+        df._jdf, features_col, int(min_k), int(max_k), divergence,
+        int(max_iter), int(seed)))
+
+
+__all__ += [
+    "silhouette",
+    "exact_silhouette",
+    "clustering_metrics",
+    "cluster_sizes",
+    "elbow_curve",
+]
+
+
 # Streaming wrappers live in graft.streaming (mirroring the JVM package,
 # which cross-language save/load derives class names from); re-exported
 # here for convenience. Import at the bottom to avoid a circular import

@@ -374,6 +374,24 @@ def main() -> None:
         assert fi.count() > 0 and "value" in fi.columns
         print("round-14 wave-3 bindings ok")
 
+        # ---- round-15: evaluation-metrics bindings ----
+        import graft.clustering as gc
+        mdf = spark.createDataFrame(
+            [([0.0, 0.1],), ([0.2, 0.0],), ([9.9, 10.0],), ([10.1, 9.8],)],
+            ["features"])
+        mm = gc.GeneralizedKMeans(k=2, seed=11, maxIter=5).fit(mdf)
+        sil = gc.silhouette(mm, mdf, fraction=1.0)
+        assert 0.5 < sil <= 1.0, f"silhouette {sil} out of range for clean blobs"
+        ex_sil = gc.exact_silhouette(mm, mdf)
+        assert 0.5 < ex_sil <= 1.0
+        met = gc.clustering_metrics(mm, mdf).collect()[0]
+        assert met.k == 2 and met.n_points == 4 and met.wcss >= 0.0
+        sizes = {r.cluster: r.n for r in gc.cluster_sizes(mm, mdf).collect()}
+        assert sum(sizes.values()) == 4
+        ec = gc.elbow_curve(mdf, min_k=2, max_k=3, max_iter=5)
+        assert [r.k for r in ec.orderBy("k").collect()] == [2, 3]
+        print("round-15 metrics bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()
