@@ -156,6 +156,20 @@ def gopher_rules(
         max_mean_len, max_symbols_per10, min_alpha_per10, min_stop_hits))
 
 
+def chunk_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int,
+    stride_tokens: int,
+) -> DataFrame:
+    """Sliding-window passage chunking (RAG indexing / long-doc prep):
+    (id, passage_id, start_tok, n_tok, passage) with overlap
+    window - stride; one explode, zero shuffles."""
+    return _wrap(df, _jvm(df).graft.ops.TextOps.chunkPassages(
+        df._jdf, id_col, text_col, int(window_tokens), int(stride_tokens)))
+
+
 def split_by_hash(
     df: DataFrame,
     id_col: str,

@@ -390,6 +390,8 @@ def main() -> None:
         assert sum(sizes.values()) == 4
         ec = gc.elbow_curve(mdf, min_k=2, max_k=3, max_iter=5)
         assert [r.k for r in ec.orderBy("k").collect()] == [2, 3]
+        cp = gops.chunk_passages(docs, "doc_id", "text", 8, 6)
+        assert cp.count() >= docs.count() and "passage" in cp.columns
         print("round-15 metrics bindings ok")
 
         print("SMOKE TEST PASSED")

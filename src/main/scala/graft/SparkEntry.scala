@@ -1320,6 +1320,14 @@ object SparkEntry {
       TextOps.packDocuments(t(dir, "documents"), "doc_id", "text",
         capacity = 512, nGroups = 8)
     },
+    // Sliding-window passage chunking (RAG indexing / long-doc prep):
+    // 64-token windows advancing by 48 (16-token overlap); pure integer
+    // layout arithmetic, string passages hash-compared verbatim.
+    "q_chunk_passages" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      TextOps.chunkPassages(t(dir, "documents"), "doc_id", "text",
+        windowTokens = 64, strideTokens = 48)
+    },
     // Corpus boilerplate audit: top-100 word 5-grams by OCCURRENCE
     // count (two-phase agg + TakeOrdered; deterministic tie order).
     "q_frequent_ngrams" -> { (s, dir) =>
@@ -3685,6 +3693,19 @@ object SparkEntry {
         |  CAST(start % 512 AS BIGINT) AS offset,
         |  CAST(n_tokens AS INT) AS n_tokens
         |FROM c""".stripMargin,
+    "q_chunk_passages" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |w AS (SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 48 - 1) // 48 END AS nwin
+        |  FROM b)
+        |SELECT doc_id, CAST(t.pid AS BIGINT) AS passage_id,
+        |  CAST(t.pid * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - t.pid * 48) AS BIGINT) AS n_tok,
+        |  array_to_string(list_slice(toks, t.pid * 48 + 1, t.pid * 48 + 64), ' ') AS passage
+        |FROM w, unnest(range(nwin)) AS t(pid)""".stripMargin,
     "q_frequent_ngrams" ->
       s"""SELECT ngram, count(*) AS cnt
         |FROM (SELECT unnest(${shingleOccurrencesSql(5)}) AS ngram FROM documents)

@@ -518,6 +518,60 @@ object TextOps {
         col("n_tokens"))
   }
 
+  /** Sliding-window passage chunking (RAG indexing / long-document
+    * training prep): each document splits into token windows of
+    * `windowTokens` advancing by `strideTokens` (overlap =
+    * window − stride). The last window may be shorter; a document of
+    * ≤ window tokens yields exactly one passage; empty documents yield
+    * none. Pure integer layout arithmetic — window count
+    * 1 + ⌈(n − window)/stride⌉ — so the whole op replays in ANSI SQL.
+    *
+    * Scale posture: one projection + one explode, zero shuffles; output
+    * rows ≈ corpus tokens / stride. Runaway documents are refused on
+    * the data path (`graft.chunk.maxWindowsPerDoc`, raise_error inside
+    * the window expression so projection pruning cannot elide the
+    * guard — the fillForward tick-guard pattern).
+    *
+    * Returns (idCol, passage_id, start_tok, n_tok, passage).
+    */
+  def chunkPassages(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      strideTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    require(strideTokens > 0 && strideTokens <= windowTokens,
+      s"strideTokens must be in [1, windowTokens], got $strideTokens")
+    val maxWin = graft.util.Conf.long(
+      docs.sparkSession, "graft.chunk.maxWindowsPerDoc", 1000000L)
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val n = size(col("__toks")).cast("long")
+    val nWin = when(n <= windowTokens, lit(1L))
+      .otherwise(lit(1L) +
+        call_function("div", n - windowTokens + strideTokens - 1, lit(strideTokens.toLong)))
+    val wins =
+      when(n === 0, array().cast("array<long>"))
+        .when(nWin > maxWin,
+          raise_error(concat(
+            lit(s"chunkPassages: a document needs more than $maxWin windows at " +
+              s"window=$windowTokens stride=$strideTokens (n_tokens "),
+            n.cast("string"),
+            lit("); raise stride or graft.chunk.maxWindowsPerDoc")))
+            .cast("array<long>"))
+        .otherwise(sequence(lit(0L), nWin - 1))
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"), explode(wins).as("passage_id"))
+      .select(col(idCol), col("passage_id"),
+        (col("passage_id") * strideTokens).as("start_tok"),
+        slice(col("__toks"), (col("passage_id") * strideTokens + 1).cast("int"),
+          lit(windowTokens)).as("__w"))
+      .select(col(idCol), col("passage_id"), col("start_tok"),
+        size(col("__w")).cast("long").as("n_tok"),
+        array_join(col("__w"), " ").as("passage"))
+  }
+
   /** TF-IDF weights per (doc, token): tf · (ln((N+1)/(df+1)) + 1)
     * (smoothed idf, sklearn convention — never zero, no div-by-zero).
     * Three aggregations total: per-(doc,token) tf, per-token df, then an

@@ -96,6 +96,41 @@ class VocabSpec extends SparkSpec {
     assert(got(1L) == ((1, 0L, 0L)))     // own group tape
   }
 
+  test("chunkPassages: coverage, overlap, short docs, guards") {
+    import spark.implicits._
+    val toks = (0 until 130).map(i => s"t$i")
+    val docs = Seq(
+      (1L, toks.mkString(" ")),           // 130 tokens -> 3 windows at 64/48
+      (2L, "a b c"),                      // shorter than one window
+      (3L, ""),                           // empty -> no passages
+      (4L, (0 until 64).map(i => s"u$i").mkString(" "))) // exactly one window
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkPassages(docs, "doc_id", "text", 64, 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // doc 1: windows at 0, 48, 96; last is 34 tokens
+    assert(got((1L, 0L)) == ((0L, 64L, toks.slice(0, 64).mkString(" "))))
+    assert(got((1L, 1L)) == ((48L, 64L, toks.slice(48, 112).mkString(" "))))
+    assert(got((1L, 2L)) == ((96L, 34L, toks.slice(96, 130).mkString(" "))))
+    assert(!got.contains((1L, 3L)))
+    // every token covered; consecutive windows overlap by window - stride
+    val covered = (0 until 3).flatMap(i => i * 48 until math.min(i * 48 + 64, 130)).toSet
+    assert(covered == (0 until 130).toSet)
+    assert(got((2L, 0L)) == ((0L, 3L, "a b c")))
+    assert(!got.keys.exists(_._1 == 3L), "empty doc must emit nothing")
+    assert(got((4L, 0L))._2 == 64L && !got.contains((4L, 1L)))
+    // parameter + runaway guards
+    intercept[IllegalArgumentException](
+      TextOps.chunkPassages(docs, "doc_id", "text", 64, 65))
+    spark.conf.set("graft.chunk.maxWindowsPerDoc", "2")
+    try {
+      val ex = intercept[Exception](
+        TextOps.chunkPassages(docs, "doc_id", "text", 64, 48).collect())
+      assert(ex.getMessage.contains("maxWindowsPerDoc")
+        || ex.getCause != null && ex.getCause.getMessage.contains("maxWindowsPerDoc"))
+    } finally spark.conf.unset("graft.chunk.maxWindowsPerDoc")
+  }
+
   test("unigramNll: rare-token docs score higher than common-token docs; hand-checked value") {
     import spark.implicits._
     // corpus: "a" appears 6x, "b" 2x, "z" 1x -> p(a)=6/9, p(b)=2/9, p(z)=1/9
