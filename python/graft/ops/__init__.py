@@ -17,7 +17,7 @@ n-grams, cross-doc boilerplate cut). For clustering estimators see
 ``graft.clustering``; for streaming k-means see ``graft.streaming``.
 """
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame
 
@@ -57,6 +57,11 @@ __all__ = [
     "prune_prototypes",
     "pca_covariance",
     "fill_interpolate",
+    "chunk_passages",
+    "assets_from_documents",
+    "exact_binary_dedup",
+    "orphan_refs",
+    "extract_features",
 ]
 
 
@@ -154,6 +159,45 @@ def gopher_rules(
     return _wrap(df, _jvm(df).graft.ops.TextOps.gopherRules(
         df._jdf, id_col, text_col, min_words, max_words, min_mean_len,
         max_mean_len, max_symbols_per10, min_alpha_per10, min_stop_hits))
+
+
+def assets_from_documents(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Multimodal asset table from the documents table: (asset_id,
+    modality, payload: binary, meta struct)."""
+    return _wrap(df, _jvm(df).graft.ops.Multimodal.assetsFromDocuments(
+        df._jdf, id_col, text_col))
+
+
+def exact_binary_dedup(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Exact binary dedup over the payload md5: (fp, keeper_id, dup_count)."""
+    return _wrap(df, _jvm(df).graft.ops.Multimodal.exactBinaryDedup(
+        df._jdf, id_col, payload_col))
+
+
+def orphan_refs(
+    refs: DataFrame, ref_col: str, assets: DataFrame, asset_id_col: str
+) -> DataFrame:
+    """Rows of ``refs`` whose ``ref_col`` matches no asset (left anti)."""
+    return _wrap(refs, _jvm(refs).graft.ops.Multimodal.orphanRefs(
+        refs._jdf, ref_col, assets._jdf, asset_id_col))
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str,
+    feat_col: str,
+    target_dim: int = 16,
+    meta_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-row feature extraction from a binary payload column: real
+    javax image/audio decode when ``meta_col`` carries a known format,
+    the deterministic stub otherwise."""
+    jvm = _jvm(df)
+    opt = jvm.scala.Option.apply(meta_col)
+    return _wrap(df, jvm.graft.ops.Multimodal.extractFeatures(
+        df._jdf, payload_col, feat_col, int(target_dim), opt))
 
 
 def chunk_passages(

@@ -392,6 +392,16 @@ def main() -> None:
         assert [r.k for r in ec.orderBy("k").collect()] == [2, 3]
         cp = gops.chunk_passages(docs, "doc_id", "text", 8, 6)
         assert cp.count() >= docs.count() and "passage" in cp.columns
+        assets = gops.assets_from_documents(docs)
+        assert assets.columns == ["asset_id", "modality", "payload", "meta"]
+        bd = gops.exact_binary_dedup(assets, "asset_id", "payload")
+        assert bd.count() <= assets.count()
+        refs = docs.selectExpr("doc_id as ref", "doc_id")
+        orph = gops.orphan_refs(refs.limit(5), "ref", assets, "asset_id")
+        assert orph.count() == 0
+        feats = gops.extract_features(assets, "payload", "feat", 8, "meta")
+        row = feats.select("feat").first()
+        assert len(row.feat) == 8
         print("round-15 metrics bindings ok")
 
         print("SMOKE TEST PASSED")
