@@ -202,7 +202,17 @@ object Classify {
               first(col("y")).as("y"))
             .select(col("doc_id"),
               (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("y")).as("r"))
-          val grad = joined.join(resid, "doc_id")
+          // broadcast the per-doc residuals back onto the cached feature
+          // table: the gradient join then streams `joined` IN PLACE
+          // (no full-table exchange — one shuffle per iteration instead
+          // of two) and the bucket aggregation map-side-combines to B
+          // rows per partition. Residuals are 16 bytes/doc; above the
+          // cap fall back to the shuffle join rather than a giant
+          // broadcast.
+          val maxBcDocs = graft.util.Conf.long(
+            spark, "graft.logreg.maxBroadcastDocs", 10000000L)
+          val residSide = if (n <= maxBcDocs) broadcast(resid) else resid
+          val grad = joined.join(residSide, "doc_id")
             .groupBy(col("bucket"))
             .agg((sum(col("r") * col("x")) / lit(n.toDouble)).as("g"))
             .collect()
