@@ -131,6 +131,42 @@ class VocabSpec extends SparkSpec {
     } finally spark.conf.unset("graft.chunk.maxWindowsPerDoc")
   }
 
+  test("chunkPassages: layout law over an (n, window, stride) grid") {
+    import spark.implicits._
+    // one Spark job for the whole grid: every doc length under every
+    // parameter pair, expected layout recomputed independently in Scala
+    val lengths = Seq(0, 1, 5, 63, 64, 65, 100, 128, 129, 200)
+    val params = Seq((64, 48), (64, 64), (8, 3), (1, 1), (10, 10))
+    val docs = lengths.map(n => (n.toLong, (0 until n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text").cache()
+    for ((win, str) <- params) {
+      val got = TextOps.chunkPassages(docs, "doc_id", "text", win, str).collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getLong(1)).map(r =>
+          (r.getLong(2), r.getLong(3), r.getString(4))).toSeq).toMap
+      for (n <- lengths) {
+        val toks = (0 until n).map(i => s"w$i")
+        val expWins =
+          if (n == 0) 0 else if (n <= win) 1 else 1 + ((n - win + str - 1) / str)
+        val exp = (0 until expWins).map { i =>
+          val s = i * str
+          val slice = toks.slice(s, math.min(s + win, n))
+          (s.toLong, slice.length.toLong, slice.mkString(" "))
+        }
+        assert(got.getOrElse(n.toLong, Seq.empty) == exp,
+          s"layout mismatch at n=$n window=$win stride=$str")
+        // coverage law: every token index falls inside some window
+        val covered = (0 until expWins)
+          .flatMap(i => i * str until math.min(i * str + win, n)).toSet
+        assert(covered == (0 until n).toSet, s"coverage hole at n=$n $win/$str")
+        // stride == window partitions the doc exactly (reconstruction)
+        if (str == win && n > 0)
+          assert(exp.map(_._3).mkString(" ") == toks.mkString(" "))
+      }
+    }
+    docs.unpersist()
+  }
+
   test("unigramNll: rare-token docs score higher than common-token docs; hand-checked value") {
     import spark.implicits._
     // corpus: "a" appears 6x, "b" 2x, "z" 1x -> p(a)=6/9, p(b)=2/9, p(z)=1/9
