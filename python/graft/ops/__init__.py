@@ -58,6 +58,7 @@ __all__ = [
     "pca_covariance",
     "fill_interpolate",
     "chunk_passages",
+    "calibration",
     "assets_from_documents",
     "exact_binary_dedup",
     "orphan_refs",
@@ -198,6 +199,21 @@ def extract_features(
     opt = jvm.scala.Option.apply(meta_col)
     return _wrap(df, jvm.graft.ops.Multimodal.extractFeatures(
         df._jdf, payload_col, feat_col, int(target_dim), opt))
+
+
+def calibration(
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Classifier calibration: exact equal-rank score buckets (no global
+    sort) vs a binary label — (bucket, n, n_pos, pos_rate_micro,
+    min_score, max_score); monotone-falling rates mean the score ranks
+    the label."""
+    return _wrap(scored, _jvm(scored).graft.ops.Classify.calibration(
+        scored._jdf, id_col, score_col, label_col, int(n_buckets)))
 
 
 def chunk_passages(

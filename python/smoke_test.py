@@ -402,6 +402,10 @@ def main() -> None:
         feats = gops.extract_features(assets, "payload", "feat", 8, "meta")
         row = feats.select("feat").first()
         assert len(row.feat) == 8
+        scored = docs.selectExpr("doc_id", "doc_id as score",
+                                 "cast(doc_id % 2 = 0 as long) as y")
+        cal = gops.calibration(scored, "doc_id", "score", "y", 4)
+        assert cal.count() == 4 and "pos_rate_micro" in cal.columns
         print("round-15 metrics bindings ok")
 
         print("SMOKE TEST PASSED")

@@ -1510,6 +1510,17 @@ object SparkEntry {
     // scale): same train/score composition, tokens bucketed by the
     // portable md5 house hash — the full hashed pipeline hash-checks
     // against DuckDB, not just the string-vocab sibling
+    // Classifier calibration: exact decile rank buckets of the integer
+    // quality score (no global sort) vs the lang=en label — per-bucket
+    // positive rate in integer micro. Monotone-falling rates = the
+    // score actually ranks the label.
+    "q_calibration" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val scored = t(dir, "documents").select(col("doc_id"),
+        TextOps.qualityScoreMicro(col("text")).as("q_micro"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_en"))
+      graft.ops.Classify.calibration(scored, "doc_id", "q_micro", "is_en", nBuckets = 10)
+    },
     "q_nb_classify_hashed" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val docs = t(dir, "documents")
@@ -3944,6 +3955,23 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN (SELECT doc_id, label, lp FROM ranked WHERE rk = 1) b USING (doc_id)
         |LEFT JOIN (SELECT doc_id, lp FROM ranked WHERE rk = 2) s USING (doc_id)""".stripMargin,
+    "q_calibration" ->
+      s"""WITH c AS MATERIALIZED (
+        |  SELECT doc_id, ${qualityMicroSql()} AS q_micro,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM (SELECT doc_id, lang, ${qualityCountsSql()} FROM documents)),
+        |r AS (SELECT doc_id, q_micro, y,
+        |    row_number() OVER (ORDER BY q_micro DESC, doc_id) AS rk,
+        |    count(*) OVER () AS n FROM c),
+        |b AS (SELECT q_micro, y,
+        |  CASE ${(1 to 9).map(i => s"WHEN rk <= (n * $i + 9) // 10 THEN 'b0${i - 1}'")
+             .mkString(" ")}
+        |       ELSE 'b09' END AS bucket FROM r)
+        |SELECT bucket, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST((1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS BIGINT) AS pos_rate_micro,
+        |  CAST(min(q_micro) AS BIGINT) AS min_score,
+        |  CAST(max(q_micro) AS BIGINT) AS max_score
+        |FROM b GROUP BY bucket""".stripMargin,
     "q_nb_classify_hashed" ->
       """WITH labt AS (
         |  SELECT label, ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS token

@@ -247,4 +247,45 @@ object Classify {
       .select(col("doc_id"),
         (round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6) + lit(0.0)).as("score"))
   }
+
+  /** Calibration table for an integer-scored classifier: the corpus is
+    * cut into `nBuckets` EXACT equal-rank buckets by (score desc, id) —
+    * via [[Sampling.bucketByScore]]'s histogram trick, never a global
+    * sort — and each bucket reports its size, positive count, and the
+    * positive rate in integer micro (⌊10⁶·n_pos/n⌋: rule-1 pure). A
+    * well-calibrated quality score shows pos_rate_micro falling
+    * monotonically from b00 (top-ranked) to the last bucket; flat means
+    * the score carries no signal for the label.
+    *
+    * Scale: one corpus-sized equi-join on the id (the bucketed frame
+    * back onto the labels) + one B-row aggregation; the score histogram
+    * is capped by `graft.bucket.maxDistinctScores`.
+    *
+    * `labelCol` is cast to long; nonzero counts as positive. Returns
+    * (bucket, n, n_pos, pos_rate_micro, min_score, max_score).
+    */
+  def calibration(
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 1 && nBuckets <= 1000,
+      s"nBuckets must be in [2, 1000], got $nBuckets")
+    val labels = (0 until nBuckets).map(i => f"b$i%02d")
+    val bucketed = Sampling.bucketByScore(
+      scored.select(col(idCol), col(scoreCol)),
+      idCol, scoreCol, Seq.fill(nBuckets)(1), labels)
+    bucketed
+      .join(scored.select(col(idCol),
+        (col(labelCol).cast("long") =!= 0L).cast("long").as("__y")), idCol)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        min(col(scoreCol)).cast("long").as("min_score"),
+        max(col(scoreCol)).cast("long").as("max_score"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        call_function("div", lit(1000000L) * col("n_pos"), col("n"))
+          .as("pos_rate_micro"),
+        col("min_score"), col("max_score"))
+  }
 }

@@ -142,4 +142,31 @@ class ClassifySpec extends SparkSpec {
       neg.count(n => p == n) * 0.5).sum / (pos.length.toDouble * neg.length)
     assert(auc > 0.85, s"AUC $auc: trained scores do not rank the linear label")
   }
+
+  test("calibration: exact decile buckets, perfectly ranked label, integer rates") {
+    // score = id, label = top 30 of 100: b00-b02 must be all-positive,
+    // b03-b09 all-negative (score ranks the label perfectly)
+    val scored = (1 to 100).map(i =>
+      (i.toLong, (100 - i).toLong, if (i <= 30) 1L else 0L))
+      .toDF("doc_id", "score", "y")
+    val cal = Classify.calibration(scored, "doc_id", "score", "y", nBuckets = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(cal.keys.toSeq.sorted == (0 until 10).map(i => f"b$i%02d"))
+    assert(cal.values.map(_._1).sum == 100, "buckets must partition the corpus")
+    (0 until 3).foreach { i =>
+      assert(cal(f"b$i%02d") == ((10L, 10L, 1000000L)), s"bucket $i must be pure positive")
+    }
+    (3 until 10).foreach { i =>
+      assert(cal(f"b$i%02d") == ((10L, 0L, 0L)), s"bucket $i must be pure negative")
+    }
+    // a 50/50 mixed bucket reports the floor-micro rate
+    val mixed = Seq((1L, 5L, 1L), (2L, 5L, 0L), (3L, 5L, 1L))
+      .toDF("doc_id", "score", "y")
+    val m = Classify.calibration(mixed, "doc_id", "score", "y", nBuckets = 3)
+      .agg(org.apache.spark.sql.functions.sum(col("n_pos"))).head().getLong(0)
+    assert(m == 2L)
+    intercept[IllegalArgumentException](
+      Classify.calibration(scored, "doc_id", "score", "y", nBuckets = 1))
+  }
 }
