@@ -736,12 +736,31 @@ def elbow_curve(
         int(max_iter), int(seed)))
 
 
+def register_beta_divergence(spark: Any, name: str, beta: float) -> None:
+    """Register a named member of the beta-divergence family on the JVM
+    (``beta`` → 0 is Itakura-Saito, → 1 is generalized-I, = 2 is squared
+    Euclidean). After registration every estimator accepts
+    ``divergence=name``. Only the name and the float cross py4j — a
+    Python lambda cannot ride into executor codegen, so fully custom
+    divergences remain a JVM-side extension
+    (``graft.kernels.KernelFactory.register``); this parametric family is
+    the Python-reachable surface.
+
+    Registration is process-local (same contract as Spark UDF
+    registration): re-register after restarting the driver before
+    loading a model persisted with the custom name.
+    """
+    spark.sparkContext._jvm.graft.kernels.KernelFactory.registerBeta(
+        name, float(beta))
+
+
 __all__ += [
     "silhouette",
     "exact_silhouette",
     "clustering_metrics",
     "cluster_sizes",
     "elbow_curve",
+    "register_beta_divergence",
 ]
 
 

@@ -408,6 +408,20 @@ def main() -> None:
         assert cal.count() == 4 and "pos_rate_micro" in cal.columns
         print("round-15 metrics bindings ok")
 
+        # parametric custom divergence registered BY NAME from Python:
+        # beta=2 is squared Euclidean, so the fit must reproduce the SE
+        # clustering exactly on clean blobs
+        gc.register_beta_divergence(spark, "beta2smoke", 2.0)
+        bm = gc.GeneralizedKMeans(
+            k=2, seed=11, maxIter=5, divergence="beta2smoke").fit(mdf)
+        bsizes = sorted(r.n for r in gc.cluster_sizes(bm, mdf).collect())
+        assert bsizes == [2, 2], f"beta2 fit sizes {bsizes} != [2, 2]"
+        gc.register_beta_divergence(spark, "beta15smoke", 1.5)
+        b15 = gc.GeneralizedKMeans(
+            k=2, seed=11, maxIter=5, divergence="beta15smoke").fit(mdf)
+        assert b15.numClusters == 2
+        print("parametric beta-divergence registration ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

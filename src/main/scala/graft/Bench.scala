@@ -94,6 +94,11 @@ object Bench {
 
     /** One timed execution; negative means the query threw. */
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Trainer queries must never record a memo-cache hit: drop their
+      // family's cached training state before EVERY timed run (passes and
+      // sentinel re-runs alike) so the median carries the training cost,
+      // while consumer queries keep measuring consumption only.
+      SparkEntry.memoTrainers.get(name).foreach(_.apply())
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

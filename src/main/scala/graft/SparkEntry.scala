@@ -41,6 +41,47 @@ object SparkEntry {
     * double-cast embedding column into feature space (identity for SE/L1,
     * positive shift for KL).
     */
+  /** Memo-cache key for a dir-scoped training artifact: the dir path plus
+    * a cheap content fingerprint of the table the training reads (max
+    * mtime + total bytes over its parquet files). Rule 3 says testdata is
+    * regenerated between rounds — forked Verify/Bench JVMs were always
+    * safe, but a long-lived driver (PySpark session, sbt console) must
+    * MISS when the files change underneath it, not serve stale weights.
+    */
+  private def dirKey(dir: String, table: String): String = {
+    val root = new java.io.File(s"$dir/$table.parquet")
+    val files =
+      if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      else if (root.isFile) Seq(root)
+      else Seq.empty
+    val (mtime, bytes) = files.foldLeft((0L, 0L)) { case ((m, b), f) =>
+      (math.max(m, f.lastModified), b + f.length)
+    }
+    s"$dir/$table@$mtime:$bytes"
+  }
+
+  /** Drop all memoized training state (logreg weights, BPE merges, IVF
+    * quantizer). Bench clears the owning cache before every timed run of
+    * a trainer query (see [[memoTrainers]]); tests use it for isolation.
+    */
+  def clearMemoCaches(): Unit = {
+    logregWCache.clear(); bpeMergesCache.clear(); ivfCentersCache.clear()
+  }
+
+  /** Queries whose recorded bench time must INCLUDE the memoized training
+    * cost, mapped to the clear that forces their retrain. Bench invokes
+    * the mapped clear before EVERY timed execution (passes and sentinel
+    * re-runs alike), so the trainer never records a cache hit — its
+    * median carries the full training cost — while the family's consumer
+    * queries (q_logreg_score, q_bpe_encode/pairs/words, q_ann_ivf_full)
+    * measure consumption only. Without this, passes 2..N of a median-of-3
+    * bench were cache hits and training silently vanished from the totals.
+    */
+  val memoTrainers: Map[String, () => Unit] = Map(
+    "q_logreg_fit" -> (() => logregWCache.clear()),
+    "q_bpe_train" -> (() => bpeMergesCache.clear()),
+    "q_ann_ivf" -> (() => ivfCentersCache.clear()))
+
   /** Memoized logreg fit (final weights are a B-row driver-side table,
     * session-independent): q_logreg_fit and q_logreg_score share one
     * training run instead of the scorer silently re-training.
@@ -49,7 +90,7 @@ object SparkEntry {
     new scala.collection.concurrent.TrieMap[String, Seq[(Long, Double)]]()
   private def logregWeights(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    val rows = logregWCache.getOrElseUpdate(dir, {
+    val rows = logregWCache.getOrElseUpdate(dirKey(dir, "documents"), {
       val docs = t(dir, "documents")
       graft.ops.Classify.logisticFit(
         docs.withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0)),
@@ -60,13 +101,6 @@ object SparkEntry {
     rows.toDF("bucket", "weight")
   }
 
-  /** Memoized coarse quantizer for the seeded IVF queries: q_ann_ivf and
-    * q_ann_ivf_full build the IDENTICAL index (same corpus/params/seed),
-    * so the quantizer trains once and the second query pays only its own
-    * cell assignment + search — same bench-attribution honesty as
-    * [[logregWeights]]. Centers are a k×d driver array; the rebuilt
-    * index's cells are bit-identical (same assignCells, same tie-break).
-    */
   /** Memoized BPE merge table (8 rounds over the documents table) —
     * q_bpe_train/encode/pairs/words all consume the identical training
     * run; merges are a tiny driver-side list.
@@ -75,22 +109,29 @@ object SparkEntry {
     new scala.collection.concurrent.TrieMap[String, Seq[graft.ops.Bpe.BpeMerge]]()
   private def bpeMerges(s: SparkSession, dir: String): Seq[graft.ops.Bpe.BpeMerge] = {
     implicit val sp: SparkSession = s
-    bpeMergesCache.getOrElseUpdate(dir,
+    bpeMergesCache.getOrElseUpdate(dirKey(dir, "documents"),
       graft.ops.Bpe.train(t(dir, "documents"), "text", numMerges = 8))
   }
 
+  /** Memoized coarse quantizer for the seeded IVF queries: q_ann_ivf and
+    * q_ann_ivf_full build the IDENTICAL index (same corpus/params/seed),
+    * so the quantizer trains once and the second query pays only its own
+    * cell assignment + search — same bench-attribution honesty as
+    * [[logregWeights]]. Centers are a k×d driver array; the rebuilt
+    * index's cells are bit-identical (same assignCells, same tie-break).
+    */
   private val ivfCentersCache =
     new scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]()
   private def ivfIndexCached(s: SparkSession, dir: String): graft.ops.IvfIndex = {
     implicit val sp: SparkSession = s
     val e = t(dir, "embeddings")
-    ivfCentersCache.get(dir) match {
+    ivfCentersCache.get(dirKey(dir, "embeddings")) match {
       case Some(c) =>
         graft.ops.IvfIndex.buildWithCenters(e, "vec_id", "embedding", c)
       case None =>
         val idx = graft.ops.IvfIndex.build(
           e, "vec_id", "embedding", nCells = 8, maxIter = 5, seed = 42)
-        ivfCentersCache.put(dir, idx.centroids)
+        ivfCentersCache.put(dirKey(dir, "embeddings"), idx.centroids)
         idx
     }
   }
@@ -2000,6 +2041,19 @@ object SparkEntry {
     // cross-iteration bound maintenance must be LOSSLESS, i.e. produce the
     // identical centers/sizes as the exhaustive loop and the SQL unroll.
     "q_kmeans_fit_elkan" -> ((s, dir) => lloydFitQuery(s, dir, "elkan", "squaredEuclidean", 5)),
+    // Same oracle a third time, through the memory-bounded CHUNKED
+    // broadcast tier with the chunk budget forced down to 256 elems
+    // (4-center chunks at d=64 → the k=8 warm start splits into TWO
+    // chunks, so the multi-chunk `least` struct fold actually executes in
+    // every assignment of every iteration). This was the one hot-path
+    // assignment tier no gate query drove — a regression in the chunk
+    // fold previously shipped green. Reference analogue:
+    // impl/ChunkedBroadcastAssignment.scala:22-120.
+    "q_kmeans_fit_chunked" -> { (s, dir) =>
+      s.conf.set("graft.assign.chunkElems", "256")
+      try lloydFitQuery(s, dir, "chunked", "squaredEuclidean", 5)
+      finally s.conf.unset("graft.assign.chunkElems")
+    },
     // Full K-medians fit: L1 assignment + exact weighted-median update,
     // 5 unrolled iterations. Medians are actual data values, so the
     // inter-iteration centers are bit-identical between engines — the
@@ -4545,6 +4599,7 @@ object SparkEntry {
         |WHERE rn = 1""".stripMargin,
     "q_kmeans_fit" -> lloydFitOracleSql(5, seDistSql, meanUpdateCte),
     "q_kmeans_fit_elkan" -> lloydFitOracleSql(5, seDistSql, meanUpdateCte),
+    "q_kmeans_fit_chunked" -> lloydFitOracleSql(5, seDistSql, meanUpdateCte),
     "q_kmedians_fit" -> lloydFitOracleSql(5, l1DistSql, medianUpdateCte),
     "q_softkmeans_fit" -> softFitOracleSql(3, 2.0),
     "q_mixture_fit" -> mixtureFitOracleSql(3, 8, 1e-6),

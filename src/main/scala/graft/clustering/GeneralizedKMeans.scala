@@ -37,7 +37,8 @@ trait GeneralizedKMeansParams extends Params with HasFeaturesCol with HasPredict
   def getInitSteps: Int = $(initSteps)
 
   final val assignmentStrategy = new Param[String](this, "assignmentStrategy",
-    "auto|broadcast|expression|elkan|hamerly (elkan: SE only, per-center " +
+    "auto|broadcast|chunked|expression|elkan|hamerly (chunked: centers " +
+      "broadcast in memory-bounded chunks; elkan: SE only, per-center " +
       "triangle-inequality bounds; hamerly: SE only, single lower bound)")
   def getAssignmentStrategy: String = $(assignmentStrategy)
 

@@ -94,10 +94,17 @@ object Assignment {
     * executor heap per chunk of broadcast centers, capped by
     * [[ChunkMaxElems]] (reference: impl/AdaptiveBroadcastAssignment.scala
     * picks chunk size from an executor memory estimate).
+    * `graft.assign.chunkElems` overrides the probe outright — the knob the
+    * chunked-tier gate query uses to force a multi-chunk fold at test-scale
+    * k*d, and an operator escape hatch when the heap probe misjudges an
+    * exotic deployment.
     */
-  def chunkElemsBudget(spark: org.apache.spark.sql.SparkSession): Long =
-    chunkElemsBudgetOf(parseMemory(
+  def chunkElemsBudget(spark: org.apache.spark.sql.SparkSession): Long = {
+    val forced = graft.util.Conf.long(spark, "graft.assign.chunkElems", -1L)
+    if (forced > 0) forced
+    else chunkElemsBudgetOf(parseMemory(
       spark.conf.getOption("spark.executor.memory").getOrElse("4g")))
+  }
 
   /** Pure sizing rule: 1/16 of the heap as doubles, floored at 1M elems,
     * capped at [[ChunkMaxElems]] — separated out so specs can pin the

@@ -318,6 +318,73 @@ final class LogisticLossKernel(val smoothing: Double = 1e-10) extends BregmanKer
       features, graft.functions.ArrayMath.literal(center), smoothing))
 }
 
+/** Beta-divergence family: F_β(x) = Σ (x+eps)^β / (β(β−1)), the parametric
+  * bridge between the named kernels — β→0 is Itakura-Saito, β→1 is
+  * generalized-I, β=2 is squared Euclidean (D = ½Σ(x−μ)², pinned by
+  * KernelSpec). A named member registers via [[KernelFactory.registerBeta]]
+  * so `setDivergence(name)` works across the estimator family, including
+  * from PySpark (a plain (String, Double) py4j call — no closure crosses
+  * the bridge, satisfying the same extension contract as
+  * reference: df/kernels/KernelFactory.scala:57-199 custom kernels).
+  *
+  * D_β(x, μ) = Σ [ x'^β/(β(β−1)) − x'·μ'^(β−1)/(β−1) + μ'^β/β ] with
+  * x' = x+eps, μ' = μ+eps; grad F = x'^(β−1)/(β−1) and
+  * invGrad(θ) = ((β−1)θ)^(1/(β−1)) − eps, so the Lloyd update is the
+  * standard mean-in-gradient-space the trait already runs.
+  */
+final class BetaDivergenceKernel(val beta: Double, val smoothing: Double = 1e-10)
+    extends BregmanKernel {
+  require(smoothing > 0, "smoothing must be positive")
+  require(beta != 0.0 && beta != 1.0,
+    "beta in {0, 1} is a removable singularity: use divergence " +
+      "'itakuraSaito' (beta->0) or 'generalizedI' (beta->1) directly")
+  require(!beta.isNaN && !beta.isInfinity, "beta must be finite")
+  override val name = s"Beta(beta=$beta,smoothing=$smoothing)"
+
+  override def generator(x: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val denom = beta * (beta - 1.0)
+    while (i < x.length) { s += math.pow(x(i) + smoothing, beta) / denom; i += 1 }
+    s
+  }
+
+  override def divergence(x: Array[Double], mu: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i) + smoothing
+      val mi = mu(i) + smoothing
+      s += math.pow(xi, beta) / (beta * (beta - 1.0)) -
+        xi * math.pow(mi, beta - 1.0) / (beta - 1.0) +
+        math.pow(mi, beta) / beta
+      i += 1
+    }
+    s
+  }
+
+  override def grad(x: Array[Double]): Array[Double] = {
+    val r = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) {
+      r(i) = math.pow(x(i) + smoothing, beta - 1.0) / (beta - 1.0); i += 1
+    }
+    r
+  }
+
+  override def invGrad(theta: Array[Double]): Array[Double] = {
+    val r = new Array[Double](theta.length)
+    var i = 0
+    while (i < theta.length) {
+      r(i) = math.pow((beta - 1.0) * theta(i), 1.0 / (beta - 1.0)) - smoothing
+      i += 1
+    }
+    r
+  }
+
+  override def validate(x: Array[Double]): Boolean =
+    x.forall(v => !v.isNaN && !v.isInfinity && v >= 0.0)
+}
+
 /** L1 / Manhattan (K-Medians). NOT a Bregman divergence: grad/invGrad are
   * identity placeholders and the center update must use the per-dimension
   * weighted median instead of the gradient mean.
@@ -424,6 +491,16 @@ object KernelFactory {
   }
 
   def unregister(name: String): Unit = { custom.remove(name.trim.toLowerCase); () }
+
+  /** Register a named member of the beta-divergence family — the
+    * PARAMETRIC registration surface reachable from PySpark (name and
+    * beta are plain py4j scalars; the kernel itself never crosses the
+    * bridge). After `registerBeta("beta15", 1.5)`, any estimator accepts
+    * `setDivergence("beta15")`, and the estimator's smoothing param flows
+    * into the kernel as usual.
+    */
+  def registerBeta(name: String, beta: Double): Unit =
+    register(name, smoothing => new BetaDivergenceKernel(beta, smoothing))
 
   private val builtinNames = Set(
     "squaredeuclidean", "se", "euclidean", "l2",

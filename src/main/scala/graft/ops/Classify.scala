@@ -209,8 +209,12 @@ object Classify {
           // rows per partition. Residuals are 16 bytes/doc; above the
           // cap fall back to the shuffle join rather than a giant
           // broadcast.
+          // default 2M docs ≈ 32 MB of (long, double) pairs: the broadcast
+          // hash relation is built on the DRIVER and replicated to every
+          // executor each iteration, so the cap is sized for the relation
+          // (~5-10x the raw bytes), not for what an executor could scan
           val maxBcDocs = graft.util.Conf.long(
-            spark, "graft.logreg.maxBroadcastDocs", 10000000L)
+            spark, "graft.logreg.maxBroadcastDocs", 2000000L)
           val residSide = if (n <= maxBcDocs) broadcast(resid) else resid
           val grad = joined.join(residSide, "doc_id")
             .groupBy(col("bucket"))

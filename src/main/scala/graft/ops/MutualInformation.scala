@@ -96,12 +96,31 @@ object MutualInformation {
   /** Estimate the joint distribution of two discrete columns with ONE
     * distributed aggregation; returns (matrix, xValues, yValues) with
     * rows/cols in sorted value order.
+    *
+    * The contingency table lands on the driver, so its SUPPORT (distinct
+    * (x, y) cells, not rows) is capped by `graft.mi.maxSupportCells`
+    * (default 10M ≈ a few hundred MB of Row objects): a high-cardinality
+    * pair refuses with remediation instead of OOMing the driver — the
+    * same cap-everywhere discipline as Sampling/Curate/Bpe collects.
     */
   def estimateJoint(
       df: DataFrame,
       xCol: String,
       yCol: String): (Array[Array[Double]], Seq[Any], Seq[Any]) = {
-    val counts = df.groupBy(col(xCol), col(yCol)).count().collect()
+    val grouped = df.groupBy(col(xCol), col(yCol)).count()
+    val cap = graft.util.Conf.long(
+      df.sparkSession, "graft.mi.maxSupportCells", 10000000L)
+    require(cap > 0 && cap < Int.MaxValue,
+      s"graft.mi.maxSupportCells must be in (0, ${Int.MaxValue}), got $cap")
+    // collect at most cap+1 cells in ONE job: driver memory is bounded by
+    // the cap itself even when the true support is enormous, and a
+    // compliant pair pays no extra counting pass.
+    val counts = grouped.limit(cap.toInt + 1).collect()
+    require(counts.length <= cap,
+      s"joint support of ($xCol, $yCol) exceeds graft.mi.maxSupportCells=" +
+        s"$cap distinct cells — the contingency table must fit on the " +
+        "driver. Bucketize/quantize one or both columns to reduce " +
+        "cardinality, or raise the cap if the driver has the memory.")
     val xs = counts.map(_.get(0)).distinct.sortBy(_.toString).toSeq
     val ys = counts.map(_.get(1)).distinct.sortBy(_.toString).toSeq
     val xi = xs.zipWithIndex.toMap
