@@ -129,6 +129,37 @@ class InterchangeSpec extends SparkSpec {
     assert(out.select("prediction").as[Int].collect().toSeq == Seq(0, 1))
   }
 
+  test("loads the PINNED reference-layout fixture artifact (strict checksums)") {
+    // A checked-in on-disk artifact in the reference's exact LayoutV1
+    // shape (generated once by graft.tools.MakeLayoutFixture, which
+    // re-implements the REFERENCE writer recipe independently of
+    // InterchangeV1.save — field order, (center_id, weight, vector)
+    // parquet schema, toJSON SHA-256, two-pass metadata self-hash;
+    // reference: df/persistence/PersistenceLayout.scala:82-144). Frozen
+    // bytes in git: if our reader drifts from the layout — even if our
+    // writer drifts the same way — this fails. strict=true verifies the
+    // centers checksum recorded in metadata.json against the parquet.
+    val path = new java.io.File(
+      getClass.getResource("/fixtures/layoutv1/gkm_kl_k3d4").toURI).getAbsolutePath
+    val m = InterchangeV1.load(spark, path, strict = true)
+    assert(m.numClusters == 3 && m.numFeatures == 4)
+    assert(m.divergenceName == "kl")
+    assert(m.smoothingValue == 1e-9)
+    assert(m.clusterCenters(0).sameElements(Array(0.5, 1.25, 2.0, 0.125)))
+    assert(m.clusterCenters(1).sameElements(Array(3.75, 0.25, 1.5, 2.5)))
+    assert(m.clusterCenters(2).sameElements(Array(0.0625, 4.0, 0.75, 1.0)))
+    assert(m.getOrDefault(m.maxIter) == 25 && m.getOrDefault(m.seed) == 4242L)
+    assert(m.getOrDefault(m.predictionCol) == "prediction")
+    // the unknown forward-compat param in the file was ignored, and the
+    // loaded model is immediately usable
+    import spark.implicits._
+    val probe = Seq((1L, Seq(0.5, 1.25, 2.0, 0.125)), (2L, Seq(0.0625, 4.0, 0.75, 1.0)))
+      .toDF("id", "features")
+    val preds = m.transform(probe).select("id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(preds(1L) == 0 && preds(2L) == 2)
+  }
+
   test("refuses wrong layoutVersion and k/count mismatch") {
     import spark.implicits._
     val path = tmpDir() + "/bad"
