@@ -198,8 +198,13 @@ object SparkEntry {
     * substring or other text expression.
     */
   private def shingleOccurrencesSql(n: Int, textSql: String = "text"): String =
-    s"list_transform(range(0, greatest(len(string_split($textSql, ' ')) - $n, 0) + 1), " +
-      s"i -> array_to_string(string_split($textSql, ' ')[i+1:i+$n], ' '))"
+    // list_filter: NULL text shingles to [NULL] in DuckDB (greatest
+    // ignores the NULL token-count) where Spark's transform-over-NULL
+    // yields NULL and the doc drops out of every shingle consumer — the
+    // filter collapses [NULL] to [], aligning the engines; on non-null
+    // text no element is NULL, so real-data hashes are untouched
+    s"list_filter(list_transform(range(0, greatest(len(string_split($textSql, ' ')) - $n, 0) + 1), " +
+      s"i -> array_to_string(string_split($textSql, ' ')[i+1:i+$n], ' ')), s -> s IS NOT NULL)"
 
   private def shingleListSql(n: Int, textSql: String = "text"): String =
     s"list_distinct(${shingleOccurrencesSql(n, textSql)})"
@@ -270,13 +275,15 @@ object SparkEntry {
     */
   private def sessionOracleSql(newSessionCmp: String): String =
       s"""WITH e AS (
-        |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value,
+        |  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+        |    coalesce(value, 0) AS value,
         |    CASE WHEN CAST(epoch_ms(ts) AS BIGINT)
         |           - lag(CAST(epoch_ms(ts) AS BIGINT))
         |             OVER (PARTITION BY user_id ORDER BY ts) $newSessionCmp
         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |         THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |s AS (
         |  SELECT user_id, ts_ms, value,
         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
@@ -3452,8 +3459,12 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val evRaw = t(dir, "events")
+      // timeSplit refuses null timestamps by contract; the split of an
+      // event with no event time is undefined, so exclude upstream (the
+      // oracle filters identically)
       graft.ops.Sampling.timeSplit(
-          evRaw.select(col("event_id"), eventTsMs(evRaw).as("ts_ms")),
+          evRaw.select(col("event_id"), eventTsMs(evRaw).as("ts_ms"))
+            .where(col("ts_ms").isNotNull),
           "ts_ms", cutoff = 1704153600000L, embargo = 6 * 3600000L)
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
     },
@@ -3712,10 +3723,10 @@ object SparkEntry {
     "q_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id,
-        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','is'))) AS s_en,
-        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que'))) AS s_es,
-        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','et','les'))) AS s_fr,
-        |    len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','und','das'))) AS s_de
+        |    coalesce(len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','and','of','is'))), 0) AS s_en,
+        |    coalesce(len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que'))), 0) AS s_es,
+        |    coalesce(len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','et','les'))), 0) AS s_fr,
+        |    coalesce(len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','und','das'))), 0) AS s_de
         |  FROM documents)
         |SELECT doc_id, CASE
         |  WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
@@ -3876,7 +3887,8 @@ object SparkEntry {
       """WITH avail AS (
         |  SELECT lang AS domain,
         |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS available
-        |  FROM documents GROUP BY 1),
+        |  -- temperaturePlan's contract: NULL domains carry no target
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
         |t AS (SELECT domain, available,
         |        pow(available, 0.5) / (SELECT sum(pow(available, 0.5)) FROM avail) AS tw
         |      FROM avail),
@@ -4103,7 +4115,10 @@ object SparkEntry {
         |  list_sum(list(CAST(f AS DOUBLE) * CAST(f AS DOUBLE) ORDER BY bucket)) AS sqn
         |  FROM agg GROUP BY 1)
         |SELECT d.asset_id,
-        |  (greatest(1, size_bytes // 64) + 1) // 2 AS n_frames,
+        |  -- null payload has no bytes to frame-sample: 0 frames (the
+        |  -- greatest() would otherwise treat NULL size as 1 chunk)
+        |  CASE WHEN size_bytes IS NULL THEN 0
+        |       ELSE (greatest(1, size_bytes // 64) + 1) // 2 END AS n_frames,
         |  d.size_bytes,
         |  round(coalesce(sq.sqn, 0.0), 6) + 0.0 AS feat_sq_norm
         |FROM d LEFT JOIN sq USING (asset_id)""".stripMargin,
@@ -4653,7 +4668,11 @@ object SparkEntry {
       s"""WITH c AS MATERIALIZED (
         |  SELECT lang, doc_id, ${qualityCountsSql()} FROM documents),
         |base AS MATERIALIZED (
-        |  SELECT lang, doc_id, n_tokens, ${qualityMicroSql()} AS q_micro FROM c),
+        |  -- null text = 0 tokens, matching profileCorpus: the rank
+        |  -- windows ORDER BY n_tokens, and NULL ordering is engine-
+        |  -- dependent (Spark NULLS FIRST vs DuckDB NULLS LAST)
+        |  SELECT lang, doc_id, coalesce(n_tokens, 0) AS n_tokens,
+        |    ${qualityMicroSql()} AS q_micro FROM c),
         |r AS MATERIALIZED (
         |  SELECT lang, n_tokens, q_micro,
         |    count(*) OVER (PARTITION BY lang) AS cnt,
@@ -4901,7 +4920,10 @@ object SparkEntry {
         |      + (1.0 - least(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
         |          * 1.0 / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality,
         |    len(string_split(text, ' ')) AS n_tokens
-        |  FROM documents WHERE doc_id % 50 <> 0),
+        |  -- null text: langId is 'und' engine-side, never 'en' — excluded
+        |  -- here because DuckDB's least() IGNORES the NULL score terms
+        |  -- and would otherwise hand a null-text doc quality 0.8
+        |  FROM documents WHERE doc_id % 50 <> 0 AND text IS NOT NULL),
         |filt AS MATERIALIZED (
         |  SELECT doc_id, text, quality, n_tokens FROM sc
         |  WHERE quality >= 0.5 AND (CASE
@@ -4941,7 +4963,10 @@ object SparkEntry {
         |          * 1.0 / len(string_split(text, ' ')) * 5.0, 1.0) * 0.4
         |      + (1.0 - least(length(regexp_replace(lower(text), '[a-z ]', '', 'g'))
         |          * 1.0 / greatest(length(text), 1), 1.0)) * 0.2, 6) AS quality
-        |  FROM documents),
+        |  -- null text: langId is 'und' engine-side, never 'en' — excluded
+        |  -- here because DuckDB's least() IGNORES the NULL score terms
+        |  -- and would otherwise hand a null-text doc quality 0.8
+        |  FROM documents WHERE text IS NOT NULL),
         |filt AS MATERIALIZED (
         |  SELECT doc_id, text, quality FROM sc
         |  WHERE quality >= 0.5 AND (CASE
@@ -5299,7 +5324,7 @@ object SparkEntry {
         |yv AS (SELECT DISTINCT y FROM xs),
         |ny AS (SELECT count(*)::DOUBLE AS ny FROM yv),
         |grid AS (SELECT xv.x, yv.y, coalesce(cnt.c, 0.0) AS c
-        |  FROM xv CROSS JOIN yv LEFT JOIN cnt ON cnt.x = xv.x AND cnt.y = yv.y),
+        |  FROM xv CROSS JOIN yv LEFT JOIN cnt ON cnt.x = xv.x AND cnt.y IS NOT DISTINCT FROM yv.y),
         |rs AS (SELECT x, sum(c) AS rsum FROM grid GROUP BY x),
         |tot AS (SELECT sum(c) AS total FROM grid),
         |px AS (SELECT x, rsum / total AS px FROM rs, tot),
@@ -5314,7 +5339,7 @@ object SparkEntry {
         |sn AS (SELECT t, sum(u) AS s FROM un GROUP BY t),
         |pygt AS (SELECT un.t, un.y, un.u / sn.s AS p FROM un JOIN sn ON un.t = sn.t),
         |kl AS (SELECT a.x, b.t, sum(a.p * ln(a.p / greatest(b.p, 1e-300))) AS kl
-        |  FROM pygx a JOIN pygt b ON a.y = b.y GROUP BY a.x, b.t),
+        |  FROM pygx a JOIN pygt b ON a.y IS NOT DISTINCT FROM b.y GROUP BY a.x, b.t),
         |lg AS (SELECT kl.x, kl.t, ln(greatest(pt.pt, 1e-300)) - 2.0 * kl.kl AS l
         |  FROM kl JOIN pt ON kl.t = pt.t),
         |sm AS (SELECT x, t, l, max(l) OVER (PARTITION BY x) AS mx FROM lg),
@@ -5327,7 +5352,7 @@ object SparkEntry {
         |yv AS (SELECT DISTINCT y FROM xs),
         |ny AS (SELECT count(*)::DOUBLE AS ny FROM yv),
         |grid AS (SELECT xv.x, yv.y, coalesce(cnt.c, 0.0) AS c
-        |  FROM xv CROSS JOIN yv LEFT JOIN cnt ON cnt.x = xv.x AND cnt.y = yv.y),
+        |  FROM xv CROSS JOIN yv LEFT JOIN cnt ON cnt.x = xv.x AND cnt.y IS NOT DISTINCT FROM yv.y),
         |rs AS (SELECT x, sum(c) AS rsum FROM grid GROUP BY x),
         |tot AS (SELECT sum(c) AS total FROM grid),
         |px AS (SELECT x, rsum / total AS px FROM rs, tot),
@@ -5342,7 +5367,7 @@ object SparkEntry {
         |sn1 AS (SELECT t, sum(u) AS s FROM un1 GROUP BY t),
         |pygt1 AS (SELECT un1.t, un1.y, un1.u / sn1.s AS p FROM un1 JOIN sn1 ON un1.t = sn1.t),
         |kl1 AS (SELECT a.x, b.t, sum(a.p * ln(a.p / greatest(b.p, 1e-300))) AS kl
-        |  FROM pygx a JOIN pygt1 b ON a.y = b.y GROUP BY a.x, b.t),
+        |  FROM pygx a JOIN pygt1 b ON a.y IS NOT DISTINCT FROM b.y GROUP BY a.x, b.t),
         |lg1 AS (SELECT kl1.x, kl1.t, ln(greatest(pt1.pt, 1e-300)) - 2.0 * kl1.kl AS l
         |  FROM kl1 JOIN pt1 ON kl1.t = pt1.t),
         |sm1 AS (SELECT x, t, l, max(l) OVER (PARTITION BY x) AS mx FROM lg1),
@@ -5354,7 +5379,7 @@ object SparkEntry {
         |sn2 AS (SELECT t, sum(u) AS s FROM un2 GROUP BY t),
         |pygt2 AS (SELECT un2.t, un2.y, un2.u / sn2.s AS p FROM un2 JOIN sn2 ON un2.t = sn2.t),
         |kl2 AS (SELECT a.x, b.t, sum(a.p * ln(a.p / greatest(b.p, 1e-300))) AS kl
-        |  FROM pygx a JOIN pygt2 b ON a.y = b.y GROUP BY a.x, b.t),
+        |  FROM pygx a JOIN pygt2 b ON a.y IS NOT DISTINCT FROM b.y GROUP BY a.x, b.t),
         |lg2 AS (SELECT kl2.x, kl2.t, ln(greatest(pt2.pt, 1e-300)) - 2.0 * kl2.kl AS l
         |  FROM kl2 JOIN pt2 ON kl2.t = pt2.t),
         |sm2 AS (SELECT x, t, l, max(l) OVER (PARTITION BY x) AS mx FROM lg2),
@@ -5424,7 +5449,7 @@ object SparkEntry {
     "q_range_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, value
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |marked AS (
         |  SELECT user_id, ts_ms, value,
         |    CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
@@ -5529,7 +5554,7 @@ object SparkEntry {
         |    WHEN CAST(epoch_ms(ts) AS BIGINT) <= 1704153600000 THEN 'train'
         |    WHEN CAST(epoch_ms(ts) AS BIGINT) <= 1704153600000 + 21600000 THEN 'embargo'
         |    ELSE 'test' END AS split
-        |  FROM events) GROUP BY 1""".stripMargin,
+        |  FROM events WHERE ts IS NOT NULL) GROUP BY 1""".stripMargin,
     "q_asof_lookup" ->
       s"""WITH e AS (
         |  SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,

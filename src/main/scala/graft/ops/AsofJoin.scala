@@ -42,11 +42,11 @@ object AsofJoin {
     * `rightIdCol` wins at equal ts, `tolerance` nulls stale matches)
     * for ONE right value column, returned as `{prefix}ts` +
     * `{prefix}{valueCol}` (double). Keys must be long-castable (the
-    * broadcast index is primitive-keyed). Contract divergence from
-    * asofJoin, documented: snapshot rows with a null key, ts, VALUE, or
-    * id are dropped from the index (the primitive-array index cannot
-    * carry a null value the way asofJoin's struct does); null-key/ts
-    * left rows look up to null.
+    * broadcast index is primitive-keyed). Null contract, IDENTICAL to
+    * asofJoin (spec-asserted): a matched snapshot whose value is NULL
+    * carries ts + NULL value (the observation exists); snapshot rows
+    * with a null key, ts, or id are dropped (not addressable);
+    * null-key/ts left rows look up to null.
     */
   def asofLookup(
       left: DataFrame,
@@ -70,18 +70,22 @@ object AsofJoin {
     val snapRows = snapshots
       .select(col(keyCol).cast("long").as("__k"), col(tsCol).cast("long").as("__ts"),
         col(valueCol).cast("double").as("__v"), col(rightIdCol).cast("long").as("__rid"))
-      .where(col("__k").isNotNull && col("__ts").isNotNull &&
-        col("__v").isNotNull && col("__rid").isNotNull)
+      .where(col("__k").isNotNull && col("__ts").isNotNull && col("__rid").isNotNull)
       .limit(math.min(cap + 1, Int.MaxValue.toLong - 1).toInt)
       .collect()
     require(snapRows.length <= cap,
       s"asofLookup: snapshot side exceeds graft.asof.maxBroadcastRows=$cap — " +
         "use asofJoin (the distributed union-window form) for data-sized snapshot tables")
     // per key: parallel arrays sorted by (ts, id); at equal ts the LAST
-    // entry (highest id) is the winner, matching asofJoin's tie-break
-    val byKey: Map[Long, (Array[Long], Array[Double], Array[Long])] =
+    // entry (highest id) is the winner, matching asofJoin's tie-break.
+    // Values are BOXED so a null-valued snapshot rides the index and is
+    // carried as NULL on match — identical to asofJoin's struct carry
+    // (rehearsed live: the primitive-array index silently dropped
+    // null-value snapshots, desyncing the two as-of forms).
+    val byKey: Map[Long, (Array[Long], Array[java.lang.Double], Array[Long])] =
       snapRows.groupBy(_.getLong(0)).map { case (k, rows) =>
-        val sorted = rows.map(r => (r.getLong(1), r.getLong(3), r.getDouble(2)))
+        val sorted = rows.map(r => (r.getLong(1), r.getLong(3),
+            if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))))
           .sortBy(t => (t._1, t._2))
         (k, (sorted.map(_._1), sorted.map(_._3), sorted.map(_._2)))
       }
@@ -98,8 +102,8 @@ object AsofJoin {
            if (tss(mid) <= ts.longValue()) { ans = mid; lo = mid + 1 } else hi = mid - 1
          }
          if (ans < 0 || ts.longValue() - tss(ans) > tol) None
-         else Some((tss(ans), vals(ans)))
-       }): Option[(Long, Double)]
+         else Some((tss(ans), Option(vals(ans)).map(_.doubleValue())))
+       }): Option[(Long, Option[Double])]
     }
     left
       .withColumn("__asof_m", look(col(keyCol).cast("long"), col(tsCol).cast("long")))

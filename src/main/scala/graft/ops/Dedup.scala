@@ -191,7 +191,11 @@ object Dedup {
       numHashes: Int,
       bands: Int): DataFrame = {
     val keysUdf = minhashBandKeysUdf(numHashes, bands)
-    shingled.select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "bucket")))
+    // a doc with no shingles (null/empty text) has an all-sentinel
+    // signature; banding it would collide every such doc into one bucket
+    // per band — shingle-less docs participate in NO buckets instead
+    shingled.where(size(col("sh")) > 0)
+      .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "bucket")))
   }
 
   /** MinHash-LSH candidate pairs from a precomputed (id, shingles) frame:
@@ -365,7 +369,11 @@ object Dedup {
     require(maxDist >= 0 && maxDist <= 3,
       s"maxDist=$maxDist not supported: 4 x 16-bit chunk blocking only guarantees recall for hamming distance <= 3")
     require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
+    // same no-shingles policy as the MinHash banding: a null-text doc
+    // has no tokens, and its zero-vote simhash (0L) would collide every
+    // such doc into the same buckets — exclude it from the sketch
     val sh = fanOut(df.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .where(col("__txt").isNotNull)
       .select(col("id"), simhashUdf(split(col("__txt"), " ")).as("sh"))
     val chunked = sh.select(col("id"), col("sh"), posexplode(
       array((0 until 4).map(c => shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)

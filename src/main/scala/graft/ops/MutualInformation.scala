@@ -121,8 +121,13 @@ object MutualInformation {
         s"$cap distinct cells — the contingency table must fit on the " +
         "driver. Bucketize/quantize one or both columns to reduce " +
         "cardinality, or raise the cap if the driver has the memory.")
-    val xs = counts.map(_.get(0)).distinct.sortBy(_.toString).toSeq
-    val ys = counts.map(_.get(1)).distinct.sortBy(_.toString).toSeq
+    // NULL is a legitimate category (SQL GROUP BY keeps a NULL group);
+    // order it first rather than NPE-ing in the sort. Row/col order only
+    // fixes the matrix layout — every measure is permutation-invariant.
+    val ord: Any => (Int, String) =
+      v => if (v == null) (0, "") else (1, v.toString)
+    val xs = counts.map(_.get(0)).distinct.sortBy(ord).toSeq
+    val ys = counts.map(_.get(1)).distinct.sortBy(ord).toSeq
     val xi = xs.zipWithIndex.toMap
     val yi = ys.zipWithIndex.toMap
     val m = Array.ofDim[Double](xs.length, ys.length)

@@ -427,10 +427,15 @@ object TextOps {
   /** Word n-gram shingles (distinct). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(
+    val sh = array_distinct(
       transform(
         sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    // null text -> NO shingles (concat_ws would otherwise silently turn
+    // the NULL token array into one '' shingle, giving every null-text
+    // doc an identical phantom shingle — catastrophic for dedup, where
+    // they would all collide into one near-dup cluster)
+    when(text.isNull, array().cast("array<string>")).otherwise(sh)
   }
 
   /** EXACT vocabulary statistics: per token, document frequency and total
@@ -698,10 +703,13 @@ object TextOps {
     require(n >= 1, s"n must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k")
     val toks = split(col("__t"), " ")
-    // occurrence multiset: every window position, NO array_distinct
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    // occurrence multiset: every window position, NO array_distinct.
+    // Null text contributes no windows (concat_ws would otherwise emit a
+    // phantom '' gram per null doc — same hazard as wordShingles).
+    val grams = when(col("__t").isNull, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
     Dedup.fanOut(docs.select(col(textCol).as("__t")))
       .select(explode(grams).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
@@ -881,8 +889,12 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     def idiv(a: Column, b: Column): Column = call_function("div", a, b)
     def rk(q: Int, cnt: Column): Column = idiv(cnt * lit(q.toLong) + lit(9L), lit(10L))
+    // null text counts 0 tokens HERE (not in tokenCount itself): the
+    // rank windows ORDER BY n_tokens, and a NULL there is engine-
+    // dependent ordering (Spark NULLS FIRST vs SQL NULLS LAST) — the
+    // same class of hazard as rule-1's float ORDER BY
     val base = docs.select(col(langCol).as("lang"), col(idCol).cast("long").as("__id"),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"),
       qualityScoreMicro(col(textCol)).as("q_micro"))
     val wc = Window.partitionBy(col("lang"))
     val wt = wc.orderBy(col("n_tokens"), col("__id"))

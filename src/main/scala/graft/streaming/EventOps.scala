@@ -66,9 +66,14 @@ object EventOps {
       valueCol: String,
       gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame = {
-    val w = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    // Null policy (shared with [[sessionize]]): an event with no event
+    // time belongs to no session — dropped; a null value contributes 0
+    // to totalValue but still counts in numEvents.
+    val w0 = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val w = w0.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
     w.groupBy(session_window(col(tsCol), gap), col(keyCol).cast("long").as("key"))
-      .agg(count(lit(1)).as("numEvents"), sum(col(valueCol).cast("double")).as("totalValue"),
+      .agg(count(lit(1)).as("numEvents"),
+        sum(coalesce(col(valueCol).cast("double"), lit(0.0))).as("totalValue"),
         min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"))
       .select(col("key"),
         // NTZ timestamps can't convert straight to millis — go via
@@ -115,10 +120,16 @@ object EventOps {
     import spark.implicits._
     // the watermarked TIMESTAMP column must survive (un-cast) into the
     // stateful operator's input or the event-time timeout is rejected
-    def proj(df: DataFrame) = df.select(
+    // Null policy (shared with [[sessionizeNative]]): no event time ->
+    // no session membership (dropped); null value -> contributes 0 to
+    // totalValue, still counted in numEvents. The filter keeps the
+    // watermarked attribute intact; the coalesce keeps the non-nullable
+    // Ev encoder honest on nullable input columns.
+    def proj(df: DataFrame) = df
+      .where(col(tsCol).isNotNull && col(keyCol).isNotNull).select(
       col(keyCol).cast("long").as("key"),
       unix_millis(col(tsCol).cast("timestamp")).as("tsMs"),
-      col(valueCol).cast("double").as("value"),
+      coalesce(col(valueCol).cast("double"), lit(0.0)).as("value"),
       col(tsCol).as("ts")) // NO cast: it would mint a fresh attribute
                            // without the watermark metadata
     val prepared =
