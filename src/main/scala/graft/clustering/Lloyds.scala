@@ -509,15 +509,23 @@ object LloydsIterator {
     val data = if (cfg.managePersistence) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val numPoints = cfg.knownNumPoints.getOrElse(data.count())
     if (numPoints <= 0) throw new GKMException(GKMError.EmptyInput("LloydsIterator"))
-    val dim = cfg.knownDim.getOrElse(
-      data.select(col(cfg.featuresCol)).head().getSeq[Double](0).length)
+    val dim = cfg.knownDim.getOrElse {
+      val first = data.select(col(cfg.featuresCol))
+        .where(col(cfg.featuresCol).isNotNull).limit(1).collect()
+      if (first.isEmpty)
+        throw new GKMException(GKMError.EmptyInput(
+          "features column (every row is null)"))
+      first(0).getSeq[Double](0).length
+    }
     // Fit-time validation on a sample through the typed validator chain
     // (reference: df/ClusteringOps.scala:170-182 + df/Validator.scala):
-    // catches NaN/ragged/out-of-domain inputs before they produce NaN
-    // centers, with remediation text in the raised GKMException.
+    // catches null/NaN/ragged/out-of-domain inputs before they produce
+    // NaN centers, with remediation text in the raised GKMException.
+    // Null rows must survive extraction as nulls (not NPE in getSeq) so
+    // NotNullFinite can refuse them with the typed error.
     if (cfg.validate) {
       val sample = data.select(col(cfg.featuresCol)).limit(1000).collect()
-        .map(_.getSeq[Double](0).toArray)
+        .map(r => if (r.isNullAt(0)) null else r.getSeq[Double](0).toArray)
       Validators.validateSample(sample, Validators.forKernel(cfg.kernel, dim), dim)
         .foreach(e => throw new GKMException(e))
     }

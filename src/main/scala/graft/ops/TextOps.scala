@@ -931,8 +931,11 @@ object TextOps {
       textCol: String,
       langCol: String,
       accuracy: Int = 10000): DataFrame = {
+    // same null policy as [[profileCorpus]]: null text = 0 tokens
+    // (percentile_approx would otherwise SKIP null rows, shifting ranks
+    // against the exact profile's coalesced ordering)
     val base = docs.select(col(langCol).as("lang"),
-      tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"),
       qualityScoreMicro(col(textCol)).as("q_micro"))
     val ps = array(lit(0.1), lit(0.5), lit(0.9))
     base.groupBy(col("lang"))

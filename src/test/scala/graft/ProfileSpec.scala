@@ -76,8 +76,12 @@ class ProfileSpec extends SparkSpec {
 
   test("approxProfileCorpus: counts exact, sketch percentiles near the exact profile") {
     import spark.implicits._
+    // includes NULL-text docs: both profiles must count them as 0-token
+    // docs (shared null policy), or ranks desynchronize
     val docs = (0 until 1000).map { i =>
-      (i.toLong, "en", (0 until (1 + i % 100)).map(_ => "w").mkString(" "))
+      val text = if (i % 97 == 13) null
+        else (0 until (1 + i % 100)).map(_ => "w").mkString(" ")
+      (i.toLong, "en", text)
     }.toDF("doc_id", "lang", "text")
     val exact = TextOps.profileCorpus(docs, "doc_id", "text", "lang").collect().head
     val approx = TextOps.approxProfileCorpus(docs, "doc_id", "text", "lang").collect().head

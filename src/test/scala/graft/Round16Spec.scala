@@ -118,6 +118,31 @@ class Round16Spec extends SparkSpec {
     } finally KernelFactory.unregister("beta2test")
   }
 
+  // ---- null feature rows refuse with the typed error, not an NPE ----
+
+  test("fit refuses null feature rows via the validator chain") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("features", ArrayType(DoubleType), nullable = true)))
+    val rows = Seq(Row(Seq(0.0, 0.1)), Row(null), Row(Seq(9.9, 10.0)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(Option(r.get(0)).map(_.asInstanceOf[Seq[Double]]).orNull))), schema)
+    val ex = intercept[GKMException](
+      new GeneralizedKMeans().setK(2).setSeed(1).setMaxIter(3).fit(df))
+    assert(ex.getMessage.toLowerCase.contains("null"),
+      s"expected a typed null-row refusal, got: ${ex.getMessage}")
+    // an ALL-null features column refuses as empty input, not a
+    // NoSuchElementException from the dim probe
+    val allNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null), Row(null))), schema)
+    val ex2 = intercept[GKMException](
+      new GeneralizedKMeans().setK(2).setSeed(1).setMaxIter(3).fit(allNull))
+    assert(ex2.getMessage.toLowerCase.contains("null") ||
+      ex2.getMessage.toLowerCase.contains("empty"))
+  }
+
   // ---- memo-cache honesty hooks ----
 
   test("memoTrainers covers every memoized family and clearMemoCaches is total") {
