@@ -60,6 +60,20 @@ object SparkEntry {
     s"$dir/$table@$mtime:$bytes"
   }
 
+  /** getOrElseUpdate with stale-generation eviction: a fingerprint miss
+    * means the table was regenerated, so every OTHER entry for the same
+    * `dir/table@` prefix is a dead generation — drop them, or a
+    * long-lived driver leaks one training artifact per regeneration.
+    */
+  private def memoize[V](cache: scala.collection.concurrent.TrieMap[String, V],
+      key: String)(train: => V): V =
+    cache.get(key).getOrElse {
+      val prefix = key.substring(0, key.lastIndexOf('@') + 1)
+      cache.keys.filter(k => k.startsWith(prefix) && k != key)
+        .foreach(cache.remove)
+      cache.getOrElseUpdate(key, train)
+    }
+
   /** Drop all memoized training state (logreg weights, BPE merges, IVF
     * quantizer). Bench clears the owning cache before every timed run of
     * a trainer query (see [[memoTrainers]]); tests use it for isolation.
@@ -90,13 +104,13 @@ object SparkEntry {
     new scala.collection.concurrent.TrieMap[String, Seq[(Long, Double)]]()
   private def logregWeights(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
-    val rows = logregWCache.getOrElseUpdate(dirKey(dir, "documents"), {
+    val rows = memoize(logregWCache, dirKey(dir, "documents")) {
       val docs = t(dir, "documents")
       graft.ops.Classify.logisticFit(
         docs.withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0)),
         "doc_id", "text", "y", buckets = 64, iters = 3, lr = 0.5)
         .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
-    })
+    }
     import sp.implicits._
     rows.toDF("bucket", "weight")
   }
@@ -109,7 +123,7 @@ object SparkEntry {
     new scala.collection.concurrent.TrieMap[String, Seq[graft.ops.Bpe.BpeMerge]]()
   private def bpeMerges(s: SparkSession, dir: String): Seq[graft.ops.Bpe.BpeMerge] = {
     implicit val sp: SparkSession = s
-    bpeMergesCache.getOrElseUpdate(dirKey(dir, "documents"),
+    memoize(bpeMergesCache, dirKey(dir, "documents"))(
       graft.ops.Bpe.train(t(dir, "documents"), "text", numMerges = 8))
   }
 
@@ -125,13 +139,14 @@ object SparkEntry {
   private def ivfIndexCached(s: SparkSession, dir: String): graft.ops.IvfIndex = {
     implicit val sp: SparkSession = s
     val e = t(dir, "embeddings")
-    ivfCentersCache.get(dirKey(dir, "embeddings")) match {
+    val key = dirKey(dir, "embeddings")
+    ivfCentersCache.get(key) match {
       case Some(c) =>
         graft.ops.IvfIndex.buildWithCenters(e, "vec_id", "embedding", c)
       case None =>
         val idx = graft.ops.IvfIndex.build(
           e, "vec_id", "embedding", nCells = 8, maxIter = 5, seed = 42)
-        ivfCentersCache.put(dirKey(dir, "embeddings"), idx.centroids)
+        memoize(ivfCentersCache, key)(idx.centroids)
         idx
     }
   }
@@ -2057,9 +2072,15 @@ object SparkEntry {
     // fold previously shipped green. Reference analogue:
     // impl/ChunkedBroadcastAssignment.scala:22-120.
     "q_kmeans_fit_chunked" -> { (s, dir) =>
+      // restore (not unset) any pre-existing override: the conf is a
+      // documented user escape hatch in shared sessions
+      val prior = s.conf.getOption("graft.assign.chunkElems")
       s.conf.set("graft.assign.chunkElems", "256")
       try lloydFitQuery(s, dir, "chunked", "squaredEuclidean", 5)
-      finally s.conf.unset("graft.assign.chunkElems")
+      finally prior match {
+        case Some(v) => s.conf.set("graft.assign.chunkElems", v)
+        case None => s.conf.unset("graft.assign.chunkElems")
+      }
     },
     // Full K-medians fit: L1 assignment + exact weighted-median update,
     // 5 unrolled iterations. Medians are actual data values, so the
@@ -5401,8 +5422,12 @@ object SparkEntry {
         |jtyt AS (SELECT sum(j) AS tt FROM jty),
         |jtyr AS (SELECT t, sum(j) AS r FROM jty GROUP BY t),
         |jtyc AS (SELECT y, sum(j) AS c FROM jty GROUP BY y),
-        |ity AS (SELECT sum((j / tt) * ln((j / tt) / ((r / tt) * (c / tt)))) / ln(2) AS i
-        |  FROM jty JOIN jtyr USING (t) JOIN jtyc USING (y), jtyt)
+        |-- the y join must be null-safe (rule 10): USING (y) would drop
+        |-- the NULL-lang category's mass from the I(T;Y) sum while jtyt
+        |-- keeps it in the total
+        |ity AS (SELECT sum((jty.j / tt) * ln((jty.j / tt) / ((r / tt) * (c / tt)))) / ln(2) AS i
+        |  FROM jty JOIN jtyr USING (t)
+        |  JOIN jtyc ON jty.y IS NOT DISTINCT FROM jtyc.y, jtyt)
         |SELECT round(ixt.i, 6) + 0.0 AS i_xt, round(ity.i, 6) + 0.0 AS i_ty, 4 AS k
         |FROM ixt, ity""".stripMargin,
     "q_ann_ivf_pruned" ->

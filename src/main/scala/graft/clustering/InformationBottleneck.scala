@@ -60,6 +60,14 @@ class InformationBottleneck(override val uid: String)
     // ONE distributed job: the (x, y) contingency table
     val (joint, xVals, yVals) = MutualInformation.estimateJoint(proj, "__x", "__y")
     proj.unpersist()
+    // NULL y is a legitimate relevance category (it flows through the
+    // matrix math untouched), but a NULL x key has no encoder row — its
+    // string form keys the initial encoder and the model's cluster map.
+    // Refuse typed instead of NPE-ing in toString below.
+    require(!xVals.contains(null),
+      s"InformationBottleneck: ${$(featuresCol)} contains NULL keys — a " +
+        "null row has no encoder entry. Filter null rows or coalesce the " +
+        "column to a sentinel value before fitting.")
     val numX = xVals.length
     val numY = yVals.length
     val total = joint.map(_.sum).sum

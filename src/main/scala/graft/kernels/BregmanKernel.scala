@@ -499,8 +499,12 @@ object KernelFactory {
     * `setDivergence("beta15")`, and the estimator's smoothing param flows
     * into the kernel as usual.
     */
-  def registerBeta(name: String, beta: Double): Unit =
+  def registerBeta(name: String, beta: Double): Unit = {
+    // validate beta EAGERLY: a bad value must fail at the (possibly
+    // py4j) registration call site, not at the first fit hours later
+    new BetaDivergenceKernel(beta)
     register(name, smoothing => new BetaDivergenceKernel(beta, smoothing))
+  }
 
   private val builtinNames = Set(
     "squaredeuclidean", "se", "euclidean", "l2",

@@ -92,6 +92,29 @@ class AsofJoinSpec extends SparkSpec {
       s"as-of join must not plan a pair blow-up:\n$plan")
   }
 
+  test("null-valued snapshots: lookup and join carry ts + NULL identically") {
+    // the null contract both forms document: a snapshot that EXISTS but
+    // has a NULL value is still the latest observation — matched, value
+    // carried as NULL (r13 rehearsal: the lookup's primitive index used
+    // to silently drop these, desyncing the two as-of forms)
+    val lefts = Seq((1L, 100L, 10L), (2L, 100L, 2L)).toDF("id", "k", "ts")
+    val snaps = Seq((7L, 100L, 5L, Option.empty[Double]), (6L, 100L, 3L, Some(4.5)))
+      .toDF("snap_id", "k", "ts", "pv")
+    def rowsOf(df: DataFrame) = df.select("id", "asof_ts", "asof_pv")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+    val viaLookup = rowsOf(
+      AsofJoin.asofLookup(lefts, snaps, "k", "ts", "pv", "snap_id"))
+    val viaJoin = rowsOf(
+      AsofJoin.asofJoin(lefts, snaps, "k", "ts", Seq("pv"), "snap_id"))
+    assert(viaLookup == viaJoin, s"lookup $viaLookup != join $viaJoin")
+    // event at ts=10 matches the null-valued snapshot at ts=5: ts set, pv NULL
+    assert(viaLookup.head == ((1L, Some(5L), None)))
+    // event at ts=2 predates every snapshot: both NULL
+    assert(viaLookup(1) == ((2L, None, None)))
+  }
+
   test("output-name collision and empty rightCols are rejected with remediation") {
     val lBad = left.withColumnRenamed("event_id", "asof_state")
     val e = intercept[IllegalArgumentException] {
