@@ -1632,6 +1632,58 @@ object SparkEntry {
       // oracle-checked against a DuckDB full self-join.
       Dedup.minhashDedup(t(dir, "documents"), "doc_id", "text", threshold = 0.7)
     },
+    // EXACT-recall Jaccard self-join (prefix filtering, AllPairs/PPJoin):
+    // the oracle is a deliberately INDEPENDENT brute-force all-pairs
+    // reconstruction, so the hash check verifies the filter chain's
+    // no-missed-pair guarantee end to end, not just the arithmetic.
+    // Prefix-truncated variants (60% and 25% of tokens for doc_id%13==0)
+    // populate the mid-Jaccard band so the 0.50 threshold and the length
+    // filter genuinely discriminate (J≈0.6 in, J≈0.25 out); null source
+    // text yields null variant text (rule 10) and no pair membership.
+    "q_jaccard_join" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents").select(col("doc_id"), col("text"))
+      def prefixTrunc(offset: Long, mulNum: Long, addDen: Long, den: Long): DataFrame = {
+        val toks = split(col("text"), " ")
+        val keep = call_function("div",
+          size(toks).cast("long") * lit(mulNum) + lit(addDen), lit(den))
+        docs.where(col("doc_id") % 13 === 0).select(
+          (col("doc_id") + lit(offset)).as("doc_id"),
+          when(col("text").isNull, lit(null).cast("string"))
+            .otherwise(concat_ws(" ", slice(toks, lit(1), keep.cast("int"))))
+            .as("text"))
+      }
+      val corpus = docs
+        .unionByName(prefixTrunc(2000000L, 3L, 4L, 5L)) // first ceil(3n/5) tokens
+        .unionByName(prefixTrunc(4000000L, 1L, 3L, 4L)) // first ceil(n/4) tokens
+      graft.ops.SetSimJoin.jaccardJoin(corpus, "doc_id", "text",
+        thresholdPct = 50, shingleSize = 3)
+    },
+    // Count-min-sketch heavy hitters over word-bigram OCCURRENCES:
+    // depth 4 × width 2048 md5 cells, threshold 40. The md5 bucket
+    // scheme replays bit-for-bit in SQL, so the one-sided estimates
+    // (est ≥ true count, no false negatives) hash-check exactly — at
+    // these parameters the output holds all 54 true ≥40 bigrams plus a
+    // small collision-added tail, the sketch behavior under test.
+    "q_cms_heavy" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val items = t(dir, "documents")
+        .select(explode(
+          graft.ops.TextOps.wordShingleOccurrences(col("text"), 2)).as("k"))
+        .where(col("k") =!= "")
+      graft.ops.Sketches.heavyHitters(items, "k",
+        depth = 4, width = 2048, seed = "cms13", threshold = 40L)
+    },
+    // Intra-document chunk dedup (keep-first over non-overlapping
+    // 2-token chunks): one tight per-row UDF pass, zero shuffles;
+    // null text → null clean_text with zero counts (rule 10).
+    "q_chunk_dedup" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.TextOps.dedupChunksWithin(t(dir, "documents"),
+          "doc_id", "text", chunkTokens = 2)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_chunks"), col("n_kept"), col("n_removed"))
+    },
     // Incremental ingest dedup: batch (doc_id % 7 == 0) deduped against
     // the already-ingested rest WITHOUT corpus-sized work — store probe +
     // exact confirm on matched ids only. Threshold 0.7 makes LSH recall
@@ -4260,6 +4312,79 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
         |WHERE round(len(list_intersect(a.s, b.s)) * 1.0
         |      / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.7""".stripMargin,
+    // Deliberately INDEPENDENT of the engine's prefix-filter plan: a
+    // brute-force all-pairs shared-shingle join — a hash match proves the
+    // AllPairs/PPJoin filter chain misses no qualifying pair. Integer
+    // threshold compare (inter*100 >= pct*union); jaccard is output-only.
+    "q_jaccard_join" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    CASE WHEN text IS NULL THEN NULL ELSE array_to_string(
+        |      string_split(text, ' ')[1 : (len(string_split(text, ' ')) * 3 + 4) // 5], ' ') END
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |    CASE WHEN text IS NULL THEN NULL ELSE array_to_string(
+        |      string_split(text, ' ')[1 : (len(string_split(text, ' ')) + 3) // 4], ' ') END
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |sh AS (SELECT doc_id, s
+        |  FROM (SELECT doc_id, ${shingleRowsSql(3)} AS s FROM corpus) WHERE s <> ''),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(inter * 1.0 / (la.len + lb.len - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sz la ON la.doc_id = id_a
+        |JOIN sz lb ON lb.doc_id = id_b
+        |WHERE inter * 100 >= 50 * (la.len + lb.len - inter)""".stripMargin,
+    // Bit-for-bit CMS replay: same md5 cell scheme ('cms13:r:key' first 8
+    // hex % 2048), same depth-4 min — pure integer arithmetic throughout.
+    "q_cms_heavy" ->
+      s"""WITH occ AS (
+        |  SELECT k FROM (
+        |    SELECT unnest(${shingleOccurrencesSql(2)}) AS k FROM documents)
+        |  WHERE k <> ''),
+        |cells AS (
+        |  SELECT r,
+        |    CAST(('0x' || substr(md5('cms13:' || r::VARCHAR || ':' || k), 1, 8))::UBIGINT
+        |      % 2048 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM occ CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+        |kb AS (
+        |  SELECT k, r,
+        |    CAST(('0x' || substr(md5('cms13:' || r::VARCHAR || ':' || k), 1, 8))::UBIGINT
+        |      % 2048 AS BIGINT) AS bucket
+        |  FROM (SELECT DISTINCT k FROM occ) CROSS JOIN range(4) t(r))
+        |SELECT k, est FROM (
+        |  SELECT k, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+        |  FROM kb LEFT JOIN cells USING (r, bucket) GROUP BY k)
+        |WHERE est >= 40""".stripMargin,
+    // Keep-first over non-overlapping 2-token chunks; null text → null
+    // clean_md5 with zero counts on BOTH sides (rule 10).
+    "q_chunk_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN NULL
+        |      ELSE list_transform(range(0, (len(string_split(text, ' ')) + 1) // 2),
+        |        i -> array_to_string(string_split(text, ' ')[i*2+1 : i*2+2], ' ')) END AS chunks
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, chunks,
+        |    list_transform(
+        |      list_filter(range(0, len(chunks)), i -> list_position(chunks, chunks[i+1]) = i+1),
+        |      i -> chunks[i+1]) AS kept
+        |  FROM c)
+        |SELECT doc_id,
+        |  md5(CASE WHEN chunks IS NULL THEN NULL ELSE array_to_string(kept, ' ') END) AS clean_md5,
+        |  CAST(coalesce(len(chunks), 0) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(len(chunks), 0) - coalesce(len(kept), 0) AS BIGINT) AS n_removed
+        |FROM k""".stripMargin,
     // Full simhash replay: per-token md5Long (first 8 md5 bytes), 64
     // bit-votes, sign-bit signature, 4x16-bit band self-join (with the
     // operator's maxBucketSize=4096 skew guard replayed as a HAVING

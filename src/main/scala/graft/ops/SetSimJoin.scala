@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** EXACT-recall set-similarity self-join via prefix filtering (AllPairs:
+  * Bayardo, Ma & Srikant WWW'07 "Scaling up all pairs similarity search";
+  * length/prefix filters per PPJoin: Xiao, Wang, Lin & Yu WWW'08): every
+  * document pair whose word-shingle Jaccard reaches the threshold is
+  * returned — NO probabilistic recall loss, in contrast to
+  * [[Dedup.minhashCandidates]] (recall = 1-(1-s^r)^b) and
+  * [[Dedup.simhashCandidates]]. The price is sensitivity to corpus
+  * redundancy: the candidate set is provably complete, so on a corpus of
+  * n identical documents it IS the n²/2 output — exactness has no
+  * sub-output-size escape hatch. Use this when a dedup decision must be
+  * auditable ("no qualifying pair was missed"); use MinHash when a
+  * bounded false-negative rate buys a smaller join.
+  *
+  * Why it is sub-quadratic on real corpora: shingles are ranked rarest
+  * first (global document frequency ascending, shingle ascending as the
+  * deterministic tie-break), and a document of |s| shingles exposes only
+  * its first |s| − ⌈t·|s|⌉ + 1 shingles to the join — two documents can
+  * reach Jaccard t only if they share a shingle in these prefixes (the
+  * pigeonhole bound), and prefix shingles are by construction the RAREST
+  * in the corpus, so join buckets stay small. A length filter
+  * (min·100 ≥ pct·max) prunes candidates whose sizes alone cap Jaccard
+  * below t before any set is compared.
+  *
+  * Plan shape: one shingle explode (fanned out), one hash-agg for
+  * document frequency, one per-document rank window (shuffles shingle
+  * rows by doc id), the prefix equi-join on rare shingles, then the exact
+  * verify joins only CANDIDATE ids back to full shingle sets. The
+  * threshold compare is pure integer arithmetic on both engine and oracle
+  * sides (inter·100 ≥ pct·union — house rule 1); the float Jaccard is an
+  * output-only column. Null/empty text yields no shingles and therefore
+  * no membership in any pair (rule-10 explicit policy; '' shingles from
+  * empty text are dropped on both sides).
+  *
+  * Skew refuse-guard: if any prefix-shingle join bucket exceeds
+  * `graft.setjoin.maxPrefixBucket` (default 1,000,000) the join REFUSES
+  * with remediation instead of silently dropping pairs — dropping would
+  * break the exactness contract that is this operator's whole point, and
+  * a bucket that size means the corpus is so self-similar that the exact
+  * output is quadratic anyway (the MinHash path is the remediation).
+  */
+object SetSimJoin {
+
+  private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** All pairs (id_a < id_b) with word-`shingleSize`-gram Jaccard ≥
+    * thresholdPct/100, with the exact Jaccard (round 6) per pair.
+    * Output: (id_a, id_b, jaccard).
+    */
+  def jaccardJoin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdPct: Int = 80,
+      shingleSize: Int = 3): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1,100], got $thresholdPct")
+    val spark = docs.sparkSession
+    val pct = lit(thresholdPct.toLong)
+
+    // (id, shingle): DISTINCT word shingles per doc; null text -> none,
+    // '' (from empty text) dropped. Persisted: read by the df pass, the
+    // rank pass and the verify join below.
+    val sh = Dedup.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), explode(TextOps.wordShingles(col("__txt"), shingleSize)).as("s"))
+      .where(col("s") =!= "")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "s")
+      .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+    // prefix length p = len - ceil(len*pct/100) + 1 (pigeonhole bound)
+    val prefix = ranked
+      .where(col("r") <= col("len") - idiv(col("len") * pct + lit(99L), lit(100L)) + lit(1L))
+      .select(col("s"), col("id"), col("len"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxBucket = spark.conf.getOption("graft.setjoin.maxPrefixBucket")
+      .map(_.toLong).getOrElse(1000000L)
+    val worst = prefix.groupBy("s").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
+    if (worst > maxBucket) {
+      prefix.unpersist(); sh.unpersist()
+      throw new IllegalArgumentException(
+        s"jaccardJoin: a prefix-shingle bucket has $worst documents (cap " +
+          s"$maxBucket via graft.setjoin.maxPrefixBucket). Exact-recall " +
+          "joining cannot drop buckets without breaking its no-missed-pair " +
+          "contract, and a bucket this size makes the exact output itself " +
+          "near-quadratic - use Dedup.minhashCandidates (bounded false-" +
+          "negative rate, bounded buckets) for this corpus.")
+    }
+
+    // Distinct alias names on each side: a self-join on the SAME cached
+    // plan with a shared column name resolves to a trivially-true
+    // predicate (both sides bind to one attribute) and the prefix filter
+    // silently vanishes from the plan.
+    val a = prefix.select(col("s").as("s_a"), col("id").as("id_a"), col("len").as("len_a"))
+    val b = prefix.select(col("s").as("s_b"), col("id").as("id_b"), col("len").as("len_b"))
+    val cand = a.join(b,
+        col("s_a") === col("s_b") && col("id_a") < col("id_b") &&
+          least(col("len_a"), col("len_b")) * lit(100L) >=
+            pct * greatest(col("len_a"), col("len_b")))
+      .select("id_a", "id_b").distinct()
+
+    val sets = sh.groupBy("id").agg(
+      sort_array(collect_list("s")).as("sh"),
+      count(lit(1)).as("len"))
+    val result = cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("len").as("la")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("len").as("lb")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni", col("la") + col("lb") - col("inter"))
+      .where(col("inter") * lit(100L) >= pct * col("uni"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+    // Same release discipline as embeddingNearDup: materialize the pairs
+    // eagerly (persist+count, releasable), then drop the two internal
+    // caches instead of pinning them for the caller's lifetime. The
+    // CALLER owns the returned frame's release.
+    val out = result.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    prefix.unpersist()
+    sh.unpersist()
+    out
+  }
+}

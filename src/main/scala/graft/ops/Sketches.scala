@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005, "An improved data
+  * stream summary: the count-min sketch and its applications") as a
+  * first-class DISTRIBUTED frame: `depth × width` counter cells held as a
+  * (r, bucket, cnt) DataFrame rather than a driver-side array. The sketch
+  * is a pure sum over cells, so it is mergeable by construction — partial
+  * aggregation combines map-side and the one shuffle carries at most
+  * depth·width cells per input partition, never token instances. That is
+  * the property that makes it a 100-TB operator: a corpus-wide frequency
+  * summary whose shuffle volume is O(depth·width·partitions) regardless of
+  * corpus size, and whose result (a few thousand rows) broadcasts for
+  * free into every later probe.
+  *
+  * Bucket hashes are the house ENGINE-PORTABLE md5 scheme
+  * (`('0x' || substr(md5(seed || ':' || r || ':' || key), 1, 8))::UBIGINT
+  * % width` in any SQL engine — same pattern as the feature-hashed NB
+  * classifier, `Classify.md5Bucket`), so every estimate replays
+  * bit-for-bit in the DuckDB oracle (q_cms_heavy). Pure integer
+  * arithmetic end to end (house rule 1).
+  *
+  * Estimates are one-sided: est(k) = min over rows of the k-bucketed cell
+  * sums ≥ true count, always — so a threshold filter over estimates has
+  * NO false negatives (every genuinely heavy key survives; collisions can
+  * only add false positives). The reference engine has no sketch layer;
+  * this is `graft.ops` pipeline surface beyond it, complementing the
+  * exact vocabulary pass (`TextOps.vocabStats`) and the HLL cardinality
+  * variant (`TextOps.approxVocabStats`).
+  */
+object Sketches {
+
+  /** Engine-portable CMS bucket for hash row `r`: first 8 hex chars of
+    * md5("seed:r:key") as a 32-bit unsigned value, mod width.
+    */
+  private def cmsBucket(key: org.apache.spark.sql.Column, r: Int, width: Int,
+      seed: String): org.apache.spark.sql.Column =
+    pmod(
+      conv(substring(md5(concat(lit(s"$seed:$r:"), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long"),
+      lit(width.toLong))
+
+  /** The depth bucket coordinates of a key, as one exploded (r, bucket)
+    * pair per hash row — shared by build (cell sums) and probe (cell
+    * lookups) so the two sides can never desynchronize.
+    */
+  private def bucketPairs(key: org.apache.spark.sql.Column, depth: Int, width: Int,
+      seed: String): org.apache.spark.sql.Column =
+    explode(array((0 until depth).map(r =>
+      struct(lit(r).as("r"), cmsBucket(key, r, width, seed).as("bucket"))): _*))
+
+  /** Build the sketch over one item frame: each input row contributes its
+    * weight (default 1) to one cell per hash row. NULL keys are skipped
+    * (a NULL has no frequency identity — rule-10 explicit policy), as are
+    * NULL weights. Single scan: the depth-way fan-out is a per-row array
+    * explode feeding a hash aggregate whose group count is ≤ depth·width,
+    * so the partial agg combines map-side and the shuffle carries cells.
+    *
+    * Returns (r INT, bucket BIGINT, cnt BIGINT) — only touched cells are
+    * present; absent cells are zero ([[estimate]] fills them).
+    */
+  def build(
+      items: DataFrame,
+      keyCol: String,
+      depth: Int,
+      width: Int,
+      seed: String,
+      weightCol: Option[String] = None): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val w = weightCol.map(c => col(c)).getOrElse(lit(1L)).cast("long")
+    Dedup.fanOut(items.select(col(keyCol).as("__k"), w.as("__w")))
+      .where(col("__k").isNotNull && col("__w").isNotNull)
+      .select(bucketPairs(col("__k"), depth, width, seed).as("rb"), col("__w"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum("__w").as("cnt"))
+  }
+
+  /** Point-estimate counts for a key frame against a built sketch:
+    * est = min over the depth cells the key hashes to (0 for never-touched
+    * cells). The sketch side (≤ depth·width rows) broadcasts, so probing
+    * any number of keys is one broadcast join + a depth-row min per key —
+    * no shuffle of the key frame beyond its own dedup.
+    * Returns (keyCol, est BIGINT).
+    */
+  def estimate(
+      sketch: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      depth: Int,
+      width: Int,
+      seed: String): DataFrame = {
+    val kb = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
+      .select(col(keyCol), bucketPairs(col(keyCol), depth, width, seed).as("rb"))
+      .select(col(keyCol), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    kb.join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy(keyCol).agg(min("cnt").as("est"))
+  }
+
+  /** Heavy hitters over an item frame: keys whose CMS estimate reaches
+    * `threshold`. One-sided guarantee: every key with true count ≥
+    * threshold IS returned (estimates only over-count); collisions may
+    * add keys whose true count is below it — callers needing exactness
+    * join the survivors back for an exact count of the (small) candidate
+    * set, which is the classic two-pass sketch-then-verify shape.
+    *
+    * `candidates` supplies the probe keys. Pass None to probe the item
+    * frame's own distinct keys — exact and simple, but at extreme
+    * cardinality that distinct is itself a shuffle of the key space; at
+    * that scale pass a restricted candidate frame (e.g. per-partition
+    * local top-m, a prior round's survivors, a domain vocabulary) and the
+    * probe cost is the candidate count, not the corpus.
+    * Returns (keyCol, est BIGINT), heaviest first, key-ordered on ties.
+    */
+  def heavyHitters(
+      items: DataFrame,
+      keyCol: String,
+      depth: Int,
+      width: Int,
+      seed: String,
+      threshold: Long,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val sk = build(items, keyCol, depth, width, seed)
+    estimate(sk, candidates.getOrElse(items), keyCol, depth, width, seed)
+      .where(col("est") >= threshold)
+      .orderBy(col("est").desc, col(keyCol))
+  }
+}

@@ -332,6 +332,80 @@ object TextOps {
       round((total - distinctN).cast("double") / total, 6))
   }
 
+  /** Intra-document chunk dedup — the REMOVAL counterpart of the
+    * [[dupLineFraction]]/[[dupNgramFraction]] detectors: split the token
+    * stream into consecutive NON-overlapping `chunkTokens`-token chunks
+    * (the last chunk may be short), keep each chunk only at its FIRST
+    * occurrence within the document, and reassemble the survivors in
+    * their original order. This is the cheap in-document tier of
+    * repetition cleaning (crawler loops, boilerplate echoes) that runs
+    * before any cross-document pass ([[graft.ops.Dedup.substringDedup]]
+    * covers cross-doc spans; reference has no in-doc removal at all).
+    *
+    * A single tight per-row UDF pass (the [[dupNgramFractions]]
+    * precedent): tokenize once, hash each chunk into a per-row HashSet,
+    * rebuild — O(len) per document. NOT an array-expression pipeline: a
+    * HOF formulation (`filter` + `array_position` over a transform) is
+    * quadratic per row AND gets its whole tree inlined into downstream
+    * predicates by CollapseProject/filter-pushdown, where interpreted
+    * higher-order eval re-splits the text once per element — measured as
+    * a multi-minute hang when two passes compose (each reference to the
+    * inner pass's output re-evaluates it, O(n⁴) string work per row).
+    * Still a pure narrow projection: zero shuffles, embarrassingly
+    * parallel at any corpus size.
+    *
+    * Null policy (rule 10): null text → null clean_text, zero counts.
+    * Output: (idCol, clean_text, n_chunks, n_kept, n_removed), counts
+    * BIGINT.
+    */
+  def dedupChunksWithin(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val n = chunkTokens
+    val f = udf { (s: String) =>
+      if (s == null) (null.asInstanceOf[String], 0L, 0L, 0L)
+      else {
+        val toks = s.split(" ", -1)
+        val nChunks = (toks.length + n - 1) / n
+        val seen = new java.util.HashSet[String]()
+        val sb = new java.lang.StringBuilder
+        var kept = 0L
+        var i = 0
+        while (i < nChunks) {
+          val hi = math.min((i + 1) * n, toks.length)
+          val chunk = {
+            val cb = new java.lang.StringBuilder
+            var j = i * n
+            while (j < hi) {
+              if (j > i * n) cb.append(' ')
+              cb.append(toks(j))
+              j += 1
+            }
+            cb.toString
+          }
+          if (seen.add(chunk)) {
+            if (kept > 0L) sb.append(' ')
+            sb.append(chunk)
+            kept += 1L
+          }
+          i += 1
+        }
+        (sb.toString, nChunks.toLong, kept, nChunks.toLong - kept)
+      }
+    }
+    docs
+      .withColumn("__cd", f(col(textCol)))
+      .select(
+        col(idCol),
+        col("__cd._1").as("clean_text"),
+        col("__cd._2").as("n_chunks"),
+        col("__cd._3").as("n_kept"),
+        col("__cd._4").as("n_removed"))
+  }
+
   /** All requested n-gram duplicate fractions from ONE tokenization pass
     * (a scala UDF; the pure-expression [[dupNgramFraction]] runs an
     * interpreted higher-order transform + distinct per n). Bit-identical
@@ -424,19 +498,28 @@ object TextOps {
         sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
         i => text.substr(i, lit(n))))
 
-  /** Word n-gram shingles (distinct). */
-  def wordShingles(text: Column, n: Int): Column = {
+  /** Word n-gram shingle OCCURRENCES — every position's n-gram, WITH
+    * repeats ([[wordShingles]] minus the distinct): the multiset view
+    * frequency consumers need (count-min sketches, n-gram counting),
+    * where collapsing repeats would under-count. Same null policy as
+    * [[wordShingles]]: null text → NO shingles. SQL mirror:
+    * `shingleOccurrencesSql` in the oracle harness.
+    */
+  def wordShingleOccurrences(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    val sh = array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val sh = transform(
+      sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
     // null text -> NO shingles (concat_ws would otherwise silently turn
     // the NULL token array into one '' shingle, giving every null-text
     // doc an identical phantom shingle — catastrophic for dedup, where
     // they would all collide into one near-dup cluster)
     when(text.isNull, array().cast("array<string>")).otherwise(sh)
   }
+
+  /** Word n-gram shingles (distinct). */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordShingleOccurrences(text, n))
 
   /** EXACT vocabulary statistics: per token, document frequency and total
     * term frequency. Two-level aggregation — partial (token, doc) counts

@@ -1,0 +1,179 @@
+package graft
+
+import graft.ops.{Sketches, SetSimJoin, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-17 pipeline additions: count-min-sketch frequency layer,
+  * exact-recall Jaccard self-join (prefix filtering), intra-document
+  * chunk dedup.
+  */
+class SketchOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- count-min sketch ----
+
+  /** Zipf-ish token stream with a known exact count per key. */
+  private def tokenStream: DataFrame = {
+    val rows = (1 to 40).flatMap { k =>
+      // key k appears 201-5k times: k=1 -> 196, k=40 -> 1
+      Seq.fill(math.max(201 - 5 * k, 1))(s"tok$k")
+    }
+    rows.toDF("k")
+  }
+
+  test("CMS estimates are one-sided: est >= exact for every key") {
+    val items = tokenStream
+    val sk = Sketches.build(items, "k", depth = 3, width = 16, seed = "t1")
+    val est = Sketches.estimate(sk, items, "k", depth = 3, width = 16, seed = "t1")
+    val exact = items.groupBy("k").agg(count(lit(1)).as("exact"))
+    val joined = est.join(exact, "k").collect()
+    assert(joined.length == 40)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"under-estimate for ${r.getAs[String]("k")}")
+    }
+  }
+
+  test("CMS is exact when the width is collision-free") {
+    val items = tokenStream
+    val sk = Sketches.build(items, "k", depth = 4, width = 1 << 16, seed = "t2")
+    val est = Sketches.estimate(sk, items, "k", depth = 4, width = 1 << 16, seed = "t2")
+    val exact = items.groupBy("k").agg(count(lit(1)).as("exact"))
+    assert(est.join(exact, "k").where(col("est") =!= col("exact")).count() == 0)
+  }
+
+  test("heavyHitters has no false negatives and honors weights") {
+    val items = tokenStream
+    val thr = 100L
+    val exactHeavy = items.groupBy("k").agg(count(lit(1)).as("c"))
+      .where(col("c") >= thr).select("k").as[String].collect().toSet
+    val got = Sketches.heavyHitters(items, "k", depth = 3, width = 16,
+      seed = "t3", threshold = thr).select("k").as[String].collect().toSet
+    assert(exactHeavy.subsetOf(got), s"missing: ${exactHeavy.diff(got)}")
+
+    // weighted build: one row of weight w == w rows of weight 1
+    val weighted = items.groupBy("k").agg(count(lit(1)).as("w"))
+    val skW = Sketches.build(weighted, "k", depth = 3, width = 1 << 16,
+      seed = "t4", weightCol = Some("w"))
+    val skU = Sketches.build(items, "k", depth = 3, width = 1 << 16, seed = "t4")
+    assert(skW.unionByName(skU).distinct().count() == skW.count())
+  }
+
+  test("CMS skips null keys and null weights (rule-10 policy)") {
+    val items = Seq(("a", java.lang.Long.valueOf(2L)), (null, java.lang.Long.valueOf(5L)),
+      ("b", null.asInstanceOf[java.lang.Long])).toDF("k", "w")
+    val sk = Sketches.build(items, "k", depth = 2, width = 8, seed = "t5",
+      weightCol = Some("w"))
+    // only 'a' contributes: total mass per hash row is 2
+    val mass = sk.groupBy("r").agg(sum("cnt").as("m")).select("m").as[Long].collect()
+    assert(mass.toSeq == Seq(2L, 2L))
+    val est = Sketches.estimate(sk, Seq("a", "b").toDF("k"), "k",
+      depth = 2, width = 8, seed = "t5")
+    val m = est.as[(String, Long)].collect().toMap
+    assert(m("a") == 2L && m("b") <= 2L) // b absent; only collision mass
+  }
+
+  // ---- exact-recall Jaccard join ----
+
+  /** Corpus with exact dups, prefix-truncated near-dups, unrelated docs,
+    * and the rule-10 edge cases (null / empty / single-token text).
+    */
+  private def simCorpus: DataFrame = {
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(19)
+    val base = (0L until 40L).map { i =>
+      (i, Seq.fill(24)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val dups = base.take(6).map { case (i, t) => (i + 100L, t) }
+    val trunc = base.slice(6, 12).map { case (i, t) =>
+      (i + 200L, t.split(" ").take(17).mkString(" ")) // ~70% of tokens
+    }
+    val edge = Seq((300L, null.asInstanceOf[String]), (301L, ""), (302L, "alpha"))
+    (base ++ dups ++ trunc ++ edge).toDF("doc_id", "text")
+  }
+
+  /** Brute-force ground truth from the same shingle definition. */
+  private def bruteJaccard(docs: DataFrame, pct: Int, n: Int): Set[(Long, Long, Double)] = {
+    val sets = docs.select(col("doc_id"),
+        TextOps.wordShingles(col("text"), n).as("sh"))
+      .withColumn("sh", filter(col("sh"), _ =!= ""))
+      .where(size(col("sh")) > 0)
+    val a = sets.select(col("doc_id").as("ia"), col("sh").as("sa"))
+    val b = sets.select(col("doc_id").as("ib"), col("sh").as("sb"))
+    a.crossJoin(b).where(col("ia") < col("ib"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
+      .where(col("inter") * 100 >= lit(pct.toLong) * col("uni"))
+      .select(col("ia"), col("ib"),
+        round(col("inter").cast("double") / col("uni"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("jaccardJoin equals brute force exactly (no missed pair, no extra)") {
+    for (pct <- Seq(40, 60, 85)) {
+      val got = SetSimJoin.jaccardJoin(simCorpus, "doc_id", "text",
+        thresholdPct = pct, shingleSize = 3)
+      val gotSet = got.as[(Long, Long, Double)].collect().toSet
+      got.unpersist()
+      assert(gotSet == bruteJaccard(simCorpus, pct, 3), s"pct=$pct")
+    }
+  }
+
+  test("jaccardJoin: null/empty/short docs never join; exact dups J=1") {
+    val got = SetSimJoin.jaccardJoin(simCorpus, "doc_id", "text", 50, 3)
+    val pairs = got.as[(Long, Long, Double)].collect()
+    got.unpersist()
+    assert(!pairs.exists(p => p._1 >= 300L || p._2 >= 300L))
+    val dupPairs = pairs.filter(p => p._2 == p._1 + 100L)
+    assert(dupPairs.length == 6 && dupPairs.forall(_._3 == 1.0))
+  }
+
+  test("jaccardJoin refuses oversized prefix buckets with remediation") {
+    val clones = (0L until 50L).map(i => (i, "x y z w v u t s r q")).toDF("doc_id", "text")
+    spark.conf.set("graft.setjoin.maxPrefixBucket", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SetSimJoin.jaccardJoin(clones, "doc_id", "text", 80, 3)
+      }
+      assert(e.getMessage.contains("graft.setjoin.maxPrefixBucket"))
+      assert(e.getMessage.contains("minhashCandidates"))
+    } finally spark.conf.unset("graft.setjoin.maxPrefixBucket")
+    // default cap: same corpus joins fine (49*50/2 identical-doc pairs)
+    val got = SetSimJoin.jaccardJoin(clones, "doc_id", "text", 80, 3)
+    assert(got.count() == 50L * 49L / 2)
+    got.unpersist()
+  }
+
+  // ---- intra-document chunk dedup ----
+
+  test("dedupChunksWithin keeps first occurrences, in order") {
+    val docs = Seq(
+      (1L, "a b a b c d a b"), // chunks [a b][a b][c d][a b] -> a b c d
+      (2L, "a b c"), // trailing short chunk [a b][c]
+      (3L, "x x x x x"), // [x x][x x][x] -> x x x
+      (4L, null.asInstanceOf[String]),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextOps.dedupChunksWithin(docs, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "a b c d", 4L, 2L, 2L)))
+    assert(out(1) == ((2L, "a b c", 2L, 2L, 0L)))
+    assert(out(2) == ((3L, "x x x", 3L, 2L, 1L)))
+    assert(out(3) == ((4L, null, 0L, 0L, 0L)))
+    assert(out(4) == ((5L, "", 1L, 1L, 0L)))
+  }
+
+  test("dedupChunksWithin is idempotent and is a no-op for distinct chunks") {
+    val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
+    val once = TextOps.dedupChunksWithin(docs, "doc_id", "text", 2)
+    val twice = TextOps.dedupChunksWithin(
+      once.select(col("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text", 2)
+    assert(twice.where(col("n_removed") > 0).count() == 0)
+    val kept = once.agg(sum("n_kept")).head().getLong(0)
+    val keptTwice = twice.agg(sum("n_kept")).head().getLong(0)
+    assert(kept == keptTwice)
+  }
+}
