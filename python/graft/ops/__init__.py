@@ -63,6 +63,11 @@ __all__ = [
     "exact_binary_dedup",
     "orphan_refs",
     "extract_features",
+    "jaccard_join",
+    "cms_build",
+    "cms_estimate",
+    "cms_heavy_hitters",
+    "dedup_chunks_within",
 ]
 
 
@@ -652,3 +657,83 @@ def fill_interpolate(
     next_ts, value)."""
     return _wrap(obs, _jvm(obs).graft.ops.AsofJoin.fillInterpolate(
         obs._jdf, key_col, ts_col, value_col, id_col, int(step_ms)))
+
+
+def jaccard_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 80,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """EXACT-recall Jaccard self-join via prefix filtering (AllPairs/
+    PPJoin): every pair with word-shingle Jaccard >= threshold_pct/100 is
+    returned — no probabilistic recall loss (contrast ``minhash_dedup``).
+    Refuses pathologically self-similar corpora instead of dropping
+    pairs (``graft.setjoin.maxPrefixBucket``). Returns
+    (id_a, id_b, jaccard); the frame is persisted — unpersist when done."""
+    return _wrap(docs, _jvm(docs).graft.ops.SetSimJoin.jaccardJoin(
+        docs._jdf, id_col, text_col, int(threshold_pct), int(shingle_size)))
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    seed: str,
+    weight_col: Optional[str] = None,
+) -> DataFrame:
+    """Build a count-min sketch over an item frame as a distributed
+    (r, bucket, cnt) cell frame — mergeable, shuffle bounded by
+    depth*width cells per partition at any corpus size."""
+    jvm = _jvm(items)
+    opt = jvm.scala.Option.apply(weight_col)
+    return _wrap(items, jvm.graft.ops.Sketches.build(
+        items._jdf, key_col, int(depth), int(width), seed, opt))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    seed: str,
+) -> DataFrame:
+    """One-sided frequency estimates (est >= true count, always) for a
+    key frame against a ``cms_build`` sketch. Returns (key, est)."""
+    return _wrap(keys, _jvm(keys).graft.ops.Sketches.estimate(
+        sketch._jdf, keys._jdf, key_col, int(depth), int(width), seed))
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    seed: str,
+    threshold: int,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Keys whose CMS estimate reaches ``threshold`` — guaranteed to
+    include every key whose TRUE count reaches it (collisions only add).
+    Pass a restricted ``candidates`` frame at extreme key cardinality."""
+    jvm = _jvm(items)
+    opt = jvm.scala.Option.apply(candidates._jdf if candidates is not None else None)
+    return _wrap(items, jvm.graft.ops.Sketches.heavyHitters(
+        items._jdf, key_col, int(depth), int(width), seed, threshold, opt))
+
+
+def dedup_chunks_within(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+) -> DataFrame:
+    """Intra-document repetition removal: keep-first dedup over
+    consecutive non-overlapping ``chunk_tokens``-token chunks, one O(len)
+    per-row pass, zero shuffles. Returns (id, clean_text, n_chunks,
+    n_kept, n_removed)."""
+    return _wrap(docs, _jvm(docs).graft.ops.TextOps.dedupChunksWithin(
+        docs._jdf, id_col, text_col, int(chunk_tokens)))

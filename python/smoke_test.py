@@ -422,6 +422,31 @@ def main() -> None:
         assert b15.numClusters == 2
         print("parametric beta-divergence registration ok")
 
+        # round-17 additions: exact-recall jaccard join, CMS sketch
+        # layer, intra-doc chunk dedup
+        jj = gops.jaccard_join(docs, "doc_id", "text", 50, 3)
+        assert set(jj.columns) == {"id_a", "id_b", "jaccard"}
+        assert jj.where("jaccard < 0.5").count() == 0
+        jj.unpersist()
+        from pyspark.sql import functions as F
+        items = docs.selectExpr("explode(split(text, ' ')) AS k") \
+            .where(F.col("k") != "")
+        sk = gops.cms_build(items, "k", 3, 64, "pysmoke")
+        assert sk.groupBy("r").count().count() <= 3
+        est = gops.cms_estimate(sk, items, "k", 3, 64, "pysmoke")
+        exact = items.groupBy("k").count()
+        under = est.join(exact, "k").where("est < count").count()
+        assert under == 0, "CMS under-estimated"
+        hh = gops.cms_heavy_hitters(items, "k", 3, 64, "pysmoke", 10)
+        heavy_exact = exact.where("count >= 10")
+        missed = heavy_exact.join(hh, "k", "left_anti").count()
+        assert missed == 0, "CMS heavy hitters missed a true heavy key"
+        cd = gops.dedup_chunks_within(docs, "doc_id", "text", 2)
+        assert cd.columns == [
+            "doc_id", "clean_text", "n_chunks", "n_kept", "n_removed"]
+        assert cd.where("n_kept + n_removed != n_chunks").count() == 0
+        print("round-17 sketch/setjoin/chunk-dedup bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()
