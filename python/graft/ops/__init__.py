@@ -68,6 +68,7 @@ __all__ = [
     "cms_estimate",
     "cms_heavy_hitters",
     "dedup_chunks_within",
+    "corpus_drift",
 ]
 
 
@@ -737,3 +738,17 @@ def dedup_chunks_within(
     n_kept, n_removed)."""
     return _wrap(docs, _jvm(docs).graft.ops.TextOps.dedupChunksWithin(
         docs._jdf, id_col, text_col, int(chunk_tokens)))
+
+
+def corpus_drift(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Token-level corpus drift by G2 log-likelihood frequency profiling
+    (Rayson & Garside 2000): which tokens are over/under-represented in
+    corpus ``a`` vs ``b``, with exact integer direction and support
+    filtering. Returns (token, cnt_a, cnt_b, dir, llr)."""
+    return _wrap(a, _jvm(a).graft.ops.TextOps.corpusDrift(
+        a._jdf, b._jdf, text_col, min_count))

@@ -445,7 +445,16 @@ def main() -> None:
         assert cd.columns == [
             "doc_id", "clean_text", "n_chunks", "n_kept", "n_removed"]
         assert cd.where("n_kept + n_removed != n_chunks").count() == 0
-        print("round-17 sketch/setjoin/chunk-dedup bindings ok")
+        ca = spark.createDataFrame(
+            [(1, "x x x x x y"), (2, "x x z")], ["doc_id", "text"])
+        cb = spark.createDataFrame(
+            [(3, "y y y y x z"), (4, "y y z")], ["doc_id", "text"])
+        dr = gops.corpus_drift(ca, cb, "text", 2)
+        assert dr.columns == ["token", "cnt_a", "cnt_b", "dir", "llr"]
+        assert dr.where("llr < 0").count() == 0
+        dirs = {r.token: r.dir for r in dr.collect()}
+        assert dirs["x"] == 1 and dirs["y"] == -1
+        print("round-17 sketch/setjoin/chunk-dedup/drift bindings ok")
 
         print("SMOKE TEST PASSED")
     finally:

@@ -1684,6 +1684,20 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_chunks"), col("n_kept"), col("n_removed"))
     },
+    // Corpus drift (G² frequency profiling, Rayson & Garside 2000)
+    // between the 'en' slice and everything else: the llr float is
+    // output-only (round 6); the row set is decided by the integer
+    // minCount filter and dir by integer cross-multiplication. Explicit
+    // null-lang policy: IS DISTINCT FROM on both sides, so null-lang
+    // docs land in corpus b instead of being dropped by `!=` (rule 10).
+    "q_corpus_drift" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.ops.TextOps.corpusDrift(
+        docs.where(col("lang") === "en"),
+        docs.where(not(col("lang") <=> "en")),
+        "text", minCount = 5L)
+    },
     // Incremental ingest dedup: batch (doc_id % 7 == 0) deduped against
     // the already-ingested rest WITHOUT corpus-sized work — store probe +
     // exact confirm on matched ids only. Threshold 0.7 makes LSH recall
@@ -4385,6 +4399,42 @@ object SparkEntry {
         |  CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept,
         |  CAST(coalesce(len(chunks), 0) - coalesce(len(kept), 0) AS BIGINT) AS n_removed
         |FROM k""".stripMargin,
+    // G² drift replay with operation-order-exact float structure
+    // (CAST-to-DOUBLE placement mirrors the engine); llr is output-only,
+    // the row set and dir are pure integer arithmetic.
+    "q_corpus_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE lang IS DISTINCT FROM 'en'),
+        |ca AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_a
+        |  FROM ta WHERE token <> '' GROUP BY token),
+        |cb AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt_b
+        |  FROM tb WHERE token <> '' GROUP BY token),
+        |j AS (
+        |  SELECT coalesce(ca.token, cb.token) AS token,
+        |    CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+        |    CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |tot AS (
+        |  SELECT CAST(coalesce(sum(cnt_a), 0) AS BIGINT) AS tot_a,
+        |    CAST(coalesce(sum(cnt_b), 0) AS BIGINT) AS tot_b FROM j)
+        |SELECT token, cnt_a, cnt_b,
+        |  CAST(CASE WHEN cnt_a * tot_b > cnt_b * tot_a THEN 1
+        |    WHEN cnt_a * tot_b < cnt_b * tot_a THEN -1 ELSE 0 END AS BIGINT) AS dir,
+        |  round(2.0 * (
+        |    CASE WHEN cnt_a > 0 THEN CAST(cnt_a AS DOUBLE)
+        |      * ln(CAST(cnt_a AS DOUBLE) / (CAST(tot_a AS DOUBLE)
+        |        * CAST(cnt_a + cnt_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE)))
+        |      ELSE 0.0 END
+        |    + CASE WHEN cnt_b > 0 THEN CAST(cnt_b AS DOUBLE)
+        |      * ln(CAST(cnt_b AS DOUBLE) / (CAST(tot_b AS DOUBLE)
+        |        * CAST(cnt_a + cnt_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE)))
+        |      ELSE 0.0 END), 6) + 0.0 AS llr
+        |FROM j, tot
+        |WHERE cnt_a + cnt_b >= 5""".stripMargin,
     // Full simhash replay: per-token md5Long (first 8 md5 bytes), 64
     // bit-votes, sign-bit signature, 4x16-bit band self-join (with the
     // operator's maxBucketSize=4096 skew guard replayed as a HAVING

@@ -54,6 +54,14 @@ object Dedup {
       // a union of scans has the same 1-task-per-unsplittable-file
       // exposure as a single scan
       case n: org.apache.spark.sql.catalyst.plans.logical.Union => n.children.forall(scanShaped)
+      // an explode over a scan multiplies ROWS but not PARTITIONS — the
+      // 1-task exposure survives it unchanged (caught live in round 17:
+      // Sketches.build over a caller-exploded n-gram frame hashed
+      // md5×depth per occurrence on one core). Repartitioning the
+      // exploded rows costs more than repartitioning the pre-explode
+      // projection would, but fanOut only fires when the plan is already
+      // serialized below half the cluster — strictly better than 1 task.
+      case n: org.apache.spark.sql.catalyst.plans.logical.Generate => scanShaped(n.child)
       case _ => false
     }
     if (!scanShaped(df.queryExecution.optimizedPlan)) return df

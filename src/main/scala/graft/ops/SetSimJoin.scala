@@ -30,13 +30,19 @@ import org.apache.spark.storage.StorageLevel
   *
   * Plan shape: one shingle explode (fanned out), one hash-agg for
   * document frequency, one per-document rank window (shuffles shingle
-  * rows by doc id), the prefix equi-join on rare shingles, then the exact
-  * verify joins only CANDIDATE ids back to full shingle sets. The
-  * threshold compare is pure integer arithmetic on both engine and oracle
-  * sides (inter·100 ≥ pct·union — house rule 1); the float Jaccard is an
-  * output-only column. Null/empty text yields no shingles and therefore
-  * no membership in any pair (rule-10 explicit policy; '' shingles from
-  * empty text are dropped on both sides).
+  * rows by doc id), the prefix equi-join on rare shingles, the PPJoin
+  * POSITIONAL filter (first-common-shingle upper bound, a groupBy-min
+  * per candidate pair — lossless), then a TWO-STAGE verify on candidate
+  * ids only: a 4-byte-hash-set prefilter (sound: hash Jaccard can only
+  * over-estimate unless a doc has a within-doc hash collision, which is
+  * detected exactly and routed to the exact stage) followed by the
+  * exact string-set compare on survivors — the wide join never carries
+  * the string arrays (measured 4× at a 100× corpus, PLANS round 17).
+  * The threshold compare is pure integer arithmetic on both engine and
+  * oracle sides (inter·100 ≥ pct·union — house rule 1); the float
+  * Jaccard is an output-only column. Null/empty text yields no shingles
+  * and therefore no membership in any pair (rule-10 explicit policy; ''
+  * shingles from empty text are dropped on both sides).
   *
   * Skew refuse-guard: if any prefix-shingle join bucket exceeds
   * `graft.setjoin.maxPrefixBucket` (default 1,000,000) the join REFUSES
@@ -76,10 +82,11 @@ object SetSimJoin {
       .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
       .withColumn("r", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("s"))))
-    // prefix length p = len - ceil(len*pct/100) + 1 (pigeonhole bound)
+    // prefix length p = len - ceil(len*pct/100) + 1 (pigeonhole bound);
+    // the rank rides along for the positional filter below
     val prefix = ranked
       .where(col("r") <= col("len") - idiv(col("len") * pct + lit(99L), lit(100L)) + lit(1L))
-      .select(col("s"), col("id"), col("len"))
+      .select(col("s"), col("id"), col("len"), col("r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val maxBucket = spark.conf.getOption("graft.setjoin.maxPrefixBucket")
       .map(_.toLong).getOrElse(1000000L)
@@ -100,18 +107,55 @@ object SetSimJoin {
     // plan with a shared column name resolves to a trivially-true
     // predicate (both sides bind to one attribute) and the prefix filter
     // silently vanishes from the plan.
-    val a = prefix.select(col("s").as("s_a"), col("id").as("id_a"), col("len").as("len_a"))
-    val b = prefix.select(col("s").as("s_b"), col("id").as("id_b"), col("len").as("len_b"))
-    val cand = a.join(b,
+    val a = prefix.select(col("s").as("s_a"), col("id").as("id_a"),
+      col("len").as("len_a"), col("r").as("r_a"))
+    val b = prefix.select(col("s").as("s_b"), col("id").as("id_b"),
+      col("len").as("len_b"), col("r").as("r_b"))
+    // POSITIONAL filter (PPJoin lemma 1, Xiao et al. WWW'08): both lists
+    // are sorted by the SAME global (df, shingle) order, so at the FIRST
+    // common shingle (minimal rank match) the two prefixes before it
+    // share nothing, hence inter <= 1 + min(len_a - r_a, len_b - r_b).
+    // J >= t  <=>  inter*(100+pct) >= pct*(la+lb), so pairs whose upper
+    // bound misses that line are pruned LOSSLESSLY before any set is
+    // materialized — on collision-dense corpora this removes most of the
+    // one-shared-rare-shingle noise the prefix join admits.
+    val candUb = a.join(b,
         col("s_a") === col("s_b") && col("id_a") < col("id_b") &&
           least(col("len_a"), col("len_b")) * lit(100L) >=
             pct * greatest(col("len_a"), col("len_b")))
-      .select("id_a", "id_b").distinct()
+      .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
+      .agg(min(struct(col("r_a"), col("r_b"))).as("fm"))
+      .where((lit(1L) + least(col("len_a") - col("fm.r_a"),
+          col("len_b") - col("fm.r_b"))) * (lit(100L) + pct) >=
+        pct * (col("len_a") + col("len_b")))
+      .select(col("id_a"), col("id_b"))
 
+    // Two-stage verify. Stage 1 (cheap, array of 4-byte int hashes): the
+    // hash-set Jaccard can only OVER-estimate the true one when neither
+    // doc has a WITHIN-doc hash collision (cross-doc collisions add to
+    // the intersection, within-doc collisions shrink a set) — and
+    // within-doc collisions are detected EXACTLY by size(hash set) <
+    // size(string set), which routes those rare docs (p ~ len²/2³³)
+    // straight to stage 2. So the prefilter is sound: no qualifying pair
+    // can fail it. Stage 2: exact string-set verify, now over surviving
+    // pairs only instead of every candidate — the string arrays, ~10x
+    // the bytes of the int arrays, never ride the wide join.
     val sets = sh.groupBy("id").agg(
       sort_array(collect_list("s")).as("sh"),
+      sort_array(collect_set(hash(col("s")))).as("hs"),
       count(lit(1)).as("len"))
-    val result = cand
+    val hsets = sets.select(col("id"), col("hs"), col("len"),
+      (size(col("hs")).cast("long") < col("len")).as("degen"))
+    val prefiltered = candUb
+      .join(hsets.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("len").as("la"), col("degen").as("dg_a")), "id_a")
+      .join(hsets.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("len").as("lb"), col("degen").as("dg_b")), "id_b")
+      .withColumn("ih", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .where(col("dg_a") || col("dg_b") ||
+        col("ih") * lit(100L) >= pct * (col("la") + col("lb") - col("ih")))
+      .select(col("id_a"), col("id_b"))
+    val result = prefiltered
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
         col("len").as("la")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),

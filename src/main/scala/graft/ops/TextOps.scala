@@ -856,6 +856,72 @@ object TextOps {
         idiv(col("__s"), col("n_bigrams")).as("score_micro"))
   }
 
+  /** Corpus drift by log-likelihood frequency profiling (Rayson &
+    * Garside 2000, "Comparing corpora using frequency profiling"): for
+    * every token, the G² log-likelihood-ratio of its rate differing
+    * between corpus `a` and corpus `b` — THE standard two-corpus
+    * comparison statistic, and the distribution-shift audit a training
+    * pipeline runs between crawl snapshots, between a candidate mix and
+    * its predecessor, or between a selected subset and its source.
+    * High-llr tokens are what changed; `dir` says which way (+1
+    * over-represented in `a`, −1 in `b`, 0 at exactly equal rates,
+    * decided by exact integer cross-multiplication — overflow-safe below
+    * ~3·10⁹ tokens per side; beyond that split the audit by domain,
+    * which is how it is read anyway).
+    *
+    * G² = 2·(na·ln(na/Ea) + nb·ln(nb/Eb)), Ea = tot_a·(na+nb)/(tot_a+
+    * tot_b); zero-count terms contribute 0 (x·ln x → 0). The float llr
+    * is OUTPUT-ONLY (round 6): the returned row SET is decided purely by
+    * the integer `minCount` support filter, never by a float compare
+    * (rule 1). Null text contributes no tokens; a token present in only
+    * one corpus gets cnt 0 on the other side explicitly (rule 10).
+    *
+    * Plan shape: two map-side-combined token hash-aggregations, one
+    * full-outer equi-join of token COUNTS (never occurrences), one-row
+    * totals broadcast — shuffles carry the vocabulary, not the corpus.
+    * Returns (token, cnt_a, cnt_b, dir, llr).
+    */
+  def corpusDrift(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    def counts(df: DataFrame, name: String): DataFrame =
+      Dedup.fanOut(df.select(col(textCol).as("__text")))
+        .select(explode(split(col("__text"), " ")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as(name))
+    val joined = counts(a, "cnt_a")
+      .join(counts(b, "cnt_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    // totals over the FULL vocabulary — the support filter prunes which
+    // rows are reported, not the corpus sizes the expectations divide by
+    val tots = joined.agg(
+      coalesce(sum("cnt_a"), lit(0L)).as("tot_a"),
+      coalesce(sum("cnt_b"), lit(0L)).as("tot_b"))
+    val withTots = joined.where(col("cnt_a") + col("cnt_b") >= minCount)
+      .crossJoin(broadcast(tots))
+    val sumAb = (col("cnt_a") + col("cnt_b")).cast("double")
+    val ea = col("tot_a").cast("double") * sumAb /
+      (col("tot_a") + col("tot_b")).cast("double")
+    val eb = col("tot_b").cast("double") * sumAb /
+      (col("tot_a") + col("tot_b")).cast("double")
+    val termA = when(col("cnt_a") > 0,
+      col("cnt_a").cast("double") * log(col("cnt_a").cast("double") / ea))
+      .otherwise(lit(0.0))
+    val termB = when(col("cnt_b") > 0,
+      col("cnt_b").cast("double") * log(col("cnt_b").cast("double") / eb))
+      .otherwise(lit(0.0))
+    val dir = when(col("cnt_a") * col("tot_b") > col("cnt_b") * col("tot_a"), lit(1L))
+      .when(col("cnt_a") * col("tot_b") < col("cnt_b") * col("tot_a"), lit(-1L))
+      .otherwise(lit(0L))
+    withTots.select(col("token"), col("cnt_a"), col("cnt_b"), dir.as("dir"),
+      (round(lit(2.0) * (termA + termB), 6) + lit(0.0)).as("llr"))
+  }
+
   /** Collocation extraction by pointwise mutual information (Church &
     * Hanks 1990; the phrase-mining pass of word2vec-style pipelines):
     * the top-`k` adjacent word pairs by corpus occurrence count with

@@ -165,6 +165,56 @@ class SketchOpsSpec extends SparkSpec {
     assert(out(4) == ((5L, "", 1L, 1L, 0L)))
   }
 
+  // ---- corpus drift (G² frequency profiling) ----
+
+  test("corpusDrift: known G², symmetry, direction, support filter") {
+    val a = Seq((1L, "x x x x x y"), (2L, "x x z")).toDF("doc_id", "text")
+    val b = Seq((3L, "y y y y x z"), (4L, "y y z")).toDF("doc_id", "text")
+    val got = TextOps.corpusDrift(a, b, "text", minCount = 2L)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // hand-computed: tot_a = 9, tot_b = 9
+    def g2(na: Long, nb: Long): Double = {
+      val (ta, tb) = (9.0, 9.0)
+      def term(n: Long, tot: Double) =
+        if (n == 0) 0.0 else n * math.log(n / (tot * (na + nb) / (ta + tb)))
+      BigDecimal(2.0 * (term(na, ta) + term(nb, tb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("x") == (("x", 7L, 1L, 1L, g2(7L, 1L))))
+    assert(got("y") == (("y", 1L, 6L, -1L, g2(1L, 6L))))
+    assert(got("z") == (("z", 1L, 2L, -1L, g2(1L, 2L))))
+
+    // symmetry: swapping the corpora preserves llr, flips dir
+    val swapped = TextOps.corpusDrift(b, a, "text", minCount = 2L)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    got.keySet.foreach { k =>
+      assert(swapped(k)._5 == got(k)._5 && swapped(k)._4 == -got(k)._4, k)
+    }
+
+    // identical corpora: llr 0, dir 0 everywhere
+    val same = TextOps.corpusDrift(a, a, "text", minCount = 2L)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(same.nonEmpty && same.forall(r => r._4 == 0L && r._5 == 0.0))
+
+    // support filter prunes rows but must NOT change surviving llr
+    // (totals come from the full vocabulary, not the filtered rows)
+    val loose = TextOps.corpusDrift(a, b, "text", minCount = 1L)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    got.keySet.foreach(k => assert(loose(k) == got(k), k))
+    assert(loose.keySet.size >= got.keySet.size)
+  }
+
+  test("corpusDrift null policy: null text contributes nothing") {
+    val a = Seq((1L, "x x y"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val b = Seq((3L, "x y y")).toDF("doc_id", "text")
+    val got = TextOps.corpusDrift(a, b, "text", minCount = 1L)
+      .agg(sum("cnt_a"), sum("cnt_b")).as[(Long, Long)].head()
+    assert(got == ((3L, 3L)))
+  }
+
   test("dedupChunksWithin is idempotent and is a no-op for distinct chunks") {
     val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
     val once = TextOps.dedupChunksWithin(docs, "doc_id", "text", 2)
