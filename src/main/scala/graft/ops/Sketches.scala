@@ -78,6 +78,18 @@ object Sketches {
       .agg(sum("__w").as("cnt"))
   }
 
+  /** Merge two sketches built with the SAME (depth, width, seed): cell
+    * sums add. This is the property that makes the sketch a distributed
+    * AND streaming object — per-partition partials, per-day partials, or
+    * per-micro-batch deltas all combine associatively. [[build]] on a
+    * STREAMING frame is the same thing expressed declaratively: Spark's
+    * incremental stateful aggregation maintains the ≤ depth·width
+    * running cells across micro-batches (state is the sketch itself),
+    * asserted batch-vs-stream in SketchOpsSpec.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+
   /** Point-estimate counts for a key frame against a built sketch:
     * est = min over the depth cells the key hashes to (0 for never-touched
     * cells). The sketch side (≤ depth·width rows) broadcasts, so probing

@@ -75,6 +75,32 @@ class SketchOpsSpec extends SparkSpec {
     assert(m("a") == 2L && m("b") <= 2L) // b absent; only collision mass
   }
 
+  test("CMS merge is associative partial combination; streaming build equals batch") {
+    val b1 = (1 to 300).map(i => s"tok${i % 7}").toDF("k")
+    val b2 = (1 to 200).map(i => s"tok${i % 11}").toDF("k")
+    val full = Sketches.build(b1.unionByName(b2), "k", 3, 32, "m1")
+    val merged = Sketches.merge(
+      Sketches.build(b1, "k", 3, 32, "m1"),
+      Sketches.build(b2, "k", 3, 32, "m1"))
+    assert(merged.unionByName(full).distinct().count() == full.count())
+
+    // streaming: the same build() as an incremental stateful aggregation,
+    // two micro-batches; Complete mode must equal the batch sketch
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val cells = Sketches.build(stream.toDS().toDF("k"), "k", 3, 32, "m1")
+    val query = cells.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData((1 to 300).map(i => s"tok${i % 7}"): _*)
+      query.processAllAvailable()
+      stream.addData((1 to 200).map(i => s"tok${i % 11}"): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+      assert(streamed.unionByName(full).distinct().count() == full.count())
+    } finally query.stop()
+  }
+
   // ---- exact-recall Jaccard join ----
 
   /** Corpus with exact dups, prefix-truncated near-dups, unrelated docs,
