@@ -723,7 +723,7 @@ def cms_heavy_hitters(
     jvm = _jvm(items)
     opt = jvm.scala.Option.apply(candidates._jdf if candidates is not None else None)
     return _wrap(items, jvm.graft.ops.Sketches.heavyHitters(
-        items._jdf, key_col, int(depth), int(width), seed, threshold, opt))
+        items._jdf, key_col, int(depth), int(width), seed, int(threshold), opt))
 
 
 def dedup_chunks_within(
@@ -751,4 +751,4 @@ def corpus_drift(
     corpus ``a`` vs ``b``, with exact integer direction and support
     filtering. Returns (token, cnt_a, cnt_b, dir, llr)."""
     return _wrap(a, _jvm(a).graft.ops.TextOps.corpusDrift(
-        a._jdf, b._jdf, text_col, min_count))
+        a._jdf, b._jdf, text_col, int(min_count)))

@@ -48,16 +48,24 @@ object SparkEntry {
     * safe, but a long-lived driver (PySpark session, sbt console) must
     * MISS when the files change underneath it, not serve stale weights.
     */
-  private def dirKey(dir: String, table: String): String = {
+  private def dirKey(dir: String, table: String): Option[String] = {
     val root = new java.io.File(s"$dir/$table.parquet")
     val files =
       if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       else if (root.isFile) Seq(root)
       else Seq.empty
-    val (mtime, bytes) = files.foldLeft((0L, 0L)) { case ((m, b), f) =>
-      (math.max(m, f.lastModified), b + f.length)
+    // No locally listable files (remote FS path, mistyped dir that Spark
+    // can still resolve, ...) -> NO fingerprint: return None so the memo
+    // layer skips caching entirely. A degenerate "@0:0" key would hit
+    // forever and serve stale weights across regenerations — the exact
+    // bug the fingerprint exists to prevent.
+    if (files.isEmpty) None
+    else {
+      val (mtime, bytes) = files.foldLeft((0L, 0L)) { case ((m, b), f) =>
+        (math.max(m, f.lastModified), b + f.length)
+      }
+      Some(s"$dir/$table@$mtime:$bytes")
     }
-    s"$dir/$table@$mtime:$bytes"
   }
 
   /** getOrElseUpdate with stale-generation eviction: a fingerprint miss
@@ -66,13 +74,16 @@ object SparkEntry {
     * long-lived driver leaks one training artifact per regeneration.
     */
   private def memoize[V](cache: scala.collection.concurrent.TrieMap[String, V],
-      key: String)(train: => V): V =
-    cache.get(key).getOrElse {
-      val prefix = key.substring(0, key.lastIndexOf('@') + 1)
-      cache.keys.filter(k => k.startsWith(prefix) && k != key)
-        .foreach(cache.remove)
-      cache.getOrElseUpdate(key, train)
-    }
+      key: Option[String])(train: => V): V = key match {
+    case None => train // unfingerprintable table: retrain rather than risk staleness
+    case Some(k) =>
+      cache.get(k).getOrElse {
+        val prefix = k.substring(0, k.lastIndexOf('@') + 1)
+        cache.keys.filter(c => c.startsWith(prefix) && c != k)
+          .foreach(cache.remove)
+        cache.getOrElseUpdate(k, train)
+      }
+  }
 
   /** Drop all memoized training state (logreg weights, BPE merges, IVF
     * quantizer). Bench clears the owning cache before every timed run of
@@ -140,7 +151,7 @@ object SparkEntry {
     implicit val sp: SparkSession = s
     val e = t(dir, "embeddings")
     val key = dirKey(dir, "embeddings")
-    ivfCentersCache.get(key) match {
+    key.flatMap(ivfCentersCache.get) match {
       case Some(c) =>
         graft.ops.IvfIndex.buildWithCenters(e, "vec_id", "embedding", c)
       case None =>

@@ -37,9 +37,12 @@ object Classify {
 
   /** Portable feature-hash bucket: first 32 bits of md5 mod `b` — the
     * same house-hash family as [[Sampling.uniform]]; replayable in any
-    * engine as `('0x' || substr(md5(tok), 1, 8))::UBIGINT % b`.
+    * engine as `('0x' || substr(md5(tok), 1, 8))::UBIGINT % b`. Shared
+    * (private[graft]) so the count-min cells ([[Sketches]]) ride the ONE
+    * definition of this oracle-replayed contract instead of a drifting
+    * copy (house rule 5).
     */
-  private def md5Bucket(c: Column, b: Int): Column =
+  private[graft] def md5Bucket(c: Column, b: Int): Column =
     pmod(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), lit(b.toLong))
 
   /** @param hashBuckets when set, tokens are FEATURE-HASHED to

@@ -88,8 +88,8 @@ object SetSimJoin {
       .where(col("r") <= col("len") - idiv(col("len") * pct + lit(99L), lit(100L)) + lit(1L))
       .select(col("s"), col("id"), col("len"), col("r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val maxBucket = spark.conf.getOption("graft.setjoin.maxPrefixBucket")
-      .map(_.toLong).getOrElse(1000000L)
+    val maxBucket = graft.util.Conf.long(
+      spark, "graft.setjoin.maxPrefixBucket", 1000000L)
     val worst = prefix.groupBy("s").agg(count(lit(1)).as("n"))
       .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
     if (worst > maxBucket) {
@@ -140,10 +140,14 @@ object SetSimJoin {
     // can fail it. Stage 2: exact string-set verify, now over surviving
     // pairs only instead of every candidate — the string arrays, ~10x
     // the bytes of the int arrays, never ride the wide join.
+    // Persisted: the agg (with its expensive sort_array(collect_list))
+    // would otherwise recompute for each of the four joins below (two
+    // hash-prefilter sides, two exact-verify sides).
     val sets = sh.groupBy("id").agg(
       sort_array(collect_list("s")).as("sh"),
       sort_array(collect_set(hash(col("s")))).as("hs"),
       count(lit(1)).as("len"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hsets = sets.select(col("id"), col("hs"), col("len"),
       (size(col("hs")).cast("long") < col("len")).as("degen"))
     val prefiltered = candUb
@@ -172,6 +176,7 @@ object SetSimJoin {
     // CALLER owns the returned frame's release.
     val out = result.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
+    sets.unpersist()
     prefix.unpersist()
     sh.unpersist()
     out

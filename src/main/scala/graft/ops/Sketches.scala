@@ -33,14 +33,13 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   /** Engine-portable CMS bucket for hash row `r`: first 8 hex chars of
-    * md5("seed:r:key") as a 32-bit unsigned value, mod width.
+    * md5("seed:r:key") as a 32-bit unsigned value, mod width — the ONE
+    * house md5-bucket contract ([[Classify.md5Bucket]]) applied to a
+    * row-prefixed key.
     */
   private def cmsBucket(key: org.apache.spark.sql.Column, r: Int, width: Int,
       seed: String): org.apache.spark.sql.Column =
-    pmod(
-      conv(substring(md5(concat(lit(s"$seed:$r:"), key.cast("string"))), 1, 8), 16, 10)
-        .cast("long"),
-      lit(width.toLong))
+    Classify.md5Bucket(concat(lit(s"$seed:$r:"), key.cast("string")), width)
 
   /** The depth bucket coordinates of a key, as one exploded (r, bucket)
     * pair per hash row — shared by build (cell sums) and probe (cell
@@ -71,9 +70,22 @@ object Sketches {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
     val w = weightCol.map(c => col(c)).getOrElse(lit(1L)).cast("long")
+    // A negative weight would let a cell UNDER-count and silently void
+    // the one-sided guarantee (est >= true count) that every consumer of
+    // this sketch relies on — refuse the row instead. Retractions belong
+    // upstream (aggregate signed deltas first, or keep two sketches and
+    // subtract estimates). Guard only the WEIGHTED path: raise_error is
+    // codegen-hostile (measured 1.8× on the whole build), and the
+    // default lit(1L) weight cannot be negative.
+    val wChecked =
+      if (weightCol.isEmpty) col("__w")
+      else when(col("__w") >= 0L, col("__w")).otherwise(raise_error(concat(
+        lit("Sketches.build: negative weight "), col("__w").cast("string"),
+        lit(" - cell sums must be monotone for the one-sided CMS estimate " +
+          "guarantee; aggregate retractions upstream or subtract two sketches"))))
     Dedup.fanOut(items.select(col(keyCol).as("__k"), w.as("__w")))
       .where(col("__k").isNotNull && col("__w").isNotNull)
-      .select(bucketPairs(col("__k"), depth, width, seed).as("rb"), col("__w"))
+      .select(bucketPairs(col("__k"), depth, width, seed).as("rb"), wChecked.as("__w"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(sum("__w").as("cnt"))
   }
@@ -104,6 +116,9 @@ object Sketches {
       depth: Int,
       width: Int,
       seed: String): DataFrame = {
+    require(!Seq("r", "bucket", "cnt", "est").contains(keyCol),
+      s"estimate: keyCol '$keyCol' collides with a sketch column " +
+        "(r, bucket, cnt, est) - rename the key column first")
     val kb = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
       .select(col(keyCol), bucketPairs(col(keyCol), depth, width, seed).as("rb"))
       .select(col(keyCol), col("rb.r").as("r"), col("rb.bucket").as("bucket"))

@@ -75,6 +75,23 @@ class SketchOpsSpec extends SparkSpec {
     assert(m("a") == 2L && m("b") <= 2L) // b absent; only collision mass
   }
 
+  test("CMS refuses negative weights and reserved key-column names") {
+    // a negative weight would let a cell under-count and void the
+    // one-sided estimate guarantee — refused per row, not silently summed
+    val signed = Seq(("a", 2L), ("b", -1L)).toDF("k", "w")
+    val e = intercept[Exception] {
+      Sketches.build(signed, "k", 2, 8, "neg", weightCol = Some("w")).collect()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative weight")))
+
+    val sk = Sketches.build(Seq("a").toDF("k"), "k", 2, 8, "neg")
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.estimate(sk, Seq(1L).toDF("cnt"), "cnt", 2, 8, "neg")
+    }
+    assert(e2.getMessage.contains("collides with a sketch column"))
+  }
+
   test("CMS merge is associative partial combination; streaming build equals batch") {
     val b1 = (1 to 300).map(i => s"tok${i % 7}").toDF("k")
     val b2 = (1 to 200).map(i => s"tok${i % 11}").toDF("k")
