@@ -258,6 +258,39 @@ class SketchOpsSpec extends SparkSpec {
     assert(got == ((3L, 3L)))
   }
 
+  // ---- plan-shape pins (the scale postures, asserted not narrated) ----
+
+  test("plan shapes: chunk dedup never shuffles; CMS and drift combine map-side") {
+    val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
+
+    // intra-doc removal is a pure narrow map: zero Exchange in the plan
+    val cd = TextOps.dedupChunksWithin(docs, "doc_id", "text", 2)
+    cd.write.format("noop").mode("overwrite").save()
+    assert(!cd.queryExecution.executedPlan.toString.contains("Exchange"),
+      "dedupChunksWithin must plan without a shuffle")
+
+    // CMS build: the one shuffle carries (r, bucket) cells AFTER a
+    // map-side partial sum — the property that bounds shuffle volume by
+    // depth*width regardless of corpus size
+    val items = docs.select(explode(split(col("text"), " ")).as("k"))
+      .where(col("k") =!= "")
+    val sk = Sketches.build(items, "k", 3, 32, "plan")
+    sk.write.format("noop").mode("overwrite").save()
+    val skPlan = sk.queryExecution.executedPlan.toString
+    assert(skPlan.contains("partial_sum"),
+      "CMS build must partial-aggregate map-side before its exchange")
+
+    // corpusDrift: the one-row totals ride a broadcast, never a shuffle
+    // of the vocabulary against itself
+    val dr = TextOps.corpusDrift(
+      docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 =!= 0),
+      "text", 1L)
+    dr.write.format("noop").mode("overwrite").save()
+    val drPlan = dr.queryExecution.executedPlan.toString
+    assert(drPlan.contains("BroadcastNestedLoopJoin") || drPlan.contains("BroadcastExchange"),
+      "corpusDrift totals must broadcast")
+  }
+
   test("dedupChunksWithin is idempotent and is a no-op for distinct chunks") {
     val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
     val once = TextOps.dedupChunksWithin(docs, "doc_id", "text", 2)
