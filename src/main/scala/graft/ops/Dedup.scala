@@ -157,8 +157,18 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
     udf { (shingles: Seq[String]) =>
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      if (shingles != null) {
+      // shingle-less docs (null/empty text) get NO band keys, so the
+      // posexplode downstream emits no rows for them: an all-sentinel
+      // signature would collide every such doc into one bucket per band
+      // (the r13 null-rehearsal bug). The policy lives INSIDE the UDF
+      // rather than as a `where(size(sh) > 0)` on the caller because
+      // filter pushdown inlines the shingle expression into the
+      // predicate and the whole wordShingles tree evaluates TWICE per
+      // row (the dedupChunksWithin optimizer trap) — measured 1.56x on
+      // the whole ingest cycle at sf0.1 (PLANS round 18).
+      if (shingles == null || shingles.isEmpty) Array.emptyLongArray
+      else {
+        val mins = Array.fill(numHashes)(Long.MaxValue)
         val it = shingles.iterator
         while (it.hasNext) {
           val s = it.next()
@@ -172,20 +182,20 @@ object Dedup {
             i += 1
           }
         }
-      }
-      val keys = new Array[Long](bands)
-      var b = 0
-      while (b < bands) {
-        var h = 0xcbf29ce484222325L ^ Hashing.mix64(b.toLong)
-        var j = 0
-        while (j < rowsPerBand) {
-          h = Hashing.mix64(h ^ mins(b * rowsPerBand + j))
-          j += 1
+        val keys = new Array[Long](bands)
+        var b = 0
+        while (b < bands) {
+          var h = 0xcbf29ce484222325L ^ Hashing.mix64(b.toLong)
+          var j = 0
+          while (j < rowsPerBand) {
+            h = Hashing.mix64(h ^ mins(b * rowsPerBand + j))
+            j += 1
+          }
+          keys(b) = h
+          b += 1
         }
-        keys(b) = h
-        b += 1
+        keys
       }
-      keys
     }
   }
 
@@ -199,11 +209,12 @@ object Dedup {
       numHashes: Int,
       bands: Int): DataFrame = {
     val keysUdf = minhashBandKeysUdf(numHashes, bands)
-    // a doc with no shingles (null/empty text) has an all-sentinel
-    // signature; banding it would collide every such doc into one bucket
-    // per band — shingle-less docs participate in NO buckets instead
-    shingled.where(size(col("sh")) > 0)
-      .select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "bucket")))
+    // shingle-less docs (null/empty text) emit no rows: the keys UDF
+    // returns an empty array for them (policy and its why live there) and
+    // posexplode drops empties — NO size() pre-filter here, which would
+    // re-evaluate the caller's whole shingle expression per row once
+    // filter pushdown inlines it into the predicate
+    shingled.select(col("id"), posexplode(keysUdf(col("sh"))).as(Seq("band", "bucket")))
   }
 
   /** MinHash-LSH candidate pairs from a precomputed (id, shingles) frame:

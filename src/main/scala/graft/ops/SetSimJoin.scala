@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** EXACT-recall set-similarity self-join via prefix filtering (AllPairs:
+/** EXACT-recall set-similarity joins via prefix filtering (AllPairs:
   * Bayardo, Ma & Srikant WWW'07 "Scaling up all pairs similarity search";
   * length/prefix filters per PPJoin: Xiao, Wang, Lin & Yu WWW'08): every
   * document pair whose word-shingle Jaccard reaches the threshold is
@@ -18,15 +18,24 @@ import org.apache.spark.storage.StorageLevel
   * auditable ("no qualifying pair was missed"); use MinHash when a
   * bounded false-negative rate buys a smaller join.
   *
+  * Two entry points over one pipeline: [[jaccardJoin]] (all pairs within
+  * one corpus, id_a < id_b) and [[jaccardJoinAB]] (all cross-corpus
+  * pairs, left × right — the snapshot-N-vs-snapshot-N+1 audit and the
+  * pairwise train-vs-eval overlap question that [[TextOps.corpusDrift]]
+  * only answers in aggregate). Both share the identical prefix /
+  * positional / two-stage-verify machinery; they differ only in the side
+  * predicate and are pinned equal on a mirrored corpus in SketchOpsSpec.
+  *
   * Why it is sub-quadratic on real corpora: shingles are ranked rarest
-  * first (global document frequency ascending, shingle ascending as the
-  * deterministic tie-break), and a document of |s| shingles exposes only
-  * its first |s| − ⌈t·|s|⌉ + 1 shingles to the join — two documents can
-  * reach Jaccard t only if they share a shingle in these prefixes (the
-  * pigeonhole bound), and prefix shingles are by construction the RAREST
-  * in the corpus, so join buckets stay small. A length filter
-  * (min·100 ≥ pct·max) prunes candidates whose sizes alone cap Jaccard
-  * below t before any set is compared.
+  * first (document frequency ascending — computed over the UNION of both
+  * sides for the AB join, so the two corpora share ONE global order —
+  * shingle ascending as the deterministic tie-break), and a document of
+  * |s| shingles exposes only its first |s| − ⌈t·|s|⌉ + 1 shingles to the
+  * join — two documents can reach Jaccard t only if they share a shingle
+  * in these prefixes (the pigeonhole bound), and prefix shingles are by
+  * construction the RAREST in the corpus, so join buckets stay small. A
+  * length filter (min·100 ≥ pct·max) prunes candidates whose sizes alone
+  * cap Jaccard below t before any set is compared.
   *
   * Plan shape: one shingle explode (fanned out), one hash-agg for
   * document frequency, one per-document rank window (shuffles shingle
@@ -50,13 +59,19 @@ import org.apache.spark.storage.StorageLevel
   * break the exactness contract that is this operator's whole point, and
   * a bucket that size means the corpus is so self-similar that the exact
   * output is quadratic anyway (the MinHash path is the remediation).
+  *
+  * Release contract: the returned frame is persisted and eagerly
+  * materialized (so the pipeline's internal caches can release
+  * immediately); the CALLER owns the returned frame's unpersist. The
+  * skew-guard probe reads the already-persisted prefix frame, so its
+  * marginal cost is one cached aggregate, not a plan re-run.
   */
 object SetSimJoin {
 
   private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
-  /** All pairs (id_a < id_b) with word-`shingleSize`-gram Jaccard ≥
-    * thresholdPct/100, with the exact Jaccard (round 6) per pair.
+  /** All pairs (id_a < id_b) within one corpus with word-`shingleSize`-gram
+    * Jaccard ≥ thresholdPct/100, with the exact Jaccard (round 6) per pair.
     * Output: (id_a, id_b, jaccard).
     */
   def jaccardJoin(
@@ -67,26 +82,78 @@ object SetSimJoin {
       shingleSize: Int = 3): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct must be in [1,100], got $thresholdPct")
-    val spark = docs.sparkSession
+    val tagged = docs.select(lit("x").as("sd"),
+      col(idCol).as("id"), col(textCol).as("__txt"))
+    // self-join: both sides draw from the one tag; id_a < id_b halves the
+    // candidate space and fixes the output orientation
+    exactPairs(tagged, "x", "x", col("id_a") < col("id_b"),
+      thresholdPct, shingleSize)
+  }
+
+  /** All CROSS-corpus pairs (one doc from `left`, one from `right`) with
+    * word-`shingleSize`-gram Jaccard ≥ thresholdPct/100. Within-corpus
+    * pairs are never emitted, ids never compare across sides (the two
+    * corpora may share or even collide ids — sides keep them distinct),
+    * and a document present verbatim in both corpora reports itself at
+    * jaccard 1.0, which is exactly the cross-snapshot audit signal.
+    * Output: (id_a, id_b, jaccard) with id_a from `left`, id_b from
+    * `right`. Shingle document frequencies — hence prefix ranks — are
+    * computed over the UNION of both corpora so the positional filter's
+    * shared global order holds across sides.
+    */
+  def jaccardJoinAB(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      thresholdPct: Int = 80,
+      shingleSize: Int = 3): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct must be in [1,100], got $thresholdPct")
+    val tagged = left.select(lit("a").as("sd"),
+        col(idCol).as("id"), col(textCol).as("__txt"))
+      .unionByName(right.select(lit("b").as("sd"),
+        col(idCol).as("id"), col(textCol).as("__txt")))
+    exactPairs(tagged, "a", "b", lit(true), thresholdPct, shingleSize)
+  }
+
+  /** The shared AllPairs/PPJoin pipeline over a side-tagged corpus
+    * (sd, id, __txt). `aSide`/`bSide` select which tag feeds each join
+    * side; `pairPred` is the extra pair predicate on (id_a, id_b) —
+    * id_a < id_b for the self-join, true for the cross join (sides
+    * already distinguish the corpora).
+    */
+  private def exactPairs(
+      tagged: DataFrame,
+      aSide: String,
+      bSide: String,
+      pairPred: Column,
+      thresholdPct: Int,
+      shingleSize: Int): DataFrame = {
+    val spark = tagged.sparkSession
     val pct = lit(thresholdPct.toLong)
 
-    // (id, shingle): DISTINCT word shingles per doc; null text -> none,
-    // '' (from empty text) dropped. Persisted: read by the df pass, the
-    // rank pass and the verify join below.
-    val sh = Dedup.fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__txt")))
-      .select(col("id"), explode(TextOps.wordShingles(col("__txt"), shingleSize)).as("s"))
+    // (sd, id, shingle): DISTINCT word shingles per doc; null text ->
+    // none, '' (from empty text) dropped. Persisted: read by the df pass,
+    // the rank pass and the verify join below.
+    val sh = Dedup.fanOut(tagged)
+      .select(col("sd"), col("id"),
+        explode(TextOps.wordShingles(col("__txt"), shingleSize)).as("s"))
       .where(col("s") =!= "")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // document frequency over EVERYTHING (both sides of an AB join): one
+    // global rarest-first order shared by every prefix, which is what
+    // makes the positional filter's first-common-shingle bound valid
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfreq, "s")
-      .withColumn("len", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("len", count(lit(1)).over(Window.partitionBy("sd", "id")))
       .withColumn("r", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+        Window.partitionBy("sd", "id").orderBy(col("df"), col("s"))))
     // prefix length p = len - ceil(len*pct/100) + 1 (pigeonhole bound);
     // the rank rides along for the positional filter below
     val prefix = ranked
       .where(col("r") <= col("len") - idiv(col("len") * pct + lit(99L), lit(100L)) + lit(1L))
-      .select(col("s"), col("id"), col("len"), col("r"))
+      .select(col("s"), col("sd"), col("id"), col("len"), col("r"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val maxBucket = graft.util.Conf.long(
       spark, "graft.setjoin.maxPrefixBucket", 1000000L)
@@ -107,10 +174,10 @@ object SetSimJoin {
     // plan with a shared column name resolves to a trivially-true
     // predicate (both sides bind to one attribute) and the prefix filter
     // silently vanishes from the plan.
-    val a = prefix.select(col("s").as("s_a"), col("id").as("id_a"),
-      col("len").as("len_a"), col("r").as("r_a"))
-    val b = prefix.select(col("s").as("s_b"), col("id").as("id_b"),
-      col("len").as("len_b"), col("r").as("r_b"))
+    val a = prefix.where(col("sd") === aSide).select(col("s").as("s_a"),
+      col("id").as("id_a"), col("len").as("len_a"), col("r").as("r_a"))
+    val b = prefix.where(col("sd") === bSide).select(col("s").as("s_b"),
+      col("id").as("id_b"), col("len").as("len_b"), col("r").as("r_b"))
     // POSITIONAL filter (PPJoin lemma 1, Xiao et al. WWW'08): both lists
     // are sorted by the SAME global (df, shingle) order, so at the FIRST
     // common shingle (minimal rank match) the two prefixes before it
@@ -120,7 +187,7 @@ object SetSimJoin {
     // materialized — on collision-dense corpora this removes most of the
     // one-shared-rare-shingle noise the prefix join admits.
     val candUb = a.join(b,
-        col("s_a") === col("s_b") && col("id_a") < col("id_b") &&
+        col("s_a") === col("s_b") && pairPred &&
           least(col("len_a"), col("len_b")) * lit(100L) >=
             pct * greatest(col("len_a"), col("len_b")))
       .groupBy(col("id_a"), col("id_b"), col("len_a"), col("len_b"))
@@ -142,27 +209,31 @@ object SetSimJoin {
     // the bytes of the int arrays, never ride the wide join.
     // Persisted: the agg (with its expensive sort_array(collect_list))
     // would otherwise recompute for each of the four joins below (two
-    // hash-prefilter sides, two exact-verify sides).
-    val sets = sh.groupBy("id").agg(
+    // hash-prefilter sides, two exact-verify sides). Sets are keyed by
+    // (sd, id): an AB join's corpora may collide on ids, so the verify
+    // sides each draw from their OWN corpus only.
+    val sets = sh.groupBy("sd", "id").agg(
       sort_array(collect_list("s")).as("sh"),
       sort_array(collect_set(hash(col("s")))).as("hs"),
       count(lit(1)).as("len"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hsets = sets.select(col("id"), col("hs"), col("len"),
-      (size(col("hs")).cast("long") < col("len")).as("degen"))
+    def hsetsOf(side: String): DataFrame = sets.where(col("sd") === side)
+      .select(col("id"), col("hs"), col("len"),
+        (size(col("hs")).cast("long") < col("len")).as("degen"))
     val prefiltered = candUb
-      .join(hsets.select(col("id").as("id_a"), col("hs").as("hs_a"),
+      .join(hsetsOf(aSide).select(col("id").as("id_a"), col("hs").as("hs_a"),
         col("len").as("la"), col("degen").as("dg_a")), "id_a")
-      .join(hsets.select(col("id").as("id_b"), col("hs").as("hs_b"),
+      .join(hsetsOf(bSide).select(col("id").as("id_b"), col("hs").as("hs_b"),
         col("len").as("lb"), col("degen").as("dg_b")), "id_b")
       .withColumn("ih", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .where(col("dg_a") || col("dg_b") ||
         col("ih") * lit(100L) >= pct * (col("la") + col("lb") - col("ih")))
       .select(col("id_a"), col("id_b"))
+    def strsetsOf(side: String): DataFrame = sets.where(col("sd") === side)
     val result = prefiltered
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      .join(strsetsOf(aSide).select(col("id").as("id_a"), col("sh").as("sh_a"),
         col("len").as("la")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      .join(strsetsOf(bSide).select(col("id").as("id_b"), col("sh").as("sh_b"),
         col("len").as("lb")), "id_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))

@@ -60,6 +60,25 @@ object Sketches {
     * Returns (r INT, bucket BIGINT, cnt BIGINT) — only touched cells are
     * present; absent cells are zero ([[estimate]] fills them).
     */
+  /** Refuse sketch geometries whose cell frame could not broadcast: the
+    * touched-cell frame can reach depth·width rows and [[estimate]]
+    * broadcasts it unconditionally, so an uncapped width would trade the
+    * operator's whole design point (a broadcastable summary) for an
+    * OOM at probe time. Conf-capped like every other driver/broadcast
+    * materialization in this library (asofLookup, estimateJoint).
+    * 4M cells ≈ 100 MB of (int, long, long) rows — far past any useful
+    * CMS accuracy point (error ≤ 2·N/width at width 4M/depth).
+    */
+  private def requireCellCap(spark: org.apache.spark.sql.SparkSession,
+      depth: Int, width: Int, site: String): Unit = {
+    val maxCells = graft.util.Conf.long(spark, "graft.cms.maxCells", 4194304L)
+    require(depth.toLong * width <= maxCells,
+      s"Sketches.$site: depth*width = ${depth.toLong * width} cells exceeds " +
+        s"graft.cms.maxCells ($maxCells). The sketch frame must stay " +
+        "broadcastable for probes; widen the cap only with executor memory " +
+        "to back it, or reduce width - CMS error is already <= 2N/width.")
+  }
+
   def build(
       items: DataFrame,
       keyCol: String,
@@ -69,6 +88,7 @@ object Sketches {
       weightCol: Option[String] = None): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
+    requireCellCap(items.sparkSession, depth, width, "build")
     val w = weightCol.map(c => col(c)).getOrElse(lit(1L)).cast("long")
     // A negative weight would let a cell UNDER-count and silently void
     // the one-sided guarantee (est >= true count) that every consumer of
@@ -119,6 +139,7 @@ object Sketches {
     require(!Seq("r", "bucket", "cnt", "est").contains(keyCol),
       s"estimate: keyCol '$keyCol' collides with a sketch column " +
         "(r, bucket, cnt, est) - rename the key column first")
+    requireCellCap(keys.sparkSession, depth, width, "estimate")
     val kb = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
       .select(col(keyCol), bucketPairs(col(keyCol), depth, width, seed).as("rb"))
       .select(col(keyCol), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
