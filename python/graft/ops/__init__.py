@@ -64,9 +64,12 @@ __all__ = [
     "orphan_refs",
     "extract_features",
     "jaccard_join",
+    "jaccard_join_ab",
     "cms_build",
     "cms_estimate",
     "cms_heavy_hitters",
+    "cms_heavy_hitters_exact",
+    "cms_local_top_candidates",
     "dedup_chunks_within",
     "corpus_drift",
 ]
@@ -677,6 +680,26 @@ def jaccard_join(
         docs._jdf, id_col, text_col, int(threshold_pct), int(shingle_size)))
 
 
+def jaccard_join_ab(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_pct: int = 80,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """EXACT-recall CROSS-corpus Jaccard join: every (left doc, right doc)
+    pair with word-shingle Jaccard >= threshold_pct/100 — the pairwise
+    snapshot-vs-snapshot audit (``corpus_drift`` answers the aggregate
+    form). Ids never compare across sides; shingle ranks come from the
+    union so both corpora share one global prefix order. Returns
+    (id_a, id_b, jaccard) with id_a from left; persisted — unpersist
+    when done."""
+    return _wrap(left, _jvm(left).graft.ops.SetSimJoin.jaccardJoinAB(
+        left._jdf, right._jdf, id_col, text_col,
+        int(threshold_pct), int(shingle_size)))
+
+
 def cms_build(
     items: DataFrame,
     key_col: str,
@@ -724,6 +747,38 @@ def cms_heavy_hitters(
     opt = jvm.scala.Option.apply(candidates._jdf if candidates is not None else None)
     return _wrap(items, jvm.graft.ops.Sketches.heavyHitters(
         items._jdf, key_col, int(depth), int(width), seed, int(threshold), opt))
+
+
+def cms_heavy_hitters_exact(
+    items: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    seed: str,
+    threshold: int,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """EXACT heavy hitters via the two-pass sketch-then-verify shape:
+    CMS-filter candidates (no true-heavy key lost), then exact counts on
+    the survivors only. With ``candidates=None`` a per-partition
+    Misra-Gries generator is auto-sized so the full chain stays exact.
+    Returns (key, cnt) — exactly {k : count(k) >= threshold}."""
+    jvm = _jvm(items)
+    opt = jvm.scala.Option.apply(candidates._jdf if candidates is not None else None)
+    return _wrap(items, jvm.graft.ops.Sketches.heavyHittersExact(
+        items._jdf, key_col, int(depth), int(width), seed, int(threshold), opt))
+
+
+def cms_local_top_candidates(
+    items: DataFrame,
+    key_col: str,
+    m: int,
+) -> DataFrame:
+    """Per-partition Misra-Gries candidate keys (bounded memory, no
+    key-space shuffle): any key with global count > N/(m+1) is guaranteed
+    present. Feed to ``cms_heavy_hitters`` / ``cms_heavy_hitters_exact``."""
+    return _wrap(items, _jvm(items).graft.ops.Sketches.localTopCandidates(
+        items._jdf, key_col, int(m)))
 
 
 def dedup_chunks_within(

@@ -456,6 +456,26 @@ def main() -> None:
         assert dirs["x"] == 1 and dirs["y"] == -1
         print("round-17 sketch/setjoin/chunk-dedup/drift bindings ok")
 
+        # round-18 additions: cross-corpus exact jaccard join, exact
+        # heavy hitters (MG + CMS + exact confirm)
+        ab = gops.jaccard_join_ab(
+            docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"),
+            "doc_id", "text", 50, 3)
+        assert set(ab.columns) == {"id_a", "id_b", "jaccard"}
+        assert ab.where("id_a % 2 != 0 OR id_b % 2 != 1").count() == 0
+        ab.unpersist()
+        hhx = gops.cms_heavy_hitters_exact(items, "k", 3, 64, "pysmoke", 10)
+        got = {(r.k, r.cnt) for r in hhx.collect()}
+        want = {(r.k, r["count"]) for r in heavy_exact.collect()}
+        assert got == want, "exact heavy hitters != GROUP BY truth"
+        # MG guarantee needs m >= N/threshold (same sizing as the auto path)
+        m = items.count() // 10 + 1
+        cand = gops.cms_local_top_candidates(items, "k", m)
+        assert cand.columns == ["k"]
+        missed2 = heavy_exact.join(cand, "k", "left_anti").count()
+        assert missed2 == 0, "MG candidates missed a true heavy key"
+        print("round-18 cross-corpus join / exact heavy hitters bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

@@ -50,21 +50,34 @@ object SparkEntry {
     */
   private def dirKey(dir: String, table: String): Option[String] = {
     val root = new java.io.File(s"$dir/$table.parquet")
-    val files =
-      if (root.isDirectory) Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      else if (root.isFile) Seq(root)
+    // RECURSIVE walk: a partitioned layout keeps its data files in
+    // subdirectories, which a flat listFiles would fingerprint as zero
+    // bytes — two generations could then collide on the same key.
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.flatMap(walk)).getOrElse(Seq.empty)
+      else if (f.isFile) Seq(f)
       else Seq.empty
+    val files = walk(root)
     // No locally listable files (remote FS path, mistyped dir that Spark
     // can still resolve, ...) -> NO fingerprint: return None so the memo
-    // layer skips caching entirely. A degenerate "@0:0" key would hit
-    // forever and serve stale weights across regenerations — the exact
-    // bug the fingerprint exists to prevent.
+    // layer skips caching entirely. A degenerate empty-digest key would
+    // hit forever and serve stale weights across regenerations — the
+    // exact bug the fingerprint exists to prevent.
     if (files.isEmpty) None
     else {
-      val (mtime, bytes) = files.foldLeft((0L, 0L)) { case ((m, b), f) =>
-        (math.max(m, f.lastModified), b + f.length)
-      }
-      Some(s"$dir/$table@$mtime:$bytes")
+      // digest the sorted (relativePath, length, mtime) tuples: immune to
+      // a regeneration landing inside mtime granularity with identical
+      // total bytes (per-file sizes would have to match too), and to
+      // file-set changes that keep the aggregates constant
+      val rootPath = root.toPath.toAbsolutePath
+      val entries = files.map { f =>
+        s"${rootPath.relativize(f.toPath.toAbsolutePath)}:${f.length}:${f.lastModified}"
+      }.sorted.mkString("|")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(entries.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      Some(s"$dir/$table@$hex")
     }
   }
 
@@ -1670,6 +1683,30 @@ object SparkEntry {
       graft.ops.SetSimJoin.jaccardJoin(corpus, "doc_id", "text",
         thresholdPct = 50, shingleSize = 3)
     },
+    // Cross-corpus exact-recall Jaccard join: snapshot A (the %13 slice,
+    // full text) audited against snapshot B (the same slice truncated to
+    // its first ceil(3n/5) tokens, ids offset so B never collides with
+    // its own %17 slice, plus the %17 slice verbatim). Every A×B pair at
+    // Jaccard >= 0.5 must surface: truncations at ~0.6, docs present in
+    // both snapshots at 1.0. The oracle is an INDEPENDENT brute-force
+    // cross join, so the hash check proves the shared-prefix-order
+    // no-missed-pair guarantee across corpora end to end.
+    "q_jaccard_join_ab" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents").select(col("doc_id"), col("text"))
+      val left = docs.where(col("doc_id") % 13 === 0)
+      val toks = split(col("text"), " ")
+      val keep = call_function("div",
+        size(toks).cast("long") * lit(3L) + lit(4L), lit(5L))
+      val right = docs.where(col("doc_id") % 13 === 0).select(
+          (col("doc_id") + lit(2000000L)).as("doc_id"),
+          when(col("text").isNull, lit(null).cast("string"))
+            .otherwise(concat_ws(" ", slice(toks, lit(1), keep.cast("int"))))
+            .as("text"))
+        .unionByName(docs.where(col("doc_id") % 17 === 0))
+      graft.ops.SetSimJoin.jaccardJoinAB(left, right, "doc_id", "text",
+        thresholdPct = 50, shingleSize = 3)
+    },
     // Count-min-sketch heavy hitters over word-bigram OCCURRENCES:
     // depth 4 × width 2048 md5 cells, threshold 40. The md5 bucket
     // scheme replays bit-for-bit in SQL, so the one-sided estimates
@@ -1683,6 +1720,22 @@ object SparkEntry {
           graft.ops.TextOps.wordShingleOccurrences(col("text"), 2)).as("k"))
         .where(col("k") =!= "")
       graft.ops.Sketches.heavyHitters(items, "k",
+        depth = 4, width = 2048, seed = "cms13", threshold = 40L)
+    },
+    // Two-pass EXACT heavy hitters: per-partition Misra-Gries candidates
+    // (auto-sized m = N/threshold + 1, so no true-heavy key can be
+    // missed), CMS filter, then exact counts on the survivors only. The
+    // result is partitioning-independent — exactly {k : count >= 40}
+    // with true counts — so the oracle is a trivial GROUP BY ... HAVING,
+    // which is the point: the sketch machinery earns its keep by
+    // REPRODUCING the exact answer without ever shuffling the key space.
+    "q_cms_heavy_exact" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val items = t(dir, "documents")
+        .select(explode(
+          graft.ops.TextOps.wordShingleOccurrences(col("text"), 2)).as("k"))
+        .where(col("k") =!= "")
+      graft.ops.Sketches.heavyHittersExact(items, "k",
         depth = 4, width = 2048, seed = "cms13", threshold = 40L)
     },
     // Intra-document chunk dedup (keep-first over non-overlapping
@@ -4367,6 +4420,35 @@ object SparkEntry {
         |JOIN sz la ON la.doc_id = id_a
         |JOIN sz lb ON lb.doc_id = id_b
         |WHERE inter * 100 >= 50 * (la.len + lb.len - inter)""".stripMargin,
+    // Independent brute-force cross join over the two snapshot frames —
+    // the no-missed-pair check for the AB variant's shared global prefix
+    // order. Same integer threshold algebra as q_jaccard_join.
+    "q_jaccard_join_ab" ->
+      s"""WITH lft AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+        |rgt AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    CASE WHEN text IS NULL THEN NULL ELSE array_to_string(
+        |      string_split(text, ' ')[1 : (len(string_split(text, ' ')) * 3 + 4) // 5], ' ') END AS text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+        |sha AS (SELECT doc_id, s
+        |  FROM (SELECT doc_id, ${shingleRowsSql(3)} AS s FROM lft) WHERE s <> ''),
+        |shb AS (SELECT doc_id, s
+        |  FROM (SELECT doc_id, ${shingleRowsSql(3)} AS s FROM rgt) WHERE s <> ''),
+        |sza AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM sha GROUP BY doc_id),
+        |szb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM shb GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM sha a JOIN shb b ON a.s = b.s
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(inter * 1.0 / (la.len + lb.len - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sza la ON la.doc_id = id_a
+        |JOIN szb lb ON lb.doc_id = id_b
+        |WHERE inter * 100 >= 50 * (la.len + lb.len - inter)""".stripMargin,
     // Bit-for-bit CMS replay: same md5 cell scheme ('cms13:r:key' first 8
     // hex % 2048), same depth-4 min — pure integer arithmetic throughout.
     "q_cms_heavy" ->
@@ -4389,6 +4471,16 @@ object SparkEntry {
         |  SELECT k, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
         |  FROM kb LEFT JOIN cells USING (r, bucket) GROUP BY k)
         |WHERE est >= 40""".stripMargin,
+    // The exact two-pass path needs no sketch replay at all: its whole
+    // contract is that MG candidates + CMS filter + exact confirm equal
+    // the plain exact answer (CAST per rule 1's HUGEINT ban).
+    "q_cms_heavy_exact" ->
+      s"""WITH occ AS (
+        |  SELECT k FROM (
+        |    SELECT unnest(${shingleOccurrencesSql(2)}) AS k FROM documents)
+        |  WHERE k <> '')
+        |SELECT k, CAST(count(*) AS BIGINT) AS cnt
+        |FROM occ GROUP BY k HAVING count(*) >= 40""".stripMargin,
     // Keep-first over non-overlapping 2-token chunks; null text → null
     // clean_md5 with zero counts on BOTH sides (rule 10).
     "q_chunk_dedup" ->

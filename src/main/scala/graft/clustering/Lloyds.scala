@@ -98,6 +98,13 @@ object Assignment {
     * chunked-tier gate query uses to force a multi-chunk fold at test-scale
     * k*d, and an operator escape hatch when the heap probe misjudges an
     * exotic deployment.
+    *
+    * SESSION-SCOPED, read at plan-build time of every assignment: a forced
+    * override set mid-flight leaks into any OTHER fit planning concurrently
+    * in the same session. Safe under sequential use (Verify/Bench, a single
+    * notebook); a shared multi-tenant session should set it once up front,
+    * or save/restore around the fit the way q_kmeans_fit_chunked does
+    * (restore-not-unset, so a pre-existing user override survives).
     */
   def chunkElemsBudget(spark: org.apache.spark.sql.SparkSession): Long = {
     val forced = graft.util.Conf.long(spark, "graft.assign.chunkElems", -1L)

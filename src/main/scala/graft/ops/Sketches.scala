@@ -177,4 +177,115 @@ object Sketches {
       .where(col("est") >= threshold)
       .orderBy(col("est").desc, col(keyCol))
   }
+
+  /** Per-partition Misra-Gries candidate generator (Misra & Gries 1982,
+    * "Finding repeated elements"): each partition keeps at most `m`
+    * counters over its local stream and emits the surviving keys; the
+    * union (deduplicated) is the candidate frame. GUARANTEE: any key
+    * with GLOBAL count > N/(m+1) survives in at least one partition —
+    * if its count were ≤ n_p/(m+1) in every partition, summing gives
+    * ≤ N/(m+1), a contradiction (MG's local bound: a key is evicted
+    * only if its local count ≤ n_p/(m+1)). So for a heavy-hitter pass
+    * at threshold T, choose m ≥ N/T and the candidate set has NO false
+    * negatives — the property [[heavyHittersExact]] builds on.
+    *
+    * This is the genuine per-partition-imperative case: bounded-memory
+    * stream summarization has no declarative equivalent (a groupBy
+    * shuffles the whole key space — the exact cost this exists to
+    * avoid). Memory is O(m) counters per task; output ≤ m keys per
+    * partition regardless of partition size; the only shuffle is the
+    * final dedup over ≤ m·partitions candidate keys. NULL keys are
+    * skipped (rule-10: a NULL has no frequency identity).
+    */
+  def localTopCandidates(items: DataFrame, keyCol: String, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val keyed = Dedup.fanOut(items.select(col(keyCol)))
+      .where(col(keyCol).isNotNull)
+    val enc = org.apache.spark.sql.Encoders.row(keyed.schema)
+    keyed.mapPartitions { rows =>
+      val counters = new java.util.HashMap[Any, java.lang.Long]()
+      rows.foreach { row =>
+        val k = row.get(0)
+        val c = counters.get(k)
+        if (c ne null) counters.put(k, c + 1L)
+        else if (counters.size < m) counters.put(k, 1L)
+        else {
+          // decrement-all step: amortized O(1)/element — each element
+          // funds at most one decrement of its own counter
+          val it = counters.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      val it = counters.keySet().iterator()
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): org.apache.spark.sql.Row =
+          org.apache.spark.sql.Row(it.next())
+      }
+    }(enc).distinct()
+  }
+
+  /** EXACT heavy hitters via the classic two-pass sketch-then-verify
+    * shape the [[heavyHitters]] scaladoc describes, packaged as one
+    * call: (1) a CMS pass filters candidates (one-sided: no true-heavy
+    * key is lost), (2) the small survivor set broadcasts back over the
+    * item frame for exact counts, and only keys whose TRUE count
+    * reaches `threshold` are returned — no collision tail, exact
+    * counts. Returns (keyCol, cnt BIGINT), heaviest first, key-ordered
+    * on ties.
+    *
+    * `candidates`: pass a restricted frame (a prior round's survivors,
+    * a domain vocabulary, [[localTopCandidates]] output) and the probe
+    * cost is the candidate count, not the corpus. Pass None and the
+    * generator is derived AUTOMATICALLY: one count(*) scan sizes the
+    * corpus N, then Misra-Gries with m = ⌊N/threshold⌋ + 1 counters per
+    * partition — which by the MG bound (threshold > N/(m+1)) preserves
+    * the no-false-negative guarantee end to end, so the result is
+    * EXACTLY the set {key : count(key) ≥ threshold} with exact counts.
+    * The auto path refuses (with remediation) when m would exceed
+    * `graft.cms.maxCandidateCounters` (default 4M): at that point the
+    * threshold is so small relative to the corpus that "heavy" keys
+    * number in the millions — raise the threshold or supply an explicit
+    * candidate frame.
+    *
+    * Cost shape at scale: two scans of `items` (sketch build + exact
+    * confirm), both map-side combined; the sketch shuffle carries
+    * ≤ depth·width cells/partition, the confirm shuffle carries only
+    * survivor keys (the broadcast semi-join drops everything else
+    * before the aggregate). Nothing is ever ordered or distinct'd over
+    * the full key space.
+    */
+  def heavyHittersExact(
+      items: DataFrame,
+      keyCol: String,
+      depth: Int,
+      width: Int,
+      seed: String,
+      threshold: Long,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val spark = items.sparkSession
+    val cand = candidates.getOrElse {
+      val n = items.where(col(keyCol).isNotNull).count()
+      val m = n / threshold + 1L
+      val maxM = graft.util.Conf.long(spark, "graft.cms.maxCandidateCounters", 4194304L)
+      require(m <= maxM,
+        s"heavyHittersExact: auto candidate generation needs N/threshold+1 = $m " +
+          s"Misra-Gries counters per partition (cap $maxM via " +
+          "graft.cms.maxCandidateCounters). A threshold this small relative to " +
+          "the corpus admits millions of 'heavy' keys - raise the threshold, " +
+          "or pass an explicit candidates frame (a domain vocabulary, a prior " +
+          "round's survivors, localTopCandidates with your own m).")
+      localTopCandidates(items, keyCol, m.toInt)
+    }
+    val survivors = heavyHitters(items, keyCol, depth, width, seed, threshold,
+      candidates = Some(cand)).select(col(keyCol))
+    items.join(broadcast(survivors), Seq(keyCol), "left_semi")
+      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+      .orderBy(col("cnt").desc, col(keyCol))
+  }
 }

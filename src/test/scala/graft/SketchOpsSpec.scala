@@ -291,6 +291,142 @@ class SketchOpsSpec extends SparkSpec {
       "corpusDrift totals must broadcast")
   }
 
+  // ---- cross-corpus exact Jaccard join ----
+
+  /** Brute-force cross-corpus ground truth with the same shingle def. */
+  private def bruteJaccardAB(
+      left: DataFrame, right: DataFrame, pct: Int, n: Int): Set[(Long, Long, Double)] = {
+    def sets(df: DataFrame) = df.select(col("doc_id"),
+        TextOps.wordShingles(col("text"), n).as("sh"))
+      .withColumn("sh", filter(col("sh"), _ =!= ""))
+      .where(size(col("sh")) > 0)
+    val a = sets(left).select(col("doc_id").as("ia"), col("sh").as("sa"))
+    val b = sets(right).select(col("doc_id").as("ib"), col("sh").as("sb"))
+    a.crossJoin(b)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", size(array_union(col("sa"), col("sb"))).cast("long"))
+      .where(col("inter") * 100 >= lit(pct.toLong) * col("uni"))
+      .select(col("ia"), col("ib"),
+        round(col("inter").cast("double") / col("uni"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("jaccardJoinAB equals cross-corpus brute force (no missed pair, no extra)") {
+    val left = simCorpus.where(col("doc_id") % 2 === 0)
+    val right = simCorpus.where(col("doc_id") % 2 =!= 0)
+      // plus a colliding-id doc: ids may repeat across corpora; sides
+      // must keep them apart instead of merging their shingle sets
+      .unionByName(simCorpus.where(col("doc_id") === 0L))
+    for (pct <- Seq(40, 60, 85)) {
+      val got = SetSimJoin.jaccardJoinAB(left, right, "doc_id", "text",
+        thresholdPct = pct, shingleSize = 3)
+      val gotSet = got.as[(Long, Long, Double)].collect().toSet
+      got.unpersist()
+      assert(gotSet == bruteJaccardAB(left, right, pct, 3), s"pct=$pct")
+    }
+  }
+
+  test("jaccardJoinAB on a mirrored corpus equals the self-join plus the diagonal") {
+    val ab = SetSimJoin.jaccardJoinAB(simCorpus, simCorpus, "doc_id", "text", 50, 3)
+    val abPairs = ab.as[(Long, Long, Double)].collect()
+    ab.unpersist()
+    val self = SetSimJoin.jaccardJoin(simCorpus, "doc_id", "text", 50, 3)
+    val selfPairs = self.as[(Long, Long, Double)].collect().toSet
+    self.unpersist()
+    // lower triangle == self-join; upper triangle is its mirror; the
+    // diagonal is every shingled doc at jaccard 1.0
+    assert(abPairs.filter(p => p._1 < p._2).toSet == selfPairs)
+    assert(abPairs.filter(p => p._1 > p._2).map(p => (p._2, p._1, p._3)).toSet == selfPairs)
+    val diag = abPairs.filter(p => p._1 == p._2)
+    val shingled = simCorpus.select(col("doc_id"),
+        TextOps.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("sh", filter(col("sh"), _ =!= ""))
+      .where(size(col("sh")) > 0).count()
+    assert(diag.length == shingled && diag.forall(_._3 == 1.0))
+  }
+
+  test("jaccardJoinAB: null/empty docs on either side never pair") {
+    val left = Seq((1L, "a b c d e f"), (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("doc_id", "text")
+    val right = Seq((10L, "a b c d e f"), (11L, null.asInstanceOf[String]),
+      (12L, "")).toDF("doc_id", "text")
+    val got = SetSimJoin.jaccardJoinAB(left, right, "doc_id", "text", 50, 3)
+    val pairs = got.as[(Long, Long, Double)].collect().toSet
+    got.unpersist()
+    assert(pairs == Set((1L, 10L, 1.0)))
+  }
+
+  // ---- exact heavy hitters (Misra-Gries + CMS + exact confirm) ----
+
+  test("localTopCandidates: MG guarantee — every key above N/(m+1) survives") {
+    val items = tokenStream.repartition(8) // force multi-partition MG
+    val n = items.count()
+    val m = 64 // N ~ 3940 -> N/(m+1) ~ 60: the top ~28 keys MUST survive
+    val cand = Sketches.localTopCandidates(items, "k", m)
+      .as[String].collect().toSet
+    val mustSurvive = items.groupBy("k").agg(count(lit(1)).as("c"))
+      .where(col("c") > n / (m + 1)).as[(String, Long)].collect()
+    assert(mustSurvive.length >= 20, "test stream must make the bound bite")
+    mustSurvive.foreach { case (k, c) =>
+      assert(cand.contains(k), s"key $k (count $c > ${n / (m + 1)}) evicted")
+    }
+    // output is bounded: at most m keys per partition
+    assert(cand.size <= m * 8)
+  }
+
+  test("heavyHittersExact returns exactly the true-heavy keys with exact counts") {
+    val items = tokenStream.repartition(8)
+    val thr = 60L
+    val exact = items.groupBy("k").agg(count(lit(1)).as("c"))
+      .where(col("c") >= thr).as[(String, Long)].collect().toMap
+    // narrow width (16) => a real collision tail in the CMS filter; the
+    // exact confirm must remove it entirely, auto-MG must miss nothing
+    val got = Sketches.heavyHittersExact(items, "k", depth = 3, width = 16,
+      seed = "hhx", threshold = thr).as[(String, Long)].collect()
+    assert(got.toMap == exact)
+    // ordered heaviest first, key-ordered on ties
+    assert(got.sortBy(r => (-r._2, r._1)).toSeq == got.toSeq)
+    // partitioning independence: same answer from a different layout
+    val got1 = Sketches.heavyHittersExact(items.repartition(3), "k", 3, 16,
+      "hhx", thr).as[(String, Long)].collect().toMap
+    assert(got1 == exact)
+  }
+
+  test("heavyHittersExact refuses an unbounded auto candidate space with remediation") {
+    val items = tokenStream
+    spark.conf.set("graft.cms.maxCandidateCounters", "100")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        // N ~ 4k, threshold 2 -> m ~ 2k > 100
+        Sketches.heavyHittersExact(items, "k", 3, 64, "hhr", threshold = 2L)
+      }
+      assert(e.getMessage.contains("graft.cms.maxCandidateCounters"))
+      assert(e.getMessage.contains("candidates"))
+      // explicit candidates bypass the auto generator and its cap
+      val cand = items.distinct()
+      val got = Sketches.heavyHittersExact(items, "k", 3, 64, "hhr", 2L,
+        candidates = Some(cand))
+      val exact = items.groupBy("k").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2L).as[(String, Long)].collect().toMap
+      assert(got.as[(String, Long)].collect().toMap == exact)
+    } finally spark.conf.unset("graft.cms.maxCandidateCounters")
+  }
+
+  test("CMS refuses a non-broadcastable cell geometry (graft.cms.maxCells)") {
+    spark.conf.set("graft.cms.maxCells", "1000")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sketches.build(Seq("a").toDF("k"), "k", depth = 4, width = 512, seed = "cap")
+      }
+      assert(e.getMessage.contains("graft.cms.maxCells"))
+      val sk = Sketches.build(Seq("a").toDF("k"), "k", depth = 2, width = 500, seed = "cap")
+      val e2 = intercept[IllegalArgumentException] {
+        Sketches.estimate(sk, Seq("a").toDF("k"), "k", depth = 4, width = 512, seed = "cap")
+      }
+      assert(e2.getMessage.contains("graft.cms.maxCells"))
+    } finally spark.conf.unset("graft.cms.maxCells")
+  }
+
   test("dedupChunksWithin is idempotent and is a no-op for distinct chunks") {
     val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
     val once = TextOps.dedupChunksWithin(docs, "doc_id", "text", 2)
