@@ -474,6 +474,10 @@ def main() -> None:
         assert cand.columns == ["k"]
         missed2 = heavy_exact.join(cand, "k", "left_anti").count()
         assert missed2 == 0, "MG candidates missed a true heavy key"
+        hhf = gops.cms_heavy_hitters_exact(
+            items, "k", 3, 64, "pysmoke", 10, portable_hash=False)
+        assert {(r.k, r.cnt) for r in hhf.collect()} == want, \
+            "fast-hash exact heavy hitters != GROUP BY truth"
         print("round-18 cross-corpus join / exact heavy hitters bindings ok")
 
         print("SMOKE TEST PASSED")

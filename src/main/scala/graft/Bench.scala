@@ -149,7 +149,19 @@ object Bench {
     // per-query map alone is ~2.5KB — a truncated JSON head parses as
     // nothing. The headline carries the gate metric plus the slowest
     // queries and always fits.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Persist the full per-query map: the harness's stdout tail keeps only
+    // ~2000 chars, which hid 108 of 175 per-query medians from round 17's
+    // round-over-round delta analysis. Committed as bench_full_rN.json
+    // next to PLANS.md at round close.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val nFail = results.count(_._2 < 0)

@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   * corpus size, and whose result (a few thousand rows) broadcasts for
   * free into every later probe.
   *
-  * Bucket hashes are the house ENGINE-PORTABLE md5 scheme
+  * Bucket hashes default to the house ENGINE-PORTABLE md5 scheme
   * (`('0x' || substr(md5(seed || ':' || r || ':' || key), 1, 8))::UBIGINT
   * % width` in any SQL engine — same pattern as the feature-hashed NB
   * classifier, `Classify.md5Bucket`), so every estimate replays
   * bit-for-bit in the DuckDB oracle (q_cms_heavy). Pure integer
-  * arithmetic end to end (house rule 1).
+  * arithmetic end to end (house rule 1). `portableHash = false` swaps
+  * in codegen'd xxhash64 cells for corpora that don't need external
+  * replay (see [[cmsBucket]] for the honest cost comparison).
   *
   * Estimates are one-sided: est(k) = min over rows of the k-bucketed cell
   * sums ≥ true count, always — so a threshold filter over estimates has
@@ -32,34 +34,34 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Engine-portable CMS bucket for hash row `r`: first 8 hex chars of
+  /** CMS bucket for hash row `r`. Portable mode: first 8 hex chars of
     * md5("seed:r:key") as a 32-bit unsigned value, mod width — the ONE
     * house md5-bucket contract ([[Classify.md5Bucket]]) applied to a
-    * row-prefixed key.
+    * row-prefixed key, replayable bit-for-bit in any SQL engine (the
+    * oracle contract behind q_cms_heavy). Fast mode: xxhash64 over the
+    * same (seed:r, key) identity — NOT engine-replayable; codegen'd
+    * where md5 allocates a hex string per (row, occurrence). Measured
+    * honestly (round 18, clean JVMs): ~1.1x on the whole build at a
+    * 100x corpus — the build is scan/explode/agg-bound, not hash-bound,
+    * so take the free ~10% but don't trade oracle replay for it
+    * expecting more. Same independence-per-row structure, same
+    * one-sided estimate guarantee — every Sketches property except
+    * oracle replay holds identically, asserted in SketchOpsSpec.
     */
   private def cmsBucket(key: org.apache.spark.sql.Column, r: Int, width: Int,
-      seed: String): org.apache.spark.sql.Column =
-    Classify.md5Bucket(concat(lit(s"$seed:$r:"), key.cast("string")), width)
+      seed: String, portable: Boolean): org.apache.spark.sql.Column =
+    if (portable) Classify.md5Bucket(concat(lit(s"$seed:$r:"), key.cast("string")), width)
+    else pmod(xxhash64(lit(s"$seed:$r"), key.cast("string")), lit(width.toLong))
 
   /** The depth bucket coordinates of a key, as one exploded (r, bucket)
     * pair per hash row — shared by build (cell sums) and probe (cell
     * lookups) so the two sides can never desynchronize.
     */
   private def bucketPairs(key: org.apache.spark.sql.Column, depth: Int, width: Int,
-      seed: String): org.apache.spark.sql.Column =
+      seed: String, portable: Boolean): org.apache.spark.sql.Column =
     explode(array((0 until depth).map(r =>
-      struct(lit(r).as("r"), cmsBucket(key, r, width, seed).as("bucket"))): _*))
+      struct(lit(r).as("r"), cmsBucket(key, r, width, seed, portable).as("bucket"))): _*))
 
-  /** Build the sketch over one item frame: each input row contributes its
-    * weight (default 1) to one cell per hash row. NULL keys are skipped
-    * (a NULL has no frequency identity — rule-10 explicit policy), as are
-    * NULL weights. Single scan: the depth-way fan-out is a per-row array
-    * explode feeding a hash aggregate whose group count is ≤ depth·width,
-    * so the partial agg combines map-side and the shuffle carries cells.
-    *
-    * Returns (r INT, bucket BIGINT, cnt BIGINT) — only touched cells are
-    * present; absent cells are zero ([[estimate]] fills them).
-    */
   /** Refuse sketch geometries whose cell frame could not broadcast: the
     * touched-cell frame can reach depth·width rows and [[estimate]]
     * broadcasts it unconditionally, so an uncapped width would trade the
@@ -79,13 +81,24 @@ object Sketches {
         "to back it, or reduce width - CMS error is already <= 2N/width.")
   }
 
+  /** Build the sketch over one item frame: each input row contributes its
+    * weight (default 1) to one cell per hash row. NULL keys are skipped
+    * (a NULL has no frequency identity — rule-10 explicit policy), as are
+    * NULL weights. Single scan: the depth-way fan-out is a per-row array
+    * explode feeding a hash aggregate whose group count is ≤ depth·width,
+    * so the partial agg combines map-side and the shuffle carries cells.
+    *
+    * Returns (r INT, bucket BIGINT, cnt BIGINT) — only touched cells are
+    * present; absent cells are zero ([[estimate]] fills them).
+    */
   def build(
       items: DataFrame,
       keyCol: String,
       depth: Int,
       width: Int,
       seed: String,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      portableHash: Boolean = true): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
     requireCellCap(items.sparkSession, depth, width, "build")
@@ -105,7 +118,8 @@ object Sketches {
           "guarantee; aggregate retractions upstream or subtract two sketches"))))
     Dedup.fanOut(items.select(col(keyCol).as("__k"), w.as("__w")))
       .where(col("__k").isNotNull && col("__w").isNotNull)
-      .select(bucketPairs(col("__k"), depth, width, seed).as("rb"), wChecked.as("__w"))
+      .select(bucketPairs(col("__k"), depth, width, seed, portableHash).as("rb"),
+        wChecked.as("__w"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(sum("__w").as("cnt"))
   }
@@ -135,13 +149,15 @@ object Sketches {
       keyCol: String,
       depth: Int,
       width: Int,
-      seed: String): DataFrame = {
+      seed: String,
+      portableHash: Boolean = true): DataFrame = {
     require(!Seq("r", "bucket", "cnt", "est").contains(keyCol),
       s"estimate: keyCol '$keyCol' collides with a sketch column " +
         "(r, bucket, cnt, est) - rename the key column first")
     requireCellCap(keys.sparkSession, depth, width, "estimate")
     val kb = keys.select(col(keyCol)).where(col(keyCol).isNotNull).distinct()
-      .select(col(keyCol), bucketPairs(col(keyCol), depth, width, seed).as("rb"))
+      .select(col(keyCol),
+        bucketPairs(col(keyCol), depth, width, seed, portableHash).as("rb"))
       .select(col(keyCol), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
     kb.join(broadcast(sketch), Seq("r", "bucket"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
@@ -170,10 +186,11 @@ object Sketches {
       width: Int,
       seed: String,
       threshold: Long,
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      portableHash: Boolean = true): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
-    val sk = build(items, keyCol, depth, width, seed)
-    estimate(sk, candidates.getOrElse(items), keyCol, depth, width, seed)
+    val sk = build(items, keyCol, depth, width, seed, portableHash = portableHash)
+    estimate(sk, candidates.getOrElse(items), keyCol, depth, width, seed, portableHash)
       .where(col("est") >= threshold)
       .orderBy(col("est").desc, col(keyCol))
   }
@@ -265,7 +282,8 @@ object Sketches {
       width: Int,
       seed: String,
       threshold: Long,
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      portableHash: Boolean = true): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     val spark = items.sparkSession
     val cand = candidates.getOrElse {
@@ -282,7 +300,7 @@ object Sketches {
       localTopCandidates(items, keyCol, m.toInt)
     }
     val survivors = heavyHitters(items, keyCol, depth, width, seed, threshold,
-      candidates = Some(cand)).select(col(keyCol))
+      candidates = Some(cand), portableHash = portableHash).select(col(keyCol))
     items.join(broadcast(survivors), Seq(keyCol), "left_semi")
       .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= threshold)

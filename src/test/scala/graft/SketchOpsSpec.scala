@@ -412,6 +412,32 @@ class SketchOpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.cms.maxCandidateCounters")
   }
 
+  test("CMS fast-hash mode (xxhash64) keeps every sketch property except oracle replay") {
+    val items = tokenStream
+    val sk = Sketches.build(items, "k", depth = 3, width = 16, seed = "fx",
+      portableHash = false)
+    // cells stay inside geometry
+    assert(sk.where(col("bucket") < 0 || col("bucket") >= 16).count() == 0)
+    assert(sk.select("r").distinct().count() <= 3)
+    // one-sided estimates hold identically
+    val est = Sketches.estimate(sk, items, "k", 3, 16, "fx", portableHash = false)
+    val exact = items.groupBy("k").agg(count(lit(1)).as("exact"))
+    assert(est.join(exact, "k").where(col("est") < col("exact")).count() == 0)
+    // heavyHittersExact through the fast path equals the plain exact answer
+    val thr = 60L
+    val want = items.groupBy("k").agg(count(lit(1)).as("c"))
+      .where(col("c") >= thr).as[(String, Long)].collect().toMap
+    val got = Sketches.heavyHittersExact(items, "k", 3, 16, "fx", thr,
+      portableHash = false).as[(String, Long)].collect().toMap
+    assert(got == want)
+    // build/estimate must agree on the mode: probing an md5 sketch with
+    // xx64 coordinates mixes bucket spaces and still only OVER-estimates
+    // if anything sums across — but the point here is they differ
+    val skMd5 = Sketches.build(items, "k", 3, 16, "fx")
+    assert(skMd5.unionByName(sk).distinct().count() >= sk.count(),
+      "md5 and xx64 sketches should differ (sanity)")
+  }
+
   test("CMS refuses a non-broadcastable cell geometry (graft.cms.maxCells)") {
     spark.conf.set("graft.cms.maxCells", "1000")
     try {
