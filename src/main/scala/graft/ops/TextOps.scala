@@ -951,6 +951,11 @@ object TextOps {
     require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
     require(k >= 1, s"collocations: k must be >= 1, got $k")
     val toks = filter(split(col(textCol), " "), t => t =!= "")
+    // The size() pre-filter LOOKS like the bandedFromShingles pushdown
+    // trap (round 18) but is not: replacing it with a greatest()-guarded
+    // slice measured ~10% SLOWER on q_collocations/q_ccnet_buckets/
+    // q_bigram_nll (medians of 3, same host) — the predicate is cheap
+    // relative to the explode and drops rows before the shuffle. Keep.
     val pairs = Dedup.fanOut(docs.select(toks.as("__t")))
       .where(size(col("__t")) >= 2)
       .select(explode(transform(slice(col("__t"), lit(1), size(col("__t")) - 1),
@@ -987,6 +992,8 @@ object TextOps {
       idCol: String,
       textCol: String): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")
+    // size() pre-filter kept deliberately — see the collocations note
+    // (the greatest()-guarded alternative measured slower, round 18)
     val pairs = Dedup.fanOut(
       docs.select(col(idCol).cast("long").as("doc_id"), toks.as("__t")))
       .where(size(col("__t")) >= 2)

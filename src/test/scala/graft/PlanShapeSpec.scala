@@ -95,4 +95,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(plan) <= 2,
       s"only the partial/final agg may shuffle, found ${exchanges(plan)}; plan:\n${plan.take(1500)}")
   }
+
+  test("banded signatures never re-evaluate the shingle expression in a pushed filter") {
+    // Round-18 regression pin: a size()-style null-policy filter on the
+    // computed shingle column gets pushed below the projection with the
+    // whole wordShingles tree inlined into the predicate — the shingle
+    // expression then evaluates TWICE per row (measured 1.56x on the
+    // whole ingest cycle). The policy lives inside the band-keys UDF
+    // (empty array -> no posexplode rows); this asserts no optimizer
+    // pass reintroduces a Filter carrying the shingle tree.
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val banded = graft.ops.IncrementalDedup.bandedSignatures(docs, "doc_id", "text")
+    val filters = banded.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    // array_distinct is wordShingles' outermost node — its presence in a
+    // Filter condition means the shingle tree was inlined into a predicate
+    filters.foreach { f =>
+      assert(!f.condition.toString.contains("array_distinct"),
+        s"shingle expression inlined into a filter predicate:\n${f.condition}")
+    }
+  }
 }
