@@ -70,6 +70,7 @@ __all__ = [
     "cms_heavy_hitters",
     "cms_heavy_hitters_exact",
     "cms_local_top_candidates",
+    "cms_top_k_exact",
     "dedup_chunks_within",
     "corpus_drift",
 ]
@@ -791,6 +792,20 @@ def cms_local_top_candidates(
     present. Feed to ``cms_heavy_hitters`` / ``cms_heavy_hitters_exact``."""
     return _wrap(items, _jvm(items).graft.ops.Sketches.localTopCandidates(
         items._jdf, key_col, int(m)))
+
+
+def cms_top_k_exact(
+    items: DataFrame,
+    key_col: str,
+    k: int,
+    m: int = 0,
+) -> DataFrame:
+    """EXACT top-k most frequent keys without sorting the key space:
+    Misra-Gries candidates, exact counts on candidates only, and a
+    completeness check (k-th count > N/(m+1)) that REFUSES rather than
+    return a silently-approximate list. Returns (key, cnt, rank)."""
+    return _wrap(items, _jvm(items).graft.ops.Sketches.topKExact(
+        items._jdf, key_col, int(k), int(m)))
 
 
 def dedup_chunks_within(

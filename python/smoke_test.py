@@ -478,6 +478,12 @@ def main() -> None:
             items, "k", 3, 64, "pysmoke", 10, portable_hash=False)
         assert {(r.k, r.cnt) for r in hhf.collect()} == want, \
             "fast-hash exact heavy hitters != GROUP BY truth"
+        tk = gops.cms_top_k_exact(items, "k", 10)
+        got_tk = [(r.k, r.cnt) for r in sorted(tk.collect(), key=lambda r: r.rank)]
+        want_tk = [(r.k, r["count"]) for r in sorted(
+            exact.collect(), key=lambda r: (-r["count"], r.k))][:10]
+        assert got_tk == want_tk, "top-k exact != ordered GROUP BY truth"
+        tk.unpersist()
         print("round-18 cross-corpus join / exact heavy hitters bindings ok")
 
         print("SMOKE TEST PASSED")

@@ -1738,6 +1738,21 @@ object SparkEntry {
       graft.ops.Sketches.heavyHittersExact(items, "k",
         depth = 4, width = 2048, seed = "cms13", threshold = 40L)
     },
+    // Exact top-100 bigrams WITHOUT a key-space sort: Misra-Gries
+    // candidates, exact counts on candidates only, completeness VERIFIED
+    // (c_k > N/(m+1)) before returning — so the trivial ORDER BY oracle
+    // checks the whole verify-or-refuse machinery. Deterministic
+    // (cnt desc, key asc) rank; binary string collation on both engines.
+    "q_cms_topk" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val items = t(dir, "documents")
+        .select(explode(
+          graft.ops.TextOps.wordShingleOccurrences(col("text"), 2)).as("k"))
+        .where(col("k") =!= "")
+      val out = graft.ops.Sketches.topKExact(items, "k", k = 100)
+        .select(col("k"), col("cnt"), col("rank").cast("long").as("rank"))
+      out
+    },
     // Intra-document chunk dedup (keep-first over non-overlapping
     // 2-token chunks): one tight per-row UDF pass, zero shuffles;
     // null text → null clean_text with zero counts (rule 10).
@@ -4481,6 +4496,21 @@ object SparkEntry {
         |  WHERE k <> '')
         |SELECT k, CAST(count(*) AS BIGINT) AS cnt
         |FROM occ GROUP BY k HAVING count(*) >= 40""".stripMargin,
+    // Exact top-k replay: plain GROUP BY + deterministic rank window
+    // (cnt desc, key asc — binary collation both engines; rank CAST per
+    // rule 1's HUGEINT ban is unnecessary for row_number but the BIGINT
+    // cast keeps the schema aligned with Spark's casted column).
+    "q_cms_topk" ->
+      s"""WITH occ AS (
+        |  SELECT k FROM (
+        |    SELECT unnest(${shingleOccurrencesSql(2)}) AS k FROM documents)
+        |  WHERE k <> ''),
+        |c AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY k)
+        |SELECT k, cnt, rank FROM (
+        |  SELECT k, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, k) AS BIGINT) AS rank
+        |  FROM c)
+        |WHERE rank <= 100""".stripMargin,
     // Keep-first over non-overlapping 2-token chunks; null text → null
     // clean_md5 with zero counts on BOTH sides (rule 10).
     "q_chunk_dedup" ->

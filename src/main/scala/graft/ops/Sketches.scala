@@ -306,4 +306,86 @@ object Sketches {
       .where(col("cnt") >= threshold)
       .orderBy(col("cnt").desc, col(keyCol))
   }
+
+  /** EXACT top-k most frequent keys — "the 1,000 most frequent n-grams,
+    * exactly" — WITHOUT ever sorting or exact-counting the key space:
+    * per-partition Misra-Gries candidates (`m` counters), exact counts
+    * for the candidate set only (a broadcast semi-join + one map-side-
+    * combined aggregate over the items scan), then an order over the ≤
+    * m·partitions candidates. The result is VERIFIED before it is
+    * returned: completeness holds iff the k-th candidate count exceeds
+    * N/(m+1) — the MG bound guarantees every key with count > N/(m+1)
+    * is a candidate, so when the k-th count clears that line, no
+    * non-candidate key can out-rank (or tie into) the top k. If the
+    * check fails, the call REFUSES with the measured gap and the m that
+    * would close it, instead of returning a silently-approximate list —
+    * the same verify-or-refuse contract as [[heavyHittersExact]], which
+    * answers the threshold-form of this question.
+    *
+    * `m` defaults to max(32·k, 1024): on non-adversarial distributions
+    * the k-th count comfortably clears N/(32k+1) (the top k keys alone
+    * hold ≥ k·c_k of the N mass). A heavy-tailed corpus where it does
+    * not will refuse; re-call with the suggested m. Ties at the k-th
+    * count are broken key-ascending (deterministic, oracle-replayable).
+    * Returns (keyCol, cnt BIGINT, rank INT), rank 1 = heaviest — a
+    * persisted frame (the verification pass materializes it); the
+    * caller owns its unpersist.
+    */
+  def topKExact(
+      items: DataFrame,
+      keyCol: String,
+      k: Int,
+      m: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = items.sparkSession
+    val mEff = if (m > 0) m else math.max(32 * k, 1024)
+    val maxM = graft.util.Conf.long(spark, "graft.cms.maxCandidateCounters", 4194304L)
+    require(mEff <= maxM,
+      s"topKExact: m = $mEff exceeds graft.cms.maxCandidateCounters ($maxM)")
+    require(mEff > k, s"topKExact: m ($mEff) must exceed k ($k) for the " +
+      "completeness bound to be satisfiable")
+    val n = items.where(col(keyCol).isNotNull).count()
+    val cand = localTopCandidates(items, keyCol, mEff)
+    val counted = items.join(broadcast(cand), Seq(keyCol), "left_semi")
+      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    // rank over candidates only (<= m * partitions rows — never the key
+    // space); deterministic (cnt desc, key asc) total order
+    val ranked = counted
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col(keyCol).asc)))
+      .where(col("rank") <= k)
+      .persist()
+    val rows = ranked.count()
+    val bound = n / (mEff + 1L)
+    val verified =
+      if (rows >= k) {
+        // every key with count > N/(m+1) is a candidate (MG bound), so a
+        // k-th candidate count above that line proves no outside key can
+        // out-rank or tie into the top k
+        ranked.where(col("rank") === k).select(col("cnt")).head().getLong(0) > bound
+      } else {
+        // fewer candidates than k: the answer is complete ONLY if the
+        // candidates are the ENTIRE key set — exactly checkable: every
+        // occurrence must be accounted for by a candidate count
+        val countedTotal = counted.agg(coalesce(sum(col("cnt")), lit(0L)))
+          .head().getLong(0)
+        countedTotal == n
+      }
+    if (!verified) {
+      val kth = if (rows >= k)
+        ranked.where(col("rank") === k).select(col("cnt")).head().getLong(0)
+      else -1L
+      ranked.unpersist()
+      val need = if (kth > 0) n / kth + 1L else mEff * 4L
+      throw new IllegalArgumentException(
+        s"topKExact: completeness not verifiable - the k-th candidate count " +
+          s"(${if (rows >= k) kth.toString else s"only $rows candidates"}) does not " +
+          s"exceed N/(m+1) = $bound, so a non-candidate key could belong to the " +
+          s"true top $k. Re-call with m >= $need (and raise " +
+          "graft.cms.maxCandidateCounters if needed), or use heavyHittersExact " +
+          "with an explicit threshold.")
+    }
+    ranked
+  }
 }

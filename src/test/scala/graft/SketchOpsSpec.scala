@@ -412,6 +412,33 @@ class SketchOpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.cms.maxCandidateCounters")
   }
 
+  test("topKExact returns the exact deterministic top-k, refuses when unverifiable") {
+    val items = tokenStream.repartition(8)
+    val want = items.groupBy("k").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().sortBy(r => (-r._2, r._1)).take(10)
+      .zipWithIndex.map { case ((k, c), i) => (k, c, i + 1) }.toSeq
+    val got = Sketches.topKExact(items, "k", k = 10)
+      .as[(String, Long, Int)].collect().sortBy(_._3).toSeq
+    assert(got == want)
+    // partitioning independence
+    val got3 = Sketches.topKExact(items.repartition(3), "k", 10)
+    assert(got3.as[(String, Long, Int)].collect().sortBy(_._3).toSeq == want)
+    got3.unpersist()
+
+    // k larger than the distinct key space: returns everything, verified
+    // via full-accounting (sum of candidate counts == N)
+    val all = Sketches.topKExact(items, "k", k = 1000)
+    assert(all.count() == 40)
+    all.unpersist()
+
+    // m too small to verify -> typed refusal with the m that would close
+    // the gap (top-10 of 40 zipf keys cannot clear N/(m+1) at m=11)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.topKExact(items, "k", k = 10, m = 11)
+    }
+    assert(e.getMessage.contains("Re-call with m >="))
+  }
+
   test("CMS fast-hash mode (xxhash64) keeps every sketch property except oracle replay") {
     val items = tokenStream
     val sk = Sketches.build(items, "k", depth = 3, width = 16, seed = "fx",
