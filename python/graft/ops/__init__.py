@@ -714,8 +714,9 @@ def cms_build(
     (r, bucket, cnt) cell frame — mergeable, shuffle bounded by
     depth*width cells per partition at any corpus size.
     ``portable_hash=False`` switches the md5 oracle-replayable bucket
-    scheme for codegen'd xxhash64 — same one-sided guarantees, ~3x
-    cheaper scans at corpus scale, not replayable in external engines."""
+    scheme for codegen'd xxhash64 — same one-sided guarantees, but only
+    ~10% cheaper at corpus scale (the build is scan-bound, not
+    hash-bound) and not replayable in external engines."""
     jvm = _jvm(items)
     opt = jvm.scala.Option.apply(weight_col)
     return _wrap(items, jvm.graft.ops.Sketches.build(

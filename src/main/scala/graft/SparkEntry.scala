@@ -252,6 +252,33 @@ object SparkEntry {
   private def shingleRowsSql(n: Int, textSql: String = "text"): String =
     s"unnest(${shingleListSql(n, textSql)})"
 
+  /** The %13 documents slice with ids offset and text truncated to its
+    * first ceil(mulNum·n/den) tokens (addDen = den−1 implements the
+    * ceiling) — THE one prefix-truncation recipe behind the
+    * q_jaccard_join and q_jaccard_join_ab near-dup fixtures, Spark side.
+    * A drifted inline copy would silently desynchronize the two gates'
+    * pair sets (house rule 5).
+    */
+  private def prefixTruncSlice(docs: DataFrame, offset: Long, mulNum: Long,
+      addDen: Long, den: Long): DataFrame = {
+    val toks = split(col("text"), " ")
+    val keep = call_function("div",
+      size(toks).cast("long") * lit(mulNum) + lit(addDen), lit(den))
+    docs.where(col("doc_id") % 13 === 0).select(
+      (col("doc_id") + lit(offset)).as("doc_id"),
+      when(col("text").isNull, lit(null).cast("string"))
+        .otherwise(concat_ws(" ", slice(toks, lit(1), keep.cast("int"))))
+        .as("text"))
+  }
+
+  /** [[prefixTruncSlice]]'s DuckDB mirror — one SELECT over documents. */
+  private def prefixTruncSql(offset: Long, mulNum: Long, addDen: Long,
+      den: Long): String =
+    s"""SELECT doc_id + $offset AS doc_id,
+       |    CASE WHEN text IS NULL THEN NULL ELSE array_to_string(
+       |      string_split(text, ' ')[1 : (len(string_split(text, ' ')) * $mulNum + $addDen) // $den], ' ') END AS text
+       |  FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
   /** HALF-UP integer micro-unit Jaccard of two shingle-list SQL
     * expressions: (2·|∩|·1e6 + |∪|) // (2·|∪|) = round(j·1e6) — pure
     * integer arithmetic, THE definition behind
@@ -1667,19 +1694,9 @@ object SparkEntry {
     "q_jaccard_join" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val docs = t(dir, "documents").select(col("doc_id"), col("text"))
-      def prefixTrunc(offset: Long, mulNum: Long, addDen: Long, den: Long): DataFrame = {
-        val toks = split(col("text"), " ")
-        val keep = call_function("div",
-          size(toks).cast("long") * lit(mulNum) + lit(addDen), lit(den))
-        docs.where(col("doc_id") % 13 === 0).select(
-          (col("doc_id") + lit(offset)).as("doc_id"),
-          when(col("text").isNull, lit(null).cast("string"))
-            .otherwise(concat_ws(" ", slice(toks, lit(1), keep.cast("int"))))
-            .as("text"))
-      }
       val corpus = docs
-        .unionByName(prefixTrunc(2000000L, 3L, 4L, 5L)) // first ceil(3n/5) tokens
-        .unionByName(prefixTrunc(4000000L, 1L, 3L, 4L)) // first ceil(n/4) tokens
+        .unionByName(prefixTruncSlice(docs, 2000000L, 3L, 4L, 5L)) // first ceil(3n/5) tokens
+        .unionByName(prefixTruncSlice(docs, 4000000L, 1L, 3L, 4L)) // first ceil(n/4) tokens
       graft.ops.SetSimJoin.jaccardJoin(corpus, "doc_id", "text",
         thresholdPct = 50, shingleSize = 3)
     },
@@ -1695,14 +1712,7 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val docs = t(dir, "documents").select(col("doc_id"), col("text"))
       val left = docs.where(col("doc_id") % 13 === 0)
-      val toks = split(col("text"), " ")
-      val keep = call_function("div",
-        size(toks).cast("long") * lit(3L) + lit(4L), lit(5L))
-      val right = docs.where(col("doc_id") % 13 === 0).select(
-          (col("doc_id") + lit(2000000L)).as("doc_id"),
-          when(col("text").isNull, lit(null).cast("string"))
-            .otherwise(concat_ws(" ", slice(toks, lit(1), keep.cast("int"))))
-            .as("text"))
+      val right = prefixTruncSlice(docs, 2000000L, 3L, 4L, 5L)
         .unionByName(docs.where(col("doc_id") % 17 === 0))
       graft.ops.SetSimJoin.jaccardJoinAB(left, right, "doc_id", "text",
         thresholdPct = 50, shingleSize = 3)
@@ -4413,15 +4423,9 @@ object SparkEntry {
       s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 2000000,
-        |    CASE WHEN text IS NULL THEN NULL ELSE array_to_string(
-        |      string_split(text, ' ')[1 : (len(string_split(text, ' ')) * 3 + 4) // 5], ' ') END
-        |  FROM documents WHERE doc_id % 13 = 0
+        |  ${prefixTruncSql(2000000L, 3L, 4L, 5L)}
         |  UNION ALL
-        |  SELECT doc_id + 4000000,
-        |    CASE WHEN text IS NULL THEN NULL ELSE array_to_string(
-        |      string_split(text, ' ')[1 : (len(string_split(text, ' ')) + 3) // 4], ' ') END
-        |  FROM documents WHERE doc_id % 13 = 0),
+        |  ${prefixTruncSql(4000000L, 1L, 3L, 4L)}),
         |sh AS (SELECT doc_id, s
         |  FROM (SELECT doc_id, ${shingleRowsSql(3)} AS s FROM corpus) WHERE s <> ''),
         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM sh GROUP BY doc_id),
@@ -4442,10 +4446,7 @@ object SparkEntry {
       s"""WITH lft AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
         |rgt AS (
-        |  SELECT doc_id + 2000000 AS doc_id,
-        |    CASE WHEN text IS NULL THEN NULL ELSE array_to_string(
-        |      string_split(text, ' ')[1 : (len(string_split(text, ' ')) * 3 + 4) // 5], ' ') END AS text
-        |  FROM documents WHERE doc_id % 13 = 0
+        |  ${prefixTruncSql(2000000L, 3L, 4L, 5L)}
         |  UNION ALL
         |  SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
         |sha AS (SELECT doc_id, s

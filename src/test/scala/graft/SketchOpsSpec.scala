@@ -457,12 +457,12 @@ class SketchOpsSpec extends SparkSpec {
     val got = Sketches.heavyHittersExact(items, "k", 3, 16, "fx", thr,
       portableHash = false).as[(String, Long)].collect().toMap
     assert(got == want)
-    // build/estimate must agree on the mode: probing an md5 sketch with
-    // xx64 coordinates mixes bucket spaces and still only OVER-estimates
-    // if anything sums across — but the point here is they differ
+    // the two modes must actually produce DIFFERENT cell layouts — a
+    // regression that made cmsBucket ignore the portable flag would
+    // silently retire the fast path; except() is the strict check
     val skMd5 = Sketches.build(items, "k", 3, 16, "fx")
-    assert(skMd5.unionByName(sk).distinct().count() >= sk.count(),
-      "md5 and xx64 sketches should differ (sanity)")
+    assert(skMd5.exceptAll(sk).count() > 0,
+      "md5 and xx64 sketches must differ (portable flag ignored?)")
   }
 
   test("CMS refuses a non-broadcastable cell geometry (graft.cms.maxCells)") {
