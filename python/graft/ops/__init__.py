@@ -71,6 +71,7 @@ __all__ = [
     "cms_heavy_hitters_exact",
     "cms_local_top_candidates",
     "cms_top_k_exact",
+    "CmsSketchHandle",
     "dedup_chunks_within",
     "corpus_drift",
 ]
@@ -807,6 +808,67 @@ def cms_top_k_exact(
     return a silently-approximate list. Returns (key, cnt, rank)."""
     return _wrap(items, _jvm(items).graft.ops.Sketches.topKExact(
         items._jdf, key_col, int(k), int(m)))
+
+
+class CmsSketchHandle:
+    """Geometry-safe count-min sketch handle (wraps the JVM
+    ``graft.ops.CmsSketch``): the cell frame travels WITH the
+    (depth, width, seed, hash-mode) geometry, so probes can never
+    desynchronize from the build, merge refuses mismatched geometries,
+    and write/read persists the cells with a validated content digest
+    (a corrupted payload refuses instead of under-estimating)."""
+
+    def __init__(self, jsketch, spark):
+        self._j = jsketch
+        self._spark = spark
+
+    @staticmethod
+    def build(
+        items: DataFrame,
+        key_col: str,
+        depth: int,
+        width: int,
+        seed: str,
+        weight_col: Optional[str] = None,
+        portable_hash: bool = True,
+    ) -> "CmsSketchHandle":
+        jvm = _jvm(items)
+        opt = jvm.scala.Option.apply(weight_col)
+        j = jvm.graft.ops.CmsSketch.build(
+            items._jdf, key_col, int(depth), int(width), seed, opt,
+            bool(portable_hash))
+        return CmsSketchHandle(j, items.sparkSession)
+
+    @staticmethod
+    def read(spark, path: str) -> "CmsSketchHandle":
+        jvm = spark.sparkContext._jvm
+        return CmsSketchHandle(
+            jvm.graft.ops.CmsSketch.read(spark._jsparkSession, path), spark)
+
+    @property
+    def cells(self) -> DataFrame:
+        return DataFrame(self._j.cells(), self._spark)
+
+    @property
+    def depth(self) -> int:
+        return self._j.depth()
+
+    @property
+    def width(self) -> int:
+        return self._j.width()
+
+    @property
+    def seed(self) -> str:
+        return self._j.seed()
+
+    def estimate(self, keys: DataFrame, key_col: str) -> DataFrame:
+        return DataFrame(self._j.estimate(keys._jdf, key_col), self._spark)
+
+    def merge(self, other: "CmsSketchHandle") -> "CmsSketchHandle":
+        return CmsSketchHandle(self._j.merge(other._j), self._spark)
+
+    def write(self, path: str) -> None:
+        self._spark.sparkContext._jvm.graft.ops.CmsSketch.write(self._j, path)
 
 
 def dedup_chunks_within(

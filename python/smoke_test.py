@@ -484,6 +484,18 @@ def main() -> None:
             exact.collect(), key=lambda r: (-r["count"], r.k))][:10]
         assert got_tk == want_tk, "top-k exact != ordered GROUP BY truth"
         tk.unpersist()
+        sk_h = gops.CmsSketchHandle.build(items, "k", 3, 64, "pysmoke")
+        sk_dir = tempfile.mkdtemp(prefix="cms_py")
+        sk_h.write(sk_dir)
+        sk_r = gops.CmsSketchHandle.read(spark, sk_dir)
+        assert (sk_r.depth, sk_r.width, sk_r.seed) == (3, 64, "pysmoke")
+        est_h = sk_r.estimate(items, "k")
+        assert est_h.join(exact, "k").where("est < count").count() == 0
+        try:
+            sk_h.merge(gops.CmsSketchHandle.build(items, "k", 3, 64, "OTHER"))
+            raise AssertionError("geometry mismatch not refused")
+        except Exception as e:
+            assert "geometry mismatch" in str(e)
         print("round-18 cross-corpus join / exact heavy hitters bindings ok")
 
         print("SMOKE TEST PASSED")

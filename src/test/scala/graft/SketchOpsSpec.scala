@@ -465,6 +465,46 @@ class SketchOpsSpec extends SparkSpec {
       "md5 and xx64 sketches must differ (portable flag ignored?)")
   }
 
+  test("CmsSketch: geometry-safe handle — roundtrip, merge refusal, corruption refusal") {
+    import graft.ops.CmsSketch
+    val items = tokenStream
+    val sk = CmsSketch.build(items, "k", depth = 3, width = 32, seed = "h1")
+    val dir = java.nio.file.Files.createTempDirectory("cms_sketch").toString
+
+    // write/read roundtrip: identical estimates for every key
+    CmsSketch.write(sk, dir)
+    val loaded = CmsSketch.read(spark, dir)
+    assert((loaded.depth, loaded.width, loaded.seed, loaded.portableHash) ==
+      ((3, 32, "h1", true)))
+    val before = sk.estimate(items, "k").as[(String, Long)].collect().toMap
+    val after = loaded.estimate(items, "k").as[(String, Long)].collect().toMap
+    assert(before == after)
+
+    // handle merge == functional merge; geometry mismatch refuses
+    val sk2 = CmsSketch.build(items, "k", 3, 32, "h1")
+    val merged = sk.merge(sk2)
+    val mergedFn = Sketches.merge(sk.cells, sk2.cells)
+    assert(merged.cells.unionByName(mergedFn).distinct().count() == mergedFn.count())
+    val other = CmsSketch.build(items, "k", 3, 32, "DIFFERENT-SEED")
+    val e = intercept[IllegalArgumentException] { sk.merge(other) }
+    assert(e.getMessage.contains("geometry mismatch"))
+    val otherHash = CmsSketch.build(items, "k", 3, 32, "h1", portableHash = false)
+    assert(intercept[IllegalArgumentException] { sk.merge(otherHash) }
+      .getMessage.contains("geometry mismatch"))
+
+    // corrupted cell payload: replace cells with a different frame ->
+    // digest mismatch refuses instead of serving under-estimates
+    CmsSketch.build(items.limit(100), "k", 3, 32, "h1").cells
+      .write.mode("overwrite").parquet(s"$dir/cells")
+    val e2 = intercept[IllegalArgumentException] { CmsSketch.read(spark, dir) }
+    assert(e2.getMessage.contains("digest mismatch"))
+
+    // missing metadata: not a sketch directory
+    val empty = java.nio.file.Files.createTempDirectory("cms_none").toString
+    assert(intercept[IllegalArgumentException] { CmsSketch.read(spark, empty) }
+      .getMessage.contains("not a sketch directory"))
+  }
+
   test("CMS refuses a non-broadcastable cell geometry (graft.cms.maxCells)") {
     spark.conf.set("graft.cms.maxCells", "1000")
     try {
