@@ -214,14 +214,33 @@ object Sketches {
     * final dedup over ≤ m·partitions candidate keys. NULL keys are
     * skipped (rule-10: a NULL has no frequency identity).
     */
-  def localTopCandidates(items: DataFrame, keyCol: String, m: Int): DataFrame = {
+  def localTopCandidates(items: DataFrame, keyCol: String, m: Int): DataFrame =
+    mgSummaries(items, keyCol, m)
+      .where(col(keyCol).isNotNull).select(col(keyCol)).distinct()
+
+  /** The shared MG scan: per partition, emit the ≤ m surviving keys as
+    * (key, NULL) rows plus ONE (NULL, n_p) row carrying the partition's
+    * non-null-key count — so callers that also need N ([[topKExact]]'s
+    * completeness bound) get it from the SAME pass instead of a second
+    * corpus scan. Keys are non-null by the filter, so the NULL key is an
+    * unambiguous marker for the count row.
+    */
+  private def mgSummaries(items: DataFrame, keyCol: String, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
     val keyed = Dedup.fanOut(items.select(col(keyCol)))
       .where(col(keyCol).isNotNull)
-    val enc = org.apache.spark.sql.Encoders.row(keyed.schema)
+    // the key field must be NULLABLE in the summary schema regardless of
+    // the input's nullability: the per-partition count row carries a
+    // NULL key as its marker
+    val schema = org.apache.spark.sql.types.StructType(
+      keyed.schema.fields.map(_.copy(nullable = true)))
+      .add("__n", org.apache.spark.sql.types.LongType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
     keyed.mapPartitions { rows =>
       val counters = new java.util.HashMap[Any, java.lang.Long]()
+      var np = 0L
       rows.foreach { row =>
+        np += 1L
         val k = row.get(0)
         val c = counters.get(k)
         if (c ne null) counters.put(k, c + 1L)
@@ -238,11 +257,13 @@ object Sketches {
       }
       val it = counters.keySet().iterator()
       new Iterator[org.apache.spark.sql.Row] {
-        def hasNext: Boolean = it.hasNext
+        private var countEmitted = false
+        def hasNext: Boolean = it.hasNext || !countEmitted
         def next(): org.apache.spark.sql.Row =
-          org.apache.spark.sql.Row(it.next())
+          if (it.hasNext) org.apache.spark.sql.Row(it.next(), null)
+          else { countEmitted = true; org.apache.spark.sql.Row(null, np) }
       }
-    }(enc).distinct()
+    }(enc)
   }
 
   /** EXACT heavy hitters via the classic two-pass sketch-then-verify
@@ -344,8 +365,16 @@ object Sketches {
       s"topKExact: m = $mEff exceeds graft.cms.maxCandidateCounters ($maxM)")
     require(mEff > k, s"topKExact: m ($mEff) must exceed k ($k) for the " +
       "completeness bound to be satisfiable")
-    val n = items.where(col(keyCol).isNotNull).count()
-    val cand = localTopCandidates(items, keyCol, mEff)
+    // ONE fused scan yields both the MG survivors and N (the per-partition
+    // count rows): unlike heavyHittersExact's auto path, m here does not
+    // depend on N — only the post-hoc bound check does — so the separate
+    // count(*) pass would be a pure waste of a corpus scan. The summary
+    // frame is tiny (≤ m+1 rows/partition) — persist it, not the corpus.
+    val summaries = mgSummaries(items, keyCol, mEff).persist()
+    val n = summaries.where(col(keyCol).isNull)
+      .agg(coalesce(sum(col("__n")), lit(0L))).head().getLong(0)
+    val cand = summaries.where(col(keyCol).isNotNull)
+      .select(col(keyCol)).distinct()
     val counted = items.join(broadcast(cand), Seq(keyCol), "left_semi")
       .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
     // rank over candidates only (<= m * partitions rows — never the key
@@ -372,6 +401,7 @@ object Sketches {
           .head().getLong(0)
         countedTotal == n
       }
+    summaries.unpersist()
     if (!verified) {
       val kth = if (rows >= k)
         ranked.where(col("rank") === k).select(col("cnt")).head().getLong(0)
