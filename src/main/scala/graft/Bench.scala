@@ -155,10 +155,15 @@ object Bench {
     // Persist the full per-query map: the harness's stdout tail keeps only
     // ~2000 chars, which hid 108 of 175 per-query medians from round 17's
     // round-over-round delta analysis. Committed as bench_full_rN.json
-    // next to PLANS.md at round close.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fullLine + "\n").getBytes("UTF-8"))
+    // next to PLANS.md at round close. Default under target/ (gitignored)
+    // so ad-hoc runs never clutter or clobber tracked files; the round-close
+    // copy to bench_full_rN.json is an explicit act.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+    }
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

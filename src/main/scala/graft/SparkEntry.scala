@@ -1753,6 +1753,10 @@ object SparkEntry {
     // (c_k > N/(m+1)) before returning — so the trivial ORDER BY oracle
     // checks the whole verify-or-refuse machinery. Deterministic
     // (cnt desc, key asc) rank; binary string collation on both engines.
+    // topKExact hands back a persisted frame the caller owns; here the
+    // release is the harness's per-query spark.catalog.clearCache()
+    // (Verify.scala / Bench.scala), the same isolation that releases the
+    // dedup ops' persisted pair sets.
     "q_cms_topk" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val items = t(dir, "documents")
@@ -1762,6 +1766,71 @@ object SparkEntry {
       val out = graft.ops.Sketches.topKExact(items, "k", k = 100)
         .select(col("k"), col("cnt"), col("rank").cast("long").as("rank"))
       out
+    },
+    // HyperLogLog register frame over word-bigram OCCURRENCES: p=9
+    // (512 registers), md5 bucket/rank hashes — the registers ARE the
+    // sketch (mergeable, persistable), and they replay bit-for-bit in
+    // SQL: bucket = first-8-hex md5 mod 512, rank = 1 + leading zeros
+    // of the 52-bit (13-hex) md5 value via the length(bin(w)) identity.
+    // Pure integer/string arithmetic end to end (rule 1); the float
+    // ESTIMATE never enters the contract (accuracy is spec-pinned in
+    // HllSpec against exact distinct counts). Null keys skipped (the
+    // '' filter is the shingle-policy filter shared with q_cms_heavy).
+    "q_hll_registers" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val items = t(dir, "documents")
+        .select(explode(
+          graft.ops.TextOps.wordShingleOccurrences(col("text"), 2)).as("k"))
+        .where(col("k") =!= "")
+      graft.ops.Hll.build(items, "k", p = 9, seed = "hll19")
+    },
+    // HLL merge semantics end to end: build over the even-id and odd-id
+    // document slices SEPARATELY, max-merge the register frames — the
+    // result must equal the one-shot build over all non-null-id docs
+    // (the oracle), which is exactly the per-day/per-shard composition
+    // a 100-TB pipeline relies on. Null doc_id is in neither slice and
+    // not in the oracle's source (explicit rule-10 policy).
+    "q_hll_merge" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      def bigrams(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(explode(
+          graft.ops.TextOps.wordShingleOccurrences(col("text"), 2)).as("k"))
+        .where(col("k") =!= "")
+      val docs = t(dir, "documents")
+      val even = graft.ops.Hll.build(
+        bigrams(docs.where(col("doc_id") % 2 === 0)), "k", p = 9, seed = "hll19")
+      val odd = graft.ops.Hll.build(
+        bigrams(docs.where(!(col("doc_id") % 2 === 0))), "k", p = 9, seed = "hll19")
+      graft.ops.Hll.merge(even, odd)
+    },
+    // Per-language distinct-bigram cardinality estimates: the grouped
+    // HLL path (register state m-bounded PER GROUP, one aggregation for
+    // all groups). Rows-only: the estimate is output-only float math by
+    // design (rule 1) — its register arithmetic is the hash-green
+    // q_hll_registers sibling, and estimate accuracy vs exact distinct
+    // is spec-pinned (HllSpec). Null lang is a retained group.
+    "q_hll_grouped" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val items = t(dir, "documents")
+        .select(col("lang"), explode(
+          graft.ops.TextOps.wordShingleOccurrences(col("text"), 2)).as("k"))
+        .where(col("k") =!= "")
+      val regs = graft.ops.Hll.buildGrouped(items, Seq("lang"), "k",
+        p = 9, seed = "hll19")
+      graft.ops.Hll.estimateGrouped(regs, Seq("lang"), p = 9)
+    },
+    // EXACT percentiles of n_chars by iterative histogram refinement —
+    // never a global sort: pass 0 (count/min/max) + radix-histogram
+    // passes whose shuffles carry ≤ 8192 count rows per interval. The
+    // oracle is the definitionally-direct rank window (row_number =
+    // ceil(pct·n/100)), so the hash proves the refinement machinery
+    // lands on the exact order statistic. Pure integer arithmetic:
+    // k = (pct·n + 99) div 100, values are BIGINT. Null n_chars rows
+    // are excluded on both sides (rule 10).
+    "q_quantiles_exact" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Quantiles.exactPct(t(dir, "documents"), "n_chars",
+        Seq(1, 5, 10, 25, 50, 75, 90, 95, 99))
     },
     // Intra-document chunk dedup (keep-first over non-overlapping
     // 2-token chunks): one tight per-row UDF pass, zero shuffles;
@@ -4512,6 +4581,55 @@ object SparkEntry {
         |    CAST(row_number() OVER (ORDER BY cnt DESC, k) AS BIGINT) AS rank
         |  FROM c)
         |WHERE rank <= 100""".stripMargin,
+    // Bit-for-bit HLL register replay: bucket = first-8-hex md5 mod 512,
+    // rank = 1 + leading zeros of the 52-bit (13-hex) md5 value —
+    // length(bin(w)) IS the bit length in both engines (bin drops
+    // leading zeros), so rank = 53 - length(bin(w)), pure integer/string
+    // arithmetic throughout (rule 1).
+    "q_hll_registers" ->
+      s"""WITH occ AS (
+        |  SELECT k FROM (
+        |    SELECT unnest(${shingleOccurrencesSql(2)}) AS k FROM documents)
+        |  WHERE k <> ''),
+        |reg AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('hll19:b:' || k), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket,
+        |    CAST(('0x' || substr(md5('hll19:r:' || k), 1, 13))::UBIGINT AS BIGINT) AS w
+        |  FROM occ)
+        |SELECT bucket,
+        |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS maxrank
+        |FROM reg GROUP BY bucket""".stripMargin,
+    // The merge contract needs no merge replay at all: max-merging the
+    // two disjoint-slice register frames must equal the one-shot build
+    // over every non-null-id document — the oracle IS that one-shot
+    // build (same register arithmetic as q_hll_registers).
+    "q_hll_merge" ->
+      s"""WITH occ AS (
+        |  SELECT k FROM (
+        |    SELECT unnest(${shingleOccurrencesSql(2)}) AS k
+        |    FROM documents WHERE doc_id IS NOT NULL)
+        |  WHERE k <> ''),
+        |reg AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('hll19:b:' || k), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket,
+        |    CAST(('0x' || substr(md5('hll19:r:' || k), 1, 13))::UBIGINT AS BIGINT) AS w
+        |  FROM occ)
+        |SELECT bucket,
+        |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS maxrank
+        |FROM reg GROUP BY bucket""".stripMargin,
+    // Definitionally-direct order statistic: value at row_number
+    // k = ceil(pct·n/100) over the non-null values — the refinement
+    // machinery must land on exactly this element. Integer division
+    // only; ties under row_number don't matter (the VALUE at rank k is
+    // tie-invariant under ORDER BY val).
+    "q_quantiles_exact" ->
+      """WITH v AS (SELECT n_chars AS val FROM documents WHERE n_chars IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT val, CAST(row_number() OVER (ORDER BY val) AS BIGINT) AS rn FROM v),
+        |p AS (SELECT CAST(unnest([1,5,10,25,50,75,90,95,99]) AS BIGINT) AS pct)
+        |SELECT p.pct AS pct, CAST((p.pct * n.n + 99) // 100 AS BIGINT) AS k,
+        |  CAST(r.val AS BIGINT) AS value
+        |FROM p CROSS JOIN n JOIN r ON r.rn = (p.pct * n.n + 99) // 100""".stripMargin,
     // Keep-first over non-overlapping 2-token chunks; null text → null
     // clean_md5 with zero counts on BOTH sides (rule 10).
     "q_chunk_dedup" ->

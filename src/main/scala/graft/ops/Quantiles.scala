@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed quantiles / order statistics over an integral
+  * column — k-th-smallest selection by iterative histogram refinement
+  * (the classic distributed selection scheme — Blum et al.'s selection
+  * problem meets a radix histogram; same family as Munro & Paterson
+  * 1980's multi-pass selection), never a global sort:
+  *
+  *  - Pass 0: one aggregation for (count, min, max).
+  *  - Each refinement pass: ONE scan computing a `B`-bucket histogram
+  *    per still-active value interval (buckets are `v >> s` radix
+  *    slices, so the math is overflow-free for the full 64-bit range
+  *    and monotone — arithmetic shift is floor division by 2^s). The
+  *    shuffle carries at most `B × #intervals` count rows; the driver
+  *    walks each histogram to locate the bucket containing the target
+  *    rank and narrows the interval by a factor of B.
+  *  - Terminates when every interval is a single value: at most
+  *    ceil(64 / log2(B)) = 5 passes for a full 64-bit value range
+  *    (real columns resolve in 2-3), each a column-pruned scan.
+  *
+  * This is how you take the exact p99 of a column at 100 TB: a global
+  * `ORDER BY` shuffles the corpus; `approxQuantile` gives an
+  * ε-approximation; this gives the EXACT order statistic for a handful
+  * of full-column scans and a B·#targets-row shuffle per pass. Results
+  * are deterministic (a pure function of the value multiset). The
+  * intervals of distinct targets are always identical or disjoint
+  * (they start as one shared [min, max] and only ever split along
+  * bucket boundaries), so each row lands in at most ONE interval and
+  * the pass expression is a codegen'd when-chain — no row fan-out.
+  *
+  * NULL policy (rule 10, explicit on both sides of the gate): NULL
+  * values carry no rank and are EXCLUDED; ranks are relative to the
+  * non-null count. Quantile definition: k = ceil(pct·n / 100) in pure
+  * integer arithmetic ((pct·n + 99) div 100) — the "type 1" /
+  * `quantile_disc` convention: the k-th smallest VALUE, duplicates
+  * counted, so the answer is always an element of the column.
+  *
+  * Per-GROUP quantiles are a different shape with a built-in answer —
+  * rank windows partitioned by the group (the exact weighted-median
+  * machinery in the K-Medians update, `clustering/Lloyds.scala`)
+  * shuffle each group once and never collect; this operator exists for
+  * the GLOBAL case where a rank window would be a single-partition
+  * total order over the corpus.
+  *
+  * The reference engine has no quantile operator; `graft.ops` pipeline
+  * surface (length/score percentile cutoffs for curation thresholds,
+  * e.g. "drop docs below the exact 5th length percentile").
+  */
+object Quantiles {
+
+  /** Radix histogram width: 2^13 buckets. ceil(64/13) = 5 passes worst
+    * case; driver-side per pass is ≤ B × #intervals count rows (≤ 0.5M
+    * at the 64-target cap — the same bounded-collect budget as the
+    * k×d center collects in the Lloyd loop).
+    */
+  private val BucketBits = 13
+  private val B = 1 << BucketBits
+
+  /** One selection target: the `need`-th smallest value within
+    * [lo, hi] (bounds inclusive, both known to contain it).
+    */
+  private final case class Target(id: Int, need: Long, lo: Long, hi: Long) {
+    def resolved: Boolean = lo == hi
+  }
+
+  /** Exact percentile values: one row per requested integer percentile,
+    * (pct BIGINT, k BIGINT, value BIGINT) where k = ceil(pct·n/100) and
+    * value is the k-th smallest non-null `valueCol`. Empty input (after
+    * the null filter) returns an empty frame.
+    */
+  def exactPct(df: DataFrame, valueCol: String, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty, "Quantiles.exactPct: pcts must be non-empty")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"Quantiles.exactPct: percentiles must be in [1,100], got ${pcts.mkString(",")}")
+    require(pcts.distinct.length == pcts.length,
+      "Quantiles.exactPct: duplicate percentiles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = values(df, valueCol)
+    val n = vals.agg(count(lit(1))).head().getLong(0)
+    if (n == 0L) {
+      return Seq.empty[(Long, Long, Long)].toDF("pct", "k", "value")
+    }
+    val ks = pcts.map(p => (p.toLong * n + 99L) / 100L)
+    val byK = selectKth(vals, ks.distinct)
+    pcts.zip(ks).map { case (p, k) => (p.toLong, k, byK(k)) }
+      .toDF("pct", "k", "value")
+  }
+
+  /** Exact order statistics at explicit 1-based ranks: (k BIGINT,
+    * value BIGINT), value = k-th smallest non-null `valueCol`. Each k
+    * must be in [1, count(non-null)] — out-of-range ranks refuse with
+    * the measured n rather than clamping silently.
+    */
+  def exactAtRanks(df: DataFrame, valueCol: String, ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty, "Quantiles.exactAtRanks: ks must be non-empty")
+    require(ks.distinct.length == ks.length, "Quantiles.exactAtRanks: duplicate ranks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = values(df, valueCol)
+    val n = vals.agg(count(lit(1))).head().getLong(0)
+    require(ks.forall(k => k >= 1 && k <= n),
+      s"Quantiles.exactAtRanks: ranks must be in [1, $n] (non-null rows), " +
+        s"got ${ks.mkString(",")}")
+    val byK = selectKth(vals, ks)
+    ks.map(k => (k, byK(k))).toDF("k", "value")
+  }
+
+  /** The pruned single-column projection every pass scans: nulls out
+    * (explicit policy), values as long. Recomputed per pass rather than
+    * persisted — at 100 TB, re-reading one pruned parquet column 2-5
+    * times is deliberate (the same recompute-over-materialize call as
+    * the substring-dedup window pass, PLANS.md round 9).
+    */
+  private def values(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+
+  /** Core selection loop. Returns the value at each requested rank.
+    * ≤ 64 targets: each pass's histogram collect is B × #intervals
+    * rows and the when-chain expression grows with #intervals.
+    */
+  private def selectKth(vals: DataFrame, ks: Seq[Long]): Map[Long, Long] = {
+    require(ks.length <= 64,
+      s"Quantiles: at most 64 ranks per call, got ${ks.length} - batch them")
+    val bounds = vals.agg(min("__v"), max("__v")).head()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    var active = ks.zipWithIndex.map { case (k, i) => Target(i, k, mn, mx) }.toList
+    val resolvedVals = scala.collection.mutable.Map.empty[Int, Long]
+    var passes = 0
+    while (active.exists(!_.resolved)) {
+      passes += 1
+      require(passes <= 8, // 5 covers the full 64-bit range; 8 = paranoia
+        s"Quantiles: refinement did not converge after $passes passes - " +
+          "the input changed between passes (non-deterministic source?)")
+      active.filter(_.resolved).foreach(t => resolvedVals(t.id) = t.lo)
+      active = active.filter(!_.resolved)
+      // identical-or-disjoint invariant: group targets sharing an interval
+      val groups = active.groupBy(t => (t.lo, t.hi)).toSeq.zipWithIndex
+        .map { case (((lo, hi), ts), gid) => (gid, lo, hi, shiftFor(lo, hi), ts) }
+      // one scan: gid + radix bucket via a codegen'd when-chain (each row
+      // is in at most one interval), histogram per (gid, bucket)
+      val gidCol = groups.foldLeft(lit(null).cast("int")) {
+        case (acc, (gid, lo, hi, _, _)) =>
+          when(col("__v") >= lo && col("__v") <= hi, lit(gid)).otherwise(acc)
+      }
+      val bucketCol = groups.foldLeft(lit(null).cast("long")) {
+        case (acc, (gid, lo, _, s, _)) =>
+          when(col("__gid") === gid,
+            shiftright(col("__v"), s) - lit(lo >> s)).otherwise(acc)
+      }
+      val hist = vals.select(col("__v"), gidCol.as("__gid"))
+        .where(col("__gid").isNotNull)
+        .select(col("__gid"), bucketCol.as("__b"))
+        .groupBy("__gid", "__b").agg(count(lit(1)).as("__c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (gid, rows) =>
+          gid -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        }
+      active = groups.flatMap { case (gid, lo, hi, s, ts) =>
+        val buckets = hist.getOrElse(gid,
+          throw new IllegalStateException(
+            s"Quantiles: interval [$lo,$hi] matched no rows mid-refinement - " +
+              "the input changed between passes"))
+        ts.map { t =>
+          // walk the histogram to the bucket holding the need-th value
+          var need = t.need
+          var j = -1L
+          val it = buckets.iterator
+          while (j < 0 && it.hasNext) {
+            val (b, c) = it.next()
+            if (need <= c) j = b else need -= c
+          }
+          require(j >= 0,
+            s"Quantiles: rank ${t.need} exceeds the rows in [$lo,$hi] - " +
+              "the input changed between passes")
+          // bucket j spans [(base+j) << s, ((base+j+1) << s) - 1] clamped
+          // to [lo, hi]; BigInt for the boundary products only (the
+          // unclamped corners can exceed Long range near the extremes)
+          val base = BigInt(lo >> s)
+          val loB = ((base + j) << s).max(BigInt(lo)).toLong
+          val hiB = (((base + j + 1) << s) - 1).min(BigInt(hi)).toLong
+          Target(t.id, need, loB, hiB)
+        }
+      }.toList
+    }
+    active.foreach(t => resolvedVals(t.id) = t.lo)
+    ks.zipWithIndex.map { case (k, i) => k -> resolvedVals(i) }.toMap
+  }
+
+  /** Smallest shift s such that the interval spans < B radix-2^s
+    * buckets. BigInt only for the s = 0 span check (hi - lo overflows
+    * Long when the first interval is the full 64-bit range).
+    */
+  private def shiftFor(lo: Long, hi: Long): Int = {
+    var s = 0
+    while ((BigInt(hi) >> s) - (BigInt(lo) >> s) >= B) s += 1
+    s
+  }
+}

@@ -318,7 +318,10 @@ object Sketches {
           "the corpus admits millions of 'heavy' keys - raise the threshold, " +
           "or pass an explicit candidates frame (a domain vocabulary, a prior " +
           "round's survivors, localTopCandidates with your own m).")
-      localTopCandidates(items, keyCol, m.toInt)
+      // toIntExact, not toInt: if the conf cap is raised past Int.MaxValue,
+      // a silent wrap here would hand localTopCandidates a small m and void
+      // the MG no-false-negative bound while the API still claims exactness.
+      localTopCandidates(items, keyCol, math.toIntExact(m))
     }
     val survivors = heavyHitters(items, keyCol, depth, width, seed, threshold,
       candidates = Some(cand), portableHash = portableHash).select(col(keyCol))

@@ -1,0 +1,185 @@
+package graft
+
+import graft.ops.{Hll, HllSketch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-19 additions: HyperLogLog register layer — portable register
+  * arithmetic (pinned against an independent JVM re-computation and two
+  * DuckDB-derived constants), merge/duplicate/null semantics, estimate
+  * accuracy vs exact distinct counts, streaming parity, and the
+  * geometry-safe persisted handle.
+  */
+class HllSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Independent re-computation of the register coordinates: raw
+    * MessageDigest md5, hex, parse — no Spark expressions, no
+    * graft.util.Hashing. Any drift in the expression tree (substring
+    * bounds, conv base, bin length identity) fails here.
+    */
+  private def expectedCoords(key: String, p: Int, seed: String): (Long, Long) = {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    val bucket = java.lang.Long.parseLong(md5hex(s"$seed:b:$key").take(8), 16) % (1L << p)
+    val w = java.lang.Long.parseLong(md5hex(s"$seed:r:$key").take(13), 16)
+    val rank = if (w == 0L) 53L else 53L - (64L - java.lang.Long.numberOfLeadingZeros(w))
+    (bucket, rank)
+  }
+
+  test("register coordinates match an independent md5 re-computation (100 keys) " +
+    "and the DuckDB-derived pinned constants") {
+    val keys = (1 to 100).map(i => s"key $i with spaces-$i")
+    val regs = Hll.build(keys.toDF("k"), "k", p = 11, seed = "pin7")
+      .as[(Long, Long)].collect().toMap
+    // rebuild the expected register frame (max rank per bucket) locally
+    val exp = keys.map(expectedCoords(_, 11, "pin7"))
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(regs == exp)
+    // constants computed in DuckDB (round 19):
+    //   ('0x'||substr(md5('hll19:b:x'),1,8))::UBIGINT % 512 = 132
+    //   w = ('0x'||substr(md5('hll19:r:x'),1,13))::UBIGINT = 1166764123612433
+    //   rank = 53 - length(bin(w)) = 2
+    assert(expectedCoords("x", 9, "hll19") == ((132L, 2L)))
+    val one = Hll.build(Seq("x").toDF("k"), "k", p = 9, seed = "hll19")
+      .as[(Long, Long)].collect()
+    assert(one.toSeq == Seq((132L, 2L)))
+  }
+
+  test("duplicates are free: build over occurrences == build over distinct keys; " +
+    "null keys are skipped") {
+    val occ = (1 to 5000).map(i => s"tok${i % 37}").toDF("k")
+    val dis = (0 until 37).map(i => s"tok$i").toDF("k")
+    val a = Hll.build(occ, "k", 10, "d1").as[(Long, Long)].collect().toSet
+    val b = Hll.build(dis, "k", 10, "d1").as[(Long, Long)].collect().toSet
+    assert(a == b)
+    val withNull = occ.unionByName(Seq(null.asInstanceOf[String]).toDF("k"))
+    val c = Hll.build(withNull, "k", 10, "d1").as[(Long, Long)].collect().toSet
+    assert(c == a)
+  }
+
+  test("merge: disjoint halves == one-shot build; merge is idempotent; " +
+    "works for both hash modes") {
+    for (portable <- Seq(true, false)) {
+      val all = (1 to 4000).map(i => s"w$i").toDF("k")
+      val h1 = (1 to 2000).map(i => s"w$i").toDF("k")
+      val h2 = (2001 to 4000).map(i => s"w$i").toDF("k")
+      val full = Hll.build(all, "k", 9, "m3", portable)
+      val merged = Hll.merge(
+        Hll.build(h1, "k", 9, "m3", portable),
+        Hll.build(h2, "k", 9, "m3", portable))
+      assert(merged.unionByName(full).distinct().count() == full.count())
+      val idem = Hll.merge(full, full)
+      assert(idem.unionByName(full).distinct().count() == full.count())
+    }
+  }
+
+  test("estimate accuracy: within 5x the theoretical RSE across three decades, " +
+    "both hash modes; exact-ish in the linear-counting range") {
+    for (portable <- Seq(true, false); n <- Seq(60, 1500, 40000)) {
+      val keys = (1 to n).map(i => s"item-$i-$portable").toDF("k")
+      val est = Hll.estimate(Hll.build(keys, "k", 12, "acc", portable), 12)
+      val rse = 1.04 / math.sqrt(4096.0)
+      assert(math.abs(est - n).toDouble / n <= 5 * rse,
+        s"portable=$portable n=$n est=$est")
+    }
+    // tiny cardinality: linear counting is near-exact
+    val est5 = Hll.estimate(Hll.build((1 to 5).map(i => s"t$i").toDF("k"),
+      "k", 12, "acc"), 12)
+    assert(est5 == 5L)
+  }
+
+  test("estimateGrouped == per-group estimate; null group is retained") {
+    val rows = (1 to 3000).map { i =>
+      val g = i % 3 match { case 0 => "en"; case 1 => "de"; case _ => null }
+      (g, s"tok${i % (100 * (i % 3 + 1))}")
+    }
+    val df = rows.toDF("lang", "k")
+    val regs = Hll.buildGrouped(df, Seq("lang"), "k", 10, "g1")
+    val grouped = Hll.estimateGrouped(regs, Seq("lang"), 10)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(grouped.keySet == Set(Some("en"), Some("de"), None))
+    for ((g, est) <- grouped) {
+      val slice = g match {
+        case Some(l) => df.where(col("lang") === l)
+        case None    => df.where(col("lang").isNull)
+      }
+      val solo = Hll.estimate(Hll.build(slice, "k", 10, "g1"), 10)
+      assert(est == solo, s"group $g: grouped $est != solo $solo")
+    }
+  }
+
+  test("estimate refuses a grouped register frame and an out-of-range p") {
+    val df = (1 to 200).map(i => (s"g${i % 9}", s"k$i")).toDF("g", "k")
+    val regs = Hll.buildGrouped(df, Seq("g"), "k", 4, "r1")
+    val e = intercept[IllegalArgumentException] {
+      Hll.estimate(regs.select("bucket", "maxrank"), 4)
+    }
+    assert(e.getMessage.contains("not a single sketch"))
+    assert(intercept[IllegalArgumentException] {
+      Hll.build(df, "k", 3, "r1")
+    }.getMessage.contains("p must be in [4,16]"))
+    assert(intercept[IllegalArgumentException] {
+      Hll.build(df, "k", 17, "r1")
+    }.getMessage.contains("p must be in [4,16]"))
+  }
+
+  test("streaming build: incremental max aggregation equals the batch registers") {
+    val all = ((1 to 300).map(i => s"tok${i % 41}") ++
+      (1 to 200).map(i => s"tok${i % 83}")).toDF("k")
+    val full = Hll.build(all, "k", 8, "s1")
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val regs = Hll.build(stream.toDS().toDF("k"), "k", 8, "s1")
+    val query = regs.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData((1 to 300).map(i => s"tok${i % 41}"): _*)
+      query.processAllAvailable()
+      stream.addData((1 to 200).map(i => s"tok${i % 83}"): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+      assert(streamed.unionByName(full).distinct().count() == full.count())
+    } finally query.stop()
+  }
+
+  test("HllSketch: geometry-safe handle — roundtrip, merge refusal, corruption refusal") {
+    val items = (1 to 1000).map(i => s"v$i").toDF("k")
+    val sk = HllSketch.build(items, "k", p = 9, seed = "h9")
+    val dir = java.nio.file.Files.createTempDirectory("hll_sketch").toString
+
+    HllSketch.write(sk, dir)
+    val loaded = HllSketch.read(spark, dir)
+    assert((loaded.p, loaded.seed, loaded.portableHash) == ((9, "h9", true)))
+    assert(loaded.estimate() == sk.estimate())
+
+    // handle merge == functional merge; geometry mismatch refuses
+    val sk2 = HllSketch.build(items, "k", 9, "h9")
+    val merged = sk.merge(sk2)
+    val mergedFn = Hll.merge(sk.registers, sk2.registers)
+    assert(merged.registers.unionByName(mergedFn).distinct().count() == mergedFn.count())
+    assert(intercept[IllegalArgumentException] {
+      sk.merge(HllSketch.build(items, "k", 9, "OTHER-SEED"))
+    }.getMessage.contains("geometry mismatch"))
+    assert(intercept[IllegalArgumentException] {
+      sk.merge(HllSketch.build(items, "k", 10, "h9"))
+    }.getMessage.contains("geometry mismatch"))
+    assert(intercept[IllegalArgumentException] {
+      sk.merge(HllSketch.build(items, "k", 9, "h9", portableHash = false))
+    }.getMessage.contains("geometry mismatch"))
+
+    // corrupted register payload -> digest mismatch refuses
+    HllSketch.build(items.limit(50), "k", 9, "h9").registers
+      .write.mode("overwrite").parquet(s"$dir/registers")
+    assert(intercept[IllegalArgumentException] { HllSketch.read(spark, dir) }
+      .getMessage.contains("digest mismatch"))
+
+    val empty = java.nio.file.Files.createTempDirectory("hll_none").toString
+    assert(intercept[IllegalArgumentException] { HllSketch.read(spark, empty) }
+      .getMessage.contains("not a sketch directory"))
+  }
+}

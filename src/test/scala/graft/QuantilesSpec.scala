@@ -1,0 +1,123 @@
+package graft
+
+import graft.ops.Quantiles
+import org.apache.spark.sql.functions._
+
+/** Round-19 additions: exact distributed quantiles by iterative radix-
+  * histogram refinement — checked against local sorted-array ground
+  * truth across adversarial value distributions (full 64-bit range,
+  * tie-heavy, negatives, single value), plus the refusal and null
+  * policies.
+  */
+class QuantilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def groundTruthPct(vals: Seq[Long], pcts: Seq[Int]): Seq[(Long, Long, Long)] = {
+    val sorted = vals.sorted
+    val n = vals.length.toLong
+    pcts.map { p =>
+      val k = (p.toLong * n + 99L) / 100L
+      (p.toLong, k, sorted((k - 1).toInt))
+    }
+  }
+
+  private val allPcts = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99, 100)
+
+  test("exactPct matches sorted-array ground truth on random longs with duplicates " +
+    "and negatives") {
+    val rnd = new scala.util.Random(19)
+    val vals = Seq.fill(20000)(rnd.nextLong() % 10000L) ++ // heavy duplication
+      Seq.fill(5000)(rnd.nextLong()) // full-range spread
+    val got = Quantiles.exactPct(vals.toDF("v"), "v", allPcts)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == groundTruthPct(vals, allPcts))
+  }
+
+  test("full 64-bit extremes: Long.MinValue/MaxValue present, exact at every pct") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq(Long.MinValue, Long.MaxValue, 0L, -1L, 1L) ++
+      Seq.fill(3000)(rnd.nextLong())
+    val got = Quantiles.exactPct(vals.toDF("v"), "v", allPcts)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == groundTruthPct(vals, allPcts))
+    // pct=1 with n=3005 -> k=31; pct=100 -> the exact max
+    assert(got.last._3 == Long.MaxValue)
+  }
+
+  test("tie-heavy and degenerate inputs: all-equal, n=1, two values straddling " +
+    "a radix boundary") {
+    val eq = Seq.fill(500)(42L)
+    assert(Quantiles.exactPct(eq.toDF("v"), "v", Seq(1, 50, 100))
+      .as[(Long, Long, Long)].collect().forall(_._3 == 42L))
+    assert(Quantiles.exactPct(Seq(7L).toDF("v"), "v", Seq(1, 100))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1) ==
+      Seq((1L, 1L, 7L), (100L, 1L, 7L)))
+    // values straddling the 2^13 radix bucket boundary with heavy ties
+    val straddle = Seq.fill(4000)(8191L) ++ Seq.fill(4000)(8192L)
+    val got = Quantiles.exactPct(straddle.toDF("v"), "v", allPcts)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == groundTruthPct(straddle, allPcts))
+  }
+
+  test("exactAtRanks: k=1 is min, k=n is max; out-of-range and duplicate ranks refuse; " +
+    "at most 64 targets") {
+    val vals = (1L to 999L).map(i => i * 37L % 1000L)
+    val got = Quantiles.exactAtRanks(vals.toDF("v"), "v", Seq(1L, 500L, 999L))
+      .as[(Long, Long)].collect().toMap
+    val sorted = vals.sorted
+    assert(got == Map(1L -> sorted.head, 500L -> sorted(499), 999L -> sorted.last))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactAtRanks(vals.toDF("v"), "v", Seq(0L))
+    }.getMessage.contains("ranks must be in [1,"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactAtRanks(vals.toDF("v"), "v", Seq(1000L))
+    }.getMessage.contains("ranks must be in [1,"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactAtRanks(vals.toDF("v"), "v", Seq(5L, 5L))
+    }.getMessage.contains("duplicate ranks"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactAtRanks(vals.toDF("v"), "v", (1L to 65L))
+    }.getMessage.contains("at most 64 ranks"))
+  }
+
+  test("nulls are excluded and ranks are relative to the non-null count; " +
+    "empty input returns an empty frame") {
+    val vals: Seq[java.lang.Long] = Seq[java.lang.Long](10L, null, 30L, null, 20L)
+    val df = vals.toDF("v")
+    val got = Quantiles.exactPct(df, "v", Seq(50, 100))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // n = 3 non-null: p50 -> k=2 -> 20; p100 -> k=3 -> 30
+    assert(got == Seq((50L, 2L, 20L), (100L, 3L, 30L)))
+    val empty = Quantiles.exactPct(
+      Seq.empty[java.lang.Long].toDF("v"), "v", Seq(50))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("pct", "k", "value"))
+  }
+
+  test("exactPct parameter validation: empty, out-of-range, duplicate percentiles") {
+    val df = Seq(1L).toDF("v")
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactPct(df, "v", Seq.empty)
+    }.getMessage.contains("non-empty"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactPct(df, "v", Seq(0))
+    }.getMessage.contains("must be in [1,100]"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactPct(df, "v", Seq(101))
+    }.getMessage.contains("must be in [1,100]"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactPct(df, "v", Seq(50, 50))
+    }.getMessage.contains("duplicate percentiles"))
+  }
+
+  test("matches the rank-window answer on real data (documents n_chars, sf0.001)") {
+    val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
+    val pcts = Seq(5, 50, 95)
+    val got = Quantiles.exactPct(docs, "n_chars", pcts)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val vals = docs.where(col("n_chars").isNotNull)
+      .select(col("n_chars").cast("long")).as[Long].collect().toSeq
+    assert(got == groundTruthPct(vals, pcts))
+  }
+}
