@@ -72,6 +72,17 @@ __all__ = [
     "cms_local_top_candidates",
     "cms_top_k_exact",
     "CmsSketchHandle",
+    "hll_build",
+    "hll_build_grouped",
+    "hll_merge",
+    "hll_estimate",
+    "hll_estimate_grouped",
+    "HllSketchHandle",
+    "hll_union_estimate",
+    "hll_intersect_estimate",
+    "quantiles_exact_pct",
+    "quantiles_exact_pct_weighted",
+    "quantiles_at_ranks",
     "dedup_chunks_within",
     "corpus_drift",
 ]
@@ -869,6 +880,167 @@ class CmsSketchHandle:
 
     def write(self, path: str) -> None:
         self._spark.sparkContext._jvm.graft.ops.CmsSketch.write(self._j, path)
+
+
+def hll_build(
+    items: DataFrame,
+    key_col: str,
+    p: int,
+    seed: str,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Build a HyperLogLog register frame (bucket, maxrank) over an item
+    frame: the distinct-count sibling of ``cms_build``. Mergeable by max
+    (``hll_merge``), persistable (``HllSketchHandle``), duplicate- and
+    shuffle-bounded by 2^p rows per partition at any corpus size.
+    ``portable_hash=True`` (default) uses the md5 scheme replayable in
+    external engines."""
+    return _wrap(items, _jvm(items).graft.ops.Hll.build(
+        items._jdf, key_col, int(p), seed, bool(portable_hash)))
+
+
+def hll_build_grouped(
+    items: DataFrame,
+    group_cols: List[str],
+    key_col: str,
+    p: int,
+    seed: str,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Per-group HLL register frames (group..., bucket, maxrank) — at
+    most 2^p register rows per group; feed to ``hll_estimate_grouped``."""
+    return _wrap(items, _jvm(items).graft.ops.Hll.buildGrouped(
+        items._jdf, _to_seq(items, list(group_cols)), key_col, int(p),
+        seed, bool(portable_hash)))
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Max-merge two register frames built with IDENTICAL (p, seed,
+    hash mode) — per-day/per-shard sketches compose associatively. Use
+    ``HllSketchHandle`` for the geometry-checked form."""
+    return _wrap(a, _jvm(a).graft.ops.Hll.merge(a._jdf, b._jdf))
+
+
+def hll_estimate(registers: DataFrame, p: int) -> int:
+    """Cardinality estimate from a (non-grouped) register frame:
+    raw HLL with the linear-counting crossover; RSE ~= 1.04/sqrt(2^p)."""
+    return int(_jvm(registers).graft.ops.Hll.estimate(registers._jdf, int(p)))
+
+
+def hll_estimate_grouped(
+    registers: DataFrame,
+    group_cols: List[str],
+    p: int,
+) -> DataFrame:
+    """Per-group cardinality estimates (group..., est) from a
+    ``hll_build_grouped`` frame — one aggregation, never a per-group
+    collect."""
+    return _wrap(registers, _jvm(registers).graft.ops.Hll.estimateGrouped(
+        registers._jdf, _to_seq(registers, list(group_cols)), int(p)))
+
+
+class HllSketchHandle:
+    """Geometry-safe HyperLogLog handle (wraps the JVM
+    ``graft.ops.HllSketch``): registers travel WITH the (p, seed,
+    hash-mode) geometry, merge refuses mismatches, and write/read
+    persists the registers with a validated content digest."""
+
+    def __init__(self, jsketch, spark):
+        self._j = jsketch
+        self._spark = spark
+
+    @staticmethod
+    def build(
+        items: DataFrame,
+        key_col: str,
+        p: int,
+        seed: str,
+        portable_hash: bool = True,
+    ) -> "HllSketchHandle":
+        j = _jvm(items).graft.ops.HllSketch.build(
+            items._jdf, key_col, int(p), seed, bool(portable_hash))
+        return HllSketchHandle(j, items.sparkSession)
+
+    @staticmethod
+    def read(spark, path: str) -> "HllSketchHandle":
+        jvm = spark.sparkContext._jvm
+        return HllSketchHandle(
+            jvm.graft.ops.HllSketch.read(spark._jsparkSession, path), spark)
+
+    @property
+    def registers(self) -> DataFrame:
+        return DataFrame(self._j.registers(), self._spark)
+
+    @property
+    def p(self) -> int:
+        return self._j.p()
+
+    @property
+    def seed(self) -> str:
+        return self._j.seed()
+
+    def estimate(self) -> int:
+        return int(self._j.estimate())
+
+    def merge(self, other: "HllSketchHandle") -> "HllSketchHandle":
+        return HllSketchHandle(self._j.merge(other._j), self._spark)
+
+    def write(self, path: str) -> None:
+        self._spark.sparkContext._jvm.graft.ops.HllSketch.write(self._j, path)
+
+
+def hll_union_estimate(a: DataFrame, b: DataFrame, p: int) -> int:
+    """|A union B| estimate from two register frames with identical
+    geometry — the union sketch is lossless (single-sketch error)."""
+    return int(_jvm(a).graft.ops.Hll.unionEstimate(a._jdf, b._jdf, int(p)))
+
+
+def hll_intersect_estimate(a: DataFrame, b: DataFrame, p: int) -> int:
+    """|A intersect B| estimate by inclusion-exclusion. Errors compound
+    (~RSE * (|A|+|B|)); small true overlaps of large sets can be noise —
+    use the exact paths (jaccard_join_ab, decontaminate) when the answer
+    must be tight."""
+    return int(_jvm(a).graft.ops.Hll.intersectEstimate(a._jdf, b._jdf, int(p)))
+
+
+def quantiles_exact_pct(
+    df: DataFrame,
+    value_col: str,
+    pcts: List[int],
+) -> DataFrame:
+    """EXACT integer percentiles of an integral column by iterative
+    radix-histogram refinement — never a global sort, <= 5 column scans
+    even for a full 64-bit value range. Returns (pct, k, value) with
+    k = ceil(pct*n/100) over the non-null rows (nulls carry no rank)."""
+    return _wrap(df, _jvm(df).graft.ops.Quantiles.exactPct(
+        df._jdf, value_col, _to_seq(df, [int(x) for x in pcts])))
+
+
+def quantiles_exact_pct_weighted(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    pcts: List[int],
+) -> DataFrame:
+    """EXACT weighted percentiles: each row carries ``weight_col`` units
+    of rank mass (integral, >= 0; null value/weight carries none) —
+    identical to ``quantiles_exact_pct`` over the weight-expanded
+    multiset, same refinement passes. Returns (pct, k, value) with
+    k = ceil(pct*W/100) over the total weight W."""
+    return _wrap(df, _jvm(df).graft.ops.Quantiles.exactPctWeighted(
+        df._jdf, value_col, weight_col, _to_seq(df, [int(x) for x in pcts])))
+
+
+def quantiles_at_ranks(
+    df: DataFrame,
+    value_col: str,
+    ks: List[int],
+) -> DataFrame:
+    """EXACT order statistics at explicit 1-based ranks (k, value) —
+    same refinement machinery as ``quantiles_exact_pct``. Ranks ride as
+    doubles across py4j (exact below 2^53)."""
+    return _wrap(df, _jvm(df).graft.ops.Quantiles.exactAtRanksPy(
+        df._jdf, value_col, _to_seq(df, [float(x) for x in ks])))
 
 
 def dedup_chunks_within(

@@ -498,6 +498,55 @@ def main() -> None:
             assert "geometry mismatch" in str(e)
         print("round-18 cross-corpus join / exact heavy hitters bindings ok")
 
+        # round-19 additions: HLL distinct-count layer, exact quantiles
+        regs = gops.hll_build(items, "k", 10, "pyhll")
+        exact_distinct = items.distinct().count()
+        est_c = gops.hll_estimate(regs, 10)
+        assert abs(est_c - exact_distinct) <= max(3, 0.2 * exact_distinct), \
+            f"HLL estimate {est_c} far from exact {exact_distinct}"
+        merged = gops.hll_merge(
+            gops.hll_build(items.limit(50), "k", 10, "pyhll"),
+            gops.hll_build(items, "k", 10, "pyhll"))
+        assert merged.exceptAll(regs).count() == 0, "merge(subset, full) != full"
+        gr = gops.hll_build_grouped(
+            docs.selectExpr("doc_id % 3 AS grp",
+                            "explode(split(text, ' ')) AS k")
+                .where(F.col("k") != ""), ["grp"], "k", 10, "pyhll")
+        ge = gops.hll_estimate_grouped(gr, ["grp"], 10)
+        assert ge.columns == ["grp", "est"] and ge.count() == 3
+        hsk = gops.HllSketchHandle.build(items, "k", 10, "pyhll")
+        hll_dir = tempfile.mkdtemp(prefix="hll_py")
+        hsk.write(hll_dir)
+        hsk_r = gops.HllSketchHandle.read(spark, hll_dir)
+        assert (hsk_r.p, hsk_r.seed) == (10, "pyhll")
+        assert hsk_r.estimate() == est_c
+        try:
+            hsk.merge(gops.HllSketchHandle.build(items, "k", 10, "OTHER"))
+            raise AssertionError("HLL geometry mismatch not refused")
+        except Exception as e:
+            assert "geometry mismatch" in str(e)
+        lens = docs.selectExpr("length(text) AS n_chars")
+        qp = gops.quantiles_exact_pct(lens, "n_chars", [5, 50, 95])
+        assert qp.columns == ["pct", "k", "value"]
+        truth = sorted(r.n_chars for r in
+                       lens.where("n_chars IS NOT NULL").collect())
+        n = len(truth)
+        for r in qp.collect():
+            assert r.value == truth[(r.pct * n + 99) // 100 - 1], \
+                f"pct {r.pct}: {r.value} != ground truth"
+        qr = gops.quantiles_at_ranks(lens, "n_chars", [1, n])
+        got_q = {r.k: r.value for r in qr.collect()}
+        assert got_q == {1: truth[0], n: truth[-1]}
+        u = gops.hll_union_estimate(regs, regs, 10)
+        assert u == est_c, "union(A, A) must equal est(A) (lossless merge)"
+        ix = gops.hll_intersect_estimate(regs, regs, 10)
+        assert ix == est_c, "intersect(A, A) must equal est(A)"
+        qw = gops.quantiles_exact_pct_weighted(
+            lens.selectExpr("n_chars AS v", "1 AS w"), "v", "w", [50])
+        assert qw.collect()[0].value == truth[(50 * n + 99) // 100 - 1], \
+            "unit-weighted quantile != unweighted truth"
+        print("round-19 hll/quantiles bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

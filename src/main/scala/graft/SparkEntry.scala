@@ -1832,6 +1832,17 @@ object SparkEntry {
       graft.ops.Quantiles.exactPct(t(dir, "documents"), "n_chars",
         Seq(1, 5, 10, 25, 50, 75, 90, 95, 99))
     },
+    // WEIGHTED exact percentiles: n_chars weighted by itself — "the doc
+    // length at which pct% of the CHARACTER mass lives" (char-weighted
+    // median etc.). Same refinement machinery with weight-sum
+    // histograms; oracle is the cumulative-weight window definition.
+    // Integer arithmetic only; window sum CAST per rule 1's HUGEINT
+    // ban; null n_chars rows carry no mass on either side (rule 10).
+    "q_quantiles_weighted" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Quantiles.exactPctWeighted(t(dir, "documents"),
+        "n_chars", "n_chars", Seq(1, 10, 25, 50, 75, 90, 99))
+    },
     // Intra-document chunk dedup (keep-first over non-overlapping
     // 2-token chunks): one tight per-row UDF pass, zero shuffles;
     // null text → null clean_text with zero counts (rule 10).
@@ -4630,6 +4641,23 @@ object SparkEntry {
         |SELECT p.pct AS pct, CAST((p.pct * n.n + 99) // 100 AS BIGINT) AS k,
         |  CAST(r.val AS BIGINT) AS value
         |FROM p CROSS JOIN n JOIN r ON r.rn = (p.pct * n.n + 99) // 100""".stripMargin,
+    // Weighted order statistic by its cumulative-weight definition:
+    // value = min val whose running weight reaches k = ceil(pct·W/100).
+    // The window sum is CAST to BIGINT (rule 1: DuckDB promotes integer
+    // window sums to HUGEINT, which the driver canonicalizes
+    // differently than local).
+    "q_quantiles_weighted" ->
+      """WITH v AS (SELECT n_chars AS val, n_chars AS w FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM v),
+        |g AS (SELECT val, CAST(sum(w) AS BIGINT) AS gw FROM v GROUP BY val),
+        |c AS (SELECT val, CAST(sum(gw) OVER (ORDER BY val) AS BIGINT) AS cum FROM g),
+        |pk AS (SELECT pct, CAST((pct * t.tw + 99) // 100 AS BIGINT) AS k
+        |       FROM (SELECT CAST(unnest([1,10,25,50,75,90,99]) AS BIGINT) AS pct) p
+        |       CROSS JOIN tot t)
+        |SELECT pk.pct AS pct, pk.k AS k, CAST(min(c.val) AS BIGINT) AS value
+        |FROM pk JOIN c ON c.cum >= pk.k
+        |GROUP BY pk.pct, pk.k""".stripMargin,
     // Keep-first over non-overlapping 2-token chunks; null text → null
     // clean_md5 with zero counts on BOTH sides (rule 10).
     "q_chunk_dedup" ->

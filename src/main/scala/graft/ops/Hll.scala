@@ -185,6 +185,28 @@ object Hll {
     math.rint(est).toLong
   }
 
+  /** |A ∪ B| estimate from two register frames with IDENTICAL geometry:
+    * the union sketch is LOSSLESS (max-merge of registers IS the sketch
+    * of the union), so this carries exactly the single-sketch error —
+    * the HLL property that makes cross-snapshot overlap questions
+    * cheap at 100 TB (per-snapshot sketches persist once; any pairwise
+    * union is a 2·2^p-row merge, never a corpus scan).
+    */
+  def unionEstimate(a: DataFrame, b: DataFrame, p: Int): Long =
+    estimate(merge(a, b), p)
+
+  /** |A ∩ B| estimate by inclusion–exclusion:
+    * est(A) + est(B) − est(A ∪ B). Unlike the union this is NOT a
+    * sketch of the intersection — errors compound (absolute error
+    * ~ RSE · (|A| + |B|)), so a small true intersection of two large
+    * sets can be noise; the result is clamped at 0 and callers needing
+    * tight small-overlap bounds should use the exact paths
+    * ([[SetSimJoin]], [[Curate]] decontamination). Spec-pinned
+    * tolerance in HllSpec.
+    */
+  def intersectEstimate(a: DataFrame, b: DataFrame, p: Int): Long =
+    math.max(0L, estimate(a, p) + estimate(b, p) - unionEstimate(a, b, p))
+
   /** Per-group cardinality estimates from a [[buildGrouped]] frame:
     * (groupCols..., est BIGINT). The whole estimator is one aggregation
     * over the register frame (group count + Σ 2^-maxrank), never a

@@ -39,6 +39,17 @@ final case class HllSketch(
   /** Cardinality estimate — geometry supplied by the handle. */
   def estimate(): Long = Hll.estimate(registers, p)
 
+  /** |this ∪ other| estimate (geometry-checked; the union sketch is
+    * lossless, single-sketch error).
+    */
+  def unionEstimate(other: HllSketch): Long = merge(other).estimate()
+
+  /** |this ∩ other| estimate by inclusion–exclusion (geometry-checked).
+    * Errors compound — see [[Hll.intersectEstimate]].
+    */
+  def intersectEstimate(other: HllSketch): Long =
+    math.max(0L, estimate() + other.estimate() - unionEstimate(other))
+
   /** Register max-merge, REFUSING mismatched geometries. */
   def merge(other: HllSketch): HllSketch = {
     require(p == other.p && seed == other.seed &&

@@ -109,15 +109,67 @@ object Quantiles {
     ks.map(k => (k, byK(k))).toDF("k", "value")
   }
 
-  /** The pruned single-column projection every pass scans: nulls out
-    * (explicit policy), values as long. Recomputed per pass rather than
-    * persisted — at 100 TB, re-reading one pruned parquet column 2-5
-    * times is deliberate (the same recompute-over-materialize call as
-    * the substring-dedup window pass, PLANS.md round 9).
+  /** WEIGHTED exact percentiles: each row carries `weightCol` units of
+    * rank mass (integral, ≥ 0 — a negative weight refuses; a NULL value
+    * or NULL weight carries no mass and is excluded, rule 10). Returns
+    * (pct BIGINT, k BIGINT, value BIGINT) with k = ceil(pct·W/100) over
+    * the total weight W, and value = the smallest v whose cumulative
+    * weight reaches k — identical to [[exactPct]] over the multiset
+    * with every row repeated `weight` times, computed in the same
+    * histogram-refinement passes (histograms sum weight instead of
+    * counting rows; shuffle/collect bounds unchanged). The natural form
+    * for token-mass questions: "the document length at which half the
+    * CHARACTERS/TOKENS live" vs the unweighted "half the documents".
     */
-  private def values(df: DataFrame, valueCol: String): DataFrame =
-    df.select(col(valueCol).cast("long").as("__v"))
-      .where(col("__v").isNotNull)
+  def exactPctWeighted(df: DataFrame, valueCol: String, weightCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty, "Quantiles.exactPctWeighted: pcts must be non-empty")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"Quantiles.exactPctWeighted: percentiles must be in [1,100], got ${pcts.mkString(",")}")
+    require(pcts.distinct.length == pcts.length,
+      "Quantiles.exactPctWeighted: duplicate percentiles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = values(df, valueCol, Some(weightCol))
+    val agg = vals.agg(coalesce(sum("__w"), lit(0L)), coalesce(min("__w"), lit(0L))).head()
+    val (w, minW) = (agg.getLong(0), agg.getLong(1))
+    require(minW >= 0L,
+      s"Quantiles.exactPctWeighted: negative weight $minW in $weightCol - " +
+        "rank mass must be non-negative")
+    if (w == 0L) {
+      return Seq.empty[(Long, Long, Long)].toDF("pct", "k", "value")
+    }
+    val ks = pcts.map(p => (p.toLong * w + 99L) / 100L)
+    val byK = selectKth(vals, ks.distinct)
+    pcts.zip(ks).map { case (p, k) => (p.toLong, k, byK(k)) }
+      .toDF("pct", "k", "value")
+  }
+
+  /** py4j-friendly [[exactAtRanks]]: a boxed Seq[Long] does not survive
+    * py4j (house rule: JVM Longs auto-unbox to Python ints and come
+    * back as Integers), so the Python binding passes ranks as doubles —
+    * exact for every rank below 2^53, far past any row count — and this
+    * shim converts. Scala callers should use [[exactAtRanks]].
+    */
+  def exactAtRanksPy(df: DataFrame, valueCol: String, ks: Seq[Double]): DataFrame = {
+    require(ks.forall(k => k == math.rint(k) && math.abs(k) < (1L << 53).toDouble),
+      s"Quantiles.exactAtRanksPy: ranks must be integral, got ${ks.mkString(",")}")
+    exactAtRanks(df, valueCol, ks.map(_.toLong))
+  }
+
+  /** The pruned projection every pass scans: nulls out (explicit
+    * policy), values as long, weight (unit for the unweighted forms) as
+    * rank mass. Recomputed per pass rather than persisted — at 100 TB,
+    * re-reading one or two pruned parquet columns 2-5 times is
+    * deliberate (the same recompute-over-materialize call as the
+    * substring-dedup window pass, PLANS.md round 9).
+    */
+  private def values(df: DataFrame, valueCol: String,
+      weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    df.select(col(valueCol).cast("long").as("__v"), w.as("__w"))
+      .where(col("__v").isNotNull && col("__w").isNotNull)
+  }
 
   /** Core selection loop. Returns the value at each requested rank.
     * ≤ 64 targets: each pass's histogram collect is B × #intervals
@@ -152,10 +204,10 @@ object Quantiles {
           when(col("__gid") === gid,
             shiftright(col("__v"), s) - lit(lo >> s)).otherwise(acc)
       }
-      val hist = vals.select(col("__v"), gidCol.as("__gid"))
+      val hist = vals.select(col("__v"), col("__w"), gidCol.as("__gid"))
         .where(col("__gid").isNotNull)
-        .select(col("__gid"), bucketCol.as("__b"))
-        .groupBy("__gid", "__b").agg(count(lit(1)).as("__c"))
+        .select(col("__gid"), bucketCol.as("__b"), col("__w"))
+        .groupBy("__gid", "__b").agg(sum("__w").as("__c"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (gid, rows) =>

@@ -113,6 +113,29 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("union estimate is lossless-sketch accurate; intersect estimate tracks " +
+    "the true overlap within compounded error; handle forms geometry-check") {
+    // |A| = 3000, |B| = 3000, |A ∩ B| = 1000 (keys 2001..3000 shared)
+    val a = (1 to 3000).map(i => s"k$i").toDF("k")
+    val b = (2001 to 5000).map(i => s"k$i").toDF("k")
+    val (p, seed) = (12, "setops")
+    val ra = Hll.build(a, "k", p, seed)
+    val rb = Hll.build(b, "k", p, seed)
+    val rse = 1.04 / math.sqrt((1 << p).toDouble)
+    val u = Hll.unionEstimate(ra, rb, p)
+    assert(math.abs(u - 5000).toDouble / 5000 <= 5 * rse, s"union est $u")
+    val i = Hll.intersectEstimate(ra, rb, p)
+    // inclusion-exclusion compounds: tolerance ~ RSE * (|A| + |B| + |A∪B|)
+    assert(math.abs(i - 1000).toDouble <= 5 * rse * 11000, s"intersect est $i")
+    val sa = HllSketch(ra, p, seed, portableHash = true)
+    val sb = HllSketch(rb, p, seed, portableHash = true)
+    assert(sa.unionEstimate(sb) == u)
+    assert(sa.intersectEstimate(sb) == i)
+    assert(intercept[IllegalArgumentException] {
+      sa.unionEstimate(HllSketch(rb, p, "other", portableHash = true))
+    }.getMessage.contains("geometry mismatch"))
+  }
+
   test("estimate refuses a grouped register frame and an out-of-range p") {
     val df = (1 to 200).map(i => (s"g${i % 9}", s"k$i")).toDF("g", "k")
     val regs = Hll.buildGrouped(df, Seq("g"), "k", 4, "r1")

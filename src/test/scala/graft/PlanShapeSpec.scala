@@ -116,4 +116,44 @@ class PlanShapeSpec extends SparkSpec {
         s"shingle expression inlined into a filter predicate:\n${f.condition}")
     }
   }
+
+  test("HLL build is one map-side-combined aggregation: a single Exchange " +
+    "carrying registers, scan reads only the key column") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val items = docs.select(explode(split(col("text"), " ")).as("k"))
+      .where(col("k") =!= "")
+    val regs = graft.ops.Hll.build(items, "k", 10, "plan19")
+    regs.write.format("noop").mode("overwrite").save()
+    val plan = regs.queryExecution.executedPlan.toString
+    // partial + final HashAggregate around exactly one HASH shuffle (the
+    // register exchange, <= 2^p rows per partition, never keys); the
+    // round-robin fanOut repartition on the scan-shaped input is the
+    // deliberate file-split parallelism guard, not data movement by key
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected one hash Exchange; plan:\n${plan.take(1500)}")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregation; plan:\n${plan.take(1500)}")
+    assert(plan.contains("ReadSchema: struct<text:string>"),
+      s"scan must read only the text column; plan:\n${plan.take(1500)}")
+  }
+
+  test("Quantiles refinement scans read only the value column and shuffle " +
+    "only histogram rows") {
+    // the operator runs eagerly; pin the shape of the per-pass histogram
+    // job it issues (projection + when-chain + two-phase count agg)
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val vals = docs.select(col("n_chars").cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+    val hist = vals
+      .select(col("__v"), when(col("__v") >= 0L && col("__v") <= 1000000L, lit(0))
+        .otherwise(lit(null).cast("int")).as("__gid"))
+      .where(col("__gid").isNotNull)
+      .select(col("__gid"), shiftright(col("__v"), 7).as("__b"))
+      .groupBy("__gid", "__b").agg(count(lit(1)).as("__c"))
+    hist.write.format("noop").mode("overwrite").save()
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(exchanges(plan) == 1, s"one histogram shuffle; plan:\n${plan.take(1500)}")
+    assert(plan.contains("ReadSchema: struct<n_chars:bigint>"),
+      s"scan must read only n_chars; plan:\n${plan.take(1500)}")
+  }
 }

@@ -111,6 +111,32 @@ class QuantilesSpec extends SparkSpec {
     }.getMessage.contains("duplicate percentiles"))
   }
 
+  test("exactPctWeighted == exactPct over the weight-expanded multiset; " +
+    "zero weights carry no mass; negative weight refuses") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(800)((rnd.nextLong() % 500L, rnd.nextInt(5).toLong))
+    val df = rows.toDF("v", "w")
+    val pcts = Seq(1, 25, 50, 75, 100)
+    val got = graft.ops.Quantiles.exactPctWeighted(df, "v", "w", pcts)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+    assert(got == groundTruthPct(expanded, pcts))
+    // all-zero weights: no mass, empty result
+    assert(graft.ops.Quantiles.exactPctWeighted(
+      Seq((1L, 0L), (2L, 0L)).toDF("v", "w"), "v", "w", Seq(50)).count() == 0)
+    // negative weight refuses loudly
+    assert(intercept[IllegalArgumentException] {
+      graft.ops.Quantiles.exactPctWeighted(
+        Seq((1L, -2L)).toDF("v", "w"), "v", "w", Seq(50))
+    }.getMessage.contains("negative weight"))
+    // null value or null weight carries no mass
+    val withNulls = Seq[(java.lang.Long, java.lang.Long)](
+      (10L, 1L), (null, 5L), (20L, null), (30L, 2L)).toDF("v", "w")
+    val g2 = graft.ops.Quantiles.exactPctWeighted(withNulls, "v", "w", Seq(100))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(g2 == Seq((100L, 3L, 30L))) // W = 3: one 10 + two 30s
+  }
+
   test("matches the rank-window answer on real data (documents n_chars, sf0.001)") {
     val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
     val pcts = Seq(5, 50, 95)
