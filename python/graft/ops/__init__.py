@@ -83,6 +83,7 @@ __all__ = [
     "quantiles_exact_pct",
     "quantiles_exact_pct_weighted",
     "quantiles_at_ranks",
+    "percentile_filter",
     "dedup_chunks_within",
     "corpus_drift",
 ]
@@ -1041,6 +1042,20 @@ def quantiles_at_ranks(
     doubles across py4j (exact below 2^53)."""
     return _wrap(df, _jvm(df).graft.ops.Quantiles.exactAtRanksPy(
         df._jdf, value_col, _to_seq(df, [float(x) for x in ks])))
+
+
+def percentile_filter(
+    df: DataFrame,
+    value_col: str,
+    lo_pct: int,
+    hi_pct: int,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies between the EXACT lo_pct-th and
+    hi_pct-th percentile values (inclusive) — the one-call 'drop the
+    shortest 5% / longest 1%' curation cut with no sampling error; null
+    values are dropped (they carry no rank)."""
+    return _wrap(df, _jvm(df).graft.ops.Quantiles.percentileFilter(
+        df._jdf, value_col, int(lo_pct), int(hi_pct)))
 
 
 def dedup_chunks_within(

@@ -545,6 +545,10 @@ def main() -> None:
             lens.selectExpr("n_chars AS v", "1 AS w"), "v", "w", [50])
         assert qw.collect()[0].value == truth[(50 * n + 99) // 100 - 1], \
             "unit-weighted quantile != unweighted truth"
+        pf = gops.percentile_filter(lens, "n_chars", 10, 90)
+        lo_c = truth[(10 * n + 99) // 100 - 1]
+        hi_c = truth[(90 * n + 99) // 100 - 1]
+        assert pf.count() == sum(1 for v in truth if lo_c <= v <= hi_c)
         print("round-19 hll/quantiles bindings ok")
 
         print("SMOKE TEST PASSED")

@@ -1843,6 +1843,16 @@ object SparkEntry {
       graft.ops.Quantiles.exactPctWeighted(t(dir, "documents"),
         "n_chars", "n_chars", Seq(1, 10, 25, 50, 75, 90, 99))
     },
+    // The composition the quantile operator exists FOR: drop documents
+    // outside the exact [5th, 95th] length-percentile band — cutoffs by
+    // refinement, then one pushed-down filter. Oracle recomputes both
+    // cutoffs by the rank-window definition. Null n_chars rows are
+    // dropped on both sides (no rank — rule 10).
+    "q_quantile_filter" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Quantiles.percentileFilter(t(dir, "documents"), "n_chars", 5, 95)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+    },
     // Intra-document chunk dedup (keep-first over non-overlapping
     // 2-token chunks): one tight per-row UDF pass, zero shuffles;
     // null text → null clean_text with zero counts (rule 10).
@@ -4658,6 +4668,17 @@ object SparkEntry {
         |SELECT pk.pct AS pct, pk.k AS k, CAST(min(c.val) AS BIGINT) AS value
         |FROM pk JOIN c ON c.cum >= pk.k
         |GROUP BY pk.pct, pk.k""".stripMargin,
+    // Band filter by the same rank-window cutoff definition; row_number
+    // is unique so each cutoff CTE is exactly one row.
+    "q_quantile_filter" ->
+      """WITH v AS (SELECT n_chars AS val FROM documents WHERE n_chars IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT val, CAST(row_number() OVER (ORDER BY val) AS BIGINT) AS rn FROM v),
+        |lo AS (SELECT val AS lov FROM r CROSS JOIN n WHERE rn = (5 * n.n + 99) // 100),
+        |hi AS (SELECT val AS hiv FROM r CROSS JOIN n WHERE rn = (95 * n.n + 99) // 100)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents CROSS JOIN lo CROSS JOIN hi
+        |WHERE n_chars IS NOT NULL AND n_chars >= lov AND n_chars <= hiv""".stripMargin,
     // Keep-first over non-overlapping 2-token chunks; null text → null
     // clean_md5 with zero counts on BOTH sides (rule 10).
     "q_chunk_dedup" ->

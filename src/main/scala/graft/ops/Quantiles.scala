@@ -145,6 +145,30 @@ object Quantiles {
       .toDF("pct", "k", "value")
   }
 
+  /** Percentile-cut curation filter: keep rows whose `valueCol` lies
+    * between the EXACT loPct-th and hiPct-th percentile values
+    * (inclusive; cutoffs from [[exactPct]], so the thresholds are real
+    * elements of the column, not interpolations). Rows with NULL
+    * `valueCol` are dropped (they carry no rank — rule-10 policy,
+    * consistent with the cutoff computation). This is the one-call form
+    * of the standard curation move "drop the shortest 5% and longest 1%
+    * of documents by exact length percentile": 3-4 pruned scans to find
+    * the two cutoffs, then one ordinary pushed-down filter — no sort,
+    * no sampling error at any scale.
+    */
+  def percentileFilter(df: DataFrame, valueCol: String,
+      loPct: Int, hiPct: Int): DataFrame = {
+    require(loPct >= 1 && hiPct <= 100 && loPct <= hiPct,
+      s"Quantiles.percentileFilter: need 1 <= loPct <= hiPct <= 100, " +
+        s"got ($loPct, $hiPct)")
+    val cuts = exactPct(df, valueCol, Seq(loPct, hiPct).distinct)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    if (cuts.isEmpty) return df.where(lit(false)) // no non-null values
+    val (lo, hi) = (cuts(loPct.toLong), cuts(hiPct.toLong))
+    df.where(col(valueCol).isNotNull &&
+      col(valueCol).cast("long") >= lo && col(valueCol).cast("long") <= hi)
+  }
+
   /** py4j-friendly [[exactAtRanks]]: a boxed Seq[Long] does not survive
     * py4j (house rule: JVM Longs auto-unbox to Python ints and come
     * back as Integers), so the Python binding passes ranks as doubles —

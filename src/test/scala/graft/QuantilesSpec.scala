@@ -137,6 +137,34 @@ class QuantilesSpec extends SparkSpec {
     assert(g2 == Seq((100L, 3L, 30L))) // W = 3: one 10 + two 30s
   }
 
+  test("percentileFilter keeps exactly the closed percentile band, drops nulls, " +
+    "and validates its bounds") {
+    val rnd = new scala.util.Random(31)
+    val vals = Seq.fill(2000)(rnd.nextLong() % 1000L)
+    val df = vals.toDF("v")
+    val kept = graft.ops.Quantiles.percentileFilter(df, "v", 10, 90)
+      .as[Long].collect().toSeq
+    val sorted = vals.sorted
+    val n = vals.length.toLong
+    val lo = sorted(((10L * n + 99L) / 100L - 1L).toInt)
+    val hi = sorted(((90L * n + 99L) / 100L - 1L).toInt)
+    assert(kept.sorted == vals.filter(v => v >= lo && v <= hi).sorted)
+    // degenerate band (loPct == hiPct) keeps only ties at that value
+    val band = graft.ops.Quantiles.percentileFilter(df, "v", 50, 50)
+      .as[Long].collect().toSet
+    assert(band == Set(sorted(((50L * n + 99L) / 100L - 1L).toInt)))
+    // nulls never survive the band
+    val withNulls = Seq[java.lang.Long](1L, null, 2L, 3L).toDF("v")
+    assert(graft.ops.Quantiles.percentileFilter(withNulls, "v", 1, 100)
+      .count() == 3)
+    // empty input -> empty output, no exception
+    assert(graft.ops.Quantiles.percentileFilter(
+      Seq.empty[java.lang.Long].toDF("v"), "v", 1, 100).count() == 0)
+    assert(intercept[IllegalArgumentException] {
+      graft.ops.Quantiles.percentileFilter(df, "v", 90, 10)
+    }.getMessage.contains("loPct <= hiPct"))
+  }
+
   test("matches the rank-window answer on real data (documents n_chars, sf0.001)") {
     val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
     val pcts = Seq(5, 50, 95)
