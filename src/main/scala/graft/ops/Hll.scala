@@ -174,6 +174,13 @@ object Hll {
     require(rows.length <= m,
       s"Hll.estimate: ${rows.length} register rows for m = $m - the frame " +
         "is not a single sketch (grouped frame? use estimateGrouped)")
+    // a grouped frame SMALL enough to pass the row-count check would
+    // still carry duplicate buckets across groups and estimate garbage
+    // plausibly - refuse on the structural invariant, not just the size
+    require(rows.iterator.map(_.getLong(0)).toSet.size == rows.length,
+      "Hll.estimate: duplicate bucket ids in the register frame - this is " +
+        "a grouped (or concatenated) frame; use estimateGrouped, or merge() " +
+        "the sketches first")
     var sumInv = 0.0
     rows.foreach { r => sumInv += math.pow(2.0, -r.getLong(1).toDouble) }
     val zeros = m - rows.length

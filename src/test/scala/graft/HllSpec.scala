@@ -143,6 +143,15 @@ class HllSpec extends SparkSpec {
       Hll.estimate(regs.select("bucket", "maxrank"), 4)
     }
     assert(e.getMessage.contains("not a single sketch"))
+    // a grouped frame small enough to pass the row-count check still
+    // refuses on duplicate buckets (the same keys in both groups make
+    // the cross-group bucket collision certain, rows << m at p=10)
+    val small = Hll.buildGrouped(
+      (1 to 6).map(i => (s"g${i % 2}", s"k${i % 3}")).toDF("g", "k"),
+      Seq("g"), "k", 10, "r2")
+    assert(intercept[IllegalArgumentException] {
+      Hll.estimate(small.select("bucket", "maxrank"), 10)
+    }.getMessage.contains("duplicate bucket"))
     assert(intercept[IllegalArgumentException] {
       Hll.build(df, "k", 3, "r1")
     }.getMessage.contains("p must be in [4,16]"))
