@@ -83,6 +83,7 @@ __all__ = [
     "quantiles_exact_pct",
     "quantiles_exact_pct_weighted",
     "quantiles_at_ranks",
+    "quantiles_exact_pct_by_group",
     "percentile_filter",
     "dedup_chunks_within",
     "corpus_drift",
@@ -1042,6 +1043,21 @@ def quantiles_at_ranks(
     doubles across py4j (exact below 2^53)."""
     return _wrap(df, _jvm(df).graft.ops.Quantiles.exactAtRanksPy(
         df._jdf, value_col, _to_seq(df, [float(x) for x in ks])))
+
+
+def quantiles_exact_pct_by_group(
+    df: DataFrame,
+    group_cols: List[str],
+    value_col: str,
+    pcts: List[int],
+) -> DataFrame:
+    """EXACT per-group percentiles via group-partitioned rank windows —
+    each group shuffles once, nothing collects. Returns
+    (group..., pct, k, value); null group values are retained, null
+    values carry no rank."""
+    return _wrap(df, _jvm(df).graft.ops.Quantiles.exactPctByGroup(
+        df._jdf, _to_seq(df, list(group_cols)), value_col,
+        _to_seq(df, [int(x) for x in pcts])))
 
 
 def percentile_filter(

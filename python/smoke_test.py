@@ -549,6 +549,10 @@ def main() -> None:
         lo_c = truth[(10 * n + 99) // 100 - 1]
         hi_c = truth[(90 * n + 99) // 100 - 1]
         assert pf.count() == sum(1 for v in truth if lo_c <= v <= hi_c)
+        qg = gops.quantiles_exact_pct_by_group(
+            docs.selectExpr("doc_id % 2 AS grp", "length(text) AS v"),
+            ["grp"], "v", [50])
+        assert qg.columns == ["grp", "pct", "k", "value"] and qg.count() == 2
         print("round-19 hll/quantiles bindings ok")
 
         print("SMOKE TEST PASSED")

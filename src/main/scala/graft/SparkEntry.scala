@@ -1843,6 +1843,15 @@ object SparkEntry {
       graft.ops.Quantiles.exactPctWeighted(t(dir, "documents"),
         "n_chars", "n_chars", Seq(1, 10, 25, 50, 75, 90, 99))
     },
+    // Per-group exact percentiles (the rank-window sibling): doc-length
+    // percentiles PER LANGUAGE. One window shuffle per group set; the
+    // pct-match predicate is pure integer algebra on both sides. Null
+    // lang is a retained group; null n_chars carries no rank (rule 10).
+    "q_quantiles_by_group" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Quantiles.exactPctByGroup(t(dir, "documents"), Seq("lang"),
+        "n_chars", Seq(10, 50, 90))
+    },
     // The composition the quantile operator exists FOR: drop documents
     // outside the exact [5th, 95th] length-percentile band — cutoffs by
     // refinement, then one pushed-down filter. Oracle recomputes both
@@ -4668,6 +4677,22 @@ object SparkEntry {
         |SELECT pk.pct AS pct, pk.k AS k, CAST(min(c.val) AS BIGINT) AS value
         |FROM pk JOIN c ON c.cum >= pk.k
         |GROUP BY pk.pct, pk.k""".stripMargin,
+    // Per-group replay: partitioned rank window; the VALUE at rank k is
+    // tie-invariant; ORDER BY val never sees a NULL (filtered), so the
+    // engines' NULL-ordering difference cannot bite (rule 10). count(*)
+    // windows are BIGINT in both engines; everything else is integer
+    // multiplication.
+    "q_quantiles_by_group" ->
+      """WITH v AS (SELECT lang, n_chars AS val FROM documents
+        |           WHERE n_chars IS NOT NULL),
+        |r AS (SELECT lang, val,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY val) AS BIGINT) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |      FROM v),
+        |p AS (SELECT CAST(unnest([10,50,90]) AS BIGINT) AS pct)
+        |SELECT r.lang AS lang, p.pct AS pct, r.rn AS k, CAST(r.val AS BIGINT) AS value
+        |FROM r JOIN p ON p.pct * r.n >= 100 * r.rn - 99
+        |             AND p.pct * r.n <= 100 * r.rn""".stripMargin,
     // Band filter by the same rank-window cutoff definition; row_number
     // is unique so each cutoff CTE is exactly one row.
     "q_quantile_filter" ->

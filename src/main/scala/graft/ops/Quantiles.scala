@@ -145,6 +145,45 @@ object Quantiles {
       .toDF("pct", "k", "value")
   }
 
+  /** Exact PER-GROUP percentiles — the window-shaped sibling of
+    * [[exactPct]]: rank windows partitioned by the group shuffle each
+    * group exactly once and never collect, which is the right machinery
+    * when the total order is per-group (the global operator exists
+    * because a global rank window would be a one-partition total order
+    * over the corpus). Returns (groupCols..., pct, k, value) with
+    * k = ceil(pct·n_g/100) over each group's non-null count — same
+    * type-1 definition, same explicit null policy (NULL values carry no
+    * rank; NULL GROUP values are legitimate groups and are retained).
+    * The pct-match predicate is pure integer algebra
+    * (k == rn ⟺ 100·rn − 99 ≤ pct·n ≤ 100·rn), so the whole output
+    * replays in SQL (q_quantiles_by_group). Skewed groups shuffle as
+    * one partition each — for a single giant group use [[exactPct]] on
+    * that slice instead.
+    */
+  def exactPctByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "Quantiles.exactPctByGroup: groupCols must be non-empty")
+    require(pcts.nonEmpty, "Quantiles.exactPctByGroup: pcts must be non-empty")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"Quantiles.exactPctByGroup: percentiles must be in [1,100], got ${pcts.mkString(",")}")
+    require(pcts.distinct.length == pcts.length,
+      "Quantiles.exactPctByGroup: duplicate percentiles")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    val pctsArr = array(pcts.map(p => lit(p.toLong)): _*)
+    df.select(groupCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(w.orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      // a row is the pct-quantile iff its rank equals ceil(pct·n/100);
+      // rewritten multiplicatively so the Column API stays in exact
+      // integer arithmetic (no `/`-returns-double trap)
+      .withColumn("pct", explode(filter(pctsArr, p =>
+        p * col("__n") >= lit(100L) * col("__rn") - lit(99L) &&
+          p * col("__n") <= lit(100L) * col("__rn"))))
+      .select(groupCols.map(col) ++ Seq(col("pct"),
+        col("__rn").cast("long").as("k"), col("__v").as("value")): _*)
+  }
+
   /** Percentile-cut curation filter: keep rows whose `valueCol` lies
     * between the EXACT loPct-th and hiPct-th percentile values
     * (inclusive; cutoffs from [[exactPct]], so the thresholds are real

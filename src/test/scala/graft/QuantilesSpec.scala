@@ -165,6 +165,33 @@ class QuantilesSpec extends SparkSpec {
     }.getMessage.contains("loPct <= hiPct"))
   }
 
+  test("exactPctByGroup matches per-group ground truth, retains the null group, " +
+    "and agrees with the global operator on a single group") {
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.tabulate(3000) { i =>
+      val g = i % 4 match { case 0 => "a"; case 1 => "b"; case 2 => "c"; case _ => null }
+      (g, rnd.nextLong() % 700L)
+    }
+    val df = rows.toDF("g", "v")
+    val pcts = Seq(10, 50, 90)
+    val got = graft.ops.Quantiles.exactPctByGroup(df, Seq("g"), "v", pcts)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      groundTruthPct(rs.map(_._2), pcts).map { case (p, k, v) => (Option(g), p, k, v) }
+    }.toSet
+    assert(got == want)
+    assert(got.exists(_._1.isEmpty), "null group must be retained")
+    // one group == the global operator
+    val one = df.withColumn("g", lit("x"))
+    val grouped = graft.ops.Quantiles.exactPctByGroup(one, Seq("g"), "v", pcts)
+      .select("pct", "k", "value").as[(Long, Long, Long)].collect().toSet
+    val global = graft.ops.Quantiles.exactPct(one, "v", pcts)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(grouped == global)
+  }
+
   test("matches the rank-window answer on real data (documents n_chars, sf0.001)") {
     val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
     val pcts = Seq(5, 50, 95)
