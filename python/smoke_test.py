@@ -507,7 +507,9 @@ def main() -> None:
         merged = gops.hll_merge(
             gops.hll_build(items.limit(50), "k", 10, "pyhll"),
             gops.hll_build(items, "k", 10, "pyhll"))
-        assert merged.exceptAll(regs).count() == 0, "merge(subset, full) != full"
+        assert merged.exceptAll(regs).count() == 0 \
+            and regs.exceptAll(merged).count() == 0 \
+            and merged.count() == regs.count(), "merge(subset, full) != full"
         gr = gops.hll_build_grouped(
             docs.selectExpr("doc_id % 3 AS grp",
                             "explode(split(text, ' ')) AS k")

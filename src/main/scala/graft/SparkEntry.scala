@@ -248,6 +248,26 @@ object SparkEntry {
   private def shingleListSql(n: Int, textSql: String = "text"): String =
     s"list_distinct(${shingleOccurrencesSql(n, textSql)})"
 
+  /** Shared HLL register-replay SQL (rule 5 — q_hll_registers and
+    * q_hll_merge differ ONLY in the documents filter): bucket =
+    * first-8-hex md5 mod 512, rank = 1 + leading zeros of the 13-hex
+    * (52-bit) md5 value via the length(bin(w)) bit-length identity.
+    */
+  private def hllRegistersSql(docsWhere: String = "TRUE"): String =
+    s"""WITH occ AS (
+      |  SELECT k FROM (
+      |    SELECT unnest(${shingleOccurrencesSql(2)}) AS k
+      |    FROM documents WHERE $docsWhere)
+      |  WHERE k <> ''),
+      |reg AS (
+      |  SELECT
+      |    CAST(('0x' || substr(md5('hll19:b:' || k), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket,
+      |    CAST(('0x' || substr(md5('hll19:r:' || k), 1, 13))::UBIGINT AS BIGINT) AS w
+      |  FROM occ)
+      |SELECT bucket,
+      |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS maxrank
+      |FROM reg GROUP BY bucket""".stripMargin
+
   /** [[shingleListSql]] unnested to one row per shingle. */
   private def shingleRowsSql(n: Int, textSql: String = "text"): String =
     s"unnest(${shingleListSql(n, textSql)})"
@@ -4616,37 +4636,12 @@ object SparkEntry {
     // length(bin(w)) IS the bit length in both engines (bin drops
     // leading zeros), so rank = 53 - length(bin(w)), pure integer/string
     // arithmetic throughout (rule 1).
-    "q_hll_registers" ->
-      s"""WITH occ AS (
-        |  SELECT k FROM (
-        |    SELECT unnest(${shingleOccurrencesSql(2)}) AS k FROM documents)
-        |  WHERE k <> ''),
-        |reg AS (
-        |  SELECT
-        |    CAST(('0x' || substr(md5('hll19:b:' || k), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket,
-        |    CAST(('0x' || substr(md5('hll19:r:' || k), 1, 13))::UBIGINT AS BIGINT) AS w
-        |  FROM occ)
-        |SELECT bucket,
-        |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS maxrank
-        |FROM reg GROUP BY bucket""".stripMargin,
+    "q_hll_registers" -> hllRegistersSql(),
     // The merge contract needs no merge replay at all: max-merging the
     // two disjoint-slice register frames must equal the one-shot build
     // over every non-null-id document — the oracle IS that one-shot
-    // build (same register arithmetic as q_hll_registers).
-    "q_hll_merge" ->
-      s"""WITH occ AS (
-        |  SELECT k FROM (
-        |    SELECT unnest(${shingleOccurrencesSql(2)}) AS k
-        |    FROM documents WHERE doc_id IS NOT NULL)
-        |  WHERE k <> ''),
-        |reg AS (
-        |  SELECT
-        |    CAST(('0x' || substr(md5('hll19:b:' || k), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket,
-        |    CAST(('0x' || substr(md5('hll19:r:' || k), 1, 13))::UBIGINT AS BIGINT) AS w
-        |  FROM occ)
-        |SELECT bucket,
-        |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS maxrank
-        |FROM reg GROUP BY bucket""".stripMargin,
+    // build (same shared register arithmetic as q_hll_registers).
+    "q_hll_merge" -> hllRegistersSql("doc_id IS NOT NULL"),
     // Definitionally-direct order statistic: value at row_number
     // k = ceil(pct·n/100) over the non-null values — the refinement
     // machinery must land on exactly this element. Integer division

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Typed handle for a count-min sketch: the cell frame PLUS the geometry
   * (depth, width, seed, hash mode) it was built with — and the layer
@@ -78,38 +77,11 @@ object CmsSketch {
       Sketches.build(items, keyCol, depth, width, seed, weightCol, portableHash),
       depth, width, seed, portableHash)
 
-  /** Order-independent 60-bit content digest of a cell frame: XOR of
-    * each cell's md5 over the unit-separator-joined (r, bucket, cnt)
-    * strings — one aggregation, no sort, no driver-side collect of the
-    * cells (the ShardExport manifest construction).
+  /** Order-independent 60-bit content digest of a cell frame
+    * ([[SketchIo.xorDigest]] over (r, bucket, cnt)).
     */
-  private def digest(cells: DataFrame): Long = {
-    val d = conv(substring(md5(concat_ws("\u001f",
-      col("r").cast("string"), col("bucket").cast("string"),
-      col("cnt").cast("string"))), 1, 15), 16, 10).cast("long")
-    cells.select(d.as("__d"))
-      .agg(coalesce(expr("bit_xor(__d)"), lit(0L))).head().getLong(0)
-  }
-
-  private def writeFile(spark: SparkSession, dir: String, name: String,
-      content: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-  }
-
-  private def readFile(spark: SparkSession, dir: String, name: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"CmsSketch.read: $p not found - not a sketch directory")
-    val in = fs.open(p)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-  }
+  private def digest(cells: DataFrame): Long =
+    SketchIo.xorDigest(cells, Seq("r", "bucket", "cnt"))
 
   /** Persist sketch cells + geometry + content digest at `path`
     * (overwrites). Cell order is irrelevant (the digest is an XOR), so
@@ -130,7 +102,7 @@ object CmsSketch {
         ("seed" -> sketch.seed) ~
         ("portableHash" -> sketch.portableHash) ~
         ("cellDigest" -> dig)
-    writeFile(spark, path, "cms.json", compact(render(meta)))
+    SketchIo.writeFile(spark, path, "cms.json", compact(render(meta)))
   }
 
   /** Load and VALIDATE a persisted sketch: geometry from cms.json, cell
@@ -142,7 +114,7 @@ object CmsSketch {
     import org.json4s._
     import org.json4s.jackson.JsonMethods._
     implicit val fmts: Formats = DefaultFormats
-    val meta = parse(readFile(spark, path, "cms.json"))
+    val meta = parse(SketchIo.readFile(spark, path, "cms.json", "CmsSketch.read"))
     val ver = (meta \ "formatVersion").extract[Int]
     require(ver == FormatVersion,
       s"CmsSketch.read: formatVersion $ver unsupported (expected $FormatVersion)")

@@ -181,6 +181,14 @@ object Hll {
       "Hll.estimate: duplicate bucket ids in the register frame - this is " +
         "a grouped (or concatenated) frame; use estimateGrouped, or merge() " +
         "the sketches first")
+    // a p SMALLER than the build's leaves buckets >= m - the same
+    // plausible-wrong-estimate class; refuse on the bucket range. (A p
+    // LARGER than the build's is structurally indistinguishable from a
+    // sparse sketch - the geometry-checked [[HllSketch]] handle is the
+    // API that rules that out by construction.)
+    require(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < m),
+      s"Hll.estimate: bucket ids outside [0, $m) - the frame was built " +
+        s"with a larger p than the $p supplied here")
     var sumInv = 0.0
     rows.foreach { r => sumInv += math.pow(2.0, -r.getLong(1).toDouble) }
     val zeros = m - rows.length
@@ -229,13 +237,25 @@ object Hll {
     val agg = registers
       .groupBy(groupCols.head, groupCols.tail: _*)
       .agg(count(lit(1)).as("__touched"),
-        sum(pow(lit(0.5), col("maxrank"))).as("__suminv"))
+        sum(pow(lit(0.5), col("maxrank"))).as("__suminv"),
+        max(col("bucket")).as("__maxb"), min(col("bucket")).as("__minb"))
     val zeros = lit(m.toLong) - col("__touched")
     val raw = lit(alpha(m) * m.toDouble * m.toDouble) /
       (col("__suminv") + zeros.cast("double"))
     val est = when(raw <= lit(2.5 * m) && zeros > 0L,
         lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
       .otherwise(raw)
-    agg.select(groupCols.map(col) :+ rint(est).cast("long").as("est"): _*)
+    // geometry guard (the grouped twin of estimate()'s driver-side
+    // checks): a p smaller than the build's leaves buckets >= m or more
+    // touched registers than m exist, and the estimate comes back
+    // plausible but wrong (zeros can even go negative). The frame here
+    // is groups-sized, so the raise_error branch costs nothing.
+    val guarded = when(col("__touched") > m.toLong || col("__maxb") >= m.toLong ||
+        col("__minb") < 0L,
+      raise_error(concat(lit("Hll.estimateGrouped: register frame " +
+        s"inconsistent with p=$p (m=$m) - buckets out of range or more " +
+        "touched registers than m; the frame was built with a larger p"))))
+      .otherwise(est)
+    agg.select(groupCols.map(col) :+ rint(guarded).cast("long").as("est"): _*)
   }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Typed handle for a HyperLogLog sketch: the register frame PLUS the
   * geometry (p, seed, hash mode) it was built with — the cardinality
@@ -80,38 +79,11 @@ object HllSketch {
     HllSketch(Hll.build(items, keyCol, p, seed, portableHash),
       p, seed, portableHash)
 
-  /** Order-independent 60-bit content digest of a register frame: XOR
-    * of each register's md5 over the unit-separator-joined
-    * (bucket, maxrank) strings — one aggregation, no sort, no driver
-    * collect (the CmsSketch/ShardExport construction).
+  /** Order-independent 60-bit content digest of a register frame
+    * ([[SketchIo.xorDigest]] over (bucket, maxrank)).
     */
-  private def digest(registers: DataFrame): Long = {
-    val d = conv(substring(md5(concat_ws("\u001f",
-      col("bucket").cast("string"), col("maxrank").cast("string"))),
-      1, 15), 16, 10).cast("long")
-    registers.select(d.as("__d"))
-      .agg(coalesce(expr("bit_xor(__d)"), lit(0L))).head().getLong(0)
-  }
-
-  private def writeFile(spark: SparkSession, dir: String, name: String,
-      content: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-  }
-
-  private def readFile(spark: SparkSession, dir: String, name: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir, name)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"HllSketch.read: $p not found - not a sketch directory")
-    val in = fs.open(p)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
-  }
+  private def digest(registers: DataFrame): Long =
+    SketchIo.xorDigest(registers, Seq("bucket", "maxrank"))
 
   /** Persist registers + geometry + content digest at `path`
     * (overwrites). Register order is irrelevant (the digest is an XOR),
@@ -131,7 +103,7 @@ object HllSketch {
         ("seed" -> sketch.seed) ~
         ("portableHash" -> sketch.portableHash) ~
         ("registerDigest" -> dig)
-    writeFile(spark, path, "hll.json", compact(render(meta)))
+    SketchIo.writeFile(spark, path, "hll.json", compact(render(meta)))
   }
 
   /** Load and VALIDATE a persisted sketch: geometry from hll.json,
@@ -142,7 +114,7 @@ object HllSketch {
     import org.json4s._
     import org.json4s.jackson.JsonMethods._
     implicit val fmts: Formats = DefaultFormats
-    val meta = parse(readFile(spark, path, "hll.json"))
+    val meta = parse(SketchIo.readFile(spark, path, "hll.json", "HllSketch.read"))
     val ver = (meta \ "formatVersion").extract[Int]
     require(ver == FormatVersion,
       s"HllSketch.read: formatVersion $ver unsupported (expected $FormatVersion)")

@@ -80,12 +80,14 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = values(df, valueCol)
-    val n = vals.agg(count(lit(1))).head().getLong(0)
+    // ONE pass-0 aggregation for (n, min, max) — the scaladoc's contract
+    val b = vals.agg(count(lit(1)), min("__v"), max("__v")).head()
+    val n = b.getLong(0)
     if (n == 0L) {
       return Seq.empty[(Long, Long, Long)].toDF("pct", "k", "value")
     }
     val ks = pcts.map(p => (p.toLong * n + 99L) / 100L)
-    val byK = selectKth(vals, ks.distinct)
+    val byK = selectKth(vals, ks.distinct, b.getLong(1), b.getLong(2))
     pcts.zip(ks).map { case (p, k) => (p.toLong, k, byK(k)) }
       .toDF("pct", "k", "value")
   }
@@ -101,11 +103,12 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = values(df, valueCol)
-    val n = vals.agg(count(lit(1))).head().getLong(0)
+    val b = vals.agg(count(lit(1)), min("__v"), max("__v")).head()
+    val n = b.getLong(0)
     require(ks.forall(k => k >= 1 && k <= n),
       s"Quantiles.exactAtRanks: ranks must be in [1, $n] (non-null rows), " +
         s"got ${ks.mkString(",")}")
-    val byK = selectKth(vals, ks)
+    val byK = selectKth(vals, ks, b.getLong(1), b.getLong(2))
     ks.map(k => (k, byK(k))).toDF("k", "value")
   }
 
@@ -131,7 +134,9 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     val vals = values(df, valueCol, Some(weightCol))
-    val agg = vals.agg(coalesce(sum("__w"), lit(0L)), coalesce(min("__w"), lit(0L))).head()
+    // one fused pass-0: total mass, weight-sign guard, value bounds
+    val agg = vals.agg(coalesce(sum("__w"), lit(0L)),
+      coalesce(min("__w"), lit(0L)), min("__v"), max("__v")).head()
     val (w, minW) = (agg.getLong(0), agg.getLong(1))
     require(minW >= 0L,
       s"Quantiles.exactPctWeighted: negative weight $minW in $weightCol - " +
@@ -140,7 +145,7 @@ object Quantiles {
       return Seq.empty[(Long, Long, Long)].toDF("pct", "k", "value")
     }
     val ks = pcts.map(p => (p.toLong * w + 99L) / 100L)
-    val byK = selectKth(vals, ks.distinct)
+    val byK = selectKth(vals, ks.distinct, agg.getLong(2), agg.getLong(3))
     pcts.zip(ks).map { case (p, k) => (p.toLong, k, byK(k)) }
       .toDF("pct", "k", "value")
   }
@@ -168,6 +173,14 @@ object Quantiles {
       s"Quantiles.exactPctByGroup: percentiles must be in [1,100], got ${pcts.mkString(",")}")
     require(pcts.distinct.length == pcts.length,
       "Quantiles.exactPctByGroup: duplicate percentiles")
+    // withColumn on a reserved name would CLOBBER a same-named group
+    // column and silently emit wrong groups - refuse loudly instead
+    val reserved = Set("pct", "k", "value", "__v", "__rn", "__n")
+    val clash = groupCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"Quantiles.exactPctByGroup: group column name(s) ${clash.mkString(",")} " +
+        s"collide with the output/internal columns (${reserved.mkString(",")}) - " +
+        "alias the group column first")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
     val pctsArr = array(pcts.map(p => lit(p.toLong)): _*)
     df.select(groupCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
@@ -238,11 +251,10 @@ object Quantiles {
     * ≤ 64 targets: each pass's histogram collect is B × #intervals
     * rows and the when-chain expression grows with #intervals.
     */
-  private def selectKth(vals: DataFrame, ks: Seq[Long]): Map[Long, Long] = {
+  private def selectKth(vals: DataFrame, ks: Seq[Long],
+      mn: Long, mx: Long): Map[Long, Long] = {
     require(ks.length <= 64,
       s"Quantiles: at most 64 ranks per call, got ${ks.length} - batch them")
-    val bounds = vals.agg(min("__v"), max("__v")).head()
-    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     var active = ks.zipWithIndex.map { case (k, i) => Target(i, k, mn, mx) }.toList
     val resolvedVals = scala.collection.mutable.Map.empty[Int, Long]
     var passes = 0

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared persistence plumbing for the sketch handles ([[CmsSketch]],
+  * [[HllSketch]]): Hadoop-FS single-file metadata write/read and the
+  * ORDER-INDEPENDENT 60-bit XOR content digest (the
+  * [[graft.sources.ShardExport]] manifest construction — one
+  * aggregation, no sort, no driver collect of the payload). Hoisted so
+  * a filesystem or digest-scheme fix lands once; the handles own their
+  * layouts and geometry semantics.
+  */
+private[ops] object SketchIo {
+
+  /** XOR of each row's md5 over the unit-separator-joined `cols`
+    * values. Row order is irrelevant, so persisted payloads need no
+    * coalesce or sort to digest identically.
+    */
+  def xorDigest(df: DataFrame, cols: Seq[String]): Long = {
+    val d = conv(substring(md5(concat_ws("\u001f",
+      cols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10).cast("long")
+    df.select(d.as("__d"))
+      .agg(coalesce(expr("bit_xor(__d)"), lit(0L))).head().getLong(0)
+  }
+
+  def writeFile(spark: SparkSession, dir: String, name: String,
+      content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** `site` names the caller in the refusal (e.g. "CmsSketch.read"). */
+  def readFile(spark: SparkSession, dir: String, name: String,
+      site: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$site: $p not found - not a sketch directory")
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+}

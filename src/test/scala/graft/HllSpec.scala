@@ -14,6 +14,16 @@ class HllSpec extends SparkSpec {
 
   import spark.implicits._
 
+  /** Symmetric frame equality: one-sided containment (the old
+    * union-distinct-count pattern) would still pass if a merge DROPPED
+    * registers — assert both directions plus the cardinality.
+    */
+  private def assertSameRegisters(got: DataFrame, want: DataFrame): Unit = {
+    assert(got.count() == want.count(), "register counts differ")
+    assert(got.exceptAll(want).count() == 0, "extra registers in result")
+    assert(want.exceptAll(got).count() == 0, "missing registers in result")
+  }
+
   /** Independent re-computation of the register coordinates: raw
     * MessageDigest md5, hex, parse — no Spark expressions, no
     * graft.util.Hashing. Any drift in the expression tree (substring
@@ -72,9 +82,9 @@ class HllSpec extends SparkSpec {
       val merged = Hll.merge(
         Hll.build(h1, "k", 9, "m3", portable),
         Hll.build(h2, "k", 9, "m3", portable))
-      assert(merged.unionByName(full).distinct().count() == full.count())
+      assertSameRegisters(merged, full)
       val idem = Hll.merge(full, full)
-      assert(idem.unionByName(full).distinct().count() == full.count())
+      assertSameRegisters(idem, full)
     }
   }
 
@@ -152,6 +162,20 @@ class HllSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Hll.estimate(small.select("bucket", "maxrank"), 10)
     }.getMessage.contains("duplicate bucket"))
+    // p smaller than the build's: buckets land >= m and refuse. Few
+    // enough keys (100) that the row-count check passes and the bucket
+    // RANGE check is what fires (all-100-buckets-below-512 has
+    // probability 2^-100 over the md5 hash).
+    val wide = Hll.build((1 to 100).map(i => s"k$i").toDF("k"), "k", 10, "r3")
+    assert(intercept[IllegalArgumentException] {
+      Hll.estimate(wide, 9)
+    }.getMessage.contains("built with a larger p"))
+    val wideG = Hll.buildGrouped(
+      (1 to 100).map(i => ("g", s"k$i")).toDF("g", "k"), Seq("g"), "k", 10, "r3")
+    val eG = intercept[Exception] {
+      Hll.estimateGrouped(wideG, Seq("g"), 9).collect()
+    }
+    assert(eG.getMessage.contains("inconsistent with p=9"), eG.getMessage)
     assert(intercept[IllegalArgumentException] {
       Hll.build(df, "k", 3, "r1")
     }.getMessage.contains("p must be in [4,16]"))
@@ -175,7 +199,7 @@ class HllSpec extends SparkSpec {
       stream.addData((1 to 200).map(i => s"tok${i % 83}"): _*)
       query.processAllAvailable()
       val streamed = spark.table("hll_stream")
-      assert(streamed.unionByName(full).distinct().count() == full.count())
+      assertSameRegisters(streamed.select("bucket", "maxrank"), full)
     } finally query.stop()
   }
 
@@ -193,7 +217,7 @@ class HllSpec extends SparkSpec {
     val sk2 = HllSketch.build(items, "k", 9, "h9")
     val merged = sk.merge(sk2)
     val mergedFn = Hll.merge(sk.registers, sk2.registers)
-    assert(merged.registers.unionByName(mergedFn).distinct().count() == mergedFn.count())
+    assertSameRegisters(merged.registers, mergedFn)
     assert(intercept[IllegalArgumentException] {
       sk.merge(HllSketch.build(items, "k", 9, "OTHER-SEED"))
     }.getMessage.contains("geometry mismatch"))
