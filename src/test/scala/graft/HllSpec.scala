@@ -203,6 +203,42 @@ class HllSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowed streaming build: per-event-time-window registers from a " +
+    "watermarked stream equal the batch build on the same data") {
+    // the time-sliced cardinality shape ("distinct n-grams per hour of
+    // ingest"): buildGrouped over window(ts) is declarative Structured
+    // Streaming state — per-(window, bucket) max, bounded by 2^p rows
+    // per window regardless of stream volume
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    def ev(minOff: Int, k: String) =
+      (new java.sql.Timestamp(t0 + minOff * 60000L), k)
+    val batch1 = (1 to 200).map(i => ev(i % 8, s"tok${i % 23}"))
+    val batch2 = (1 to 150).map(i => ev(10 + i % 8, s"tok${i % 31}"))
+    def windowed(df: org.apache.spark.sql.DataFrame) =
+      Hll.buildGrouped(
+        df.withColumn("win", window(col("ts"), "10 minutes")).drop("ts"),
+        Seq("win"), "k", 8, "sw1")
+    val all = (batch1 ++ batch2).toDF("ts", "k")
+    val expect = windowed(all)
+      .select(col("win.start").cast("long"), col("bucket"), col("maxrank"))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val regs = windowed(stream.toDS().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes"))
+    val query = regs.writeStream.format("memory").queryName("hll_win_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(batch1: _*)
+      query.processAllAvailable()
+      stream.addData(batch2: _*)
+      query.processAllAvailable()
+      val got = spark.table("hll_win_stream")
+        .select(col("win.start").cast("long"), col("bucket"), col("maxrank"))
+      assertSameRegisters(got, expect)
+    } finally query.stop()
+  }
+
   test("HllSketch: geometry-safe handle — roundtrip, merge refusal, corruption refusal") {
     val items = (1 to 1000).map(i => s"v$i").toDF("k")
     val sk = HllSketch.build(items, "k", p = 9, seed = "h9")

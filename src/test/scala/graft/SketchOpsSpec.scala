@@ -58,7 +58,9 @@ class SketchOpsSpec extends SparkSpec {
     val skW = Sketches.build(weighted, "k", depth = 3, width = 1 << 16,
       seed = "t4", weightCol = Some("w"))
     val skU = Sketches.build(items, "k", depth = 3, width = 1 << 16, seed = "t4")
-    assert(skW.unionByName(skU).distinct().count() == skW.count())
+    assert(skW.count() == skU.count())
+    assert(skW.exceptAll(skU).count() == 0)
+    assert(skU.exceptAll(skW).count() == 0)
   }
 
   test("CMS skips null keys and null weights (rule-10 policy)") {
@@ -99,7 +101,11 @@ class SketchOpsSpec extends SparkSpec {
     val merged = Sketches.merge(
       Sketches.build(b1, "k", 3, 32, "m1"),
       Sketches.build(b2, "k", 3, 32, "m1"))
-    assert(merged.unionByName(full).distinct().count() == full.count())
+    // symmetric equality: one-sided containment would still pass if the
+    // merge DROPPED cells (same hardening as HllSpec.assertSameRegisters)
+    assert(merged.count() == full.count())
+    assert(merged.exceptAll(full).count() == 0)
+    assert(full.exceptAll(merged).count() == 0)
 
     // streaming: the same build() as an incremental stateful aggregation,
     // two micro-batches; Complete mode must equal the batch sketch
@@ -113,8 +119,10 @@ class SketchOpsSpec extends SparkSpec {
       query.processAllAvailable()
       stream.addData((1 to 200).map(i => s"tok${i % 11}"): _*)
       query.processAllAvailable()
-      val streamed = spark.table("cms_stream")
-      assert(streamed.unionByName(full).distinct().count() == full.count())
+      val streamed = spark.table("cms_stream").select("r", "bucket", "cnt")
+      assert(streamed.count() == full.count())
+      assert(streamed.exceptAll(full).count() == 0)
+      assert(full.exceptAll(streamed).count() == 0)
     } finally query.stop()
   }
 
@@ -484,7 +492,9 @@ class SketchOpsSpec extends SparkSpec {
     val sk2 = CmsSketch.build(items, "k", 3, 32, "h1")
     val merged = sk.merge(sk2)
     val mergedFn = Sketches.merge(sk.cells, sk2.cells)
-    assert(merged.cells.unionByName(mergedFn).distinct().count() == mergedFn.count())
+    assert(merged.cells.count() == mergedFn.count())
+    assert(merged.cells.exceptAll(mergedFn).count() == 0)
+    assert(mergedFn.exceptAll(merged.cells).count() == 0)
     val other = CmsSketch.build(items, "k", 3, 32, "DIFFERENT-SEED")
     val e = intercept[IllegalArgumentException] { sk.merge(other) }
     assert(e.getMessage.contains("geometry mismatch"))
