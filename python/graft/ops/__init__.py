@@ -81,6 +81,7 @@ __all__ = [
     "hll_union_estimate",
     "hll_intersect_estimate",
     "quantiles_exact_pct",
+    "quantiles_exact_pct_double",
     "quantiles_exact_pct_weighted",
     "quantiles_at_ranks",
     "quantiles_exact_pct_by_group",
@@ -1015,6 +1016,20 @@ def quantiles_exact_pct(
     even for a full 64-bit value range. Returns (pct, k, value) with
     k = ceil(pct*n/100) over the non-null rows (nulls carry no rank)."""
     return _wrap(df, _jvm(df).graft.ops.Quantiles.exactPct(
+        df._jdf, value_col, _to_seq(df, [int(x) for x in pcts])))
+
+
+def quantiles_exact_pct_double(
+    df: DataFrame,
+    value_col: str,
+    pcts: List[int],
+) -> DataFrame:
+    """EXACT percentiles of a DOUBLE column — the IEEE-754 sortable-bits
+    transform maps double ordering onto the integer refinement, so the
+    answer is a bit-exact element of the column (no approximation, no
+    sort). NULL and NaN carry no rank; -0.0 normalizes to +0.0.
+    Returns (pct, k, value DOUBLE)."""
+    return _wrap(df, _jvm(df).graft.ops.Quantiles.exactPctDouble(
         df._jdf, value_col, _to_seq(df, [int(x) for x in pcts])))
 
 

@@ -555,6 +555,9 @@ def main() -> None:
             docs.selectExpr("doc_id % 2 AS grp", "length(text) AS v"),
             ["grp"], "v", [50])
         assert qg.columns == ["grp", "pct", "k", "value"] and qg.count() == 2
+        qd = gops.quantiles_exact_pct_double(
+            lens.selectExpr("n_chars * 0.5 AS v"), "v", [50])
+        assert qd.collect()[0].value == truth[(50 * n + 99) // 100 - 1] * 0.5
         print("round-19 hll/quantiles bindings ok")
 
         print("SMOKE TEST PASSED")

@@ -1863,6 +1863,18 @@ object SparkEntry {
       graft.ops.Quantiles.exactPctWeighted(t(dir, "documents"),
         "n_chars", "n_chars", Seq(1, 10, 25, 50, 75, 90, 99))
     },
+    // Exact percentiles of a DOUBLE column (events.value) via the
+    // sortable-bits transform: the SELECTION is decided by ordering
+    // STORED doubles (identical bit patterns in both engines — no float
+    // arithmetic enters the contract), and the selected element is
+    // round(x,6)-emitted like every float output column (rule 1). NULL
+    // and NaN values carry no rank on either side; −0.0 is normalized.
+    "q_quantiles_double" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Quantiles.exactPctDouble(t(dir, "events"), "value",
+          Seq(1, 25, 50, 75, 99))
+        .select(col("pct"), col("k"), round(col("value"), 6).as("value"))
+    },
     // Per-group exact percentiles (the rank-window sibling): doc-length
     // percentiles PER LANGUAGE. One window shuffle per group set; the
     // pct-match predicate is pure integer algebra on both sides. Null
@@ -4672,6 +4684,18 @@ object SparkEntry {
         |SELECT pk.pct AS pct, pk.k AS k, CAST(min(c.val) AS BIGINT) AS value
         |FROM pk JOIN c ON c.cum >= pk.k
         |GROUP BY pk.pct, pk.k""".stripMargin,
+    // Double order statistic by the rank-window definition over STORED
+    // values (value + 0 normalizes −0.0 on both engines); NaN excluded
+    // like NULL.
+    "q_quantiles_double" ->
+      """WITH v AS (SELECT value + 0 AS val FROM events
+        |           WHERE value IS NOT NULL AND NOT isnan(value)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT val, CAST(row_number() OVER (ORDER BY val) AS BIGINT) AS rn FROM v),
+        |p AS (SELECT CAST(unnest([1,25,50,75,99]) AS BIGINT) AS pct)
+        |SELECT p.pct AS pct, CAST((p.pct * n.n + 99) // 100 AS BIGINT) AS k,
+        |  round(r.val, 6) AS value
+        |FROM p CROSS JOIN n JOIN r ON r.rn = (p.pct * n.n + 99) // 100""".stripMargin,
     // Per-group replay: partitioned rank window; the VALUE at rank k is
     // tie-invariant; ORDER BY val never sees a NULL (filtered), so the
     // engines' NULL-ordering difference cannot bite (rule 10). count(*)

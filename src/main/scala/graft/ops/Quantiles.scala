@@ -112,6 +112,44 @@ object Quantiles {
     ks.map(k => (k, byK(k))).toDF("k", "value")
   }
 
+  /** Exact percentiles of a DOUBLE column: the IEEE-754 sortable-bits
+    * transform ([[graft.functions.SortableBits]], codegen'd in the scan
+    * projection) maps double ordering onto signed-long ordering, the
+    * integer refinement runs unchanged, and the resolved key inverts
+    * back driver-side — so "the exact p99 of a float score column"
+    * costs the same few pruned scans as the integral form, never a
+    * sort, with NO value approximation (the answer is an element of
+    * the column, bit-exact). Policy (rule 10, explicit): NULL and NaN
+    * values carry no rank and are EXCLUDED; −0.0 is normalized to
+    * +0.0 before ranking (SQL ordering treats them equal while the bit
+    * transform does not — normalizing keeps the selected element's
+    * identity engine-portable).
+    */
+  def exactPctDouble(df: DataFrame, valueCol: String, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty, "Quantiles.exactPctDouble: pcts must be non-empty")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"Quantiles.exactPctDouble: percentiles must be in [1,100], got ${pcts.mkString(",")}")
+    require(pcts.distinct.length == pcts.length,
+      "Quantiles.exactPctDouble: duplicate percentiles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = col(valueCol).cast("double")
+    val vals = df.select(d.as("__d"))
+      .where(col("__d").isNotNull && !isnan(col("__d")))
+      .select(graft.functions.SortableBits.sortable(col("__d") + lit(0.0)).as("__v"),
+        lit(1L).as("__w"))
+    val b = vals.agg(count(lit(1)), min("__v"), max("__v")).head()
+    val n = b.getLong(0)
+    if (n == 0L) {
+      return Seq.empty[(Long, Long, Double)].toDF("pct", "k", "value")
+    }
+    val ks = pcts.map(p => (p.toLong * n + 99L) / 100L)
+    val byK = selectKth(vals, ks.distinct, b.getLong(1), b.getLong(2))
+    pcts.zip(ks).map { case (p, k) =>
+      (p.toLong, k, graft.functions.SortableBits.fromSortable(byK(k)))
+    }.toDF("pct", "k", "value")
+  }
+
   /** WEIGHTED exact percentiles: each row carries `weightCol` units of
     * rank mass (integral, ≥ 0 — a negative weight refuses; a NULL value
     * or NULL weight carries no mass and is excluded, rule 10). Returns

@@ -137,6 +137,49 @@ class QuantilesSpec extends SparkSpec {
     assert(g2 == Seq((100L, 3L, 30L))) // W = 3: one 10 + two 30s
   }
 
+  test("exactPctDouble matches sorted-double ground truth across the adversarial " +
+    "range (negatives, infinities, subnormals, -0.0); NaN and NULL carry no rank") {
+    val rnd = new scala.util.Random(47)
+    val base: Seq[Double] = Seq(Double.NegativeInfinity, Double.PositiveInfinity,
+      -0.0, 0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      1e300, -1e300) ++
+      Seq.fill(4000)(rnd.nextGaussian() * 1e3) ++
+      Seq.fill(1000)(rnd.nextInt(50).toDouble) // tie stacks
+    val pcts = Seq(1, 25, 50, 75, 99, 100)
+    val got = graft.ops.Quantiles.exactPctDouble(base.toDF("v"), "v", pcts)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // ground truth over the -0.0-normalized multiset, total double order
+    val norm = base.map(v => if (v == 0.0) 0.0 else v)
+      .sorted(Ordering.Double.TotalOrdering)
+    val n = norm.length.toLong
+    val want = pcts.map { p =>
+      val k = (p.toLong * n + 99L) / 100L
+      (p.toLong, k, norm((k - 1).toInt))
+    }
+    assert(got == want) // bit-exact, including the infinities
+    // NaN and NULL are excluded; ranks are over the remaining rows
+    val mixed = Seq[java.lang.Double](1.0, Double.NaN, 3.0, null, 2.0).toDF("v")
+    val g2 = graft.ops.Quantiles.exactPctDouble(mixed, "v", Seq(100))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(g2 == Seq((100L, 3L, 3.0)))
+    // agrees with the integral operator on integer-valued doubles
+    val ints = Seq.fill(500)(rnd.nextInt(1000).toLong)
+    val viaLong = graft.ops.Quantiles.exactPct(ints.toDF("v"), "v", Seq(50))
+      .as[(Long, Long, Long)].head()
+    val viaDouble = graft.ops.Quantiles.exactPctDouble(
+      ints.map(_.toDouble).toDF("v"), "v", Seq(50))
+      .as[(Long, Long, Double)].head()
+    assert(viaDouble._3 == viaLong._3.toDouble && viaDouble._2 == viaLong._2)
+    // the transform itself: monotone involution on the adversarial set
+    import graft.functions.SortableBits
+    norm.sliding(2).foreach { case Seq(a, b) =>
+      assert(SortableBits.toSortable(a) <= SortableBits.toSortable(b))
+    }
+    base.foreach(v =>
+      assert(SortableBits.fromSortable(SortableBits.toSortable(v)) == v ||
+        (v == 0.0 && SortableBits.fromSortable(SortableBits.toSortable(v)) == v)))
+  }
+
   test("percentileFilter keeps exactly the closed percentile band, drops nulls, " +
     "and validates its bounds") {
     val rnd = new scala.util.Random(31)
