@@ -189,10 +189,20 @@ object Hll {
     require(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < m),
       s"Hll.estimate: bucket ids outside [0, $m) - the frame was built " +
         s"with a larger p than the $p supplied here")
-    var sumInv = 0.0
-    rows.foreach { r => sumInv += math.pow(2.0, -r.getLong(1).toDouble) }
+    require(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= RankBits + 1),
+      s"Hll.estimate: maxrank outside [1, ${RankBits + 1}] - not a register " +
+        "frame this layer built")
+    // Σ 2^-maxrank as an EXACT scaled integer (Σ 2^(53-maxrank), one
+    // division at the end): double summation of the 2^-r terms is
+    // non-associative, and [[estimateGrouped]]'s partial-aggregation
+    // order varies run to run — exact integer summation makes both
+    // paths order-independent AND bit-identical to each other (the
+    // grouped == per-group equality pin in HllSpec).
+    var sumScaled = BigInt(0)
+    rows.foreach { r => sumScaled += BigInt(1) << (RankBits + 1 - r.getLong(1).toInt) }
     val zeros = m - rows.length
-    sumInv += zeros.toDouble
+    val sumInv = sumScaled.toDouble / math.pow(2.0, (RankBits + 1).toDouble) +
+      zeros.toDouble
     val raw = alpha(m) * m.toDouble * m.toDouble / sumInv
     val est =
       if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m.toDouble / zeros)
@@ -234,14 +244,24 @@ object Hll {
     requireP(p)
     require(groupCols.nonEmpty, "Hll.estimateGrouped: groupCols must be non-empty")
     val m = 1 << p
+    // Σ 2^-maxrank as an EXACT scaled integer (Σ 2^(53-maxrank) summed as
+    // DECIMAL, one double division at the end): the double sum's
+    // partial-aggregation order varies run to run and rint(est) could in
+    // principle flip ±1 at a .5 boundary — exact summation makes the
+    // grouped estimate order-independent like the rest of the gate
+    // surface, and bit-identical to [[estimate]]'s scalar path (which
+    // mirrors this arithmetic). Max sum 2^16 · 2^52 ≈ 3·10^20 « 10^38.
     val agg = registers
       .groupBy(groupCols.head, groupCols.tail: _*)
       .agg(count(lit(1)).as("__touched"),
-        sum(pow(lit(0.5), col("maxrank"))).as("__suminv"),
-        max(col("bucket")).as("__maxb"), min(col("bucket")).as("__minb"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${RankBits + 1} - maxrank AS INT))")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__sumscaled"),
+        max(col("bucket")).as("__maxb"), min(col("bucket")).as("__minb"),
+        max(col("maxrank")).as("__maxr"), min(col("maxrank")).as("__minr"))
     val zeros = lit(m.toLong) - col("__touched")
-    val raw = lit(alpha(m) * m.toDouble * m.toDouble) /
-      (col("__suminv") + zeros.cast("double"))
+    val suminv = col("__sumscaled").cast("double") /
+      lit(math.pow(2.0, (RankBits + 1).toDouble)) + zeros.cast("double")
+    val raw = lit(alpha(m) * m.toDouble * m.toDouble) / suminv
     val est = when(raw <= lit(2.5 * m) && zeros > 0L,
         lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
       .otherwise(raw)
@@ -251,10 +271,11 @@ object Hll {
     // plausible but wrong (zeros can even go negative). The frame here
     // is groups-sized, so the raise_error branch costs nothing.
     val guarded = when(col("__touched") > m.toLong || col("__maxb") >= m.toLong ||
-        col("__minb") < 0L,
+        col("__minb") < 0L || col("__maxr") > (RankBits + 1).toLong ||
+        col("__minr") < 1L,
       raise_error(concat(lit("Hll.estimateGrouped: register frame " +
-        s"inconsistent with p=$p (m=$m) - buckets out of range or more " +
-        "touched registers than m; the frame was built with a larger p"))))
+        s"inconsistent with p=$p (m=$m) - buckets or ranks out of range, or " +
+        "more touched registers than m; the frame was built with a larger p"))))
       .otherwise(est)
     agg.select(groupCols.map(col) :+ rint(guarded).cast("long").as("est"): _*)
   }

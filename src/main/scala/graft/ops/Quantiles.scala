@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** EXACT distributed quantiles / order statistics over an integral
   * column — k-th-smallest selection by iterative histogram refinement
@@ -66,6 +67,38 @@ object Quantiles {
     def resolved: Boolean = lo == hi
   }
 
+  /** The INTEGRAL entry points refuse fractional input instead of
+    * silently `cast("long")`-truncating it (quantiles of the truncated
+    * multiset are plausible and wrong — the failure class this codebase
+    * refuses everywhere else: [[Hll.estimate]] refuses grouped frames,
+    * [[CmsSketch]] refuses geometry mismatches). `redirect` names the
+    * lossless sibling in API terms.
+    */
+  private def requireIntegral(df: DataFrame, c: String, site: String,
+      redirect: String): Unit =
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quantiles.$site: column $c is ${dt.catalogString} - the integral " +
+          "entry points would silently truncate fractional values " +
+          s"(cast to long). $redirect")
+    }
+
+  /** The DOUBLE entry points refuse integral input symmetrically: a
+    * 64-bit integer column cast to double silently loses precision past
+    * 2^53, which is the same plausible-but-wrong class in the other
+    * direction.
+    */
+  private def requireFloating(df: DataFrame, c: String, site: String,
+      redirect: String): Unit =
+    df.schema(c).dataType match {
+      case FloatType | DoubleType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Quantiles.$site: column $c is ${dt.catalogString} - the double " +
+          "entry points would silently lose integer precision past 2^53 " +
+          s"(cast to double). $redirect")
+    }
+
   /** Exact percentile values: one row per requested integer percentile,
     * (pct BIGINT, k BIGINT, value BIGINT) where k = ceil(pct·n/100) and
     * value is the k-th smallest non-null `valueCol`. Empty input (after
@@ -79,7 +112,7 @@ object Quantiles {
       "Quantiles.exactPct: duplicate percentiles")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = values(df, valueCol)
+    val vals = values(df, valueCol, "exactPct")
     // ONE pass-0 aggregation for (n, min, max) — the scaladoc's contract
     val b = vals.agg(count(lit(1)), min("__v"), max("__v")).head()
     val n = b.getLong(0)
@@ -87,7 +120,7 @@ object Quantiles {
       return Seq.empty[(Long, Long, Long)].toDF("pct", "k", "value")
     }
     val ks = pcts.map(p => (p.toLong * n + 99L) / 100L)
-    val byK = selectKth(vals, ks.distinct, b.getLong(1), b.getLong(2))
+    val byK = selectKthBatched(vals, ks.distinct, b.getLong(1), b.getLong(2))
     pcts.zip(ks).map { case (p, k) => (p.toLong, k, byK(k)) }
       .toDF("pct", "k", "value")
   }
@@ -102,13 +135,13 @@ object Quantiles {
     require(ks.distinct.length == ks.length, "Quantiles.exactAtRanks: duplicate ranks")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = values(df, valueCol)
+    val vals = values(df, valueCol, "exactAtRanks")
     val b = vals.agg(count(lit(1)), min("__v"), max("__v")).head()
     val n = b.getLong(0)
     require(ks.forall(k => k >= 1 && k <= n),
       s"Quantiles.exactAtRanks: ranks must be in [1, $n] (non-null rows), " +
         s"got ${ks.mkString(",")}")
-    val byK = selectKth(vals, ks, b.getLong(1), b.getLong(2))
+    val byK = selectKthBatched(vals, ks, b.getLong(1), b.getLong(2))
     ks.map(k => (k, byK(k))).toDF("k", "value")
   }
 
@@ -131,6 +164,8 @@ object Quantiles {
       s"Quantiles.exactPctDouble: percentiles must be in [1,100], got ${pcts.mkString(",")}")
     require(pcts.distinct.length == pcts.length,
       "Quantiles.exactPctDouble: duplicate percentiles")
+    requireFloating(df, valueCol, "exactPctDouble",
+      "For integral values use exactPct (exact at the full 64-bit range).")
     val spark = df.sparkSession
     import spark.implicits._
     val d = col(valueCol).cast("double")
@@ -144,7 +179,7 @@ object Quantiles {
       return Seq.empty[(Long, Long, Double)].toDF("pct", "k", "value")
     }
     val ks = pcts.map(p => (p.toLong * n + 99L) / 100L)
-    val byK = selectKth(vals, ks.distinct, b.getLong(1), b.getLong(2))
+    val byK = selectKthBatched(vals, ks.distinct, b.getLong(1), b.getLong(2))
     pcts.zip(ks).map { case (p, k) =>
       (p.toLong, k, graft.functions.SortableBits.fromSortable(byK(k)))
     }.toDF("pct", "k", "value")
@@ -171,7 +206,7 @@ object Quantiles {
       "Quantiles.exactPctWeighted: duplicate percentiles")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = values(df, valueCol, Some(weightCol))
+    val vals = values(df, valueCol, "exactPctWeighted", Some(weightCol))
     // one fused pass-0: total mass, weight-sign guard, value bounds
     val agg = vals.agg(coalesce(sum("__w"), lit(0L)),
       coalesce(min("__w"), lit(0L)), min("__v"), max("__v")).head()
@@ -183,7 +218,7 @@ object Quantiles {
       return Seq.empty[(Long, Long, Long)].toDF("pct", "k", "value")
     }
     val ks = pcts.map(p => (p.toLong * w + 99L) / 100L)
-    val byK = selectKth(vals, ks.distinct, agg.getLong(2), agg.getLong(3))
+    val byK = selectKthBatched(vals, ks.distinct, agg.getLong(2), agg.getLong(3))
     pcts.zip(ks).map { case (p, k) => (p.toLong, k, byK(k)) }
       .toDF("pct", "k", "value")
   }
@@ -205,24 +240,67 @@ object Quantiles {
     */
   def exactPctByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
       pcts: Seq[Int]): DataFrame = {
-    require(groupCols.nonEmpty, "Quantiles.exactPctByGroup: groupCols must be non-empty")
-    require(pcts.nonEmpty, "Quantiles.exactPctByGroup: pcts must be non-empty")
+    requireByGroupArgs(df, groupCols, pcts, "exactPctByGroup")
+    requireIntegral(df, valueCol, "exactPctByGroup",
+      "For fractional values use exactPctByGroupDouble (bit-exact, no " +
+        "truncation).")
+    pctByGroupWindow(
+      df.select(groupCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+        .where(col("__v").isNotNull),
+      groupCols, pcts)
+  }
+
+  /** [[exactPctByGroup]] for FLOAT/DOUBLE columns. The window ORDER BY
+    * ranks STORED doubles — no composed float expression enters the
+    * contract (the q_quantiles_double precedent: identical bit patterns
+    * order identically in every IEEE-754 engine), which is why this
+    * stays inside rule 1's float-ordering ban rather than violating it.
+    * Policy matches [[exactPctDouble]]: NULL and NaN values carry no
+    * rank and are EXCLUDED; −0.0 is normalized to +0.0 (`+ 0.0` is the
+    * exact identity everywhere else); NULL GROUP values are legitimate
+    * groups and are retained. Output value is DOUBLE (an element of the
+    * column, bit-exact).
+    */
+  def exactPctByGroupDouble(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, pcts: Seq[Int]): DataFrame = {
+    requireByGroupArgs(df, groupCols, pcts, "exactPctByGroupDouble")
+    requireFloating(df, valueCol, "exactPctByGroupDouble",
+      "For integral values use exactPctByGroup (exact at the full 64-bit " +
+        "range).")
+    pctByGroupWindow(
+      df.select(groupCols.map(col) :+
+          (col(valueCol).cast("double") + lit(0.0)).as("__v"): _*)
+        .where(col("__v").isNotNull && !isnan(col("__v"))),
+      groupCols, pcts)
+  }
+
+  private def requireByGroupArgs(df: DataFrame, groupCols: Seq[String],
+      pcts: Seq[Int], site: String): Unit = {
+    require(groupCols.nonEmpty, s"Quantiles.$site: groupCols must be non-empty")
+    require(pcts.nonEmpty, s"Quantiles.$site: pcts must be non-empty")
     require(pcts.forall(p => p >= 1 && p <= 100),
-      s"Quantiles.exactPctByGroup: percentiles must be in [1,100], got ${pcts.mkString(",")}")
+      s"Quantiles.$site: percentiles must be in [1,100], got ${pcts.mkString(",")}")
     require(pcts.distinct.length == pcts.length,
-      "Quantiles.exactPctByGroup: duplicate percentiles")
+      s"Quantiles.$site: duplicate percentiles")
     // withColumn on a reserved name would CLOBBER a same-named group
     // column and silently emit wrong groups - refuse loudly instead
     val reserved = Set("pct", "k", "value", "__v", "__rn", "__n")
     val clash = groupCols.filter(reserved.contains)
     require(clash.isEmpty,
-      s"Quantiles.exactPctByGroup: group column name(s) ${clash.mkString(",")} " +
+      s"Quantiles.$site: group column name(s) ${clash.mkString(",")} " +
         s"collide with the output/internal columns (${reserved.mkString(",")}) - " +
         "alias the group column first")
+  }
+
+  /** The ONE per-group rank-window body behind [[exactPctByGroup]] and
+    * [[exactPctByGroupDouble]] (rule 5): `src` carries the group columns
+    * plus a non-null `__v` whose type decides the output value type.
+    */
+  private def pctByGroupWindow(src: DataFrame, groupCols: Seq[String],
+      pcts: Seq[Int]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
     val pctsArr = array(pcts.map(p => lit(p.toLong)): _*)
-    df.select(groupCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
-      .where(col("__v").isNotNull)
+    src
       .withColumn("__rn", row_number().over(w.orderBy(col("__v"))))
       .withColumn("__n", count(lit(1)).over(w))
       // a row is the pct-quantile iff its rank equals ceil(pct·n/100);
@@ -251,12 +329,41 @@ object Quantiles {
     require(loPct >= 1 && hiPct <= 100 && loPct <= hiPct,
       s"Quantiles.percentileFilter: need 1 <= loPct <= hiPct <= 100, " +
         s"got ($loPct, $hiPct)")
+    requireIntegral(df, valueCol, "percentileFilter",
+      "For fractional values use percentileFilterDouble (bit-exact " +
+        "cutoffs, no truncation).")
     val cuts = exactPct(df, valueCol, Seq(loPct, hiPct).distinct)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     if (cuts.isEmpty) return df.where(lit(false)) // no non-null values
     val (lo, hi) = (cuts(loPct.toLong), cuts(hiPct.toLong))
     df.where(col(valueCol).isNotNull &&
       col(valueCol).cast("long") >= lo && col(valueCol).cast("long") <= hi)
+  }
+
+  /** [[percentileFilter]] for FLOAT/DOUBLE columns — "drop the bottom 5%
+    * by float quality score", the single most common curation cut. The
+    * cutoffs come from [[exactPctDouble]] (bit-exact elements of the
+    * column, selected in sortable-bits space and inverted driver-side),
+    * and the band predicate itself stays a PLAIN double comparison
+    * against those literals — so it reaches the parquet scan as a
+    * pushed filter (PushedFilters on the executed plan, pinned in
+    * PlanShapeSpec), no expression re-evaluation, no sort. Policy: NULL
+    * and NaN rows are dropped (they carry no rank — consistent with the
+    * cutoff computation; NaN must be explicit because SQL comparison
+    * semantics would otherwise let `NaN >= lo` pass in engines that
+    * order NaN high).
+    */
+  def percentileFilterDouble(df: DataFrame, valueCol: String,
+      loPct: Int, hiPct: Int): DataFrame = {
+    require(loPct >= 1 && hiPct <= 100 && loPct <= hiPct,
+      s"Quantiles.percentileFilterDouble: need 1 <= loPct <= hiPct <= 100, " +
+        s"got ($loPct, $hiPct)")
+    val cuts = exactPctDouble(df, valueCol, Seq(loPct, hiPct).distinct)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    if (cuts.isEmpty) return df.where(lit(false)) // no non-null/non-NaN values
+    val (lo, hi) = (cuts(loPct.toLong), cuts(hiPct.toLong))
+    df.where(col(valueCol).isNotNull && !isnan(col(valueCol)) &&
+      col(valueCol) >= lit(lo) && col(valueCol) <= lit(hi))
   }
 
   /** py4j-friendly [[exactAtRanks]]: a boxed Seq[Long] does not survive
@@ -278,12 +385,29 @@ object Quantiles {
     * deliberate (the same recompute-over-materialize call as the
     * substring-dedup window pass, PLANS.md round 9).
     */
-  private def values(df: DataFrame, valueCol: String,
+  private def values(df: DataFrame, valueCol: String, site: String,
       weightCol: Option[String] = None): DataFrame = {
+    requireIntegral(df, valueCol, site,
+      "For fractional values use exactPctDouble (bit-exact, no truncation).")
+    weightCol.foreach(c => requireIntegral(df, c, site,
+      "Rank mass must be integral - pre-scale fractional weights to " +
+        "integer units (e.g. micro-units) explicitly."))
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     df.select(col(valueCol).cast("long").as("__v"), w.as("__w"))
       .where(col("__v").isNotNull && col("__w").isNotNull)
   }
+
+  /** [[selectKth]] over arbitrarily many ranks: batches of ≤ 64 keep
+    * each batch's histogram collect at B × #intervals rows and the
+    * per-pass when-chain expression bounded; batches run sequentially
+    * (cost is linear in ceil(#ranks/64) refinement rounds over the same
+    * pruned scan).
+    */
+  private def selectKthBatched(vals: DataFrame, ks: Seq[Long],
+      mn: Long, mx: Long): Map[Long, Long] =
+    ks.grouped(64).foldLeft(Map.empty[Long, Long]) { (acc, batch) =>
+      acc ++ selectKth(vals, batch, mn, mx)
+    }
 
   /** Core selection loop. Returns the value at each requested rank.
     * ≤ 64 targets: each pass's histogram collect is B × #intervals

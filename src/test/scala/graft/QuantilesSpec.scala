@@ -61,7 +61,7 @@ class QuantilesSpec extends SparkSpec {
   }
 
   test("exactAtRanks: k=1 is min, k=n is max; out-of-range and duplicate ranks refuse; " +
-    "at most 64 targets") {
+    ">64 targets batch transparently") {
     val vals = (1L to 999L).map(i => i * 37L % 1000L)
     val got = Quantiles.exactAtRanks(vals.toDF("v"), "v", Seq(1L, 500L, 999L))
       .as[(Long, Long)].collect().toMap
@@ -76,9 +76,14 @@ class QuantilesSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Quantiles.exactAtRanks(vals.toDF("v"), "v", Seq(5L, 5L))
     }.getMessage.contains("duplicate ranks"))
-    assert(intercept[IllegalArgumentException] {
-      Quantiles.exactAtRanks(vals.toDF("v"), "v", (1L to 65L))
-    }.getMessage.contains("at most 64 ranks"))
+    // r15 ADVICE: >64 ranks used to throw selectKth's INTERNAL "batch
+    // them" error from a validation-passing call — the public entry
+    // points now batch in chunks of 64 themselves (here: 2 batches,
+    // both exact)
+    val many = (1L to 130L)
+    val gotMany = Quantiles.exactAtRanks(vals.toDF("v"), "v", many)
+      .as[(Long, Long)].collect().toMap
+    assert(many.forall(k => gotMany(k) == sorted((k - 1).toInt)))
   }
 
   test("nulls are excluded and ranks are relative to the non-null count; " +
@@ -233,6 +238,112 @@ class QuantilesSpec extends SparkSpec {
     val global = graft.ops.Quantiles.exactPct(one, "v", pcts)
       .as[(Long, Long, Long)].collect().toSet
     assert(grouped == global)
+  }
+
+  test("type guards (r15 verdict): integral entry points refuse fractional " +
+    "columns with a redirect; double entry points refuse integral columns") {
+    val dbl = Seq(1.5, 2.5).toDF("v")
+    val lng = Seq(1L, 2L).toDF("v")
+    val fracW = Seq((1L, 0.5)).toDF("v", "w")
+    // silently cast("long")-truncating a double column was the round's
+    // one genuine defect - every integral entry point now refuses
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactPct(dbl, "v", Seq(50))
+    }.getMessage.contains("exactPctDouble"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactAtRanks(dbl, "v", Seq(1L))
+    }.getMessage.contains("exactPctDouble"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactPctWeighted(fracW.select(col("w").as("v"), lit(1L).as("w")),
+        "v", "w", Seq(50))
+    }.getMessage.contains("exactPctDouble"))
+    // fractional WEIGHT refuses too (it would truncate rank mass)
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactPctWeighted(fracW, "v", "w", Seq(50))
+    }.getMessage.contains("integral"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactPctByGroup(dbl.withColumn("g", lit("x")), Seq("g"), "v", Seq(50))
+    }.getMessage.contains("exactPctByGroupDouble"))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.percentileFilter(dbl, "v", 1, 100)
+    }.getMessage.contains("percentileFilterDouble"))
+    // and the symmetric direction: doubles-of-longs lose precision past
+    // 2^53, so the double entry points refuse integral columns
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactPctDouble(lng, "v", Seq(50))
+    }.getMessage.contains("exactPct "))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.exactPctByGroupDouble(lng.withColumn("g", lit("x")), Seq("g"), "v", Seq(50))
+    }.getMessage.contains("exactPctByGroup "))
+    assert(intercept[IllegalArgumentException] {
+      Quantiles.percentileFilterDouble(lng, "v", 1, 100)
+    }.getMessage.contains("exactPct"))
+    // FloatType is accepted by the double entry points (exact widening)
+    val flt = Seq(1.5f, 2.5f, 3.5f).toDF("v")
+    assert(Quantiles.exactPctDouble(flt, "v", Seq(50))
+      .as[(Long, Long, Double)].head()._3 == 2.5)
+  }
+
+  test("exactPctByGroupDouble matches per-group double ground truth, retains the " +
+    "null group, excludes NaN/NULL values, and agrees with exactPctDouble on one group") {
+    val rnd = new scala.util.Random(53)
+    val rows = Seq.tabulate(2400) { i =>
+      val g = i % 3 match { case 0 => "a"; case 1 => "b"; case _ => null }
+      (g, rnd.nextGaussian() * 100.0)
+    } ++ Seq(("a", -0.0), ("a", 0.0), ("b", Double.PositiveInfinity))
+    val df = rows.toDF("g", "v")
+    val pcts = Seq(10, 50, 90)
+    val got = graft.ops.Quantiles.exactPctByGroupDouble(df, Seq("g"), "v", pcts)
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val norm = rs.map(_._2).map(v => if (v == 0.0) 0.0 else v)
+        .sorted(Ordering.Double.TotalOrdering)
+      val n = norm.length.toLong
+      pcts.map { p =>
+        val k = (p.toLong * n + 99L) / 100L
+        (Option(g), p.toLong, k, norm((k - 1).toInt))
+      }
+    }.toSet
+    assert(got == want)
+    assert(got.exists(_._1.isEmpty), "null group must be retained")
+    // NaN and NULL values carry no rank; the group's n shrinks
+    val mixed = Seq[(String, java.lang.Double)](("x", 1.0), ("x", Double.NaN),
+      ("x", null), ("x", 3.0)).toDF("g", "v")
+    val g2 = graft.ops.Quantiles.exactPctByGroupDouble(mixed, Seq("g"), "v", Seq(100))
+      .select("pct", "k", "value").as[(Long, Long, Double)].collect().toSeq
+    assert(g2 == Seq((100L, 2L, 3.0)))
+    // one group == the global double operator
+    val one = rows.toDF("g", "v").withColumn("g", lit("x"))
+    val grouped = graft.ops.Quantiles.exactPctByGroupDouble(one, Seq("g"), "v", pcts)
+      .select("pct", "k", "value").as[(Long, Long, Double)].collect().toSet
+    val global = graft.ops.Quantiles.exactPctDouble(one, "v", pcts)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(grouped == global)
+  }
+
+  test("percentileFilterDouble keeps exactly the closed band, drops NaN and nulls, " +
+    "and its cutoffs are bit-exact elements of the column") {
+    val rnd = new scala.util.Random(59)
+    val vals = Seq.fill(3000)(rnd.nextGaussian() * 1e6)
+    val df = vals.toDF("v")
+    val kept = graft.ops.Quantiles.percentileFilterDouble(df, "v", 5, 95)
+      .as[Double].collect().toSeq
+    val sorted = vals.sorted(Ordering.Double.TotalOrdering)
+    val n = vals.length.toLong
+    val lo = sorted(((5L * n + 99L) / 100L - 1L).toInt)
+    val hi = sorted(((95L * n + 99L) / 100L - 1L).toInt)
+    assert(kept.sorted(Ordering.Double.TotalOrdering) ==
+      vals.filter(v => v >= lo && v <= hi).sorted(Ordering.Double.TotalOrdering))
+    // NaN and nulls never survive the band (NaN would pass `>= lo` under
+    // NaN-high comparison semantics - the explicit isnan drop is load-bearing)
+    val withJunk = Seq[java.lang.Double](1.0, Double.NaN, null, 2.0, 3.0).toDF("v")
+    assert(graft.ops.Quantiles.percentileFilterDouble(withJunk, "v", 1, 100)
+      .as[Double].collect().toSet == Set(1.0, 2.0, 3.0))
+    // empty input -> empty output, no exception
+    assert(graft.ops.Quantiles.percentileFilterDouble(
+      Seq.empty[java.lang.Double].toDF("v"), "v", 1, 100).count() == 0)
   }
 
   test("matches the rank-window answer on real data (documents n_chars, sf0.001)") {
