@@ -1894,6 +1894,36 @@ object SparkEntry {
       graft.ops.Quantiles.percentileFilter(t(dir, "documents"), "n_chars", 5, 95)
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
     },
+    // Per-group exact percentiles of a DOUBLE column (events.value per
+    // event_type): the double twin of q_quantiles_by_group. The window
+    // ORDER BY ranks STORED doubles (identical bit patterns in both
+    // engines — the q_quantiles_double precedent), the pct-match
+    // predicate is pure integer algebra, and the value is
+    // round(x,6)-emitted output-only (rule 1). NULL/NaN values carry no
+    // rank on either side; −0.0 is normalized; null event_type is a
+    // retained group (rule 10).
+    "q_quantiles_by_group_double" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Quantiles.exactPctByGroupDouble(t(dir, "events"),
+          Seq("event_type"), "value", Seq(10, 50, 90))
+        .select(col("event_type"), col("pct"), col("k"),
+          round(col("value"), 6).as("value"))
+    },
+    // The float-score curation cut the double quantile surface exists
+    // FOR: drop events outside the exact [5th, 95th] value-percentile
+    // band. Cutoffs come from the sortable-bits selection (bit-exact
+    // elements of the column, inverted driver-side); the band predicate
+    // is a plain pushed-down double comparison against those stored
+    // values — comparing identical bit patterns, so the surviving row
+    // SET is engine-exact even though values are floats; the emitted
+    // value column is round(x,6) output-only (rule 1). NULL and NaN
+    // rows are dropped on both sides (no rank — rule 10).
+    "q_quantile_filter_double" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.Quantiles.percentileFilterDouble(t(dir, "events"), "value", 5, 95)
+        .select(col("event_id"),
+          round(col("value") + lit(0.0), 6).as("value"))
+    },
     // Intra-document chunk dedup (keep-first over non-overlapping
     // 2-token chunks): one tight per-row UDF pass, zero shuffles;
     // null text → null clean_text with zero counts (rule 10).
@@ -4712,6 +4742,36 @@ object SparkEntry {
         |SELECT r.lang AS lang, p.pct AS pct, r.rn AS k, CAST(r.val AS BIGINT) AS value
         |FROM r JOIN p ON p.pct * r.n >= 100 * r.rn - 99
         |             AND p.pct * r.n <= 100 * r.rn""".stripMargin,
+    // Double per-group replay: partitioned rank window over STORED
+    // normalized doubles (val + 0 — identical bit patterns order
+    // identically in both engines); same integer pct-match predicate as
+    // q_quantiles_by_group; value round(x,6) output-only.
+    "q_quantiles_by_group_double" ->
+      """WITH v AS (SELECT event_type, value + 0 AS val FROM events
+        |           WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (SELECT event_type, val,
+        |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY val) AS BIGINT) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |      FROM v),
+        |p AS (SELECT CAST(unnest([10,50,90]) AS BIGINT) AS pct)
+        |SELECT r.event_type AS event_type, p.pct AS pct, r.rn AS k, round(r.val, 6) AS value
+        |FROM r JOIN p ON p.pct * r.n >= 100 * r.rn - 99
+        |             AND p.pct * r.n <= 100 * r.rn""".stripMargin,
+    // Double band filter by the same rank-window cutoff definition over
+    // normalized stored doubles; the band comparison touches only stored
+    // bit patterns (cutoffs are elements of the column), value emitted
+    // round(x,6) output-only.
+    "q_quantile_filter_double" ->
+      """WITH v AS (SELECT value + 0 AS val FROM events
+        |           WHERE value IS NOT NULL AND NOT isnan(value)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT val, CAST(row_number() OVER (ORDER BY val) AS BIGINT) AS rn FROM v),
+        |lo AS (SELECT val AS lov FROM r CROSS JOIN n WHERE rn = (5 * n.n + 99) // 100),
+        |hi AS (SELECT val AS hiv FROM r CROSS JOIN n WHERE rn = (95 * n.n + 99) // 100)
+        |SELECT event_id, round(value + 0, 6) AS value
+        |FROM events CROSS JOIN lo CROSS JOIN hi
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |  AND value >= lov AND value <= hiv""".stripMargin,
     // Band filter by the same rank-window cutoff definition; row_number
     // is unique so each cutoff CTE is exactly one row.
     "q_quantile_filter" ->

@@ -137,6 +137,19 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must read only the text column; plan:\n${plan.take(1500)}")
   }
 
+  test("percentileFilterDouble's band predicate reaches the parquet scan as " +
+    "pushed filters (plain double comparisons after driver-side inversion)") {
+    val events = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val band = graft.ops.Quantiles.percentileFilterDouble(events, "value", 5, 95)
+    band.write.format("noop").mode("overwrite").save()
+    val plan = band.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(value,") &&
+      plan.contains("LessThanOrEqual(value,") && plan.contains("IsNotNull(value)"),
+      s"band cutoffs must push to the scan; plan:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange"),
+      s"the band read is scan+filter, no shuffle; plan:\n${plan.take(1500)}")
+  }
+
   test("Quantiles refinement scans read only the value column and shuffle " +
     "only histogram rows") {
     // the operator runs eagerly; pin the shape of the per-pass histogram
