@@ -268,6 +268,24 @@ object SparkEntry {
       |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS maxrank
       |FROM reg GROUP BY bucket""".stripMargin
 
+  /** Shared rank-sketch summary-replay SQL (rule 5 — q_qsketch_summary
+    * and q_qsketch_merge differ ONLY in the documents filter): the
+    * bottom-128 rows by rank key rk = 60-bit (15-hex) md5 of
+    * "qsk20:doc_id", tie-broken by value — the bottom-k-of-union
+    * property means the merge gate needs no merge replay at all, its
+    * oracle IS the one-shot build.
+    */
+  private def qsketchSummarySql(docsWhere: String = "TRUE"): String =
+    s"""WITH v AS (
+      |  SELECT
+      |    CAST(('0x' || substr(md5('qsk20:' || doc_id), 1, 15))::UBIGINT AS BIGINT) AS rk,
+      |    CAST(n_chars AS BIGINT) AS value
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND ($docsWhere))
+      |SELECT rk, value FROM (
+      |  SELECT rk, value, row_number() OVER (ORDER BY rk, value) AS rn FROM v)
+      |WHERE rn <= 128""".stripMargin
+
   /** [[shingleListSql]] unnested to one row per shingle. */
   private def shingleRowsSql(n: Int, textSql: String = "text"): String =
     s"unnest(${shingleListSql(n, textSql)})"
@@ -1822,6 +1840,36 @@ object SparkEntry {
       val odd = graft.ops.Hll.build(
         bigrams(docs.where(!(col("doc_id") % 2 === 0))), "k", p = 9, seed = "hll19")
       graft.ops.Hll.merge(even, odd)
+    },
+    // Rank-sketch summary (the third sketch leg, after CMS cells and
+    // HLL registers): the s=128 rows of documents with the SMALLEST
+    // 60-bit md5 rank key rk = md5("qsk20:" || doc_id), carrying
+    // n_chars — a deterministic bottom-k order-statistics sample that
+    // replays bit-for-bit in SQL (rk is pure integer/string arithmetic,
+    // rule 1; the float quantile ESTIMATES never enter the contract —
+    // accuracy is spec-pinned in QuantileSketchSpec against
+    // Quantiles.exactPct ground truth). Null doc_id or null n_chars
+    // rows carry no sample identity / no rank on either side (rule 10).
+    "q_qsketch_summary" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.QuantileSketch.build(t(dir, "documents"),
+        "doc_id", "n_chars", s = 128, seed = "qsk20").summary
+    },
+    // Rank-sketch merge semantics end to end: build over the even-id
+    // and odd-id document slices SEPARATELY (each slice's bottom-128 is
+    // cut from ~250 rows, so both cuts are exercised), merge the
+    // handles — the merged summary must equal the one-shot build over
+    // all non-null-id docs (the oracle), the per-day/per-shard
+    // composition the sketch exists for. Same q_hll_merge pattern;
+    // null doc_id is in neither slice and not in the oracle's source.
+    "q_qsketch_merge" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      val even = graft.ops.QuantileSketch.build(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "n_chars", 128, "qsk20")
+      val odd = graft.ops.QuantileSketch.build(
+        docs.where(!(col("doc_id") % 2 === 0)), "doc_id", "n_chars", 128, "qsk20")
+      even.merge(odd).summary
     },
     // Per-language distinct-bigram cardinality estimates: the grouped
     // HLL path (register state m-bounded PER GROUP, one aggregation for
@@ -4684,6 +4732,13 @@ object SparkEntry {
     // over every non-null-id document — the oracle IS that one-shot
     // build (same shared register arithmetic as q_hll_registers).
     "q_hll_merge" -> hllRegistersSql("doc_id IS NOT NULL"),
+    // Bit-for-bit rank-sketch summary replay: bottom-128 by the 60-bit
+    // md5 rank key, pure integer/string arithmetic (rule 1).
+    "q_qsketch_summary" -> qsketchSummarySql(),
+    // Bottom-k of a union == bottom-k of the parts' bottom-k's, so the
+    // merge contract's oracle is the one-shot build over every
+    // non-null-id document (same shared summary SQL).
+    "q_qsketch_merge" -> qsketchSummarySql("doc_id IS NOT NULL"),
     // Definitionally-direct order statistic: value at row_number
     // k = ceil(pct·n/100) over the non-null values — the refinement
     // machinery must land on exactly this element. Integer division

@@ -72,14 +72,15 @@ object Quantiles {
     * multiset are plausible and wrong — the failure class this codebase
     * refuses everywhere else: [[Hll.estimate]] refuses grouped frames,
     * [[CmsSketch]] refuses geometry mismatches). `redirect` names the
-    * lossless sibling in API terms.
+    * lossless sibling in API terms. Shared with [[QuantileSketch]]'s
+    * builders (the same two-typed surface).
     */
-  private def requireIntegral(df: DataFrame, c: String, site: String,
+  private[ops] def requireIntegral(df: DataFrame, c: String, site: String,
       redirect: String): Unit =
     df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
       case dt => throw new IllegalArgumentException(
-        s"Quantiles.$site: column $c is ${dt.catalogString} - the integral " +
+        s"$site: column $c is ${dt.catalogString} - the integral " +
           "entry points would silently truncate fractional values " +
           s"(cast to long). $redirect")
     }
@@ -89,12 +90,12 @@ object Quantiles {
     * 2^53, which is the same plausible-but-wrong class in the other
     * direction.
     */
-  private def requireFloating(df: DataFrame, c: String, site: String,
+  private[ops] def requireFloating(df: DataFrame, c: String, site: String,
       redirect: String): Unit =
     df.schema(c).dataType match {
       case FloatType | DoubleType => ()
       case dt => throw new IllegalArgumentException(
-        s"Quantiles.$site: column $c is ${dt.catalogString} - the double " +
+        s"$site: column $c is ${dt.catalogString} - the double " +
           "entry points would silently lose integer precision past 2^53 " +
           s"(cast to double). $redirect")
     }
@@ -112,7 +113,7 @@ object Quantiles {
       "Quantiles.exactPct: duplicate percentiles")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = values(df, valueCol, "exactPct")
+    val vals = values(df, valueCol, "Quantiles.exactPct")
     // ONE pass-0 aggregation for (n, min, max) — the scaladoc's contract
     val b = vals.agg(count(lit(1)), min("__v"), max("__v")).head()
     val n = b.getLong(0)
@@ -135,7 +136,7 @@ object Quantiles {
     require(ks.distinct.length == ks.length, "Quantiles.exactAtRanks: duplicate ranks")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = values(df, valueCol, "exactAtRanks")
+    val vals = values(df, valueCol, "Quantiles.exactAtRanks")
     val b = vals.agg(count(lit(1)), min("__v"), max("__v")).head()
     val n = b.getLong(0)
     require(ks.forall(k => k >= 1 && k <= n),
@@ -164,7 +165,7 @@ object Quantiles {
       s"Quantiles.exactPctDouble: percentiles must be in [1,100], got ${pcts.mkString(",")}")
     require(pcts.distinct.length == pcts.length,
       "Quantiles.exactPctDouble: duplicate percentiles")
-    requireFloating(df, valueCol, "exactPctDouble",
+    requireFloating(df, valueCol, "Quantiles.exactPctDouble",
       "For integral values use exactPct (exact at the full 64-bit range).")
     val spark = df.sparkSession
     import spark.implicits._
@@ -206,7 +207,7 @@ object Quantiles {
       "Quantiles.exactPctWeighted: duplicate percentiles")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals = values(df, valueCol, "exactPctWeighted", Some(weightCol))
+    val vals = values(df, valueCol, "Quantiles.exactPctWeighted", Some(weightCol))
     // one fused pass-0: total mass, weight-sign guard, value bounds
     val agg = vals.agg(coalesce(sum("__w"), lit(0L)),
       coalesce(min("__w"), lit(0L)), min("__v"), max("__v")).head()
@@ -241,7 +242,7 @@ object Quantiles {
   def exactPctByGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
       pcts: Seq[Int]): DataFrame = {
     requireByGroupArgs(df, groupCols, pcts, "exactPctByGroup")
-    requireIntegral(df, valueCol, "exactPctByGroup",
+    requireIntegral(df, valueCol, "Quantiles.exactPctByGroup",
       "For fractional values use exactPctByGroupDouble (bit-exact, no " +
         "truncation).")
     pctByGroupWindow(
@@ -264,7 +265,7 @@ object Quantiles {
   def exactPctByGroupDouble(df: DataFrame, groupCols: Seq[String],
       valueCol: String, pcts: Seq[Int]): DataFrame = {
     requireByGroupArgs(df, groupCols, pcts, "exactPctByGroupDouble")
-    requireFloating(df, valueCol, "exactPctByGroupDouble",
+    requireFloating(df, valueCol, "Quantiles.exactPctByGroupDouble",
       "For integral values use exactPctByGroup (exact at the full 64-bit " +
         "range).")
     pctByGroupWindow(
@@ -329,7 +330,7 @@ object Quantiles {
     require(loPct >= 1 && hiPct <= 100 && loPct <= hiPct,
       s"Quantiles.percentileFilter: need 1 <= loPct <= hiPct <= 100, " +
         s"got ($loPct, $hiPct)")
-    requireIntegral(df, valueCol, "percentileFilter",
+    requireIntegral(df, valueCol, "Quantiles.percentileFilter",
       "For fractional values use percentileFilterDouble (bit-exact " +
         "cutoffs, no truncation).")
     val cuts = exactPct(df, valueCol, Seq(loPct, hiPct).distinct)

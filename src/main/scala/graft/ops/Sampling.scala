@@ -44,6 +44,20 @@ object Sampling {
     conv(substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
+  /** 60-bit variant of [[uniformBits]] for contracts where the hash
+    * drives a GLOBAL ORDERING over many keys rather than a per-key
+    * [0,1) draw: 32 bits start tying at the birthday scale (~2^16
+    * keys), and a bottom-k cut at a tied rank key would bias the
+    * selection toward its tie-break column ([[QuantileSketch]]'s
+    * order-statistics sample). 15 hex chars keep the value in exact
+    * signed-64 range in every engine (the same 60-bit budget as
+    * [[SketchIo.xorDigest]]). Engine-portable SQL:
+    * `('0x' || substr(md5(seed || ':' || key), 1, 15))::UBIGINT`.
+    */
+  def uniformBits60(key: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
   /** Deterministic Bernoulli sample: keep rows whose keyed uniform falls
     * below `fraction`. Unlike `df.sample`, reproducible across runs,
     * partitionings, and task retries.
