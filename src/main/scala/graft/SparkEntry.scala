@@ -1887,6 +1887,31 @@ object SparkEntry {
         p = 9, seed = "hll19")
       graft.ops.Hll.estimateGrouped(regs, Seq("lang"), p = 9)
     },
+    // Per-language bigram-vocabulary OVERLAP between the even-id and
+    // odd-id document slices: the grouped HLL overlap path
+    // (intersectEstimateGrouped — inclusion–exclusion over two grouped
+    // register frames, groups never collected). Rows-only like
+    // q_hll_grouped: the estimate is output-only float math by design
+    // (rule 1) but ORDER-INDEPENDENT (exact scaled-integer register
+    // summation); its register/merge arithmetic is the hash-green
+    // q_hll_registers / q_hll_merge sibling pair, and grouped ==
+    // per-group-scalar equality is spec-pinned (HllSpec). Null lang is
+    // a retained group; null doc_id is in neither slice (rule 10).
+    "q_hll_overlap_grouped" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      def bigramsByLang(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(col("lang"), explode(
+          graft.ops.TextOps.wordShingleOccurrences(col("text"), 2)).as("k"))
+        .where(col("k") =!= "")
+      val docs = t(dir, "documents")
+      val even = graft.ops.Hll.buildGrouped(
+        bigramsByLang(docs.where(col("doc_id") % 2 === 0)), Seq("lang"), "k",
+        p = 9, seed = "hll19")
+      val odd = graft.ops.Hll.buildGrouped(
+        bigramsByLang(docs.where(!(col("doc_id") % 2 === 0))), Seq("lang"), "k",
+        p = 9, seed = "hll19")
+      graft.ops.Hll.intersectEstimateGrouped(even, odd, Seq("lang"), p = 9)
+    },
     // EXACT percentiles of n_chars by iterative histogram refinement —
     // never a global sort: pass 0 (count/min/max) + radix-histogram
     // passes whose shuffles carry ≤ 8192 count rows per interval. The

@@ -232,6 +232,51 @@ object Hll {
   def intersectEstimate(a: DataFrame, b: DataFrame, p: Int): Long =
     math.max(0L, estimate(a, p) + estimate(b, p) - unionEstimate(a, b, p))
 
+  /** Per-group |A ∪ B| estimates from two [[buildGrouped]] register
+    * frames with IDENTICAL geometry AND group columns — the grouped
+    * twin of [[unionEstimate]]: one union + one max-merge aggregation +
+    * one estimate aggregation, groups never collected. Groups present
+    * in only one frame estimate that frame's cardinality (union with
+    * the empty set), which falls out of the merge naturally.
+    */
+  def unionEstimateGrouped(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], p: Int): DataFrame =
+    estimateGrouped(merge(a, b), groupCols, p)
+
+  /** Per-group |A ∩ B| estimates by inclusion–exclusion over two
+    * [[buildGrouped]] frames — the grouped twin of
+    * [[intersectEstimate]], one call instead of a driver-side loop over
+    * groups. Three group-sized aggregations + two null-safe left joins
+    * onto the union frame (whose group set is groups(A) ∪ groups(B);
+    * NULL groups are legitimate and join via IS NOT DISTINCT FROM
+    * semantics — rule 10). Groups absent from one side contribute 0 and
+    * clamp to 0. Error compounds exactly as in the scalar form
+    * (absolute error ~ RSE · (|A| + |B|) per group) — small true
+    * overlaps of large groups can be noise; the exact paths
+    * ([[SetSimJoin]], [[Curate]]) remain the tight-bound tools.
+    * Grouped == per-group scalar results exactly (HllSpec pin; both
+    * sides share the order-independent exact-summation estimator).
+    */
+  def intersectEstimateGrouped(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], p: Int): DataFrame = {
+    requireP(p)
+    require(groupCols.nonEmpty,
+      "Hll.intersectEstimateGrouped: groupCols must be non-empty")
+    def renamed(df: DataFrame, pre: String): DataFrame =
+      groupCols.foldLeft(df.withColumnRenamed("est", pre + "est")) {
+        (d, c) => d.withColumnRenamed(c, pre + c)
+      }
+    val ea = renamed(estimateGrouped(a, groupCols, p), "__a_")
+    val eb = renamed(estimateGrouped(b, groupCols, p), "__b_")
+    val eu = unionEstimateGrouped(a, b, groupCols, p)
+    eu
+      .join(ea, groupCols.map(c => col(c) <=> col("__a_" + c)).reduce(_ && _), "left")
+      .join(eb, groupCols.map(c => col(c) <=> col("__b_" + c)).reduce(_ && _), "left")
+      .select(groupCols.map(col) :+
+        greatest(lit(0L), coalesce(col("__a_est"), lit(0L)) +
+          coalesce(col("__b_est"), lit(0L)) - col("est")).as("est"): _*)
+  }
+
   /** Per-group cardinality estimates from a [[buildGrouped]] frame:
     * (groupCols..., est BIGINT). The whole estimator is one aggregation
     * over the register frame (group count + Σ 2^-maxrank), never a

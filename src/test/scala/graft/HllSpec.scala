@@ -123,6 +123,46 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("grouped overlap: unionEstimateGrouped / intersectEstimateGrouped == " +
+    "the per-group scalar estimates exactly; one-sided groups clamp to 0; " +
+    "null group retained") {
+    // per group g: A = tokens 1..600+hash spread, B overlaps the top third
+    val mk = (lo: Int, hi: Int) => (lo to hi).map(i => i)
+    val langs = Seq(Some("en"), Some("de"), None)
+    val aRows = langs.flatMap(g => mk(1, 600).map(i => (g.orNull, s"t$i")))
+      .toDF("lang", "k")
+    val bRows = (langs.flatMap(g => mk(401, 900).map(i => (g.orNull, s"t$i"))) ++
+      mk(1, 300).map(i => ("only-b", s"t$i"))).toDF("lang", "k")
+    val (p, seed) = (10, "ov")
+    val ra = Hll.buildGrouped(aRows, Seq("lang"), "k", p, seed)
+    val rb = Hll.buildGrouped(bRows, Seq("lang"), "k", p, seed)
+    val uni = Hll.unionEstimateGrouped(ra, rb, Seq("lang"), p)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val inter = Hll.intersectEstimateGrouped(ra, rb, Seq("lang"), p)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(uni.keySet == Set(Some("en"), Some("de"), None, Some("only-b")))
+    assert(inter.keySet == uni.keySet)
+    for (g <- langs) {
+      val sliceA = g match {
+        case Some(l) => aRows.where(col("lang") === l)
+        case None    => aRows.where(col("lang").isNull)
+      }
+      val sliceB = g match {
+        case Some(l) => bRows.where(col("lang") === l)
+        case None    => bRows.where(col("lang").isNull)
+      }
+      val sa = Hll.build(sliceA, "k", p, seed)
+      val sb = Hll.build(sliceB, "k", p, seed)
+      assert(uni(g) == Hll.unionEstimate(sa, sb, p), s"union group $g")
+      assert(inter(g) == Hll.intersectEstimate(sa, sb, p), s"intersect group $g")
+    }
+    // group present only in B: union = |B_g| estimate, intersect clamps to 0
+    val onlyB = Hll.estimate(
+      Hll.build(bRows.where(col("lang") === "only-b"), "k", p, seed), p)
+    assert(uni(Some("only-b")) == onlyB)
+    assert(inter(Some("only-b")) == 0L)
+  }
+
   test("union estimate is lossless-sketch accurate; intersect estimate tracks " +
     "the true overlap within compounded error; handle forms geometry-check") {
     // |A| = 3000, |B| = 3000, |A ∩ B| = 1000 (keys 2001..3000 shared)
