@@ -80,12 +80,17 @@ __all__ = [
     "HllSketchHandle",
     "hll_union_estimate",
     "hll_intersect_estimate",
+    "hll_union_estimate_grouped",
+    "hll_intersect_estimate_grouped",
     "quantiles_exact_pct",
     "quantiles_exact_pct_double",
     "quantiles_exact_pct_weighted",
     "quantiles_at_ranks",
     "quantiles_exact_pct_by_group",
+    "quantiles_exact_pct_by_group_double",
     "percentile_filter",
+    "percentile_filter_double",
+    "QuantileSketchHandle",
     "dedup_chunks_within",
     "corpus_drift",
 ]
@@ -1006,6 +1011,33 @@ def hll_intersect_estimate(a: DataFrame, b: DataFrame, p: int) -> int:
     return int(_jvm(a).graft.ops.Hll.intersectEstimate(a._jdf, b._jdf, int(p)))
 
 
+def hll_union_estimate_grouped(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: List[str],
+    p: int,
+) -> DataFrame:
+    """Per-group |A union B| estimates from two GROUPED register frames
+    with identical geometry — one merge + one estimate aggregation,
+    groups never collected. Returns (group..., est)."""
+    return _wrap(a, _jvm(a).graft.ops.Hll.unionEstimateGrouped(
+        a._jdf, b._jdf, _to_seq(a, list(group_cols)), int(p)))
+
+
+def hll_intersect_estimate_grouped(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: List[str],
+    p: int,
+) -> DataFrame:
+    """Per-group |A intersect B| estimates by inclusion-exclusion over
+    two grouped register frames — one call instead of a per-group loop.
+    One-sided groups clamp to 0; null groups are retained. Errors
+    compound per group exactly as in ``hll_intersect_estimate``."""
+    return _wrap(a, _jvm(a).graft.ops.Hll.intersectEstimateGrouped(
+        a._jdf, b._jdf, _to_seq(a, list(group_cols)), int(p)))
+
+
 def quantiles_exact_pct(
     df: DataFrame,
     value_col: str,
@@ -1087,6 +1119,124 @@ def percentile_filter(
     values are dropped (they carry no rank)."""
     return _wrap(df, _jvm(df).graft.ops.Quantiles.percentileFilter(
         df._jdf, value_col, int(lo_pct), int(hi_pct)))
+
+
+def quantiles_exact_pct_by_group_double(
+    df: DataFrame,
+    group_cols: List[str],
+    value_col: str,
+    pcts: List[int],
+) -> DataFrame:
+    """EXACT per-group percentiles of a FLOAT/DOUBLE column — the double
+    twin of ``quantiles_exact_pct_by_group`` (stored-bit-pattern
+    ordering, bit-exact element answers). NULL/NaN values carry no rank;
+    -0.0 normalizes; null groups are retained. Returns
+    (group..., pct, k, value DOUBLE)."""
+    return _wrap(df, _jvm(df).graft.ops.Quantiles.exactPctByGroupDouble(
+        df._jdf, _to_seq(df, list(group_cols)), value_col,
+        _to_seq(df, [int(x) for x in pcts])))
+
+
+def percentile_filter_double(
+    df: DataFrame,
+    value_col: str,
+    lo_pct: int,
+    hi_pct: int,
+) -> DataFrame:
+    """Keep rows whose FLOAT/DOUBLE ``value_col`` lies between the EXACT
+    lo_pct-th and hi_pct-th percentile values (inclusive) — 'drop the
+    bottom 5% by float quality score' with bit-exact cutoffs and a
+    pushed-down plain double band predicate. NULL and NaN rows are
+    dropped (they carry no rank)."""
+    return _wrap(df, _jvm(df).graft.ops.Quantiles.percentileFilterDouble(
+        df._jdf, value_col, int(lo_pct), int(hi_pct)))
+
+
+class QuantileSketchHandle:
+    """Geometry-safe mergeable RANK sketch (wraps the JVM
+    ``graft.ops.QuantileSketch``) — the third sketch leg after
+    ``CmsSketchHandle`` (frequency) and ``HllSketchHandle``
+    (cardinality): a deterministic bottom-k order-statistics sample.
+    Summaries merge associatively (per-day sketches compose), quantile
+    answers carry rank error ~ n/sqrt(s) (exact when n <= s), and
+    write/read persists the summary with a validated content digest."""
+
+    def __init__(self, jsketch, spark):
+        self._j = jsketch
+        self._spark = spark
+
+    @staticmethod
+    def build(
+        items: DataFrame,
+        id_col: str,
+        value_col: str,
+        s: int,
+        seed: str,
+    ) -> "QuantileSketchHandle":
+        """LONG-valued sketch over an integral column; ``id_col`` must
+        uniquely identify rows (it is the sampling randomness)."""
+        j = _jvm(items).graft.ops.QuantileSketch.build(
+            items._jdf, id_col, value_col, int(s), seed)
+        return QuantileSketchHandle(j, items.sparkSession)
+
+    @staticmethod
+    def build_double(
+        items: DataFrame,
+        id_col: str,
+        value_col: str,
+        s: int,
+        seed: str,
+    ) -> "QuantileSketchHandle":
+        """DOUBLE-valued sketch over a float/double column (NaN excluded,
+        -0.0 normalized)."""
+        j = _jvm(items).graft.ops.QuantileSketch.buildDouble(
+            items._jdf, id_col, value_col, int(s), seed)
+        return QuantileSketchHandle(j, items.sparkSession)
+
+    @staticmethod
+    def read(spark, path: str) -> "QuantileSketchHandle":
+        jvm = spark.sparkContext._jvm
+        return QuantileSketchHandle(
+            jvm.graft.ops.QuantileSketch.read(spark._jsparkSession, path), spark)
+
+    @property
+    def summary(self) -> DataFrame:
+        return DataFrame(self._j.summary(), self._spark)
+
+    @property
+    def s(self) -> int:
+        return self._j.s()
+
+    @property
+    def seed(self) -> str:
+        return self._j.seed()
+
+    @property
+    def n(self) -> int:
+        return int(self._j.n())
+
+    @property
+    def double_valued(self) -> bool:
+        return bool(self._j.doubleValued())
+
+    def quantile(self, pct: int) -> int:
+        return int(self._j.quantile(int(pct)))
+
+    def quantile_double(self, pct: int) -> float:
+        return float(self._j.quantileDouble(int(pct)))
+
+    def rank_of(self, value: int) -> int:
+        return int(self._j.rankOf(int(value)))
+
+    def rank_of_double(self, value: float) -> int:
+        return int(self._j.rankOfDouble(float(value)))
+
+    def merge(self, other: "QuantileSketchHandle") -> "QuantileSketchHandle":
+        return QuantileSketchHandle(self._j.merge(other._j), self._spark)
+
+    def write(self, path: str) -> None:
+        self._spark.sparkContext._jvm.graft.ops.QuantileSketch.write(
+            self._j, path)
 
 
 def dedup_chunks_within(

@@ -556,9 +556,58 @@ def main() -> None:
             ["grp"], "v", [50])
         assert qg.columns == ["grp", "pct", "k", "value"] and qg.count() == 2
         qd = gops.quantiles_exact_pct_double(
-            lens.selectExpr("n_chars * 0.5 AS v"), "v", [50])
+            lens.selectExpr("CAST(n_chars * 0.5 AS DOUBLE) AS v"), "v", [50])
         assert qd.collect()[0].value == truth[(50 * n + 99) // 100 - 1] * 0.5
         print("round-19 hll/quantiles bindings ok")
+
+        # round-20 additions: double quantile variants, grouped HLL
+        # overlap, the rank sketch handle, and the new type guards
+        dvals = docs.selectExpr("doc_id",
+                                "CAST(length(text) * 0.5 AS DOUBLE) AS v")
+        qgd = gops.quantiles_exact_pct_by_group_double(
+            dvals.selectExpr("doc_id % 2 AS grp", "v"), ["grp"], "v", [50])
+        assert qgd.columns == ["grp", "pct", "k", "value"] and qgd.count() == 2
+        pfd = gops.percentile_filter_double(dvals, "v", 10, 90)
+        assert pfd.count() == pf.count(), \
+            "double band over 0.5-scaled lengths must keep the same rows " \
+            "(monotone transform preserves ranks)"
+        try:
+            gops.quantiles_exact_pct(dvals, "v", [50])
+            raise AssertionError("fractional column not refused")
+        except Exception as e:
+            assert "exactPctDouble" in str(e)
+        ug = gops.hll_union_estimate_grouped(gr, gr, ["grp"], 10)
+        ig = gops.hll_intersect_estimate_grouped(gr, gr, ["grp"], 10)
+        ge_map = {r.grp: r.est for r in ge.collect()}
+        assert {r.grp: r.est for r in ug.collect()} == ge_map, \
+            "union(A, A) per group must equal est(A)"
+        assert {r.grp: r.est for r in ig.collect()} == ge_map, \
+            "intersect(A, A) per group must equal est(A)"
+        qsk = gops.QuantileSketchHandle.build(
+            docs.selectExpr("doc_id", "length(text) AS v")
+                .where("v IS NOT NULL"), "doc_id", "v", 4096, "pyqsk")
+        assert qsk.n == n and not qsk.double_valued
+        # n <= s here, so the sketch is exact
+        assert qsk.quantile(50) == truth[(50 * n + 99) // 100 - 1]
+        assert qsk.rank_of(truth[-1]) == n
+        qsk_dir = tempfile.mkdtemp(prefix="qsk_py")
+        qsk.write(qsk_dir)
+        qsk_r = gops.QuantileSketchHandle.read(spark, qsk_dir)
+        assert (qsk_r.s, qsk_r.seed, qsk_r.n) == (4096, "pyqsk", n)
+        assert qsk_r.quantile(50) == qsk.quantile(50)
+        merged_q = qsk.merge(qsk_r)  # NOT disjoint, but geometry-legal:
+        assert merged_q.n == 2 * n   # n adds; structure stays a summary
+        try:
+            qsk.merge(gops.QuantileSketchHandle.build(
+                docs.selectExpr("doc_id", "length(text) AS v"),
+                "doc_id", "v", 4096, "OTHER"))
+            raise AssertionError("rank-sketch geometry mismatch not refused")
+        except Exception as e:
+            assert "geometry mismatch" in str(e)
+        qskd = gops.QuantileSketchHandle.build_double(
+            dvals, "doc_id", "v", 4096, "pyqsk")
+        assert qskd.quantile_double(50) == truth[(50 * n + 99) // 100 - 1] * 0.5
+        print("round-20 double-quantile/overlap/rank-sketch bindings ok")
 
         print("SMOKE TEST PASSED")
     finally:
