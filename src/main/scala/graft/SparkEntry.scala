@@ -278,13 +278,50 @@ object SparkEntry {
   private def qsketchSummarySql(docsWhere: String = "TRUE"): String =
     s"""WITH v AS (
       |  SELECT
-      |    CAST(('0x' || substr(md5('qsk20:' || doc_id), 1, 15))::UBIGINT AS BIGINT) AS rk,
+      |    ${rankKeySql("qsk20", "doc_id")} AS rk,
       |    CAST(n_chars AS BIGINT) AS value
       |  FROM documents
       |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND ($docsWhere))
       |SELECT rk, value FROM (
       |  SELECT rk, value, row_number() OVER (ORDER BY rk, value) AS rn FROM v)
       |WHERE rn <= 128""".stripMargin
+
+  /** The 60-bit md5 rank key (Sampling.uniformBits60), DuckDB form —
+    * every rank-sketch oracle derives rk from this one fragment
+    * (rule 5).
+    */
+  private def rankKeySql(seed: String, idSql: String): String =
+    s"CAST(('0x' || substr(md5('$seed:' || $idSql), 1, 15))::UBIGINT AS BIGINT)"
+
+  /** Grouped rank-sketch quantiles replay (q_qsketch_grouped): the
+    * per-lang bottom-32 cut by the shared rank key, then the pct-rank
+    * selection over the SAMPLE — the pctByGroupWindow predicate
+    * (rank == ceil(pct·s_g/100), multiplicative integer form) applied
+    * to the cut instead of the corpus. Pure integer arithmetic
+    * (rule 1); null lang is a retained group and PARTITION BY keeps it
+    * in both engines (rule 10).
+    */
+  private def qsketchGroupedSql(): String =
+    s"""WITH v AS (
+      |  SELECT lang,
+      |    ${rankKeySql("gq20", "doc_id")} AS rk,
+      |    CAST(n_chars AS BIGINT) AS value
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+      |cut AS (
+      |  SELECT lang, rk, value FROM (
+      |    SELECT lang, rk, value,
+      |      row_number() OVER (PARTITION BY lang ORDER BY rk, value) AS rn
+      |    FROM v)
+      |  WHERE rn <= 32),
+      |ranked AS (
+      |  SELECT lang, value,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY value) AS BIGINT) AS vr,
+      |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS sp
+      |  FROM cut)
+      |SELECT lang, CAST(pct AS BIGINT) AS pct, vr AS k, value
+      |FROM ranked, (SELECT unnest([10, 50, 90]) AS pct) pcts
+      |WHERE pct * sp >= 100 * vr - 99 AND pct * sp <= 100 * vr""".stripMargin
 
   /** [[shingleListSql]] unnested to one row per shingle. */
   private def shingleRowsSql(n: Int, textSql: String = "text"): String =
@@ -1870,6 +1907,20 @@ object SparkEntry {
       val odd = graft.ops.QuantileSketch.build(
         docs.where(!(col("doc_id") % 2 === 0)), "doc_id", "n_chars", 128, "qsk20")
       even.merge(odd).summary
+    },
+    // GROUPED rank sketch end to end: per-language bottom-32 summaries
+    // (map-side WindowGroupLimit cut — the stratified persist-and-merge
+    // path) and the per-group sample quantiles read off them. The
+    // whole answer is pure integer arithmetic over md5 rank keys, so
+    // the oracle replays build + cut + selection bit-for-bit (the
+    // grouped twin of q_qsketch_summary). Null lang is a retained
+    // group; null doc_id / null n_chars carry no identity/rank
+    // (rule 10).
+    "q_qsketch_grouped" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.GroupedQuantileSketch.buildGrouped(t(dir, "documents"),
+        Seq("lang"), "doc_id", "n_chars", s = 32, seed = "gq20")
+        .quantiles(Seq(10, 50, 90))
     },
     // Per-language distinct-bigram cardinality estimates: the grouped
     // HLL path (register state m-bounded PER GROUP, one aggregation for
@@ -4764,6 +4815,9 @@ object SparkEntry {
     // merge contract's oracle is the one-shot build over every
     // non-null-id document (same shared summary SQL).
     "q_qsketch_merge" -> qsketchSummarySql("doc_id IS NOT NULL"),
+    // Grouped sketch: per-lang bottom-32 cut + sample pct-rank
+    // selection, all integer arithmetic over the shared rank key.
+    "q_qsketch_grouped" -> qsketchGroupedSql(),
     // Definitionally-direct order statistic: value at row_number
     // k = ceil(pct·n/100) over the non-null values — the refinement
     // machinery must land on exactly this element. Integer division

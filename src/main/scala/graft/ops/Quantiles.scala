@@ -75,7 +75,7 @@ object Quantiles {
     * lossless sibling in API terms. Shared with [[QuantileSketch]]'s
     * builders (the same two-typed surface).
     */
-  private[ops] def requireIntegral(df: DataFrame, c: String, site: String,
+  private[graft] def requireIntegral(df: DataFrame, c: String, site: String,
       redirect: String): Unit =
     df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
@@ -90,7 +90,7 @@ object Quantiles {
     * 2^53, which is the same plausible-but-wrong class in the other
     * direction.
     */
-  private[ops] def requireFloating(df: DataFrame, c: String, site: String,
+  private[graft] def requireFloating(df: DataFrame, c: String, site: String,
       redirect: String): Unit =
     df.schema(c).dataType match {
       case FloatType | DoubleType => ()

@@ -150,6 +150,18 @@ class PlanShapeSpec extends SparkSpec {
       s"the band read is scan+filter, no shuffle; plan:\n${plan.take(1500)}")
   }
 
+  test("grouped rank-sketch cut plans a map-side WindowGroupLimit: the " +
+    "exchange carries <= s rows per group per partition") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val sk = graft.ops.GroupedQuantileSketch.buildGrouped(
+      docs, Seq("lang"), "doc_id", "n_chars", 32, "pp")
+    sk.summary.write.format("noop").mode("overwrite").save()
+    val plan = sk.summary.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the bottom-s cut must partial-limit per group before exchanging; " +
+        s"plan:\n${plan.take(1500)}")
+  }
+
   test("Quantiles refinement scans read only the value column and shuffle " +
     "only histogram rows") {
     // the operator runs eagerly; pin the shape of the per-pass histogram

@@ -1,0 +1,117 @@
+package graft
+
+import graft.ops.GroupedQuantileSketch
+import graft.streaming.StreamRankSketch
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Round-20 wave 2: the streaming windowed rank sketch. The load-bearing
+  * pin is stream == batch == grouped-build parity (emitted per-window
+  * summaries are a pure function of the window's row multiset,
+  * independent of batch boundaries), plus bounded-state behavior at
+  * group sizes far above s, watermark close-out semantics, and the
+  * shared null/type policies.
+  */
+class StreamRankSketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val t0 = 1700000000000L
+  private def ts(minOff: Int) = new java.sql.Timestamp(t0 + minOff * 60000L)
+
+  /** The batch reference: GroupedQuantileSketch over the same rows with
+    * the window start as the group (the operator doc's composition).
+    */
+  private def batchSummaries(rows: Seq[(java.sql.Timestamp, Long, Long)],
+      s: Int, seed: String): Set[(Long, Long, Long)] = {
+    val df = rows.toDF("ts", "id", "v")
+      .withColumn("w", window(col("ts"), "10 minutes"))
+      .select(unix_millis(col("w.start")).as("ws"), col("id"), col("v"))
+    GroupedQuantileSketch.buildGrouped(df, Seq("ws"), "id", "v", s, seed)
+      .summary.select("ws", "rk", "value")
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("streamed per-window summaries equal the grouped batch build; " +
+    "windows emit exactly once on watermark close-out") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(71)
+    // two 10-minute windows split across two batches so window 0's
+    // bottom-k is cut across batch boundaries. batch1 stays inside
+    // window 0 (watermark after it: minute 4, both windows open);
+    // batch2's earliest event (minute 5) is past that watermark, so
+    // nothing is late-dropped and the stream sees every row the batch
+    // reference sees.
+    val batch1 = Seq.tabulate(300)(i =>
+      (ts(rnd.nextInt(10)), i.toLong, rnd.nextInt(5000).toLong))
+    val batch2 = Seq.tabulate(200)(i =>
+      (ts(5 + rnd.nextInt(15)), 1000L + i, rnd.nextInt(5000).toLong))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val out = StreamRankSketch.windowedBottomK(
+      mem.toDS().toDF("ts", "id", "v"), "ts", "id", "v",
+      windowDuration = "10 minutes", watermark = "5 minutes",
+      s = 16, seed = "srs")
+    val q = out.writeStream.format("memory").queryName("rank_sketch_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // sweep the watermark far past both windows: both close and emit
+      mem.addData((ts(120), 999999L, 1L))
+      q.processAllAvailable()
+      mem.addData((ts(130), 999998L, 1L)) // extra trigger fires the timeouts
+      q.processAllAvailable()
+      val emitted = spark.table("rank_sketch_stream")
+        .select("windowStartMs", "rk", "value")
+        .as[(Long, Long, Long)].collect()
+      val got = emitted.toSet
+      assert(emitted.length == got.size, "a window emitted more than once")
+      val want = batchSummaries(batch1 ++ batch2, 16, "srs")
+        .filter(_._1 < t0 + 20 * 60000L) // the sweep rows' window is still open
+      assert(got == want)
+      // windowEndMs rides along correctly (tumbling 10 minutes)
+      val ends = spark.table("rank_sketch_stream")
+        .select("windowStartMs", "windowEndMs")
+        .as[(Long, Long)].collect().toSet
+      assert(ends.forall { case (s0, e) => e == s0 + 10 * 60000L })
+    } finally q.stop()
+  }
+
+  test("batch mode runs the identical fold and emits immediately: equals the " +
+    "grouped build, state bounded at group sizes >> s") {
+    val rnd = new scala.util.Random(72)
+    // one window with 5000 rows vs s=16: the bounded heap must cut
+    // exactly what the declarative window cut produces
+    val rows = Seq.tabulate(5000)(i =>
+      (ts(rnd.nextInt(28)), i.toLong, rnd.nextLong() % 100000L))
+    val got = StreamRankSketch.windowedBottomK(
+      rows.toDF("ts", "id", "v"), "ts", "id", "v",
+      "10 minutes", "5 minutes", s = 16, seed = "srb")
+      .select("windowStartMs", "rk", "value")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batchSummaries(rows, 16, "srb"))
+    assert(got.groupBy(_._1).forall(_._2.size == 16))
+  }
+
+  test("null ts/id/value rows are excluded; fractional value column refuses " +
+    "with the sortable-bits redirect; s bounds refuse") {
+    val rows = Seq[(java.sql.Timestamp, java.lang.Long, java.lang.Long)](
+      (ts(1), 1L, 10L), (null, 2L, 20L), (ts(2), null, 30L),
+      (ts(3), 4L, null), (ts(4), 5L, 50L)).toDF("ts", "id", "v")
+    val got = StreamRankSketch.windowedBottomK(
+      rows, "ts", "id", "v", "10 minutes", "5 minutes", 16, "srn")
+      .select("value").as[Long].collect().sorted
+    assert(got.toSeq == Seq(10L, 50L))
+    assert(intercept[IllegalArgumentException] {
+      StreamRankSketch.windowedBottomK(
+        Seq((ts(1), 1L, 2.5)).toDF("ts", "id", "v"),
+        "ts", "id", "v", "10 minutes", "5 minutes", 16, "x")
+    }.getMessage.contains("sortable-bits"))
+    assert(intercept[IllegalArgumentException] {
+      StreamRankSketch.windowedBottomK(
+        rows, "ts", "id", "v", "10 minutes", "5 minutes", 8, "x")
+    }.getMessage.contains("s must be in [16, 65536]"))
+  }
+}
