@@ -108,6 +108,13 @@ def _to_seq(df: DataFrame, values: List):
     return _jvm(df).org.apache.spark.api.python.PythonUtils.toSeq(values)
 
 
+def _to_seq_session(spark, values: List):
+    """``_to_seq`` for call sites holding a SparkSession, not a frame
+    (sketch-handle methods)."""
+    return spark.sparkContext._jvm.org.apache.spark.api.python.PythonUtils.toSeq(
+        values)
+
+
 def exact_keepers(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     """Rows surviving exact dedup: the min-id row per distinct content."""
     return _wrap(df, _jvm(df).graft.ops.Dedup.exactKeepers(df._jdf, id_col, content_col))
@@ -1237,6 +1244,124 @@ class QuantileSketchHandle:
     def write(self, path: str) -> None:
         self._spark.sparkContext._jvm.graft.ops.QuantileSketch.write(
             self._j, path)
+
+
+class GroupedQuantileSketchHandle:
+    """GROUPED mergeable rank sketch (wraps the JVM
+    ``graft.ops.GroupedQuantileSketch``) — the stratified twin of
+    ``QuantileSketchHandle``: one deterministic bottom-s sample PER
+    GROUP (per-language / per-day summaries in one frame), a counts
+    frame riding along for scaled rank answers. Groups are never
+    collected: the build cut is a map-side WindowGroupLimit, quantile
+    answers are one window over the <= s rows/group summary, and merge
+    re-cuts 2s rows per group. The summary doubles as a persisted
+    stratified uniform sample."""
+
+    def __init__(self, jsketch, spark):
+        self._j = jsketch
+        self._spark = spark
+
+    @staticmethod
+    def build_grouped(
+        items: DataFrame,
+        group_cols: List[str],
+        id_col: str,
+        value_col: str,
+        s: int,
+        seed: str,
+    ) -> "GroupedQuantileSketchHandle":
+        """LONG-valued grouped sketch over an integral column; null
+        groups are retained, null id/value rows are excluded."""
+        j = _jvm(items).graft.ops.GroupedQuantileSketch.buildGrouped(
+            items._jdf, _to_seq(items, list(group_cols)), id_col,
+            value_col, int(s), seed)
+        return GroupedQuantileSketchHandle(j, items.sparkSession)
+
+    @staticmethod
+    def build_grouped_double(
+        items: DataFrame,
+        group_cols: List[str],
+        id_col: str,
+        value_col: str,
+        s: int,
+        seed: str,
+    ) -> "GroupedQuantileSketchHandle":
+        """DOUBLE-valued grouped sketch (NaN excluded, -0.0 normalized)."""
+        j = _jvm(items).graft.ops.GroupedQuantileSketch.buildGroupedDouble(
+            items._jdf, _to_seq(items, list(group_cols)), id_col,
+            value_col, int(s), seed)
+        return GroupedQuantileSketchHandle(j, items.sparkSession)
+
+    @staticmethod
+    def read(spark, path: str) -> "GroupedQuantileSketchHandle":
+        jvm = spark.sparkContext._jvm
+        return GroupedQuantileSketchHandle(
+            jvm.graft.ops.GroupedQuantileSketch.read(
+                spark._jsparkSession, path), spark)
+
+    @property
+    def summary(self) -> DataFrame:
+        return DataFrame(self._j.summary(), self._spark)
+
+    @property
+    def counts(self) -> DataFrame:
+        return DataFrame(self._j.counts(), self._spark)
+
+    @property
+    def s(self) -> int:
+        return self._j.s()
+
+    @property
+    def seed(self) -> str:
+        return self._j.seed()
+
+    @property
+    def double_valued(self) -> bool:
+        return bool(self._j.doubleValued())
+
+    def quantiles(self, pcts: List[int]) -> DataFrame:
+        """Per-group percentile estimates (group..., pct, k, value) —
+        k is the sample rank; rank error ~ n_g/sqrt(s) per group,
+        exact for groups with <= s rows."""
+        jdf = self._j.quantiles(
+            _to_seq_session(self._spark, [int(x) for x in pcts]))
+        return DataFrame(jdf, self._spark)
+
+    def rank_of(self, threshold: int) -> DataFrame:
+        """Per-group estimated count of rows with value <= threshold
+        (group..., le_est)."""
+        return DataFrame(self._j.rankOf(int(threshold)), self._spark)
+
+    def rank_of_double(self, threshold: float) -> DataFrame:
+        return DataFrame(self._j.rankOfDouble(float(threshold)), self._spark)
+
+    def merge(self, other: "GroupedQuantileSketchHandle") -> "GroupedQuantileSketchHandle":
+        return GroupedQuantileSketchHandle(self._j.merge(other._j), self._spark)
+
+    def write(self, path: str) -> None:
+        self._spark.sparkContext._jvm.graft.ops.GroupedQuantileSketch.write(
+            self._j, path)
+
+
+def stream_rank_sketch_windowed(
+    events: DataFrame,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_duration: str,
+    watermark: str,
+    s: int,
+    seed: str,
+) -> DataFrame:
+    """Per-event-time-window bottom-s rank-sketch summaries with BOUNDED
+    state (<= s rows per open window regardless of stream volume); each
+    closed window emits its summary exactly once on watermark close-out.
+    Works on streaming and batch frames (batch emits immediately, same
+    fold). Returns (windowStartMs, windowEndMs, rk, value)."""
+    jds = _jvm(events).graft.streaming.StreamRankSketch.windowedBottomK(
+        events._jdf, ts_col, id_col, value_col, window_duration,
+        watermark, int(s), seed)
+    return DataFrame(jds.toDF(), events.sparkSession)
 
 
 def dedup_chunks_within(

@@ -609,6 +609,52 @@ def main() -> None:
         assert qskd.quantile_double(50) == truth[(50 * n + 99) // 100 - 1] * 0.5
         print("round-20 double-quantile/overlap/rank-sketch bindings ok")
 
+        # round-20 wave 2: grouped rank sketch + streaming windowed sketch
+        # (over the real parquet tables: the local `docs` frame has no
+        # lang column)
+        gdocs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet") \
+            .selectExpr("doc_id", "lang", "CAST(n_chars AS BIGINT) AS v") \
+            .where("doc_id IS NOT NULL AND v IS NOT NULL")
+        gn = gdocs.count()
+        gq = gops.GroupedQuantileSketchHandle.build_grouped(
+            gdocs, ["lang"], "doc_id", "v", 64, "pygq")
+        assert gq.summary.columns == ["lang", "rk", "value"]
+        assert gq.counts.groupBy().sum("n").collect()[0][0] == gn
+        gq50 = gq.quantiles([50])
+        assert gq50.columns == ["lang", "pct", "k", "value"]
+        # per-group p50 must be a real element of that group's values
+        pairs = gdocs.select("lang", "v").collect()
+        by_lang = {}
+        for r in pairs:
+            by_lang.setdefault(r.lang, []).append(r.v)
+        for r in gq50.collect():
+            assert r.value in by_lang[r.lang]
+        ro = gq.rank_of(10**9)  # everything is below this threshold
+        assert {x.lang: x.le_est for x in ro.collect()} == \
+            {lang: len(vs) for lang, vs in by_lang.items()}
+        gq_dir = tempfile.mkdtemp(prefix="gq_py")
+        gq.write(gq_dir)
+        gq_r = gops.GroupedQuantileSketchHandle.read(spark, gq_dir)
+        assert (gq_r.s, gq_r.seed, gq_r.double_valued) == (64, "pygq", False)
+        merged_g = gq.merge(gq_r)
+        assert merged_g.counts.groupBy().sum("n").collect()[0][0] == 2 * gn
+        try:
+            gq.merge(gops.GroupedQuantileSketchHandle.build_grouped(
+                gdocs, ["lang"], "doc_id", "v", 64, "OTHER"))
+            raise AssertionError("grouped geometry mismatch not refused")
+        except Exception as e:
+            assert "geometry mismatch" in str(e)
+        ws = gops.stream_rank_sketch_windowed(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+                .selectExpr("event_id", "ts", "user_id AS v")
+                .where("ts IS NOT NULL"),
+            "ts", "event_id", "v", "1 day", "1 hour", 16, "pyws")
+        assert ws.columns == ["windowStartMs", "windowEndMs", "rk", "value"]
+        assert ws.groupBy("windowStartMs").count() \
+            .where("count > 16").count() == 0
+        print("round-20 grouped/streaming rank-sketch bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

@@ -192,7 +192,7 @@ object GroupedQuantileSketch {
     * lexicographic order makes the cut a pure function of the multiset
     * even if 60-bit rank keys ever tie.
     */
-  private[ops] def cutPerGroup(rows: DataFrame, groupCols: Seq[String],
+  private[graft] def cutPerGroup(rows: DataFrame, groupCols: Seq[String],
       s: Int): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("rk"), col("value"))

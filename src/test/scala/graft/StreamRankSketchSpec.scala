@@ -79,11 +79,11 @@ class StreamRankSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("batch mode runs the identical fold and emits immediately: equals the " +
-    "grouped build, state bounded at group sizes >> s") {
+  test("batch mode (declarative map-side cut) equals the grouped build at " +
+    "group sizes >> s") {
     val rnd = new scala.util.Random(72)
-    // one window with 5000 rows vs s=16: the bounded heap must cut
-    // exactly what the declarative window cut produces
+    // windows with hundreds of rows vs s=16: the batch path must cut
+    // exactly what the grouped-sketch window cut produces
     val rows = Seq.tabulate(5000)(i =>
       (ts(rnd.nextInt(28)), i.toLong, rnd.nextLong() % 100000L))
     val got = StreamRankSketch.windowedBottomK(
