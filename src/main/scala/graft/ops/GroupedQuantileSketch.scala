@@ -74,6 +74,15 @@ final case class GroupedQuantileSketch(
     summary
       .withColumn("__rn", row_number().over(w.orderBy(col("value"))))
       .withColumn("__n", count(lit(1)).over(w))
+      // structural guard, the grouped twin of the scalar sketch's
+      // requireSummarySize: > s rows in a group means the frame is not
+      // a summary this layer built (concatenated frames? use merge()) —
+      // checked inside the window pass, no extra job
+      .withColumn("__n", when(col("__n") > s.toLong,
+        raise_error(concat(lit("GroupedQuantileSketch.quantiles: a group " +
+          s"has more than s = $s summary rows - the frame is not a " +
+          "per-group bottom-k summary (concatenated frames? use merge())"))))
+        .otherwise(col("__n")))
       // rank == ceil(pct·s_g/100), multiplicatively (exact integers —
       // the pctByGroupWindow predicate, rule 5 kept by same-shape, but
       // over the SAMPLE rather than the corpus)
@@ -123,7 +132,19 @@ final case class GroupedQuantileSketch(
       d.withColumnRenamed(c, "__c_" + c)
     }
     val cond = groupCols.map(c => col(c) <=> col("__c_" + c)).reduce(_ && _)
+    // structural guard (the grouped requireSummarySize): a legitimate
+    // group ALWAYS has exactly min(n_g, s) summary rows — anything else
+    // is a concatenated/desynchronized frame and every scaled rank from
+    // it is plausible and wrong. Checked on the groups-sized join, no
+    // extra job.
+    val sg = when(col("__sg") =!= least(col("n"), lit(s.toLong)),
+      raise_error(concat(lit("GroupedQuantileSketch.rankOf: a group's " +
+        s"summary row count differs from min(n_g, s = $s) - the summary " +
+        "and counts frames have desynchronized (concatenated frames? " +
+        "use merge(); corrupted payload? re-read the sketch)"))))
+      .otherwise(col("__sg"))
     sampleAgg.join(cnt, cond)
+      .withColumn("__sg", sg)
       .select(groupCols.map(sampleAgg(_)) :+
         // floor(cnt·n_g/s_g) in PURE long arithmetic (the naive product
         // needs 80 bits): decompose n_g = q·s_g + r, then

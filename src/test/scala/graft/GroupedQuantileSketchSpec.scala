@@ -150,6 +150,18 @@ class GroupedQuantileSketchSpec extends SparkSpec {
       assert(intercept[IllegalArgumentException] { sk.merge(other) }
         .getMessage.contains("geometry mismatch"))
     }
+
+    // structural guards: a hand-concatenated summary (bypassing merge)
+    // is not a per-group bottom-k and must refuse, not mis-rank
+    val big = GroupedQuantileSketch.buildGrouped(
+      Seq.tabulate(64)(i => (i.toLong, "a", i.toLong)).toDF("id", "g", "v"),
+      Seq("g"), "id", "v", 16, "q")
+    val forged = big.copy(summary = big.summary.unionByName(
+      big.summary.withColumn("rk", col("rk") + 1)))
+    assert(intercept[Exception] { forged.quantiles(Seq(50)).collect() }
+      .getMessage.contains("not a per-group bottom-k summary"))
+    assert(intercept[Exception] { forged.rankOf(5L).collect() }
+      .getMessage.contains("desynchronized"))
   }
 
   test("persistence: roundtrip preserves answers; corrupting EITHER frame " +
