@@ -1364,6 +1364,26 @@ def stream_rank_sketch_windowed(
     return DataFrame(jds.toDF(), events.sparkSession)
 
 
+def stream_rank_sketch_windowed_double(
+    events: DataFrame,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_duration: str,
+    watermark: str,
+    s: int,
+    seed: str,
+) -> DataFrame:
+    """``stream_rank_sketch_windowed`` for FLOAT/DOUBLE value columns —
+    the value rides the bounded fold as its sortable-bits long and the
+    emitted summary inverts back bit-exactly (NaN/NULL excluded, -0.0
+    normalized). Returns (windowStartMs, windowEndMs, rk, value DOUBLE)."""
+    jds = _jvm(events).graft.streaming.StreamRankSketch.windowedBottomKDouble(
+        events._jdf, ts_col, id_col, value_col, window_duration,
+        watermark, int(s), seed)
+    return DataFrame(jds.toDF(), events.sparkSession)
+
+
 def dedup_chunks_within(
     docs: DataFrame,
     id_col: str,

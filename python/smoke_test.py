@@ -653,6 +653,13 @@ def main() -> None:
         assert ws.columns == ["windowStartMs", "windowEndMs", "rk", "value"]
         assert ws.groupBy("windowStartMs").count() \
             .where("count > 16").count() == 0
+        wsd = gops.stream_rank_sketch_windowed_double(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+                .selectExpr("event_id", "ts", "value")
+                .where("ts IS NOT NULL"),
+            "ts", "event_id", "value", "1 day", "1 hour", 16, "pywsd")
+        assert dict(wsd.dtypes)["value"] == "double"
+        assert wsd.where("isnan(value)").count() == 0
         print("round-20 grouped/streaming rank-sketch bindings ok")
 
         print("SMOKE TEST PASSED")

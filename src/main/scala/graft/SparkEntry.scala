@@ -293,33 +293,38 @@ object SparkEntry {
   private def rankKeySql(seed: String, idSql: String): String =
     s"CAST(('0x' || substr(md5('$seed:' || $idSql), 1, 15))::UBIGINT AS BIGINT)"
 
-  /** Grouped rank-sketch quantiles replay (q_qsketch_grouped): the
-    * per-lang bottom-32 cut by the shared rank key, then the pct-rank
-    * selection over the SAMPLE — the pctByGroupWindow predicate
+  /** Grouped rank-sketch quantiles replay (rule 5 — ONE body behind
+    * q_qsketch_grouped and q_qsketch_grouped_double): the per-group
+    * bottom-32 cut by the shared rank key, then the pct-rank selection
+    * over the SAMPLE — the pctByGroupWindow predicate
     * (rank == ceil(pct·s_g/100), multiplicative integer form) applied
-    * to the cut instead of the corpus. Pure integer arithmetic
-    * (rule 1); null lang is a retained group and PARTITION BY keeps it
-    * in both engines (rule 10).
+    * to the cut instead of the corpus. Rank arithmetic is pure integers
+    * (rule 1); the double variant's value is stored-bit-pattern ordered
+    * (the q_quantiles_by_group_double precedent) and round(x,6)-emitted
+    * output-only. NULL group values are retained groups and PARTITION
+    * BY keeps them in both engines (rule 10).
     */
-  private def qsketchGroupedSql(): String =
+  private def qsketchGroupedSql(table: String, groupCol: String,
+      idCol: String, valueSql: String, where: String, seed: String,
+      valueOutSql: String): String =
     s"""WITH v AS (
-      |  SELECT lang,
-      |    ${rankKeySql("gq20", "doc_id")} AS rk,
-      |    CAST(n_chars AS BIGINT) AS value
-      |  FROM documents
-      |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+      |  SELECT $groupCol,
+      |    ${rankKeySql(seed, idCol)} AS rk,
+      |    $valueSql AS value
+      |  FROM $table
+      |  WHERE $idCol IS NOT NULL AND ($where)),
       |cut AS (
-      |  SELECT lang, rk, value FROM (
-      |    SELECT lang, rk, value,
-      |      row_number() OVER (PARTITION BY lang ORDER BY rk, value) AS rn
+      |  SELECT $groupCol, rk, value FROM (
+      |    SELECT $groupCol, rk, value,
+      |      row_number() OVER (PARTITION BY $groupCol ORDER BY rk, value) AS rn
       |    FROM v)
       |  WHERE rn <= 32),
       |ranked AS (
-      |  SELECT lang, value,
-      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY value) AS BIGINT) AS vr,
-      |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS sp
+      |  SELECT $groupCol, value,
+      |    CAST(row_number() OVER (PARTITION BY $groupCol ORDER BY value) AS BIGINT) AS vr,
+      |    CAST(count(*) OVER (PARTITION BY $groupCol) AS BIGINT) AS sp
       |  FROM cut)
-      |SELECT lang, CAST(pct AS BIGINT) AS pct, vr AS k, value
+      |SELECT $groupCol, CAST(pct AS BIGINT) AS pct, vr AS k, $valueOutSql
       |FROM ranked, (SELECT unnest([10, 50, 90]) AS pct) pcts
       |WHERE pct * sp >= 100 * vr - 99 AND pct * sp <= 100 * vr""".stripMargin
 
@@ -1921,6 +1926,20 @@ object SparkEntry {
       graft.ops.GroupedQuantileSketch.buildGrouped(t(dir, "documents"),
         Seq("lang"), "doc_id", "n_chars", s = 32, seed = "gq20")
         .quantiles(Seq(10, 50, 90))
+    },
+    // The grouped rank sketch's DOUBLE twin (per-event-type value
+    // percentiles off the per-group sample): rank keys and sample-rank
+    // algebra are the same integers as q_qsketch_grouped; the value
+    // rides as stored doubles (bit-pattern ordering on both sides, the
+    // q_quantiles_by_group_double precedent), NaN/NULL carry no rank,
+    // -0.0 normalized, round(x,6)-emitted output-only (rules 1 + 10).
+    "q_qsketch_grouped_double" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      graft.ops.GroupedQuantileSketch.buildGroupedDouble(t(dir, "events"),
+        Seq("event_type"), "event_id", "value", s = 32, seed = "gqd20")
+        .quantiles(Seq(10, 50, 90))
+        .select(col("event_type"), col("pct"), col("k"),
+          round(col("value"), 6).as("value"))
     },
     // Per-language distinct-bigram cardinality estimates: the grouped
     // HLL path (register state m-bounded PER GROUP, one aggregation for
@@ -4817,7 +4836,13 @@ object SparkEntry {
     "q_qsketch_merge" -> qsketchSummarySql("doc_id IS NOT NULL"),
     // Grouped sketch: per-lang bottom-32 cut + sample pct-rank
     // selection, all integer arithmetic over the shared rank key.
-    "q_qsketch_grouped" -> qsketchGroupedSql(),
+    "q_qsketch_grouped" -> qsketchGroupedSql("documents", "lang", "doc_id",
+      "CAST(n_chars AS BIGINT)", "n_chars IS NOT NULL", "gq20", "value"),
+    // The double twin over events.value: stored-bit-pattern ordering,
+    // normalized -0.0, round(x,6) output-only (rule 1).
+    "q_qsketch_grouped_double" -> qsketchGroupedSql("events", "event_type",
+      "event_id", "value + 0", "value IS NOT NULL AND NOT isnan(value)",
+      "gqd20", "round(value, 6) AS value"),
     // Definitionally-direct order statistic: value at row_number
     // k = ceil(pct·n/100) over the non-null values — the refinement
     // machinery must land on exactly this element. Integer division

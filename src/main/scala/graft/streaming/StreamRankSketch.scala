@@ -56,6 +56,15 @@ object StreamRankSketch {
       rk: Long,
       value: Long)
 
+  /** [[WindowSummary]] with the stored double inverted back from its
+    * sortable-bits ride (the [[windowedBottomKDouble]] output).
+    */
+  final case class WindowSummaryDouble(
+      windowStartMs: Long,
+      windowEndMs: Long,
+      rk: Long,
+      value: Double)
+
   // In/BkState are public because Spark's codegen'd SafeProjection
   // constructs encoder classes from generated code — a private case
   // class fails at janino compile, not at analysis
@@ -180,6 +189,43 @@ object StreamRankSketch {
           Iterator.empty
         }
       }
+  }
+
+  /** [[windowedBottomK]] for FLOAT/DOUBLE value columns — the typed
+    * sibling (the shared two-typed discipline: the long entry point
+    * refuses fractional input rather than truncating, and this path
+    * loses nothing). The value rides the fold as its codegen'd
+    * [[graft.functions.SortableBits]] long (monotone + involutive), so
+    * the cut's (rk, bits) tie-break equals (rk, double) order and the
+    * emitted summary inverts bit-exactly back to the stored double.
+    * Policy matches [[graft.ops.GroupedQuantileSketch.buildGroupedDouble]]
+    * (parity spec-pinned): NULL and NaN values carry no rank and are
+    * EXCLUDED; −0.0 normalizes to +0.0 before the transform (the
+    * transform itself distinguishes them — SortableBits scaladoc).
+    */
+  def windowedBottomKDouble(
+      events: DataFrame,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermark: String,
+      s: Int,
+      seed: String): Dataset[WindowSummaryDouble] = {
+    graft.ops.Quantiles.requireFloating(events, valueCol,
+      "StreamRankSketch.windowedBottomKDouble",
+      "For integral values use windowedBottomK (exact at the full 64-bit " +
+        "range).")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val projected = events
+      .where(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .withColumn("__sb", graft.functions.SortableBits.sortable(
+        col(valueCol).cast("double") + lit(0.0)))
+    windowedBottomK(projected, tsCol, idCol, "__sb",
+        windowDuration, watermark, s, seed)
+      .map(w => WindowSummaryDouble(w.windowStartMs, w.windowEndMs, w.rk,
+        graft.functions.SortableBits.fromSortable(w.value)))
   }
 
   private def emit(winStartMs: Long, st: BkState): Iterator[WindowSummary] =

@@ -95,6 +95,75 @@ class StreamRankSketchSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == 16))
   }
 
+  test("double variant: streamed summaries equal the grouped DOUBLE build " +
+    "(sortable-bits ride inverts bit-exactly); NaN/-0.0 policy holds") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(73)
+    val batch1 = Seq.tabulate(200)(i =>
+      (ts(rnd.nextInt(10)), i.toLong, rnd.nextDouble() * 100 - 50))
+    val batch2 = Seq.tabulate(150)(i =>
+      (ts(5 + rnd.nextInt(15)), 1000L + i, rnd.nextDouble() * 100 - 50))
+    val special = Seq((ts(3), 5000L, -0.0), (ts(3), 5001L, Double.NaN))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val out = StreamRankSketch.windowedBottomKDouble(
+      mem.toDS().toDF("ts", "id", "v"), "ts", "id", "v",
+      "10 minutes", "5 minutes", s = 16, seed = "srd")
+    val q = out.writeStream.format("memory").queryName("rank_sketch_dstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1 ++ special: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      mem.addData((ts(120), 999999L, 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(130), 999998L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("rank_sketch_dstream")
+        .select("windowStartMs", "rk", "value")
+        .as[(Long, Long, Double)].collect().toSet
+      // batch reference: the grouped DOUBLE build over the same rows
+      // with the window start as the group (NaN excluded by the build)
+      val df = (batch1 ++ special ++ batch2).toDF("ts", "id", "v")
+        .withColumn("w", window(col("ts"), "10 minutes"))
+        .select(unix_millis(col("w.start")).as("ws"), col("id"), col("v"))
+      val want = GroupedQuantileSketch.buildGroupedDouble(
+          df, Seq("ws"), "id", "v", 16, "srd")
+        .summary.select("ws", "rk", "value")
+        .as[(Long, Long, Double)].collect().toSet
+        .filter(_._1 < t0 + 20 * 60000L)
+      assert(got == want)
+      // the NaN row never entered; any emitted zero is +0.0
+      assert(got.forall(r => !r._3.isNaN))
+      got.filter(_._3 == 0.0).foreach(r => assert(1.0 / r._3 > 0))
+    } finally q.stop()
+  }
+
+  test("double variant batch mode == grouped double build; integral column " +
+    "refuses with the typed redirect") {
+    val rnd = new scala.util.Random(74)
+    val rows = Seq.tabulate(3000)(i =>
+      (ts(rnd.nextInt(28)), i.toLong, rnd.nextDouble() * 1000))
+    val got = StreamRankSketch.windowedBottomKDouble(
+      rows.toDF("ts", "id", "v"), "ts", "id", "v",
+      "10 minutes", "5 minutes", s = 16, seed = "srb2")
+      .select("windowStartMs", "rk", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    val df = rows.toDF("ts", "id", "v")
+      .withColumn("w", window(col("ts"), "10 minutes"))
+      .select(unix_millis(col("w.start")).as("ws"), col("id"), col("v"))
+    val want = GroupedQuantileSketch.buildGroupedDouble(
+        df, Seq("ws"), "id", "v", 16, "srb2")
+      .summary.select("ws", "rk", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(intercept[IllegalArgumentException] {
+      StreamRankSketch.windowedBottomKDouble(
+        Seq((ts(1), 1L, 2L)).toDF("ts", "id", "v"),
+        "ts", "id", "v", "10 minutes", "5 minutes", 16, "x")
+    }.getMessage.contains("windowedBottomK "))
+  }
+
   test("null ts/id/value rows are excluded; fractional value column refuses " +
     "with the sortable-bits redirect; s bounds refuse") {
     val rows = Seq[(java.sql.Timestamp, java.lang.Long, java.lang.Long)](
