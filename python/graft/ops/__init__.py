@@ -1299,6 +1299,20 @@ class GroupedQuantileSketchHandle:
             jvm.graft.ops.GroupedQuantileSketch.read(
                 spark._jsparkSession, path), spark)
 
+    @staticmethod
+    def from_window_summaries(
+        summaries: DataFrame,
+        s: int,
+        seed: str,
+    ) -> "GroupedQuantileSketchHandle":
+        """Rebuild the grouped-sketch surface from
+        ``stream_rank_sketch_windowed`` emissions (windowStartMs becomes
+        the group; the per-window ``n`` becomes the counts frame). Pass
+        the STREAM's s/seed — they are not carried in the rows."""
+        j = _jvm(summaries).graft.ops.GroupedQuantileSketch.fromWindowSummaries(
+            summaries._jdf, int(s), seed)
+        return GroupedQuantileSketchHandle(j, summaries.sparkSession)
+
     @property
     def summary(self) -> DataFrame:
         return DataFrame(self._j.summary(), self._spark)

@@ -650,9 +650,15 @@ def main() -> None:
                 .selectExpr("event_id", "ts", "user_id AS v")
                 .where("ts IS NOT NULL"),
             "ts", "event_id", "v", "1 day", "1 hour", 16, "pyws")
-        assert ws.columns == ["windowStartMs", "windowEndMs", "rk", "value"]
+        assert ws.columns == ["windowStartMs", "windowEndMs", "rk",
+                              "value", "n"]
         assert ws.groupBy("windowStartMs").count() \
             .where("count > 16").count() == 0
+        # rebuild the grouped-sketch surface from the emitted rows
+        gq_ws = gops.GroupedQuantileSketchHandle.from_window_summaries(
+            ws, 16, "pyws")
+        assert gq_ws.quantiles([50]).count() == \
+            ws.select("windowStartMs").distinct().count()
         wsd = gops.stream_rank_sketch_windowed_double(
             spark.read.parquet("/root/testdata/sf0.001/events.parquet")
                 .selectExpr("event_id", "ts", "value")

@@ -266,6 +266,43 @@ object GroupedQuantileSketch {
       groupCols, s, seed, doubleValued = true)
   }
 
+  /** Rebuild the grouped-sketch surface from
+    * [[graft.streaming.StreamRankSketch]] emissions — the
+    * stream-to-batch composition the windowed sketch exists for: write
+    * each closed window's summary rows to a sink, read them back here,
+    * and [[GroupedQuantileSketch.quantiles]]/[[GroupedQuantileSketch.rankOf]]/
+    * [[GroupedQuantileSketch.merge]] work with windowStartMs as the
+    * group (the per-window `n` riding on every emitted row becomes the
+    * counts frame). `s` and `seed` are the STREAM's geometry — they are
+    * not carried in the rows, and a wrong s/seed here would merge into
+    * a mixed hash space downstream, so pass the values the stream was
+    * started with. Value type (long vs double emissions) is inferred
+    * from the frame.
+    */
+  def fromWindowSummaries(summaries: DataFrame, s: Int,
+      seed: String): GroupedQuantileSketch = {
+    val cols = summaries.columns.toSet
+    require(Set("windowStartMs", "rk", "value", "n").subsetOf(cols),
+      "GroupedQuantileSketch.fromWindowSummaries: expected the " +
+        "StreamRankSketch emission schema (windowStartMs, windowEndMs, " +
+        s"rk, value, n) - got ${summaries.columns.mkString(",")}")
+    val dv = summaries.schema("value").dataType match {
+      case org.apache.spark.sql.types.LongType => false
+      case org.apache.spark.sql.types.DoubleType => true
+      case dt => throw new IllegalArgumentException(
+        "GroupedQuantileSketch.fromWindowSummaries: value column is " +
+          s"${dt.catalogString} - StreamRankSketch emits BIGINT " +
+          "(windowedBottomK) or DOUBLE (windowedBottomKDouble)")
+    }
+    require(s >= 16 && s <= 65536,
+      s"GroupedQuantileSketch.fromWindowSummaries: s must be in " +
+        s"[16, 65536], got $s (pass the stream's geometry)")
+    GroupedQuantileSketch(
+      summaries.select(col("windowStartMs"), col("rk"), col("value")),
+      summaries.select(col("windowStartMs"), col("n")).distinct(),
+      Seq("windowStartMs"), s, seed, dv)
+  }
+
   /** Persist summary + counts + geometry + content digests at `path`
     * (overwrites). Digests are XORs ([[SketchIo]]) over what was
     * WRITTEN, so a failed/partial write cannot inherit a valid digest.

@@ -49,12 +49,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamRankSketch {
 
-  /** One summary row of a closed (or, in batch mode, complete) window. */
+  /** One summary row of a closed (or, in batch mode, complete) window.
+    * `n` is the window's TOTAL folded row count (identical on every row
+    * of the window) — it is what lets downstream consumers answer
+    * SCALED rank/CDF questions, not just sample quantiles; feed the
+    * rows to [[graft.ops.GroupedQuantileSketch.fromWindowSummaries]]
+    * to get the full grouped-sketch surface back.
+    */
   final case class WindowSummary(
       windowStartMs: Long,
       windowEndMs: Long,
       rk: Long,
-      value: Long)
+      value: Long,
+      n: Long)
 
   /** [[WindowSummary]] with the stored double inverted back from its
     * sortable-bits ride (the [[windowedBottomKDouble]] output).
@@ -63,7 +70,8 @@ object StreamRankSketch {
       windowStartMs: Long,
       windowEndMs: Long,
       rk: Long,
-      value: Double)
+      value: Double,
+      n: Long)
 
   // In/BkState are public because Spark's codegen'd SafeProjection
   // constructs encoder classes from generated code — a private case
@@ -81,6 +89,7 @@ object StreamRankSketch {
     */
   final case class BkState(
       winEndMs: Long,
+      nSeen: Long,
       rks: Array[Long],
       values: Array[Long])
 
@@ -141,10 +150,18 @@ object StreamRankSketch {
       // ~1 s at the 100x decade (docs/SCALE.md). Identical result by the
       // bottom-k purity the spec pins; the stateful fold below is the
       // streaming path, where per-microbatch volume bounds the shuffle.
-      return GroupedQuantileSketch.cutPerGroup(
-          proj(events).drop("ts"), Seq("winStartMs", "winEndMs"), s)
+      val projected = proj(events).drop("ts")
+      val cut = GroupedQuantileSketch.cutPerGroup(
+        projected, Seq("winStartMs", "winEndMs"), s)
+      // per-window totals ride along so scaled ranks work downstream;
+      // the frames share lineage, so join on a RENAMED key (the
+      // GroupedQuantileSketch.rankOf exprId lesson)
+      val cnts = projected.groupBy(col("winStartMs").as("__cws"))
+        .agg(count(lit(1)).as("n"))
+      return cut.join(cnts, col("winStartMs") === col("__cws"))
         .select(col("winStartMs").as("windowStartMs"),
-          col("winEndMs").as("windowEndMs"), col("rk"), col("value"))
+          col("winEndMs").as("windowEndMs"), col("rk"), col("value"),
+          col("n"))
         .as[WindowSummary]
     }
     val prepared = proj(events.withWatermark(tsCol, watermark))
@@ -167,8 +184,10 @@ object StreamRankSketch {
           val ord = Ordering.Tuple2[Long, Long]
           val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
           var endMs = 0L
+          var nSeen = 0L
           state.getOption.foreach { st =>
             endMs = st.winEndMs
+            nSeen = st.nSeen
             var i = 0
             while (i < st.rks.length) {
               heap.enqueue((st.rks(i), st.values(i))); i += 1
@@ -176,12 +195,13 @@ object StreamRankSketch {
           }
           rows.foreach { r =>
             endMs = r.winEndMs
+            nSeen += 1
             val e = (r.rk, r.value)
             if (heap.size < cap) heap.enqueue(e)
             else if (ord.lt(e, heap.head)) { heap.dequeue(); heap.enqueue(e) }
           }
           val sorted = heap.dequeueAll.reverse // ascending (rk, value)
-          val st = BkState(endMs, sorted.map(_._1).toArray,
+          val st = BkState(endMs, nSeen, sorted.map(_._1).toArray,
             sorted.map(_._2).toArray)
           state.update(st)
           // fires once the watermark passes the window end
@@ -225,10 +245,11 @@ object StreamRankSketch {
     windowedBottomK(projected, tsCol, idCol, "__sb",
         windowDuration, watermark, s, seed)
       .map(w => WindowSummaryDouble(w.windowStartMs, w.windowEndMs, w.rk,
-        graft.functions.SortableBits.fromSortable(w.value)))
+        graft.functions.SortableBits.fromSortable(w.value), w.n))
   }
 
   private def emit(winStartMs: Long, st: BkState): Iterator[WindowSummary] =
     st.rks.indices.iterator.map(i =>
-      WindowSummary(winStartMs, st.winEndMs, st.rks(i), st.values(i)))
+      WindowSummary(winStartMs, st.winEndMs, st.rks(i), st.values(i),
+        st.nSeen))
 }

@@ -71,6 +71,33 @@ class StreamRankSketchSpec extends SparkSpec {
       val want = batchSummaries(batch1 ++ batch2, 16, "srs")
         .filter(_._1 < t0 + 20 * 60000L) // the sweep rows' window is still open
       assert(got == want)
+      // n rides on every row: the window's TOTAL folded count, not the
+      // sample size (scaled ranks need it downstream)
+      val ns = spark.table("rank_sketch_stream")
+        .select("windowStartMs", "n").distinct()
+        .as[(Long, Long)].collect().toMap
+      // tumbling windows align to the EPOCH, not to the data's start
+      val trueCounts = (batch1 ++ batch2).groupBy(r =>
+        r._1.getTime / 600000L * 600000L).view.mapValues(_.size.toLong)
+      ns.foreach { case (ws, n) => assert(n == trueCounts(ws), s"window $ws n") }
+      // stream-to-batch composition: rebuild the grouped sketch from the
+      // emitted rows; scaled ranks equal the direct grouped build's
+      val rebuilt = GroupedQuantileSketch.fromWindowSummaries(
+        spark.table("rank_sketch_stream"), 16, "srs")
+      val df = (batch1 ++ batch2).toDF("ts", "id", "v")
+        .withColumn("w", window(col("ts"), "10 minutes"))
+        .select(unix_millis(col("w.start")).as("windowStartMs"),
+          col("id"), col("v"))
+        .where(col("windowStartMs") < t0 + 20 * 60000L)
+      val direct = GroupedQuantileSketch.buildGrouped(
+        df, Seq("windowStartMs"), "id", "v", 16, "srs")
+      val thr = 2500L
+      assert(rebuilt.rankOf(thr).as[(Long, Long)].collect().toMap ==
+        direct.rankOf(thr).as[(Long, Long)].collect().toMap)
+      assert(rebuilt.quantiles(Seq(50)).select("windowStartMs", "value")
+        .as[(Long, Long)].collect().toMap ==
+        direct.quantiles(Seq(50)).select("windowStartMs", "value")
+          .as[(Long, Long)].collect().toMap)
       // windowEndMs rides along correctly (tumbling 10 minutes)
       val ends = spark.table("rank_sketch_stream")
         .select("windowStartMs", "windowEndMs")
