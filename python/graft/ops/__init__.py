@@ -1313,6 +1313,18 @@ class GroupedQuantileSketchHandle:
             summaries._jdf, int(s), seed)
         return GroupedQuantileSketchHandle(j, summaries.sparkSession)
 
+    @staticmethod
+    def from_window_group_summaries(
+        summaries: DataFrame,
+        s: int,
+        seed: str,
+    ) -> "GroupedQuantileSketchHandle":
+        """``from_window_summaries`` for the by-group stream emissions —
+        the rebuilt sketch is stratified by (windowStartMs, group)."""
+        j = _jvm(summaries).graft.ops.GroupedQuantileSketch \
+            .fromWindowGroupSummaries(summaries._jdf, int(s), seed)
+        return GroupedQuantileSketchHandle(j, summaries.sparkSession)
+
     @property
     def summary(self) -> DataFrame:
         return DataFrame(self._j.summary(), self._spark)
@@ -1395,6 +1407,49 @@ def stream_rank_sketch_windowed_double(
     jds = _jvm(events).graft.streaming.StreamRankSketch.windowedBottomKDouble(
         events._jdf, ts_col, id_col, value_col, window_duration,
         watermark, int(s), seed)
+    return DataFrame(jds.toDF(), events.sparkSession)
+
+
+def stream_rank_sketch_windowed_by_group(
+    events: DataFrame,
+    ts_col: str,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    window_duration: str,
+    watermark: str,
+    s: int,
+    seed: str,
+) -> DataFrame:
+    """Per-(event-time window x group) bottom-s summaries ("p99 per
+    language per hour"): bounded state per open (window, group) key,
+    exactly-once emission on watermark close-out; the group rides as its
+    string form (null group retained). Returns (windowStartMs,
+    windowEndMs, group, rk, value, n); rebuild the sketch surface with
+    ``GroupedQuantileSketchHandle.from_window_group_summaries``."""
+    jds = _jvm(events).graft.streaming.StreamRankSketch.windowedBottomKByGroup(
+        events._jdf, ts_col, group_col, id_col, value_col,
+        window_duration, watermark, int(s), seed)
+    return DataFrame(jds.toDF(), events.sparkSession)
+
+
+def stream_rank_sketch_windowed_by_group_double(
+    events: DataFrame,
+    ts_col: str,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    window_duration: str,
+    watermark: str,
+    s: int,
+    seed: str,
+) -> DataFrame:
+    """``stream_rank_sketch_windowed_by_group`` for FLOAT/DOUBLE value
+    columns (sortable-bits ride, NaN/NULL excluded, -0.0 normalized)."""
+    jds = _jvm(events).graft.streaming.StreamRankSketch \
+        .windowedBottomKByGroupDouble(
+            events._jdf, ts_col, group_col, id_col, value_col,
+            window_duration, watermark, int(s), seed)
     return DataFrame(jds.toDF(), events.sparkSession)
 
 

@@ -659,6 +659,18 @@ def main() -> None:
             ws, 16, "pyws")
         assert gq_ws.quantiles([50]).count() == \
             ws.select("windowStartMs").distinct().count()
+        wsg = gops.stream_rank_sketch_windowed_by_group(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+                .selectExpr("event_id", "ts", "event_type", "user_id AS v")
+                .where("ts IS NOT NULL"),
+            "ts", "event_type", "event_id", "v", "1 day", "1 hour",
+            16, "pywsg")
+        assert wsg.columns == ["windowStartMs", "windowEndMs", "group",
+                               "rk", "value", "n"]
+        gq_wsg = gops.GroupedQuantileSketchHandle.from_window_group_summaries(
+            wsg, 16, "pywsg")
+        assert gq_wsg.quantiles([50]).count() == \
+            wsg.select("windowStartMs", "group").distinct().count()
         wsd = gops.stream_rank_sketch_windowed_double(
             spark.read.parquet("/root/testdata/sf0.001/events.parquet")
                 .selectExpr("event_id", "ts", "value")

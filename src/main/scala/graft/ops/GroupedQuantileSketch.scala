@@ -280,27 +280,42 @@ object GroupedQuantileSketch {
     * from the frame.
     */
   def fromWindowSummaries(summaries: DataFrame, s: Int,
-      seed: String): GroupedQuantileSketch = {
+      seed: String): GroupedQuantileSketch =
+    fromSummariesImpl(summaries, Seq("windowStartMs"), s, seed,
+      "fromWindowSummaries")
+
+  /** [[fromWindowSummaries]] for [[graft.streaming.StreamRankSketch]]
+    * GROUPED emissions (windowStartMs, windowEndMs, group, rk, value,
+    * n): the rebuilt sketch is stratified by (windowStartMs, group).
+    */
+  def fromWindowGroupSummaries(summaries: DataFrame, s: Int,
+      seed: String): GroupedQuantileSketch =
+    fromSummariesImpl(summaries, Seq("windowStartMs", "group"), s, seed,
+      "fromWindowGroupSummaries")
+
+  private def fromSummariesImpl(summaries: DataFrame,
+      groupCols: Seq[String], s: Int, seed: String,
+      site: String): GroupedQuantileSketch = {
     val cols = summaries.columns.toSet
-    require(Set("windowStartMs", "rk", "value", "n").subsetOf(cols),
-      "GroupedQuantileSketch.fromWindowSummaries: expected the " +
-        "StreamRankSketch emission schema (windowStartMs, windowEndMs, " +
-        s"rk, value, n) - got ${summaries.columns.mkString(",")}")
+    require((groupCols.toSet ++ Set("rk", "value", "n")).subsetOf(cols),
+      s"GroupedQuantileSketch.$site: expected the StreamRankSketch " +
+        s"emission schema (${groupCols.mkString(", ")}, windowEndMs, rk, " +
+        s"value, n) - got ${summaries.columns.mkString(",")}")
     val dv = summaries.schema("value").dataType match {
       case org.apache.spark.sql.types.LongType => false
       case org.apache.spark.sql.types.DoubleType => true
       case dt => throw new IllegalArgumentException(
-        "GroupedQuantileSketch.fromWindowSummaries: value column is " +
+        s"GroupedQuantileSketch.$site: value column is " +
           s"${dt.catalogString} - StreamRankSketch emits BIGINT " +
-          "(windowedBottomK) or DOUBLE (windowedBottomKDouble)")
+          "(long entry points) or DOUBLE (the Double siblings)")
     }
     require(s >= 16 && s <= 65536,
-      s"GroupedQuantileSketch.fromWindowSummaries: s must be in " +
-        s"[16, 65536], got $s (pass the stream's geometry)")
+      s"GroupedQuantileSketch.$site: s must be in [16, 65536], got $s " +
+        "(pass the stream's geometry)")
     GroupedQuantileSketch(
-      summaries.select(col("windowStartMs"), col("rk"), col("value")),
-      summaries.select(col("windowStartMs"), col("n")).distinct(),
-      Seq("windowStartMs"), s, seed, dv)
+      summaries.select((groupCols ++ Seq("rk", "value")).map(col): _*),
+      summaries.select((groupCols :+ "n").map(col): _*).distinct(),
+      groupCols, s, seed, dv)
   }
 
   /** Persist summary + counts + geometry + content digests at `path`

@@ -188,7 +188,86 @@ class StreamRankSketchSpec extends SparkSpec {
       StreamRankSketch.windowedBottomKDouble(
         Seq((ts(1), 1L, 2L)).toDF("ts", "id", "v"),
         "ts", "id", "v", "10 minutes", "5 minutes", 16, "x")
-    }.getMessage.contains("windowedBottomK "))
+    }.getMessage.contains("long entry point"))
+  }
+
+  test("by-group variant: streamed (window x group) summaries equal the " +
+    "grouped build on (ws, group); null group retained; n per stratum; " +
+    "fromWindowGroupSummaries rebuilds scaled ranks") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(75)
+    val langs = Array("en", "de", null)
+    def mk(off: Int, idBase: Long, cnt: Int) = Seq.tabulate(cnt)(i =>
+      (ts(off + rnd.nextInt(10)), idBase + i, langs(rnd.nextInt(3)),
+        rnd.nextInt(5000).toLong))
+    val batch1 = mk(0, 0L, 300)
+    val batch2 = mk(5, 1000L, 200)
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long)]
+    val out = StreamRankSketch.windowedBottomKByGroup(
+      mem.toDS().toDF("ts", "id", "g", "v"), "ts", "g", "id", "v",
+      "10 minutes", "5 minutes", s = 16, seed = "srg")
+    val q = out.writeStream.format("memory").queryName("rank_sketch_gstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      mem.addData((ts(120), 999999L, "en", 1L))
+      q.processAllAvailable()
+      mem.addData((ts(130), 999998L, "en", 1L))
+      q.processAllAvailable()
+      val horizon = t0 + 20 * 60000L
+      val emitted = spark.table("rank_sketch_gstream")
+        .where(col("windowStartMs") < horizon)
+      val got = emitted.select("windowStartMs", "group", "rk", "value")
+        .as[(Long, String, Long, Long)].collect().toSet
+      val df = (batch1 ++ batch2).toDF("ts", "id", "g", "v")
+        .withColumn("w", window(col("ts"), "10 minutes"))
+        .select(unix_millis(col("w.start")).as("ws"), col("g"),
+          col("id"), col("v"))
+      val direct = GroupedQuantileSketch.buildGrouped(
+        df, Seq("ws", "g"), "id", "v", 16, "srg")
+      val want = direct.summary.select("ws", "g", "rk", "value")
+        .as[(Long, String, Long, Long)].collect().toSet
+        .filter(_._1 < horizon)
+      assert(got == want)
+      assert(got.exists(_._2 == null), "null group must be retained")
+      // rebuilt scaled ranks == direct grouped build's (null-safe keys)
+      val rebuilt = GroupedQuantileSketch.fromWindowGroupSummaries(
+        emitted.toDF(), 16, "srg")
+      def ranks(sk: GroupedQuantileSketch) = sk.rankOf(2500L)
+        .as[(Long, String, Long)].collect()
+        .map(r => (r._1, Option(r._2), r._3)).toSet
+      val directClosed = GroupedQuantileSketch.buildGrouped(
+        df.where(col("ws") < horizon)
+          .withColumnRenamed("ws", "windowStartMs")
+          .withColumnRenamed("g", "group"),
+        Seq("windowStartMs", "group"), "id", "v", 16, "srg")
+      assert(ranks(rebuilt) == ranks(directClosed))
+    } finally q.stop()
+  }
+
+  test("by-group double variant batch mode == grouped double build on " +
+    "(ws, group)") {
+    val rnd = new scala.util.Random(76)
+    val rows = Seq.tabulate(2000)(i =>
+      (ts(rnd.nextInt(28)), i.toLong, Seq("a", "b")(rnd.nextInt(2)),
+        rnd.nextDouble() * 100))
+    val got = StreamRankSketch.windowedBottomKByGroupDouble(
+      rows.toDF("ts", "id", "g", "v"), "ts", "g", "id", "v",
+      "10 minutes", "5 minutes", s = 16, seed = "srgd")
+      .select("windowStartMs", "group", "rk", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val df = rows.toDF("ts", "id", "g", "v")
+      .withColumn("w", window(col("ts"), "10 minutes"))
+      .select(unix_millis(col("w.start")).as("ws"), col("g"),
+        col("id"), col("v"))
+    val want = GroupedQuantileSketch.buildGroupedDouble(
+        df, Seq("ws", "g"), "id", "v", 16, "srgd")
+      .summary.select("ws", "g", "rk", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == want)
   }
 
   test("null ts/id/value rows are excluded; fractional value column refuses " +
@@ -204,7 +283,7 @@ class StreamRankSketchSpec extends SparkSpec {
       StreamRankSketch.windowedBottomK(
         Seq((ts(1), 1L, 2.5)).toDF("ts", "id", "v"),
         "ts", "id", "v", "10 minutes", "5 minutes", 16, "x")
-    }.getMessage.contains("sortable-bits"))
+    }.getMessage.contains("windowedBottomKDouble"))
     assert(intercept[IllegalArgumentException] {
       StreamRankSketch.windowedBottomK(
         rows, "ts", "id", "v", "10 minutes", "5 minutes", 8, "x")
