@@ -1364,6 +1364,22 @@ class GroupedQuantileSketchHandle:
     def merge(self, other: "GroupedQuantileSketchHandle") -> "GroupedQuantileSketchHandle":
         return GroupedQuantileSketchHandle(self._j.merge(other._j), self._spark)
 
+    def regroup(self, names: List[str], exprs: List[str]) -> "GroupedQuantileSketchHandle":
+        """EXACT rollup to coarser strata without rescanning ("hourly ->
+        daily"): each new group column is a SQL expression over the
+        CURRENT group columns, e.g.
+        ``regroup(["day"], ["windowStartMs - windowStartMs % 86400000"])``.
+        Equals the direct coarse build (never an approximation)."""
+        j = self._j.regroupExpr(
+            _to_seq_session(self._spark, list(names)),
+            _to_seq_session(self._spark, list(exprs)))
+        return GroupedQuantileSketchHandle(j, self._spark)
+
+    def to_global(self) -> "QuantileSketchHandle":
+        """EXACT rollup to one global sketch — equals the scalar
+        one-shot build over the whole corpus."""
+        return QuantileSketchHandle(self._j.toGlobal(), self._spark)
+
     def write(self, path: str) -> None:
         self._spark.sparkContext._jvm.graft.ops.GroupedQuantileSketch.write(
             self._j, path)

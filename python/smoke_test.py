@@ -671,6 +671,15 @@ def main() -> None:
             wsg, 16, "pywsg")
         assert gq_wsg.quantiles([50]).count() == \
             wsg.select("windowStartMs", "group").distinct().count()
+        # exact rollups: (window, group) -> group, and -> global
+        rolled = gq_wsg.regroup(["group"], ["group"])
+        assert rolled.quantiles([50]).count() == \
+            wsg.select("group").distinct().count()
+        glob = gq_wsg.to_global()
+        total = wsg.select("windowStartMs", "group", "n").distinct() \
+            .groupBy().sum("n").collect()[0][0]
+        assert glob.n == total
+        assert glob.quantile(50) > 0
         wsd = gops.stream_rank_sketch_windowed_double(
             spark.read.parquet("/root/testdata/sf0.001/events.parquet")
                 .selectExpr("event_id", "ts", "value")

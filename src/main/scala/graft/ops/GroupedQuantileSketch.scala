@@ -155,6 +155,65 @@ final case class GroupedQuantileSketch(
           "AS BIGINT)").as("le_est"): _*)
   }
 
+  /** Re-stratify to COARSER groups without rescanning — "hourly
+    * sketches → daily sketches": each new group column is an expression
+    * over the CURRENT group columns (e.g. `col("windowStartMs") -
+    * col("windowStartMs") % 86400000L`), the summary re-cuts, the
+    * counts re-sum. EXACT, not approximate: a coarse group is a union
+    * of fine groups, and any element in the coarse bottom-s has
+    * rank-within-its-fine-group ≤ rank-within-the-coarse-group ≤ s, so
+    * it already survived its fine cut — re-cutting the fine summaries
+    * yields EXACTLY the sketch a direct coarse build would (spec-pinned).
+    * Geometry (s, seed, value type) is unchanged, so the result merges
+    * with direct coarse builds of disjoint corpora as usual.
+    */
+  def regroup(newGroups: Seq[(String, Column)]): GroupedQuantileSketch = {
+    require(newGroups.nonEmpty,
+      "GroupedQuantileSketch.regroup: newGroups must be non-empty (use " +
+        "toGlobal for the ungrouped rollup)")
+    val names = newGroups.map(_._1)
+    require(names.distinct == names,
+      s"GroupedQuantileSketch.regroup: duplicate new group names $names")
+    val reserved = Set("rk", "value", "n")
+    val clash = names.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"GroupedQuantileSketch.regroup: new group name(s) " +
+        s"${clash.mkString(",")} collide with the summary columns")
+    val newSummary = GroupedQuantileSketch.cutPerGroup(
+      summary.select(newGroups.map { case (nm, c) => c.as(nm) } ++
+        Seq(col("rk"), col("value")): _*),
+      names, s)
+    val newCounts = counts
+      .select(newGroups.map { case (nm, c) => c.as(nm) } :+ col("n"): _*)
+      .groupBy(names.map(col): _*)
+      .agg(sum(col("n")).as("n"))
+    copy(summary = newSummary, counts = newCounts, groupCols = names)
+  }
+
+  /** [[regroup]] with SQL expression strings — the py4j-friendly form
+    * (a Column cannot ride the gateway in a Scala tuple).
+    */
+  def regroupExpr(names: Seq[String], exprs: Seq[String]): GroupedQuantileSketch = {
+    require(names.length == exprs.length,
+      s"GroupedQuantileSketch.regroupExpr: ${names.length} names vs " +
+        s"${exprs.length} expressions")
+    regroup(names.zip(exprs.map(expr)))
+  }
+
+  /** Roll the strata up to ONE global [[QuantileSketch]] — the same
+    * exactness argument as [[regroup]] with a single coarse group:
+    * equals the scalar sketch a direct build over the whole corpus
+    * would produce (spec-pinned). The corpus-wide twin of "compose
+    * per-day sketches into the weekly answer".
+    */
+  def toGlobal: QuantileSketch = {
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L)))
+      .head().getLong(0)
+    QuantileSketch(
+      QuantileSketch.bottomK(summary.select(col("rk"), col("value")), s),
+      s, seed, total, doubleValued)
+  }
+
   /** Group-wise bottom-s merge, refusing mismatched geometry (different
     * seed/s/type/groupCols = a different hash space or stratification —
     * plausible quantiles, wrong distribution; the [[QuantileSketch.merge]]

@@ -202,7 +202,7 @@ object QuantileSketch {
     * lexicographic order makes the cut a pure function of the multiset
     * even if 60-bit rank keys ever tie.
     */
-  private def bottomK(rows: DataFrame, s: Int): DataFrame =
+  private[ops] def bottomK(rows: DataFrame, s: Int): DataFrame =
     rows.orderBy(col("rk"), col("value")).limit(s)
 
   /** Build a LONG-valued sketch: one pruned scan for the count, one

@@ -164,6 +164,62 @@ class GroupedQuantileSketchSpec extends SparkSpec {
       .getMessage.contains("desynchronized"))
   }
 
+  test("regroup to coarser strata and toGlobal are EXACT rollups: equal the " +
+    "direct coarse/global builds (never approximations)") {
+    // fine strata: (hour, lang); coarse: lang alone; global: scalar
+    val rnd = new scala.util.Random(92)
+    val df = Seq.tabulate(4000) { i =>
+      (i.toLong, (rnd.nextInt(24) * 3600000L), Seq("en", "de")(rnd.nextInt(2)),
+        rnd.nextInt(100000).toLong)
+    }.toDF("id", "hour", "g", "v")
+    val fine = GroupedQuantileSketch.buildGrouped(
+      df, Seq("hour", "g"), "id", "v", 32, "rg")
+
+    // regroup (hour, g) -> g: must equal the direct per-g build exactly
+    val coarse = fine.regroup(Seq("g" -> col("g")))
+    val direct = GroupedQuantileSketch.buildGrouped(
+      df, Seq("g"), "id", "v", 32, "rg")
+    def norm(sk: GroupedQuantileSketch) =
+      (sk.summary.select("g", "rk", "value").as[(String, Long, Long)]
+         .collect().toSeq.sorted,
+       sk.counts.select("g", "n").as[(String, Long)].collect().toSeq.sorted)
+    assert(norm(coarse) == norm(direct))
+    assert(coarse.groupCols == Seq("g"))
+    // answers flow through the regrouped sketch unchanged
+    assert(coarse.quantiles(Seq(50)).select("g", "value")
+      .as[(String, Long)].collect().toMap ==
+      direct.quantiles(Seq(50)).select("g", "value")
+        .as[(String, Long)].collect().toMap)
+
+    // regroup can also COMPUTE the coarse key (6-hour buckets from hours)
+    val sixHourly = fine.regroup(Seq(
+      "bucket" -> (col("hour") - col("hour") % (6 * 3600000L)), "g" -> col("g")))
+    val directSix = GroupedQuantileSketch.buildGrouped(
+      df.withColumn("bucket", col("hour") - col("hour") % (6 * 3600000L)),
+      Seq("bucket", "g"), "id", "v", 32, "rg")
+    assert(sixHourly.summary.select("bucket", "g", "rk", "value")
+      .as[(Long, String, Long, Long)].collect().toSeq.sorted ==
+      directSix.summary.select("bucket", "g", "rk", "value")
+        .as[(Long, String, Long, Long)].collect().toSeq.sorted)
+
+    // toGlobal: equals the scalar one-shot build
+    val global = fine.toGlobal
+    val scalarDirect = QuantileSketch.build(df, "id", "v", 32, "rg")
+    assert(global.summary.as[(Long, Long)].collect().toSeq.sorted ==
+      scalarDirect.summary.as[(Long, Long)].collect().toSeq.sorted)
+    assert(global.n == 4000L && global.quantile(50) == scalarDirect.quantile(50))
+
+    // refusals: empty / duplicate / reserved new-group names
+    assert(intercept[IllegalArgumentException] { fine.regroup(Seq.empty) }
+      .getMessage.contains("toGlobal"))
+    assert(intercept[IllegalArgumentException] {
+      fine.regroup(Seq("a" -> col("g"), "a" -> col("hour")))
+    }.getMessage.contains("duplicate"))
+    assert(intercept[IllegalArgumentException] {
+      fine.regroup(Seq("value" -> col("g")))
+    }.getMessage.contains("collide"))
+  }
+
   test("persistence: roundtrip preserves answers; corrupting EITHER frame " +
     "(summary or counts) refuses; missing directory refuses") {
     val df = mkDocs(800)
