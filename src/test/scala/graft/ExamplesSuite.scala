@@ -371,4 +371,54 @@ class ExamplesSuite extends SparkSpec {
     assert(graft.sources.ShardExport.verifyExport(spark, dir, "event_id",
       Seq("user_id", "ts_ms"), coalesce(col("asof_purchase_value"), lit(0.0))).count() == 0)
   }
+
+  /** Beyond the reference: the full rank-sketch lifecycle a telemetry
+    * pipeline runs — per-day stratified sketches built independently,
+    * persisted, merged into the week, rolled up, and asked percentile /
+    * CDF questions — no step rescans a corpus after its own build.
+    */
+  test("RankSketchLifecycle: per-day sketches -> persist -> weekly merge " +
+    "-> rollup -> percentile/CDF answers") {
+    import graft.ops.{GroupedQuantileSketch, QuantileSketch}
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      // synthesize a 3-day ingest from the stable ids
+      .withColumn("day", col("doc_id") % 3)
+
+    // 1. each day's job builds ONLY its slice (in production: today's
+    //    partition), stratified by (day, lang), and persists the sketch
+    val dayDirs = (0 to 2).map { d =>
+      val sk = GroupedQuantileSketch.buildGrouped(
+        docs.where(col("day") === d), Seq("day", "lang"),
+        "doc_id", "n_chars", 64, "wk1")
+      val dir = java.nio.file.Files.createTempDirectory(s"gq_day$d").toString
+      GroupedQuantileSketch.write(sk, dir)
+      dir
+    }
+
+    // 2. the weekly job reads and merges the handles — 2s rows/stratum,
+    //    never a document
+    val week = dayDirs.map(GroupedQuantileSketch.read(spark, _))
+      .reduce(_ merge _)
+
+    // 3. per-(day, lang) p50/p90 off the samples
+    val perDay = week.quantiles(Seq(50, 90))
+    assert(perDay.count() > 0)
+
+    // 4. rollups without rescanning: per-lang (exact vs the direct
+    //    build) and corpus-global (exact vs the scalar build)
+    val perLang = week.regroup(Seq("lang" -> col("lang")))
+    val directLang = GroupedQuantileSketch.buildGrouped(
+      docs, Seq("lang"), "doc_id", "n_chars", 64, "wk1")
+    assert(perLang.quantiles(Seq(50)).select("lang", "value").collect().toSet ==
+      directLang.quantiles(Seq(50)).select("lang", "value").collect().toSet)
+    val global = week.toGlobal
+    val directGlobal = QuantileSketch.build(docs, "doc_id", "n_chars", 64, "wk1")
+    assert(global.quantile(90) == directGlobal.quantile(90))
+
+    // 5. the CDF question curation asks ("how many docs per lang are
+    //    under 200 chars this week")
+    val under200 = perLang.rankOf(200L)
+    assert(under200.columns.toSeq == Seq("lang", "le_est"))
+    assert(under200.count() == directLang.counts.count())
+  }
 }

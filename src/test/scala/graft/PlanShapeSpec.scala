@@ -160,6 +160,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"the bottom-s cut must partial-limit per group before exchanging; " +
         s"plan:\n${plan.take(1500)}")
+    // scan discipline: only (doc_id, lang, n_chars) read, null filters
+    // pushed, and the whole build is ONE exchange
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      s"build must read only the three needed columns; plan:\n${plan.take(1500)}")
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), IsNotNull(n_chars)]"),
+      s"null policy must push to the scan; plan:\n${plan.take(1500)}")
+    assert(plan.split('\n').count(_.contains("Exchange")) == 1,
+      s"the cut is the build's only shuffle; plan:\n${plan.take(1500)}")
   }
 
   test("Quantiles refinement scans read only the value column and shuffle " +
