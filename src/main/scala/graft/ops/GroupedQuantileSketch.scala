@@ -71,17 +71,29 @@ final case class GroupedQuantileSketch(
       "GroupedQuantileSketch.quantiles: duplicate percentiles")
     val w = Window.partitionBy(groupCols.map(col): _*)
     val pctsArr = array(pcts.map(p => lit(p.toLong)): _*)
-    summary
+    // structural guard, the grouped twin of the scalar sketch's
+    // requireSummarySize and the SAME check rankOf runs: a legitimate
+    // group has exactly min(n_g, s) summary rows — more means a
+    // concatenated frame, fewer (or a group counts never saw) means the
+    // two frames desynchronized; either way every answer would be
+    // plausible and wrong. The counts join is groups-sized (left join:
+    // a summary group missing from counts raises via the null n).
+    // Counts-only groups have no summary rows to answer from and are
+    // caught by the persistence digests, not here.
+    val cnt = groupCols.foldLeft(counts) { (d, c) =>
+      d.withColumnRenamed(c, "__c_" + c)
+    }
+    val cond = groupCols.map(c => col(c) <=> col("__c_" + c)).reduce(_ && _)
+    summary.join(cnt, cond, "left")
       .withColumn("__rn", row_number().over(w.orderBy(col("value"))))
       .withColumn("__n", count(lit(1)).over(w))
-      // structural guard, the grouped twin of the scalar sketch's
-      // requireSummarySize: > s rows in a group means the frame is not
-      // a summary this layer built (concatenated frames? use merge()) —
-      // checked inside the window pass, no extra job
-      .withColumn("__n", when(col("__n") > s.toLong,
-        raise_error(concat(lit("GroupedQuantileSketch.quantiles: a group " +
-          s"has more than s = $s summary rows - the frame is not a " +
-          "per-group bottom-k summary (concatenated frames? use merge())"))))
+      .withColumn("__n", when(col("n").isNull ||
+          col("__n") =!= least(col("n"), lit(s.toLong)),
+        raise_error(concat(lit("GroupedQuantileSketch.quantiles: a group's " +
+          s"summary row count differs from min(n_g, s = $s) - the frame " +
+          "is not a per-group bottom-k summary in sync with its counts " +
+          "(concatenated frames? use merge(); corrupted payload? re-read " +
+          "the sketch)"))))
         .otherwise(col("__n")))
       // rank == ceil(pct·s_g/100), multiplicatively (exact integers —
       // the pctByGroupWindow predicate, rule 5 kept by same-shape, but
@@ -174,11 +186,14 @@ final case class GroupedQuantileSketch(
     val names = newGroups.map(_._1)
     require(names.distinct == names,
       s"GroupedQuantileSketch.regroup: duplicate new group names $names")
-    val reserved = Set("rk", "value", "n")
-    val clash = names.filter(reserved.contains)
+    // the FULL reserved set, not just the summary columns: a new group
+    // named "pct"/"__n"/... would be silently clobbered by quantiles()'s
+    // internal projections downstream (r20 review finding)
+    val clash = names.filter(GroupedQuantileSketch.ReservedNames.contains)
     require(clash.isEmpty,
       s"GroupedQuantileSketch.regroup: new group name(s) " +
-        s"${clash.mkString(",")} collide with the summary columns")
+        s"${clash.mkString(",")} collide with the summary/output columns " +
+        s"(${GroupedQuantileSketch.ReservedNames.mkString(",")})")
     val newSummary = GroupedQuantileSketch.cutPerGroup(
       summary.select(newGroups.map { case (nm, c) => c.as(nm) } ++
         Seq(col("rk"), col("value")): _*),
@@ -244,24 +259,47 @@ object GroupedQuantileSketch {
   /** Layout/compat marker for the on-disk format. */
   val FormatVersion = 1
 
+  /** Names the internal projections/outputs own — a group column (or
+    * regroup target) with one of these names would be silently
+    * clobbered; both entry points refuse them.
+    */
+  private[ops] val ReservedNames = Set("rk", "value", "n", "pct", "k",
+    "le_est", "__rn", "__n", "__sg", "__cnt")
+
+  /** Digest columns canonicalized to environment-independent forms
+    * (r20 review): timestamp string forms depend on the session
+    * timezone and float/double string forms on the JVM formatter — a
+    * sketch written in one session could be refused as corrupted in
+    * another. Timestamps digest as unix_millis, floats as their
+    * sortable-bits longs; everything else as its string form.
+    */
+  private def canonical(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col(c).cast("timestamp"))
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        graft.functions.SortableBits.sortable(col(c))
+      case _ => col(c)
+    }
+
+  private def canonicalDigest(df: DataFrame, cols: Seq[String]): Long =
+    SketchIo.xorDigestCols(df, cols.map(canonical(df, _)))
+
   private def requireArgs(items: DataFrame, groupCols: Seq[String],
       s: Int): Unit = {
     require(groupCols.nonEmpty,
       "GroupedQuantileSketch: groupCols must be non-empty (for a global " +
         "sketch use QuantileSketch)")
-    require(s >= 16 && s <= 65536,
-      s"GroupedQuantileSketch: s must be in [16, 65536], got $s. s is the " +
-        "per-group summary size AND the accuracy knob (rank error ~ " +
-        "n_g/sqrt(s)).")
+    QuantileSketch.requireS(s, "GroupedQuantileSketch")
     // a group column named like the payload/output columns would be
     // silently clobbered by the internal projections — refuse loudly
     // (the Quantiles.requireByGroupArgs discipline)
-    val reserved = Set("rk", "value", "n", "pct", "k", "le_est",
-      "__rn", "__n", "__sg", "__cnt")
-    val clash = groupCols.filter(reserved.contains)
+    val clash = groupCols.filter(ReservedNames.contains)
     require(clash.isEmpty,
       s"GroupedQuantileSketch: group column name(s) ${clash.mkString(",")} " +
-        s"collide with the summary/output columns (${reserved.mkString(",")})" +
+        s"collide with the summary/output columns (${ReservedNames.mkString(",")})" +
         " - alias the group column first")
   }
 
@@ -368,9 +406,8 @@ object GroupedQuantileSketch {
           s"${dt.catalogString} - StreamRankSketch emits BIGINT " +
           "(long entry points) or DOUBLE (the Double siblings)")
     }
-    require(s >= 16 && s <= 65536,
-      s"GroupedQuantileSketch.$site: s must be in [16, 65536], got $s " +
-        "(pass the stream's geometry)")
+    QuantileSketch.requireS(s, s"GroupedQuantileSketch.$site (pass the " +
+      "stream's geometry)")
     GroupedQuantileSketch(
       summaries.select((groupCols ++ Seq("rk", "value")).map(col): _*),
       summaries.select((groupCols :+ "n").map(col): _*).distinct(),
@@ -385,9 +422,9 @@ object GroupedQuantileSketch {
     val spark = sketch.summary.sparkSession
     sketch.summary.write.mode("overwrite").parquet(s"$path/summary")
     sketch.counts.write.mode("overwrite").parquet(s"$path/counts")
-    val sumDig = SketchIo.xorDigest(spark.read.parquet(s"$path/summary"),
+    val sumDig = canonicalDigest(spark.read.parquet(s"$path/summary"),
       sketch.groupCols ++ Seq("rk", "value"))
-    val cntDig = SketchIo.xorDigest(spark.read.parquet(s"$path/counts"),
+    val cntDig = canonicalDigest(spark.read.parquet(s"$path/counts"),
       sketch.groupCols :+ "n")
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
@@ -422,7 +459,7 @@ object GroupedQuantileSketch {
     def check(df: DataFrame, cols: Seq[String], key: String,
         what: String): Unit = {
       val expected = (meta \ key).extract[Long]
-      val actual = SketchIo.xorDigest(df, cols)
+      val actual = canonicalDigest(df, cols)
       require(actual == expected,
         s"GroupedQuantileSketch.read: $what digest mismatch (stored " +
           s"$expected, recomputed $actual) - the payload at $path/$what " +

@@ -187,9 +187,13 @@ object QuantileSketch {
   /** Layout/compat marker for the on-disk format. */
   val FormatVersion = 1
 
-  private def requireS(s: Int): Unit =
+  /** The ONE s-range guard behind every rank-sketch builder and the
+    * stream rebuild path (scalar, grouped, streaming) — a bound change
+    * lands once (house rule 5 applied to Scala guards, r20 review).
+    */
+  private[graft] def requireS(s: Int, site: String): Unit =
     require(s >= 16 && s <= 65536,
-      s"QuantileSketch: s must be in [16, 65536], got $s. s is the summary " +
+      s"$site: s must be in [16, 65536], got $s. s is the summary " +
         "size AND the accuracy knob (rank error ~ n/sqrt(s)); 2^16 rows is " +
         "the same bounded driver-collect budget as Hll.estimate.")
 
@@ -213,7 +217,7 @@ object QuantileSketch {
     */
   def build(items: DataFrame, idCol: String, valueCol: String,
       s: Int, seed: String): QuantileSketch = {
-    requireS(s)
+    requireS(s, "QuantileSketch.build")
     Quantiles.requireIntegral(items, valueCol, "QuantileSketch.build",
       "For fractional values use QuantileSketch.buildDouble (no truncation).")
     val rows = items
@@ -229,7 +233,7 @@ object QuantileSketch {
     */
   def buildDouble(items: DataFrame, idCol: String, valueCol: String,
       s: Int, seed: String): QuantileSketch = {
-    requireS(s)
+    requireS(s, "QuantileSketch.buildDouble")
     Quantiles.requireFloating(items, valueCol, "QuantileSketch.buildDouble",
       "For integral values use QuantileSketch.build (exact at the full " +
         "64-bit range).")

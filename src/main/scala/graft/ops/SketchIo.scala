@@ -17,9 +17,25 @@ private[ops] object SketchIo {
     * values. Row order is irrelevant, so persisted payloads need no
     * coalesce or sort to digest identically.
     */
-  def xorDigest(df: DataFrame, cols: Seq[String]): Long = {
+  def xorDigest(df: DataFrame, cols: Seq[String]): Long =
+    xorDigestCols(df, cols.map(col))
+
+  /** [[xorDigest]] over pre-canonicalized column EXPRESSIONS. Two
+    * hardening rules (r20 review): NULL values render as a control-char
+    * sentinel rather than being DROPPED by concat_ws — without it,
+    * (NULL, "x") and ("x", NULL) digest identically and a value-to-NULL
+    * corruption slides the neighbor into its slot undetected; and
+    * columns whose string form is environment-dependent must be
+    * CANONICALIZED by the caller before digesting (timestamps render
+    * under the session timezone — pass unix_millis; doubles under the
+    * JVM formatter — pass sortable bits). The handles own that
+    * canonicalization; see [[GroupedQuantileSketch.write]].
+    */
+  def xorDigestCols(df: DataFrame,
+      cols: Seq[org.apache.spark.sql.Column]): Long = {
     val d = conv(substring(md5(concat_ws("\u001f",
-      cols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10).cast("long")
+      cols.map(c => coalesce(c.cast("string"), lit("\u0002N\u0003"))): _*)),
+      1, 15), 16, 10).cast("long")
     df.select(d.as("__d"))
       .agg(coalesce(expr("bit_xor(__d)"), lit(0L))).head().getLong(0)
   }

@@ -125,8 +125,7 @@ object StreamRankSketch {
       values: Array[Long])
 
   private def requireS(s: Int, site: String): Unit =
-    require(s >= 16 && s <= 65536,
-      s"StreamRankSketch.$site: s must be in [16, 65536], got $s")
+    graft.ops.QuantileSketch.requireS(s, s"StreamRankSketch.$site")
 
   /** Per-event-time-window bottom-s summaries. Emits one
     * [[WindowSummary]] row per retained sample row, exactly once per
@@ -218,9 +217,15 @@ object StreamRankSketch {
         "truncation).")
     val spark = events.sparkSession
     import spark.implicits._
+    // normalize the event-time type BEFORE the watermark: TIMESTAMP_NTZ
+    // parquet columns (rule-3 drift) would fail the In.ts encoder upcast
+    // on the STREAMING path only — casting first, then watermarking,
+    // keeps the watermark metadata on the attribute the stateful
+    // operator reads (casting AFTER the watermark would mint a fresh
+    // attribute without it: the EventOps.sessionize lesson)
+    val normalized = events.withColumn(tsCol, col(tsCol).cast("timestamp"))
     // the watermarked TIMESTAMP column must survive (un-cast) into the
     // stateful operator's input or the event-time timeout is rejected
-    // (the EventOps.sessionize lesson)
     def proj(df: DataFrame) = df
       .where(col(tsCol).isNotNull && col(idCol).isNotNull &&
         col(valueCol).isNotNull)
@@ -238,7 +243,7 @@ object StreamRankSketch {
     if (!events.isStreaming) {
       // batch frames take the DECLARATIVE cut (map-side WindowGroupLimit;
       // see the object doc for the measured adjudication)
-      val projected = proj(events).drop("ts")
+      val projected = proj(normalized).drop("ts")
       val cut = GroupedQuantileSketch.cutPerGroup(
         projected, Seq("winStartMs", "winEndMs", "group"), s)
       // per-key totals ride along so scaled ranks work downstream; the
@@ -254,7 +259,7 @@ object StreamRankSketch {
           col("value"), col("n"))
         .as[WindowGroupSummary]
     }
-    val prepared = proj(events.withWatermark(tsCol, watermark))
+    val prepared = proj(normalized.withWatermark(tsCol, watermark))
     val cap = s
 
     prepared.as[In]

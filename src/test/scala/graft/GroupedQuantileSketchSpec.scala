@@ -159,7 +159,7 @@ class GroupedQuantileSketchSpec extends SparkSpec {
     val forged = big.copy(summary = big.summary.unionByName(
       big.summary.withColumn("rk", col("rk") + 1)))
     assert(intercept[Exception] { forged.quantiles(Seq(50)).collect() }
-      .getMessage.contains("not a per-group bottom-k summary"))
+      .getMessage.contains("differs from min(n_g"))
     assert(intercept[Exception] { forged.rankOf(5L).collect() }
       .getMessage.contains("desynchronized"))
   }

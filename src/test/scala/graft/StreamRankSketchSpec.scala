@@ -270,6 +270,47 @@ class StreamRankSketchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("TIMESTAMP_NTZ event time streams (rule-3 drift): the cast-normalized " +
+    "watermark path accepts what the batch path accepts") {
+    // the real parquet testdata carries ts as TIMESTAMP_NTZ; before the
+    // r20 fix the STREAMING path failed the In.ts encoder upcast while
+    // batch worked — pin both paths on an NTZ source
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+    val rows = Seq.tabulate(100)(i =>
+      (base.plusMinutes(i % 9), i.toLong, (i * 7L) % 500L))
+    val mem = MemoryStream[(java.time.LocalDateTime, Long, Long)]
+    assert(mem.toDS().toDF("ts", "id", "v").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val out = StreamRankSketch.windowedBottomK(
+      mem.toDS().toDF("ts", "id", "v"), "ts", "id", "v",
+      "10 minutes", "5 minutes", s = 16, seed = "ntz")
+    val q = out.writeStream.format("memory").queryName("rank_sketch_ntz")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((base.plusMinutes(600), 9999L, 1L))
+      q.processAllAvailable()
+      mem.addData((base.plusMinutes(700), 9998L, 1L))
+      q.processAllAvailable()
+      // the second sweep closes the first sweep row's own window too —
+      // compare only the data windows (first 9 minutes)
+      val horizon = java.sql.Timestamp.valueOf(base.plusMinutes(20)).getTime
+      val got = spark.table("rank_sketch_ntz")
+        .select("windowStartMs", "rk", "value")
+        .as[(Long, Long, Long)].collect().toSet
+        .filter(_._1 < horizon)
+      val batch = StreamRankSketch.windowedBottomK(
+        rows.toDF("ts", "id", "v"), "ts", "id", "v",
+        "10 minutes", "5 minutes", 16, "ntz")
+        .select("windowStartMs", "rk", "value")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("null ts/id/value rows are excluded; fractional value column refuses " +
     "with the sortable-bits redirect; s bounds refuse") {
     val rows = Seq[(java.sql.Timestamp, java.lang.Long, java.lang.Long)](
