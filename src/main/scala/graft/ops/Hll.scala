@@ -60,6 +60,24 @@ object Hll {
     */
   private val RankBits = 52
 
+  /** Grouped entry points refuse group columns named like the register/
+    * output/internal columns — a clash silently clobbers or duplicates
+    * columns downstream (merge() infers its keys as every-column-but-
+    * maxrank; estimateGrouped emits "est") — the
+    * Quantiles.requireByGroupArgs discipline (r20 review).
+    */
+  private def requireGroupCols(groupCols: Seq[String], site: String): Unit = {
+    require(groupCols.nonEmpty, s"Hll.$site: groupCols must be non-empty")
+    val reserved = Set("bucket", "rank", "maxrank", "est", "__k", "__side",
+      "__touched", "__sumscaled", "__maxb", "__minb", "__maxr", "__minr",
+      "__dist")
+    val clash = groupCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"Hll.$site: group column name(s) ${clash.mkString(",")} collide " +
+        s"with the register/output columns (${reserved.mkString(",")}) - " +
+        "alias the group column first")
+  }
+
   /** The (bucket, rank) register coordinates of a key. Portable mode is
     * the ONE house md5 contract, applied twice with disjoint tags:
     * bucket = first-8-hex of md5("seed:b:key") mod m
@@ -125,7 +143,7 @@ object Hll {
       seed: String,
       portableHash: Boolean = true): DataFrame = {
     requireP(p)
-    require(groupCols.nonEmpty, "Hll.buildGrouped: groupCols must be non-empty")
+    requireGroupCols(groupCols, "buildGrouped")
     val (bucket, rank) = registerCoords(col("__k"), p, seed, portableHash)
     val gs = groupCols.map(col)
     Dedup.fanOut(items.select(gs :+ col(keyCol).as("__k"): _*))
@@ -168,17 +186,34 @@ object Hll {
     */
   def estimate(registers: DataFrame, p: Int): Long = {
     requireP(p)
+    estimateFromRegisters(collectValidated(registers, p, "estimate"), p)
+  }
+
+  /** The ONE collect + structural validation behind the scalar
+    * estimators: ≤ 2^p rows, each frame evaluated exactly once however
+    * many estimates are derived from it (r20 review — the
+    * inclusion–exclusion path previously re-ran lazy build lineages).
+    */
+  private def collectValidated(registers: DataFrame, p: Int,
+      site: String): Map[Long, Long] = {
     val m = 1 << p
-    val rows = registers.select(col("bucket").cast("long"),
+    val raw = registers.select(col("bucket").cast("long"),
       col("maxrank").cast("long")).collect()
+    // NULL coordinates would NPE at unboxing below - refuse
+    // self-describingly first (hand-assembled frames are exactly the
+    // audience of these guards)
+    require(raw.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      s"Hll.$site: NULL register coordinates - not a register frame this " +
+        "layer built")
+    val rows = raw.map(r => (r.getLong(0), r.getLong(1)))
     require(rows.length <= m,
-      s"Hll.estimate: ${rows.length} register rows for m = $m - the frame " +
+      s"Hll.$site: ${rows.length} register rows for m = $m - the frame " +
         "is not a single sketch (grouped frame? use estimateGrouped)")
     // a grouped frame SMALL enough to pass the row-count check would
     // still carry duplicate buckets across groups and estimate garbage
     // plausibly - refuse on the structural invariant, not just the size
-    require(rows.iterator.map(_.getLong(0)).toSet.size == rows.length,
-      "Hll.estimate: duplicate bucket ids in the register frame - this is " +
+    require(rows.iterator.map(_._1).toSet.size == rows.length,
+      s"Hll.$site: duplicate bucket ids in the register frame - this is " +
         "a grouped (or concatenated) frame; use estimateGrouped, or merge() " +
         "the sketches first")
     // a p SMALLER than the build's leaves buckets >= m - the same
@@ -186,21 +221,28 @@ object Hll {
     // LARGER than the build's is structurally indistinguishable from a
     // sparse sketch - the geometry-checked [[HllSketch]] handle is the
     // API that rules that out by construction.)
-    require(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < m),
-      s"Hll.estimate: bucket ids outside [0, $m) - the frame was built " +
+    require(rows.forall(r => r._1 >= 0 && r._1 < m),
+      s"Hll.$site: bucket ids outside [0, $m) - the frame was built " +
         s"with a larger p than the $p supplied here")
-    require(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= RankBits + 1),
-      s"Hll.estimate: maxrank outside [1, ${RankBits + 1}] - not a register " +
+    require(rows.forall(r => r._2 >= 1 && r._2 <= RankBits + 1),
+      s"Hll.$site: maxrank outside [1, ${RankBits + 1}] - not a register " +
         "frame this layer built")
-    // Σ 2^-maxrank as an EXACT scaled integer (Σ 2^(53-maxrank), one
-    // division at the end): double summation of the 2^-r terms is
-    // non-associative, and [[estimateGrouped]]'s partial-aggregation
-    // order varies run to run — exact integer summation makes both
-    // paths order-independent AND bit-identical to each other (the
-    // grouped == per-group equality pin in HllSpec).
+    rows.toMap
+  }
+
+  /** The pure estimator over validated (bucket → maxrank) registers:
+    * Σ 2^-maxrank as an EXACT scaled integer (Σ 2^(53-maxrank), one
+    * division at the end) — double summation of the 2^-r terms is
+    * non-associative, and [[estimateGrouped]]'s partial-aggregation
+    * order varies run to run; exact integer summation makes both
+    * paths order-independent AND bit-identical to each other (the
+    * grouped == per-group equality pin in HllSpec).
+    */
+  private def estimateFromRegisters(regs: Map[Long, Long], p: Int): Long = {
+    val m = 1 << p
     var sumScaled = BigInt(0)
-    rows.foreach { r => sumScaled += BigInt(1) << (RankBits + 1 - r.getLong(1).toInt) }
-    val zeros = m - rows.length
+    regs.valuesIterator.foreach { r => sumScaled += BigInt(1) << (RankBits + 1 - r.toInt) }
+    val zeros = m - regs.size
     val sumInv = sumScaled.toDouble / math.pow(2.0, (RankBits + 1).toDouble) +
       zeros.toDouble
     val raw = alpha(m) * m.toDouble * m.toDouble / sumInv
@@ -217,8 +259,21 @@ object Hll {
     * cheap at 100 TB (per-snapshot sketches persist once; any pairwise
     * union is a 2·2^p-row merge, never a corpus scan).
     */
-  def unionEstimate(a: DataFrame, b: DataFrame, p: Int): Long =
-    estimate(merge(a, b), p)
+  def unionEstimate(a: DataFrame, b: DataFrame, p: Int): Long = {
+    requireP(p)
+    estimateFromRegisters(maxMerge(
+      collectValidated(a, p, "unionEstimate"),
+      collectValidated(b, p, "unionEstimate")), p)
+  }
+
+  /** Driver-side max-merge of two collected register maps (≤ 2^p
+    * entries each) — the union/intersect estimators derive every
+    * estimate from ONE evaluation per input frame.
+    */
+  private def maxMerge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))
+    }.toMap
 
   /** |A ∩ B| estimate by inclusion–exclusion:
     * est(A) + est(B) − est(A ∪ B). Unlike the union this is NOT a
@@ -229,8 +284,13 @@ object Hll {
     * ([[SetSimJoin]], [[Curate]] decontamination). Spec-pinned
     * tolerance in HllSpec.
     */
-  def intersectEstimate(a: DataFrame, b: DataFrame, p: Int): Long =
-    math.max(0L, estimate(a, p) + estimate(b, p) - unionEstimate(a, b, p))
+  def intersectEstimate(a: DataFrame, b: DataFrame, p: Int): Long = {
+    requireP(p)
+    val ra = collectValidated(a, p, "intersectEstimate")
+    val rb = collectValidated(b, p, "intersectEstimate")
+    math.max(0L, estimateFromRegisters(ra, p) + estimateFromRegisters(rb, p) -
+      estimateFromRegisters(maxMerge(ra, rb), p))
+  }
 
   /** Per-group |A ∪ B| estimates from two [[buildGrouped]] register
     * frames with IDENTICAL geometry AND group columns — the grouped
@@ -240,8 +300,10 @@ object Hll {
     * the empty set), which falls out of the merge naturally.
     */
   def unionEstimateGrouped(a: DataFrame, b: DataFrame,
-      groupCols: Seq[String], p: Int): DataFrame =
+      groupCols: Seq[String], p: Int): DataFrame = {
+    requireGroupCols(groupCols, "unionEstimateGrouped")
     estimateGrouped(merge(a, b), groupCols, p)
+  }
 
   /** Per-group |A ∩ B| estimates by inclusion–exclusion over two
     * [[buildGrouped]] frames — the grouped twin of
@@ -260,21 +322,83 @@ object Hll {
   def intersectEstimateGrouped(a: DataFrame, b: DataFrame,
       groupCols: Seq[String], p: Int): DataFrame = {
     requireP(p)
-    require(groupCols.nonEmpty,
-      "Hll.intersectEstimateGrouped: groupCols must be non-empty")
-    def renamed(df: DataFrame, pre: String): DataFrame =
-      groupCols.foldLeft(df.withColumnRenamed("est", pre + "est")) {
-        (d, c) => d.withColumnRenamed(c, pre + c)
-      }
-    val ea = renamed(estimateGrouped(a, groupCols, p), "__a_")
-    val eb = renamed(estimateGrouped(b, groupCols, p), "__b_")
-    val eu = unionEstimateGrouped(a, b, groupCols, p)
-    eu
-      .join(ea, groupCols.map(c => col(c) <=> col("__a_" + c)).reduce(_ && _), "left")
-      .join(eb, groupCols.map(c => col(c) <=> col("__b_" + c)).reduce(_ && _), "left")
-      .select(groupCols.map(col) :+
-        greatest(lit(0L), coalesce(col("__a_est"), lit(0L)) +
-          coalesce(col("__b_est"), lit(0L)) - col("est")).as("est"): _*)
+    requireGroupCols(groupCols, "intersectEstimateGrouped")
+    val m = 1 << p
+    val gs = groupCols.map(col)
+    // SINGLE evaluation per input (r20 review — the previous
+    // three-estimate form re-ran each frame's lazy build lineage twice):
+    // tag the sides, collapse to per-(group, bucket) side maxranks, then
+    // ONE group aggregation yields the A / B / union estimator inputs
+    // together; inclusion–exclusion happens per group row. Two
+    // aggregations total, groups never collected.
+    val tagged = a.withColumn("__side", lit(0))
+      .unionByName(b.withColumn("__side", lit(1)))
+    val perBucket = tagged
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(max(col("maxrank")).as("__mr_u"),
+        max(when(col("__side") === 0, col("maxrank"))).as("__mr_a"),
+        max(when(col("__side") === 1, col("maxrank"))).as("__mr_b"),
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__rows_a"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__rows_b"))
+    val agg = perBucket
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("__t_u"),
+        scaledSumExpr("__mr_u").as("__s_u"),
+        count(col("__mr_a")).as("__t_a"),
+        scaledSumExpr("__mr_a").as("__s_a"),
+        count(col("__mr_b")).as("__t_b"),
+        scaledSumExpr("__mr_b").as("__s_b"),
+        max(col("__rows_a")).as("__dup_a"),
+        max(col("__rows_b")).as("__dup_b"),
+        max(col("bucket")).as("__maxb"), min(col("bucket")).as("__minb"),
+        max(col("__mr_u")).as("__maxr"), min(col("__mr_u")).as("__minr"))
+    val zeroDec = lit(BigDecimal(0))
+    val est = greatest(lit(0L),
+      estExprGrouped(col("__t_a"), coalesce(col("__s_a"), zeroDec), m) +
+        estExprGrouped(col("__t_b"), coalesce(col("__s_b"), zeroDec), m) -
+        estExprGrouped(col("__t_u"), col("__s_u"), m))
+    // the same structural refusals as estimateGrouped, per SIDE:
+    // duplicate (group, bucket) rows within one side mean a concatenated
+    // grouped frame (use Hll.merge first); range violations mean a
+    // geometry mismatch
+    val guarded = when(col("__dup_a") > 1L || col("__dup_b") > 1L,
+      raise_error(concat(lit("Hll.intersectEstimateGrouped: duplicate " +
+        "(group, bucket) register rows within one input - concatenated " +
+        "grouped frames (use Hll.merge) or groupCols coarser than the " +
+        "build's"))))
+      .otherwise(when(col("__t_u") > m.toLong || col("__maxb") >= m.toLong ||
+        col("__minb") < 0L || col("__maxr") > (RankBits + 1).toLong ||
+        col("__minr") < 1L,
+      raise_error(concat(lit("Hll.intersectEstimateGrouped: register " +
+        s"frame inconsistent with p=$p (m=$m) - buckets or ranks out of " +
+        "range, or more touched registers than m; the frame was built " +
+        "with a larger p"))))
+      .otherwise(est))
+    agg.select(gs :+ guarded.cast("long").as("est"): _*)
+  }
+
+  /** Σ 2^(53−maxrank) over a (possibly NULL-bearing) maxrank column as
+    * EXACT DECIMAL — the ONE scaled-sum fragment behind the grouped
+    * estimators (rule 5). NULL maxranks (a side absent from a bucket)
+    * contribute nothing.
+    */
+  private def scaledSumExpr(maxrankCol: String) =
+    sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${RankBits + 1} - $maxrankCol AS INT))")
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+
+  /** The grouped estimator expression over (touched, Σ scaled) — the
+    * exact SQL mirror of [[estimateFromRegisters]] (bit-identical, the
+    * HllSpec grouped == scalar pin), shared by [[estimateGrouped]] and
+    * [[intersectEstimateGrouped]] (rule 5).
+    */
+  private def estExprGrouped(touched: Column, sumScaled: Column, m: Int): Column = {
+    val zeros = lit(m.toLong) - touched
+    val suminv = sumScaled.cast("double") /
+      lit(math.pow(2.0, (RankBits + 1).toDouble)) + zeros.cast("double")
+    val raw = lit(alpha(m) * m.toDouble * m.toDouble) / suminv
+    rint(when(raw <= lit(2.5 * m) && zeros > 0L,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)).cast("long")
   }
 
   /** Per-group cardinality estimates from a [[buildGrouped]] frame:
@@ -287,7 +411,7 @@ object Hll {
   def estimateGrouped(registers: DataFrame, groupCols: Seq[String],
       p: Int): DataFrame = {
     requireP(p)
-    require(groupCols.nonEmpty, "Hll.estimateGrouped: groupCols must be non-empty")
+    requireGroupCols(groupCols, "estimateGrouped")
     val m = 1 << p
     // Σ 2^-maxrank as an EXACT scaled integer (Σ 2^(53-maxrank) summed as
     // DECIMAL, one double division at the end): the double sum's
@@ -299,29 +423,34 @@ object Hll {
     val agg = registers
       .groupBy(groupCols.head, groupCols.tail: _*)
       .agg(count(lit(1)).as("__touched"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${RankBits + 1} - maxrank AS INT))")
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__sumscaled"),
+        scaledSumExpr("maxrank").as("__sumscaled"),
+        countDistinct(col("bucket")).as("__dist"),
         max(col("bucket")).as("__maxb"), min(col("bucket")).as("__minb"),
         max(col("maxrank")).as("__maxr"), min(col("maxrank")).as("__minr"))
-    val zeros = lit(m.toLong) - col("__touched")
-    val suminv = col("__sumscaled").cast("double") /
-      lit(math.pow(2.0, (RankBits + 1).toDouble)) + zeros.cast("double")
-    val raw = lit(alpha(m) * m.toDouble * m.toDouble) / suminv
-    val est = when(raw <= lit(2.5 * m) && zeros > 0L,
-        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
-      .otherwise(raw)
+    val est = estExprGrouped(col("__touched"), col("__sumscaled"), m)
     // geometry guard (the grouped twin of estimate()'s driver-side
     // checks): a p smaller than the build's leaves buckets >= m or more
     // touched registers than m exist, and the estimate comes back
     // plausible but wrong (zeros can even go negative). The frame here
     // is groups-sized, so the raise_error branch costs nothing.
-    val guarded = when(col("__touched") > m.toLong || col("__maxb") >= m.toLong ||
+    // duplicate buckets WITHIN a group pass the <= m size check when both
+    // sides are sparse, yet each contributes its own 2^-maxrank term and
+    // the estimate comes back plausibly UNDER (the scalar estimate()'s
+    // duplicate-bucket refusal, grouped twin — r20 review finding):
+    // concatenated grouped frames must go through merge(), and
+    // estimating with groupCols COARSER than the build's is the same
+    // structural error.
+    val guarded = when(col("__touched") =!= col("__dist"),
+      raise_error(concat(lit("Hll.estimateGrouped: duplicate bucket ids " +
+        "within a group - concatenated grouped frames (use Hll.merge) or " +
+        "groupCols coarser than the build's"))))
+      .otherwise(when(col("__touched") > m.toLong || col("__maxb") >= m.toLong ||
         col("__minb") < 0L || col("__maxr") > (RankBits + 1).toLong ||
         col("__minr") < 1L,
       raise_error(concat(lit("Hll.estimateGrouped: register frame " +
         s"inconsistent with p=$p (m=$m) - buckets or ranks out of range, or " +
         "more touched registers than m; the frame was built with a larger p"))))
-      .otherwise(est)
-    agg.select(groupCols.map(col) :+ rint(guarded).cast("long").as("est"): _*)
+      .otherwise(est))
+    agg.select(groupCols.map(col) :+ guarded.cast("long").as("est"): _*)
   }
 }

@@ -67,6 +67,18 @@ object Quantiles {
     def resolved: Boolean = lo == hi
   }
 
+  /** The ONE pcts-contract guard behind every percentile entry point
+    * (rule 5 applied to Scala guards): non-empty, each in [1,100], no
+    * duplicates.
+    */
+  private[graft] def requirePcts(pcts: Seq[Int], site: String): Unit = {
+    require(pcts.nonEmpty, s"$site: pcts must be non-empty")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"$site: percentiles must be in [1,100], got ${pcts.mkString(",")}")
+    require(pcts.distinct.length == pcts.length,
+      s"$site: duplicate percentiles")
+  }
+
   /** The INTEGRAL entry points refuse fractional input instead of
     * silently `cast("long")`-truncating it (quantiles of the truncated
     * multiset are plausible and wrong — the failure class this codebase
@@ -106,11 +118,7 @@ object Quantiles {
     * the null filter) returns an empty frame.
     */
   def exactPct(df: DataFrame, valueCol: String, pcts: Seq[Int]): DataFrame = {
-    require(pcts.nonEmpty, "Quantiles.exactPct: pcts must be non-empty")
-    require(pcts.forall(p => p >= 1 && p <= 100),
-      s"Quantiles.exactPct: percentiles must be in [1,100], got ${pcts.mkString(",")}")
-    require(pcts.distinct.length == pcts.length,
-      "Quantiles.exactPct: duplicate percentiles")
+    requirePcts(pcts, "Quantiles.exactPct")
     val spark = df.sparkSession
     import spark.implicits._
     val vals = values(df, valueCol, "Quantiles.exactPct")
@@ -160,11 +168,7 @@ object Quantiles {
     * identity engine-portable).
     */
   def exactPctDouble(df: DataFrame, valueCol: String, pcts: Seq[Int]): DataFrame = {
-    require(pcts.nonEmpty, "Quantiles.exactPctDouble: pcts must be non-empty")
-    require(pcts.forall(p => p >= 1 && p <= 100),
-      s"Quantiles.exactPctDouble: percentiles must be in [1,100], got ${pcts.mkString(",")}")
-    require(pcts.distinct.length == pcts.length,
-      "Quantiles.exactPctDouble: duplicate percentiles")
+    requirePcts(pcts, "Quantiles.exactPctDouble")
     requireFloating(df, valueCol, "Quantiles.exactPctDouble",
       "For integral values use exactPct (exact at the full 64-bit range).")
     val spark = df.sparkSession
@@ -200,11 +204,7 @@ object Quantiles {
     */
   def exactPctWeighted(df: DataFrame, valueCol: String, weightCol: String,
       pcts: Seq[Int]): DataFrame = {
-    require(pcts.nonEmpty, "Quantiles.exactPctWeighted: pcts must be non-empty")
-    require(pcts.forall(p => p >= 1 && p <= 100),
-      s"Quantiles.exactPctWeighted: percentiles must be in [1,100], got ${pcts.mkString(",")}")
-    require(pcts.distinct.length == pcts.length,
-      "Quantiles.exactPctWeighted: duplicate percentiles")
+    requirePcts(pcts, "Quantiles.exactPctWeighted")
     val spark = df.sparkSession
     import spark.implicits._
     val vals = values(df, valueCol, "Quantiles.exactPctWeighted", Some(weightCol))
@@ -278,11 +278,7 @@ object Quantiles {
   private def requireByGroupArgs(df: DataFrame, groupCols: Seq[String],
       pcts: Seq[Int], site: String): Unit = {
     require(groupCols.nonEmpty, s"Quantiles.$site: groupCols must be non-empty")
-    require(pcts.nonEmpty, s"Quantiles.$site: pcts must be non-empty")
-    require(pcts.forall(p => p >= 1 && p <= 100),
-      s"Quantiles.$site: percentiles must be in [1,100], got ${pcts.mkString(",")}")
-    require(pcts.distinct.length == pcts.length,
-      s"Quantiles.$site: duplicate percentiles")
+    requirePcts(pcts, s"Quantiles.$site")
     // withColumn on a reserved name would CLOBBER a same-named group
     // column and silently emit wrong groups - refuse loudly instead
     val reserved = Set("pct", "k", "value", "__v", "__rn", "__n")
@@ -374,8 +370,11 @@ object Quantiles {
     * shim converts. Scala callers should use [[exactAtRanks]].
     */
   def exactAtRanksPy(df: DataFrame, valueCol: String, ks: Seq[Double]): DataFrame = {
-    require(ks.forall(k => k == math.rint(k) && math.abs(k) < (1L << 53).toDouble),
+    require(ks.forall(k => k == math.rint(k)),
       s"Quantiles.exactAtRanksPy: ranks must be integral, got ${ks.mkString(",")}")
+    require(ks.forall(k => math.abs(k) < (1L << 53).toDouble),
+      "Quantiles.exactAtRanksPy: ranks must stay below 2^53 (the range a " +
+        s"double carries exactly across py4j), got ${ks.mkString(",")}")
     exactAtRanks(df, valueCol, ks.map(_.toLong))
   }
 

@@ -224,6 +224,42 @@ class HllSpec extends SparkSpec {
     }.getMessage.contains("p must be in [4,16]"))
   }
 
+  test("r20 guards: estimateGrouped refuses duplicate buckets within a " +
+    "group; NULL registers refuse self-describingly; reserved group names " +
+    "refuse; intersect rewrite refuses concatenated sides") {
+    val df = (1 to 200).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "k")
+    val regs = Hll.buildGrouped(df, Seq("g"), "k", 6, "dup")
+    // concatenating two grouped frames (instead of Hll.merge) duplicates
+    // (group, bucket) rows but can stay under m rows per group — the
+    // countDistinct guard must fire, not a plausible under-estimate
+    val concatenated = regs.unionByName(regs)
+    assert(intercept[Exception] {
+      Hll.estimateGrouped(concatenated, Seq("g"), 6).collect()
+    }.getMessage.contains("duplicate bucket ids within a group"))
+    assert(intercept[Exception] {
+      Hll.intersectEstimateGrouped(concatenated, regs, Seq("g"), 6).collect()
+    }.getMessage.contains("duplicate (group, bucket)"))
+    // NULL register coordinates refuse with the structural message, not
+    // an NPE at unboxing
+    val withNull = regs.select(col("bucket"), col("maxrank"))
+      .limit(3).unionByName(
+        Seq((null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)))
+          .toDF("bucket", "maxrank"))
+    assert(intercept[IllegalArgumentException] {
+      Hll.estimate(withNull, 6)
+    }.getMessage.contains("NULL register coordinates"))
+    // reserved group names refuse at every grouped entry point
+    Seq("bucket", "maxrank", "est").foreach { bad =>
+      assert(intercept[IllegalArgumentException] {
+        Hll.buildGrouped(df.withColumnRenamed("g", bad), Seq(bad), "k", 6, "x")
+      }.getMessage.contains("collide"), bad)
+    }
+    assert(intercept[IllegalArgumentException] {
+      Hll.estimateGrouped(regs.withColumnRenamed("g", "est")
+        .select(col("est"), col("bucket"), col("maxrank")), Seq("est"), 6)
+    }.getMessage.contains("collide"))
+  }
+
   test("streaming build: incremental max aggregation equals the batch registers") {
     val all = ((1 to 300).map(i => s"tok${i % 41}") ++
       (1 to 200).map(i => s"tok${i % 83}")).toDF("k")
