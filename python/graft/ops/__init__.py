@@ -82,6 +82,13 @@ __all__ = [
     "hll_intersect_estimate",
     "hll_union_estimate_grouped",
     "hll_intersect_estimate_grouped",
+    "bloom_build",
+    "bloom_build_grouped",
+    "bloom_merge",
+    "bloom_merge_grouped",
+    "bloom_might_contain",
+    "bloom_fill_ratio",
+    "BloomSketchHandle",
     "quantiles_exact_pct",
     "quantiles_exact_pct_double",
     "quantiles_exact_pct_weighted",
@@ -1043,6 +1050,133 @@ def hll_intersect_estimate_grouped(
     compound per group exactly as in ``hll_intersect_estimate``."""
     return _wrap(a, _jvm(a).graft.ops.Hll.intersectEstimateGrouped(
         a._jdf, b._jdf, _to_seq(a, list(group_cols)), int(p)))
+
+
+def bloom_build(
+    items: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """Build a Bloom membership word frame (w, bits) over a key column:
+    the membership sibling of ``cms_build`` / ``hll_build``, <= m/64
+    rows at ANY corpus size. Mergeable by bitwise OR (``bloom_merge``),
+    persistable (``BloomSketchHandle``), engine-replayable (md5
+    Kirsch-Mitzenmacher positions). Size ``num_bits`` from the expected
+    TOTAL cardinality across every filter you intend to merge
+    (~10 bits/key ~= 0.8% FP at 7 hashes); the modulus must be fixed
+    once, it cannot be derived per slice."""
+    return _wrap(items, _jvm(items).graft.ops.Bloom.build(
+        items._jdf, key_col, int(num_bits), int(num_hashes)))
+
+
+def bloom_build_grouped(
+    items: DataFrame,
+    key_col: str,
+    group_cols: List[str],
+    num_bits: int,
+    num_hashes: int = 7,
+) -> DataFrame:
+    """One filter PER GROUP in one aggregation: (group..., w, bits),
+    <= groups x m/64 rows, groups never collected."""
+    return _wrap(items, _jvm(items).graft.ops.Bloom.buildGrouped(
+        items._jdf, key_col, _to_seq(items, list(group_cols)),
+        int(num_bits), int(num_hashes)))
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two word frames built with IDENTICAL (num_bits,
+    num_hashes) — per-day/per-shard filters compose associatively. Use
+    ``BloomSketchHandle`` for the geometry-checked form."""
+    return _wrap(a, _jvm(a).graft.ops.Bloom.merge(a._jdf, b._jdf))
+
+
+def bloom_merge_grouped(
+    a: DataFrame, b: DataFrame, group_cols: List[str]
+) -> DataFrame:
+    """``bloom_merge`` per group over (group..., w, bits) frames."""
+    return _wrap(a, _jvm(a).graft.ops.Bloom.mergeGrouped(
+        a._jdf, b._jdf, _to_seq(a, list(group_cols))))
+
+
+def bloom_might_contain(
+    words: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Membership verdicts (key, contained) for the DISTINCT non-null
+    keys of ``key_col``: false negatives impossible for inserted keys,
+    false positives deterministic (the positions are md5-derived).
+    Geometry MUST match the build — use ``BloomSketchHandle`` to make
+    that structural."""
+    return _wrap(keys, _jvm(keys).graft.ops.Bloom.mightContain(
+        words._jdf, keys._jdf, key_col, int(num_bits), int(num_hashes)))
+
+
+def bloom_fill_ratio(words: DataFrame, num_bits: int) -> float:
+    """Fraction of set bits; the realized expected FP rate is
+    fill_ratio ** num_hashes."""
+    return float(_jvm(words).graft.ops.Bloom.fillRatio(
+        words._jdf, int(num_bits)))
+
+
+class BloomSketchHandle:
+    """Geometry-safe Bloom filter handle (wraps the JVM
+    ``graft.ops.BloomSketch``): the word frame travels WITH the
+    (num_bits, num_hashes) geometry — a mismatched probe could answer
+    ``False`` for an inserted key, so the handle refuses geometry drift
+    structurally. write/read persists the words with a validated
+    content digest and a word-index range check."""
+
+    def __init__(self, jsketch, spark):
+        self._j = jsketch
+        self._spark = spark
+
+    @staticmethod
+    def build(
+        items: DataFrame,
+        key_col: str,
+        num_bits: int,
+        num_hashes: int = 7,
+    ) -> "BloomSketchHandle":
+        j = _jvm(items).graft.ops.BloomSketch.build(
+            items._jdf, key_col, int(num_bits), int(num_hashes))
+        return BloomSketchHandle(j, items.sparkSession)
+
+    @staticmethod
+    def read(spark, path: str) -> "BloomSketchHandle":
+        jvm = spark.sparkContext._jvm
+        return BloomSketchHandle(
+            jvm.graft.ops.BloomSketch.read(spark._jsparkSession, path), spark)
+
+    @property
+    def words(self) -> DataFrame:
+        return DataFrame(self._j.words(), self._spark)
+
+    @property
+    def num_bits(self) -> int:
+        return int(self._j.numBits())
+
+    @property
+    def num_hashes(self) -> int:
+        return int(self._j.numHashes())
+
+    def might_contain(self, keys: DataFrame, key_col: str) -> DataFrame:
+        return DataFrame(self._j.mightContain(keys._jdf, key_col), self._spark)
+
+    def merge(self, other: "BloomSketchHandle") -> "BloomSketchHandle":
+        return BloomSketchHandle(self._j.merge(other._j), self._spark)
+
+    def fill_ratio(self) -> float:
+        return float(self._j.fillRatio())
+
+    def fpr_estimate(self) -> float:
+        return float(self._j.fprEstimate())
+
+    def write(self, path: str) -> None:
+        self._spark.sparkContext._jvm.graft.ops.BloomSketch.write(self._j, path)
 
 
 def quantiles_exact_pct(

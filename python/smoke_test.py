@@ -689,6 +689,27 @@ def main() -> None:
         assert wsd.where("isnan(value)").count() == 0
         print("round-20 grouped/streaming rank-sketch bindings ok")
 
+        # round 16: Bloom membership word frames + geometry-safe handle
+        bw = gops.bloom_build(items, "k", 4096, 3)
+        assert set(c for c, _ in bw.dtypes) == {"w", "bits"}
+        assert bw.count() <= 64
+        bm = gops.bloom_merge(
+            gops.bloom_build(items.limit(50), "k", 4096, 3), bw)
+        verd = gops.bloom_might_contain(bm, items, "k", 4096, 3)
+        assert verd.where("NOT contained").count() == 0  # no false negatives
+        assert 0.0 < gops.bloom_fill_ratio(bw, 4096) < 1.0
+        gb = gops.bloom_build_grouped(
+            items.withColumn("grp", F.length("k") % 2), "k", ["grp"], 4096, 3)
+        assert gops.bloom_merge_grouped(gb, gb, ["grp"]).count() == gb.count()
+        bsk = gops.BloomSketchHandle.build(items, "k", 4096, 3)
+        bloom_dir = tempfile.mkdtemp(prefix="bloom_py")
+        bsk.write(bloom_dir + "/f")
+        bsk2 = gops.BloomSketchHandle.read(spark, bloom_dir + "/f")
+        assert bsk2.num_bits == 4096 and bsk2.num_hashes == 3
+        assert bsk2.might_contain(items, "k").where("NOT contained").count() == 0
+        assert bsk2.fpr_estimate() < 1.0
+        print("round-16 bloom membership bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

@@ -332,6 +332,45 @@ object SparkEntry {
   private def shingleRowsSql(n: Int, textSql: String = "text"): String =
     s"unnest(${shingleListSql(n, textSql)})"
 
+  /** Shared Bloom position-replay SQL (rule 5 — the four q_bloom_*
+    * oracles differ only in slice, geometry, and carried prefix
+    * columns): the DISTINCT shingles of `src` (a SELECT producing
+    * `sh` plus any `grpSel` prefix columns, e.g. "lang, " or "sh, ")
+    * double-hashed Kirsch–Mitzenmacher to k positions mod m —
+    * `pos_i = (h1 + i·h2) mod m`, h1/h2 the md5 digest's two unsigned
+    * 8-byte halves mod m, the exact `Bloom.positions` math. h1/h2 are
+    * cast to BIGINT IMMEDIATELY (they are < m ≤ 2^36, exact in signed
+    * arithmetic), so the UBIGINT intermediate never reaches downstream
+    * arithmetic or an output column (rule 1's HUGEINT/promotion ban).
+    */
+  private def bloomPositionsSql(src: String, m: Long, k: Int,
+      grpSel: String = ""): String =
+    s"""(SELECT DISTINCT $grpSel CAST((h1 + i * h2) % $m AS BIGINT) AS pos
+      |  FROM (SELECT $grpSel
+      |      CAST(('0x' || substr(md5(sh), 1, 16))::UBIGINT % $m AS BIGINT) AS h1,
+      |      CAST(('0x' || substr(md5(sh), 17, 16))::UBIGINT % $m AS BIGINT) AS h2
+      |    FROM (SELECT DISTINCT $grpSel sh FROM ($src)))
+      |  CROSS JOIN range($k) r(i))""".stripMargin
+
+  /** Packed-word replay over [[bloomPositionsSql]]: (grpSel..., w, lo,
+    * hi) with each 64-bit word as two nonnegative 32-bit halves —
+    * `1 << 63` is an overflow error in portable integer SQL, so the
+    * contract never constructs the sign bit (`Bloom.wordHalves` is the
+    * Spark side of the same split). bit_or over BIGINT stays BIGINT
+    * (no HUGEINT promotion — rule 1 audited).
+    */
+  private def bloomWordsOracleSql(src: String, m: Long, k: Int,
+      grpSel: String = ""): String = {
+    val grpBy = if (grpSel.isEmpty) "1" else "1, 2"
+    s"""WITH ep AS MATERIALIZED ${bloomPositionsSql(src, m, k, grpSel)}
+      |SELECT $grpSel CAST(pos // 64 AS BIGINT) AS w,
+      |  bit_or(CASE WHEN pos % 64 < 32
+      |    THEN (1::BIGINT << (pos % 64)) ELSE 0::BIGINT END) AS lo,
+      |  bit_or(CASE WHEN pos % 64 >= 32
+      |    THEN (1::BIGINT << (pos % 64 - 32)) ELSE 0::BIGINT END) AS hi
+      |FROM ep GROUP BY $grpBy""".stripMargin
+  }
+
   /** The %13 documents slice with ids offset and text truncated to its
     * first ceil(mulNum·n/den) tokens (addDen = den−1 implements the
     * ceiling) — THE one prefix-truncation recipe behind the
@@ -2166,6 +2205,76 @@ object SparkEntry {
         docs.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
         docs.where(col("doc_id") % 50 === 0), "text", n = 5,
         bitsPerShingle = 10, numHashes = 7)
+    },
+    // Bloom membership filter as a first-class word frame (the fourth
+    // sketch leg: membership, after CMS cells / HLL registers / the
+    // rank-sketch summary): the eval slice's 5-shingles double-hashed
+    // (Kirsch-Mitzenmacher, one md5 per key) into a fixed 65536-bit
+    // space, packed words exposed as nonnegative 32-bit halves (lo/hi)
+    // because portable integer SQL cannot construct the sign bit
+    // (1 << 63 overflows ANSI engines; rule-1 pure-integer contract
+    // preserved by the split). The words ARE the sketch - mergeable,
+    // persistable - and DuckDB rebuilds them bit for bit. Null text
+    // shingles to no keys on either side (rule 10; the shared
+    // shingle-policy alignment documented at shingleOccurrencesSql).
+    "q_bloom_bits" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "documents").where(col("doc_id") % 50 === 0)
+        .select(explode(
+          graft.ops.TextOps.wordShingles(col("text"), 5)).as("sh"))
+      graft.ops.Bloom.wordHalves(
+        graft.ops.Bloom.build(ev, "sh", numBits = 65536, numHashes = 7))
+    },
+    // Bloom merge semantics end to end: build over the even-id and
+    // odd-id halves of the eval slice SEPARATELY, OR-merge the word
+    // frames - the result must equal the one-shot build (the oracle),
+    // which is the per-day/per-shard filter composition a persisted
+    // membership artifact exists for. Null doc_id is in neither slice
+    // and not in the oracle's source (explicit rule-10 policy, the
+    // q_hll_merge pattern).
+    "q_bloom_merge" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      def sh(docs: org.apache.spark.sql.DataFrame) = docs
+        .select(explode(
+          graft.ops.TextOps.wordShingles(col("text"), 5)).as("sh"))
+      val ev = t(dir, "documents").where(col("doc_id") % 50 === 0)
+      val even = graft.ops.Bloom.build(
+        sh(ev.where(col("doc_id") % 2 === 0)), "sh", 65536, 7)
+      val odd = graft.ops.Bloom.build(
+        sh(ev.where(!(col("doc_id") % 2 === 0))), "sh", 65536, 7)
+      graft.ops.Bloom.wordHalves(graft.ops.Bloom.merge(even, odd))
+    },
+    // Membership verdicts INCLUDING the filter's false positives: a
+    // deliberately tight 4096-bit / k=3 filter over the eval shingles,
+    // probed with every distinct 5-shingle in the corpus (439 members,
+    // ~23.6k non-members at sf0.01, ~2% deterministic false positives)
+    // - the FP set is part of the contract because the positions are
+    // engine-replayable, so the hash check proves probe semantics on
+    // hits, misses, AND collisions. Verdicts are per DISTINCT non-null
+    // key (rule 10: null text shingles to no keys on either side).
+    "q_bloom_probe" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      def sh(d: org.apache.spark.sql.DataFrame) = d
+        .select(explode(
+          graft.ops.TextOps.wordShingles(col("text"), 5)).as("sh"))
+      val filt = graft.ops.Bloom.build(
+        sh(docs.where(col("doc_id") % 50 === 0)), "sh", 4096, 3)
+      graft.ops.Bloom.mightContain(filt, sh(docs), "sh", 4096, 3)
+    },
+    // One filter PER GROUP in one aggregation (lang here): the grouped
+    // twin of q_bloom_bits - (lang, w, lo, hi), <= groups x m/64 rows,
+    // groups never collected. NULL group values are retained as their
+    // own group on both sides (Spark groupBy == DuckDB GROUP BY,
+    // rule 10).
+    "q_bloom_grouped" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "documents").where(col("doc_id") % 50 === 0)
+        .select(col("lang"), explode(
+          graft.ops.TextOps.wordShingles(col("text"), 5)).as("sh"))
+      graft.ops.Bloom.wordHalves(
+        graft.ops.Bloom.buildGrouped(ev, "sh", Seq("lang"), 65536, 7),
+        Seq("lang"))
     },
     // Fuzzy decontamination: exact 3-gram Jaccard of every train doc
     // against its best-matching eval doc (eval = the doc_id % 97 slice,
@@ -5608,6 +5717,41 @@ object SparkEntry {
         |  coalesce(h.n_hits, 0) >= 1 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    // The word frame of the eval slice's Bloom filter, bit for bit
+    // (m = 65536, k = 7 — fixed geometry: a merged filter's modulus
+    // cannot be data-derived).
+    "q_bloom_bits" -> bloomWordsOracleSql(
+      s"SELECT ${shingleRowsSql(5)} AS sh FROM documents WHERE doc_id % 50 = 0",
+      65536, 7),
+    // OR-merge of the even/odd halves == the one-shot build: bitwise
+    // OR is associative and idempotent, so the oracle IS the one-shot
+    // word replay (same helper, same slice — rule 5).
+    "q_bloom_merge" -> bloomWordsOracleSql(
+      s"SELECT ${shingleRowsSql(5)} AS sh FROM documents WHERE doc_id % 50 = 0",
+      65536, 7),
+    // Membership verdicts per distinct corpus shingle against the
+    // tight 4096-bit/k=3 eval filter: a shingle is contained iff EVERY
+    // one of its distinct positions is set by some eval shingle
+    // (double-hashed positions can self-collide, so compare against
+    // the distinct-position count — the q_bloom_decontaminate lesson).
+    // False positives replay exactly: they are position collisions,
+    // and positions are pure integer arithmetic.
+    "q_bloom_probe" ->
+      s"""WITH ep AS MATERIALIZED ${bloomPositionsSql(
+           s"SELECT ${shingleRowsSql(5)} AS sh FROM documents WHERE doc_id % 50 = 0",
+           4096, 3)},
+        |prp AS MATERIALIZED ${bloomPositionsSql(
+           s"SELECT ${shingleRowsSql(5)} AS sh FROM documents",
+           4096, 3, grpSel = "sh, ")}
+        |SELECT p.sh, (count(*) = count(ep.pos)) AS contained
+        |FROM prp p LEFT JOIN ep ON p.pos = ep.pos
+        |GROUP BY p.sh""".stripMargin,
+    // Grouped build: one filter per lang in one aggregation — the
+    // grouped twin of q_bloom_bits (NULL lang retained as its own
+    // group on both sides, rule 10).
+    "q_bloom_grouped" -> bloomWordsOracleSql(
+      s"SELECT lang, ${shingleRowsSql(5)} AS sh FROM documents WHERE doc_id % 50 = 0",
+      65536, 7, grpSel = "lang, "),
     "q_fuzzy_decontaminate" ->
       s"""WITH sh AS MATERIALIZED (
         |  SELECT doc_id, ${shingleListSql(3)} AS s

@@ -1,0 +1,259 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter MEMBERSHIP sketch as a first-class packed-word frame —
+  * the fourth member of the mergeable sketch family (frequency =
+  * [[Sketches]]/[[CmsSketch]], cardinality = [[Hll]]/[[HllSketch]],
+  * ranks = [[QuantileSketch]], membership = this + [[BloomSketch]]).
+  *
+  * The filter is a DataFrame of `(w: long, bits: long)` rows — word
+  * index and the 64-bit packed word — holding only NONZERO words, so
+  * the frame is ≤ ceil(m/64) rows at ANY corpus size: geometry-bound,
+  * never corpus-bound, exactly like the HLL register frame. Unlike
+  * [[Curate.decontaminateBloom]]'s broadcast image (built, used, and
+  * discarded inside one operator), the word frame is persistable data:
+  * per-day / per-shard / per-stream filters compose AFTER the fact by
+  * bitwise OR ([[merge]]), and a persisted eval-set filter is probed by
+  * every future ingest batch without rebuilding ([[BloomSketch]] +
+  * [[Curate.decontaminateBloomPrebuilt]]).
+  *
+  * Bit positions are the SAME engine-portable math as
+  * `Curate.bloomImage` (bit-for-bit — interop is spec-pinned):
+  * Kirsch–Mitzenmacher double hashing from ONE md5 per key
+  * (`pos_i = (h1 + i·h2) mod m`, h1/h2 the digest's two unsigned
+  * 8-byte halves mod m — Kirsch & Mitzenmacher 2006 prove the k-hash
+  * FP asymptotics survive this), so an external SQL engine rebuilds the
+  * EXACT filter including its false positives and the gate hash-checks
+  * the words themselves (q_bloom_bits / q_bloom_merge / q_bloom_probe /
+  * q_bloom_grouped). The hash-contract view splits each word into two
+  * nonnegative 32-bit halves (`lo`/`hi`, [[wordHalves]]) because the
+  * sign bit is unreachable by portable integer SQL (`1 << 63` is an
+  * overflow error in ANSI engines); internally words stay packed
+  * 64-bit for JVM interop with the dense `Array[Long]` image.
+  *
+  * Reference context: the reference keeps no reusable membership
+  * artifact at all — its dedup/contains paths rebuild per run (cf. the
+  * eval-set handling the exact paths in `Curate` mirror). This layer is
+  * the repo's own 100-TB design language applied to membership.
+  *
+  * NULL policy (both engines, house rule 10): a NULL key carries no
+  * membership bit — build DROPS null keys, probe emits no row for
+  * them (probe answers are per DISTINCT non-null key). DuckDB oracles
+  * align because `shingleRowsSql` collapses null-text shingle lists to
+  * empty lists before unnest.
+  *
+  * Duplicate-word-row policy: bitwise OR is idempotent and associative,
+  * so a frame formed by UNION of valid word frames (instead of
+  * [[merge]]) is not a corruption the way a unioned HLL register frame
+  * is — every consumer here ([[mightContain]], [[denseWords]],
+  * [[fillRatio]]) first NORMALIZES with `groupBy(w).bit_or(bits)`,
+  * which maps any union of valid frames to exactly the merged filter.
+  * The tiny normalize aggregation (≤ m/64 rows) buys structural
+  * correctness instead of a refusal.
+  */
+object Bloom {
+
+  /** Word-index / packed-word column names (the frame schema) plus the
+    * probe/view output names — refused as group-column names in the
+    * grouped entry points (the [[GroupedQuantileSketch.ReservedNames]]
+    * discipline: a group literally named "w" would be clobbered).
+    */
+  private[ops] val ReservedNames =
+    Set("w", "bits", "lo", "hi", "pos", "contained", "__k")
+
+  /** Geometry bounds shared by every entry point. The 2^36-bit ceiling
+    * matches `Curate.bloomImage`'s implementation ceiling (int word
+    * indexing of the dense image); 64 is one word. k ≤ 16 matches the
+    * double-hashing quality range Curate enforces.
+    */
+  private[ops] def requireGeometry(numBits: Long, numHashes: Int): Unit = {
+    require(numBits >= 64L && numBits <= (1L << 36),
+      s"Bloom: numBits must be in [64, 2^36], got $numBits")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"Bloom: numHashes must be in [1, 16], got $numHashes")
+  }
+
+  /** The k probe positions of one key — the ONE definition of the
+    * position math, used by build and probe here and by
+    * `Curate.bloomImage` (a drifted copy would silently desynchronize
+    * a persisted filter from its probes). Engine side:
+    * `('0x' || substr(md5(key), 1, 16))::UBIGINT % m` and the 17..32
+    * half, then `(h1 + i*h2) % m`.
+    */
+  private[graft] def positions(key: String, m: Long, k: Int): Array[Long] = {
+    val (h1r, h2r) = graft.util.Hashing.md5LongPair(key)
+    val h1 = java.lang.Long.remainderUnsigned(h1r, m)
+    val h2 = java.lang.Long.remainderUnsigned(h2r, m)
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      out(i) = (h1 + i * h2) % m
+      i += 1
+    }
+    out
+  }
+
+  /** Positions as a Column (array<long>) over a string key column. */
+  private def positionsCol(key: Column, m: Long, k: Int): Column = {
+    val u = udf { s: String => if (s == null) null else positions(s, m, k) }
+    u(key)
+  }
+
+  /** Build the word frame over `keyCol` (cast to string). ONE exchange:
+    * positions explode map-side, the (w, bits) partial bit_or combines
+    * map-side, so the shuffle carries ≤ m/64 rows per task regardless
+    * of input size — and input duplicates are free (OR idempotence), so
+    * no distinct-keys shuffle is needed or taken.
+    */
+  def build(df: DataFrame, keyCol: String, numBits: Long,
+      numHashes: Int): DataFrame = {
+    requireGeometry(numBits, numHashes)
+    wordsOf(Dedup.fanOut(df.select(col(keyCol).cast("string").as("__k"))
+        .filter(col("__k").isNotNull)),
+      numBits, numHashes, Seq.empty)
+  }
+
+  /** One filter PER GROUP in one aggregation: `(groupCols..., w, bits)`,
+    * ≤ groups × m/64 rows. Same null/dup policy as [[build]]; NULL
+    * group values are retained as their own group (Spark groupBy
+    * semantics — spelled out because SQL equi-join consumers drop
+    * them, house rule 10).
+    */
+  def buildGrouped(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      numBits: Long, numHashes: Int): DataFrame = {
+    requireGeometry(numBits, numHashes)
+    require(groupCols.nonEmpty, "Bloom.buildGrouped: groupCols is empty - use build")
+    val clash = groupCols.filter(ReservedNames.contains)
+    require(clash.isEmpty,
+      s"Bloom.buildGrouped: group column(s) ${clash.mkString(", ")} collide " +
+        s"with the frame/output columns (${ReservedNames.mkString(", ")}); " +
+        "rename them before building")
+    wordsOf(Dedup.fanOut(df.select(
+        groupCols.map(col) :+ col(keyCol).cast("string").as("__k"): _*)
+        .filter(col("__k").isNotNull)),
+      numBits, numHashes, groupCols)
+  }
+
+  /** Shared build tail: explode the k positions, derive (w, bit) with
+    * codegen'd integer expressions, bit_or by (groupCols..., w).
+    */
+  private def wordsOf(keyed: DataFrame, m: Long, k: Int,
+      groupCols: Seq[String]): DataFrame =
+    keyed
+      .select(groupCols.map(col) :+
+        explode(positionsCol(col("__k"), m, k)).as("pos"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        shiftrightunsigned(col("pos"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("__b")): _*)
+      .groupBy((groupCols :+ "w").map(col): _*)
+      .agg(expr("bit_or(__b)").as("bits"))
+
+  /** OR-merge two word frames (same geometry — enforce it via
+    * [[BloomSketch]], which refuses mismatches; at this layer the
+    * caller owns geometry like the functional [[Sketches]] API).
+    * Summary-bound: ≤ 2·m/64 input rows, one tiny aggregation.
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    normalize(a.select("w", "bits").union(b.select("w", "bits")), Seq.empty)
+
+  /** [[merge]] per group over `(groupCols..., w, bits)` frames. */
+  def mergeGrouped(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val cols = (groupCols ++ Seq("w", "bits")).map(col)
+    normalize(a.select(cols: _*).union(b.select(cols: _*)), groupCols)
+  }
+
+  /** `groupBy(w).bit_or(bits)` — maps any UNION of valid word frames to
+    * the merged filter (see the duplicate-word-row policy above).
+    */
+  private def normalize(words: DataFrame, groupCols: Seq[String]): DataFrame =
+    words.groupBy((groupCols :+ "w").map(col): _*)
+      .agg(expr("bit_or(bits)").as("bits"))
+
+  /** Membership verdicts for the DISTINCT non-null keys of `keyCol`:
+    * `(keyCol, contained)`. Each key's k positions left-join the
+    * normalized word frame on `w` (broadcast when the dense image is
+    * ≤ 2^28 bits = 64 MB of words; plain equi-join above — the frame
+    * is ≤ m/64 rows either way, and at 2^36 bits a 16 GiB broadcast
+    * would be the wrong plan); contained = every position's bit set,
+    * an absent word row meaning "no bits in this word". A double-hash
+    * self-collision just re-checks the same position — `every` over k
+    * verdicts is collision-proof without a distinct.
+    *
+    * False positives are part of the CONTRACT (deterministic, engine-
+    * replayable — the gate hash-checks them); false negatives are
+    * impossible for keys that entered a merged build.
+    */
+  def mightContain(words: DataFrame, keys: DataFrame, keyCol: String,
+      numBits: Long, numHashes: Int): DataFrame = {
+    requireGeometry(numBits, numHashes)
+    val filt = normalize(words.select("w", "bits"), Seq.empty)
+    val filtSized = if (numBits <= (1L << 28)) broadcast(filt) else filt
+    Dedup.fanOut(keys.select(col(keyCol).cast("string").as("__k"))
+        .filter(col("__k").isNotNull))
+      .distinct()
+      .select(col("__k"), explode(positionsCol(col("__k"), numBits, numHashes)).as("pos"))
+      .select(col("__k"),
+        shiftrightunsigned(col("pos"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("__b"))
+      .join(filtSized, Seq("w"), "left")
+      .groupBy("__k")
+      .agg(expr("every(coalesce((bits & __b) = __b, false))").as("contained"))
+      .select(col("__k").as(keyCol), col("contained"))
+  }
+
+  /** Collect a word frame into the dense `Array[Long]` image
+    * `Curate.bloomHits` probes — the bridge from a persisted filter to
+    * the broadcast-probe decontamination path. Driver memory is m/8
+    * bytes, capped by `graft.bloom.maxCollectBits` (default 2^33 =
+    * 1 GiB, the [[Curate]] broadcast budget); out-of-range or
+    * non-normalized word rows refuse here (hand-assembled frames —
+    * this is the one consumer where a bad row would silently corrupt
+    * neighbors instead of just missing a join).
+    */
+  def denseWords(words: DataFrame, numBits: Long): Array[Long] = {
+    val spark = words.sparkSession
+    val cap = graft.util.Conf.long(spark, "graft.bloom.maxCollectBits", 1L << 33)
+    require(numBits <= cap,
+      s"Bloom.denseWords: numBits = $numBits exceeds graft.bloom.maxCollectBits " +
+        s"= $cap - probe with mightContain (join path) or raise the cap")
+    val nWords = ((numBits + 63L) >>> 6).toInt
+    val dense = new Array[Long](nWords)
+    val it = normalize(words.select("w", "bits"), Seq.empty)
+      .toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val w = r.getLong(0)
+      require(w >= 0L && w < nWords,
+        s"Bloom.denseWords: word index $w outside [0, $nWords) for numBits = " +
+          s"$numBits - the frame was not built with this geometry")
+      dense(w.toInt) = r.getLong(1)
+    }
+    dense
+  }
+
+  /** Fraction of set bits (one aggregation over ≤ m/64 rows). The
+    * expected FALSE-POSITIVE rate of the filter as built is
+    * fillRatio^k — cheaper and tighter than the a-priori formula
+    * because it uses the realized fill.
+    */
+  def fillRatio(words: DataFrame, numBits: Long): Double = {
+    require(numBits >= 64L, s"Bloom: numBits must be >= 64, got $numBits")
+    val set = normalize(words.select("w", "bits"), Seq.empty)
+      .agg(coalesce(sum(expr("bit_count(bits)").cast("long")), lit(0L)))
+      .head().getLong(0)
+    set.toDouble / numBits.toDouble
+  }
+
+  /** The hash-contract view of a word frame: the packed word split into
+    * two nonnegative 32-bit halves (`lo` = bits 0–31, `hi` = bits
+    * 32–63) so portable integer SQL can rebuild it without touching
+    * the sign bit. Involutive with `lo | (hi << 32)`.
+    */
+  def wordHalves(words: DataFrame, groupCols: Seq[String] = Seq.empty): DataFrame =
+    words.select(groupCols.map(col) ++ Seq(col("w"),
+      col("bits").bitwiseAND(lit(0xffffffffL)).as("lo"),
+      shiftrightunsigned(col("bits"), 32).as("hi")): _*)
+}

@@ -256,18 +256,61 @@ object Curate {
     require(numHashes >= 1 && numHashes <= 16,
       s"numHashes must be in [1, 16], got $numHashes")
     val spark = train.sparkSession
-    val k = numHashes
     val (bitsArr, m) = bloomImage(evalDocs, evalTextCol, n, bitsPerShingle, numHashes)
     val bc = spark.sparkContext.broadcast(bitsArr)
+    (bloomProbe(train, trainIdCol, trainTextCol, n, minHits, bc, m, numHashes), bc)
+  }
+
+  /** [[decontaminateBloom]] against a PREBUILT, persisted filter
+    * ([[BloomSketch]]) instead of rebuilding the eval image per call —
+    * the cross-snapshot path: build the eval-set filter once
+    * (`BloomSketch.build` over the eval shingles, same `n`), persist
+    * it, probe every future ingest batch at the cost of one m/8-byte
+    * broadcast. Bit positions are the same math on both paths
+    * ([[Bloom.positions]] — spec-pinned identical to this file's
+    * builder), so a sketch-probed batch equals a rebuilt-filter batch
+    * bit for bit WHEN the sketch was built over the same eval shingle
+    * set and `n`.
+    *
+    * PRECONDITION (caller-owned, like every functional-API geometry
+    * contract): the sketch's keys were `n`-word shingles; a mismatched
+    * `n` probes a different shingle space and under-flags. Same
+    * broadcast-lifetime note as [[decontaminateBloomTracked]] — the
+    * returned broadcast is destroyable after materializing the output.
+    */
+  def decontaminateBloomPrebuilt(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      sketch: BloomSketch,
+      n: Int = 8,
+      minHits: Int = 1): (DataFrame, Broadcast[Array[Long]]) = {
+    val bc = train.sparkSession.sparkContext.broadcast(sketch.dense())
+    (bloomProbe(train, trainIdCol, trainTextCol, n, minHits, bc,
+      sketch.numBits, sketch.numHashes), bc)
+  }
+
+  /** Shared probe tail of the bloom decontamination paths: shingle the
+    * train docs, count per-doc shingles whose k positions are all set
+    * in the broadcast image, flag at `minHits`.
+    */
+  private def bloomProbe(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      n: Int,
+      minHits: Int,
+      bc: Broadcast[Array[Long]],
+      m: Long,
+      k: Int): DataFrame = {
     val probe = udf { (shs: Seq[String]) =>
       if (shs == null) 0L else bloomHits(bc.value, m, k, shs)
     }
-    val out = Dedup.fanOut(train.select(col(trainIdCol).cast("long").as("doc_id"),
+    Dedup.fanOut(train.select(col(trainIdCol).cast("long").as("doc_id"),
         col(trainTextCol).as("__t")))
       .select(col("doc_id"), probe(TextOps.wordShingles(col("__t"), n)).as("n_hits"))
       .select(col("doc_id"), col("n_hits"),
         (col("n_hits") >= minHits).as("contaminated"))
-    (out, bc)
   }
 
   /** Distributed Bloom-image build shared by [[decontaminateBloom]] and
@@ -327,12 +370,13 @@ object Curate {
         val local = new java.util.HashMap[Integer, java.lang.Long]()
         while (it.hasNext) {
           val sh = it.next()
-          val (h1r, h2r) = graft.util.Hashing.md5LongPair(sh)
-          val h1 = java.lang.Long.remainderUnsigned(h1r, mm)
-          val h2 = java.lang.Long.remainderUnsigned(h2r, mm)
+          // ONE position definition for build and probe across the
+          // whole membership surface (Bloom.positions) - a drifted
+          // copy would silently desynchronize persisted filters
+          val ps = Bloom.positions(sh, mm, k)
           var i = 0
           while (i < k) {
-            val pos = (h1 + i * h2) % mm
+            val pos = ps(i)
             val w = Integer.valueOf((pos >>> 6).toInt)
             val bit = 1L << (pos & 63L)
             val prev = local.get(w)
@@ -361,13 +405,11 @@ object Curate {
     val it = shs.iterator
     while (it.hasNext) {
       val sh = it.next()
-      val (h1r, h2r) = graft.util.Hashing.md5LongPair(sh)
-      val h1 = java.lang.Long.remainderUnsigned(h1r, m)
-      val h2 = java.lang.Long.remainderUnsigned(h2r, m)
+      val ps = Bloom.positions(sh, m, k) // single-sourced position math
       var i = 0
       var all = true
       while (i < k && all) {
-        val pos = (h1 + i * h2) % m
+        val pos = ps(i)
         if ((arr((pos >>> 6).toInt) & (1L << (pos & 63L))) == 0L) all = false
         i += 1
       }

@@ -137,6 +137,25 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must read only the text column; plan:\n${plan.take(1500)}")
   }
 
+  test("Bloom build is one map-side-combined aggregation: a single hash " +
+    "Exchange carrying <= m/64 packed words, scan reads only the text column") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val keys = docs.select(explode(
+      graft.ops.TextOps.wordShingles(col("text"), 5)).as("sh"))
+    val words = graft.ops.Bloom.build(keys, "sh", 65536L, 7)
+    words.write.format("noop").mode("overwrite").save()
+    val plan = words.queryExecution.executedPlan.toString
+    // positions explode map-side, (w, bits) partials bit_or-combine
+    // map-side, so the one hash shuffle is word-bounded, never
+    // key-bounded — the geometry-bound 100-TB posture, plan-pinned
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected one hash Exchange; plan:\n${plan.take(1500)}")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregation; plan:\n${plan.take(1500)}")
+    assert(plan.contains("ReadSchema: struct<text:string>"),
+      s"scan must read only the text column; plan:\n${plan.take(1500)}")
+  }
+
   test("percentileFilterDouble's band predicate reaches the parquet scan as " +
     "pushed filters (plain double comparisons after driver-side inversion)") {
     val events = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
