@@ -689,7 +689,7 @@ def main() -> None:
         assert wsd.where("isnan(value)").count() == 0
         print("round-20 grouped/streaming rank-sketch bindings ok")
 
-        # round 16: Bloom membership word frames + geometry-safe handle
+        # round-20 wave 6: Bloom membership word frames + geometry-safe handle
         bw = gops.bloom_build(items, "k", 4096, 3)
         assert set(c for c, _ in bw.dtypes) == {"w", "bits"}
         assert bw.count() <= 64
@@ -708,7 +708,7 @@ def main() -> None:
         assert bsk2.num_bits == 4096 and bsk2.num_hashes == 3
         assert bsk2.might_contain(items, "k").where("NOT contained").count() == 0
         assert bsk2.fpr_estimate() < 1.0
-        print("round-16 bloom membership bindings ok")
+        print("round-20 bloom membership bindings ok")
 
         print("SMOKE TEST PASSED")
     finally:

@@ -4,7 +4,7 @@ import graft.ops.{Bloom, BloomSketch, Curate}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Round-16 additions: Bloom membership filter as a packed-word frame —
+/** Round-20 wave-6 additions: Bloom membership filter as a packed-word frame —
   * portable position arithmetic (pinned against an independent JVM
   * re-computation and DuckDB-derived constants), no-false-negative and
   * realized-FPR behavior, merge/union/grouped semantics, the
@@ -39,7 +39,7 @@ class BloomSpec extends SparkSpec {
       assert(Bloom.positions(key, m, 7).toSeq == expectedPositions(key, m, 7),
         s"positions drifted for $key at m=$m")
     }
-    // constants computed in DuckDB (round 16):
+    // constants computed in DuckDB (round 20):
     //   ('0x'||substr(md5('x'),1,16))::UBIGINT % 4096 = 52
     //   ('0x'||substr(md5('x'),17,16))::UBIGINT % 4096 = 1958
     assert(Bloom.positions("x", 4096L, 3).toSeq == Seq(52L, 2010L, 3968L))
@@ -124,6 +124,27 @@ class BloomSpec extends SparkSpec {
       Bloom.buildGrouped(even, "k", Seq("g"), m, 3), Seq("g"))
     assert(merged.exceptAll(grouped).count() == 0 &&
       grouped.exceptAll(merged).count() == 0)
+  }
+
+  test("streaming build: incremental bit_or aggregation equals the batch " +
+    "words (per-stream filter state is the word frame itself)") {
+    val all = ((1 to 300).map(i => s"tok${i % 41}") ++
+      (1 to 200).map(i => s"tok${i % 83}")).toDF("k")
+    val m = 2048L
+    val full = Bloom.build(all, "k", m, 5)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val words = Bloom.build(stream.toDS().toDF("k"), "k", m, 5)
+    val query = words.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData((1 to 300).map(i => s"tok${i % 41}"): _*)
+      query.processAllAvailable()
+      stream.addData((1 to 200).map(i => s"tok${i % 83}"): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("bloom_stream")
+      assertSameWords(streamed.select("w", "bits"), full)
+    } finally query.stop()
   }
 
   test("null keys carry no membership bit: dropped at build, no verdict " +
