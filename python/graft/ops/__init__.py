@@ -87,6 +87,7 @@ __all__ = [
     "bloom_merge",
     "bloom_merge_grouped",
     "bloom_might_contain",
+    "bloom_might_contain_grouped",
     "bloom_fill_ratio",
     "BloomSketchHandle",
     "quantiles_exact_pct",
@@ -1113,6 +1114,24 @@ def bloom_might_contain(
     that structural."""
     return _wrap(keys, _jvm(keys).graft.ops.Bloom.mightContain(
         words._jdf, keys._jdf, key_col, int(num_bits), int(num_hashes)))
+
+
+def bloom_might_contain_grouped(
+    words: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: List[str],
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Per-group membership verdicts (group..., key, contained): each
+    distinct (group, key) pair probes ITS group's filter in one
+    null-safe join (a NULL group probes the NULL group's filter; a
+    group with no filter is False). One call instead of a per-group
+    loop."""
+    return _wrap(keys, _jvm(keys).graft.ops.Bloom.mightContainGrouped(
+        words._jdf, keys._jdf, key_col, _to_seq(keys, list(group_cols)),
+        int(num_bits), int(num_hashes)))
 
 
 def bloom_fill_ratio(words: DataFrame, num_bits: int) -> float:

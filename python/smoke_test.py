@@ -701,6 +701,10 @@ def main() -> None:
         gb = gops.bloom_build_grouped(
             items.withColumn("grp", F.length("k") % 2), "k", ["grp"], 4096, 3)
         assert gops.bloom_merge_grouped(gb, gb, ["grp"]).count() == gb.count()
+        gv = gops.bloom_might_contain_grouped(
+            gb, items.withColumn("grp", F.length("k") % 2), "k", ["grp"],
+            4096, 3)
+        assert gv.where("NOT contained").count() == 0  # members of own group
         bsk = gops.BloomSketchHandle.build(items, "k", 4096, 3)
         bloom_dir = tempfile.mkdtemp(prefix="bloom_py")
         bsk.write(bloom_dir + "/f")

@@ -2262,6 +2262,23 @@ object SparkEntry {
         sh(docs.where(col("doc_id") % 50 === 0)), "sh", 4096, 3)
       graft.ops.Bloom.mightContain(filt, sh(docs), "sh", 4096, 3)
     },
+    // Per-group probe: each (lang, shingle) pair against ITS lang's
+    // eval filter in one null-safe join (a NULL-lang doc probes the
+    // NULL-lang filter - Spark <=> == DuckDB IS NOT DISTINCT FROM,
+    // rule 10; a lang with no filter is contained=false). Tight
+    // 4096-bit geometry so per-lang false positives are exercised and
+    // replayed.
+    "q_bloom_probe_grouped" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      def langSh(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("lang"), explode(
+          graft.ops.TextOps.wordShingles(col("text"), 5)).as("sh"))
+      val filt = graft.ops.Bloom.buildGrouped(
+        langSh(docs.where(col("doc_id") % 50 === 0)), "sh", Seq("lang"), 4096, 3)
+      graft.ops.Bloom.mightContainGrouped(
+        filt, langSh(docs), "sh", Seq("lang"), 4096, 3)
+    },
     // One filter PER GROUP in one aggregation (lang here): the grouped
     // twin of q_bloom_bits - (lang, w, lo, hi), <= groups x m/64 rows,
     // groups never collected. NULL group values are retained as their
@@ -5746,6 +5763,21 @@ object SparkEntry {
         |SELECT p.sh, (count(*) = count(ep.pos)) AS contained
         |FROM prp p LEFT JOIN ep ON p.pos = ep.pos
         |GROUP BY p.sh""".stripMargin,
+    // Per-group probe verdicts: positions join their lang's filter
+    // NULL-SAFELY (IS NOT DISTINCT FROM == Spark's <=>, rule 10), so
+    // null-lang docs probe the null-lang filter; a lang with no eval
+    // filter left-joins nothing and counts zero matches.
+    "q_bloom_probe_grouped" ->
+      s"""WITH ep AS MATERIALIZED ${bloomPositionsSql(
+           s"SELECT lang, ${shingleRowsSql(5)} AS sh FROM documents WHERE doc_id % 50 = 0",
+           4096, 3, grpSel = "lang, ")},
+        |prp AS MATERIALIZED ${bloomPositionsSql(
+           s"SELECT lang, ${shingleRowsSql(5)} AS sh FROM documents",
+           4096, 3, grpSel = "lang, sh, ")}
+        |SELECT p.lang, p.sh, (count(*) = count(ep.pos)) AS contained
+        |FROM prp p LEFT JOIN ep
+        |  ON p.pos = ep.pos AND p.lang IS NOT DISTINCT FROM ep.lang
+        |GROUP BY p.lang, p.sh""".stripMargin,
     // Grouped build: one filter per lang in one aggregation — the
     // grouped twin of q_bloom_bits (NULL lang retained as its own
     // group on both sides, rule 10).

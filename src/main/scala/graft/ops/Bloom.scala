@@ -61,7 +61,29 @@ object Bloom {
     * discipline: a group literally named "w" would be clobbered).
     */
   private[ops] val ReservedNames =
-    Set("w", "bits", "lo", "hi", "pos", "contained", "__k")
+    Set("w", "bits", "lo", "hi", "pos", "contained", "__k", "__b")
+
+  /** Scalar consumers require a frame of EXACTLY (w, bits); grouped
+    * consumers exactly (groupCols..., w, bits). A GROUPED frame fed to
+    * a scalar entry point would silently OR-collapse every group into
+    * the union filter — mathematically well-defined, but a probe meant
+    * against ONE group's filter then answers "in ANY group", the
+    * plausible-but-wrong class this codebase refuses everywhere
+    * (the Hll.estimate grouped-frame refusal is the same guard for the
+    * non-idempotent case). Schema-only check: no job is run.
+    */
+  private def requireWordFrame(df: DataFrame, groupCols: Seq[String],
+      site: String): Unit = {
+    val expected = (groupCols ++ Seq("w", "bits")).toSet
+    val got = df.columns.toSet
+    require(got == expected,
+      s"Bloom.$site: expected a word frame with columns " +
+        s"(${(groupCols ++ Seq("w", "bits")).mkString(", ")}), got " +
+        s"(${df.columns.mkString(", ")}). A grouped frame must go through " +
+        "the grouped entry points (or filter to one group and drop the " +
+        "group columns) - silently collapsing groups would answer " +
+        "membership in ANY group's filter.")
+  }
 
   /** Geometry bounds shared by every entry point. The 2^36-bit ceiling
     * matches `Curate.bloomImage`'s implementation ceiling (int word
@@ -155,12 +177,17 @@ object Bloom {
     * caller owns geometry like the functional [[Sketches]] API).
     * Summary-bound: ≤ 2·m/64 input rows, one tiny aggregation.
     */
-  def merge(a: DataFrame, b: DataFrame): DataFrame =
+  def merge(a: DataFrame, b: DataFrame): DataFrame = {
+    requireWordFrame(a, Seq.empty, "merge")
+    requireWordFrame(b, Seq.empty, "merge")
     normalize(a.select("w", "bits").union(b.select("w", "bits")), Seq.empty)
+  }
 
   /** [[merge]] per group over `(groupCols..., w, bits)` frames. */
   def mergeGrouped(a: DataFrame, b: DataFrame,
       groupCols: Seq[String]): DataFrame = {
+    requireWordFrame(a, groupCols, "mergeGrouped")
+    requireWordFrame(b, groupCols, "mergeGrouped")
     val cols = (groupCols ++ Seq("w", "bits")).map(col)
     normalize(a.select(cols: _*).union(b.select(cols: _*)), groupCols)
   }
@@ -189,6 +216,10 @@ object Bloom {
   def mightContain(words: DataFrame, keys: DataFrame, keyCol: String,
       numBits: Long, numHashes: Int): DataFrame = {
     requireGeometry(numBits, numHashes)
+    requireWordFrame(words, Seq.empty, "mightContain")
+    require(keyCol != "contained",
+      "Bloom.mightContain: keyCol 'contained' collides with the verdict " +
+        "output column; rename the key column first")
     val filt = normalize(words.select("w", "bits"), Seq.empty)
     val filtSized = if (numBits <= (1L << 28)) broadcast(filt) else filt
     Dedup.fanOut(keys.select(col(keyCol).cast("string").as("__k"))
@@ -204,6 +235,58 @@ object Bloom {
       .select(col("__k").as(keyCol), col("contained"))
   }
 
+  /** [[mightContain]] per group: verdicts for the DISTINCT non-null
+    * keys of each (groupCols..., key) pair against THAT group's
+    * filter — `(groupCols..., keyCol, contained)`. Per-language eval
+    * filters probed in one join instead of a per-group loop; a pair
+    * whose group has no filter at all is `contained = false` (no words
+    * to match), the same semantics as probing an empty filter.
+    *
+    * Two deliberate mechanics (house rules 10 and 13): group columns
+    * join NULL-SAFELY (`<=>`), so a NULL group's keys probe the NULL
+    * group's filter instead of silently false-negating — Spark
+    * equi-joins drop NULL keys; and the filter side's columns are
+    * RENAMED before the join, because words and keys routinely derive
+    * from the same projection and attribute-to-attribute conditions on
+    * shared exprIds degenerate into a self-join.
+    */
+  def mightContainGrouped(words: DataFrame, keys: DataFrame, keyCol: String,
+      groupCols: Seq[String], numBits: Long, numHashes: Int): DataFrame = {
+    requireGeometry(numBits, numHashes)
+    require(groupCols.nonEmpty,
+      "Bloom.mightContainGrouped: groupCols is empty - use mightContain")
+    requireWordFrame(words, groupCols, "mightContainGrouped")
+    val clash = groupCols.filter(ReservedNames.contains)
+    require(clash.isEmpty,
+      s"Bloom.mightContainGrouped: group column(s) ${clash.mkString(", ")} " +
+        s"collide with the frame/output columns (${ReservedNames.mkString(", ")})")
+    require(keyCol != "contained" && !groupCols.contains("contained"),
+      "Bloom.mightContainGrouped: a column named 'contained' collides with " +
+        "the verdict output column; rename it first")
+    val filt = normalize(
+        words.select((groupCols ++ Seq("w", "bits")).map(col): _*), groupCols)
+      .select(groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"__fg$i") } ++
+        Seq(col("w").as("__fw"), col("bits")): _*)
+    val filtSized = if (numBits <= (1L << 28)) broadcast(filt) else filt
+    val probes = Dedup.fanOut(keys.select(
+        groupCols.map(col) :+ col(keyCol).cast("string").as("__k"): _*)
+        .filter(col("__k").isNotNull))
+      .distinct()
+      .select(groupCols.map(col) ++ Seq(col("__k"),
+        explode(positionsCol(col("__k"), numBits, numHashes)).as("pos")): _*)
+      .select(groupCols.map(col) ++ Seq(col("__k"),
+        shiftrightunsigned(col("pos"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("__b")): _*)
+    val joinCond = groupCols.zipWithIndex
+      .map { case (g, i) => probes(g) <=> filt(s"__fg$i") }
+      .reduce(_ && _) && (probes("w") === filt("__fw"))
+    probes.join(filtSized, joinCond, "left")
+      .groupBy((groupCols :+ "__k").map(probes(_)): _*)
+      .agg(expr("every(coalesce((bits & __b) = __b, false))").as("contained"))
+      .select(groupCols.map(col) ++
+        Seq(col("__k").as(keyCol), col("contained")): _*)
+  }
+
   /** Collect a word frame into the dense `Array[Long]` image
     * `Curate.bloomHits` probes — the bridge from a persisted filter to
     * the broadcast-probe decontamination path. Driver memory is m/8
@@ -214,6 +297,7 @@ object Bloom {
     * neighbors instead of just missing a join).
     */
   def denseWords(words: DataFrame, numBits: Long): Array[Long] = {
+    requireWordFrame(words, Seq.empty, "denseWords")
     val spark = words.sparkSession
     val cap = graft.util.Conf.long(spark, "graft.bloom.maxCollectBits", 1L << 33)
     require(numBits <= cap,
@@ -240,6 +324,7 @@ object Bloom {
     * because it uses the realized fill.
     */
   def fillRatio(words: DataFrame, numBits: Long): Double = {
+    requireWordFrame(words, Seq.empty, "fillRatio")
     require(numBits >= 64L, s"Bloom: numBits must be >= 64, got $numBits")
     val set = normalize(words.select("w", "bits"), Seq.empty)
       .agg(coalesce(sum(expr("bit_count(bits)").cast("long")), lit(0L)))
@@ -252,8 +337,10 @@ object Bloom {
     * 32–63) so portable integer SQL can rebuild it without touching
     * the sign bit. Involutive with `lo | (hi << 32)`.
     */
-  def wordHalves(words: DataFrame, groupCols: Seq[String] = Seq.empty): DataFrame =
+  def wordHalves(words: DataFrame, groupCols: Seq[String] = Seq.empty): DataFrame = {
+    requireWordFrame(words, groupCols, "wordHalves")
     words.select(groupCols.map(col) ++ Seq(col("w"),
       col("bits").bitwiseAND(lit(0xffffffffL)).as("lo"),
       shiftrightunsigned(col("bits"), 32).as("hi")): _*)
+  }
 }

@@ -147,6 +147,39 @@ class BloomSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mightContainGrouped equals per-group scalar probes exactly, " +
+    "null groups probe the null group's filter, filterless groups are false") {
+    val build = Seq(
+      ("en", "one"), ("en", "two"), ("de", "eins"),
+      (null.asInstanceOf[String], "nul-a")).toDF("g", "k")
+    val m = 1024L
+    val grouped = Bloom.buildGrouped(build, "k", Seq("g"), m, 3)
+    val probeKeys = Seq(
+      ("en", "one"), ("en", "eins"), ("de", "eins"), ("de", "two"),
+      (null.asInstanceOf[String], "nul-a"), (null.asInstanceOf[String], "one"),
+      ("fr", "one") // no fr filter exists
+    ).toDF("g", "k")
+    val got = Bloom.mightContainGrouped(grouped, probeKeys, "k", Seq("g"), m, 3)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getBoolean(2)))
+      .toSet
+    // expected: per-group scalar probes (null-safe group semantics)
+    val expected = Seq(Option("en"), Option("de"), None, Option("fr")).flatMap { g =>
+      val gWords = grouped.filter(g.map(col("g") === _).getOrElse(col("g").isNull))
+        .select("w", "bits")
+      val gKeys = probeKeys.filter(g.map(col("g") === _).getOrElse(col("g").isNull))
+      if (gKeys.isEmpty) Seq.empty
+      else Bloom.mightContain(gWords, gKeys, "k", m, 3)
+        .collect().map(r => (g, r.getString(0), r.getBoolean(1)))
+    }.toSet
+    assert(got == expected)
+    // spot semantics: members true, cross-group misses and filterless
+    // groups false (m is large enough here that no FP lands on these)
+    assert(got.contains((Option("en"), "one", true)))
+    assert(got.contains((None, "nul-a", true)))
+    assert(got.contains((Option("fr"), "one", false)))
+    assert(got.contains((Option("de"), "two", false)))
+  }
+
   test("null keys carry no membership bit: dropped at build, no verdict " +
     "row at probe") {
     val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("k")
@@ -232,9 +265,30 @@ class BloomSpec extends SparkSpec {
     spark.conf.set("graft.bloom.maxCollectBits", "512")
     try {
       val e2 = intercept[IllegalArgumentException](
-        Bloom.denseWords(keysDf(Seq("x")), 1024L))
+        Bloom.denseWords(foreign, 1024L))
       assert(e2.getMessage.contains("maxCollectBits"))
     } finally spark.conf.unset("graft.bloom.maxCollectBits")
+  }
+
+  test("scalar consumers refuse grouped (or otherwise non-word) frames " +
+    "instead of OR-collapsing groups into the union filter") {
+    val df = Seq(("en", "one"), ("de", "eins")).toDF("g", "k")
+    val grouped = Bloom.buildGrouped(df, "k", Seq("g"), 1024L, 3)
+    for ((name, call) <- Seq[(String, DataFrame => Any)](
+      ("merge", g => Bloom.merge(g, g)),
+      ("mightContain", g => Bloom.mightContain(g, df, "k", 1024L, 3)),
+      ("fillRatio", g => Bloom.fillRatio(g, 1024L)),
+      ("denseWords", g => Bloom.denseWords(g, 1024L)),
+      ("wordHalves", g => Bloom.wordHalves(g)))) {
+      val e = intercept[IllegalArgumentException](call(grouped))
+      assert(e.getMessage.contains("grouped entry points"), s"$name: $e")
+    }
+    // the keyCol/verdict collision refuses instead of emitting two
+    // 'contained' columns
+    val words = Bloom.build(df, "k", 1024L, 3)
+    val e2 = intercept[IllegalArgumentException](Bloom.mightContain(
+      words, df.withColumnRenamed("k", "contained"), "contained", 1024L, 3))
+    assert(e2.getMessage.contains("rename"))
   }
 
   test("decontaminateBloomPrebuilt == decontaminateBloom row for row when " +
