@@ -89,7 +89,9 @@ __all__ = [
     "bloom_might_contain",
     "bloom_might_contain_grouped",
     "bloom_fill_ratio",
+    "bloom_fill_ratio_grouped",
     "BloomSketchHandle",
+    "GroupedBloomSketchHandle",
     "quantiles_exact_pct",
     "quantiles_exact_pct_double",
     "quantiles_exact_pct_weighted",
@@ -1196,6 +1198,92 @@ class BloomSketchHandle:
 
     def write(self, path: str) -> None:
         self._spark.sparkContext._jvm.graft.ops.BloomSketch.write(self._j, path)
+
+
+def bloom_fill_ratio_grouped(
+    words: DataFrame, group_cols: List[str], num_bits: int
+) -> DataFrame:
+    """Per-group fill ratios (group..., fill) over a grouped word
+    frame; a group's expected FP rate is fill ** num_hashes."""
+    return _wrap(words, _jvm(words).graft.ops.Bloom.fillRatioGrouped(
+        words._jdf, _to_seq(words, list(group_cols)), int(num_bits)))
+
+
+class GroupedBloomSketchHandle:
+    """Geometry-safe PER-GROUP Bloom filter handle (wraps the JVM
+    ``graft.ops.GroupedBloomSketch``): one filter per stratum in one
+    word frame, with the stratification part of the geometry. Rollups
+    are EXACT (OR of subgroup filters == filter of the union):
+    ``regroup`` / ``to_global`` equal direct builds bit for bit."""
+
+    def __init__(self, jsketch, spark):
+        self._j = jsketch
+        self._spark = spark
+
+    @staticmethod
+    def build(
+        items: DataFrame,
+        key_col: str,
+        group_cols: List[str],
+        num_bits: int,
+        num_hashes: int = 7,
+    ) -> "GroupedBloomSketchHandle":
+        j = _jvm(items).graft.ops.GroupedBloomSketch.build(
+            items._jdf, key_col, _to_seq(items, list(group_cols)),
+            int(num_bits), int(num_hashes))
+        return GroupedBloomSketchHandle(j, items.sparkSession)
+
+    @staticmethod
+    def read(spark, path: str) -> "GroupedBloomSketchHandle":
+        jvm = spark.sparkContext._jvm
+        return GroupedBloomSketchHandle(
+            jvm.graft.ops.GroupedBloomSketch.read(spark._jsparkSession, path),
+            spark)
+
+    @property
+    def words(self) -> DataFrame:
+        return DataFrame(self._j.words(), self._spark)
+
+    @property
+    def group_cols(self) -> List[str]:
+        # a Scala Seq is not a Java collection: index it through py4j
+        gc = self._j.groupCols()
+        return [gc.apply(i) for i in range(gc.length())]
+
+    @property
+    def num_bits(self) -> int:
+        return int(self._j.numBits())
+
+    @property
+    def num_hashes(self) -> int:
+        return int(self._j.numHashes())
+
+    def might_contain(self, keys: DataFrame, key_col: str) -> DataFrame:
+        return DataFrame(self._j.mightContain(keys._jdf, key_col), self._spark)
+
+    def merge(self, other: "GroupedBloomSketchHandle") -> "GroupedBloomSketchHandle":
+        return GroupedBloomSketchHandle(self._j.merge(other._j), self._spark)
+
+    def regroup(
+        self, names: List[str], exprs: List[str]
+    ) -> "GroupedBloomSketchHandle":
+        """Re-stratify to coarser groups via SQL expressions over the
+        current group columns (exact — see class doc)."""
+        return GroupedBloomSketchHandle(
+            self._j.regroupExpr(
+                _to_seq_session(self._spark, list(names)),
+                _to_seq_session(self._spark, list(exprs))),
+            self._spark)
+
+    def to_global(self) -> "BloomSketchHandle":
+        return BloomSketchHandle(self._j.toGlobal(), self._spark)
+
+    def fill_ratios(self) -> DataFrame:
+        return DataFrame(self._j.fillRatios(), self._spark)
+
+    def write(self, path: str) -> None:
+        self._spark.sparkContext._jvm.graft.ops.GroupedBloomSketch.write(
+            self._j, path)
 
 
 def quantiles_exact_pct(

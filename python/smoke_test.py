@@ -705,6 +705,18 @@ def main() -> None:
             gb, items.withColumn("grp", F.length("k") % 2), "k", ["grp"],
             4096, 3)
         assert gv.where("NOT contained").count() == 0  # members of own group
+        gbs = gops.GroupedBloomSketchHandle.build(
+            items.withColumn("grp", F.length("k") % 2), "k", ["grp"], 4096, 3)
+        assert gbs.group_cols == ["grp"]
+        assert gbs.fill_ratios().count() == gbs.words.select("grp").distinct().count()
+        glob = gbs.to_global()
+        assert glob.might_contain(items, "k").where("NOT contained").count() == 0
+        one = gbs.regroup(["bucket"], ["grp % 1"])  # computed coarse group
+        assert one.words.select("bucket").distinct().count() == 1
+        gb_dir = tempfile.mkdtemp(prefix="gbloom_py")
+        gbs.write(gb_dir + "/f")
+        gbs2 = gops.GroupedBloomSketchHandle.read(spark, gb_dir + "/f")
+        assert gbs2.num_bits == 4096 and gbs2.group_cols == ["grp"]
         bsk = gops.BloomSketchHandle.build(items, "k", 4096, 3)
         bloom_dir = tempfile.mkdtemp(prefix="bloom_py")
         bsk.write(bloom_dir + "/f")

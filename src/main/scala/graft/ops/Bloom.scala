@@ -61,7 +61,7 @@ object Bloom {
     * discipline: a group literally named "w" would be clobbered).
     */
   private[ops] val ReservedNames =
-    Set("w", "bits", "lo", "hi", "pos", "contained", "__k", "__b")
+    Set("w", "bits", "lo", "hi", "pos", "contained", "fill", "__k", "__b")
 
   /** Scalar consumers require a frame of EXACTLY (w, bits); grouped
     * consumers exactly (groupCols..., w, bits). A GROUPED frame fed to
@@ -330,6 +330,25 @@ object Bloom {
       .agg(coalesce(sum(expr("bit_count(bits)").cast("long")), lit(0L)))
       .head().getLong(0)
     set.toDouble / numBits.toDouble
+  }
+
+  /** Per-group [[fillRatio]]: `(groupCols..., fill)` in one pass over
+    * the ≤ groups × m/64-row frame. A group's expected FP rate is
+    * fill^k — the saturation audit for per-group filters (a small
+    * group's filter at a shared m is near-empty; a huge group's may
+    * saturate — this is where that shows up).
+    */
+  def fillRatioGrouped(words: DataFrame, groupCols: Seq[String],
+      numBits: Long): DataFrame = {
+    require(groupCols.nonEmpty,
+      "Bloom.fillRatioGrouped: groupCols is empty - use fillRatio")
+    requireWordFrame(words, groupCols, "fillRatioGrouped")
+    require(numBits >= 64L, s"Bloom: numBits must be >= 64, got $numBits")
+    normalize(words.select((groupCols ++ Seq("w", "bits")).map(col): _*),
+        groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg((coalesce(sum(expr("bit_count(bits)").cast("long")), lit(0L)) /
+        lit(numBits.toDouble)).as("fill"))
   }
 
   /** The hash-contract view of a word frame: the packed word split into

@@ -266,26 +266,12 @@ object GroupedQuantileSketch {
   private[ops] val ReservedNames = Set("rk", "value", "n", "pct", "k",
     "le_est", "__rn", "__n", "__sg", "__cnt")
 
-  /** Digest columns canonicalized to environment-independent forms
-    * (r20 review): timestamp string forms depend on the session
-    * timezone and float/double string forms on the JVM formatter — a
-    * sketch written in one session could be refused as corrupted in
-    * another. Timestamps digest as unix_millis, floats as their
-    * sortable-bits longs; everything else as its string form.
+  /** Digest columns canonicalized to environment-independent forms —
+    * the shared [[SketchIo.canonicalDigest]] (hoisted there r20 wave 6
+    * so every grouped handle canonicalizes identically).
     */
-  private def canonical(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
-        unix_millis(col(c).cast("timestamp"))
-      case org.apache.spark.sql.types.DoubleType |
-           org.apache.spark.sql.types.FloatType =>
-        graft.functions.SortableBits.sortable(col(c))
-      case _ => col(c)
-    }
-
   private def canonicalDigest(df: DataFrame, cols: Seq[String]): Long =
-    SketchIo.xorDigestCols(df, cols.map(canonical(df, _)))
+    SketchIo.canonicalDigest(df, cols)
 
   private def requireArgs(items: DataFrame, groupCols: Seq[String],
       s: Int): Unit = {

@@ -40,6 +40,29 @@ private[ops] object SketchIo {
       .agg(coalesce(expr("bit_xor(__d)"), lit(0L))).head().getLong(0)
   }
 
+  /** Digest column canonicalized to an environment-independent form
+    * (r20 review; hoisted from GroupedQuantileSketch for the grouped
+    * handles generally): timestamp string forms depend on the session
+    * timezone and float/double string forms on the JVM formatter — a
+    * sketch written in one session could be refused as corrupted in
+    * another. Timestamps digest as unix_millis, floats as their
+    * sortable-bits longs; everything else as its string form.
+    */
+  def canonicalCol(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_millis(col(c).cast("timestamp"))
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        graft.functions.SortableBits.sortable(col(c))
+      case _ => col(c)
+    }
+
+  /** [[xorDigestCols]] over [[canonicalCol]]-canonicalized columns. */
+  def canonicalDigest(df: DataFrame, cols: Seq[String]): Long =
+    xorDigestCols(df, cols.map(canonicalCol(df, _)))
+
   def writeFile(spark: SparkSession, dir: String, name: String,
       content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, name)

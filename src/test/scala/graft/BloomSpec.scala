@@ -291,6 +291,64 @@ class BloomSpec extends SparkSpec {
     assert(e2.getMessage.contains("rename"))
   }
 
+  test("GroupedBloomSketch: exact rollups (regroup == direct coarse build, " +
+    "toGlobal == direct scalar build), per-group fills, roundtrip with a " +
+    "double group column, refusals") {
+    import graft.ops.GroupedBloomSketch
+    // fine strata: (lang, bucket) with bucket a DOUBLE (exercises the
+    // canonicalized digest on the group column)
+    val rows = (1 to 200).map { i =>
+      (if (i % 2 == 0) "en" else "de", (i % 4).toDouble / 2.0, s"key-$i")
+    }.toDF("lang", "bucket", "k")
+    val m = 2048L
+    val fine = GroupedBloomSketch.build(rows, "k", Seq("lang", "bucket"), m, 5)
+    // regroup to lang == direct build grouped by lang, bit for bit
+    val coarse = fine.regroup(Seq("lang" -> col("lang")))
+    val direct = Bloom.buildGrouped(rows, "k", Seq("lang"), m, 5)
+    assert(coarse.words.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(coarse.words).count() == 0)
+    // toGlobal == direct scalar build, bit for bit
+    val global = fine.toGlobal
+    assertSameWords(global.words, Bloom.build(rows, "k", m, 5))
+    assert(global.numBits == m && global.numHashes == 5)
+    // per-group fills match the scalar fillRatio of each group's filter
+    val fills = coarse.fillRatios().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (g <- Seq("en", "de")) {
+      val scalar = Bloom.fillRatio(
+        direct.filter(col("lang") === g).select("w", "bits"), m)
+      assert(math.abs(fills(g) - scalar) < 1e-12, s"fill mismatch for $g")
+    }
+    // roundtrip: geometry + stratification + verdicts survive; the
+    // double group column digests environment-independently (shared
+    // SketchIo.canonicalDigest)
+    val dir = java.nio.file.Files.createTempDirectory("gbloom").toString
+    GroupedBloomSketch.write(fine, s"$dir/f")
+    val back = GroupedBloomSketch.read(spark, s"$dir/f")
+    assert(back.groupCols == Seq("lang", "bucket") && back.numBits == m)
+    val vA = fine.mightContain(rows, "k").orderBy("lang", "bucket", "k").collect().toSeq
+    val vB = back.mightContain(rows, "k").orderBy("lang", "bucket", "k").collect().toSeq
+    assert(vA == vB && vA.forall(_.getBoolean(3)))
+    // refusals: stratification mismatch, duplicate/reserved regroup names
+    val other = GroupedBloomSketch.build(rows, "k", Seq("lang"), m, 5)
+    val e1 = intercept[IllegalArgumentException](fine.merge(other))
+    assert(e1.getMessage.contains("geometry mismatch"))
+    val e2 = intercept[IllegalArgumentException](
+      fine.regroup(Seq("w" -> col("lang"))))
+    assert(e2.getMessage.contains("collide"))
+    // corruption refusal
+    val words = spark.read.parquet(s"$dir/f/words")
+    words.withColumn("bits", col("bits").bitwiseXOR(lit(2L)))
+      .write.mode("overwrite").parquet(s"$dir/g/words")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/f/gbloom.json")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/f/gbloom.json"),
+      new org.apache.hadoop.fs.Path(s"$dir/g/gbloom.json"))
+    val e3 = intercept[IllegalArgumentException](
+      GroupedBloomSketch.read(spark, s"$dir/g"))
+    assert(e3.getMessage.contains("digest mismatch"))
+  }
+
   test("decontaminateBloomPrebuilt == decontaminateBloom row for row when " +
     "the sketch holds the same eval shingles (position math single-sourced)") {
     val docs = Seq(
