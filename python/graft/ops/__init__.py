@@ -92,6 +92,8 @@ __all__ = [
     "bloom_fill_ratio_grouped",
     "BloomSketchHandle",
     "GroupedBloomSketchHandle",
+    "stream_bloom_windowed_words",
+    "stream_bloom_from_window_words",
     "quantiles_exact_pct",
     "quantiles_exact_pct_double",
     "quantiles_exact_pct_weighted",
@@ -1624,6 +1626,37 @@ class GroupedQuantileSketchHandle:
     def write(self, path: str) -> None:
         self._spark.sparkContext._jvm.graft.ops.GroupedQuantileSketch.write(
             self._j, path)
+
+
+def stream_bloom_windowed_words(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_duration: str,
+    watermark: str,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Per-event-time-window Bloom word frames (windowStartMs,
+    windowEndMs, w, bits) from a watermarked stream — a declarative
+    windowed bit_or aggregation, state <= m/64 word rows per open
+    window at any stream volume; each window emits once on watermark
+    close-out. Works on batch frames too (same plan, no watermark)."""
+    return _wrap(events, _jvm(events).graft.streaming.StreamBloom.windowedWords(
+        events._jdf, ts_col, key_col, window_duration, watermark,
+        int(num_bits), int(num_hashes)))
+
+
+def stream_bloom_from_window_words(
+    words: DataFrame, num_bits: int, num_hashes: int
+) -> "GroupedBloomSketchHandle":
+    """Rebuild the per-window GroupedBloomSketchHandle from a sink of
+    ``stream_bloom_windowed_words`` emissions — duplicates OR-collapse,
+    so restarted-query re-emissions are harmless; ``regroup``/
+    ``to_global`` then roll windows up exactly."""
+    j = _jvm(words).graft.streaming.StreamBloom.fromWindowWords(
+        words._jdf, int(num_bits), int(num_hashes))
+    return GroupedBloomSketchHandle(j, words.sparkSession)
 
 
 def stream_rank_sketch_windowed(

@@ -717,6 +717,16 @@ def main() -> None:
         gbs.write(gb_dir + "/f")
         gbs2 = gops.GroupedBloomSketchHandle.read(spark, gb_dir + "/f")
         assert gbs2.num_bits == 4096 and gbs2.group_cols == ["grp"]
+        ww = gops.stream_bloom_windowed_words(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+                .selectExpr("ts", "CAST(event_id AS STRING) AS k")
+                .where("ts IS NOT NULL"),
+            "ts", "k", "1 day", "1 hour", 4096, 3)
+        assert set(c for c, _ in ww.dtypes) == \
+            {"windowStartMs", "windowEndMs", "w", "bits"}
+        wwh = gops.stream_bloom_from_window_words(ww, 4096, 3)
+        assert wwh.to_global().might_contain(
+            spark.createDataFrame([("1",)], ["k"]), "k").count() == 1
         bsk = gops.BloomSketchHandle.build(items, "k", 4096, 3)
         bloom_dir = tempfile.mkdtemp(prefix="bloom_py")
         bsk.write(bloom_dir + "/f")

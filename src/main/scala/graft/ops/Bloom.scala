@@ -90,7 +90,7 @@ object Bloom {
     * indexing of the dense image); 64 is one word. k ≤ 16 matches the
     * double-hashing quality range Curate enforces.
     */
-  private[ops] def requireGeometry(numBits: Long, numHashes: Int): Unit = {
+  private[graft] def requireGeometry(numBits: Long, numHashes: Int): Unit = {
     require(numBits >= 64L && numBits <= (1L << 36),
       s"Bloom: numBits must be in [64, 2^36], got $numBits")
     require(numHashes >= 1 && numHashes <= 16,
@@ -118,7 +118,7 @@ object Bloom {
   }
 
   /** Positions as a Column (array<long>) over a string key column. */
-  private def positionsCol(key: Column, m: Long, k: Int): Column = {
+  private[graft] def positionsCol(key: Column, m: Long, k: Int): Column = {
     val u = udf { s: String => if (s == null) null else positions(s, m, k) }
     u(key)
   }

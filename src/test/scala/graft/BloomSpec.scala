@@ -180,6 +180,62 @@ class BloomSpec extends SparkSpec {
     assert(got.contains((Option("de"), "two", false)))
   }
 
+  test("windowed streaming words: NTZ stream == batch == per-window direct " +
+    "builds; late rows dropped; sink rebuild + rollup exact") {
+    import graft.streaming.StreamBloom
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.time.LocalDateTime.of(2026, 2, 1, 0, 0)
+    // two 10-minute windows of keys, epoch-aligned (base is on the hour)
+    val rows = Seq.tabulate(60)(i => (base.plusMinutes(i % 18), s"key-$i"))
+    val m = 2048L
+    val batchDf = rows.toDF("ts", "k")
+    assert(batchDf.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val batch = StreamBloom.windowedWords(batchDf, "ts", "k",
+      "10 minutes", "5 minutes", m, 3)
+    // batch == per-window direct builds
+    val starts = batch.select("windowStartMs").distinct().as[Long].collect().sorted
+    assert(starts.length == 2)
+    for (ws <- starts) {
+      val winKeys = rows.filter { case (t, _) =>
+        val ms = t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        ms >= ws && ms < ws + 600000L
+      }.map(_._2)
+      assertSameWords(
+        batch.filter(col("windowStartMs") === ws).select("w", "bits"),
+        Bloom.build(winKeys.toDF("k"), "k", m, 3))
+    }
+    // streaming (NTZ source): emitted windows equal the batch ones
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (java.time.LocalDateTime, String)]
+    val out = StreamBloom.windowedWords(mem.toDS().toDF("ts", "k"),
+      "ts", "k", "10 minutes", "5 minutes", m, 3)
+    val q = out.writeStream.format("memory").queryName("bloom_windowed")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // sweep the watermark far past both windows, then try a LATE row
+      // into the first window - it must not re-emit or alter anything
+      mem.addData((base.plusMinutes(600), "sweep-1"))
+      q.processAllAvailable()
+      mem.addData((base.plusMinutes(1), "late-straggler"))
+      mem.addData((base.plusMinutes(700), "sweep-2"))
+      q.processAllAvailable()
+      val emitted = spark.table("bloom_windowed")
+        .filter(col("windowStartMs").isin(starts.map(Long.box): _*))
+      assert(emitted.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(emitted).count() == 0,
+        "streamed windows differ from batch (or the late row leaked in)")
+      // sink rebuild: duplicates collapse; rollup to global is exact
+      val rebuilt = StreamBloom.fromWindowWords(
+        emitted.union(emitted.limit(3)), m, 3) // duplicate emission rows
+      assert(rebuilt.groupCols == Seq("windowStartMs", "windowEndMs"))
+      assertSameWords(rebuilt.toGlobal.words,
+        Bloom.build(rows.map(_._2).toDF("k"), "k", m, 3))
+    } finally q.stop()
+  }
+
   test("null keys carry no membership bit: dropped at build, no verdict " +
     "row at probe") {
     val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("k")
