@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * FP asymptotics survive this), so an external SQL engine rebuilds the
   * EXACT filter including its false positives and the gate hash-checks
   * the words themselves (q_bloom_bits / q_bloom_merge / q_bloom_probe /
-  * q_bloom_grouped). The hash-contract view splits each word into two
+  * q_bloom_grouped / q_bloom_probe_grouped — build, merge, scalar and
+  * per-group probe verdicts all replay). The hash-contract view splits
+  * each word into two
   * nonnegative 32-bit halves (`lo`/`hi`, [[wordHalves]]) because the
   * sign bit is unreachable by portable integer SQL (`1 << 63` is an
   * overflow error in ANSI engines); internally words stay packed
@@ -74,6 +76,14 @@ object Bloom {
     */
   private def requireWordFrame(df: DataFrame, groupCols: Seq[String],
       site: String): Unit = {
+    // reserved-name clash first: groupCols=["bits"] would otherwise
+    // PASS the set comparison below against a scalar (w, bits) frame
+    // and then be clobbered by the normalize aggregation
+    val clash = groupCols.filter(ReservedNames.contains)
+    require(clash.isEmpty,
+      s"Bloom.$site: group column(s) ${clash.mkString(", ")} collide with " +
+        s"the frame/output columns (${ReservedNames.mkString(", ")}); " +
+        "rename them first")
     val expected = (groupCols ++ Seq("w", "bits")).toSet
     val got = df.columns.toSet
     require(got == expected,
@@ -84,6 +94,21 @@ object Bloom {
         "group columns) - silently collapsing groups would answer " +
         "membership in ANY group's filter.")
   }
+
+  /** The probe/collect consumers compose `distinct()` + an aggregation
+    * (+ a join): on a STREAMING frame that plans multiple stateful
+    * operators and fails deep in the engine with an error that names
+    * neither this API nor the fix — refuse at the door instead.
+    * Streaming BUILDS are supported (complete-mode [[build]], windowed
+    * [[graft.streaming.StreamBloom]]); probes belong in foreachBatch.
+    */
+  private def requireBatch(df: DataFrame, what: String, site: String): Unit =
+    require(!df.isStreaming,
+      s"Bloom.$site: the $what frame is streaming - probe/collect paths " +
+        "compose distinct + join + aggregation and cannot run as one " +
+        "streaming query. Probe inside foreachBatch (per micro-batch), or " +
+        "build windowed filters with StreamBloom.windowedWords and probe " +
+        "the rebuilt handle.")
 
   /** Geometry bounds shared by every entry point. The 2^36-bit ceiling
     * matches `Curate.bloomImage`'s implementation ceiling (int word
@@ -217,6 +242,8 @@ object Bloom {
       numBits: Long, numHashes: Int): DataFrame = {
     requireGeometry(numBits, numHashes)
     requireWordFrame(words, Seq.empty, "mightContain")
+    requireBatch(keys, "keys", "mightContain")
+    requireBatch(words, "word", "mightContain")
     require(keyCol != "contained",
       "Bloom.mightContain: keyCol 'contained' collides with the verdict " +
         "output column; rename the key column first")
@@ -256,11 +283,9 @@ object Bloom {
     require(groupCols.nonEmpty,
       "Bloom.mightContainGrouped: groupCols is empty - use mightContain")
     requireWordFrame(words, groupCols, "mightContainGrouped")
-    val clash = groupCols.filter(ReservedNames.contains)
-    require(clash.isEmpty,
-      s"Bloom.mightContainGrouped: group column(s) ${clash.mkString(", ")} " +
-        s"collide with the frame/output columns (${ReservedNames.mkString(", ")})")
-    require(keyCol != "contained" && !groupCols.contains("contained"),
+    requireBatch(keys, "keys", "mightContainGrouped")
+    requireBatch(words, "word", "mightContainGrouped")
+    require(keyCol != "contained",
       "Bloom.mightContainGrouped: a column named 'contained' collides with " +
         "the verdict output column; rename it first")
     val filt = normalize(
@@ -298,6 +323,7 @@ object Bloom {
     */
   def denseWords(words: DataFrame, numBits: Long): Array[Long] = {
     requireWordFrame(words, Seq.empty, "denseWords")
+    requireBatch(words, "word", "denseWords")
     val spark = words.sparkSession
     val cap = graft.util.Conf.long(spark, "graft.bloom.maxCollectBits", 1L << 33)
     require(numBits <= cap,

@@ -345,6 +345,19 @@ class BloomSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](Bloom.mightContain(
       words, df.withColumnRenamed("k", "contained"), "contained", 1024L, 3))
     assert(e2.getMessage.contains("rename"))
+    // groupCols naming a frame column would pass a naive schema-set
+    // comparison against a SCALAR frame and then be clobbered by the
+    // normalize aggregation - the clash check fires first
+    val e3 = intercept[IllegalArgumentException](
+      Bloom.fillRatioGrouped(words, Seq("bits"), 1024L))
+    assert(e3.getMessage.contains("collide"))
+    // streaming keys refuse with the foreachBatch redirect instead of a
+    // deep multiple-stateful-operator engine error
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val e4 = intercept[IllegalArgumentException](Bloom.mightContain(
+      words, mem.toDS().toDF("k"), "k", 1024L, 3))
+    assert(e4.getMessage.contains("foreachBatch"))
   }
 
   test("GroupedBloomSketch: exact rollups (regroup == direct coarse build, " +
