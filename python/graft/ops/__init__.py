@@ -71,6 +71,9 @@ __all__ = [
     "cms_heavy_hitters_exact",
     "cms_local_top_candidates",
     "cms_top_k_exact",
+    "cms_build_grouped",
+    "cms_merge_grouped",
+    "cms_estimate_grouped",
     "CmsSketchHandle",
     "hll_build",
     "hll_build_grouped",
@@ -846,6 +849,52 @@ def cms_top_k_exact(
     return a silently-approximate list. Returns (key, cnt, rank)."""
     return _wrap(items, _jvm(items).graft.ops.Sketches.topKExact(
         items._jdf, key_col, int(k), int(m)))
+
+
+def cms_build_grouped(
+    items: DataFrame,
+    key_col: str,
+    group_cols: List[str],
+    depth: int,
+    width: int,
+    seed: str,
+    weight_col: Optional[str] = None,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """One CMS per group in one aggregation: (group..., r, bucket, cnt),
+    <= groups x depth*width rows — per-language/per-day frequency
+    sketches without a per-group loop. Null groups retained."""
+    jvm = _jvm(items)
+    return _wrap(items, jvm.graft.ops.Sketches.buildGrouped(
+        items._jdf, key_col, _to_seq(items, list(group_cols)), int(depth),
+        int(width), seed, jvm.scala.Option.apply(weight_col),
+        bool(portable_hash)))
+
+
+def cms_merge_grouped(
+    a: DataFrame, b: DataFrame, group_cols: List[str]
+) -> DataFrame:
+    """Cell-sum merge per group (same depth/width/seed on both sides)."""
+    return _wrap(a, _jvm(a).graft.ops.Sketches.mergeGrouped(
+        a._jdf, b._jdf, _to_seq(a, list(group_cols))))
+
+
+def cms_estimate_grouped(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: List[str],
+    depth: int,
+    width: int,
+    seed: str,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """One-sided point estimates per (group, key) pair against THAT
+    group's sketch (null-safe group join; a group with no sketch
+    estimates 0). Returns (group..., key, est)."""
+    return _wrap(keys, _jvm(keys).graft.ops.Sketches.estimateGrouped(
+        sketch._jdf, keys._jdf, key_col, _to_seq(keys, list(group_cols)),
+        int(depth), int(width), seed, bool(portable_hash)))
 
 
 class CmsSketchHandle:

@@ -727,6 +727,16 @@ def main() -> None:
         wwh = gops.stream_bloom_from_window_words(ww, 4096, 3)
         assert wwh.to_global().might_contain(
             spark.createDataFrame([("1",)], ["k"]), "k").count() == 1
+        gc = gops.cms_build_grouped(
+            items.withColumn("grp", F.length("k") % 2), "k", ["grp"],
+            3, 64, "pygcms")
+        ge2 = gops.cms_estimate_grouped(
+            gc, items.withColumn("grp", F.length("k") % 2), "k", ["grp"],
+            3, 64, "pygcms")
+        exact2 = items.withColumn("grp", F.length("k") % 2) \
+            .groupBy("grp", "k").count()
+        assert ge2.join(exact2, ["grp", "k"]).where("est < count").count() == 0
+        assert gops.cms_merge_grouped(gc, gc, ["grp"]).count() == gc.count()
         bsk = gops.BloomSketchHandle.build(items, "k", 4096, 3)
         bloom_dir = tempfile.mkdtemp(prefix="bloom_py")
         bsk.write(bloom_dir + "/f")

@@ -1842,6 +1842,24 @@ object SparkEntry {
     // (est ≥ true count, no false negatives) hash-check exactly — at
     // these parameters the output holds all 54 true ≥40 bigrams plus a
     // small collision-added tail, the sketch behavior under test.
+    // Grouped CMS: one sketch PER LANG in one aggregation (the grouped
+    // twin of q_cms_heavy, completing the grouped forms across the
+    // sketch family), probed per (lang, bigram) pair against ITS lang's
+    // cells via a null-safe join. Same md5 cell replay; per-lang
+    // threshold 15 keeps true heavy bigrams plus the sketch's
+    // deterministic collision tail.
+    "q_cms_heavy_grouped" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val items = t(dir, "documents")
+        .select(col("lang"), explode(
+          graft.ops.TextOps.wordShingleOccurrences(col("text"), 2)).as("k"))
+        .where(col("k") =!= "")
+      val sk = graft.ops.Sketches.buildGrouped(
+        items, "k", Seq("lang"), depth = 4, width = 2048, seed = "cms16g")
+      graft.ops.Sketches.estimateGrouped(
+          sk, items, "k", Seq("lang"), depth = 4, width = 2048, seed = "cms16g")
+        .where(col("est") >= 15)
+    },
     "q_cms_heavy" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val items = t(dir, "documents")
@@ -4895,6 +4913,32 @@ object SparkEntry {
         |JOIN sza la ON la.doc_id = id_a
         |JOIN szb lb ON lb.doc_id = id_b
         |WHERE inter * 100 >= 50 * (la.len + lb.len - inter)""".stripMargin,
+    // Per-lang CMS replay: the q_cms_heavy cell scheme with lang carried
+    // through build and probe; the probe joins its lang's cells
+    // null-safely (IS NOT DISTINCT FROM == Spark's <=>, rule 10).
+    "q_cms_heavy_grouped" ->
+      s"""WITH occ AS (
+        |  SELECT lang, k FROM (
+        |    SELECT lang, unnest(${shingleOccurrencesSql(2)}) AS k FROM documents)
+        |  WHERE k <> ''),
+        |cells AS (
+        |  SELECT lang, r,
+        |    CAST(('0x' || substr(md5('cms16g:' || r::VARCHAR || ':' || k), 1, 8))::UBIGINT
+        |      % 2048 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM occ CROSS JOIN range(4) t(r) GROUP BY 1, 2, 3),
+        |kb AS (
+        |  SELECT lang, k, r,
+        |    CAST(('0x' || substr(md5('cms16g:' || r::VARCHAR || ':' || k), 1, 8))::UBIGINT
+        |      % 2048 AS BIGINT) AS bucket
+        |  FROM (SELECT DISTINCT lang, k FROM occ) CROSS JOIN range(4) t(r))
+        |SELECT lang, k, est FROM (
+        |  SELECT kb.lang, kb.k, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+        |  FROM kb LEFT JOIN cells
+        |    ON kb.r = cells.r AND kb.bucket = cells.bucket
+        |    AND kb.lang IS NOT DISTINCT FROM cells.lang
+        |  GROUP BY 1, 2)
+        |WHERE est >= 15""".stripMargin,
     // Bit-for-bit CMS replay: same md5 cell scheme ('cms13:r:key' first 8
     // hex % 2048), same depth-4 min — pure integer arithmetic throughout.
     "q_cms_heavy" ->

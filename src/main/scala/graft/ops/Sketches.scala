@@ -136,6 +136,122 @@ object Sketches {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
 
+  /** Cell/output names the grouped entry points own — refused as group
+    * column names (the [[Bloom.ReservedNames]] discipline: a group
+    * literally named "r" would be clobbered by the cell projection).
+    */
+  private[ops] val GroupedReservedNames =
+    Set("r", "bucket", "cnt", "est", "rb", "__k", "__w")
+
+  private def requireGroupCols(groupCols: Seq[String], site: String): Unit = {
+    require(groupCols.nonEmpty,
+      s"Sketches.$site: groupCols is empty - use the ungrouped form")
+    val clash = groupCols.filter(GroupedReservedNames.contains)
+    require(clash.isEmpty,
+      s"Sketches.$site: group column(s) ${clash.mkString(", ")} collide " +
+        s"with the cell/output columns (${GroupedReservedNames.mkString(", ")}); " +
+        "rename them first")
+  }
+
+  /** One CMS PER GROUP in one aggregation: `(groupCols..., r, bucket,
+    * cnt)`, ≤ groups × depth·width rows — per-language / per-day
+    * frequency sketches without a per-group loop (the grouped twin of
+    * [[build]], completing the grouped forms across the sketch family:
+    * HLL registers, Bloom words, rank summaries, now CMS cells). Same
+    * null/weight policy as [[build]]; NULL group values are retained as
+    * their own group (rule 10 — SQL equi-join consumers drop them, so
+    * [[estimateGrouped]] joins null-safely). The depth·width cell cap
+    * is per GROUP; the frame itself is groups× that — probe-side plans
+    * join rather than unconditionally broadcasting for exactly this
+    * reason.
+    */
+  def buildGrouped(
+      items: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      depth: Int,
+      width: Int,
+      seed: String,
+      weightCol: Option[String] = None,
+      portableHash: Boolean = true): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    requireGroupCols(groupCols, "buildGrouped")
+    requireCellCap(items.sparkSession, depth, width, "buildGrouped")
+    val w = weightCol.map(c => col(c)).getOrElse(lit(1L)).cast("long")
+    val wChecked =
+      if (weightCol.isEmpty) col("__w")
+      else when(col("__w") >= 0L, col("__w")).otherwise(raise_error(concat(
+        lit("Sketches.buildGrouped: negative weight "), col("__w").cast("string"),
+        lit(" - cell sums must be monotone for the one-sided CMS estimate " +
+          "guarantee; aggregate retractions upstream or subtract two sketches"))))
+    Dedup.fanOut(items.select(
+        groupCols.map(col) ++ Seq(col(keyCol).as("__k"), w.as("__w")): _*))
+      .where(col("__k").isNotNull && col("__w").isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        bucketPairs(col("__k"), depth, width, seed, portableHash).as("rb"),
+        wChecked.as("__w")): _*)
+      .groupBy(groupCols.map(col) ++
+        Seq(col("rb.r").as("r"), col("rb.bucket").as("bucket")): _*)
+      .agg(sum("__w").as("cnt"))
+  }
+
+  /** [[merge]] per group over `(groupCols..., r, bucket, cnt)` frames. */
+  def mergeGrouped(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    requireGroupCols(groupCols, "mergeGrouped")
+    a.unionByName(b)
+      .groupBy((groupCols ++ Seq("r", "bucket")).map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Point estimates per (group, key) pair against THAT group's sketch:
+    * `(groupCols..., keyCol, est)` for the distinct non-null-key pairs
+    * of `keys` — one null-safe join instead of a per-group loop (`<=>`:
+    * a plain equi-join would silently drop every null-group pair,
+    * rule 10; the sketch side's columns are renamed before joining, the
+    * shared-lineage self-join trap). A pair whose group has no sketch
+    * at all estimates 0, consistent with [[estimate]]'s never-touched
+    * cells. Unlike [[estimate]], the sketch side is NOT unconditionally
+    * broadcast (it is groups × depth·width rows); AQE picks the join
+    * strategy from its actual size.
+    */
+  def estimateGrouped(
+      sketch: DataFrame,
+      keys: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      depth: Int,
+      width: Int,
+      seed: String,
+      portableHash: Boolean = true): DataFrame = {
+    requireGroupCols(groupCols, "estimateGrouped")
+    require(!GroupedReservedNames.contains(keyCol),
+      s"estimateGrouped: keyCol '$keyCol' collides with a cell/output " +
+        s"column (${GroupedReservedNames.mkString(", ")}) - rename it first")
+    require(!groupCols.contains(keyCol),
+      s"estimateGrouped: keyCol '$keyCol' is also a group column - a key " +
+        "cannot stratify itself; rename one of them")
+    requireCellCap(keys.sparkSession, depth, width, "estimateGrouped")
+    val sk = sketch
+      .select(groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"__sg$i") } ++
+        Seq(col("r").as("__sr"), col("bucket").as("__sb"), col("cnt")): _*)
+    val kb = keys
+      .select(groupCols.map(col) :+ col(keyCol): _*)
+      .where(col(keyCol).isNotNull).distinct()
+      .select(groupCols.map(col) ++ Seq(col(keyCol),
+        bucketPairs(col(keyCol), depth, width, seed, portableHash).as("rb")): _*)
+      .select(groupCols.map(col) ++ Seq(col(keyCol),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket")): _*)
+    val joinCond = groupCols.zipWithIndex
+      .map { case (g, i) => kb(g) <=> sk(s"__sg$i") }
+      .reduce(_ && _) && (kb("r") === sk("__sr")) && (kb("bucket") === sk("__sb"))
+    kb.join(sk, joinCond, "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy((groupCols :+ keyCol).map(kb(_)): _*)
+      .agg(min("cnt").as("est"))
+  }
+
   /** Point-estimate counts for a key frame against a built sketch:
     * est = min over the depth cells the key hashes to (0 for never-touched
     * cells). The sketch side (≤ depth·width rows) broadcasts, so probing

@@ -163,6 +163,53 @@ class SketchOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
   }
 
+  test("grouped CMS equals per-group scalar sketches exactly; null group " +
+    "retained; sketchless groups estimate 0; grouped merge; refusals") {
+    val rows = (1 to 400).map { i =>
+      (if (i % 3 == 0) null else if (i % 2 == 0) "en" else "de", s"tok-${i % 23}")
+    }.toDF("g", "k")
+    val (d, wd, seed) = (3, 64, "gcms")
+    val grouped = Sketches.buildGrouped(rows, "k", Seq("g"), d, wd, seed)
+    for (g <- Seq(Some("en"), Some("de"), None)) {
+      val slice = rows.filter(g.map(col("g") === _).getOrElse(col("g").isNull))
+      val scalar = Sketches.build(slice, "k", d, wd, seed)
+      val got = grouped.filter(g.map(col("g") === _).getOrElse(col("g").isNull))
+        .select("r", "bucket", "cnt")
+      assert(got.exceptAll(scalar).count() == 0 &&
+        scalar.exceptAll(got).count() == 0, s"cells differ for group $g")
+      // grouped estimates == per-group scalar estimates (incl. null group)
+      val gotEst = Sketches.estimateGrouped(grouped, slice, "k", Seq("g"),
+          d, wd, seed)
+        .select(col("k"), col("est"))
+      val wantEst = Sketches.estimate(scalar, slice, "k", d, wd, seed)
+      assert(gotEst.exceptAll(wantEst).count() == 0 &&
+        wantEst.exceptAll(gotEst).count() == 0, s"estimates differ for $g")
+    }
+    // a pair whose group has no sketch estimates 0 (empty-filter analogy)
+    val foreign = Seq(("fr", "tok-1")).toDF("g", "k")
+    val est0 = Sketches.estimateGrouped(grouped, foreign, "k", Seq("g"),
+      d, wd, seed)
+    assert(est0.head().getLong(2) == 0L)
+    // grouped merge of disjoint halves == one-shot grouped build
+    val h1 = rows.filter(length(col("k")) % 2 === 0)
+    val h2 = rows.filter(length(col("k")) % 2 === 1)
+    val merged = Sketches.mergeGrouped(
+      Sketches.buildGrouped(h1, "k", Seq("g"), d, wd, seed),
+      Sketches.buildGrouped(h2, "k", Seq("g"), d, wd, seed), Seq("g"))
+    assert(merged.exceptAll(grouped).count() == 0 &&
+      grouped.exceptAll(merged).count() == 0)
+    // refusals: reserved group name, key-as-group, empty groups
+    val e1 = intercept[IllegalArgumentException](
+      Sketches.buildGrouped(rows.withColumn("r", lit(1)), "k", Seq("r"), d, wd, seed))
+    assert(e1.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException](
+      Sketches.estimateGrouped(grouped, rows, "g", Seq("g"), d, wd, seed))
+    assert(e2.getMessage.contains("stratify"))
+    val e3 = intercept[IllegalArgumentException](
+      Sketches.buildGrouped(rows, "k", Seq.empty, d, wd, seed))
+    assert(e3.getMessage.contains("ungrouped"))
+  }
+
   test("jaccardJoin equals brute force exactly (no missed pair, no extra)") {
     for (pct <- Seq(40, 60, 85)) {
       val got = SetSimJoin.jaccardJoin(simCorpus, "doc_id", "text",
