@@ -75,6 +75,8 @@ __all__ = [
     "cms_merge_grouped",
     "cms_estimate_grouped",
     "CmsSketchHandle",
+    "GroupedCmsSketchHandle",
+    "GroupedHllSketchHandle",
     "hll_build",
     "hll_build_grouped",
     "hll_merge",
@@ -958,6 +960,61 @@ class CmsSketchHandle:
         self._spark.sparkContext._jvm.graft.ops.CmsSketch.write(self._j, path)
 
 
+class GroupedCmsSketchHandle:
+    """Geometry-safe PER-GROUP count-min sketch handle (wraps the JVM
+    ``graft.ops.GroupedCmsSketch``): one cell grid per stratum; the
+    stratification is part of the geometry, merge refuses mismatches,
+    persistence validates a canonicalized digest + cell range checks."""
+
+    def __init__(self, jsketch, spark):
+        self._j = jsketch
+        self._spark = spark
+
+    @staticmethod
+    def build(
+        items: DataFrame,
+        key_col: str,
+        group_cols: List[str],
+        depth: int,
+        width: int,
+        seed: str,
+        weight_col: Optional[str] = None,
+        portable_hash: bool = True,
+    ) -> "GroupedCmsSketchHandle":
+        jvm = _jvm(items)
+        j = jvm.graft.ops.GroupedCmsSketch.build(
+            items._jdf, key_col, _to_seq(items, list(group_cols)),
+            int(depth), int(width), seed, jvm.scala.Option.apply(weight_col),
+            bool(portable_hash))
+        return GroupedCmsSketchHandle(j, items.sparkSession)
+
+    @staticmethod
+    def read(spark, path: str) -> "GroupedCmsSketchHandle":
+        jvm = spark.sparkContext._jvm
+        return GroupedCmsSketchHandle(
+            jvm.graft.ops.GroupedCmsSketch.read(spark._jsparkSession, path),
+            spark)
+
+    @property
+    def cells(self) -> DataFrame:
+        return DataFrame(self._j.cells(), self._spark)
+
+    @property
+    def group_cols(self) -> List[str]:
+        gc = self._j.groupCols()
+        return [gc.apply(i) for i in range(gc.length())]
+
+    def estimates(self, keys: DataFrame, key_col: str) -> DataFrame:
+        return DataFrame(self._j.estimates(keys._jdf, key_col), self._spark)
+
+    def merge(self, other: "GroupedCmsSketchHandle") -> "GroupedCmsSketchHandle":
+        return GroupedCmsSketchHandle(self._j.merge(other._j), self._spark)
+
+    def write(self, path: str) -> None:
+        self._spark.sparkContext._jvm.graft.ops.GroupedCmsSketch.write(
+            self._j, path)
+
+
 def hll_build(
     items: DataFrame,
     key_col: str,
@@ -1104,6 +1161,68 @@ def hll_intersect_estimate_grouped(
     compound per group exactly as in ``hll_intersect_estimate``."""
     return _wrap(a, _jvm(a).graft.ops.Hll.intersectEstimateGrouped(
         a._jdf, b._jdf, _to_seq(a, list(group_cols)), int(p)))
+
+
+class GroupedHllSketchHandle:
+    """Geometry-safe PER-GROUP HyperLogLog handle (wraps the JVM
+    ``graft.ops.GroupedHllSketch``): one register set per stratum;
+    per-group estimates and cross-snapshot overlap in one call, merge
+    refuses geometry/stratification drift, persistence validates a
+    canonicalized digest + bucket range checks."""
+
+    def __init__(self, jsketch, spark):
+        self._j = jsketch
+        self._spark = spark
+
+    @staticmethod
+    def build(
+        items: DataFrame,
+        key_col: str,
+        group_cols: List[str],
+        p: int,
+        seed: str,
+        portable_hash: bool = True,
+    ) -> "GroupedHllSketchHandle":
+        j = _jvm(items).graft.ops.GroupedHllSketch.build(
+            items._jdf, key_col, _to_seq(items, list(group_cols)), int(p),
+            seed, bool(portable_hash))
+        return GroupedHllSketchHandle(j, items.sparkSession)
+
+    @staticmethod
+    def read(spark, path: str) -> "GroupedHllSketchHandle":
+        jvm = spark.sparkContext._jvm
+        return GroupedHllSketchHandle(
+            jvm.graft.ops.GroupedHllSketch.read(spark._jsparkSession, path),
+            spark)
+
+    @property
+    def registers(self) -> DataFrame:
+        return DataFrame(self._j.registers(), self._spark)
+
+    @property
+    def group_cols(self) -> List[str]:
+        gc = self._j.groupCols()
+        return [gc.apply(i) for i in range(gc.length())]
+
+    @property
+    def p(self) -> int:
+        return int(self._j.p())
+
+    def estimates(self) -> DataFrame:
+        return DataFrame(self._j.estimates(), self._spark)
+
+    def union_estimates(self, other: "GroupedHllSketchHandle") -> DataFrame:
+        return DataFrame(self._j.unionEstimates(other._j), self._spark)
+
+    def intersect_estimates(self, other: "GroupedHllSketchHandle") -> DataFrame:
+        return DataFrame(self._j.intersectEstimates(other._j), self._spark)
+
+    def merge(self, other: "GroupedHllSketchHandle") -> "GroupedHllSketchHandle":
+        return GroupedHllSketchHandle(self._j.merge(other._j), self._spark)
+
+    def write(self, path: str) -> None:
+        self._spark.sparkContext._jvm.graft.ops.GroupedHllSketch.write(
+            self._j, path)
 
 
 def bloom_build(

@@ -737,6 +737,26 @@ def main() -> None:
             .groupBy("grp", "k").count()
         assert ge2.join(exact2, ["grp", "k"]).where("est < count").count() == 0
         assert gops.cms_merge_grouped(gc, gc, ["grp"]).count() == gc.count()
+        gch = gops.GroupedCmsSketchHandle.build(
+            items.withColumn("grp", F.length("k") % 2), "k", ["grp"],
+            3, 64, "pygcmsh")
+        gcms_dir = tempfile.mkdtemp(prefix="gcms_py")
+        gch.write(gcms_dir + "/f")
+        gch2 = gops.GroupedCmsSketchHandle.read(spark, gcms_dir + "/f")
+        assert gch2.group_cols == ["grp"]
+        assert gch2.estimates(
+            items.withColumn("grp", F.length("k") % 2), "k").count() > 0
+        ghh = gops.GroupedHllSketchHandle.build(
+            items.withColumn("grp", F.length("k") % 2), "k", ["grp"],
+            9, "pyghll")
+        ghll_dir = tempfile.mkdtemp(prefix="ghll_py")
+        ghh.write(ghll_dir + "/f")
+        ghh2 = gops.GroupedHllSketchHandle.read(spark, ghll_dir + "/f")
+        assert ghh2.p == 9 and ghh2.group_cols == ["grp"]
+        ests = {r[0]: r[1] for r in ghh2.estimates().collect()}
+        assert all(v > 0 for v in ests.values())
+        ue = ghh2.union_estimates(ghh)  # self-union == self-estimate
+        assert {r[0]: r[1] for r in ue.collect()} == ests
         bsk = gops.BloomSketchHandle.build(items, "k", 4096, 3)
         bloom_dir = tempfile.mkdtemp(prefix="bloom_py")
         bsk.write(bloom_dir + "/f")

@@ -260,6 +260,45 @@ class HllSpec extends SparkSpec {
     }.getMessage.contains("collide"))
   }
 
+  test("GroupedHllSketch handle: roundtrip, estimates == functional grouped " +
+    "path, per-group overlap, geometry/strata/range refusals") {
+    import graft.ops.GroupedHllSketch
+    val rows = (1 to 600).map(i =>
+      (if (i % 2 == 0) "en" else "de", s"tok-${i % 97}")).toDF("g", "k")
+    val sk = GroupedHllSketch.build(rows, "k", Seq("g"), p = 9, seed = "ghll")
+    val dir = java.nio.file.Files.createTempDirectory("ghll").toString
+    GroupedHllSketch.write(sk, s"$dir/f")
+    val back = GroupedHllSketch.read(spark, s"$dir/f")
+    assert(back.p == 9 && back.groupCols == Seq("g"))
+    val got = back.estimates()
+    val want = Hll.estimateGrouped(sk.registers, Seq("g"), 9)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // per-group overlap: self-union == self-estimate per group
+    val selfUnion = back.unionEstimates(sk).orderBy("g").collect().toSeq
+    val selfEst = want.orderBy("g").collect().toSeq
+    assert(selfUnion == selfEst)
+    // merge refusals: strata then geometry
+    val otherStrata = GroupedHllSketch.build(
+      rows.withColumnRenamed("g", "h"), "k", Seq("h"), 9, "ghll")
+    val e1 = intercept[IllegalArgumentException](sk.merge(otherStrata))
+    assert(e1.getMessage.contains("geometry mismatch"))
+    val e2 = intercept[IllegalArgumentException](
+      sk.merge(GroupedHllSketch.build(rows, "k", Seq("g"), 10, "ghll")))
+    assert(e2.getMessage.contains("geometry mismatch"))
+    // foreign bucket range refuses at read
+    spark.read.parquet(s"$dir/f/registers")
+      .withColumn("bucket", col("bucket") + 512L)
+      .write.mode("overwrite").parquet(s"$dir/g/registers")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/f/ghll.json")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/f/ghll.json"),
+      new org.apache.hadoop.fs.Path(s"$dir/g/ghll.json"))
+    val e3 = intercept[IllegalArgumentException](
+      GroupedHllSketch.read(spark, s"$dir/g"))
+    assert(e3.getMessage.contains("digest mismatch") ||
+      e3.getMessage.contains("outside"))
+  }
+
   test("streaming build: incremental max aggregation equals the batch registers") {
     val all = ((1 to 300).map(i => s"tok${i % 41}") ++
       (1 to 200).map(i => s"tok${i % 83}")).toDF("k")

@@ -210,6 +210,43 @@ class SketchOpsSpec extends SparkSpec {
     assert(e3.getMessage.contains("ungrouped"))
   }
 
+  test("GroupedCmsSketch handle: roundtrip with a double group column, " +
+    "estimates == functional grouped path, geometry/strata/corruption refusals") {
+    import graft.ops.GroupedCmsSketch
+    val rows = (1 to 300).map { i =>
+      ((i % 3).toDouble / 2.0, s"tok-${i % 17}")
+    }.toDF("g", "k")
+    val (d, wd, seed) = (3, 64, "gcmsh")
+    val sk = GroupedCmsSketch.build(rows, "k", Seq("g"), d, wd, seed)
+    val dir = java.nio.file.Files.createTempDirectory("gcms").toString
+    GroupedCmsSketch.write(sk, s"$dir/f")
+    val back = GroupedCmsSketch.read(spark, s"$dir/f")
+    assert(back.groupCols == Seq("g") && back.depth == d && back.width == wd)
+    val got = back.estimates(rows, "k")
+    val want = Sketches.estimateGrouped(sk.cells, rows, "k", Seq("g"), d, wd, seed)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // merged halves == one-shot (handle-level)
+    val h1 = rows.filter(col("k").endsWith("1"))
+    val h2 = rows.filter(!col("k").endsWith("1"))
+    val merged = GroupedCmsSketch.build(h1, "k", Seq("g"), d, wd, seed)
+      .merge(GroupedCmsSketch.build(h2, "k", Seq("g"), d, wd, seed))
+    assert(merged.cells.exceptAll(sk.cells).count() == 0 &&
+      sk.cells.exceptAll(merged.cells).count() == 0)
+    val e1 = intercept[IllegalArgumentException](
+      sk.merge(GroupedCmsSketch.build(rows, "k", Seq("g"), d, 128, seed)))
+    assert(e1.getMessage.contains("geometry mismatch"))
+    // corruption: flip a count
+    spark.read.parquet(s"$dir/f/cells").withColumn("cnt", col("cnt") + 1L)
+      .write.mode("overwrite").parquet(s"$dir/g/cells")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/f/gcms.json")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/f/gcms.json"),
+      new org.apache.hadoop.fs.Path(s"$dir/g/gcms.json"))
+    val e2 = intercept[IllegalArgumentException](
+      GroupedCmsSketch.read(spark, s"$dir/g"))
+    assert(e2.getMessage.contains("digest mismatch"))
+  }
+
   test("jaccardJoin equals brute force exactly (no missed pair, no extra)") {
     for (pct <- Seq(40, 60, 85)) {
       val got = SetSimJoin.jaccardJoin(simCorpus, "doc_id", "text",
