@@ -99,6 +99,10 @@ __all__ = [
     "GroupedBloomSketchHandle",
     "stream_bloom_windowed_words",
     "stream_bloom_from_window_words",
+    "stream_hll_windowed_registers",
+    "stream_hll_from_window_registers",
+    "stream_cms_windowed_cells",
+    "stream_cms_from_window_cells",
     "quantiles_exact_pct",
     "quantiles_exact_pct_double",
     "quantiles_exact_pct_weighted",
@@ -1010,6 +1014,20 @@ class GroupedCmsSketchHandle:
     def merge(self, other: "GroupedCmsSketchHandle") -> "GroupedCmsSketchHandle":
         return GroupedCmsSketchHandle(self._j.merge(other._j), self._spark)
 
+    def regroup(
+        self, names: List[str], exprs: List[str]
+    ) -> "GroupedCmsSketchHandle":
+        """EXACT re-stratification (cell-sum associativity): equals a
+        direct build over the coarser grouping bit for bit."""
+        return GroupedCmsSketchHandle(
+            self._j.regroupExpr(
+                _to_seq_session(self._spark, list(names)),
+                _to_seq_session(self._spark, list(exprs))),
+            self._spark)
+
+    def to_global(self) -> "CmsSketchHandle":
+        return CmsSketchHandle(self._j.toGlobal(), self._spark)
+
     def write(self, path: str) -> None:
         self._spark.sparkContext._jvm.graft.ops.GroupedCmsSketch.write(
             self._j, path)
@@ -1219,6 +1237,20 @@ class GroupedHllSketchHandle:
 
     def merge(self, other: "GroupedHllSketchHandle") -> "GroupedHllSketchHandle":
         return GroupedHllSketchHandle(self._j.merge(other._j), self._spark)
+
+    def regroup(
+        self, names: List[str], exprs: List[str]
+    ) -> "GroupedHllSketchHandle":
+        """EXACT re-stratification (register-max idempotence): equals a
+        direct build over the coarser grouping bit for bit."""
+        return GroupedHllSketchHandle(
+            self._j.regroupExpr(
+                _to_seq_session(self._spark, list(names)),
+                _to_seq_session(self._spark, list(exprs))),
+            self._spark)
+
+    def to_global(self) -> "HllSketchHandle":
+        return HllSketchHandle(self._j.toGlobal(), self._spark)
 
     def write(self, path: str) -> None:
         self._spark.sparkContext._jvm.graft.ops.GroupedHllSketch.write(
@@ -1825,6 +1857,66 @@ def stream_bloom_from_window_words(
     j = _jvm(words).graft.streaming.StreamBloom.fromWindowWords(
         words._jdf, int(num_bits), int(num_hashes))
     return GroupedBloomSketchHandle(j, words.sparkSession)
+
+
+def stream_hll_windowed_registers(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_duration: str,
+    watermark: str,
+    p: int,
+    seed: str,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Per-event-time-window HLL register frames (windowStartMs,
+    windowEndMs, bucket, maxrank) — declarative windowed max
+    aggregation, state <= 2^p registers per open window; each window
+    emits once on watermark close-out. Batch frames take the same plan."""
+    return _wrap(events, _jvm(events).graft.streaming.StreamSketches
+        .hllWindowedRegisters(events._jdf, ts_col, key_col, window_duration,
+            watermark, int(p), seed, bool(portable_hash)))
+
+
+def stream_hll_from_window_registers(
+    registers: DataFrame, p: int, seed: str, portable_hash: bool = True
+) -> "GroupedHllSketchHandle":
+    """Rebuild the per-window GroupedHllSketchHandle from a sink of
+    emissions — duplicate re-emissions max-collapse exactly."""
+    j = _jvm(registers).graft.streaming.StreamSketches.hllFromWindowRegisters(
+        registers._jdf, int(p), seed, bool(portable_hash))
+    return GroupedHllSketchHandle(j, registers.sparkSession)
+
+
+def stream_cms_windowed_cells(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_duration: str,
+    watermark: str,
+    depth: int,
+    width: int,
+    seed: str,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Per-event-time-window CMS cell frames (windowStartMs,
+    windowEndMs, r, bucket, cnt) — declarative windowed sum, state
+    <= depth*width cells per open window. Unweighted by design."""
+    return _wrap(events, _jvm(events).graft.streaming.StreamSketches
+        .cmsWindowedCells(events._jdf, ts_col, key_col, window_duration,
+            watermark, int(depth), int(width), seed, bool(portable_hash)))
+
+
+def stream_cms_from_window_cells(
+    cells: DataFrame, depth: int, width: int, seed: str,
+    portable_hash: bool = True,
+) -> "GroupedCmsSketchHandle":
+    """Rebuild the per-window GroupedCmsSketchHandle from a sink of
+    emissions. Exact duplicate rows collapse; CONFLICTING counts for
+    the same cell (a partially-reprocessed sink) refuse loudly."""
+    j = _jvm(cells).graft.streaming.StreamSketches.cmsFromWindowCells(
+        cells._jdf, int(depth), int(width), seed, bool(portable_hash))
+    return GroupedCmsSketchHandle(j, cells.sparkSession)
 
 
 def stream_rank_sketch_windowed(

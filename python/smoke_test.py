@@ -757,6 +757,23 @@ def main() -> None:
         assert all(v > 0 for v in ests.values())
         ue = ghh2.union_estimates(ghh)  # self-union == self-estimate
         assert {r[0]: r[1] for r in ue.collect()} == ests
+        # exact rollups across the grouped handles + windowed builds
+        assert ghh2.regroup(["one"], ["0"]).estimates().count() == 1
+        assert ghh2.to_global().estimate() > 0
+        assert gch2.to_global().estimate(items, "k").count() > 0
+        ev_src = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet") \
+            .selectExpr("ts", "CAST(event_id AS STRING) AS k") \
+            .where("ts IS NOT NULL")
+        hw = gops.stream_hll_windowed_registers(
+            ev_src, "ts", "k", "1 day", "1 hour", 9, "pywhll")
+        hwh = gops.stream_hll_from_window_registers(hw, 9, "pywhll")
+        assert hwh.to_global().estimate() > 0
+        cw = gops.stream_cms_windowed_cells(
+            ev_src, "ts", "k", "1 day", "1 hour", 3, 64, "pywcms")
+        cwh = gops.stream_cms_from_window_cells(cw, 3, 64, "pywcms")
+        assert cwh.to_global().estimate(
+            ev_src.select("k"), "k").where("est <= 0").count() == 0
         bsk = gops.BloomSketchHandle.build(items, "k", 4096, 3)
         bloom_dir = tempfile.mkdtemp(prefix="bloom_py")
         bsk.write(bloom_dir + "/f")

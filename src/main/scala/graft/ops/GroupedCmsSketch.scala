@@ -38,6 +38,51 @@ final case class GroupedCmsSketch(
     Sketches.estimateGrouped(cells, keys, keyCol, groupCols, depth, width,
       seed, portableHash)
 
+  /** Re-stratify to COARSER groups by cell-summing subgroup grids —
+    * EXACT: cell sums are associative, so cells(A ∪ B) = cells(A) +
+    * cells(B) at the same (depth, width, seed), and the result equals
+    * a direct build over the coarser grouping bit for bit
+    * (spec-pinned; the [[GroupedBloomSketch]]/[[GroupedHllSketch]]
+    * rollup argument with + in place of OR/max). "hourly → daily"
+    * frequency rollups never rescan.
+    */
+  def regroup(newGroups: Seq[(String, org.apache.spark.sql.Column)]): GroupedCmsSketch = {
+    require(newGroups.nonEmpty,
+      "GroupedCmsSketch.regroup: newGroups must be non-empty (use " +
+        "toGlobal for the ungrouped rollup)")
+    val names = newGroups.map(_._1)
+    require(names.distinct == names,
+      s"GroupedCmsSketch.regroup: duplicate new group names $names")
+    val clash = names.filter(Sketches.GroupedReservedNames.contains)
+    require(clash.isEmpty,
+      s"GroupedCmsSketch.regroup: new group name(s) ${clash.mkString(", ")} " +
+        s"collide with the cell/output columns " +
+        s"(${Sketches.GroupedReservedNames.mkString(", ")})")
+    val rolled = cells
+      .select(newGroups.map { case (nm, c) => c.as(nm) } ++
+        Seq(col("r"), col("bucket"), col("cnt")): _*)
+      .groupBy((names ++ Seq("r", "bucket")).map(col): _*)
+      .agg(sum("cnt").as("cnt"))
+    copy(cells = rolled, groupCols = names)
+  }
+
+  /** [[regroup]] with SQL expression strings — the py4j-friendly form. */
+  def regroupExpr(names: Seq[String], exprs: Seq[String]): GroupedCmsSketch = {
+    require(names.length == exprs.length,
+      s"GroupedCmsSketch.regroupExpr: ${names.length} names vs " +
+        s"${exprs.length} expressions")
+    regroup(names.zip(exprs.map(expr)))
+  }
+
+  /** Sum-collapse every group into ONE global [[CmsSketch]] — equal to
+    * a direct ungrouped build bit for bit.
+    */
+  def toGlobal: CmsSketch =
+    CmsSketch(
+      cells.select(col("r"), col("bucket"), col("cnt"))
+        .groupBy("r", "bucket").agg(sum("cnt").as("cnt")),
+      depth, width, seed, portableHash)
+
   /** Group-wise cell-sum merge, REFUSING mismatched geometry or
     * stratification.
     */

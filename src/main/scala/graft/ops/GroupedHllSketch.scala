@@ -63,6 +63,52 @@ final case class GroupedHllSketch(
     copy(registers = Hll.merge(registers, other.registers))
   }
 
+  /** Re-stratify to COARSER groups by max-merging subgroup registers —
+    * EXACT: register max is associative and idempotent, so
+    * registers(A ∪ B) = max(registers(A), registers(B)) at the same
+    * (p, seed), and the result equals a direct build over the coarser
+    * grouping bit for bit (spec-pinned; the [[GroupedBloomSketch]] OR
+    * argument with max in place of OR). "hourly → daily" register
+    * rollups never rescan.
+    */
+  def regroup(newGroups: Seq[(String, org.apache.spark.sql.Column)]): GroupedHllSketch = {
+    require(newGroups.nonEmpty,
+      "GroupedHllSketch.regroup: newGroups must be non-empty (use " +
+        "toGlobal for the ungrouped rollup)")
+    val names = newGroups.map(_._1)
+    require(names.distinct == names,
+      s"GroupedHllSketch.regroup: duplicate new group names $names")
+    val clash = names.filter(Hll.ReservedNames.contains)
+    require(clash.isEmpty,
+      s"GroupedHllSketch.regroup: new group name(s) ${clash.mkString(", ")} " +
+        s"collide with the register/output columns " +
+        s"(${Hll.ReservedNames.mkString(", ")})")
+    val rolled = registers
+      .select(newGroups.map { case (nm, c) => c.as(nm) } ++
+        Seq(col("bucket"), col("maxrank")): _*)
+      .groupBy((names :+ "bucket").map(col): _*)
+      .agg(max("maxrank").as("maxrank"))
+    copy(registers = rolled, groupCols = names)
+  }
+
+  /** [[regroup]] with SQL expression strings — the py4j-friendly form. */
+  def regroupExpr(names: Seq[String], exprs: Seq[String]): GroupedHllSketch = {
+    require(names.length == exprs.length,
+      s"GroupedHllSketch.regroupExpr: ${names.length} names vs " +
+        s"${exprs.length} expressions")
+    regroup(names.zip(exprs.map(expr)))
+  }
+
+  /** Max-collapse every group into ONE global [[HllSketch]] — equal to
+    * a direct ungrouped build bit for bit (same exactness argument as
+    * [[regroup]] with a single coarse group).
+    */
+  def toGlobal: HllSketch =
+    HllSketch(
+      registers.select(col("bucket"), col("maxrank"))
+        .groupBy("bucket").agg(max("maxrank").as("maxrank")),
+      p, seed, portableHash)
+
   private def requireSameGeometry(other: GroupedHllSketch,
       site: String): Unit =
     require(p == other.p && seed == other.seed &&

@@ -66,15 +66,19 @@ object Hll {
     * maxrank; estimateGrouped emits "est") — the
     * Quantiles.requireByGroupArgs discipline (r20 review).
     */
+  /** Register/output names the grouped entry points own — single-sourced
+    * so [[GroupedHllSketch.regroup]] refuses the same set (rule 5).
+    */
+  private[ops] val ReservedNames = Set("bucket", "rank", "maxrank", "est",
+    "__k", "__side", "__touched", "__sumscaled", "__maxb", "__minb",
+    "__maxr", "__minr", "__dist")
+
   private def requireGroupCols(groupCols: Seq[String], site: String): Unit = {
     require(groupCols.nonEmpty, s"Hll.$site: groupCols must be non-empty")
-    val reserved = Set("bucket", "rank", "maxrank", "est", "__k", "__side",
-      "__touched", "__sumscaled", "__maxb", "__minb", "__maxr", "__minr",
-      "__dist")
-    val clash = groupCols.filter(reserved.contains)
+    val clash = groupCols.filter(ReservedNames.contains)
     require(clash.isEmpty,
       s"Hll.$site: group column name(s) ${clash.mkString(",")} collide " +
-        s"with the register/output columns (${reserved.mkString(",")}) - " +
+        s"with the register/output columns (${ReservedNames.mkString(",")}) - " +
         "alias the group column first")
   }
 
@@ -91,7 +95,7 @@ object Hll {
     * each piece in exact-integer SQL range). Fast mode: xxhash64 over
     * the same tagged identities — not engine-replayable.
     */
-  private[ops] def registerCoords(key: Column, p: Int, seed: String,
+  private[graft] def registerCoords(key: Column, p: Int, seed: String,
       portable: Boolean): (Column, Column) = {
     val m = 1 << p
     val (bucket, w) =

@@ -57,7 +57,7 @@ object Sketches {
     * pair per hash row — shared by build (cell sums) and probe (cell
     * lookups) so the two sides can never desynchronize.
     */
-  private def bucketPairs(key: org.apache.spark.sql.Column, depth: Int, width: Int,
+  private[graft] def bucketPairs(key: org.apache.spark.sql.Column, depth: Int, width: Int,
       seed: String, portable: Boolean): org.apache.spark.sql.Column =
     explode(array((0 until depth).map(r =>
       struct(lit(r).as("r"), cmsBucket(key, r, width, seed, portable).as("bucket"))): _*))

@@ -299,6 +299,56 @@ class HllSpec extends SparkSpec {
       e3.getMessage.contains("outside"))
   }
 
+  test("windowed streaming registers: NTZ stream == batch == per-window " +
+    "direct builds; sink rebuild and rollups are exact (max idempotence)") {
+    import graft.streaming.StreamSketches
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.time.LocalDateTime.of(2026, 3, 1, 0, 0)
+    val rows = Seq.tabulate(80)(i => (base.plusMinutes(i % 18), s"tok-${i % 29}"))
+    val batchDf = rows.toDF("ts", "k")
+    assert(batchDf.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val batch = StreamSketches.hllWindowedRegisters(batchDf, "ts", "k",
+      "10 minutes", "5 minutes", p = 8, seed = "whll")
+    val starts = batch.select("windowStartMs").distinct().as[Long].collect().sorted
+    assert(starts.length == 2)
+    for (ws <- starts) {
+      val winKeys = rows.filter { case (t, _) =>
+        val ms = t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        ms >= ws && ms < ws + 600000L
+      }.map(_._2)
+      assertSameRegisters(
+        batch.filter(col("windowStartMs") === ws).select("bucket", "maxrank"),
+        Hll.build(winKeys.toDF("k"), "k", 8, "whll"))
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (java.time.LocalDateTime, String)]
+    val out = StreamSketches.hllWindowedRegisters(mem.toDS().toDF("ts", "k"),
+      "ts", "k", "10 minutes", "5 minutes", 8, "whll")
+    val q = out.writeStream.format("memory").queryName("hll_windowed")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((base.plusMinutes(600), "sweep"))
+      q.processAllAvailable()
+      val emitted = spark.table("hll_windowed")
+        .filter(col("windowStartMs").isin(starts.map(Long.box): _*))
+      assert(emitted.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(emitted).count() == 0)
+      // sink rebuild with duplicated emissions; toGlobal == direct build
+      val rebuilt = StreamSketches.hllFromWindowRegisters(
+        emitted.union(emitted.limit(5)), 8, "whll")
+      assertSameRegisters(rebuilt.toGlobal.registers,
+        Hll.build(rows.map(_._2).toDF("k"), "k", 8, "whll"))
+      // regroup to one computed stratum == direct grouped build over it
+      val hourly = rebuilt.regroup(Seq("hour" ->
+        expr("CAST(windowStartMs - pmod(windowStartMs, 3600000) AS BIGINT)")))
+      assert(hourly.groupCols == Seq("hour"))
+      assert(hourly.estimates().count() == 1) // all windows in one hour
+    } finally q.stop()
+  }
+
   test("streaming build: incremental max aggregation equals the batch registers") {
     val all = ((1 to 300).map(i => s"tok${i % 41}") ++
       (1 to 200).map(i => s"tok${i % 83}")).toDF("k")

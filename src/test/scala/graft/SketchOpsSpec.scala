@@ -247,6 +247,68 @@ class SketchOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("digest mismatch"))
   }
 
+  test("windowed streaming CMS cells: NTZ stream == batch == per-window " +
+    "direct builds; duplicate emissions collapse, conflicting cells refuse; " +
+    "rollups exact (sum associativity)") {
+    import graft.streaming.StreamSketches
+    import graft.ops.GroupedCmsSketch
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.time.LocalDateTime.of(2026, 4, 1, 0, 0)
+    val rows = Seq.tabulate(90)(i => (base.plusMinutes(i % 18), s"tok-${i % 11}"))
+    val (d, wd, seed) = (3, 64, "wcms")
+    val batchDf = rows.toDF("ts", "k")
+    val batch = StreamSketches.cmsWindowedCells(batchDf, "ts", "k",
+      "10 minutes", "5 minutes", d, wd, seed)
+    val starts = batch.select("windowStartMs").distinct().as[Long].collect().sorted
+    assert(starts.length == 2)
+    for (ws <- starts) {
+      val winKeys = rows.filter { case (t, _) =>
+        val ms = t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        ms >= ws && ms < ws + 600000L
+      }.map(_._2)
+      val want = Sketches.build(winKeys.toDF("k"), "k", d, wd, seed)
+      val got = batch.filter(col("windowStartMs") === ws)
+        .select("r", "bucket", "cnt")
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0, s"cells differ for window $ws")
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (java.time.LocalDateTime, String)]
+    val out = StreamSketches.cmsWindowedCells(mem.toDS().toDF("ts", "k"),
+      "ts", "k", "10 minutes", "5 minutes", d, wd, seed)
+    val q = out.writeStream.format("memory").queryName("cms_windowed")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((base.plusMinutes(600), "sweep"))
+      q.processAllAvailable()
+      val emitted = spark.table("cms_windowed")
+        .filter(col("windowStartMs").isin(starts.map(Long.box): _*))
+      assert(emitted.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(emitted).count() == 0)
+      // duplicate whole-row re-emissions collapse; toGlobal == direct
+      val rebuilt = StreamSketches.cmsFromWindowCells(
+        emitted.union(emitted.limit(4)), d, wd, seed)
+      val global = rebuilt.toGlobal
+      val direct = Sketches.build(rows.map(_._2).toDF("k"), "k", d, wd, seed)
+      assert(global.cells.exceptAll(direct).count() == 0 &&
+        direct.exceptAll(global.cells).count() == 0)
+      // a CONFLICTING count for an existing cell refuses (partial sink)
+      val conflicted = emitted.union(
+        emitted.limit(1).withColumn("cnt", col("cnt") + 7L))
+      val e = intercept[IllegalArgumentException](
+        StreamSketches.cmsFromWindowCells(conflicted, d, wd, seed))
+      assert(e.getMessage.contains("CONFLICTING"))
+      // regroup: both windows into one computed stratum == direct build
+      val hourly = rebuilt.regroup(Seq("hour" ->
+        expr("CAST(windowStartMs - pmod(windowStartMs, 3600000) AS BIGINT)")))
+      assert(hourly.cells.select("hour").distinct().count() == 1)
+      assert(hourly.cells.select("r", "bucket", "cnt")
+        .exceptAll(direct).count() == 0)
+    } finally q.stop()
+  }
+
   test("jaccardJoin equals brute force exactly (no missed pair, no extra)") {
     for (pct <- Seq(40, 60, 85)) {
       val got = SetSimJoin.jaccardJoin(simCorpus, "doc_id", "text",
