@@ -1836,26 +1836,30 @@ def stream_bloom_windowed_words(
     watermark: str,
     num_bits: int,
     num_hashes: int,
+    group_cols: Optional[List[str]] = None,
 ) -> DataFrame:
     """Per-event-time-window Bloom word frames (windowStartMs,
-    windowEndMs, w, bits) from a watermarked stream — a declarative
-    windowed bit_or aggregation, state <= m/64 word rows per open
-    window at any stream volume; each window emits once on watermark
-    close-out. Works on batch frames too (same plan, no watermark)."""
+    windowEndMs, [group...,] w, bits) from a watermarked stream — a
+    declarative windowed bit_or aggregation, state <= m/64 word rows
+    per open (window x group) at any stream volume; each window emits
+    once on watermark close-out. Works on batch frames too."""
     return _wrap(events, _jvm(events).graft.streaming.StreamBloom.windowedWords(
         events._jdf, ts_col, key_col, window_duration, watermark,
-        int(num_bits), int(num_hashes)))
+        int(num_bits), int(num_hashes),
+        _to_seq(events, list(group_cols or []))))
 
 
 def stream_bloom_from_window_words(
-    words: DataFrame, num_bits: int, num_hashes: int
+    words: DataFrame, num_bits: int, num_hashes: int,
+    group_cols: Optional[List[str]] = None,
 ) -> "GroupedBloomSketchHandle":
-    """Rebuild the per-window GroupedBloomSketchHandle from a sink of
-    ``stream_bloom_windowed_words`` emissions — duplicates OR-collapse,
-    so restarted-query re-emissions are harmless; ``regroup``/
-    ``to_global`` then roll windows up exactly."""
+    """Rebuild the per-(window x group) GroupedBloomSketchHandle from a
+    sink of ``stream_bloom_windowed_words`` emissions — duplicates
+    OR-collapse, so restarted-query re-emissions are harmless;
+    ``regroup``/``to_global`` then roll windows up exactly."""
     j = _jvm(words).graft.streaming.StreamBloom.fromWindowWords(
-        words._jdf, int(num_bits), int(num_hashes))
+        words._jdf, int(num_bits), int(num_hashes),
+        _to_seq(words, list(group_cols or [])))
     return GroupedBloomSketchHandle(j, words.sparkSession)
 
 
@@ -1868,23 +1872,28 @@ def stream_hll_windowed_registers(
     p: int,
     seed: str,
     portable_hash: bool = True,
+    group_cols: Optional[List[str]] = None,
 ) -> DataFrame:
     """Per-event-time-window HLL register frames (windowStartMs,
-    windowEndMs, bucket, maxrank) — declarative windowed max
-    aggregation, state <= 2^p registers per open window; each window
-    emits once on watermark close-out. Batch frames take the same plan."""
+    windowEndMs, [group...,] bucket, maxrank) — declarative windowed
+    max aggregation, state <= 2^p registers per open (window x group);
+    each window emits once on watermark close-out. Batch frames take
+    the same plan."""
     return _wrap(events, _jvm(events).graft.streaming.StreamSketches
         .hllWindowedRegisters(events._jdf, ts_col, key_col, window_duration,
-            watermark, int(p), seed, bool(portable_hash)))
+            watermark, int(p), seed, bool(portable_hash),
+            _to_seq(events, list(group_cols or []))))
 
 
 def stream_hll_from_window_registers(
-    registers: DataFrame, p: int, seed: str, portable_hash: bool = True
+    registers: DataFrame, p: int, seed: str, portable_hash: bool = True,
+    group_cols: Optional[List[str]] = None,
 ) -> "GroupedHllSketchHandle":
-    """Rebuild the per-window GroupedHllSketchHandle from a sink of
-    emissions — duplicate re-emissions max-collapse exactly."""
+    """Rebuild the per-(window x group) GroupedHllSketchHandle from a
+    sink of emissions — duplicate re-emissions max-collapse exactly."""
     j = _jvm(registers).graft.streaming.StreamSketches.hllFromWindowRegisters(
-        registers._jdf, int(p), seed, bool(portable_hash))
+        registers._jdf, int(p), seed, bool(portable_hash),
+        _to_seq(registers, list(group_cols or [])))
     return GroupedHllSketchHandle(j, registers.sparkSession)
 
 
@@ -1898,24 +1907,30 @@ def stream_cms_windowed_cells(
     width: int,
     seed: str,
     portable_hash: bool = True,
+    group_cols: Optional[List[str]] = None,
 ) -> DataFrame:
     """Per-event-time-window CMS cell frames (windowStartMs,
-    windowEndMs, r, bucket, cnt) — declarative windowed sum, state
-    <= depth*width cells per open window. Unweighted by design."""
+    windowEndMs, [group...,] r, bucket, cnt) — declarative windowed
+    sum, state <= depth*width cells per open (window x group).
+    Unweighted by design."""
     return _wrap(events, _jvm(events).graft.streaming.StreamSketches
         .cmsWindowedCells(events._jdf, ts_col, key_col, window_duration,
-            watermark, int(depth), int(width), seed, bool(portable_hash)))
+            watermark, int(depth), int(width), seed, bool(portable_hash),
+            _to_seq(events, list(group_cols or []))))
 
 
 def stream_cms_from_window_cells(
     cells: DataFrame, depth: int, width: int, seed: str,
     portable_hash: bool = True,
+    group_cols: Optional[List[str]] = None,
 ) -> "GroupedCmsSketchHandle":
-    """Rebuild the per-window GroupedCmsSketchHandle from a sink of
-    emissions. Exact duplicate rows collapse; CONFLICTING counts for
-    the same cell (a partially-reprocessed sink) refuse loudly."""
+    """Rebuild the per-(window x group) GroupedCmsSketchHandle from a
+    sink of emissions. Exact duplicate rows collapse; CONFLICTING
+    counts for the same cell (a partially-reprocessed sink) refuse
+    loudly."""
     j = _jvm(cells).graft.streaming.StreamSketches.cmsFromWindowCells(
-        cells._jdf, int(depth), int(width), seed, bool(portable_hash))
+        cells._jdf, int(depth), int(width), seed, bool(portable_hash),
+        _to_seq(cells, list(group_cols or [])))
     return GroupedCmsSketchHandle(j, cells.sparkSession)
 
 

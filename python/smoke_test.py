@@ -774,6 +774,14 @@ def main() -> None:
         cwh = gops.stream_cms_from_window_cells(cw, 3, 64, "pywcms")
         assert cwh.to_global().estimate(
             ev_src.select("k"), "k").where("est <= 0").count() == 0
+        # (window x group) strata through the gateway
+        ev_g = ev_src.withColumn("grp", F.length("k") % 2)
+        wwg = gops.stream_bloom_windowed_words(
+            ev_g, "ts", "k", "1 day", "1 hour", 4096, 3, group_cols=["grp"])
+        assert "grp" in [c for c, _ in wwg.dtypes]
+        wgh = gops.stream_bloom_from_window_words(
+            wwg, 4096, 3, group_cols=["grp"])
+        assert wgh.group_cols == ["windowStartMs", "windowEndMs", "grp"]
         bsk = gops.BloomSketchHandle.build(items, "k", 4096, 3)
         bloom_dir = tempfile.mkdtemp(prefix="bloom_py")
         bsk.write(bloom_dir + "/f")

@@ -62,7 +62,7 @@ object Bloom {
     * grouped entry points (the [[GroupedQuantileSketch.ReservedNames]]
     * discipline: a group literally named "w" would be clobbered).
     */
-  private[ops] val ReservedNames =
+  private[graft] val ReservedNames =
     Set("w", "bits", "lo", "hi", "pos", "contained", "fill", "__k", "__b")
 
   /** Scalar consumers require a frame of EXACTLY (w, bits); grouped

@@ -60,16 +60,15 @@ object Hll {
     */
   private val RankBits = 52
 
-  /** Grouped entry points refuse group columns named like the register/
-    * output/internal columns — a clash silently clobbers or duplicates
-    * columns downstream (merge() infers its keys as every-column-but-
-    * maxrank; estimateGrouped emits "est") — the
-    * Quantiles.requireByGroupArgs discipline (r20 review).
+  /** Register/output/internal names the grouped entry points own — a
+    * clashing group column silently clobbers or duplicates columns
+    * downstream (merge() infers its keys as every-column-but-maxrank;
+    * estimateGrouped emits "est"). Single-sourced so
+    * [[GroupedHllSketch.regroup]] and the windowed streaming builds
+    * refuse the same set (rule 5; the Quantiles.requireByGroupArgs
+    * discipline).
     */
-  /** Register/output names the grouped entry points own — single-sourced
-    * so [[GroupedHllSketch.regroup]] refuses the same set (rule 5).
-    */
-  private[ops] val ReservedNames = Set("bucket", "rank", "maxrank", "est",
+  private[graft] val ReservedNames = Set("bucket", "rank", "maxrank", "est",
     "__k", "__side", "__touched", "__sumscaled", "__maxb", "__minb",
     "__maxr", "__minr", "__dist")
 

@@ -140,7 +140,7 @@ object Sketches {
     * column names (the [[Bloom.ReservedNames]] discipline: a group
     * literally named "r" would be clobbered by the cell projection).
     */
-  private[ops] val GroupedReservedNames =
+  private[graft] val GroupedReservedNames =
     Set("r", "bucket", "cnt", "est", "rb", "__k", "__w")
 
   private def requireGroupCols(groupCols: Seq[String], site: String): Unit = {

@@ -49,8 +49,11 @@ object StreamBloom {
       windowDuration: String,
       watermark: String,
       numBits: Long,
-      numHashes: Int): DataFrame = {
+      numHashes: Int,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
     Bloom.requireGeometry(numBits, numHashes)
+    StreamSketches.requireWindowGroupCols(groupCols,
+      graft.ops.Bloom.ReservedNames, "StreamBloom.windowedWords")
     // normalize the event-time type BEFORE the watermark: TIMESTAMP_NTZ
     // parquet columns (rule-3 drift) fail streaming encoder upcasts
     // while batch works, and casting after the watermark would mint a
@@ -59,24 +62,25 @@ object StreamBloom {
     val normalized = events.withColumn(tsCol, col(tsCol).cast("timestamp"))
     def proj(df: DataFrame) = df
       .where(col(tsCol).isNotNull && col(keyCol).isNotNull)
-      .select(window(col(tsCol), windowDuration).as("__w"),
+      .select(Seq(window(col(tsCol), windowDuration).as("__w")) ++
+        groupCols.map(col) :+
         explode(Bloom.positionsCol(col(keyCol).cast("string"),
-          numBits, numHashes)).as("pos"))
-      .select(col("__w"),
+          numBits, numHashes)).as("pos"): _*)
+      .select(Seq(col("__w")) ++ groupCols.map(col) ++ Seq(
         shiftrightunsigned(col("pos"), 6).as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("__b"))
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("__b")): _*)
     val src =
       if (events.isStreaming) proj(normalized.withWatermark(tsCol, watermark))
       else proj(normalized)
-    src.groupBy(col("__w"), col("w"))
+    src.groupBy((Seq(col("__w")) ++ groupCols.map(col)) :+ col("w"): _*)
       .agg(expr("bit_or(__b)").as("bits"))
       // the window BOUNDS may cast (unix_millis refuses TIMESTAMP_NTZ
       // and parquet event times can arrive NTZ); only the watermarked
       // ts column above must stay un-cast (house rule 13c)
-      .select(
+      .select(Seq(
         unix_millis(col("__w.start").cast("timestamp")).as("windowStartMs"),
-        unix_millis(col("__w.end").cast("timestamp")).as("windowEndMs"),
-        col("w"), col("bits"))
+        unix_millis(col("__w.end").cast("timestamp")).as("windowEndMs")) ++
+        groupCols.map(col) ++ Seq(col("w"), col("bits")): _*)
   }
 
   /** Rebuild the per-window grouped handle from a SINK of
@@ -86,18 +90,20 @@ object StreamBloom {
     * merge for Bloom words, so the rebuild is exact rather than
     * merely tolerant.
     */
-  def fromWindowWords(words: DataFrame, numBits: Long,
-      numHashes: Int): GroupedBloomSketch = {
+  def fromWindowWords(words: DataFrame, numBits: Long, numHashes: Int,
+      groupCols: Seq[String] = Seq.empty): GroupedBloomSketch = {
     Bloom.requireGeometry(numBits, numHashes)
-    val expected = Set("windowStartMs", "windowEndMs", "w", "bits")
+    StreamSketches.requireWindowGroupCols(groupCols, Bloom.ReservedNames,
+      "StreamBloom.fromWindowWords")
+    val strata = Seq("windowStartMs", "windowEndMs") ++ groupCols
+    val expected = (strata ++ Seq("w", "bits")).toSet
     require(words.columns.toSet == expected,
       s"StreamBloom.fromWindowWords: expected the windowedWords emission " +
-        s"schema (windowStartMs, windowEndMs, w, bits), got " +
+        s"schema (${(strata ++ Seq("w", "bits")).mkString(", ")}), got " +
         s"(${words.columns.mkString(", ")})")
     val grouped = words
-      .groupBy(col("windowStartMs"), col("windowEndMs"), col("w"))
+      .groupBy((strata :+ "w").map(col): _*)
       .agg(expr("bit_or(bits)").as("bits"))
-    GroupedBloomSketch(grouped, Seq("windowStartMs", "windowEndMs"),
-      numBits, numHashes)
+    GroupedBloomSketch(grouped, strata, numBits, numHashes)
   }
 }

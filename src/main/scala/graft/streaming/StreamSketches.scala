@@ -29,6 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object StreamSketches {
 
+  /** Shared guard for the windowed builders' `groupCols`: refuse the
+    * leg's own reserved names PLUS the window-bound output names and
+    * the builders' internals — a group named "windowStartMs" would be
+    * clobbered by the bounds projection.
+    */
+  private[streaming] def requireWindowGroupCols(groupCols: Seq[String],
+      legReserved: Set[String], site: String): Unit = {
+    require(groupCols.distinct == groupCols,
+      s"$site: duplicate group columns $groupCols")
+    val reserved = legReserved ++
+      Set("windowStartMs", "windowEndMs", "__w", "rb")
+    val clash = groupCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"$site: group column(s) ${clash.mkString(", ")} collide with the " +
+        s"emission/internal columns (${reserved.mkString(", ")}); rename " +
+        "them first")
+  }
+
   private def windowed(events: DataFrame, tsCol: String,
       windowDuration: String, watermark: String)(
       proj: DataFrame => DataFrame): DataFrame = {
@@ -57,17 +75,21 @@ object StreamSketches {
       watermark: String,
       p: Int,
       seed: String,
-      portableHash: Boolean = true): DataFrame = {
+      portableHash: Boolean = true,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    requireWindowGroupCols(groupCols, Hll.ReservedNames,
+      "StreamSketches.hllWindowedRegisters")
     val (bucket, rank) = Hll.registerCoords(col("__k"), p, seed, portableHash)
     windowBounds(
       windowed(events, tsCol, windowDuration, watermark) { df =>
         df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
-          .select(window(col(tsCol), windowDuration).as("__w"),
-            col(keyCol).as("__k"))
-          .select(col("__w"), bucket.as("bucket"), rank.as("rank"))
-          .groupBy(col("__w"), col("bucket"))
+          .select(Seq(window(col(tsCol), windowDuration).as("__w")) ++
+            groupCols.map(col) :+ col(keyCol).as("__k"): _*)
+          .select(Seq(col("__w")) ++ groupCols.map(col) ++
+            Seq(bucket.as("bucket"), rank.as("rank")): _*)
+          .groupBy((Seq(col("__w")) ++ groupCols.map(col)) :+ col("bucket"): _*)
           .agg(max("rank").as("maxrank"))
-      }, Seq("bucket", "maxrank"))
+      }, groupCols ++ Seq("bucket", "maxrank"))
   }
 
   /** Rebuild the per-window [[GroupedHllSketch]] from a SINK of
@@ -77,16 +99,20 @@ object StreamSketches {
     * corpus without rescanning the stream.
     */
   def hllFromWindowRegisters(registers: DataFrame, p: Int, seed: String,
-      portableHash: Boolean = true): GroupedHllSketch = {
-    val expected = Set("windowStartMs", "windowEndMs", "bucket", "maxrank")
+      portableHash: Boolean = true,
+      groupCols: Seq[String] = Seq.empty): GroupedHllSketch = {
+    requireWindowGroupCols(groupCols, Hll.ReservedNames,
+      "StreamSketches.hllFromWindowRegisters")
+    val strata = Seq("windowStartMs", "windowEndMs") ++ groupCols
+    val expected = (strata ++ Seq("bucket", "maxrank")).toSet
     require(registers.columns.toSet == expected,
       s"StreamSketches.hllFromWindowRegisters: expected the emission " +
-        s"schema (windowStartMs, windowEndMs, bucket, maxrank), got " +
-        s"(${registers.columns.mkString(", ")})")
+        s"schema (${(strata ++ Seq("bucket", "maxrank")).mkString(", ")}), " +
+        s"got (${registers.columns.mkString(", ")})")
     GroupedHllSketch(
-      registers.groupBy("windowStartMs", "windowEndMs", "bucket")
+      registers.groupBy((strata :+ "bucket").map(col): _*)
         .agg(max("maxrank").as("maxrank")),
-      Seq("windowStartMs", "windowEndMs"), p, seed, portableHash)
+      strata, p, seed, portableHash)
   }
 
   /** Per-window CMS cell frames `(windowStartMs, windowEndMs, r,
@@ -104,16 +130,22 @@ object StreamSketches {
       depth: Int,
       width: Int,
       seed: String,
-      portableHash: Boolean = true): DataFrame =
+      portableHash: Boolean = true,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    requireWindowGroupCols(groupCols, Sketches.GroupedReservedNames,
+      "StreamSketches.cmsWindowedCells")
     windowBounds(
       windowed(events, tsCol, windowDuration, watermark) { df =>
         df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
-          .select(window(col(tsCol), windowDuration).as("__w"),
+          .select(Seq(window(col(tsCol), windowDuration).as("__w")) ++
+            groupCols.map(col) :+
             Sketches.bucketPairs(col(keyCol), depth, width, seed,
-              portableHash).as("rb"))
-          .groupBy(col("__w"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+              portableHash).as("rb"): _*)
+          .groupBy(Seq(col("__w")) ++ groupCols.map(col) ++
+            Seq(col("rb.r").as("r"), col("rb.bucket").as("bucket")): _*)
           .agg(count(lit(1)).as("cnt"))
-      }, Seq("r", "bucket", "cnt"))
+      }, groupCols ++ Seq("r", "bucket", "cnt"))
+  }
 
   /** Rebuild the per-window [[GroupedCmsSketch]] from a SINK of
     * [[cmsWindowedCells]] emissions. Cell counts are SUMS, not
@@ -123,23 +155,26 @@ object StreamSketches {
     * loudly (summing would double-count; picking one would guess).
     */
   def cmsFromWindowCells(cells: DataFrame, depth: Int, width: Int,
-      seed: String, portableHash: Boolean = true): GroupedCmsSketch = {
-    val expected = Set("windowStartMs", "windowEndMs", "r", "bucket", "cnt")
+      seed: String, portableHash: Boolean = true,
+      groupCols: Seq[String] = Seq.empty): GroupedCmsSketch = {
+    requireWindowGroupCols(groupCols, Sketches.GroupedReservedNames,
+      "StreamSketches.cmsFromWindowCells")
+    val strata = Seq("windowStartMs", "windowEndMs") ++ groupCols
+    val expected = (strata ++ Seq("r", "bucket", "cnt")).toSet
     require(cells.columns.toSet == expected,
       s"StreamSketches.cmsFromWindowCells: expected the emission schema " +
-        s"(windowStartMs, windowEndMs, r, bucket, cnt), got " +
+        s"(${(strata ++ Seq("r", "bucket", "cnt")).mkString(", ")}), got " +
         s"(${cells.columns.mkString(", ")})")
     val d = cells.distinct()
     val conflicts = d
-      .groupBy("windowStartMs", "windowEndMs", "r", "bucket")
+      .groupBy((strata ++ Seq("r", "bucket")).map(col): _*)
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L).count()
     require(conflicts == 0L,
       s"StreamSketches.cmsFromWindowCells: $conflicts cell(s) appear with " +
-        "CONFLICTING counts for the same (window, r, bucket) - the sink " +
-        "holds a partially-reprocessed window. Summing would double-count " +
-        "and picking one would guess; drop the partial emission files or " +
-        "re-emit the affected windows whole.")
-    GroupedCmsSketch(d, Seq("windowStartMs", "windowEndMs"),
-      depth, width, seed, portableHash)
+        "CONFLICTING counts for the same (window, group, r, bucket) - the " +
+        "sink holds a partially-reprocessed window. Summing would " +
+        "double-count and picking one would guess; drop the partial " +
+        "emission files or re-emit the affected windows whole.")
+    GroupedCmsSketch(d, strata, depth, width, seed, portableHash)
   }
 }

@@ -236,6 +236,45 @@ class BloomSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("(window x group) windowed words equal direct grouped builds; the " +
+    "rebuild probes per (window, group) stratum") {
+    import graft.streaming.StreamBloom
+    val base = java.time.LocalDateTime.of(2026, 6, 1, 0, 0)
+    val rows = Seq.tabulate(100)(i =>
+      (base.plusMinutes(i % 18), if (i % 2 == 0) "en" else "de", s"key-$i"))
+    val df = rows.toDF("ts", "g", "k")
+    val m = 2048L
+    val ww = StreamBloom.windowedWords(df, "ts", "k", "10 minutes",
+      "5 minutes", m, 3, groupCols = Seq("g"))
+    val strata = ww.select("windowStartMs", "g").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(strata.length == 4)
+    for ((ws, g) <- strata) {
+      val keys = rows.filter { case (t, gg, _) =>
+        val ms = t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        ms >= ws && ms < ws + 600000L && gg == g
+      }.map(_._3).toDF("k")
+      assertSameWords(
+        ww.filter(col("windowStartMs") === ws && col("g") === g)
+          .select("w", "bits"),
+        Bloom.build(keys, "k", m, 3))
+    }
+    val rebuilt = StreamBloom.fromWindowWords(ww, m, 3, groupCols = Seq("g"))
+    assert(rebuilt.groupCols == Seq("windowStartMs", "windowEndMs", "g"))
+    // every key is contained in its own (window, g) stratum's filter
+    val probePairs = rows.map { case (t, g, k) =>
+      val ms = t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      (ms - (ms % 600000L), ms - (ms % 600000L) + 600000L, g, k)
+    }.toDF("windowStartMs", "windowEndMs", "g", "k")
+    val verdicts = rebuilt.mightContain(probePairs, "k")
+    assert(verdicts.filter(!col("contained")).count() == 0)
+    // regroup windows away: per-g filters == direct grouped build
+    val byG = rebuilt.regroup(Seq("g" -> col("g")))
+    val direct = Bloom.buildGrouped(df, "k", Seq("g"), m, 3)
+    assert(byG.words.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(byG.words).count() == 0)
+  }
+
   test("null keys carry no membership bit: dropped at build, no verdict " +
     "row at probe") {
     val withNulls = Seq(Some("a"), None, Some("b"), None).toDF("k")

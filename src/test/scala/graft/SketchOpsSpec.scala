@@ -309,6 +309,66 @@ class SketchOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("(window x group) windowed HLL and CMS: stream == batch == direct " +
+    "grouped builds; sink rebuilds carry the full strata") {
+    import graft.streaming.StreamSketches
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.time.LocalDateTime.of(2026, 5, 1, 0, 0)
+    val rows = Seq.tabulate(120)(i =>
+      (base.plusMinutes(i % 18), if (i % 2 == 0) "en" else "de", s"tok-${i % 13}"))
+    val df = rows.toDF("ts", "g", "k")
+    val hllBatch = StreamSketches.hllWindowedRegisters(df, "ts", "k",
+      "10 minutes", "5 minutes", 8, "wg", groupCols = Seq("g"))
+    val cmsBatch = StreamSketches.cmsWindowedCells(df, "ts", "k",
+      "10 minutes", "5 minutes", 3, 64, "wgc", groupCols = Seq("g"))
+    // batch == direct grouped builds per (window, g) stratum
+    val strata = hllBatch.select("windowStartMs", "g").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(strata.length == 4) // 2 windows x 2 groups
+    for ((ws, g) <- strata) {
+      val keys = rows.filter { case (t, gg, _) =>
+        val ms = t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        ms >= ws && ms < ws + 600000L && gg == g
+      }.map(_._3).toDF("k")
+      val hGot = hllBatch.filter(col("windowStartMs") === ws && col("g") === g)
+        .select("bucket", "maxrank")
+      val hWant = graft.ops.Hll.build(keys, "k", 8, "wg")
+      assert(hGot.exceptAll(hWant).count() == 0 &&
+        hWant.exceptAll(hGot).count() == 0, s"hll differs at ($ws, $g)")
+      val cGot = cmsBatch.filter(col("windowStartMs") === ws && col("g") === g)
+        .select("r", "bucket", "cnt")
+      val cWant = Sketches.build(keys, "k", 3, 64, "wgc")
+      assert(cGot.exceptAll(cWant).count() == 0 &&
+        cWant.exceptAll(cGot).count() == 0, s"cms differs at ($ws, $g)")
+    }
+    // stream parity for one leg (the window+group aggregation shape is
+    // shared; cms chosen because its counts are the non-idempotent case)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (java.time.LocalDateTime, String, String)]
+    val out = StreamSketches.cmsWindowedCells(mem.toDS().toDF("ts", "g", "k"),
+      "ts", "k", "10 minutes", "5 minutes", 3, 64, "wgc", groupCols = Seq("g"))
+    val q = out.writeStream.format("memory").queryName("cms_wg")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((base.plusMinutes(600), "en", "sweep"))
+      q.processAllAvailable()
+      val emitted = spark.table("cms_wg")
+        .filter(col("windowStartMs").isin(strata.map(s => Long.box(s._1)).distinct: _*))
+      assert(emitted.exceptAll(cmsBatch).count() == 0 &&
+        cmsBatch.exceptAll(emitted).count() == 0)
+      // rebuild carries (window x g) strata; regroup to g == direct
+      val rebuilt = StreamSketches.cmsFromWindowCells(emitted, 3, 64, "wgc",
+        groupCols = Seq("g"))
+      assert(rebuilt.groupCols == Seq("windowStartMs", "windowEndMs", "g"))
+      val byG = rebuilt.regroup(Seq("g" -> col("g")))
+      val directByG = Sketches.buildGrouped(df, "k", Seq("g"), 3, 64, "wgc")
+      assert(byG.cells.exceptAll(directByG).count() == 0 &&
+        directByG.exceptAll(byG.cells).count() == 0)
+    } finally q.stop()
+  }
+
   test("jaccardJoin equals brute force exactly (no missed pair, no extra)") {
     for (pct <- Seq(40, 60, 85)) {
       val got = SetSimJoin.jaccardJoin(simCorpus, "doc_id", "text",
