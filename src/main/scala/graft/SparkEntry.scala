@@ -2297,6 +2297,23 @@ object SparkEntry {
       graft.ops.Bloom.mightContainGrouped(
         filt, langSh(docs), "sh", Seq("lang"), 4096, 3)
     },
+    // Per-event-time-window filter build, batch mode (the same
+    // declarative plan the streaming path runs under a watermark):
+    // 1-day tumbling windows over events.ts, user_id keys, 4096-bit
+    // filters per day. Tumbling windows align to the EPOCH (rule 13c),
+    // so the oracle replays the bounds as ms - ms % 86400000 - pure
+    // integer arithmetic, ts read adaptively on both sides (rule 3:
+    // eventTsMs / epoch_ns). Null ts or user_id carry no bits (rule 10).
+    "q_bloom_windowed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val evRaw = t(dir, "events")
+      val ev = evRaw.select(
+        timestamp_millis(eventTsMs(evRaw)).as("ts"),
+        col("user_id").cast("string").as("k"))
+      val ww = graft.streaming.StreamBloom.windowedWords(
+        ev, "ts", "k", "1 day", "1 hour", 4096L, 3)
+      graft.ops.Bloom.wordHalves(ww, Seq("windowStartMs", "windowEndMs"))
+    },
     // One filter PER GROUP in one aggregation (lang here): the grouped
     // twin of q_bloom_bits - (lang, w, lo, hi), <= groups x m/64 rows,
     // groups never collected. NULL group values are retained as their
@@ -5822,6 +5839,24 @@ object SparkEntry {
         |FROM prp p LEFT JOIN ep
         |  ON p.pos = ep.pos AND p.lang IS NOT DISTINCT FROM ep.lang
         |GROUP BY p.lang, p.sh""".stripMargin,
+    // Windowed build replay: epoch-aligned 1-day bounds as pure ms
+    // arithmetic, positions per distinct (window, user) — the same
+    // shared fragment with the window start as the carried prefix.
+    "q_bloom_windowed" ->
+      s"""WITH ep AS MATERIALIZED ${bloomPositionsSql(
+           "SELECT CAST((epoch_ns(ts) // 1000000) " +
+             "- ((epoch_ns(ts) // 1000000) % 86400000) AS BIGINT) AS ws, " +
+             "CAST(user_id AS VARCHAR) AS sh " +
+             "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL",
+           4096, 3, grpSel = "ws, ")}
+        |SELECT CAST(ws AS BIGINT) AS windowStartMs,
+        |  CAST(ws + 86400000 AS BIGINT) AS windowEndMs,
+        |  CAST(pos // 64 AS BIGINT) AS w,
+        |  bit_or(CASE WHEN pos % 64 < 32
+        |    THEN (1::BIGINT << (pos % 64)) ELSE 0::BIGINT END) AS lo,
+        |  bit_or(CASE WHEN pos % 64 >= 32
+        |    THEN (1::BIGINT << (pos % 64 - 32)) ELSE 0::BIGINT END) AS hi
+        |FROM ep GROUP BY 1, 2, 3""".stripMargin,
     // Grouped build: one filter per lang in one aggregation — the
     // grouped twin of q_bloom_bits (NULL lang retained as its own
     // group on both sides, rule 10).
