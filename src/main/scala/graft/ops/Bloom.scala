@@ -125,14 +125,33 @@ object Bloom {
   /** The k probe positions of one key — the ONE definition of the
     * position math, used by build and probe here and by
     * `Curate.bloomImage` (a drifted copy would silently desynchronize
-    * a persisted filter from its probes). Engine side:
+    * a persisted filter from its probes). Portable mode (the default,
+    * and the only mode the gate oracles replay): Kirsch–Mitzenmacher
+    * double hashing from ONE md5 — engine side
     * `('0x' || substr(md5(key), 1, 16))::UBIGINT % m` and the 17..32
-    * half, then `(h1 + i*h2) % m`.
+    * half, then `(h1 + i*h2) % m`. Fast mode (`portable = false`): the
+    * same double-hashing structure from two tag-namespaced xxhash64
+    * draws ([[graft.util.Hashing.xxh64Tagged]] — bit-identical to the
+    * codegen'd column path, spec-pinned), floorMod-reduced. NOT
+    * engine-replayable; for production corpora that don't need external
+    * replay (the `Hll.registerCoords` tradeoff). Every membership
+    * property (no false negatives, deterministic FPs, OR mergeability)
+    * holds identically in both modes — only replayability differs.
     */
-  private[graft] def positions(key: String, m: Long, k: Int): Array[Long] = {
-    val (h1r, h2r) = graft.util.Hashing.md5LongPair(key)
-    val h1 = java.lang.Long.remainderUnsigned(h1r, m)
-    val h2 = java.lang.Long.remainderUnsigned(h2r, m)
+  private[graft] def positions(key: String, m: Long, k: Int,
+      portable: Boolean = true): Array[Long] = {
+    val (h1, h2) =
+      if (portable) {
+        val (h1r, h2r) = graft.util.Hashing.md5LongPair(key)
+        (java.lang.Long.remainderUnsigned(h1r, m),
+          java.lang.Long.remainderUnsigned(h2r, m))
+      } else {
+        // floorMod, not remainderUnsigned: the column twin is pmod()
+        // over the signed xxhash64 value, and the two reductions differ
+        // — the JVM side must match the codegen side bit for bit
+        (java.lang.Math.floorMod(graft.util.Hashing.xxh64Tagged("bloom:h1", key), m),
+          java.lang.Math.floorMod(graft.util.Hashing.xxh64Tagged("bloom:h2", key), m))
+      }
     val out = new Array[Long](k)
     var i = 0
     while (i < k) {
@@ -142,11 +161,27 @@ object Bloom {
     out
   }
 
-  /** Positions as a Column (array<long>) over a string key column. */
-  private[graft] def positionsCol(key: Column, m: Long, k: Int): Column = {
-    val u = udf { s: String => if (s == null) null else positions(s, m, k) }
-    u(key)
-  }
+  /** Positions as a Column (array<long>) over a string key column.
+    * Portable mode evaluates the house md5 pair in a UDF (MessageDigest
+    * has no codegen'd Column twin that matches the oracle contract);
+    * fast mode is PURE built-ins — two xxhash64 draws and integer
+    * arithmetic inside whole-stage codegen, no UDF boundary at all,
+    * which is where the fast mode's build-time win actually comes from
+    * (the hash itself AND the serialization hop). Null keys yield null
+    * in both modes (callers filter them; parity kept anyway).
+    */
+  private[graft] def positionsCol(key: Column, m: Long, k: Int,
+      portable: Boolean = true): Column =
+    if (portable) {
+      val u = udf { s: String => if (s == null) null else positions(s, m, k) }
+      u(key)
+    } else {
+      val h1 = pmod(xxhash64(lit("bloom:h1"), key), lit(m))
+      val h2 = pmod(xxhash64(lit("bloom:h2"), key), lit(m))
+      when(key.isNull, lit(null).cast("array<bigint>"))
+        .otherwise(array((0 until k).map(i =>
+          pmod(h1 + lit(i.toLong) * h2, lit(m))): _*))
+    }
 
   /** Build the word frame over `keyCol` (cast to string). ONE exchange:
     * positions explode map-side, the (w, bits) partial bit_or combines
@@ -155,11 +190,11 @@ object Bloom {
     * no distinct-keys shuffle is needed or taken.
     */
   def build(df: DataFrame, keyCol: String, numBits: Long,
-      numHashes: Int): DataFrame = {
+      numHashes: Int, portableHash: Boolean = true): DataFrame = {
     requireGeometry(numBits, numHashes)
     wordsOf(Dedup.fanOut(df.select(col(keyCol).cast("string").as("__k"))
         .filter(col("__k").isNotNull)),
-      numBits, numHashes, Seq.empty)
+      numBits, numHashes, Seq.empty, portableHash)
   }
 
   /** One filter PER GROUP in one aggregation: `(groupCols..., w, bits)`,
@@ -169,7 +204,7 @@ object Bloom {
     * them, house rule 10).
     */
   def buildGrouped(df: DataFrame, keyCol: String, groupCols: Seq[String],
-      numBits: Long, numHashes: Int): DataFrame = {
+      numBits: Long, numHashes: Int, portableHash: Boolean = true): DataFrame = {
     requireGeometry(numBits, numHashes)
     require(groupCols.nonEmpty, "Bloom.buildGrouped: groupCols is empty - use build")
     val clash = groupCols.filter(ReservedNames.contains)
@@ -180,17 +215,17 @@ object Bloom {
     wordsOf(Dedup.fanOut(df.select(
         groupCols.map(col) :+ col(keyCol).cast("string").as("__k"): _*)
         .filter(col("__k").isNotNull)),
-      numBits, numHashes, groupCols)
+      numBits, numHashes, groupCols, portableHash)
   }
 
   /** Shared build tail: explode the k positions, derive (w, bit) with
     * codegen'd integer expressions, bit_or by (groupCols..., w).
     */
   private def wordsOf(keyed: DataFrame, m: Long, k: Int,
-      groupCols: Seq[String]): DataFrame =
+      groupCols: Seq[String], portable: Boolean = true): DataFrame =
     keyed
       .select(groupCols.map(col) :+
-        explode(positionsCol(col("__k"), m, k)).as("pos"): _*)
+        explode(positionsCol(col("__k"), m, k, portable)).as("pos"): _*)
       .select(groupCols.map(col) ++ Seq(
         shiftrightunsigned(col("pos"), 6).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("__b")): _*)
@@ -239,7 +274,7 @@ object Bloom {
     * impossible for keys that entered a merged build.
     */
   def mightContain(words: DataFrame, keys: DataFrame, keyCol: String,
-      numBits: Long, numHashes: Int): DataFrame = {
+      numBits: Long, numHashes: Int, portableHash: Boolean = true): DataFrame = {
     requireGeometry(numBits, numHashes)
     requireWordFrame(words, Seq.empty, "mightContain")
     requireBatch(keys, "keys", "mightContain")
@@ -252,7 +287,8 @@ object Bloom {
     Dedup.fanOut(keys.select(col(keyCol).cast("string").as("__k"))
         .filter(col("__k").isNotNull))
       .distinct()
-      .select(col("__k"), explode(positionsCol(col("__k"), numBits, numHashes)).as("pos"))
+      .select(col("__k"), explode(
+        positionsCol(col("__k"), numBits, numHashes, portableHash)).as("pos"))
       .select(col("__k"),
         shiftrightunsigned(col("pos"), 6).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("__b"))
@@ -278,7 +314,8 @@ object Bloom {
     * shared exprIds degenerate into a self-join.
     */
   def mightContainGrouped(words: DataFrame, keys: DataFrame, keyCol: String,
-      groupCols: Seq[String], numBits: Long, numHashes: Int): DataFrame = {
+      groupCols: Seq[String], numBits: Long, numHashes: Int,
+      portableHash: Boolean = true): DataFrame = {
     requireGeometry(numBits, numHashes)
     require(groupCols.nonEmpty,
       "Bloom.mightContainGrouped: groupCols is empty - use mightContain")
@@ -298,7 +335,7 @@ object Bloom {
         .filter(col("__k").isNotNull))
       .distinct()
       .select(groupCols.map(col) ++ Seq(col("__k"),
-        explode(positionsCol(col("__k"), numBits, numHashes)).as("pos")): _*)
+        explode(positionsCol(col("__k"), numBits, numHashes, portableHash)).as("pos")): _*)
       .select(groupCols.map(col) ++ Seq(col("__k"),
         shiftrightunsigned(col("pos"), 6).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("__b")): _*)
@@ -376,6 +413,48 @@ object Bloom {
       .agg((coalesce(sum(expr("bit_count(bits)").cast("long")), lit(0L)) /
         lit(numBits.toDouble)).as("fill"))
   }
+
+  /** Geometry that meets `targetFpr` for `expectedDistinct` keys: the
+    * textbook optimum m = ⌈−n·ln p / (ln 2)²⌉ rounded UP to a whole
+    * word (the frame packs 64-bit words), k = round(m/n · ln 2) clamped
+    * to the [1, 16] double-hashing range. Returns (numBits, numHashes).
+    *
+    * Size from the EXPECTED TOTAL cardinality across every filter you
+    * intend to merge — m is fixed at build time and cannot be derived
+    * from one slice's count ([[BloomSketch.build]]'s note); get n from
+    * [[Hll]]/[[HllSketch.estimate]] when it isn't known (one register
+    * pass, no distinct shuffle). An UNDERSIZED filter fails silently in
+    * the worst way — it saturates toward fill 1.0 and answers `true`
+    * for everything while still "working" (the r20w6 replica corpora
+    * silently saturated a 2^20-bit filter to all-true verdicts) —
+    * which is why [[BloomSketch.write]] and [[GroupedBloomSketch.write]]
+    * audit the realized fill at persist time and warn past
+    * [[SaturationWarnFill]].
+    */
+  def sizeFor(expectedDistinct: Long, targetFpr: Double): (Long, Int) = {
+    require(expectedDistinct >= 1L,
+      s"Bloom.sizeFor: expectedDistinct must be >= 1, got $expectedDistinct")
+    require(targetFpr > 0.0 && targetFpr < 1.0,
+      s"Bloom.sizeFor: targetFpr must be in (0, 1), got $targetFpr")
+    val ln2 = math.log(2.0)
+    val mRaw = math.ceil(-expectedDistinct.toDouble * math.log(targetFpr) / (ln2 * ln2))
+    require(mRaw <= (1L << 36).toDouble,
+      s"Bloom.sizeFor: $expectedDistinct keys at fpr $targetFpr need " +
+        f"$mRaw%.0f bits, above the 2^36 implementation ceiling - shard " +
+        "the key space (per-group filters) or relax the fpr")
+    val m = math.max(64L, ((mRaw.toLong + 63L) >>> 6) << 6)
+    val k = math.max(1, math.min(16,
+      math.round(m.toDouble / expectedDistinct.toDouble * ln2).toInt))
+    (m, k)
+  }
+
+  /** Fill ratio past which the persist-time audit warns: at fill 0.5
+    * the filter sits at its design optimum's EDGE (k = m/n·ln2 realizes
+    * fill ≈ 0.5 exactly when n matches the sizing), so fill beyond it
+    * means MORE keys than the geometry was sized for — FP rate fill^k
+    * degrades exponentially from there and merges only push fill up.
+    */
+  val SaturationWarnFill = 0.5
 
   /** The hash-contract view of a word frame: the packed word split into
     * two nonnegative 32-bit halves (`lo` = bits 0–31, `hi` = bits

@@ -42,27 +42,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class BloomSketch(
     words: DataFrame,
     numBits: Long,
-    numHashes: Int) {
+    numHashes: Int,
+    portableHash: Boolean = true) {
 
   /** Membership verdicts for the distinct non-null keys of `keyCol` —
-    * geometry supplied by the handle, so a probe can never
-    * desynchronize from the build. See [[Bloom.mightContain]].
+    * geometry AND hash mode supplied by the handle, so a probe can
+    * never desynchronize from the build. See [[Bloom.mightContain]].
     */
   def mightContain(keys: DataFrame, keyCol: String): DataFrame =
-    Bloom.mightContain(words, keys, keyCol, numBits, numHashes)
+    Bloom.mightContain(words, keys, keyCol, numBits, numHashes, portableHash)
 
   /** Bitwise-OR merge, REFUSING mismatched geometries: same-m frames
     * from different k are the subtle case — the words LOOK compatible
     * and OR cleanly, but the merged filter answers probes with
     * whichever k the caller supplies, false-negating the other side's
-    * keys.
+    * keys. The hash MODE is geometry too, and the nastier case: a
+    * portable/fast pair at the same (m, k) also ORs cleanly, but the
+    * merged filter probes positions in only one side's hash space and
+    * answers `false` for the other side's inserted keys — the exact
+    * no-false-negative violation the handle exists to prevent.
     */
   def merge(other: BloomSketch): BloomSketch = {
-    require(numBits == other.numBits && numHashes == other.numHashes,
+    require(numBits == other.numBits && numHashes == other.numHashes &&
+      portableHash == other.portableHash,
       s"BloomSketch.merge: geometry mismatch - this is (numBits=$numBits, " +
-        s"numHashes=$numHashes), other is (numBits=${other.numBits}, " +
-        s"numHashes=${other.numHashes}). Filters only merge when built " +
-        "with IDENTICAL geometry; rebuild one side.")
+        s"numHashes=$numHashes, portableHash=$portableHash), other is " +
+        s"(numBits=${other.numBits}, numHashes=${other.numHashes}, " +
+        s"portableHash=${other.portableHash}). Filters only merge when " +
+        "built with IDENTICAL geometry and hash mode; rebuild one side.")
     copy(words = Bloom.merge(words, other.words))
   }
 
@@ -91,13 +98,17 @@ object BloomSketch {
   /** Build with geometry captured in the handle — same arguments and
     * word frame as [[Bloom.build]]. Size `numBits` from the EXPECTED
     * TOTAL cardinality across every filter you intend to merge
-    * (~10 bits/key ≈ 0.8% FP at k=7): the modulus must be chosen once
-    * and held fixed, it cannot be derived from any one slice's count.
+    * (~10 bits/key ≈ 0.8% FP at k=7, or let [[Bloom.sizeFor]] pick
+    * both knobs from a target FP rate): the modulus must be chosen
+    * once and held fixed, it cannot be derived from any one slice's
+    * count. `portableHash = false` swaps the md5 double-hash for
+    * codegen'd xxhash64 positions — see [[Bloom.positions]] for the
+    * tradeoff (no external replay; every membership property intact).
     */
   def build(items: DataFrame, keyCol: String, numBits: Long,
-      numHashes: Int = 7): BloomSketch =
-    BloomSketch(Bloom.build(items, keyCol, numBits, numHashes),
-      numBits, numHashes)
+      numHashes: Int = 7, portableHash: Boolean = true): BloomSketch =
+    BloomSketch(Bloom.build(items, keyCol, numBits, numHashes, portableHash),
+      numBits, numHashes, portableHash)
 
   /** Order-independent 60-bit content digest of a word frame
     * ([[SketchIo.xorDigest]] over (w, bits)).
@@ -114,13 +125,25 @@ object BloomSketch {
     sketch.words.write.mode("overwrite").parquet(s"$path/words")
     // digest what was WRITTEN, not the input plan - a failed/partial
     // write must not inherit a valid digest from the source frame
-    val dig = digest(spark.read.parquet(s"$path/words"))
+    val written = spark.read.parquet(s"$path/words")
+    val dig = digest(written)
+    // persist-time saturation audit (one tiny agg over the <= m/64-row
+    // frame we re-read anyway): an oversaturated filter "works" while
+    // answering true for everything — warn before a user ships it
+    // (sizeFor's scaladoc tells the story; the r20w6 replica lesson)
+    val fill = Bloom.fillRatio(written, sketch.numBits)
+    if (fill >= Bloom.SaturationWarnFill)
+      System.err.println(f"[bloom] warning: persisted filter at $path is " +
+        f"$fill%.2f full (expected FP rate ${math.pow(fill, sketch.numHashes.toDouble)}%.3f) - " +
+        "it holds more keys than its geometry was sized for; resize with " +
+        "Bloom.sizeFor(expectedDistinct, targetFpr) and rebuild")
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
     val meta =
       ("formatVersion" -> FormatVersion) ~
         ("numBits" -> sketch.numBits) ~
         ("numHashes" -> sketch.numHashes) ~
+        ("portableHash" -> sketch.portableHash) ~
         ("wordDigest" -> dig)
     SketchIo.writeFile(spark, path, "bloom.json", compact(render(meta)))
   }
@@ -155,6 +178,9 @@ object BloomSketch {
       s"BloomSketch.read: $bad word row(s) outside [0, $nWords) for " +
         s"numBits = $numBits - the payload does not match its declared " +
         "geometry; refusing to serve probes that could false-negate")
-    BloomSketch(words, numBits, numHashes)
+    // hash mode defaults true for pre-r17 files: every filter written
+    // before the field existed was md5-portable by construction
+    BloomSketch(words, numBits, numHashes,
+      (meta \ "portableHash").extractOrElse(true))
   }
 }

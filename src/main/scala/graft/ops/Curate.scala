@@ -286,8 +286,12 @@ object Curate {
       n: Int = 8,
       minHits: Int = 1): (DataFrame, Broadcast[Array[Long]]) = {
     val bc = train.sparkSession.sparkContext.broadcast(sketch.dense())
+    // probe in the sketch's OWN hash mode (the handle carries it): a
+    // fast-built filter probed with md5 positions would false-negate
+    // every inserted key — the cross-mode hazard the handles refuse at
+    // merge time, closed here for the probe path too
     (bloomProbe(train, trainIdCol, trainTextCol, n, minHits, bc,
-      sketch.numBits, sketch.numHashes), bc)
+      sketch.numBits, sketch.numHashes, sketch.portableHash), bc)
   }
 
   /** Shared probe tail of the bloom decontamination paths: shingle the
@@ -302,9 +306,10 @@ object Curate {
       minHits: Int,
       bc: Broadcast[Array[Long]],
       m: Long,
-      k: Int): DataFrame = {
+      k: Int,
+      portable: Boolean = true): DataFrame = {
     val probe = udf { (shs: Seq[String]) =>
-      if (shs == null) 0L else bloomHits(bc.value, m, k, shs)
+      if (shs == null) 0L else bloomHits(bc.value, m, k, shs, portable)
     }
     Dedup.fanOut(train.select(col(trainIdCol).cast("long").as("doc_id"),
         col(trainTextCol).as("__t")))
@@ -400,12 +405,13 @@ object Curate {
     * the shared executor-side probe (Kirsch–Mitzenmacher, one md5 per
     * shingle).
     */
-  private def bloomHits(arr: Array[Long], m: Long, k: Int, shs: Seq[String]): Long = {
+  private def bloomHits(arr: Array[Long], m: Long, k: Int, shs: Seq[String],
+      portable: Boolean = true): Long = {
     var hits = 0L
     val it = shs.iterator
     while (it.hasNext) {
       val sh = it.next()
-      val ps = Bloom.positions(sh, m, k) // single-sourced position math
+      val ps = Bloom.positions(sh, m, k, portable) // single-sourced position math
       var i = 0
       var all = true
       while (i < k && all) {

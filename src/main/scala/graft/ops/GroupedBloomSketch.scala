@@ -36,26 +36,32 @@ final case class GroupedBloomSketch(
     words: DataFrame,
     groupCols: Seq[String],
     numBits: Long,
-    numHashes: Int) {
+    numHashes: Int,
+    portableHash: Boolean = true) {
 
   /** Per-(group, key) membership verdicts against each group's own
     * filter — see [[Bloom.mightContainGrouped]] (null-safe group join,
     * filterless groups answer false).
     */
   def mightContain(keys: DataFrame, keyCol: String): DataFrame =
-    Bloom.mightContainGrouped(words, keys, keyCol, groupCols, numBits, numHashes)
+    Bloom.mightContainGrouped(words, keys, keyCol, groupCols, numBits,
+      numHashes, portableHash)
 
-  /** Group-wise OR-merge, REFUSING mismatched geometry or
-    * stratification.
+  /** Group-wise OR-merge, REFUSING mismatched geometry, hash mode, or
+    * stratification (a cross-MODE merge at matching (m, k) ORs cleanly
+    * but false-negates one side's keys at probe time — the
+    * [[BloomSketch.merge]] hazard, per group).
     */
   def merge(other: GroupedBloomSketch): GroupedBloomSketch = {
     require(numBits == other.numBits && numHashes == other.numHashes &&
-      groupCols == other.groupCols,
+      groupCols == other.groupCols && portableHash == other.portableHash,
       s"GroupedBloomSketch.merge: geometry mismatch - this is " +
-        s"(numBits=$numBits, numHashes=$numHashes, groupCols=$groupCols), " +
-        s"other is (numBits=${other.numBits}, numHashes=${other.numHashes}, " +
-        s"groupCols=${other.groupCols}). Filters only merge when built with " +
-        "IDENTICAL geometry and stratification; rebuild one side.")
+        s"(numBits=$numBits, numHashes=$numHashes, groupCols=$groupCols, " +
+        s"portableHash=$portableHash), other is (numBits=${other.numBits}, " +
+        s"numHashes=${other.numHashes}, groupCols=${other.groupCols}, " +
+        s"portableHash=${other.portableHash}). Filters only merge when " +
+        "built with IDENTICAL geometry, hash mode, and stratification; " +
+        "rebuild one side.")
     copy(words = Bloom.mergeGrouped(words, other.words, groupCols))
   }
 
@@ -105,7 +111,7 @@ final case class GroupedBloomSketch(
     BloomSketch(
       words.select(col("w"), col("bits"))
         .groupBy("w").agg(expr("bit_or(bits)").as("bits")),
-      numBits, numHashes)
+      numBits, numHashes, portableHash)
 
   /** Per-group fill ratios `(groupCols..., fill)`; a group's expected
     * FP rate is fill^numHashes.
@@ -125,10 +131,12 @@ object GroupedBloomSketch {
     * their filters merge and regroup; `fillRatios` audits the spread).
     */
   def build(items: DataFrame, keyCol: String, groupCols: Seq[String],
-      numBits: Long, numHashes: Int = 7): GroupedBloomSketch =
+      numBits: Long, numHashes: Int = 7,
+      portableHash: Boolean = true): GroupedBloomSketch =
     GroupedBloomSketch(
-      Bloom.buildGrouped(items, keyCol, groupCols, numBits, numHashes),
-      groupCols, numBits, numHashes)
+      Bloom.buildGrouped(items, keyCol, groupCols, numBits, numHashes,
+        portableHash),
+      groupCols, numBits, numHashes, portableHash)
 
   /** Persist words + geometry + canonicalized content digest at `path`
     * (overwrites).
@@ -137,15 +145,31 @@ object GroupedBloomSketch {
     val spark = sketch.words.sparkSession
     sketch.words.write.mode("overwrite").parquet(s"$path/words")
     // digest what was WRITTEN, not the input plan (house rule)
-    val dig = SketchIo.canonicalDigest(spark.read.parquet(s"$path/words"),
+    val written = spark.read.parquet(s"$path/words")
+    val dig = SketchIo.canonicalDigest(written,
       sketch.groupCols ++ Seq("w", "bits"))
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
+    // persist-time saturation audit over the WORST group (one tiny agg
+    // over the re-read frame — the BloomSketch.write discipline, per
+    // stratum: a shared m sized for the median group can silently
+    // saturate the largest one)
+    val worst = Bloom.fillRatioGrouped(written,
+        sketch.groupCols, sketch.numBits)
+      .agg(org.apache.spark.sql.functions.max(col("fill"))).head()
+    if (!worst.isNullAt(0) && worst.getDouble(0) >= Bloom.SaturationWarnFill)
+      System.err.println(f"[bloom] warning: persisted grouped filter at " +
+        f"$path has a stratum ${worst.getDouble(0)}%.2f full (expected FP " +
+        f"rate ${math.pow(worst.getDouble(0), sketch.numHashes.toDouble)}%.3f) - " +
+        "that group holds more keys than the shared geometry was sized " +
+        "for; resize with Bloom.sizeFor and rebuild (fillRatios() shows " +
+        "the per-group spread)")
     val meta =
       ("formatVersion" -> FormatVersion) ~
         ("numBits" -> sketch.numBits) ~
         ("numHashes" -> sketch.numHashes) ~
         ("groupCols" -> sketch.groupCols.toList) ~
+        ("portableHash" -> sketch.portableHash) ~
         ("wordDigest" -> dig)
     SketchIo.writeFile(spark, path, "gbloom.json", compact(render(meta)))
   }
@@ -180,6 +204,8 @@ object GroupedBloomSketch {
       s"GroupedBloomSketch.read: $bad word row(s) outside [0, $nWords) for " +
         s"numBits = $numBits - the payload does not match its declared " +
         "geometry; refusing to serve probes that could false-negate")
-    GroupedBloomSketch(words, groupCols, numBits, numHashes)
+    // pre-r17 files lack the field and were all md5-portable
+    GroupedBloomSketch(words, groupCols, numBits, numHashes,
+      (meta \ "portableHash").extractOrElse(true))
   }
 }

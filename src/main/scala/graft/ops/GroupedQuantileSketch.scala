@@ -51,7 +51,8 @@ final case class GroupedQuantileSketch(
     groupCols: Seq[String],
     s: Int,
     seed: String,
-    doubleValued: Boolean) {
+    doubleValued: Boolean,
+    portableHash: Boolean = true) {
 
   /** Per-group percentile estimates: one row per (group, pct) —
     * (groupCols..., pct BIGINT, k BIGINT, value) where k is the SAMPLE
@@ -148,14 +149,18 @@ final case class GroupedQuantileSketch(
     // group ALWAYS has exactly min(n_g, s) summary rows — anything else
     // is a concatenated/desynchronized frame and every scaled rank from
     // it is plausible and wrong. Checked on the groups-sized join, no
-    // extra job.
-    val sg = when(col("__sg") =!= least(col("n"), lit(s.toLong)),
+    // extra job. LEFT join + null-n raise, mirroring quantiles(): an
+    // inner join would silently DROP a summary group missing from
+    // counts — exactly the desync class this guard exists to refuse
+    // (r16 ADVICE defect).
+    val sg = when(col("n").isNull ||
+        col("__sg") =!= least(col("n"), lit(s.toLong)),
       raise_error(concat(lit("GroupedQuantileSketch.rankOf: a group's " +
         s"summary row count differs from min(n_g, s = $s) - the summary " +
         "and counts frames have desynchronized (concatenated frames? " +
         "use merge(); corrupted payload? re-read the sketch)"))))
       .otherwise(col("__sg"))
-    sampleAgg.join(cnt, cond)
+    sampleAgg.join(cnt, cond, "left")
       .withColumn("__sg", sg)
       .select(groupCols.map(sampleAgg(_)) :+
         // floor(cnt·n_g/s_g) in PURE long arithmetic (the naive product
@@ -226,7 +231,7 @@ final case class GroupedQuantileSketch(
       .head().getLong(0)
     QuantileSketch(
       QuantileSketch.bottomK(summary.select(col("rk"), col("value")), s),
-      s, seed, total, doubleValued)
+      s, seed, total, doubleValued, portableHash)
   }
 
   /** Group-wise bottom-s merge, refusing mismatched geometry (different
@@ -237,13 +242,15 @@ final case class GroupedQuantileSketch(
     */
   def merge(other: GroupedQuantileSketch): GroupedQuantileSketch = {
     require(s == other.s && seed == other.seed &&
-      doubleValued == other.doubleValued && groupCols == other.groupCols,
+      doubleValued == other.doubleValued && groupCols == other.groupCols &&
+      portableHash == other.portableHash,
       s"GroupedQuantileSketch.merge: geometry mismatch - this is (s=$s, " +
-        s"seed=$seed, doubleValued=$doubleValued, groupCols=$groupCols), " +
-        s"other is (s=${other.s}, seed=${other.seed}, " +
-        s"doubleValued=${other.doubleValued}, groupCols=${other.groupCols}). " +
-        "Summaries only merge when built with IDENTICAL geometry; rebuild " +
-        "one side.")
+        s"seed=$seed, doubleValued=$doubleValued, groupCols=$groupCols, " +
+        s"portableHash=$portableHash), other is (s=${other.s}, " +
+        s"seed=${other.seed}, doubleValued=${other.doubleValued}, " +
+        s"groupCols=${other.groupCols}, portableHash=${other.portableHash}). " +
+        "Summaries only merge when built with IDENTICAL geometry (a " +
+        "cross-mode bottom-k mixes two hash spaces); rebuild one side.")
     val mergedCounts = counts.unionByName(other.counts)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("n")).as("n"))
@@ -311,7 +318,8 @@ object GroupedQuantileSketch {
     * sibling.
     */
   def buildGrouped(items: DataFrame, groupCols: Seq[String], idCol: String,
-      valueCol: String, s: Int, seed: String): GroupedQuantileSketch = {
+      valueCol: String, s: Int, seed: String,
+      portableHash: Boolean = true): GroupedQuantileSketch = {
     requireArgs(items, groupCols, s)
     Quantiles.requireIntegral(items, valueCol, "GroupedQuantileSketch.buildGrouped",
       "For fractional values use GroupedQuantileSketch.buildGroupedDouble " +
@@ -319,11 +327,11 @@ object GroupedQuantileSketch {
     val rows = items
       .where(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(groupCols.map(col) ++ Seq(
-        Sampling.uniformBits60(col(idCol), seed).as("rk"),
+        QuantileSketch.rankKey(col(idCol), seed, portableHash).as("rk"),
         col(valueCol).cast("long").as("value")): _*)
     GroupedQuantileSketch(cutPerGroup(rows, groupCols, s),
       rows.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n")),
-      groupCols, s, seed, doubleValued = false)
+      groupCols, s, seed, doubleValued = false, portableHash = portableHash)
   }
 
   /** Build a DOUBLE-valued grouped sketch (float/double columns; NaN
@@ -331,8 +339,8 @@ object GroupedQuantileSketch {
     * policy).
     */
   def buildGroupedDouble(items: DataFrame, groupCols: Seq[String],
-      idCol: String, valueCol: String, s: Int,
-      seed: String): GroupedQuantileSketch = {
+      idCol: String, valueCol: String, s: Int, seed: String,
+      portableHash: Boolean = true): GroupedQuantileSketch = {
     requireArgs(items, groupCols, s)
     Quantiles.requireFloating(items, valueCol,
       "GroupedQuantileSketch.buildGroupedDouble",
@@ -342,11 +350,11 @@ object GroupedQuantileSketch {
       .where(col(idCol).isNotNull && col(valueCol).isNotNull &&
         !isnan(col(valueCol)))
       .select(groupCols.map(col) ++ Seq(
-        Sampling.uniformBits60(col(idCol), seed).as("rk"),
+        QuantileSketch.rankKey(col(idCol), seed, portableHash).as("rk"),
         (col(valueCol).cast("double") + lit(0.0)).as("value")): _*)
     GroupedQuantileSketch(cutPerGroup(rows, groupCols, s),
       rows.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n")),
-      groupCols, s, seed, doubleValued = true)
+      groupCols, s, seed, doubleValued = true, portableHash = portableHash)
   }
 
   /** Rebuild the grouped-sketch surface from
@@ -362,22 +370,22 @@ object GroupedQuantileSketch {
     * started with. Value type (long vs double emissions) is inferred
     * from the frame.
     */
-  def fromWindowSummaries(summaries: DataFrame, s: Int,
-      seed: String): GroupedQuantileSketch =
+  def fromWindowSummaries(summaries: DataFrame, s: Int, seed: String,
+      portableHash: Boolean = true): GroupedQuantileSketch =
     fromSummariesImpl(summaries, Seq("windowStartMs"), s, seed,
-      "fromWindowSummaries")
+      portableHash, "fromWindowSummaries")
 
   /** [[fromWindowSummaries]] for [[graft.streaming.StreamRankSketch]]
     * GROUPED emissions (windowStartMs, windowEndMs, group, rk, value,
     * n): the rebuilt sketch is stratified by (windowStartMs, group).
     */
-  def fromWindowGroupSummaries(summaries: DataFrame, s: Int,
-      seed: String): GroupedQuantileSketch =
+  def fromWindowGroupSummaries(summaries: DataFrame, s: Int, seed: String,
+      portableHash: Boolean = true): GroupedQuantileSketch =
     fromSummariesImpl(summaries, Seq("windowStartMs", "group"), s, seed,
-      "fromWindowGroupSummaries")
+      portableHash, "fromWindowGroupSummaries")
 
   private def fromSummariesImpl(summaries: DataFrame,
-      groupCols: Seq[String], s: Int, seed: String,
+      groupCols: Seq[String], s: Int, seed: String, portableHash: Boolean,
       site: String): GroupedQuantileSketch = {
     val cols = summaries.columns.toSet
     require((groupCols.toSet ++ Set("rk", "value", "n")).subsetOf(cols),
@@ -397,7 +405,7 @@ object GroupedQuantileSketch {
     GroupedQuantileSketch(
       summaries.select((groupCols ++ Seq("rk", "value")).map(col): _*),
       summaries.select((groupCols :+ "n").map(col): _*).distinct(),
-      groupCols, s, seed, dv)
+      groupCols, s, seed, dv, portableHash)
   }
 
   /** Persist summary + counts + geometry + content digests at `path`
@@ -420,6 +428,7 @@ object GroupedQuantileSketch {
         ("seed" -> sketch.seed) ~
         ("groupCols" -> sketch.groupCols.toList) ~
         ("doubleValued" -> sketch.doubleValued) ~
+        ("portableHash" -> sketch.portableHash) ~
         ("summaryDigest" -> sumDig) ~
         ("countsDigest" -> cntDig)
     SketchIo.writeFile(spark, path, "gqsketch.json", compact(render(meta)))
@@ -456,6 +465,8 @@ object GroupedQuantileSketch {
     GroupedQuantileSketch(summary, counts, groupCols,
       (meta \ "s").extract[Int],
       (meta \ "seed").extract[String],
-      (meta \ "doubleValued").extract[Boolean])
+      (meta \ "doubleValued").extract[Boolean],
+      // pre-r17 files lack the field and were all md5-portable
+      (meta \ "portableHash").extractOrElse(true))
   }
 }

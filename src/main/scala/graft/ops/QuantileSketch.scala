@@ -75,7 +75,8 @@ final case class QuantileSketch(
     s: Int,
     seed: String,
     n: Long,
-    doubleValued: Boolean) {
+    doubleValued: Boolean,
+    portableHash: Boolean = true) {
 
   import QuantileSketch.requirePct
 
@@ -135,12 +136,16 @@ final case class QuantileSketch(
     */
   def merge(other: QuantileSketch): QuantileSketch = {
     require(s == other.s && seed == other.seed &&
-      doubleValued == other.doubleValued,
+      doubleValued == other.doubleValued &&
+      portableHash == other.portableHash,
       s"QuantileSketch.merge: geometry mismatch - this is (s=$s, " +
-        s"seed=$seed, doubleValued=$doubleValued), other is (s=${other.s}, " +
-        s"seed=${other.seed}, doubleValued=${other.doubleValued}). " +
-        "Summaries only merge when built with IDENTICAL geometry; " +
-        "rebuild one side.")
+        s"seed=$seed, doubleValued=$doubleValued, " +
+        s"portableHash=$portableHash), other is (s=${other.s}, " +
+        s"seed=${other.seed}, doubleValued=${other.doubleValued}, " +
+        s"portableHash=${other.portableHash}). Summaries only merge when " +
+        "built with IDENTICAL geometry - a cross-mode (or cross-seed) " +
+        "bottom-k mixes two hash spaces and is no longer a uniform " +
+        "sample of anything; rebuild one side.")
     copy(
       summary = QuantileSketch.bottomK(summary.unionByName(other.summary), s),
       n = math.addExact(n, other.n))
@@ -201,6 +206,25 @@ object QuantileSketch {
     require(pct >= 1 && pct <= 100,
       s"QuantileSketch.$site: percentile must be in [1,100], got $pct")
 
+  /** The sketch's rank key — the ONE definition behind the scalar,
+    * grouped, and windowed-streaming builders. Portable mode (default,
+    * the only mode the gate oracles replay) is the house 60-bit md5 key
+    * ([[Sampling.uniformBits60]], rule-1 engine-replayable). Fast mode
+    * is codegen'd xxhash64 over the same `"seed:" + id` identity,
+    * masked to the same nonnegative 60-bit domain — every bottom-k
+    * property (merge-order independence, SRS uniformity, DKW accuracy)
+    * holds identically because the key is still a pure uniform hash of
+    * the row identity; only external replayability is lost (the
+    * [[Hll.registerCoords]] tradeoff). NOT interchangeable: summaries
+    * from different modes are different hash spaces, which is why the
+    * handles carry the mode and refuse cross-mode merges.
+    */
+  private[graft] def rankKey(id: org.apache.spark.sql.Column, seed: String,
+      portable: Boolean): org.apache.spark.sql.Column =
+    if (portable) Sampling.uniformBits60(id, seed)
+    else xxhash64(lit(seed + ":"), id.cast("string"))
+      .bitwiseAND(lit((1L << 60) - 1L))
+
   /** Per-partition top-s then an s-row driver-side merge
     * (TakeOrderedAndProject — never a global sort): the (rk, value)
     * lexicographic order makes the cut a pure function of the multiset
@@ -216,23 +240,23 @@ object QuantileSketch {
     * discipline, shared via [[Quantiles.requireIntegral]]).
     */
   def build(items: DataFrame, idCol: String, valueCol: String,
-      s: Int, seed: String): QuantileSketch = {
+      s: Int, seed: String, portableHash: Boolean = true): QuantileSketch = {
     requireS(s, "QuantileSketch.build")
     Quantiles.requireIntegral(items, valueCol, "QuantileSketch.build",
       "For fractional values use QuantileSketch.buildDouble (no truncation).")
     val rows = items
       .where(col(idCol).isNotNull && col(valueCol).isNotNull)
-      .select(Sampling.uniformBits60(col(idCol), seed).as("rk"),
+      .select(rankKey(col(idCol), seed, portableHash).as("rk"),
         col(valueCol).cast("long").as("value"))
     QuantileSketch(bottomK(rows, s), s, seed, rows.count(),
-      doubleValued = false)
+      doubleValued = false, portableHash = portableHash)
   }
 
   /** Build a DOUBLE-valued sketch (float/double columns; NaN excluded,
     * −0.0 normalized — the [[Quantiles.exactPctDouble]] policy).
     */
   def buildDouble(items: DataFrame, idCol: String, valueCol: String,
-      s: Int, seed: String): QuantileSketch = {
+      s: Int, seed: String, portableHash: Boolean = true): QuantileSketch = {
     requireS(s, "QuantileSketch.buildDouble")
     Quantiles.requireFloating(items, valueCol, "QuantileSketch.buildDouble",
       "For integral values use QuantileSketch.build (exact at the full " +
@@ -240,10 +264,10 @@ object QuantileSketch {
     val rows = items
       .where(col(idCol).isNotNull && col(valueCol).isNotNull &&
         !isnan(col(valueCol)))
-      .select(Sampling.uniformBits60(col(idCol), seed).as("rk"),
+      .select(rankKey(col(idCol), seed, portableHash).as("rk"),
         (col(valueCol).cast("double") + lit(0.0)).as("value"))
     QuantileSketch(bottomK(rows, s), s, seed, rows.count(),
-      doubleValued = true)
+      doubleValued = true, portableHash = portableHash)
   }
 
   /** Order-independent 60-bit content digest of a summary frame
@@ -270,6 +294,7 @@ object QuantileSketch {
         ("seed" -> sketch.seed) ~
         ("n" -> sketch.n) ~
         ("doubleValued" -> sketch.doubleValued) ~
+        ("portableHash" -> sketch.portableHash) ~
         ("summaryDigest" -> dig)
     SketchIo.writeFile(spark, path, "qsketch.json", compact(render(meta)))
   }
@@ -298,6 +323,8 @@ object QuantileSketch {
       (meta \ "s").extract[Int],
       (meta \ "seed").extract[String],
       (meta \ "n").extract[Long],
-      (meta \ "doubleValued").extract[Boolean])
+      (meta \ "doubleValued").extract[Boolean],
+      // pre-r17 files lack the field and were all md5-portable
+      (meta \ "portableHash").extractOrElse(true))
   }
 }

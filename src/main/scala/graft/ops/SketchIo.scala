@@ -45,14 +45,22 @@ private[ops] object SketchIo {
     * handles generally): timestamp string forms depend on the session
     * timezone and float/double string forms on the JVM formatter — a
     * sketch written in one session could be refused as corrupted in
-    * another. Timestamps digest as unix_millis, floats as their
-    * sortable-bits longs; everything else as its string form.
+    * another. Instanted timestamps digest as unix_millis; TIMESTAMP_NTZ
+    * digests as its STRING form, which for a zoneless wall-clock is
+    * already environment-independent — casting NTZ to TIMESTAMP first
+    * would reintroduce the session timezone (the cast interprets the
+    * wall-clock in spark.sql.session.timeZone), so a valid sketch
+    * written under TZ A would be refused as corrupted under TZ B
+    * (r16 ADVICE defect; write-in-A/read-in-B roundtrip pinned in
+    * SketchHandleSpec). Floats digest as their sortable-bits longs;
+    * everything else as its string form.
     */
   def canonicalCol(df: DataFrame, c: String): org.apache.spark.sql.Column =
     df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
-        unix_millis(col(c).cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_millis(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col(c).cast("string")
       case org.apache.spark.sql.types.DoubleType |
            org.apache.spark.sql.types.FloatType =>
         graft.functions.SortableBits.sortable(col(c))

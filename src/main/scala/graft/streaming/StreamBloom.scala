@@ -50,7 +50,8 @@ object StreamBloom {
       watermark: String,
       numBits: Long,
       numHashes: Int,
-      groupCols: Seq[String] = Seq.empty): DataFrame = {
+      groupCols: Seq[String] = Seq.empty,
+      portableHash: Boolean = true): DataFrame = {
     Bloom.requireGeometry(numBits, numHashes)
     StreamSketches.requireWindowGroupCols(groupCols,
       graft.ops.Bloom.ReservedNames, "StreamBloom.windowedWords")
@@ -65,7 +66,7 @@ object StreamBloom {
       .select(Seq(window(col(tsCol), windowDuration).as("__w")) ++
         groupCols.map(col) :+
         explode(Bloom.positionsCol(col(keyCol).cast("string"),
-          numBits, numHashes)).as("pos"): _*)
+          numBits, numHashes, portableHash)).as("pos"): _*)
       .select(Seq(col("__w")) ++ groupCols.map(col) ++ Seq(
         shiftrightunsigned(col("pos"), 6).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("__b")): _*)
@@ -91,7 +92,8 @@ object StreamBloom {
     * merely tolerant.
     */
   def fromWindowWords(words: DataFrame, numBits: Long, numHashes: Int,
-      groupCols: Seq[String] = Seq.empty): GroupedBloomSketch = {
+      groupCols: Seq[String] = Seq.empty,
+      portableHash: Boolean = true): GroupedBloomSketch = {
     Bloom.requireGeometry(numBits, numHashes)
     StreamSketches.requireWindowGroupCols(groupCols, Bloom.ReservedNames,
       "StreamBloom.fromWindowWords")
@@ -104,6 +106,6 @@ object StreamBloom {
     val grouped = words
       .groupBy((strata :+ "w").map(col): _*)
       .agg(expr("bit_or(bits)").as("bits"))
-    GroupedBloomSketch(grouped, strata, numBits, numHashes)
+    GroupedBloomSketch(grouped, strata, numBits, numHashes, portableHash)
   }
 }

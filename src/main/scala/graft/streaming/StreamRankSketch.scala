@@ -152,7 +152,8 @@ object StreamRankSketch {
       windowDuration: String,
       watermark: String,
       s: Int,
-      seed: String): Dataset[WindowSummary] = {
+      seed: String,
+      portableHash: Boolean = true): Dataset[WindowSummary] = {
     requireS(s, "windowedBottomK")
     graft.ops.Quantiles.requireIntegral(events, valueCol,
       "StreamRankSketch.windowedBottomK",
@@ -161,7 +162,7 @@ object StreamRankSketch {
     import spark.implicits._
     windowedBottomKByGroup(events.withColumn("__nogroup", lit("")),
         tsCol, "__nogroup", idCol, valueCol, windowDuration, watermark,
-        s, seed)
+        s, seed, portableHash)
       .map(w => WindowSummary(w.windowStartMs, w.windowEndMs, w.rk,
         w.value, w.n))
   }
@@ -182,12 +183,14 @@ object StreamRankSketch {
       windowDuration: String,
       watermark: String,
       s: Int,
-      seed: String): Dataset[WindowSummaryDouble] = {
+      seed: String,
+      portableHash: Boolean = true): Dataset[WindowSummaryDouble] = {
     val spark = events.sparkSession
     import spark.implicits._
     windowedBottomK(sortableProjected(events, valueCol,
         "StreamRankSketch.windowedBottomKDouble"),
-        tsCol, idCol, "__sb", windowDuration, watermark, s, seed)
+        tsCol, idCol, "__sb", windowDuration, watermark, s, seed,
+        portableHash)
       .map(w => WindowSummaryDouble(w.windowStartMs, w.windowEndMs, w.rk,
         graft.functions.SortableBits.fromSortable(w.value), w.n))
   }
@@ -209,7 +212,8 @@ object StreamRankSketch {
       windowDuration: String,
       watermark: String,
       s: Int,
-      seed: String): Dataset[WindowGroupSummary] = {
+      seed: String,
+      portableHash: Boolean = true): Dataset[WindowGroupSummary] = {
     requireS(s, "windowedBottomKByGroup")
     graft.ops.Quantiles.requireIntegral(events, valueCol,
       "StreamRankSketch.windowedBottomKByGroup",
@@ -237,7 +241,7 @@ object StreamRankSketch {
         unix_millis(col("__w.start").cast("timestamp")).as("winStartMs"),
         unix_millis(col("__w.end").cast("timestamp")).as("winEndMs"),
         col(groupCol).cast("string").as("group"),
-        graft.ops.Sampling.uniformBits60(col(idCol), seed).as("rk"),
+        graft.ops.QuantileSketch.rankKey(col(idCol), seed, portableHash).as("rk"),
         col(valueCol).cast("long").as("value"),
         col(tsCol).as("ts"))
     if (!events.isStreaming) {
@@ -318,12 +322,14 @@ object StreamRankSketch {
       windowDuration: String,
       watermark: String,
       s: Int,
-      seed: String): Dataset[WindowGroupSummaryDouble] = {
+      seed: String,
+      portableHash: Boolean = true): Dataset[WindowGroupSummaryDouble] = {
     val spark = events.sparkSession
     import spark.implicits._
     windowedBottomKByGroup(sortableProjected(events, valueCol,
         "StreamRankSketch.windowedBottomKByGroupDouble"),
-        tsCol, groupCol, idCol, "__sb", windowDuration, watermark, s, seed)
+        tsCol, groupCol, idCol, "__sb", windowDuration, watermark, s, seed,
+        portableHash)
       .map(w => WindowGroupSummaryDouble(w.windowStartMs, w.windowEndMs,
         w.group, w.rk, graft.functions.SortableBits.fromSortable(w.value),
         w.n))

@@ -103,6 +103,27 @@ object Hashing {
     (be(0), be(8))
   }
 
+  /** JVM twin of the COLUMN function `xxhash64(lit(tag), col)` —
+    * bit-identical to the Catalyst expression (pinned in HashingSpec
+    * against a real `functions.xxhash64` evaluation): Spark's XxHash64
+    * folds seed 42 over its children, so this is hash(tag UTF-8 bytes,
+    * 42) then hash(s UTF-8 bytes, that). Used by the fast
+    * (`portableHash = false`) Bloom position math so the dense
+    * broadcast-probe path ([[graft.ops.Curate]]'s bloomHits) and the
+    * codegen'd column path can never desynchronize. NOT engine-portable:
+    * fast-mode artifacts cannot be replayed in an external SQL engine —
+    * the same honest tradeoff as the HLL/CMS fast modes
+    * (`graft.ops.Hll.registerCoords`).
+    */
+  def xxh64Tagged(tag: String, s: String): Long = {
+    val h1 = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(tag),
+      org.apache.spark.sql.types.StringType, 42L)
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, h1)
+  }
+
   /** ENGINE-PORTABLE deterministic pseudo-random double in [-1, 1): the
     * first 4 bytes of md5("seed:j") as an unsigned 32-bit value, scaled.
     * In any SQL engine:

@@ -1,0 +1,301 @@
+package graft
+
+import graft.ops.{Bloom, BloomSketch, GroupedBloomSketch, GroupedQuantileSketch, QuantileSketch}
+import graft.util.Hashing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-17: the fast-hash (`portableHash = false`) mode for the Bloom
+  * membership and rank-sketch legs — the r16 verdict's #1 item. Pins:
+  * the JVM xxh64 twin against the real Catalyst `xxhash64` expression
+  * (the one contract that keeps the dense broadcast-probe path and the
+  * codegen'd column path synchronized), fast-mode membership semantics
+  * (no false negatives, bounded realized FPR, JVM/column position
+  * parity end to end), fast-mode bottom-k purity (merge == one-shot,
+  * exactness at n ≤ s), hash-mode travel through every handle's
+  * write/read, cross-mode merge refusals on all four handles, and the
+  * Bloom.sizeFor geometry helper + persist-time saturation warning.
+  * Also the two r16 ADVICE regressions: the TIMESTAMP_NTZ digest
+  * timezone roundtrip and the rankOf counts-desync guard.
+  */
+class FastHashSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def keysDf(ks: Seq[String]): DataFrame = ks.toDF("k")
+
+  test("xxh64Tagged matches the Catalyst xxhash64(lit(tag), col) expression " +
+    "bit for bit (key sweep, several tags)") {
+    val keys = (1 to 200).map(i => s"key $i with spaces-$i") ++
+      Seq("", "x", "unicode-é中文", "a:b:c")
+    for (tag <- Seq("bloom:h1", "bloom:h2", "qsk20:")) {
+      val got = keysDf(keys)
+        .select(col("k"), xxhash64(lit(tag), col("k")).as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      keys.foreach { k =>
+        assert(got(k) == Hashing.xxh64Tagged(tag, k),
+          s"xxh64Tagged drifted from the column expression for tag=$tag key=$k")
+      }
+    }
+  }
+
+  test("fast Bloom positions: JVM twin == codegen column path, and both " +
+    "differ from the portable md5 space") {
+    val keys = (1 to 100).map(i => s"member-$i")
+    for (m <- Seq(1024L, 65536L)) {
+      val colPos = keysDf(keys)
+        .select(col("k"), Bloom.positionsCol(col("k"), m, 5, portable = false).as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      keys.foreach { k =>
+        assert(colPos(k) == Bloom.positions(k, m, 5, portable = false).toSeq,
+          s"fast JVM/column position drift for $k at m=$m")
+        assert(colPos(k).forall(p => p >= 0L && p < m))
+      }
+      // different hash space than portable (sanity: the modes are not
+      // silently the same function)
+      assert(keys.exists(k =>
+        Bloom.positions(k, m, 5, portable = false).toSeq !=
+          Bloom.positions(k, m, 5, portable = true).toSeq))
+    }
+  }
+
+  test("fast Bloom end to end: no false negatives, bounded realized FPR, " +
+    "dense image probes with the JVM positions") {
+    val members = (1 to 250).map(i => s"member-$i")
+    val outsiders = (1 to 1000).map(i => s"outsider-$i")
+    val m = 8192L
+    val words = Bloom.build(keysDf(members), "k", m, 5, portableHash = false)
+    val verdicts = Bloom.mightContain(words, keysDf(members ++ outsiders),
+      "k", m, 5, portableHash = false)
+    assert(verdicts.count() == 1250)
+    assert(verdicts.filter(col("k").startsWith("member") && !col("contained"))
+      .count() == 0, "fast-mode false negative")
+    val fp = verdicts.filter(col("k").startsWith("outsider") && col("contained"))
+      .count()
+    // fill ~ 1-(1-1/8192)^1250 ~ 0.14; fp ~ fill^5 ~ 6e-5 - allow slack
+    assert(fp <= 20, s"fast-mode FP count $fp out of envelope")
+    // dense-image probe (the Curate broadcast path's arithmetic) agrees
+    // with the column-built words: every member's 5 JVM fast positions
+    // are set
+    val dense = Bloom.denseWords(words, m)
+    members.foreach { k =>
+      Bloom.positions(k, m, 5, portable = false).foreach { pos =>
+        assert((dense((pos >>> 6).toInt) & (1L << (pos & 63L))) != 0L,
+          s"dense image missing fast position of $k")
+      }
+    }
+  }
+
+  test("BloomSketch handle: fast mode travels through write/read, probes " +
+    "in its own mode, and cross-mode merges refuse (scalar + grouped)") {
+    val members = (1 to 100).map(i => s"doc-$i")
+    val fast = BloomSketch.build(keysDf(members), "k", 4096L, 3,
+      portableHash = false)
+    val portable = BloomSketch.build(keysDf(members), "k", 4096L, 3)
+    assert(intercept[IllegalArgumentException] { fast.merge(portable) }
+      .getMessage.contains("geometry mismatch"))
+    val dir = java.nio.file.Files.createTempDirectory("fastbloom").toString
+    BloomSketch.write(fast, dir)
+    val back = BloomSketch.read(spark, dir)
+    assert(!back.portableHash)
+    assert(back.mightContain(keysDf(members), "k")
+      .filter(!col("contained")).count() == 0,
+      "persisted fast filter false-negated - hash mode did not travel")
+    // grouped twin
+    val gdf = members.map(k => (k.take(5), k)).toDF("g", "k")
+    val gfast = GroupedBloomSketch.build(gdf, "k", Seq("g"), 4096L, 3,
+      portableHash = false)
+    val gportable = GroupedBloomSketch.build(gdf, "k", Seq("g"), 4096L, 3)
+    assert(intercept[IllegalArgumentException] { gfast.merge(gportable) }
+      .getMessage.contains("geometry mismatch"))
+    assert(gfast.toGlobal.portableHash == false)
+    val gdir = java.nio.file.Files.createTempDirectory("fastgbloom").toString
+    GroupedBloomSketch.write(gfast, gdir)
+    val gback = GroupedBloomSketch.read(spark, gdir)
+    assert(!gback.portableHash)
+    assert(gback.mightContain(gdf, "k").filter(!col("contained")).count() == 0)
+  }
+
+  test("fast windowed Bloom build: emissions rebuild a fast-mode handle " +
+    "with no false negatives; batch == the direct grouped build") {
+    val base = 1755000000000L
+    val rows = (0 until 200).map { i =>
+      (new java.sql.Timestamp(base + i * 3600L * 1000L), s"user-${i % 37}")
+    }.toDF("ts", "k")
+    val ww = graft.streaming.StreamBloom.windowedWords(
+      rows, "ts", "k", "1 day", "1 hour", 2048L, 3, portableHash = false)
+    val handle = graft.streaming.StreamBloom.fromWindowWords(
+      ww, 2048L, 3, portableHash = false)
+    assert(!handle.portableHash)
+    val probe = rows.select(
+      (col("ts").cast("long") * 1000 -
+        (col("ts").cast("long") * 1000) % 86400000L).as("windowStartMs"),
+      col("k"))
+      .withColumn("windowEndMs", col("windowStartMs") + 86400000L)
+    assert(handle.mightContain(probe, "k").filter(!col("contained")).count() == 0,
+      "windowed fast build false-negated its own keys")
+  }
+
+  test("fast rank sketch: exact at n <= s, merge == one-shot build, " +
+    "cross-mode refusals, mode travels through write/read") {
+    val rows = (1 to 400).map(i => (i.toLong, (i * 7 % 401).toLong))
+      .toDF("id", "v")
+    val fast = QuantileSketch.build(rows, "id", "v", 1024, "fh17",
+      portableHash = false)
+    // n <= s: the sample IS the multiset, so answers are exact however
+    // the rank key hashes
+    assert(fast.quantile(50) == 200L)
+    assert(fast.quantile(100) == 400L)
+    assert(fast.rankOf(100L) == 100L)
+    // bottom-k purity: merge of disjoint slices == one-shot (at s < n so
+    // the cut is exercised)
+    val even = QuantileSketch.build(rows.where(col("id") % 2 === 0),
+      "id", "v", 64, "fh17", portableHash = false)
+    val odd = QuantileSketch.build(rows.where(col("id") % 2 === 1),
+      "id", "v", 64, "fh17", portableHash = false)
+    val oneShot = QuantileSketch.build(rows, "id", "v", 64, "fh17",
+      portableHash = false)
+    val merged = even.merge(odd)
+    assert(merged.n == oneShot.n)
+    assert(merged.summary.orderBy("rk", "value").collect().toSeq ==
+      oneShot.summary.orderBy("rk", "value").collect().toSeq,
+      "fast-mode merge is not the one-shot bottom-k")
+    // cross-mode refusal
+    val portable = QuantileSketch.build(rows, "id", "v", 64, "fh17")
+    assert(intercept[IllegalArgumentException] { oneShot.merge(portable) }
+      .getMessage.contains("geometry mismatch"))
+    // persistence carries the mode
+    val dir = java.nio.file.Files.createTempDirectory("fastqsk").toString
+    QuantileSketch.write(fast, dir)
+    assert(!QuantileSketch.read(spark, dir).portableHash)
+  }
+
+  test("fast grouped rank sketch: per-group exactness at n_g <= s, toGlobal " +
+    "and regroup carry the mode, cross-mode merge refuses") {
+    val rows = (1 to 300).map(i => (s"g${i % 3}", i.toLong, i.toLong))
+      .toDF("g", "id", "v")
+    val fast = GroupedQuantileSketch.buildGrouped(rows, Seq("g"), "id", "v",
+      128, "fgq17", portableHash = false)
+    assert(!fast.portableHash)
+    assert(!fast.toGlobal.portableHash)
+    assert(!fast.regroup(Seq(("all", lit("x")))).portableHash)
+    // n_g = 100 <= s = 128: per-group medians are exact
+    val q50 = fast.quantiles(Seq(50)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // group g0: values 3,6,...,300 (100 values) -> median (rank 50) = 150
+    assert(q50("g0") == 150L)
+    val portable = GroupedQuantileSketch.buildGrouped(rows, Seq("g"), "id",
+      "v", 128, "fgq17")
+    assert(intercept[IllegalArgumentException] { fast.merge(portable) }
+      .getMessage.contains("geometry mismatch"))
+    val dir = java.nio.file.Files.createTempDirectory("fastgqsk").toString
+    GroupedQuantileSketch.write(fast, dir)
+    assert(!GroupedQuantileSketch.read(spark, dir).portableHash)
+  }
+
+  test("StreamRankSketch fast mode: batch windowed cut == the grouped " +
+    "build over the same windows (declarative-path parity)") {
+    val base = 1755000000000L
+    val rows = (0 until 300).map { i =>
+      (new java.sql.Timestamp(base + i * 600L * 1000L), i.toLong,
+        ((i * 13) % 97).toLong)
+    }.toDF("ts", "id", "v")
+    val cut = graft.streaming.StreamRankSketch.windowedBottomK(
+      rows, "ts", "id", "v", "1 day", "1 hour", 32, "frs17",
+      portableHash = false).toDF()
+    val rebuilt = GroupedQuantileSketch.fromWindowSummaries(
+      cut, 32, "frs17", portableHash = false)
+    assert(!rebuilt.portableHash)
+    val direct = GroupedQuantileSketch.buildGrouped(
+      rows.withColumn("windowStartMs",
+        col("ts").cast("long") * 1000 -
+          (col("ts").cast("long") * 1000) % 86400000L),
+      Seq("windowStartMs"), "id", "v", 32, "frs17", portableHash = false)
+    val a = rebuilt.summary.orderBy("windowStartMs", "rk", "value")
+      .select("windowStartMs", "rk", "value").collect().toSeq
+    val b = direct.summary.orderBy("windowStartMs", "rk", "value")
+      .select("windowStartMs", "rk", "value").collect().toSeq
+    assert(a == b, "fast windowed cut != direct fast grouped build")
+  }
+
+  test("Bloom.sizeFor: textbook optimum, word-aligned, k clamped, and the " +
+    "refusal past the implementation ceiling") {
+    // 1M keys at 1% -> m ~ 9.585e6 bits (~9.6 bits/key), k ~ 7
+    val (m, k) = Bloom.sizeFor(1000000L, 0.01)
+    assert(m % 64 == 0 && m >= 9585000L && m <= 9600000L, s"m=$m")
+    assert(k == 7, s"k=$k")
+    // tiny n: floor at one word, k clamps to the [1,16] range
+    val (m2, k2) = Bloom.sizeFor(1L, 0.5)
+    assert(m2 == 64L && k2 >= 1 && k2 <= 16)
+    assert(intercept[IllegalArgumentException] {
+      Bloom.sizeFor(100000000000L, 1e-9)
+    }.getMessage.contains("2^36"))
+    assert(intercept[IllegalArgumentException] { Bloom.sizeFor(0L, 0.01) }
+      .getMessage.contains("expectedDistinct"))
+    assert(intercept[IllegalArgumentException] { Bloom.sizeFor(10L, 1.0) }
+      .getMessage.contains("targetFpr"))
+  }
+
+  test("persist-time saturation audit: an undersized filter warns at write, " +
+    "a healthy one does not") {
+    val keys = (1 to 2000).map(i => s"k-$i")
+    val saturated = BloomSketch.build(keysDf(keys), "k", 1024L, 7)
+    val healthy = BloomSketch.build(keysDf(keys.take(50)), "k", 4096L, 3)
+    def captureErr(body: => Unit): String = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val old = System.err
+      System.setErr(new java.io.PrintStream(baos, true, "UTF-8"))
+      try body finally System.setErr(old)
+      new String(baos.toByteArray, "UTF-8")
+    }
+    val dir1 = java.nio.file.Files.createTempDirectory("satbloom").toString
+    val warn = captureErr { BloomSketch.write(saturated, dir1) }
+    assert(warn.contains("[bloom] warning") && warn.contains("sizeFor"),
+      s"expected a saturation warning, got: '$warn'")
+    val dir2 = java.nio.file.Files.createTempDirectory("okbloom").toString
+    val quiet = captureErr { BloomSketch.write(healthy, dir2) }
+    assert(!quiet.contains("[bloom] warning"), s"unexpected warning: '$quiet'")
+    // grouped: one oversized stratum among healthy ones still warns
+    val gdf = keys.map(k => ("big", k)).toDF("g", "k")
+      .union(keys.take(10).map(k => ("small", k)).toDF("g", "k"))
+    val gsat = GroupedBloomSketch.build(gdf, "k", Seq("g"), 1024L, 7)
+    val dir3 = java.nio.file.Files.createTempDirectory("satgbloom").toString
+    val gwarn = captureErr { GroupedBloomSketch.write(gsat, dir3) }
+    assert(gwarn.contains("[bloom] warning") && gwarn.contains("stratum"))
+  }
+
+  test("r16 ADVICE: TIMESTAMP_NTZ grouped-sketch digest is timezone-" +
+    "independent (write under UTC, read under Asia/Tokyo)") {
+    val rows = (1 to 60).map { i =>
+      (s"2026-01-0${i % 3 + 1} 12:00:00", i.toLong, i.toLong)
+    }.toDF("wall", "id", "v")
+      .withColumn("wall", col("wall").cast("timestamp_ntz"))
+    assert(rows.schema("wall").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val sk = GroupedQuantileSketch.buildGrouped(rows, Seq("wall"), "id", "v",
+      32, "ntz17")
+    val dir = java.nio.file.Files.createTempDirectory("ntzsk").toString
+    GroupedQuantileSketch.write(sk, dir)
+    val tzKey = "spark.sql.session.timeZone"
+    val old = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      // pre-fix this refused with "digest mismatch": the NTZ wall-clock
+      // was digested through a session-timezone cast
+      val back = GroupedQuantileSketch.read(spark, dir)
+      assert(back.counts.count() == 3)
+    } finally spark.conf.set(tzKey, old)
+  }
+
+  test("r16 ADVICE: rankOf refuses a summary group missing from counts " +
+    "instead of silently dropping it") {
+    val rows = (1 to 60).map(i => (s"g${i % 2}", i.toLong, i.toLong))
+      .toDF("g", "id", "v")
+    val sk = GroupedQuantileSketch.buildGrouped(rows, Seq("g"), "id", "v",
+      16, "rg17")
+    val desynced = sk.copy(counts = sk.counts.where(col("g") =!= "g1"))
+    val e = intercept[Exception] { desynced.rankOf(30L).collect() }
+    assert(e.getMessage.contains("desynchronized"),
+      s"expected the desync refusal, got: ${e.getMessage}")
+  }
+}
