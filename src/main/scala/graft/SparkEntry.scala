@@ -2314,6 +2314,41 @@ object SparkEntry {
         ev, "ts", "k", "1 day", "1 hour", 4096L, 3)
       graft.ops.Bloom.wordHalves(ww, Seq("windowStartMs", "windowEndMs"))
     },
+    // Per-event-time-window HLL register build, batch mode (the same
+    // declarative plan the streaming path runs under a watermark) — the
+    // HLL twin of q_bloom_windowed, closing the r16 evidence gap: 1-day
+    // epoch-aligned tumbling windows over events.ts, user_id keys, p=9
+    // registers per day. The oracle replays the window bounds as pure
+    // ms arithmetic (rule 13c) and the registers with the shared
+    // bucket/rank md5 scheme (rule 1); ts read adaptively on both sides
+    // (rule 3). Null ts or user_id carry no register (rule 10).
+    "q_hll_windowed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val evRaw = t(dir, "events")
+      val ev = evRaw.select(
+        timestamp_millis(eventTsMs(evRaw)).as("ts"),
+        col("user_id").cast("string").as("k"))
+      graft.streaming.StreamSketches.hllWindowedRegisters(
+        ev, "ts", "k", "1 day", "1 hour", p = 9, seed = "hllw17")
+    },
+    // Per-event-time-window CMS cell build, batch mode — the CMS twin
+    // (cells are SUMS, the one non-idempotent leg, which is why its
+    // sink rebuild refuses conflicting counts — spec-pinned in
+    // SketchOpsSpec): 1-day windows, depth 4 x width 512 md5 cells over
+    // user_id occurrences. Pure integer arithmetic end to end; r cast
+    // long on both sides, cnt CAST BIGINT in the oracle (rule 1).
+    "q_cms_windowed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val evRaw = t(dir, "events")
+      val ev = evRaw.select(
+        timestamp_millis(eventTsMs(evRaw)).as("ts"),
+        col("user_id").cast("string").as("k"))
+      graft.streaming.StreamSketches.cmsWindowedCells(
+          ev, "ts", "k", "1 day", "1 hour", depth = 4, width = 512,
+          seed = "cmsw17")
+        .select(col("windowStartMs"), col("windowEndMs"),
+          col("r").cast("long").as("r"), col("bucket"), col("cnt"))
+    },
     // One filter PER GROUP in one aggregation (lang here): the grouped
     // twin of q_bloom_bits - (lang, w, lo, hi), <= groups x m/64 rows,
     // groups never collected. NULL group values are retained as their
@@ -5857,6 +5892,41 @@ object SparkEntry {
         |  bit_or(CASE WHEN pos % 64 >= 32
         |    THEN (1::BIGINT << (pos % 64 - 32)) ELSE 0::BIGINT END) AS hi
         |FROM ep GROUP BY 1, 2, 3""".stripMargin,
+    // Windowed HLL replay: epoch-aligned 1-day bounds as pure ms
+    // arithmetic (the q_bloom_windowed window fragment) + the shared
+    // register arithmetic of q_hll_registers (bucket = first-8-hex md5
+    // mod 512, rank via the length(bin(w)) bit-length identity).
+    "q_hll_windowed" ->
+      """WITH occ AS (
+        |  SELECT CAST((epoch_ns(ts) // 1000000)
+        |    - ((epoch_ns(ts) // 1000000) % 86400000) AS BIGINT) AS ws,
+        |    CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |reg AS (
+        |  SELECT ws,
+        |    CAST(('0x' || substr(md5('hllw17:b:' || k), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket,
+        |    CAST(('0x' || substr(md5('hllw17:r:' || k), 1, 13))::UBIGINT AS BIGINT) AS w
+        |  FROM occ)
+        |SELECT CAST(ws AS BIGINT) AS windowStartMs,
+        |  CAST(ws + 86400000 AS BIGINT) AS windowEndMs, bucket,
+        |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS maxrank
+        |FROM reg GROUP BY 1, 2, 3""".stripMargin,
+    // Windowed CMS replay: same window fragment + the q_cms_heavy cell
+    // scheme ('cmsw17:r:key' first 8 hex % 512); counts CAST BIGINT
+    // (rule 1's HUGEINT ban).
+    "q_cms_windowed" ->
+      """WITH occ AS (
+        |  SELECT CAST((epoch_ns(ts) // 1000000)
+        |    - ((epoch_ns(ts) // 1000000) % 86400000) AS BIGINT) AS ws,
+        |    CAST(user_id AS VARCHAR) AS k
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT CAST(ws AS BIGINT) AS windowStartMs,
+        |  CAST(ws + 86400000 AS BIGINT) AS windowEndMs,
+        |  CAST(r AS BIGINT) AS r,
+        |  CAST(('0x' || substr(md5('cmsw17:' || r::VARCHAR || ':' || k), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM occ CROSS JOIN range(4) t(r)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     // Grouped build: one filter per lang in one aggregation — the
     // grouped twin of q_bloom_bits (NULL lang retained as its own
     // group on both sides, rule 10).
