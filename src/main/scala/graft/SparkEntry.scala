@@ -1869,13 +1869,16 @@ object SparkEntry {
       graft.ops.Sketches.heavyHitters(items, "k",
         depth = 4, width = 2048, seed = "cms13", threshold = 40L)
     },
-    // Two-pass EXACT heavy hitters: per-partition Misra-Gries candidates
-    // (auto-sized m = N/threshold + 1, so no true-heavy key can be
-    // missed), CMS filter, then exact counts on the survivors only. The
-    // result is partitioning-independent — exactly {k : count >= 40}
-    // with true counts — so the oracle is a trivial GROUP BY ... HAVING,
-    // which is the point: the sketch machinery earns its keep by
-    // REPRODUCING the exact answer without ever shuffling the key space.
+    // Two-pass EXACT heavy hitters: ONE fused Misra-Gries scan (emits
+    // candidates AND N; m re-verified against the MG bound and re-run
+    // if the initial-counter guess undershot — r17 fused the r16-era
+    // count + MG + CMS-build scans down to this), then exact counts on
+    // the candidates only. The result is partitioning-independent —
+    // exactly {k : count >= 40} with true counts — so the oracle is a
+    // trivial GROUP BY ... HAVING, which is the point: the candidate
+    // machinery earns its keep by REPRODUCING the exact answer without
+    // ever shuffling the key space. Returns persisted (topKExact
+    // discipline); the harness's per-query clearCache releases it.
     "q_cms_heavy_exact" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val items = t(dir, "documents")

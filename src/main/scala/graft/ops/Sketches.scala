@@ -382,35 +382,37 @@ object Sketches {
     }(enc)
   }
 
-  /** EXACT heavy hitters via the classic two-pass sketch-then-verify
-    * shape the [[heavyHitters]] scaladoc describes, packaged as one
-    * call: (1) a CMS pass filters candidates (one-sided: no true-heavy
-    * key is lost), (2) the small survivor set broadcasts back over the
-    * item frame for exact counts, and only keys whose TRUE count
-    * reaches `threshold` are returned — no collision tail, exact
-    * counts. Returns (keyCol, cnt BIGINT), heaviest first, key-ordered
-    * on ties.
+  /** EXACT heavy hitters — the verify-or-refuse sibling of
+    * [[heavyHitters]]: returns EXACTLY {key : count(key) ≥ threshold}
+    * with exact counts, (keyCol, cnt BIGINT), heaviest first,
+    * key-ordered on ties.
     *
-    * `candidates`: pass a restricted frame (a prior round's survivors,
-    * a domain vocabulary, [[localTopCandidates]] output) and the probe
-    * cost is the candidate count, not the corpus. Pass None and the
-    * generator is derived AUTOMATICALLY: one count(*) scan sizes the
-    * corpus N, then Misra-Gries with m = ⌊N/threshold⌋ + 1 counters per
-    * partition — which by the MG bound (threshold > N/(m+1)) preserves
-    * the no-false-negative guarantee end to end, so the result is
-    * EXACTLY the set {key : count(key) ≥ threshold} with exact counts.
-    * The auto path refuses (with remediation) when m would exceed
-    * `graft.cms.maxCandidateCounters` (default 4M): at that point the
-    * threshold is so small relative to the corpus that "heavy" keys
-    * number in the millions — raise the threshold or supply an explicit
-    * candidate frame.
+    * Auto path (candidates = None): ONE fused Misra-Gries scan yields
+    * both the candidate keys and N (the [[topKExact]] fusion, applied
+    * here in r17 — this was three corpus scans through r16: count,
+    * then MG, then a CMS build whose filter thinned an ALREADY
+    * driver-capped candidate set before a broadcast that was equally
+    * cheap unfiltered), then one exact-confirm scan. The MG bound
+    * needs m ≥ N/threshold, and N is only known after the scan, so the
+    * scan runs at a guessed m (`graft.cms.mgInitialCounters`, default
+    * 65536, clamped to the candidate cap) and re-runs at exactly
+    * ⌊N/threshold⌋+1 in the rare case the guess undershot — the same
+    * verify-don't-assume discipline as topKExact's completeness check.
+    * Refuses (with remediation) when the required m exceeds
+    * `graft.cms.maxCandidateCounters` (default 4M): a threshold that
+    * small relative to the corpus admits millions of "heavy" keys.
+    * Happy-path cost: TWO map-side-combined scans of `items`; the
+    * confirm shuffle carries only candidate keys; nothing is ordered
+    * or distinct'd over the full key space. Like topKExact, the result
+    * comes back persisted (the bound check materializes it) — the
+    * caller owns the release.
     *
-    * Cost shape at scale: two scans of `items` (sketch build + exact
-    * confirm), both map-side combined; the sketch shuffle carries
-    * ≤ depth·width cells/partition, the confirm shuffle carries only
-    * survivor keys (the broadcast semi-join drops everything else
-    * before the aggregate). Nothing is ever ordered or distinct'd over
-    * the full key space.
+    * Explicit-candidates path: a caller-supplied frame (a domain
+    * vocabulary, a prior round's survivors) has UNKNOWN size, so the
+    * CMS prefilter (depth/width/seed — one-sided, no true-heavy key
+    * lost) still earns its scan by thinning the set BEFORE it must
+    * broadcast into the confirm. The sketch parameters are only
+    * consulted on this path.
     */
   def heavyHittersExact(
       items: DataFrame,
@@ -423,28 +425,60 @@ object Sketches {
       portableHash: Boolean = true): DataFrame = {
     require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     val spark = items.sparkSession
-    val cand = candidates.getOrElse {
-      val n = items.where(col(keyCol).isNotNull).count()
-      val m = n / threshold + 1L
-      val maxM = graft.util.Conf.long(spark, "graft.cms.maxCandidateCounters", 4194304L)
-      require(m <= maxM,
-        s"heavyHittersExact: auto candidate generation needs N/threshold+1 = $m " +
-          s"Misra-Gries counters per partition (cap $maxM via " +
-          "graft.cms.maxCandidateCounters). A threshold this small relative to " +
-          "the corpus admits millions of 'heavy' keys - raise the threshold, " +
-          "or pass an explicit candidates frame (a domain vocabulary, a prior " +
-          "round's survivors, localTopCandidates with your own m).")
-      // toIntExact, not toInt: if the conf cap is raised past Int.MaxValue,
-      // a silent wrap here would hand localTopCandidates a small m and void
-      // the MG no-false-negative bound while the API still claims exactness.
-      localTopCandidates(items, keyCol, math.toIntExact(m))
+    val confirmed = candidates match {
+      case Some(_) =>
+        val survivors = heavyHitters(items, keyCol, depth, width, seed,
+          threshold, candidates = candidates, portableHash = portableHash)
+          .select(col(keyCol))
+        items.join(broadcast(survivors), Seq(keyCol), "left_semi")
+          .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= threshold)
+          .orderBy(col("cnt").desc, col(keyCol))
+      case None =>
+        val maxM = graft.util.Conf.long(spark,
+          "graft.cms.maxCandidateCounters", 4194304L)
+        val guess = math.min(
+          math.max(1024L, graft.util.Conf.long(spark,
+            "graft.cms.mgInitialCounters", 65536L)),
+          maxM)
+        // toIntExact, not toInt: a conf cap raised past Int.MaxValue
+        // silently wrapping here would void the MG no-false-negative
+        // bound while the API still claims exactness
+        var summaries = mgSummaries(items, keyCol,
+          math.toIntExact(guess)).persist()
+        try {
+          val n = summaries.where(col(keyCol).isNull)
+            .agg(coalesce(sum(col("__n")), lit(0L))).head().getLong(0)
+          val needed = n / threshold + 1L
+          require(needed <= maxM,
+            s"heavyHittersExact: auto candidate generation needs N/threshold+1 = $needed " +
+              s"Misra-Gries counters per partition (cap $maxM via " +
+              "graft.cms.maxCandidateCounters). A threshold this small relative to " +
+              "the corpus admits millions of 'heavy' keys - raise the threshold, " +
+              "or pass an explicit candidates frame (a domain vocabulary, a prior " +
+              "round's survivors, localTopCandidates with your own m).")
+          if (guess < needed) {
+            // the guess undershot the MG bound: keys with count just at
+            // the threshold could have been evicted — re-scan at the
+            // exact m instead of returning a silently-lossy answer
+            summaries.unpersist()
+            summaries = mgSummaries(items, keyCol,
+              math.toIntExact(needed)).persist()
+          }
+          val cand = summaries.where(col(keyCol).isNotNull)
+            .select(col(keyCol)).distinct()
+          val out = items.join(broadcast(cand), Seq(keyCol), "left_semi")
+            .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+            .where(col("cnt") >= threshold)
+            .orderBy(col("cnt").desc, col(keyCol))
+            .persist()
+          // materialize before releasing the summaries the plan reads
+          try out.count()
+          catch { case t: Throwable => out.unpersist(); throw t }
+          out
+        } finally summaries.unpersist()
     }
-    val survivors = heavyHitters(items, keyCol, depth, width, seed, threshold,
-      candidates = Some(cand), portableHash = portableHash).select(col(keyCol))
-    items.join(broadcast(survivors), Seq(keyCol), "left_semi")
-      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= threshold)
-      .orderBy(col("cnt").desc, col(keyCol))
+    confirmed
   }
 
   /** EXACT top-k most frequent keys — "the 1,000 most frequent n-grams,

@@ -606,6 +606,24 @@ class SketchOpsSpec extends SparkSpec {
     assert(got1 == exact)
   }
 
+  test("heavyHittersExact re-runs the fused MG scan when the initial-counter " +
+    "guess undershoots the bound (r17 fusion: exactness survives a bad guess)") {
+    val items = tokenStream.repartition(8)
+    // threshold 3 over N ~ 4k: needed = N/3 + 1 > 1024, so a conf'd-down
+    // guess (clamped to the 1024 floor) undershoots the MG bound and the
+    // re-run path must fire — a guess this small WOULD evict borderline
+    // keys if the re-scan were skipped
+    val thr = 3L
+    val exact = items.groupBy("k").agg(count(lit(1)).as("c"))
+      .where(col("c") >= thr).as[(String, Long)].collect().toMap
+    spark.conf.set("graft.cms.mgInitialCounters", "1")
+    try {
+      val got = Sketches.heavyHittersExact(items, "k", 3, 16, "hhg", thr)
+        .as[(String, Long)].collect().toMap
+      assert(got == exact, "undershot guess lost a true-heavy key")
+    } finally spark.conf.unset("graft.cms.mgInitialCounters")
+  }
+
   test("heavyHittersExact refuses an unbounded auto candidate space with remediation") {
     val items = tokenStream
     spark.conf.set("graft.cms.maxCandidateCounters", "100")
