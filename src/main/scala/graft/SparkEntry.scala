@@ -2586,6 +2586,32 @@ object SparkEntry {
           (round(col("centroid_sim"), 6) + lit(0.0)).as("centroid_sim"),
           col("comp"), col("keep"))
     },
+    // INCREMENTAL semantic dedup (r16 verdict #3): bootstrap the keeper
+    // index from the vec_id % 7 != 0 corpus slice (full semDedupFixed
+    // components + min-id keepers), then probe the % 7 == 0 batch
+    // against the stored keepers AND smaller-id co-batch docs — the
+    // store-probe ingest shape, per-doc best match (highest cosine,
+    // ties to the lowest id), q_incremental_dedup's verdict schema
+    // adapted to cosine space. Threshold compares at round-6 cosine
+    // like q_semdedup (same raw-cosine window-order precedent);
+    // centroid_sim round-6 output-only.
+    "q_semdedup_incremental" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val kC = graft.ops.SemDedup.balancedK(e.count())
+      val centers = e.where(col("vec_id") < kC).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val (bootVerdicts, idx) = graft.ops.SemDedupIndex.build(
+        e.where(col("vec_id") % 7 =!= 0), "vec_id", "embedding", centers,
+        epsilon = 0.3)
+      val out = idx.probe(e.where(col("vec_id") % 7 === 0), "vec_id", "embedding")
+        .select(col("id"), col("cluster"),
+          (round(col("centroid_sim"), 6) + lit(0.0)).as("centroid_sim"),
+          col("dup_of"), col("n_dup_matches"), col("keep"))
+      bootVerdicts.unpersist()
+      out
+    },
     // ---- similarity search ----
     "q_ann_topk" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -5377,6 +5403,67 @@ object SparkEntry {
         |SELECT lab.id, lab.cluster, round(lab.sim, 6) + 0.0 AS centroid_sim, lab.comp,
         |  (lab.comp IS NULL OR lab.id = keep.keep_id) AS keep
         |FROM lab LEFT JOIN keep USING (comp)""".stripMargin,
+    // Incremental replay: the q_semdedup recursive-component machinery
+    // over the CORPUS slice yields the keeper set; the batch slice then
+    // best-matches (raw-cosine window order, the q_semdedup precedent;
+    // round-6 threshold) against keepers plus smaller-id co-batch docs.
+    "q_semdedup_incremental" ->
+      """WITH RECURSIVE p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |kc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS k FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings, kc
+        |      WHERE vec_id < kc.k),
+        |corp AS (SELECT id, v FROM p WHERE id % 7 <> 0),
+        |bat AS (SELECT id, v FROM p WHERE id % 7 = 0),
+        |casg AS (
+        |  SELECT id, cluster, v FROM (
+        |    SELECT corp.id, c.cid AS cluster, corp.v,
+        |      row_number() OVER (PARTITION BY corp.id
+        |        ORDER BY list_cosine_similarity(corp.v, c.cv) DESC, c.cid) AS rn
+        |    FROM corp, c) WHERE rn = 1),
+        |pr AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM casg a JOIN casg b ON a.cluster = b.cluster AND b.id > a.id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+        |ckeep AS (
+        |  SELECT casg.id, casg.cluster, casg.v
+        |  FROM casg LEFT JOIN cc USING (id)
+        |  LEFT JOIN (SELECT comp, min(id) AS keep_id FROM cc GROUP BY comp) k
+        |    ON cc.comp = k.comp
+        |  WHERE cc.comp IS NULL OR casg.id = k.keep_id),
+        |basg AS (
+        |  SELECT id, cluster, sim, v FROM (
+        |    SELECT bat.id, c.cid AS cluster, list_cosine_similarity(bat.v, c.cv) AS sim, bat.v,
+        |      row_number() OVER (PARTITION BY bat.id
+        |        ORDER BY list_cosine_similarity(bat.v, c.cv) DESC, c.cid) AS rn
+        |    FROM bat, c) WHERE rn = 1),
+        |m AS (
+        |  SELECT b.id, k.id AS match_id, list_cosine_similarity(b.v, k.v) AS msim
+        |  FROM basg b JOIN ckeep k ON b.cluster = k.cluster
+        |  WHERE round(list_cosine_similarity(b.v, k.v), 6) >= 0.3
+        |  UNION ALL
+        |  SELECT b.id, b2.id AS match_id, list_cosine_similarity(b.v, b2.v) AS msim
+        |  FROM basg b JOIN basg b2 ON b.cluster = b2.cluster AND b2.id < b.id
+        |  WHERE round(list_cosine_similarity(b.v, b2.v), 6) >= 0.3),
+        |best AS (
+        |  SELECT id, match_id FROM (
+        |    SELECT id, match_id,
+        |      row_number() OVER (PARTITION BY id ORDER BY msim DESC, match_id) AS rn
+        |    FROM m) WHERE rn = 1),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup_matches FROM m GROUP BY id)
+        |SELECT basg.id, basg.cluster, round(basg.sim, 6) + 0.0 AS centroid_sim,
+        |  best.match_id AS dup_of,
+        |  coalesce(agg.n_dup_matches, 0) AS n_dup_matches,
+        |  best.match_id IS NULL AS keep
+        |FROM basg
+        |LEFT JOIN best ON best.id = basg.id
+        |LEFT JOIN agg ON agg.id = basg.id""".stripMargin,
     "q_ann_topk" ->
       """SELECT query_id, rank, corpus_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

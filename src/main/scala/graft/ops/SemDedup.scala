@@ -69,6 +69,38 @@ object SemDedup {
     * Assignment is by maximum cosine similarity (ties → lowest cluster
     * id); pairs are connected when cosine(a, b) >= epsilon.
     */
+  /** Nearest-center assignment at FIXED centers — the shared front of
+    * [[semDedupFixed]] and [[SemDedupIndex.probe]] (one definition so
+    * the batch path and the incremental probe can never assign the same
+    * vector to different clusters): one broadcast pass, maximum cosine
+    * similarity, ties to the lowest cluster id. Returns
+    * (id, cluster, centroid_sim, v), NOT persisted — callers own that.
+    */
+  private[ops] def assignFixed(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]]): DataFrame = {
+    require(centers.nonEmpty, "semDedup needs at least one center")
+    val spark = vectors.sparkSession
+    val centersDf = {
+      import spark.implicits._
+      centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toSeq.toDF("cluster", "cv")
+    }
+    val pts = Dedup.fanOut(
+      vectors.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")))
+    pts.join(broadcast(centersDf))
+      .withColumn("sim", graft.functions.ArrayMath.cosine(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(
+        min_by(struct(col("cluster"), col("sim"), col("v")),
+          struct(lit(1.0) - col("sim"), col("cluster"))).as("a"))
+      .select(col("id"), col("a.cluster").as("cluster"),
+        col("a.sim").as("centroid_sim"), col("a.v").as("v"))
+  }
+
   def semDedupFixed(
       vectors: DataFrame,
       idCol: String,
@@ -77,29 +109,12 @@ object SemDedup {
       epsilon: Double,
       keeper: String = KeepMinId,
       maxClusterSize: Int = 20000): DataFrame = {
-    require(centers.nonEmpty, "semDedup needs at least one center")
     require(epsilon > 0.0 && epsilon <= 1.0, s"epsilon must be in (0, 1], got $epsilon")
     require(keeper == KeepMinId || keeper == KeepFarFromCentroid,
       s"unknown keeper strategy '$keeper' (use $KeepMinId | $KeepFarFromCentroid)")
-    val spark = vectors.sparkSession
-    val centersDf = {
-      import spark.implicits._
-      centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-        .toSeq.toDF("cluster", "cv")
-    }
     // one broadcast pass: nearest center by cosine distance; the assigned
     // center's similarity rides along for the far-from-centroid keeper
-    val pts = Dedup.fanOut(
-      vectors.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v")))
-    val assigned = pts.join(broadcast(centersDf))
-      .withColumn("sim", graft.functions.ArrayMath.cosine(col("v"), col("cv")))
-      .groupBy(col("id"))
-      .agg(
-        min_by(struct(col("cluster"), col("sim"), col("v")),
-          struct(lit(1.0) - col("sim"), col("cluster"))).as("a"))
-      .select(col("id"), col("a.cluster").as("cluster"),
-        col("a.sim").as("centroid_sim"), col("a.v").as("v"))
+    val assigned = assignFixed(vectors, idCol, vecCol, centers)
       .persist(StorageLevel.MEMORY_AND_DISK)
     assigned.count()
     // refuse quadratic blow-up on skewed clusters instead of running it:

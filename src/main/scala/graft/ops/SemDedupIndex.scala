@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL semantic dedup — the store-probe ingest shape of
+  * [[SemDedup]] (r16 verdict #3), completing the ingest story the way
+  * exact and MinHash dedup already have it
+  * ([[IncrementalDedup.ingestVerdict]]): a persisted centroid index +
+  * keeper set answers "is this new doc a semantic dup of anything KEPT
+  * so far" with work proportional to the BATCH, never a corpus
+  * recluster.
+  *
+  * The index is (fixed centers, kept vectors, epsilon). A probe batch
+  * is assigned to the SAME centers by the SAME rule as the batch path
+  * ([[SemDedup.assignFixed]] — one shared definition), then compared
+  * within-cluster against (a) the stored keepers and (b) smaller-id
+  * co-batch docs, at the same round-6 cosine threshold the batch path
+  * uses. `dup_of` = the best match (highest cosine, ties to the lowest
+  * id); null = novel, and [[ingest]] appends exactly the novel docs to
+  * the keeper store — duplicates are never stored, so the index grows
+  * with the corpus's novel mass, not its arrival rate (the
+  * [[IncrementalDedup.ingestStream]] property, semantically).
+  *
+  * SEQUENTIAL SEMANTICS, stated honestly: like every store-only-keepers
+  * scheme, a probe compares against KEPT representatives, not every
+  * vector ever seen. When batch ids are monotone (every batch id
+  * exceeds all previously admitted ids — the natural ingest numbering,
+  * the same contract [[IncrementalDedup.ingestStream]] documents) and
+  * duplicate groups are tight (every member within epsilon of the
+  * group's keeper — the regime SemDeDup targets; ε-chains whose
+  * endpoints exceed ε apart are where batch components and sequential
+  * greedy keepers legitimately diverge), the incremental keep set
+  * equals the batch [[SemDedup.semDedupFixed]] keep set — spec-pinned
+  * on exactly that regime (SemDedupIndexSpec), divergence documented
+  * here rather than papered over.
+  *
+  * Scale shape: the probe is one broadcast assignment over the batch +
+  * one within-cluster equi-join against the keeper store — the store
+  * side is read once, filtered to the batch's clusters, and NEVER
+  * rescanned per doc; cost is O(batch × avg keeper-cluster size). The
+  * rule-9 probe-shaped measurement (fixed batch vs growing keeper
+  * store) lives in docs/SCALE.md. Keeper clusters are bounded at build
+  * time by [[SemDedup.semDedupFixed]]'s maxClusterSize refusal; the
+  * probe re-checks the BATCH side (a skewed batch cluster would
+  * otherwise run the quadratic co-batch compare).
+  *
+  * Persistence (`write`/`read`): `path/keepers` + `path/centers`
+  * (parquet) + `path/semindex.json` (formatVersion, epsilon, k, dim,
+  * content digests — vectors digest via their sortable-bits longs, the
+  * [[SketchIo]] float rule, so the digest is JVM-formatter-independent).
+  * `read` recomputes both digests and refuses corruption, like every
+  * sketch handle. The reference engine has no incremental component at
+  * all (whole-corpus batch runs); this is `graft.ops` pipeline surface
+  * beyond it.
+  */
+final case class SemDedupIndex(
+    keepers: DataFrame,
+    centers: Array[Array[Double]],
+    epsilon: Double) {
+
+  /** Verdicts for a probe batch WITHOUT updating the index: one row per
+    * batch doc — (id, cluster, centroid_sim, dup_of, n_dup_matches,
+    * keep). `dup_of` is the best match (highest cosine, ties to the
+    * lowest id) among same-cluster stored keepers and smaller-id
+    * co-batch docs at round-6 cosine ≥ epsilon; `keep` = no match.
+    * Batch ids must be unique and disjoint from stored keeper ids.
+    */
+  def probe(batch: DataFrame, idCol: String, vecCol: String,
+      maxClusterSize: Int = 20000): DataFrame = {
+    val assigned = SemDedup.assignFixed(batch, idCol, vecCol, centers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    try {
+      // refuse a quadratic co-batch compare on a skewed batch cluster
+      // (the semDedupFixed guard, applied to the probe side)
+      val oversized = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n")).where(col("n") > maxClusterSize)
+        .orderBy(col("n").desc).limit(5).collect()
+      require(oversized.isEmpty,
+        "SemDedupIndex.probe: batch cluster(s) exceed maxClusterSize=" +
+          maxClusterSize + ": " +
+          oversized.map(r => s"cluster ${r.getLong(0)} has ${r.getLong(1)} rows")
+            .mkString("; ") +
+          ". Rebuild the index with more centers (SemDedup.balancedK) or " +
+          "raise maxClusterSize.")
+      // store side: renamed columns (shared-lineage self-join trap,
+      // rule 13b) and filtered to the batch's clusters via the join key
+      val store = keepers.select(col("id").as("k_id"),
+        col("cluster"), col("v").as("kv"))
+      val vsStore = assigned.join(store, Seq("cluster"))
+        .where(round(graft.functions.ArrayMath.cosine(col("v"), col("kv")), 6)
+          >= epsilon)
+        .select(col("id"), col("k_id").as("match_id"),
+          graft.functions.ArrayMath.cosine(col("v"), col("kv")).as("msim"))
+      val b = assigned.select(col("cluster"), col("id").as("b_id"),
+        col("v").as("bv"))
+      val vsBatch = assigned.join(b, Seq("cluster"))
+        .where(col("b_id") < col("id") &&
+          round(graft.functions.ArrayMath.cosine(col("v"), col("bv")), 6)
+            >= epsilon)
+        .select(col("id"), col("b_id").as("match_id"),
+          graft.functions.ArrayMath.cosine(col("v"), col("bv")).as("msim"))
+      val matches = vsStore.unionByName(vsBatch)
+      val best = matches.groupBy(col("id"))
+        .agg(
+          max_by(struct(col("msim"), (-col("match_id")).as("neg_id")),
+            struct(col("msim"), (-col("match_id")).as("neg_id"))).as("bm"),
+          count(lit(1)).as("n_dup_matches"))
+        .select(col("id"), (-col("bm.neg_id")).as("dup_of"),
+          col("n_dup_matches"))
+      val out = assigned.drop("v")
+        .join(best, Seq("id"), "left")
+        .select(col("id"), col("cluster"), col("centroid_sim"),
+          col("dup_of"), coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+          col("dup_of").isNull.as("keep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try out.count()
+      catch { case t: Throwable => out.unpersist(); throw t }
+      out
+    } finally assigned.unpersist()
+  }
+
+  /** [[probe]] + append the batch's novel docs to the keeper store:
+    * returns (verdicts, updated index). The verdict frame is
+    * materialized (and lineage-independent of the old keeper frame), so
+    * callers can persist the new store over the old one.
+    */
+  def ingest(batch: DataFrame, idCol: String, vecCol: String,
+      maxClusterSize: Int = 20000): (DataFrame, SemDedupIndex) = {
+    val verdicts = probe(batch, idCol, vecCol, maxClusterSize)
+    val newKeepers = SemDedup.assignFixed(batch, idCol, vecCol, centers)
+      .join(verdicts.where(col("keep")).select(col("id")), Seq("id"))
+      .select(col("id"), col("cluster"), col("v"))
+    (verdicts, copy(keepers = keepers.unionByName(newKeepers)))
+  }
+}
+
+object SemDedupIndex {
+
+  /** Layout/compat marker for the on-disk format. */
+  val FormatVersion = 1
+
+  /** Bootstrap an index from an initial corpus: the full batch
+    * [[SemDedup.semDedupFixed]] recipe (components + keeper rule) runs
+    * once, and its keep=true rows become the store. Returns (the full
+    * audit verdicts for the corpus, the index).
+    */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]],
+      epsilon: Double,
+      keeper: String = SemDedup.KeepMinId,
+      maxClusterSize: Int = 20000): (DataFrame, SemDedupIndex) = {
+    val verdicts = SemDedup.semDedupFixed(corpus, idCol, vecCol, centers,
+      epsilon, keeper, maxClusterSize)
+    val kept = SemDedup.assignFixed(corpus, idCol, vecCol, centers)
+      .join(verdicts.where(col("keep")).select(col("id")), Seq("id"))
+      .select(col("id"), col("cluster"), col("v"))
+    (verdicts, SemDedupIndex(kept, centers, epsilon))
+  }
+
+  /** Digest columns for the keeper frame: vectors ride as their
+    * sortable-bits longs rendered through the array cast — the
+    * [[SketchIo.canonicalCol]] float rule applied element-wise, so the
+    * digest never depends on a JVM double formatter.
+    */
+  private def keeperDigest(df: DataFrame): Long =
+    SketchIo.xorDigestCols(df, Seq(col("id"), col("cluster"),
+      transform(col("v"), x => graft.functions.SortableBits.sortable(x))
+        .cast("string")))
+
+  private def centerDigest(df: DataFrame): Long =
+    SketchIo.xorDigestCols(df, Seq(col("cluster"),
+      transform(col("cv"), x => graft.functions.SortableBits.sortable(x))
+        .cast("string")))
+
+  /** Persist keepers + centers + geometry + content digests at `path`
+    * (overwrites). Digests are computed over what was WRITTEN (house
+    * rule: a failed/partial write must not inherit a valid digest).
+    */
+  def write(index: SemDedupIndex, path: String): Unit = {
+    val spark = index.keepers.sparkSession
+    require(index.centers.nonEmpty, "SemDedupIndex.write: no centers")
+    val dim = index.centers.head.length
+    require(index.centers.forall(_.length == dim),
+      "SemDedupIndex.write: ragged centers")
+    index.keepers.select("id", "cluster", "v")
+      .write.mode("overwrite").parquet(s"$path/keepers")
+    val centersDf = {
+      import spark.implicits._
+      index.centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toSeq.toDF("cluster", "cv")
+    }
+    centersDf.write.mode("overwrite").parquet(s"$path/centers")
+    val kDig = keeperDigest(spark.read.parquet(s"$path/keepers"))
+    val cDig = centerDigest(spark.read.parquet(s"$path/centers"))
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    val meta =
+      ("formatVersion" -> FormatVersion) ~
+        ("epsilon" -> index.epsilon) ~
+        ("k" -> index.centers.length) ~
+        ("dim" -> dim) ~
+        ("keeperDigest" -> kDig) ~
+        ("centerDigest" -> cDig)
+    SketchIo.writeFile(spark, path, "semindex.json", compact(render(meta)))
+  }
+
+  /** Load and VALIDATE: geometry from semindex.json, both digests
+    * recomputed, center count/dim cross-checked — a corrupted or
+    * foreign payload refuses here instead of mis-assigning probes.
+    */
+  def read(spark: SparkSession, path: String): SemDedupIndex = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods._
+    implicit val fmts: Formats = DefaultFormats
+    val meta = parse(SketchIo.readFile(spark, path, "semindex.json",
+      "SemDedupIndex.read"))
+    val ver = (meta \ "formatVersion").extract[Int]
+    require(ver == FormatVersion,
+      s"SemDedupIndex.read: formatVersion $ver unsupported (expected $FormatVersion)")
+    val keepers = spark.read.parquet(s"$path/keepers")
+    val centersDf = spark.read.parquet(s"$path/centers")
+    def check(actual: Long, key: String, what: String): Unit = {
+      val expected = (meta \ key).extract[Long]
+      require(actual == expected,
+        s"SemDedupIndex.read: $what digest mismatch (stored $expected, " +
+          s"recomputed $actual) - the payload at $path/$what does not match " +
+          "what was written; refusing a corrupted index")
+    }
+    check(keeperDigest(keepers), "keeperDigest", "keepers")
+    check(centerDigest(centersDf), "centerDigest", "centers")
+    val k = (meta \ "k").extract[Int]
+    val dim = (meta \ "dim").extract[Int]
+    val centers = centersDf.orderBy("cluster").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(centers.length == k,
+      s"SemDedupIndex.read: ${centers.length} centers on disk vs k=$k in " +
+        "semindex.json - refusing a desynchronized index")
+    require(centers.forall(_.length == dim),
+      s"SemDedupIndex.read: center dim mismatch vs declared dim=$dim")
+    SemDedupIndex(keepers, centers, (meta \ "epsilon").extract[Double])
+  }
+}

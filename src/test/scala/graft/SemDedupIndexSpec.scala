@@ -1,0 +1,125 @@
+package graft
+
+import graft.ops.{SemDedup, SemDedupIndex}
+import org.apache.spark.sql.functions._
+
+/** Round-17 (r16 verdict #3): incremental semantic dedup — persisted
+  * centroid/keeper index + probe-batch path. Pins the batch==incremental
+  * parity on the tight-group/monotone-id regime the scaladoc promises,
+  * the probe verdict mechanics (store match, co-batch match, best-match
+  * tie rule), novel-only store growth, the skewed-batch refusal, and
+  * the write/read roundtrip with corruption refusal.
+  */
+class SemDedupIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def j(base: Array[Double], eps: Double): Array[Double] =
+    base.zipWithIndex.map { case (v, i) => v + eps * (if (i % 2 == 0) 1 else -1) }
+
+  private val e1 = Array(1.0, 0.0, 0.0, 0.0)
+  private val e2 = Array(0.0, 1.0, 0.0, 0.0)
+  private val centers = Array(e1, e2)
+
+  // batch 1 (ids < 100): groups {0,1,2} near e1, {10,11} near e2, single 3
+  private def batch1 = Seq(
+    (0L, e1), (1L, j(e1, 0.01)), (2L, j(e1, 0.02)),
+    (3L, Array(1.0, 0.3, 0.3, 0.0)),
+    (10L, e2), (11L, j(e2, 0.01))
+  ).toDF("id", "v")
+
+  // batch 2 (ids >= 100, monotone): 100/101 duplicate batch-1's e1 group,
+  // 110 duplicates the e2 group, 120 is a NEW group with an in-batch dup
+  // 121, 130 is a novel single
+  private def batch2 = Seq(
+    (100L, j(e1, 0.015)), (101L, j(e1, 0.005)),
+    (110L, j(e2, 0.02)),
+    (120L, Array(0.0, 0.4, 1.0, 0.0)), (121L, j(Array(0.0, 0.4, 1.0, 0.0), 0.01)),
+    (130L, Array(0.3, 1.0, 0.0, 0.3))
+  ).toDF("id", "v")
+
+  test("two-batch incremental keep set == batch semDedupFixed over the " +
+    "union (tight groups, monotone ids)") {
+    val (v1, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val (v2, idx2) = idx.ingest(batch2, "id", "v")
+    val incKeep = (v1.where(col("keep")).select("id").as[Long].collect() ++
+      v2.where(col("keep")).select("id").as[Long].collect()).toSet
+    val batchAll = SemDedup.semDedupFixed(batch1.union(batch2), "id", "v",
+      centers, 0.99)
+    val fullKeep = batchAll.where(col("keep")).select("id").as[Long]
+      .collect().toSet
+    assert(incKeep == fullKeep,
+      s"incremental keep $incKeep != batch keep $fullKeep")
+    // the store holds exactly the kept docs
+    assert(idx2.keepers.select("id").as[Long].collect().toSet == incKeep)
+    batchAll.unpersist(); v1.unpersist(); v2.unpersist()
+  }
+
+  test("probe verdict mechanics: store match beats nothing, best match is " +
+    "(highest cosine, lowest id), co-batch dups resolve to the smaller id") {
+    val (v1, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val verdicts = idx.probe(batch2, "id", "v")
+    val byId = verdicts.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // 100 and 101 match the stored keeper 0 (1 and 2 were dups, never stored)
+    assert(byId(100L)._1 == 0L && !byId(100L)._3)
+    assert(byId(101L)._1 == 0L)
+    // 110 matches stored keeper 10
+    assert(byId(110L)._1 == 10L)
+    // 120 is novel (new direction); 121 dups its smaller-id co-batch doc
+    assert(byId(120L)._1 == -1L && byId(120L)._3)
+    assert(byId(121L)._1 == 120L && !byId(121L)._3)
+    // 130 is below threshold everywhere -> novel, zero matches
+    assert(byId(130L) == ((-1L, 0L, true)))
+    // store matches count only KEEPERS: 100's matches are {0} (not 1, 2)
+    assert(byId(100L)._2 == 1L)
+    verdicts.unpersist(); v1.unpersist()
+  }
+
+  test("probe is read-only; ingest appends only novel docs") {
+    val (v1, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val before = idx.keepers.count()
+    idx.probe(batch2, "id", "v").unpersist()
+    assert(idx.keepers.count() == before, "probe mutated the store")
+    val (v2, idx2) = idx.ingest(batch2, "id", "v")
+    // novel in batch2: 120, 130 (101/100/110/121 are dups)
+    assert(idx2.keepers.count() == before + 2)
+    assert(idx2.keepers.select("id").as[Long].collect().toSet
+      .intersect(Set(100L, 101L, 110L, 121L)).isEmpty,
+      "a duplicate entered the store")
+    v1.unpersist(); v2.unpersist()
+  }
+
+  test("skewed probe batch refuses with remediation instead of running " +
+    "the quadratic co-batch compare") {
+    val (_, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val big = (200L until 240L).map(i => (i, j(e1, 0.001 * (i % 7))))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      idx.probe(big, "id", "v", maxClusterSize = 10)
+    }
+    assert(e.getMessage.contains("maxClusterSize") &&
+      e.getMessage.contains("balancedK"))
+  }
+
+  test("write/read roundtrip preserves verdicts; corruption refuses") {
+    val (v1, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val dir = java.nio.file.Files.createTempDirectory("semidx").toString
+    SemDedupIndex.write(idx, dir)
+    val back = SemDedupIndex.read(spark, dir)
+    assert(back.epsilon == 0.99)
+    assert(back.centers.map(_.toSeq).toSeq == centers.map(_.toSeq).toSeq)
+    val a = idx.probe(batch2, "id", "v").orderBy("id").collect().toSeq
+    val b = back.probe(batch2, "id", "v").orderBy("id").collect().toSeq
+    assert(a == b, "persisted index probes differently")
+    // corrupt the keeper payload -> digest refusal
+    val keepersDir = new java.io.File(s"$dir/keepers")
+    val part = keepersDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val tampered = idx.keepers.withColumn("cluster",
+      when(col("id") === 0L, lit(1L)).otherwise(col("cluster")))
+    tampered.write.mode("overwrite").parquet(s"$dir/keepers")
+    val e = intercept[IllegalArgumentException] { SemDedupIndex.read(spark, dir) }
+    assert(e.getMessage.contains("digest mismatch"))
+    assert(part.getName.nonEmpty)
+  }
+}
