@@ -17,7 +17,7 @@ n-grams, cross-doc boilerplate cut). For clustering estimators see
 ``graft.clustering``; for streaming k-means see ``graft.streaming``.
 """
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame
 
@@ -114,6 +114,8 @@ __all__ = [
     "QuantileSketchHandle",
     "dedup_chunks_within",
     "corpus_drift",
+    "bloom_size_for",
+    "SemDedupIndexHandle",
 ]
 
 
@@ -1262,6 +1264,7 @@ def bloom_build(
     key_col: str,
     num_bits: int,
     num_hashes: int = 7,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Build a Bloom membership word frame (w, bits) over a key column:
     the membership sibling of ``cms_build`` / ``hll_build``, <= m/64
@@ -1269,10 +1272,13 @@ def bloom_build(
     persistable (``BloomSketchHandle``), engine-replayable (md5
     Kirsch-Mitzenmacher positions). Size ``num_bits`` from the expected
     TOTAL cardinality across every filter you intend to merge
-    (~10 bits/key ~= 0.8% FP at 7 hashes); the modulus must be fixed
-    once, it cannot be derived per slice."""
+    (~10 bits/key ~= 0.8% FP at 7 hashes, or ``bloom_size_for``); the
+    modulus must be fixed once, it cannot be derived per slice.
+    ``portable_hash=False`` swaps md5 for codegen'd xxhash64 positions
+    (faster; no external SQL replay) — build and probe must agree."""
     return _wrap(items, _jvm(items).graft.ops.Bloom.build(
-        items._jdf, key_col, int(num_bits), int(num_hashes)))
+        items._jdf, key_col, int(num_bits), int(num_hashes),
+        bool(portable_hash)))
 
 
 def bloom_build_grouped(
@@ -1281,12 +1287,13 @@ def bloom_build_grouped(
     group_cols: List[str],
     num_bits: int,
     num_hashes: int = 7,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """One filter PER GROUP in one aggregation: (group..., w, bits),
     <= groups x m/64 rows, groups never collected."""
     return _wrap(items, _jvm(items).graft.ops.Bloom.buildGrouped(
         items._jdf, key_col, _to_seq(items, list(group_cols)),
-        int(num_bits), int(num_hashes)))
+        int(num_bits), int(num_hashes), bool(portable_hash)))
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -1310,14 +1317,16 @@ def bloom_might_contain(
     key_col: str,
     num_bits: int,
     num_hashes: int,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Membership verdicts (key, contained) for the DISTINCT non-null
     keys of ``key_col``: false negatives impossible for inserted keys,
     false positives deterministic (the positions are md5-derived).
-    Geometry MUST match the build — use ``BloomSketchHandle`` to make
-    that structural."""
+    Geometry AND hash mode MUST match the build — use
+    ``BloomSketchHandle`` to make that structural."""
     return _wrap(keys, _jvm(keys).graft.ops.Bloom.mightContain(
-        words._jdf, keys._jdf, key_col, int(num_bits), int(num_hashes)))
+        words._jdf, keys._jdf, key_col, int(num_bits), int(num_hashes),
+        bool(portable_hash)))
 
 
 def bloom_might_contain_grouped(
@@ -1327,6 +1336,7 @@ def bloom_might_contain_grouped(
     group_cols: List[str],
     num_bits: int,
     num_hashes: int,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Per-group membership verdicts (group..., key, contained): each
     distinct (group, key) pair probes ITS group's filter in one
@@ -1335,7 +1345,7 @@ def bloom_might_contain_grouped(
     loop."""
     return _wrap(keys, _jvm(keys).graft.ops.Bloom.mightContainGrouped(
         words._jdf, keys._jdf, key_col, _to_seq(keys, list(group_cols)),
-        int(num_bits), int(num_hashes)))
+        int(num_bits), int(num_hashes), bool(portable_hash)))
 
 
 def bloom_fill_ratio(words: DataFrame, num_bits: int) -> float:
@@ -1363,9 +1373,11 @@ class BloomSketchHandle:
         key_col: str,
         num_bits: int,
         num_hashes: int = 7,
+        portable_hash: bool = True,
     ) -> "BloomSketchHandle":
         j = _jvm(items).graft.ops.BloomSketch.build(
-            items._jdf, key_col, int(num_bits), int(num_hashes))
+            items._jdf, key_col, int(num_bits), int(num_hashes),
+            bool(portable_hash))
         return BloomSketchHandle(j, items.sparkSession)
 
     @staticmethod
@@ -1385,6 +1397,10 @@ class BloomSketchHandle:
     @property
     def num_hashes(self) -> int:
         return int(self._j.numHashes())
+
+    @property
+    def portable_hash(self) -> bool:
+        return bool(self._j.portableHash())
 
     def might_contain(self, keys: DataFrame, key_col: str) -> DataFrame:
         return DataFrame(self._j.mightContain(keys._jdf, key_col), self._spark)
@@ -1429,10 +1445,11 @@ class GroupedBloomSketchHandle:
         group_cols: List[str],
         num_bits: int,
         num_hashes: int = 7,
+        portable_hash: bool = True,
     ) -> "GroupedBloomSketchHandle":
         j = _jvm(items).graft.ops.GroupedBloomSketch.build(
             items._jdf, key_col, _to_seq(items, list(group_cols)),
-            int(num_bits), int(num_hashes))
+            int(num_bits), int(num_hashes), bool(portable_hash))
         return GroupedBloomSketchHandle(j, items.sparkSession)
 
     @staticmethod
@@ -1459,6 +1476,10 @@ class GroupedBloomSketchHandle:
     @property
     def num_hashes(self) -> int:
         return int(self._j.numHashes())
+
+    @property
+    def portable_hash(self) -> bool:
+        return bool(self._j.portableHash())
 
     def might_contain(self, keys: DataFrame, key_col: str) -> DataFrame:
         return DataFrame(self._j.mightContain(keys._jdf, key_col), self._spark)
@@ -1622,11 +1643,16 @@ class QuantileSketchHandle:
         value_col: str,
         s: int,
         seed: str,
+        portable_hash: bool = True,
     ) -> "QuantileSketchHandle":
         """LONG-valued sketch over an integral column; ``id_col`` must
-        uniquely identify rows (it is the sampling randomness)."""
+        uniquely identify rows (it is the sampling randomness).
+        ``portable_hash=False`` draws rank keys with codegen'd xxhash64
+        (faster; no external SQL replay) — summaries only merge within
+        one mode."""
         j = _jvm(items).graft.ops.QuantileSketch.build(
-            items._jdf, id_col, value_col, int(s), seed)
+            items._jdf, id_col, value_col, int(s), seed,
+            bool(portable_hash))
         return QuantileSketchHandle(j, items.sparkSession)
 
     @staticmethod
@@ -1636,11 +1662,13 @@ class QuantileSketchHandle:
         value_col: str,
         s: int,
         seed: str,
+        portable_hash: bool = True,
     ) -> "QuantileSketchHandle":
         """DOUBLE-valued sketch over a float/double column (NaN excluded,
         -0.0 normalized)."""
         j = _jvm(items).graft.ops.QuantileSketch.buildDouble(
-            items._jdf, id_col, value_col, int(s), seed)
+            items._jdf, id_col, value_col, int(s), seed,
+            bool(portable_hash))
         return QuantileSketchHandle(j, items.sparkSession)
 
     @staticmethod
@@ -1668,6 +1696,10 @@ class QuantileSketchHandle:
     @property
     def double_valued(self) -> bool:
         return bool(self._j.doubleValued())
+
+    @property
+    def portable_hash(self) -> bool:
+        return bool(self._j.portableHash())
 
     def quantile(self, pct: int) -> int:
         return int(self._j.quantile(int(pct)))
@@ -1712,12 +1744,13 @@ class GroupedQuantileSketchHandle:
         value_col: str,
         s: int,
         seed: str,
+        portable_hash: bool = True,
     ) -> "GroupedQuantileSketchHandle":
         """LONG-valued grouped sketch over an integral column; null
         groups are retained, null id/value rows are excluded."""
         j = _jvm(items).graft.ops.GroupedQuantileSketch.buildGrouped(
             items._jdf, _to_seq(items, list(group_cols)), id_col,
-            value_col, int(s), seed)
+            value_col, int(s), seed, bool(portable_hash))
         return GroupedQuantileSketchHandle(j, items.sparkSession)
 
     @staticmethod
@@ -1728,11 +1761,12 @@ class GroupedQuantileSketchHandle:
         value_col: str,
         s: int,
         seed: str,
+        portable_hash: bool = True,
     ) -> "GroupedQuantileSketchHandle":
         """DOUBLE-valued grouped sketch (NaN excluded, -0.0 normalized)."""
         j = _jvm(items).graft.ops.GroupedQuantileSketch.buildGroupedDouble(
             items._jdf, _to_seq(items, list(group_cols)), id_col,
-            value_col, int(s), seed)
+            value_col, int(s), seed, bool(portable_hash))
         return GroupedQuantileSketchHandle(j, items.sparkSession)
 
     @staticmethod
@@ -1747,13 +1781,15 @@ class GroupedQuantileSketchHandle:
         summaries: DataFrame,
         s: int,
         seed: str,
+        portable_hash: bool = True,
     ) -> "GroupedQuantileSketchHandle":
         """Rebuild the grouped-sketch surface from
         ``stream_rank_sketch_windowed`` emissions (windowStartMs becomes
         the group; the per-window ``n`` becomes the counts frame). Pass
-        the STREAM's s/seed — they are not carried in the rows."""
+        the STREAM's s/seed/portable_hash — they are not carried in the
+        rows."""
         j = _jvm(summaries).graft.ops.GroupedQuantileSketch.fromWindowSummaries(
-            summaries._jdf, int(s), seed)
+            summaries._jdf, int(s), seed, bool(portable_hash))
         return GroupedQuantileSketchHandle(j, summaries.sparkSession)
 
     @staticmethod
@@ -1761,11 +1797,13 @@ class GroupedQuantileSketchHandle:
         summaries: DataFrame,
         s: int,
         seed: str,
+        portable_hash: bool = True,
     ) -> "GroupedQuantileSketchHandle":
         """``from_window_summaries`` for the by-group stream emissions —
         the rebuilt sketch is stratified by (windowStartMs, group)."""
         j = _jvm(summaries).graft.ops.GroupedQuantileSketch \
-            .fromWindowGroupSummaries(summaries._jdf, int(s), seed)
+            .fromWindowGroupSummaries(summaries._jdf, int(s), seed,
+                bool(portable_hash))
         return GroupedQuantileSketchHandle(j, summaries.sparkSession)
 
     @property
@@ -1787,6 +1825,10 @@ class GroupedQuantileSketchHandle:
     @property
     def double_valued(self) -> bool:
         return bool(self._j.doubleValued())
+
+    @property
+    def portable_hash(self) -> bool:
+        return bool(self._j.portableHash())
 
     def quantiles(self, pcts: List[int]) -> DataFrame:
         """Per-group percentile estimates (group..., pct, k, value) —
@@ -1837,6 +1879,7 @@ def stream_bloom_windowed_words(
     num_bits: int,
     num_hashes: int,
     group_cols: Optional[List[str]] = None,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Per-event-time-window Bloom word frames (windowStartMs,
     windowEndMs, [group...,] w, bits) from a watermarked stream — a
@@ -1846,12 +1889,13 @@ def stream_bloom_windowed_words(
     return _wrap(events, _jvm(events).graft.streaming.StreamBloom.windowedWords(
         events._jdf, ts_col, key_col, window_duration, watermark,
         int(num_bits), int(num_hashes),
-        _to_seq(events, list(group_cols or []))))
+        _to_seq(events, list(group_cols or [])), bool(portable_hash)))
 
 
 def stream_bloom_from_window_words(
     words: DataFrame, num_bits: int, num_hashes: int,
     group_cols: Optional[List[str]] = None,
+    portable_hash: bool = True,
 ) -> "GroupedBloomSketchHandle":
     """Rebuild the per-(window x group) GroupedBloomSketchHandle from a
     sink of ``stream_bloom_windowed_words`` emissions — duplicates
@@ -1859,7 +1903,7 @@ def stream_bloom_from_window_words(
     ``regroup``/``to_global`` then roll windows up exactly."""
     j = _jvm(words).graft.streaming.StreamBloom.fromWindowWords(
         words._jdf, int(num_bits), int(num_hashes),
-        _to_seq(words, list(group_cols or [])))
+        _to_seq(words, list(group_cols or [])), bool(portable_hash))
     return GroupedBloomSketchHandle(j, words.sparkSession)
 
 
@@ -1943,6 +1987,7 @@ def stream_rank_sketch_windowed(
     watermark: str,
     s: int,
     seed: str,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Per-event-time-window bottom-s rank-sketch summaries with BOUNDED
     state (<= s rows per open window regardless of stream volume); each
@@ -1951,7 +1996,7 @@ def stream_rank_sketch_windowed(
     fold). Returns (windowStartMs, windowEndMs, rk, value)."""
     jds = _jvm(events).graft.streaming.StreamRankSketch.windowedBottomK(
         events._jdf, ts_col, id_col, value_col, window_duration,
-        watermark, int(s), seed)
+        watermark, int(s), seed, bool(portable_hash))
     return DataFrame(jds.toDF(), events.sparkSession)
 
 
@@ -1964,6 +2009,7 @@ def stream_rank_sketch_windowed_double(
     watermark: str,
     s: int,
     seed: str,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """``stream_rank_sketch_windowed`` for FLOAT/DOUBLE value columns —
     the value rides the bounded fold as its sortable-bits long and the
@@ -1971,7 +2017,7 @@ def stream_rank_sketch_windowed_double(
     normalized). Returns (windowStartMs, windowEndMs, rk, value DOUBLE)."""
     jds = _jvm(events).graft.streaming.StreamRankSketch.windowedBottomKDouble(
         events._jdf, ts_col, id_col, value_col, window_duration,
-        watermark, int(s), seed)
+        watermark, int(s), seed, bool(portable_hash))
     return DataFrame(jds.toDF(), events.sparkSession)
 
 
@@ -1985,6 +2031,7 @@ def stream_rank_sketch_windowed_by_group(
     watermark: str,
     s: int,
     seed: str,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """Per-(event-time window x group) bottom-s summaries ("p99 per
     language per hour"): bounded state per open (window, group) key,
@@ -1994,7 +2041,7 @@ def stream_rank_sketch_windowed_by_group(
     ``GroupedQuantileSketchHandle.from_window_group_summaries``."""
     jds = _jvm(events).graft.streaming.StreamRankSketch.windowedBottomKByGroup(
         events._jdf, ts_col, group_col, id_col, value_col,
-        window_duration, watermark, int(s), seed)
+        window_duration, watermark, int(s), seed, bool(portable_hash))
     return DataFrame(jds.toDF(), events.sparkSession)
 
 
@@ -2008,13 +2055,14 @@ def stream_rank_sketch_windowed_by_group_double(
     watermark: str,
     s: int,
     seed: str,
+    portable_hash: bool = True,
 ) -> DataFrame:
     """``stream_rank_sketch_windowed_by_group`` for FLOAT/DOUBLE value
     columns (sortable-bits ride, NaN/NULL excluded, -0.0 normalized)."""
     jds = _jvm(events).graft.streaming.StreamRankSketch \
         .windowedBottomKByGroupDouble(
             events._jdf, ts_col, group_col, id_col, value_col,
-            window_duration, watermark, int(s), seed)
+            window_duration, watermark, int(s), seed, bool(portable_hash))
     return DataFrame(jds.toDF(), events.sparkSession)
 
 
@@ -2030,6 +2078,100 @@ def dedup_chunks_within(
     n_kept, n_removed)."""
     return _wrap(docs, _jvm(docs).graft.ops.TextOps.dedupChunksWithin(
         docs._jdf, id_col, text_col, int(chunk_tokens)))
+
+
+def bloom_size_for(
+    spark, expected_distinct: int, target_fpr: float
+) -> Tuple[int, int]:
+    """Bloom geometry that meets ``target_fpr`` for ``expected_distinct``
+    keys: returns (num_bits, num_hashes) — the textbook optimum,
+    word-aligned, num_hashes clamped to the double-hashing range. Size
+    from the TOTAL cardinality across every filter you will merge (get
+    it from an HLL estimate when unknown); an undersized filter
+    saturates toward answering True for everything, which the handle
+    writes also audit at persist time."""
+    t = spark.sparkContext._jvm.graft.ops.Bloom.sizeFor(
+        int(expected_distinct), float(target_fpr))
+    return int(t._1()), int(t._2())
+
+
+class SemDedupIndexHandle:
+    """INCREMENTAL semantic dedup index (wraps the JVM
+    ``graft.ops.SemDedupIndex``): persisted (centers, keeper vectors,
+    epsilon) store answering "is this new doc a semantic dup of
+    anything KEPT so far" with work proportional to the batch — the
+    store-probe ingest shape of SemDeDup, sibling of the MinHash
+    ``IncrementalDedup`` path. ``probe`` verdicts a batch read-only;
+    ``ingest`` also appends the batch's novel docs (the store grows
+    with novel mass, not arrival rate); write/read persists with
+    validated content digests."""
+
+    def __init__(self, jindex, spark):
+        self._j = jindex
+        self._spark = spark
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        id_col: str,
+        vec_col: str,
+        centers: DataFrame,
+        epsilon: float,
+        keeper: str = "min_id",
+        max_cluster_size: int = 20000,
+    ) -> Tuple[DataFrame, "SemDedupIndexHandle"]:
+        """Bootstrap from an initial corpus (full SemDeDup recipe:
+        within-cluster components + keeper rule). ``centers`` is a
+        k-row frame (cluster 0..k-1, cv array<double>) — the
+        ``prototypicality`` convention. Returns (corpus audit verdicts,
+        the index)."""
+        jt = _jvm(corpus).graft.ops.SemDedupIndex.buildDf(
+            corpus._jdf, id_col, vec_col, centers._jdf, float(epsilon),
+            keeper, int(max_cluster_size))
+        spark = corpus.sparkSession
+        return (DataFrame(jt._1(), spark),
+                SemDedupIndexHandle(jt._2(), spark))
+
+    @staticmethod
+    def read(spark, path: str) -> "SemDedupIndexHandle":
+        jvm = spark.sparkContext._jvm
+        return SemDedupIndexHandle(
+            jvm.graft.ops.SemDedupIndex.read(spark._jsparkSession, path),
+            spark)
+
+    @property
+    def keepers(self) -> DataFrame:
+        return DataFrame(self._j.keepers(), self._spark)
+
+    @property
+    def epsilon(self) -> float:
+        return float(self._j.epsilon())
+
+    def probe(
+        self, batch: DataFrame, id_col: str, vec_col: str,
+        max_cluster_size: int = 20000,
+    ) -> DataFrame:
+        """Read-only verdicts (id, cluster, centroid_sim, dup_of,
+        n_dup_matches, keep): dup_of = best same-cluster match (highest
+        cosine, ties to the lowest id) among stored keepers and
+        smaller-id co-batch docs at the round-6 threshold."""
+        return DataFrame(self._j.probe(batch._jdf, id_col, vec_col,
+            int(max_cluster_size)), self._spark)
+
+    def ingest(
+        self, batch: DataFrame, id_col: str, vec_col: str,
+        max_cluster_size: int = 20000,
+    ) -> Tuple[DataFrame, "SemDedupIndexHandle"]:
+        """``probe`` + append the novel docs to the keeper store;
+        returns (verdicts, updated index)."""
+        jt = self._j.ingest(batch._jdf, id_col, vec_col,
+            int(max_cluster_size))
+        return (DataFrame(jt._1(), self._spark),
+                SemDedupIndexHandle(jt._2(), self._spark))
+
+    def write(self, path: str) -> None:
+        self._spark.sparkContext._jvm.graft.ops.SemDedupIndex.write(
+            self._j, path)
 
 
 def corpus_drift(

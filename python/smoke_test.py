@@ -791,6 +791,47 @@ def main() -> None:
         assert bsk2.fpr_estimate() < 1.0
         print("round-20 bloom membership bindings ok")
 
+        # round-21: fast-hash mode, sizeFor, incremental semantic dedup
+        nb, nh = gops.bloom_size_for(spark, 100000, 0.01)
+        assert nb % 64 == 0 and 1 <= nh <= 16
+        fb = gops.BloomSketchHandle.build(items, "k", 4096, 3,
+                                          portable_hash=False)
+        assert fb.portable_hash is False
+        assert fb.might_contain(items, "k").where("NOT contained").count() == 0
+        try:
+            fb.merge(bsk)
+            raise AssertionError("cross-mode merge must refuse")
+        except Exception as e:
+            assert "geometry mismatch" in str(e)
+        fq = gops.QuantileSketchHandle.build(
+            docs.selectExpr("doc_id", "length(text) AS v"), "doc_id", "v",
+            128, "pyfq", portable_hash=False)
+        assert fq.portable_hash is False and fq.quantile(50) > 0
+        fww = gops.stream_bloom_windowed_words(
+            ev_src, "ts", "k", "1 day", "1 hour", 4096, 3,
+            portable_hash=False)
+        fwh = gops.stream_bloom_from_window_words(
+            fww, 4096, 3, portable_hash=False)
+        assert fwh.portable_hash is False
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cdf = emb.where("vec_id < 8").selectExpr(
+            "vec_id AS cluster", "CAST(embedding AS ARRAY<DOUBLE>) AS cv")
+        bverd, sidx = gops.SemDedupIndexHandle.build(
+            emb.where("vec_id % 7 != 0"), "vec_id", "embedding", cdf, 0.3)
+        assert bverd.count() > 0 and sidx.epsilon == 0.3
+        pv = sidx.probe(emb.where("vec_id % 7 = 0"), "vec_id", "embedding")
+        assert set(c for c, _ in pv.dtypes) == {
+            "id", "cluster", "centroid_sim", "dup_of", "n_dup_matches", "keep"}
+        iv, sidx2 = sidx.ingest(
+            emb.where("vec_id % 7 = 0"), "vec_id", "embedding")
+        kept2 = iv.where("keep").count()
+        assert sidx2.keepers.count() == sidx.keepers.count() + kept2
+        sem_dir = tempfile.mkdtemp(prefix="semidx_py")
+        sidx.write(sem_dir + "/f")
+        sidx_r = gops.SemDedupIndexHandle.read(spark, sem_dir + "/f")
+        assert sidx_r.keepers.count() == sidx.keepers.count()
+        print("round-21 fast-hash + incremental semdedup bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

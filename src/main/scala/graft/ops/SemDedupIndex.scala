@@ -162,6 +162,19 @@ object SemDedupIndex {
     (verdicts, SemDedupIndex(kept, centers, epsilon))
   }
 
+  /** py4j bridge: centers as a k-row (cluster, cv) frame ordered by
+    * cluster — the [[Prototypes]] Df pattern (a nested double matrix
+    * does not ride the gateway). k-row driver collect, model state.
+    */
+  def buildDf(corpus: DataFrame, idCol: String, vecCol: String,
+      centersDf: DataFrame, epsilon: Double, keeper: String,
+      maxClusterSize: Int): (DataFrame, SemDedupIndex) =
+    build(corpus, idCol, vecCol,
+      centersDf.select(col("cluster").cast("long").as("cluster"),
+          col("cv").cast("array<double>").as("cv"))
+        .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray),
+      epsilon, keeper, maxClusterSize)
+
   /** Digest columns for the keeper frame: vectors ride as their
     * sortable-bits longs rendered through the array cast — the
     * [[SketchIo.canonicalCol]] float rule applied element-wise, so the
