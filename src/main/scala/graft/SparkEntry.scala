@@ -248,25 +248,45 @@ object SparkEntry {
   private def shingleListSql(n: Int, textSql: String = "text"): String =
     s"list_distinct(${shingleOccurrencesSql(n, textSql)})"
 
-  /** Shared HLL register-replay SQL (rule 5 — q_hll_registers and
-    * q_hll_merge differ ONLY in the documents filter): bucket =
-    * first-8-hex md5 mod 512, rank = 1 + leading zeros of the 13-hex
-    * (52-bit) md5 value via the length(bin(w)) bit-length identity.
+  /** The ONE HLL register-rollup fragment (rule 5 — behind
+    * q_hll_registers, q_hll_merge, and q_hll_windowed): bucket =
+    * first-8-hex md5 mod 512 (p = 9 everywhere this is used), rank =
+    * 1 + leading zeros of the 13-hex (52-bit) md5 value via the
+    * length(bin(w)) bit-length identity. `occSql` yields one row per
+    * key occurrence as (grpSel..., k); `grpSel` prefix columns (e.g.
+    * "ws, ") are carried through the rollup.
+    */
+  private def hllRegisterRollupSql(seed: String, occSql: String,
+      grpSel: String = ""): String =
+    s"""WITH occ AS ($occSql),
+      |reg AS (
+      |  SELECT $grpSel
+      |    CAST(('0x' || substr(md5('$seed:b:' || k), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket,
+      |    CAST(('0x' || substr(md5('$seed:r:' || k), 1, 13))::UBIGINT AS BIGINT) AS w
+      |  FROM occ)
+      |SELECT $grpSel bucket,
+      |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS maxrank
+      |FROM reg GROUP BY ${if (grpSel.isEmpty) "1" else "1, 2"}""".stripMargin
+
+  /** Shared HLL register-replay SQL over document bigrams
+    * (q_hll_registers and q_hll_merge differ ONLY in the filter).
     */
   private def hllRegistersSql(docsWhere: String = "TRUE"): String =
-    s"""WITH occ AS (
-      |  SELECT k FROM (
-      |    SELECT unnest(${shingleOccurrencesSql(2)}) AS k
-      |    FROM documents WHERE $docsWhere)
-      |  WHERE k <> ''),
-      |reg AS (
-      |  SELECT
-      |    CAST(('0x' || substr(md5('hll19:b:' || k), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket,
-      |    CAST(('0x' || substr(md5('hll19:r:' || k), 1, 13))::UBIGINT AS BIGINT) AS w
-      |  FROM occ)
-      |SELECT bucket,
-      |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS maxrank
-      |FROM reg GROUP BY bucket""".stripMargin
+    hllRegisterRollupSql("hll19",
+      s"""SELECT k FROM (
+        |    SELECT unnest(${shingleOccurrencesSql(2)}) AS k
+        |    FROM documents WHERE $docsWhere)
+        |  WHERE k <> ''""".stripMargin)
+
+  /** events keyed by user_id with the epoch-aligned 1-day window start
+    * in ms — the ONE window-bound fragment behind the q_*_windowed
+    * oracles (rule 5; pure integer arithmetic per rule 13c).
+    */
+  private def eventsDayKeySql(keyAlias: String): String =
+    "SELECT CAST((epoch_ns(ts) // 1000000) " +
+      "- ((epoch_ns(ts) // 1000000) % 86400000) AS BIGINT) AS ws, " +
+      s"CAST(user_id AS VARCHAR) AS $keyAlias " +
+      "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL"
 
   /** Shared rank-sketch summary-replay SQL (rule 5 — q_qsketch_summary
     * and q_qsketch_merge differ ONLY in the documents filter): the
@@ -2590,11 +2610,12 @@ object SparkEntry {
     // index from the vec_id % 7 != 0 corpus slice (full semDedupFixed
     // components + min-id keepers), then probe the % 7 == 0 batch
     // against the stored keepers AND smaller-id co-batch docs — the
-    // store-probe ingest shape, per-doc best match (highest cosine,
-    // ties to the lowest id), q_incremental_dedup's verdict schema
-    // adapted to cosine space. Threshold compares at round-6 cosine
-    // like q_semdedup (same raw-cosine window-order precedent);
-    // centroid_sim round-6 output-only.
+    // store-probe ingest shape, per-doc best match (highest ROUND-6
+    // cosine, ties to the lowest id), q_incremental_dedup's verdict
+    // schema adapted to cosine space. Threshold AND best-match ordering
+    // both at 6dp (a raw-float argmax across engines is the rule-1
+    // ban; the id tiebreak owns the ulp zone); centroid_sim round-6
+    // output-only.
     "q_semdedup_incremental" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
@@ -5444,11 +5465,11 @@ object SparkEntry {
         |        ORDER BY list_cosine_similarity(bat.v, c.cv) DESC, c.cid) AS rn
         |    FROM bat, c) WHERE rn = 1),
         |m AS (
-        |  SELECT b.id, k.id AS match_id, list_cosine_similarity(b.v, k.v) AS msim
+        |  SELECT b.id, k.id AS match_id, round(list_cosine_similarity(b.v, k.v), 6) AS msim
         |  FROM basg b JOIN ckeep k ON b.cluster = k.cluster
         |  WHERE round(list_cosine_similarity(b.v, k.v), 6) >= 0.3
         |  UNION ALL
-        |  SELECT b.id, b2.id AS match_id, list_cosine_similarity(b.v, b2.v) AS msim
+        |  SELECT b.id, b2.id AS match_id, round(list_cosine_similarity(b.v, b2.v), 6) AS msim
         |  FROM basg b JOIN basg b2 ON b.cluster = b2.cluster AND b2.id < b.id
         |  WHERE round(list_cosine_similarity(b.v, b2.v), 6) >= 0.3),
         |best AS (
@@ -5969,11 +5990,7 @@ object SparkEntry {
     // shared fragment with the window start as the carried prefix.
     "q_bloom_windowed" ->
       s"""WITH ep AS MATERIALIZED ${bloomPositionsSql(
-           "SELECT CAST((epoch_ns(ts) // 1000000) " +
-             "- ((epoch_ns(ts) // 1000000) % 86400000) AS BIGINT) AS ws, " +
-             "CAST(user_id AS VARCHAR) AS sh " +
-             "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL",
-           4096, 3, grpSel = "ws, ")}
+           eventsDayKeySql("sh"), 4096, 3, grpSel = "ws, ")}
         |SELECT CAST(ws AS BIGINT) AS windowStartMs,
         |  CAST(ws + 86400000 AS BIGINT) AS windowEndMs,
         |  CAST(pos // 64 AS BIGINT) AS w,
@@ -5987,29 +6004,16 @@ object SparkEntry {
     // register arithmetic of q_hll_registers (bucket = first-8-hex md5
     // mod 512, rank via the length(bin(w)) bit-length identity).
     "q_hll_windowed" ->
-      """WITH occ AS (
-        |  SELECT CAST((epoch_ns(ts) // 1000000)
-        |    - ((epoch_ns(ts) // 1000000) % 86400000) AS BIGINT) AS ws,
-        |    CAST(user_id AS VARCHAR) AS k
-        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-        |reg AS (
-        |  SELECT ws,
-        |    CAST(('0x' || substr(md5('hllw17:b:' || k), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket,
-        |    CAST(('0x' || substr(md5('hllw17:r:' || k), 1, 13))::UBIGINT AS BIGINT) AS w
-        |  FROM occ)
+      s"""WITH regs AS (
+        |${hllRegisterRollupSql("hllw17", eventsDayKeySql("k"), grpSel = "ws, ")})
         |SELECT CAST(ws AS BIGINT) AS windowStartMs,
-        |  CAST(ws + 86400000 AS BIGINT) AS windowEndMs, bucket,
-        |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS maxrank
-        |FROM reg GROUP BY 1, 2, 3""".stripMargin,
+        |  CAST(ws + 86400000 AS BIGINT) AS windowEndMs, bucket, maxrank
+        |FROM regs""".stripMargin,
     // Windowed CMS replay: same window fragment + the q_cms_heavy cell
     // scheme ('cmsw17:r:key' first 8 hex % 512); counts CAST BIGINT
     // (rule 1's HUGEINT ban).
     "q_cms_windowed" ->
-      """WITH occ AS (
-        |  SELECT CAST((epoch_ns(ts) // 1000000)
-        |    - ((epoch_ns(ts) // 1000000) % 86400000) AS BIGINT) AS ws,
-        |    CAST(user_id AS VARCHAR) AS k
-        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+      s"""WITH occ AS (${eventsDayKeySql("k")})
         |SELECT CAST(ws AS BIGINT) AS windowStartMs,
         |  CAST(ws + 86400000 AS BIGINT) AS windowEndMs,
         |  CAST(r AS BIGINT) AS r,

@@ -165,10 +165,13 @@ object Bloom {
     * Portable mode evaluates the house md5 pair in a UDF (MessageDigest
     * has no codegen'd Column twin that matches the oracle contract);
     * fast mode is PURE built-ins — two xxhash64 draws and integer
-    * arithmetic inside whole-stage codegen, no UDF boundary at all,
-    * which is where the fast mode's build-time win actually comes from
-    * (the hash itself AND the serialization hop). Null keys yield null
-    * in both modes (callers filter them; parity kept anyway).
+    * arithmetic inside whole-stage codegen, no UDF boundary at all.
+    * Measured honestly (r21, docs/SCALE.md): the BUILD is scan-bound
+    * once warm (one md5 per key funds all k positions), so fast≈md5
+    * there; the fast mode's real wins are the full-corpus PROBE
+    * (1.35× steady / 1.9× cold at the 100× decade) and the cleaner
+    * all-codegen plan. Null keys yield null in both modes (callers
+    * filter them; parity kept anyway).
     */
   private[graft] def positionsCol(key: Column, m: Long, k: Int,
       portable: Boolean = true): Column =
@@ -436,15 +439,25 @@ object Bloom {
       s"Bloom.sizeFor: expectedDistinct must be >= 1, got $expectedDistinct")
     require(targetFpr > 0.0 && targetFpr < 1.0,
       s"Bloom.sizeFor: targetFpr must be in (0, 1), got $targetFpr")
+    val n = expectedDistinct.toDouble
     val ln2 = math.log(2.0)
-    val mRaw = math.ceil(-expectedDistinct.toDouble * math.log(targetFpr) / (ln2 * ln2))
+    val mOpt = math.ceil(-n * math.log(targetFpr) / (ln2 * ln2))
+    val kOpt = math.round(mOpt / n * ln2).toInt
+    // past k=16 (the double-hashing quality ceiling requireGeometry
+    // enforces) the optimum is unreachable at the optimal m — returning
+    // it anyway would MISS the target silently (~7x at 1e-9, r17
+    // review). Re-solve m at the clamped k from the standard FP model
+    // p = (1 - e^{-kn/m})^k  =>  m = -k·n / ln(1 - p^{1/k}), which
+    // meets the target exactly with slightly more bits.
+    val (mRaw, k) =
+      if (kOpt > 16)
+        (math.ceil(-16.0 * n / math.log1p(-math.pow(targetFpr, 1.0 / 16.0))), 16)
+      else (mOpt, math.max(1, math.min(16, kOpt)))
     require(mRaw <= (1L << 36).toDouble,
       s"Bloom.sizeFor: $expectedDistinct keys at fpr $targetFpr need " +
         f"$mRaw%.0f bits, above the 2^36 implementation ceiling - shard " +
         "the key space (per-group filters) or relax the fpr")
     val m = math.max(64L, ((mRaw.toLong + 63L) >>> 6) << 6)
-    val k = math.max(1, math.min(16,
-      math.round(m.toDouble / expectedDistinct.toDouble * ln2).toInt))
     (m, k)
   }
 

@@ -193,10 +193,9 @@ object GroupedBloomSketch {
     val groupCols = (meta \ "groupCols").extract[List[String]]
     val words = spark.read.parquet(s"$path/words")
     val expected = (meta \ "wordDigest").extract[Long]
-    val actual = SketchIo.canonicalDigest(words, groupCols ++ Seq("w", "bits"))
-    require(actual == expected,
-      s"GroupedBloomSketch.read: word digest mismatch (stored $expected, " +
-        s"recomputed $actual) - the payload at $path/words does not match " +
+    require(SketchIo.digestMatches(words, groupCols ++ Seq("w", "bits"), expected),
+      s"GroupedBloomSketch.read: word digest mismatch (stored $expected) " +
+        s"- the payload at $path/words does not match " +
         "what was written; refusing a corrupted filter")
     val nWords = (numBits + 63L) >>> 6
     val bad = words.filter(col("w") < 0L || col("w") >= nWords).count()

@@ -166,11 +166,10 @@ object GroupedCmsSketch {
     val groupCols = (meta \ "groupCols").extract[List[String]]
     val cells = spark.read.parquet(s"$path/cells")
     val expected = (meta \ "cellDigest").extract[Long]
-    val actual = SketchIo.canonicalDigest(cells,
-      groupCols ++ Seq("r", "bucket", "cnt"))
-    require(actual == expected,
-      s"GroupedCmsSketch.read: cell digest mismatch (stored $expected, " +
-        s"recomputed $actual) - the payload at $path/cells does not match " +
+    require(SketchIo.digestMatches(cells,
+        groupCols ++ Seq("r", "bucket", "cnt"), expected),
+      s"GroupedCmsSketch.read: cell digest mismatch (stored $expected) " +
+        s"- the payload at $path/cells does not match " +
         "what was written; refusing a corrupted sketch")
     val bad = cells.filter(col("r") < 0 || col("r") >= depth ||
       col("bucket") < 0L || col("bucket") >= width.toLong ||

@@ -175,11 +175,10 @@ object GroupedHllSketch {
     val groupCols = (meta \ "groupCols").extract[List[String]]
     val registers = spark.read.parquet(s"$path/registers")
     val expected = (meta \ "registerDigest").extract[Long]
-    val actual = SketchIo.canonicalDigest(registers,
-      groupCols ++ Seq("bucket", "maxrank"))
-    require(actual == expected,
-      s"GroupedHllSketch.read: register digest mismatch (stored $expected, " +
-        s"recomputed $actual) - the payload at $path/registers does not " +
+    require(SketchIo.digestMatches(registers,
+        groupCols ++ Seq("bucket", "maxrank"), expected),
+      s"GroupedHllSketch.read: register digest mismatch (stored $expected) " +
+        s"- the payload at $path/registers does not " +
         "match what was written; refusing a corrupted sketch")
     val m = 1L << p
     val bad = registers.filter(col("bucket") < 0L || col("bucket") >= m).count()

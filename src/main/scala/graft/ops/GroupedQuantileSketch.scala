@@ -454,11 +454,12 @@ object GroupedQuantileSketch {
     def check(df: DataFrame, cols: Seq[String], key: String,
         what: String): Unit = {
       val expected = (meta \ key).extract[Long]
-      val actual = canonicalDigest(df, cols)
-      require(actual == expected,
+      // digestMatches: canonical rule, with the pre-r17 legacy-NTZ
+      // fallback so old valid sketches don't refuse as corrupted
+      require(SketchIo.digestMatches(df, cols, expected),
         s"GroupedQuantileSketch.read: $what digest mismatch (stored " +
-          s"$expected, recomputed $actual) - the payload at $path/$what " +
-          "does not match what was written; refusing a corrupted sketch")
+          s"$expected) - the payload at $path/$what does not match what " +
+          "was written; refusing a corrupted sketch")
     }
     check(summary, groupCols ++ Seq("rk", "value"), "summaryDigest", "summary")
     check(counts, groupCols :+ "n", "countsDigest", "counts")

@@ -61,17 +61,37 @@ final case class SemDedupIndex(
 
   /** Verdicts for a probe batch WITHOUT updating the index: one row per
     * batch doc — (id, cluster, centroid_sim, dup_of, n_dup_matches,
-    * keep). `dup_of` is the best match (highest cosine, ties to the
-    * lowest id) among same-cluster stored keepers and smaller-id
+    * keep). `dup_of` is the best match (highest ROUND-6 cosine, ties to
+    * the lowest id) among same-cluster stored keepers and smaller-id
     * co-batch docs at round-6 cosine ≥ epsilon; `keep` = no match.
+    * Match quality is defined at 6-decimal granularity END TO END —
+    * threshold AND best-match ordering — because a raw float driving
+    * the argmax is the rule-1 ban (two engines' cosine sums can differ
+    * a ulp and flip the winner; at 6dp the id tiebreak owns that zone).
     * Batch ids must be unique and disjoint from stored keeper ids.
     */
   def probe(batch: DataFrame, idCol: String, vecCol: String,
       maxClusterSize: Int = 20000): DataFrame = {
+    val assigned = assignPersisted(batch, idCol, vecCol)
+    try probeAssigned(assigned, maxClusterSize)
+    finally assigned.unpersist()
+  }
+
+  private def assignPersisted(batch: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val assigned = SemDedup.assignFixed(batch, idCol, vecCol, centers)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count()
-    try {
+    assigned
+  }
+
+  /** The shared probe body over an already-assigned batch — [[ingest]]
+    * reuses the SAME assigned frame for its keeper append instead of
+    * paying the batch × k-centers assignment twice (r17 review).
+    */
+  private def probeAssigned(assigned: DataFrame,
+      maxClusterSize: Int): DataFrame = {
+    {
       // refuse a quadratic co-batch compare on a skewed batch cluster
       // (the semDedupFixed guard, applied to the probe side)
       val oversized = assigned.groupBy(col("cluster"))
@@ -88,19 +108,23 @@ final case class SemDedupIndex(
       // rule 13b) and filtered to the batch's clusters via the join key
       val store = keepers.select(col("id").as("k_id"),
         col("cluster"), col("v").as("kv"))
+      // msim is the ROUND-6 cosine: it drives both the threshold and
+      // the best-match ordering (rule 1 — a raw-float argmax can flip
+      // between engines; the q_incremental_dedup integer-micro-units
+      // discipline, at the granularity the threshold already uses)
       val vsStore = assigned.join(store, Seq("cluster"))
-        .where(round(graft.functions.ArrayMath.cosine(col("v"), col("kv")), 6)
-          >= epsilon)
         .select(col("id"), col("k_id").as("match_id"),
-          graft.functions.ArrayMath.cosine(col("v"), col("kv")).as("msim"))
+          round(graft.functions.ArrayMath.cosine(col("v"), col("kv")), 6)
+            .as("msim"))
+        .where(col("msim") >= epsilon)
       val b = assigned.select(col("cluster"), col("id").as("b_id"),
         col("v").as("bv"))
       val vsBatch = assigned.join(b, Seq("cluster"))
-        .where(col("b_id") < col("id") &&
-          round(graft.functions.ArrayMath.cosine(col("v"), col("bv")), 6)
-            >= epsilon)
+        .where(col("b_id") < col("id"))
         .select(col("id"), col("b_id").as("match_id"),
-          graft.functions.ArrayMath.cosine(col("v"), col("bv")).as("msim"))
+          round(graft.functions.ArrayMath.cosine(col("v"), col("bv")), 6)
+            .as("msim"))
+        .where(col("msim") >= epsilon)
       val matches = vsStore.unionByName(vsBatch)
       val best = matches.groupBy(col("id"))
         .agg(
@@ -118,21 +142,27 @@ final case class SemDedupIndex(
       try out.count()
       catch { case t: Throwable => out.unpersist(); throw t }
       out
-    } finally assigned.unpersist()
+    }
   }
 
   /** [[probe]] + append the batch's novel docs to the keeper store:
-    * returns (verdicts, updated index). The verdict frame is
-    * materialized (and lineage-independent of the old keeper frame), so
-    * callers can persist the new store over the old one.
+    * returns (verdicts, updated index). The batch is assigned ONCE and
+    * shared between the probe and the keeper append; the appended rows
+    * are localCheckpoint'd (batch-sized), so the new index's only
+    * storage lineage is the OLD keeper frame — which [[write]]'s
+    * stage-and-swap makes safe to persist back over the same path.
     */
   def ingest(batch: DataFrame, idCol: String, vecCol: String,
       maxClusterSize: Int = 20000): (DataFrame, SemDedupIndex) = {
-    val verdicts = probe(batch, idCol, vecCol, maxClusterSize)
-    val newKeepers = SemDedup.assignFixed(batch, idCol, vecCol, centers)
-      .join(verdicts.where(col("keep")).select(col("id")), Seq("id"))
-      .select(col("id"), col("cluster"), col("v"))
-    (verdicts, copy(keepers = keepers.unionByName(newKeepers)))
+    val assigned = assignPersisted(batch, idCol, vecCol)
+    try {
+      val verdicts = probeAssigned(assigned, maxClusterSize)
+      val newKeepers = assigned
+        .join(verdicts.where(col("keep")).select(col("id")), Seq("id"))
+        .select(col("id"), col("cluster"), col("v"))
+        .localCheckpoint(true)
+      (verdicts, copy(keepers = keepers.unionByName(newKeepers)))
+    } finally assigned.unpersist()
   }
 }
 
@@ -193,6 +223,17 @@ object SemDedupIndex {
   /** Persist keepers + centers + geometry + content digests at `path`
     * (overwrites). Digests are computed over what was WRITTEN (house
     * rule: a failed/partial write must not inherit a valid digest).
+    *
+    * The keeper payload is STAGED then swapped (write to
+    * `keepers_staged`, delete `keepers`, rename) because the canonical
+    * ingest loop — read(path) → ingest(batch) → write back to the SAME
+    * path — produces a keeper frame whose lineage still READS
+    * `path/keepers`, and Spark refuses a direct overwrite of a path
+    * being read (r17 review; a lazy union is the point, not a bug: the
+    * old store must never be rescanned eagerly). Crash windows refuse
+    * loudly on the next read: mid-swap leaves no keeper dir (parquet
+    * read fails), post-swap-pre-json leaves a stale digest ("digest
+    * mismatch") — never silently-wrong verdicts.
     */
   def write(index: SemDedupIndex, path: String): Unit = {
     val spark = index.keepers.sparkSession
@@ -200,8 +241,19 @@ object SemDedupIndex {
     val dim = index.centers.head.length
     require(index.centers.forall(_.length == dim),
       "SemDedupIndex.write: ragged centers")
+    val staged = new org.apache.hadoop.fs.Path(path, "keepers_staged")
+    val live = new org.apache.hadoop.fs.Path(path, "keepers")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     index.keepers.select("id", "cluster", "v")
-      .write.mode("overwrite").parquet(s"$path/keepers")
+      .write.mode("overwrite").parquet(staged.toString)
+    fs.delete(live, true)
+    require(fs.rename(staged, live),
+      s"SemDedupIndex.write: could not swap $staged into place at $live")
+    // drop the cached file LISTING for the swapped path: Spark's shared
+    // FileStatusCache remembers the old part files and a later read
+    // (including this method's own digest recompute) would fail
+    // FILE_NOT_EXIST against the pre-swap names
+    spark.catalog.refreshByPath(live.toString)
     val centersDf = {
       import spark.implicits._
       index.centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }

@@ -71,6 +71,32 @@ private[ops] object SketchIo {
   def canonicalDigest(df: DataFrame, cols: Seq[String]): Long =
     xorDigestCols(df, cols.map(canonicalCol(df, _)))
 
+  /** True when `expected` matches the canonical digest of `df` — or,
+    * for frames carrying a TIMESTAMP_NTZ column, the pre-r17 LEGACY
+    * rule (`unix_millis(cast('timestamp'))`, session-timezone-
+    * dependent). r17 fixed the NTZ canonicalization (the r16 ADVICE
+    * defect); without this fallback every VALID pre-r17 sketch with an
+    * NTZ column would refuse on read as "digest mismatch" — a
+    * misleading corruption message for an intact payload (r17 review).
+    * The legacy recompute matches only under the timezone the sketch
+    * was written in, which is exactly the old behavior — strictly a
+    * compat path, taken only after the canonical digest missed AND the
+    * frame actually has an NTZ column. Every handle read goes through
+    * this, so the rule lands once.
+    */
+  def digestMatches(df: DataFrame, cols: Seq[String], expected: Long): Boolean =
+    canonicalDigest(df, cols) == expected || {
+      cols.exists(c => df.schema(c).dataType ==
+        org.apache.spark.sql.types.TimestampNTZType) &&
+      xorDigestCols(df, cols.map { c =>
+        df.schema(c).dataType match {
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            unix_millis(col(c).cast("timestamp"))
+          case _ => canonicalCol(df, c)
+        }
+      }) == expected
+    }
+
   def writeFile(spark: SparkSession, dir: String, name: String,
       content: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, name)

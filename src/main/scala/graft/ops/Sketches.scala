@@ -403,9 +403,16 @@ object Sketches {
     * small relative to the corpus admits millions of "heavy" keys.
     * Happy-path cost: TWO map-side-combined scans of `items`; the
     * confirm shuffle carries only candidate keys; nothing is ordered
-    * or distinct'd over the full key space. Like topKExact, the result
-    * comes back persisted (the bound check materializes it) — the
-    * caller owns the release.
+    * or distinct'd over the full key space. The MG guess bounds
+    * counters PER PARTITION, so on a wide cluster with per-partition-
+    * diverse keys the global candidate union can exceed what a FORCED
+    * broadcast should carry — past
+    * `graft.cms.maxBroadcastCandidates` (default 4M) the one-sided CMS
+    * prefilter (depth/width/seed) thins the set first, the pre-r17
+    * shape reserved for exactly the regime that needs it. Like
+    * topKExact, the AUTO path's result comes back persisted (the bound
+    * check materializes it) and the caller owns the release; the
+    * explicit-candidates path returns a lazy frame.
     *
     * Explicit-candidates path: a caller-supplied frame (a domain
     * vocabulary, a prior round's survivors) has UNKNOWN size, so the
@@ -465,8 +472,17 @@ object Sketches {
             summaries = mgSummaries(items, keyCol,
               math.toIntExact(needed)).persist()
           }
-          val cand = summaries.where(col(keyCol).isNotNull)
+          val candAll = summaries.where(col(keyCol).isNotNull)
             .select(col(keyCol)).distinct()
+          // candidate-count guard before the FORCED broadcast (see the
+          // scaladoc): summaries are persisted, so this count is cheap
+          val maxBc = graft.util.Conf.long(spark,
+            "graft.cms.maxBroadcastCandidates", 4194304L)
+          val cand =
+            if (candAll.count() <= maxBc) candAll
+            else heavyHitters(items, keyCol, depth, width, seed, threshold,
+              candidates = Some(candAll), portableHash = portableHash)
+              .select(col(keyCol))
           val out = items.join(broadcast(cand), Seq(keyCol), "left_semi")
             .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
             .where(col("cnt") >= threshold)

@@ -104,7 +104,7 @@ object Hashing {
   }
 
   /** JVM twin of the COLUMN function `xxhash64(lit(tag), col)` —
-    * bit-identical to the Catalyst expression (pinned in HashingSpec
+    * bit-identical to the Catalyst expression (pinned in FastHashSpec
     * against a real `functions.xxhash64` evaluation): Spark's XxHash64
     * folds seed 42 over its children, so this is hash(tag UTF-8 bytes,
     * 42) then hash(s UTF-8 bytes, that). Used by the fast

@@ -227,6 +227,14 @@ class FastHashSpec extends SparkSpec {
     // tiny n: floor at one word, k clamps to the [1,16] range
     val (m2, k2) = Bloom.sizeFor(1L, 0.5)
     assert(m2 == 64L && k2 >= 1 && k2 <= 16)
+    // when the optimal k exceeds the 16 clamp, m must GROW so the
+    // clamped geometry still MEETS the target (r17 review: returning
+    // the optimal-m geometry at k=16 missed 1e-9 by ~7x)
+    val (m3, k3) = Bloom.sizeFor(1000000L, 1e-7)
+    assert(k3 == 16)
+    val realized = math.pow(1.0 - math.exp(-k3 * 1000000.0 / m3), k3.toDouble)
+    assert(realized <= 1e-7,
+      f"clamped geometry (m=$m3, k=$k3) realizes fpr $realized%.2e > 1e-7")
     assert(intercept[IllegalArgumentException] {
       Bloom.sizeFor(100000000000L, 1e-9)
     }.getMessage.contains("2^36"))
@@ -285,6 +293,63 @@ class FastHashSpec extends SparkSpec {
       val back = GroupedQuantileSketch.read(spark, dir)
       assert(back.counts.count() == 3)
     } finally spark.conf.set(tzKey, old)
+  }
+
+  test("pre-r17 legacy NTZ digests still read via the compat fallback; " +
+    "real corruption still refuses") {
+    val rows = (1 to 60).map { i =>
+      (s"2026-01-0${i % 3 + 1} 12:00:00", i.toLong, i.toLong)
+    }.toDF("wall", "id", "v")
+      .withColumn("wall", col("wall").cast("timestamp_ntz"))
+    val sk = GroupedQuantileSketch.buildGrouped(rows, Seq("wall"), "id", "v",
+      32, "lgc17")
+    val dir = java.nio.file.Files.createTempDirectory("ntzlegacy").toString
+    GroupedQuantileSketch.write(sk, dir)
+    // recompute the digests a PRE-r17 release would have stored under
+    // this UTC session (NTZ via unix_millis(cast('timestamp'))) and
+    // swap them into the json — an old-format file, synthesized exactly
+    def legacyDigest(df: org.apache.spark.sql.DataFrame,
+        cols: Seq[String]): Long = {
+      val exprs = cols.map { c =>
+        df.schema(c).dataType match {
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            unix_millis(col(c).cast("timestamp"))
+          case _ => col(c)
+        }
+      }
+      df.select(conv(substring(md5(concat_ws("",
+          exprs.map(e => coalesce(e.cast("string"), lit("N"))): _*)),
+          1, 15), 16, 10).cast("long").as("__d"))
+        .agg(coalesce(expr("bit_xor(__d)"), lit(0L))).head().getLong(0)
+    }
+    val sd = legacyDigest(spark.read.parquet(s"$dir/summary"),
+      Seq("wall", "rk", "value"))
+    val cd = legacyDigest(spark.read.parquet(s"$dir/counts"),
+      Seq("wall", "n"))
+    val jsonPath = java.nio.file.Paths.get(dir, "gqsketch.json")
+    val json = new String(java.nio.file.Files.readAllBytes(jsonPath), "UTF-8")
+    assert(json.contains("summaryDigest"))
+    val rewritten = json
+      .replaceAll("\"summaryDigest\":-?\\d+", "\"summaryDigest\":" + sd)
+      .replaceAll("\"countsDigest\":-?\\d+", "\"countsDigest\":" + cd)
+    java.nio.file.Files.write(jsonPath, rewritten.getBytes("UTF-8"))
+    // the raw rewrite invalidates Hadoop LocalFS's checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".gqsketch.json.crc"))
+    // the fallback accepts the legacy file (same-TZ, its old contract)
+    assert(GroupedQuantileSketch.read(spark, dir).counts.count() == 3)
+    // but a tampered payload still refuses — the fallback must not
+    // swallow real corruption
+    val counts = spark.read.parquet(s"$dir/counts")
+    counts.withColumn("n", col("n") + 1L).write.mode("overwrite")
+      .parquet(s"$dir/counts_bad")
+    // swap the corrupted payload in place of the valid one
+    val fsDir = new java.io.File(s"$dir/counts")
+    org.apache.commons.io.FileUtils.deleteDirectory(fsDir)
+    new java.io.File(s"$dir/counts_bad").renameTo(fsDir)
+    assert(intercept[IllegalArgumentException] {
+      GroupedQuantileSketch.read(spark, dir)
+    }.getMessage.contains("digest mismatch"))
   }
 
   test("r16 ADVICE: rankOf refuses a summary group missing from counts " +

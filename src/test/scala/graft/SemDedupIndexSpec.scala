@@ -102,6 +102,30 @@ class SemDedupIndexSpec extends SparkSpec {
       e.getMessage.contains("balancedK"))
   }
 
+  test("the canonical ingest loop works: read -> ingest -> write back to " +
+    "the SAME path -> read again (r17 review: the keeper union's lineage " +
+    "reads the path being overwritten; write stages and swaps)") {
+    val (_, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val dir = java.nio.file.Files.createTempDirectory("semloop").toString
+    SemDedupIndex.write(idx, dir)
+    val r1 = SemDedupIndex.read(spark, dir)
+    val (v2, r2) = r1.ingest(batch2, "id", "v")
+    // the overwrite of a path the union still lazily reads — the exact
+    // failure mode before the stage-and-swap
+    SemDedupIndex.write(r2, dir)
+    val r3 = SemDedupIndex.read(spark, dir)
+    assert(r3.keepers.select("id").as[Long].collect().toSet ==
+      Set(0L, 3L, 10L, 120L, 130L))
+    // and a SECOND loop iteration over the re-read store
+    val batch3 = Seq((200L, j(e1, 0.012)), (201L, Array(1.0, 1.0, 1.0, 1.0)))
+      .toDF("id", "v")
+    val (v3, r4) = r3.ingest(batch3, "id", "v")
+    SemDedupIndex.write(r4, dir)
+    assert(SemDedupIndex.read(spark, dir).keepers.count() == 6) // +201 novel
+    assert(v3.where(col("id") === 200L).head().getLong(3) == 0L) // dup of keeper 0
+    v2.unpersist(); v3.unpersist()
+  }
+
   test("write/read roundtrip preserves verdicts; corruption refuses") {
     val (v1, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
     val dir = java.nio.file.Files.createTempDirectory("semidx").toString

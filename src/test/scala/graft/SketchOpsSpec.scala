@@ -624,6 +624,22 @@ class SketchOpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.cms.mgInitialCounters")
   }
 
+  test("heavyHittersExact thins an over-cap candidate set with the CMS " +
+    "prefilter before the forced broadcast (r17 review guard)") {
+    val items = tokenStream.repartition(8)
+    val thr = 60L
+    val exact = items.groupBy("k").agg(count(lit(1)).as("c"))
+      .where(col("c") >= thr).as[(String, Long)].collect().toMap
+    // cap 1 forces EVERY auto call through the prefilter path; the CMS
+    // is one-sided, so exactness must survive the detour
+    spark.conf.set("graft.cms.maxBroadcastCandidates", "1")
+    try {
+      val got = Sketches.heavyHittersExact(items, "k", 3, 2048, "hbc", thr)
+        .as[(String, Long)].collect().toMap
+      assert(got == exact, "prefiltered path lost or added keys")
+    } finally spark.conf.unset("graft.cms.maxBroadcastCandidates")
+  }
+
   test("heavyHittersExact refuses an unbounded auto candidate space with remediation") {
     val items = tokenStream
     spark.conf.set("graft.cms.maxCandidateCounters", "100")
