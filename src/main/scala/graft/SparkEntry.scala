@@ -278,14 +278,17 @@ object SparkEntry {
         |    FROM documents WHERE $docsWhere)
         |  WHERE k <> ''""".stripMargin)
 
-  /** events keyed by user_id with the epoch-aligned 1-day window start
-    * in ms — the ONE window-bound fragment behind the q_*_windowed
-    * oracles (rule 5; pure integer arithmetic per rule 13c).
+  /** The epoch-aligned 1-day window start of events.ts, in ms — the
+    * ONE window-bound expression behind the q_*_windowed oracles
+    * (rule 5; pure integer arithmetic per rule 13c).
     */
+  private val eventsWsSql =
+    "CAST((epoch_ns(ts) // 1000000) " +
+      "- ((epoch_ns(ts) // 1000000) % 86400000) AS BIGINT)"
+
+  /** events keyed by user_id with the shared window start. */
   private def eventsDayKeySql(keyAlias: String): String =
-    "SELECT CAST((epoch_ns(ts) // 1000000) " +
-      "- ((epoch_ns(ts) // 1000000) % 86400000) AS BIGINT) AS ws, " +
-      s"CAST(user_id AS VARCHAR) AS $keyAlias " +
+    s"SELECT $eventsWsSql AS ws, CAST(user_id AS VARCHAR) AS $keyAlias " +
       "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL"
 
   /** Shared rank-sketch summary-replay SQL (rule 5 — q_qsketch_summary
@@ -2371,6 +2374,27 @@ object SparkEntry {
           seed = "cmsw17")
         .select(col("windowStartMs"), col("windowEndMs"),
           col("r").cast("long").as("r"), col("bucket"), col("cnt"))
+    },
+    // Per-event-time-window RANK-SKETCH summaries, batch mode — the
+    // fourth leg's windowed gate, completing a uniform windowed-gate
+    // matrix (Bloom words / HLL registers / CMS cells / rank
+    // summaries): 1-day windows, bottom-32 of events.value by the md5
+    // rank key, per-window n riding along. The double value rides
+    // sortable-bits through the cut and inverts at emission
+    // (q_qsketch_grouped_double's stored-double ordering precedent);
+    // round-6 on the OUTPUT only; NULL ts/id/value and NaN carry no
+    // window / identity / rank (rule 10).
+    "q_qsketch_windowed" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val evRaw = t(dir, "events")
+      val ev = evRaw.select(
+        timestamp_millis(eventTsMs(evRaw)).as("ts"),
+        col("event_id"), col("value"))
+      graft.streaming.StreamRankSketch.windowedBottomKDouble(
+          ev, "ts", "event_id", "value", "1 day", "1 hour", s = 32,
+          seed = "qskw17").toDF()
+        .select(col("windowStartMs"), col("windowEndMs"), col("rk"),
+          round(col("value"), 6).as("value"), col("n"))
     },
     // One filter PER GROUP in one aggregation (lang here): the grouped
     // twin of q_bloom_bits - (lang, w, lo, hi), <= groups x m/64 rows,
@@ -6021,6 +6045,27 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS cnt
         |FROM occ CROSS JOIN range(4) t(r)
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // Windowed rank-sketch replay: the shared window expression + the
+    // shared 60-bit rank key, per-window bottom-32 cut and counts —
+    // the q_qsketch_grouped(_double) machinery with ws as the stratum.
+    "q_qsketch_windowed" ->
+      s"""WITH v AS (
+        |  SELECT $eventsWsSql AS ws,
+        |    ${rankKeySql("qskw17", "event_id")} AS rk,
+        |    value + 0 AS value
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |cut AS (
+        |  SELECT ws, rk, value FROM (
+        |    SELECT ws, rk, value,
+        |      row_number() OVER (PARTITION BY ws ORDER BY rk, value) AS rn
+        |    FROM v) WHERE rn <= 32),
+        |nn AS (SELECT ws, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY ws)
+        |SELECT CAST(cut.ws AS BIGINT) AS windowStartMs,
+        |  CAST(cut.ws + 86400000 AS BIGINT) AS windowEndMs,
+        |  cut.rk, round(cut.value, 6) AS value, nn.n
+        |FROM cut JOIN nn ON nn.ws = cut.ws""".stripMargin,
     // Grouped build: one filter per lang in one aggregation — the
     // grouped twin of q_bloom_bits (NULL lang retained as its own
     // group on both sides, rule 10).
