@@ -208,6 +208,11 @@ object Curate {
     * asymptotics), so an external SQL engine rebuilds the EXACT
     * filter — including its false positives — and the whole operator
     * hash-checks end to end (harness query q_bloom_decontaminate).
+    * `portableHash = false` swaps both the image build and the probe
+    * onto the xxhash64 position math ([[Bloom.positions]]) for ingest
+    * loops that never replay externally — every membership property
+    * (zero false negatives, deterministic FPs) holds identically,
+    * spec-pinned in FastHashSpec.
     *
     * BROADCAST LIFETIME: the filter broadcast lives as long as the
     * returned plan — Spark's ContextCleaner removes it once the
@@ -233,9 +238,10 @@ object Curate {
       n: Int = 8,
       minHits: Int = 1,
       bitsPerShingle: Int = 10,
-      numHashes: Int = 7): DataFrame =
+      numHashes: Int = 7,
+      portableHash: Boolean = true): DataFrame =
     decontaminateBloomTracked(train, trainIdCol, trainTextCol, evalDocs,
-      evalTextCol, n, minHits, bitsPerShingle, numHashes)._1
+      evalTextCol, n, minHits, bitsPerShingle, numHashes, portableHash)._1
 
   /** [[decontaminateBloom]] returning the filter broadcast alongside the
     * output, so callers that outlive the plan can `destroy()` it once
@@ -250,15 +256,20 @@ object Curate {
       n: Int = 8,
       minHits: Int = 1,
       bitsPerShingle: Int = 10,
-      numHashes: Int = 7): (DataFrame, Broadcast[Array[Long]]) = {
+      numHashes: Int = 7,
+      portableHash: Boolean = true): (DataFrame, Broadcast[Array[Long]]) = {
     require(bitsPerShingle >= 2 && bitsPerShingle <= 64,
       s"bitsPerShingle must be in [2, 64], got $bitsPerShingle")
     require(numHashes >= 1 && numHashes <= 16,
       s"numHashes must be in [1, 16], got $numHashes")
     val spark = train.sparkSession
-    val (bitsArr, m) = bloomImage(evalDocs, evalTextCol, n, bitsPerShingle, numHashes)
+    // build and probe share ONE hash mode (Bloom.positions both sides);
+    // fast mode loses only external SQL replay — the gate stays md5
+    val (bitsArr, m) = bloomImage(evalDocs, evalTextCol, n, bitsPerShingle,
+      numHashes, portableHash)
     val bc = spark.sparkContext.broadcast(bitsArr)
-    (bloomProbe(train, trainIdCol, trainTextCol, n, minHits, bc, m, numHashes), bc)
+    (bloomProbe(train, trainIdCol, trainTextCol, n, minHits, bc, m,
+      numHashes, portableHash), bc)
   }
 
   /** [[decontaminateBloom]] against a PREBUILT, persisted filter
@@ -336,7 +347,8 @@ object Curate {
       evalTextCol: String,
       n: Int,
       bitsPerShingle: Int,
-      numHashes: Int): (Array[Long], Long) = {
+      numHashes: Int,
+      portable: Boolean = true): (Array[Long], Long) = {
     val spark = evalDocs.sparkSession
     import spark.implicits._
     val k = numHashes
@@ -378,7 +390,7 @@ object Curate {
           // ONE position definition for build and probe across the
           // whole membership surface (Bloom.positions) - a drifted
           // copy would silently desynchronize persisted filters
-          val ps = Bloom.positions(sh, mm, k)
+          val ps = Bloom.positions(sh, mm, k, portable)
           var i = 0
           while (i < k) {
             val pos = ps(i)

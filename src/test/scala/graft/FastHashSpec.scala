@@ -295,6 +295,31 @@ class FastHashSpec extends SparkSpec {
     } finally spark.conf.set(tzKey, old)
   }
 
+  test("fast-mode decontaminateBloom: zero false negatives vs the exact " +
+    "path, clean docs stay clean on a sparse filter") {
+    import graft.ops.Curate
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = Seq(
+      (1L, "prefix words " + evalText + " suffix words"), // contains eval 5-grams
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, evalText)
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, evalText)).toDF("doc_id", "text")
+    val exact = Curate.decontaminate(train, "doc_id", "text", ev, "text",
+      n = 5, hashShingles = false)
+      .where(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    for (portable <- Seq(true, false)) {
+      val got = Curate.decontaminateBloom(train, "doc_id", "text", ev,
+          "text", n = 5, bitsPerShingle = 20, portableHash = portable)
+        .where(col("contaminated")).select("doc_id").as[Long].collect().toSet
+      assert(exact.subsetOf(got),
+        s"portableHash=$portable lost a contaminated doc: $got vs $exact")
+      // 20 bits/shingle over a handful of shingles: FPs vanishing, so
+      // the flag sets should be exactly equal here
+      assert(got == exact, s"portableHash=$portable over-flagged: $got")
+    }
+  }
+
   test("pre-r17 legacy NTZ digests still read via the compat fallback; " +
     "real corruption still refuses") {
     val rows = (1 to 60).map { i =>
