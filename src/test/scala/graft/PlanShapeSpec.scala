@@ -156,6 +156,36 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must read only the text column; plan:\n${plan.take(1500)}")
   }
 
+  test("fast-mode Bloom build and probe stay UDF-free (pure codegen'd " +
+    "xxhash64 positions); the portable md5 path is the one paying the " +
+    "UDF boundary") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val keys = docs.select(explode(
+      graft.ops.TextOps.wordShingles(col("text"), 5)).as("sh"))
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.write.format("noop").mode("overwrite").save()
+      df.queryExecution.executedPlan.toString
+    }
+    val fastBuild = planOf(graft.ops.Bloom.build(keys, "sh", 65536L, 7,
+      portableHash = false))
+    assert(!fastBuild.contains("UDF"),
+      s"fast build must not cross a UDF boundary; plan:\n${fastBuild.take(1500)}")
+    assert(fastBuild.contains("xxhash64"),
+      s"fast build must hash via the codegen'd xxhash64; plan:\n${fastBuild.take(1500)}")
+    val fastWords = graft.ops.Bloom.build(keys, "sh", 65536L, 7,
+      portableHash = false)
+    val fastProbe = planOf(graft.ops.Bloom.mightContain(fastWords,
+      keys.limit(500), "sh", 65536L, 7, portableHash = false))
+    assert(!fastProbe.contains("UDF"),
+      s"fast probe must not cross a UDF boundary; plan:\n${fastProbe.take(1500)}")
+    // the asymmetry is real and deliberate: md5 has no oracle-matching
+    // codegen Column twin, so the PORTABLE path carries the UDF
+    val md5Build = planOf(graft.ops.Bloom.build(keys, "sh", 65536L, 7))
+    assert(md5Build.contains("UDF"),
+      "expected the portable path to show its UDF (did md5 grow a codegen " +
+        s"twin? update this pin and the scaladoc); plan:\n${md5Build.take(1500)}")
+  }
+
   test("percentileFilterDouble's band predicate reaches the parquet scan as " +
     "pushed filters (plain double comparisons after driver-side inversion)") {
     val events = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
