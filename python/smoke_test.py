@@ -794,6 +794,8 @@ def main() -> None:
         # round-21: fast-hash mode, sizeFor, incremental semantic dedup
         nb, nh = gops.bloom_size_for(spark, 100000, 0.01)
         assert nb % 64 == 0 and 1 <= nh <= 16
+        cb, ch = gops.bloom_size_for_corpus(items, "k", 0.01)
+        assert cb % 64 == 0 and 1 <= ch <= 16
         fb = gops.BloomSketchHandle.build(items, "k", 4096, 3,
                                           portable_hash=False)
         assert fb.portable_hash is False

@@ -244,6 +244,26 @@ class FastHashSpec extends SparkSpec {
       .getMessage.contains("targetFpr"))
   }
 
+  test("sizeForCorpus: HLL-estimated sizing lands the realized fill at or " +
+    "under the design point") {
+    val keys = (1 to 5000).map(i => s"corpus-key-$i")
+    val (m, k) = Bloom.sizeFor(5000L, 0.01)
+    val (mc, kc) = Bloom.sizeForCorpus(keysDf(keys), "k", 0.01)
+    // the 3sigma-inflated estimate sizes AT or ABOVE the exact-count
+    // geometry, never below, and within ~10% of it at p=12 accuracy
+    assert(mc >= m * 95 / 100 && mc <= m * 115 / 100, s"mc=$mc vs m=$m")
+    assert(math.abs(kc - k) <= 1, s"kc=$kc vs k=$k")
+    val words = Bloom.build(keysDf(keys), "k", mc, kc)
+    val fill = Bloom.fillRatio(words, mc)
+    // a CORRECTLY sized filter sits near fill 0.5 by design (k rounding
+    // wobbles it to ~0.52) — it must NOT trip the saturation warning
+    assert(fill <= Bloom.SaturationWarnFill,
+      f"sized-for-corpus filter tripped the saturation line: fill $fill%.3f")
+    // and the realized FP rate meets the target (k-rounding slack)
+    assert(math.pow(fill, kc.toDouble) <= 0.012,
+      f"realized FP ${math.pow(fill, kc.toDouble)}%.4f past target 0.01")
+  }
+
   test("persist-time saturation audit: an undersized filter warns at write, " +
     "a healthy one does not") {
     val keys = (1 to 2000).map(i => s"k-$i")
