@@ -2146,11 +2146,40 @@ class SemDedupIndexHandle:
                 SemDedupIndexHandle(jt._2(), spark))
 
     @staticmethod
+    def train(
+        corpus: DataFrame,
+        id_col: str,
+        vec_col: str,
+        k: int,
+        epsilon: float,
+        seed: int = 42,
+        max_iter: int = 10,
+        keeper: str = "min_id",
+        max_cluster_size: int = 20000,
+    ) -> Tuple[DataFrame, "SemDedupIndexHandle"]:
+        """One-call bootstrap: fit spherical k-means centers here (pick
+        ``k`` with the balancedK rule: ~sqrt(n)/2) and build the index
+        at them. The fitted centers FREEZE into the index; ``health``
+        tells you when the store has outgrown them."""
+        jt = _jvm(corpus).graft.ops.SemDedupIndex.train(
+            corpus._jdf, id_col, vec_col, int(k), float(epsilon),
+            int(seed), int(max_iter), keeper, int(max_cluster_size))
+        spark = corpus.sparkSession
+        return (DataFrame(jt._1(), spark),
+                SemDedupIndexHandle(jt._2(), spark))
+
+    @staticmethod
     def read(spark, path: str) -> "SemDedupIndexHandle":
         jvm = spark.sparkContext._jvm
         return SemDedupIndexHandle(
             jvm.graft.ops.SemDedupIndex.read(spark._jsparkSession, path),
             spark)
+
+    def health(self) -> DataFrame:
+        """(n_keepers, k, max_cluster, avg_cluster, recommended_k) —
+        rebuild with fresh centers when recommended_k is well above k
+        (the frozen-centers drift audit)."""
+        return DataFrame(self._j.health(), self._spark)
 
     @property
     def keepers(self) -> DataFrame:

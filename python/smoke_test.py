@@ -832,6 +832,12 @@ def main() -> None:
         sidx.write(sem_dir + "/f")
         sidx_r = gops.SemDedupIndexHandle.read(spark, sem_dir + "/f")
         assert sidx_r.keepers.count() == sidx.keepers.count()
+        hrow = sidx_r.health().collect()[0]
+        assert hrow["n_keepers"] == sidx.keepers.count() and hrow["k"] == 8
+        tv, tidx = gops.SemDedupIndexHandle.train(
+            emb.where("vec_id % 7 != 0"), "vec_id", "embedding",
+            k=8, epsilon=0.3, seed=7)
+        assert tidx.keepers.count() == tv.where("keep").count()
         print("round-21 fast-hash + incremental semdedup bindings ok")
 
         print("SMOKE TEST PASSED")

@@ -145,6 +145,33 @@ final case class SemDedupIndex(
     }
   }
 
+  /** Operational health of the index — the fixed-centers design
+    * DEGRADES as the store grows past what the centers were trained
+    * for (clusters fatten, probe pair-work grows, and a fatter cluster
+    * is also a coarser semantic bucket), and nothing else surfaces
+    * that drift until a probe hits the maxClusterSize refusal. One
+    * tiny aggregation over the keeper frame: (n_keepers, k,
+    * max_cluster, avg_cluster, recommended_k) — when `recommended_k`
+    * ([[SemDedup.balancedK]] of the CURRENT store) is well above `k`,
+    * rebuild the index with fresh centers at the next maintenance
+    * window (a rebuild is one [[SemDedupIndex.build]] over the kept
+    * corpus, not a re-dedup of history).
+    */
+  def health(): DataFrame = {
+    val spark = keepers.sparkSession
+    import spark.implicits._
+    val row = keepers.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_keepers"),
+        coalesce(max(col("n")), lit(0L)).as("max_cluster"))
+      .head()
+    val n = row.getLong(0)
+    Seq((n, centers.length, row.getLong(1),
+      if (centers.length == 0) 0.0 else n.toDouble / centers.length,
+      SemDedup.balancedK(n)))
+      .toDF("n_keepers", "k", "max_cluster", "avg_cluster", "recommended_k")
+  }
+
   /** [[probe]] + append the batch's novel docs to the keeper store:
     * returns (verdicts, updated index). The batch is assigned ONCE and
     * shared between the probe and the keeper append; the appended rows
@@ -190,6 +217,32 @@ object SemDedupIndex {
       .join(verdicts.where(col("keep")).select(col("id")), Seq("id"))
       .select(col("id"), col("cluster"), col("v"))
     (verdicts, SemDedupIndex(kept, centers, epsilon))
+  }
+
+  /** [[build]] with centers TRAINED here (spherical k-means, the
+    * [[SemDedup.semDedup]] recipe) instead of caller-supplied — the
+    * one-call bootstrap: pick k with [[SemDedup.balancedK]] of the
+    * corpus count unless you know better. The fitted centers freeze
+    * into the index (that is the design: probe assignment must match
+    * build assignment forever); [[SemDedupIndex.health]] tells you
+    * when the frozen centers have been outgrown.
+    */
+  def train(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      epsilon: Double,
+      seed: Long = 42L,
+      maxIter: Int = 10,
+      keeper: String = SemDedup.KeepMinId,
+      maxClusterSize: Int = 20000): (DataFrame, SemDedupIndex) = {
+    val model = new graft.clustering.GeneralizedKMeans()
+      .setK(k).setDivergence("spherical").setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol(vecCol)
+      .fit(corpus)
+    build(corpus, idCol, vecCol, model.clusterCenters, epsilon, keeper,
+      maxClusterSize)
   }
 
   /** py4j bridge: centers as a k-row (cluster, cv) frame ordered by

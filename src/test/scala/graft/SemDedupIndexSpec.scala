@@ -126,6 +126,24 @@ class SemDedupIndexSpec extends SparkSpec {
     v2.unpersist(); v3.unpersist()
   }
 
+  test("health() reports store shape and the balancedK recommendation; " +
+    "train() bootstraps with fitted centers end to end") {
+    val (_, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val h = idx.health().head()
+    assert(h.getLong(0) == 3L)            // keepers: 0, 3, 10
+    assert(h.getInt(1) == 2)              // k
+    assert(h.getLong(2) >= 1L)            // max cluster
+    assert(h.getInt(4) == graft.ops.SemDedup.balancedK(h.getLong(0)))
+    // train: one-call bootstrap — same verdict schema, keepers stored
+    val (tv, tidx) = SemDedupIndex.train(batch1, "id", "v", k = 2,
+      epsilon = 0.99, seed = 7L)
+    assert(tv.columns.toSeq ==
+      Seq("id", "cluster", "centroid_sim", "comp", "keep"))
+    assert(tidx.keepers.count() == tv.where(col("keep")).count())
+    assert(tidx.centers.length == 2)
+    tv.unpersist()
+  }
+
   test("write/read roundtrip preserves verdicts; corruption refuses") {
     val (v1, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
     val dir = java.nio.file.Files.createTempDirectory("semidx").toString
