@@ -34,6 +34,8 @@ __all__ = [
     "TrainingSummary",
     "XMeans",
     "BisectingKMeans",
+    "MiniBatchKMeans",
+    "minibatch_step",
     "SoftKMeans",
     "SoftKMeansModel",
     "KMedoids",
@@ -401,6 +403,118 @@ class BisectingKMeans(
 
     def _create_model(self, java_model: Any) -> "GeneralizedKMeansModel":
         return GeneralizedKMeansModel(java_model)
+
+
+class MiniBatchKMeans(
+    JavaEstimator, _GeneralizedKMeansParams, JavaMLReadable, JavaMLWritable
+):
+    """Sculley-style mini-batch k-means: each iteration assigns one
+    Bernoulli-sampled batch (which stays on executors) and merges it
+    into the centers with the closed-form running mean. ``batchSize`` /
+    ``maxNoImprovement`` / ``reassignmentRatio`` match the reference's
+    param surface; centers whose cumulative weight falls below
+    ``reassignmentRatio x max(counts)`` after a batch are reassigned to
+    the batch's highest-cost points (0 disables)."""
+
+    batchSize = Param(
+        Params._dummy(), "batchSize", "expected rows per mini-batch (> 0)",
+        typeConverter=TypeConverters.toInt,
+    )
+    maxNoImprovement = Param(
+        Params._dummy(), "maxNoImprovement",
+        "stop after this many batches without distortion improvement (0 = never)",
+        typeConverter=TypeConverters.toInt,
+    )
+    reassignmentRatio = Param(
+        Params._dummy(), "reassignmentRatio",
+        "centers with cumulative weight below this fraction of the heaviest "
+        "center's weight are reassigned to the batch's highest-cost points "
+        "(0 disables)",
+        typeConverter=TypeConverters.toFloat,
+    )
+
+    @keyword_only
+    def __init__(
+        self,
+        *,
+        featuresCol: str = "features",
+        predictionCol: str = "prediction",
+        k: int = 2,
+        divergence: str = "squaredEuclidean",
+        smoothing: float = 1e-10,
+        maxIter: int = 100,
+        tol: float = 1e-4,
+        seed: Optional[int] = None,
+        batchSize: int = 1024,
+        maxNoImprovement: int = 10,
+        reassignmentRatio: float = 0.01,
+        weightCol: Optional[str] = None,
+    ):
+        super(MiniBatchKMeans, self).__init__()
+        self._java_obj = self._new_java_obj(
+            "graft.clustering.MiniBatchKMeans", self.uid
+        )
+        self._setDefault(
+            k=2, divergence="squaredEuclidean", smoothing=1e-10,
+            maxIter=100, tol=1e-4, batchSize=1024, maxNoImprovement=10,
+            reassignmentRatio=0.01,
+        )
+        kwargs = self._input_kwargs
+        self.setParams(**{k_: v for k_, v in kwargs.items() if v is not None})
+
+    @keyword_only
+    def setParams(self, **kwargs: Any) -> "MiniBatchKMeans":
+        return self._set(**self._input_kwargs)
+
+    def setK(self, value: int) -> "MiniBatchKMeans":
+        return self._set(k=value)
+
+    def setBatchSize(self, value: int) -> "MiniBatchKMeans":
+        return self._set(batchSize=value)
+
+    def setMaxNoImprovement(self, value: int) -> "MiniBatchKMeans":
+        return self._set(maxNoImprovement=value)
+
+    def setReassignmentRatio(self, value: float) -> "MiniBatchKMeans":
+        return self._set(reassignmentRatio=value)
+
+    def getBatchSize(self) -> int:
+        return self.getOrDefault(self.batchSize)
+
+    def getMaxNoImprovement(self) -> int:
+        return self.getOrDefault(self.maxNoImprovement)
+
+    def getReassignmentRatio(self) -> float:
+        return self.getOrDefault(self.reassignmentRatio)
+
+    def _create_model(self, java_model: Any) -> "GeneralizedKMeansModel":
+        return GeneralizedKMeansModel(java_model)
+
+
+def minibatch_step(
+    batch: DataFrame,
+    features_col: str,
+    id_col: str,
+    state: DataFrame,
+    divergence: str = "squaredEuclidean",
+    smoothing: float = 1e-10,
+    reassignment_ratio: float = 0.01,
+) -> DataFrame:
+    """ONE mini-batch update at caller-fixed state — assignment at the
+    current centers, the Sculley closed-form running-mean merge, then
+    the ``reassignment_ratio`` dying-center rule (centers below that
+    fraction of the heaviest center's weight move to the batch's
+    highest-cost points, cost DESC / ``id_col`` ASC tie-break, count
+    reset to 1; ``id_col=""`` skips the tie-break). ``state`` is a
+    k-row (cluster 0..k-1, cv array<double>, cnt double) frame; returns
+    the updated frame in the same shape. The exact batch body of
+    ``MiniBatchKMeans.fit``, exposed for external incremental training
+    loops."""
+    jvm = batch.sparkSession.sparkContext._jvm
+    j = jvm.graft.clustering.MiniBatchKMeans.stepDf(
+        batch._jdf, features_col, id_col, state._jdf, divergence,
+        float(smoothing), float(reassignment_ratio))
+    return DataFrame(j, batch.sparkSession)
 
 
 class _SoftKMeansParams(_GeneralizedKMeansParams):

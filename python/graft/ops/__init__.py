@@ -822,11 +822,16 @@ def cms_heavy_hitters_exact(
     candidates: Optional[DataFrame] = None,
     portable_hash: bool = True,
 ) -> DataFrame:
-    """EXACT heavy hitters via the two-pass sketch-then-verify shape:
-    CMS-filter candidates (no true-heavy key lost), then exact counts on
-    the survivors only. With ``candidates=None`` a per-partition
-    Misra-Gries generator is auto-sized so the full chain stays exact.
-    Returns (key, cnt) — exactly {k : count(k) >= threshold}."""
+    """EXACT heavy hitters — (key, cnt), exactly
+    {k : count(k) >= threshold}. With ``candidates=None`` the auto path
+    is ONE fused per-partition Misra-Gries scan (counter budget sized
+    from threshold so no true-heavy key is lost) plus one confirm scan
+    over the candidate keys, and the returned frame comes back
+    PERSISTED (the completeness check materializes it) — the CALLER
+    OWNS THE RELEASE (``df.unpersist()``), like ``cms_top_k_exact``.
+    With an explicit ``candidates`` frame the CMS parameters
+    (depth/width/seed) drive a one-sided prefilter that thins the set
+    before the confirm, and the result is a lazy frame."""
     jvm = _jvm(items)
     opt = jvm.scala.Option.apply(candidates._jdf if candidates is not None else None)
     return _wrap(items, jvm.graft.ops.Sketches.heavyHittersExact(
@@ -1901,7 +1906,14 @@ def stream_bloom_from_window_words(
     """Rebuild the per-(window x group) GroupedBloomSketchHandle from a
     sink of ``stream_bloom_windowed_words`` emissions — duplicates
     OR-collapse, so restarted-query re-emissions are harmless;
-    ``regroup``/``to_global`` then roll windows up exactly."""
+    ``regroup``/``to_global`` then roll windows up exactly.
+
+    Geometry and hash mode are ON TRUST (emission rows are plain
+    words): pass the STREAM's exact ``num_bits``/``num_hashes``/
+    ``portable_hash``. A wrong ``portable_hash`` in particular makes
+    every probe of the rebuilt handle a SILENT FALSE NEGATIVE (the
+    probe hashes to different bit positions than the build set) —
+    record the build mode next to the sink path."""
     j = _jvm(words).graft.streaming.StreamBloom.fromWindowWords(
         words._jdf, int(num_bits), int(num_hashes),
         _to_seq(words, list(group_cols or [])), bool(portable_hash))
@@ -2137,7 +2149,10 @@ class SemDedupIndexHandle:
         within-cluster components + keeper rule). ``centers`` is a
         k-row frame (cluster 0..k-1, cv array<double>) — the
         ``prototypicality`` convention. Returns (corpus audit verdicts,
-        the index)."""
+        the index). Both the verdicts and the index's ``keepers`` come
+        back PERSISTED; the caller owns both releases (unpersist the
+        verdicts once consumed, ``index.keepers.unpersist()`` once the
+        index is written or retired)."""
         jt = _jvm(corpus).graft.ops.SemDedupIndex.buildDf(
             corpus._jdf, id_col, vec_col, centers._jdf, float(epsilon),
             keeper, int(max_cluster_size))
@@ -2196,7 +2211,13 @@ class SemDedupIndexHandle:
         """Read-only verdicts (id, cluster, centroid_sim, dup_of,
         n_dup_matches, keep): dup_of = best same-cluster match (highest
         cosine, ties to the lowest id) among stored keepers and
-        smaller-id co-batch docs at the round-6 threshold."""
+        smaller-id co-batch docs at the round-6 threshold.
+
+        The returned frame comes back PERSISTED (the skew guard
+        materializes it) and the caller owns the release — call
+        ``df.unpersist()`` when done, or a long-running probe loop
+        accumulates cached verdict frames (the ``cms_top_k_exact``
+        contract)."""
         return DataFrame(self._j.probe(batch._jdf, id_col, vec_col,
             int(max_cluster_size)), self._spark)
 
@@ -2205,7 +2226,9 @@ class SemDedupIndexHandle:
         max_cluster_size: int = 20000,
     ) -> Tuple[DataFrame, "SemDedupIndexHandle"]:
         """``probe`` + append the novel docs to the keeper store;
-        returns (verdicts, updated index)."""
+        returns (verdicts, updated index). The verdict frame comes back
+        PERSISTED and the caller owns the release — in an ingest loop,
+        ``unpersist()`` each batch's verdicts once consumed."""
         jt = self._j.ingest(batch._jdf, id_col, vec_col,
             int(max_cluster_size))
         return (DataFrame(jt._1(), self._spark),

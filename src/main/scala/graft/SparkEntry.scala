@@ -278,6 +278,48 @@ object SparkEntry {
         |    FROM documents WHERE $docsWhere)
         |  WHERE k <> ''""".stripMargin)
 
+  /** Per-language document-bigram occurrences — the grouped-HLL occ
+    * source (rule 5 — q_hll_grouped and q_hll_overlap_grouped differ
+    * only in the documents filter). NULL lang rides as a retained
+    * group; NULL text explodes to nothing (the shingle fragment's
+    * list_filter).
+    */
+  private def hllGroupedOccSql(docsWhere: String = "TRUE"): String =
+    s"""SELECT lang, k FROM (
+      |    SELECT lang, unnest(${shingleOccurrencesSql(2)}) AS k
+      |    FROM documents WHERE $docsWhere)
+      |  WHERE k <> ''""".stripMargin
+
+  /** alpha_m·m² at p = 9 as the exact shortest-repr double literal:
+    * Double.toString round-trips, so both engines parse back the
+    * identical double and the raw-estimate division chain below is
+    * operation-identical across engines (rule 1 — the only residual
+    * float exposure is ln, masked by the round-6 output contract).
+    * Same op sequence as Hll.alpha(512) · 512² on the Spark side.
+    */
+  private val hllAlphaM2P9: String =
+    ((0.7213 / (1.0 + 1.079 / 512)) * 512.0 * 512.0).toString
+
+  /** The p=9 grouped-HLL raw-estimate replay over (touched, sumscaled)
+    * SQL subexpressions — operation-for-operation the Spark side's
+    * estimator chain (suminv = sumscaled/2^53 + zeros; raw = αm²/suminv;
+    * linear counting below 2.5·m with untouched registers). One
+    * fragment behind q_hll_grouped and q_hll_overlap_grouped (rule 5).
+    */
+  private def hllEstSql(t: String, s: String): String = {
+    val raw = s"($hllAlphaM2P9 / (($s) / 9007199254740992.0 + (512 - ($t))))"
+    s"(CASE WHEN $raw <= 1280.0 AND (512 - ($t)) > 0 " +
+      s"THEN 512.0 * ln(512.0 / (512 - ($t))) ELSE $raw END)"
+  }
+
+  /** Σ 2^(53−maxrank) over a register rollup's maxrank column, CAST
+    * BIGINT (rule 1's HUGEINT ban; exact — ≤ 512·2^52 = 2^61 at p=9).
+    * NULL maxranks (a side absent from a bucket) contribute nothing;
+    * an all-NULL side coalesces to 0, the Spark side's zeroDec.
+    */
+  private def hllSumScaledSql(maxrankSql: String = "maxrank"): String =
+    s"CAST(coalesce(sum(1::BIGINT << CAST(53 - $maxrankSql AS INT)), 0) AS BIGINT)"
+
   /** The epoch-aligned 1-day window start of events.ts, in ms — the
     * ONE window-bound expression behind the q_*_windowed oracles
     * (rule 5; pure integer arithmetic per rule 13c).
@@ -2026,10 +2068,14 @@ object SparkEntry {
     },
     // Per-language distinct-bigram cardinality estimates: the grouped
     // HLL path (register state m-bounded PER GROUP, one aggregation for
-    // all groups). Rows-only: the estimate is output-only float math by
-    // design (rule 1) — its register arithmetic is the hash-green
-    // q_hll_registers sibling, and estimate accuracy vs exact distinct
-    // is spec-pinned (HllSpec). Null lang is a retained group.
+    // all groups), promoted from rows-only to a DIRECT hash oracle
+    // (r17 verdict #2) via the estimator's sufficient statistics:
+    // touched and sumscaled (Σ 2^(53-maxrank)) are exact integers —
+    // at p=9 sumscaled ≤ 512·2^52 = 2^61 fits BIGINT — and the estimate
+    // is a fixed function of them, emitted round-6 output-only per
+    // rule 1 (the oracle replays the identical division/ln chain).
+    // Null lang is a retained group; null text explodes to nothing on
+    // both sides (rule 10).
     "q_hll_grouped" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val items = t(dir, "documents")
@@ -2038,18 +2084,21 @@ object SparkEntry {
         .where(col("k") =!= "")
       val regs = graft.ops.Hll.buildGrouped(items, Seq("lang"), "k",
         p = 9, seed = "hll19")
-      graft.ops.Hll.estimateGrouped(regs, Seq("lang"), p = 9)
+      graft.ops.Hll.estimateGroupedStats(regs, Seq("lang"), p = 9)
+        .select(col("lang"), col("touched"),
+          col("sumscaled").cast("long").as("sumscaled"),
+          (round(col("est"), 6) + lit(0.0)).as("est"))
     },
     // Per-language bigram-vocabulary OVERLAP between the even-id and
     // odd-id document slices: the grouped HLL overlap path
-    // (intersectEstimateGrouped — inclusion–exclusion over two grouped
-    // register frames, groups never collected). Rows-only like
-    // q_hll_grouped: the estimate is output-only float math by design
-    // (rule 1) but ORDER-INDEPENDENT (exact scaled-integer register
-    // summation); its register/merge arithmetic is the hash-green
-    // q_hll_registers / q_hll_merge sibling pair, and grouped ==
-    // per-group-scalar equality is spec-pinned (HllSpec). Null lang is
-    // a retained group; null doc_id is in neither slice (rule 10).
+    // (inclusion–exclusion over two grouped register frames, groups
+    // never collected), promoted from rows-only to a DIRECT hash oracle
+    // (r17 verdict #2) via the three sketches' sufficient statistics —
+    // the A/B/union touched counts and exact scaled register sums are
+    // pure integers (BIGINT-safe at p=9); the inclusion–exclusion
+    // estimate is a fixed function of them, round-6 output-only per
+    // rule 1. Null lang is a retained group; null doc_id is in neither
+    // slice (rule 10).
     "q_hll_overlap_grouped" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       def bigramsByLang(docs: org.apache.spark.sql.DataFrame) = docs
@@ -2063,7 +2112,12 @@ object SparkEntry {
       val odd = graft.ops.Hll.buildGrouped(
         bigramsByLang(docs.where(!(col("doc_id") % 2 === 0))), Seq("lang"), "k",
         p = 9, seed = "hll19")
-      graft.ops.Hll.intersectEstimateGrouped(even, odd, Seq("lang"), p = 9)
+      graft.ops.Hll.intersectEstimateGroupedStats(even, odd, Seq("lang"), p = 9)
+        .select(col("lang"), col("t_a"), col("t_b"), col("t_u"),
+          col("s_a").cast("long").as("s_a"),
+          col("s_b").cast("long").as("s_b"),
+          col("s_u").cast("long").as("s_u"),
+          (round(col("est"), 6) + lit(0.0)).as("est"))
     },
     // EXACT percentiles of n_chars by iterative histogram refinement —
     // never a global sort: pass 0 (count/min/max) + radix-histogram
@@ -2707,6 +2761,31 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("corpus_id"))
       // (index cache intentionally retained: a static corpus serves many
       // query batches; ~sizeof(corpus) memory, LRU-evictable)
+    },
+    // In-gate numeric guarantee for the PRODUCTION seeded IVF probe
+    // (r17 verdict #3): recall@5 of q_ann_ivf's nProbe=3 pruned search
+    // against the nProbe=8(=all cells, == brute force) search over the
+    // SAME seeded index. Per-query hits are seed/layout-dependent (the
+    // trained quantizer moves with testdata), so the gate pins the
+    // GUARANTEE as integers: n_results is structural (5 per query), and
+    // meets_floor verifies the aggregate recall floor IN-GATE — if the
+    // pruned probe ever degrades below the floor, the flag flips and
+    // the hash goes red. The sbt-side RecallSpec keeps the tighter
+    // clusterable-fixture bound; this row holds the production path to
+    // a floor on the REAL corpus at every gate run.
+    "q_ann_ivf_recall" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val idx = ivfIndexCached(s, dir)
+      val queriesDf = e.where(col("vec_id") < 10)
+      def ids(nProbe: Int) =
+        idx.search(queriesDf, "vec_id", "embedding", k = 5, nProbe = nProbe)
+          .select(col("query_id"), col("corpus_id"))
+      val hits = ids(3).join(ids(8), Seq("query_id", "corpus_id")).count()
+      val total = ids(8).count()
+      import sp.implicits._
+      Seq((5L, total, 60L, hits * 100L >= total * 60L))
+        .toDF("k", "n_results", "floor_pct", "meets_floor")
     },
     // The cell-PRUNED IVF path (nProbe < nCells) under a hard oracle: a
     // caller-supplied quantizer (embeddings vec_id < 8) makes the cell
@@ -3726,6 +3805,42 @@ object SparkEntry {
         .select(col("cluster"), col("i"),
           (round((lit(10.0) * col("cvi") + coalesce(col("sv"), lit(0.0))) /
             (lit(10.0) + coalesce(col("cnt"), lit(0.0))), 6) + lit(0.0)).as("cv"))
+    },
+    "q_minibatch_reassign" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // One Sculley mini-batch update through the ACTUAL
+      // MiniBatchKMeans.step (the fit loop's exact batch body) with the
+      // reassignmentRatio dying-center rule deterministically exercised:
+      // center 3 is a constant far-off vector ([100]^64) that can attract
+      // no embedding (sqdist >= 64*(100-1)^2 >> any inter-embedding
+      // distance), so its count stays at its 0 prior, 0 < ratio*max, and
+      // it must move to the batch's highest-cost point (assignment sqdist
+      // DESC, vec_id ASC tie-break) with count reset to 1. Centers 0..2
+      // take the closed-form running-mean merge
+      // new_c = (n0*c + sum_batch)/(n0 + |batch_c|) at prior counts 10.
+      // First 8 dims (reference: ml/MiniBatchKMeans.scala:98,143-144,
+      // 291-300 — the param's contract; the reassignment TARGET here is
+      // the deterministic cost-seeking choice where the reference
+      // rand.shuffles).
+      val e = t(dir, "embeddings")
+      val base = e.where(col("vec_id") < 3).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val centers = base :+ Array.fill(64)(100.0)
+      val counts = Array(10.0, 10.0, 10.0, 0.0)
+      val batch = e.where(col("vec_id") >= 4 && col("vec_id") < 132)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("pv"))
+      val (cs, cn) = graft.clustering.MiniBatchKMeans.step(batch, "pv",
+        "vec_id", centers, counts, "squaredEuclidean", 1e-10, 0.01)
+      import sp.implicits._
+      cs.zipWithIndex.flatMap { case (c, ci) =>
+        c.take(8).zipWithIndex.map { case (v, i) =>
+          (ci.toLong, i.toLong, v, cn(ci))
+        }
+      }.toSeq.toDF("cluster", "i", "rv", "rc")
+        .select(col("cluster"), col("i"),
+          (round(col("rv"), 6) + lit(0.0)).as("cv"),
+          (round(col("rc"), 6) + lit(0.0)).as("cnt"))
     },
     "q_streamkm_step" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -5123,6 +5238,55 @@ object SparkEntry {
     // over every non-null-id document — the oracle IS that one-shot
     // build (same shared register arithmetic as q_hll_registers).
     "q_hll_merge" -> hllRegistersSql("doc_id IS NOT NULL"),
+    // Grouped-HLL estimate replay: the per-lang register rollup (shared
+    // q_hll_registers arithmetic with lang riding through), its exact
+    // integer sufficient statistics (touched, Σ 2^(53-maxrank) — the
+    // hash contract), and the raw-estimate chain replayed
+    // operation-for-operation, round-6 output-only (rule 1).
+    "q_hll_grouped" ->
+      s"""WITH rolled AS (
+        |${hllRegisterRollupSql("hll19", hllGroupedOccSql(), grpSel = "lang, ")}),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS touched,
+        |    ${hllSumScaledSql()} AS sumscaled
+        |  FROM rolled GROUP BY lang)
+        |SELECT lang, touched, sumscaled,
+        |  round(${hllEstSql("touched", "sumscaled")}, 6) + 0.0 AS est
+        |FROM agg""".stripMargin,
+    // Grouped-HLL overlap replay: even/odd per-lang rollups, max-merge
+    // union per (lang, bucket), the six exact A/B/union statistics, and
+    // the inclusion-exclusion raw estimate clamped at 0 (round-6
+    // output-only; NULL lang groups join the union via GROUP BY, never
+    // an equi-join — rule 10).
+    "q_hll_overlap_grouped" ->
+      s"""WITH reg_a AS (
+        |${hllRegisterRollupSql("hll19", hllGroupedOccSql("doc_id % 2 = 0"), grpSel = "lang, ")}),
+        |reg_b AS (
+        |${hllRegisterRollupSql("hll19", hllGroupedOccSql("doc_id % 2 <> 0"), grpSel = "lang, ")}),
+        |u AS (
+        |  SELECT lang, bucket,
+        |    max(maxrank) AS mr_u,
+        |    max(CASE WHEN side = 0 THEN maxrank END) AS mr_a,
+        |    max(CASE WHEN side = 1 THEN maxrank END) AS mr_b
+        |  FROM (
+        |    SELECT lang, bucket, maxrank, 0 AS side FROM reg_a
+        |    UNION ALL
+        |    SELECT lang, bucket, maxrank, 1 AS side FROM reg_b)
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang,
+        |    CAST(count(mr_a) AS BIGINT) AS t_a,
+        |    CAST(count(mr_b) AS BIGINT) AS t_b,
+        |    CAST(count(*) AS BIGINT) AS t_u,
+        |    ${hllSumScaledSql("mr_a")} AS s_a,
+        |    ${hllSumScaledSql("mr_b")} AS s_b,
+        |    ${hllSumScaledSql("mr_u")} AS s_u
+        |  FROM u GROUP BY 1)
+        |SELECT lang, t_a, t_b, t_u, s_a, s_b, s_u,
+        |  round(greatest(0.0,
+        |    ${hllEstSql("t_a", "s_a")} + ${hllEstSql("t_b", "s_b")}
+        |      - ${hllEstSql("t_u", "s_u")}), 6) + 0.0 AS est
+        |FROM agg""".stripMargin,
     // Bit-for-bit rank-sketch summary replay: bottom-128 by the 60-bit
     // md5 rank key, pure integer/string arithmetic (rule 1).
     "q_qsketch_summary" -> qsketchSummarySql(),
@@ -6358,6 +6522,52 @@ object SparkEntry {
         |  round((10.0 * ce.cvi + coalesce(s.sv, 0.0)) / (10.0 + coalesce(s.cnt, 0.0)), 6)
         |    + 0.0 AS cv
         |FROM cexp ce LEFT JOIN sums s ON s.cluster = ce.cluster AND s.i = ce.i""".stripMargin,
+    "q_minibatch_reassign" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cluster, embedding::DOUBLE[] AS cv,
+        |    10.0 AS n0 FROM embeddings WHERE vec_id < 3
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), list_transform(range(64), x -> 100.0), 0.0),
+        |b AS (SELECT vec_id, embedding::DOUBLE[] AS pv FROM embeddings
+        |      WHERE vec_id >= 4 AND vec_id < 132),
+        |asg AS (
+        |  SELECT vec_id, cluster, pv, d2 FROM (
+        |    SELECT b.vec_id, c.cluster, b.pv,
+        |      list_sum(list_transform(range(1, len(b.pv)+1),
+        |        i -> (b.pv[i] - c.cv[i])^2)) AS d2,
+        |      row_number() OVER (PARTITION BY b.vec_id
+        |        ORDER BY list_sum(list_transform(range(1, len(b.pv)+1),
+        |          i -> (b.pv[i] - c.cv[i])^2)), c.cluster) AS rn
+        |    FROM b, c) WHERE rn = 1),
+        |sums AS (SELECT cluster, i - 1 AS i, sum(pv[i]) AS sv
+        |  FROM asg, generate_series(1, 8) AS t(i) GROUP BY 1, 2),
+        |ccnt AS (SELECT c.cluster, c.n0,
+        |    c.n0 + coalesce(a.bc, 0.0) AS cnt
+        |  FROM c LEFT JOIN (
+        |    SELECT cluster, count(*)::DOUBLE AS bc FROM asg GROUP BY 1) a
+        |  ON a.cluster = c.cluster),
+        |cexp AS (SELECT c.cluster, c.n0, t.i - 1 AS i, c.cv[t.i] AS cvi
+        |  FROM c, generate_series(1, 8) AS t(i)),
+        |merged AS (
+        |  SELECT ce.cluster, ce.i,
+        |    CASE WHEN s.sv IS NULL THEN ce.cvi
+        |      ELSE (ce.n0 * ce.cvi + s.sv) / n.cnt END AS cv,
+        |    n.cnt
+        |  FROM cexp ce
+        |  LEFT JOIN sums s ON s.cluster = ce.cluster AND s.i = ce.i
+        |  JOIN ccnt n ON n.cluster = ce.cluster),
+        |mx AS (SELECT max(cnt) AS m FROM ccnt),
+        |dying AS (SELECT cluster, row_number() OVER (ORDER BY cluster) AS r
+        |  FROM ccnt, mx WHERE cnt < 0.01 * m),
+        |cand AS (SELECT pv, row_number() OVER (ORDER BY d2 DESC, vec_id) AS r
+        |  FROM asg)
+        |SELECT m.cluster, CAST(m.i AS BIGINT) AS i,
+        |  round(CASE WHEN d.r IS NOT NULL THEN cand.pv[m.i + 1]
+        |    ELSE m.cv END, 6) + 0.0 AS cv,
+        |  round(CASE WHEN d.r IS NOT NULL THEN 1.0 ELSE m.cnt END, 6) + 0.0 AS cnt
+        |FROM merged m
+        |LEFT JOIN dying d ON d.cluster = m.cluster
+        |LEFT JOIN cand ON cand.r = d.r""".stripMargin,
     "q_streamkm_step" ->
       """WITH c0 AS MATERIALIZED (
         |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
@@ -6648,6 +6858,17 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5""".stripMargin,
+    // The in-gate recall guarantee row: structural integers (k, 5 results
+    // per query, the floor) plus the verified flag — the Spark side
+    // computes pruned-vs-full recall and asserts the floor; the oracle
+    // pins what the guarantee must evaluate to. A recall regression
+    // flips meets_floor and hash-fails the row.
+    "q_ann_ivf_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k,
+        |  CAST(5 * count(*) AS BIGINT) AS n_results,
+        |  CAST(60 AS BIGINT) AS floor_pct,
+        |  true AS meets_floor
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_pam_build" ->
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 64),
         |costs AS (

@@ -327,13 +327,67 @@ object Hll {
     requireP(p)
     requireGroupCols(groupCols, "intersectEstimateGrouped")
     val m = 1 << p
+    val zeroDec = lit(BigDecimal(0))
+    val (agg, guard) = intersectGroupedAgg(a, b, groupCols, p,
+      "intersectEstimateGrouped")
+    val est = greatest(lit(0L),
+      estExprGrouped(col("__t_a"), coalesce(col("__s_a"), zeroDec), m) +
+        estExprGrouped(col("__t_b"), coalesce(col("__s_b"), zeroDec), m) -
+        estExprGrouped(col("__t_u"), col("__s_u"), m))
+    agg.select(groupCols.map(col) :+ guard(est).cast("long").as("est"): _*)
+  }
+
+  /** [[intersectEstimateGrouped]] exposing the three sketches'
+    * SUFFICIENT STATISTICS alongside the estimate:
+    * (groupCols..., t_a, t_b, t_u BIGINT, s_a, s_b, s_u DECIMAL(38,0),
+    * est DOUBLE). The six stats are exact integers (touched counts and
+    * Σ 2^(53−maxrank) of the A / B / max-merged-union register sets);
+    * the inclusion–exclusion estimate is a fixed function of them, so
+    * pinning them pins the estimate (the q_hll_overlap_grouped hash
+    * contract; the float is round-6 output-only at the gate). `est`
+    * here is the CONTINUOUS form (raw component doubles combined then
+    * clamped at 0) — [[intersectEstimateGrouped]] keeps the
+    * integer-rounded-per-component form. Groups absent from one side
+    * carry t=0, s=0 for it.
+    */
+  def intersectEstimateGroupedStats(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], p: Int): DataFrame = {
+    requireP(p)
+    requireGroupCols(groupCols, "intersectEstimateGroupedStats")
+    val m = 1 << p
+    val zeroDec = lit(BigDecimal(0))
+    val (agg, guard) = intersectGroupedAgg(a, b, groupCols, p,
+      "intersectEstimateGroupedStats")
+    val est = greatest(lit(0.0),
+      estDoubleExprGrouped(col("__t_a"), coalesce(col("__s_a"), zeroDec), m) +
+        estDoubleExprGrouped(col("__t_b"), coalesce(col("__s_b"), zeroDec), m) -
+        estDoubleExprGrouped(col("__t_u"), col("__s_u"), m))
+    agg.select(groupCols.map(col) ++ Seq(
+      col("__t_a").as("t_a"), col("__t_b").as("t_b"), col("__t_u").as("t_u"),
+      coalesce(col("__s_a"), zeroDec).as("s_a"),
+      coalesce(col("__s_b"), zeroDec).as("s_b"),
+      col("__s_u").as("s_u"),
+      guard(est).as("est")): _*)
+  }
+
+  /** The ONE two-sided grouped register aggregation + per-side
+    * structural guard behind [[intersectEstimateGrouped]] and
+    * [[intersectEstimateGroupedStats]] (rule 5). SINGLE evaluation per
+    * input (r20 review — the previous three-estimate form re-ran each
+    * frame's lazy build lineage twice): tag the sides, collapse to
+    * per-(group, bucket) side maxranks, then ONE group aggregation
+    * yields the A / B / union estimator inputs together;
+    * inclusion–exclusion happens per group row. Two aggregations total,
+    * groups never collected. The guard refuses duplicate
+    * (group, bucket) rows within one side (a concatenated grouped
+    * frame — use Hll.merge first) and range violations (geometry
+    * mismatch).
+    */
+  private def intersectGroupedAgg(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], p: Int,
+      site: String): (DataFrame, Column => Column) = {
+    val m = 1 << p
     val gs = groupCols.map(col)
-    // SINGLE evaluation per input (r20 review — the previous
-    // three-estimate form re-ran each frame's lazy build lineage twice):
-    // tag the sides, collapse to per-(group, bucket) side maxranks, then
-    // ONE group aggregation yields the A / B / union estimator inputs
-    // together; inclusion–exclusion happens per group row. Two
-    // aggregations total, groups never collected.
     val tagged = a.withColumn("__side", lit(0))
       .unionByName(b.withColumn("__side", lit(1)))
     val perBucket = tagged
@@ -355,29 +409,21 @@ object Hll {
         max(col("__rows_b")).as("__dup_b"),
         max(col("bucket")).as("__maxb"), min(col("bucket")).as("__minb"),
         max(col("__mr_u")).as("__maxr"), min(col("__mr_u")).as("__minr"))
-    val zeroDec = lit(BigDecimal(0))
-    val est = greatest(lit(0L),
-      estExprGrouped(col("__t_a"), coalesce(col("__s_a"), zeroDec), m) +
-        estExprGrouped(col("__t_b"), coalesce(col("__s_b"), zeroDec), m) -
-        estExprGrouped(col("__t_u"), col("__s_u"), m))
-    // the same structural refusals as estimateGrouped, per SIDE:
-    // duplicate (group, bucket) rows within one side mean a concatenated
-    // grouped frame (use Hll.merge first); range violations mean a
-    // geometry mismatch
-    val guarded = when(col("__dup_a") > 1L || col("__dup_b") > 1L,
-      raise_error(concat(lit("Hll.intersectEstimateGrouped: duplicate " +
-        "(group, bucket) register rows within one input - concatenated " +
-        "grouped frames (use Hll.merge) or groupCols coarser than the " +
-        "build's"))))
-      .otherwise(when(col("__t_u") > m.toLong || col("__maxb") >= m.toLong ||
-        col("__minb") < 0L || col("__maxr") > (RankBits + 1).toLong ||
-        col("__minr") < 1L,
-      raise_error(concat(lit("Hll.intersectEstimateGrouped: register " +
-        s"frame inconsistent with p=$p (m=$m) - buckets or ranks out of " +
-        "range, or more touched registers than m; the frame was built " +
-        "with a larger p"))))
-      .otherwise(est))
-    agg.select(gs :+ guarded.cast("long").as("est"): _*)
+    val guard: Column => Column = out =>
+      when(col("__dup_a") > 1L || col("__dup_b") > 1L,
+        raise_error(concat(lit(s"Hll.$site: duplicate " +
+          "(group, bucket) register rows within one input - concatenated " +
+          "grouped frames (use Hll.merge) or groupCols coarser than the " +
+          "build's"))))
+        .otherwise(when(col("__t_u") > m.toLong || col("__maxb") >= m.toLong ||
+          col("__minb") < 0L || col("__maxr") > (RankBits + 1).toLong ||
+          col("__minr") < 1L,
+        raise_error(concat(lit(s"Hll.$site: register " +
+          s"frame inconsistent with p=$p (m=$m) - buckets or ranks out of " +
+          "range, or more touched registers than m; the frame was built " +
+          "with a larger p"))))
+        .otherwise(out))
+    (agg, guard)
   }
 
   /** Σ 2^(53−maxrank) over a (possibly NULL-bearing) maxrank column as
@@ -389,20 +435,33 @@ object Hll {
     sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${RankBits + 1} - $maxrankCol AS INT))")
       .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
 
+  /** The RAW (un-rounded) grouped estimator expression over
+    * (touched, Σ scaled) — the double the rint-to-long estimators and
+    * the [[estimateGroupedStats]] continuous output both derive from.
+    * Every arithmetic step mirrors [[estimateFromRegisters]] exactly
+    * (the HllSpec grouped == scalar pin) and is replayed
+    * operation-for-operation by the gate oracles' SQL form, so the
+    * only cross-engine float exposure is the final `ln` (masked by the
+    * round-6 output contract).
+    */
+  private def estDoubleExprGrouped(touched: Column, sumScaled: Column,
+      m: Int): Column = {
+    val zeros = lit(m.toLong) - touched
+    val suminv = sumScaled.cast("double") /
+      lit(math.pow(2.0, (RankBits + 1).toDouble)) + zeros.cast("double")
+    val raw = lit(alpha(m) * m.toDouble * m.toDouble) / suminv
+    when(raw <= lit(2.5 * m) && zeros > 0L,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+  }
+
   /** The grouped estimator expression over (touched, Σ scaled) — the
     * exact SQL mirror of [[estimateFromRegisters]] (bit-identical, the
     * HllSpec grouped == scalar pin), shared by [[estimateGrouped]] and
     * [[intersectEstimateGrouped]] (rule 5).
     */
-  private def estExprGrouped(touched: Column, sumScaled: Column, m: Int): Column = {
-    val zeros = lit(m.toLong) - touched
-    val suminv = sumScaled.cast("double") /
-      lit(math.pow(2.0, (RankBits + 1).toDouble)) + zeros.cast("double")
-    val raw = lit(alpha(m) * m.toDouble * m.toDouble) / suminv
-    rint(when(raw <= lit(2.5 * m) && zeros > 0L,
-        lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
-      .otherwise(raw)).cast("long")
-  }
+  private def estExprGrouped(touched: Column, sumScaled: Column, m: Int): Column =
+    rint(estDoubleExprGrouped(touched, sumScaled, m)).cast("long")
 
   /** Per-group cardinality estimates from a [[buildGrouped]] frame:
     * (groupCols..., est BIGINT). The whole estimator is one aggregation
@@ -416,13 +475,62 @@ object Hll {
     requireP(p)
     requireGroupCols(groupCols, "estimateGrouped")
     val m = 1 << p
-    // Σ 2^-maxrank as an EXACT scaled integer (Σ 2^(53-maxrank) summed as
-    // DECIMAL, one double division at the end): the double sum's
-    // partial-aggregation order varies run to run and rint(est) could in
-    // principle flip ±1 at a .5 boundary — exact summation makes the
-    // grouped estimate order-independent like the rest of the gate
-    // surface, and bit-identical to [[estimate]]'s scalar path (which
-    // mirrors this arithmetic). Max sum 2^16 · 2^52 ≈ 3·10^20 « 10^38.
+    val (agg, guard) = groupedEstAgg(registers, groupCols, p, "estimateGrouped")
+    val est = estExprGrouped(col("__touched"), col("__sumscaled"), m)
+    agg.select(groupCols.map(col) :+ guard(est).cast("long").as("est"): _*)
+  }
+
+  /** [[estimateGrouped]] exposing the estimator's SUFFICIENT STATISTICS
+    * alongside the estimate: (groupCols..., touched BIGINT,
+    * sumscaled DECIMAL(38,0), est DOUBLE). `touched` and `sumscaled`
+    * (Σ 2^(53−maxrank), exact) are pure integers — the whole estimator
+    * is a fixed function of them, so pinning THEM pins the estimate
+    * (the q_hll_grouped hash contract; rule 1: the one float, the final
+    * division/ln, is emitted round-6 output-only by the gate). `est`
+    * here is the RAW continuous double (no rint) — [[estimateGrouped]]
+    * remains the integer-cardinality surface. Also the audit view:
+    * touched/m is the sketch's saturation (the linear-counting
+    * crossover fires below 2.5·m raw).
+    */
+  def estimateGroupedStats(registers: DataFrame, groupCols: Seq[String],
+      p: Int): DataFrame = {
+    requireP(p)
+    requireGroupCols(groupCols, "estimateGroupedStats")
+    val m = 1 << p
+    val (agg, guard) = groupedEstAgg(registers, groupCols, p,
+      "estimateGroupedStats")
+    agg.select(groupCols.map(col) ++ Seq(
+      col("__touched").as("touched"),
+      col("__sumscaled").as("sumscaled"),
+      guard(estDoubleExprGrouped(col("__touched"), col("__sumscaled"), m))
+        .as("est")): _*)
+  }
+
+  /** The ONE grouped register aggregation + structural guard behind
+    * [[estimateGrouped]] and [[estimateGroupedStats]] (rule 5).
+    *
+    * Σ 2^-maxrank as an EXACT scaled integer (Σ 2^(53-maxrank) summed as
+    * DECIMAL, one double division at the end): the double sum's
+    * partial-aggregation order varies run to run and rint(est) could in
+    * principle flip ±1 at a .5 boundary — exact summation makes the
+    * grouped estimate order-independent like the rest of the gate
+    * surface, and bit-identical to [[estimate]]'s scalar path (which
+    * mirrors this arithmetic). Max sum 2^16 · 2^52 ≈ 3·10^20 « 10^38.
+    *
+    * The guard is the grouped twin of estimate()'s driver-side checks:
+    * a p smaller than the build's leaves buckets >= m or more touched
+    * registers than m exist, and the estimate comes back plausible but
+    * wrong (zeros can even go negative); duplicate buckets WITHIN a
+    * group pass the <= m size check when both sides are sparse, yet
+    * each contributes its own 2^-maxrank term and the estimate comes
+    * back plausibly UNDER (r20 review finding) — concatenated grouped
+    * frames must go through merge(), and estimating with groupCols
+    * COARSER than the build's is the same structural error. The frame
+    * here is groups-sized, so the raise_error branch costs nothing.
+    */
+  private def groupedEstAgg(registers: DataFrame, groupCols: Seq[String],
+      p: Int, site: String): (DataFrame, Column => Column) = {
+    val m = 1 << p
     val agg = registers
       .groupBy(groupCols.head, groupCols.tail: _*)
       .agg(count(lit(1)).as("__touched"),
@@ -430,30 +538,18 @@ object Hll {
         countDistinct(col("bucket")).as("__dist"),
         max(col("bucket")).as("__maxb"), min(col("bucket")).as("__minb"),
         max(col("maxrank")).as("__maxr"), min(col("maxrank")).as("__minr"))
-    val est = estExprGrouped(col("__touched"), col("__sumscaled"), m)
-    // geometry guard (the grouped twin of estimate()'s driver-side
-    // checks): a p smaller than the build's leaves buckets >= m or more
-    // touched registers than m exist, and the estimate comes back
-    // plausible but wrong (zeros can even go negative). The frame here
-    // is groups-sized, so the raise_error branch costs nothing.
-    // duplicate buckets WITHIN a group pass the <= m size check when both
-    // sides are sparse, yet each contributes its own 2^-maxrank term and
-    // the estimate comes back plausibly UNDER (the scalar estimate()'s
-    // duplicate-bucket refusal, grouped twin — r20 review finding):
-    // concatenated grouped frames must go through merge(), and
-    // estimating with groupCols COARSER than the build's is the same
-    // structural error.
-    val guarded = when(col("__touched") =!= col("__dist"),
-      raise_error(concat(lit("Hll.estimateGrouped: duplicate bucket ids " +
-        "within a group - concatenated grouped frames (use Hll.merge) or " +
-        "groupCols coarser than the build's"))))
-      .otherwise(when(col("__touched") > m.toLong || col("__maxb") >= m.toLong ||
-        col("__minb") < 0L || col("__maxr") > (RankBits + 1).toLong ||
-        col("__minr") < 1L,
-      raise_error(concat(lit("Hll.estimateGrouped: register frame " +
-        s"inconsistent with p=$p (m=$m) - buckets or ranks out of range, or " +
-        "more touched registers than m; the frame was built with a larger p"))))
-      .otherwise(est))
-    agg.select(groupCols.map(col) :+ guarded.cast("long").as("est"): _*)
+    val guard: Column => Column = out =>
+      when(col("__touched") =!= col("__dist"),
+        raise_error(concat(lit(s"Hll.$site: duplicate bucket ids " +
+          "within a group - concatenated grouped frames (use Hll.merge) or " +
+          "groupCols coarser than the build's"))))
+        .otherwise(when(col("__touched") > m.toLong || col("__maxb") >= m.toLong ||
+          col("__minb") < 0L || col("__maxr") > (RankBits + 1).toLong ||
+          col("__minr") < 1L,
+        raise_error(concat(lit(s"Hll.$site: register frame " +
+          s"inconsistent with p=$p (m=$m) - buckets or ranks out of range, or " +
+          "more touched registers than m; the frame was built with a larger p"))))
+        .otherwise(out))
+    (agg, guard)
   }
 }

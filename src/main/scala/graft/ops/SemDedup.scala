@@ -109,6 +109,27 @@ object SemDedup {
       epsilon: Double,
       keeper: String = KeepMinId,
       maxClusterSize: Int = 20000): DataFrame = {
+    val (assigned, out) = semDedupFixedWithAssigned(vectors, idCol, vecCol,
+      centers, epsilon, keeper, maxClusterSize)
+    assigned.unpersist()
+    out
+  }
+
+  /** [[semDedupFixed]] ALSO returning the persisted assignment frame
+    * (id, cluster, centroid_sim, v) it computed internally — so callers
+    * that need the assigned vectors of the same corpus
+    * ([[SemDedupIndex.build]]'s keeper extraction) don't pay the
+    * broadcast-assignment pass twice (r17 advice). Both frames come
+    * back persisted; the caller owns BOTH releases.
+    */
+  private[ops] def semDedupFixedWithAssigned(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centers: Array[Array[Double]],
+      epsilon: Double,
+      keeper: String = KeepMinId,
+      maxClusterSize: Int = 20000): (DataFrame, DataFrame) = {
     require(epsilon > 0.0 && epsilon <= 1.0, s"epsilon must be in (0, 1], got $epsilon")
     require(keeper == KeepMinId || keeper == KeepFarFromCentroid,
       s"unknown keeper strategy '$keeper' (use $KeepMinId | $KeepFarFromCentroid)")
@@ -159,9 +180,9 @@ object SemDedup {
       .select(col("id"), col("cluster"), col("centroid_sim"), col("comp"),
         (col("comp").isNull || col("id") === col("keep_id")).as("keep"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    assigned.unpersist()
-    out
+    try out.count()
+    catch { case t: Throwable => out.unpersist(); assigned.unpersist(); throw t }
+    (assigned, out)
   }
 
   /** Train spherical k-means on the vectors, then run [[semDedupFixed]]

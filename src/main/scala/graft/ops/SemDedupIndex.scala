@@ -28,12 +28,26 @@ import org.apache.spark.sql.functions._
   * exceeds all previously admitted ids — the natural ingest numbering,
   * the same contract [[IncrementalDedup.ingestStream]] documents) and
   * duplicate groups are tight (every member within epsilon of the
-  * group's keeper — the regime SemDeDup targets; ε-chains whose
-  * endpoints exceed ε apart are where batch components and sequential
-  * greedy keepers legitimately diverge), the incremental keep set
-  * equals the batch [[SemDedup.semDedupFixed]] keep set — spec-pinned
-  * on exactly that regime (SemDedupIndexSpec), divergence documented
-  * here rather than papered over.
+  * group's keeper — the regime SemDeDup targets), the incremental keep
+  * set equals the batch [[SemDedup.semDedupFixed]] keep set —
+  * spec-pinned on exactly that regime (SemDedupIndexSpec).
+  *
+  * The divergence, QUANTIFIED (r17 verdict #5): ε-chains are where the
+  * two semantics legitimately part. On a pure chain A1–…–AL in the
+  * ε-graph (consecutive docs within ε, nothing else), batch components
+  * keep exactly 1 (the min id); per-doc sequential ingest keeps the
+  * alternating ⌈L/2⌉ docs (each interior dup is suppressed from the
+  * store, so its far neighbor probes clean) — worst case ⌈L/2⌉ − 1
+  * extra keepers PER CHAIN, and never fewer than batch (sequential
+  * keepers form an independent set of the chain containing its min id;
+  * both paths always keep A1). Ingesting a chain in ONE batch matches
+  * batch semantics exactly (the co-batch smaller-id compare links
+  * interior dups the way components do). All three behaviors are
+  * spec-pinned on an adversarial 5-chain fixture (SemDedupIndexSpec).
+  * Operationally: sequential ingest over-KEEPS (safe for training-data
+  * dedup — more data survives, never a silently dropped novel doc);
+  * periodic re-consolidation is one [[SemDedupIndex.build]] over the
+  * kept corpus.
   *
   * Scale shape: the probe is one broadcast assignment over the batch +
   * one within-cluster equi-join against the keeper store — the store
@@ -69,6 +83,12 @@ final case class SemDedupIndex(
     * the argmax is the rule-1 ban (two engines' cosine sums can differ
     * a ulp and flip the winner; at 6dp the id tiebreak owns that zone).
     * Batch ids must be unique and disjoint from stored keeper ids.
+    *
+    * The returned verdict frame comes back PERSISTED (the skew guard
+    * materializes it) and the CALLER OWNS THE RELEASE — unpersist it
+    * when done, or a long-running probe/ingest loop accumulates cached
+    * verdict frames until executor storage pressure (the
+    * [[Sketches.topKExact]] contract).
     */
   def probe(batch: DataFrame, idCol: String, vecCol: String,
       maxClusterSize: Int = 20000): DataFrame = {
@@ -178,6 +198,11 @@ final case class SemDedupIndex(
     * are localCheckpoint'd (batch-sized), so the new index's only
     * storage lineage is the OLD keeper frame — which [[write]]'s
     * stage-and-swap makes safe to persist back over the same path.
+    *
+    * Like [[probe]], the verdict frame comes back PERSISTED and the
+    * caller owns its unpersist — in an ingest LOOP, release each
+    * batch's verdicts once consumed or cached frames accumulate across
+    * the run.
     */
   def ingest(batch: DataFrame, idCol: String, vecCol: String,
       maxClusterSize: Int = 20000): (DataFrame, SemDedupIndex) = {
@@ -201,7 +226,14 @@ object SemDedupIndex {
   /** Bootstrap an index from an initial corpus: the full batch
     * [[SemDedup.semDedupFixed]] recipe (components + keeper rule) runs
     * once, and its keep=true rows become the store. Returns (the full
-    * audit verdicts for the corpus, the index).
+    * audit verdicts for the corpus, the index). The keeper extraction
+    * REUSES the assignment frame the dedup pass already computed and
+    * persisted — one broadcast-assignment pass total, not two (r17
+    * advice) — and the index's keeper frame comes back PERSISTED (so
+    * probes against it never recompute the bootstrap assignment);
+    * the caller owns the release of both returned frames
+    * (keepers via `index.keepers.unpersist()` once the index is
+    * written or retired, verdicts once consumed).
     */
   def build(
       corpus: DataFrame,
@@ -211,11 +243,15 @@ object SemDedupIndex {
       epsilon: Double,
       keeper: String = SemDedup.KeepMinId,
       maxClusterSize: Int = 20000): (DataFrame, SemDedupIndex) = {
-    val verdicts = SemDedup.semDedupFixed(corpus, idCol, vecCol, centers,
-      epsilon, keeper, maxClusterSize)
-    val kept = SemDedup.assignFixed(corpus, idCol, vecCol, centers)
+    val (assigned, verdicts) = SemDedup.semDedupFixedWithAssigned(corpus,
+      idCol, vecCol, centers, epsilon, keeper, maxClusterSize)
+    val kept = assigned
       .join(verdicts.where(col("keep")).select(col("id")), Seq("id"))
       .select(col("id"), col("cluster"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kept.count()
+    catch { case t: Throwable => kept.unpersist(); throw t }
+    finally assigned.unpersist()
     (verdicts, SemDedupIndex(kept, centers, epsilon))
   }
 

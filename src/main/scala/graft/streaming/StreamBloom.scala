@@ -90,6 +90,18 @@ object StreamBloom {
     * queries re-emitting a window) OR-collapse harmlessly: union ==
     * merge for Bloom words, so the rebuild is exact rather than
     * merely tolerant.
+    *
+    * GEOMETRY AND HASH MODE ARE ON TRUST: the emission rows are plain
+    * words — nothing in them records `numBits`/`numHashes` or
+    * `portableHash`, so pass the STREAM's exact values here (the
+    * "pass the STREAM's seed" contract of the HLL/CMS rebuilds).
+    * Getting `portableHash` wrong is the WORST mismatch class: the
+    * rebuilt handle probes different bit positions than the build set,
+    * so every inserted key comes back a silent FALSE NEGATIVE — the
+    * failure Bloom's one-sided guarantee exists to rule out — while a
+    * wrong geometry at least fails [[GroupedBloomSketch]]'s word-range
+    * guards. Record the build mode next to the sink path in your
+    * pipeline metadata.
     */
   def fromWindowWords(words: DataFrame, numBits: Long, numHashes: Int,
       groupCols: Seq[String] = Seq.empty,

@@ -163,6 +163,60 @@ class HllSpec extends SparkSpec {
     assert(inter(Some("only-b")) == 0L)
   }
 
+  test("estimateGroupedStats: integer sufficient statistics match an " +
+    "independent register recount; rint(est) == estimateGrouped; " +
+    "overlap stats reproduce intersectEstimateGrouped per component") {
+    val rows = (1 to 3000).map { i =>
+      val g = i % 3 match { case 0 => "en"; case 1 => "de"; case _ => null }
+      (g, s"tok${i % (100 * (i % 3 + 1))}")
+    }
+    val df = rows.toDF("lang", "k")
+    val (p, seed) = (10, "g1")
+    val regs = Hll.buildGrouped(df, Seq("lang"), "k", p, seed)
+    val stats = Hll.estimateGroupedStats(regs, Seq("lang"), p).collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getDecimal(2).toBigInteger, r.getDouble(3))).toMap
+    val rounded = Hll.estimateGrouped(regs, Seq("lang"), p)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(stats.keySet == rounded.keySet)
+    // independent recount of the sufficient statistics from the raw
+    // register frame (no Hll estimator code involved)
+    val raw = regs.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    for ((g, (touched, sumscaled, est)) <- stats) {
+      val mine = raw.filter(_._1 == g)
+      assert(touched == mine.length, s"group $g touched")
+      val expSum = mine.map(t => BigInt(1) << (53 - t._3.toInt)).sum
+      assert(BigInt(sumscaled) == expSum, s"group $g sumscaled")
+      // the long estimator IS rint of the raw double
+      assert(math.rint(est).toLong == rounded(g),
+        s"group $g: rint(${est}) != ${rounded(g)}")
+    }
+    // overlap stats: six components match the single-frame stats of the
+    // slices, and the continuous estimate is within 1.5 of the
+    // per-component-rounded long form (three rints, each ±0.5)
+    val even = Hll.buildGrouped(df.where(length(col("k")) % 2 === 0),
+      Seq("lang"), "k", p, seed)
+    val odd = Hll.buildGrouped(df.where(length(col("k")) % 2 === 1),
+      Seq("lang"), "k", p, seed)
+    val ov = Hll.intersectEstimateGroupedStats(even, odd, Seq("lang"), p)
+      .collect().map(r => Option(r.getString(0)) -> r).toMap
+    val ovLong = Hll.intersectEstimateGrouped(even, odd, Seq("lang"), p)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val aStats = Hll.estimateGroupedStats(even, Seq("lang"), p).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDecimal(2))).toMap
+    val uStats = Hll.estimateGroupedStats(Hll.merge(even, odd), Seq("lang"), p)
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDecimal(2))).toMap
+    for ((g, r) <- ov) {
+      assert(r.getLong(1) == aStats(g)._1, s"group $g t_a")
+      assert(r.getDecimal(4) == aStats(g)._2, s"group $g s_a")
+      assert(r.getLong(3) == uStats(g)._1, s"group $g t_u")
+      assert(r.getDecimal(6) == uStats(g)._2, s"group $g s_u")
+      assert(math.abs(r.getDouble(7) - ovLong(g)) <= 1.5,
+        s"group $g: continuous ${r.getDouble(7)} vs long ${ovLong(g)}")
+    }
+  }
+
   test("union estimate is lossless-sketch accurate; intersect estimate tracks " +
     "the true overlap within compounded error; handle forms geometry-check") {
     // |A| = 3000, |B| = 3000, |A ∩ B| = 1000 (keys 2001..3000 shared)

@@ -90,6 +90,56 @@ class SemDedupIndexSpec extends SparkSpec {
     v1.unpersist(); v2.unpersist()
   }
 
+  test("epsilon-chain divergence is QUANTIFIED (r17 verdict #5): per-doc " +
+    "sequential ingest keeps the alternating ceil(L/2) docs of an " +
+    "L-chain, batch build and one-batch ingest both keep exactly 1, " +
+    "and all paths keep the min id") {
+    // adversarial path fixture: unit vectors at 0/25/50/75/100 degrees
+    // with eps = 0.9 — consecutive pairs are within eps
+    // (cos 25deg ~ 0.906 >= 0.9) and nothing else is
+    // (cos 50deg ~ 0.643 < 0.9): a pure 5-chain in the eps-graph
+    val chain = (0 until 5).map { i =>
+      val th = math.toRadians(25.0 * i)
+      ((i + 1).toLong, Array(math.cos(th), math.sin(th)))
+    }
+    val oneCenter = Array(Array(1.0, 0.0))
+    def emptyIdx = graft.ops.SemDedupIndex(
+      Seq.empty[(Long, Long, Array[Double])].toDF("id", "cluster", "v"),
+      oneCenter, 0.9)
+    // batch component semantics: the whole chain is one component,
+    // min-id keeper -> exactly 1 survivor
+    val (vb, _) = SemDedupIndex.build(chain.toDF("id", "v"), "id", "v",
+      oneCenter, 0.9)
+    val batchKeep = vb.where(col("keep")).select("id").as[Long].collect().toSet
+    assert(batchKeep == Set(1L), s"batch kept $batchKeep")
+    vb.unpersist()
+    // one-batch ingest == batch: the co-batch smaller-id rule chains
+    // A2<-A1, A3<-A2, A4<-A3, A5<-A4, so only A1 survives
+    val (vi, oneShot) = emptyIdx.ingest(chain.toDF("id", "v"), "id", "v")
+    val oneKeep = vi.where(col("keep")).select("id").as[Long].collect().toSet
+    assert(oneKeep == Set(1L), s"one-batch ingest kept $oneKeep")
+    assert(oneShot.keepers.count() == 1L)
+    vi.unpersist()
+    // per-doc sequential ingest: greedy vs KEPT representatives only —
+    // A2 dups A1; A3 clears A1 (interior A2 was suppressed); A4 dups
+    // A3; A5 clears {A1, A3}: the alternating ceil(5/2) = 3 keepers
+    var idx = emptyIdx
+    val seqKeep = scala.collection.mutable.Set[Long]()
+    chain.foreach { case (id, v) =>
+      val (vs, nxt) = idx.ingest(Seq((id, v)).toDF("id", "v"), "id", "v")
+      if (vs.where(col("keep")).count() == 1L) seqKeep += id
+      vs.unpersist()
+      idx = nxt
+    }
+    assert(seqKeep.toSet == Set(1L, 3L, 5L),
+      s"sequential kept ${seqKeep.toSet} (expected the alternating odd positions)")
+    // the documented bound: sequential keeps ceil(L/2) on a pure chain,
+    // a divergence of ceil(L/2) - 1 extra keepers vs batch; min id kept
+    // by every path
+    assert(seqKeep.size == (chain.size + 1) / 2)
+    assert(batchKeep.subsetOf(seqKeep.toSet))
+  }
+
   test("skewed probe batch refuses with remediation instead of running " +
     "the quadratic co-batch compare") {
     val (_, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)

@@ -97,6 +97,60 @@ class VariantsSpec extends SparkSpec {
     assert(m.summary.algorithm == "MiniBatchKMeans")
   }
 
+  test("MiniBatchKMeans.step reassigns a dying center to the batch's " +
+      "highest-cost point; ratio 0 disables the rule") {
+    import spark.implicits._
+    // 2-d fixture with distinct assignment costs: center 1 is far off
+    // ([1000, 1000]) so it attracts nothing and its 0 count dies at any
+    // ratio > 0; the point farthest from center 0 must claim it
+    val batch = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(9.0, 9.0)))
+      .toDF("id", "f")
+    val centers = Array(Array(0.5, 0.0), Array(1000.0, 1000.0))
+    val counts = Array(10.0, 0.0)
+    val (cs, cn) = MiniBatchKMeans.step(batch, "f", "id", centers, counts,
+      "squaredEuclidean", 1e-10, reassignmentRatio = 0.01)
+    // inputs untouched
+    assert(centers(1).toSeq == Seq(1000.0, 1000.0) && counts(1) == 0.0)
+    // center 0: closed-form merge of its 3 assigned points at prior 10
+    assert(math.abs(cs(0)(0) - (10.0 * 0.5 + 10.0) / 13.0) < 1e-12)
+    assert(math.abs(cs(0)(1) - 9.0 / 13.0) < 1e-12)
+    assert(cn(0) == 13.0)
+    // center 1: moved to (9, 9) — the max-cost point — count reset to 1
+    assert(cs(1).toSeq == Seq(9.0, 9.0), s"got ${cs(1).toSeq}")
+    assert(cn(1) == 1.0)
+    // ratio 0: the dying center is left alone
+    val (cs0, cn0) = MiniBatchKMeans.step(batch, "f", "id", centers, counts,
+      "squaredEuclidean", 1e-10, reassignmentRatio = 0.0)
+    assert(cs0(1).toSeq == Seq(1000.0, 1000.0) && cn0(1) == 0.0)
+    // stepDf round-trip (the py4j bridge) agrees with step
+    val state = Seq((0L, Seq(0.5, 0.0), 10.0), (1L, Seq(1000.0, 1000.0), 0.0))
+      .toDF("cluster", "cv", "cnt")
+    val out = MiniBatchKMeans.stepDf(batch, "f", "id", state,
+      "squaredEuclidean", 1e-10, 0.01)
+      .orderBy("cluster").collect()
+    assert(out(1).getSeq[Double](1) == Seq(9.0, 9.0) && out(1).getDouble(2) == 1.0)
+  }
+
+  test("MiniBatchKMeans fit rescues a dead initial center via " +
+      "reassignmentRatio (and leaves it dead at 0)") {
+    val df = blobs(perBlob = 50)
+    val init = Array(Array(0.0, 0.0), Array(10.0, 10.0), Array(-10.0, 8.0),
+      Array(1000.0, 1000.0))
+    def fitWith(ratio: Double) = new MiniBatchKMeans().setK(4).setSeed(3)
+      .setMaxIter(8).setBatchSize(100).setInitialCenters(init)
+      .setReassignmentRatio(ratio).fit(df)
+    // ratio 0: nothing is ever assigned to the far center, so the Sculley
+    // running mean never moves it
+    val dead = fitWith(0.0).clusterCenters
+    assert(dead.exists(c => c(0) == 1000.0 && c(1) == 1000.0))
+    // default-style ratio: the dying center is reassigned into the data
+    // and ends up inside the blob bounding box
+    val alive = fitWith(0.01).clusterCenters
+    assert(alive.forall(c => math.abs(c(0)) < 100 && math.abs(c(1)) < 100),
+      s"far center not rescued: ${alive.map(_.toSeq).toSeq}")
+  }
+
   test("DPMeans discovers cluster count from lambda") {
     val df = blobs()
     // blobs are ~14-36 apart; SE divergence = 0.5*d^2, so lambda=20 (~6.3
