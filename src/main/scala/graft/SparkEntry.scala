@@ -2770,9 +2770,15 @@ object SparkEntry {
     // GUARANTEE as integers: n_results is structural (5 per query), and
     // meets_floor verifies the aggregate recall floor IN-GATE — if the
     // pruned probe ever degrades below the floor, the flag flips and
-    // the hash goes red. The sbt-side RecallSpec keeps the tighter
+    // the hash goes red. The sbt-side RecallSpec keeps the tighter 0.9
     // clusterable-fixture bound; this row holds the production path to
-    // a floor on the REAL corpus at every gate run.
+    // a floor on the REAL corpus at every gate run. Floor calibration
+    // (r18, measured): recall@5 = 0.70 at sf0.01 and 0.76 at sf0.1 on
+    // the near-uniform testdata sphere (RecallSpec's documented
+    // hardest regime); 50 sits ~3 binomial sigma under the measured
+    // point (n=50, sigma~6.5pp), so testdata regeneration (rule 3)
+    // cannot flip a healthy probe red while a pruning regression
+    // (recall collapses toward nProbe/nCells^2-ish) still trips it.
     "q_ann_ivf_recall" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val e = t(dir, "embeddings")
@@ -2784,7 +2790,7 @@ object SparkEntry {
       val hits = ids(3).join(ids(8), Seq("query_id", "corpus_id")).count()
       val total = ids(8).count()
       import sp.implicits._
-      Seq((5L, total, 60L, hits * 100L >= total * 60L))
+      Seq((5L, total, 50L, hits * 100L >= total * 50L))
         .toDF("k", "n_results", "floor_pct", "meets_floor")
     },
     // The cell-PRUNED IVF path (nProbe < nCells) under a hard oracle: a
@@ -6866,7 +6872,7 @@ object SparkEntry {
     "q_ann_ivf_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k,
         |  CAST(5 * count(*) AS BIGINT) AS n_results,
-        |  CAST(60 AS BIGINT) AS floor_pct,
+        |  CAST(50 AS BIGINT) AS floor_pct,
         |  true AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "q_pam_build" ->
