@@ -82,6 +82,8 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "hll_estimate_grouped",
+    "hll_estimate_grouped_stats",
+    "hll_intersect_estimate_grouped_stats",
     "HllSketchHandle",
     "hll_union_estimate",
     "hll_intersect_estimate",
@@ -1096,6 +1098,37 @@ def hll_estimate_grouped(
     collect."""
     return _wrap(registers, _jvm(registers).graft.ops.Hll.estimateGrouped(
         registers._jdf, _to_seq(registers, list(group_cols)), int(p)))
+
+
+def hll_estimate_grouped_stats(
+    registers: DataFrame,
+    group_cols: List[str],
+    p: int,
+) -> DataFrame:
+    """``hll_estimate_grouped`` exposing the estimator's SUFFICIENT
+    STATISTICS: (group..., touched BIGINT, sumscaled DECIMAL(38,0),
+    est DOUBLE). touched and sumscaled (exact scaled register sum) are
+    pure integers — the estimate is a fixed function of them — and
+    touched/2^p is the sketch's saturation; ``est`` here is the raw
+    continuous double (``hll_estimate_grouped`` stays the rounded
+    integer surface)."""
+    return _wrap(registers, _jvm(registers).graft.ops.Hll.estimateGroupedStats(
+        registers._jdf, _to_seq(registers, list(group_cols)), int(p)))
+
+
+def hll_intersect_estimate_grouped_stats(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: List[str],
+    p: int,
+) -> DataFrame:
+    """``hll_intersect_estimate_grouped`` exposing the three sketches'
+    sufficient statistics: (group..., t_a, t_b, t_u BIGINT, s_a, s_b,
+    s_u DECIMAL(38,0), est DOUBLE) — the A/B/union touched counts and
+    exact scaled sums, plus the continuous inclusion-exclusion estimate
+    clamped at 0."""
+    return _wrap(a, _jvm(a).graft.ops.Hll.intersectEstimateGroupedStats(
+        a._jdf, b._jdf, _to_seq(a, list(group_cols)), int(p)))
 
 
 class HllSketchHandle:

@@ -28,8 +28,10 @@ from graft.clustering import (
     GeneralizedKMeans,
     GeneralizedKMeansModel,
     KMedoids,
+    MiniBatchKMeans,
     SoftKMeans,
     XMeans,
+    minibatch_step,
 )
 from graft.streaming import StreamingKMeans, StreamingKMeansModel
 
@@ -155,6 +157,26 @@ def main() -> None:
         bi_model = BisectingKMeans(k=2, seed=5, maxIter=10).fit(df)
         assert bi_model.transform(df).select("prediction").distinct().count() == 2
         print("BisectingKMeans ok")
+
+        # --- MiniBatchKMeans: reassignmentRatio param + step bridge ---
+        mb_model = MiniBatchKMeans(
+            k=2, seed=5, maxIter=8, batchSize=16, reassignmentRatio=0.01
+        ).fit(df)
+        assert mb_model.transform(df).select("prediction").distinct().count() == 2
+        # one step at fixed state: the far-off center must die and move to
+        # a batch point; the healthy center takes the closed-form merge
+        state = spark.createDataFrame(
+            [(0, [0.2, 0.2], 10.0), (1, [1000.0, 1000.0], 0.0)],
+            ["cluster", "cv", "cnt"])
+        arr_batch = spark.createDataFrame(
+            [([0.0, 0.0],), ([0.2, 0.1],), ([9.9, 10.1],), ([10.0, 10.0],)],
+            ["f"])
+        stepped = minibatch_step(
+            arr_batch, "f", "", state, "squaredEuclidean", 1e-10, 0.01,
+        ).orderBy("cluster").collect()
+        assert stepped[0]["cnt"] > 10.0
+        assert stepped[1]["cnt"] == 1.0 and stepped[1]["cv"][0] < 100.0
+        print("MiniBatchKMeans + minibatch_step ok")
 
         # --- SoftKMeans: memberships column + hard predictions ---
         soft_model = SoftKMeans(k=2, beta=4.0, seed=9, maxIter=10).fit(df)
@@ -583,6 +605,17 @@ def main() -> None:
             "union(A, A) per group must equal est(A)"
         assert {r.grp: r.est for r in ig.collect()} == ge_map, \
             "intersect(A, A) per group must equal est(A)"
+        # r22: grouped sufficient-statistics views (rint(raw est) must
+        # equal the integer estimator; A-vs-A overlap stats are symmetric)
+        gs = gops.hll_estimate_grouped_stats(gr, ["grp"], 10)
+        for r in gs.collect():
+            assert abs(r.est - ge_map[r.grp]) <= 0.5000001, \
+                f"raw est {r.est} not within rint of {ge_map[r.grp]}"
+            assert r.touched > 0 and int(r.sumscaled) > 0
+        igs = gops.hll_intersect_estimate_grouped_stats(gr, gr, ["grp"], 10)
+        for r in igs.collect():
+            assert r.t_a == r.t_b == r.t_u and r.s_a == r.s_b == r.s_u
+        print("round-22 hll grouped-stats bindings ok")
         qsk = gops.QuantileSketchHandle.build(
             docs.selectExpr("doc_id", "length(text) AS v")
                 .where("v IS NOT NULL"), "doc_id", "v", 4096, "pyqsk")
