@@ -2711,6 +2711,56 @@ object SparkEntry {
       bootVerdicts.unpersist()
       out
     },
+    // The STREAMING semantic-dedup ingest (SemDedupIndex.ingestStream):
+    // the SAME bootstrap index persisted to disk, the SAME %7==0 batch
+    // delivered through a memory stream — foreachBatch probes the
+    // persisted store, admits the novel docs via the stage-and-swap
+    // write-back, and sinks the verdicts, which are DEFINED to equal the
+    // batch probe's (shared oracle, rule 5). End to end this gates the
+    // stream wiring, the read-path digest validation, the anti-join
+    // replay heal, and the write-back on real data at every gate run.
+    "q_semdedup_stream" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val e = t(dir, "embeddings")
+      val kC = graft.ops.SemDedup.balancedK(e.count())
+      val centers = e.where(col("vec_id") < kC).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val (bootVerdicts, idx) = graft.ops.SemDedupIndex.build(
+        e.where(col("vec_id") % 7 =!= 0), "vec_id", "embedding", centers,
+        epsilon = 0.3)
+      bootVerdicts.unpersist()
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("semstream-gate").toString
+      graft.ops.SemDedupIndex.write(idx, storeDir)
+      idx.keepers.unpersist()
+      val batch = e.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val stream = MemoryStream[(Long, Seq[Double])]
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      var schema: org.apache.spark.sql.types.StructType = null
+      val q = graft.ops.SemDedupIndex.ingestStream(
+        stream.toDF().select(col("_1").as("id"), col("_2").as("v")),
+        "id", "v", storeDir,
+        (v, _) => { schema = v.schema; buf ++= v.collect() },
+        java.nio.file.Files.createTempDirectory("semstream-ckpt").toString)
+      try {
+        stream.addData(batch: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(buf.toSeq).asJava),
+          schema)
+        .select(col("id"), col("cluster"),
+          (round(col("centroid_sim"), 6) + lit(0.0)).as("centroid_sim"),
+          col("dup_of"), col("n_dup_matches"), col("keep"))
+    },
     // ---- similarity search ----
     "q_ann_topk" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -4487,6 +4537,71 @@ object SparkEntry {
       TextOps.collocations(t(dir, "documents"), "text", minCount = 5L, k = 100)
     })
 
+  /** The sequential SemDedup ingest replay (bootstrap components +
+    * keeper rule over the %7<>0 corpus, then the %7==0 batch probed
+    * against keepers and smaller-id co-batch docs) - the ONE oracle
+    * body behind q_semdedup_incremental AND q_semdedup_stream
+    * (rule 5; the streaming path is defined to produce the batch
+    * probe's verdicts).
+    */
+  private val semdedupIncrementalOracleSql: String =
+      """WITH RECURSIVE p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+        |kc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS k FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings, kc
+        |      WHERE vec_id < kc.k),
+        |corp AS (SELECT id, v FROM p WHERE id % 7 <> 0),
+        |bat AS (SELECT id, v FROM p WHERE id % 7 = 0),
+        |casg AS (
+        |  SELECT id, cluster, v FROM (
+        |    SELECT corp.id, c.cid AS cluster, corp.v,
+        |      row_number() OVER (PARTITION BY corp.id
+        |        ORDER BY list_cosine_similarity(corp.v, c.cv) DESC, c.cid) AS rn
+        |    FROM corp, c) WHERE rn = 1),
+        |pr AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM casg a JOIN casg b ON a.cluster = b.cluster AND b.id > a.id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+        |ckeep AS (
+        |  SELECT casg.id, casg.cluster, casg.v
+        |  FROM casg LEFT JOIN cc USING (id)
+        |  LEFT JOIN (SELECT comp, min(id) AS keep_id FROM cc GROUP BY comp) k
+        |    ON cc.comp = k.comp
+        |  WHERE cc.comp IS NULL OR casg.id = k.keep_id),
+        |basg AS (
+        |  SELECT id, cluster, sim, v FROM (
+        |    SELECT bat.id, c.cid AS cluster, list_cosine_similarity(bat.v, c.cv) AS sim, bat.v,
+        |      row_number() OVER (PARTITION BY bat.id
+        |        ORDER BY list_cosine_similarity(bat.v, c.cv) DESC, c.cid) AS rn
+        |    FROM bat, c) WHERE rn = 1),
+        |m AS (
+        |  SELECT b.id, k.id AS match_id, round(list_cosine_similarity(b.v, k.v), 6) AS msim
+        |  FROM basg b JOIN ckeep k ON b.cluster = k.cluster
+        |  WHERE round(list_cosine_similarity(b.v, k.v), 6) >= 0.3
+        |  UNION ALL
+        |  SELECT b.id, b2.id AS match_id, round(list_cosine_similarity(b.v, b2.v), 6) AS msim
+        |  FROM basg b JOIN basg b2 ON b.cluster = b2.cluster AND b2.id < b.id
+        |  WHERE round(list_cosine_similarity(b.v, b2.v), 6) >= 0.3),
+        |best AS (
+        |  SELECT id, match_id FROM (
+        |    SELECT id, match_id,
+        |      row_number() OVER (PARTITION BY id ORDER BY msim DESC, match_id) AS rn
+        |    FROM m) WHERE rn = 1),
+        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup_matches FROM m GROUP BY id)
+        |SELECT basg.id, basg.cluster, round(basg.sim, 6) + 0.0 AS centroid_sim,
+        |  best.match_id AS dup_of,
+        |  coalesce(agg.n_dup_matches, 0) AS n_dup_matches,
+        |  best.match_id IS NULL AS keep
+        |FROM basg
+        |LEFT JOIN best ON best.id = basg.id
+        |LEFT JOIN agg ON agg.id = basg.id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -5622,63 +5737,13 @@ object SparkEntry {
     // over the CORPUS slice yields the keeper set; the batch slice then
     // best-matches (raw-cosine window order, the q_semdedup precedent;
     // round-6 threshold) against keepers plus smaller-id co-batch docs.
-    "q_semdedup_incremental" ->
-      """WITH RECURSIVE p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
-        |kc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS k FROM embeddings),
-        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings, kc
-        |      WHERE vec_id < kc.k),
-        |corp AS (SELECT id, v FROM p WHERE id % 7 <> 0),
-        |bat AS (SELECT id, v FROM p WHERE id % 7 = 0),
-        |casg AS (
-        |  SELECT id, cluster, v FROM (
-        |    SELECT corp.id, c.cid AS cluster, corp.v,
-        |      row_number() OVER (PARTITION BY corp.id
-        |        ORDER BY list_cosine_similarity(corp.v, c.cv) DESC, c.cid) AS rn
-        |    FROM corp, c) WHERE rn = 1),
-        |pr AS (
-        |  SELECT a.id AS id_a, b.id AS id_b
-        |  FROM casg a JOIN casg b ON a.cluster = b.cluster AND b.id > a.id
-        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr),
-        |n AS (SELECT DISTINCT src AS id FROM e),
-        |reach(a, b) AS (
-        |  SELECT id, id FROM n
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
-        |cc AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
-        |ckeep AS (
-        |  SELECT casg.id, casg.cluster, casg.v
-        |  FROM casg LEFT JOIN cc USING (id)
-        |  LEFT JOIN (SELECT comp, min(id) AS keep_id FROM cc GROUP BY comp) k
-        |    ON cc.comp = k.comp
-        |  WHERE cc.comp IS NULL OR casg.id = k.keep_id),
-        |basg AS (
-        |  SELECT id, cluster, sim, v FROM (
-        |    SELECT bat.id, c.cid AS cluster, list_cosine_similarity(bat.v, c.cv) AS sim, bat.v,
-        |      row_number() OVER (PARTITION BY bat.id
-        |        ORDER BY list_cosine_similarity(bat.v, c.cv) DESC, c.cid) AS rn
-        |    FROM bat, c) WHERE rn = 1),
-        |m AS (
-        |  SELECT b.id, k.id AS match_id, round(list_cosine_similarity(b.v, k.v), 6) AS msim
-        |  FROM basg b JOIN ckeep k ON b.cluster = k.cluster
-        |  WHERE round(list_cosine_similarity(b.v, k.v), 6) >= 0.3
-        |  UNION ALL
-        |  SELECT b.id, b2.id AS match_id, round(list_cosine_similarity(b.v, b2.v), 6) AS msim
-        |  FROM basg b JOIN basg b2 ON b.cluster = b2.cluster AND b2.id < b.id
-        |  WHERE round(list_cosine_similarity(b.v, b2.v), 6) >= 0.3),
-        |best AS (
-        |  SELECT id, match_id FROM (
-        |    SELECT id, match_id,
-        |      row_number() OVER (PARTITION BY id ORDER BY msim DESC, match_id) AS rn
-        |    FROM m) WHERE rn = 1),
-        |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup_matches FROM m GROUP BY id)
-        |SELECT basg.id, basg.cluster, round(basg.sim, 6) + 0.0 AS centroid_sim,
-        |  best.match_id AS dup_of,
-        |  coalesce(agg.n_dup_matches, 0) AS n_dup_matches,
-        |  best.match_id IS NULL AS keep
-        |FROM basg
-        |LEFT JOIN best ON best.id = basg.id
-        |LEFT JOIN agg ON agg.id = basg.id""".stripMargin,
+    "q_semdedup_incremental" -> semdedupIncrementalOracleSql,
+    // The STREAMING ingest path (SemDedupIndex.ingestStream) drives the
+    // IDENTICAL one-batch probe through foreachBatch + the persisted
+    // store + the anti-join replay heal — its verdicts are defined to
+    // equal the batch probe's, so it shares the oracle verbatim
+    // (rule 5: one string, two gates).
+    "q_semdedup_stream" -> semdedupIncrementalOracleSql,
     "q_ann_topk" ->
       """SELECT query_id, rank, corpus_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,

@@ -281,6 +281,79 @@ object SemDedupIndex {
       maxClusterSize)
   }
 
+  /** STREAMING ingest — the semantic twin of
+    * [[IncrementalDedup.ingestStream]]: each micro-batch is probed
+    * against the persisted index at `path`, its novel docs are admitted
+    * to the keeper store, and the batch's verdict frame goes to `sink`.
+    * Bootstrap the index FIRST ([[build]]/[[train]] + [[write]]) — the
+    * frozen centers are the design (probe assignment must match build
+    * assignment forever; [[SemDedupIndex.health]] audits the drift),
+    * so a stream cannot self-bootstrap.
+    *
+    * REPLAY SAFETY without a commit marker: unlike the MinHash store
+    * (bucketed APPEND tables, which need the batch-id marker to gate
+    * re-appends), [[write]] rewrites the WHOLE keeper store via
+    * stage-and-swap — so each batch's cycle is made idempotent by
+    * anti-joining the batch's own ids out of the loaded store before
+    * probing. A replayed batch (restart between the store swap and the
+    * checkpoint commit) then sees exactly the pre-batch store, produces
+    * the identical verdicts (at-least-once to `sink`), and the
+    * re-written store converges to the same state (exactly-once
+    * effectively). Batch ids must be unique within the STREAM's
+    * lifetime (the monotone-id ingest contract above); ids may collide
+    * with a crashed attempt's — that is the case the anti-join heals.
+    *
+    * Cost shape per batch: one broadcast assignment over the batch, one
+    * cluster-equi-join probe against the store, one full store rewrite
+    * (the swap + digest recompute — measured 1.4–8 s at a 200k-vector
+    * store, docs/SCALE.md r22 loop row). For high-frequency small
+    * batches, buffer upstream (a tumbling-window trigger) so the store
+    * rewrite amortizes.
+    */
+  def ingestStream(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      sink: (DataFrame, Long) => Unit,
+      checkpointDir: String,
+      maxClusterSize: Int = 20000): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(vectors.isStreaming,
+      "SemDedupIndex.ingestStream needs a streaming frame; use ingest for batch")
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch
+          .select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (b.count() > 0) {
+            val idx0 = read(spark, path)
+            // idempotence: a replayed batch's ids may already be keepers
+            // (crash after the swap, before the checkpoint commit) — and
+            // probing a store that contains the batch itself would
+            // self-match every doc. Anti-join restores the pre-batch view.
+            val idx = idx0.copy(keepers =
+              idx0.keepers.join(b.select(col("id")), Seq("id"), "left_anti"))
+            val (verdicts0, next) = idx.ingest(b, "id", "v", maxClusterSize)
+            // snapshot BEFORE the swap: the verdict lineage reads
+            // path/keepers, which write() is about to replace
+            val verdicts = verdicts0.localCheckpoint(true)
+            verdicts0.unpersist()
+            // the new store's lineage also reads path/keepers; write()'s
+            // stage-and-swap materializes it before the delete (r17)
+            write(next, path)
+            sink(verdicts, batchId)
+            verdicts.unpersist()
+          }
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** py4j bridge: centers as a k-row (cluster, cv) frame ordered by
     * cluster — the [[Prototypes]] Df pattern (a nested double matrix
     * does not ride the gateway). k-row driver collect, model state.

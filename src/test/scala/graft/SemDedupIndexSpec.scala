@@ -152,6 +152,56 @@ class SemDedupIndexSpec extends SparkSpec {
       e.getMessage.contains("balancedK"))
   }
 
+  test("ingestStream: verdicts stream against the persisted store, novel " +
+    "docs are admitted, and a re-delivered batch heals via the anti-join " +
+    "(identical verdicts, store unchanged)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (v0, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    v0.unpersist()
+    val dir = java.nio.file.Files.createTempDirectory("semstream").toString
+    SemDedupIndex.write(idx, dir)
+    val tuples = Seq(
+      (100L, j(e1, 0.015).toSeq), (101L, j(e1, 0.005).toSeq),
+      (110L, j(e2, 0.02).toSeq),
+      (120L, Seq(0.0, 0.4, 1.0, 0.0)), (121L, j(Array(0.0, 0.4, 1.0, 0.0), 0.01).toSeq),
+      (130L, Seq(0.3, 1.0, 0.0, 0.3)))
+    def runOnce(): Set[(Long, Option[Long], Boolean)] = {
+      val ckpt = java.nio.file.Files.createTempDirectory("semstream-ckpt").toString
+      val stream = MemoryStream[(Long, Seq[Double])]
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Option[Long], Boolean)]
+      val q = SemDedupIndex.ingestStream(
+        stream.toDF().select(col("_1").as("id"), col("_2").as("v")),
+        "id", "v", dir,
+        (v, _) => buf ++= v.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(5))),
+        ckpt)
+      try {
+        stream.addData(tuples: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      buf.toSet
+    }
+    val expected = Set[(Long, Option[Long], Boolean)](
+      (100L, Some(0L), false), (101L, Some(0L), false),
+      (110L, Some(10L), false),
+      (120L, None, true), (121L, Some(120L), false),
+      (130L, None, true))
+    assert(runOnce() == expected, "first delivery")
+    val store1 = SemDedupIndex.read(spark, dir).keepers
+      .select("id").as[Long].collect().toSet
+    assert(store1 == Set(0L, 3L, 10L, 120L, 130L), s"store after batch: $store1")
+    // re-delivery of the SAME batch through a fresh checkpoint: the
+    // store already holds 120/130 — the anti-join must restore the
+    // pre-batch view, reproduce identical verdicts, and leave the
+    // store unchanged (the crash-between-swap-and-commit window)
+    assert(runOnce() == expected, "re-delivered batch diverged")
+    val store2 = SemDedupIndex.read(spark, dir).keepers
+      .select("id").as[Long].collect().toSet
+    assert(store2 == store1, s"re-delivery mutated the store: $store2")
+  }
+
   test("the canonical ingest loop works: read -> ingest -> write back to " +
     "the SAME path -> read again (r17 review: the keeper union's lineage " +
     "reads the path being overwritten; write stages and swaps)") {
