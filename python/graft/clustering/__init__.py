@@ -769,6 +769,12 @@ class TrainingSummary:
         self.elapsedMillis: int = java_summary.elapsedMillis()
         self.finalDistortion: float = java_summary.finalDistortion()
         self.avgIterationMillis: float = java_summary.avgIterationMillis()
+        bsr = java_summary.boundSkipRate()
+        self.boundSkipRate: Optional[float] = (
+            float(bsr.get()) if bsr.isDefined() else None)
+        rea = java_summary.reassignments()
+        self.reassignments: Optional[int] = (
+            int(rea.get()) if rea.isDefined() else None)
 
     def __repr__(self) -> str:
         return (

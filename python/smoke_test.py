@@ -176,6 +176,9 @@ def main() -> None:
         ).orderBy("cluster").collect()
         assert stepped[0]["cnt"] > 10.0
         assert stepped[1]["cnt"] == 1.0 and stepped[1]["cv"][0] < 100.0
+        ms = mb_model.summary
+        assert ms.reassignments is not None and ms.reassignments >= 0, \
+            ms.reassignments
         print("MiniBatchKMeans + minibatch_step ok")
 
         # --- SoftKMeans: memberships column + hard predictions ---

@@ -111,7 +111,11 @@ case class TrainingSummary(
     elapsedMillis: Long,
     // Elkan/Hamerly loops: fraction of row-iteration steps resolved with
     // zero distance work by the cross-iteration bounds; None elsewhere.
-    boundSkipRate: Option[Double] = None) {
+    boundSkipRate: Option[Double] = None,
+    // MiniBatchKMeans: dying-center reassignment events fired by the
+    // reassignmentRatio rule across all batches (Some(0) when the rule
+    // is on but never fired); None for estimators without the rule.
+    reassignments: Option[Long] = None) {
   /** Distortion after the last completed iteration (reference:
     * ml/TrainingSummary.scala:55).
     */

@@ -124,6 +124,7 @@ class MiniBatchKMeans(override val uid: String)
     val aggFn = udaf(new CentroidAggregator(dim))
 
     val distHist = Seq.newBuilder[Double]
+    var nReassigned = 0L
     var best = Double.MaxValue
     var noImprove = 0
     var iter = 0
@@ -166,8 +167,8 @@ class MiniBatchKMeans(override val uid: String)
         c += 1
       }
       if ($(reassignmentRatio) > 0)
-        MiniBatchKMeans.reassignDyingLocal(b0pts.take(take), b0dists,
-          centers, counts, $(reassignmentRatio))
+        nReassigned += MiniBatchKMeans.reassignDyingLocal(b0pts.take(take),
+          b0dists, centers, counts, $(reassignmentRatio))
       if (batchW > 0) { distHist += batchCost / batchW; best = batchCost / batchW }
       iter = 1
     }
@@ -195,8 +196,8 @@ class MiniBatchKMeans(override val uid: String)
       // assigned plan owns a private copy) — same vantage as the
       // batch-0 local path
       if ($(reassignmentRatio) > 0)
-        MiniBatchKMeans.reassignDying(assigned, arrCol, centers, counts,
-          $(reassignmentRatio), Nil)
+        nReassigned += MiniBatchKMeans.reassignDying(assigned, arrCol,
+          centers, counts, $(reassignmentRatio), Nil)
       if (batchW > 0) {
         val avg = batchCost / batchW
         distHist += avg
@@ -212,7 +213,9 @@ class MiniBatchKMeans(override val uid: String)
     copyValues(model.setParent(this))
     model.trainingSummary = Some(TrainingSummary(
       "MiniBatchKMeans", $(k), centers.length, dim, numPoints, iter, converged,
-      distHist.result(), Nil, kern.name, System.currentTimeMillis() - t0))
+      distHist.result(), Nil, kern.name, System.currentTimeMillis() - t0,
+      reassignments =
+        if ($(reassignmentRatio) > 0) Some(nReassigned) else None))
     model
   }
 

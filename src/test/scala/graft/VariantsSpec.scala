@@ -146,9 +146,15 @@ class VariantsSpec extends SparkSpec {
     assert(dead.exists(c => c(0) == 1000.0 && c(1) == 1000.0))
     // default-style ratio: the dying center is reassigned into the data
     // and ends up inside the blob bounding box
-    val alive = fitWith(0.01).clusterCenters
+    val aliveModel = fitWith(0.01)
+    val alive = aliveModel.clusterCenters
     assert(alive.forall(c => math.abs(c(0)) < 100 && math.abs(c(1)) < 100),
       s"far center not rescued: ${alive.map(_.toSeq).toSeq}")
+    // telemetry: the summary counts the reassignment events; the rule-off
+    // fit reports None (rule never evaluated)
+    assert(aliveModel.summary.reassignments.exists(_ >= 1L),
+      s"reassignments not counted: ${aliveModel.summary.reassignments}")
+    assert(fitWith(0.0).summary.reassignments.isEmpty)
   }
 
   test("DPMeans discovers cluster count from lambda") {
