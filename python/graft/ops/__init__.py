@@ -2162,7 +2162,16 @@ class SemDedupIndexHandle:
     ``IncrementalDedup`` path. ``probe`` verdicts a batch read-only;
     ``ingest`` also appends the batch's novel docs (the store grows
     with novel mass, not arrival rate); write/read persists with
-    validated content digests."""
+    validated content digests.
+
+    Streaming from Python: the JVM-side ``SemDedupIndex.ingestStream``
+    takes a Scala sink callback, which does not cross py4j — drive the
+    same loop with pyspark's own ``foreachBatch``: in each batch, f =
+    ``SemDedupIndexHandle.read(spark, path)``; anti-join the batch's
+    ids out of ``f.keepers`` if re-delivery is possible; ``ingest`` the
+    batch; ``write(path)`` the returned handle (the stage-and-swap
+    write makes writing back to the path being read safe); then consume
+    and ``unpersist()`` the verdicts."""
 
     def __init__(self, jindex, spark):
         self._j = jindex

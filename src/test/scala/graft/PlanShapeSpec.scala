@@ -137,6 +137,31 @@ class PlanShapeSpec extends SparkSpec {
       s"scan must read only the text column; plan:\n${plan.take(1500)}")
   }
 
+  test("grouped HLL stats chain is two map-side-combined aggregations " +
+    "(register rollup, then group stats riding its partitioning), scan " +
+    "pruned to (lang, text)") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val items = docs.select(col("lang"),
+      explode(graft.ops.TextOps.wordShingleOccurrences(col("text"), 2)).as("k"))
+      .where(col("k") =!= "")
+    val regs = graft.ops.Hll.buildGrouped(items, Seq("lang"), "k", 9, "plan22")
+    val stats = graft.ops.Hll.estimateGroupedStats(regs, Seq("lang"), 9)
+    stats.write.format("noop").mode("overwrite").save()
+    val plan = stats.queryExecution.executedPlan.toString
+    // the register rollup exchanges on (lang, bucket); the stats
+    // aggregation (including its countDistinct structural guard) then
+    // exchanges on (lang) — never more, and never an exchange keyed on
+    // raw occurrences (the <= m-rows-per-group 100-TB posture, q_hll_grouped)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 2,
+      s"expected exactly two hash Exchanges; plan:\n${plan.take(2000)}")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"expected partial+final aggregation at both levels; plan:\n${plan.take(2000)}")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("lang") && read.contains("text") &&
+      !read.contains("doc_id") && !read.contains("n_chars"),
+      s"scan must prune to (lang, text); got: $read")
+  }
+
   test("Bloom build is one map-side-combined aggregation: a single hash " +
     "Exchange carrying <= m/64 packed words, scan reads only the text column") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
