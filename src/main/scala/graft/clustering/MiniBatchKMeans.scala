@@ -342,7 +342,13 @@ object MiniBatchKMeans
     require(reassignmentRatio >= 0.0 && reassignmentRatio < 1.0,
       s"MiniBatchKMeans.step: reassignmentRatio must be in [0, 1), got $reassignmentRatio")
     val kern = graft.kernels.KernelFactory(divergence, smoothing)
-    val (dfArr, arrCol) = FeatureCols.asArray(batch.toDF(), featuresCol)
+    // project to exactly the consumed columns: assignment writes
+    // "cluster"/"dist" columns, and a caller batch that already carries
+    // those names would otherwise be silently clobbered
+    val projected = batch.toDF().select(
+      (Seq(featuresCol) ++ (if (idCol.isEmpty) Nil else Seq(idCol)))
+        .distinct.map(col): _*)
+    val (dfArr, arrCol) = FeatureCols.asArray(projected, featuresCol)
     val cs = centers.map(_.clone())
     val cn = counts.clone()
     // private copy for the plan: local-mode broadcast is by reference,

@@ -345,8 +345,8 @@ object SemDedupIndex {
             // the new store's lineage also reads path/keepers; write()'s
             // stage-and-swap materializes it before the delete (r17)
             write(next, path)
-            sink(verdicts, batchId)
-            verdicts.unpersist()
+            try sink(verdicts, batchId)
+            finally verdicts.unpersist()
           }
         } finally b.unpersist()
         ()
