@@ -2276,6 +2276,33 @@ class SemDedupIndexHandle:
         return (DataFrame(jt._1(), self._spark),
                 SemDedupIndexHandle(jt._2(), self._spark))
 
+    def rebalance_to(
+        self, centers: DataFrame, max_cluster_size: int = 20000,
+    ) -> "SemDedupIndexHandle":
+        """Re-partition the keeper store at caller-supplied centers (a
+        k-row (cluster 0..k-1, cv array<double>) frame) — the
+        maintenance op ``health`` recommends. Keeper SET is preserved
+        exactly (never a re-dedup of history); refuses if any new
+        cluster exceeds ``max_cluster_size``. The returned index's
+        keepers come back persisted (caller owns the release)."""
+        jvm = self._spark.sparkContext._jvm
+        j = jvm.graft.ops.SemDedupIndex.rebalanceToDf(
+            self._j, centers._jdf, int(max_cluster_size))
+        return SemDedupIndexHandle(j, self._spark)
+
+    def rebalance(
+        self, k: int = 0, seed: int = 42, max_iter: int = 10,
+        max_cluster_size: int = 20000,
+    ) -> "SemDedupIndexHandle":
+        """One-call maintenance rebuild: train fresh spherical centers
+        on the CURRENT keepers (k=0 -> the balancedK recommendation,
+        exactly what ``health`` reports) and re-partition at them."""
+        jvm = self._spark.sparkContext._jvm
+        j = jvm.graft.ops.SemDedupIndex.rebalance(
+            self._j, int(k), int(seed), int(max_iter),
+            int(max_cluster_size))
+        return SemDedupIndexHandle(j, self._spark)
+
     def write(self, path: str) -> None:
         self._spark.sparkContext._jvm.graft.ops.SemDedupIndex.write(
             self._j, path)

@@ -876,6 +876,18 @@ def main() -> None:
         assert tidx.keepers.count() == tv.where("keep").count()
         print("round-21 fast-hash + incremental semdedup bindings ok")
 
+        # r22: maintenance rebalance — keeper set preserved, partitioning
+        # refreshed (fixed-centers and trained one-call forms)
+        before_ids = {r["id"] for r in sidx.keepers.select("id").collect()}
+        ridx = sidx.rebalance_to(cdf)
+        assert {r["id"] for r in ridx.keepers.select("id").collect()} \
+            == before_ids
+        ridx2 = sidx.rebalance(k=4, seed=7)
+        assert {r["id"] for r in ridx2.keepers.select("id").collect()} \
+            == before_ids
+        assert ridx2.health().collect()[0]["k"] == 4
+        print("round-22 semdedup rebalance bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

@@ -2711,6 +2711,31 @@ object SparkEntry {
       bootVerdicts.unpersist()
       out
     },
+    // The maintenance REBALANCE (SemDedupIndex.rebalanceTo): the same
+    // bootstrap index re-partitioned at 16 fixed new centers — keeper
+    // SET preserved exactly (maintenance, never a re-dedup of history),
+    // every keeper re-assigned by the shared assignFixed rule. The
+    // oracle replays the bootstrap keeper chain + the new-center argmax,
+    // so the hash pins both "no keeper gained/lost" and the exact new
+    // partitioning.
+    "q_semdedup_rebalance" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val kC = graft.ops.SemDedup.balancedK(e.count())
+      val centers = e.where(col("vec_id") < kC).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val (bootVerdicts, idx) = graft.ops.SemDedupIndex.build(
+        e.where(col("vec_id") % 7 =!= 0), "vec_id", "embedding", centers,
+        epsilon = 0.3)
+      bootVerdicts.unpersist()
+      val nc = e.where(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val idx2 = graft.ops.SemDedupIndex.rebalanceTo(idx, nc)
+      idx.keepers.unpersist()
+      idx2.keepers.select(col("id"), col("cluster"))
+    },
     // The STREAMING semantic-dedup ingest (SemDedupIndex.ingestStream):
     // the SAME bootstrap index persisted to disk, the SAME %7==0 batch
     // delivered through a memory stream — foreachBatch probes the
@@ -4544,8 +4569,13 @@ object SparkEntry {
     * (rule 5; the streaming path is defined to produce the batch
     * probe's verdicts).
     */
-  private val semdedupIncrementalOracleSql: String =
-      """WITH RECURSIVE p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The bootstrap-keeper CTE chain (corpus assignment, within-cluster
+    * edges, connected components, keeper rule -> `ckeep(id, cluster, v)`)
+    * shared by the incremental/stream probe oracle AND the rebalance
+    * oracle (rule 5). Expects to sit inside a WITH RECURSIVE list.
+    */
+  private val semdedupBootCkeepSql: String =
+      """p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
         |kc AS (SELECT greatest(8, CAST(ceil(sqrt(count(*)) / 2) AS BIGINT)) AS k FROM embeddings),
         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings, kc
         |      WHERE vec_id < kc.k),
@@ -4573,7 +4603,30 @@ object SparkEntry {
         |  FROM casg LEFT JOIN cc USING (id)
         |  LEFT JOIN (SELECT comp, min(id) AS keep_id FROM cc GROUP BY comp) k
         |    ON cc.comp = k.comp
-        |  WHERE cc.comp IS NULL OR casg.id = k.keep_id),
+        |  WHERE cc.comp IS NULL OR casg.id = k.keep_id)""".stripMargin
+
+  /** Rebalance replay (q_semdedup_rebalance): the shared bootstrap
+    * keepers re-assigned to 16 fixed new centers (argmax cosine, ties
+    * to the lowest cid) - keeper SET unchanged, partitioning refreshed.
+    */
+  private val semdedupRebalanceOracleSql: String =
+    s"""WITH RECURSIVE $semdedupBootCkeepSql,
+      |nc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      |       FROM embeddings WHERE vec_id < 16)
+      |SELECT id, cluster FROM (
+      |  SELECT ckeep.id, nc.cid AS cluster,
+      |    row_number() OVER (PARTITION BY ckeep.id
+      |      ORDER BY list_cosine_similarity(ckeep.v, nc.cv) DESC, nc.cid) AS rn
+      |  FROM ckeep, nc) WHERE rn = 1""".stripMargin
+
+  /** The sequential SemDedup ingest replay (the shared bootstrap-keeper
+    * chain, then the %7==0 batch probed against keepers and smaller-id
+    * co-batch docs) - the ONE oracle body behind q_semdedup_incremental
+    * AND q_semdedup_stream (rule 5; the streaming path is defined to
+    * produce the batch probe's verdicts).
+    */
+  private val semdedupIncrementalOracleSql: String =
+    s"""WITH RECURSIVE $semdedupBootCkeepSql,
         |basg AS (
         |  SELECT id, cluster, sim, v FROM (
         |    SELECT bat.id, c.cid AS cluster, list_cosine_similarity(bat.v, c.cv) AS sim, bat.v,
@@ -5738,6 +5791,7 @@ object SparkEntry {
     // best-matches (raw-cosine window order, the q_semdedup precedent;
     // round-6 threshold) against keepers plus smaller-id co-batch docs.
     "q_semdedup_incremental" -> semdedupIncrementalOracleSql,
+    "q_semdedup_rebalance" -> semdedupRebalanceOracleSql,
     // The STREAMING ingest path (SemDedupIndex.ingestStream) drives the
     // IDENTICAL one-batch probe through foreachBatch + the persisted
     // store + the anti-join replay heal — its verdicts are defined to

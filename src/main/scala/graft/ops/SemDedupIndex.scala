@@ -174,8 +174,8 @@ final case class SemDedupIndex(
     * max_cluster, avg_cluster, recommended_k) — when `recommended_k`
     * ([[SemDedup.balancedK]] of the CURRENT store) is well above `k`,
     * rebuild the index with fresh centers at the next maintenance
-    * window (a rebuild is one [[SemDedupIndex.build]] over the kept
-    * corpus, not a re-dedup of history).
+    * window — [[SemDedupIndex.rebalance]] is that operation in one
+    * call (keeper set preserved; never a re-dedup of history).
     */
   def health(): DataFrame = {
     val spark = keepers.sparkSession
@@ -280,6 +280,74 @@ object SemDedupIndex {
     build(corpus, idCol, vecCol, model.clusterCenters, epsilon, keeper,
       maxClusterSize)
   }
+
+  /** Refresh the index's PARTITIONING at caller-supplied centers — the
+    * maintenance operation [[SemDedupIndex.health]] recommends when the
+    * store has outgrown its frozen centers. The keeper SET is preserved
+    * exactly (this is maintenance, not a re-dedup: a doc kept under the
+    * old centers stays kept — re-running the dedup would re-litigate
+    * ε-verdicts across the whole history); every keeper re-assigns to
+    * its nearest new center by the shared [[SemDedup.assignFixed]]
+    * rule, and the same maxClusterSize refusal guards the result. One
+    * broadcast pass over the store; the returned index's keepers come
+    * back persisted (caller owns the release, like [[build]]).
+    * Deterministic given the centers — gate-verified
+    * (q_semdedup_rebalance). The trained-centers form is [[rebalance]].
+    */
+  def rebalanceTo(index: SemDedupIndex, centers: Array[Array[Double]],
+      maxClusterSize: Int = 20000): SemDedupIndex = {
+    val reassigned = SemDedup.assignFixed(
+      index.keepers.select(col("id"), col("v")), "id", "v", centers)
+      .select(col("id"), col("cluster"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try reassigned.count()
+    catch { case t: Throwable => reassigned.unpersist(); throw t }
+    val oversized = reassigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxClusterSize)
+      .orderBy(col("n").desc).limit(5).collect()
+    if (oversized.nonEmpty) {
+      reassigned.unpersist()
+      throw new IllegalArgumentException(
+        "SemDedupIndex.rebalanceTo: cluster(s) exceed maxClusterSize=" +
+          maxClusterSize + " at the NEW centers: " +
+          oversized.map(r => s"cluster ${r.getLong(0)} has ${r.getLong(1)} rows")
+            .mkString("; ") +
+          ". Train more centers (SemDedup.balancedK of the store) or raise " +
+          "maxClusterSize.")
+    }
+    SemDedupIndex(reassigned, centers, index.epsilon)
+  }
+
+  /** The one-call maintenance rebuild: train FRESH spherical centers on
+    * the CURRENT keeper corpus (k defaults to [[SemDedup.balancedK]] of
+    * the store size — exactly what [[SemDedupIndex.health]] reports as
+    * `recommended_k`) and re-partition the store at them via
+    * [[rebalanceTo]]. Write the result over the old path at the
+    * maintenance window; probes against the new index use the new
+    * centers from then on.
+    */
+  def rebalance(index: SemDedupIndex, k: Int = 0, seed: Long = 42L,
+      maxIter: Int = 10, maxClusterSize: Int = 20000): SemDedupIndex = {
+    val n = index.keepers.count()
+    require(n > 0, "SemDedupIndex.rebalance: empty keeper store")
+    val kk = if (k > 0) k else SemDedup.balancedK(n)
+    val model = new graft.clustering.GeneralizedKMeans()
+      .setK(kk).setDivergence("spherical").setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("v")
+      .fit(index.keepers.select(col("id"), col("v")))
+    rebalanceTo(index, model.clusterCenters, maxClusterSize)
+  }
+
+  /** py4j bridge for [[rebalanceTo]]: centers as a k-row (cluster, cv)
+    * frame (the [[buildDf]] pattern).
+    */
+  def rebalanceToDf(index: SemDedupIndex, centersDf: DataFrame,
+      maxClusterSize: Int): SemDedupIndex =
+    rebalanceTo(index,
+      centersDf.select(col("cluster").cast("long").as("cluster"),
+          col("cv").cast("array<double>").as("cv"))
+        .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray),
+      maxClusterSize)
 
   /** STREAMING ingest — the semantic twin of
     * [[IncrementalDedup.ingestStream]]: each micro-batch is probed

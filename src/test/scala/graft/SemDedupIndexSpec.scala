@@ -244,6 +244,36 @@ class SemDedupIndexSpec extends SparkSpec {
     tv.unpersist()
   }
 
+  test("rebalance refreshes the partitioning, never the keeper set; " +
+    "rebalanceTo refuses skewed new centers; probes still resolve") {
+    val (v0, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    v0.unpersist()
+    val before = idx.keepers.select("id").as[Long].collect().toSet
+    // swap the centers: same partitions, cluster ids exchanged
+    val swapped = SemDedupIndex.rebalanceTo(idx, Array(e2, e1))
+    val byId = swapped.keepers.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == before, "rebalance changed the keeper set")
+    // e1-group keepers (0, 3) now live in cluster 1; e2 keeper (10) in 0
+    assert(byId(0L) == 1L && byId(3L) == 1L && byId(10L) == 0L, byId)
+    // probes against the rebalanced index still resolve dups
+    val verdicts = swapped.probe(batch2, "id", "v")
+    val v100 = verdicts.where(col("id") === 100).head()
+    assert(v100.getLong(3) == 0L && !v100.getBoolean(5))
+    verdicts.unpersist(); swapped.keepers.unpersist()
+    // the trained one-call form: keeper set preserved, k refreshed
+    val trained = SemDedupIndex.rebalance(idx, k = 2, seed = 7L, maxIter = 3)
+    assert(trained.keepers.select("id").as[Long].collect().toSet == before)
+    assert(trained.centers.length == 2 && trained.epsilon == idx.epsilon)
+    trained.keepers.unpersist()
+    // skew refusal: one center captures everything -> maxClusterSize trips
+    val err = intercept[IllegalArgumentException] {
+      SemDedupIndex.rebalanceTo(idx, Array(e1), maxClusterSize = 2)
+    }
+    assert(err.getMessage.contains("maxClusterSize") &&
+      err.getMessage.contains("balancedK"))
+  }
+
   test("write/read roundtrip preserves verdicts; corruption refuses") {
     val (v1, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
     val dir = java.nio.file.Files.createTempDirectory("semidx").toString
