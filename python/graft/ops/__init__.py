@@ -40,6 +40,8 @@ __all__ = [
     "logistic_fit",
     "logistic_score",
     "hard_negatives",
+    "brute_force_top_k",
+    "IvfIndexHandle",
     "temperature_plan",
     "top_per_domain",
     "domain_quota",
@@ -450,6 +452,111 @@ def hard_negatives(
     rank, corpus_id, neg_label, cosine)."""
     return _wrap(corpus, _jvm(corpus).graft.ops.Similarity.hardNegatives(
         corpus._jdf, queries._jdf, id_col, vec_col, label_col, k))
+
+
+def brute_force_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query vector — the ANN baseline (map-side
+    WindowGroupLimit partial top-k, never a global sort). Returns
+    (query_id, rank, corpus_id, cosine)."""
+    return _wrap(corpus, _jvm(corpus).graft.ops.Similarity.bruteForceTopK(
+        corpus._jdf, queries._jdf, id_col, vec_col, int(k),
+        bool(exclude_self)))
+
+
+class IvfIndexHandle:
+    """Materialized IVF (inverted-file) ANN index (wraps the JVM
+    ``graft.ops.IvfIndex``): the corpus->cell assignment is built once
+    (trained or caller-supplied coarse quantizer) and persisted
+    PARTITIONED BY cell, so a search of ``n_probe`` cells is a
+    partition-pruned scan reading n_probe/n_cells of the corpus.
+    ``append`` ingests new batches against the frozen quantizer;
+    ``health`` audits the drift; ``retrain`` rebuilds the quantizer on
+    the stored corpus in place (stage-and-swap)."""
+
+    def __init__(self, jindex, spark):
+        self._j = jindex
+        self._spark = spark
+
+    @staticmethod
+    def build(
+        corpus: DataFrame, id_col: str, vec_col: str, n_cells: int,
+        max_iter: int = 5, seed: int = 42,
+    ) -> "IvfIndexHandle":
+        j = _jvm(corpus).graft.ops.IvfIndex.build(
+            corpus._jdf, id_col, vec_col, int(n_cells), int(max_iter),
+            int(seed))
+        return IvfIndexHandle(j, corpus.sparkSession)
+
+    @staticmethod
+    def build_with_centers(
+        corpus: DataFrame, id_col: str, vec_col: str, centers: DataFrame,
+    ) -> "IvfIndexHandle":
+        """Caller-supplied coarse quantizer (a k-row (cluster 0..k-1, cv
+        array<double>) frame — the SemDedupIndexHandle.build convention);
+        the fully deterministic form, cell i = row i."""
+        j = _jvm(corpus).graft.ops.IvfIndex.buildWithCentersDf(
+            corpus._jdf, id_col, vec_col, centers._jdf)
+        return IvfIndexHandle(j, corpus.sparkSession)
+
+    @staticmethod
+    def load(spark, path: str) -> "IvfIndexHandle":
+        jvm = spark.sparkContext._jvm
+        return IvfIndexHandle(
+            jvm.graft.ops.IvfIndex.load(spark._jsparkSession, path), spark)
+
+    @staticmethod
+    def append(spark, path: str, batch: DataFrame, id_col: str,
+               vec_col: str) -> int:
+        """Ingest a batch into a WRITTEN index against its frozen
+        quantizer — batch-proportional cost; returns rows appended.
+        Batch ids must be new (dedup first; that is the pipeline order
+        anyway)."""
+        jvm = spark.sparkContext._jvm
+        return int(jvm.graft.ops.IvfIndex.append(
+            spark._jsparkSession, path, batch._jdf, id_col, vec_col))
+
+    @staticmethod
+    def retrain(spark, path: str, n_cells: int = 0, max_iter: int = 5,
+                seed: int = 42) -> "IvfIndexHandle":
+        """Rebuild the coarse quantizer on the CURRENT stored corpus and
+        rewrite the index in place (stage-and-swap; n_cells=0 uses the
+        recommended ~sqrt(n) sizing ``health`` reports)."""
+        jvm = spark.sparkContext._jvm
+        return IvfIndexHandle(jvm.graft.ops.IvfIndex.retrain(
+            spark._jsparkSession, path, int(n_cells), int(max_iter),
+            int(seed)), spark)
+
+    @property
+    def cells(self) -> DataFrame:
+        return DataFrame(self._j.cells(), self._spark)
+
+    def search(self, queries: DataFrame, id_col: str, vec_col: str,
+               k: int = 5, n_probe: int = 2,
+               exclude_self: bool = True) -> DataFrame:
+        """Cell-pruned approximate cosine top-k: (query_id, rank,
+        corpus_id, cosine)."""
+        return DataFrame(self._j.search(queries._jdf, id_col, vec_col,
+            int(k), int(n_probe), bool(exclude_self)), self._spark)
+
+    def health(self) -> DataFrame:
+        """(n_vectors, n_cells, max_cell, avg_cell, imbalance,
+        recommended_cells) — retrain when recommended_cells is well
+        above n_cells or imbalance grows (the frozen-quantizer drift
+        audit)."""
+        return DataFrame(self._j.health(), self._spark)
+
+    def write(self, path: str) -> None:
+        self._j.write(path)
+
+    def unpersist(self) -> None:
+        self._j.unpersist()
 
 
 def temperature_plan(

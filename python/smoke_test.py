@@ -888,6 +888,35 @@ def main() -> None:
         assert ridx2.health().collect()[0]["k"] == 4
         print("round-22 semdedup rebalance bindings ok")
 
+        # r22: ANN index handle — deterministic fixed-quantizer build,
+        # cell-pruned search vs exact brute force, health, write/append/
+        # load/retrain loop
+        bf = gops.brute_force_top_k(emb, emb.where("vec_id < 4"),
+                                    "vec_id", "embedding", k=3)
+        assert bf.groupBy("query_id").count().collect()[0]["count"] == 3
+        ivf = gops.IvfIndexHandle.build_with_centers(
+            emb, "vec_id", "embedding", cdf)
+        full = ivf.search(emb.where("vec_id < 4"), "vec_id", "embedding",
+                          k=3, n_probe=8)
+        bf_set = {(r["query_id"], r["corpus_id"]) for r in bf.collect()}
+        full_set = {(r["query_id"], r["corpus_id"]) for r in full.collect()}
+        assert full_set == bf_set, "all-cells IVF != brute force"
+        h = ivf.health().collect()[0]
+        assert h["n_cells"] == 8 and h["n_vectors"] == emb.count()
+        ivf_dir = tempfile.mkdtemp(prefix="ivf_py") + "/idx"
+        ivf.write(ivf_dir)
+        n_app = gops.IvfIndexHandle.append(
+            spark, ivf_dir,
+            emb.selectExpr("vec_id + 1000000 AS vec_id", "embedding"),
+            "vec_id", "embedding")
+        assert n_app == emb.count()
+        grown = gops.IvfIndexHandle.load(spark, ivf_dir)
+        assert grown.cells.count() == 2 * emb.count()
+        ret = gops.IvfIndexHandle.retrain(spark, ivf_dir, max_iter=3)
+        assert (ret.health().collect()[0]["n_cells"]
+                == ret.health().collect()[0]["recommended_cells"])
+        print("round-22 ANN index bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

@@ -2868,6 +2868,26 @@ object SparkEntry {
       Seq((5L, total, 50L, hits * 100L >= total * 50L))
         .toDF("k", "n_results", "floor_pct", "meets_floor")
     },
+    // IVF health audit (IvfIndex.health — the frozen-quantizer drift
+    // report) under a hard oracle: a caller-supplied quantizer
+    // (embeddings vec_id < 8, the q_ann_ivf_pruned fixture) makes the
+    // cell assignment deterministic, so the per-cell population stats,
+    // the imbalance ratio, and the recommendedCells rule all replay in
+    // SQL. Integer counts hash exactly; the two ratios are round-6
+    // output-only (rule 1).
+    "q_ann_ivf_health" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val idx = graft.ops.IvfIndex.buildWithCenters(e, "vec_id", "embedding", cents)
+      idx.health()
+        .select(col("n_vectors"), col("n_cells"), col("max_cell"),
+          (round(col("avg_cell"), 6) + lit(0.0)).as("avg_cell"),
+          (round(col("imbalance"), 6) + lit(0.0)).as("imbalance"),
+          col("recommended_cells"))
+    },
     // The cell-PRUNED IVF path (nProbe < nCells) under a hard oracle: a
     // caller-supplied quantizer (embeddings vec_id < 8) makes the cell
     // partition, the probe sets, and therefore the pruned candidate set
@@ -6983,6 +7003,28 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10)
         |WHERE rank <= 5""".stripMargin,
+    // IVF health replay: the fixed-quantizer assignment (min sqdist,
+    // ties to the lowest cell), per-cell counts, and the health report's
+    // arithmetic (avg = n/k; imbalance = max/avg; recommended = the
+    // max(8, ceil(sqrt(n))) sizing rule) — counts exact, ratios round-6.
+    "q_ann_ivf_health" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |           FROM embeddings WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT p.vec_id, c.cid AS cell,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_sum(list_transform(range(1, len(p.embedding)+1),
+        |        i -> (p.embedding[i]::DOUBLE - c.cv[i])^2)), c.cid) AS rn
+        |  FROM embeddings p, c) WHERE rn = 1),
+        |cnt AS (SELECT cell, count(*) AS n FROM asg GROUP BY 1),
+        |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+        |               CAST(max(n) AS BIGINT) AS max_cell FROM cnt)
+        |SELECT n_vectors, CAST(8 AS BIGINT) AS n_cells, max_cell,
+        |  round(n_vectors / 8.0, 6) + 0.0 AS avg_cell,
+        |  round(max_cell / (n_vectors / 8.0), 6) + 0.0 AS imbalance,
+        |  CAST(greatest(8, CAST(ceil(sqrt(n_vectors)) AS BIGINT)) AS BIGINT)
+        |    AS recommended_cells
+        |FROM agg""".stripMargin,
     // The in-gate recall guarantee row: structural integers (k, 5 results
     // per query, the floor) plus the verified flag — the Spark side
     // computes pruned-vs-full recall and asserts the floor; the oracle

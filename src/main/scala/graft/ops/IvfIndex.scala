@@ -69,6 +69,37 @@ final class IvfIndex private (
   }
 
   def unpersist(): Unit = { cells.unpersist(); () }
+
+  /** Operational health — the frozen-quantizer drift audit (the
+    * [[SemDedupIndex.health]] pattern for the ANN side): one
+    * cell-bounded aggregation over the cells frame returning
+    * (n_vectors, n_cells, max_cell, avg_cell, imbalance,
+    * recommended_cells). `imbalance` = max_cell / avg_cell (1.0 =
+    * perfectly balanced; as [[IvfIndex.append]] drifts the corpus away
+    * from what the quantizer was trained on, the biggest cells absorb
+    * the drift and probe cost/recall balance degrades — correctness
+    * never does). When `recommended_cells`
+    * ([[IvfIndex.recommendedCells]] of the CURRENT count) is well above
+    * `n_cells`, or imbalance grows, run [[IvfIndex.retrain]] at the
+    * next maintenance window. Gate-verified (q_ann_ivf_health).
+    */
+  def health(): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val row = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_vectors"),
+        coalesce(max(col("n")), lit(0L)).as("max_cell"))
+      .head()
+    val n = row.getLong(0)
+    val k = centroids.length
+    val avg = if (k == 0) 0.0 else n.toDouble / k
+    Seq((n, k.toLong, row.getLong(1), avg,
+      if (n == 0L) 0.0 else row.getLong(1).toDouble / avg,
+      IvfIndex.recommendedCells(n).toLong))
+      .toDF("n_vectors", "n_cells", "max_cell", "avg_cell", "imbalance",
+        "recommended_cells")
+  }
 }
 
 object IvfIndex {
@@ -134,6 +165,18 @@ object IvfIndex {
     new IvfIndex(cells, snap)
   }
 
+  /** py4j bridge for [[buildWithCenters]]: the quantizer rides as a
+    * k-row (cluster, cv) frame ordered by cluster (the
+    * [[SemDedupIndex.buildDf]] pattern — a nested double matrix does
+    * not cross the gateway). k-row driver collect, model state.
+    */
+  def buildWithCentersDf(corpus: DataFrame, idCol: String, vecCol: String,
+      centersDf: DataFrame): IvfIndex =
+    buildWithCenters(corpus, idCol, vecCol,
+      centersDf.select(col("cluster").cast("long").as("cluster"),
+          col("cv").cast("array<double>").as("cv"))
+        .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray))
+
   /** Nearest-center cell assignment, materialized once so every later
     * search skips it. Ties resolve to the lowest cell index.
     */
@@ -190,6 +233,63 @@ object IvfIndex {
       cells.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
       n
     } finally { cells.unpersist(); () }
+  }
+
+  /** FAISS-style coarse-quantizer sizing: nCells ≈ √n balances the
+    * probe's two cost terms (per-query work ~ nCells comparisons +
+    * nProbe·n/nCells scanned rows), the [[SemDedup.balancedK]] argument
+    * applied to IVF. [[IvfIndex#health]] reports this for the CURRENT
+    * stored count so drift is visible before it hurts.
+    */
+  def recommendedCells(n: Long, minCells: Int = 8): Int =
+    math.max(minCells.toLong, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** Retrain a WRITTEN index's coarse quantizer on its CURRENT stored
+    * corpus and rewrite it IN PLACE — the maintenance operation
+    * [[append]]'s frozen-quantizer contract defers to ("periodic
+    * retrain + rewrite, same as FAISS IVF"), now one call. `nCells = 0`
+    * uses [[recommendedCells]] of the stored count — exactly what
+    * [[IvfIndex#health]] recommends. Both payloads are STAGED then
+    * swapped (the rebuilt cells' lineage reads `path/cells`, the
+    * rule-13b read-while-overwrite surface; the cells frame is
+    * persisted+materialized by the build before the swap, and
+    * `refreshByPath` drops the stale file listing). Crash windows
+    * refuse loudly on the next load (missing dir), never serve a
+    * half-swapped index. Returns the RELOADED (disk-backed,
+    * partition-pruned) index.
+    */
+  def retrain(
+      spark: SparkSession,
+      path: String,
+      nCells: Int = 0,
+      maxIter: Int = 5,
+      seed: Long = 42L): IvfIndex = {
+    val cur = load(spark, path)
+    val n = cur.cells.count()
+    require(n > 0, s"IvfIndex.retrain: empty index at $path")
+    val k = if (nCells > 0) nCells else recommendedCells(n)
+    val idx = build(cur.cells, "corpus_id", "cv", k, maxIter, seed)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(name: String)(writeTo: String => Unit): Unit = {
+      val staged = new org.apache.hadoop.fs.Path(base, name + "_staged")
+      val live = new org.apache.hadoop.fs.Path(base, name)
+      writeTo(staged.toString)
+      fs.delete(live, true)
+      require(fs.rename(staged, live),
+        s"IvfIndex.retrain: could not swap $staged into place at $live")
+      spark.catalog.refreshByPath(live.toString)
+    }
+    swap("cells") { p =>
+      idx.cells.write.mode("overwrite").partitionBy("cell").parquet(p)
+    }
+    swap("centroids") { p =>
+      import spark.implicits._
+      idx.centroids.zipWithIndex.toSeq.toDF("centroid", "cell")
+        .write.mode("overwrite").parquet(p)
+    }
+    idx.unpersist()
+    load(spark, path)
   }
 
   /** Reopen a written index. The cells scan stays lazy — Spark prunes the

@@ -221,6 +221,58 @@ class RecallSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("IvfIndex health + retrain: drift audit matches manual counts; " +
+    "in-place retrain preserves ids, resizes to the recommendation, and " +
+    "the swapped path reloads cleanly (rule-13b surface)") {
+    import spark.implicits._
+    val rnd = new java.util.Random(23)
+    val blobCenters = Array.fill(6)(Array.fill(8)(rnd.nextGaussian() * 5))
+    val pts = (0 until 480).map { i =>
+      val c = blobCenters(i % 6)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val all = pts.toDF("vec_id", "v")
+    val idx = graft.ops.IvfIndex.build(
+      all.where(col("vec_id") < 300), "vec_id", "v", nCells = 4,
+      maxIter = 8, seed = 7)
+    val dir = java.nio.file.Files.createTempDirectory("ivfret").toString
+    try {
+      idx.write(dir)
+      graft.ops.IvfIndex.append(spark, dir,
+        all.where(col("vec_id") >= 300), "vec_id", "v")
+      val grown = graft.ops.IvfIndex.load(spark, dir)
+      // health vs manual recount of the stored cells
+      val h = grown.health().head()
+      val manual = grown.cells.groupBy("cell").count()
+        .collect().map(_.getLong(1))
+      assert(h.getLong(0) == 480L && h.getLong(1) == 4L)
+      assert(h.getLong(2) == manual.max, "max_cell mismatch")
+      assert(math.abs(h.getDouble(3) - 480.0 / 4) < 1e-12)
+      assert(math.abs(h.getDouble(4) - manual.max / (480.0 / 4)) < 1e-12)
+      assert(h.getLong(5) == graft.ops.IvfIndex.recommendedCells(480L))
+      // retrain in place at the recommendation (ceil(sqrt(480)) = 22)
+      val retrained = graft.ops.IvfIndex.retrain(spark, dir, maxIter = 6,
+        seed = 9)
+      assert(retrained.centroids.length ==
+        graft.ops.IvfIndex.recommendedCells(480L))
+      assert(retrained.cells.select("corpus_id").as[Long].collect().toSet ==
+        (0L until 480L).toSet, "retrain changed the id set")
+      // the swapped path serves searches and reloads cleanly
+      val got = retrained.search(all.where(col("vec_id") < 4), "vec_id", "v",
+        k = 5, nProbe = 6)
+      assert(got.groupBy("query_id").count().collect().forall(_.getLong(1) == 5L))
+      val reload = graft.ops.IvfIndex.load(spark, dir)
+      assert(reload.cells.count() == 480L)
+      assert(reload.health().head().getLong(1) ==
+        graft.ops.IvfIndex.recommendedCells(480L).toLong)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+    idx.unpersist()
+  }
+
   test("IvfIndex.append: incremental batch lands in the right cells; search equals a full rebuild") {
     import spark.implicits._
     val rnd = new java.util.Random(11)
