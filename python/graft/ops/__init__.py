@@ -42,6 +42,7 @@ __all__ = [
     "hard_negatives",
     "brute_force_top_k",
     "IvfIndexHandle",
+    "IvfPqIndexHandle",
     "temperature_plan",
     "top_per_domain",
     "domain_quota",
@@ -550,6 +551,96 @@ class IvfIndexHandle:
         recommended_cells) — retrain when recommended_cells is well
         above n_cells or imbalance grows (the frozen-quantizer drift
         audit)."""
+        return DataFrame(self._j.health(), self._spark)
+
+    def write(self, path: str) -> None:
+        self._j.write(path)
+
+    def unpersist(self) -> None:
+        self._j.unpersist()
+
+
+class IvfPqIndexHandle:
+    """IVF-PQ (IVFADC) ANN index (wraps the JVM ``graft.ops.IvfPqIndex``):
+    residual product-quantized codes (~30x compression) partitioned by
+    coarse cell; ``search`` scores by ADC lookup tables over the probed
+    cells only, ``search_rerank`` exact-reranks the top candidates
+    against the raw corpus. ``append`` encodes new batches against the
+    FROZEN quantizer+codebooks (codes from different codebooks cannot
+    share an ADC table); ``health`` audits drift; ``retrain`` rebuilds
+    in place FROM THE ORIGINAL CORPUS (stored codes are lossy by
+    design — never retrain on reconstructions)."""
+
+    def __init__(self, jindex, spark):
+        self._j = jindex
+        self._spark = spark
+
+    @staticmethod
+    def build(
+        corpus: DataFrame, id_col: str, vec_col: str, n_cells: int,
+        m: int = 8, ksub: int = 256, max_iter: int = 5,
+        sample_size: int = 10000, seed: int = 42, residual: bool = True,
+    ) -> "IvfPqIndexHandle":
+        j = _jvm(corpus).graft.ops.IvfPqIndex.build(
+            corpus._jdf, id_col, vec_col, int(n_cells), int(m), int(ksub),
+            int(max_iter), int(sample_size), int(seed), bool(residual))
+        return IvfPqIndexHandle(j, corpus.sparkSession)
+
+    @staticmethod
+    def load(spark, path: str) -> "IvfPqIndexHandle":
+        jvm = spark.sparkContext._jvm
+        return IvfPqIndexHandle(
+            jvm.graft.ops.IvfPqIndex.load(spark._jsparkSession, path), spark)
+
+    @staticmethod
+    def append(spark, path: str, batch: DataFrame, id_col: str,
+               vec_col: str) -> int:
+        """Encode + append a batch against the written index's frozen
+        state — batch-proportional; returns rows appended. Batch ids
+        must be new (dedup first)."""
+        jvm = spark.sparkContext._jvm
+        return int(jvm.graft.ops.IvfPqIndex.append(
+            spark._jsparkSession, path, batch._jdf, id_col, vec_col))
+
+    @staticmethod
+    def retrain(spark, path: str, corpus: DataFrame, id_col: str,
+                vec_col: str, n_cells: int = 0, m: int = 0, ksub: int = 0,
+                max_iter: int = 5, sample_size: int = 10000,
+                seed: int = 42) -> "IvfPqIndexHandle":
+        """Rebuild quantizer + codebooks on the ORIGINAL corpus and swap
+        the index in place (n_cells=0 -> the ~sqrt(n) recommendation;
+        m/ksub=0 keep the written geometry)."""
+        jvm = spark.sparkContext._jvm
+        return IvfPqIndexHandle(jvm.graft.ops.IvfPqIndex.retrain(
+            spark._jsparkSession, path, corpus._jdf, id_col, vec_col,
+            int(n_cells), int(m), int(ksub), int(max_iter),
+            int(sample_size), int(seed)), spark)
+
+    @property
+    def cells(self) -> DataFrame:
+        return DataFrame(self._j.cells(), self._spark)
+
+    def search(self, queries: DataFrame, id_col: str, vec_col: str,
+               k: int = 5, n_probe: int = 2,
+               exclude_self: bool = True) -> DataFrame:
+        """ADC-scored approximate cosine top-k: (query_id, rank,
+        corpus_id, adc_cosine)."""
+        return DataFrame(self._j.search(queries._jdf, id_col, vec_col,
+            int(k), int(n_probe), bool(exclude_self)), self._spark)
+
+    def search_rerank(self, queries: DataFrame, id_col: str, vec_col: str,
+                      corpus: DataFrame, k: int = 5, n_probe: int = 2,
+                      rerank_k: int = 50,
+                      exclude_self: bool = True) -> DataFrame:
+        """ADC candidates exact-reranked against the raw corpus:
+        (query_id, rank, corpus_id, cosine)."""
+        return DataFrame(self._j.searchRerank(queries._jdf, id_col,
+            vec_col, corpus._jdf, int(k), int(n_probe), int(rerank_k),
+            bool(exclude_self)), self._spark)
+
+    def health(self) -> DataFrame:
+        """(n_vectors, n_cells, max_cell, avg_cell, imbalance,
+        recommended_cells) — the shared cell-population drift audit."""
         return DataFrame(self._j.health(), self._spark)
 
     def write(self, path: str) -> None:

@@ -917,6 +917,31 @@ def main() -> None:
                 == ret.health().collect()[0]["recommended_cells"])
         print("round-22 ANN index bindings ok")
 
+        # r22: IVF-PQ handle — build/search/rerank/append/health/retrain
+        pq = gops.IvfPqIndexHandle.build(
+            emb, "vec_id", "embedding", n_cells=4, m=4, ksub=16,
+            max_iter=4, seed=5)
+        pr = pq.search_rerank(emb.where("vec_id < 3"), "vec_id",
+                              "embedding", emb, k=3, n_probe=4)
+        assert pr.groupBy("query_id").count().collect()[0]["count"] == 3
+        pq_dir = tempfile.mkdtemp(prefix="pq_py") + "/idx"
+        pq.write(pq_dir)
+        assert gops.IvfPqIndexHandle.append(
+            spark, pq_dir,
+            emb.selectExpr("vec_id + 1000000 AS vec_id", "embedding"),
+            "vec_id", "embedding") == emb.count()
+        ph = gops.IvfPqIndexHandle.load(spark, pq_dir).health().collect()[0]
+        assert ph["n_vectors"] == 2 * emb.count() and ph["n_cells"] == 4
+        emb2 = emb.selectExpr("vec_id", "embedding")
+        pret = gops.IvfPqIndexHandle.retrain(
+            spark, pq_dir,
+            emb2.unionByName(
+                emb2.selectExpr("vec_id + 1000000 AS vec_id", "embedding")),
+            "vec_id", "embedding", max_iter=3)
+        assert (pret.health().collect()[0]["n_cells"]
+                == pret.health().collect()[0]["recommended_cells"])
+        print("round-22 IVF-PQ bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

@@ -83,23 +83,7 @@ final class IvfIndex private (
     * `n_cells`, or imbalance grows, run [[IvfIndex.retrain]] at the
     * next maintenance window. Gate-verified (q_ann_ivf_health).
     */
-  def health(): DataFrame = {
-    val spark = cells.sparkSession
-    import spark.implicits._
-    val row = cells.groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n_vectors"),
-        coalesce(max(col("n")), lit(0L)).as("max_cell"))
-      .head()
-    val n = row.getLong(0)
-    val k = centroids.length
-    val avg = if (k == 0) 0.0 else n.toDouble / k
-    Seq((n, k.toLong, row.getLong(1), avg,
-      if (n == 0L) 0.0 else row.getLong(1).toDouble / avg,
-      IvfIndex.recommendedCells(n).toLong))
-      .toDF("n_vectors", "n_cells", "max_cell", "avg_cell", "imbalance",
-        "recommended_cells")
-  }
+  def health(): DataFrame = IvfIndex.cellHealth(cells, centroids.length)
 }
 
 object IvfIndex {
@@ -233,6 +217,29 @@ object IvfIndex {
       cells.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
       n
     } finally { cells.unpersist(); () }
+  }
+
+  /** The ONE cell-population audit behind [[IvfIndex#health]] and
+    * [[IvfPqIndex#health]] (rule 5): a single cell-bounded aggregation
+    * over a (…, cell) frame. The q_ann_ivf_health gate hash-verifies
+    * this body; the PQ index's health is the identical code path over
+    * its own cells frame.
+    */
+  private[ops] def cellHealth(cells: DataFrame, nCells: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val row = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_vectors"),
+        coalesce(max(col("n")), lit(0L)).as("max_cell"))
+      .head()
+    val n = row.getLong(0)
+    val avg = if (nCells == 0) 0.0 else n.toDouble / nCells
+    Seq((n, nCells.toLong, row.getLong(1), avg,
+      if (n == 0L) 0.0 else row.getLong(1).toDouble / avg,
+      recommendedCells(n).toLong))
+      .toDF("n_vectors", "n_cells", "max_cell", "avg_cell", "imbalance",
+        "recommended_cells")
   }
 
   /** FAISS-style coarse-quantizer sizing: nCells ≈ √n balances the

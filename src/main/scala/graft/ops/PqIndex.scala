@@ -325,9 +325,145 @@ final class IvfPqIndex private[ops] (
   }
 
   def unpersist(): Unit = { cells.unpersist(); () }
+
+  /** Operational health — the frozen-quantizer drift audit, the
+    * IDENTICAL code path as [[IvfIndex#health]]
+    * ([[IvfIndex.cellHealth]]; hash-gated via q_ann_ivf_health):
+    * (n_vectors, n_cells, max_cell, avg_cell, imbalance,
+    * recommended_cells). As [[IvfPqIndex.append]] drifts the corpus
+    * away from the trained coarse quantizer AND codebooks, cell skew is
+    * the visible symptom (quantization error drifts silently with it —
+    * both come from the same distribution shift). When
+    * `recommended_cells` outgrows `n_cells`, [[IvfPqIndex.retrain]]
+    * from the ORIGINAL corpus at the maintenance window.
+    */
+  def health(): DataFrame = IvfIndex.cellHealth(cells, centroids.length)
 }
 
 object IvfPqIndex {
+
+  /** ONE fused pass encoding a batch against FROZEN model state —
+    * nearest-cell assignment, raw norm, residual (when the index is
+    * residual-mode), PQ codes — producing the exact cells schema.
+    * Shared by [[append]]; bit-identical rule to [[build]]'s two-pass
+    * form (same tie-break, same residual arithmetic, same codebook
+    * argmin).
+    */
+  private def encodeBatch(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      cb: PqCodebook,
+      residual: Boolean): DataFrame = {
+    val c = Dedup.fanOut(batch
+      .select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cv")))
+    val spark = c.sparkSession
+    val bcCent = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val kern = new SquaredEuclideanKernel
+    val u = udf { (xs: Seq[Double]) =>
+      val x = xs.toArray
+      var best = 0; var bd = Double.MaxValue
+      var i = 0
+      while (i < bcCent.value.length) {
+        val d = kern.divergence(x, bcCent.value(i))
+        if (d < bd) { bd = d; best = i }
+        i += 1
+      }
+      val norm = math.sqrt(x.map(v => v * v).sum)
+      val enc =
+        if (residual) {
+          val cent = bcCent.value(best)
+          val r = new Array[Double](x.length)
+          var j = 0
+          while (j < x.length) { r(j) = x(j) - cent(j); j += 1 }
+          r
+        } else x
+      (best, bcCb.value.encode(enc), norm)
+    }
+    c.withColumn("__a", u(col("cv")))
+      .select(col("corpus_id"), col("__a._1").as("cell"),
+        col("__a._2").as("codes"), col("__a._3").as("norm"))
+  }
+
+  /** Append a new batch to a WRITTEN index without retraining — the
+    * PQ twin of [[IvfIndex.append]]: the persisted coarse quantizer
+    * assigns cells, the persisted CODEBOOKS encode (frozen by design —
+    * codes from different codebooks cannot share an ADC table), and
+    * the rows append into their cell partitions. Batch-proportional
+    * cost; returns rows appended. Batch ids must be new (dedup first).
+    * Distribution drift degrades quantization error as well as cell
+    * balance — [[IvfPqIndex#health]] surfaces the latter; retrain from
+    * the original corpus when it grows.
+    */
+  def append(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String): Long = {
+    val idx = load(spark, path)
+    val enc = encodeBatch(batch, idCol, vecCol, idx.centroids,
+      idx.codebook, idx.residual)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = enc.count()
+      enc.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      n
+    } finally { enc.unpersist(); () }
+  }
+
+  /** Retrain a WRITTEN index IN PLACE — from the ORIGINAL corpus, by
+    * contract: PQ cells store lossy CODES only (the compression is the
+    * point), and retraining codebooks on their own reconstructions
+    * compounds quantization error instead of fixing it, so unlike
+    * [[IvfIndex.retrain]] this cannot bootstrap from the store. `nCells
+    * = 0` uses [[IvfIndex.recommendedCells]] of the corpus count;
+    * `m/ksub = 0` keep the written index's code geometry. Both builds
+    * of state are staged then swapped (cells, centroids, codebook,
+    * meta — the rule-13b read-while-overwrite surface; the fresh build
+    * reads nothing from `path`, so only the swap itself is sensitive),
+    * with `refreshByPath` after each swap. Returns the RELOADED index.
+    */
+  def retrain(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 0,
+      m: Int = 0,
+      ksub: Int = 0,
+      maxIter: Int = 5,
+      sampleSize: Int = 10000,
+      seed: Long = 42L): IvfPqIndex = {
+    val cur = load(spark, path)
+    val n = corpus.count()
+    require(n > 0, "IvfPqIndex.retrain: empty corpus")
+    val k = if (nCells > 0) nCells else IvfIndex.recommendedCells(n)
+    val mm = if (m > 0) m else cur.codebook.m
+    val kk = if (ksub > 0) ksub else cur.codebook.ksub
+    val idx = build(corpus, idCol, vecCol, k, mm, kk, maxIter, sampleSize,
+      seed, cur.residual)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(base, "__retrain_staged")
+    fs.delete(staging, true)
+    idx.write(staging.toString)
+    Seq("cells", "centroids", "codebook", "meta").foreach { name =>
+      val staged = new org.apache.hadoop.fs.Path(staging, name)
+      val live = new org.apache.hadoop.fs.Path(base, name)
+      fs.delete(live, true)
+      require(fs.rename(staged, live),
+        s"IvfPqIndex.retrain: could not swap $staged into place at $live")
+      spark.catalog.refreshByPath(live.toString)
+    }
+    fs.delete(staging, true)
+    idx.unpersist()
+    load(spark, path)
+  }
 
   /** Build: train the coarse quantizer (shared with IvfIndex's design)
     * and the PQ codebooks, then encode every row ONCE. The cached cells

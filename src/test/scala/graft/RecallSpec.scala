@@ -273,6 +273,66 @@ class RecallSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("IvfPqIndex append/health/retrain: appended duplicates encode " +
+    "bit-identically to their originals under the frozen state; health " +
+    "is the shared cell audit; retrain-from-corpus swaps in place") {
+    import spark.implicits._
+    val rnd = new java.util.Random(31)
+    val blobCenters = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val pts = (0 until 400).map { i =>
+      val c = blobCenters(i % 4)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val base = pts.toDF("vec_id", "v")
+    val idx = graft.ops.IvfPqIndex.build(base, "vec_id", "v",
+      nCells = 4, m = 4, ksub = 16, maxIter = 6, seed = 3)
+    val dir = java.nio.file.Files.createTempDirectory("pqret").toString
+    try {
+      idx.write(dir)
+      // append the SAME vectors under offset ids: frozen quantizer +
+      // frozen codebooks must reproduce cell, codes, and norm exactly
+      val batch = base.select((col("vec_id") + lit(1000L)).as("vec_id"), col("v"))
+      val n = graft.ops.IvfPqIndex.append(spark, dir, batch, "vec_id", "v")
+      assert(n == 400L)
+      val grown = graft.ops.IvfPqIndex.load(spark, dir)
+      assert(grown.cells.count() == 800L)
+      val a = grown.cells.where(col("corpus_id") < 1000L)
+        .select(col("corpus_id").as("id"), col("cell").as("ca"),
+          col("codes").as("ka"), col("norm").as("na"))
+      val b = grown.cells.where(col("corpus_id") >= 1000L)
+        .select((col("corpus_id") - lit(1000L)).as("id"), col("cell").as("cb"),
+          col("codes").as("kb"), col("norm").as("nb"))
+      val joined = a.join(b, Seq("id"))
+      assert(joined.count() == 400L)
+      assert(joined.where(col("ca") =!= col("cb") ||
+        col("ka") =!= col("kb") || col("na") =!= col("nb")).count() == 0L,
+        "appended encoding diverged from the original build's")
+      // health: the shared cell audit over the grown store
+      val h = grown.health().head()
+      assert(h.getLong(0) == 800L && h.getLong(1) == 4L)
+      assert(h.getLong(5) == graft.ops.IvfIndex.recommendedCells(800L))
+      // retrain from the ORIGINAL corpus (store codes are lossy by
+      // design): resizes to the recommendation, keeps geometry, reloads
+      val all = base.unionByName(batch)
+      val ret = graft.ops.IvfPqIndex.retrain(spark, dir, all, "vec_id", "v",
+        maxIter = 4, seed = 9)
+      assert(ret.centroids.length == graft.ops.IvfIndex.recommendedCells(800L))
+      assert(ret.codebook.m == 4 && ret.codebook.ksub == 16)
+      assert(ret.cells.select("corpus_id").as[Long].collect().toSet ==
+        (pts.map(_._1) ++ pts.map(_._1 + 1000L)).toSet)
+      val got = ret.search(base.where(col("vec_id") < 3), "vec_id", "v",
+        k = 5, nProbe = ret.centroids.length)
+      assert(got.groupBy("query_id").count().collect()
+        .forall(_.getLong(1) == 5L))
+      assert(graft.ops.IvfPqIndex.load(spark, dir).cells.count() == 800L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+    idx.unpersist()
+  }
+
   test("IvfIndex.append: incremental batch lands in the right cells; search equals a full rebuild") {
     import spark.implicits._
     val rnd = new java.util.Random(11)
