@@ -256,14 +256,19 @@ object IvfIndex {
     * [[append]]'s frozen-quantizer contract defers to ("periodic
     * retrain + rewrite, same as FAISS IVF"), now one call. `nCells = 0`
     * uses [[recommendedCells]] of the stored count — exactly what
-    * [[IvfIndex#health]] recommends. Both payloads are STAGED then
-    * swapped (the rebuilt cells' lineage reads `path/cells`, the
-    * rule-13b read-while-overwrite surface; the cells frame is
-    * persisted+materialized by the build before the swap, and
-    * `refreshByPath` drops the stale file listing). Crash windows
-    * refuse loudly on the next load (missing dir), never serve a
-    * half-swapped index. Returns the RELOADED (disk-backed,
-    * partition-pruned) index.
+    * [[IvfIndex#health]] recommends. The WHOLE index directory is
+    * staged as a sibling then swapped in one delete+rename (the
+    * rebuilt cells' lineage reads `path/cells`, the rule-13b
+    * read-while-overwrite surface — the cells frame is
+    * persisted+materialized by the build before the old dir is
+    * touched, and `refreshByPath` drops the stale file listing). A
+    * whole-dir swap, NOT per-payload swaps: a crash between
+    * per-payload renames would leave new cells next to old centroids —
+    * a silently DESYNCHRONIZED index (wrong probes, no error; this
+    * index carries no content digests to catch the mix, unlike
+    * [[SemDedupIndex]]). With the whole-dir swap every crash window
+    * leaves either the intact old index or a loudly-missing dir.
+    * Returns the RELOADED (disk-backed, partition-pruned) index.
     */
   def retrain(
       spark: SparkSession,
@@ -276,27 +281,29 @@ object IvfIndex {
     require(n > 0, s"IvfIndex.retrain: empty index at $path")
     val k = if (nCells > 0) nCells else recommendedCells(n)
     val idx = build(cur.cells, "corpus_id", "cv", k, maxIter, seed)
-    val base = new org.apache.hadoop.fs.Path(path)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(name: String)(writeTo: String => Unit): Unit = {
-      val staged = new org.apache.hadoop.fs.Path(base, name + "_staged")
-      val live = new org.apache.hadoop.fs.Path(base, name)
-      writeTo(staged.toString)
-      fs.delete(live, true)
-      require(fs.rename(staged, live),
-        s"IvfIndex.retrain: could not swap $staged into place at $live")
-      spark.catalog.refreshByPath(live.toString)
-    }
-    swap("cells") { p =>
-      idx.cells.write.mode("overwrite").partitionBy("cell").parquet(p)
-    }
-    swap("centroids") { p =>
-      import spark.implicits._
-      idx.centroids.zipWithIndex.toSeq.toDF("centroid", "cell")
-        .write.mode("overwrite").parquet(p)
-    }
+    swapIndexDir(spark, path, "IvfIndex.retrain")(idx.write)
     idx.unpersist()
     load(spark, path)
+  }
+
+  /** Whole-directory stage-and-swap shared by [[retrain]] and
+    * [[IvfPqIndex.retrain]] (rule 5): write the fresh index to a
+    * SIBLING staging dir, then one delete + one rename, then
+    * `refreshByPath` so Spark's shared FileStatusCache forgets the old
+    * part files (rule 13b).
+    */
+  private[ops] def swapIndexDir(spark: SparkSession, path: String,
+      site: String)(writeTo: String => Unit): Unit = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      base.getParent, base.getName + "__retrain_staged")
+    fs.delete(staging, true)
+    writeTo(staging.toString)
+    fs.delete(base, true)
+    require(fs.rename(staging, base),
+      s"$site: could not swap $staging into place at $base")
+    spark.catalog.refreshByPath(base.toString)
   }
 
   /** Reopen a written index. The cells scan stays lazy — Spark prunes the

@@ -421,11 +421,13 @@ object IvfPqIndex {
     * compounds quantization error instead of fixing it, so unlike
     * [[IvfIndex.retrain]] this cannot bootstrap from the store. `nCells
     * = 0` uses [[IvfIndex.recommendedCells]] of the corpus count;
-    * `m/ksub = 0` keep the written index's code geometry. Both builds
-    * of state are staged then swapped (cells, centroids, codebook,
-    * meta — the rule-13b read-while-overwrite surface; the fresh build
-    * reads nothing from `path`, so only the swap itself is sensitive),
-    * with `refreshByPath` after each swap. Returns the RELOADED index.
+    * `m/ksub = 0` keep the written index's code geometry. The WHOLE
+    * index directory is staged as a sibling and swapped in one
+    * delete+rename ([[IvfIndex.swapIndexDir]] — per-payload swaps
+    * would open a crash window of new cells next to old
+    * centroids/codebooks, a silently desynchronized index with no
+    * digests to catch it; the whole-dir swap leaves either the intact
+    * old index or a loudly-missing dir). Returns the RELOADED index.
     */
   def retrain(
       spark: SparkSession,
@@ -447,20 +449,7 @@ object IvfPqIndex {
     val kk = if (ksub > 0) ksub else cur.codebook.ksub
     val idx = build(corpus, idCol, vecCol, k, mm, kk, maxIter, sampleSize,
       seed, cur.residual)
-    val base = new org.apache.hadoop.fs.Path(path)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(base, "__retrain_staged")
-    fs.delete(staging, true)
-    idx.write(staging.toString)
-    Seq("cells", "centroids", "codebook", "meta").foreach { name =>
-      val staged = new org.apache.hadoop.fs.Path(staging, name)
-      val live = new org.apache.hadoop.fs.Path(base, name)
-      fs.delete(live, true)
-      require(fs.rename(staged, live),
-        s"IvfPqIndex.retrain: could not swap $staged into place at $live")
-      spark.catalog.refreshByPath(live.toString)
-    }
-    fs.delete(staging, true)
+    IvfIndex.swapIndexDir(spark, path, "IvfPqIndex.retrain")(idx.write)
     idx.unpersist()
     load(spark, path)
   }
