@@ -2709,6 +2709,10 @@ object SparkEntry {
           (round(col("centroid_sim"), 6) + lit(0.0)).as("centroid_sim"),
           col("dup_of"), col("n_dup_matches"), col("keep"))
       bootVerdicts.unpersist()
+      // probe's result is persisted+materialized, so the keeper cache can
+      // release like the rebalance/stream siblings — build's contract
+      // hands the caller the unpersist
+      idx.keepers.unpersist()
       out
     },
     // The maintenance REBALANCE (SemDedupIndex.rebalanceTo): the same
@@ -6704,7 +6708,7 @@ object SparkEntry {
         |mx AS (SELECT max(cnt) AS m FROM ccnt),
         |dying AS (SELECT cluster, row_number() OVER (ORDER BY cluster) AS r
         |  FROM ccnt, mx WHERE cnt < 0.01 * m),
-        |cand AS (SELECT pv, row_number() OVER (ORDER BY d2 DESC, vec_id) AS r
+        |cand AS (SELECT pv, row_number() OVER (ORDER BY round(d2, 6) DESC, vec_id) AS r
         |  FROM asg)
         |SELECT m.cluster, CAST(m.i AS BIGINT) AS i,
         |  round(CASE WHEN d.r IS NOT NULL THEN cand.pv[m.i + 1]

@@ -194,10 +194,14 @@ class MiniBatchKMeans(override val uid: String)
       // dying-center rule AFTER the merge (the counts it tests include
       // this batch); candidate costs are vs the PRE-update centers (the
       // assigned plan owns a private copy) — same vantage as the
-      // batch-0 local path
+      // batch-0 local path. The batch carries no id column, so exact
+      // dist ties (duplicate vectors are common pre-dedup) break on a
+      // deterministic feature hash instead of partition order — fit is
+      // replayable run-to-run given the seed
       if ($(reassignmentRatio) > 0)
         nReassigned += MiniBatchKMeans.reassignDying(assigned, arrCol,
-          centers, counts, $(reassignmentRatio), Nil)
+          centers, counts, $(reassignmentRatio),
+          Seq(xxhash64(col(arrCol)).asc))
       if (batchW > 0) {
         val avg = batchCost / batchW
         distHist += avg
@@ -263,13 +267,18 @@ object MiniBatchKMeans
   /** The `reassignmentRatio` dying-center rule over a DISTRIBUTED
     * assigned batch (columns: features + cluster + dist): centers with
     * `counts(c) < ratio · max(counts)` move to the batch's
-    * highest-assignment-cost points (dist DESC, then `tieCols` — pass an
-    * id column for exact replayability; fit's internal batches carry no
-    * id and rely on seeded sampling + continuous costs instead), counts
-    * reset to 1. One extra |dying|-row top-k job over the batch, paid
-    * ONLY when a center is actually dying. Mutates in place; returns the
-    * number reassigned (≤ |dying| if the batch is smaller). Ascending
-    * cluster ids claim candidates first.
+    * highest-assignment-cost points (ROUND-6 dist DESC, then `tieCols` —
+    * pass an id column for exact replayability; fit passes a
+    * feature-hash tiebreak so runs replay even without ids), counts
+    * reset to 1. The cost key is rounded to 6 decimals BEFORE the DESC
+    * order (the rule-1/13b float-argmax ban: two engines' sqdist sums
+    * can differ a ulp near a tie and flip WHICH point a raw-float order
+    * picks; at 6dp the tiebreak owns that zone — the q_semdedup round-6
+    * msim discipline, and the q_minibatch_reassign oracle orders by
+    * round(d2, 6) the same way). One extra |dying|-row top-k job over
+    * the batch, paid ONLY when a center is actually dying. Mutates in
+    * place; returns the number reassigned (≤ |dying| if the batch is
+    * smaller). Ascending cluster ids claim candidates first.
     */
   private[clustering] def reassignDying(assigned: DataFrame, arrCol: String,
       centers: Array[Array[Double]], counts: Array[Double], ratio: Double,
@@ -278,7 +287,7 @@ object MiniBatchKMeans
     val dying = centers.indices.filter(c => counts(c) < ratio * maxc)
     if (dying.isEmpty) return 0
     val far = assigned
-      .orderBy(col("dist").desc +: tieCols: _*)
+      .orderBy(round(col("dist"), 6).desc +: tieCols: _*)
       .limit(dying.length)
       .select(col(arrCol)).collect()
       .map(_.getSeq[Double](0).toArray)

@@ -288,9 +288,15 @@ object IvfIndex {
 
   /** Whole-directory stage-and-swap shared by [[retrain]] and
     * [[IvfPqIndex.retrain]] (rule 5): write the fresh index to a
-    * SIBLING staging dir, then one delete + one rename, then
-    * `refreshByPath` so Spark's shared FileStatusCache forgets the old
-    * part files (rule 13b).
+    * SIBLING staging dir, park the live dir aside as `__retrain_old`,
+    * rename the staged dir into place, THEN delete the parked old dir,
+    * and `refreshByPath` so Spark's shared FileStatusCache forgets the
+    * old part files (rule 13b). The park-then-swap order (r18 advice)
+    * means no crash window ever deletes the only copy: a failure
+    * between the two renames leaves the previous index intact at
+    * `<path>__retrain_old` — recoverable by a single rename — where the
+    * old delete-then-rename order left NO live index if the rename
+    * failed or the process died between the two.
     */
   private[ops] def swapIndexDir(spark: SparkSession, path: String,
       site: String)(writeTo: String => Unit): Unit = {
@@ -298,11 +304,18 @@ object IvfIndex {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(
       base.getParent, base.getName + "__retrain_staged")
+    val parked = new org.apache.hadoop.fs.Path(
+      base.getParent, base.getName + "__retrain_old")
     fs.delete(staging, true)
     writeTo(staging.toString)
-    fs.delete(base, true)
+    fs.delete(parked, true)
+    if (fs.exists(base))
+      require(fs.rename(base, parked),
+        s"$site: could not park the live index $base aside at $parked")
     require(fs.rename(staging, base),
-      s"$site: could not swap $staging into place at $base")
+      s"$site: could not swap $staging into place at $base" +
+        s" (previous index preserved at $parked — rename it back to recover)")
+    fs.delete(parked, true)
     spark.catalog.refreshByPath(base.toString)
   }
 
