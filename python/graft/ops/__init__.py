@@ -2430,6 +2430,25 @@ class SemDedupIndexHandle:
             jvm.graft.ops.SemDedupIndex.read(spark._jsparkSession, path),
             spark)
 
+    @staticmethod
+    def ingest_into(
+        spark, path: str, batch: DataFrame, id_col: str, vec_col: str,
+        max_cluster_size: int = 20000,
+    ) -> DataFrame:
+        """PARTITION-SCOPED ingest against a WRITTEN index at ``path``:
+        probe the batch against only the cluster partitions it assigns
+        to, admit the novel docs, and rewrite ONLY those partitions —
+        O(batch + touched-cluster keepers) end to end, never O(store).
+        The batch-cadence write-back (streaming ``ingestStream`` uses
+        this per micro-batch); ``write`` remains the full-store path
+        for bootstrap/rebalance. Idempotent on replay of the same
+        batch. Returns the verdict frame (persisted; caller owns the
+        release)."""
+        jvm = spark.sparkContext._jvm
+        return DataFrame(jvm.graft.ops.SemDedupIndex.ingestInto(
+            spark._jsparkSession, path, batch._jdf, id_col, vec_col,
+            int(max_cluster_size)), spark)
+
     def health(self) -> DataFrame:
         """(n_keepers, k, max_cluster, avg_cluster, recommended_k) —
         rebuild with fresh centers when recommended_k is well above k

@@ -876,6 +876,18 @@ def main() -> None:
         assert tidx.keepers.count() == tv.where("keep").count()
         print("round-21 fast-hash + incremental semdedup bindings ok")
 
+        # r19: partition-scoped write-back — verdicts equal the
+        # in-memory ingest's, store grows by exactly the novel docs
+        pv2 = gops.SemDedupIndexHandle.ingest_into(
+            spark, sem_dir + "/f", emb.where("vec_id % 7 = 0"),
+            "vec_id", "embedding")
+        assert pv2.count() == iv.count()
+        assert (pv2.where("keep").count() == kept2)
+        sidx_r2 = gops.SemDedupIndexHandle.read(spark, sem_dir + "/f")
+        assert sidx_r2.keepers.count() == sidx.keepers.count() + kept2
+        pv2.unpersist()
+        print("round-19 partition-scoped semdedup ingest binding ok")
+
         # r22: maintenance rebalance — keeper set preserved, partitioning
         # refreshed (fixed-centers and trained one-call forms)
         before_ids = {r["id"] for r in sidx.keepers.select("id").collect()}

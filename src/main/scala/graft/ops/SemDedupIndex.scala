@@ -59,14 +59,18 @@ import org.apache.spark.sql.functions._
   * probe re-checks the BATCH side (a skewed batch cluster would
   * otherwise run the quadratic co-batch compare).
   *
-  * Persistence (`write`/`read`): `path/keepers` + `path/centers`
-  * (parquet) + `path/semindex.json` (formatVersion, epsilon, k, dim,
-  * content digests — vectors digest via their sortable-bits longs, the
-  * [[SketchIo]] float rule, so the digest is JVM-formatter-independent).
-  * `read` recomputes both digests and refuses corruption, like every
-  * sketch handle. The reference engine has no incremental component at
-  * all (whole-corpus batch runs); this is `graft.ops` pipeline surface
-  * beyond it.
+  * Persistence (`write`/`read`, format v2): `path/keepers` parquet
+  * PARTITIONED BY cluster + `path/centers` + `path/semindex.json`
+  * (formatVersion, epsilon, k, dim, centerDigest, and a PER-CLUSTER
+  * keeper digest map — vectors digest via their sortable-bits longs,
+  * the [[SketchIo]] float rule, so digests are
+  * JVM-formatter-independent). `read` recomputes every digest and
+  * refuses corruption, like every sketch handle; the cluster-partition
+  * layout + per-cluster digests are what make
+  * [[SemDedupIndex.ingestInto]]'s batch-cadence write-back
+  * O(touched clusters) instead of O(store). The reference engine has no
+  * incremental component at all (whole-corpus batch runs); this is
+  * `graft.ops` pipeline surface beyond it.
   */
 final case class SemDedupIndex(
     keepers: DataFrame,
@@ -220,8 +224,13 @@ final case class SemDedupIndex(
 
 object SemDedupIndex {
 
-  /** Layout/compat marker for the on-disk format. */
-  val FormatVersion = 1
+  /** Layout/compat marker for the on-disk format. v2 (r18 verdict #1):
+    * the keeper store is parquet PARTITIONED BY cluster and the
+    * manifest carries PER-CLUSTER digests, so an ingest batch
+    * overwrites (and re-digests) only the cluster partitions it
+    * touched — write-back cost ∝ batch clusters, never store size.
+    */
+  val FormatVersion = 2
 
   /** Bootstrap an index from an initial corpus: the full batch
     * [[SemDedup.semDedupFixed]] recipe (components + keeper rule) runs
@@ -360,23 +369,25 @@ object SemDedupIndex {
     *
     * REPLAY SAFETY without a commit marker: unlike the MinHash store
     * (bucketed APPEND tables, which need the batch-id marker to gate
-    * re-appends), [[write]] rewrites the WHOLE keeper store via
-    * stage-and-swap — so each batch's cycle is made idempotent by
-    * anti-joining the batch's own ids out of the loaded store before
-    * probing. A replayed batch (restart between the store swap and the
-    * checkpoint commit) then sees exactly the pre-batch store, produces
-    * the identical verdicts (at-least-once to `sink`), and the
-    * re-written store converges to the same state (exactly-once
-    * effectively). Batch ids must be unique within the STREAM's
-    * lifetime (the monotone-id ingest contract above); ids may collide
-    * with a crashed attempt's — that is the case the anti-join heals.
+    * re-appends), each batch's cycle is idempotent by construction —
+    * [[ingestInto]] anti-joins the batch's own ids out of the touched
+    * cluster partitions before probing, so a replayed batch (restart
+    * between the partition overwrite and the checkpoint commit) sees
+    * exactly the pre-batch store, produces the identical verdicts
+    * (at-least-once to `sink`), and rewrites the touched partitions to
+    * identical content (exactly-once effectively). Batch ids must be
+    * unique within the STREAM's lifetime (the monotone-id ingest
+    * contract above); ids may collide with a crashed attempt's — that
+    * is the case the anti-join heals.
     *
-    * Cost shape per batch: one broadcast assignment over the batch, one
-    * cluster-equi-join probe against the store, one full store rewrite
-    * (the swap + digest recompute — measured 1.4–8 s at a 200k-vector
-    * store, docs/SCALE.md r22 loop row). For high-frequency small
-    * batches, buffer upstream (a tumbling-window trigger) so the store
-    * rewrite amortizes.
+    * Cost shape per batch (v2, r18 verdict #1): one broadcast
+    * assignment over the batch, one cluster-equi-join probe against the
+    * TOUCHED cluster partitions only, and one dynamic-partition
+    * overwrite + re-digest of those same clusters —
+    * O(batch + touched-cluster keepers) end to end, independent of
+    * store size (v1 paid a full store rewrite + full re-digest per
+    * batch; docs/SCALE.md has the before/after curve). Untouched
+    * partitions are physically untouched.
     */
   def ingestStream(
       vectors: DataFrame,
@@ -398,21 +409,7 @@ object SemDedupIndex {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           if (b.count() > 0) {
-            val idx0 = read(spark, path)
-            // idempotence: a replayed batch's ids may already be keepers
-            // (crash after the swap, before the checkpoint commit) — and
-            // probing a store that contains the batch itself would
-            // self-match every doc. Anti-join restores the pre-batch view.
-            val idx = idx0.copy(keepers =
-              idx0.keepers.join(b.select(col("id")), Seq("id"), "left_anti"))
-            val (verdicts0, next) = idx.ingest(b, "id", "v", maxClusterSize)
-            // snapshot BEFORE the swap: the verdict lineage reads
-            // path/keepers, which write() is about to replace
-            val verdicts = verdicts0.localCheckpoint(true)
-            verdicts0.unpersist()
-            // the new store's lineage also reads path/keepers; write()'s
-            // stage-and-swap materializes it before the delete (r17)
-            write(next, path)
+            val verdicts = ingestInto(spark, path, b, "id", "v", maxClusterSize)
             try sink(verdicts, batchId)
             finally verdicts.unpersist()
           }
@@ -421,6 +418,139 @@ object SemDedupIndex {
       }
       .start()
   }
+
+  /** PARTITION-SCOPED ingest against a WRITTEN index at `path` — the
+    * scale-safe batch/stream write-back (r18 verdict #1, replacing the
+    * whole-store stage-and-swap on the ingest cadence): probe the batch
+    * against only the cluster partitions it assigns to, admit the novel
+    * docs, and dynamic-partition-overwrite ONLY those clusters —
+    * validation, rewrite, and re-digesting all cost
+    * O(batch + touched-cluster keepers), never O(store). Returns the
+    * batch's verdict frame (persisted via localCheckpoint; caller owns
+    * the release), identical by definition to [[SemDedupIndex.probe]]'s
+    * against the same store (the q_semdedup_incremental oracle).
+    *
+    * Mechanics per batch:
+    *  1. manifest + centers load (k-row, validated against centerDigest);
+    *  2. broadcast assignment of the batch → the touched cluster set;
+    *  3. read ONLY `keepers/cluster=c` for touched c (explicit partition
+    *     paths — pruning by construction) and validate ONLY those
+    *     clusters' digests;
+    *  4. replay heal: anti-join the batch's own ids out of the loaded
+    *     slice (a replayed batch's earlier novel rows land in exactly
+    *     the clusters it re-assigns to, so the touched slice covers
+    *     them — same contract as [[ingestStream]]);
+    *  5. probe + novel extraction (the [[SemDedupIndex.ingest]] body);
+    *  6. localCheckpoint the replacement rows (heal ∪ novel) to cut the
+    *     lineage on `path/keepers`, then ONE
+    *     `partitionOverwriteMode=dynamic` write — untouched cluster
+    *     partitions are physically untouched (spec-pinned file-listing
+    *     identity);
+    *  7. re-digest the touched clusters from what was WRITTEN and merge
+    *     those entries into the manifest map.
+    *
+    * Idempotent by construction: a replay re-derives identical verdicts
+    * against the healed pre-batch view and rewrites the touched
+    * partitions to identical content (exactly-once effectively,
+    * at-least-once to the caller's sink). The crash window between the
+    * partition write (6) and the manifest merge (7) leaves stale
+    * digests on the touched clusters — the next validation refuses
+    * loudly (the [[write]] contract; never silently-wrong verdicts).
+    * Batch ids must be unique and disjoint from OTHER batches' ids for
+    * the store's lifetime (the monotone-id ingest contract); colliding
+    * with a crashed attempt of the SAME batch is the healed case.
+    */
+  def ingestInto(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxClusterSize: Int = 20000): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods._
+    implicit val fmts: Formats = DefaultFormats
+    val meta = parse(SketchIo.readFile(spark, path, "semindex.json",
+      "SemDedupIndex.ingestInto"))
+    val ver = (meta \ "formatVersion").extract[Int]
+    require(ver == FormatVersion,
+      s"SemDedupIndex.ingestInto: formatVersion $ver unsupported (expected $FormatVersion)")
+    val epsilon = (meta \ "epsilon").extract[Double]
+    val storedDigs = (meta \ "keeperDigests").extract[Map[String, Long]]
+      .map { case (c, d) => c.toLong -> d }
+    val centersDf = spark.read.parquet(s"$path/centers")
+    require(centerDigest(centersDf) == (meta \ "centerDigest").extract[Long],
+      s"SemDedupIndex.ingestInto: centers digest mismatch at $path/centers - " +
+        "refusing a corrupted index")
+    val centers = centersDf.orderBy("cluster").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    require(centers.length == (meta \ "k").extract[Int],
+      s"SemDedupIndex.ingestInto: centers on disk desynchronized from semindex.json")
+
+    val live = new org.apache.hadoop.fs.Path(path, "keepers")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partDir(c: Long) = new org.apache.hadoop.fs.Path(live, s"cluster=$c")
+    def readClusters(cs: Seq[Long]): DataFrame =
+      if (cs.isEmpty) emptyKeepers(spark)
+      else spark.read.option("basePath", live.toString)
+        .parquet(cs.map(c => partDir(c).toString): _*)
+        .select(col("id"), col("cluster").cast("long").as("cluster"), col("v"))
+
+    val assigned = SemDedup.assignFixed(batch, idCol, vecCol, centers)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    try {
+      val touched = assigned.select(col("cluster")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      if (touched.isEmpty) return probeEmptyResult(assigned)
+      // manifest/dir consistency over the touched set, both directions
+      val onDisk = touched.filter(c => fs.exists(partDir(c))).toSet
+      val storeT = readClusters(touched.filter(onDisk))
+      checkClusterDigests(keeperClusterDigests(storeT),
+        storedDigs.filter { case (c, _) => touched.contains(c) }, path,
+        "SemDedupIndex.ingestInto", "the touched clusters")
+      val batchIds = assigned.select(col("id"))
+      val healed = storeT.join(batchIds, Seq("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      healed.count()
+      val idx = SemDedupIndex(healed, centers, epsilon)
+      val verdicts0 = idx.probeAssigned(assigned, maxClusterSize)
+      val novel = assigned
+        .join(verdicts0.where(col("keep")).select(col("id")), Seq("id"))
+        .select(col("id"), col("cluster"), col("v"))
+      // snapshot BEFORE the overwrite: both frames' lineage reads the
+      // partitions the dynamic write is about to replace
+      val replacement = healed.unionByName(novel).localCheckpoint(true)
+      val verdicts = verdicts0.localCheckpoint(true)
+      verdicts0.unpersist()
+      healed.unpersist()
+      replacement.select("id", "cluster", "v")
+        .repartition(col("cluster"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster")
+        .parquet(live.toString)
+      // rule 13b: drop the stale file listing for the replaced partitions
+      spark.catalog.refreshByPath(live.toString)
+      // re-digest the touched clusters from what was WRITTEN (house
+      // rule) and merge into the manifest — O(touched), the v2 point
+      val newDigs = keeperClusterDigests(
+        readClusters(touched.filter(c => fs.exists(partDir(c)))))
+      writeManifest(spark, path, epsilon, centers.length,
+        centers.head.length, (meta \ "centerDigest").extract[Long],
+        storedDigs -- touched ++ newDigs)
+      verdicts
+    } finally assigned.unpersist()
+  }
+
+  /** The zero-row verdict frame with [[SemDedupIndex.probe]]'s schema —
+    * an empty ingest batch probes to nothing and must write nothing.
+    */
+  private def probeEmptyResult(assigned: DataFrame): DataFrame =
+    assigned.limit(0)
+      .select(col("id"), col("cluster"), col("centroid_sim"),
+        lit(null).cast("long").as("dup_of"), lit(0L).as("n_dup_matches"),
+        lit(true).as("keep"))
 
   /** py4j bridge: centers as a k-row (cluster, cv) frame ordered by
     * cluster — the [[Prototypes]] Df pattern (a nested double matrix
@@ -435,15 +565,20 @@ object SemDedupIndex {
         .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray),
       epsilon, keeper, maxClusterSize)
 
-  /** Digest columns for the keeper frame: vectors ride as their
-    * sortable-bits longs rendered through the array cast — the
-    * [[SketchIo.canonicalCol]] float rule applied element-wise, so the
-    * digest never depends on a JVM double formatter.
+  /** PER-CLUSTER digest map for the keeper frame (one grouped
+    * aggregation): vectors ride as their sortable-bits longs rendered
+    * through the array cast — the [[SketchIo.canonicalCol]] float rule
+    * applied element-wise, so the digest never depends on a JVM double
+    * formatter. Per-cluster granularity is the v2 point: [[ingestInto]]
+    * validates and re-digests ONLY the clusters a batch touched. ≤ k
+    * rows collected (quantizer-sized, model state).
     */
-  private def keeperDigest(df: DataFrame): Long =
-    SketchIo.xorDigestCols(df, Seq(col("id"), col("cluster"),
-      transform(col("v"), x => graft.functions.SortableBits.sortable(x))
-        .cast("string")))
+  private def keeperClusterDigests(df: DataFrame): Map[Long, Long] =
+    SketchIo.xorDigestColsBy(df, col("cluster").cast("long"),
+      Seq(col("id"),
+        transform(col("v"), x => graft.functions.SortableBits.sortable(x))
+          .cast("string")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   private def centerDigest(df: DataFrame): Long =
     SketchIo.xorDigestCols(df, Seq(col("cluster"),
@@ -451,19 +586,26 @@ object SemDedupIndex {
         .cast("string")))
 
   /** Persist keepers + centers + geometry + content digests at `path`
-    * (overwrites). Digests are computed over what was WRITTEN (house
-    * rule: a failed/partial write must not inherit a valid digest).
+    * (overwrites) — the FULL-store write for bootstrap and the
+    * maintenance paths (rebalance/retrain), which legitimately touch
+    * every cluster. Batch-cadence writers use [[ingestInto]], which
+    * overwrites only touched cluster partitions. Digests are computed
+    * over what was WRITTEN (house rule: a failed/partial write must not
+    * inherit a valid digest) and are PER CLUSTER (v2), matching the
+    * `partitionBy("cluster")` layout.
     *
     * The keeper payload is STAGED then swapped (write to
-    * `keepers_staged`, delete `keepers`, rename) because the canonical
-    * ingest loop — read(path) → ingest(batch) → write back to the SAME
-    * path — produces a keeper frame whose lineage still READS
-    * `path/keepers`, and Spark refuses a direct overwrite of a path
-    * being read (r17 review; a lazy union is the point, not a bug: the
-    * old store must never be rescanned eagerly). Crash windows refuse
-    * loudly on the next read: mid-swap leaves no keeper dir (parquet
-    * read fails), post-swap-pre-json leaves a stale digest ("digest
-    * mismatch") — never silently-wrong verdicts.
+    * `keepers_staged`, park `keepers` aside, rename, delete the parked
+    * copy) because the canonical ingest loop — read(path) →
+    * ingest(batch) → write back to the SAME path — produces a keeper
+    * frame whose lineage still READS `path/keepers`, and Spark refuses
+    * a direct overwrite of a path being read (r17 review; a lazy union
+    * is the point, not a bug: the old store must never be rescanned
+    * eagerly). The park-then-swap order means no crash window deletes
+    * the only copy (the [[IvfIndex.swapIndexDir]] discipline); crash
+    * windows refuse loudly on the next read: mid-swap leaves no keeper
+    * dir (parquet read fails), post-swap-pre-json leaves stale digests
+    * ("digest mismatch") — never silently-wrong verdicts.
     */
   def write(index: SemDedupIndex, path: String): Unit = {
     val spark = index.keepers.sparkSession
@@ -473,12 +615,23 @@ object SemDedupIndex {
       "SemDedupIndex.write: ragged centers")
     val staged = new org.apache.hadoop.fs.Path(path, "keepers_staged")
     val live = new org.apache.hadoop.fs.Path(path, "keepers")
+    val parked = new org.apache.hadoop.fs.Path(path, "keepers_old")
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasKeepers = !index.keepers.isEmpty
+    // repartition by cluster so the partitioned layout lands ~1 file per
+    // cluster instead of (#tasks × #clusters) small files; keeper order
+    // within a cluster is irrelevant (set semantics, XOR digests)
     index.keepers.select("id", "cluster", "v")
-      .write.mode("overwrite").parquet(staged.toString)
-    fs.delete(live, true)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(staged.toString)
+    fs.delete(parked, true)
+    if (fs.exists(live))
+      require(fs.rename(live, parked),
+        s"SemDedupIndex.write: could not park $live aside at $parked")
     require(fs.rename(staged, live),
-      s"SemDedupIndex.write: could not swap $staged into place at $live")
+      s"SemDedupIndex.write: could not swap $staged into place at $live" +
+        s" (previous store preserved at $parked — rename it back to recover)")
+    fs.delete(parked, true)
     // drop the cached file LISTING for the swapped path: Spark's shared
     // FileStatusCache remembers the old part files and a later read
     // (including this method's own digest recompute) would fail
@@ -490,23 +643,77 @@ object SemDedupIndex {
         .toSeq.toDF("cluster", "cv")
     }
     centersDf.write.mode("overwrite").parquet(s"$path/centers")
-    val kDig = keeperDigest(spark.read.parquet(s"$path/keepers"))
+    // an EMPTY partitioned write leaves no part files to infer a schema
+    // from — an empty store digests as the empty map instead
+    val kDigs =
+      if (hasKeepers) keeperClusterDigests(spark.read.parquet(s"$path/keepers"))
+      else Map.empty[Long, Long]
     val cDig = centerDigest(spark.read.parquet(s"$path/centers"))
+    writeManifest(spark, path, index.epsilon, index.centers.length, dim,
+      cDig, kDigs)
+  }
+
+  /** The v2 manifest: geometry + center digest + the per-cluster keeper
+    * digest map (≤ k entries — quantizer-sized, like the centers
+    * themselves). Shared by [[write]] and [[ingestInto]] (rule 5).
+    */
+  private def writeManifest(spark: SparkSession, path: String,
+      epsilon: Double, k: Int, dim: Int, centerDig: Long,
+      keeperDigs: Map[Long, Long]): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
     val meta =
       ("formatVersion" -> FormatVersion) ~
-        ("epsilon" -> index.epsilon) ~
-        ("k" -> index.centers.length) ~
+        ("epsilon" -> epsilon) ~
+        ("k" -> k) ~
         ("dim" -> dim) ~
-        ("keeperDigest" -> kDig) ~
-        ("centerDigest" -> cDig)
+        ("centerDigest" -> centerDig) ~
+        ("keeperDigests" -> keeperDigs.map { case (c, d) =>
+          (c.toString, d) })
     SketchIo.writeFile(spark, path, "semindex.json", compact(render(meta)))
   }
 
-  /** Load and VALIDATE: geometry from semindex.json, both digests
-    * recomputed, center count/dim cross-checked — a corrupted or
-    * foreign payload refuses here instead of mis-assigning probes.
+  /** The keeper schema is FIXED by construction ([[SemDedup.assignFixed]]
+    * casts id to long and vectors to array<double>), so an EMPTY store
+    * — which leaves no part files to infer from — reads back as an
+    * explicit-schema empty frame.
+    */
+  private def emptyKeepers(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id", LongType), StructField("cluster", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+  }
+
+  /** Validate recomputed per-cluster digests against the manifest map:
+    * both directions (a cluster present on disk but absent from the
+    * manifest is as corrupt as a mismatched digest). `scope` names the
+    * validated subset in the refusal ("touched clusters" vs "store").
+    */
+  private def checkClusterDigests(actual: Map[Long, Long],
+      expected: Map[Long, Long], path: String, site: String,
+      scope: String): Unit = {
+    val bad = (actual.keySet ++ expected.keySet).toSeq.sorted.flatMap { c =>
+      (actual.get(c), expected.get(c)) match {
+        case (Some(a), Some(e)) if a == e => None
+        case (a, e) => Some(s"cluster $c: stored ${e.getOrElse("absent")}, " +
+          s"recomputed ${a.getOrElse("absent")}")
+      }
+    }
+    require(bad.isEmpty,
+      s"$site: keeper digest mismatch over $scope at $path/keepers (" +
+        bad.take(5).mkString("; ") +
+        (if (bad.size > 5) s"; … ${bad.size - 5} more" else "") +
+        ") - the payload does not match what was written; refusing a " +
+        "corrupted index")
+  }
+
+  /** Load and VALIDATE: geometry from semindex.json, center digest and
+    * EVERY per-cluster keeper digest recomputed, center count/dim
+    * cross-checked — a corrupted or foreign payload refuses here
+    * instead of mis-assigning probes. (Full-store validation is the
+    * bootstrap cost, paid once per loop start; per-BATCH validation is
+    * [[ingestInto]]'s touched-clusters-only pass.)
     */
   def read(spark: SparkSession, path: String): SemDedupIndex = {
     import org.json4s._
@@ -517,17 +724,19 @@ object SemDedupIndex {
     val ver = (meta \ "formatVersion").extract[Int]
     require(ver == FormatVersion,
       s"SemDedupIndex.read: formatVersion $ver unsupported (expected $FormatVersion)")
-    val keepers = spark.read.parquet(s"$path/keepers")
+    val storedDigs = (meta \ "keeperDigests").extract[Map[String, Long]]
+      .map { case (c, d) => c.toLong -> d }
+    val keepers =
+      if (storedDigs.isEmpty) emptyKeepers(spark)
+      else spark.read.parquet(s"$path/keepers")
+        .select(col("id"), col("cluster").cast("long").as("cluster"), col("v"))
     val centersDf = spark.read.parquet(s"$path/centers")
-    def check(actual: Long, key: String, what: String): Unit = {
-      val expected = (meta \ key).extract[Long]
-      require(actual == expected,
-        s"SemDedupIndex.read: $what digest mismatch (stored $expected, " +
-          s"recomputed $actual) - the payload at $path/$what does not match " +
-          "what was written; refusing a corrupted index")
-    }
-    check(keeperDigest(keepers), "keeperDigest", "keepers")
-    check(centerDigest(centersDf), "centerDigest", "centers")
+    checkClusterDigests(keeperClusterDigests(keepers), storedDigs, path,
+      "SemDedupIndex.read", "the store")
+    val cDig = (meta \ "centerDigest").extract[Long]
+    require(centerDigest(centersDf) == cDig,
+      s"SemDedupIndex.read: centers digest mismatch at $path/centers - " +
+        "refusing a corrupted index")
     val k = (meta \ "k").extract[Int]
     val dim = (meta \ "dim").extract[Int]
     val centers = centersDf.orderBy("cluster").collect()

@@ -33,12 +33,33 @@ private[ops] object SketchIo {
     */
   def xorDigestCols(df: DataFrame,
       cols: Seq[org.apache.spark.sql.Column]): Long = {
-    val d = conv(substring(md5(concat_ws("\u001f",
-      cols.map(c => coalesce(c.cast("string"), lit("\u0002N\u0003"))): _*)),
-      1, 15), 16, 10).cast("long")
-    df.select(d.as("__d"))
+    df.select(rowDigestCol(cols).as("__d"))
       .agg(coalesce(expr("bit_xor(__d)"), lit(0L))).head().getLong(0)
   }
+
+  /** Per-GROUP [[xorDigestCols]]: one aggregation returning a
+    * (__g, __dig) row per distinct `group` value — the partition-scoped
+    * digest primitive ([[SemDedupIndex]]'s per-cluster keeper digests):
+    * validating or re-digesting a SUBSET of groups touches only those
+    * groups' rows, so an incremental writer never pays an O(store)
+    * digest pass. XOR of the per-group digests of a partition-disjoint
+    * frame equals [[xorDigestCols]] of the whole frame.
+    */
+  def xorDigestColsBy(df: DataFrame, group: org.apache.spark.sql.Column,
+      cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(group.as("__g"), rowDigestCol(cols).as("__d"))
+      .groupBy(col("__g"))
+      .agg(coalesce(expr("bit_xor(__d)"), lit(0L)).as("__dig"))
+
+  /** The shared row-digest expression behind [[xorDigestCols]] and
+    * [[xorDigestColsBy]] (rule 5): md5 of the unit-separator-joined
+    * column strings, truncated to 60 bits.
+    */
+  private def rowDigestCol(
+      cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("\u001f",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0002N\u0003"))): _*)),
+      1, 15), 16, 10).cast("long")
 
   /** Digest column canonicalized to an environment-independent form
     * (r20 review; hoisted from GroupedQuantileSketch for the grouped

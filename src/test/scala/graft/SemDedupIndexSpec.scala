@@ -284,14 +284,123 @@ class SemDedupIndexSpec extends SparkSpec {
     val a = idx.probe(batch2, "id", "v").orderBy("id").collect().toSeq
     val b = back.probe(batch2, "id", "v").orderBy("id").collect().toSeq
     assert(a == b, "persisted index probes differently")
-    // corrupt the keeper payload -> digest refusal
+    // v2 layout: the store is partitioned by cluster
     val keepersDir = new java.io.File(s"$dir/keepers")
-    val part = keepersDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(keepersDir.listFiles().exists(f => f.isDirectory &&
+      f.getName.startsWith("cluster=")), "keepers not partitioned by cluster")
+    // corrupt the keeper payload (keeper 0 migrates clusters) -> digest refusal
     val tampered = idx.keepers.withColumn("cluster",
       when(col("id") === 0L, lit(1L)).otherwise(col("cluster")))
-    tampered.write.mode("overwrite").parquet(s"$dir/keepers")
+      .localCheckpoint(true)
+    tampered.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/keepers")
+    spark.catalog.refreshByPath(s"$dir/keepers")
     val e = intercept[IllegalArgumentException] { SemDedupIndex.read(spark, dir) }
     assert(e.getMessage.contains("digest mismatch"))
-    assert(part.getName.nonEmpty)
+  }
+
+  private def partFiles(dir: String, cluster: Long): Set[(String, Long, Long)] = {
+    val d = new java.io.File(s"$dir/keepers/cluster=$cluster")
+    if (!d.exists) Set.empty
+    else d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+  }
+
+  test("ingestInto (r18 verdict #1): partition-scoped write-back — " +
+    "verdicts match the in-memory ingest, only touched cluster " +
+    "partitions are rewritten, untouched partition files are " +
+    "physically identical, and a new cluster's partition is created") {
+    // four centers: batch1+the e4 doc populate clusters 0/1/3; cluster 2
+    // (e3 direction) starts EMPTY and only batch2's 120/121 land there;
+    // nothing in batch2 approaches e4, so cluster 3 stays untouched
+    val e3 = Array(0.0, 0.0, 1.0, 0.0)
+    val e4 = Array(0.0, 0.0, 0.0, 1.0)
+    val corpus = batch1.union(Seq((20L, e4)).toDF("id", "v"))
+    val (_, idx) = SemDedupIndex.build(corpus, "id", "v",
+      Array(e1, e2, e3, e4), 0.99)
+    val dir = java.nio.file.Files.createTempDirectory("seminto").toString
+    SemDedupIndex.write(idx, dir)
+    // in-memory oracle for the same batch against the same store
+    val (vMem, idxMem) = SemDedupIndex.read(spark, dir).ingest(batch2, "id", "v")
+    val memVerdicts = vMem.orderBy("id").collect().toSeq
+    val memKeepers = idxMem.keepers.select("id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    vMem.unpersist()
+    val before = (0L to 3L).map(c => c -> partFiles(dir, c)).toMap
+    assert(before(2L).isEmpty, "fixture regression: cluster 2 not empty")
+    val v = SemDedupIndex.ingestInto(spark, dir, batch2, "id", "v")
+    val rows = v.orderBy("id").collect().toSeq
+    assert(rows == memVerdicts,
+      "partition-scoped verdicts diverge from the in-memory ingest")
+    val touched = rows.map(_.getLong(1)).toSet
+    v.unpersist()
+    val back = SemDedupIndex.read(spark, dir)
+    assert(back.keepers.select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == memKeepers,
+      "store content diverges from the in-memory ingest")
+    // the new-direction docs created cluster 2's partition
+    assert(touched.contains(2L) && partFiles(dir, 2L).nonEmpty,
+      "new cluster partition was not created")
+    // untouched clusters' files are PHYSICALLY identical (name/size/mtime)
+    val untouched = (0L to 3L).toSet -- touched
+    assert(untouched.nonEmpty, "fixture regression: every cluster touched")
+    untouched.foreach { c =>
+      assert(partFiles(dir, c) == before(c),
+        s"untouched cluster $c was rewritten")
+    }
+    touched.foreach { c =>
+      assert(partFiles(dir, c) != before(c), s"touched cluster $c unchanged")
+    }
+  }
+
+  test("ingestInto replay is idempotent: the same batch re-ingested " +
+    "yields identical verdicts and leaves the store (content AND " +
+    "digests) unchanged") {
+    val (_, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val dir = java.nio.file.Files.createTempDirectory("semreplay").toString
+    SemDedupIndex.write(idx, dir)
+    val v1 = SemDedupIndex.ingestInto(spark, dir, batch2, "id", "v")
+    val first = v1.orderBy("id").collect().toSeq
+    v1.unpersist()
+    val store1 = SemDedupIndex.read(spark, dir).keepers
+      .select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // crash-after-write replay: the exact same batch arrives again
+    val v2 = SemDedupIndex.ingestInto(spark, dir, batch2, "id", "v")
+    assert(v2.orderBy("id").collect().toSeq == first,
+      "replayed batch produced different verdicts")
+    v2.unpersist()
+    // read() re-validates every digest — a replay that desynchronized
+    // the manifest would refuse here
+    val store2 = SemDedupIndex.read(spark, dir).keepers
+      .select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(store2 == store1, "replay mutated the store")
+  }
+
+  test("ingestInto validates ONLY touched clusters: corruption in an " +
+    "untouched partition does not block the ingest, but a touched " +
+    "corrupt partition refuses") {
+    val (_, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val dir = java.nio.file.Files.createTempDirectory("semtouch").toString
+    SemDedupIndex.write(idx, dir)
+    // corrupt cluster 1's partition (the e2 group, keeper 10): append a
+    // rogue row directly into its partition dir
+    Seq((999L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("id", "v")
+      .write.mode("append").parquet(s"$dir/keepers/cluster=1")
+    spark.catalog.refreshByPath(s"$dir/keepers")
+    // a batch touching ONLY cluster 0 (the e1 direction) must succeed —
+    // O(touched) validation is the v2 point
+    val b0 = Seq((300L, j(e1, 0.004))).toDF("id", "v")
+    val v = SemDedupIndex.ingestInto(spark, dir, b0, "id", "v")
+    assert(v.count() == 1L)
+    v.unpersist()
+    // a batch touching cluster 1 refuses on the digest
+    val b1 = Seq((301L, j(e2, 0.004))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      SemDedupIndex.ingestInto(spark, dir, b1, "id", "v")
+    }
+    assert(e.getMessage.contains("digest mismatch") &&
+      e.getMessage.contains("touched"))
   }
 }
