@@ -2119,7 +2119,7 @@ def stream_bloom_windowed_words(
     portable_hash: bool = True,
 ) -> DataFrame:
     """Per-event-time-window Bloom word frames (windowStartMs,
-    windowEndMs, [group...,] w, bits) from a watermarked stream — a
+    windowEndMs, [group...,] w, bits, portable) from a watermarked stream — a
     declarative windowed bit_or aggregation, state <= m/64 word rows
     per open (window x group) at any stream volume; each window emits
     once on watermark close-out. Works on batch frames too."""
@@ -2139,12 +2139,11 @@ def stream_bloom_from_window_words(
     OR-collapse, so restarted-query re-emissions are harmless;
     ``regroup``/``to_global`` then roll windows up exactly.
 
-    Geometry and hash mode are ON TRUST (emission rows are plain
-    words): pass the STREAM's exact ``num_bits``/``num_hashes``/
-    ``portable_hash``. A wrong ``portable_hash`` in particular makes
-    every probe of the rebuilt handle a SILENT FALSE NEGATIVE (the
-    probe hashes to different bit positions than the build set) —
-    record the build mode next to the sink path."""
+    Geometry is on trust (pass the STREAM's exact
+    ``num_bits``/``num_hashes``); the HASH MODE is NOT — every emission
+    row carries the build's ``portable`` flag and the rebuild REFUSES a
+    mixed or mismatched sink instead of silently false-negating every
+    probe. Pass the recorded mode as ``portable_hash``."""
     j = _jvm(words).graft.streaming.StreamBloom.fromWindowWords(
         words._jdf, int(num_bits), int(num_hashes),
         _to_seq(words, list(group_cols or [])), bool(portable_hash))
@@ -2163,7 +2162,7 @@ def stream_hll_windowed_registers(
     group_cols: Optional[List[str]] = None,
 ) -> DataFrame:
     """Per-event-time-window HLL register frames (windowStartMs,
-    windowEndMs, [group...,] bucket, maxrank) — declarative windowed
+    windowEndMs, [group...,] bucket, maxrank, portable) — declarative windowed
     max aggregation, state <= 2^p registers per open (window x group);
     each window emits once on watermark close-out. Batch frames take
     the same plan."""
@@ -2178,7 +2177,9 @@ def stream_hll_from_window_registers(
     group_cols: Optional[List[str]] = None,
 ) -> "GroupedHllSketchHandle":
     """Rebuild the per-(window x group) GroupedHllSketchHandle from a
-    sink of emissions — duplicate re-emissions max-collapse exactly."""
+    sink of emissions — duplicate re-emissions max-collapse exactly.
+    Refuses a sink whose recorded ``portable`` mode mixes or mismatches
+    ``portable_hash``."""
     j = _jvm(registers).graft.streaming.StreamSketches.hllFromWindowRegisters(
         registers._jdf, int(p), seed, bool(portable_hash),
         _to_seq(registers, list(group_cols or [])))
@@ -2198,7 +2199,7 @@ def stream_cms_windowed_cells(
     group_cols: Optional[List[str]] = None,
 ) -> DataFrame:
     """Per-event-time-window CMS cell frames (windowStartMs,
-    windowEndMs, [group...,] r, bucket, cnt) — declarative windowed
+    windowEndMs, [group...,] r, bucket, cnt, portable) — declarative windowed
     sum, state <= depth*width cells per open (window x group).
     Unweighted by design."""
     return _wrap(events, _jvm(events).graft.streaming.StreamSketches
@@ -2215,7 +2216,8 @@ def stream_cms_from_window_cells(
     """Rebuild the per-(window x group) GroupedCmsSketchHandle from a
     sink of emissions. Exact duplicate rows collapse; CONFLICTING
     counts for the same cell (a partially-reprocessed sink) refuse
-    loudly."""
+    loudly, as does a sink whose recorded ``portable`` mode mixes or
+    mismatches ``portable_hash``."""
     j = _jvm(cells).graft.streaming.StreamSketches.cmsFromWindowCells(
         cells._jdf, int(depth), int(width), seed, bool(portable_hash),
         _to_seq(cells, list(group_cols or [])))

@@ -687,7 +687,7 @@ def main() -> None:
                 .where("ts IS NOT NULL"),
             "ts", "event_id", "v", "1 day", "1 hour", 16, "pyws")
         assert ws.columns == ["windowStartMs", "windowEndMs", "rk",
-                              "value", "n"]
+                              "value", "n", "portable"]
         assert ws.groupBy("windowStartMs").count() \
             .where("count > 16").count() == 0
         # rebuild the grouped-sketch surface from the emitted rows
@@ -702,7 +702,7 @@ def main() -> None:
             "ts", "event_type", "event_id", "v", "1 day", "1 hour",
             16, "pywsg")
         assert wsg.columns == ["windowStartMs", "windowEndMs", "group",
-                               "rk", "value", "n"]
+                               "rk", "value", "n", "portable"]
         gq_wsg = gops.GroupedQuantileSketchHandle.from_window_group_summaries(
             wsg, 16, "pywsg")
         assert gq_wsg.quantiles([50]).count() == \
@@ -759,7 +759,7 @@ def main() -> None:
                 .where("ts IS NOT NULL"),
             "ts", "k", "1 day", "1 hour", 4096, 3)
         assert set(c for c, _ in ww.dtypes) == \
-            {"windowStartMs", "windowEndMs", "w", "bits"}
+            {"windowStartMs", "windowEndMs", "w", "bits", "portable"}
         wwh = gops.stream_bloom_from_window_words(ww, 4096, 3)
         assert wwh.to_global().might_contain(
             spark.createDataFrame([("1",)], ["k"]), "k").count() == 1

@@ -2392,7 +2392,10 @@ object SparkEntry {
         col("user_id").cast("string").as("k"))
       val ww = graft.streaming.StreamBloom.windowedWords(
         ev, "ts", "k", "1 day", "1 hour", 4096L, 3)
-      graft.ops.Bloom.wordHalves(ww, Seq("windowStartMs", "windowEndMs"))
+      // the riding hash-mode flag (r18 verdict #2) is rebuild metadata,
+      // not part of this gate's word contract
+      graft.ops.Bloom.wordHalves(ww.drop("portable"),
+        Seq("windowStartMs", "windowEndMs"))
     },
     // Per-event-time-window HLL register build, batch mode (the same
     // declarative plan the streaming path runs under a watermark) — the
@@ -2409,7 +2412,11 @@ object SparkEntry {
         timestamp_millis(eventTsMs(evRaw)).as("ts"),
         col("user_id").cast("string").as("k"))
       graft.streaming.StreamSketches.hllWindowedRegisters(
-        ev, "ts", "k", "1 day", "1 hour", p = 9, seed = "hllw17")
+          ev, "ts", "k", "1 day", "1 hour", p = 9, seed = "hllw17")
+        // the riding hash-mode flag (r18 verdict #2) is rebuild
+        // metadata, not part of this gate's register contract
+        .select(col("windowStartMs"), col("windowEndMs"),
+          col("bucket"), col("maxrank"))
     },
     // Per-event-time-window CMS cell build, batch mode — the CMS twin
     // (cells are SUMS, the one non-idempotent leg, which is why its

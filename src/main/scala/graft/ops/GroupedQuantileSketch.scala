@@ -367,8 +367,13 @@ object GroupedQuantileSketch {
     * counts frame). `s` and `seed` are the STREAM's geometry — they are
     * not carried in the rows, and a wrong s/seed here would merge into
     * a mixed hash space downstream, so pass the values the stream was
-    * started with. Value type (long vs double emissions) is inferred
-    * from the frame.
+    * started with. The HASH MODE, by contrast, IS carried (the
+    * `portable` field every summary row records — r18 verdict #2): a
+    * rebuild whose `portableHash` mixes or mismatches the sink's
+    * REFUSES here, because `rankOf` on the rebuilt sketch would hash
+    * query ids into a different rank space than the stored keys
+    * (silently wrong ranks). Value type (long vs double emissions) is
+    * inferred from the frame.
     */
   def fromWindowSummaries(summaries: DataFrame, s: Int, seed: String,
       portableHash: Boolean = true): GroupedQuantileSketch =
@@ -388,10 +393,13 @@ object GroupedQuantileSketch {
       groupCols: Seq[String], s: Int, seed: String, portableHash: Boolean,
       site: String): GroupedQuantileSketch = {
     val cols = summaries.columns.toSet
-    require((groupCols.toSet ++ Set("rk", "value", "n")).subsetOf(cols),
+    require((groupCols.toSet ++ Set("rk", "value", "n", "portable"))
+        .subsetOf(cols),
       s"GroupedQuantileSketch.$site: expected the StreamRankSketch " +
         s"emission schema (${groupCols.mkString(", ")}, windowEndMs, rk, " +
-        s"value, n) - got ${summaries.columns.mkString(",")}")
+        s"value, n, portable) - got ${summaries.columns.mkString(",")}")
+    graft.streaming.StreamSketches.requirePortableMode(summaries,
+      portableHash, s"GroupedQuantileSketch.$site")
     val dv = summaries.schema("value").dataType match {
       case org.apache.spark.sql.types.LongType => false
       case org.apache.spark.sql.types.DoubleType => true

@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   * append mode — exactly the declarative-over-stateful preference the
   * batch rank-sketch cut measured 2.2× for (house rule 13).
   *
-  * Emission schema: `(windowStartMs, windowEndMs, w, bits)` — ms
-  * bounds rather than timestamps so a sink of emissions is
+  * Emission schema: `(windowStartMs, windowEndMs, w, bits, portable)`
+  * — ms bounds rather than timestamps so a sink of emissions is
   * engine/timezone-neutral and rebuilds the grouped handle exactly
   * ([[fromWindowWords]]). Window bounds align to the EPOCH, not the
-  * data's start (house rule 13c).
+  * data's start (house rule 13c). `portable` records the build's hash
+  * mode IN the emission (r18 verdict #2), so a rebuild with the wrong
+  * flag REFUSES instead of silently false-negating every probe.
   *
   * The composition this enables at 100 TB: stream per-hour filters to
   * a sink; [[fromWindowWords]] → [[GroupedBloomSketch.regroup]] rolls
@@ -81,7 +83,8 @@ object StreamBloom {
       .select(Seq(
         unix_millis(col("__w.start").cast("timestamp")).as("windowStartMs"),
         unix_millis(col("__w.end").cast("timestamp")).as("windowEndMs")) ++
-        groupCols.map(col) ++ Seq(col("w"), col("bits")): _*)
+        groupCols.map(col) ++ Seq(col("w"), col("bits"),
+        lit(portableHash).as("portable")): _*)
   }
 
   /** Rebuild the per-window grouped handle from a SINK of
@@ -91,17 +94,17 @@ object StreamBloom {
     * merge for Bloom words, so the rebuild is exact rather than
     * merely tolerant.
     *
-    * GEOMETRY AND HASH MODE ARE ON TRUST: the emission rows are plain
-    * words — nothing in them records `numBits`/`numHashes` or
-    * `portableHash`, so pass the STREAM's exact values here (the
-    * "pass the STREAM's seed" contract of the HLL/CMS rebuilds).
-    * Getting `portableHash` wrong is the WORST mismatch class: the
-    * rebuilt handle probes different bit positions than the build set,
-    * so every inserted key comes back a silent FALSE NEGATIVE — the
-    * failure Bloom's one-sided guarantee exists to rule out — while a
-    * wrong geometry at least fails [[GroupedBloomSketch]]'s word-range
-    * guards. Record the build mode next to the sink path in your
-    * pipeline metadata.
+    * GEOMETRY is on trust (pass the STREAM's exact `numBits`/
+    * `numHashes` — the "pass the STREAM's seed" contract of the
+    * HLL/CMS rebuilds; a wrong geometry at least fails
+    * [[GroupedBloomSketch]]'s word-range guards). HASH MODE is NOT on
+    * trust (r18 verdict #2): every emission row carries the build's
+    * `portable` flag, and this rebuild REFUSES a sink whose recorded
+    * mode mixes or mismatches the requested `portableHash` — getting
+    * it wrong is the WORST mismatch class (the rebuilt handle probes
+    * different bit positions than the build set, so every inserted key
+    * comes back a silent FALSE NEGATIVE, the failure Bloom's one-sided
+    * guarantee exists to rule out).
     */
   def fromWindowWords(words: DataFrame, numBits: Long, numHashes: Int,
       groupCols: Seq[String] = Seq.empty,
@@ -110,11 +113,13 @@ object StreamBloom {
     StreamSketches.requireWindowGroupCols(groupCols, Bloom.ReservedNames,
       "StreamBloom.fromWindowWords")
     val strata = Seq("windowStartMs", "windowEndMs") ++ groupCols
-    val expected = (strata ++ Seq("w", "bits")).toSet
+    val expected = (strata ++ Seq("w", "bits", "portable")).toSet
     require(words.columns.toSet == expected,
       s"StreamBloom.fromWindowWords: expected the windowedWords emission " +
-        s"schema (${(strata ++ Seq("w", "bits")).mkString(", ")}), got " +
+        s"schema (${(strata ++ Seq("w", "bits", "portable")).mkString(", ")}), got " +
         s"(${words.columns.mkString(", ")})")
+    StreamSketches.requirePortableMode(words, portableHash,
+      "StreamBloom.fromWindowWords")
     val grouped = words
       .groupBy((strata :+ "w").map(col): _*)
       .agg(expr("bit_or(bits)").as("bits"))

@@ -67,7 +67,8 @@ object StreamRankSketch {
       windowEndMs: Long,
       rk: Long,
       value: Long,
-      n: Long)
+      n: Long,
+      portable: Boolean)
 
   /** [[WindowSummary]] with the stored double inverted back from its
     * sortable-bits ride (the [[windowedBottomKDouble]] output).
@@ -77,7 +78,8 @@ object StreamRankSketch {
       windowEndMs: Long,
       rk: Long,
       value: Double,
-      n: Long)
+      n: Long,
+      portable: Boolean)
 
   /** [[WindowSummary]] with the stratum riding along (the
     * [[windowedBottomKByGroup]] output; `group` is the group value's
@@ -90,7 +92,8 @@ object StreamRankSketch {
       group: String,
       rk: Long,
       value: Long,
-      n: Long)
+      n: Long,
+      portable: Boolean)
 
   /** [[WindowGroupSummary]] with the double inverted back (the
     * [[windowedBottomKByGroupDouble]] output).
@@ -101,7 +104,8 @@ object StreamRankSketch {
       group: String,
       rk: Long,
       value: Double,
-      n: Long)
+      n: Long,
+      portable: Boolean)
 
   // In/BkState are public because Spark's codegen'd SafeProjection
   // constructs encoder classes from generated code — a private case
@@ -164,7 +168,7 @@ object StreamRankSketch {
         tsCol, "__nogroup", idCol, valueCol, windowDuration, watermark,
         s, seed, portableHash)
       .map(w => WindowSummary(w.windowStartMs, w.windowEndMs, w.rk,
-        w.value, w.n))
+        w.value, w.n, w.portable))
   }
 
   /** [[windowedBottomK]] for FLOAT/DOUBLE value columns — the typed
@@ -192,7 +196,7 @@ object StreamRankSketch {
         tsCol, idCol, "__sb", windowDuration, watermark, s, seed,
         portableHash)
       .map(w => WindowSummaryDouble(w.windowStartMs, w.windowEndMs, w.rk,
-        graft.functions.SortableBits.fromSortable(w.value), w.n))
+        graft.functions.SortableBits.fromSortable(w.value), w.n, w.portable))
   }
 
   /** Per-(event-time window × group) bottom-s summaries — the streaming
@@ -260,7 +264,7 @@ object StreamRankSketch {
           col("winStartMs") === col("__cws") && col("group") <=> col("__cg"))
         .select(col("winStartMs").as("windowStartMs"),
           col("winEndMs").as("windowEndMs"), col("group"), col("rk"),
-          col("value"), col("n"))
+          col("value"), col("n"), lit(portableHash).as("portable"))
         .as[WindowGroupSummary]
     }
     val prepared = proj(normalized.withWatermark(tsCol, watermark))
@@ -275,7 +279,7 @@ object StreamRankSketch {
             // watermark passed the window end - the summary is final
             val st = state.get
             state.remove()
-            emit(winStart, group, st)
+            emit(winStart, group, st, portableHash)
           } else {
             // bounded fold: a size-cap max-heap on (rk, value) - a row
             // enters only by evicting the current lexicographic maximum,
@@ -332,7 +336,7 @@ object StreamRankSketch {
         portableHash)
       .map(w => WindowGroupSummaryDouble(w.windowStartMs, w.windowEndMs,
         w.group, w.rk, graft.functions.SortableBits.fromSortable(w.value),
-        w.n))
+        w.n, w.portable))
   }
 
   /** The double entry points' shared projection: refuse non-floating
@@ -350,9 +354,9 @@ object StreamRankSketch {
         col(valueCol).cast("double") + lit(0.0)))
   }
 
-  private def emit(winStartMs: Long, group: String,
-      st: BkState): Iterator[WindowGroupSummary] =
+  private def emit(winStartMs: Long, group: String, st: BkState,
+      portableHash: Boolean): Iterator[WindowGroupSummary] =
     st.rks.indices.iterator.map(i =>
       WindowGroupSummary(winStartMs, st.winEndMs, group, st.rks(i),
-        st.values(i), st.nSeen))
+        st.values(i), st.nSeen, portableHash))
 }

@@ -39,12 +39,38 @@ object StreamSketches {
     require(groupCols.distinct == groupCols,
       s"$site: duplicate group columns $groupCols")
     val reserved = legReserved ++
-      Set("windowStartMs", "windowEndMs", "__w", "rb")
+      Set("windowStartMs", "windowEndMs", "__w", "rb", "portable")
     val clash = groupCols.filter(reserved.contains)
     require(clash.isEmpty,
       s"$site: group column(s) ${clash.mkString(", ")} collide with the " +
         s"emission/internal columns (${reserved.mkString(", ")}); rename " +
         "them first")
+  }
+
+  /** Validate a sink's riding `portable` column against a rebuild's
+    * requested hash mode (r18 verdict #2, shared by all four windowed
+    * legs — rule 5): the fast/portable flag decides WHICH hash space
+    * the emission's positions/registers/cells/rank-keys live in, so a
+    * mismatched rebuild silently false-negates (Bloom), under-counts
+    * (HLL/CMS), or mis-ranks (rank sketch). One ≤2-row aggregation over
+    * the sink, paid at rebuild cadence.
+    */
+  private[graft] def requirePortableMode(emissions: DataFrame,
+      portableHash: Boolean, site: String): Unit = {
+    val modes = emissions.select(col("portable").cast("boolean"))
+      .distinct().collect().map(_.getBoolean(0)).toSeq.sorted
+    require(modes.size <= 1,
+      s"$site: the sink MIXES portable and fast-hash emissions - the two " +
+        "modes occupy different hash spaces and cannot rebuild into one " +
+        "sketch; split the sink by build mode and rebuild each separately")
+    modes.headOption.foreach { m =>
+      require(m == portableHash,
+        s"$site: the sink records portableHash=$m but the rebuild " +
+          s"requested portableHash=$portableHash - the rebuilt handle " +
+          "would probe a different hash space than the build wrote " +
+          "(silent false negatives / wrong counts / wrong ranks); pass " +
+          s"portableHash=$m")
+    }
   }
 
   private def windowed(events: DataFrame, tsCol: String,
@@ -64,8 +90,10 @@ object StreamSketches {
       tail.map(col): _*)
 
   /** Per-window HLL register frames `(windowStartMs, windowEndMs,
-    * bucket, maxrank)`; batch frames take the same plan without the
-    * watermark. NULL event times / keys carry no register (rule 10).
+    * bucket, maxrank, portable)`; batch frames take the same plan
+    * without the watermark. NULL event times / keys carry no register
+    * (rule 10). `portable` records the build's hash mode in the
+    * emission (r18 verdict #2) so rebuilds can refuse a mismatch.
     */
   def hllWindowedRegisters(
       events: DataFrame,
@@ -90,6 +118,7 @@ object StreamSketches {
           .groupBy((Seq(col("__w")) ++ groupCols.map(col)) :+ col("bucket"): _*)
           .agg(max("rank").as("maxrank"))
       }, groupCols ++ Seq("bucket", "maxrank"))
+      .withColumn("portable", lit(portableHash))
   }
 
   /** Rebuild the per-window [[GroupedHllSketch]] from a SINK of
@@ -104,11 +133,13 @@ object StreamSketches {
     requireWindowGroupCols(groupCols, Hll.ReservedNames,
       "StreamSketches.hllFromWindowRegisters")
     val strata = Seq("windowStartMs", "windowEndMs") ++ groupCols
-    val expected = (strata ++ Seq("bucket", "maxrank")).toSet
+    val expected = (strata ++ Seq("bucket", "maxrank", "portable")).toSet
     require(registers.columns.toSet == expected,
       s"StreamSketches.hllFromWindowRegisters: expected the emission " +
-        s"schema (${(strata ++ Seq("bucket", "maxrank")).mkString(", ")}), " +
+        s"schema (${(strata ++ Seq("bucket", "maxrank", "portable")).mkString(", ")}), " +
         s"got (${registers.columns.mkString(", ")})")
+    requirePortableMode(registers, portableHash,
+      "StreamSketches.hllFromWindowRegisters")
     GroupedHllSketch(
       registers.groupBy((strata :+ "bucket").map(col): _*)
         .agg(max("maxrank").as("maxrank")),
@@ -116,10 +147,12 @@ object StreamSketches {
   }
 
   /** Per-window CMS cell frames `(windowStartMs, windowEndMs, r,
-    * bucket, cnt)`; batch frames take the same plan without the
-    * watermark. Unweighted by design — pre-aggregate signed or
+    * bucket, cnt, portable)`; batch frames take the same plan without
+    * the watermark. Unweighted by design — pre-aggregate signed or
     * fractional weights upstream (the [[Sketches.build]] monotonicity
     * contract). NULL event times / keys carry no cell (rule 10).
+    * `portable` records the build's hash mode in the emission (r18
+    * verdict #2) so rebuilds can refuse a mismatch.
     */
   def cmsWindowedCells(
       events: DataFrame,
@@ -145,6 +178,7 @@ object StreamSketches {
             Seq(col("rb.r").as("r"), col("rb.bucket").as("bucket")): _*)
           .agg(count(lit(1)).as("cnt"))
       }, groupCols ++ Seq("r", "bucket", "cnt"))
+      .withColumn("portable", lit(portableHash))
   }
 
   /** Rebuild the per-window [[GroupedCmsSketch]] from a SINK of
@@ -160,12 +194,14 @@ object StreamSketches {
     requireWindowGroupCols(groupCols, Sketches.GroupedReservedNames,
       "StreamSketches.cmsFromWindowCells")
     val strata = Seq("windowStartMs", "windowEndMs") ++ groupCols
-    val expected = (strata ++ Seq("r", "bucket", "cnt")).toSet
+    val expected = (strata ++ Seq("r", "bucket", "cnt", "portable")).toSet
     require(cells.columns.toSet == expected,
       s"StreamSketches.cmsFromWindowCells: expected the emission schema " +
-        s"(${(strata ++ Seq("r", "bucket", "cnt")).mkString(", ")}), got " +
+        s"(${(strata ++ Seq("r", "bucket", "cnt", "portable")).mkString(", ")}), got " +
         s"(${cells.columns.mkString(", ")})")
-    val d = cells.distinct()
+    requirePortableMode(cells, portableHash,
+      "StreamSketches.cmsFromWindowCells")
+    val d = cells.drop("portable").distinct()
     val conflicts = d
       .groupBy((strata ++ Seq("r", "bucket")).map(col): _*)
       .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L).count()

@@ -136,6 +136,64 @@ class FastHashSpec extends SparkSpec {
       "windowed fast build false-negated its own keys")
   }
 
+  test("hash mode rides IN the windowed emissions (r18 verdict #2): " +
+    "rebuilding a fast-mode sink with the default portable flag REFUSES " +
+    "for every leg, and a mixed-mode sink refuses too") {
+    val base = 1755000000000L
+    val rows = (0 until 100).map { i =>
+      (new java.sql.Timestamp(base + i * 3600L * 1000L), s"user-${i % 23}")
+    }.toDF("ts", "k")
+    // Bloom: a fast-mode sink rebuilt with defaults would silently
+    // false-negate EVERY key — now it refuses with the recorded mode
+    val ww = graft.streaming.StreamBloom.windowedWords(
+      rows, "ts", "k", "1 day", "1 hour", 2048L, 3, portableHash = false)
+    val eb = intercept[IllegalArgumentException] {
+      graft.streaming.StreamBloom.fromWindowWords(ww, 2048L, 3)
+    }
+    assert(eb.getMessage.contains("portableHash=false") &&
+      eb.getMessage.contains("hash space"))
+    // HLL registers
+    val hr = graft.streaming.StreamSketches.hllWindowedRegisters(
+      rows, "ts", "k", "1 day", "1 hour", p = 9, seed = "fhw19",
+      portableHash = false)
+    val eh = intercept[IllegalArgumentException] {
+      graft.streaming.StreamSketches.hllFromWindowRegisters(hr, 9, "fhw19")
+    }
+    assert(eh.getMessage.contains("portableHash=false"))
+    // CMS cells
+    val cc = graft.streaming.StreamSketches.cmsWindowedCells(
+      rows, "ts", "k", "1 day", "1 hour", depth = 3, width = 64,
+      seed = "fhw19", portableHash = false)
+    val ec = intercept[IllegalArgumentException] {
+      graft.streaming.StreamSketches.cmsFromWindowCells(cc, 3, 64, "fhw19")
+    }
+    assert(ec.getMessage.contains("portableHash=false"))
+    // rank-sketch summaries (rankOf would hash queries into the wrong
+    // rank space)
+    val ev = (1 to 60).map(i =>
+      (new java.sql.Timestamp(base + i * 3600L * 1000L), i.toLong,
+        (i * 13 % 61).toLong)).toDF("ts", "id", "v")
+    val sums = graft.streaming.StreamRankSketch.windowedBottomK(
+      ev, "ts", "id", "v", "1 day", "1 hour", s = 16, seed = "fhw19",
+      portableHash = false).toDF()
+    val eq = intercept[IllegalArgumentException] {
+      graft.ops.GroupedQuantileSketch.fromWindowSummaries(sums, 16, "fhw19")
+    }
+    assert(eq.getMessage.contains("portableHash=false"))
+    // a MIXED sink (two modes concatenated) refuses regardless of flag
+    val wwP = graft.streaming.StreamBloom.windowedWords(
+      rows, "ts", "k", "1 day", "1 hour", 2048L, 3)
+    val em = intercept[IllegalArgumentException] {
+      graft.streaming.StreamBloom.fromWindowWords(
+        ww.unionByName(wwP), 2048L, 3, portableHash = false)
+    }
+    assert(em.getMessage.contains("MIXES"))
+    // and the matching flag still rebuilds (the happy path of the same
+    // validation)
+    assert(!graft.streaming.StreamBloom.fromWindowWords(
+      ww, 2048L, 3, portableHash = false).portableHash)
+  }
+
   test("fast rank sketch: exact at n <= s, merge == one-shot build, " +
     "cross-mode refusals, mode travels through write/read") {
     val rows = (1 to 400).map(i => (i.toLong, (i * 7 % 401).toLong))
