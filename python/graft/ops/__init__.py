@@ -553,6 +553,25 @@ class IvfIndexHandle:
         audit)."""
         return DataFrame(self._j.health(), self._spark)
 
+    def recall_curve(self, k: int = 10, sample_n: int = 256,
+                     seed: int = 42) -> DataFrame:
+        """Measured recall@k vs n_probe — (nProbe, recall) for
+        n_probe = 1..n_cells, estimated from ONE all-cells pass over a
+        seeded sample of stored vectors (cumulative histogram of each
+        true neighbor's cell rank). recall(n_cells) = 1 by
+        construction. Cost: sample_n x corpus dot products,
+        maintenance-cadence."""
+        return DataFrame(self._j.recallCurve(int(k), int(sample_n),
+            int(seed)), self._spark)
+
+    def probe_for(self, target_recall: float, k: int = 10,
+                  sample_n: int = 256, seed: int = 42) -> int:
+        """The smallest n_probe whose measured recall@k meets
+        ``target_recall`` (always <= n_cells) — the one-call answer to
+        "what nProbe do I need for recall >= 0.9?"."""
+        return int(self._j.probeFor(float(target_recall), int(k),
+            int(sample_n), int(seed)))
+
     def write(self, path: str) -> None:
         self._j.write(path)
 

@@ -927,6 +927,13 @@ def main() -> None:
         ret = gops.IvfIndexHandle.retrain(spark, ivf_dir, max_iter=3)
         assert (ret.health().collect()[0]["n_cells"]
                 == ret.health().collect()[0]["recommended_cells"])
+        # r19: recall-vs-nProbe curve + target-driven probe sizing
+        curve = ivf.recall_curve(k=3, sample_n=32, seed=5).collect()
+        assert len(curve) == 8 and curve[-1]["recall"] == 1.0
+        p9 = ivf.probe_for(0.9, k=3, sample_n=32, seed=5)
+        assert 1 <= p9 <= 8
+        assert [r["recall"] for r in curve][p9 - 1] >= 0.9
+        print("round-19 recall-curve/probe-for bindings ok")
         print("round-22 ANN index bindings ok")
 
         # r22: IVF-PQ handle — build/search/rerank/append/health/retrain

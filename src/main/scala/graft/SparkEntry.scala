@@ -3073,6 +3073,46 @@ object SparkEntry {
         .select(col("rank").cast("long").as("rank"), col("vec_id"),
           (round(col("sim"), 6) + lit(0.0)).as("adc_cosine"))
     },
+    // In-gate recall floors for the PQ search paths (r18 verdict #4 —
+    // the q_ann_ivf_recall discipline applied to IVFADC): one seeded
+    // IvfPqIndex on the gate corpus, then two integer recall@5 counts
+    // over the vec_id < 10 queries at nProbe=3: searchRerank (the
+    // production path) against the exact brute-force top-5, and the
+    // ADC-only search against the exact-reranked top-5 of its own
+    // candidate pool (isolating ADC ordering error from probe-pruning
+    // error, which the rerank row and q_ann_ivf_recall already floor).
+    // Floors are ~3 sigma under the measured values (rerank 64-68% ->
+    // 44; adc 46-48% -> 25; binomial sigma at n=50 is ~7pct) across
+    // sf0.001/sf0.01/null-variant, so a regenerated-testdata wobble
+    // passes but a real regression (wrong LUT, broken residual math,
+    // dead pruning) trips the flag. Only the floor FLAGS and the
+    // deterministic totals are hash-pinned (the seeded k-means build is
+    // not SQL-replayable), like q_ann_ivf_recall.
+    "q_pq_recall" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+      val idx = graft.ops.IvfPqIndex.build(e, "vec_id", "embedding",
+        nCells = 8, m = 8, ksub = 32, maxIter = 5, sampleSize = 10000,
+        seed = 42L)
+      val queriesDf = e.where(col("vec_id") < 10)
+      def ids(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("query_id"), col("corpus_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = ids(Similarity.bruteForceTopK(e, queriesDf, "vec_id",
+        "embedding", k = 5))
+      val rerank = ids(idx.searchRerank(queriesDf, "vec_id", "embedding",
+        e, k = 5, nProbe = 3, rerankK = 50))
+      val adc = ids(idx.search(queriesDf, "vec_id", "embedding", k = 5,
+        nProbe = 3))
+      idx.unpersist()
+      import sp.implicits._
+      Seq(
+        ("rerank_vs_exact", 5L, exact.size.toLong, 44L,
+          rerank.intersect(exact).size * 100L >= exact.size * 44L),
+        ("adc_vs_rerank", 5L, rerank.size.toLong, 25L,
+          adc.intersect(rerank).size * 100L >= rerank.size * 25L))
+        .toDF("metric", "k", "n_results", "floor_pct", "meets_floor")
+    },
     // One DBA barycenter update, oracle-checked: align series 1..12 to
     // center x0 (16-dim prefixes) through the REAL trait barycenter with
     // maxIter=1, emit the per-index mean of aligned values + alignment
@@ -7047,6 +7087,15 @@ object SparkEntry {
         |  CAST(50 AS BIGINT) AS floor_pct,
         |  true AS meets_floor
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_pq_recall" ->
+      """WITH q AS (SELECT CAST(count(*) AS BIGINT) AS nq
+        |  FROM embeddings WHERE vec_id < 10)
+        |SELECT 'rerank_vs_exact' AS metric, CAST(5 AS BIGINT) AS k,
+        |  CAST(5 * nq AS BIGINT) AS n_results,
+        |  CAST(44 AS BIGINT) AS floor_pct, true AS meets_floor FROM q
+        |UNION ALL
+        |SELECT 'adc_vs_rerank', CAST(5 AS BIGINT), CAST(5 * nq AS BIGINT),
+        |  CAST(25 AS BIGINT), true FROM q""".stripMargin,
     "q_pam_build" ->
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 64),
         |costs AS (

@@ -565,4 +565,68 @@ class RecallSpec extends SparkSpec {
     assert(rows(1L) != null && rows(1L).length == 2)
     assert(rows(2L) == null, "null in -> null proj, matching the pure-expression ops")
   }
+
+  test("recallCurve/probeFor (r18 verdict #5): the one-pass curve equals " +
+    "direct per-nProbe measurement, is monotone to 1.0, and probeFor " +
+    "returns the smallest qualifying nProbe on clusterable AND " +
+    "near-uniform data") {
+    import spark.implicits._
+    val rnd = new java.util.Random(29)
+    // clusterable: 8 well-separated blobs -> small nProbe reaches high
+    // recall
+    val blobCenters = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val blobPts = (0 until 800).map { i =>
+      val c = blobCenters(i % 8)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.8).toSeq)
+    }.toDF("id", "v")
+    val blobIdx = graft.ops.IvfIndex.build(blobPts, "id", "v", nCells = 8,
+      maxIter = 8, seed = 7)
+    val k = 5
+    val curve = blobIdx.recallCurve(k = k, sampleN = 64, seed = 3L)
+      .orderBy("nProbe").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+    assert(curve.length == 8)
+    assert(curve.last._2 == 1.0, "all-cells recall must be exactly 1")
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2 + 1e-12),
+      "curve must be monotone non-decreasing")
+    // the single-pass derivation equals DIRECT measurement: run the
+    // actual search at a few nProbe values and compare recall@k of the
+    // same seeded sample against the all-cells answer
+    val queries = blobIdx.cells
+      .orderBy(xxhash64(col("corpus_id"), lit(3L)), col("corpus_id"))
+      .limit(64).select(col("corpus_id"), col("cv"))
+    val exact = blobIdx.search(queries, "corpus_id", "cv", k, nProbe = 8)
+      .select("query_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (p <- Seq(1, 2, 4)) {
+      val got = blobIdx.search(queries, "corpus_id", "cv", k, nProbe = p)
+        .select("query_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val direct = got.intersect(exact).size.toDouble / exact.size
+      val fromCurve = curve(p - 1)._2
+      assert(math.abs(direct - fromCurve) < 1e-9,
+        s"nProbe=$p: curve says $fromCurve, direct measurement $direct")
+    }
+    // probeFor: smallest qualifying nProbe; target 1.0 is always
+    // satisfiable (all-cells is exact)
+    val p90 = blobIdx.probeFor(0.9, k = k, sampleN = 64, seed = 3L)
+    assert(curve(p90 - 1)._2 >= 0.9)
+    assert(p90 == 1 || curve(p90 - 2)._2 < 0.9, "not the smallest")
+    assert(blobIdx.probeFor(1.0, k = k, sampleN = 64, seed = 3L) <= 8)
+    blobIdx.unpersist()
+    // near-uniform: no cluster structure -> neighbors scatter across
+    // cells and high recall needs MORE probes than the blob case
+    val uniPts = (0 until 800).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian()).toSeq)).toDF("id", "v")
+    val uniIdx = graft.ops.IvfIndex.build(uniPts, "id", "v", nCells = 8,
+      maxIter = 8, seed = 7)
+    val uniCurve = uniIdx.recallCurve(k = k, sampleN = 64, seed = 3L)
+      .orderBy("nProbe").collect().map(r => r.getInt(0) -> r.getDouble(1))
+    assert(uniCurve.last._2 == 1.0)
+    val uni90 = uniIdx.probeFor(0.9, k = k, sampleN = 64, seed = 3L)
+    assert(uni90 >= p90,
+      s"uniform data needed nProbe=$uni90 < clusterable $p90 for 0.9 - " +
+        "the curve should be flatter without structure")
+    uniIdx.unpersist()
+  }
 }
