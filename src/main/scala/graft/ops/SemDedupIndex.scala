@@ -513,17 +513,23 @@ object SemDedupIndex {
       val healed = storeT.join(batchIds, Seq("id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       healed.count()
-      val idx = SemDedupIndex(healed, centers, epsilon)
-      val verdicts0 = idx.probeAssigned(assigned, maxClusterSize)
-      val novel = assigned
-        .join(verdicts0.where(col("keep")).select(col("id")), Seq("id"))
-        .select(col("id"), col("cluster"), col("v"))
-      // snapshot BEFORE the overwrite: both frames' lineage reads the
-      // partitions the dynamic write is about to replace
-      val replacement = healed.unionByName(novel).localCheckpoint(true)
-      val verdicts = verdicts0.localCheckpoint(true)
-      verdicts0.unpersist()
-      healed.unpersist()
+      // release the working caches even when the skew refusal (or the
+      // overwrite) throws — a long-running ingest loop must not
+      // accumulate cached frames across refused batches
+      val (replacement, verdicts) =
+        try {
+          val idx = SemDedupIndex(healed, centers, epsilon)
+          val verdicts0 = idx.probeAssigned(assigned, maxClusterSize)
+          try {
+            val novel = assigned
+              .join(verdicts0.where(col("keep")).select(col("id")), Seq("id"))
+              .select(col("id"), col("cluster"), col("v"))
+            // snapshot BEFORE the overwrite: both frames' lineage reads
+            // the partitions the dynamic write is about to replace
+            (healed.unionByName(novel).localCheckpoint(true),
+              verdicts0.localCheckpoint(true))
+          } finally verdicts0.unpersist()
+        } finally healed.unpersist()
       replacement.select("id", "cluster", "v")
         .repartition(col("cluster"))
         .write.mode("overwrite")

@@ -378,6 +378,28 @@ class SemDedupIndexSpec extends SparkSpec {
     assert(store2 == store1, "replay mutated the store")
   }
 
+  test("a REFUSED ingestInto (skewed batch) releases its working " +
+    "caches and leaves the store untouched") {
+    val (_, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val dir = java.nio.file.Files.createTempDirectory("semrefuse").toString
+    SemDedupIndex.write(idx, dir)
+    val before = SemDedupIndex.read(spark, dir).keepers
+      .select("id").as[Long].collect().toSet
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val big = (400L until 440L).map(i => (i, j(e1, 0.001 * (i % 7))))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      SemDedupIndex.ingestInto(spark, dir, big, "id", "v",
+        maxClusterSize = 10)
+    }
+    assert(e.getMessage.contains("maxClusterSize"))
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "refused ingest leaked cached frames")
+    assert(SemDedupIndex.read(spark, dir).keepers
+      .select("id").as[Long].collect().toSet == before,
+      "refused ingest mutated the store")
+  }
+
   test("ingestInto validates ONLY touched clusters: corruption in an " +
     "untouched partition does not block the ingest, but a touched " +
     "corrupt partition refuses") {
