@@ -479,7 +479,14 @@ class IvfIndexHandle:
     partition-pruned scan reading n_probe/n_cells of the corpus.
     ``append`` ingests new batches against the frozen quantizer;
     ``health`` audits the drift; ``retrain`` rebuilds the quantizer on
-    the stored corpus in place (stage-and-swap)."""
+    the stored corpus in place (stage-and-swap).
+
+    Streaming from Python: the JVM-side ``IvfIndex.ingestStream``
+    (marker-gated cell-partition appends per micro-batch) is driven
+    from Scala; from Python, call ``append`` per batch inside
+    ``foreachBatch`` and gate replays on your own batch-id marker, or
+    run ``compact`` at maintenance cadence to drop crash-window
+    duplicate rows."""
 
     def __init__(self, jindex, spark):
         self._j = jindex
@@ -533,6 +540,17 @@ class IvfIndexHandle:
         return IvfIndexHandle(jvm.graft.ops.IvfIndex.retrain(
             spark._jsparkSession, path, int(n_cells), int(max_iter),
             int(seed)), spark)
+
+    @staticmethod
+    def compact(spark, path: str) -> int:
+        """Drop duplicate (corpus_id) rows from a WRITTEN index — the
+        repair for a crash between a streaming append and its commit
+        marker (duplicates are bit-identical; keep-any is exact).
+        Whole-store stage-and-swap, maintenance cadence. Returns rows
+        removed."""
+        jvm = spark.sparkContext._jvm
+        return int(jvm.graft.ops.IvfIndex.compact(
+            spark._jsparkSession, path))
 
     @property
     def cells(self) -> DataFrame:

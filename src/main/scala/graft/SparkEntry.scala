@@ -2915,6 +2915,47 @@ object SparkEntry {
       idx.search(e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = 3)
         .select(col("query_id"), col("rank"), col("corpus_id"))
     },
+    // STREAMING ANN ingest (IvfIndex.ingestStream): bootstrap the index
+    // from the vec_id % 3 != 0 slice at the q_ann_ivf_pruned fixed
+    // quantizer, deliver the % 3 == 0 slice through a memory stream
+    // (marker-gated cell-partition appends), then search the RELOADED
+    // index — by construction the post-stream store equals the
+    // whole-corpus build, so the pruned search replays with the SAME
+    // oracle as q_ann_ivf_pruned (rule 5: shared ivfPrunedOracleSql).
+    // End to end this gates the stream wiring, the append path, the
+    // commit marker, and the partition-pruned read-back at every run.
+    "q_ann_ivf_stream" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val e = t(dir, "embeddings")
+      val cents = e.where(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val idx = graft.ops.IvfIndex.buildWithCenters(
+        e.where(col("vec_id") % 3 =!= 0), "vec_id", "embedding", cents)
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("ivfstream-gate").toString + "/idx"
+      idx.write(storeDir)
+      idx.unpersist()
+      val batch = e.where(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val stream = MemoryStream[(Long, Seq[Double])]
+      val q = graft.ops.IvfIndex.ingestStream(
+        stream.toDF().select(col("_1").as("id"), col("_2").as("v")),
+        "id", "v", storeDir,
+        java.nio.file.Files.createTempDirectory("ivfstream-ckpt").toString)
+      try {
+        stream.addData(batch: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.ops.IvfIndex.load(s, storeDir)
+        .search(e.where(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbe = 3)
+        .select(col("query_id"), col("rank"), col("corpus_id"))
+    },
     // Hard-negative mining over the cell-pruned IVF path — the
     // corpus-scale sibling of q_hard_negatives (same supplied-quantizer
     // trick as q_ann_ivf_pruned, so the candidate pruning + label filter
@@ -7040,6 +7081,11 @@ object SparkEntry {
         |SELECT round(ixt.i, 6) + 0.0 AS i_xt, round(ity.i, 6) + 0.0 AS i_ty, 4 AS k
         |FROM ixt, ity""".stripMargin,
     "q_ann_ivf_pruned" ->
+      ivfPrunedOracleSql("q.corpus_id < 10", "a.corpus_id <> p.query_id",
+        withLabel = false),
+    // the streamed store equals the whole-corpus build by construction,
+    // so the pruned search shares q_ann_ivf_pruned's oracle (rule 5)
+    "q_ann_ivf_stream" ->
       ivfPrunedOracleSql("q.corpus_id < 10", "a.corpus_id <> p.query_id",
         withLabel = false),
     "q_hard_negatives_ivf" ->

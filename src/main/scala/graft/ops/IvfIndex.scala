@@ -303,6 +303,97 @@ object IvfIndex {
     } finally { cells.unpersist(); () }
   }
 
+  /** STREAMING ingest into a WRITTEN index — the ANN twin of
+    * [[IncrementalDedup.ingestStream]] / [[SemDedupIndex.ingestStream]],
+    * completing the batch+stream ingest symmetry across all three
+    * persisted stores: each micro-batch is assigned against the frozen
+    * quantizer and appended into its cell partitions
+    * ([[IvfIndex.append]] — cost ∝ batch, touching only the batch's
+    * cells), with the same frozen-quantizer drift contract
+    * ([[IvfIndex#health]] audits; [[retrain]] at the maintenance
+    * window). `sink(nAppended, batchId)` fires per batch.
+    *
+    * REPLAY SAFETY (foreachBatch is at-least-once): append is NOT
+    * idempotent, so `path/ingest_meta.json` records the last batchId
+    * whose append committed — a replayed committed batch re-delivers
+    * its count to `sink` but skips the append. A crash BETWEEN the
+    * append and the marker re-appends the batch on replay: the
+    * duplicate rows are bit-identical (deterministic assignment), rank
+    * adjacently in searches (each occupies a top-k slot), and
+    * [[compact]] removes them at maintenance cadence — the
+    * [[IncrementalDedup.ingestStream]] tolerated-window trade,
+    * disclosed rather than hidden. Batch ids must be new for the
+    * index's lifetime (dedup upstream; that is the pipeline order).
+    */
+  def ingestStream(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      sink: (Long, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(vectors.isStreaming,
+      "IvfIndex.ingestStream needs a streaming frame; use append for batch")
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch
+          .select(col(idCol).as("corpus_id"),
+            col(vecCol).cast("array<double>").as("cv"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = b.count()
+          if (n > 0) {
+            if (batchId > lastCommittedBatch(spark, path)) {
+              append(spark, path, b, "corpus_id", "cv")
+              // commit marker LAST: replays of this batchId skip the append
+              SketchIo.writeFile(spark, path, "ingest_meta.json",
+                s"""{"lastBatchId":$batchId}""")
+            }
+            sink(n, batchId)
+          }
+        } finally { b.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
+  private def lastCommittedBatch(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path, "ingest_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods._
+      implicit val fmts: Formats = DefaultFormats
+      (parse(SketchIo.readFile(spark, path, "ingest_meta.json",
+        "IvfIndex.ingestStream")) \ "lastBatchId").extract[Long]
+    }
+  }
+
+  /** Maintenance compaction: drop duplicate (corpus_id) rows from a
+    * WRITTEN index's cells — the repair for [[ingestStream]]'s
+    * crash-between-append-and-marker window (duplicates are
+    * bit-identical, so keep-any is exact). Whole-store rewrite via the
+    * shared stage-and-swap ([[swapIndexDir]] preserves the
+    * previous-index-recoverable crash contract); run at maintenance
+    * cadence, like [[retrain]]. Returns the number of rows removed.
+    */
+  def compact(spark: SparkSession, path: String): Long = {
+    val cur = load(spark, path)
+    val before = cur.cells.count()
+    val deduped = cur.cells.dropDuplicates("corpus_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val after = deduped.count()
+    if (after < before) {
+      val idx = new IvfIndex(deduped, cur.centroids)
+      swapIndexDir(spark, path, "IvfIndex.compact")(idx.write)
+    }
+    deduped.unpersist()
+    before - after
+  }
+
   /** The ONE cell-population audit behind [[IvfIndex#health]] and
     * [[IvfPqIndex#health]] (rule 5): a single cell-bounded aggregation
     * over a (…, cell) frame. The q_ann_ivf_health gate hash-verifies

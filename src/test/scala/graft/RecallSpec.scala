@@ -566,6 +566,66 @@ class RecallSpec extends SparkSpec {
     assert(rows(2L) == null, "null in -> null proj, matching the pure-expression ops")
   }
 
+  test("IvfIndex.ingestStream: streamed appends equal the direct build, " +
+    "a re-delivered batch skips the append via the commit marker, and " +
+    "compact removes crash-window duplicates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rnd = new java.util.Random(41)
+    val pts = (0 until 400).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()).toSeq)).toDF("id", "v")
+    val centers = pts.where(col("id") < 4).orderBy("id")
+      .select(col("v").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val partA = pts.where(col("id") % 3 =!= 0)
+    val batch = pts.where(col("id") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString + "/idx"
+    val idx = graft.ops.IvfIndex.buildWithCenters(partA, "id", "v", centers)
+    idx.write(dir); idx.unpersist()
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def runOnce(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("ivfstream-ckpt").toString
+      val stream = MemoryStream[(Long, Seq[Double])]
+      val q = graft.ops.IvfIndex.ingestStream(
+        stream.toDF().select(col("_1").as("id"), col("_2").as("v")),
+        "id", "v", dir, ckpt, (n, b) => { counts += ((n, b)); () })
+      try { stream.addData(batch.toSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runOnce()
+    assert(counts.map(_._1).sum == batch.length, "sink count")
+    val grown = graft.ops.IvfIndex.load(spark, dir)
+    assert(grown.cells.count() == 400L, "streamed store != full corpus")
+    // streamed store searches EXACTLY like the direct whole-corpus build
+    val direct = graft.ops.IvfIndex.buildWithCenters(pts, "id", "v", centers)
+    val queries = pts.where(col("id") < 6)
+    val a = grown.search(queries, "id", "v", k = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = direct.search(queries, "id", "v", k = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b, "streamed-store search diverged from the direct build")
+    direct.unpersist()
+    // re-delivery of the SAME batch through a fresh checkpoint: the
+    // marker (batchId 0 committed) must gate the append -> store unchanged
+    runOnce()
+    assert(graft.ops.IvfIndex.load(spark, dir).cells.count() == 400L,
+      "re-delivered batch re-appended past the commit marker")
+    // crash-between-append-and-marker window: simulate by a direct
+    // duplicate append, then compact repairs exactly
+    graft.ops.IvfIndex.append(spark, dir,
+      pts.where(col("id") % 3 === 0), "id", "v")
+    assert(graft.ops.IvfIndex.load(spark, dir).cells.count() > 400L)
+    val removed = graft.ops.IvfIndex.compact(spark, dir)
+    assert(removed == batch.length.toLong, s"compact removed $removed")
+    val repaired = graft.ops.IvfIndex.load(spark, dir)
+    assert(repaired.cells.count() == 400L)
+    assert(repaired.search(queries, "id", "v", k = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet == b,
+      "compacted store search diverged")
+  }
+
   test("recallCurve/probeFor (r18 verdict #5): the one-pass curve equals " +
     "direct per-nProbe measurement, is monotone to 1.0, and probeFor " +
     "returns the smallest qualifying nProbe on clusterable AND " +
