@@ -680,6 +680,43 @@ class IvfPqIndexHandle:
         recommended_cells) — the shared cell-population drift audit."""
         return DataFrame(self._j.health(), self._spark)
 
+    @staticmethod
+    def compact(spark, path: str) -> int:
+        """Drop duplicate (corpus_id) coded rows from a WRITTEN index —
+        the repair for a crash between a streaming append and its
+        commit marker (codes are bit-identical under the frozen
+        encoder; keep-any is exact). Whole-store stage-and-swap,
+        maintenance cadence. Returns rows removed."""
+        jvm = spark.sparkContext._jvm
+        return int(jvm.graft.ops.IvfPqIndex.compact(
+            spark._jsparkSession, path))
+
+    def recall_curve(self, corpus: DataFrame, id_col: str, vec_col: str,
+                     k: int = 10, n_probes: Optional[List[int]] = None,
+                     rerank_k: int = 50, sample_n: int = 256,
+                     seed: int = 42) -> DataFrame:
+        """Measured recall@k vs n_probe for the search_rerank path
+        against exact brute force on a seeded corpus sample — DIRECT
+        measurement (unlike the IVF-flat one-pass curve: ADC ordering
+        can drop a true neighbor inside a probed cell, so candidacy
+        does not imply retrieval). (nProbe, recall) rows."""
+        return DataFrame(self._j.recallCurve(corpus._jdf, id_col,
+            vec_col, int(k),
+            _to_seq(corpus, [int(p) for p in (n_probes or [1, 2, 4, 8])]),
+            int(rerank_k), int(sample_n), int(seed)), self._spark)
+
+    def probe_for(self, corpus: DataFrame, id_col: str, vec_col: str,
+                  target_recall: float, k: int = 10,
+                  n_probes: Optional[List[int]] = None, rerank_k: int = 50,
+                  sample_n: int = 256, seed: int = 42) -> int:
+        """Smallest of ``n_probes`` meeting ``target_recall``, or -1
+        when none does — a -1 means the code budget (rerank_k/m/ksub),
+        not the probe width, is the binding constraint."""
+        return int(self._j.probeFor(corpus._jdf, id_col, vec_col,
+            float(target_recall), int(k),
+            _to_seq(corpus, [int(p) for p in (n_probes or [1, 2, 4, 8])]),
+            int(rerank_k), int(sample_n), int(seed)))
+
     def write(self, path: str) -> None:
         self._j.write(path)
 

@@ -961,6 +961,26 @@ def main() -> None:
                 == pret.health().collect()[0]["recommended_cells"])
         print("round-22 IVF-PQ bindings ok")
 
+        # r19: crash-window compact + measured PQ recall curve/probe
+        dup_removed = gops.IvfPqIndexHandle.compact(spark, pq_dir)
+        assert dup_removed == 0  # clean store: nothing to repair
+        gops.IvfPqIndexHandle.append(
+            spark, pq_dir, emb2.selectExpr("vec_id", "embedding"),
+            "vec_id", "embedding")
+        assert gops.IvfPqIndexHandle.compact(spark, pq_dir) == emb.count()
+        pq_curve = pq.recall_curve(emb, "vec_id", "embedding", k=3,
+                                   n_probes=[1, 2, 4], rerank_k=32,
+                                   sample_n=16, seed=3).collect()
+        assert [r["nProbe"] for r in pq_curve] == [1, 2, 4]
+        recalls = [r["recall"] for r in pq_curve]
+        assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+        p_ok = pq.probe_for(emb, "vec_id", "embedding", 0.5, k=3,
+                            n_probes=[1, 2, 4], rerank_k=32,
+                            sample_n=16, seed=3)
+        assert p_ok == -1 or p_ok in (1, 2, 4)
+        pq.unpersist()
+        print("round-19 PQ compact/recall bindings ok")
+
         print("SMOKE TEST PASSED")
     finally:
         spark.stop()

@@ -359,7 +359,10 @@ object IvfIndex {
       .start()
   }
 
-  private def lastCommittedBatch(spark: SparkSession, path: String): Long = {
+  /** Last committed streaming-ingest batch id at `path` (−1 = none) —
+    * shared with [[IvfPqIndex.ingestStream]] (rule 5).
+    */
+  private[ops] def lastCommittedBatch(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path, "ingest_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1L

@@ -305,6 +305,80 @@ final class IvfPqIndex private[ops] (
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("sim"), 6).as("cosine"))
   }
 
+  /** Measured recall@k vs nProbe for the PRODUCTION path
+    * ([[searchRerank]] — ADC candidates + exact rerank) against the
+    * exact brute-force top-k, on a seeded sample of corpus vectors.
+    * Unlike [[IvfIndex#recallCurve]]'s one-pass derivation, PQ recall
+    * must be measured DIRECTLY per probe width: a true neighbor inside
+    * a probed cell can still be dropped when the quantized ADC score
+    * pushes it out of the rerankK candidate pool, so candidacy does not
+    * imply retrieval and the cell-rank histogram is only an upper
+    * bound. Cost: one sample × corpus brute-force pass + one
+    * searchRerank per entry of `nProbes` — maintenance-cadence.
+    * Returns (nProbe, recall) rows; deterministic given (seed, index).
+    */
+  def recallCurve(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      rerankK: Int = 50,
+      sampleN: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    require(k > 0 && sampleN > 0, "IvfPqIndex.recallCurve: k, sampleN > 0")
+    require(nProbes.nonEmpty && nProbes.forall(_ > 0),
+      "IvfPqIndex.recallCurve: nProbes must be positive")
+    // the sample keeps the CALLER's column names: searchRerank applies
+    // one (idCol, vecCol) pair to both its query and corpus sides
+    val queries = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol).cast("long"), lit(seed)),
+        col(idCol))
+      .limit(sampleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    queries.count()
+    try {
+      val exact = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+        .select(col("query_id"), col("corpus_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      require(exact.nonEmpty, "IvfPqIndex.recallCurve: empty corpus or sample")
+      import spark.implicits._
+      nProbes.sorted.map { p =>
+        val got = searchRerank(queries, idCol, vecCol, corpus, k, p, rerankK)
+          .select(col("query_id"), col("corpus_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (p, got.intersect(exact).size.toDouble / exact.size)
+      }.toDF("nProbe", "recall")
+    } finally { queries.unpersist(); () }
+  }
+
+  /** The smallest of `nProbes` whose measured [[recallCurve]] recall@k
+    * meets `targetRecall`, or −1 when none does (unlike the IVF-flat
+    * sizing, PQ recall is capped by the code budget — a −1 answer
+    * means raise rerankK / m / ksub, not just nProbe; the quantized
+    * candidate ordering, not the probe width, is then the binding
+    * constraint).
+    */
+  def probeFor(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      targetRecall: Double,
+      k: Int = 10,
+      nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+      rerankK: Int = 50,
+      sampleN: Int = 256,
+      seed: Long = 42L): Int = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"IvfPqIndex.probeFor: targetRecall in (0, 1], got $targetRecall")
+    recallCurve(corpus, idCol, vecCol, k, nProbes, rerankK, sampleN, seed)
+      .where(col("recall") >= targetRecall)
+      .orderBy(col("nProbe"))
+      .collect().headOption.map(_.getInt(0)).getOrElse(-1)
+  }
+
   /** Persist: coded cells partitioned by cell (probe = partition-pruned
     * scan of codes, not vectors), centroids + codebook as small parquet.
     */
@@ -413,6 +487,69 @@ object IvfPqIndex {
       enc.write.mode("append").partitionBy("cell").parquet(s"$path/cells")
       n
     } finally { enc.unpersist(); () }
+  }
+
+  /** STREAMING ingest into a WRITTEN index — the PQ twin of
+    * [[IvfIndex.ingestStream]], same machinery end to end: each
+    * micro-batch encodes against the FROZEN quantizer+codebooks
+    * ([[append]] — one fused pass, cost ∝ batch, touching only the
+    * batch's cell partitions) and the shared `ingest_meta.json` commit
+    * marker gates replayed batches (re-delivered counts, skipped
+    * appends). The crash-between-append-and-marker window re-appends
+    * bit-identical coded rows; [[compact]] repairs at maintenance
+    * cadence. Batch ids must be new for the index's lifetime.
+    */
+  def ingestStream(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      sink: (Long, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(vectors.isStreaming,
+      "IvfPqIndex.ingestStream needs a streaming frame; use append for batch")
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch
+          .select(col(idCol).cast("long").as("corpus_id"),
+            col(vecCol).cast("array<double>").as("cv"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = b.count()
+          if (n > 0) {
+            if (batchId > IvfIndex.lastCommittedBatch(spark, path)) {
+              append(spark, path, b, "corpus_id", "cv")
+              SketchIo.writeFile(spark, path, "ingest_meta.json",
+                s"""{"lastBatchId":$batchId}""")
+            }
+            sink(n, batchId)
+          }
+        } finally { b.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
+  /** Maintenance compaction — the PQ twin of [[IvfIndex.compact]]:
+    * drop duplicate (corpus_id) coded rows (bit-identical by the
+    * frozen-encoder determinism, so keep-any is exact) and rewrite via
+    * the shared whole-dir stage-and-swap. Returns rows removed.
+    */
+  def compact(spark: SparkSession, path: String): Long = {
+    val cur = load(spark, path)
+    val before = cur.cells.count()
+    val deduped = cur.cells.dropDuplicates("corpus_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val after = deduped.count()
+    if (after < before) {
+      val idx = new IvfPqIndex(deduped, cur.centroids, cur.codebook,
+        cur.residual)
+      IvfIndex.swapIndexDir(spark, path, "IvfPqIndex.compact")(idx.write)
+    }
+    deduped.unpersist()
+    before - after
   }
 
   /** Retrain a WRITTEN index IN PLACE — from the ORIGINAL corpus, by

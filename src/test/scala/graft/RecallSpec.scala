@@ -626,6 +626,88 @@ class RecallSpec extends SparkSpec {
       "compacted store search diverged")
   }
 
+  test("IvfPqIndex.ingestStream/compact/recallCurve: streamed coded " +
+    "appends equal the direct build, the marker gates re-delivery, " +
+    "compact repairs duplicates, and the measured PQ curve drives " +
+    "probeFor (incl. the -1 unreachable-target answer)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rnd = new java.util.Random(31)
+    val blobCenters = Array.fill(8)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val pts = (0 until 640).map { i =>
+      val c = blobCenters(i % 8)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 1.0).toSeq)
+    }.toDF("id", "v")
+    val partA = pts.where(col("id") % 3 =!= 0)
+    val batch = pts.where(col("id") % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val dir = java.nio.file.Files.createTempDirectory("pqstream").toString + "/idx"
+    // build on the FULL corpus so quantizer+codebooks match the direct
+    // build, then rewrite cells to only partA (the frozen-model state
+    // is what ingest must reproduce)
+    val full = graft.ops.IvfPqIndex.build(pts, "id", "v",
+      nCells = 8, m = 8, ksub = 16, maxIter = 5, sampleSize = 640, seed = 42)
+    full.write(dir)
+    val aOnly = graft.ops.IvfPqIndex.load(spark, dir)
+    // restrict the written cells to partA by compact-style rewrite
+    val aCells = aOnly.cells.where(col("corpus_id") % 3 =!= 0)
+      .localCheckpoint(true)
+    aCells.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(dir + "/cells")
+    spark.catalog.refreshByPath(dir + "/cells")
+    assert(graft.ops.IvfPqIndex.load(spark, dir).cells.count() < 640L)
+    def runOnce(): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory("pqstream-ckpt").toString
+      val stream = MemoryStream[(Long, Seq[Double])]
+      val q = graft.ops.IvfPqIndex.ingestStream(
+        stream.toDF().select(col("_1").as("id"), col("_2").as("v")),
+        "id", "v", dir, ckpt)
+      try { stream.addData(batch.toSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runOnce()
+    val grown = graft.ops.IvfPqIndex.load(spark, dir)
+    assert(grown.cells.count() == 640L, "streamed store != full corpus")
+    val queries = pts.where(col("id") < 6)
+    def ids(i: graft.ops.IvfPqIndex) =
+      i.search(queries, "id", "v", k = 4, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ids(grown) == ids(full),
+      "streamed-store search diverged from the direct build")
+    // marker gates a re-delivered batch
+    runOnce()
+    assert(graft.ops.IvfPqIndex.load(spark, dir).cells.count() == 640L,
+      "re-delivered batch re-appended past the commit marker")
+    // crash-window duplicate + compact repair
+    graft.ops.IvfPqIndex.append(spark, dir,
+      pts.where(col("id") % 3 === 0), "id", "v")
+    val removed = graft.ops.IvfPqIndex.compact(spark, dir)
+    assert(removed == batch.length.toLong)
+    assert(graft.ops.IvfPqIndex.load(spark, dir).cells.count() == 640L)
+    // measured recall curve: monotone in nProbe; probeFor returns the
+    // smallest qualifying entry; an unreachable target answers -1
+    val curve = full.recallCurve(pts, "id", "v", k = 4,
+        nProbes = Seq(1, 2, 4, 8), rerankK = 64, sampleN = 48, seed = 5)
+      .orderBy("nProbe").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2 + 1e-12),
+      s"curve not monotone: ${curve.toSeq}")
+    val p80 = full.probeFor(pts, "id", "v", targetRecall = 0.8, k = 4,
+      nProbes = Seq(1, 2, 4, 8), rerankK = 64, sampleN = 48, seed = 5)
+    if (p80 > 0) {
+      val r = curve.find(_._1 == p80).get._2
+      assert(r >= 0.8)
+      assert(curve.filter(_._1 < p80).forall(_._2 < 0.8), "not the smallest")
+    }
+    assert(full.probeFor(pts, "id", "v", targetRecall = 1.0000, k = 4,
+      nProbes = Seq(1), rerankK = 4, sampleN = 48, seed = 5) == -1 ||
+      curve.head._2 == 1.0,
+      "unreachable target must answer -1")
+    full.unpersist()
+  }
+
   test("recallCurve/probeFor (r18 verdict #5): the one-pass curve equals " +
     "direct per-nProbe measurement, is monotone to 1.0, and probeFor " +
     "returns the smallest qualifying nProbe on clusterable AND " +
