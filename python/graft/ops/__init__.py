@@ -2507,6 +2507,19 @@ class SemDedupIndexHandle:
             spark)
 
     @staticmethod
+    def repair_manifest(spark, path: str) -> int:
+        """Operator recovery for ``ingest_into``'s one refused crash
+        window (died between the partition overwrite and the manifest
+        merge): re-digest ALL cluster partitions from the CURRENT
+        payload and rewrite the manifest. Explicit-intent tool — it
+        blesses whatever keeper rows are on disk, so use only when the
+        refusal traces to a crashed ingest; a corrupted quantizer still
+        refuses. Returns changed digest entries."""
+        jvm = spark.sparkContext._jvm
+        return int(jvm.graft.ops.SemDedupIndex.repairManifest(
+            spark._jsparkSession, path))
+
+    @staticmethod
     def ingest_into(
         spark, path: str, batch: DataFrame, id_col: str, vec_col: str,
         max_cluster_size: int = 20000,

@@ -93,10 +93,21 @@ object IncrementalDedup {
       table, "bucket", numBuckets, location, mode)
 
   /** Reopen the store by catalog name (plain-parquet reads would lose
-    * the bucket metadata that makes probe pruning work).
+    * the bucket metadata that makes probe pruning work), FRESH:
+    * streaming ingest commits its appends
+    * through foreachBatch's CLONED session, whose inserts refresh that
+    * clone's relation cache but not this session's — a re-read from the
+    * main session after the stream committed would otherwise serve the
+    * STALE file listing (missing the appended files, silently — the
+    * rule-13b surface for catalog tables, caught by the r19
+    * second-campaign spec). refreshTable drops the cached
+    * relation/listing; the next read relists — probe/bootstrap
+    * cadence cost.
     */
-  def loadStore(spark: SparkSession, table: String): DataFrame =
+  def loadStore(spark: SparkSession, table: String): DataFrame = {
+    if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
     BucketedCorpus.load(spark, table)
+  }
 
   /** Candidate (doc_id, match_id) pairs of a signatured batch against a
     * signatured store. When the batch's distinct bucket values fit
@@ -265,16 +276,24 @@ object IncrementalDedup {
     * batches (monotonic ingest ids — the natural ingest numbering).
     *
     * REPLAY SAFETY (foreachBatch is at-least-once): a `<store>_meta`
-    * table records the last batchId whose appends committed — a
-    * replayed batch recomputes and re-delivers its verdict (correct
-    * even against the post-append store: the probe excludes self-pairs
-    * and admitted co-batch docs are not near-dups of each other) but
-    * skips the appends. A crash BETWEEN the two table appends either
-    * repairs on replay (first batch: store treated as absent unless
-    * both tables exist → clean overwrite) or re-appends both (later
-    * batches: duplicate signature/doc rows are tolerated — candidates
-    * are distinct and the confirm dedups ids — at the cost of dead
-    * storage).
+    * table records the last batchId whose appends committed FOR THIS
+    * CHECKPOINT — a replayed batch recomputes and re-delivers its
+    * verdict (correct even against the post-append store: the probe
+    * excludes self-pairs and admitted co-batch docs are not near-dups
+    * of each other) but skips the appends. The marker is
+    * CHECKPOINT-SCOPED (r19 review): Spark batchIds restart at 0 with
+    * every fresh checkpoint, so a store-global marker would silently
+    * skip the appends of a SECOND ingest campaign's early batches
+    * (new checkpoint, new docs, batchIds ≤ the old high-water mark)
+    * while still delivering verdicts — novel docs lost from the store.
+    * A marker recorded under a different checkpoint (or a pre-r19
+    * legacy marker without one) gates nothing; the worst case of NOT
+    * gating is a re-append, which the store tolerates. A crash BETWEEN
+    * the two table appends either repairs on replay (first batch:
+    * store treated as absent unless both tables exist → clean
+    * overwrite) or re-appends both (later batches: duplicate
+    * signature/doc rows are tolerated — candidates are distinct and
+    * the confirm dedups ids — at the cost of dead storage).
     */
   def ingestStream(
       docs: DataFrame,
@@ -306,10 +325,17 @@ object IncrementalDedup {
             val storeExists = spark.catalog.tableExists(storeTable) &&
               spark.catalog.tableExists(docsTable)
             val lastCommitted =
-              if (spark.catalog.tableExists(metaTable))
-                spark.table(metaTable)
-                  .select(coalesce(max(col("batch_id")), lit(-1L))).collect()(0).getLong(0)
-              else -1L
+              if (spark.catalog.tableExists(metaTable)) {
+                val meta = spark.table(metaTable)
+                // checkpoint-scoped read; a legacy marker (no checkpoint
+                // column) belongs to an unknowable campaign and gates
+                // nothing — re-appending is tolerated, skipping is not
+                if (meta.columns.contains("checkpoint"))
+                  meta.where(col("checkpoint") === checkpointDir)
+                    .select(coalesce(max(col("batch_id")), lit(-1L)))
+                    .collect()(0).getLong(0)
+                else -1L
+              } else -1L
             val corpus =
               if (storeExists) BucketedCorpus.load(spark, docsTable)
               else spark.createDataFrame(
@@ -335,9 +361,12 @@ object IncrementalDedup {
                 bandedSignatures(admitted, "doc_id", "text", shingleSize, numHashes, bands),
                 storeTable, numBuckets, mode = mode)
               BucketedCorpus.write(admitted, docsTable, "doc_id", numBuckets, mode = mode)
-              // commit marker LAST: replays of this batchId skip the appends
-              Seq(batchId).toDF("batch_id").write
-                .mode(SaveMode.Overwrite).format("parquet").saveAsTable(metaTable)
+              // commit marker LAST: replays of this batchId skip the
+              // appends (Overwrite drops and recreates the table, so a
+              // legacy single-column marker upgrades in place)
+              Seq((checkpointDir, batchId)).toDF("checkpoint", "batch_id")
+                .write.mode(SaveMode.Overwrite)
+                .format("parquet").saveAsTable(metaTable)
               admitted.unpersist()
             }
             sink(verdict, batchId)

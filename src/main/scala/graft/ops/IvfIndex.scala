@@ -293,8 +293,26 @@ object IvfIndex {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(cents.nonEmpty, s"no centroids at $path — not a written IvfIndex")
-    val c = Dedup.fanOut(batch
-      .select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv")))
+    // normalize the batch's id type to the STORED corpus_id type (r19
+    // review): appending e.g. int32 ids next to a store's int64 writes
+    // mixed-schema part files into the same cell partitions, and the
+    // NEXT load fails ParquetDecoding against whichever footer it did
+    // not sample — wedged store, manual repair. Upcasts are silent
+    // (int→long widening); anything else refuses loudly.
+    val storedIdType = spark.read.parquet(s"$path/cells")
+      .schema("corpus_id").dataType
+    val raw = batch.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val batchIdType = raw.schema("corpus_id").dataType
+    require(batchIdType == storedIdType ||
+      org.apache.spark.sql.catalyst.expressions.Cast
+        .canUpCast(batchIdType, storedIdType),
+      s"IvfIndex.append: batch id type ${batchIdType.catalogString} does " +
+        s"not fit the stored corpus_id type ${storedIdType.catalogString} " +
+        s"at $path — cast the batch's $idCol explicitly (a mixed-type " +
+        "append would wedge the store for every later read)")
+    val c = Dedup.fanOut(raw
+      .select(col("corpus_id").cast(storedIdType).as("corpus_id"), col("cv")))
     val cells = assignCells(c, cents)
     try {
       val n = cells.count()
@@ -315,15 +333,22 @@ object IvfIndex {
     *
     * REPLAY SAFETY (foreachBatch is at-least-once): append is NOT
     * idempotent, so `path/ingest_meta.json` records the last batchId
-    * whose append committed — a replayed committed batch re-delivers
-    * its count to `sink` but skips the append. A crash BETWEEN the
-    * append and the marker re-appends the batch on replay: the
-    * duplicate rows are bit-identical (deterministic assignment), rank
-    * adjacently in searches (each occupies a top-k slot), and
-    * [[compact]] removes them at maintenance cadence — the
-    * [[IncrementalDedup.ingestStream]] tolerated-window trade,
-    * disclosed rather than hidden. Batch ids must be new for the
-    * index's lifetime (dedup upstream; that is the pipeline order).
+    * whose append committed FOR THIS CHECKPOINT — a replayed committed
+    * batch re-delivers its count to `sink` but skips the append.
+    * The marker is CHECKPOINT-SCOPED because Spark's batchIds restart
+    * at 0 with every fresh checkpoint: a store-global marker would
+    * silently drop the early batches of a SECOND ingest campaign
+    * (new checkpoint, new data, batchIds 0..N ≤ the old campaign's
+    * high-water mark) while still reporting their counts (r19 review —
+    * a silent-data-loss class, the opposite of the refuse-loudly
+    * norm). A crash BETWEEN the append and the marker re-appends the
+    * batch on replay: the duplicate rows are bit-identical
+    * (deterministic assignment), rank adjacently in searches (each
+    * occupies a top-k slot), and [[compact]] removes them at
+    * maintenance cadence — the [[IncrementalDedup.ingestStream]]
+    * tolerated-window trade, disclosed rather than hidden. Batch ids
+    * must be new for the index's lifetime (dedup upstream; that is the
+    * pipeline order).
     */
   def ingestStream(
       vectors: DataFrame,
@@ -331,9 +356,29 @@ object IvfIndex {
       vecCol: String,
       path: String,
       checkpointDir: String,
-      sink: (Long, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+      sink: (Long, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    markerGatedAppendStream(vectors, idCol, vecCol, path, checkpointDir,
+      sink, "IvfIndex.ingestStream", append)
+
+  /** The shared marker-gated streaming-append loop behind
+    * [[IvfIndex.ingestStream]] and [[IvfPqIndex.ingestStream]]
+    * (rule 5 — the replay/marker logic must not diverge between the
+    * two index families): per micro-batch, `append` runs only when
+    * this CHECKPOINT has not yet committed this batchId; the marker
+    * write is last. Each family's `append` owns its own id/type
+    * normalization against the stored schema.
+    */
+  private[ops] def markerGatedAppendStream(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      checkpointDir: String,
+      sink: (Long, Long) => Unit,
+      site: String,
+      append: (SparkSession, String, DataFrame, String, String) => Long): org.apache.spark.sql.streaming.StreamingQuery = {
     require(vectors.isStreaming,
-      "IvfIndex.ingestStream needs a streaming frame; use append for batch")
+      s"$site needs a streaming frame; use append for batch")
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -345,11 +390,10 @@ object IvfIndex {
         try {
           val n = b.count()
           if (n > 0) {
-            if (batchId > lastCommittedBatch(spark, path)) {
+            if (batchId > lastCommittedBatch(spark, path, checkpointDir)) {
               append(spark, path, b, "corpus_id", "cv")
               // commit marker LAST: replays of this batchId skip the append
-              SketchIo.writeFile(spark, path, "ingest_meta.json",
-                s"""{"lastBatchId":$batchId}""")
+              writeIngestMarker(spark, path, checkpointDir, batchId)
             }
             sink(n, batchId)
           }
@@ -359,10 +403,23 @@ object IvfIndex {
       .start()
   }
 
-  /** Last committed streaming-ingest batch id at `path` (−1 = none) —
-    * shared with [[IvfPqIndex.ingestStream]] (rule 5).
+  private def writeIngestMarker(spark: SparkSession, path: String,
+      checkpointDir: String, batchId: Long): Unit = {
+    import org.json4s.JsonDSL._
+    SketchIo.writeFile(spark, path, "ingest_meta.json",
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          ("checkpointDir" -> checkpointDir) ~ ("lastBatchId" -> batchId))))
+  }
+
+  /** Last committed streaming-ingest batch id at `path` for THIS
+    * checkpoint (−1 = none): Spark batchIds are checkpoint-scoped, so
+    * a marker recorded under a different (or absent — pre-r19 legacy)
+    * checkpoint is a different campaign and gates nothing. Shared with
+    * [[IvfPqIndex.ingestStream]] (rule 5).
     */
-  private[ops] def lastCommittedBatch(spark: SparkSession, path: String): Long = {
+  private[ops] def lastCommittedBatch(spark: SparkSession, path: String,
+      checkpointDir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path, "ingest_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1L
@@ -370,8 +427,11 @@ object IvfIndex {
       import org.json4s._
       import org.json4s.jackson.JsonMethods._
       implicit val fmts: Formats = DefaultFormats
-      (parse(SketchIo.readFile(spark, path, "ingest_meta.json",
-        "IvfIndex.ingestStream")) \ "lastBatchId").extract[Long]
+      val meta = parse(SketchIo.readFile(spark, path, "ingest_meta.json", site = "ingestStream"))
+      val recorded = (meta \ "checkpointDir").extractOpt[String]
+      if (recorded.contains(checkpointDir))
+        (meta \ "lastBatchId").extract[Long]
+      else -1L
     }
   }
 
@@ -385,14 +445,25 @@ object IvfIndex {
     */
   def compact(spark: SparkSession, path: String): Long = {
     val cur = load(spark, path)
-    val before = cur.cells.count()
-    val deduped = cur.cells.dropDuplicates("corpus_id")
+    compactDedup(spark, path, "IvfIndex.compact", cur.cells)(
+      d => new IvfIndex(d, cur.centroids).write)
+  }
+
+  /** The shared body behind [[compact]] and [[IvfPqIndex.compact]]
+    * (rule 5): drop duplicate (corpus_id) rows from a cells frame and,
+    * when anything was removed, rewrite the whole index via
+    * [[swapIndexDir]] with the caller's write function. Returns rows
+    * removed.
+    */
+  private[ops] def compactDedup(spark: SparkSession, path: String,
+      site: String, cells: DataFrame)(
+      writeWith: DataFrame => String => Unit): Long = {
+    val before = cells.count()
+    val deduped = cells.dropDuplicates("corpus_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val after = deduped.count()
-    if (after < before) {
-      val idx = new IvfIndex(deduped, cur.centroids)
-      swapIndexDir(spark, path, "IvfIndex.compact")(idx.write)
-    }
+    if (after < before)
+      swapIndexDir(spark, path, site)(writeWith(deduped))
     deduped.unpersist()
     before - after
   }

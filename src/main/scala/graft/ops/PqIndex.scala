@@ -505,32 +505,9 @@ object IvfPqIndex {
       vecCol: String,
       path: String,
       checkpointDir: String,
-      sink: (Long, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(vectors.isStreaming,
-      "IvfPqIndex.ingestStream needs a streaming frame; use append for batch")
-    vectors.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch
-          .select(col(idCol).cast("long").as("corpus_id"),
-            col(vecCol).cast("array<double>").as("cv"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val n = b.count()
-          if (n > 0) {
-            if (batchId > IvfIndex.lastCommittedBatch(spark, path)) {
-              append(spark, path, b, "corpus_id", "cv")
-              SketchIo.writeFile(spark, path, "ingest_meta.json",
-                s"""{"lastBatchId":$batchId}""")
-            }
-            sink(n, batchId)
-          }
-        } finally { b.unpersist(); () }
-        ()
-      }
-      .start()
-  }
+      sink: (Long, Long) => Unit = (_, _) => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    IvfIndex.markerGatedAppendStream(vectors, idCol, vecCol, path,
+      checkpointDir, sink, "IvfPqIndex.ingestStream", append)
 
   /** Maintenance compaction — the PQ twin of [[IvfIndex.compact]]:
     * drop duplicate (corpus_id) coded rows (bit-identical by the
@@ -539,17 +516,8 @@ object IvfPqIndex {
     */
   def compact(spark: SparkSession, path: String): Long = {
     val cur = load(spark, path)
-    val before = cur.cells.count()
-    val deduped = cur.cells.dropDuplicates("corpus_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val after = deduped.count()
-    if (after < before) {
-      val idx = new IvfPqIndex(deduped, cur.centroids, cur.codebook,
-        cur.residual)
-      IvfIndex.swapIndexDir(spark, path, "IvfPqIndex.compact")(idx.write)
-    }
-    deduped.unpersist()
-    before - after
+    IvfIndex.compactDedup(spark, path, "IvfPqIndex.compact", cur.cells)(
+      d => new IvfPqIndex(d, cur.centroids, cur.codebook, cur.residual).write)
   }
 
   /** Retrain a WRITTEN index IN PLACE — from the ORIGINAL corpus, by

@@ -372,13 +372,20 @@ object SemDedupIndex {
     * re-appends), each batch's cycle is idempotent by construction —
     * [[ingestInto]] anti-joins the batch's own ids out of the touched
     * cluster partitions before probing, so a replayed batch (restart
-    * between the partition overwrite and the checkpoint commit) sees
+    * between the MANIFEST merge and the checkpoint commit) sees
     * exactly the pre-batch store, produces the identical verdicts
     * (at-least-once to `sink`), and rewrites the touched partitions to
-    * identical content (exactly-once effectively). Batch ids must be
-    * unique within the STREAM's lifetime (the monotone-id ingest
-    * contract above); ids may collide with a crashed attempt's — that
-    * is the case the anti-join heals.
+    * identical content (exactly-once effectively). The ONE window this
+    * does not cover: a crash between the partition overwrite and the
+    * manifest merge leaves the touched clusters' digests stale, and
+    * the replay REFUSES on them ("digest mismatch") rather than
+    * converging — the refuse-loudly contract, never silently-wrong
+    * verdicts; recovery is [[repairManifest]] (re-digest the current
+    * payload after confirming the refusal traces to a crashed ingest,
+    * not unexplained corruption), then restart the stream. Batch ids
+    * must be unique within the STREAM's lifetime (the monotone-id
+    * ingest contract above); ids may collide with a crashed attempt's
+    * — that is the case the anti-join heals.
     *
     * Cost shape per batch (v2, r18 verdict #1): one broadcast
     * assignment over the batch, one cluster-equi-join probe against the
@@ -508,7 +515,11 @@ object SemDedupIndex {
       val storeT = readClusters(touched.filter(onDisk))
       checkClusterDigests(keeperClusterDigests(storeT),
         storedDigs.filter { case (c, _) => touched.contains(c) }, path,
-        "SemDedupIndex.ingestInto", "the touched clusters")
+        "SemDedupIndex.ingestInto", "the touched clusters",
+        remediation = ". If this follows a CRASHED ingest (died between " +
+          "the partition overwrite and the manifest merge), " +
+          "SemDedupIndex.repairManifest re-digests the current payload; " +
+          "for unexplained corruption, restore from a backup instead")
       val batchIds = assigned.select(col("id"))
       val healed = storeT.join(batchIds, Seq("id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -551,12 +562,61 @@ object SemDedupIndex {
 
   /** The zero-row verdict frame with [[SemDedupIndex.probe]]'s schema —
     * an empty ingest batch probes to nothing and must write nothing.
+    * localCheckpoint'd so the empty path honors the same
+    * "returned persisted; caller owns the release" contract as the
+    * main path (r19 review: a caller's unpersist must never be a no-op
+    * on a lineage that still reads the batch).
     */
   private def probeEmptyResult(assigned: DataFrame): DataFrame =
     assigned.limit(0)
       .select(col("id"), col("cluster"), col("centroid_sim"),
         lit(null).cast("long").as("dup_of"), lit(0L).as("n_dup_matches"),
         lit(true).as("keep"))
+      .localCheckpoint(true)
+
+  /** Operator recovery for [[ingestInto]]'s ONE refused crash window
+    * (died between the partition overwrite and the manifest merge —
+    * the stream then refuses "digest mismatch" on every restart):
+    * re-digest ALL cluster partitions from the CURRENT keeper payload
+    * and rewrite the manifest. EXPLICIT-INTENT tool — it blesses
+    * whatever keeper rows are on disk, so run it only when the refusal
+    * traces to a crashed ingest, never for unexplained corruption
+    * (restore a backup there). Geometry is NOT blessed: the centers
+    * digest is re-validated, so a corrupted quantizer still refuses.
+    * Returns the number of cluster digest entries that changed.
+    */
+  def repairManifest(spark: SparkSession, path: String): Long = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods._
+    implicit val fmts: Formats = DefaultFormats
+    val meta = parse(SketchIo.readFile(spark, path, "semindex.json",
+      "SemDedupIndex.repairManifest"))
+    val ver = (meta \ "formatVersion").extract[Int]
+    require(ver == FormatVersion,
+      s"SemDedupIndex.repairManifest: formatVersion $ver unsupported")
+    val centersDf = spark.read.parquet(s"$path/centers")
+    val cDig = (meta \ "centerDigest").extract[Long]
+    require(centerDigest(centersDf) == cDig,
+      s"SemDedupIndex.repairManifest: centers digest mismatch at " +
+        s"$path/centers - the quantizer itself is corrupted; repair only " +
+        "re-digests keeper partitions, restore the centers from a backup")
+    val storedDigs = (meta \ "keeperDigests").extract[Map[String, Long]]
+      .map { case (c, d) => c.toLong -> d }
+    val live = new org.apache.hadoop.fs.Path(path, "keepers")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasClusters = fs.exists(live) && fs.listStatus(live)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+    val fresh =
+      if (!hasClusters) Map.empty[Long, Long]
+      else {
+        spark.catalog.refreshByPath(live.toString)
+        keeperClusterDigests(spark.read.parquet(live.toString))
+      }
+    writeManifest(spark, path, (meta \ "epsilon").extract[Double],
+      (meta \ "k").extract[Int], (meta \ "dim").extract[Int], cDig, fresh)
+    ((storedDigs.keySet ++ fresh.keySet)
+      .count(c => storedDigs.get(c) != fresh.get(c))).toLong
+  }
 
   /** py4j bridge: centers as a k-row (cluster, cv) frame ordered by
     * cluster — the [[Prototypes]] Df pattern (a nested double matrix
@@ -698,7 +758,7 @@ object SemDedupIndex {
     */
   private def checkClusterDigests(actual: Map[Long, Long],
       expected: Map[Long, Long], path: String, site: String,
-      scope: String): Unit = {
+      scope: String, remediation: String = ""): Unit = {
     val bad = (actual.keySet ++ expected.keySet).toSeq.sorted.flatMap { c =>
       (actual.get(c), expected.get(c)) match {
         case (Some(a), Some(e)) if a == e => None
@@ -711,7 +771,7 @@ object SemDedupIndex {
         bad.take(5).mkString("; ") +
         (if (bad.size > 5) s"; … ${bad.size - 5} more" else "") +
         ") - the payload does not match what was written; refusing a " +
-        "corrupted index")
+        "corrupted index" + remediation)
   }
 
   /** Load and VALIDATE: geometry from semindex.json, center digest and

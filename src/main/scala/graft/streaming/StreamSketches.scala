@@ -57,8 +57,17 @@ object StreamSketches {
     */
   private[graft] def requirePortableMode(emissions: DataFrame,
       portableHash: Boolean, site: String): Unit = {
-    val modes = emissions.select(col("portable").cast("boolean"))
-      .distinct().collect().map(_.getBoolean(0)).toSeq.sorted
+    val rows = emissions.select(col("portable").cast("boolean"))
+      .distinct().collect()
+    // a NULL mode (a pre-upgrade sink merged with post-upgrade
+    // emissions via mergeSchema) must refuse with words, not NPE at
+    // getBoolean (r19 review)
+    require(!rows.exists(_.isNullAt(0)),
+      s"$site: the sink has emission rows with NO recorded hash mode " +
+        "(a pre-upgrade sink merged with newer emissions?) - the rebuild " +
+        "cannot know which hash space those rows' positions live in; " +
+        "re-emit the affected windows or split the sink by vintage")
+    val modes = rows.map(_.getBoolean(0)).toSeq.sorted
     require(modes.size <= 1,
       s"$site: the sink MIXES portable and fast-hash emissions - the two " +
         "modes occupy different hash spaces and cannot rebuild into one " +

@@ -192,6 +192,15 @@ class FastHashSpec extends SparkSpec {
     // validation)
     assert(!graft.streaming.StreamBloom.fromWindowWords(
       ww, 2048L, 3, portableHash = false).portableHash)
+    // a sink with NULL modes (a pre-upgrade sink merged with newer
+    // emissions) refuses with words, never an NPE at getBoolean
+    val withNulls = ww.withColumn("portable",
+      when(col("w") % 2 === 0, col("portable")).otherwise(lit(null)))
+    val en = intercept[IllegalArgumentException] {
+      graft.streaming.StreamBloom.fromWindowWords(withNulls, 2048L, 3,
+        portableHash = false)
+    }
+    assert(en.getMessage.contains("NO recorded hash mode"), en.getMessage)
   }
 
   test("fast rank sketch: exact at n <= s, merge == one-shot build, " +

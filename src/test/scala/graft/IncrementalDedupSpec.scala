@@ -190,8 +190,11 @@ class IncrementalDedupSpec extends SparkSpec {
       val sigIds = graft.ops.IncrementalDedup.loadStore(spark, "inc_stream")
         .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
       assert(sigIds == Set(0L, 3L), s"store signature ids: $sigIds")
-      // the commit marker records the last appended batch
-      assert(spark.table("inc_stream_meta").collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // the commit marker records the last appended batch FOR THIS
+      // CHECKPOINT (r19 review: batchIds are checkpoint-scoped)
+      val marker = spark.table("inc_stream_meta").collect()
+      assert(marker.map(_.getLong(1)).toSeq == Seq(2L))
+      assert(marker.map(_.getString(0)).toSeq == Seq(ckpt))
       // a replayed batch (simulated: verdict against the post-append
       // store) still resolves correctly — self-pairs are excluded, so
       // admitted docs stay novel and duplicates still match the keeper
@@ -206,6 +209,31 @@ class IncrementalDedupSpec extends SparkSpec {
       } finally replay.unpersist()
     } finally {
       q.stop()
+    }
+    // a SECOND campaign (fresh checkpoint, new docs, batchIds restart
+    // at 0) must still APPEND: a store-global marker would read
+    // lastCommitted=2 and silently drop batch 0's admission while
+    // delivering its verdict (the r19-review silent-data-loss class)
+    try {
+      val ckpt2 = java.nio.file.Files.createTempDirectory("inc-stream-ckpt2").toString
+      val stream2 = MemoryStream[(Long, String)]
+      val verdicts2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+      val q2 = graft.ops.IncrementalDedup.ingestStream(
+        stream2.toDF().select(col("_1").as("doc_id"), col("_2").as("text")),
+        "doc_id", "text", "inc_stream",
+        (v, _) => verdicts2 ++= v.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))),
+        ckpt2)
+      try {
+        stream2.addData((10L, "m n o p q r s t u v"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(verdicts2.toSet == Set((10L, None)), s"campaign 2: $verdicts2")
+      val stored2 = graft.ops.IncrementalDedup.loadStore(spark, "inc_stream_docs")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(stored2 == Set(0L, 3L, 10L),
+        s"fresh-checkpoint campaign's admission was dropped: $stored2")
+    } finally {
       resetTable("inc_stream"); resetTable("inc_stream_docs"); resetTable("inc_stream_meta")
     }
   }

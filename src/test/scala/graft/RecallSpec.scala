@@ -607,11 +607,67 @@ class RecallSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(a == b, "streamed-store search diverged from the direct build")
     direct.unpersist()
-    // re-delivery of the SAME batch through a fresh checkpoint: the
-    // marker (batchId 0 committed) must gate the append -> store unchanged
-    runOnce()
-    assert(graft.ops.IvfIndex.load(spark, dir).cells.count() == 400L,
-      "re-delivered batch re-appended past the commit marker")
+    // a SECOND campaign with NEW ids and a FRESH checkpoint must append:
+    // Spark batchIds restart at 0 per checkpoint, so a store-global
+    // marker would silently drop these batches (r19 review). The
+    // checkpoint-scoped marker gates only same-checkpoint replays.
+    val batch2 = pts.where(col("id") % 3 === 0)
+      .select((col("id") + 10000L).as("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    locally {
+      val ckpt2 = java.nio.file.Files.createTempDirectory("ivfstream-ckpt2").toString
+      val stream2 = MemoryStream[(Long, Seq[Double])]
+      val q2 = graft.ops.IvfIndex.ingestStream(
+        stream2.toDF().select(col("_1").as("id"), col("_2").as("v")),
+        "id", "v", dir, ckpt2)
+      try { stream2.addData(batch2.toSeq: _*); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    assert(graft.ops.IvfIndex.load(spark, dir).cells.count() ==
+      400L + batch2.length,
+      "fresh-checkpoint campaign's batches were silently dropped")
+    // remove the second campaign's rows so the remaining assertions see
+    // the original store (ids are disjoint, so an anti-join rewrite via
+    // compact semantics is not applicable - rebuild by direct filter)
+    val trimmed = graft.ops.IvfIndex.load(spark, dir)
+    val kept = trimmed.cells.where(col("corpus_id") < 10000L)
+      .localCheckpoint(true)
+    kept.write.mode("overwrite").partitionBy("cell").parquet(dir + "/cells")
+    spark.catalog.refreshByPath(dir + "/cells")
+    assert(graft.ops.IvfIndex.load(spark, dir).cells.count() == 400L)
+    // same-checkpoint replay gating, simulated via the public marker
+    // contract: a marker claiming THIS checkpoint already committed
+    // batchId 0 must skip the delivery's append while the sink still
+    // fires (at-least-once to the consumer, exactly-once to the store)
+    locally {
+      val ckpt3 = java.nio.file.Files.createTempDirectory("ivfstream-ckpt3").toString
+      // drop the Hadoop LocalFileSystem checksum sidecar before the raw
+      // overwrite or the next FS read fails its crc
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, ".ingest_meta.json.crc"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "ingest_meta.json"),
+        s"""{"checkpointDir":"$ckpt3","lastBatchId":0}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sunk = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stream3 = MemoryStream[(Long, Seq[Double])]
+      val q3 = graft.ops.IvfIndex.ingestStream(
+        stream3.toDF().select(col("_1").as("id"), col("_2").as("v")),
+        "id", "v", dir, ckpt3, (n, _) => { sunk += n; () })
+      try {
+        stream3.addData(batch2.map { case (i, v) => (i + 90000L, v) }.toSeq: _*)
+        q3.processAllAvailable()
+      } finally q3.stop()
+      assert(sunk.sum == batch2.length, "replayed batch must still sink")
+      assert(graft.ops.IvfIndex.load(spark, dir).cells.count() == 400L,
+        "marker-gated replay appended anyway")
+    }
+    // The mixed-id-type refusal (r19 review) trips before a wedged store:
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.IvfIndex.append(spark, dir,
+        pts.select(col("id").cast("string").as("id"), col("v")), "id", "v")
+    }
+    assert(e2.getMessage.contains("id type"), e2.getMessage)
     // crash-between-append-and-marker window: simulate by a direct
     // duplicate append, then compact repairs exactly
     graft.ops.IvfIndex.append(spark, dir,
@@ -676,10 +732,28 @@ class RecallSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(ids(grown) == ids(full),
       "streamed-store search diverged from the direct build")
-    // marker gates a re-delivered batch
-    runOnce()
-    assert(graft.ops.IvfPqIndex.load(spark, dir).cells.count() == 640L,
-      "re-delivered batch re-appended past the commit marker")
+    // a SECOND campaign with NEW ids and a FRESH checkpoint must append
+    // (checkpoint-scoped marker, r19 review)
+    val batch2 = pts.where(col("id") % 3 === 0)
+      .select((col("id") + 10000L).as("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    locally {
+      val ckpt2 = java.nio.file.Files.createTempDirectory("pqstream-ckpt2").toString
+      val stream2 = MemoryStream[(Long, Seq[Double])]
+      val q2 = graft.ops.IvfPqIndex.ingestStream(
+        stream2.toDF().select(col("_1").as("id"), col("_2").as("v")),
+        "id", "v", dir, ckpt2)
+      try { stream2.addData(batch2.toSeq: _*); q2.processAllAvailable() }
+      finally q2.stop()
+    }
+    assert(graft.ops.IvfPqIndex.load(spark, dir).cells.count() ==
+      640L + batch2.length,
+      "fresh-checkpoint campaign's batches were silently dropped")
+    val kept = graft.ops.IvfPqIndex.load(spark, dir).cells
+      .where(col("corpus_id") < 10000L).localCheckpoint(true)
+    kept.write.mode("overwrite").partitionBy("cell").parquet(dir + "/cells")
+    spark.catalog.refreshByPath(dir + "/cells")
+    assert(graft.ops.IvfPqIndex.load(spark, dir).cells.count() == 640L)
     // crash-window duplicate + compact repair
     graft.ops.IvfPqIndex.append(spark, dir,
       pts.where(col("id") % 3 === 0), "id", "v")

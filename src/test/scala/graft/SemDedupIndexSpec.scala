@@ -378,6 +378,52 @@ class SemDedupIndexSpec extends SparkSpec {
     assert(store2 == store1, "replay mutated the store")
   }
 
+  test("repairManifest recovers the crashed-ingest window (stale touched " +
+    "digests) but still refuses a corrupted quantizer; an empty batch " +
+    "returns the empty verdict frame and writes nothing") {
+    val (_, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
+    val dir = java.nio.file.Files.createTempDirectory("semrepair").toString
+    SemDedupIndex.write(idx, dir)
+    // empty batch first: verdict schema intact, store untouched
+    val v0 = SemDedupIndex.ingestInto(spark, dir,
+      Seq.empty[(Long, Array[Double])].toDF("id", "v"), "id", "v")
+    assert(v0.columns.toSeq ==
+      Seq("id", "cluster", "centroid_sim", "dup_of", "n_dup_matches", "keep"))
+    assert(v0.count() == 0L)
+    v0.unpersist()
+    // simulate the crash window: partition content changes (a committed
+    // overwrite) without the manifest merge — here, a rogue row appended
+    // directly into cluster 0's partition dir
+    Seq((777L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+      .write.mode("append").parquet(s"$dir/keepers/cluster=0")
+    spark.catalog.refreshByPath(s"$dir/keepers")
+    val e0 = intercept[IllegalArgumentException] {
+      SemDedupIndex.ingestInto(spark, dir,
+        Seq((300L, j(e1, 0.004))).toDF("id", "v"), "id", "v")
+    }
+    assert(e0.getMessage.contains("repairManifest"),
+      s"refusal must carry the remediation: ${e0.getMessage}")
+    // repair re-digests the CURRENT payload; the loop then proceeds
+    assert(SemDedupIndex.repairManifest(spark, dir) == 1L)
+    val v1 = SemDedupIndex.ingestInto(spark, dir,
+      Seq((300L, j(e1, 0.004))).toDF("id", "v"), "id", "v")
+    assert(v1.count() == 1L)
+    v1.unpersist()
+    assert(SemDedupIndex.read(spark, dir).keepers
+      .select("id").as[Long].collect().toSet.contains(777L),
+      "repair must bless the on-disk payload")
+    // a corrupted QUANTIZER is never blessed
+    val cents = spark.read.parquet(s"$dir/centers")
+      .withColumn("cv", transform(col("cv"), x => x + lit(1.0)))
+      .localCheckpoint(true)
+    cents.write.mode("overwrite").parquet(s"$dir/centers")
+    spark.catalog.refreshByPath(s"$dir/centers")
+    val e1m = intercept[IllegalArgumentException] {
+      SemDedupIndex.repairManifest(spark, dir)
+    }
+    assert(e1m.getMessage.contains("centers digest mismatch"))
+  }
+
   test("a REFUSED ingestInto (skewed batch) releases its working " +
     "caches and leaves the store untouched") {
     val (_, idx) = SemDedupIndex.build(batch1, "id", "v", centers, 0.99)
