@@ -886,6 +886,9 @@ def main() -> None:
         sidx_r2 = gops.SemDedupIndexHandle.read(spark, sem_dir + "/f")
         assert sidx_r2.keepers.count() == sidx.keepers.count() + kept2
         pv2.unpersist()
+        # healthy store: repair is a no-op (0 changed digests)
+        assert gops.SemDedupIndexHandle.repair_manifest(
+            spark, sem_dir + "/f") == 0
         print("round-19 partition-scoped semdedup ingest binding ok")
 
         # r22: maintenance rebalance — keeper set preserved, partitioning
