@@ -76,27 +76,83 @@ object SemDedup {
     * similarity, ties to the lowest cluster id. Returns
     * (id, cluster, centroid_sim, v), NOT persisted — callers own that.
     */
-  private[ops] def assignFixed(
+  private[graft] def assignFixed(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
       centers: Array[Array[Double]]): DataFrame = {
     require(centers.nonEmpty, "semDedup needs at least one center")
     val spark = vectors.sparkSession
-    val centersDf = {
-      import spark.implicits._
-      centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-        .toSeq.toDF("cluster", "cv")
+    // Per-ROW argmax in one closure projection, then the id-collapse
+    // aggregation over n pre-reduced rows. The former formulation
+    // (broadcast-join the k-row center frame, then min_by over the n×k
+    // candidate rows) materialized k struct(cluster, sim, v) candidates
+    // per vector through the partial aggregate — k copies of every
+    // vector — before reducing back to n rows (guide §2.3: aggregate
+    // before you shuffle / shuffle fewer bytes). The closure reproduces
+    // the min_by ordering over struct(1.0 - sim, cluster) EXACTLY,
+    // including its null semantics (a null cosine — null vector or
+    // dimension mismatch — yields a NULL ordering key, and nulls sort
+    // FIRST: such a candidate beats every real one, lowest cluster id
+    // first) and NaN semantics (NaN sorts last, NaN == NaN ties break
+    // by cluster id); per-center cosine is the same fused
+    // s/(sqrt(na)*sqrt(nb)) loop as ArrayMath.cosine, so the sim values
+    // are bit-identical. SemDedupSpec pins equality with the join
+    // formulation on real + null/mismatch fixtures.
+    // rule 14: broadcast a private copy — local-mode broadcast is
+    // by-reference and callers may mutate their center arrays later.
+    val bc = spark.sparkContext.broadcast(centers.map(_.clone()))
+    val best = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      if (v == null) {
+        // every candidate key is NULL -> nulls-first, lowest cluster
+        Some((0L, Option.empty[Double]))
+      } else {
+        val x = v.toArray
+        // real keys: 1 - sim with NaN ordered last, ties -> lowest cluster
+        def betterKey(a: Double, b: Double): Boolean = {
+          if (java.lang.Double.isNaN(b)) !java.lang.Double.isNaN(a)
+          else if (java.lang.Double.isNaN(a)) false
+          else a < b
+        }
+        var bestC = -1L
+        var bestKey = 0.0
+        var bestSim = 0.0
+        var found = false
+        var mismatch = -1L
+        var i = 0
+        while (i < cs.length && mismatch < 0L) {
+          val c = cs(i)
+          if (c.length != x.length) {
+            // NULL ordering key: beats every real candidate; the first
+            // (lowest-cluster) mismatch wins among nulls
+            mismatch = i.toLong
+          } else {
+            var s = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+            while (j < x.length) {
+              val xv = x(j); val cv = c(j)
+              s += xv * cv; na += xv * xv; nb += cv * cv; j += 1
+            }
+            val sim = s / (math.sqrt(na) * math.sqrt(nb))
+            val key = 1.0 - sim
+            if (!found || betterKey(key, bestKey)) {
+              found = true; bestKey = key; bestC = i.toLong; bestSim = sim
+            }
+          }
+          i += 1
+        }
+        if (mismatch >= 0L) Some((mismatch, Option.empty[Double]))
+        else Some((bestC, Some(bestSim)))
+      }
     }
     val pts = Dedup.fanOut(
       vectors.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v")))
-    pts.join(broadcast(centersDf))
-      .withColumn("sim", graft.functions.ArrayMath.cosine(col("v"), col("cv")))
+    pts.select(col("id"), best(col("v")).as("b"), col("v"))
       .groupBy(col("id"))
       .agg(
-        min_by(struct(col("cluster"), col("sim"), col("v")),
-          struct(lit(1.0) - col("sim"), col("cluster"))).as("a"))
+        min_by(struct(col("b._1").as("cluster"), col("b._2").as("sim"), col("v")),
+          struct(lit(1.0) - col("b._2"), col("b._1"))).as("a"))
       .select(col("id"), col("a.cluster").as("cluster"),
         col("a.sim").as("centroid_sim"), col("a.v").as("v"))
   }

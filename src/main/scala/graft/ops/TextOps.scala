@@ -490,36 +490,42 @@ object TextOps {
   def fingerprint(text: Column): Column = xxhash64(text)
 
   /** Character n-gram shingles (distinct) as an array column — the input to
-    * MinHash/Jaccard. Pure expressions: sequence + transform + substring.
+    * MinHash/Jaccard. Native codegen expression
+    * ([[graft.functions.CharShingleArray]]); bit-identical to the former
+    * `array_distinct(transform(sequence(1, greatest(length-n+1, 1)),
+    * i -> substr(text, i, n)))` HOF form (pinned in ShingleExprSpec),
+    * which evaluated interpreted per element.
     */
   def charShingles(text: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
-        i => text.substr(i, lit(n))))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CharShingleArray(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 
   /** Word n-gram shingle OCCURRENCES — every position's n-gram, WITH
     * repeats ([[wordShingles]] minus the distinct): the multiset view
     * frequency consumers need (count-min sketches, n-gram counting),
-    * where collapsing repeats would under-count. Same null policy as
-    * [[wordShingles]]: null text → NO shingles. SQL mirror:
-    * `shingleOccurrencesSql` in the oracle harness.
+    * where collapsing repeats would under-count. Null text → NO shingles
+    * (a phantom '' shingle would co-bucket every null-text doc — the
+    * policy lives inside the expression, rule 11). Native codegen
+    * expression ([[graft.functions.WordShingleArray]]); bit-identical to
+    * the former `transform(sequence(0, greatest(size(toks)-n, 0)),
+    * i -> concat_ws(" ", slice(toks, i+1, n)))` over `split(text, " ")`
+    * (pinned in ShingleExprSpec), which evaluated interpreted per
+    * element. SQL mirror: `shingleOccurrencesSql` in the oracle harness.
     */
-  def wordShingleOccurrences(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    val sh = transform(
-      sequence(lit(0), greatest(size(toks) - lit(n), lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    // null text -> NO shingles (concat_ws would otherwise silently turn
-    // the NULL token array into one '' shingle, giving every null-text
-    // doc an identical phantom shingle — catastrophic for dedup, where
-    // they would all collide into one near-dup cluster)
-    when(text.isNull, array().cast("array<string>")).otherwise(sh)
-  }
+  def wordShingleOccurrences(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.WordShingleArray(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n, distinct = false))
 
-  /** Word n-gram shingles (distinct). */
+  /** Word n-gram shingles (distinct, first-occurrence order — exactly
+    * `array_distinct` over [[wordShingleOccurrences]], fused into the
+    * same single-scan expression).
+    */
   def wordShingles(text: Column, n: Int): Column =
-    array_distinct(wordShingleOccurrences(text, n))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.WordShingleArray(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n, distinct = true))
 
   /** EXACT vocabulary statistics: per token, document frequency and total
     * term frequency. Two-level aggregation — partial (token, doc) counts

@@ -109,10 +109,13 @@ class PlanShapeSpec extends SparkSpec {
     val filters = banded.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
     }
-    // array_distinct is wordShingles' outermost node — its presence in a
-    // Filter condition means the shingle tree was inlined into a predicate
+    // graft_word_shingles is wordShingles' expression (array_distinct was
+    // the HOF-era outermost node, kept so a revert re-arms the pin) — its
+    // presence in a Filter condition means the shingle tree was inlined
+    // into a predicate
     filters.foreach { f =>
-      assert(!f.condition.toString.contains("array_distinct"),
+      val c = f.condition.toString
+      assert(!c.contains("array_distinct") && !c.contains("graft_word_shingles"),
         s"shingle expression inlined into a filter predicate:\n${f.condition}")
     }
   }

@@ -94,4 +94,54 @@ class SemDedupSpec extends SparkSpec {
       assert(comps(10L) == comps(11L) && comps(11L) == comps(12L) && comps(10L) >= 0L)
     } finally out.unpersist()
   }
+
+  test("assignFixed: closure argmax equals the join+min_by formulation " +
+    "bit-for-bit (real vectors, null ids, null/mismatched vectors, dup ids)") {
+    import spark.implicits._
+    // the pre-optimization formulation, verbatim (r19: assignFixed became
+    // a per-row closure argmax + the same id-collapse aggregation; this
+    // pins value equality INCLUDING the min_by null-ordering semantics)
+    def joinAssign(vectors: org.apache.spark.sql.DataFrame,
+        cs: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+      val centersDf = cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toSeq.toDF("cluster", "cv")
+      val pts = vectors.select(col("id").cast("long").as("id"),
+        col("v").cast("array<double>").as("v"))
+      pts.join(broadcast(centersDf))
+        .withColumn("sim", graft.functions.ArrayMath.cosine(col("v"), col("cv")))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("cluster"), col("sim"), col("v")),
+          struct(lit(1.0) - col("sim"), col("cluster"))).as("a"))
+        .select(col("id"), col("a.cluster").as("cluster"),
+          col("a.sim").as("centroid_sim"), col("a.v").as("v"))
+    }
+    val rnd = new scala.util.Random(7L)
+    def unit(d: Int): Array[Double] = {
+      val a = Array.fill(d)(rnd.nextGaussian()); a
+    }
+    val rows: Seq[(java.lang.Long, Array[Double])] =
+      (0 until 200).map(i => (java.lang.Long.valueOf(i.toLong), unit(8))) ++
+        Seq(
+          (null.asInstanceOf[java.lang.Long], unit(8)),     // null id
+          (null.asInstanceOf[java.lang.Long], unit(8)),     // second null id (collapse)
+          (java.lang.Long.valueOf(500L), null),             // null vector
+          (java.lang.Long.valueOf(501L), Array(1.0, 2.0)),  // dimension mismatch
+          (java.lang.Long.valueOf(77L), unit(8)))           // duplicate id
+    val df = rows.toDF("id", "v")
+    val cs = Array.fill(5)(unit(8))
+    val want = joinAssign(df, cs).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
+        ((if (r.isNullAt(1)) null else r.getLong(1)),
+         (if (r.isNullAt(2)) null else r.getDouble(2)),
+         (if (r.isNullAt(3)) null else r.getSeq[Double](3)))).toMap
+    val got = graft.ops.SemDedup.assignFixed(df, "id", "v", cs).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
+        ((if (r.isNullAt(1)) null else r.getLong(1)),
+         (if (r.isNullAt(2)) null else r.getDouble(2)),
+         (if (r.isNullAt(3)) null else r.getSeq[Double](3)))).toMap
+    assert(got.keySet == want.keySet)
+    got.keySet.foreach { k =>
+      assert(got(k) == want(k), s"id=$k: got ${got(k)} want ${want(k)}")
+    }
+  }
 }
