@@ -183,6 +183,18 @@ object Classify {
     require(lr > 0.0, s"lr must be positive, got $lr")
     val spark = labeled.sparkSession
     import spark.implicits._
+    // r19: when the per-doc feature row stays small (B bounds the distinct
+    // buckets a doc can carry, ≤16 bytes each), pivot the feature table to
+    // ONE cached row per doc and run each GD step as a single job — the
+    // margin is a closure dot against the driver's weight map (no keyed
+    // join, no per-iteration broadcast-frame build, no per-doc shuffle)
+    // and the only exchange is the ≤(B+1)-row gradient aggregation
+    // (guide §2.3/§2.4). Above the cap (wide-B models whose pivoted rows
+    // could reach B·16 bytes) the original row-per-bucket path runs
+    // unchanged — that shape never builds a wide row.
+    val pivotMax = graft.util.Conf.long(spark, "graft.logreg.pivotMaxBuckets", 65536L)
+    if (buckets <= pivotMax)
+      return logisticFitPivoted(labeled, idCol, textCol, labelCol, buckets, iters, lr)
     val feats = hashedFeatures(labeled, idCol, textCol, buckets)
     val ydf = labeled.select(col(idCol).cast("long").as("doc_id"),
       col(labelCol).cast("double").as("y"))
@@ -231,6 +243,74 @@ object Classify {
         spark.createDataset(w.toSeq).toDF("bucket", "weight")
           .select(col("bucket"), (round(col("weight"), 6) + lit(0.0)).as("weight"))
     } finally { joined.unpersist(); () }
+  }
+
+  /** [[logisticFit]]'s pivoted fast path (see the cap note there): the
+    * feature table collapses to ONE cached row per doc — (fs: array of
+    * (bucket, x), y) — so each GD step is a single job: margin and
+    * residual are computed per row in a closure against the driver's
+    * weight map (immutable, broadcast-safe by construction — rule 14
+    * needs no clone), and the gradient is the one ≤(B+1)-row map-side-
+    * combined aggregation over the exploded features. Arithmetic is
+    * term-identical to the join path (same x·w products, same
+    * 1/(1+exp(−m)) − y residual, same Σ(r·x)/n gradient, same driver
+    * update w ← w − lr·g over OBSERVED buckets only); per-doc summation
+    * order follows the cached collect_list order where the join path's
+    * followed partial-aggregation order — both arbitrary, both inside
+    * the 6-dp rounding tolerance the cross-engine oracle contract
+    * already grants (DuckDB sums in its own order). ClassifySpec pins
+    * the pivoted path equal to the join path at 6 dp.
+    */
+  private def logisticFitPivoted(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int,
+      iters: Int,
+      lr: Double): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val feats = hashedFeatures(labeled, idCol, textCol, buckets)
+    val ydf = labeled.select(col(idCol).cast("long").as("doc_id"),
+      col(labelCol).cast("double").as("y"))
+    val pivoted = feats.join(ydf, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("bucket"), col("x"))).as("fs"),
+        first(col("y")).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = pivoted.count()
+      if (n == 0) return spark.emptyDataset[(Long, Double)].toDF("bucket", "weight")
+      var w = Map.empty[Long, Double].withDefaultValue(0.0)
+      for (_ <- 1 to iters) {
+        val bw = spark.sparkContext.broadcast(w)
+        val residUdf = udf { (fs: Seq[org.apache.spark.sql.Row], y: Double) =>
+          val wm = bw.value
+          var m = 0.0
+          var i = 0
+          while (i < fs.length) {
+            val f = fs(i)
+            m += f.getDouble(1) * wm(f.getLong(0))
+            i += 1
+          }
+          1.0 / (1.0 + math.exp(-m)) - y
+        }
+        val grad = pivoted
+          .select(col("fs"), residUdf(col("fs"), col("y")).as("r"))
+          .select(explode(col("fs")).as("f"), col("r"))
+          .groupBy(col("f.bucket").as("bucket"))
+          .agg((sum(col("r") * col("f.x")) / lit(n.toDouble)).as("g"))
+          .collect()
+        w = grad.foldLeft(w) { (acc, row) =>
+          val b = row.getLong(0)
+          acc.updated(b, acc(b) - lr * row.getDouble(1))
+        }
+        bw.destroy()
+      }
+      spark.createDataset(w.toSeq).toDF("bucket", "weight")
+        .select(col("bucket"), (round(col("weight"), 6) + lit(0.0)).as("weight"))
+    } finally { pivoted.unpersist(); () }
   }
 
   /** Score documents under a [[logisticFit]] model: p = σ(Σ_b w_b·x_b)

@@ -505,9 +505,10 @@ object SemDedupIndex {
 
     val assigned = SemDedup.assignFixed(batch, idCol, vecCol, centers)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assigned.count()
     try {
-      val touched = assigned.select(col("cluster")).distinct()
+      // one job materializes the cache AND yields the touched-cluster
+      // set (r19: was a count() followed by a distinct().collect())
+      val touched = assigned.groupBy(col("cluster")).agg(count(lit(1)))
         .collect().map(_.getLong(0)).sorted.toSeq
       if (touched.isEmpty) return probeEmptyResult(assigned)
       // manifest/dir consistency over the touched set, both directions

@@ -351,17 +351,34 @@ object Sketches {
     val schema = org.apache.spark.sql.types.StructType(
       keyed.schema.fields.map(_.copy(nullable = true)))
       .add("__n", org.apache.spark.sql.types.LongType)
-    val enc = org.apache.spark.sql.Encoders.row(schema)
-    keyed.mapPartitions { rows =>
+    // InternalRow path (r19): the DataFrame.mapPartitions form decoded
+    // every occurrence to an external Row (UTF8String→String copy +
+    // GenericRowWithSchema alloc) on the way IN and encoded the ≤m+1
+    // survivors on the way OUT — pure overhead for a kernel that only
+    // hashes/compares keys. Internal values compare/hash by content
+    // (UTF8String by bytes), so the counters work on them directly; the
+    // one subtlety is that unsafe-row-backed values are REUSED buffers,
+    // so a key is defensively copied ONCE when it first enters the map
+    // (copies are bounded by m, not by the stream length).
+    val keyType = keyed.schema.fields(0).dataType
+    val rdd = keyed.queryExecution.toRdd.mapPartitions { rows =>
       val counters = new java.util.HashMap[Any, java.lang.Long]()
       var np = 0L
       rows.foreach { row =>
         np += 1L
-        val k = row.get(0)
+        val k = row.get(0, keyType)
         val c = counters.get(k)
         if (c ne null) counters.put(k, c + 1L)
-        else if (counters.size < m) counters.put(k, 1L)
-        else {
+        else if (counters.size < m) {
+          // first entry: detach the key from the reused row buffer
+          val owned = k match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+            case r: org.apache.spark.sql.catalyst.InternalRow => r.copy()
+            case x => x
+          }
+          counters.put(owned, 1L)
+        } else {
           // decrement-all step: amortized O(1)/element — each element
           // funds at most one decrement of its own counter
           val it = counters.entrySet().iterator()
@@ -372,14 +389,22 @@ object Sketches {
         }
       }
       val it = counters.keySet().iterator()
-      new Iterator[org.apache.spark.sql.Row] {
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
         private var countEmitted = false
         def hasNext: Boolean = it.hasNext || !countEmitted
-        def next(): org.apache.spark.sql.Row =
-          if (it.hasNext) org.apache.spark.sql.Row(it.next(), null)
-          else { countEmitted = true; org.apache.spark.sql.Row(null, np) }
+        def next(): org.apache.spark.sql.catalyst.InternalRow =
+          if (it.hasNext)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](it.next(), null))
+          else {
+            countEmitted = true
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](null, np))
+          }
       }
-    }(enc)
+    }
+    org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(
+      items.sparkSession, rdd, schema)
   }
 
   /** EXACT heavy hitters — the verify-or-refuse sibling of

@@ -32,4 +32,19 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name), info, builder)
+
+  /** Create a DataFrame from an RDD of InternalRows without the external
+    * Row round-trip — the seam behind the Misra-Gries scan kernel
+    * (Sketches.mgSummaries), whose per-element cost was dominated by
+    * UTF8String→String decoding and GenericRowWithSchema allocation in
+    * the DataFrame.mapPartitions path. Same supported-in-practice tier
+    * as the converters above (Spark's own sources use it for exactly
+    * this move).
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

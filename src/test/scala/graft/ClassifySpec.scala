@@ -169,4 +169,26 @@ class ClassifySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Classify.calibration(scored, "doc_id", "score", "y", nBuckets = 1))
   }
+
+  test("logisticFit pivoted fast path equals the row-per-bucket join path at 6dp") {
+    // r19: B <= graft.logreg.pivotMaxBuckets runs the single-job pivoted
+    // GD step; forcing the cap to 1 runs the original join formulation.
+    // Same data, same (B, iters, lr) -> identical rounded weights.
+    val docs = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val pivoted = Classify.logisticFit(docs, "doc_id", "text", "y",
+      buckets = 64, iters = 3, lr = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.conf.set("graft.logreg.pivotMaxBuckets", "1")
+    try {
+      val joined = Classify.logisticFit(docs, "doc_id", "text", "y",
+        buckets = 64, iters = 3, lr = 0.5).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(pivoted.keySet == joined.keySet)
+      pivoted.keySet.foreach { b =>
+        assert(pivoted(b) == joined(b), s"bucket $b: ${pivoted(b)} vs ${joined(b)}")
+      }
+    } finally spark.conf.unset("graft.logreg.pivotMaxBuckets")
+  }
 }
