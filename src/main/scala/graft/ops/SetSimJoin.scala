@@ -151,12 +151,25 @@ object SetSimJoin {
     val spark = tagged.sparkSession
     val pct = lit(thresholdPct.toLong)
 
-    // (sd, id, shingle): DISTINCT word shingles per doc; null text ->
-    // none, '' (from empty text) dropped. Persisted: read by the df pass,
-    // the rank pass and the verify join below.
+    // (sd, id, len, shingle): DISTINCT word shingles per doc; null text ->
+    // none, '' (from empty text) dropped. `len` (the doc's post-filter
+    // distinct-shingle count) is computed FROM THE ARRAY at explode time —
+    // the array is distinct, so '' appears at most once and
+    // len = size(arr) − [arr contains ''] equals exactly the former
+    // count-over-(sd,id) window; that removes one of the two Window
+    // passes over the full shingle-row table (r19, guide §2.4 — the
+    // rank window below still pays the one (sd,id) exchange+sort).
+    // The array lands in its own projection first so the shingle
+    // expression is evaluated ONCE (CollapseProject keeps multiply-
+    // referenced non-trivial aliases materialized; rule 11).
+    // Persisted: read by the df pass, the rank pass and the verify join.
     val sh = Dedup.fanOut(tagged)
       .select(col("sd"), col("id"),
-        explode(TextOps.wordShingles(col("__txt"), shingleSize)).as("s"))
+        TextOps.wordShingles(col("__txt"), shingleSize).as("__shs"))
+      .select(col("sd"), col("id"),
+        (size(col("__shs")).cast("long") -
+          when(array_contains(col("__shs"), ""), 1L).otherwise(0L)).as("len"),
+        explode(col("__shs")).as("s"))
       .where(col("s") =!= "")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // document frequency over EVERYTHING (both sides of an AB join): one
@@ -164,7 +177,6 @@ object SetSimJoin {
     // makes the positional filter's first-common-shingle bound valid
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfreq, "s")
-      .withColumn("len", count(lit(1)).over(Window.partitionBy("sd", "id")))
       .withColumn("r", row_number().over(
         Window.partitionBy("sd", "id").orderBy(col("df"), col("s"))))
     // prefix length p = len - ceil(len*pct/100) + 1 (pigeonhole bound);

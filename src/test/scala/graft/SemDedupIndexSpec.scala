@@ -431,7 +431,7 @@ class SemDedupIndexSpec extends SparkSpec {
     SemDedupIndex.write(idx, dir)
     val before = SemDedupIndex.read(spark, dir).keepers
       .select("id").as[Long].collect().toSet
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val big = (400L until 440L).map(i => (i, j(e1, 0.001 * (i % 7))))
       .toDF("id", "v")
     val e = intercept[IllegalArgumentException] {
@@ -439,8 +439,19 @@ class SemDedupIndexSpec extends SparkSpec {
         maxClusterSize = 10)
     }
     assert(e.getMessage.contains("maxClusterSize"))
-    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
-      "refused ingest leaked cached frames")
+    // suites run in PARALLEL on one shared session (Test/parallelExecution
+    // default-true), so a raw size equality races sibling suites' persists
+    // (flaked exactly once in r19's final full runs; green in isolation).
+    // Attribute instead: a frame OUR refused ingest could leak reads this
+    // store (healed / replacement lineage carries the unique tempdir path)
+    // or was created by this call and survived — assert no NEW persistent
+    // RDD references this store's directory.
+    val leaked = (spark.sparkContext.getPersistentRDDs -- cachedBefore)
+      .filter { case (_, rdd) =>
+        (Option(rdd.name).getOrElse("") + rdd.toDebugString).contains(dir)
+      }
+    assert(leaked.isEmpty,
+      s"refused ingest leaked store-reading cached frames: $leaked")
     assert(SemDedupIndex.read(spark, dir).keepers
       .select("id").as[Long].collect().toSet == before,
       "refused ingest mutated the store")
