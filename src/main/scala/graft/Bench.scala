@@ -174,6 +174,19 @@ object Bench {
     // medians span more passes) are named so the extra samples are visible
     val resampledJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.length},"n_failed":$nFail,"passes":$repeat,"resampled":$resampledJson,"slowest":$slowest,"detail":"per-query medians on the full queries line above"}""")
+    // Driver-parsable per-query records (r19 verdict #1): the single
+    // ~7 KB per-query JSON line above overflows a tail-capturing
+    // harness's buffer (BENCH_r18/r19 both stored it truncated mid-map,
+    // so two rounds of PERF comparisons got zero per-query data). Emit
+    // each median as its OWN short line — every line that survives any
+    // tail window parses standalone — then close with one compact total
+    // line (same schema as the headline) so the LAST stdout line is
+    // still a complete total record. Additions only: every line printed
+    // above is byte-identical to previous rounds' output.
+    results.foreach { case (name, v) =>
+      println(f"""{"q":"$name","sec":$v%.3f}""")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.length},"n_failed":$nFail}""")
     spark.stop()
   }
 }

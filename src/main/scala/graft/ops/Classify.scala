@@ -284,20 +284,23 @@ object Classify {
       if (n == 0) return spark.emptyDataset[(Long, Double)].toDF("bucket", "weight")
       var w = Map.empty[Long, Double].withDefaultValue(0.0)
       for (_ <- 1 to iters) {
-        val bw = spark.sparkContext.broadcast(w)
-        val residUdf = udf { (fs: Seq[org.apache.spark.sql.Row], y: Double) =>
-          val wm = bw.value
-          var m = 0.0
-          var i = 0
-          while (i < fs.length) {
-            val f = fs(i)
-            m += f.getDouble(1) * wm(f.getLong(0))
-            i += 1
-          }
-          1.0 / (1.0 + math.exp(-m)) - y
-        }
+        // r20 (r19 verdict #4): the residual is a native Catalyst
+        // expression over the unsafe array — the former Scala UDF
+        // decoded fs to a boxed Seq[Row] per doc per iteration (the
+        // codegen barrier + allocation the shingle rewrite removed
+        // elsewhere). Weights ride as a dense double[buckets+1]
+        // (slot 0 = the −1 intercept): same stored values as the map
+        // (absent buckets 0.0 = its default), so the residual is
+        // bit-identical; LogregResidual's scaladoc carries the proof.
+        val warr = new Array[Double](buckets + 1)
+        w.foreach { case (b, v) => warr(b.toInt + 1) = v }
+        val resid = org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.LogregResidual(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("fs")),
+            org.apache.spark.sql.GraftSqlBridge.expression(col("y")),
+            warr))
         val grad = pivoted
-          .select(col("fs"), residUdf(col("fs"), col("y")).as("r"))
+          .select(col("fs"), resid.as("r"))
           .select(explode(col("fs")).as("f"), col("r"))
           .groupBy(col("f.bucket").as("bucket"))
           .agg((sum(col("r") * col("f.x")) / lit(n.toDouble)).as("g"))
@@ -306,7 +309,6 @@ object Classify {
           val b = row.getLong(0)
           acc.updated(b, acc(b) - lr * row.getDouble(1))
         }
-        bw.destroy()
       }
       spark.createDataset(w.toSeq).toDF("bucket", "weight")
         .select(col("bucket"), (round(col("weight"), 6) + lit(0.0)).as("weight"))

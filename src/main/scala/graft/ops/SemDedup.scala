@@ -102,13 +102,23 @@ object SemDedup {
     // rule 14: broadcast a private copy — local-mode broadcast is
     // by-reference and callers may mutate their center arrays later.
     val bc = spark.sparkContext.broadcast(centers.map(_.clone()))
-    val best = udf { (v: Seq[Double]) =>
+    // boxed element type: an array<double> may carry NULL ELEMENTS, and a
+    // Seq[Double] parameter NPEs at auto-unboxing where the former
+    // ArrayCosine expression read null slots as 0.0 (r19 advice) —
+    // preserved here by mapping null elements to 0.0 explicitly
+    val best = udf { (v: Seq[java.lang.Double]) =>
       val cs = bc.value
       if (v == null) {
         // every candidate key is NULL -> nulls-first, lowest cluster
         Some((0L, Option.empty[Double]))
       } else {
-        val x = v.toArray
+        val x = new Array[Double](v.length)
+        var p = 0
+        while (p < x.length) {
+          val e = v(p)
+          x(p) = if (e eq null) 0.0 else e.doubleValue
+          p += 1
+        }
         // real keys: 1 - sim with NaN ordered last, ties -> lowest cluster
         def betterKey(a: Double, b: Double): Boolean = {
           if (java.lang.Double.isNaN(b)) !java.lang.Double.isNaN(a)
@@ -190,21 +200,23 @@ object SemDedup {
     require(keeper == KeepMinId || keeper == KeepFarFromCentroid,
       s"unknown keeper strategy '$keeper' (use $KeepMinId | $KeepFarFromCentroid)")
     // one broadcast pass: nearest center by cosine distance; the assigned
-    // center's similarity rides along for the far-from-centroid keeper
+    // center's similarity rides along for the far-from-centroid keeper.
+    // ONE job both materializes the cache and yields the per-cluster
+    // counts for the skew guard (r20: was a count() + a second
+    // groupBy-collect over the cache — guide §1.2, fewer passes)
     val assigned = assignFixed(vectors, idCol, vecCol, centers)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    assigned.count()
-    // refuse quadratic blow-up on skewed clusters instead of running it:
-    // k-row aggregate, costs one small job
-    val oversized = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
-      .where(col("n") > maxClusterSize)
-      .orderBy(col("n").desc).limit(5)
-      .collect()
+    val clusterCounts = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // refuse quadratic blow-up on skewed clusters instead of running it
+    val oversized = clusterCounts.filter(_._2 > maxClusterSize)
+      .sortBy { case (c, n) => (-n, c) }.take(5)
     if (oversized.nonEmpty) {
       assigned.unpersist()
       throw new IllegalArgumentException(
         "semDedup: cluster(s) exceed maxClusterSize=" + maxClusterSize + ": " +
-          oversized.map(r => s"cluster ${r.getLong(0)} has ${r.getLong(1)} rows").mkString("; ") +
+          oversized.map { case (c, n) => s"cluster $c has $n rows" }.mkString("; ") +
           ". Raise k (smaller clusters) or maxClusterSize.")
     }
     // within-cluster candidate pairs — hash equi-join on the cluster id

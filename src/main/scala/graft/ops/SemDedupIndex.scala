@@ -59,16 +59,19 @@ import org.apache.spark.sql.functions._
   * probe re-checks the BATCH side (a skewed batch cluster would
   * otherwise run the quadratic co-batch compare).
   *
-  * Persistence (`write`/`read`, format v2): `path/keepers` parquet
+  * Persistence (`write`/`read`, format v3): `path/keepers` parquet
   * PARTITIONED BY cluster + `path/centers` + `path/semindex.json`
-  * (formatVersion, epsilon, k, dim, centerDigest, and a PER-CLUSTER
-  * keeper digest map — vectors digest via their sortable-bits longs,
+  * (formatVersion, epsilon, k, dim, centerDigest, a PER-CLUSTER keeper
+  * CONTENT digest map — vectors digest via their sortable-bits longs,
   * the [[SketchIo]] float rule, so digests are
-  * JVM-formatter-independent). `read` recomputes every digest and
-  * refuses corruption, like every sketch handle; the cluster-partition
-  * layout + per-cluster digests are what make
+  * JVM-formatter-independent — and a PER-CLUSTER FILE-STATUS digest
+  * map over part-file names + lengths). `read` recomputes every
+  * content digest and refuses corruption, like every sketch handle;
+  * the cluster-partition layout + per-cluster digests are what make
   * [[SemDedupIndex.ingestInto]]'s batch-cadence write-back
-  * O(touched clusters) instead of O(store). The reference engine has no
+  * O(touched clusters) instead of O(store), and the file-status map is
+  * what makes its per-batch VALIDATION a directory listing instead of
+  * a data read (v3, r19 verdict #2). The reference engine has no
   * incremental component at all (whole-corpus batch runs); this is
   * `graft.ops` pipeline surface beyond it.
   */
@@ -96,35 +99,42 @@ final case class SemDedupIndex(
     */
   def probe(batch: DataFrame, idCol: String, vecCol: String,
       maxClusterSize: Int = 20000): DataFrame = {
-    val assigned = assignPersisted(batch, idCol, vecCol)
-    try probeAssigned(assigned, maxClusterSize)
+    val (assigned, counts) = assignPersisted(batch, idCol, vecCol)
+    try probeAssigned(assigned, maxClusterSize, counts)
     finally assigned.unpersist()
   }
 
+  /** Assign + persist, returning the per-cluster batch counts from the
+    * SAME job that materializes the cache (r20: was a count() followed
+    * by a second skew-guard aggregation inside [[probeAssigned]]).
+    */
   private def assignPersisted(batch: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String): (DataFrame, Array[(Long, Long)]) = {
     val assigned = SemDedup.assignFixed(batch, idCol, vecCol, centers)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    assigned.count()
-    assigned
+    val counts = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (assigned, counts)
   }
 
   /** The shared probe body over an already-assigned batch — [[ingest]]
     * reuses the SAME assigned frame for its keeper append instead of
     * paying the batch × k-centers assignment twice (r17 review).
+    * `clusterCounts` are the per-cluster batch sizes the assignment job
+    * already collected, so the skew guard costs no extra job.
     */
-  private def probeAssigned(assigned: DataFrame,
-      maxClusterSize: Int): DataFrame = {
+  private[ops] def probeAssigned(assigned: DataFrame,
+      maxClusterSize: Int, clusterCounts: Array[(Long, Long)]): DataFrame = {
     {
       // refuse a quadratic co-batch compare on a skewed batch cluster
       // (the semDedupFixed guard, applied to the probe side)
-      val oversized = assigned.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n")).where(col("n") > maxClusterSize)
-        .orderBy(col("n").desc).limit(5).collect()
+      val oversized = clusterCounts.filter(_._2 > maxClusterSize)
+        .sortBy { case (c, n) => (-n, c) }.take(5)
       require(oversized.isEmpty,
         "SemDedupIndex.probe: batch cluster(s) exceed maxClusterSize=" +
           maxClusterSize + ": " +
-          oversized.map(r => s"cluster ${r.getLong(0)} has ${r.getLong(1)} rows")
+          oversized.map { case (c, n) => s"cluster $c has $n rows" }
             .mkString("; ") +
           ". Rebuild the index with more centers (SemDedup.balancedK) or " +
           "raise maxClusterSize.")
@@ -210,9 +220,9 @@ final case class SemDedupIndex(
     */
   def ingest(batch: DataFrame, idCol: String, vecCol: String,
       maxClusterSize: Int = 20000): (DataFrame, SemDedupIndex) = {
-    val assigned = assignPersisted(batch, idCol, vecCol)
+    val (assigned, counts) = assignPersisted(batch, idCol, vecCol)
     try {
-      val verdicts = probeAssigned(assigned, maxClusterSize)
+      val verdicts = probeAssigned(assigned, maxClusterSize, counts)
       val newKeepers = assigned
         .join(verdicts.where(col("keep")).select(col("id")), Seq("id"))
         .select(col("id"), col("cluster"), col("v"))
@@ -229,8 +239,57 @@ object SemDedupIndex {
     * manifest carries PER-CLUSTER digests, so an ingest batch
     * overwrites (and re-digests) only the cluster partitions it
     * touched — write-back cost ∝ batch clusters, never store size.
+    * v3 (r19 verdict #2): the manifest ADDITIONALLY carries per-cluster
+    * FILE-STATUS digests (part-file names + lengths), so the
+    * batch-cadence validation and post-write re-digest are directory
+    * listings — zero data reads, zero Spark jobs — while the content
+    * digests (now computed from the in-memory frame AT write time,
+    * which is strictly stronger: a silently-partial write can no
+    * longer bless itself by being re-read) still guard the full
+    * [[read]] bootstrap.
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
+
+  /** XOR digest over a cluster partition's DATA-file statuses (name +
+    * length; hidden/_metadata files excluded) — the zero-read
+    * batch-cadence validation primitive of the v3 manifest. `None` when
+    * the partition directory does not exist (distinct from an existing
+    * empty directory, which digests to 0). Every committed rewrite of a
+    * partition produces fresh part-file names (Spark's task UUIDs), so
+    * the crash window between a partition overwrite and the manifest
+    * merge still refuses loudly, exactly as the content digests did.
+    */
+  private def fileStatusDigest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(dir)) None
+    else Some(fs.listStatus(dir)
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(s => graft.util.Hashing.md5Long(
+        s.getPath.getName + "\u001f" + s.getLen))
+      .foldLeft(0L)(_ ^ _))
+
+  /** File-status digests ([[fileStatusDigest]]) for every `cluster=c`
+    * partition under `live` (or for just `clusters` when given) — pure
+    * directory listings, no data read.
+    */
+  private def fileDigestsOf(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path,
+      clusters: Option[Seq[Long]] = None): Map[Long, Long] = clusters match {
+    case Some(cs) =>
+      cs.flatMap(c => fileStatusDigest(fs,
+        new org.apache.hadoop.fs.Path(live, s"cluster=$c")).map(c -> _)).toMap
+    case None =>
+      if (!fs.exists(live)) Map.empty
+      else fs.listStatus(live)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+        .flatMap { s =>
+          val c = s.getPath.getName.stripPrefix("cluster=").toLong
+          fileStatusDigest(fs, s.getPath).map(c -> _)
+        }.toMap
+  }
 
   /** Bootstrap an index from an initial corpus: the full batch
     * [[SemDedup.semDedupFixed]] recipe (components + keeper rule) runs
@@ -309,17 +368,20 @@ object SemDedupIndex {
       index.keepers.select(col("id"), col("v")), "id", "v", centers)
       .select(col("id"), col("cluster"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try reassigned.count()
-    catch { case t: Throwable => reassigned.unpersist(); throw t }
-    val oversized = reassigned.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n")).where(col("n") > maxClusterSize)
-      .orderBy(col("n").desc).limit(5).collect()
+    // one job materializes the cache AND yields the skew-guard counts
+    // (r20: was a count() + a second groupBy-collect)
+    val counts =
+      try reassigned.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      catch { case t: Throwable => reassigned.unpersist(); throw t }
+    val oversized = counts.filter(_._2 > maxClusterSize)
+      .sortBy { case (c, n) => (-n, c) }.take(5)
     if (oversized.nonEmpty) {
       reassigned.unpersist()
       throw new IllegalArgumentException(
         "SemDedupIndex.rebalanceTo: cluster(s) exceed maxClusterSize=" +
           maxClusterSize + " at the NEW centers: " +
-          oversized.map(r => s"cluster ${r.getLong(0)} has ${r.getLong(1)} rows")
+          oversized.map { case (c, n) => s"cluster $c has $n rows" }
             .mkString("; ") +
           ". Train more centers (SemDedup.balancedK of the store) or raise " +
           "maxClusterSize.")
@@ -439,22 +501,27 @@ object SemDedupIndex {
     *
     * Mechanics per batch:
     *  1. manifest + centers load (k-row, validated against centerDigest);
-    *  2. broadcast assignment of the batch → the touched cluster set;
-    *  3. read ONLY `keepers/cluster=c` for touched c (explicit partition
-    *     paths — pruning by construction) and validate ONLY those
-    *     clusters' digests;
-    *  4. replay heal: anti-join the batch's own ids out of the loaded
-    *     slice (a replayed batch's earlier novel rows land in exactly
-    *     the clusters it re-assigns to, so the touched slice covers
-    *     them — same contract as [[ingestStream]]);
+    *  2. broadcast assignment of the batch → the touched cluster set
+    *     (the same job carries the skew-guard counts);
+    *  3. validate the touched clusters' FILE-STATUS digests from
+    *     directory listings (v3, r19 verdict #2 — zero data reads, zero
+    *     Spark jobs; a crashed ingest's rewritten partitions carry fresh
+    *     part-file names, so the crash window still refuses);
+    *  4. read ONLY `keepers/cluster=c` for touched c (explicit partition
+    *     paths — pruning by construction) and replay-heal: anti-join the
+    *     batch's own ids out of the loaded slice (a replayed batch's
+    *     earlier novel rows land in exactly the clusters it re-assigns
+    *     to, so the touched slice covers them — same contract as
+    *     [[ingestStream]]);
     *  5. probe + novel extraction (the [[SemDedupIndex.ingest]] body);
     *  6. localCheckpoint the replacement rows (heal ∪ novel) to cut the
-    *     lineage on `path/keepers`, then ONE
-    *     `partitionOverwriteMode=dynamic` write — untouched cluster
-    *     partitions are physically untouched (spec-pinned file-listing
-    *     identity);
-    *  7. re-digest the touched clusters from what was WRITTEN and merge
-    *     those entries into the manifest map.
+    *     lineage on `path/keepers`, content-digest that SNAPSHOT (the
+    *     exact rows being written — one job over the checkpoint, no
+    *     post-write re-read), then ONE `partitionOverwriteMode=dynamic`
+    *     write — untouched cluster partitions are physically untouched
+    *     (spec-pinned file-listing identity);
+    *  7. list the touched partitions' file statuses (what LANDED) and
+    *     merge both digest maps into the manifest.
     *
     * Idempotent by construction: a replay re-derives identical verdicts
     * against the healed pre-batch view and rewrites the touched
@@ -485,6 +552,8 @@ object SemDedupIndex {
     val epsilon = (meta \ "epsilon").extract[Double]
     val storedDigs = (meta \ "keeperDigests").extract[Map[String, Long]]
       .map { case (c, d) => c.toLong -> d }
+    val storedFiles = (meta \ "keeperFiles").extract[Map[String, Long]]
+      .map { case (c, d) => c.toLong -> d }
     val centersDf = spark.read.parquet(s"$path/centers")
     require(centerDigest(centersDf) == (meta \ "centerDigest").extract[Long],
       s"SemDedupIndex.ingestInto: centers digest mismatch at $path/centers - " +
@@ -507,20 +576,27 @@ object SemDedupIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one job materializes the cache AND yields the touched-cluster
-      // set (r19: was a count() followed by a distinct().collect())
-      val touched = assigned.groupBy(col("cluster")).agg(count(lit(1)))
-        .collect().map(_.getLong(0)).sorted.toSeq
+      // set + the skew-guard counts (r19: was a count() followed by a
+      // distinct().collect(); r20: the counts also feed probeAssigned's
+      // guard, dropping its separate aggregation job)
+      val clusterCounts = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val touched = clusterCounts.map(_._1).sorted.toSeq
       if (touched.isEmpty) return probeEmptyResult(assigned)
-      // manifest/dir consistency over the touched set, both directions
-      val onDisk = touched.filter(c => fs.exists(partDir(c))).toSet
-      val storeT = readClusters(touched.filter(onDisk))
-      checkClusterDigests(keeperClusterDigests(storeT),
-        storedDigs.filter { case (c, _) => touched.contains(c) }, path,
+      // manifest/dir consistency over the touched set, both directions —
+      // v3: FILE-STATUS digests from directory listings, zero data reads
+      // and zero Spark jobs (was a parquet re-read + digest aggregation
+      // of every touched partition)
+      checkClusterDigests(fileDigestsOf(fs, live, Some(touched)),
+        storedFiles.filter { case (c, _) => touched.contains(c) }, path,
         "SemDedupIndex.ingestInto", "the touched clusters",
         remediation = ". If this follows a CRASHED ingest (died between " +
           "the partition overwrite and the manifest merge), " +
           "SemDedupIndex.repairManifest re-digests the current payload; " +
           "for unexplained corruption, restore from a backup instead")
+      val onDisk = touched.filter(c => fs.exists(partDir(c))).toSet
+      val storeT = readClusters(touched.filter(onDisk))
       val batchIds = assigned.select(col("id"))
       val healed = storeT.join(batchIds, Seq("id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -531,7 +607,8 @@ object SemDedupIndex {
       val (replacement, verdicts) =
         try {
           val idx = SemDedupIndex(healed, centers, epsilon)
-          val verdicts0 = idx.probeAssigned(assigned, maxClusterSize)
+          val verdicts0 = idx.probeAssigned(assigned, maxClusterSize,
+            clusterCounts)
           try {
             val novel = assigned
               .join(verdicts0.where(col("keep")).select(col("id")), Seq("id"))
@@ -542,6 +619,12 @@ object SemDedupIndex {
               verdicts0.localCheckpoint(true))
           } finally verdicts0.unpersist()
         } finally healed.unpersist()
+      // content digests of the touched clusters come from the SNAPSHOT
+      // being written (v3): one job over the localCheckpoint instead of
+      // a parquet re-read of the partitions after the write — and
+      // strictly stronger than re-reading, since a silently-partial
+      // write now mismatches the recorded digest instead of blessing it
+      val newDigs = keeperClusterDigests(replacement.select("id", "cluster", "v"))
       replacement.select("id", "cluster", "v")
         .repartition(col("cluster"))
         .write.mode("overwrite")
@@ -550,13 +633,13 @@ object SemDedupIndex {
         .parquet(live.toString)
       // rule 13b: drop the stale file listing for the replaced partitions
       spark.catalog.refreshByPath(live.toString)
-      // re-digest the touched clusters from what was WRITTEN (house
-      // rule) and merge into the manifest — O(touched), the v2 point
-      val newDigs = keeperClusterDigests(
-        readClusters(touched.filter(c => fs.exists(partDir(c)))))
+      // file-status digests of the touched clusters from what LANDED
+      // (a listing, no data read) and merge both maps — O(touched)
+      val newFiles = fileDigestsOf(fs, live, Some(touched))
       writeManifest(spark, path, epsilon, centers.length,
         centers.head.length, (meta \ "centerDigest").extract[Long],
-        storedDigs -- touched ++ newDigs)
+        storedDigs -- touched ++ newDigs,
+        storedFiles -- touched ++ newFiles)
       verdicts
     } finally assigned.unpersist()
   }
@@ -603,6 +686,8 @@ object SemDedupIndex {
         "re-digests keeper partitions, restore the centers from a backup")
     val storedDigs = (meta \ "keeperDigests").extract[Map[String, Long]]
       .map { case (c, d) => c.toLong -> d }
+    val storedFiles = (meta \ "keeperFiles").extract[Map[String, Long]]
+      .map { case (c, d) => c.toLong -> d }
     val live = new org.apache.hadoop.fs.Path(path, "keepers")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasClusters = fs.exists(live) && fs.listStatus(live)
@@ -613,10 +698,14 @@ object SemDedupIndex {
         spark.catalog.refreshByPath(live.toString)
         keeperClusterDigests(spark.read.parquet(live.toString))
       }
+    val freshFiles = fileDigestsOf(fs, live)
     writeManifest(spark, path, (meta \ "epsilon").extract[Double],
-      (meta \ "k").extract[Int], (meta \ "dim").extract[Int], cDig, fresh)
-    ((storedDigs.keySet ++ fresh.keySet)
-      .count(c => storedDigs.get(c) != fresh.get(c))).toLong
+      (meta \ "k").extract[Int], (meta \ "dim").extract[Int], cDig, fresh,
+      freshFiles)
+    ((storedDigs.keySet ++ fresh.keySet ++ storedFiles.keySet ++
+        freshFiles.keySet)
+      .count(c => storedDigs.get(c) != fresh.get(c) ||
+        storedFiles.get(c) != freshFiles.get(c))).toLong
   }
 
   /** py4j bridge: centers as a k-row (cluster, cv) frame ordered by
@@ -636,9 +725,11 @@ object SemDedupIndex {
     * aggregation): vectors ride as their sortable-bits longs rendered
     * through the array cast — the [[SketchIo.canonicalCol]] float rule
     * applied element-wise, so the digest never depends on a JVM double
-    * formatter. Per-cluster granularity is the v2 point: [[ingestInto]]
-    * validates and re-digests ONLY the clusters a batch touched. ≤ k
-    * rows collected (quantizer-sized, model state).
+    * formatter. Per-cluster granularity is the v2 point (and v3
+    * computes these from the in-memory frame being written, never a
+    * re-read): [[ingestInto]] re-digests ONLY the clusters a batch
+    * touched; [[read]] validates them all. ≤ k rows collected
+    * (quantizer-sized, model state).
     */
   private def keeperClusterDigests(df: DataFrame): Map[Long, Long] =
     SketchIo.xorDigestColsBy(df, col("cluster").cast("long"),
@@ -656,10 +747,14 @@ object SemDedupIndex {
     * (overwrites) — the FULL-store write for bootstrap and the
     * maintenance paths (rebalance/retrain), which legitimately touch
     * every cluster. Batch-cadence writers use [[ingestInto]], which
-    * overwrites only touched cluster partitions. Digests are computed
-    * over what was WRITTEN (house rule: a failed/partial write must not
-    * inherit a valid digest) and are PER CLUSTER (v2), matching the
-    * `partitionBy("cluster")` layout.
+    * overwrites only touched cluster partitions. Content digests are
+    * PER CLUSTER, computed from the in-memory frame being written (v3:
+    * no post-write re-read of the store — and a silently-partial write
+    * now MISMATCHES the recorded digest at the next [[read]] instead of
+    * blessing itself, which is the house rule's "a failed/partial write
+    * must not inherit a valid digest" served strictly better); the
+    * post-write work is one directory listing for the per-cluster
+    * FILE-STATUS digests that gate the batch-cadence validation.
     *
     * The keeper payload is STAGED then swapped (write to
     * `keepers_staged`, park `keepers` aside, rename, delete the parked
@@ -684,7 +779,12 @@ object SemDedupIndex {
     val live = new org.apache.hadoop.fs.Path(path, "keepers")
     val parked = new org.apache.hadoop.fs.Path(path, "keepers_old")
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasKeepers = !index.keepers.isEmpty
+    // content digests from the frame BEING written (v3) — computed
+    // before the swap because the keeper lineage of an ingest loop
+    // still reads the live path; this job doubles as the old isEmpty
+    // probe (empty store ⇒ empty digest map) and replaces the
+    // full-store parquet re-read that used to follow the swap
+    val kDigs = keeperClusterDigests(index.keepers.select("id", "cluster", "v"))
     // repartition by cluster so the partitioned layout lands ~1 file per
     // cluster instead of (#tasks × #clusters) small files; keeper order
     // within a cluster is irrelevant (set semantics, XOR digests)
@@ -710,23 +810,20 @@ object SemDedupIndex {
         .toSeq.toDF("cluster", "cv")
     }
     centersDf.write.mode("overwrite").parquet(s"$path/centers")
-    // an EMPTY partitioned write leaves no part files to infer a schema
-    // from — an empty store digests as the empty map instead
-    val kDigs =
-      if (hasKeepers) keeperClusterDigests(spark.read.parquet(s"$path/keepers"))
-      else Map.empty[Long, Long]
     val cDig = centerDigest(spark.read.parquet(s"$path/centers"))
+    // file-status digests of what LANDED: one directory listing
     writeManifest(spark, path, index.epsilon, index.centers.length, dim,
-      cDig, kDigs)
+      cDig, kDigs, fileDigestsOf(fs, live))
   }
 
-  /** The v2 manifest: geometry + center digest + the per-cluster keeper
-    * digest map (≤ k entries — quantizer-sized, like the centers
-    * themselves). Shared by [[write]] and [[ingestInto]] (rule 5).
+  /** The v3 manifest: geometry + center digest + the per-cluster keeper
+    * CONTENT digest map + the per-cluster FILE-STATUS digest map (each
+    * ≤ k entries — quantizer-sized, like the centers themselves).
+    * Shared by [[write]] and [[ingestInto]] (rule 5).
     */
   private def writeManifest(spark: SparkSession, path: String,
       epsilon: Double, k: Int, dim: Int, centerDig: Long,
-      keeperDigs: Map[Long, Long]): Unit = {
+      keeperDigs: Map[Long, Long], fileDigs: Map[Long, Long]): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
     val meta =
@@ -736,6 +833,8 @@ object SemDedupIndex {
         ("dim" -> dim) ~
         ("centerDigest" -> centerDig) ~
         ("keeperDigests" -> keeperDigs.map { case (c, d) =>
+          (c.toString, d) }) ~
+        ("keeperFiles" -> fileDigs.map { case (c, d) =>
           (c.toString, d) })
     SketchIo.writeFile(spark, path, "semindex.json", compact(render(meta)))
   }

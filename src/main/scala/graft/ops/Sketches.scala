@@ -341,8 +341,29 @@ object Sketches {
     * corpus scan. Keys are non-null by the filter, so the NULL key is an
     * unambiguous marker for the count row.
     */
+  /** True when `t` is or nests a MapType (private recursion — the
+    * public existsRecursively is `private[spark]`).
+    */
+  private def hasMapType(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case _: MapType => true
+      case a: ArrayType => hasMapType(a.elementType)
+      case s: StructType => s.fields.exists(f => hasMapType(f.dataType))
+      case _ => false
+    }
+  }
+
   private def mgSummaries(items: DataFrame, keyCol: String, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
+    // MapData has IDENTITY equals/hashCode (maps are unorderable and
+    // ungroupable across Spark generally), so a map-typed key would
+    // silently corrupt the counters on the InternalRow path — refuse it
+    // the way groupBy would (r19 advice)
+    require(!hasMapType(items.schema(keyCol).dataType),
+      s"mgSummaries: key column '$keyCol' contains a map type, which has " +
+        "no content-based equality; map keys are unsupported (project the " +
+        "map to a groupable key first)")
     val keyed = Dedup.fanOut(items.select(col(keyCol)))
       .where(col(keyCol).isNotNull)
     // the key field must be NULLABLE in the summary schema regardless of
@@ -362,14 +383,36 @@ object Sketches {
     // (copies are bounded by m, not by the stream length).
     val keyType = keyed.schema.fields(0).dataType
     val rdd = keyed.queryExecution.toRdd.mapPartitions { rows =>
-      val counters = new java.util.HashMap[Any, java.lang.Long]()
+      // Open-addressing counter table (r20, r19 verdict #7): the
+      // java.util.HashMap[Any, java.lang.Long] form allocated one boxed
+      // Long PER OCCURRENCE on the increment path (plus an Entry per
+      // insert); here counts live in a primitive long array beside a
+      // linear-probed key array (power-of-two capacity ≥ 2m, load
+      // factor ≤ ~0.5). Key semantics are unchanged: content-based
+      // hashCode/equals of the internal values (UTF8String hashes its
+      // bytes), defensive copy ONLY when a key first enters the table
+      // (bounded by m). The decrement-all step gathers survivors and
+      // re-inserts in place — same amortized O(1)/element bound (each
+      // decrement-all consumes ≥ size(=m) of total counter mass ≤ n_p,
+      // so rebuilds cost O(n_p) across the partition).
+      var cap = 8
+      while (cap < m * 2) cap <<= 1
+      val mask = cap - 1
+      val keys = new Array[AnyRef](cap)
+      val cnts = new Array[Long](cap)
+      var size = 0
+      def slotOf(k: AnyRef): Int = {
+        var s = k.hashCode & mask
+        while ((keys(s) ne null) && !keys(s).equals(k)) s = (s + 1) & mask
+        s
+      }
       var np = 0L
       rows.foreach { row =>
         np += 1L
-        val k = row.get(0, keyType)
-        val c = counters.get(k)
-        if (c ne null) counters.put(k, c + 1L)
-        else if (counters.size < m) {
+        val k = row.get(0, keyType).asInstanceOf[AnyRef]
+        val s = slotOf(k)
+        if (keys(s) ne null) cnts(s) += 1L
+        else if (size < m) {
           // first entry: detach the key from the reused row buffer
           val owned = k match {
             case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
@@ -377,26 +420,45 @@ object Sketches {
             case r: org.apache.spark.sql.catalyst.InternalRow => r.copy()
             case x => x
           }
-          counters.put(owned, 1L)
+          keys(s) = owned.asInstanceOf[AnyRef]
+          cnts(s) = 1L
+          size += 1
         } else {
-          // decrement-all step: amortized O(1)/element — each element
-          // funds at most one decrement of its own counter
-          val it = counters.entrySet().iterator()
-          while (it.hasNext) {
-            val e = it.next()
-            if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+          // decrement-all: survivors (count > 1) re-insert decremented
+          val sk = new Array[AnyRef](size)
+          val sc = new Array[Long](size)
+          var out = 0
+          var i = 0
+          while (i < cap) {
+            if ((keys(i) ne null) && cnts(i) > 1L) {
+              sk(out) = keys(i); sc(out) = cnts(i) - 1L; out += 1
+            }
+            keys(i) = null
+            i += 1
+          }
+          size = out
+          i = 0
+          while (i < out) {
+            val t = slotOf(sk(i))
+            keys(t) = sk(i); cnts(t) = sc(i)
+            i += 1
           }
         }
       }
-      val it = counters.keySet().iterator()
       new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private var i = 0
         private var countEmitted = false
-        def hasNext: Boolean = it.hasNext || !countEmitted
+        private def advance(): Unit = while (i < cap && (keys(i) eq null)) i += 1
+        advance()
+        def hasNext: Boolean = i < cap || !countEmitted
         def next(): org.apache.spark.sql.catalyst.InternalRow =
-          if (it.hasNext)
+          if (i < cap) {
+            val k = keys(i)
+            i += 1
+            advance()
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](it.next(), null))
-          else {
+              Array[Any](k, null))
+          } else {
             countEmitted = true
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array[Any](null, np))

@@ -191,4 +191,57 @@ class ClassifySpec extends SparkSpec {
       }
     } finally spark.conf.unset("graft.logreg.pivotMaxBuckets")
   }
+
+  test("LogregResidual expression equals the boxed-UDF formulation " +
+    "bit-for-bit, incl. empty feature arrays and null y") {
+    // r20: the pivoted GD residual moved from a Scala UDF over
+    // Seq[Row] to a native Catalyst expression over the unsafe array
+    // with a dense double[] weight table; this pins value equality
+    // against the replaced UDF (same map-with-default-0.0 lookups).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("fs", ArrayType(StructType(Seq(
+        StructField("bucket", LongType, nullable = false),
+        StructField("x", DoubleType, nullable = false))), containsNull = false)),
+      StructField("y", DoubleType, nullable = true)))
+    val rows = Seq(
+      Row(Seq(Row(-1L, 1.0), Row(0L, 0.5), Row(3L, 0.25)), 1.0),
+      Row(Seq(Row(2L, 2.0)), 0.0),
+      Row(Seq.empty[Row], 1.0),                       // no features: σ(0) − y
+      Row(Seq(Row(1L, 1.0)), null))                   // null y -> null residual
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val buckets = 4
+    val w = Map(-1L -> 0.25, 0L -> -1.5, 2L -> 0.75).withDefaultValue(0.0)
+    val warr = new Array[Double](buckets + 1)
+    w.foreach { case (b, v) => warr(b.toInt + 1) = v }
+    val exprCol = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.LogregResidual(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("fs")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("y")), warr))
+    val udfRef = udf { (fs: Seq[Row], y: Double) =>
+      var m = 0.0
+      var i = 0
+      while (i < fs.length) {
+        m += fs(i).getDouble(1) * w(fs(i).getLong(0)); i += 1
+      }
+      1.0 / (1.0 + math.exp(-m)) - y
+    }
+    val got = df.select(exprCol.as("r"), udfRef(col("fs"), col("y")).as("want"))
+      .collect()
+    got.foreach { r =>
+      val g = if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+      val want = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      assert(g == want, s"residual mismatch: got $g want $want")
+    }
+    // null fs -> null residual (BinaryExpression null propagation; the
+    // production path never builds one — collect_list is non-null —
+    // but the policy is pinned explicitly per rule 10)
+    val nullFs = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(Seq(Row(null, 0.0))).asJava), schema)
+    assert(nullFs.select(exprCol.as("r")).collect().head.isNullAt(0))
+  }
 }

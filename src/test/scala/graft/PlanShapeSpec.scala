@@ -109,13 +109,16 @@ class PlanShapeSpec extends SparkSpec {
     val filters = banded.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
     }
-    // graft_word_shingles is wordShingles' expression (array_distinct was
-    // the HOF-era outermost node, kept so a revert re-arms the pin) — its
-    // presence in a Filter condition means the shingle tree was inlined
-    // into a predicate
+    // "graft_word_shingle" is the common prefix of BOTH shingle pretty
+    // names — graft_word_shingles (distinct) and
+    // graft_word_shingle_occurrences, which does NOT contain the plural
+    // substring (r19 advice) — so either form re-arms the pin;
+    // array_distinct was the HOF-era outermost node, kept so a revert
+    // re-arms it too. Presence in a Filter condition means the shingle
+    // tree was inlined into a predicate
     filters.foreach { f =>
       val c = f.condition.toString
-      assert(!c.contains("array_distinct") && !c.contains("graft_word_shingles"),
+      assert(!c.contains("array_distinct") && !c.contains("graft_word_shingle"),
         s"shingle expression inlined into a filter predicate:\n${f.condition}")
     }
   }

@@ -144,4 +144,24 @@ class SemDedupSpec extends SparkSpec {
       assert(got(k) == want(k), s"id=$k: got ${got(k)} want ${want(k)}")
     }
   }
+
+  test("assignFixed: a null ELEMENT inside a vector reads as 0.0 — the " +
+    "ArrayCosine unsafe-slot semantics, preserved by the closure argmax") {
+    import spark.implicits._
+    // r19 advice: the closure decoded Seq[Double] and NPE'd at unboxing
+    // on a null element where the former expression formulation read the
+    // slot as 0.0 and produced an assignment. Pin the preserved behavior:
+    // the null-element vector assigns exactly like its zero-filled twin.
+    val rows: Seq[(Long, Array[java.lang.Double])] = Seq(
+      (1L, Array[java.lang.Double](1.0, null, 0.25, -0.5)),
+      (2L, Array[java.lang.Double](1.0, 0.0, 0.25, -0.5)))
+    val df = rows.toDF("id", "v")
+    val cs = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 1.0, 0.0),
+      Array(-1.0, 0.5, 0.0, 1.0))
+    val got = graft.ops.SemDedup.assignFixed(df, "id", "v", cs)
+      .select("id", "cluster", "centroid_sim").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == got(2L),
+      s"null element must read as 0.0: got ${got(1L)} vs zero-twin ${got(2L)}")
+  }
 }

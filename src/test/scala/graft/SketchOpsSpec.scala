@@ -588,6 +588,37 @@ class SketchOpsSpec extends SparkSpec {
     assert(cand.size <= m * 8)
   }
 
+  test("localTopCandidates: long-typed keys survive the MG bound (boxed " +
+    "key path of the open-addressed counter table)") {
+    // r20: the counter table moved to open addressing keyed on the raw
+    // internal values; string keys are UTF8String (content hash), but
+    // numeric keys arrive as boxed java.lang.Long — pin that family too.
+    val items = (1 to 40).flatMap(k => Seq.fill(k * k)(k.toLong))
+      .toDF("k").repartition(4)
+    val n = items.count()
+    val m = 32
+    val cand = Sketches.localTopCandidates(items, "k", m)
+      .as[Long].collect().toSet
+    val mustSurvive = items.groupBy("k").agg(count(lit(1)).as("c"))
+      .where(col("c") > n / (m + 1)).as[(Long, Long)].collect()
+    assert(mustSurvive.length >= 5, "fixture must make the bound bite")
+    mustSurvive.foreach { case (k, c) =>
+      assert(cand.contains(k), s"key $k (count $c > ${n / (m + 1)}) evicted")
+    }
+    assert(cand.size <= m * 4)
+  }
+
+  test("localTopCandidates refuses a map-typed key (no content equality)") {
+    // r19 advice: MapData has identity equals/hashCode, so a map key
+    // would silently corrupt the counters — refuse like groupBy would
+    val items = Seq(1, 2).toDF("i")
+      .select(map(lit("a"), col("i")).as("k"))
+    val e = intercept[IllegalArgumentException] {
+      Sketches.localTopCandidates(items, "k", 4).collect()
+    }
+    assert(e.getMessage.contains("map"))
+  }
+
   test("heavyHittersExact returns exactly the true-heavy keys with exact counts") {
     val items = tokenStream.repartition(8)
     val thr = 60L
