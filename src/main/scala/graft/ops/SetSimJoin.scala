@@ -150,6 +150,39 @@ object SetSimJoin {
       shingleSize: Int): DataFrame = {
     val spark = tagged.sparkSession
     val pct = lit(thresholdPct.toLong)
+    // Suppress InferFiltersFromGenerate for this pipeline's actions
+    // (r19 advice): with explode's child an attribute (__shs), the rule
+    // infers `size(__shs) > 0`, and predicate pushdown inlines the WHOLE
+    // shingle expression into the parquet-scan filter — the rule-11
+    // re-evaluation trap, paying the hottest expression twice per input
+    // row (the q_jaccard_join entry even re-pays its caller's
+    // split/slice/concat_ws text truncation). The filter only drops
+    // null-text rows, which the explode drops anyway (empty array emits
+    // nothing), so it prunes almost nothing. Every action of this
+    // pipeline runs inside this function (the result is materialized
+    // before return), so the exclusion is scoped-and-restored here; the
+    // returned frame re-reads its cache, never re-optimizes.
+    // PlanShapeSpec pins the shingle-free scan filters.
+    val exclKey = "spark.sql.optimizer.excludedRules"
+    val inferRule =
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val prevExcl = spark.conf.getOption(exclKey)
+    spark.conf.set(exclKey, (prevExcl.toSeq :+ inferRule).mkString(","))
+    try exactPairsBody(tagged, aSide, bSide, pairPred, pct, shingleSize, spark)
+    finally prevExcl match {
+      case Some(p) => spark.conf.set(exclKey, p)
+      case None => spark.conf.unset(exclKey)
+    }
+  }
+
+  private def exactPairsBody(
+      tagged: DataFrame,
+      aSide: String,
+      bSide: String,
+      pairPred: Column,
+      pct: Column,
+      shingleSize: Int,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
 
     // (sd, id, len, shingle): DISTINCT word shingles per doc; null text ->
     // none, '' (from empty text) dropped. `len` (the doc's post-filter
@@ -161,7 +194,13 @@ object SetSimJoin {
     // rank window below still pays the one (sd,id) exchange+sort).
     // The array lands in its own projection first so the shingle
     // expression is evaluated ONCE (CollapseProject keeps multiply-
-    // referenced non-trivial aliases materialized; rule 11).
+    // referenced non-trivial aliases materialized; rule 11) — which
+    // holds only because [[exactPairs]] excludes
+    // InferFiltersFromGenerate for this pipeline: with __shs an
+    // attribute under explode, that rule would infer size(__shs) > 0
+    // and pushdown would inline the whole shingle tree into the scan
+    // filter, re-evaluating it per input row (r19 advice; PlanShapeSpec
+    // pins the shingle-free scan).
     // Persisted: read by the df pass, the rank pass and the verify join.
     val sh = Dedup.fanOut(tagged)
       .select(col("sd"), col("id"),
@@ -187,6 +226,16 @@ object SetSimJoin {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val maxBucket = graft.util.Conf.long(
       spark, "graft.setjoin.maxPrefixBucket", 1000000L)
+    // Deliberately a SEPARATE eager action (r19 verdict #6 adjudication):
+    // folding this guard into the main job (e.g. a raise_error branch
+    // cross-joined into the pipeline) would let the quadratic candidate
+    // join's stages LAUNCH before the guard aggregation completes —
+    // stages schedule bottom-up, so the refusal would arrive after the
+    // blow-up it exists to prevent; and a sampled bound either
+    // false-refuses (breaking the exactness contract's availability) or
+    // misses the hot bucket. The job is not wasted work: it is what
+    // materializes the sh/prefix caches the main job then reuses — its
+    // marginal cost is one aggregation over the cached prefix frame.
     val worst = prefix.groupBy("s").agg(count(lit(1)).as("n"))
       .agg(coalesce(max("n"), lit(0L))).head().getLong(0)
     if (worst > maxBucket) {
@@ -247,6 +296,13 @@ object SetSimJoin {
     // hash-prefilter sides, two exact-verify sides). Sets are keyed by
     // (sd, id): an AB join's corpora may collide on ids, so the verify
     // sides each draw from their OWN corpus only.
+    // Measured and REVERTED (r20, guide §1): semi-joining sh against
+    // the candidate ids before this aggregation ("build sets only for
+    // candidate docs") benched 1.34-1.58x SLOWER at REPEAT=5 — with and
+    // without persisting candUb — because it serializes the sets
+    // aggregation behind the whole candidate join and pays a probe per
+    // shingle row, while this full-corpus agg runs concurrently in the
+    // same job and its output is only doc-count-sized rows.
     val sets = sh.groupBy("sd", "id").agg(
       sort_array(collect_list("s")).as("sh"),
       sort_array(collect_set(hash(col("s")))).as("hs"),

@@ -123,6 +123,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("jaccardJoin never re-evaluates the shingle expression in an " +
+    "inferred generate filter") {
+    // r19 advice: explode over the __shs ATTRIBUTE arms
+    // InferFiltersFromGenerate — size(__shs) > 0 inlines the whole
+    // shingle tree into the scan Filter via pushdown (rule 11), paying
+    // the hottest expression twice per input row. exactPairs excludes
+    // that rule for its actions; this pins the shingle-free filters.
+    // The optimizedPlan memoizes during exactPairs' own eager actions
+    // (inside the exclusion scope), so reading it here sees what ran.
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val out = graft.ops.SetSimJoin.jaccardJoin(docs, "doc_id", "text", 80, 3)
+    try {
+      val filters = out.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }
+      filters.foreach { f =>
+        val c = f.condition.toString
+        assert(!c.contains("graft_word_shingle"),
+          s"shingle expression inlined into a filter predicate:\n${f.condition}")
+      }
+    } finally out.unpersist()
+  }
+
   test("HLL build is one map-side-combined aggregation: a single Exchange " +
     "carrying registers, scan reads only the key column") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
